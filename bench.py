@@ -1,0 +1,66 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline suite queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (count + a cheap sink over all columns is
+avoided; we use df.write.format("noop") semantics via count of collected
+plan) — we call ``df.foreach`` free alternative: ``df.count()`` would let
+Catalyst prune columns, so we hash one column per row instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    # Force full materialization of the result without driver collect:
+    # noop write executes the whole plan including all output columns.
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from nutdb_spark.session import get_spark
+    from nutdb_spark.suite import QUERIES
+
+    spark = get_spark("nutdb_spark_bench")
+
+    # warm the JVM + parquet footers once (not counted)
+    QUERIES["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        try:
+            results[name] = round(run_one(spark, QUERIES[name], sf_dir), 4)
+        except Exception as ex:  # noqa: BLE001
+            print(f"bench error {name}: {ex}", file=sys.stderr)
+            results[name] = -1.0
+    total = round(sum(v for v in results.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Repaired TPC-H-shaped end-to-end queries.
+
+The reference's SQL corpus (`/root/reference/tests/sql/1-9.sql`) is
+"grammatically correct only" (`tests/sql/README.md:1-3`): the TPC-H
+shapes carry free variables and implicit joins over tables absent from
+FROM. Per SURVEY.md §5, each query here is the corpus shape repaired
+into an executable query over the driver fixtures (FIXTURES.md), with
+the repair documented in the docstring.
+
+All float aggregates use the deterministic decimal-sum convention from
+``nutdb_spark.functions.exact`` on BOTH the Spark and oracle sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nutdb_spark.functions.exact import davg, dsum, oracle_davg, oracle_dsum
+from nutdb_spark.sources import load_table
+from nutdb_spark.suite.registry import query
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (corpus 1.sql, reference tests/sql/1.sql:1-29).
+# Repair: dropped the partsupp/supplier/nation/region free variables
+# (p_partkey, ps_partkey, s_suppkey, s_nationkey, r_name, s_acctbal) —
+# they belong to other TPC-H queries mangled into the same file — leaving
+# the canonical single-table Q1: filter → groupBy → agg → orderBy.
+# Scale notes: single scan, partial+final hash agg (map-side combine) on a
+# 4-group key, no join, no shuffle beyond the tiny agg exchange; the
+# l_shipdate filter is pushed to the parquet scan.
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dsum('l_quantity')} AS sum_qty,
+  {oracle_dsum('l_extendedprice')} AS sum_base_price,
+  {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {oracle_davg('l_quantity')} AS avg_qty,
+  {oracle_davg('l_extendedprice')} AS avg_price,
+  {oracle_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-12-01' - INTERVAL 10 DAY
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1", _Q1_ORACLE)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(
+            F.col("l_shipdate").cast("date")
+            <= F.date_sub(F.to_date(F.lit("1998-12-01")), 10)
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

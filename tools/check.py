@@ -1,0 +1,106 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 and compares against its
+``oracle_sql()`` twin in DuckDB: row count, column-name set, and
+order-insensitive exact value comparison (columns sorted by name, rows
+sorted). Exact equality is the bar — the suite's aggregation convention
+(functions/exact.py) is designed to make doubles bit-identical across
+engines.
+
+Usage: python tools/check.py [name ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        # exact repr — we demand bit-identical doubles
+        return ("f", repr(v))
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(norm_cell(x) for x in v))
+    return (type(v).__name__, str(v))
+
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main(names: list[str]) -> int:
+    import __spark_entry__ as e
+    from nutdb_spark.session import get_spark
+
+    spark = get_spark("check")
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    targets = names or sorted(qs)
+    failed = []
+    for name in targets:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only check, {len(srows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failed.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if not problems and frame_key(scols, srows) != frame_key(ocols, orows):
+            sk, ok = frame_key(scols, srows), frame_key(ocols, orows)
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(sk, ok)) if a != b
+            )
+            problems.append(f"values differ, first at sorted-row {diff[0]}:"
+                            f"\n  spark : {diff[1]}\n  oracle: {diff[2]}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(targets)-len(failed)}/{len(targets)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
