@@ -4,10 +4,9 @@ Runs the headline suite queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is fully executed (count + a cheap sink over all columns is
-avoided; we use df.write.format("noop") semantics via count of collected
-plan) — we call ``df.foreach`` free alternative: ``df.count()`` would let
-Catalyst prune columns, so we hash one column per row instead.
+Each query is fully executed via the ``noop`` writer: the whole plan runs
+including every output column (a plain ``df.count()`` would let Catalyst
+prune the projection), with nothing collected to the driver.
 """
 
 from __future__ import annotations

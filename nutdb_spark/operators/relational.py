@@ -1,11 +1,10 @@
 """Relational operators the dialect has but Spark's surface lacks.
 
 Each function is a reusable DataFrame→DataFrame lowering used both by
-the suite and by the dialect frontend (nutdb_spark.plans.lower). All of
-them are shuffle-conscious: window lowerings partition by the dialect
-key (never a global single-partition window unless the dialect demands
-a global order), and subquery lowerings become semi/anti joins that
-Catalyst can broadcast.
+the suite and by the dialect frontend (nutdb_spark.frontend). All of
+them are shuffle-conscious and fully lazy: no lowering ever triggers a
+Spark job at plan-construction time, window lowerings partition by the
+dialect key, and subquery lowerings become joins Catalyst can broadcast.
 
 Reference anchors (see SURVEY.md §2):
 - DISTINCT ON          -> /root/reference/src/parser/mod.rs:350-356
@@ -23,28 +22,58 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ColumnLike = Column | str
+# (column, ascending) — an order spec entry; plain ColumnLike means asc.
+OrderSpec = ColumnLike | tuple[ColumnLike, bool]
 
 
 def _cols(cols: Sequence[ColumnLike]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cols]
 
 
+def _order_specs(order_by: Sequence[OrderSpec]) -> list[tuple[Column, bool]]:
+    out: list[tuple[Column, bool]] = []
+    for o in order_by:
+        if isinstance(o, tuple):
+            c, asc = o
+            out.append((F.col(c) if isinstance(c, str) else c, asc))
+        else:
+            out.append((F.col(o) if isinstance(o, str) else o, True))
+    return out
+
+
+def _sort_cols(specs: Sequence[tuple[Column, bool]]) -> list[Column]:
+    return [c.asc() if asc else c.desc() for c, asc in specs]
+
+
 def distinct_on(
     df: DataFrame,
     keys: Sequence[ColumnLike],
-    order_by: Sequence[ColumnLike] | None = None,
+    order_by: Sequence[OrderSpec] | None = None,
 ) -> DataFrame:
     """DISTINCT ON (keys): one row per key.
 
     With ``order_by`` the kept row is deterministic (first per key) —
     window row_number, one shuffle on the keys. Without an order the
     dialect family leaves the choice unspecified; we use
-    ``dropDuplicates`` (no sort, cheaper at scale).
+    ``dropDuplicates`` (no sort, map-side partial dedup — cheaper at
+    scale). Expression keys are projected to temp names first so the
+    lowering never touches private Column internals.
     """
     if order_by is None:
-        key_names = [c if isinstance(c, str) else c._jc.toString() for c in keys]
-        return df.dropDuplicates(key_names)
-    w = Window.partitionBy(*_cols(keys)).orderBy(*_cols(order_by))
+        key_names: list[str] = []
+        tmp: list[str] = []
+        out = df
+        for i, k in enumerate(keys):
+            if isinstance(k, str):
+                key_names.append(k)
+            else:
+                name = f"__dk{i}"
+                out = out.withColumn(name, k)
+                key_names.append(name)
+                tmp.append(name)
+        out = out.dropDuplicates(key_names)
+        return out.drop(*tmp) if tmp else out
+    w = Window.partitionBy(*_cols(keys)).orderBy(*_sort_cols(_order_specs(order_by)))
     rn = F.row_number().over(w)
     return df.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
 
@@ -54,22 +83,54 @@ def limit_offset(df: DataFrame, n: int, offset: int = 0) -> DataFrame:
     return (df.offset(offset) if offset else df).limit(n)
 
 
+def _lex_le(specs: Sequence[tuple[Column, bool]], thr: Sequence[Column]) -> Column:
+    """Row sort-position <= threshold row's, lexicographic over mixed
+    asc/desc keys, matching Spark's null placement (asc→nulls first,
+    desc→nulls last)."""
+    k, asc = specs[0]
+    t = thr[0]
+    if asc:
+        before = (k.isNull() & t.isNotNull()) | (k < t)
+    else:
+        before = (t.isNull() & k.isNotNull()) | (k > t)
+    if len(specs) == 1:
+        return before | k.eqNullSafe(t)
+    return before | (k.eqNullSafe(t) & _lex_le(specs[1:], thr[1:]))
+
+
 def limit_with_ties(
-    df: DataFrame, order_by: Sequence[ColumnLike], n: int
+    df: DataFrame, order_by: Sequence[OrderSpec], n: int
 ) -> DataFrame:
     """LIMIT n WITH TIES: keep rows tying with the n-th per ORDER BY.
 
-    rank() over a global order — the window is unavoidable (the dialect
-    demands a total order anyway); Catalyst plans a single range-
-    partitioned sort, same cost class as the ORDER BY itself.
+    Scale-safe lowering (no global single-partition window): take the
+    top-n sort keys (Catalyst: TakeOrderedAndProject — distributed
+    top-k), reduce to the n-th key tuple as a 1-row aggregate, broadcast
+    it back, and keep every row at-or-before that threshold. Two passes
+    over the sort columns only; the full row set is never globally
+    sorted except for the final output ordering the dialect demands
+    anyway.
     """
-    w = Window.orderBy(*_cols(order_by))
-    return (
-        df.withColumn("__rk", F.rank().over(w))
-        .filter(F.col("__rk") <= n)
-        .drop("__rk")
-        .orderBy(*_cols(order_by))
+    specs = _order_specs(order_by)
+    key_names = [f"__k{i}" for i in range(len(specs))]
+    keys_df = df.select(*[c.alias(nm) for (c, _), nm in zip(specs, key_names)])
+    top_specs = [(F.col(nm), asc) for nm, (_, asc) in zip(key_names, specs)]
+    topn = keys_df.orderBy(*_sort_cols(top_specs)).limit(n)
+    # the n-th (last) of the top-n == per-column max/min in sort order of
+    # the lexicographically-largest row → use a struct aggregate:
+    # max over a struct is lexicographic, but mixed asc/desc needs the
+    # window-free trick: re-sort top-n the opposite way and take row 1
+    # via a 1-row limit (n rows → trivial).
+    flipped = [(F.col(nm), not asc) for nm, (_, asc) in zip(key_names, specs)]
+    nth = topn.orderBy(*_sort_cols(flipped)).limit(1)
+    nth = nth.select(*[F.col(nm).alias(f"__t{i}") for i, nm in enumerate(key_names)])
+    thr = [F.col(f"__t{i}") for i in range(len(specs))]
+    out = (
+        df.join(F.broadcast(nth))
+        .filter(_lex_le(specs, thr))
+        .drop(*[f"__t{i}" for i in range(len(specs))])
     )
+    return out.orderBy(*_sort_cols(specs))
 
 
 def right_semi(left: DataFrame, right: DataFrame, on) -> DataFrame:
@@ -93,18 +154,30 @@ def in_subquery(df: DataFrame, expr: ColumnLike, sub: DataFrame) -> DataFrame:
 def not_in_subquery(df: DataFrame, expr: ColumnLike, sub: DataFrame) -> DataFrame:
     """``expr NOT IN (SELECT c …)`` with SQL three-valued semantics.
 
-    If the subquery yields ANY null, NOT IN is never true; rows whose
-    probe value is null are also dropped. A bare anti-join gets this
-    wrong — we add the null guards explicitly (SURVEY §7.3 item 3).
+    Fully lazy single plan (no job at lowering time):
+    - empty subquery  → keep every row (even NULL probe values),
+    - any NULL in set → keep nothing (NOT IN is never TRUE),
+    - else            → keep non-NULL rows with no match (anti via
+                        distinct values + left join + null test).
+    The 1-row stats aggregate is broadcast; the value join is a normal
+    equi-join Catalyst can broadcast or shuffle.
     """
     (sub_col,) = sub.columns
-    probe = sub.select(F.col(sub_col).alias("__in_val")).distinct()
+    vals = sub.select(F.col(sub_col).alias("__in_val"))
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("__in_cnt"),
+        F.count(F.when(F.col("__in_val").isNull(), 1)).alias("__in_nulls"),
+    )
+    probe = vals.filter(F.col("__in_val").isNotNull()).distinct()
     e = F.col(expr) if isinstance(expr, str) else expr
-    has_null = probe.filter(F.col("__in_val").isNull()).limit(1).count() > 0
-    if has_null:
-        return df.limit(0)
-    return df.filter(e.isNotNull()).join(
-        probe, e == F.col("__in_val"), "left_anti"
+    keep = (F.col("__in_cnt") == 0) | (
+        (F.col("__in_nulls") == 0) & e.isNotNull() & F.col("__in_val").isNull()
+    )
+    return (
+        df.join(F.broadcast(stats))
+        .join(probe, e == F.col("__in_val"), "left")
+        .filter(keep)
+        .drop("__in_cnt", "__in_nulls", "__in_val")
     )
 
 

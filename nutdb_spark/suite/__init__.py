@@ -29,7 +29,11 @@ _MODULES = (
 for _m in _MODULES:
     try:
         importlib.import_module(_m)
-    except ModuleNotFoundError:
-        pass  # module not built yet; suite grows milestone by milestone
+    except ModuleNotFoundError as ex:
+        # Only tolerate the suite module itself being absent; a missing
+        # transitive import inside an existing module is a real bug and
+        # must not silently shrink the graded suite.
+        if ex.name != _m:
+            raise
 
 __all__ = ["QUERIES", "ORACLE"]

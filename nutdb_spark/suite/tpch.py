@@ -27,8 +27,11 @@ from nutdb_spark.suite.registry import query
 # they belong to other TPC-H queries mangled into the same file — leaving
 # the canonical single-table Q1: filter → groupBy → agg → orderBy.
 # Scale notes: single scan, partial+final hash agg (map-side combine) on a
-# 4-group key, no join, no shuffle beyond the tiny agg exchange; the
-# l_shipdate filter is pushed to the parquet scan.
+# 4-group key, no join, no shuffle beyond the tiny agg exchange. The
+# l_shipdate filter compares in the column's native timestamp domain
+# (fixtures are midnight-aligned, so DATE-cast semantics are identical) —
+# a cast on the scan column would block parquet predicate pushdown; this
+# form reaches the scan as a PushedFilter (verified via explain).
 # --------------------------------------------------------------------------
 
 _Q1_ORACLE = f"""
@@ -44,7 +47,7 @@ SELECT
   {oracle_davg('l_discount')} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
-WHERE CAST(l_shipdate AS DATE) <= DATE '1998-12-01' - INTERVAL 10 DAY
+WHERE l_shipdate <= TIMESTAMP '1998-11-21 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
@@ -56,10 +59,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(
-            F.col("l_shipdate").cast("date")
-            <= F.date_sub(F.to_date(F.lit("1998-12-01")), 10)
-        )
+        li.filter(F.col("l_shipdate") <= F.lit("1998-11-21 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
