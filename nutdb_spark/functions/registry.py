@@ -1,0 +1,157 @@
+"""Dialect function registry — the open `FnName::Others` namespace.
+
+The reference parser keeps every function name opaque
+(`/root/reference/src/parser/mod.rs:1304-1307`, AST
+`ast/item.rs:178`); the concrete names below are the ones pinned by the
+committed corpus + bench (SURVEY.md §2.5), registered here as lowerings
+to built-in JVM-side Spark expressions (never row-at-a-time Python
+UDFs). The frontend resolves `fn(args)` through :data:`SCALAR_FNS` /
+:data:`AGGREGATE_FNS`; unknown names raise at lowering time, matching
+"function does not exist" engine behavior.
+
+[EXT] LLM-pipeline names (normalizeText/tokenize/ngrams/minhash/…) are
+registered by nutdb_spark.functions.textfns on import.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ScalarFn = Callable[..., Column]
+
+SCALAR_FNS: dict[str, ScalarFn] = {}
+AGGREGATE_FNS: dict[str, ScalarFn] = {}
+
+
+def scalar(name: str) -> Callable[[ScalarFn], ScalarFn]:
+    def deco(fn: ScalarFn) -> ScalarFn:
+        SCALAR_FNS[name] = fn
+        return fn
+
+    return deco
+
+
+def aggregate(name: str) -> Callable[[ScalarFn], ScalarFn]:
+    def deco(fn: ScalarFn) -> ScalarFn:
+        AGGREGATE_FNS[name] = fn
+        return fn
+
+    return deco
+
+
+def resolve(name: str) -> tuple[ScalarFn, bool]:
+    """Look up a dialect function → (lowering, is_aggregate)."""
+    if name in AGGREGATE_FNS:
+        return AGGREGATE_FNS[name], True
+    if name in SCALAR_FNS:
+        return SCALAR_FNS[name], False
+    raise KeyError(f"unknown function: {name}")
+
+
+# --- aggregates (corpus: 1.sql:4-11, 4.sql:3, 6.sql:20, 7.sql:5) ----------
+
+AGGREGATE_FNS["count"] = lambda *a: F.count(a[0]) if a else F.count(F.lit(1))
+AGGREGATE_FNS["sum"] = F.sum
+AGGREGATE_FNS["avg"] = F.avg
+AGGREGATE_FNS["min"] = F.min
+AGGREGATE_FNS["max"] = F.max
+# Exact distinct count; approx_count_distinct is the documented scalable
+# variant for 100 TB interactive use (same name + 'Approx' suffix).
+AGGREGATE_FNS["countUnique"] = F.count_distinct
+AGGREGATE_FNS["countUniqueApprox"] = F.approx_count_distinct
+
+
+# --- scalars --------------------------------------------------------------
+
+
+@scalar("substring")
+def _substring(s: Column, start: Column, length: Column) -> Column:
+    """1-based substring (corpus 9.sql:8,13) — Spark substring is also
+    1-based."""
+    return F.substring(s, start, length)
+
+
+@scalar("toDate")
+def _to_date(s: Column) -> Column:
+    """Parse 'YYYY-MM-DD' (corpus 1.sql:15). Fixture date columns are
+    timestamps, so comparisons stay in timestamp domain for pushdown —
+    the frontend casts literal dates upward, never the column."""
+    return F.to_date(s)
+
+
+@scalar("toDatetime")
+def _to_datetime(s: Column) -> Column:
+    return F.to_timestamp(s)
+
+
+@scalar("getYear")
+def _get_year(d: Column) -> Column:
+    """Extract year (corpus 3.sql:11)."""
+    return F.year(d)
+
+
+@scalar("toYYYYMMDD")
+def _to_yyyymmdd(d: Column) -> Column:
+    """Format date → int yyyymmdd (corpus 10.sql:6, ClickHouse-style)."""
+    return F.date_format(d, "yyyyMMdd").cast("int")
+
+
+@scalar("random")
+def _random() -> Column:
+    """Uniform [0,1) (corpus 14.sql:15) — nondeterministic by design."""
+    return F.rand()
+
+
+@scalar("if")
+def _if(cond: Column, then: Column, otherwise: Column) -> Column:
+    """IF…THEN…ELSE sugar (mod.rs:1570-1582 lowers to FnCall If)."""
+    return F.when(cond, then).otherwise(otherwise)
+
+
+@scalar("between")
+def _between(x: Column, lo: Column, hi: Column) -> Column:
+    """BETWEEN sugar (mod.rs:1445-1449 lowers to FnCall Between)."""
+    return x.between(lo, hi)
+
+
+@scalar("concat")
+def _concat(*parts: Column) -> Column:
+    return F.concat(*parts)
+
+
+@scalar("length")
+def _length(s: Column) -> Column:
+    return F.length(s)
+
+
+@scalar("lower")
+def _lower(s: Column) -> Column:
+    return F.lower(s)
+
+
+@scalar("upper")
+def _upper(s: Column) -> Column:
+    return F.upper(s)
+
+
+@scalar("abs")
+def _abs(x: Column) -> Column:
+    return F.abs(x)
+
+
+@scalar("round")
+def _round(x: Column, scale: Column | int = 0) -> Column:
+    return F.round(x, scale if isinstance(scale, int) else scale)
+
+
+@scalar("coalesce")
+def _coalesce(*cols: Column) -> Column:
+    return F.coalesce(*cols)
+
+
+@scalar("nullIf")
+def _null_if(a: Column, b: Column) -> Column:
+    return F.nullif(a, b)

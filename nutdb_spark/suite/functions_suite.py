@@ -1,0 +1,153 @@
+"""Per-function correctness queries: the §2.5 dialect function surface.
+
+Every function name pinned by the reference corpus gets a suite entry
+lowering through nutdb_spark.functions.registry — the same registry the
+SQL frontend resolves `fn(args)` calls against, so a green row here
+covers both the DataFrame path and the dialect name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nutdb_spark.functions.registry import AGGREGATE_FNS, SCALAR_FNS
+from nutdb_spark.sources import load_table
+from nutdb_spark.suite.registry import query
+
+# --- min / max / count(col) (corpus 6.sql:20) -----------------------------
+
+
+@query(
+    "q_fn_minmax",
+    """
+    SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+           COUNT(l_orderkey) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_fn_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        AGGREGATE_FNS["min"]("l_quantity").alias("min_qty"),
+        AGGREGATE_FNS["max"]("l_quantity").alias("max_qty"),
+        AGGREGATE_FNS["min"]("l_shipdate").alias("first_ship"),
+        AGGREGATE_FNS["max"]("l_shipdate").alias("last_ship"),
+        AGGREGATE_FNS["count"](F.col("l_orderkey")).alias("n"),
+    )
+
+
+# --- countUnique (corpus 7.sql:5) → exact count_distinct ------------------
+
+
+@query(
+    "q_fn_count_unique",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS uniq_supp,
+           COUNT(DISTINCT l_partkey) AS uniq_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_fn_count_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        AGGREGATE_FNS["countUnique"](F.col("l_suppkey")).alias("uniq_supp"),
+        AGGREGATE_FNS["countUnique"](F.col("l_partkey")).alias("uniq_part"),
+    )
+
+
+# --- substring (corpus 9.sql:8,13; 1-based) -------------------------------
+
+
+@query(
+    "q_fn_substring",
+    """
+    SELECT c_custkey,
+           substring(c_name, 1, 8) AS prefix,
+           substring(c_name, 10, 4) AS digits
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def q_fn_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    sub = SCALAR_FNS["substring"]
+    return c.select(
+        "c_custkey",
+        sub(F.col("c_name"), F.lit(1), F.lit(8)).alias("prefix"),
+        sub(F.col("c_name"), F.lit(10), F.lit(4)).alias("digits"),
+    )
+
+
+# --- toDate / getYear / toYYYYMMDD (corpus 1.sql:15, 3.sql:11, 10.sql:6) --
+
+
+@query(
+    "q_fn_dates",
+    """
+    SELECT year(o_orderdate) AS yr,
+           CAST(strftime(min(o_orderdate), '%Y%m%d') AS INT) AS first_day,
+           CAST(strftime(max(o_orderdate), '%Y%m%d') AS INT) AS last_day,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY yr
+    """,
+)
+def q_fn_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getYear → F.year; toYYYYMMDD → date_format yyyyMMdd cast int;
+    toDate('1996-01-01') comparison pushed in timestamp domain."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    get_year = SCALAR_FNS["getYear"]
+    yyyymmdd = SCALAR_FNS["toYYYYMMDD"]
+    return o.groupBy(get_year(F.col("o_orderdate")).alias("yr")).agg(
+        F.min(yyyymmdd(F.col("o_orderdate"))).alias("first_day"),
+        F.max(yyyymmdd(F.col("o_orderdate"))).alias("last_day"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- scalar string/misc registry names ------------------------------------
+
+
+@query(
+    "q_fn_strings",
+    """
+    SELECT p_partkey,
+           lower(p_brand) AS lo, upper(p_name) AS up,
+           length(p_name) AS len, round(p_retailprice, 1) AS rp,
+           coalesce(nullif(p_type, 'PROMO'), 'regular') AS ty,
+           abs(p_size - 25) AS dist
+    FROM part WHERE p_partkey < 200
+    """,
+)
+def q_fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    s = SCALAR_FNS
+    return p.select(
+        "p_partkey",
+        s["lower"](F.col("p_brand")).alias("lo"),
+        s["upper"](F.col("p_name")).alias("up"),
+        s["length"](F.col("p_name")).alias("len"),
+        s["round"](F.col("p_retailprice"), 1).alias("rp"),
+        s["coalesce"](
+            s["nullIf"](F.col("p_type"), F.lit("PROMO")), F.lit("regular")
+        ).alias("ty"),
+        s["abs"](F.col("p_size") - 25).alias("dist"),
+    )
+
+
+# --- random() (corpus 14.sql:15) — nondeterministic, rows-only check ------
+
+
+@query("q_fn_random")  # no oracle: nondeterministic by definition
+def q_fn_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random() ∈ [0,1): validate the bound distributed-side; the driver
+    records a rows-only check (1 row, all_in_range=true)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = SCALAR_FNS["random"]()
+    return li.select(((r >= 0) & (r < 1)).alias("ok")).agg(
+        F.min("ok").alias("all_in_range"), F.count(F.lit(1)).alias("n")
+    )
