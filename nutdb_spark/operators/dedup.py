@@ -1,0 +1,218 @@
+"""[EXT] Deduplication operators for LLM training-data pipelines.
+
+Exact dedup is a hash-groupBy (map-side partial dedup, one shuffle on
+the key). Near-dup goes through shingling → either exact Jaccard via an
+inverted-index pair join, or MinHash signatures + LSH banding — in both
+cases candidate pairs come from equi-joins on shared shingles/bands,
+NEVER an all-pairs crossJoin, so cost scales with collision counts, not
+n². Hashing is md5-based (hex-string minima), bit-identical across
+engines and across cluster re-runs.
+
+Scale notes (100 TB): the inverted-index join's fan-out is bounded by
+dropping ultra-common shingles (``max_shingle_freq``) — the classic
+stopword-shingle blowup guard; MinHash+LSH is the constant-cost path
+(signature size × bands), which is why both are provided.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.text import ngrams, oracle_ngrams, tokenize
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """dedupExact: one representative row per key set (hash-groupBy)."""
+    return df.dropDuplicates(list(keys))
+
+
+def dedup_groups(df: DataFrame, id_col: str, key) -> DataFrame:
+    """Dedup audit: per content-key group → representative (min id) +
+    multiplicity. `key` is any deterministic Column (e.g. md5 of
+    normalized text)."""
+    return df.groupBy(key.alias("dup_key")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingles(text_col, n: int = 2):
+    """Distinct word n-gram shingle set of a document."""
+    return F.array_distinct(ngrams(tokenize(text_col), n))
+
+
+def oracle_shingles(text_expr: str, n: int = 2) -> str:
+    words = f"string_split_regex(trim({text_expr}), '\\s+')"
+    return f"list_distinct({oracle_ngrams(words, n)})"
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index.
+
+    explode shingles → self-equi-join on the shingle (pairs that share
+    ≥1 shingle only) → per-pair shared count → Jaccard from set sizes.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    The division is bigint/bigint→double, deterministic cross-engine.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
+    )
+    sizes = base.select("__id", F.size("__sh").alias("__n"))
+    ex = base.select("__id", F.explode("__sh").alias("__s"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
+        ex = (
+            ex.join(freq, "__s")
+            .filter(F.col("__f") <= max_shingle_freq)
+            .drop("__f")
+        )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sa = sizes.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    sb = sizes.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    jac = F.col("__shared") / (
+        F.col("__na") + F.col("__nb") - F.col("__shared")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(text_col, *, n: int = 2, num_hashes: int = 8):
+    """MinHash signature: per seed, the lexicographic min of
+    md5(seed:shingle) hex strings. Hex-string minima avoid any
+    hex→int conversion, staying engine-portable; collision behavior
+    is equivalent to numeric MinHash."""
+    sh = shingles(text_col, n)
+
+    def seed_min(i: int):
+        # factory keeps the transform lambda at exactly 1 param (a 2nd
+        # param would be bound to the element index by PySpark)
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[seed_min(i) for i in range(num_hashes)])
+
+
+def oracle_minhash_signature(text_expr: str, *, n: int = 2, num_hashes: int = 8) -> str:
+    sh = oracle_shingles(text_expr, n)
+    mins = ", ".join(
+        f"list_aggregate(list_transform({sh}, s -> md5('{i}:' || s)), 'min')"
+        for i in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    est_threshold: float = 0.75,
+) -> DataFrame:
+    """dedupNear: MinHash + LSH banding candidate generation.
+
+    Signature split into `bands` bands of r = num_hashes/bands rows;
+    band key = md5 of the joined slice; candidates = equi-join on
+    (band index, band key); verification = estimated Jaccard (matching
+    signature fraction) ≥ est_threshold. One shuffle on band keys, one
+    on pair ids — no crossJoin anywhere at any scale.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes).alias(
+            "__sig"
+        ),
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.element_at("__sig", b * r + j + 1) for j in range(r)])
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", "__sig", *band_cols)
+    bands_long = banded.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"__b{b}").alias("key")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__sig", "__band.band", "__band.key")
+    a = bands_long.alias("a")
+    b_ = bands_long.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("__sa"),
+            F.col("b.__sig").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = matches / F.lit(float(num_hashes))
+    return cand.select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= est_threshold)
+
+
+def dedup_near_keep_first(
+    pairs: DataFrame, df: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (connected
+    components approximated by one sweep — the standard single-pass
+    policy for pipeline dedup)."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -1,0 +1,228 @@
+"""[EXT] Text-analysis operators for LLM training-data pipelines.
+
+All lowerings are pure JVM-side expression compositions (whole-stage
+codegen; no Python UDFs in any hot path) and deliberately use only
+cross-engine-deterministic primitives (md5, integer polynomial hashing,
+regex splits) so every operator has an exact DuckDB oracle — the same
+property that makes results reproducible across cluster re-runs at
+100 TB, where partition order is never stable.
+
+Extension scope per SURVEY.md §2.5 [EXT]; no reference counterpart
+(the reference is a SQL parser only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: keeps the Horner accumulator in bigint range
+# (acc*31 + 127 < 2^36) while giving a well-mixed 31-bit hash.
+HASH_MOD = 2_147_483_647
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language ID. Deterministic and SQL-expressible by construction.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es": ("el", "la", "los", "las", "y", "un", "una", "es"),
+}
+
+ENGLISH_STOPWORDS = LANG_PROFILES["en"] + ("that", "it", "on", "with", "as")
+
+
+def normalize_text(col: Column) -> Column:
+    """normalizeText: lowercase, collapse runs of whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def oracle_normalize(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def tokenize(col: Column) -> Column:
+    """tokenize: whitespace word split of the trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def oracle_tokenize(expr: str) -> str:
+    return f"string_split_regex(trim({expr}), '\\s+')"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Sub-word-ish regex tokenization (BPE-ish): word pieces of ≤4
+    chars plus standalone punctuation — a deterministic stand-in for a
+    real BPE vocab with the same Spark-side shape (array<string>)."""
+    return F.regexp_extract_all(col, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"), 0)
+
+
+def oracle_bpe_ish(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')"
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """n-grams over a token array (space-joined). Guard: Spark's
+    sequence(1, 0) would count DOWN, so short docs get an explicit
+    empty array."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(tokens) >= n, F.transform(idx, gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def oracle_ngrams(words_expr: str, n: int) -> str:
+    parts = " || ' ' || ".join(
+        f"{words_expr}[i]" if j == 0 else f"{words_expr}[i+{j}]" for j in range(n)
+    )
+    return (
+        f"list_transform(range(1, greatest(len({words_expr})-{n - 1}, 0) + 1), "
+        f"i -> {parts})"
+    )
+
+
+def rolling_hash(col: Column) -> Column:
+    """31-bit polynomial (Horner) rolling hash of a string — the
+    document-fingerprint primitive. Exact integer arithmetic, identical
+    in any engine: h = fold(chars, acc -> (acc*31 + code) % (2^31-1))."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substring(col, i, 1)).cast("long"),
+    )
+    return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + c) % HASH_MOD,
+        )
+    )
+
+
+def oracle_rolling_hash(expr: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(unicode(substring({expr}, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {HASH_MOD}) END"
+    )
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (dedup key)."""
+    return F.md5(normalize_text(col))
+
+
+def oracle_fingerprint_md5(expr: str) -> str:
+    return f"md5({oracle_normalize(expr)})"
+
+
+def stopword_ratio(tokens: Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are stopwords (lowercased membership)."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.greatest(F.size(tokens), F.lit(1))
+
+
+def oracle_stopword_ratio(words_expr: str, stopwords: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{s}'" for s in stopwords)
+    return (
+        f"len(list_filter({words_expr}, t -> list_contains([{lst}], lower(t)))) "
+        f"* 1.0 / greatest(len({words_expr}), 1)"
+    )
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature set: length, token count, mean token
+    length, punctuation ratio, stopword ratio. The division order is
+    fixed so doubles are bit-identical cross-engine."""
+    toks = tokenize(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            / F.greatest(n_tokens, F.lit(1))
+        ),
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": stopword_ratio(toks, ENGLISH_STOPWORDS),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """languageId: stopword-profile heuristic — argmax of per-language
+    stopword-hit ratio with a deterministic tie order (en>de>fr>es),
+    'und' (undetermined) when nothing matches."""
+    toks = tokenize(text)
+    scores = {
+        lang: stopword_ratio(toks, words) for lang, words in LANG_PROFILES.items()
+    }
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def oracle_lang_id(words_expr: str) -> str:
+    r = {
+        lang: oracle_stopword_ratio(words_expr, words)
+        for lang, words in LANG_PROFILES.items()
+    }
+    return (
+        f"CASE WHEN ({r['en']}) >= ({r['de']}) AND ({r['en']}) >= ({r['fr']}) "
+        f"AND ({r['en']}) >= ({r['es']}) AND ({r['en']}) > 0 THEN 'en' "
+        f"WHEN ({r['de']}) >= ({r['fr']}) AND ({r['de']}) >= ({r['es']}) "
+        f"AND ({r['de']}) > 0 THEN 'de' "
+        f"WHEN ({r['fr']}) >= ({r['es']}) AND ({r['fr']}) > 0 THEN 'fr' "
+        f"WHEN ({r['es']}) > 0 THEN 'es' ELSE 'und' END"
+    )
+
+
+def simhash16(tokens: Column) -> Column:
+    """16-bit SimHash over token rolling-hashes: bit j is set when the
+    sum over tokens of ±1 (by bit j of the token hash) is positive.
+    Token hashes are computed once and reused across the 16 bit sums."""
+    hashes = F.transform(tokens, rolling_hash)
+
+    def balance(j: int) -> Column:
+        # factory so the merge lambda keeps exactly 2 params (PySpark
+        # derives lambda-variable count from the signature; a `j=j`
+        # default would be miscounted as a third lambda variable)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(16):
+        out = out + F.when(balance(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def oracle_simhash16(words_expr: str) -> str:
+    h = (
+        "list_transform({w}, t -> CASE WHEN length(t) = 0 THEN 0 ELSE "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(t) + 1), "
+        "i -> CAST(unicode(substring(t, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {HASH_MOD}) END)"
+    ).format(w=words_expr)
+    bits = " + ".join(
+        f"(CASE WHEN CAST(list_sum(list_transform({h}, "
+        f"h -> ((h >> {j}) & 1) * 2 - 1)) AS BIGINT) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"({bits})"

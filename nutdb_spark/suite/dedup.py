@@ -1,0 +1,147 @@
+"""[EXT] Deduplication suite over the `documents` fixture.
+
+Exact dedup, exact n-gram-Jaccard near-dup (inverted-index join),
+MinHash signatures, and MinHash+LSH banded candidate pairs — each with
+an exact DuckDB oracle (md5/integer pipelines are engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.dedup import (
+    dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    oracle_minhash_signature,
+    oracle_shingles,
+)
+from nutdb_spark.operators.text import fingerprint_md5, oracle_fingerprint_md5
+from nutdb_spark.sources import load_table
+from nutdb_spark.suite.registry import query
+
+# --- exact dedup ----------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT lang || '|' || source AS dup_key,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY dup_key
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupExact audit on a composite key: representative + group
+    size per (lang, source). Hash-groupBy: map-side partial agg, one
+    shuffle on the key — the exact-dedup plan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.col("lang"), F.lit("|"), F.col("source"))
+    return dedup_groups(d, "doc_id", key)
+
+
+@query(
+    "q_dedup_exact_content",
+    f"""
+    SELECT {oracle_fingerprint_md5('text')} AS dup_key,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY dup_key
+    """,
+)
+def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-exact dedup on the md5 fingerprint of normalized text
+    (the canonical exact-dedup key in LLM pipelines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_groups(d, "doc_id", fingerprint_md5(F.col("text")))
+
+
+# --- exact near-dup: n-gram Jaccard via inverted index --------------------
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {oracle_shingles('text', 2)} AS sh FROM documents),
+sizes AS (SELECT doc_id, len(sh) AS n FROM toks),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       p.shared * 1.0 / (sa.n + sb.n - p.shared) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.8
+"""
+
+
+@query("q_dedup_jaccard", _JACCARD_ORACLE)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard pairs ≥ 0.8. Candidates come from the
+    inverted-index equi-join on shared shingles — never an all-pairs
+    crossJoin (tests assert the plan)."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.8)
+
+
+# Spark-side fraction: bigint/bigint division yields double in Spark,
+# and shared/(na+nb-shared) is the same expression DuckDB evaluates —
+# both deterministic IEEE given identical integer inputs.
+
+
+# --- MinHash signatures ---------------------------------------------------
+
+
+@query(
+    "q_dedup_minhash_sig",
+    f"""
+    SELECT doc_id, {oracle_minhash_signature('text', n=2, num_hashes=8)} AS sig
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signature (hex-string minima of seeded md5)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", minhash_signature(F.col("text"), n=2, num_hashes=8).alias("sig")
+    )
+
+
+# --- MinHash + LSH banding pairs ------------------------------------------
+
+
+def _oracle_lsh() -> str:
+    sig = oracle_minhash_signature("text", n=2, num_hashes=8)
+    # bands of 2 rows over the 8-slot signature; band key = md5 of slice
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, md5(sig[{2 * b + 1}] || '|' || sig[{2 * b + 2}]) AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       len(list_filter(list_transform(range(1, 9),
+           i -> sa.sig[i] = sb.sig[i]), m -> m)) / 8.0 AS est_jaccard
+FROM cand c
+JOIN sigs sa ON c.id_a = sa.doc_id
+JOIN sigs sb ON c.id_b = sb.doc_id
+WHERE len(list_filter(list_transform(range(1, 9),
+      i -> sa.sig[i] = sb.sig[i]), m -> m)) / 8.0 >= 0.75
+"""
+
+
+@query("q_dedup_minhash_lsh", _oracle_lsh())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupNear: banded-LSH candidates (4 bands × 2 rows) verified by
+    estimated Jaccard ≥ 0.75. Equi-join on band keys only."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=2, num_hashes=8, bands=4, est_threshold=0.75
+    )

@@ -1,0 +1,92 @@
+"""[EXT] Embedding-similarity suite over the `embeddings` fixture.
+
+Exact scaled-integer vector math (operators.similarity) makes every
+cosine bit-identical across engines, so even rank-based top-k results
+hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.similarity import (
+    cosine_pairs_blocked,
+    lsh_bucket_pairs,
+    oracle_cosine,
+    oracle_dot_scaled,
+    oracle_lsh_bucket,
+    oracle_scaled,
+    topk_bruteforce,
+)
+from nutdb_spark.sources import load_table
+from nutdb_spark.suite.registry import query
+
+_SCALED_CTE = f"""
+WITH v AS (
+  SELECT vec_id, label, {oracle_scaled('embedding')} AS s FROM embeddings),
+n AS (
+  SELECT vec_id, label, s,
+         {oracle_dot_scaled('s', 's')} AS n2
+  FROM v)
+"""
+
+_COS = oracle_cosine(oracle_dot_scaled("a.s", "b.s"), "a.n2", "b.n2")
+
+
+@query(
+    "q_sim_cosine_blocked",
+    _SCALED_CTE
+    + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS} >= 0.35
+""",
+)
+def q_sim_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedCosineSim pairs blocked on the label column (equi-join
+    candidate generation), exact cosine ≥ 0.35."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_blocked(
+        e, "vec_id", "embedding", "label", threshold=0.35
+    )
+
+
+@query(
+    "q_sim_lsh_pairs",
+    _SCALED_CTE
+    + f""",
+b AS (SELECT vec_id, s, n2, {oracle_lsh_bucket('s')} AS blk FROM n)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+FROM b a JOIN b b ON a.blk = b.blk AND a.vec_id < b.vec_id
+WHERE {_COS} >= 0.38
+""",
+)
+def q_sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs (deterministic integer
+    hyperplanes → identical buckets in any engine), cosine ≥ 0.38."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_pairs(e, "vec_id", "embedding", threshold=0.38)
+
+
+@query(
+    "q_sim_topk",
+    _SCALED_CTE
+    + f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {oracle_cosine(oracle_dot_scaled('q.s', 'c.s'), 'q.n2', 'c.n2')} DESC,
+                    c.vec_id) AS rank
+  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10) t
+WHERE rank <= 5
+""",
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topKSimilar exact baseline: 10 query vectors broadcast over the
+    corpus, top-5 by (cosine desc, id) — linear in corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return topk_bruteforce(e, queries, "vec_id", "embedding", k=5)

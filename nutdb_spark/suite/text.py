@@ -1,0 +1,165 @@
+"""[EXT] Text-analysis suite over the `documents` fixture.
+
+Each entry exercises one operators.text lowering with an exact DuckDB
+oracle built from the matching oracle_* helper — the helpers guarantee
+the two engines compute literally the same integer/md5/regex pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.text import (
+    bpe_ish_tokens,
+    fingerprint_md5,
+    lang_id,
+    ngrams,
+    normalize_text,
+    oracle_bpe_ish,
+    oracle_fingerprint_md5,
+    oracle_lang_id,
+    oracle_ngrams,
+    oracle_normalize,
+    oracle_rolling_hash,
+    oracle_simhash16,
+    oracle_tokenize,
+    quality_metrics,
+    rolling_hash,
+    simhash16,
+    tokenize,
+)
+from nutdb_spark.sources import load_table
+from nutdb_spark.suite.registry import query
+
+_WORDS = oracle_tokenize("text")
+
+
+@query(
+    "q_text_normalize",
+    f"""
+    SELECT doc_id,
+           {oracle_normalize('text')} AS norm,
+           {oracle_fingerprint_md5('text')} AS fp_md5
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalizeText + md5 content fingerprint (dedup key)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm"),
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+    )
+
+
+@query(
+    "q_text_tokenize",
+    f"""
+    SELECT doc_id,
+           len({_WORDS}) AS n_tokens,
+           len({oracle_bpe_ish('text')}) AS n_bpe,
+           {_WORDS}[1] AS first_token
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + BPE-ish regex token counting."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+@query(
+    "q_text_ngrams",
+    f"""
+    SELECT doc_id,
+           len(list_distinct({oracle_ngrams(_WORDS, 2)})) AS n_bigrams,
+           len(list_distinct({oracle_ngrams(_WORDS, 3)})) AS n_trigrams,
+           list_aggregate({oracle_ngrams(_WORDS, 3)}, 'min') AS min_trigram
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(ngrams(toks, 2))).alias("n_bigrams"),
+        F.size(F.array_distinct(ngrams(toks, 3))).alias("n_trigrams"),
+        F.array_min(ngrams(toks, 3)).alias("min_trigram"),
+    )
+
+
+@query(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform({_WORDS}, t -> CAST(length(t) AS BIGINT)))
+                AS BIGINT) / greatest(len({_WORDS}), 1) AS mean_token_len,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1) AS punct_ratio,
+           len(list_filter({_WORDS}, t -> list_contains(
+               ['the','a','and','of','to','in','is','for','that','it','on','with','as'],
+               lower(t)))) * 1.0 / greatest(len({_WORDS}), 1) AS stopword_ratio
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring feature set (length / punct / stopword ratios)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["mean_token_len"].alias("mean_token_len"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@query(
+    "q_text_langid",
+    f"""
+    SELECT doc_id, lang AS labeled, {oracle_lang_id(_WORDS)} AS guessed
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic) alongside
+    the fixture label."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled"),
+        lang_id(F.col("text")).alias("guessed"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    f"""
+    SELECT doc_id,
+           {oracle_rolling_hash(oracle_normalize('text'))} AS rhash,
+           {oracle_simhash16(_WORDS)} AS simhash
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash of the normalized text + 16-bit SimHash
+    over token hashes — both exact integer pipelines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        rolling_hash(normalize_text(F.col("text"))).alias("rhash"),
+        simhash16(tokenize(F.col("text"))).alias("simhash"),
+    )
