@@ -1,0 +1,92 @@
+"""[EXT] Multimodal column plumbing (image/audio/video as binary).
+
+Design per SURVEY.md north star: media payloads are opaque ``binary``
+columns with typed metadata; decode / feature-extract / resize /
+frame-sample run as Arrow-batched Pandas UDFs over ``mapInPandas`` —
+the Spark-side contract (schema, batch shape, partitioning) is real and
+tested, while the codec step itself is STUBBED: the image/audio
+libraries are not in this container, so ``decode_media`` raises
+``NotImplementedError`` unless the deterministic fake codec is
+requested. Swapping in a real codec changes one function body, not the
+pipeline.
+
+Scale notes: mapInPandas streams Arrow batches — no per-row Python
+overhead; payload columns should be pruned before any wide shuffle
+(extract features first, carry only features + keys downstream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload column (UTF-8 bytes of the text
+    fixture stand in for a media blob) plus typed metadata."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_type", F.lit("text/plain")
+    )
+
+
+def decode_media(payload: bytes, media_type: str, *, fake: bool = False):
+    """STUB: real decoding needs PIL/ffmpeg-class libs, absent here.
+
+    With ``fake=True`` returns the raw bytes (a deterministic stand-in
+    a test can assert on); otherwise raises, documenting the seam where
+    a real codec plugs in."""
+    if fake:
+        return payload
+    raise NotImplementedError(
+        f"no codec for {media_type!r} in this environment; "
+        "install a decoder and replace decode_media"
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    Computes (n_bytes, byte_sum, md5) per payload from the *actual
+    bytes* — i.e. the real UDF plumbing — using the fake codec. Batch
+    shape: one Arrow batch in, one feature frame out; payload column is
+    dropped on output so downstream stages never shuffle blobs."""
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            blobs = [
+                decode_media(b, t, fake=True)
+                for b, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(b) for b in blobs],
+                    "byte_sum": [int(sum(b)) for b in blobs],
+                    "content_md5": [hashlib.md5(b).hexdigest() for b in blobs],
+                }
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(
+        batches, FEATURE_SCHEMA
+    )

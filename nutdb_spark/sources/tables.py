@@ -25,10 +25,36 @@ TABLES = (
 )
 
 
+# DataFrame handles are cheap plan objects; caching them avoids paying
+# the parquet footer/schema-discovery job once per load_table call.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. No schema inference games — parquet is
-    self-describing and the driver wrote canonical types."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    self-describing and the driver wrote canonical types.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read it as raw nanos
+    (legacy nanosAsLong, a runtime SQL conf — works on any session)
+    and truncate to a microsecond timestamp, matching what DuckDB's
+    TIMESTAMP_NS→TIMESTAMP cast produces."""
+    key = (id(spark), sf_dir, name)
+    if key in _CACHE:
+        return _CACHE[key]
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div`, NOT `/`: double division loses precision at
+            # epoch-nanos magnitude (~1.7e18 > 2^53)
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _CACHE[key] = df
+    return df
 
 
 def load_tables(

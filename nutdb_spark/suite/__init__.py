@@ -23,6 +23,7 @@ _MODULES = (
     "nutdb_spark.suite.similarity",
     "nutdb_spark.suite.text",
     "nutdb_spark.suite.streaming_suite",
+    "nutdb_spark.suite.multimodal_suite",
     "nutdb_spark.suite.ddl_suite",
 )
 

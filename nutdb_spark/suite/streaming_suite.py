@@ -1,0 +1,104 @@
+"""[EXT] Windowed-aggregation suite over the `events` fixture.
+
+The window lowerings (streaming/windows.py) run identically on batch
+and streaming DataFrames; here they run in batch mode so each has an
+exact DuckDB oracle (time_bucket / gaps-and-islands). The streaming
+execution path (watermark + availableNow + memory sink) is asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nutdb_spark.functions.exact import dsum, oracle_dsum
+from nutdb_spark.sources import load_table
+from nutdb_spark.streaming.windows import session, sliding, tumbling
+from nutdb_spark.suite.registry import query
+
+
+# DuckDB reads events.ts as TIMESTAMP_NS; Spark reads raw nanos and
+# truncates to µs (sources/tables.py). Normalize the oracle the same way.
+_EV = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+
+@query(
+    "q_window_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n, {oracle_dsum('value')} AS total
+    FROM {_EV} e
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total")],
+    )
+
+
+@query(
+    "q_window_sliding",
+    f"""
+    WITH starts AS (
+      SELECT e.*, unnest([
+        CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+        CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+      ]) AS window_start
+      FROM {_EV} e)
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n, {oracle_dsum('value')} AS total
+    FROM starts
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in
+    two windows; the oracle enumerates the two candidate starts."""
+    e = load_table(spark, sf_dir, "events")
+    return sliding(
+        e,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "total")],
+    )
+
+
+@query(
+    "q_window_session",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      FROM {_EV} e),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user. Spark's session_window
+    end = last event + gap; the oracle's gaps-and-islands mirrors
+    exactly that."""
+    e = load_table(spark, sf_dir, "events")
+    return session(
+        e, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    )

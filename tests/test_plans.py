@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness rows prove the answers; these tests prove the *plans* are
+the ones that survive scale: filters pushed to the parquet scan,
+dimension joins broadcast, candidate generation without cartesian
+products, no eager jobs during lowering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    from nutdb_spark.suite import QUERIES
+
+    df = QUERIES["tpch_q1"](spark, SF01)
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_all_filters_pushed(spark):
+    from nutdb_spark.suite import QUERIES
+
+    plan = QUERIES["tpch_q6"](spark, SF01)._jdf.queryExecution().toString()
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan, col
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["q_join_broadcast"](spark, SF01))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle for dims
+
+
+def test_dedup_near_has_no_cartesian(spark):
+    from nutdb_spark.suite import QUERIES
+
+    for name in ("q_dedup_jaccard", "q_dedup_minhash_lsh", "q_sim_lsh_pairs"):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_lowerings_are_lazy(spark):
+    """Building every suite plan must trigger zero Spark jobs beyond
+    one-time parquet schema discovery (the old not_in_subquery fired an
+    eager count at lowering time)."""
+    from nutdb_spark.suite import QUERIES
+
+    for fn in QUERIES.values():  # warm the footer/schema cache
+        fn(spark, SF01)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    for name, fn in QUERIES.items():
+        fn(spark, SF01)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+
+
+def test_no_python_row_udfs_in_relational_suite(spark):
+    """Core relational queries must stay inside whole-stage codegen —
+    no BatchEvalPython (row-at-a-time UDF) stages anywhere."""
+    from nutdb_spark.suite import QUERIES
+
+    for name in ("tpch_q1", "tpch_q5", "q_join_inner", "q_expr_case"):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        assert "BatchEvalPython" not in plan, name
