@@ -8,6 +8,15 @@ NEVER an all-pairs crossJoin, so cost scales with collision counts, not
 n². Hashing is md5-based (hex-string minima), bit-identical across
 engines and across cluster re-runs.
 
+Architecture note: everything downstream of the shingle computation is
+ROW-relational (explode → aggregate → join), not nested-array
+expressions. Spark re-evaluates an outer-scope array reference inside
+every higher-order-function lambda element, so an 8-seed MinHash
+written as 8 array transforms recomputes the whole shingle pipeline 8×
+(measured 7× slower at sf0.1); the explode form evaluates shingles once
+per document and turns the seeds into 8 ordinary min() aggregates —
+which is also exactly the shape that scales on a cluster.
+
 Scale notes (100 TB): the inverted-index join's fan-out is bounded by
 dropping ultra-common shingles (``max_shingle_freq``) — the classic
 stopword-shingle blowup guard; MinHash+LSH is the constant-cost path
@@ -18,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nutdb_spark.operators.text import ngrams, oracle_ngrams, tokenize
@@ -29,7 +38,7 @@ def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return df.dropDuplicates(list(keys))
 
 
-def dedup_groups(df: DataFrame, id_col: str, key) -> DataFrame:
+def dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     """Dedup audit: per content-key group → representative (min id) +
     multiplicity. `key` is any deterministic Column (e.g. md5 of
     normalized text)."""
@@ -38,7 +47,7 @@ def dedup_groups(df: DataFrame, id_col: str, key) -> DataFrame:
     )
 
 
-def shingles(text_col, n: int = 2):
+def shingles(text_col: Column, n: int = 2) -> Column:
     """Distinct word n-gram shingle set of a document."""
     return F.array_distinct(ngrams(tokenize(text_col), n))
 
@@ -46,6 +55,18 @@ def shingles(text_col, n: int = 2):
 def oracle_shingles(text_expr: str, n: int = 2) -> str:
     words = f"string_split_regex(trim({text_expr}), '\\s+')"
     return f"list_distinct({oracle_ngrams(words, n)})"
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) rows — the shingle array is computed ONCE per doc
+    (generator input is per-row), then everything downstream is plain
+    relational."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n)).alias("__s"),
+    )
 
 
 def jaccard_pairs(
@@ -64,11 +85,8 @@ def jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     The division is bigint/bigint→double, deterministic cross-engine.
     """
-    base = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
-    )
-    sizes = base.select("__id", F.size("__sh").alias("__n"))
-    ex = base.select("__id", F.explode("__sh").alias("__s"))
+    ex = shingle_rows(df, id_col, text_col, n)
+    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     if max_shingle_freq is not None:
         freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
         ex = (
@@ -84,20 +102,12 @@ def jaccard_pairs(
             (F.col("a.__s") == F.col("b.__s"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .groupBy(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
-    sa = sizes.select(
-        F.col("__id").alias("id_a"), F.col("__n").alias("__na")
-    )
-    sb = sizes.select(
-        F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
-    )
-    jac = F.col("__shared") / (
-        F.col("__na") + F.col("__nb") - F.col("__shared")
-    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
@@ -106,14 +116,39 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature(text_col, *, n: int = 2, num_hashes: int = 8):
-    """MinHash signature: per seed, the lexicographic min of
-    md5(seed:shingle) hex strings. Hex-string minima avoid any
-    hex→int conversion, staying engine-portable; collision behavior
-    is equivalent to numeric MinHash."""
+def minhash_signature_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature as columns __h0..__h{k-1}: for each
+    seed, min over shingles of md5('seed:'||shingle) hex strings —
+    k ordinary min() aggregates over the exploded shingle rows (one
+    shingle evaluation per doc, one shuffle on the id).
+
+    Docs with fewer than n tokens have no shingles → null signature
+    components (restored via left join on the id set)."""
+    ex = shingle_rows(df, id_col, text_col, n)
+    sig = ex.groupBy("__id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(sig, "__id", "left")
+
+
+def minhash_signature(text_col: Column, *, n: int = 2, num_hashes: int = 8) -> Column:
+    """Column-level signature (array<string>) — convenience form for
+    small projections; prefer minhash_signature_df for corpus-scale
+    work (this form re-evaluates the shingle set once per seed)."""
     sh = shingles(text_col, n)
 
-    def seed_min(i: int):
+    def seed_min(i: int) -> Column:
         # factory keeps the transform lambda at exactly 1 param (a 2nd
         # param would be bound to the element index by PySpark)
         prefix = f"{i}:"
@@ -153,35 +188,35 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes).alias(
-            "__sig"
-        ),
-    )
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.element_at("__sig", b * r + j + 1) for j in range(r)])
-        ).alias(f"__b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("__id", "__sig", *band_cols)
-    bands_long = banded.select(
+    sig = minhash_signature_df(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    ).filter(F.col("__h0").isNotNull())
+    banded = sig.select(
         "__id",
-        "__sig",
+        *[F.col(f"__h{i}") for i in range(num_hashes)],
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"), F.col(f"__b{b}").alias("key")
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"__h{b * r + j}") for j in range(r)],
+                            )
+                        ).alias("key"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("__band"),
-    ).select("__id", "__sig", "__band.band", "__band.key")
-    a = bands_long.alias("a")
-    b_ = bands_long.alias("b")
+    ).select(
+        "__id",
+        *[F.col(f"__h{i}") for i in range(num_hashes)],
+        F.col("__band.band").alias("band"),
+        F.col("__band.key").alias("key"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b_,
@@ -192,20 +227,19 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("__sa"),
-            F.col("b.__sig").alias("__sb"),
+            *[F.col(f"a.__h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+            *[F.col(f"b.__h{i}").alias(f"__b{i}") for i in range(num_hashes)],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    matches = F.size(
-        F.filter(
-            F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda m: m
-        )
+    matches = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
     )
     est = matches / F.lit(float(num_hashes))
-    return cand.select(
-        "id_a", "id_b", est.alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= est_threshold)
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= est_threshold
+    )
 
 
 def dedup_near_keep_first(

@@ -62,15 +62,26 @@ def oracle_bpe_ish(expr: str) -> str:
 
 
 def ngrams(tokens: Column, n: int) -> Column:
-    """n-grams over a token array (space-joined). Guard: Spark's
-    sequence(1, 0) would count DOWN, so short docs get an explicit
-    empty array."""
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    """n-grams over a token array (space-joined).
+
+    Built from arrays_zip of shifted slices, NOT element_at inside a
+    transform lambda: arguments of zip/slice are evaluated once per
+    ROW, while an outer-array reference inside a lambda is re-evaluated
+    once per ELEMENT — with a derived token array that multiplies the
+    whole upstream expression by the gram count (measured 4-10× slower
+    at sf0.1). Trailing zip entries padded with null are sliced off.
+    """
+    shifted = [tokens] + [
+        F.slice(tokens, j + 1, F.greatest(F.size(tokens) - j, F.lit(0)))
+        for j in range(1, n)
+    ]
+    z = F.arrays_zip(*shifted)
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
     return F.when(
-        F.size(tokens) >= n, F.transform(idx, gram)
+        F.size(tokens) >= n,
+        F.slice(grams, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
     ).otherwise(F.array().cast("array<string>"))
 
 

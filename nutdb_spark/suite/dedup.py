@@ -14,7 +14,7 @@ from nutdb_spark.operators.dedup import (
     dedup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
-    minhash_signature,
+    minhash_signature_df,
     oracle_minhash_signature,
     oracle_shingles,
 )
@@ -61,7 +61,7 @@ def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, {oracle_shingles('text', 2)} AS sh FROM documents),
+  SELECT doc_id, {oracle_shingles('text', 4)} AS sh FROM documents),
 sizes AS (SELECT doc_id, len(sh) AS n FROM toks),
 ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
 pairs AS (
@@ -73,17 +73,17 @@ SELECT p.id_a, p.id_b,
 FROM pairs p
 JOIN sizes sa ON p.id_a = sa.doc_id
 JOIN sizes sb ON p.id_b = sb.doc_id
-WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.8
+WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.6
 """
 
 
 @query("q_dedup_jaccard", _JACCARD_ORACLE)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard pairs ≥ 0.8. Candidates come from the
+    """Exact word-4-gram Jaccard pairs ≥ 0.6. Candidates come from the
     inverted-index equi-join on shared shingles — never an all-pairs
     crossJoin (tests assert the plan)."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.8)
+    return jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.6)
 
 
 # Spark-side fraction: bigint/bigint division yields double in Spark,
@@ -97,15 +97,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_minhash_sig",
     f"""
-    SELECT doc_id, {oracle_minhash_signature('text', n=2, num_hashes=8)} AS sig
+    SELECT doc_id, {oracle_minhash_signature('text', n=4, num_hashes=8)} AS sig
     FROM documents WHERE doc_id < 100
     """,
 )
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-hash MinHash signature (hex-string minima of seeded md5)."""
+    """8-hash MinHash signature over 4-gram shingles (hex-string minima
+    of seeded md5) — computed via the explode+aggregate path (one
+    shingle evaluation per doc, 8 min() aggregates)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select(
-        "doc_id", minhash_signature(F.col("text"), n=2, num_hashes=8).alias("sig")
+    sig = minhash_signature_df(d, "doc_id", "text", n=4, num_hashes=8)
+    return sig.select(
+        F.col("__id").alias("doc_id"),
+        F.array(*[F.col(f"__h{i}") for i in range(8)]).alias("sig"),
     )
 
 
@@ -113,7 +117,7 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_lsh() -> str:
-    sig = oracle_minhash_signature("text", n=2, num_hashes=8)
+    sig = oracle_minhash_signature("text", n=4, num_hashes=8)
     # bands of 2 rows over the 8-slot signature; band key = md5 of slice
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, sig, {b} AS band, md5(sig[{2 * b + 1}] || '|' || sig[{2 * b + 2}]) AS key FROM sigs"
@@ -143,5 +147,5 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated Jaccard ≥ 0.75. Equi-join on band keys only."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        d, "doc_id", "text", n=2, num_hashes=8, bands=4, est_threshold=0.75
+        d, "doc_id", "text", n=4, num_hashes=8, bands=4, est_threshold=0.75
     )
