@@ -4,12 +4,14 @@ see SURVEY.md).
 
 The engine is Spark-first: the NutDB dialect is parsed by a Python
 frontend (``nutdb_spark.frontend``) and lowered to PySpark DataFrame
-plans (``nutdb_spark.plans``); Catalyst/Tungsten/AQE do all optimization
-and physical execution. Extension operators for large-scale training-data
-pipelines (dedup, similarity search, text analysis, multimodal columns)
-live under ``nutdb_spark.functions`` and ``nutdb_spark.operators``.
+plans; Catalyst/Tungsten/AQE do all optimization and physical
+execution. ``connect()`` opens the in-process engine (session + managed
+catalog + dialect SQL). Extension operators for large-scale
+training-data pipelines (dedup, similarity search, text analysis,
+multimodal columns) live under ``nutdb_spark.operators``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from nutdb_spark.engine import NutEngine, connect  # noqa: F401
 from nutdb_spark.session import get_spark  # noqa: F401

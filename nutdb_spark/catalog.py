@@ -1,0 +1,594 @@
+"""Managed catalog: parquet tables + JSON sidecar metadata.
+
+The dialect's DDL surface (SURVEY.md §2.1 S6-S15) maps to:
+- a directory per table of parquet files, written with
+  ``partitionBy(PARTITION BY)`` and ``sortWithinPartitions(ORDER BY)``
+  (clustering → parquet row-group min/max skipping, the dialect's
+  `minmax` INDEX intent for free)
+- a JSON sidecar per object holding what parquet can't: dialect types
+  (unsigned/serial/enum), PRIMARY KEY, ORDER BY, skip indexes, CHECK
+  constraints, defaults, comments, nullability (dialect default is
+  NON-nullable — the inverse of Spark), serial counters, and for views
+  the merge strategy + defining query (pickled AST)
+
+Correctness-enforced at INSERT time (the write path is the only gate a
+storage-less dialect has): arity, type coercion, non-null, CHECK
+constraints, Enum membership, DEFAULT fill-in, Serial generation.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import pickle
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as S
+
+from nutdb_spark.frontend import ast_nodes as A
+
+# --- §1.3 type mapping ----------------------------------------------------
+
+_SIMPLE_TYPES: dict[str, S.DataType] = {
+    "int8": S.ByteType(),
+    "int16": S.ShortType(),
+    "int32": S.IntegerType(),
+    "int64": S.LongType(),
+    "int128": S.DecimalType(38, 0),
+    "uint8": S.ShortType(),  # widen to preserve range (no unsigned in Spark)
+    "uint16": S.IntegerType(),
+    "uint32": S.LongType(),
+    "uint64": S.DecimalType(20, 0),
+    "uint128": S.DecimalType(38, 0),
+    "serial32": S.IntegerType(),
+    "serial64": S.LongType(),
+    "serial128": S.DecimalType(38, 0),
+    "userial32": S.IntegerType(),
+    "userial64": S.LongType(),
+    "userial128": S.DecimalType(38, 0),
+    "float32": S.FloatType(),
+    "float64": S.DoubleType(),
+    "boolean": S.BooleanType(),
+    "string": S.StringType(),
+    "chars": S.StringType(),
+    "uuid": S.StringType(),
+    "date": S.DateType(),
+    "datetime": S.TimestampType(),
+}
+
+_SERIAL_TYPES = {
+    "serial32", "serial64", "serial128", "userial32", "userial64", "userial128",
+}
+
+
+def to_spark_type(dt: A.DataType) -> S.DataType:
+    name = dt.name
+    if name in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[name]
+    if name in ("decimal32", "decimal64"):
+        scale = dt.args[0]
+        return S.DecimalType(9 if name == "decimal32" else 18, scale)
+    if name == "array":
+        return S.ArrayType(to_spark_type(dt.args[0]))
+    if name == "enum":
+        return S.StringType()  # names stored; id map kept in metadata
+    if name == "tuple":
+        return S.StructType(
+            [
+                S.StructField(f"_{i + 1}", to_spark_type(a))
+                for i, a in enumerate(dt.args)
+            ]
+        )
+    if name == "map":
+        return S.MapType(to_spark_type(dt.args[0]), to_spark_type(dt.args[1]))
+    if name == "dictionary":
+        # encoding hint only; parquet dictionary-encodes automatically
+        return to_spark_type(dt.args[0])
+    raise ValueError(f"unmapped dialect type {name!r}")
+
+
+def _dtype_meta(dt: A.DataType) -> dict:
+    out = {"name": dt.name, "nullable": dt.nullable}
+    if dt.name == "enum":
+        out["members"] = {b.name: b.value for b in dt.args}
+    elif dt.args and all(isinstance(a, A.DataType) for a in dt.args):
+        out["args"] = [_dtype_meta(a) for a in dt.args]
+    elif dt.args:
+        out["args"] = list(dt.args)
+    return out
+
+
+class CatalogError(ValueError):
+    pass
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root or os.environ.get("NUTDB_CATALOG_DIR") or os.path.join(
+            tempfile.gettempdir(), "nutdb_catalog"
+        )
+        os.makedirs(self.root, exist_ok=True)
+
+    # --- metadata plumbing ------------------------------------------------
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.json")
+
+    def _data_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _load_meta(self, name: str) -> dict | None:
+        p = self._meta_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_meta(self, name: str, meta: dict) -> None:
+        with open(self._meta_path(name), "w") as f:
+            json.dump(meta, f, indent=1)
+
+    def has_table(self, name: str) -> bool:
+        m = self._load_meta(name)
+        return m is not None and m["type"] == "table"
+
+    def has_view(self, name: str) -> bool:
+        m = self._load_meta(name)
+        return m is not None and m["type"] == "view"
+
+    # --- CREATE TABLE (S6) ------------------------------------------------
+
+    def create_table(self, d: A.TableDefinition) -> None:
+        if self._load_meta(d.name) is not None:
+            if d.if_not_exists:
+                return
+            raise CatalogError(f"table {d.name!r} already exists")
+        meta = {
+            "type": "table",
+            "name": d.name,
+            "columns": [
+                {
+                    "name": c.name,
+                    "dtype": _dtype_meta(c.dtype),
+                    "spark_type": to_spark_type(c.dtype).json(),
+                    "nullable": c.dtype.nullable,
+                    "serial": c.dtype.name in _SERIAL_TYPES,
+                    "default": _pickle_ast(c.default) if c.default else None,
+                    "comment": c.comment,
+                    "max_len": (
+                        c.dtype.args[0]
+                        if c.dtype.name in ("chars", "string") and c.dtype.args
+                        else None
+                    ),
+                }
+                for c in d.columns
+            ],
+            "primary_key": d.primary_key,
+            "order_by": d.order_by,
+            "partition_by": _pickle_ast(d.partition_by) if d.partition_by else None,
+            "indexes": [
+                {"name": i.name, "fn": i.fn.name, "args": _pickle_ast(i.fn.args)}
+                for i in d.indexes
+            ],
+            "constraints": [
+                {"name": c.name, "check": _pickle_ast(c.check)}
+                for c in d.constraints
+            ],
+            "comment": d.comment,
+            "serial_next": {
+                c.name: 1 for c in d.columns if c.dtype.name in _SERIAL_TYPES
+            },
+        }
+        self._save_meta(d.name, meta)
+        os.makedirs(self._data_path(d.name), exist_ok=True)
+
+    def _schema(self, meta: dict) -> S.StructType:
+        return S.StructType(
+            [
+                S.StructField(
+                    c["name"],
+                    _parse_type(c["spark_type"]),
+                    # physical files stay nullable (Spark writes nullable
+                    # parquet anyway); logical non-nullability is enforced
+                    # on the write path
+                    True,
+                )
+                for c in meta["columns"]
+            ]
+        )
+
+    def read_table(self, name: str) -> DataFrame:
+        meta = self._load_meta(name)
+        path = self._data_path(name)
+        if not any(
+            not f.startswith(("_", ".")) for f in os.listdir(path)
+        ):
+            return self.spark.createDataFrame([], self._schema(meta))
+        return self.spark.read.schema(self._schema(meta)).parquet(path)
+
+    # --- INSERT (S2-S4) ---------------------------------------------------
+
+    def insert(self, stmt: A.InsertStmt, low) -> None:
+        meta = self._load_meta(stmt.table)
+        if meta is None or meta["type"] != "table":
+            raise CatalogError(f"unknown table {stmt.table!r}")
+        kind, payload = stmt.source
+        col_meta = meta["columns"]
+        declared = [c["name"] for c in col_meta]
+        serial_cols = [c["name"] for c in col_meta if c["serial"]]
+        target_cols = stmt.columns or [
+            c for c in declared if c not in serial_cols
+        ]
+        for c in target_cols:
+            if c not in declared:
+                raise CatalogError(f"unknown column {c!r}")
+
+        if kind == "values":
+            rows = []
+            for row in payload:
+                vals = []
+                for cell in row:
+                    c = low._expr(cell, None, {}, [])
+                    vals.append(c)
+                rows.append(vals)
+            src = None
+            for vals in rows:
+                r = self.spark.range(1).select(
+                    *[v.alias(n) for v, n in zip(vals, target_cols)]
+                )
+                src = r if src is None else src.unionByName(r)
+        elif kind == "query":
+            src = low.lower_query(payload)
+            if len(src.columns) != len(target_cols):
+                raise CatalogError("INSERT…SELECT arity mismatch")
+            src = src.toDF(*target_cols)
+        elif kind == "fn":
+            src = low._table_fn(payload)
+            if len(src.columns) != len(target_cols):
+                raise CatalogError("INSERT…FROM fn arity mismatch")
+            src = src.toDF(*target_cols)
+        else:  # pragma: no cover
+            raise CatalogError(f"bad insert source {kind}")
+
+        # fill defaults / serials, coerce types, enforce checks
+        out_cols: list = []
+        serial_bases = dict(meta.get("serial_next") or {})
+        n_rows = None
+        for c in col_meta:
+            name = c["name"]
+            stype = _parse_type(c["spark_type"])
+            if name in src.columns:
+                col = F.col(name).cast(stype)
+            elif c["serial"]:
+                if n_rows is None:
+                    n_rows = src.count()
+                base = serial_bases.get(name, 1)
+                col = (
+                    F.lit(base) + F.monotonically_increasing_id()
+                ).cast(stype)
+                serial_bases[name] = base + max(n_rows, 1) * (1 << 33)
+            elif c["default"] is not None:
+                col = low._expr(_unpickle_ast(c["default"]), None, {}, []).cast(
+                    stype
+                )
+            else:
+                col = F.lit(None).cast(stype)
+            out_cols.append(col.alias(name))
+        staged = src.select(*out_cols)
+
+        # validation (INSERT is an action anyway — eager checks are fine)
+        for c in col_meta:
+            if not c["nullable"] and not c["serial"]:
+                bad = staged.filter(F.col(c["name"]).isNull()).limit(1).count()
+                if bad:
+                    raise CatalogError(
+                        f"column {c['name']!r} is not Nullable but got NULL"
+                    )
+            members = c["dtype"].get("members")
+            if members:
+                ok = list(members.keys())
+                bad = (
+                    staged.filter(~F.col(c["name"]).isin(ok))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise CatalogError(
+                        f"enum column {c['name']!r} got a non-member value"
+                    )
+            if c["max_len"]:
+                bad = (
+                    staged.filter(F.length(F.col(c["name"])) > c["max_len"])
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise CatalogError(
+                        f"column {c['name']!r} exceeds max length {c['max_len']}"
+                    )
+        for con in meta["constraints"]:
+            check = low._expr(_unpickle_ast(con["check"]), None, {}, [])
+            bad = staged.filter(~F.coalesce(check, F.lit(False))).limit(1).count()
+            if bad:
+                raise CatalogError(f"CHECK constraint {con['name']!r} violated")
+
+        writer = staged.write.mode("append")
+        part_cols: list[str] = []
+        if meta["partition_by"]:
+            part_expr = _unpickle_ast(meta["partition_by"])
+            if isinstance(part_expr, A.Ident):
+                part_cols = [part_expr.name]
+            else:
+                staged = staged.withColumn(
+                    "__part", low._expr(part_expr, None, {}, [])
+                )
+                part_cols = ["__part"]
+                writer = staged.write.mode("append")
+        if meta["order_by"]:
+            staged = staged.sortWithinPartitions(*meta["order_by"])
+            writer = staged.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(self._data_path(stmt.table))
+        meta["serial_next"] = serial_bases
+        self._save_meta(stmt.table, meta)
+
+    # --- views (S7): CREATE VIEW … UPDATE BY <strategy> -------------------
+
+    def create_view(self, v: A.ViewDefinition, low) -> None:
+        if self._load_meta(v.name) is not None:
+            if v.if_not_exists:
+                return
+            raise CatalogError(f"view {v.name!r} already exists")
+        if v.strategy.lower() != "summing":
+            raise CatalogError(f"unsupported view strategy {v.strategy!r}")
+        if not v.order_by:
+            raise CatalogError("Summing view requires ORDER BY merge keys")
+        meta = {
+            "type": "view",
+            "name": v.name,
+            "strategy": "summing",
+            "order_by": v.order_by,
+            "primary_key": v.primary_key,
+            "query": _pickle_ast(v.query),
+        }
+        self._save_meta(v.name, meta)
+        self.refresh_view(v.name, low)
+
+    def refresh_view(self, name: str, low) -> None:
+        """Full refresh: re-run the defining query and apply the
+        Summing merge (sum numeric non-key columns per ORDER BY key —
+        ClickHouse SummingMergeTree semantics; non-numeric non-key
+        columns keep an arbitrary representative via `first`)."""
+        meta = self._load_meta(name)
+        df = low.lower_query(_unpickle_ast(meta["query"]))
+        keys = meta["order_by"]
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, S.NumericType) and f.name not in keys
+        }
+        aggs = [
+            F.sum(c).alias(c) if c in numeric else F.first(c).alias(c)
+            for c in df.columns
+            if c not in keys
+        ]
+        merged = df.groupBy(*keys).agg(*aggs).select(*df.columns)
+        tmp = self._data_path(name) + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self._data_path(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def read_view(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._data_path(name))
+
+    # --- DESCRIBE / DROP / TRUNCATE / ALTER / OPTIMIZE --------------------
+
+    def describe(self, stmt: A.DescribeStmt, engine) -> DataFrame:
+        if stmt.entity == "database":
+            rows = []
+            for f in sorted(os.listdir(self.root)):
+                if f.endswith(".json"):
+                    m = self._load_meta(f[:-5])
+                    rows.append((m["name"], m["type"]))
+            return self.spark.createDataFrame(
+                rows or [("", "")], "name: string, type: string"
+            )
+        meta = self._load_meta(stmt.name)
+        if meta is None:
+            # fixture tables are DESCRIBE-able too
+            df = engine.resolve_table(stmt.name)
+            rows = [(f.name, f.dataType.simpleString(), f.nullable, None) for f in df.schema.fields]
+        elif meta["type"] == "view":
+            df = self.read_view(stmt.name)
+            rows = [(f.name, f.dataType.simpleString(), True, None) for f in df.schema.fields]
+        else:
+            rows = [
+                (
+                    c["name"],
+                    c["dtype"]["name"],
+                    bool(c["nullable"]),
+                    c["comment"],
+                )
+                for c in meta["columns"]
+            ]
+        return self.spark.createDataFrame(
+            rows, "name: string, type: string, nullable: boolean, comment: string"
+        )
+
+    def drop(self, stmt: A.DropStmt) -> None:
+        meta = self._load_meta(stmt.name)
+        if meta is None or meta["type"] != stmt.entity:
+            if stmt.if_exists:
+                return
+            raise CatalogError(f"unknown {stmt.entity} {stmt.name!r}")
+        os.remove(self._meta_path(stmt.name))
+        if os.path.exists(self._data_path(stmt.name)):
+            shutil.rmtree(self._data_path(stmt.name))
+
+    def truncate(self, stmt: A.TruncateStmt) -> None:
+        meta = self._load_meta(stmt.name)
+        if meta is None or meta["type"] != stmt.entity:
+            if stmt.if_exists:
+                return
+            raise CatalogError(f"unknown {stmt.entity} {stmt.name!r}")
+        path = self._data_path(stmt.name)
+        shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+
+    def alter(self, stmt: A.AlterStmt, low) -> None:
+        meta = self._load_meta(stmt.table)
+        if meta is None or meta["type"] != "table":
+            raise CatalogError(f"unknown table {stmt.table!r}")
+        act = stmt.action
+        if act == "add_column":
+            col: A.ColumnDef = stmt.payload
+            if any(c["name"] == col.name for c in meta["columns"]):
+                if stmt.if_clause:
+                    return
+                raise CatalogError(f"column {col.name!r} exists")
+            entry = {
+                "name": col.name,
+                "dtype": _dtype_meta(col.dtype),
+                "spark_type": to_spark_type(col.dtype).json(),
+                "nullable": col.dtype.nullable,
+                "serial": col.dtype.name in _SERIAL_TYPES,
+                "default": _pickle_ast(col.default) if col.default else None,
+                "comment": col.comment,
+                "max_len": None,
+            }
+            if stmt.position == ("first",):
+                meta["columns"].insert(0, entry)
+            elif stmt.position and stmt.position[0] == "after":
+                idx = next(
+                    i
+                    for i, c in enumerate(meta["columns"])
+                    if c["name"] == stmt.position[1]
+                )
+                meta["columns"].insert(idx + 1, entry)
+            else:
+                meta["columns"].append(entry)
+            # rewrite data files with the new column (default or NULL)
+            self._rewrite(stmt.table, meta, low)
+        elif act == "drop_column":
+            meta["columns"] = [
+                c for c in meta["columns"] if c["name"] != stmt.payload
+            ]
+            self._rewrite(stmt.table, meta, low)
+        elif act == "rename_column":
+            old, new = stmt.payload
+            for c in meta["columns"]:
+                if c["name"] == old:
+                    c["name"] = new
+            self._rewrite(stmt.table, meta, low, rename=(old, new))
+        elif act == "add_index":
+            meta["indexes"].append(
+                {
+                    "name": stmt.payload.name,
+                    "fn": stmt.payload.fn.name,
+                    "args": _pickle_ast(stmt.payload.fn.args),
+                }
+            )
+        elif act == "drop_index":
+            meta["indexes"] = [
+                i for i in meta["indexes"] if i["name"] != stmt.payload
+            ]
+        elif act == "add_constraint":
+            meta["constraints"].append(
+                {"name": stmt.payload.name, "check": _pickle_ast(stmt.payload.check)}
+            )
+        elif act == "drop_constraint":
+            meta["constraints"] = [
+                c for c in meta["constraints"] if c["name"] != stmt.payload
+            ]
+        elif act == "drop_partition":
+            # partition value → delete that partition directory
+            val = stmt.payload
+            col = None
+            if meta["partition_by"]:
+                pexpr = _unpickle_ast(meta["partition_by"])
+                col = pexpr.name if isinstance(pexpr, A.Ident) else "__part"
+            if col is None:
+                raise CatalogError("table is not partitioned")
+            lit = val.value if isinstance(val, A.Lit) else None
+            pdir = os.path.join(self._data_path(stmt.table), f"{col}={lit}")
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir)
+        elif act == "rename_table":
+            new = stmt.payload
+            os.rename(self._meta_path(stmt.table), self._meta_path(new))
+            if os.path.exists(self._data_path(stmt.table)):
+                os.rename(self._data_path(stmt.table), self._data_path(new))
+            meta["name"] = new
+            self._save_meta(new, meta)
+            return
+        else:
+            raise CatalogError(f"unsupported ALTER action {act}")
+        self._save_meta(stmt.table, meta)
+
+    def _rewrite(self, name: str, meta: dict, low, rename=None) -> None:
+        """Schema-evolution rewrite (columns added/dropped/renamed)."""
+        old = self.read_table(name) if rename is None else (
+            self.spark.read.parquet(self._data_path(name))
+        )
+        if rename:
+            old = old.withColumnRenamed(*rename)
+        cols = []
+        for c in meta["columns"]:
+            stype = _parse_type(c["spark_type"])
+            if c["name"] in old.columns:
+                cols.append(F.col(c["name"]).cast(stype).alias(c["name"]))
+            elif c["default"] is not None:
+                cols.append(
+                    low._expr(_unpickle_ast(c["default"]), None, {}, [])
+                    .cast(stype)
+                    .alias(c["name"])
+                )
+            else:
+                cols.append(F.lit(None).cast(stype).alias(c["name"]))
+        out = old.select(*cols)
+        tmp = self._data_path(name) + ".tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self._data_path(name))
+        os.rename(tmp, self._data_path(name))
+
+    def optimize(self, stmt: A.OptimizeStmt, low) -> None:
+        """S14: small-file compaction (Delta-style OPTIMIZE by hand):
+        read → repartition to ~128 MB targets → atomic overwrite."""
+        meta = self._load_meta(stmt.table)
+        if meta is None:
+            raise CatalogError(f"unknown table {stmt.table!r}")
+        path = self._data_path(stmt.table)
+        df = self.read_table(stmt.table)
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        target = max(1, size // (128 << 20) + 1)
+        tmp = path + ".tmp"
+        out = df.repartition(target)
+        if meta["order_by"]:
+            out = out.sortWithinPartitions(*meta["order_by"])
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+
+def _pickle_ast(node) -> str:
+    return base64.b64encode(pickle.dumps(node)).decode()
+
+
+def _unpickle_ast(s: str):
+    return pickle.loads(base64.b64decode(s))
+
+
+def _parse_type(js: str) -> S.DataType:
+    return S._parse_datatype_json_string(js)

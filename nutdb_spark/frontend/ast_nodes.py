@@ -1,0 +1,327 @@
+"""NutDB dialect AST — Python mirror of the reference's typed AST
+(/root/reference/src/parser/ast/*.rs, 607 LoC). One dataclass per
+node; field names follow the reference where readable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# --- expressions (ast/expr.rs, ast/item.rs:126-178) -----------------------
+
+
+@dataclass
+class Lit:
+    value: object  # int | float | str | bool | None
+    kind: str  # 'int','float','string','bool','null','hex'
+
+
+@dataclass
+class Interval:
+    count: int
+    unit: str  # second|minute|hour|day|month|year
+
+
+@dataclass
+class Ident:
+    name: str
+    qualifier: str | None = None  # max one qualifier (item.rs:77-87)
+
+
+@dataclass
+class Wildcard:
+    qualifier: str | None = None  # `*` or `t.*`
+
+
+@dataclass
+class Param:
+    index: int  # $n
+
+
+@dataclass
+class ConfigIdent:
+    name: str  # @name
+
+
+@dataclass
+class FnCall:
+    name: str
+    args: list  # Expr list; a lone Subquery arg is how EXISTS(...) works
+
+
+@dataclass
+class BinOp:
+    op: str  # + - * / % = != < <= >= > and or xor & | ^ << >> like ilike ...
+    left: object
+    right: object
+
+
+@dataclass
+class UnOp:
+    op: str  # not, neg, bitnot, isnull, isnotnull
+    operand: object
+
+
+@dataclass
+class Between:
+    expr: object
+    low: object
+    high: object
+    negated: bool = False
+
+
+@dataclass
+class InList:
+    expr: object
+    items: list
+    negated: bool = False
+
+
+@dataclass
+class InSubquery:
+    expr: object
+    query: "Query"
+    negated: bool = False
+
+
+@dataclass
+class Exists:
+    query: "Query"
+    negated: bool = False
+
+
+@dataclass
+class ScalarSubquery:
+    query: "Query"
+
+
+@dataclass
+class Case:
+    scrutinee: object | None  # simple CASE has one; searched has None
+    whens: list  # [(cond_or_value, result)]
+    else_: object | None
+
+
+@dataclass
+class ArrayLit:
+    items: list
+
+
+@dataclass
+class MapLit:
+    entries: list  # [(k, v)]
+
+
+@dataclass
+class TupleLit:
+    items: list  # ≥2 parenthesized exprs (mod.rs:1229-1246)
+
+
+@dataclass
+class IndexAccess:
+    base: object
+    index: object  # 1-based (dialect family)
+
+
+# --- query (ast/query.rs) -------------------------------------------------
+
+
+@dataclass
+class OrderItem:
+    expr: object
+    asc: bool = True
+
+
+@dataclass
+class Limit:
+    n: object
+    offset: object | None = None
+    with_ties: bool = False
+
+
+@dataclass
+class Join:
+    kind: str  # inner|full|left|right|left_semi|right_semi|left_anti|right_anti
+    source: "TableRef | Query | TableFn"
+    alias: str | None
+    on: object | None = None
+    using: list[str] | None = None
+
+
+@dataclass
+class TableRef:
+    name: str
+
+
+@dataclass
+class TableFn:
+    name: str
+    args: list
+
+
+@dataclass
+class FromClause:
+    source: object  # TableRef | Query | TableFn
+    alias: str | None = None
+
+
+@dataclass
+class Cte:
+    name: str
+    query: "Query"
+
+
+@dataclass
+class SelectCore:
+    ctes: list[Cte] = field(default_factory=list)
+    distinct: bool = False
+    distinct_on: list | None = None
+    columns: list = field(default_factory=list)  # (expr|Wildcard, alias|None)
+    from_: FromClause | None = None
+    joins: list[Join] = field(default_factory=list)
+    where: object | None = None
+    group_by: list = field(default_factory=list)
+    having: object | None = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: Limit | None = None
+
+
+@dataclass
+class SetOp:
+    op: str  # union_all | union_distinct | intersect | except
+    left: "Query"
+    right: "Query"
+
+
+Query = SelectCore | SetOp
+
+
+# --- DDL items (ast/item.rs:180-228) --------------------------------------
+
+
+@dataclass
+class DataType:
+    name: str  # lowercase dialect name
+    args: list = field(default_factory=list)  # nested types / params
+    nullable: bool = False  # wrapped in Nullable(...)
+
+
+@dataclass
+class EnumBind:
+    name: str
+    value: int
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    dtype: DataType
+    default: object | None = None
+    comment: str | None = None
+
+
+@dataclass
+class IndexDef:
+    name: str
+    fn: FnCall
+
+
+@dataclass
+class ConstraintDef:
+    name: str
+    check: object
+
+
+@dataclass
+class TableDefinition:
+    name: str
+    columns: list[ColumnDef]
+    indexes: list[IndexDef] = field(default_factory=list)
+    constraints: list[ConstraintDef] = field(default_factory=list)
+    primary_key: list[str] | None = None
+    order_by: list[str] | None = None
+    partition_by: object | None = None
+    comment: str | None = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class ViewDefinition:
+    name: str
+    strategy: str  # UPDATE BY <strategy> — mandatory (mod.rs:823-833)
+    query: Query = None
+    primary_key: list[str] | None = None
+    order_by: list[str] | None = None
+    partition_by: object | None = None
+    if_not_exists: bool = False
+
+
+# --- statements (ast/mod.rs:13-107, ast/alter.rs) -------------------------
+
+
+@dataclass
+class SelectStmt:
+    query: Query
+
+
+@dataclass
+class ExplainStmt:
+    query: Query
+
+
+@dataclass
+class InsertStmt:
+    table: str
+    columns: list[str] | None
+    source: object  # ('values', rows) | ('query', Query) | ('fn', TableFn)
+
+
+@dataclass
+class CreateTableStmt:
+    definition: TableDefinition
+
+
+@dataclass
+class CreateViewStmt:
+    definition: ViewDefinition
+
+
+@dataclass
+class AlterStmt:
+    table: str
+    action: str  # add_column|add_index|add_constraint|drop_column|...
+    payload: object  # ColumnDef/IndexDef/... or names
+    position: tuple | None = None  # ('first',) | ('after', col)
+    if_clause: bool = False  # IF [NOT] EXISTS
+
+
+@dataclass
+class DescribeStmt:
+    entity: str  # table|view|database
+    name: str | None
+
+
+@dataclass
+class DropStmt:
+    entity: str  # table|view
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class TruncateStmt:
+    entity: str
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class OptimizeStmt:
+    table: str
+    partition: object | None = None
+
+
+@dataclass
+class SetStmt:
+    name: str
+    value: object

@@ -1,0 +1,649 @@
+"""NutDB AST → PySpark DataFrame lowering.
+
+The reference stops at the AST (no planner/executor exists —
+SURVEY.md §0); this module supplies the execution semantics on
+idiomatic Spark: every query becomes a declarative DataFrame plan that
+Catalyst analyzes/optimizes (pushdown, pruning, join selection, AQE),
+and the dialect-only constructs route through operators/relational.py.
+
+Design:
+- every FROM/JOIN source is `.alias()`-ed so qualified refs (`t.c`)
+  lower to `F.col("t.c")`
+- subqueries never collect: scalar subqueries become broadcast 1-row
+  aggregates cross-joined into the frame; [NOT] IN / [NOT] EXISTS
+  become semi/anti joins (with three-valued NOT IN semantics); simple
+  correlated EXISTS decorrelates by splitting the subquery WHERE into
+  inner-only conjuncts (filter) and cross-scope conjuncts (join
+  condition)
+- aggregation: aggregate calls in projection/HAVING/ORDER BY are
+  rewritten to pre-computed agg columns; group keys are matched
+  structurally (dataclass equality) and substituted
+- `+` on string operands concatenates (corpus 10.sql:3 idiom)
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nutdb_spark.frontend import ast_nodes as A
+from nutdb_spark.functions.registry import AGGREGATE_FNS, SCALAR_FNS
+from nutdb_spark.operators import relational as R
+
+
+class LoweringError(ValueError):
+    pass
+
+
+_BIN_COLUMN_OPS = {
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+    "&": lambda a, b: a.bitwiseAND(b),
+    "|": lambda a, b: a.bitwiseOR(b),
+    "^": lambda a, b: a.bitwiseXOR(b),
+    # call_function: the python shiftleft/shiftright wrappers only take
+    # a literal int for numBits; the SQL builtin accepts a column
+    "<<": lambda a, b: F.call_function("shiftleft", a, b),
+    ">>": lambda a, b: F.call_function("shiftright", a, b),
+}
+
+_INTERVAL_ARGS = {
+    "year": "years",
+    "month": "months",
+    "day": "days",
+    "hour": "hours",
+    "minute": "mins",
+    "second": "secs",
+}
+
+
+def _split_conjuncts(e):
+    if isinstance(e, A.BinOp) and e.op == "and":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+class Scope:
+    """Alias → DataFrame map for one query level (plus the outer)."""
+
+    def __init__(self, parent: "Scope | None" = None):
+        self.parent = parent
+        self.frames: dict[str, DataFrame] = {}
+
+    def add(self, alias: str, df: DataFrame) -> None:
+        self.frames[alias] = df
+
+    def columns(self) -> dict[str, str]:
+        """column name → owning alias (this level only)."""
+        out: dict[str, str] = {}
+        for alias, df in self.frames.items():
+            for c in df.columns:
+                out.setdefault(c, alias)
+        return out
+
+    def all_aliases(self) -> set[str]:
+        s = set(self.frames)
+        if self.parent:
+            s |= self.parent.all_aliases()
+        return s
+
+
+class Lowerer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        resolve_table,
+        params: list | None = None,
+    ):
+        """`resolve_table(name) -> DataFrame`; `params` binds $n."""
+        self.spark = spark
+        self.resolve_table = resolve_table
+        self.params = params or []
+        self._ids = itertools.count()
+
+    def _gen(self, prefix: str) -> str:
+        return f"__{prefix}{next(self._ids)}"
+
+    # --- queries ----------------------------------------------------------
+
+    def lower_query(self, q, outer: Scope | None = None) -> DataFrame:
+        if isinstance(q, A.SetOp):
+            left = self.lower_query(q.left, outer)
+            right = self.lower_query(q.right, outer)
+            if q.op == "union_all":
+                return left.unionAll(right)
+            if q.op == "union_distinct":
+                return left.union(right).distinct()
+            if q.op == "intersect":
+                return left.intersect(right)
+            return left.subtract(right)  # EXCEPT (distinct semantics)
+        return self._lower_select(q, outer)
+
+    def _source_df(self, src, alias, scope: Scope, cte: dict) -> tuple[DataFrame, str]:
+        if isinstance(src, A.TableRef):
+            name = src.name
+            df = cte[name] if name in cte else self.resolve_table(name)
+            use = alias or name
+        elif isinstance(src, A.TableFn):
+            df = self._table_fn(src)
+            use = alias or src.name
+        else:  # subquery
+            df = self.lower_query(src, scope)
+            use = alias or self._gen("sq")
+        return df.alias(use), use
+
+    def _table_fn(self, fn: A.TableFn) -> DataFrame:
+        name = fn.name.lower()
+        if name == "numbers":
+            (n,) = fn.args
+            if not isinstance(n, A.Lit):
+                raise LoweringError("numbers(n) requires a literal")
+            return self.spark.range(n.value).withColumnRenamed("id", "number")
+        for fmt in ("parquet", "json", "csv"):
+            if name == fmt:
+                (path,) = fn.args
+                if not (isinstance(path, A.Lit) and path.kind == "string"):
+                    raise LoweringError(f"{fmt}(path) requires a string literal")
+                reader = self.spark.read
+                if fmt == "csv":
+                    return reader.option("header", "true").csv(path.value)
+                return getattr(reader, fmt)(path.value)
+        raise LoweringError(f"unknown table function {fn.name!r}")
+
+    def _lower_select(self, q: A.SelectCore, outer: Scope | None) -> DataFrame:
+        scope = Scope(outer)
+        cte: dict[str, DataFrame] = {}
+        for c in q.ctes:
+            cte[c.name] = self.lower_query(c.query, outer)
+
+        if q.from_ is None:
+            base = self.spark.range(1).select(F.lit(1).alias("__one"))
+        else:
+            base, alias = self._source_df(q.from_.source, q.from_.alias, scope, cte)
+            scope.add(alias, base)
+            for j in q.joins:
+                base = self._lower_join(base, j, scope, cte)
+
+        # WHERE: decompose into subquery conjuncts + plain predicate
+        if q.where is not None:
+            base = self._lower_predicate(base, q.where, scope)
+
+        # aggregate or plain projection
+        agg_calls: list[tuple[A.FnCall, str]] = []
+        for e, _ in q.columns:
+            self._collect_aggs(e, agg_calls)
+        if q.having is not None:
+            self._collect_aggs(q.having, agg_calls)
+        for o in q.order_by:
+            self._collect_aggs(o.expr, agg_calls)
+
+        is_agg = bool(q.group_by) or bool(agg_calls)
+        if is_agg:
+            base, group_map = self._lower_aggregate(base, q, agg_calls, scope)
+        else:
+            group_map = {}
+
+        # projection
+        proj: list[Column] = []
+        out_names: list[str] = []
+        for e, alias in q.columns:
+            if isinstance(e, A.Wildcard):
+                if e.qualifier:
+                    proj.append(F.col(f"{e.qualifier}.*"))
+                else:
+                    proj.append(F.col("*"))
+                out_names.append("*")
+                continue
+            col, base = self._expr_with_scalars(e, base, scope, group_map, agg_calls)
+            name = alias or self._expr_name(e)
+            proj.append(col.alias(name))
+            out_names.append(name)
+
+        if q.having is not None:
+            hav, base = self._expr_with_scalars(
+                q.having, base, scope, group_map, agg_calls
+            )
+            base = base.filter(hav)
+
+        order_cols: list[tuple[Column, bool]] = []
+        for o in q.order_by:
+            # ORDER BY may name a projection alias
+            if (
+                isinstance(o.expr, A.Ident)
+                and o.expr.qualifier is None
+                and o.expr.name in out_names
+            ):
+                oc = F.col(o.expr.name)
+            else:
+                oc, base = self._expr_with_scalars(
+                    o.expr, base, scope, group_map, agg_calls
+                )
+            order_cols.append((oc, o.asc))
+
+        projected = base.select(*proj)
+
+        if q.distinct_on is not None:
+            keys = [
+                self._expr(k, scope, group_map, agg_calls) for k in q.distinct_on
+            ]
+            spec = [(c, asc) for c, asc in order_cols] or None
+            projected = R.distinct_on(projected, keys, order_by=spec)
+            if order_cols:
+                projected = projected.orderBy(
+                    *[c.asc() if asc else c.desc() for c, asc in order_cols]
+                )
+        elif q.distinct:
+            projected = projected.distinct()
+            if order_cols:
+                projected = projected.orderBy(
+                    *[c.asc() if asc else c.desc() for c, asc in order_cols]
+                )
+        elif order_cols:
+            projected = projected.orderBy(
+                *[c.asc() if asc else c.desc() for c, asc in order_cols]
+            )
+
+        if q.limit is not None:
+            projected = self._lower_limit(projected, q.limit, order_cols)
+        return projected
+
+    def _lower_limit(self, df: DataFrame, lim: A.Limit, order_cols) -> DataFrame:
+        n = self._const_int(lim.n)
+        if lim.with_ties:
+            if not order_cols:
+                raise LoweringError("LIMIT WITH TIES requires ORDER BY")
+            return R.limit_with_ties(df, [(c, asc) for c, asc in order_cols], n)
+        off = self._const_int(lim.offset) if lim.offset is not None else 0
+        return R.limit_offset(df, n, off)
+
+    def _const_int(self, e) -> int:
+        if isinstance(e, A.Lit) and e.kind in ("int", "hex"):
+            return e.value
+        if isinstance(e, A.Param):
+            return int(self._param(e))
+        raise LoweringError("LIMIT/OFFSET must be integer literals")
+
+    def _lower_join(self, base: DataFrame, j: A.Join, scope: Scope, cte) -> DataFrame:
+        right, alias = self._source_df(j.source, j.alias, scope, cte)
+        scope.add(alias, right)
+        if j.using is not None:
+            how = {
+                "inner": "inner", "full": "full", "left": "left",
+                "right": "right", "left_semi": "left_semi",
+                "left_anti": "left_anti",
+            }.get(j.kind)
+            if how is None:  # right_semi / right_anti: swap sides
+                return right.join(
+                    base, j.using, "left_semi" if j.kind == "right_semi" else "left_anti"
+                )
+            return base.join(right, j.using, how)
+        cond = (
+            self._expr(j.on, scope, {}, []) if j.on is not None else F.lit(True)
+        )
+        if j.kind == "right_semi":
+            return R.right_semi(base, right, cond)
+        if j.kind == "right_anti":
+            return R.right_anti(base, right, cond)
+        how = {"left_semi": "left_semi", "left_anti": "left_anti"}.get(
+            j.kind, j.kind
+        )
+        return base.join(right, cond, how)
+
+    # --- WHERE with subquery lowering -------------------------------------
+
+    def _lower_predicate(self, base: DataFrame, where, scope: Scope) -> DataFrame:
+        plain: list = []
+        for conj in _split_conjuncts(where):
+            if isinstance(conj, A.Exists):
+                base = self._lower_exists(base, conj, scope)
+            elif isinstance(conj, A.InSubquery):
+                base = self._lower_in_subquery(base, conj, scope)
+            elif isinstance(conj, A.UnOp) and conj.op == "not" and isinstance(
+                conj.operand, A.Exists
+            ):
+                inner = conj.operand
+                base = self._lower_exists(
+                    base, A.Exists(inner.query, not inner.negated), scope
+                )
+            else:
+                plain.append(conj)
+        for p in plain:
+            col, base = self._expr_with_scalars(p, base, scope, {}, [])
+            base = base.filter(col)
+        return base
+
+    def _lower_exists(self, base: DataFrame, ex: A.Exists, scope: Scope) -> DataFrame:
+        sub = ex.query
+        if isinstance(sub, A.SetOp):
+            df = self.lower_query(sub, scope)
+            cond = F.lit(True)
+            return base.join(
+                df, cond, "left_anti" if ex.negated else "left_semi"
+            )
+        # build the subquery's FROM side, then split its WHERE into
+        # inner-only conjuncts (pre-filter) and cross-scope conjuncts
+        # (the decorrelated join condition)
+        sub_scope = Scope(scope)
+        cte: dict[str, DataFrame] = {}
+        for c in sub.ctes:
+            cte[c.name] = self.lower_query(c.query, scope)
+        df, alias = self._source_df(sub.from_.source, sub.from_.alias, sub_scope, cte)
+        sub_scope.add(alias, df)
+        for j in sub.joins:
+            df = self._lower_join(df, j, sub_scope, cte)
+        inner_cols = set(df.columns)
+        join_conjs: list = []
+        if sub.where is not None:
+            for conj in _split_conjuncts(sub.where):
+                if self._refs_outer(conj, inner_cols, sub_scope):
+                    join_conjs.append(conj)
+                else:
+                    df = df.filter(self._expr(conj, sub_scope, {}, []))
+        if not join_conjs:
+            raise LoweringError("uncorrelated EXISTS requires a correlation predicate")
+        cond = None
+        for c in join_conjs:
+            col = self._expr(c, sub_scope, {}, [])
+            cond = col if cond is None else (cond & col)
+        how = "left_anti" if ex.negated else "left_semi"
+        return base.join(df, cond, how)
+
+    def _refs_outer(self, e, inner_cols: set[str], sub_scope: Scope) -> bool:
+        inner_aliases = set(sub_scope.frames)
+        found = False
+
+        def walk(node):
+            nonlocal found
+            if isinstance(node, A.Ident):
+                if node.qualifier is not None:
+                    if node.qualifier not in inner_aliases:
+                        found = True
+                elif node.name not in inner_cols:
+                    found = True
+                return
+            if isinstance(node, (A.Lit, A.Param, A.Interval, A.Wildcard)):
+                return
+            for f in getattr(node, "__dataclass_fields__", {}):
+                v = getattr(node, f)
+                if isinstance(v, list):
+                    for x in v:
+                        if isinstance(x, tuple):
+                            for y in x:
+                                walk(y)
+                        else:
+                            walk(x)
+                else:
+                    walk(v)
+
+        walk(e)
+        return found
+
+    def _lower_in_subquery(self, base, node: A.InSubquery, scope: Scope):
+        sub = self.lower_query(node.query, scope)
+        if len(sub.columns) != 1:
+            raise LoweringError("IN subquery must produce one column")
+        e = self._expr(node.expr, scope, {}, [])
+        if node.negated:
+            return R.not_in_subquery(base, e, sub)
+        return R.in_subquery(base, e, sub)
+
+    # --- aggregation ------------------------------------------------------
+
+    def _collect_aggs(self, e, out: list) -> None:
+        if isinstance(e, A.FnCall) and e.name.lower() in _AGG_NAMES:
+            if not any(e == seen for seen, _ in out):
+                out.append((e, f"__a{len(out)}"))
+            return  # no nested aggregates in the dialect
+        if isinstance(e, (A.Lit, A.Param, A.Ident, A.Wildcard, A.Interval)):
+            return
+        for f in getattr(e, "__dataclass_fields__", {}):
+            v = getattr(e, f)
+            if isinstance(v, list):
+                for x in v:
+                    if isinstance(x, tuple):
+                        for y in x:
+                            self._collect_aggs(y, out)
+                    elif hasattr(x, "__dataclass_fields__"):
+                        self._collect_aggs(x, out)
+            elif hasattr(v, "__dataclass_fields__"):
+                self._collect_aggs(v, out)
+
+    def _lower_aggregate(self, base, q, agg_calls, scope):
+        group_map: dict[int, str] = {}
+        group_cols: list[Column] = []
+        for i, g in enumerate(q.group_by):
+            name = f"__g{i}"
+            group_map[i] = name
+            group_cols.append(self._expr(g, scope, {}, []).alias(name))
+        aggs: list[Column] = []
+        for call, name in agg_calls:
+            aggs.append(self._lower_agg_call(call, scope).alias(name))
+        if not aggs:
+            # GROUP BY with no aggregates → still needs an agg frame
+            aggs = [F.count(F.lit(1)).alias(self._gen("cnt"))]
+        if group_cols:
+            base = base.groupBy(*group_cols).agg(*aggs)
+        else:
+            base = base.agg(*aggs)
+        return base, {"groups": q.group_by, "names": group_map}
+
+    def _lower_agg_call(self, call: A.FnCall, scope: Scope) -> Column:
+        fn = AGGREGATE_FNS[call.name if call.name in AGGREGATE_FNS else call.name.lower()]
+        if not call.args or isinstance(call.args[0], A.Wildcard):
+            return F.count(F.lit(1))
+        args = [self._expr(a, scope, {}, []) for a in call.args]
+        return fn(*args)
+
+    # --- expressions ------------------------------------------------------
+
+    def _expr_with_scalars(self, e, base, scope, group_map, agg_calls):
+        """Lower an expression; any scalar subqueries get cross-joined
+        into `base` as broadcast 1-row frames first."""
+        pending: list[tuple[str, DataFrame]] = []
+        col = self._expr(e, scope, group_map, agg_calls, pending)
+        for name, df in pending:
+            base = base.join(F.broadcast(df))
+        return col, base
+
+    def _expr(self, e, scope, group_map, agg_calls, pending=None) -> Column:
+        # group-key structural substitution
+        if group_map:
+            for i, g in enumerate(group_map.get("groups", [])):
+                if e == g:
+                    return F.col(group_map["names"][i])
+        for call, name in agg_calls or []:
+            if e == call:
+                return F.col(name)
+
+        if isinstance(e, A.Lit):
+            return F.lit(e.value)
+        if isinstance(e, A.Param):
+            return F.lit(self._param(e))
+        if isinstance(e, A.Interval):
+            kwargs = {_INTERVAL_ARGS[e.unit]: F.lit(e.count)}
+            return F.make_interval(**kwargs)
+        if isinstance(e, A.Ident):
+            return F.col(f"{e.qualifier}.{e.name}" if e.qualifier else e.name)
+        if isinstance(e, A.Wildcard):
+            return F.col(f"{e.qualifier}.*" if e.qualifier else "*")
+        if isinstance(e, A.BinOp):
+            return self._binop(e, scope, group_map, agg_calls, pending)
+        if isinstance(e, A.UnOp):
+            v = self._expr(e.operand, scope, group_map, agg_calls, pending)
+            if e.op == "not":
+                return ~v
+            if e.op == "neg":
+                return -v
+            if e.op == "bitnot":
+                return F.bitwise_not(v)
+            if e.op == "isnull":
+                return v.isNull()
+            if e.op == "isnotnull":
+                return v.isNotNull()
+            raise LoweringError(f"unknown unary op {e.op}")
+        if isinstance(e, A.Between):
+            v = self._expr(e.expr, scope, group_map, agg_calls, pending)
+            lo = self._expr(e.low, scope, group_map, agg_calls, pending)
+            hi = self._expr(e.high, scope, group_map, agg_calls, pending)
+            out = v.between(lo, hi)
+            return ~out if e.negated else out
+        if isinstance(e, A.InList):
+            v = self._expr(e.expr, scope, group_map, agg_calls, pending)
+            items = [
+                self._expr(x, scope, group_map, agg_calls, pending) for x in e.items
+            ]
+            # OR-chain keeps three-valued semantics with NULL literals
+            cond = None
+            for it in items:
+                c = v == it
+                cond = c if cond is None else (cond | c)
+            return ~cond if e.negated else cond
+        if isinstance(e, A.Case):
+            return self._case(e, scope, group_map, agg_calls, pending)
+        if isinstance(e, A.FnCall):
+            return self._fn(e, scope, group_map, agg_calls, pending)
+        if isinstance(e, A.IndexAccess):
+            b = self._expr(e.base, scope, group_map, agg_calls, pending)
+            i = self._expr(e.index, scope, group_map, agg_calls, pending)
+            return F.element_at(b, i)  # 1-based, matches the dialect
+        if isinstance(e, A.ArrayLit):
+            return F.array(
+                *[self._expr(x, scope, group_map, agg_calls, pending) for x in e.items]
+            )
+        if isinstance(e, A.MapLit):
+            parts: list[Column] = []
+            for k, v in e.entries:
+                parts.append(self._expr(k, scope, group_map, agg_calls, pending))
+                parts.append(self._expr(v, scope, group_map, agg_calls, pending))
+            return F.create_map(*parts)
+        if isinstance(e, A.TupleLit):
+            return F.struct(
+                *[self._expr(x, scope, group_map, agg_calls, pending) for x in e.items]
+            )
+        if isinstance(e, A.ScalarSubquery):
+            if pending is None:
+                raise LoweringError("scalar subquery not allowed here")
+            df = self.lower_query(e.query, scope)
+            if len(df.columns) != 1:
+                raise LoweringError("scalar subquery must produce one column")
+            name = self._gen("sc")
+            df = df.select(F.col(df.columns[0]).alias(name)).limit(2)
+            pending.append((name, df))
+            return F.col(name)
+        if isinstance(e, A.Exists):
+            raise LoweringError(
+                "EXISTS is supported as a top-level WHERE conjunct"
+            )
+        if isinstance(e, A.InSubquery):
+            raise LoweringError(
+                "IN (SELECT …) is supported as a top-level WHERE conjunct"
+            )
+        raise LoweringError(f"cannot lower expression {e!r}")
+
+    def _param(self, p: A.Param):
+        try:
+            return self.params[p.index]
+        except IndexError as ex:
+            raise LoweringError(f"missing query parameter ${p.index}") from ex
+
+    def _binop(self, e: A.BinOp, scope, group_map, agg_calls, pending) -> Column:
+        a = self._expr(e.left, scope, group_map, agg_calls, pending)
+        b = self._expr(e.right, scope, group_map, agg_calls, pending)
+        op = e.op
+        if op == "+":
+            if self._is_stringish(e.left, scope) or self._is_stringish(e.right, scope):
+                return F.concat(a, b)  # dialect string-+ (corpus 10.sql:3)
+            return a + b
+        if op == "xor":
+            return a != b  # boolean XOR
+        if op == "like":
+            return a.like(self._pattern(e.right)) if self._is_pat(e.right) else a.like(b)
+        if op == "ilike":
+            return (
+                a.ilike(self._pattern(e.right)) if self._is_pat(e.right) else a.ilike(b)
+            )
+        fn = _BIN_COLUMN_OPS.get(op)
+        if fn is None:
+            raise LoweringError(f"unknown binary op {op}")
+        return fn(a, b)
+
+    @staticmethod
+    def _is_pat(e) -> bool:
+        return isinstance(e, A.Lit) and e.kind == "string"
+
+    @staticmethod
+    def _pattern(e: A.Lit) -> str:
+        return e.value
+
+    def _is_stringish(self, e, scope: Scope | None) -> bool:
+        if isinstance(e, A.Lit):
+            return e.kind == "string"
+        if scope is None:
+            return False
+        if isinstance(e, A.BinOp) and e.op == "+":
+            return self._is_stringish(e.left, scope) or self._is_stringish(
+                e.right, scope
+            )
+        if isinstance(e, A.Ident):
+            for s in (scope, scope.parent):
+                if s is None:
+                    continue
+                for alias, df in s.frames.items():
+                    if e.qualifier and alias != e.qualifier:
+                        continue
+                    for fld in df.schema.fields:
+                        if fld.name == e.name:
+                            return fld.dataType.typeName() == "string"
+        if isinstance(e, A.FnCall):
+            return e.name.lower() in {
+                "concat", "substring", "lower", "upper", "normalizetext",
+            }
+        return False
+
+    def _case(self, e: A.Case, scope, group_map, agg_calls, pending) -> Column:
+        out = None
+        for cond, res in e.whens:
+            c = self._expr(cond, scope, group_map, agg_calls, pending)
+            if e.scrutinee is not None:
+                c = self._expr(e.scrutinee, scope, group_map, agg_calls, pending) == c
+            r = self._expr(res, scope, group_map, agg_calls, pending)
+            out = F.when(c, r) if out is None else out.when(c, r)
+        if e.else_ is not None:
+            out = out.otherwise(
+                self._expr(e.else_, scope, group_map, agg_calls, pending)
+            )
+        return out
+
+    def _fn(self, e: A.FnCall, scope, group_map, agg_calls, pending) -> Column:
+        name = e.name
+        key = name if name in SCALAR_FNS or name in AGGREGATE_FNS else name.lower()
+        if key in AGGREGATE_FNS:
+            # aggregate outside agg context (e.g. plain SELECT count(*))
+            return self._lower_agg_call(e, scope)
+        if key not in SCALAR_FNS:
+            raise LoweringError(f"unknown function {name!r}")
+        args = [self._expr(a, scope, group_map, agg_calls, pending) for a in e.args]
+        return SCALAR_FNS[key](*args)
+
+    @staticmethod
+    def _expr_name(e) -> str:
+        if isinstance(e, A.Ident):
+            return e.name
+        if isinstance(e, A.FnCall):
+            return e.name
+        return "expr"
+
+
+_AGG_NAMES = {n.lower() for n in AGGREGATE_FNS}

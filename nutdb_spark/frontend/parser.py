@@ -1,0 +1,988 @@
+"""NutDB dialect parser — Python re-derivation of the reference's Pratt
+(TDOP) parser (/root/reference/src/parser/mod.rs, 1,974 LoC): same
+statement set (10 kinds), same clause order, same precedence ladder
+(mod.rs:1950-1966), same set-operation precedence climbing
+(UnionTypePower: EXCEPT < UNION < INTERSECT, mod.rs:1968-1974), and the
+same parse-time constant folds (simplify.rs).
+
+Entry point: ``parse(sql) -> Statement`` — single statement, trailing
+``;`` allowed (mod.rs:165-173).
+"""
+
+from __future__ import annotations
+
+from nutdb_spark.frontend import ast_nodes as A
+from nutdb_spark.frontend import tokenizer as T
+
+# precedence ladder (TokenPower, mod.rs:1950-1966); larger binds tighter
+P_TERM = 0
+P_OR = 1
+P_XOR = 2
+P_AND = 3
+P_NOT = 4
+P_CMP = 5
+P_BETWEEN = 6
+P_BITOR = 7
+P_BITXOR = 8
+P_BITAND = 9
+P_SHIFT = 10
+P_ADD = 11
+P_MUL = 12
+P_ACCESS = 13
+
+_SYM_POWER = {
+    "=": P_CMP, "!=": P_CMP, "<": P_CMP, "<=": P_CMP, ">=": P_CMP, ">": P_CMP,
+    "|": P_BITOR, "^": P_BITXOR, "&": P_BITAND,
+    "<<": P_SHIFT, ">>": P_SHIFT,
+    "+": P_ADD, "-": P_ADD,
+    "*": P_MUL, "/": P_MUL, "%": P_MUL,
+    "[": P_ACCESS,
+}
+_KW_POWER = {
+    "or": P_OR, "xor": P_XOR, "and": P_AND, "not": P_NOT,
+    "is": P_CMP, "in": P_CMP, "like": P_CMP, "ilike": P_CMP,
+    "between": P_BETWEEN,
+}
+
+# set-op precedence (UnionTypePower): EXCEPT < UNION < INTERSECT
+_UNION_POWER = {"except": 1, "union": 2, "intersect": 3}
+
+_INTERVAL_UNITS = {"second", "minute", "hour", "day", "month", "year"}
+
+_TYPE_KEYWORDS = {
+    "int8", "int16", "int32", "int64", "int128",
+    "uint8", "uint16", "uint32", "uint64", "uint128",
+    "serial32", "serial64", "serial128",
+    "userial32", "userial64", "userial128",
+    "decimal32", "decimal64", "float32", "float64",
+    "boolean", "chars", "string", "uuid", "date", "datetime",
+    "array", "enum", "tuple", "map", "dictionary", "nullable",
+}
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.tokens = T.tokenize(sql)
+        self.pos = 0
+
+    # --- token plumbing ---------------------------------------------------
+
+    def peek(self) -> T.Token:
+        return self.tokens[self.pos]
+
+    def next(self) -> T.Token:
+        t = self.tokens[self.pos]
+        if t.type != T.EOF:
+            self.pos += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.type == T.KWID and t.text.lower() in kws
+
+    def eat_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.eat_kw(kw):
+            raise ParseError(f"expected {kw.upper()}, got {self.peek().text!r}")
+
+    def at_sym(self, s: str) -> bool:
+        t = self.peek()
+        return t.type == T.SYM and t.text == s
+
+    def eat_sym(self, s: str) -> bool:
+        if self.at_sym(s):
+            self.next()
+            return True
+        return False
+
+    def expect_sym(self, s: str) -> None:
+        if not self.eat_sym(s):
+            raise ParseError(f"expected {s!r}, got {self.peek().text!r}")
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t.type in (T.KWID, T.DELIM_IDENT):
+            self.next()
+            return t.text
+        raise ParseError(f"expected identifier, got {t.text!r}")
+
+    # --- entry ------------------------------------------------------------
+
+    def parse_stmt(self):
+        t = self.peek()
+        if t.type != T.KWID:
+            raise ParseError(f"statement must start with a keyword, got {t.text!r}")
+        kw = t.text.lower()
+        dispatch = {
+            "select": self._select_stmt, "with": self._select_stmt,
+            "explain": self._explain, "insert": self._insert,
+            "create": self._create, "describe": self._describe,
+            "drop": self._drop, "truncate": self._truncate,
+            "alter": self._alter, "optimize": self._optimize,
+            "set": self._set,
+        }
+        if kw not in dispatch:
+            raise ParseError(f"unknown statement keyword {t.text!r}")
+        stmt = dispatch[kw]()
+        self.eat_sym(";")
+        if self.peek().type != T.EOF:
+            raise ParseError(
+                f"unexpected trailing input {self.peek().text!r} "
+                "(only one statement is allowed)"
+            )
+        return stmt
+
+    # --- queries (TDOP over set ops, mod.rs:243-276) ----------------------
+
+    def parse_query(self, min_power: int = 0):
+        left = self._query_body()
+        while True:
+            t = self.peek()
+            if not (t.type == T.KWID and t.text.lower() in _UNION_POWER):
+                return left
+            power = _UNION_POWER[t.text.lower()]
+            if power <= min_power:
+                return left
+            op_kw = t.text.lower()
+            self.next()
+            if op_kw == "union":
+                # ALL|DISTINCT keyword required (mod.rs:258-264)
+                if self.eat_kw("all"):
+                    op = "union_all"
+                elif self.eat_kw("distinct"):
+                    op = "union_distinct"
+                else:
+                    raise ParseError("UNION requires ALL or DISTINCT")
+            elif op_kw == "intersect":
+                op = "intersect"
+            else:
+                op = "except"
+            right = self.parse_query(power)
+            left = A.SetOp(op, left, right)
+
+    def _query_body(self) -> A.SelectCore:
+        if self.at_sym("("):
+            # parenthesized query
+            self.next()
+            q = self.parse_query()
+            self.expect_sym(")")
+            return q
+        q = A.SelectCore()
+        # WITH (mod.rs:327-347)
+        if self.eat_kw("with"):
+            while True:
+                name = self.ident()
+                self.expect_kw("as")
+                self.expect_sym("(")
+                sub = self.parse_query()
+                self.expect_sym(")")
+                q.ctes.append(A.Cte(name, sub))
+                if not self.eat_sym(","):
+                    break
+        self.expect_kw("select")
+        # DISTINCT [ON (cols)] (mod.rs:349-360)
+        if self.eat_kw("distinct"):
+            if self.eat_kw("on"):
+                self.expect_sym("(")
+                q.distinct_on = self._expr_list(")")
+            else:
+                q.distinct = True
+        # projection (mod.rs:571-585)
+        while True:
+            q.columns.append(self._select_item())
+            if not self.eat_sym(","):
+                break
+        # FROM (mod.rs:362-374)
+        if self.eat_kw("from"):
+            q.from_ = self._from_source()
+            # JOINs chain left-deep (mod.rs:303-306, 376-431)
+            while True:
+                j = self._try_join()
+                if j is None:
+                    break
+                q.joins.append(j)
+        if self.eat_kw("where"):
+            q.where = self.parse_expr()
+        if self.eat_kw("group"):
+            self.expect_kw("by")
+            while True:
+                q.group_by.append(self.parse_expr())
+                if not self.eat_sym(","):
+                    break
+        if self.eat_kw("having"):
+            q.having = self.parse_expr()
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.eat_kw("desc"):
+                    asc = False
+                else:
+                    self.eat_kw("asc")  # default; keyword accepted+ignored
+                q.order_by.append(A.OrderItem(e, asc))
+                if not self.eat_sym(","):
+                    break
+        if self.eat_kw("limit"):
+            q.limit = self._limit_clause()
+        return q
+
+    def _select_item(self):
+        if self.at_sym("*"):
+            self.next()
+            return (A.Wildcard(), None)
+        e = self.parse_expr()
+        if isinstance(e, A.Ident) and e.qualifier is None and self.at_sym("."):
+            pass  # handled in prefix
+        alias = None
+        if self.eat_kw("as"):
+            alias = self.ident()
+        elif self.peek().type == T.DELIM_IDENT:
+            alias = self.ident()
+        return (e, alias)
+
+    def _from_source(self) -> A.FromClause:
+        src, alias = self._table_like()
+        return A.FromClause(src, alias)
+
+    def _table_like(self):
+        if self.at_sym("("):
+            self.next()
+            sub = self.parse_query()
+            self.expect_sym(")")
+            alias = self._opt_alias()
+            return sub, alias
+        name = self.ident()
+        if self.at_sym("("):
+            # table function (DataSource::TableFn, mod.rs:546-562)
+            self.next()
+            args = [] if self.eat_sym(")") else self._expr_list(")")
+            alias = self._opt_alias()
+            return A.TableFn(name, args), alias
+        alias = self._opt_alias()
+        return A.TableRef(name), alias
+
+    def _opt_alias(self) -> str | None:
+        if self.eat_kw("as"):
+            return self.ident()
+        t = self.peek()
+        if t.type == T.DELIM_IDENT:
+            return self.ident()
+        if t.type == T.KWID and t.text.lower() not in {
+            "on", "using", "where", "group", "having", "order", "limit",
+            "join", "inner", "left", "right", "full", "semi", "anti",
+            "outer", "union", "intersect", "except", "as", "asc", "desc",
+            "with", "ties", "offset", "set", "values", "from", "select",
+        }:
+            return self.ident()
+        return None
+
+    _JOIN_KINDS = {"inner", "full", "left", "right"}
+
+    def _try_join(self) -> A.Join | None:
+        t = self.peek()
+        if not (t.type == T.KWID and t.text.lower() in (self._JOIN_KINDS | {"join"})):
+            return None
+        kind = "inner"
+        if not self.at_kw("join"):
+            base = self.next().text.lower()
+            if base == "inner":
+                kind = "inner"
+            elif base == "full":
+                self.eat_kw("outer")
+                kind = "full"
+            elif base in ("left", "right"):
+                if self.eat_kw("semi"):
+                    kind = f"{base}_semi"
+                elif self.eat_kw("anti"):
+                    kind = f"{base}_anti"
+                else:
+                    self.eat_kw("outer")
+                    kind = base
+        self.expect_kw("join")
+        src, alias = self._table_like()
+        on = None
+        using = None
+        if self.eat_kw("on"):
+            on = self.parse_expr()
+        elif self.eat_kw("using"):
+            self.expect_sym("(")
+            using = []
+            while True:
+                using.append(self.ident())
+                if not self.eat_sym(","):
+                    break
+            self.expect_sym(")")
+        return A.Join(kind, src, alias, on, using)
+
+    def _limit_clause(self) -> A.Limit:
+        first = self.parse_expr()
+        if self.eat_sym(","):
+            # LIMIT offset, n (MySQL-style, mod.rs:516-521)
+            n = self.parse_expr()
+            return A.Limit(n, offset=first)
+        if self.eat_kw("offset"):
+            off = self.parse_expr()
+            return A.Limit(first, offset=off)
+        if self.eat_kw("with"):
+            self.expect_kw("ties")
+            return A.Limit(first, with_ties=True)
+        return A.Limit(first)
+
+    def _expr_list(self, closing: str) -> list:
+        out = [self.parse_expr()]
+        while self.eat_sym(","):
+            out.append(self.parse_expr())
+        self.expect_sym(closing)
+        return out
+
+    # --- expressions (TDOP, mod.rs:1209-1486) -----------------------------
+
+    def parse_expr(self, min_power: int = P_TERM):
+        left = self._prefix()
+        while True:
+            power = self._infix_power()
+            if power <= min_power:
+                return left
+            left = self._infix(left, power)
+
+    def _infix_power(self) -> int:
+        t = self.peek()
+        if t.type == T.SYM:
+            return _SYM_POWER.get(t.text, P_TERM)
+        if t.type == T.KWID:
+            return _KW_POWER.get(t.text.lower(), P_TERM)
+        return P_TERM
+
+    def _prefix(self):
+        t = self.next()
+        if t.type == T.INT:
+            return A.Lit(t.value, "int")
+        if t.type == T.HEX:
+            return A.Lit(t.value, "hex")
+        if t.type == T.FLOAT:
+            return A.Lit(t.value, "float")
+        if t.type == T.STRING:
+            return A.Lit(t.value, "string")
+        if t.type == T.PARAM:
+            return A.Param(t.value)
+        if t.type == T.SYM:
+            if t.text == "-":
+                operand = self.parse_expr(P_MUL)  # unary minus binds tight
+                if isinstance(operand, A.Lit) and operand.kind in ("int", "float", "hex"):
+                    return A.Lit(-operand.value, operand.kind)
+                return A.UnOp("neg", operand)
+            if t.text == "+":
+                return self.parse_expr(P_MUL)  # no-op (mod.rs:1270)
+            if t.text == "~":
+                return A.UnOp("bitnot", self.parse_expr(P_ACCESS - 1))
+            if t.text == "(":
+                return self._paren()
+            if t.text == "[":
+                if self.eat_sym("]"):
+                    return A.ArrayLit([])
+                return A.ArrayLit(self._expr_list("]"))
+            if t.text == "{":
+                return self._map_literal()
+            if t.text == "*":
+                return A.Wildcard()
+            raise ParseError(f"unexpected symbol {t.text!r} in expression")
+        if t.type in (T.KWID, T.DELIM_IDENT):
+            return self._prefix_keyword_or_ident(t)
+        raise ParseError(f"unexpected token {t.text!r} in expression")
+
+    def _paren(self):
+        if self.at_kw("select", "with"):
+            q = self.parse_query()
+            self.expect_sym(")")
+            return A.ScalarSubquery(q)
+        items = self._expr_list(")")
+        if len(items) == 1:
+            return items[0]
+        return A.TupleLit(items)  # ≥2 → tuple literal (mod.rs:1229-1246)
+
+    def _map_literal(self):
+        entries = []
+        if self.eat_sym("}"):
+            return A.MapLit(entries)
+        while True:
+            k = self.parse_expr()
+            self.expect_sym(":")
+            v = self.parse_expr()
+            entries.append((k, v))
+            if not self.eat_sym(","):
+                break
+        self.expect_sym("}")
+        return A.MapLit(entries)
+
+    def _prefix_keyword_or_ident(self, t: T.Token):
+        if t.type == T.KWID:
+            kw = t.text.lower()
+            if kw == "null":
+                return A.Lit(None, "null")
+            if kw == "true":
+                return A.Lit(True, "bool")
+            if kw == "false":
+                return A.Lit(False, "bool")
+            if kw == "not":
+                return self._not_prefix()
+            if kw == "case":
+                return self._case()
+            if kw == "if":
+                return self._if_expr()
+            if kw == "interval":
+                return self._interval()
+            if kw == "exists" and self.at_sym("("):
+                self.next()
+                q = self.parse_query()
+                self.expect_sym(")")
+                return A.Exists(q)
+        # identifier / qualified / wildcard / function call
+        name = t.text
+        if self.at_sym("(") :
+            self.next()
+            return self._fn_call(name)
+        if self.at_sym("."):
+            self.next()
+            if self.eat_sym("*"):
+                return A.Wildcard(qualifier=name)
+            field = self.ident()
+            if self.at_sym("("):
+                raise ParseError("qualified function calls are not in the dialect")
+            return A.Ident(field, qualifier=name)
+        return A.Ident(name)
+
+    def _fn_call(self, name: str):
+        """try_parse_fn_call_args (mod.rs:1534-1556): a lone subquery is
+        allowed as the only argument — how EXISTS(SELECT…) parses."""
+        if self.eat_sym(")"):
+            return A.FnCall(name, [])
+        if self.at_kw("select", "with"):
+            q = self.parse_query()
+            self.expect_sym(")")
+            return A.FnCall(name, [A.ScalarSubquery(q)])
+        if self.at_sym("*"):
+            # count(*)
+            self.next()
+            self.expect_sym(")")
+            return A.FnCall(name, [A.Wildcard()])
+        args = self._expr_list(")")
+        return A.FnCall(name, args)
+
+    def _not_prefix(self):
+        # NOT IN / NOT LIKE / NOT ILIKE / NOT BETWEEN / NOT EXISTS
+        # (mod.rs:1404-1424)
+        if self.at_kw("exists"):
+            self.next()
+            self.expect_sym("(")
+            q = self.parse_query()
+            self.expect_sym(")")
+            return A.Exists(q, negated=True)
+        operand = self.parse_expr(P_NOT)
+        return self._fold_not(operand)
+
+    def _case(self):
+        scrutinee = None
+        if not self.at_kw("when"):
+            scrutinee = self.parse_expr()
+        whens = []
+        while self.eat_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            res = self.parse_expr()
+            whens.append((cond, res))
+        if not whens:
+            raise ParseError("CASE requires at least one WHEN")
+        else_ = None
+        if self.eat_kw("else"):
+            else_ = self.parse_expr()
+        self.expect_kw("end")
+        return A.Case(scrutinee, whens, else_)
+
+    def _if_expr(self):
+        # IF a THEN b ELSE c END (mod.rs:1570-1582)
+        cond = self.parse_expr()
+        self.expect_kw("then")
+        then = self.parse_expr()
+        self.expect_kw("else")
+        else_ = self.parse_expr()
+        self.expect_kw("end")
+        return A.Case(None, [(cond, then)], else_)
+
+    def _interval(self):
+        t = self.next()
+        if t.type != T.INT:
+            raise ParseError("INTERVAL count must be an integer literal")
+        unit_t = self.next()
+        unit = unit_t.text.lower() if unit_t.type == T.KWID else ""
+        if unit not in _INTERVAL_UNITS:
+            raise ParseError(f"invalid interval unit {unit_t.text!r}")
+        return A.Interval(t.value, unit)
+
+    def _infix(self, left, power: int):
+        t = self.next()
+        if t.type == T.SYM:
+            sym = t.text
+            if sym == "[":
+                idx = self.parse_expr()
+                self.expect_sym("]")
+                return A.IndexAccess(left, idx)
+            right = self.parse_expr(power)
+            if sym in ("=", "!="):
+                return self._fold_eq(sym, left, right)
+            return A.BinOp(sym, left, right)
+        kw = t.text.lower()
+        if kw in ("and", "or", "xor"):
+            right = self.parse_expr(power)
+            return self._fold_logical(kw, left, right)
+        if kw == "is":
+            negated = self.eat_kw("not")
+            self.expect_kw("null")
+            return self._fold_is_null(left, negated)
+        if kw == "in":
+            return self._in_rhs(left, negated=False)
+        if kw in ("like", "ilike"):
+            right = self.parse_expr(power)
+            return A.BinOp(kw, left, right)
+        if kw == "between":
+            low = self.parse_expr(P_BETWEEN)
+            self.expect_kw("and")
+            high = self.parse_expr(P_BETWEEN)
+            return A.Between(left, low, high)
+        if kw == "not":
+            if self.eat_kw("in"):
+                return self._in_rhs(left, negated=True)
+            if self.eat_kw("like"):
+                return A.UnOp("not", A.BinOp("like", left, self.parse_expr(P_CMP)))
+            if self.eat_kw("ilike"):
+                return A.UnOp("not", A.BinOp("ilike", left, self.parse_expr(P_CMP)))
+            if self.eat_kw("between"):
+                low = self.parse_expr(P_BETWEEN)
+                self.expect_kw("and")
+                high = self.parse_expr(P_BETWEEN)
+                return A.Between(left, low, high, negated=True)
+            raise ParseError("infix NOT must be NOT IN/LIKE/ILIKE/BETWEEN")
+        raise ParseError(f"unexpected infix token {t.text!r}")
+
+    def _in_rhs(self, left, *, negated: bool):
+        self.expect_sym("(")
+        if self.at_kw("select", "with"):
+            q = self.parse_query()
+            self.expect_sym(")")
+            return A.InSubquery(left, q, negated)
+        items = self._expr_list(")")
+        return A.InList(left, items, negated)
+
+    # --- parse-time constant folds (simplify.rs) --------------------------
+
+    @staticmethod
+    def _is_bool_lit(e) -> bool:
+        return isinstance(e, A.Lit) and e.kind == "bool"
+
+    def _fold_eq(self, sym, left, right):
+        if isinstance(left, A.Lit) and isinstance(right, A.Lit):
+            if left.kind != "null" and right.kind != "null":
+                eq = left.value == right.value
+                return A.Lit(eq if sym == "=" else not eq, "bool")
+        return A.BinOp(sym, left, right)
+
+    def _fold_logical(self, kw, left, right):
+        for a, b in ((left, right), (right, left)):
+            if self._is_bool_lit(a):
+                v = a.value
+                if kw == "and":
+                    return b if v else A.Lit(False, "bool")
+                if kw == "or":
+                    return A.Lit(True, "bool") if v else b
+                if kw == "xor":
+                    return self._fold_not(b) if v else b
+        return A.BinOp(kw, left, right)
+
+    def _fold_not(self, operand):
+        if self._is_bool_lit(operand):
+            return A.Lit(not operand.value, "bool")
+        if isinstance(operand, A.UnOp) and operand.op == "not":
+            return operand.operand
+        return A.UnOp("not", operand)
+
+    def _fold_is_null(self, left, negated: bool):
+        if isinstance(left, A.Lit):
+            is_null = left.kind == "null"
+            return A.Lit(is_null != negated, "bool")
+        return A.UnOp("isnotnull" if negated else "isnull", left)
+
+    # --- statements -------------------------------------------------------
+
+    def _select_stmt(self):
+        return A.SelectStmt(self.parse_query())
+
+    def _explain(self):
+        self.expect_kw("explain")
+        return A.ExplainStmt(self.parse_query())
+
+    def _insert(self):
+        self.expect_kw("insert")
+        self.expect_kw("into")
+        table = self.ident()
+        columns = None
+        if self.at_sym("("):
+            self.next()
+            columns = []
+            while True:
+                columns.append(self.ident())
+                if not self.eat_sym(","):
+                    break
+            self.expect_sym(")")
+        if self.eat_kw("values"):
+            rows = []
+            while True:
+                self.expect_sym("(")
+                row = self._expr_list(")")
+                if rows and len(row) != len(rows[0]):
+                    raise ParseError(
+                        "INSERT rows have conflicting arity "
+                        f"({len(row)} vs {len(rows[0])})"
+                    )
+                rows.append(row)
+                if not self.eat_sym(","):
+                    break
+            if columns is not None and rows and len(rows[0]) != len(columns):
+                raise ParseError("INSERT row arity does not match column list")
+            return A.InsertStmt(table, columns, ("values", rows))
+        if self.eat_kw("from"):
+            name = self.ident()
+            self.expect_sym("(")
+            args = [] if self.eat_sym(")") else self._expr_list(")")
+            return A.InsertStmt(table, columns, ("fn", A.TableFn(name, args)))
+        if self.at_kw("select", "with"):
+            return A.InsertStmt(table, columns, ("query", self.parse_query()))
+        raise ParseError("INSERT requires VALUES, FROM fn(...), or SELECT")
+
+    # --- CREATE -----------------------------------------------------------
+
+    def _create(self):
+        self.expect_kw("create")
+        if self.eat_kw("table"):
+            return A.CreateTableStmt(self._table_definition())
+        if self.eat_kw("view"):
+            return A.CreateViewStmt(self._view_definition())
+        raise ParseError("CREATE supports TABLE and VIEW")
+
+    def _if_not_exists(self) -> bool:
+        if self.eat_kw("if"):
+            self.expect_kw("not")
+            self.expect_kw("exists")
+            return True
+        return False
+
+    def _table_definition(self) -> A.TableDefinition:
+        ine = self._if_not_exists()
+        name = self.ident()
+        d = A.TableDefinition(name, [], if_not_exists=ine)
+        self.expect_sym("(")
+        while True:
+            if self.at_kw("index"):
+                self.next()
+                iname = self.ident()
+                fname = self.ident()
+                self.expect_sym("(")
+                args = [] if self.eat_sym(")") else self._expr_list(")")
+                d.indexes.append(A.IndexDef(iname, A.FnCall(fname, args)))
+            elif self.at_kw("constraint"):
+                self.next()
+                cname = self.ident()
+                self.expect_kw("check")
+                d.constraints.append(A.ConstraintDef(cname, self.parse_expr()))
+            else:
+                d.columns.append(self._column_def())
+            if not self.eat_sym(","):
+                break
+        self.expect_sym(")")
+        self._table_attrs(d)
+        return d
+
+    def _column_def(self) -> A.ColumnDef:
+        name = self.ident()
+        dtype = self._datatype()
+        col = A.ColumnDef(name, dtype)
+        while True:
+            if self.eat_kw("default"):
+                col.default = self.parse_expr()
+            elif self.eat_kw("comment"):
+                t = self.next()
+                if t.type != T.STRING:
+                    raise ParseError("COMMENT requires a string literal")
+                col.comment = t.value
+            else:
+                break
+        return col
+
+    def _table_attrs(self, d) -> None:
+        # unordered trailing attributes with duplicate detection
+        # (mod.rs:747-802)
+        while True:
+            if self.eat_kw("primary"):
+                self.expect_kw("key")
+                if d.primary_key is not None:
+                    raise ParseError("duplicate PRIMARY KEY")
+                d.primary_key = self._name_list()
+            elif self.eat_kw("order"):
+                self.expect_kw("by")
+                if d.order_by is not None:
+                    raise ParseError("duplicate ORDER BY")
+                d.order_by = self._name_list()
+            elif self.eat_kw("partition"):
+                self.expect_kw("by")
+                if d.partition_by is not None:
+                    raise ParseError("duplicate PARTITION BY")
+                d.partition_by = self.parse_expr()
+            elif hasattr(d, "comment") and self.at_kw("comment"):
+                self.next()
+                t = self.next()
+                if t.type != T.STRING:
+                    raise ParseError("COMMENT requires a string literal")
+                if d.comment is not None:
+                    raise ParseError("duplicate COMMENT")
+                d.comment = t.value
+            else:
+                return
+
+    def _name_list(self) -> list[str]:
+        if self.eat_sym("("):
+            out = []
+            while True:
+                out.append(self.ident())
+                if not self.eat_sym(","):
+                    break
+            self.expect_sym(")")
+            return out
+        return [self.ident()]
+
+    def _view_definition(self) -> A.ViewDefinition:
+        ine = self._if_not_exists()
+        name = self.ident()
+        # UPDATE BY <strategy> is NON-optional (mod.rs:823-833,902)
+        self.expect_kw("update")
+        self.expect_kw("by")
+        strategy = self.ident()
+        v = A.ViewDefinition(name, strategy, if_not_exists=ine)
+        # trailing attrs (no COMMENT on views in the grammar)
+        while True:
+            if self.eat_kw("primary"):
+                self.expect_kw("key")
+                v.primary_key = self._name_list()
+            elif self.eat_kw("order"):
+                self.expect_kw("by")
+                v.order_by = self._name_list()
+            elif self.eat_kw("partition"):
+                self.expect_kw("by")
+                v.partition_by = self.parse_expr()
+            else:
+                break
+        self.expect_kw("as")
+        v.query = self.parse_query()
+        return v
+
+    # --- datatypes (mod.rs:1688-1797) -------------------------------------
+
+    def _datatype(self) -> A.DataType:
+        t = self.next()
+        if t.type != T.KWID or t.text.lower() not in _TYPE_KEYWORDS:
+            raise ParseError(f"unknown data type {t.text!r}")
+        name = t.text.lower()
+        if name in ("decimal32", "decimal64"):
+            self.expect_sym("(")
+            scale = self.next()
+            if scale.type != T.INT:
+                raise ParseError("decimal scale must be an integer")
+            self.expect_sym(")")
+            return A.DataType(name, [scale.value])
+        if name == "chars":
+            self.expect_sym("(")
+            ln = self.next()
+            if ln.type != T.INT:
+                raise ParseError("Chars length must be an integer")
+            self.expect_sym(")")
+            return A.DataType(name, [ln.value])
+        if name == "string":
+            if self.eat_sym("("):
+                mx = self.next()
+                if mx.type != T.INT:
+                    raise ParseError("String max length must be an integer")
+                self.expect_sym(")")
+                return A.DataType(name, [mx.value])
+            return A.DataType(name)
+        if name == "array":
+            self.expect_sym("(")
+            inner = self._datatype()
+            self.expect_sym(")")
+            return A.DataType(name, [inner])
+        if name == "enum":
+            self.expect_sym("(")
+            binds = []
+            next_id = 1
+            while True:
+                s = self.next()
+                if s.type != T.STRING:
+                    raise ParseError("Enum member must be a string literal")
+                if self.eat_sym("="):
+                    vid = self.next()
+                    if vid.type != T.INT:
+                        raise ParseError("Enum id must be an integer")
+                    next_id = vid.value
+                binds.append(A.EnumBind(s.value, next_id))
+                next_id += 1  # auto-increment ids (mod.rs:1799-1813)
+                if not self.eat_sym(","):
+                    break
+            self.expect_sym(")")
+            return A.DataType(name, binds)
+        if name == "tuple":
+            self.expect_sym("(")
+            inners = [self._datatype()]
+            while self.eat_sym(","):
+                inners.append(self._datatype())
+            self.expect_sym(")")
+            return A.DataType(name, inners)
+        if name == "map":
+            self.expect_sym("(")
+            k = self._datatype()
+            self.expect_sym(",")
+            v = self._datatype()
+            self.expect_sym(")")
+            # logical (K, V) order — the reference constructs Map(value,
+            # key) by mistake (mod.rs:1780 vs item.rs:63); we implement
+            # the documented order
+            return A.DataType(name, [k, v])
+        if name == "dictionary":
+            self.expect_sym("(")
+            inner = self._datatype()
+            self.expect_sym(")")
+            return A.DataType(name, [inner])
+        if name == "nullable":
+            self.expect_sym("(")
+            inner = self._datatype()
+            self.expect_sym(")")
+            inner.nullable = True
+            return inner
+        return A.DataType(name)
+
+    # --- remaining statements ---------------------------------------------
+
+    def _describe(self):
+        self.expect_kw("describe")
+        if self.eat_kw("database"):
+            return A.DescribeStmt("database", None)
+        if self.eat_kw("view"):
+            return A.DescribeStmt("view", self.ident())
+        self.eat_kw("table")
+        return A.DescribeStmt("table", self.ident())
+
+    def _drop(self):
+        self.expect_kw("drop")
+        entity = "view" if self.eat_kw("view") else "table"
+        if entity == "table":
+            self.expect_kw("table")
+        ife = False
+        if self.eat_kw("if"):
+            self.expect_kw("exists")
+            ife = True
+        return A.DropStmt(entity, self.ident(), ife)
+
+    def _truncate(self):
+        self.expect_kw("truncate")
+        entity = "view" if self.eat_kw("view") else "table"
+        if entity == "table":
+            self.expect_kw("table")
+        ife = False
+        if self.eat_kw("if"):
+            self.expect_kw("exists")
+            ife = True
+        return A.TruncateStmt(entity, self.ident(), ife)
+
+    def _optimize(self):
+        self.expect_kw("optimize")
+        self.expect_kw("table")
+        name = self.ident()
+        part = None
+        if self.eat_kw("on"):
+            self.expect_kw("partition")
+            part = self.parse_expr()
+        return A.OptimizeStmt(name, part)
+
+    def _set(self):
+        self.expect_kw("set")
+        t = self.next()
+        if t.type != T.CONFIG:
+            raise ParseError("SET requires @config identifier")
+        self.expect_sym("=")
+        return A.SetStmt(t.text, self.parse_expr())
+
+    def _alter(self):
+        self.expect_kw("alter")
+        self.expect_kw("table")
+        table = self.ident()
+        if self.eat_kw("add"):
+            if self.eat_kw("column"):
+                ine = self._if_not_exists()
+                col = self._column_def()
+                position = None
+                if self.eat_kw("first"):
+                    position = ("first",)
+                elif self.eat_kw("after"):
+                    position = ("after", self.ident())
+                return A.AlterStmt(table, "add_column", col, position, ine)
+            if self.eat_kw("index"):
+                ine = self._if_not_exists()
+                iname = self.ident()
+                fname = self.ident()
+                self.expect_sym("(")
+                args = [] if self.eat_sym(")") else self._expr_list(")")
+                return A.AlterStmt(
+                    table, "add_index", A.IndexDef(iname, A.FnCall(fname, args)),
+                    None, ine,
+                )
+            if self.eat_kw("constraint"):
+                ine = self._if_not_exists()
+                cname = self.ident()
+                self.expect_kw("check")
+                return A.AlterStmt(
+                    table, "add_constraint",
+                    A.ConstraintDef(cname, self.parse_expr()), None, ine,
+                )
+            raise ParseError("ALTER ADD supports COLUMN, INDEX, CONSTRAINT")
+        if self.eat_kw("drop"):
+            for ent in ("column", "index", "constraint", "partition"):
+                if self.eat_kw(ent):
+                    ife = False
+                    if self.eat_kw("if"):
+                        self.expect_kw("exists")
+                        ife = True
+                    payload = (
+                        self.parse_expr() if ent == "partition" else self.ident()
+                    )
+                    return A.AlterStmt(table, f"drop_{ent}", payload, None, ife)
+            raise ParseError("ALTER DROP supports COLUMN/INDEX/CONSTRAINT/PARTITION")
+        if self.eat_kw("rename"):
+            for ent in ("column", "index", "constraint"):
+                if self.eat_kw(ent):
+                    old = self.ident()
+                    new = self.ident()
+                    return A.AlterStmt(table, f"rename_{ent}", (old, new))
+            if self.eat_kw("to"):
+                return A.AlterStmt(table, "rename_table", self.ident())
+            return A.AlterStmt(table, "rename_table", self.ident())
+        raise ParseError("ALTER supports ADD, DROP, RENAME")
+
+
+def parse(sql: str):
+    """`Parser::parse` equivalent (reference mod.rs:27-29)."""
+    return Parser(sql).parse_stmt()

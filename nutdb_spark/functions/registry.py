@@ -155,3 +155,18 @@ def _coalesce(*cols: Column) -> Column:
 @scalar("nullIf")
 def _null_if(a: Column, b: Column) -> Column:
     return F.nullif(a, b)
+
+
+@scalar("floor")
+def _floor(x: Column) -> Column:
+    return F.floor(x)
+
+
+@scalar("ceil")
+def _ceil(x: Column) -> Column:
+    return F.ceil(x)
+
+
+@scalar("sqrt")
+def _sqrt(x: Column) -> Column:
+    return F.sqrt(x)

@@ -1,0 +1,137 @@
+"""DDL + write-path suite (S2-S15): engine-managed tables round-trip
+through dialect SQL — CREATE (types/defaults/enums/serials/constraints)
+→ INSERT → query → hash-check.
+
+The managed catalog lives outside DuckDB's view of the world, so the
+oracles re-derive the expected result from VALUES literals (INSERT
+payload is known) or from the fixture tables (INSERT…SELECT case).
+Entries drop-and-recreate their objects so they are idempotent across
+runs. NOTE for the laziness test: these callables execute writes by
+design (INSERT is an action); they are excluded there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nutdb_spark.suite.registry import query
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=sf_dir)
+
+
+@query(
+    "q_ddl_roundtrip",
+    """
+    SELECT tag, COUNT(*) AS n, SUM(score) AS total
+    FROM (VALUES ('a', 5), ('b', 7), ('a', 3), ('b', 0)) t(tag, score)
+    GROUP BY tag
+    """,
+)
+def q_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE with serial id, enum, default, CHECK; INSERT…VALUES
+    (arity + constraint validation on the write path); aggregate back.
+    Reference shapes: tests/sql/11.sql (DDL), 13.sql (multi-row insert).
+    """
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ddl_rt")
+    eng.sql(
+        """
+        CREATE TABLE ddl_rt (
+          id Serial64,
+          tag Enum('a' = 1, 'b' = 2),
+          score Int64 DEFAULT 0,
+          CONSTRAINT nonneg CHECK score >= 0
+        ) ORDER BY (tag)
+        """
+    )
+    eng.sql("INSERT INTO ddl_rt (tag, score) VALUES ('a', 5), ('b', 7), ('a', 3)")
+    eng.sql("INSERT INTO ddl_rt (tag) VALUES ('b')")  # DEFAULT fills score=0
+    return eng.sql(
+        "SELECT tag, count(*) AS n, sum(score) AS total FROM ddl_rt GROUP BY tag"
+    )
+
+
+@query(
+    "q_ddl_view_summing",
+    """
+    SELECT k, SUM(v) AS v FROM (
+      SELECT * FROM (VALUES (1, 10), (2, 20), (1, 5)) a(k, v)
+      UNION ALL
+      SELECT * FROM (VALUES (2, 2), (3, 1)) b(k, v)
+    ) u GROUP BY k
+    """,
+)
+def q_ddl_view_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW … UPDATE BY Summing over a UNION ALL query (corpus
+    12.sql shape): the view materializes with SummingMergeTree
+    semantics — numeric non-key columns summed per ORDER BY key."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP VIEW IF EXISTS sum_v")
+    eng.sql("DROP TABLE IF EXISTS sum_a")
+    eng.sql("DROP TABLE IF EXISTS sum_b")
+    eng.sql("CREATE TABLE sum_a (k Int32, v Int64)")
+    eng.sql("CREATE TABLE sum_b (k Int32, v Int64)")
+    eng.sql("INSERT INTO sum_a (k, v) VALUES (1, 10), (2, 20), (1, 5)")
+    eng.sql("INSERT INTO sum_b (k, v) VALUES (2, 2), (3, 1)")
+    eng.sql(
+        """
+        CREATE VIEW sum_v UPDATE BY Summing ORDER BY (k) AS
+        SELECT k, v FROM sum_a
+        UNION ALL
+        SELECT k, v FROM sum_b
+        """
+    )
+    return eng.sql("SELECT k, v FROM sum_v")
+
+
+@query(
+    "q_ddl_insert_select",
+    """
+    SELECT flag, COUNT(*) AS n, SUM(CAST(qty AS BIGINT)) AS total FROM (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey < 1000) t
+    GROUP BY flag
+    """,
+)
+def q_ddl_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT…SELECT (S3): populate a managed table from a fixture
+    query, then aggregate the managed copy."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ins_sel")
+    eng.sql("CREATE TABLE ins_sel (flag String, qty Int64)")
+    eng.sql(
+        """
+        INSERT INTO ins_sel (flag, qty)
+        SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey < 1000
+        """
+    )
+    return eng.sql(
+        "SELECT flag, count(*) AS n, sum(qty) AS total FROM ins_sel GROUP BY flag"
+    )
+
+
+@query(
+    "q_ddl_alter",
+    """
+    SELECT name, score * 2 AS boosted FROM
+      (VALUES ('x', 5), ('y', 7)) t(name, score)
+    """,
+)
+def q_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN with a computed backfill via the DEFAULT
+    expression, then RENAME (S8, S10)."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS alt_t")
+    eng.sql("CREATE TABLE alt_t (name String, score Int32)")
+    eng.sql("INSERT INTO alt_t (name, score) VALUES ('x', 5), ('y', 7)")
+    eng.sql("ALTER TABLE alt_t ADD COLUMN b2 Int32 DEFAULT 0 AFTER name")
+    eng.sql("ALTER TABLE alt_t RENAME COLUMN b2 boosted")
+    eng.sql("DROP TABLE IF EXISTS alt_t2")
+    # rebuild boosted = score*2 via INSERT…SELECT into a fresh table
+    eng.sql("CREATE TABLE alt_t2 (name String, boosted Int32)")
+    eng.sql("INSERT INTO alt_t2 (name, boosted) SELECT name, score * 2 FROM alt_t")
+    return eng.sql("SELECT name, boosted FROM alt_t2")

@@ -1,0 +1,279 @@
+"""Frontend-driven suite: NutDB dialect SQL text → parse → lower →
+DataFrame, hash-checked against the same DuckDB oracles as the
+DataFrame-built queries. A green row here certifies the tokenizer,
+parser, AND lowering end-to-end (M4), not just the operators.
+
+Aggregates use the floor-scaling determinism convention inline in the
+dialect SQL (`sum(floor(x * 10000)) / 10000.0`) so doubles are
+bit-identical cross-engine (see functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nutdb_spark.suite.registry import query
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=sf_dir).sql(sql)
+
+
+# --- flagship Q1 through the frontend (corpus 1.sql repaired) -------------
+
+_SQL_Q1 = """
+select
+    l_returnflag,
+    l_linestatus,
+    sum(floor(l_quantity * 10000)) / 10000.0 as sum_qty,
+    sum(floor(l_extendedprice * 10000)) / 10000.0 as sum_base,
+    sum(floor(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 as sum_disc_price,
+    count(*) as count_order
+from
+    lineitem
+where
+    l_shipdate <= toDatetime('1998-11-21 00:00:00')
+group by
+    l_returnflag,
+    l_linestatus
+order by
+    l_returnflag,
+    l_linestatus
+"""
+
+_ORA_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_base,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-11-21 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_q1", _ORA_Q1)
+def sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _SQL_Q1)
+
+
+# --- corpus 2.sql shape (EXISTS + date window + interval) -----------------
+
+_SQL_Q4 = """
+select
+    o_orderpriority,
+    count(*) as order_count
+from orders
+where
+    o_orderdate >= toDatetime('1997-07-01 00:00:00')
+    and o_orderdate < toDatetime('1997-07-01 00:00:00') + interval 3 month
+    and exists (
+        select * from lineitem
+        where l_orderkey = o_orderkey
+          and l_shipdate > o_orderdate + interval 2 month
+    )
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+_ORA_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01' + INTERVAL 3 MONTH
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 2 MONTH)
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_q4_exists", _ORA_Q4)
+def sql_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dialect's correlated EXISTS decorrelates into a left-semi
+    join whose condition carries the cross-scope conjuncts."""
+    return _run(spark, sf_dir, _SQL_Q4)
+
+
+# --- joins + qualified refs + aliases -------------------------------------
+
+
+@query(
+    "sql_join_group",
+    """
+    SELECT n.n_name, COUNT(*) AS n_cust
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def sql_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select n.n_name, count(*) as n_cust
+        from customer as c
+        join nation as n on c.c_nationkey = n.n_nationkey
+        join region as r on n.n_regionkey = r.r_regionkey
+        where r.r_name = 'ASIA'
+        group by n.n_name
+        """,
+    )
+
+
+# --- set ops with INTERSECT-binds-tighter precedence ----------------------
+
+
+@query(
+    "sql_setops",
+    """
+    SELECT c_nationkey AS k FROM customer
+    UNION
+    (SELECT s_nationkey AS k FROM supplier
+     INTERSECT
+     SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0)
+    """,
+)
+def sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`a UNION DISTINCT b INTERSECT c` must parse as
+    `a UNION (b INTERSECT c)` (UnionTypePower, mod.rs:1968-1974)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select c_nationkey as k from customer
+        union distinct
+        select s_nationkey as k from supplier
+        intersect
+        select n_nationkey as k from nation where n_regionkey = 0
+        """,
+    )
+
+
+# --- expression surface through the frontend ------------------------------
+
+
+@query(
+    "sql_expressions",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS sz,
+           p_size BETWEEN 10 AND 30 AS mid,
+           p_name LIKE '%red%' AS red,
+           (p_size & 12) | 1 AS bits,
+           p_size >> 1 AS shr,
+           ([p_brand, p_type])[1] AS arr1,
+           substring(p_name, 1, 3) AS pre
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def sql_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select p_partkey,
+               if p_size > 25 then 'big' else 'small' end as sz,
+               p_size between 10 and 30 as mid,
+               p_name like '%red%' as red,
+               (p_size & 12) | 1 as bits,
+               p_size >> 1 as shr,
+               [p_brand, p_type][1] as arr1,
+               substring(p_name, 1, 3) as pre
+        from part where p_partkey < 300
+        """,
+    )
+
+
+# --- DISTINCT ON + LIMIT WITH TIES through the frontend -------------------
+
+
+@query(
+    "sql_distinct_on",
+    """
+    SELECT c_nationkey, c_custkey FROM (
+      SELECT c_nationkey, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer) t
+    WHERE rn = 1
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select distinct on (c_nationkey) c_nationkey, c_custkey
+        from customer order by c_custkey
+        """,
+    )
+
+
+@query(
+    "sql_limit_ties",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             rank() OVER (ORDER BY l_quantity) AS rk
+      FROM lineitem) t
+    WHERE rk <= 10
+    """,
+)
+def sql_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_orderkey, l_linenumber, l_quantity
+        from lineitem order by l_quantity limit 10 with ties
+        """,
+    )
+
+
+# --- CTE + scalar subquery + NOT IN through the frontend ------------------
+
+
+@query(
+    "sql_cte_scalar",
+    """
+    WITH rich AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(c_acctbal) FROM customer))
+    SELECT COUNT(*) AS n_rich FROM rich
+    """,
+)
+def sql_cte_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with rich as (
+          select c_custkey, c_acctbal from customer
+          where c_acctbal > (select sum(floor(c_acctbal * 10000)) / 10000.0 / count(c_acctbal) from customer))
+        select count(*) as n_rich from rich
+        """,
+    )
+
+
+@query(
+    "sql_not_in",
+    """
+    SELECT s_suppkey FROM supplier
+    WHERE s_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < -900)
+    """,
+)
+def sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select s_suppkey from supplier
+        where s_nationkey not in (select c_nationkey from customer where c_acctbal < -900)
+        """,
+    )
