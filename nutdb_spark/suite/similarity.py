@@ -90,3 +90,66 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return topk_bruteforce(e, queries, "vec_id", "embedding", k=5)
+
+
+@query(
+    "q_sim_topk_lsh",
+    _SCALED_CTE
+    + f""",
+b AS (SELECT vec_id, s, n2, {oracle_lsh_bucket('s')} AS blk FROM n)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {oracle_cosine(oracle_dot_scaled('q.s', 'c.s'), 'q.n2', 'c.n2')} DESC,
+                    c.vec_id) AS rank
+  FROM b q JOIN b c ON q.blk = c.blk AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10) t
+WHERE rank <= 5
+""",
+)
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN scale path: probe only the query's LSH bucket
+    (equi-join on bucket id), exact-rank the candidates — constant
+    candidate set per query instead of the full corpus."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.similarity import (
+        cosine_from_scaled,
+        dot_scaled,
+        lsh_bucket,
+        norm_sq_scaled,
+        scaled,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (
+        e.select(F.col("vec_id").alias("__id"), scaled(F.col("embedding")).alias("__v"))
+        .withColumn("__n2", norm_sq_scaled(F.col("__v")))
+        .withColumn("__blk", lsh_bucket(F.col("__v")))
+    )
+    q = base.filter(F.col("__id") < 10).select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("__n2").alias("__qn2"),
+        F.col("__blk").alias("__qblk"),
+    )
+    cos = cosine_from_scaled(
+        dot_scaled(F.col("__qv"), F.col("__v")), F.col("__qn2"), F.col("__n2")
+    )
+    scored = base.join(
+        F.broadcast(q),
+        (F.col("__qblk") == F.col("__blk")) & (F.col("__qid") != F.col("__id")),
+    ).select(
+        F.col("__qid").alias("query_id"),
+        F.col("__id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -102,3 +102,40 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session(
         e, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
     )
+
+
+# --- AS-OF join (J9; SURVEY §2.3) over events -----------------------------
+
+
+@query(
+    "q_asof_join",
+    f"""
+    SELECT l.event_id, l.user_id, r.event_id AS asof_event_id
+    FROM (SELECT * FROM {_EV} WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM {_EV} WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the latest prior purchase of the same user —
+    lowered as union + per-key window (one shuffle, no range join)."""
+    from nutdb_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["p_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_p_event_id").alias("asof_event_id")
+    )
