@@ -47,3 +47,61 @@ def test_session_window_streaming_mode(spark, sf_dir):
     sess = session(src, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")])
     got = run_available_now(sess)
     assert got.count() > 0
+
+
+def test_stateful_dedup_stream(spark, sf_dir):
+    """applyInPandasWithState dedup: streamed result must equal the
+    batch distinct over (user_id, event_id)."""
+    from nutdb_spark.sources import load_table
+    from nutdb_spark.streaming.stateful import streaming_dedup
+    from nutdb_spark.streaming.windows import read_events_stream
+
+    src = read_events_stream(spark, sf_dir, watermark=None)
+    deduped = streaming_dedup(src)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_snk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_snk")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id")
+        .distinct()
+    )
+    assert got.count() == batch.count()
+    assert got.select("user_id", "event_id").distinct().count() == got.count()
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    from nutdb_spark.sources import load_table
+    from nutdb_spark.streaming.stateful import running_totals
+    from nutdb_spark.streaming.windows import read_events_stream
+
+    from pyspark.sql import functions as F2
+
+    src = read_events_stream(spark, sf_dir, watermark=None)
+    q = (
+        running_totals(src)
+        .writeStream.format("memory")
+        .queryName("totals_snk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in spark.table("totals_snk").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == batch
