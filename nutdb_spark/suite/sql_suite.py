@@ -277,3 +277,36 @@ def sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         where s_nationkey not in (select c_nationkey from customer where c_acctbal < -900)
         """,
     )
+
+
+# --- S16 table function as FROM source ------------------------------------
+
+
+@query(
+    "sql_table_fn",
+    "SELECT range AS number, range * 2 AS doubled FROM range(6)",
+)
+def sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`FROM numbers(n)` (DataSource::TableFn, mod.rs:546-562)."""
+    return _run(
+        spark, sf_dir, "select number, number * 2 as doubled from numbers(6)"
+    )
+
+
+# --- S11 DESCRIBE TABLE (fixture schema is pinned, so the oracle is a
+# VALUES literal of the expected rows) --------------------------------------
+
+
+@query(
+    "sql_describe",
+    """
+    SELECT * FROM (VALUES
+      ('r_regionkey', 'int', true, NULL),
+      ('r_name', 'string', true, NULL)
+    ) t(name, type, nullable, comment)
+    """,
+)
+def sql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=sf_dir).sql("DESCRIBE TABLE region")

@@ -1,0 +1,83 @@
+"""Engine facade: statements whose effects aren't hash-checkable
+(EXPLAIN, SET, INSERT…FROM fn, DESCRIBE DATABASE, error behavior)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+
+
+def test_explain_returns_plan(eng):
+    rows = eng.sql("EXPLAIN SELECT count() FROM lineitem").collect()
+    text = "\n".join(r["plan"] for r in rows)
+    assert "Physical Plan" in text
+
+
+def test_set_config(eng):
+    eng.sql("SET @my_knob = 42")
+    assert eng.config["my_knob"] == 42
+    eng.sql("SET @spark_sql_shuffle_partitions = 16")
+    assert eng.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+
+
+def test_insert_from_table_fn(eng):
+    eng.sql("CREATE TABLE nums (n Int64)")
+    eng.sql("INSERT INTO nums (n) FROM numbers(5)")
+    got = sorted(r["n"] for r in eng.sql("SELECT n FROM nums").collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_describe_database_lists_objects(eng):
+    eng.sql("CREATE TABLE d1 (x Int32)")
+    eng.sql("CREATE VIEW d2 UPDATE BY Summing ORDER BY (x) AS SELECT x, 1 AS c FROM d1")
+    rows = {(r["name"], r["type"]) for r in eng.sql("DESCRIBE DATABASE").collect()}
+    assert ("d1", "table") in rows and ("d2", "view") in rows
+
+
+def test_nullability_enforced(eng):
+    from nutdb_spark.catalog import CatalogError
+
+    eng.sql("CREATE TABLE nn (a Int32, b Nullable(Int32))")
+    eng.sql("INSERT INTO nn (a, b) VALUES (1, NULL)")  # b nullable: ok
+    with pytest.raises(CatalogError):
+        eng.sql("INSERT INTO nn (a, b) VALUES (NULL, 2)")  # a is not
+
+
+def test_check_constraint_enforced(eng):
+    from nutdb_spark.catalog import CatalogError
+
+    eng.sql("CREATE TABLE ck (v Int32, CONSTRAINT pos CHECK v > 0)")
+    eng.sql("INSERT INTO ck (v) VALUES (5)")
+    with pytest.raises(CatalogError):
+        eng.sql("INSERT INTO ck (v) VALUES (-1)")
+
+
+def test_serial_ids_unique(eng):
+    eng.sql("CREATE TABLE sid (id Serial64, tag String)")
+    eng.sql("INSERT INTO sid (tag) VALUES ('a'), ('b'), ('c')")
+    eng.sql("INSERT INTO sid (tag) VALUES ('d'), ('e')")
+    ids = [r["id"] for r in eng.sql("SELECT id FROM sid").collect()]
+    assert len(ids) == len(set(ids)) == 5
+
+
+def test_drop_partition(eng):
+    eng.sql("CREATE TABLE pt (k Int32, v Int32) PARTITION BY k")
+    eng.sql("INSERT INTO pt (k, v) VALUES (1, 10), (2, 20), (1, 30)")
+    eng.sql("ALTER TABLE pt DROP PARTITION 1")
+    rows = eng.sql("SELECT k, v FROM pt").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(2, 20)]
+
+
+def test_unknown_function_errors(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError):
+        eng.sql("SELECT frobnicate(1) FROM region")
