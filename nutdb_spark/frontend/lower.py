@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nutdb_spark.frontend import ast_nodes as A
+from nutdb_spark.functions import textfns as _textfns  # noqa: F401 — registers [EXT] names
 from nutdb_spark.functions.registry import AGGREGATE_FNS, SCALAR_FNS
 from nutdb_spark.operators import relational as R
 

@@ -62,6 +62,11 @@ AGGREGATE_FNS["max"] = F.max
 # variant for 100 TB interactive use (same name + 'Approx' suffix).
 AGGREGATE_FNS["countUnique"] = F.count_distinct
 AGGREGATE_FNS["countUniqueApprox"] = F.approx_count_distinct
+# exact interpolated quantile (ClickHouse quantile/median names);
+# quantileApprox is the constant-memory variant for interactive 100 TB
+AGGREGATE_FNS["quantile"] = lambda c, p=0.5: F.percentile(c, p)
+AGGREGATE_FNS["median"] = lambda c: F.percentile(c, 0.5)
+AGGREGATE_FNS["quantileApprox"] = lambda c, p=0.5: F.percentile_approx(c, p)
 
 
 # --- scalars --------------------------------------------------------------

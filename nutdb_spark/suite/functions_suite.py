@@ -151,3 +151,25 @@ def q_fn_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(((r >= 0) & (r < 1)).alias("ok")).agg(
         F.min("ok").alias("all_in_range"), F.count(F.lit(1)).alias("n")
     )
+
+
+# --- quantile / median (exact interpolated; ClickHouse-family names) ------
+
+
+@query(
+    "q_fn_quantile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS med_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_fn_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles — bit-identical to DuckDB's
+    quantile_cont given identical inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        AGGREGATE_FNS["median"](F.col("l_quantity")).alias("med_qty"),
+        AGGREGATE_FNS["quantile"](F.col("l_extendedprice"), 0.9).alias("p90_price"),
+    )

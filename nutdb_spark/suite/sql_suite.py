@@ -310,3 +310,65 @@ def sql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutdb_spark.engine import NutEngine
 
     return NutEngine(spark, data_dir=sf_dir).sql("DESCRIBE TABLE region")
+
+
+# --- [EXT] pipeline functions from dialect SQL ----------------------------
+
+
+@query(
+    "sql_text_pipeline",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           len(string_split_regex(trim(text), '\\s+')) AS toks,
+           CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(unicode(substring(text, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) END AS rhash
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def sql_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The [EXT] pipeline functions are reachable from dialect SQL via
+    the open function namespace (SURVEY §2.5): fingerprint, tokenCount,
+    rollingHash."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select doc_id,
+               fingerprint(text) as fp,
+               tokenCount(text) as toks,
+               rollingHash(text) as rhash
+        from documents where doc_id < 100
+        """,
+    )
+
+
+@query(
+    "sql_embed_cosine",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS s
+               FROM embeddings WHERE vec_id < 50)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.s[i] * b.s[i])) AS BIGINT) AS DOUBLE)
+             / sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.s[i] * a.s[i])) AS BIGINT) AS DOUBLE))
+             / sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> b.s[i] * b.s[i])) AS BIGINT) AS DOUBLE)) AS cos
+    FROM v a JOIN v b ON a.vec_id + 1 = b.vec_id
+    """,
+)
+def sql_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedCosineSim from dialect SQL over adjacent vector pairs."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select a.vec_id as id_a, b.vec_id as id_b,
+               embedCosineSim(a.embedding, b.embedding) as cos
+        from embeddings a
+        join embeddings b on a.vec_id + 1 = b.vec_id
+        where a.vec_id < 49 and b.vec_id < 50
+        """,
+    )
