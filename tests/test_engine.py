@@ -81,3 +81,18 @@ def test_unknown_function_errors(eng):
 
     with pytest.raises(LoweringError):
         eng.sql("SELECT frobnicate(1) FROM region")
+
+
+def test_query_parameters(eng):
+    rows = eng.sql(
+        "SELECT c_custkey FROM customer WHERE c_custkey < $0 AND c_nationkey = $1",
+        params=[10, 2],
+    ).collect()
+    assert all(r["c_custkey"] < 10 for r in rows)
+
+
+def test_parameter_missing_errors(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError):
+        eng.sql("SELECT $5 AS x").collect()

@@ -105,3 +105,45 @@ def test_stateful_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_incremental_summing_view(spark, sf_dir, tmp_path):
+    """foreachBatch Summing merge across MULTIPLE micro-batches must
+    equal the one-shot batch aggregate (merge associativity)."""
+    from nutdb_spark.sources import load_table
+    from nutdb_spark.streaming.summing import incremental_summing
+
+    # split events into 4 files so maxFilesPerTrigger=1 gives 4 batches
+    src_dir = str(tmp_path / "events_parts")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state = str(tmp_path / "summing_state")
+    q = incremental_summing(
+        stream,
+        keys=["event_type"],
+        sums=["value"],
+        state_path=state,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    got = {
+        r["event_type"]: (round(r["value"], 6), r["__n"])
+        for r in spark.read.parquet(state).collect()
+    }
+    from pyspark.sql import functions as F2
+
+    want = {
+        r["event_type"]: (round(r["value"], 6), r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F2.sum("value").alias("value"), F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
