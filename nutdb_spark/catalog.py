@@ -337,6 +337,36 @@ class Catalog:
         writer.parquet(self._data_path(stmt.table))
         meta["serial_next"] = serial_bases
         self._save_meta(stmt.table, meta)
+        self._refresh_dependent_views(stmt.table, low)
+
+    def _referenced_tables(self, node, out: set[str]) -> None:
+        if isinstance(node, A.TableRef):
+            out.add(node.name)
+            return
+        if isinstance(node, (str, int, float, bool, bytes)) or node is None:
+            return
+        if isinstance(node, (list, tuple)):
+            for x in node:
+                self._referenced_tables(x, out)
+            return
+        for f in getattr(node, "__dataclass_fields__", {}):
+            self._referenced_tables(getattr(node, f), out)
+
+    def _refresh_dependent_views(self, table: str, low) -> None:
+        """Keep `UPDATE BY <strategy>` views maintained: any view whose
+        defining query references the written table re-merges. (Full
+        refresh — correct for every query shape; the incremental
+        foreachBatch path in streaming/summing.py is the streaming
+        ingest variant.)"""
+        for f in os.listdir(self.root):
+            if not f.endswith(".json"):
+                continue
+            meta = self._load_meta(f[:-5])
+            if meta and meta["type"] == "view":
+                refs: set[str] = set()
+                self._referenced_tables(_unpickle_ast(meta["query"]), refs)
+                if table in refs:
+                    self.refresh_view(meta["name"], low)
 
     # --- views (S7): CREATE VIEW … UPDATE BY <strategy> -------------------
 

@@ -96,3 +96,28 @@ def test_parameter_missing_errors(eng):
 
     with pytest.raises(LoweringError):
         eng.sql("SELECT $5 AS x").collect()
+
+
+def test_view_stays_fresh_on_insert(eng):
+    """`UPDATE BY Summing` means MAINTAINED: inserting into a base
+    table re-merges every view that references it."""
+    eng.sql("CREATE TABLE fv (k Int32, v Int64)")
+    eng.sql("INSERT INTO fv (k, v) VALUES (1, 10), (2, 20)")
+    eng.sql("CREATE VIEW fvv UPDATE BY Summing ORDER BY (k) AS SELECT k, v FROM fv")
+    eng.sql("INSERT INTO fv (k, v) VALUES (1, 5), (3, 7)")
+    got = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM fvv").collect()}
+    assert got == {1: 15, 2: 20, 3: 7}
+
+
+def test_partitioned_table_prunes(eng):
+    """PARTITION BY column → directory layout → Catalyst partition
+    pruning on the managed read path."""
+    eng.sql("CREATE TABLE ppt (k Int32, v Int64) PARTITION BY k")
+    eng.sql("INSERT INTO ppt (k, v) VALUES (1, 10), (2, 20), (1, 30), (3, 40)")
+    df = eng.sql("SELECT v FROM ppt WHERE k = 1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.split("\n") if "FileScan" in l)
+    pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "(k#" in pf and "= 1" in pf  # the filter PRUNES, not scans
+    assert "DataFilters: []" in scan
+    assert sorted(r["v"] for r in df.collect()) == [10, 30]
