@@ -48,9 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            # integer `div`, NOT `/`: double division loses precision at
-            # epoch-nanos magnitude (~1.7e18 > 2^53)
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # integer `div` (double division loses precision at ~1.7e18);
+            # NTZ built by pure integer timestampadd so the value is
+            # session-timezone-independent (timestamp_micros is LTZ and
+            # would shift windows/collect under a non-UTC session)
+            df = df.withColumn("ts", F.expr("timestampadd(MICROSECOND, (ts div 1000) % 86400000000, timestampadd(DAY, ts div 86400000000000, TIMESTAMP_NTZ '1970-01-01 00:00:00'))"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _CACHE[key] = df

@@ -89,6 +89,9 @@ def read_events_stream(
         .load(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
+        # LTZ (timestamp_micros), unlike the batch loader's NTZ: Spark
+        # watermarks require TIMESTAMP — event-time semantics follow the
+        # session timezone by design in Structured Streaming
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if watermark:
         stream = stream.withWatermark("ts", watermark)
