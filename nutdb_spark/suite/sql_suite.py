@@ -372,3 +372,53 @@ def sql_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         where a.vec_id < 49 and b.vec_id < 50
         """,
     )
+
+
+# --- corpus 10.sql stress shape: deep LEFT JOIN chain + CASE + >> + hex +
+# backtick aliases + comments (reference benches/parser_bench.rs "long
+# sql" is this same shape) ---------------------------------------------------
+
+
+@query(
+    "sql_multi_join",
+    """
+    SELECT o_orderkey, seg, pri_bucket, flags
+    FROM (
+      SELECT o.o_orderkey AS o_orderkey,
+             c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 3
+                  WHEN o.o_orderpriority = '2-HIGH' THEN 2
+                  ELSE (p.p_size >> 2) & 3 END AS pri_bucket,
+             n.n_regionkey | 8 AS flags
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_linenumber = 1
+      LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE o.o_orderkey < 500) t
+    """,
+)
+def sql_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark,
+        sf_dir,
+        """
+        -- corpus 10.sql shape: long left-join chain with expressions
+        select o.o_orderkey as o_orderkey,
+               c.c_mktsegment as `seg`,
+               case when o.o_orderpriority = '1-URGENT' then 3
+                    when o.o_orderpriority = '2-HIGH' then 2
+                    else (p.p_size >> 2) & 0x3 end as pri_bucket,
+               n.n_regionkey | 8 as flags  /* bit ops over joins */
+        from orders as o
+        left join customer as c on o.o_custkey = c.c_custkey
+        left join nation as n on c.c_nationkey = n.n_nationkey
+        left join region as r on n.n_regionkey = r.r_regionkey
+        left join lineitem as l on o.o_orderkey = l.l_orderkey and l.l_linenumber = 1
+        left join part as p on l.l_partkey = p.p_partkey
+        left join supplier as s on l.l_suppkey = s.s_suppkey
+        where o.o_orderkey < 500
+        """,
+    )
