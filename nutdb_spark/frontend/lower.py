@@ -441,7 +441,9 @@ class Lowerer:
         return base, {"groups": q.group_by, "names": group_map}
 
     def _lower_agg_call(self, call: A.FnCall, scope: Scope) -> Column:
-        fn = AGGREGATE_FNS[call.name if call.name in AGGREGATE_FNS else call.name.lower()]
+        from nutdb_spark.functions.registry import resolve
+
+        fn, _ = resolve(call.name)
         if not call.args or isinstance(call.args[0], A.Wildcard):
             return F.count(F.lit(1))
         args = [self._expr(a, scope, {}, []) for a in call.args]
@@ -628,15 +630,17 @@ class Lowerer:
         return out
 
     def _fn(self, e: A.FnCall, scope, group_map, agg_calls, pending) -> Column:
-        name = e.name
-        key = name if name in SCALAR_FNS or name in AGGREGATE_FNS else name.lower()
-        if key in AGGREGATE_FNS:
+        from nutdb_spark.functions.registry import resolve
+
+        try:
+            fn, is_agg = resolve(e.name)
+        except KeyError as ex:
+            raise LoweringError(f"unknown function {e.name!r}") from ex
+        if is_agg:
             # aggregate outside agg context (e.g. plain SELECT count(*))
             return self._lower_agg_call(e, scope)
-        if key not in SCALAR_FNS:
-            raise LoweringError(f"unknown function {name!r}")
         args = [self._expr(a, scope, group_map, agg_calls, pending) for a in e.args]
-        return SCALAR_FNS[key](*args)
+        return fn(*args)
 
     @staticmethod
     def _expr_name(e) -> str:

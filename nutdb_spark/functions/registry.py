@@ -43,11 +43,19 @@ def aggregate(name: str) -> Callable[[ScalarFn], ScalarFn]:
 
 
 def resolve(name: str) -> tuple[ScalarFn, bool]:
-    """Look up a dialect function → (lowering, is_aggregate)."""
+    """Look up a dialect function → (lowering, is_aggregate).
+    Case-insensitive, like the dialect family's function names."""
     if name in AGGREGATE_FNS:
         return AGGREGATE_FNS[name], True
     if name in SCALAR_FNS:
         return SCALAR_FNS[name], False
+    low = name.lower()
+    for k, fn in AGGREGATE_FNS.items():
+        if k.lower() == low:
+            return fn, True
+    for k, fn in SCALAR_FNS.items():
+        if k.lower() == low:
+            return fn, False
     raise KeyError(f"unknown function: {name}")
 
 

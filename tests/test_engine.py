@@ -121,3 +121,11 @@ def test_partitioned_table_prunes(eng):
     assert "(k#" in pf and "= 1" in pf  # the filter PRUNES, not scans
     assert "DataFilters: []" in scan
     assert sorted(r["v"] for r in df.collect()) == [10, 30]
+
+
+def test_function_names_case_insensitive(eng):
+    rows = eng.sql(
+        "SELECT COUNT() AS n, SUM(c_acctbal) AS s, countunique(c_nationkey) AS u "
+        "FROM customer"
+    ).collect()
+    assert rows[0]["n"] > 0 and rows[0]["u"] == 25
