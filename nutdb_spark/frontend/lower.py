@@ -471,6 +471,15 @@ class Lowerer:
                 return F.col(name)
 
         if isinstance(e, A.Lit):
+            # Integer literals lower to Int64 (or Decimal(38,0) beyond
+            # int64 — the reference tokenizes integers as u128,
+            # ast/item.rs:90-93). Without the widening, Python ints that
+            # fit in 32 bits become IntegerType and ANSI-mode arithmetic
+            # overflows on products that any 64-bit engine handles.
+            if e.kind in ("int", "hex") and isinstance(e.value, int):
+                if -(2**63) <= e.value < 2**63:
+                    return F.lit(e.value).cast("bigint")
+                return F.lit(str(e.value)).cast("decimal(38,0)")
             return F.lit(e.value)
         if isinstance(e, A.Param):
             return F.lit(self._param(e))
@@ -520,6 +529,10 @@ class Lowerer:
         if isinstance(e, A.IndexAccess):
             b = self._expr(e.base, scope, group_map, agg_calls, pending)
             i = self._expr(e.index, scope, group_map, agg_calls, pending)
+            # element_at requires an INT index for arrays; undo the
+            # bigint literal widening there (map keys pass through).
+            if isinstance(e.index, A.Lit) and e.index.kind in ("int", "hex"):
+                i = i.cast("int")
             return F.element_at(b, i)  # 1-based, matches the dialect
         if isinstance(e, A.ArrayLit):
             return F.array(

