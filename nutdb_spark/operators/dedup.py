@@ -57,33 +57,80 @@ def oracle_shingles(text_expr: str, n: int = 2) -> str:
     return f"list_distinct({oracle_ngrams(words, n)})"
 
 
+# Java String.trim strips every char <= U+0020; the Python shingle
+# generator mirrors it (plus ASCII-\s+ splitting, matching both Java
+# regex \s and DuckDB RE2 \s) so all three engines tokenize alike.
+_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+
+# MinHash universal-hash family over the Mersenne prime 2^31-1: each
+# shingle is md5-hashed ONCE (base = first 60 bits of the digest mod P)
+# and the k signature slots are affine variants (a_i*base + b_i) mod P
+# — the textbook construction, 8× less hashing than k seeded md5 runs.
+# All arithmetic stays far inside int64 (a_i*P + b_i < 2^36), so
+# Python, Spark, and DuckDB compute identical values.
+MINHASH_P = 2_147_483_647
+
+
+def _affine(i: int) -> tuple[int, int]:
+    return 2 * i + 1, 7919 * i + 13
+
+
+def _doc_shingle_set(text, n: int, split) -> set:
+    toks = split(text.strip(_JAVA_TRIM)) if text is not None else []
+    return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Parallelism guard for Python stages: a small corpus can arrive
+    as fewer input splits than cores (sf0.1 = one parquet file = one
+    task), serializing mapInPandas. At real scale input splits far
+    exceed cores and this is a no-op — no shuffle added."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, shingle) rows, distinct per doc.
+    """(__id, __s, __n) rows: distinct word-n-gram shingles per doc
+    plus the doc's distinct-shingle count.
 
-    posexplode the token split ONCE, then assemble n-grams with
-    window lead() per doc — the regex split runs exactly once per
-    document (the array-expression form re-evaluates it for every
-    reference inside the zip; measured 2.3× slower end-to-end on the
-    Jaccard pipeline at sf0.1). The window partitions by doc id, so
-    the shuffle is the same one the downstream aggregates need."""
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__w"),
+    One Arrow-batched pass (mapInPandas): trim → ASCII-whitespace
+    split → n-gram set per document. Zero shuffles — the window/
+    distinct formulation costs a shuffle for the window sort and
+    another for the distinct, and a separate per-doc size aggregate
+    costs a third; carrying ``__n`` on every row makes the sizes
+    branch (and its recomputation of this whole pipeline) disappear.
+    Downstream consumers that self-join get identical child plans, so
+    Spark reuses one shuffle for both sides (ReusedExchange).
+
+    Tokenization is byte-compatible with `operators.text.tokenize`
+    (Java trim + ASCII \\s+ split) and with the DuckDB oracle's
+    ``string_split_regex(trim(text), '\\s+')``: docs with fewer than
+    n tokens produce no rows."""
+    import re
+
+    import pandas as pd
+
+    split = re.compile(r"[ \t\n\x0b\f\r]+").split
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ss, ns = [], [], []
+            for i, text in zip(pdf["__id"], pdf["__t"]):
+                sh = _doc_shingle_set(text, n, split)
+                for s in sh:
+                    ids.append(i)
+                    ss.append(s)
+                    ns.append(len(sh))
+            yield pd.DataFrame({"__id": ids, "__s": ss, "__n": ns})
+
+    src = _widen(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     )
-    w = Window.partitionBy("__id").orderBy("__pos")
-    parts = [F.col("__w")] + [F.lead("__w", j).over(w) for j in range(1, n)]
-    return (
-        toks.select(
-            "__id",
-            F.concat_ws(" ", *parts).alias("__s"),
-            F.lead("__w", n - 1).over(w).isNotNull().alias("__ok"),
-        )
-        .filter(F.col("__ok"))
-        .drop("__ok")
-        .distinct()
-    )
+    return src.mapInPandas(gen, "__id long, __s string, __n long")
 
 
 def jaccard_pairs(
@@ -97,13 +144,21 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
-    explode shingles → self-equi-join on the shingle (pairs that share
-    ≥1 shingle only) → per-pair shared count → Jaccard from set sizes.
+    shingle rows (each carrying its doc's set size) → self-equi-join
+    on the shingle (inverted index: only pairs sharing ≥1 shingle) →
+    per-pair shared count → Jaccard from the carried set sizes.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     The division is bigint/bigint→double, deterministic cross-engine.
+
+    Plan shape: the shingle pipeline is evaluated once per join side
+    and nowhere else — carrying ``__n`` on every row eliminates the
+    separate per-doc sizes branch (a third full evaluation) and its
+    two extra joins. A posting-list + double-explode formulation was
+    measured 3× slower here: each exploded row re-carries the whole
+    posting array, so hot shingles turn into O(k²·k) bytes of
+    intermediate state instead of the join's O(k²) rows.
     """
     ex = shingle_rows(df, id_col, text_col, n)
-    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     if max_shingle_freq is not None:
         freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__f"))
         ex = (
@@ -111,24 +166,24 @@ def jaccard_pairs(
             .filter(F.col("__f") <= max_shingle_freq)
             .drop("__f")
         )
-    a = ex.alias("a")
-    b = ex.alias("b")
+    a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.__s") == F.col("b.__s"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -140,49 +195,71 @@ def minhash_signature_df(
     *,
     n: int = 2,
     num_hashes: int = 8,
+    keep_empty: bool = True,
 ) -> DataFrame:
-    """Per-doc MinHash signature as columns __h0..__h{k-1}: for each
-    seed, min over shingles of md5('seed:'||shingle) hex strings —
-    k ordinary min() aggregates over the exploded shingle rows (one
-    shingle evaluation per doc, one shuffle on the id).
+    """Per-doc MinHash signature: one row per doc with bigint columns
+    __h0..__h{k-1}, computed in a single Arrow pass — per shingle, ONE
+    md5 (base hash), then k affine variants (a_i*base+b_i) mod P with
+    a running min per slot (see MINHASH_P).
 
     Docs with fewer than n tokens have no shingles → null signature
-    components (restored via left join on the id set)."""
-    ex = shingle_rows(df, id_col, text_col, n)
-    sig = ex.groupBy("__id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ]
+    components (restored via left join on the id set; pass
+    ``keep_empty=False`` to drop them and skip that join)."""
+    import re
+    from hashlib import md5 as _md5
+
+    import pandas as pd
+
+    split = re.compile(r"[ \t\n\x0b\f\r]+").split
+    coeffs = [_affine(i) for i in range(num_hashes)]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf["__id"], pdf["__t"]):
+                sh = _doc_shingle_set(text, n, split)
+                if not sh:
+                    continue
+                mins = [MINHASH_P + 1] * num_hashes
+                for s in sh:
+                    base = (
+                        int(_md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+                    )
+                    for k, (a, b) in enumerate(coeffs):
+                        h = (a * base + b) % MINHASH_P
+                        if h < mins[k]:
+                            mins[k] = h
+                rows.append((i, *mins))
+            yield pd.DataFrame(
+                rows, columns=["__id"] + [f"__h{k}" for k in range(num_hashes)]
+            )
+
+    src = _widen(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     )
+    schema = ", ".join(
+        ["__id long"] + [f"__h{k} long" for k in range(num_hashes)]
+    )
+    sig = src.mapInPandas(gen, schema)
+    if not keep_empty:
+        return sig
     ids = df.select(F.col(id_col).alias("__id"))
     return ids.join(sig, "__id", "left")
 
 
-def minhash_signature(text_col: Column, *, n: int = 2, num_hashes: int = 8) -> Column:
-    """Column-level signature (array<string>) — convenience form for
-    small projections; prefer minhash_signature_df for corpus-scale
-    work (this form re-evaluates the shingle set once per seed)."""
-    sh = shingles(text_col, n)
-
-    def seed_min(i: int) -> Column:
-        # factory keeps the transform lambda at exactly 1 param (a 2nd
-        # param would be bound to the element index by PySpark)
-        prefix = f"{i}:"
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
-
-    return F.array(*[seed_min(i) for i in range(num_hashes)])
-
-
 def oracle_minhash_signature(text_expr: str, *, n: int = 2, num_hashes: int = 8) -> str:
+    """DuckDB twin of `minhash_signature_df`: same base-hash (first 60
+    digest bits via '0x…' cast) and affine family."""
     sh = oracle_shingles(text_expr, n)
-    mins = ", ".join(
-        f"list_aggregate(list_transform({sh}, s -> md5('{i}:' || s)), 'min')"
-        for i in range(num_hashes)
-    )
-    return f"[{mins}]"
+    mins = []
+    for i in range(num_hashes):
+        a, b = _affine(i)
+        mins.append(
+            f"list_aggregate(list_transform({sh}, s -> "
+            f"({a} * (CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) "
+            f"% {MINHASH_P}) + {b}) % {MINHASH_P}), 'min')"
+        )
+    return "[" + ", ".join(mins) + "]"
 
 
 def minhash_lsh_pairs(
@@ -198,64 +275,62 @@ def minhash_lsh_pairs(
     """dedupNear: MinHash + LSH banding candidate generation.
 
     Signature split into `bands` bands of r = num_hashes/bands rows;
-    band key = md5 of the joined slice; candidates = equi-join on
-    (band index, band key); verification = estimated Jaccard (matching
-    signature fraction) ≥ est_threshold. One shuffle on band keys, one
-    on pair ids — no crossJoin anywhere at any scale.
+    rows sharing a band's slot values are grouped into a posting list
+    (groupBy the band struct + collect_list), candidates come from the
+    per-bucket pair expansion (double explode), and verification is
+    the estimated Jaccard (matching signature fraction) ≥
+    est_threshold. Two shuffles (bucket lists, pair dedup); no join —
+    and certainly no crossJoin — at any scale. Bucket sizes are
+    bounded by the LSH family itself (band collisions), the same
+    memory contract as any LSH bucketing.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signature_df(
-        df, id_col, text_col, n=n, num_hashes=num_hashes
-    ).filter(F.col("__h0").isNotNull())
+        df, id_col, text_col, n=n, num_hashes=num_hashes, keep_empty=False
+    )
     banded = sig.select(
         "__id",
-        *[F.col(f"__h{i}") for i in range(num_hashes)],
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"__h{b * r + j}") for j in range(r)],
-                            )
-                        ).alias("key"),
+                        *[
+                            F.col(f"__h{b * r + j}").alias(f"k{j}")
+                            for j in range(r)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("__band"),
-    ).select(
-        "__id",
-        *[F.col(f"__h{i}") for i in range(num_hashes)],
-        F.col("__band.band").alias("band"),
-        F.col("__band.key").alias("key"),
     )
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            *[F.col(f"a.__h{i}").alias(f"__a{i}") for i in range(num_hashes)],
-            *[F.col(f"b.__h{i}").alias(f"__b{i}") for i in range(num_hashes)],
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    buckets = banded.groupBy("__band").agg(
+        F.collect_list(F.struct("__id", "__sig")).alias("__ds")
     )
-    matches = sum(
-        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("__a.__sig"), F.col("__b.__sig"), lambda x, y: x == y
+            ),
+            lambda m: m,
+        )
     )
     est = matches / F.lit(float(num_hashes))
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= est_threshold
+    return (
+        buckets.filter(F.size("__ds") >= 2)
+        .select(F.explode("__ds").alias("__a"), "__ds")
+        .select("__a", F.explode("__ds").alias("__b"))
+        .filter(F.col("__a.__id") < F.col("__b.__id"))
+        .select(
+            F.col("__a.__id").alias("id_a"),
+            F.col("__b.__id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

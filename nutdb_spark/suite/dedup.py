@@ -118,9 +118,10 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_lsh() -> str:
     sig = oracle_minhash_signature("text", n=4, num_hashes=8)
-    # bands of 2 rows over the 8-slot signature; band key = md5 of slice
+    # bands of 2 rows over the 8-slot signature; bucket = slot equality
+    # (NULL slots — empty docs — never join, matching keep_empty=False)
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, sig, {b} AS band, md5(sig[{2 * b + 1}] || '|' || sig[{2 * b + 2}]) AS key FROM sigs"
+        f"SELECT doc_id, sig, {b} AS band, sig[{2 * b + 1}] AS k1, sig[{2 * b + 2}] AS k2 FROM sigs"
         for b in range(4)
     )
     return f"""
@@ -129,7 +130,7 @@ banded AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)
 SELECT c.id_a, c.id_b,
        len(list_filter(list_transform(range(1, 9),
            i -> sa.sig[i] = sb.sig[i]), m -> m)) / 8.0 AS est_jaccard
