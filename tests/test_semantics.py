@@ -1,0 +1,70 @@
+"""Operator semantics edge cases no SQL-oracle suite entry reaches.
+
+The correctness gate compares full queries against DuckDB on fixture
+data; these tests pin down the degenerate inputs the fixtures never
+produce (empty subqueries, all-NULL sets) where SQL three-valued logic
+is easiest to get wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _ids(df):
+    return sorted(
+        (r[0] for r in df.select(df.columns[0]).collect()),
+        key=lambda v: (v is not None, v),
+    )
+
+
+def test_not_in_empty_subquery_keeps_all_rows(spark):
+    """x NOT IN (empty set) is TRUE for every x — including NULL.
+    (ADVICE r1: the old lowering dropped NULL probe rows here.)"""
+    from nutdb_spark.operators.relational import not_in_subquery
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    empty = spark.createDataFrame([], "v int")
+    assert _ids(not_in_subquery(df, "x", empty)) == [None, 1, 2]
+    # and the non-null rows survive a set that never matches
+    assert _ids(not_in_subquery(df, "x", spark.createDataFrame([(9,)], "v int"))) == [1, 2]
+
+
+def test_not_in_set_with_null_keeps_nothing(spark):
+    """Any NULL in the set makes NOT IN never-TRUE for every probe."""
+    from nutdb_spark.operators.relational import not_in_subquery
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    sub = spark.createDataFrame([(9,), (None,)], "v int")
+    assert _ids(not_in_subquery(df, "x", sub)) == []
+
+
+def test_not_in_plain_set_drops_matches_and_null_probe(spark):
+    """NULL probe vs non-empty NULL-free set → UNKNOWN → dropped;
+    matches dropped; the rest kept. Duplicates in the set must not
+    duplicate output rows."""
+    from nutdb_spark.operators.relational import not_in_subquery
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (None,)], "x int")
+    sub = spark.createDataFrame([(2,), (2,), (9,)], "v int")
+    assert _ids(not_in_subquery(df, "x", sub)) == [1, 3]
+
+
+def test_in_subquery_null_probe_dropped(spark):
+    """IN is never TRUE for a NULL probe; duplicates in the set must
+    not duplicate output rows."""
+    from nutdb_spark.operators.relational import in_subquery
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    sub = spark.createDataFrame([(2,), (2,), (None,)], "v int")
+    assert _ids(in_subquery(df, "x", sub)) == [2]
+
+
+def test_limit_with_ties_keeps_tying_rows(spark):
+    from nutdb_spark.operators.relational import limit_with_ties
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (3, "d")], "k int, v string"
+    )
+    out = limit_with_ties(df, [("k", True)], 2)
+    assert sorted(r.v for r in out.collect()) == ["a", "b", "c"]
