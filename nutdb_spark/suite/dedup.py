@@ -150,3 +150,47 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         d, "doc_id", "text", n=4, num_hashes=8, bands=4, est_threshold=0.75
     )
+
+
+# --- embedding-cosine near-dup --------------------------------------------
+
+
+def _oracle_dedup_embedding() -> str:
+    from nutdb_spark.operators.similarity import (
+        oracle_cosine,
+        oracle_dot_scaled,
+        oracle_scaled,
+    )
+
+    cos = oracle_cosine(oracle_dot_scaled("a.s", "b.s"), "a.n2", "b.n2")
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, {oracle_scaled('embedding')} AS s FROM embeddings),
+n AS (
+  SELECT vec_id, label, s, {oracle_dot_scaled('s', 's')} AS n2 FROM v),
+drop AS (
+  SELECT DISTINCT b.vec_id AS id
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.35)
+SELECT e.vec_id, e.label
+FROM embeddings e LEFT JOIN drop d ON e.vec_id = d.id
+WHERE d.id IS NULL
+"""
+
+
+@query("q_dedup_embedding", _oracle_dedup_embedding())
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupNear over an embedding column: drop every row whose vector
+    is cosine-≥0.35 to a lower-id row in the same block (single-sweep
+    keep-first policy, the standard pipeline approximation of connected
+    components). Candidates come from the blocked per-block GEMM — one
+    shuffle on the block key, no crossJoin; at 100 TB the block key is
+    a cluster/LSH bucket instead of the label."""
+    from nutdb_spark.operators.dedup import dedup_near_keep_first
+    from nutdb_spark.operators.similarity import cosine_pairs_blocked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(
+        e, "vec_id", "embedding", "label", threshold=0.35
+    )
+    return dedup_near_keep_first(pairs, e.select("vec_id", "label"), "vec_id")

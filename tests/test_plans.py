@@ -44,7 +44,12 @@ def test_star_join_broadcasts_dimensions(spark):
 def test_dedup_near_has_no_cartesian(spark):
     from nutdb_spark.suite import QUERIES
 
-    for name in ("q_dedup_jaccard", "q_dedup_minhash_lsh", "q_sim_lsh_pairs"):
+    for name in (
+        "q_dedup_jaccard",
+        "q_dedup_minhash_lsh",
+        "q_sim_lsh_pairs",
+        "q_dedup_embedding",
+    ):
         plan = plan_of(QUERIES[name](spark, SF01))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
