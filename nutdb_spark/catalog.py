@@ -230,7 +230,14 @@ class Catalog:
 
         if kind == "values":
             rows = []
-            for row in payload:
+            for i, row in enumerate(payload):
+                if len(row) != len(target_cols):
+                    # reference: ragged INSERT rows are a Conflicts error
+                    # (/root/reference/src/parser/mod.rs:657-664)
+                    raise CatalogError(
+                        f"INSERT row {i + 1} has {len(row)} values but "
+                        f"{len(target_cols)} target columns"
+                    )
                 vals = []
                 for cell in row:
                     c = low._expr(cell, None, {}, [])
@@ -255,23 +262,58 @@ class Catalog:
         else:  # pragma: no cover
             raise CatalogError(f"bad insert source {kind}")
 
-        # fill defaults / serials, coerce types, enforce checks
+        # fill defaults / serials, coerce types
         out_cols: list = []
         serial_bases = dict(meta.get("serial_next") or {})
-        n_rows = None
+        need_serial = [
+            c for c in col_meta if c["serial"] and c["name"] not in src.columns
+        ]
+        n_rows = 0
+        if need_serial:
+            # pin partition layout: the counts job and the write job must
+            # see identical partition ids / local indexes (also avoids
+            # recomputing the source between validation and write)
+            src = src.persist()
+            # Dense, distributed serial assignment: one small aggregate
+            # computes per-partition row counts; each row's id is
+            # base + rows-before-its-partition + its local index (from
+            # monotonically_increasing_id's low 33 bits, which ARE the
+            # dense within-partition index). No global window, no RDD
+            # round-trip — scales to arbitrarily large INSERT…SELECT.
+            pid = F.spark_partition_id()
+            counts = {
+                r["p"]: r["n"]
+                for r in src.groupBy(pid.alias("p"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            offsets, acc = {}, 0
+            for p in sorted(counts):
+                offsets[p] = acc
+                acc += counts[p]
+            n_rows = acc
+            # flat array-literal lookup (1-based element_at), not a
+            # chained CASE — constant expression depth at any partition
+            # count
+            off_arr = F.array(
+                *[
+                    F.lit(offsets.get(p, 0)).cast("long")
+                    for p in range(max(counts, default=0) + 1)
+                ]
+            )
+            local_idx = F.monotonically_increasing_id() - (
+                pid.cast("long") * F.lit(1 << 33)
+            )
+            dense_idx = F.element_at(off_arr, pid + 1) + local_idx
         for c in col_meta:
             name = c["name"]
             stype = _parse_type(c["spark_type"])
             if name in src.columns:
                 col = F.col(name).cast(stype)
             elif c["serial"]:
-                if n_rows is None:
-                    n_rows = src.count()
                 base = serial_bases.get(name, 1)
-                col = (
-                    F.lit(base) + F.monotonically_increasing_id()
-                ).cast(stype)
-                serial_bases[name] = base + max(n_rows, 1) * (1 << 33)
+                col = (F.lit(base) + dense_idx).cast(stype)
+                serial_bases[name] = base + n_rows
             elif c["default"] is not None:
                 col = low._expr(_unpickle_ast(c["default"]), None, {}, []).cast(
                     stype
@@ -281,41 +323,55 @@ class Catalog:
             out_cols.append(col.alias(name))
         staged = src.select(*out_cols)
 
-        # validation (INSERT is an action anyway — eager checks are fine)
+        # Validation: ONE aggregate job computes every violation count
+        # (map-side partial aggregation; no per-constraint scans), then
+        # the first violated constraint raises with its own message.
+        violations: list[tuple[object, str]] = []
         for c in col_meta:
             if not c["nullable"] and not c["serial"]:
-                bad = staged.filter(F.col(c["name"]).isNull()).limit(1).count()
-                if bad:
-                    raise CatalogError(
-                        f"column {c['name']!r} is not Nullable but got NULL"
+                violations.append(
+                    (
+                        F.col(c["name"]).isNull(),
+                        f"column {c['name']!r} is not Nullable but got NULL",
                     )
+                )
             members = c["dtype"].get("members")
             if members:
-                ok = list(members.keys())
-                bad = (
-                    staged.filter(~F.col(c["name"]).isin(ok))
-                    .limit(1)
-                    .count()
-                )
-                if bad:
-                    raise CatalogError(
-                        f"enum column {c['name']!r} got a non-member value"
+                violations.append(
+                    (
+                        ~F.col(c["name"]).isin(list(members.keys())),
+                        f"enum column {c['name']!r} got a non-member value",
                     )
+                )
             if c["max_len"]:
-                bad = (
-                    staged.filter(F.length(F.col(c["name"])) > c["max_len"])
-                    .limit(1)
-                    .count()
-                )
-                if bad:
-                    raise CatalogError(
-                        f"column {c['name']!r} exceeds max length {c['max_len']}"
+                violations.append(
+                    (
+                        F.length(F.col(c["name"])) > c["max_len"],
+                        f"column {c['name']!r} exceeds max length "
+                        f"{c['max_len']}",
                     )
+                )
         for con in meta["constraints"]:
             check = low._expr(_unpickle_ast(con["check"]), None, {}, [])
-            bad = staged.filter(~F.coalesce(check, F.lit(False))).limit(1).count()
-            if bad:
-                raise CatalogError(f"CHECK constraint {con['name']!r} violated")
+            # SQL semantics: a CHECK whose predicate is UNKNOWN passes.
+            violations.append(
+                (
+                    ~F.coalesce(check, F.lit(True)),
+                    f"CHECK constraint {con['name']!r} violated",
+                )
+            )
+        if violations:
+            flags = staged.agg(
+                *[
+                    F.max(F.coalesce(cond, F.lit(False))).alias(f"v{i}")
+                    for i, (cond, _) in enumerate(violations)
+                ]
+            ).first()
+            for i, (_, msg) in enumerate(violations):
+                if flags[f"v{i}"]:
+                    if need_serial:
+                        src.unpersist()
+                    raise CatalogError(msg)
 
         writer = staged.write.mode("append")
         part_cols: list[str] = []
@@ -334,7 +390,11 @@ class Catalog:
             writer = staged.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(self._data_path(stmt.table))
+        try:
+            writer.parquet(self._data_path(stmt.table))
+        finally:
+            if need_serial:
+                src.unpersist()
         meta["serial_next"] = serial_bases
         self._save_meta(stmt.table, meta)
         self._refresh_dependent_views(stmt.table, low)

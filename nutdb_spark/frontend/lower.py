@@ -409,6 +409,10 @@ class Lowerer:
             return  # no nested aggregates in the dialect
         if isinstance(e, (A.Lit, A.Param, A.Ident, A.Wildcard, A.Interval)):
             return
+        if isinstance(e, (A.ScalarSubquery, A.Exists, A.InSubquery)):
+            # a subquery's aggregates belong to ITS OWN query block, not
+            # the enclosing select — don't hoist them outward
+            return
         for f in getattr(e, "__dataclass_fields__", {}):
             v = getattr(e, f)
             if isinstance(v, list):
@@ -555,9 +559,22 @@ class Lowerer:
             if len(df.columns) != 1:
                 raise LoweringError("scalar subquery must produce one column")
             name = self._gen("sc")
-            df = df.select(F.col(df.columns[0]).alias(name)).limit(2)
-            pending.append((name, df))
-            return F.col(name)
+            # SQL scalar-subquery semantics via a 1-row reduction: the
+            # aggregate always yields exactly one row, so the broadcast
+            # join never drops base rows — 0 subquery rows gives NULL,
+            # and >1 (detectable under the limit(2)) raises at runtime.
+            limited = df.select(F.col(df.columns[0]).alias(name)).limit(2)
+            red = limited.agg(
+                F.first(F.col(name)).alias(name),
+                F.count(F.lit(1)).alias(name + "_n"),
+            )
+            pending.append((name, red))
+            return F.when(
+                F.col(name + "_n") > 1,
+                F.raise_error(
+                    F.lit("scalar subquery produced more than one row")
+                ),
+            ).otherwise(F.col(name))
         if isinstance(e, A.Exists):
             raise LoweringError(
                 "EXISTS is supported as a top-level WHERE conjunct"

@@ -74,7 +74,9 @@ AGGREGATE_FNS["countUniqueApprox"] = F.approx_count_distinct
 # quantileApprox is the constant-memory variant for interactive 100 TB
 AGGREGATE_FNS["quantile"] = lambda c, p=0.5: F.percentile(c, p)
 AGGREGATE_FNS["median"] = lambda c: F.percentile(c, 0.5)
-AGGREGATE_FNS["quantileApprox"] = lambda c, p=0.5: F.percentile_approx(c, p)
+AGGREGATE_FNS["quantileApprox"] = lambda c, p=0.5, accuracy=10000: (
+    F.percentile_approx(c, p, accuracy)
+)
 
 
 # --- scalars --------------------------------------------------------------

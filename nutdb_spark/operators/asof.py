@@ -34,38 +34,43 @@ def asof_join(
     from the right row with right_ts ≤ left_ts (per `on` key); NULL
     payload when no prior right row exists."""
     lcols = left.columns
-    l = (
-        left.withColumn("__ts", F.col(left_ts))
-        .withColumn("__side", F.lit(1))
+    rdt = dict(right.dtypes)
+    ldt = dict(left.dtypes)
+    # One struct carries ALL payload columns atomically: every right row
+    # contributes a non-null struct (even if every field inside is NULL),
+    # so last(ignorenulls) picks the payload of the single latest right
+    # row — NULL fields are preserved and fields never mix across rows.
+    struct_t = "struct<" + ",".join(f"`{p}`:{rdt[p]}" for p in payload) + ">"
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(struct_t).alias("__p"),
     )
-    for p in payload:
-        l = l.withColumn(f"__p_{p}", F.lit(None).cast(dict(right.dtypes)[p]))
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(p).alias(f"__p_{p}") for p in payload],
+        F.struct(*[F.col(p) for p in payload]).alias("__p"),
+        *[
+            F.lit(None).cast(ldt[c]).alias(c)
+            for c in lcols
+            if c not in on
+        ],
     )
-    for c in lcols:
-        if c not in on and c != "__ts":
-            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes).get(c, "string")))
-    merged = l.select(
-        *lcols, "__ts", "__side", *[f"__p_{p}" for p in payload]
-    ).unionByName(
-        r.select(*lcols, "__ts", "__side", *[f"__p_{p}" for p in payload]),
-        allowMissingColumns=False,
-    )
+    cols = [*lcols, "__ts", "__side", "__p"]
+    merged = l.select(*cols).unionByName(r.select(*cols))
     # right rows (side 0) sort before left rows at equal ts → `≤` match
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for p in payload:
-        merged = merged.withColumn(
-            f"__last_{p}", F.last(f"__p_{p}", ignorenulls=True).over(w)
-        )
+    merged = merged.withColumn(
+        "__last", F.last("__p", ignorenulls=True).over(w)
+    )
     out = merged.filter(F.col("__side") == 1).select(
-        *lcols, *[F.col(f"__last_{p}").alias(f"asof_{p}") for p in payload]
+        *lcols,
+        *[F.col("__last")[p].alias(f"asof_{p}") for p in payload],
     )
     return out

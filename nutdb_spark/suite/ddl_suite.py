@@ -26,7 +26,7 @@ def _engine(spark: SparkSession, sf_dir: str):
 @query(
     "q_ddl_roundtrip",
     """
-    SELECT tag, COUNT(*) AS n, SUM(score) AS total
+    SELECT tag, COUNT(*) AS n, CAST(SUM(score) AS BIGINT) AS total
     FROM (VALUES ('a', 5), ('b', 7), ('a', 3), ('b', 0)) t(tag, score)
     GROUP BY tag
     """,
@@ -58,7 +58,7 @@ def q_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ddl_view_summing",
     """
-    SELECT k, SUM(v) AS v FROM (
+    SELECT k, CAST(SUM(v) AS BIGINT) AS v FROM (
       SELECT * FROM (VALUES (1, 10), (2, 20), (1, 5)) a(k, v)
       UNION ALL
       SELECT * FROM (VALUES (2, 2), (3, 1)) b(k, v)
@@ -91,7 +91,7 @@ def q_ddl_view_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ddl_insert_select",
     """
-    SELECT flag, COUNT(*) AS n, SUM(CAST(qty AS BIGINT)) AS total FROM (
+    SELECT flag, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS total FROM (
       SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
       FROM lineitem WHERE l_orderkey < 1000) t
     GROUP BY flag

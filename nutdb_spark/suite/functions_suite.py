@@ -173,3 +173,32 @@ def q_fn_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         AGGREGATE_FNS["median"](F.col("l_quantity")).alias("med_qty"),
         AGGREGATE_FNS["quantile"](F.col("l_extendedprice"), 0.9).alias("p90_price"),
     )
+
+
+@query(
+    "q_fn_quantile_approx",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS med_qty,
+           quantile_disc(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_fn_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: `quantileApprox` (F.percentile_approx,
+    Greenwald-Khanna sketch — constant memory per group, mergeable
+    map-side partials) instead of `quantile`'s exact per-group sort
+    state. At full accuracy the sketch degrades gracefully to exact
+    rank selection, returning an actual data element — identical to
+    DuckDB's discrete quantile, which the oracle uses. Production use
+    at scale drops `accuracy` to the default 10000 and accepts the
+    epsilon-rank error; semantics (discrete element selection) are
+    unchanged, which is what this entry pins down.
+    Reference anchor: open FnName::Others namespace
+    (/root/reference/src/parser/ast/item.rs:178)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qa = AGGREGATE_FNS["quantileApprox"]
+    return li.groupBy("l_returnflag").agg(
+        qa(F.col("l_quantity"), 0.5, 1_000_000).alias("med_qty"),
+        qa(F.col("l_extendedprice"), 0.9, 1_000_000).alias("p90_price"),
+    )

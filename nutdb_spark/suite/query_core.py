@@ -370,7 +370,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_totalprice > 250000
       GROUP BY o_custkey
     )
-    SELECT c_mktsegment, SUM(big_cnt) AS total_big
+    SELECT c_mktsegment, CAST(SUM(big_cnt) AS BIGINT) AS total_big
     FROM customer JOIN big ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,

@@ -77,11 +77,20 @@ def main(names: list[str]) -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            typed = con.execute("DESCRIBE " + oracles[name]).fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
             continue
         problems = []
+        # The driver compares through Arrow, where DuckDB HUGEINT (the
+        # result type of SUM over any integer) becomes decimal128(38,0)
+        # and hash-mismatches Spark's BIGINT even when values are equal.
+        hugeint = [r[0] for r in typed if "HUGEINT" in (r[1] or "").upper()]
+        if hugeint:
+            problems.append(
+                f"oracle columns {hugeint} are HUGEINT — CAST(... AS BIGINT)"
+            )
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
         if len(srows) != len(orows):
