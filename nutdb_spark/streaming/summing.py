@@ -10,9 +10,14 @@ time. Summing merges are associative and commutative (per-key sums), so
 is exact regardless of batch boundaries — the same property that makes
 ClickHouse SummingMergeTree parts mergeable in any order.
 
-State lives as parquet at ``state_path`` with an atomic
-tmp-write-then-rename swap per batch (single-writer assumption, which
-Structured Streaming's one-query-per-sink guarantees).
+State is parquet partitioned by ``__bucket = pmod(xxhash64(keys), B)``.
+A micro-batch only reads and rewrites the buckets its keys hash into:
+per-batch work is O(touched state), not O(total state) — the property
+that keeps a large materialized view maintainable at 100 TB, where a
+batch touching 0.1% of keys must not rewrite the other 99.9%. Untouched
+bucket directories are left physically untouched (tests assert their
+mtimes). Swap is per-bucket tmp-write-then-rename (single-writer
+assumption, which Structured Streaming's one-query-per-sink guarantees).
 """
 
 from __future__ import annotations
@@ -23,27 +28,71 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+DEFAULT_BUCKETS = 64
+
+
+def _bucket_dirs(state_path: str) -> list[str]:
+    if not os.path.isdir(state_path):
+        return []
+    return [d for d in os.listdir(state_path) if d.startswith("__bucket=")]
+
 
 def summing_merge_batch(
-    batch_df: DataFrame, keys: list[str], sums: list[str], state_path: str
+    batch_df: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    state_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
-    """Merge one micro-batch of raw rows into the summing state."""
+    """Merge one micro-batch of raw rows into the bucketed summing
+    state, rewriting only the buckets the batch's keys fall in."""
     spark = batch_df.sparkSession
-    partial = batch_df.groupBy(*keys).agg(
-        *[F.sum(c).alias(c) for c in sums],
-        F.count(F.lit(1)).alias("__n"),
-    )
-    if os.path.exists(state_path):
-        state = spark.read.parquet(state_path)
-        partial = state.unionByName(partial).groupBy(*keys).agg(
+    partial = (
+        batch_df.groupBy(*keys)
+        .agg(
             *[F.sum(c).alias(c) for c in sums],
-            F.sum("__n").alias("__n"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+            .cast("int"),
+        )
+    )
+    touched = sorted(
+        r["__bucket"] for r in partial.select("__bucket").distinct().collect()
+    )
+    if not touched:
+        return
+    touched_set = set(touched)
+    hit = [
+        os.path.join(state_path, d)
+        for d in _bucket_dirs(state_path)
+        if int(d.split("=", 1)[1]) in touched_set
+    ]
+    if hit:
+        state = spark.read.option("basePath", state_path).parquet(*hit)
+        partial = (
+            state.unionByName(partial)
+            .groupBy(*keys, "__bucket")
+            .agg(
+                *[F.sum(c).alias(c) for c in sums],
+                F.sum("__n").alias("__n"),
+            )
         )
     tmp = state_path + ".tmp"
-    partial.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_path):
-        shutil.rmtree(state_path)
-    os.rename(tmp, state_path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    partial.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    os.makedirs(state_path, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"__bucket={b}")
+        dst = os.path.join(state_path, f"__bucket={b}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):  # a bucket can aggregate to zero rows
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
 
 
 def incremental_summing(
@@ -53,12 +102,13 @@ def incremental_summing(
     sums: list[str],
     state_path: str,
     checkpoint: str,
+    n_buckets: int = DEFAULT_BUCKETS,
 ):
     """Attach the Summing merge to a streaming DataFrame; returns the
     started StreamingQuery (availableNow-compatible)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        summing_merge_batch(batch_df, keys, sums, state_path)
+        summing_merge_batch(batch_df, keys, sums, state_path, n_buckets)
 
     return (
         stream_df.writeStream.foreachBatch(merge)

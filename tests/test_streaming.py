@@ -147,3 +147,60 @@ def test_incremental_summing_view(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_summing_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """A micro-batch touching one key's bucket must leave every other
+    bucket's files physically untouched (O(touched) maintenance, not
+    O(state))."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from nutdb_spark.streaming.summing import summing_merge_batch
+
+    state = str(tmp_path / "bstate")
+    wide = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(200)], "k string, v double"
+    )
+    summing_merge_batch(wide, ["k"], ["v"], state, n_buckets=16)
+    dirs = sorted(d for d in os.listdir(state) if d.startswith("__bucket="))
+    assert len(dirs) > 4  # 200 keys spread over 16 buckets
+    before = {
+        d: max(
+            os.path.getmtime(os.path.join(state, d, f))
+            for f in os.listdir(os.path.join(state, d))
+        )
+        for d in dirs
+    }
+
+    one = spark.createDataFrame([("k3", 10.0)], "k string, v double")
+    (b3,) = (
+        one.select(
+            F2.pmod(F2.xxhash64("k"), F2.lit(16)).cast("int").alias("b")
+        ).collect()
+    )
+    summing_merge_batch(one, ["k"], ["v"], state, n_buckets=16)
+
+    after = {
+        d: max(
+            os.path.getmtime(os.path.join(state, d, f))
+            for f in os.listdir(os.path.join(state, d))
+        )
+        for d in sorted(
+            d for d in os.listdir(state) if d.startswith("__bucket=")
+        )
+    }
+    for d in dirs:
+        if d == f"__bucket={b3['b']}":
+            assert after[d] > before[d]
+        else:
+            assert after[d] == before[d], f"untouched bucket {d} rewritten"
+
+    # merged value is exact: k3 summed across both batches
+    got = {
+        r["k"]: (r["v"], r["__n"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got["k3"] == (13.0, 2)
+    assert len(got) == 200
