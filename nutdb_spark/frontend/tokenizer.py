@@ -124,9 +124,12 @@ class Tokenizer:
             elif ch == "/" and self.i + 1 < n and s[self.i + 1] == "*":
                 j = s.find("*/", self.i + 2)
                 if j < 0:
-                    self.i = n  # unterminated block comment: EOF-ends
-                else:
-                    self.i = j + 2
+                    # reference parity: unterminated block comment is an
+                    # error (tokenizer/mod.rs tokenize_comment_fail)
+                    raise TokenizeError(
+                        "block comment is not terminated", self.i
+                    )
+                self.i = j + 2
             else:
                 return
 
