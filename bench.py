@@ -77,9 +77,71 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "parse_bench_us": parse_bench(),
             }
         )
     )
+
+
+# The reference's only benchmark surface is a criterion parse harness
+# (/root/reference/benches/parser_bench.rs:5-48); mirror its two inputs
+# so the frontends stay comparable. µs per parse, best of 3 batches.
+_PARSE_SHORT = "SELECT * FROM t WHERE 1 = 1"
+_PARSE_LONG = """SELECT
+    e.employee_id AS `Employee #`,
+    e.first_name + ' ' + e.last_name AS Name,
+    e.email AS Email,
+    e.phone_number AS Phone,
+    toYYYYMMDD(e.hire_date) AS `Hire Date`,
+    e.commission_pct AS `Comission %`,
+    jh.job_id AS `History Job ID`,
+    case jh.level >> jh.offset -- right shift
+        when 0x1 then 'A'
+        when 0x2 then 'B'
+        when 0x3 then 'C'
+        when 0x4 then 'D'
+        when 0x5 then 'F'
+        else jh.n * (jh.k + 1 * 3 % 4)
+    end AS level
+FROM employees AS e
+/* some comment */
+JOIN jobs AS j
+  ON e.job_id = j.job_id
+LEFT JOIN employees AS m
+  ON e.manager_id = m.employee_id
+LEFT JOIN departments AS d
+  ON d.department_id = e.department_id
+LEFT JOIN employees AS dm
+  ON d.manager_id = dm.employee_id
+LEFT JOIN locations AS l
+  ON d.location_id = l.location_id
+LEFT JOIN countries AS c
+  ON l.country_id = c.country_id
+LEFT JOIN regions AS r
+  ON c.region_id = r.region_id
+LEFT JOIN job_history AS jh
+  ON e.employee_id = jh.employee_id
+LEFT JOIN jobs AS jj
+  ON jj.job_id = jh.job_id
+LEFT JOIN departments AS dd
+  ON dd.department_id = jh.department_id
+ORDER BY
+  e.employee_id"""
+
+
+def parse_bench(n: int = 200) -> dict[str, float]:
+    from nutdb_spark.frontend.parser import parse
+
+    out = {}
+    for key, src in (("short", _PARSE_SHORT), ("long", _PARSE_LONG)):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                parse(src)
+            best = min(best, (time.perf_counter() - t0) / n)
+        out[key] = round(best * 1e6, 1)
+    return out
 
 
 if __name__ == "__main__":

@@ -74,3 +74,96 @@ def asof_join(
         *[F.col("__last")[p].alias(f"asof_{p}") for p in payload],
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    bucket,
+) -> DataFrame:
+    """`asof_join` for HOT keys: identical semantics, parallel within a
+    key.
+
+    The plain operator's per-key window serializes each key into one
+    task — fine when keys are many and balanced, a straggler when one
+    key holds a large share of the rows. This variant salts the window
+    partition with a TIME BUCKET (``bucket``: Column fn ts → bucket id,
+    e.g. ``lambda c: F.floor(c / 3600)``), so a hot key splits into
+    (key, bucket) slices that run in parallel:
+
+    1. in-bucket pass: the same last-non-null window, partitioned by
+       (key, bucket);
+    2. carry pass: per (key, bucket) take the latest right payload,
+       then roll it forward across the bucket spine with a strictly-
+       before window — one row per (key, bucket), thousands of times
+       smaller than the data;
+    3. stitch: left rows with no in-bucket prior right row take the
+       carried payload.
+
+    Cost: one extra small shuffle over the bucket spine. Window state
+    per task drops from O(rows-per-key) to O(rows-per-key-bucket).
+    """
+    lcols = left.columns
+    rdt = dict(right.dtypes)
+    ldt = dict(left.dtypes)
+    struct_t = "struct<" + ",".join(f"`{p}`:{rdt[p]}" for p in payload) + ">"
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(struct_t).alias("__p"),
+    )
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(p) for p in payload]).alias("__p"),
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in lcols if c not in on],
+    )
+    cols = [*lcols, "__ts", "__side", "__p"]
+    merged = (
+        l.select(*cols)
+        .unionByName(r.select(*cols))
+        .withColumn("__b", bucket(F.col("__ts")))
+    )
+    # 1: within (key, bucket) — parallel slices of the hot key
+    w_in = (
+        Window.partitionBy(*on, "__b")
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = merged.withColumn(
+        "__last_in", F.last("__p", ignorenulls=True).over(w_in)
+    )
+    # 2: carry across buckets (spine = one row per key x bucket present)
+    blast = (
+        merged.filter(F.col("__side") == 0)
+        .groupBy(*on, "__b")
+        .agg(F.max_by("__p", F.col("__ts")).alias("__blast"))
+    )
+    spine = merged.select(*on, "__b").distinct().join(
+        blast, [*on, "__b"], "left"
+    )
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.withColumn(
+        "__carry", F.last("__blast", ignorenulls=True).over(w_carry)
+    ).select(*on, "__b", "__carry")
+    # 3: stitch
+    final = F.coalesce(F.col("__last_in"), F.col("__carry"))
+    return (
+        merged.filter(F.col("__side") == 1)
+        .join(carry, [*on, "__b"], "left")
+        .select(
+            *lcols,
+            *[final[p].alias(f"asof_{p}") for p in payload],
+        )
+    )

@@ -46,17 +46,58 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _find_real_codec(media_type: str):
+    """Probe for an installed decoder for ``media_type``. Returns a
+    ``bytes -> decoded`` callable or None. Import is attempted lazily
+    per media family so adding a library (Pillow, soundfile, av) makes
+    the real branch live with zero code changes here."""
+    family = (media_type or "").split("/", 1)[0]
+    if family == "image":
+        try:
+            import io
+
+            from PIL import Image  # optional dependency
+
+            return lambda b: Image.open(io.BytesIO(b))
+        except ImportError:
+            return None
+    if family == "audio":
+        try:
+            import io
+
+            import soundfile  # optional dependency
+
+            return lambda b: soundfile.read(io.BytesIO(b))
+        except ImportError:
+            return None
+    if family == "video":
+        try:
+            import av  # optional dependency  # noqa: F401
+
+            import io
+
+            return lambda b: av.open(io.BytesIO(b))
+        except ImportError:
+            return None
+    return None
+
+
 def decode_media(payload: bytes, media_type: str, *, fake: bool = False):
-    """STUB: real decoding needs PIL/ffmpeg-class libs, absent here.
+    """Decode a media payload.
 
     With ``fake=True`` returns the raw bytes (a deterministic stand-in
-    a test can assert on); otherwise raises, documenting the seam where
-    a real codec plugs in."""
+    a test can assert on). Otherwise a real decoder is looked up by
+    media family via try-import (`_find_real_codec`) and used when
+    present; when the environment has no codec for the type this raises
+    ``NotImplementedError`` — the documented seam, not silent garbage."""
     if fake:
         return payload
+    codec = _find_real_codec(media_type)
+    if codec is not None:
+        return codec(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
-        "install a decoder and replace decode_media"
+        "install Pillow / soundfile / av to activate the real branch"
     )
 
 

@@ -158,3 +158,38 @@ def test_asof_payload_null_and_atomicity(spark):
     }
     assert out[10] == (3, 1)
     assert out[20] == (None, 7)  # NULL preserved, fields from ONE row
+
+
+# --- multimodal codec seam: fake + real branches ---------------------------
+
+
+def test_decode_media_fake_and_stub_branches():
+    import pytest as _pytest
+
+    from nutdb_spark.operators.multimodal import decode_media
+
+    assert decode_media(b"abc", "image/png", fake=True) == b"abc"
+    # no media libs in this container: the real branch must raise the
+    # documented seam error, not return garbage
+    with _pytest.raises(NotImplementedError, match="no codec"):
+        decode_media(b"abc", "image/png")
+
+
+def test_decode_media_real_branch_activates_with_library(monkeypatch):
+    """Injecting a decoder module makes decode_media use it — the
+    try-import seam works without code changes."""
+    import sys
+    import types
+
+    from nutdb_spark.operators import multimodal
+
+    fake_img = types.ModuleType("PIL.Image")
+    decoded = object()
+    fake_img.open = lambda bio: (decoded, bio.read())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_img
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
+
+    out = multimodal.decode_media(b"xyz", "image/jpeg")
+    assert out == (decoded, b"xyz")

@@ -76,3 +76,35 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert n == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_bucketed_equals_plain(spark, sf_dir):
+    """The hot-key (time-bucketed) as-of join must produce exactly the
+    rows of the plain per-key-window one."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.asof import asof_join, asof_join_bucketed
+    from nutdb_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "click")
+    # dedupe right timestamps per key: with duplicate (key, ts) right
+    # rows both variants pick an arbitrary winner, which is fine for the
+    # operator but not for an exact-equality test
+    right = e.filter(F.col("event_type") == "purchase").dropDuplicates(
+        ["user_id", "ts"]
+    )
+    kw = dict(
+        on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["event_id", "value"],
+    )
+    plain = asof_join(left, right, **kw)
+    bucketed = asof_join_bucketed(
+        left, right, bucket=lambda c: F.floor(F.unix_timestamp(c) / 86400),
+        **kw,
+    )
+    key = lambda rows: sorted(
+        (r["event_id"], r["asof_event_id"], r["asof_value"]) for r in rows
+    )
+    a, b = key(plain.collect()), key(bucketed.collect())
+    assert a == b and len(a) > 100
