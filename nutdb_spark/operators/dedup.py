@@ -353,3 +353,109 @@ def dedup_near_keep_first(
     policy for pipeline dedup)."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 28
+) -> DataFrame:
+    """(__id, __fp) SimHash fingerprints, row-relationally: explode
+    tokens, rolling-hash each token ONCE, then ``bits`` trivial
+    sum(±1)-by-bit aggregates per doc and a final bit-assembly.
+
+    This is the same explode-vs-array-expression tradeoff as MinHash
+    (module docstring): the array form (`text.simhash16`) re-evaluates
+    the token-hash array inside every per-bit lambda — fine for one
+    16-bit fingerprint column in a mixed projection, ~bits× redundant
+    as the driver of a dedup join. Here hashing is O(tokens) total and
+    the per-bit work is integer ops on an already-computed column.
+    Caps at 31 bits (rolling_hash is mod 2^31-1)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(tokenize(F.col(text_col))).alias("__t"),
+    )
+    from nutdb_spark.operators.text import rolling_hash
+
+    rows = toks.select("__id", rolling_hash(F.col("__t")).alias("__h"))
+    balances = [
+        F.sum(
+            F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"__b{j}") > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return rows.groupBy("__id").agg(*balances).select(
+        "__id", fp.alias("__fp")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bands: int = 4,
+    bits: int = 28,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the per-doc SimHash fingerprint,
+    equi-join docs sharing any (band, value), verify candidates by
+    Hamming distance ≤ ``max_hamming`` via bit_count(xor).
+
+    Pigeonhole guarantee: with ``bands`` bands, any pair within
+    Hamming distance bands-1 shares at least one intact band, so recall
+    at ``max_hamming ≤ bands-1`` is exact — same banding logic as
+    MinHash-LSH but over a single integer fingerprint, which makes the
+    candidate key a 2-int struct instead of a hash-array slice.
+
+    Scale note: 28 bits (7-bit bands) is the widest the 31-bit
+    `rolling_hash` supports cleanly and keeps band values from
+    saturating on fixture-sized corpora; production at 100 TB uses a
+    64-bit token hash and 16-bit bands — same plan shape (one explode
+    to bands rows, one equi-join on (band, value), distinct, JVM
+    bit_count filter), and candidate fan-out per band value is the
+    same freq² bound as the Jaccard guard.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    base = simhash_df(df, id_col, text_col, bits=bits)
+    banded = base.select(
+        "__id",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("__fp"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__fp").alias("__fa"),
+            F.col("b.__fp").alias("__fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -223,17 +223,32 @@ def simhash16(tokens: Column) -> Column:
     return out
 
 
-def oracle_simhash16(words_expr: str) -> str:
-    h = (
+def oracle_token_hashes(words_expr: str) -> str:
+    """DuckDB list of per-token rolling hashes (the `rolling_hash` twin
+    mapped over a word list). Factored out so multi-bit consumers can
+    compute it ONCE in a CTE instead of once per bit."""
+    return (
         "list_transform({w}, t -> CASE WHEN length(t) = 0 THEN 0 ELSE "
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(range(1, length(t) + 1), "
         "i -> CAST(unicode(substring(t, i, 1)) AS BIGINT))), "
         f"(acc, c) -> (acc * 31 + c) % {HASH_MOD}) END)"
     ).format(w=words_expr)
-    bits = " + ".join(
-        f"(CASE WHEN CAST(list_sum(list_transform({h}, "
+
+
+def oracle_simhash_bits(hashes_expr: str, bits: int) -> str:
+    """SimHash fingerprint from an ALREADY-COMPUTED hash-list column."""
+    parts = " + ".join(
+        f"(CASE WHEN CAST(list_sum(list_transform({hashes_expr}, "
         f"h -> ((h >> {j}) & 1) * 2 - 1)) AS BIGINT) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(16)
+        for j in range(bits)
     )
-    return f"({bits})"
+    return f"({parts})"
+
+
+def oracle_simhash(words_expr: str, bits: int = 16) -> str:
+    return oracle_simhash_bits(oracle_token_hashes(words_expr), bits)
+
+
+def oracle_simhash16(words_expr: str) -> str:
+    return oracle_simhash(words_expr, 16)

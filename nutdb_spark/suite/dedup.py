@@ -205,3 +205,55 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", "label", threshold=0.35
     )
     return dedup_near_keep_first(pairs, e.select("vec_id", "label"), "vec_id")
+
+
+# --- SimHash near-dup -----------------------------------------------------
+
+
+_SIMHASH_BITS = 28  # rolling_hash gives 31 usable bits
+_SIMHASH_BANDS = 2  # k+1 tables for hamming <= k=1: 2 bands x 14 bits
+
+
+def _oracle_simhash_pairs() -> str:
+    from nutdb_spark.operators.text import (
+        oracle_simhash_bits,
+        oracle_token_hashes,
+    )
+
+    words = "string_split_regex(trim(text), '\\s+')"
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, f, {b} AS b, (f >> {b * width}) & {mask} AS v FROM fp"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH hs AS (SELECT doc_id, {oracle_token_hashes(words)} AS h FROM documents),
+fp AS (SELECT doc_id, {oracle_simhash_bits('h', _SIMHASH_BITS)} AS f FROM hs),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.f AS fa, b.f AS fb
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 1
+"""
+
+
+@query("q_dedup_simhash", _oracle_simhash_pairs())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 1 via the classic k+1-table
+    construction: 2 bands of 14 bits — a pair within Hamming 1 shares
+    at least one intact 14-bit half (pigeonhole), and wide band keys
+    keep candidate fan-out tiny even on a clustered corpus. Candidate
+    generation is an equi-join on (band, value) — never all-pairs; the
+    fingerprint is computed row-relationally (one rolling hash per
+    token, then per-bit integer aggregates)."""
+    from nutdb_spark.operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        d, "doc_id", "text",
+        bands=_SIMHASH_BANDS, bits=_SIMHASH_BITS, max_hamming=1,
+    )

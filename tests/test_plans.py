@@ -47,6 +47,7 @@ def test_dedup_near_has_no_cartesian(spark):
     for name in (
         "q_dedup_jaccard",
         "q_dedup_minhash_lsh",
+        "q_dedup_simhash",
         "q_sim_lsh_pairs",
         "q_dedup_embedding",
     ):
