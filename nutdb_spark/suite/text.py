@@ -156,10 +156,18 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash of the normalized text + 16-bit SimHash
-    over token hashes — both exact integer pipelines."""
+    over token hashes — both exact integer pipelines. The SimHash side
+    uses the row-relational `simhash_df` (one rolling hash per token,
+    then per-bit aggregates) rather than the array-expression
+    `simhash16`, which re-evaluates the token-hash array inside each of
+    its 16 per-bit lambdas (measured ~6× slower here)."""
+    from nutdb_spark.operators.dedup import simhash_df
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fp = simhash_df(d, "doc_id", "text", bits=16).select(
+        F.col("__id").alias("doc_id"), F.col("__fp").alias("simhash")
+    )
     return d.select(
         "doc_id",
         rolling_hash(normalize_text(F.col("text"))).alias("rhash"),
-        simhash16(tokenize(F.col("text"))).alias("simhash"),
-    )
+    ).join(fp, "doc_id")
