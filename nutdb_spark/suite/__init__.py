@@ -26,6 +26,7 @@ _MODULES = (
     "nutdb_spark.suite.multimodal_suite",
     "nutdb_spark.suite.sql_suite",
     "nutdb_spark.suite.ddl_suite",
+    "nutdb_spark.suite.pipeline",
 )
 
 for _m in _MODULES:
