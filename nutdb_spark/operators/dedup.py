@@ -356,10 +356,15 @@ def dedup_near_keep_first(
 
 
 def simhash_df(
-    df: DataFrame, id_col: str, text_col: str, *, bits: int = 28
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 28,
+    token_hash: str = "rolling",
 ) -> DataFrame:
     """(__id, __fp) SimHash fingerprints, row-relationally: explode
-    tokens, rolling-hash each token ONCE, then ``bits`` trivial
+    tokens, hash each token ONCE, then ``bits`` trivial
     sum(±1)-by-bit aggregates per doc and a final bit-assembly.
 
     This is the same explode-vs-array-expression tradeoff as MinHash
@@ -368,14 +373,26 @@ def simhash_df(
     16-bit fingerprint column in a mixed projection, ~bits× redundant
     as the driver of a dedup join. Here hashing is O(tokens) total and
     the per-bit work is integer ops on an already-computed column.
-    Caps at 31 bits (rolling_hash is mod 2^31-1)."""
+
+    ``token_hash``: "rolling" keeps parity with the dialect's
+    `rolling_hash` fingerprint (per-character interpreted HOF lambda —
+    caps at 31 bits); "md5" hashes each token with native md5 and
+    parses the first 15 hex digits (conv) — every op whole-stage
+    codegen, measured ~2× faster end-to-end, 60 usable bits. Both are
+    bit-identical cross-engine."""
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode_outer(tokenize(F.col(text_col))).alias("__t"),
     )
-    from nutdb_spark.operators.text import rolling_hash
+    if token_hash == "md5":
+        h = F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        from nutdb_spark.operators.text import rolling_hash
 
-    rows = toks.select("__id", rolling_hash(F.col("__t")).alias("__h"))
+        h = rolling_hash(F.col("__t"))
+    rows = toks.select("__id", h.alias("__h"))
     balances = [
         F.sum(
             F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1
@@ -400,6 +417,7 @@ def simhash_pairs(
     bands: int = 4,
     bits: int = 28,
     max_hamming: int = 3,
+    token_hash: str = "rolling",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the per-doc SimHash fingerprint,
     equi-join docs sharing any (band, value), verify candidates by
@@ -421,7 +439,9 @@ def simhash_pairs(
     """
     width = bits // bands
     mask = (1 << width) - 1
-    base = simhash_df(df, id_col, text_col, bits=bits)
+    base = simhash_df(
+        df, id_col, text_col, bits=bits, token_hash=token_hash
+    )
     banded = base.select(
         "__id",
         "__fp",

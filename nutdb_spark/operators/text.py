@@ -236,6 +236,18 @@ def oracle_token_hashes(words_expr: str) -> str:
     ).format(w=words_expr)
 
 
+def oracle_token_hashes_md5(words_expr: str) -> str:
+    """DuckDB twin of the md5 token hash (`simhash_df(token_hash="md5")`):
+    first 15 hex digits of md5 parsed as a base-16 BIGINT."""
+    return (
+        "list_transform({w}, t -> list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, 16), "
+        "i -> CAST(strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1 "
+        "AS BIGINT))), (a, d) -> a * 16 + d))"
+    ).format(w=words_expr)
+
+
 def oracle_simhash_bits(hashes_expr: str, bits: int) -> str:
     """SimHash fingerprint from an ALREADY-COMPUTED hash-list column."""
     parts = " + ".join(

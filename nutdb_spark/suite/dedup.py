@@ -217,7 +217,7 @@ _SIMHASH_BANDS = 2  # k+1 tables for hamming <= k=1: 2 bands x 14 bits
 def _oracle_simhash_pairs() -> str:
     from nutdb_spark.operators.text import (
         oracle_simhash_bits,
-        oracle_token_hashes,
+        oracle_token_hashes_md5,
     )
 
     words = "string_split_regex(trim(text), '\\s+')"
@@ -228,7 +228,7 @@ def _oracle_simhash_pairs() -> str:
         for b in range(_SIMHASH_BANDS)
     )
     return f"""
-WITH hs AS (SELECT doc_id, {oracle_token_hashes(words)} AS h FROM documents),
+WITH hs AS (SELECT doc_id, {oracle_token_hashes_md5(words)} AS h FROM documents),
 fp AS (SELECT doc_id, {oracle_simhash_bits('h', _SIMHASH_BITS)} AS f FROM hs),
 banded AS ({bands}),
 cand AS (
@@ -256,4 +256,5 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         d, "doc_id", "text",
         bands=_SIMHASH_BANDS, bits=_SIMHASH_BITS, max_hamming=1,
+        token_hash="md5",
     )
