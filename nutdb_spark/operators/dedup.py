@@ -83,10 +83,25 @@ def _doc_shingle_set(text, n: int, split) -> set:
 def _widen(df: DataFrame) -> DataFrame:
     """Parallelism guard for Python stages: a small corpus can arrive
     as fewer input splits than cores (sf0.1 = one parquet file = one
-    task), serializing mapInPandas. At real scale input splits far
-    exceed cores and this is a no-op — no shuffle added."""
+    task), serializing mapInPandas. At real scale the input dwarfs the
+    threshold and this is a no-op — no shuffle added.
+
+    The probe is the optimizer's sizeInBytes estimate — driver-side
+    metadata only. (`df.rdd.getNumPartitions()` looks tempting but is
+    NOT lazy under AQE: converting a shuffle-bearing plan to an RDD
+    materializes its query stages, firing jobs at lowering time — the
+    laziness test caught exactly that when a joined frame was passed
+    here.)"""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        size = int(
+            str(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        )
+    except Exception:  # noqa: BLE001 — stats unavailable: leave plan alone
+        return df
+    if size < 256 * 1024 * 1024:
         return df.repartition(par)
     return df
 
