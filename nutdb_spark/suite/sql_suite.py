@@ -301,8 +301,8 @@ def sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_describe",
     """
     SELECT * FROM (VALUES
-      ('r_regionkey', 'int', true, NULL),
-      ('r_name', 'string', true, NULL)
+      ('r_regionkey', 'int', true, CAST(NULL AS VARCHAR)),
+      ('r_name', 'string', true, CAST(NULL AS VARCHAR))
     ) t(name, type, nullable, comment)
     """,
 )

@@ -40,6 +40,32 @@ def norm_cell(v):
     return (type(v).__name__, str(v))
 
 
+def _num_class(t: str) -> str:
+    """Coarse cross-engine type class; width doesn't matter, class does."""
+    t = t.lower()
+    if t.endswith("[]"):  # duckdb list syntax, e.g. BIGINT[]
+        return "array"
+    if "(" in t and t.startswith(("decimal", "numeric")):
+        return "decimal"
+    for cls, names in (
+        ("int", ("tinyint", "smallint", "int", "integer", "bigint",
+                 "byte", "short", "long", "utinyint", "usmallint",
+                 "uinteger", "ubigint")),
+        ("float", ("float", "double", "real")),
+        ("decimal", ("decimal", "numeric", "hugeint", "uhugeint")),
+        ("bool", ("boolean", "bool")),
+        ("string", ("string", "varchar", "text", "char")),
+        ("date", ("date",)),
+        ("timestamp", ("timestamp", "timestamp_ns", "timestamp_ntz",
+                       "datetime")),
+        ("array", ("array", "list")),
+        ("struct", ("struct", "row")),
+    ):
+        if any(t == n or t.startswith(n) for n in names):
+            return cls
+    return "unknown"
+
+
 def frame_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
@@ -91,6 +117,20 @@ def main(names: list[str]) -> int:
             problems.append(
                 f"oracle columns {hugeint} are HUGEINT — CAST(... AS BIGINT)"
             )
+        # Broader class audit: an int-class column on one side and a
+        # float/decimal-class on the other hashes differently through
+        # Arrow/pandas even when every value is equal (ints survive as
+        # ints, DECIMAL/HUGEINT degrade to float/Decimal objects).
+        # Width differences (int vs bigint) are fine; class flips not.
+        sdt = dict(sdf.dtypes)
+        odt = {r[0]: (r[1] or "") for r in typed}
+        for c in set(sdt) & set(odt):
+            sc, oc = _num_class(sdt[c]), _num_class(odt[c])
+            if sc != oc and "unknown" not in (sc, oc):
+                problems.append(
+                    f"column {c!r} type-class mismatch: spark {sdt[c]} "
+                    f"({sc}) vs oracle {odt[c]} ({oc})"
+                )
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
         if len(srows) != len(orows):
