@@ -139,3 +139,48 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("asof_p_event_id").alias("asof_event_id")
     )
+
+
+# --- custom stateful streaming (applyInPandasWithState) -------------------
+
+
+@query(
+    "q_stream_dedup",
+    f"SELECT user_id, event_id, value FROM {_EV}",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful dedup: the events fixture is written TWICE
+    as two files and streamed one file per micro-batch through
+    `streaming_dedup` (applyInPandasWithState) — batch 2 is 100%
+    duplicates and must be dropped by per-key state, so the output
+    equals the distinct original (event ids are unique in the fixture;
+    the oracle is a plain projection). This is the one operator family
+    that only exists under streaming execution — the entry runs the
+    real stream (availableNow) to a parquet sink and returns the sink.
+    """
+    import tempfile
+
+    from nutdb_spark.streaming.stateful import DEDUP_SCHEMA, streaming_dedup
+
+    base = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # the duplicate file
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(DEDUP_SCHEMA).parquet(out)
