@@ -184,3 +184,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.schema(DEDUP_SCHEMA).parquet(out)
+
+
+@query(
+    "q_stream_summing",
+    f"""
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS total,
+           COUNT(*) AS n
+    FROM {_EV} GROUP BY event_type
+    """,
+)
+def q_stream_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed incremental Summing maintenance, driver-checkable: the
+    events fixture streams in TWO micro-batches into the hash-bucketed
+    Summing state (each batch rewrites only its touched buckets), and
+    the merged state must equal the one-shot batch aggregate. Values
+    are floor-scaled to integers before summing, so cross-batch
+    addition is associative and the result is bit-identical to the
+    DuckDB oracle — the same exactness convention as the batch
+    aggregates (functions/exact.py)."""
+    import tempfile
+
+    from nutdb_spark.streaming.summing import incremental_summing
+
+    base = tempfile.mkdtemp(prefix="q_stream_summing_")
+    src, state, ck = f"{base}/src", f"{base}/state", f"{base}/ck"
+    # two deterministic halves (stable predicate split) → two files →
+    # two micro-batches under maxFilesPerTrigger=1
+    ev = load_table(spark, sf_dir, "events")
+    for parity in (0, 1):
+        ev.filter(F.col("event_id") % 2 == parity).select(
+            "event_type",
+            (F.floor(F.col("value") * 10000)).cast("long").alias("__sv"),
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = incremental_summing(
+        stream,
+        keys=["event_type"],
+        sums=["__sv"],
+        state_path=state,
+        checkpoint=ck,
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    st = spark.read.parquet(state)
+    return st.select(
+        "event_type",
+        (F.col("__sv").cast("double") / 10000.0).alias("total"),
+        F.col("__n").alias("n"),
+    )
