@@ -131,3 +131,71 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload", "media_type").mapInPandas(
         batches, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("frame_chars", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    frame_size: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads via mapInPandas.
+
+    The deterministic fake codec treats the payload as a "video" whose
+    frames are consecutive ``frame_size``-character chunks of the
+    UTF-8-decoded bytes; sampling keeps every ``stride``-th full frame
+    (the real seam — keyframe extraction via a media library — slots
+    into `decode_media` without touching this batch shape). Output is
+    one row per sampled frame (id, frame index, md5 of the frame's
+    UTF-8 bytes, char count): frames fan OUT of the UDF as rows, the
+    payload itself never leaves the stage — downstream shuffles carry
+    only per-frame features, the contract that matters at 100 TB of
+    video."""
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_md5": [],
+                "frame_chars": [],
+            }
+            for i, b, t in zip(
+                pdf[id_col], pdf["payload"], pdf["media_type"]
+            ):
+                s = decode_media(bytes(b), t, fake=True).decode("utf-8")
+                n_frames = len(s) // frame_size
+                for k in range(0, n_frames, stride):
+                    chunk = s[k * frame_size : (k + 1) * frame_size]
+                    out["doc_id"].append(int(i))
+                    out["frame_idx"].append(k)
+                    out["frame_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+                    out["frame_chars"].append(len(chunk))
+            yield pd.DataFrame(out).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "int64",
+                    "frame_chars": "int64",
+                }
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(
+        batches, FRAME_SCHEMA
+    )

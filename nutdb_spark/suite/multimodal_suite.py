@@ -32,3 +32,32 @@ from nutdb_spark.suite.registry import query
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return extract_features(with_binary_payload(d))
+
+
+_FRAME_SIZE, _STRIDE = 64, 4
+
+
+@query(
+    "q_multimodal_frames",
+    f"""
+    SELECT d.doc_id, k.k AS frame_idx,
+           md5(substring(d.text, 1 + k.k * {_FRAME_SIZE}, {_FRAME_SIZE}))
+             AS frame_md5,
+           CAST({_FRAME_SIZE} AS BIGINT) AS frame_chars
+    FROM documents d,
+         (SELECT unnest(range(0, 10000, {_STRIDE})) AS k) k
+    WHERE d.doc_id < 200 AND k.k < length(d.text) // {_FRAME_SIZE}
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (`sample_frames`): every
+    4th 64-char frame of the fake-decoded payload, one row per frame
+    with its md5. Frames fan out of the Pandas UDF as rows; the oracle
+    re-derives them with substring on the text (full frames only, so
+    char counts are constant and md5s align)."""
+    from nutdb_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return sample_frames(
+        with_binary_payload(d), frame_size=_FRAME_SIZE, stride=_STRIDE
+    )
