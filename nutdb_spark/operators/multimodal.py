@@ -199,3 +199,41 @@ def sample_frames(
     return df.select(id_col, "payload", "media_type").mapInPandas(
         batches, FRAME_SCHEMA
     )
+
+
+def resize_media(
+    df: DataFrame, *, target_bytes: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize/downsample plumbing: payload in → smaller payload out,
+    schema and metadata preserved (media_type, plus the old/new sizes)
+    — the transform-in-place shape (image resize, audio downsample)
+    as opposed to `extract_features`' payload-dropping shape.
+
+    Fake codec: truncate the payload to ``target_bytes`` (a real codec
+    re-encodes at a lower resolution through the `decode_media` seam).
+    The output payload column stays binary so a downstream stage can
+    chain decode → resize → extract without leaving Arrow."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            blobs = [
+                decode_media(bytes(b), t, fake=True)[:target_bytes]
+                for b, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": blobs,
+                    "media_type": pdf["media_type"],
+                    "n_bytes_in": [len(bytes(b)) for b in pdf["payload"]],
+                    "n_bytes_out": [len(b) for b in blobs],
+                }
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(
+        batches,
+        "doc_id long, payload binary, media_type string, "
+        "n_bytes_in long, n_bytes_out long",
+    )

@@ -61,3 +61,30 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         with_binary_payload(d), frame_size=_FRAME_SIZE, stride=_STRIDE
     )
+
+
+@query(
+    "q_multimodal_resize",
+    """
+    SELECT doc_id,
+           md5(substring(text, 1, 256)) AS resized_md5,
+           CAST(length(text) AS BIGINT) AS n_bytes_in,
+           CAST(least(length(text), 256) AS BIGINT) AS n_bytes_out
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (`resize_media`): payload in → truncated payload
+    out with size metadata; the md5 of the resized payload is
+    re-derived by the oracle via substring (fixture text is ASCII, so
+    byte truncation == char truncation)."""
+    from nutdb_spark.operators.multimodal import resize_media
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = resize_media(with_binary_payload(d), target_bytes=256)
+    return out.select(
+        "doc_id",
+        F.md5("payload").alias("resized_md5"),
+        "n_bytes_in",
+        "n_bytes_out",
+    )
