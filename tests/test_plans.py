@@ -131,3 +131,15 @@ def test_jaccard_hot_shingle_guard_filters(spark):
     assert {(r["id_a"], r["id_b"]) for r in exact} == {
         (1, 2), (1, 3), (2, 3)
     }
+
+
+def test_simhash_dedup_is_all_jvm(spark):
+    """SimHash dedup (md5 token hashing) must run entirely JVM-side —
+    no Python evaluation nodes of any kind in the plan, unlike the
+    Jaccard/MinHash paths which intentionally use one Arrow stage."""
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["q_dedup_simhash"](spark, SF01))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, node
