@@ -619,3 +619,82 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
         .agg(F.sum("l_quantity").alias("total_qty"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape (correlated scalar subquery with aggregate): parts of
+# one brand whose order quantity is below 20% of that part's average
+# quantity. The classic decorrelation: the per-part correlated AVG
+# becomes one groupBy + join. (No p_container in the fixture → brand
+# filter only.) Reference anchor: correlated subqueries are
+# grammatically reachable via parenthesized selects in expressions
+# (/root/reference/src/parser/mod.rs expression grammar).
+# --------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+SELECT {oracle_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pk, {oracle_davg('l_quantity')} * 0.2 AS thr
+      FROM lineitem GROUP BY l_partkey) t ON pk = l_partkey
+WHERE p_brand = 'Brand#4' AND l_quantity < thr
+"""
+
+
+@query("tpch_q17", _Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar AVG decorrelated into a pre-aggregate join;
+    the aggregate input is pruned to the probed parts via a broadcast
+    semi-join first (equivalent results — only probed parts survive the
+    outer join anyway — but the per-part AVG state shrinks from every
+    part to the brand's parts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    )
+    li_b = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    )
+    thr = li_b.groupBy("l_partkey").agg(
+        (davg("l_quantity") * 0.2).alias("__thr")
+    )
+    return (
+        li_b.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape (correlated MIN): rows matching their group's minimum.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_mincost",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN (the Q2 min-supplycost pattern on the available
+    tables): decorrelated to a per-group aggregate broadcast-joined
+    back — the equality probes an actual data value, so double
+    comparison is exact."""
+    p = load_table(spark, sf_dir, "part")
+    m = p.groupBy(F.col("p_brand").alias("__b")).agg(
+        F.min("p_retailprice").alias("__m")
+    )
+    return (
+        p.join(
+            F.broadcast(m),
+            (F.col("p_brand") == F.col("__b"))
+            & (F.col("p_retailprice") == F.col("__m")),
+        )
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
