@@ -135,3 +135,37 @@ def q_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("CREATE TABLE alt_t2 (name String, boosted Int32)")
     eng.sql("INSERT INTO alt_t2 (name, boosted) SELECT name, score * 2 FROM alt_t")
     return eng.sql("SELECT name, boosted FROM alt_t2")
+
+
+@query(
+    "q_ddl_complex_types",
+    """
+    SELECT id, a1, ms FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(5 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(30 AS BIGINT), CAST(7 AS BIGINT))
+    ) v(id, a1, ms)
+    """,
+)
+def q_ddl_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-typed DDL end to end: Array / Map / Tuple columns
+    (reference type grammar §1.3) created, inserted as literals
+    (`[..]`, `{k:v}`, `(..)` through the dialect frontend), persisted
+    to parquet, and read back through 1-based index access."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS cplx")
+    eng.sql(
+        """
+        CREATE TABLE cplx (
+          id Int64,
+          arr Array(Int64),
+          m Map(String, Int64),
+          t Tuple(String, Int64)
+        )
+        """
+    )
+    eng.sql(
+        "INSERT INTO cplx (id, arr, m, t) VALUES "
+        "(1, [10, 20], {'s': 5}, ('x', 1)), "
+        "(2, [30], {'s': 7}, ('y', 2))"
+    )
+    return eng.sql("SELECT id, arr[1] AS a1, m['s'] AS ms FROM cplx")
