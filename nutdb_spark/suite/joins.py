@@ -263,3 +263,31 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_cust"))
     )
+
+
+@query(
+    "q_join_salted",
+    f"""
+    SELECT e.user_id, e.event_type, c.c_mktsegment
+    FROM (SELECT user_id, event_type FROM events WHERE event_type = 'click') e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation salted join (operators/skew.py): the fact side's
+    keys spread over 8 deterministic hash-salt partitions, the
+    dimension replicated once per salt — row-identical to the plain
+    equi-join, which is exactly what the oracle runs. The plan-level
+    tool for the one-key-dominates case AQE's runtime splitting can't
+    fit in an executor."""
+    from nutdb_spark.operators.skew import salted_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_type")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return salted_join(e, c, "user_id", "c_custkey", salt=8).select(
+        "user_id", "event_type", "c_mktsegment"
+    )
