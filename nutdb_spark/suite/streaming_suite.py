@@ -9,6 +9,8 @@ tests/test_streaming.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,6 +146,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- custom stateful streaming (applyInPandasWithState) -------------------
 
 
+_STREAM_SRC_CACHE: dict[tuple[str, str], str] = {}
+
+
 @query(
     "q_stream_dedup",
     f"SELECT user_id, event_id, value FROM {_EV}",
@@ -163,12 +168,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutdb_spark.streaming.stateful import DEDUP_SCHEMA, streaming_dedup
 
     base = tempfile.mkdtemp(prefix="q_stream_dedup_")
-    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    out, ck = f"{base}/out", f"{base}/ck"
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value"
     )
-    ev.coalesce(1).write.parquet(src)
-    ev.coalesce(1).write.mode("append").parquet(src)  # the duplicate file
+    # source files are immutable per sf_dir — write once per session;
+    # checkpoint/state/sink stay per-call so every run streams afresh
+    src = _STREAM_SRC_CACHE.get(("dedup", sf_dir))
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="q_stream_dedup_src_") + "/src"
+        ev.coalesce(1).write.parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)  # duplicate file
+        _STREAM_SRC_CACHE[("dedup", sf_dir)] = src
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -210,15 +221,20 @@ def q_stream_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutdb_spark.streaming.summing import incremental_summing
 
     base = tempfile.mkdtemp(prefix="q_stream_summing_")
-    src, state, ck = f"{base}/src", f"{base}/state", f"{base}/ck"
+    state, ck = f"{base}/state", f"{base}/ck"
     # two deterministic halves (stable predicate split) → two files →
-    # two micro-batches under maxFilesPerTrigger=1
-    ev = load_table(spark, sf_dir, "events")
-    for parity in (0, 1):
-        ev.filter(F.col("event_id") % 2 == parity).select(
-            "event_type",
-            (F.floor(F.col("value") * 10000)).cast("long").alias("__sv"),
-        ).coalesce(1).write.mode("append").parquet(src)
+    # two micro-batches under maxFilesPerTrigger=1; the source files
+    # are immutable per sf_dir, so write once per session
+    src = _STREAM_SRC_CACHE.get(("summing", sf_dir))
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="q_stream_summing_src_") + "/src"
+        ev = load_table(spark, sf_dir, "events")
+        for parity in (0, 1):
+            ev.filter(F.col("event_id") % 2 == parity).select(
+                "event_type",
+                (F.floor(F.col("value") * 10000)).cast("long").alias("__sv"),
+            ).coalesce(1).write.mode("append").parquet(src)
+        _STREAM_SRC_CACHE[("summing", sf_dir)] = src
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
