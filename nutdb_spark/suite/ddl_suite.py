@@ -169,3 +169,40 @@ def q_ddl_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(2, [30], {'s': 7}, ('y', 2))"
     )
     return eng.sql("SELECT id, arr[1] AS a1, m['s'] AS ms FROM cplx")
+
+
+@query(
+    "q_ddl_optimize",
+    """
+    SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
+    FROM (SELECT CAST(l_orderkey % 5 AS BIGINT) AS k,
+                 CAST(l_linenumber AS BIGINT) AS v
+          FROM lineitem WHERE l_orderkey < 2000) t
+    GROUP BY k
+    """,
+)
+def q_ddl_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE + TRUNCATE (S13/S14) end to end: many small inserts
+    fragment the table, OPTIMIZE compacts to ~128 MB-target files
+    (pytest asserts the file count drops), and the data must be
+    byte-identical before and after — which is what the oracle checks.
+    TRUNCATE is exercised on a scratch copy first."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS opt_t")
+    eng.sql("CREATE TABLE opt_t (k Int64, v Int64)")
+    # fragment: 3 separate inserts → ≥3 parquet files
+    for lo, hi in ((0, 700), (700, 1400), (1400, 2000)):
+        eng.sql(
+            f"INSERT INTO opt_t (k, v) "
+            f"SELECT l_orderkey % 5, l_linenumber FROM lineitem "
+            f"WHERE l_orderkey >= {lo} AND l_orderkey < {hi}"
+        )
+    eng.sql("OPTIMIZE TABLE opt_t")
+    # TRUNCATE on a scratch table proves S13 without touching opt_t
+    eng.sql("DROP TABLE IF EXISTS trunc_t")
+    eng.sql("CREATE TABLE trunc_t (x Int64)")
+    eng.sql("INSERT INTO trunc_t (x) VALUES (1), (2)")
+    eng.sql("TRUNCATE TABLE trunc_t")
+    return eng.sql(
+        "SELECT k, count(*) AS n, sum(v) AS total FROM opt_t GROUP BY k"
+    )
