@@ -422,3 +422,25 @@ def sql_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         where o.o_orderkey < 500
         """,
     )
+
+
+@query(
+    "sql_params",
+    """
+    SELECT n_name, n_nationkey FROM nation
+    WHERE n_regionkey = 2 AND n_nationkey < 20
+    """,
+)
+def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query parameters ($n, E15) through the dialect frontend: the
+    tokenizer produces QueryParameter tokens, the lowerer substitutes
+    engine-supplied values (reference: tokenizer/mod.rs query-parameter
+    tests; `$0`-style placeholders)."""
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=sf_dir)
+    return eng.sql(
+        "SELECT n_name, n_nationkey FROM nation "
+        "WHERE n_regionkey = $0 AND n_nationkey < $1",
+        params=[2, 20],
+    )
