@@ -68,3 +68,47 @@ def test_limit_with_ties_keeps_tying_rows(spark):
     )
     out = limit_with_ties(df, [("k", True)], 2)
     assert sorted(r.v for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_asof_join_empty_right_gives_null_payload(spark):
+    from nutdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 20)], "k int, ts int")
+    right = spark.createDataFrame([], "k int, ts int, v int")
+    rows = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", payload=["v"]
+    ).collect()
+    assert len(rows) == 2 and all(r["asof_v"] is None for r in rows)
+
+
+def test_jaccard_short_docs_produce_no_rows(spark):
+    from nutdb_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "one two")], "doc_id long, text string"
+    )
+    # 4-grams need >= 4 tokens; neither doc qualifies
+    assert jaccard_pairs(docs, "doc_id", "text", n=4, threshold=0.0).count() == 0
+
+
+def test_simhash_empty_and_identical_docs(spark):
+    from nutdb_spark.operators.dedup import simhash_df
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello world"), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    fp = {r["__id"]: r["__fp"] for r in
+          simhash_df(docs, "doc_id", "text", bits=16).collect()}
+    assert fp[1] == 0  # empty doc → zero fingerprint
+    assert fp[2] == fp[3] != 0  # identical docs → identical fingerprint
+
+
+def test_sample_frames_short_payload_empty(spark):
+    from nutdb_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    d = spark.createDataFrame([(1, "short")], "doc_id long, text string")
+    assert sample_frames(with_binary_payload(d), frame_size=64).count() == 0
