@@ -444,3 +444,30 @@ def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE n_regionkey = $0 AND n_nationkey < $1",
         params=[2, 20],
     )
+
+
+@query(
+    "sql_source_files",
+    "SELECT r_name FROM region",
+)
+def sql_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source table functions (S16 beyond numbers()): the region
+    fixture round-trips through CSV and JSON files read back via the
+    dialect's csv()/json() table functions and joined — proving the
+    reader plumbing, header handling, and table-fn aliasing end to
+    end. Output is the string key so CSV's all-string typing needs no
+    casts."""
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+    from nutdb_spark.sources import load_table
+
+    base = tempfile.mkdtemp(prefix="sql_source_files_")
+    reg = load_table(spark, sf_dir, "region")
+    reg.coalesce(1).write.option("header", True).csv(base + "/csv")
+    reg.coalesce(1).write.json(base + "/json")
+    eng = NutEngine(spark, data_dir=sf_dir)
+    return eng.sql(
+        f"SELECT c.r_name FROM csv('{base}/csv') c "
+        f"JOIN json('{base}/json') j ON c.r_name = j.r_name"
+    )
