@@ -62,12 +62,14 @@ def test_lowerings_are_lazy(spark):
     eager count at lowering time)."""
     from nutdb_spark.suite import QUERIES
 
-    # q_ddl_* callables run INSERTs and q_stream_* run availableNow
-    # streams by design (writes are actions); everything else must be lazy
+    # q_ddl_* callables run INSERTs, q_stream_* run availableNow
+    # streams, and sql_source_files writes its CSV/JSON sources — all
+    # actions by design; everything else must be lazy
     lazy = {
         n: f
         for n, f in QUERIES.items()
         if not n.startswith(("q_ddl", "q_stream"))
+        and n != "sql_source_files"
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
