@@ -160,24 +160,41 @@ def not_in_subquery(df: DataFrame, expr: ColumnLike, sub: DataFrame) -> DataFram
     - else            → keep non-NULL rows with no match (anti via
                         distinct values + left join + null test).
     The 1-row stats aggregate is broadcast; the value join is a normal
-    equi-join Catalyst can broadcast or shuffle.
+    equi-join Catalyst can broadcast or shuffle. Both the stats and the
+    probe derive from ONE shared ``groupBy(__in_val)`` subtree, so the
+    subquery is scanned and shuffled once (Spark's ReuseExchange matches
+    the identical aggregate subtree; the stats side is a second-level
+    1-row rollup of the grouped counts).
     """
     (sub_col,) = sub.columns
-    vals = sub.select(F.col(sub_col).alias("__in_val"))
-    stats = vals.agg(
-        F.count(F.lit(1)).alias("__in_cnt"),
-        F.count(F.when(F.col("__in_val").isNull(), 1)).alias("__in_nulls"),
+    grouped = (
+        sub.select(F.col(sub_col).alias("__in_val"))
+        .groupBy("__in_val")
+        .agg(F.count(F.lit(1)).alias("__in_c"))
     )
-    probe = vals.filter(F.col("__in_val").isNotNull()).distinct()
+    stats = grouped.agg(
+        F.coalesce(F.sum("__in_c"), F.lit(0)).alias("__in_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("__in_val").isNull(), F.col("__in_c"))),
+            F.lit(0),
+        ).alias("__in_nulls"),
+    )
+    # The probe is the same grouped frame, NULL group included. The join
+    # is null-safe (<=>) and the match test reads the count column, so
+    # Catalyst can neither push an isnotnull filter into this branch nor
+    # prune the count aggregate — the probe subtree stays canonically
+    # identical to the stats branch's input and ReuseExchange shares the
+    # single scan+shuffle between them.
+    probe = grouped.withColumnRenamed("__in_c", "__in_m")
     e = F.col(expr) if isinstance(expr, str) else expr
     keep = (F.col("__in_cnt") == 0) | (
-        (F.col("__in_nulls") == 0) & e.isNotNull() & F.col("__in_val").isNull()
+        (F.col("__in_nulls") == 0) & e.isNotNull() & F.col("__in_m").isNull()
     )
     return (
         df.join(F.broadcast(stats))
-        .join(probe, e == F.col("__in_val"), "left")
+        .join(probe, e.eqNullSafe(F.col("__in_val")), "left")
         .filter(keep)
-        .drop("__in_cnt", "__in_nulls", "__in_val")
+        .drop("__in_cnt", "__in_nulls", "__in_val", "__in_m")
     )
 
 
