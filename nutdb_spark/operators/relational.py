@@ -116,14 +116,29 @@ def limit_with_ties(
     keys_df = df.select(*[c.alias(nm) for (c, _), nm in zip(specs, key_names)])
     top_specs = [(F.col(nm), asc) for nm, (_, asc) in zip(key_names, specs)]
     topn = keys_df.orderBy(*_sort_cols(top_specs)).limit(n)
-    # the n-th (last) of the top-n == per-column max/min in sort order of
-    # the lexicographically-largest row → use a struct aggregate:
-    # max over a struct is lexicographic, but mixed asc/desc needs the
-    # window-free trick: re-sort top-n the opposite way and take row 1
-    # via a 1-row limit (n rows → trivial).
-    flipped = [(F.col(nm), not asc) for nm, (_, asc) in zip(key_names, specs)]
-    nth = topn.orderBy(*_sort_cols(flipped)).limit(1)
-    nth = nth.select(*[F.col(nm).alias(f"__t{i}") for i, nm in enumerate(key_names)])
+    # The n-th (last) of the top-n is the sort-order-largest row of the
+    # top-n frame. Uniform direction → one struct aggregate (struct
+    # comparison is lexicographic and treats a null field as smallest,
+    # matching asc-nulls-first / desc-nulls-last placement): max(struct)
+    # for all-asc, min(struct) for all-desc — a single TakeOrdered pass
+    # plus a trivial n-row aggregate. Mixed asc/desc keeps the flip
+    # trick (re-sort the n-row frame the opposite way, take row 1).
+    dirs = {asc for _, asc in specs}
+    if len(dirs) == 1:
+        s = F.struct(*[F.col(nm) for nm in key_names])
+        nth_struct = (F.max(s) if dirs == {True} else F.min(s)).alias("__nth")
+        nth = topn.agg(nth_struct).select(
+            *[
+                F.col(f"__nth.{nm}").alias(f"__t{i}")
+                for i, nm in enumerate(key_names)
+            ]
+        )
+    else:
+        flipped = [(F.col(nm), not asc) for nm, (_, asc) in zip(key_names, specs)]
+        nth = topn.orderBy(*_sort_cols(flipped)).limit(1)
+        nth = nth.select(
+            *[F.col(nm).alias(f"__t{i}") for i, nm in enumerate(key_names)]
+        )
     thr = [F.col(f"__t{i}") for i in range(len(specs))]
     out = (
         df.join(F.broadcast(nth))
