@@ -376,7 +376,7 @@ def simhash_df(
     text_col: str,
     *,
     bits: int = 28,
-    token_hash: str = "rolling",
+    token_hash: str = "md5",
 ) -> DataFrame:
     """(__id, __fp) SimHash fingerprints, row-relationally: explode
     tokens, hash each token ONCE, then ``bits`` trivial
@@ -389,11 +389,12 @@ def simhash_df(
     as the driver of a dedup join. Here hashing is O(tokens) total and
     the per-bit work is integer ops on an already-computed column.
 
-    ``token_hash``: "rolling" keeps parity with the dialect's
-    `rolling_hash` fingerprint (per-character interpreted HOF lambda —
-    caps at 31 bits); "md5" hashes each token with native md5 and
-    parses the first 15 hex digits (conv) — every op whole-stage
-    codegen, measured ~2× faster end-to-end, 60 usable bits. Both are
+    ``token_hash``: "md5" (default) hashes each token with native md5
+    and parses the first 15 hex digits (conv) — every op whole-stage
+    codegen, measured ~2× faster end-to-end, 60 usable bits.
+    "rolling" keeps parity with the dialect's `rolling_hash`
+    fingerprint (per-character interpreted HOF lambda — caps at 31
+    bits) and stays available for the dialect-parity tests. Both are
     bit-identical cross-engine."""
     toks = df.select(
         F.col(id_col).alias("__id"),
@@ -432,7 +433,7 @@ def simhash_pairs(
     bands: int = 4,
     bits: int = 28,
     max_hamming: int = 3,
-    token_hash: str = "rolling",
+    token_hash: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the per-doc SimHash fingerprint,
     equi-join docs sharing any (band, value), verify candidates by
