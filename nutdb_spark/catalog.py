@@ -360,37 +360,38 @@ class Catalog:
                     f"CHECK constraint {con['name']!r} violated",
                 )
             )
-        if violations:
-            flags = staged.agg(
-                *[
-                    F.max(F.coalesce(cond, F.lit(False))).alias(f"v{i}")
-                    for i, (cond, _) in enumerate(violations)
-                ]
-            ).first()
-            for i, (_, msg) in enumerate(violations):
-                if flags[f"v{i}"]:
-                    if need_serial:
-                        src.unpersist()
-                    raise CatalogError(msg)
-
-        writer = staged.write.mode("append")
-        part_cols: list[str] = []
-        if meta["partition_by"]:
-            part_expr = _unpickle_ast(meta["partition_by"])
-            if isinstance(part_expr, A.Ident):
-                part_cols = [part_expr.name]
-            else:
-                staged = staged.withColumn(
-                    "__part", low._expr(part_expr, None, {}, [])
-                )
-                part_cols = ["__part"]
-                writer = staged.write.mode("append")
-        if meta["order_by"]:
-            staged = staged.sortWithinPartitions(*meta["order_by"])
-            writer = staged.write.mode("append")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
+        # One try/finally spans validation AND write: if the validation
+        # aggregate itself throws (analysis/runtime error inside a CHECK
+        # expression), the persisted serial source must not leak.
         try:
+            if violations:
+                flags = staged.agg(
+                    *[
+                        F.max(F.coalesce(cond, F.lit(False))).alias(f"v{i}")
+                        for i, (cond, _) in enumerate(violations)
+                    ]
+                ).first()
+                for i, (_, msg) in enumerate(violations):
+                    if flags[f"v{i}"]:
+                        raise CatalogError(msg)
+
+            writer = staged.write.mode("append")
+            part_cols: list[str] = []
+            if meta["partition_by"]:
+                part_expr = _unpickle_ast(meta["partition_by"])
+                if isinstance(part_expr, A.Ident):
+                    part_cols = [part_expr.name]
+                else:
+                    staged = staged.withColumn(
+                        "__part", low._expr(part_expr, None, {}, [])
+                    )
+                    part_cols = ["__part"]
+                    writer = staged.write.mode("append")
+            if meta["order_by"]:
+                staged = staged.sortWithinPartitions(*meta["order_by"])
+                writer = staged.write.mode("append")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
             writer.parquet(self._data_path(stmt.table))
         finally:
             if need_serial:

@@ -101,9 +101,19 @@ def _widen(df: DataFrame) -> DataFrame:
         )
     except Exception:  # noqa: BLE001 — stats unavailable: leave plan alone
         return df
-    if size < 256 * 1024 * 1024:
-        return df.repartition(par)
-    return df
+    if size >= 256 * 1024 * 1024:
+        # Large input: parquet is splittable, so the scan already fans
+        # out by spark.sql.files.maxPartitionBytes — no shuffle needed.
+        return df
+    try:
+        # inputFiles() is driver-side metadata (lazy — no job). A small
+        # frame already backed by >= par files is at full parallelism;
+        # adding a repartition would be a pure extra shuffle.
+        if len(df.inputFiles()) >= par:
+            return df
+    except Exception:  # noqa: BLE001 — non-file-backed plan: fall through
+        pass
+    return df.repartition(par)
 
 
 def shingle_rows(
@@ -155,12 +165,13 @@ def jaccard_pairs(
     *,
     n: int = 2,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = 500,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
-    ``max_shingle_freq`` (default 500) drops shingles present in more
-    documents than that before the self-join. Without it one
+    ``max_shingle_freq`` (default None = exact semantics) drops
+    shingles present in more documents than that before the self-join —
+    set it for any corpus-scale run. Without it one
     stop-phrase shingle shared by 10^6 docs makes the join quadratic;
     with it the per-shingle fan-out is bounded by freq² — the guard
     that keeps this plan viable at 100 TB. Dropping a hot shingle only
@@ -168,7 +179,7 @@ def jaccard_pairs(
     sizes stay the full sizes, so surviving pairs' Jaccard is computed
     against their true denominators, slightly underestimating shared
     counts for pairs that also share a hot shingle — the standard
-    stop-shingle approximation). Pass ``None`` for exact semantics.
+    stop-shingle approximation).
 
     shingle rows (each carrying its doc's set size) → self-equi-join
     on the shingle (inverted index: only pairs sharing ≥1 shingle) →

@@ -98,10 +98,15 @@ def test_jaccard_hot_shingle_guard_in_plan(spark):
     from nutdb_spark.suite import QUERIES
     from nutdb_spark.suite.dedup import _MAX_SHINGLE_FREQ
 
+    import re
+
     plan = plan_of(QUERIES["q_dedup_jaccard"](spark, SF01))
-    assert f"(__f#" in plan or f"__f <= {_MAX_SHINGLE_FREQ}" in plan or (
-        "__f" in plan
-    ), "frequency-guard column __f absent from the executed plan"
+    # the actual filter predicate, e.g. "(__f#123L <= 100)" — not just
+    # the column name appearing somewhere in the plan
+    pat = rf"__f#\d+L? <= {_MAX_SHINGLE_FREQ}\)"
+    assert re.search(pat, plan), (
+        f"frequency-guard predicate /{pat}/ absent from the executed plan"
+    )
 
 
 def test_jaccard_hot_shingle_guard_filters(spark):

@@ -100,8 +100,16 @@ def test_simhash_empty_and_identical_docs(spark):
     )
     fp = {r["__id"]: r["__fp"] for r in
           simhash_df(docs, "doc_id", "text", bits=16).collect()}
-    assert fp[1] == 0  # empty doc → zero fingerprint
+    # "" tokenizes to [""] (Java-trim/DuckDB split parity), so the md5
+    # path fingerprints the single empty token — deterministically
+    assert fp[1] == 2848
     assert fp[2] == fp[3] != 0  # identical docs → identical fingerprint
+    rfp = {r["__id"]: r["__fp"] for r in
+           simhash_df(docs, "doc_id", "text", bits=16,
+                      token_hash="rolling").collect()}
+    # dialect-parity path: rolling_hash("") == 0 → all-zero fingerprint
+    assert rfp[1] == 0
+    assert rfp[2] == rfp[3] != 0
 
 
 def test_sample_frames_short_payload_empty(spark):

@@ -40,13 +40,8 @@ def norm_cell(v):
     return (type(v).__name__, str(v))
 
 
-def _num_class(t: str) -> str:
-    """Coarse cross-engine type class; width doesn't matter, class does."""
-    t = t.lower()
-    if t.endswith("[]"):  # duckdb list syntax, e.g. BIGINT[]
-        return "array"
-    if "(" in t and t.startswith(("decimal", "numeric")):
-        return "decimal"
+_TYPE_CLASS = {
+    name: cls
     for cls, names in (
         ("int", ("tinyint", "smallint", "int", "integer", "bigint",
                  "byte", "short", "long", "utinyint", "usmallint",
@@ -60,10 +55,22 @@ def _num_class(t: str) -> str:
                        "datetime")),
         ("array", ("array", "list")),
         ("struct", ("struct", "row")),
-    ):
-        if any(t == n or t.startswith(n) for n in names):
-            return cls
-    return "unknown"
+    )
+    for name in names
+}
+
+
+def _num_class(t: str) -> str:
+    """Coarse cross-engine type class; width doesn't matter, class does.
+
+    Matches on the exact leading type word (split at '(' / '<' /
+    whitespace) — prefix matching was order-sensitive ('datetime' hit
+    the 'date' prefix, 'interval*' hit 'int')."""
+    t = t.lower()
+    if t.endswith("[]"):  # duckdb list syntax, e.g. BIGINT[]
+        return "array"
+    head = t.split("(")[0].split("<")[0].split()[0] if t.strip() else t
+    return _TYPE_CLASS.get(head, "unknown")
 
 
 def frame_key(cols, rows):
