@@ -88,11 +88,17 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # LTZ (timestamp_micros), unlike the batch loader's NTZ: Spark
         # watermarks require TIMESTAMP — event-time semantics follow the
         # session timezone by design in Structured Streaming
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # fixture generations vary: TIMESTAMP(NANOS) vs TIMESTAMP_NTZ.
+        # Watermarks reject NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]);
+        # reinterpret the wall-clock values as session-tz instants
+        stream = stream.withColumn("ts", F.to_timestamp("ts"))
     if watermark:
         stream = stream.withWatermark("ts", watermark)
     return stream
