@@ -279,7 +279,7 @@ class Parser:
             return self.ident()
         if t.type == T.KWID and t.text.lower() not in {
             "on", "using", "where", "group", "having", "order", "limit",
-            "join", "inner", "left", "right", "full", "semi", "anti",
+            "join", "inner", "left", "right", "full", "semi", "anti", "asof",
             "outer", "union", "intersect", "except", "as", "asc", "desc",
             "with", "ties", "offset", "set", "values", "from", "select",
         }:
@@ -289,14 +289,23 @@ class Parser:
     _JOIN_KINDS = {"inner", "full", "left", "right"}
 
     def _try_join(self) -> A.Join | None:
+        # [inner|left|right|full] [outer|semi|anti|asof] join — the asof
+        # qualifier per the reference grammar comment (ast/query.rs:56-60)
+        # and JoinType::AsOf (query.rs:110), which the reference parser
+        # declares but never produces
         t = self.peek()
-        if not (t.type == T.KWID and t.text.lower() in (self._JOIN_KINDS | {"join"})):
+        if not (
+            t.type == T.KWID
+            and t.text.lower() in (self._JOIN_KINDS | {"join", "asof"})
+        ):
             return None
         kind = "inner"
-        if not self.at_kw("join"):
+        if self.eat_kw("asof"):
+            kind = "asof"
+        elif not self.at_kw("join"):
             base = self.next().text.lower()
             if base == "inner":
-                kind = "inner"
+                kind = "asof" if self.eat_kw("asof") else "inner"
             elif base == "full":
                 self.eat_kw("outer")
                 kind = "full"
@@ -305,6 +314,10 @@ class Parser:
                     kind = f"{base}_semi"
                 elif self.eat_kw("anti"):
                     kind = f"{base}_anti"
+                elif self.eat_kw("asof"):
+                    if base == "right":
+                        raise ParseError("ASOF join supports INNER/LEFT only")
+                    kind = "left_asof"
                 else:
                     self.eat_kw("outer")
                     kind = base

@@ -76,6 +76,79 @@ def asof_join(
     return out
 
 
+def asof_join_any(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_keys: list,
+    right_keys: list,
+    left_ts,
+    right_ts,
+    how: str = "left",
+    prefix: str = "__asof__",
+) -> DataFrame:
+    """`asof_join` generalized to arbitrary key/ts Column expressions —
+    the frontend lowering target for `[LEFT] ASOF JOIN … ON k = k AND
+    l.ts >= r.ts` (reference AST `JoinType::AsOf`, query.rs:110).
+
+    Differences from :func:`asof_join`:
+    - keys/timestamps are Columns evaluated against each side, so the
+      two sides may use different names or computed expressions;
+    - EVERY right column comes back, renamed ``prefix + name`` (the
+      caller re-aliases; plain names would collide with left columns);
+    - SQL equality semantics on keys: right rows with a NULL key or
+      NULL timestamp are dropped up front (they can never match), and a
+      left row with a NULL key/timestamp matches nothing;
+    - ``how='inner'`` drops left rows with no prior right row.
+
+    Same single-shuffle union+window plan as :func:`asof_join` — scale
+    notes there apply unchanged.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof how must be left|inner, got {how!r}")
+    lcols = list(left.columns)
+    ldt = dict(left.dtypes)
+    rcols = list(right.columns)
+    rdt = dict(right.dtypes)
+    keys = [f"__ak{i}" for i in range(len(left_keys))]
+    struct_t = "struct<" + ",".join(f"`{c}`:{rdt[c]}" for c in rcols) + ">"
+    l = left.select(
+        *lcols,
+        *[k.alias(n) for k, n in zip(left_keys, keys)],
+        left_ts.alias("__ats"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(struct_t).alias("__p"),
+    )
+    r = right.select(
+        *[k.alias(n) for k, n in zip(right_keys, keys)],
+        right_ts.alias("__ats"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__p"),
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in lcols],
+    )
+    match_cols = [F.col(n) for n in keys] + [F.col("__ats")]
+    for c in match_cols:
+        r = r.filter(c.isNotNull())
+    cols = [*lcols, *keys, "__ats", "__side", "__p"]
+    merged = l.select(*cols).unionByName(r.select(*cols))
+    # asc NULLS FIRST: a left row with NULL key/ts sorts before every
+    # surviving right row in its partition → carries no payload, which
+    # is exactly SQL's no-match-on-NULL
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ats"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = merged.withColumn("__last", F.last("__p", ignorenulls=True).over(w))
+    out = merged.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__last").isNotNull())
+    return out.select(
+        *lcols,
+        *[F.col("__last")[c].alias(f"{prefix}{c}") for c in rcols],
+    )
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,
