@@ -82,6 +82,11 @@ class Scope:
     def __init__(self, parent: "Scope | None" = None):
         self.parent = parent
         self.frames: dict[str, DataFrame] = {}
+        # "alias.col" → output column name, for operators whose output
+        # frame cannot carry per-side alias metadata (ASOF join: the
+        # union+window plan merges both sides into one frame, so
+        # qualified refs are rewritten instead)
+        self.redirects: dict[str, str] = {}
 
     def add(self, alias: str, df: DataFrame) -> None:
         self.frames[alias] = df
@@ -278,6 +283,8 @@ class Lowerer:
 
     def _lower_join(self, base: DataFrame, j: A.Join, scope: Scope, cte) -> DataFrame:
         right, alias = self._source_df(j.source, j.alias, scope, cte)
+        if j.kind in ("asof", "left_asof"):
+            return self._lower_asof(base, right, alias, j, scope)
         scope.add(alias, right)
         if j.using is not None:
             how = {
@@ -301,6 +308,167 @@ class Lowerer:
             j.kind, j.kind
         )
         return base.join(right, cond, how)
+
+    # --- ASOF JOIN lowering ----------------------------------------------
+
+    def _lower_asof(
+        self, base: DataFrame, right: DataFrame, alias: str, j: A.Join, scope: Scope
+    ) -> DataFrame:
+        """`[LEFT] ASOF JOIN … ON <equi-keys AND one ts inequality>`
+        (reference AST JoinType::AsOf, query.rs:57,110 — declared but
+        never produced by the reference parser; we implement the
+        intended semantics).
+
+        The ON condition is split into conjuncts: every `=` between a
+        left-side and a right-side expression becomes an equi-key pair;
+        exactly one `>=`/`>` (or the mirrored `<=`/`<`) supplies the
+        timestamp ordering, oriented so the LEFT timestamp is ≥/> the
+        RIGHT timestamp (match the latest prior right row). Lowered to
+        operators.asof.asof_join_any — one shuffle on the keys, never a
+        range join. USING and any other ON shape raise LoweringError.
+
+        The output frame merges both sides (union+window), so per-side
+        alias metadata cannot survive; qualified refs are rewritten via
+        scope.redirects: left columns keep their names, right columns
+        keep theirs unless they collide with a left column, in which
+        case they come back as `<alias>_<name>`.
+        """
+        from nutdb_spark.operators.asof import asof_join_any
+
+        if j.using is not None or j.on is None:
+            raise LoweringError(
+                "ASOF JOIN requires ON <equi-keys AND one timestamp "
+                "inequality>; USING cannot express the time predicate"
+            )
+        scope.add(alias, right)
+        left_aliases = [a for a in scope.frames if a != alias]
+        lk: list = []
+        rk: list = []
+        ts = None  # (left_expr, right_expr, strict)
+        for conj in _split_conjuncts(j.on):
+            if not (
+                isinstance(conj, A.BinOp)
+                and conj.op in ("=", ">=", ">", "<=", "<")
+            ):
+                raise LoweringError(
+                    "ASOF ON supports only '=' and one of >=, >, <=, < "
+                    f"between the two sides; got {conj!r}"
+                )
+            sl = self._asof_side(conj.left, base, right, alias, left_aliases)
+            sr = self._asof_side(conj.right, base, right, alias, left_aliases)
+            if sl == sr:
+                raise LoweringError(
+                    "every ASOF ON conjunct must compare a left-side "
+                    "expression with a right-side expression"
+                )
+            lhs, rhs = (
+                (conj.left, conj.right) if sl == "l" else (conj.right, conj.left)
+            )
+            if conj.op == "=":
+                lk.append(lhs)
+                rk.append(rhs)
+                continue
+            # orient so the left expression is first
+            op = conj.op
+            if sl == "r":  # e.g. r.ts <= l.ts  →  l.ts >= r.ts
+                op = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}[op]
+            if op in ("<=", "<"):
+                raise LoweringError(
+                    "ASOF JOIN matches the latest PRIOR right row: the "
+                    "inequality must order left_ts >= right_ts (or >)"
+                )
+            if ts is not None:
+                raise LoweringError(
+                    "ASOF ON must contain exactly one timestamp inequality"
+                )
+            ts = (lhs, rhs, op == ">")
+        if ts is None:
+            raise LoweringError(
+                "ASOF ON must contain exactly one timestamp inequality"
+            )
+        lts, rts, strict = ts
+        try:
+            out = asof_join_any(
+                base,
+                right,
+                left_keys=[self._expr(k, scope, {}, []) for k in lk],
+                right_keys=[self._expr(k, scope, {}, []) for k in rk],
+                left_ts=self._expr(lts, scope, {}, []),
+                right_ts=self._expr(rts, scope, {}, []),
+                how="inner" if j.kind == "asof" else "left",
+                strict=strict,
+            )
+        except ValueError as ex:
+            raise LoweringError(str(ex)) from ex
+        # un-prefix the right columns; collisions keep `<alias>_<name>`
+        lset = set(base.columns)
+        for c in right.columns:
+            final = c if c not in lset else f"{alias}_{c}"
+            if final != c and final in set(out.columns) | lset:
+                raise LoweringError(
+                    f"ASOF JOIN output name collision on {final!r}; "
+                    "alias the right columns apart"
+                )
+            out = out.withColumnRenamed(f"__asof__{c}", final)
+            scope.redirects[f"{alias}.{c}"] = final
+        for la in left_aliases:
+            for c in scope.frames[la].columns:
+                if c in lset:
+                    scope.redirects.setdefault(f"{la}.{c}", c)
+        return out
+
+    def _asof_side(
+        self, e, base: DataFrame, right: DataFrame, alias: str, left_aliases
+    ) -> str:
+        """Which side of an ASOF join an ON operand reads: 'l' | 'r'.
+        Mixed references or columns resolvable on neither side raise."""
+        sides: set[str] = set()
+
+        def walk(node):
+            if isinstance(node, A.Ident):
+                if node.qualifier is not None:
+                    if node.qualifier == alias:
+                        sides.add("r")
+                    elif node.qualifier in left_aliases:
+                        sides.add("l")
+                    else:
+                        raise LoweringError(
+                            f"unknown alias {node.qualifier!r} in ASOF ON"
+                        )
+                else:
+                    in_l = node.name in base.columns
+                    in_r = node.name in right.columns
+                    if in_l and in_r:
+                        raise LoweringError(
+                            f"ambiguous column {node.name!r} in ASOF ON — qualify it"
+                        )
+                    if not (in_l or in_r):
+                        raise LoweringError(
+                            f"unknown column {node.name!r} in ASOF ON"
+                        )
+                    sides.add("l" if in_l else "r")
+                return
+            if isinstance(node, (A.Lit, A.Param, A.Interval)):
+                return
+            for f in getattr(node, "__dataclass_fields__", {}):
+                v = getattr(node, f)
+                if isinstance(v, list):
+                    for x in v:
+                        if isinstance(x, tuple):
+                            for y in x:
+                                if hasattr(y, "__dataclass_fields__"):
+                                    walk(y)
+                        elif hasattr(x, "__dataclass_fields__"):
+                            walk(x)
+                elif hasattr(v, "__dataclass_fields__"):
+                    walk(v)
+
+        walk(e)
+        if len(sides) != 1:
+            raise LoweringError(
+                "each ASOF ON operand must reference exactly one side"
+            )
+        return sides.pop()
 
     # --- WHERE with subquery lowering -------------------------------------
 
@@ -491,6 +659,13 @@ class Lowerer:
             kwargs = {_INTERVAL_ARGS[e.unit]: F.lit(e.count)}
             return F.make_interval(**kwargs)
         if isinstance(e, A.Ident):
+            if e.qualifier is not None:
+                s = scope
+                while s is not None:
+                    hit = s.redirects.get(f"{e.qualifier}.{e.name}")
+                    if hit is not None:
+                        return F.col(hit)
+                    s = s.parent
             return F.col(f"{e.qualifier}.{e.name}" if e.qualifier else e.name)
         if isinstance(e, A.Wildcard):
             return F.col(f"{e.qualifier}.*" if e.qualifier else "*")

@@ -308,6 +308,8 @@ class Parser:
                 kind = "asof" if self.eat_kw("asof") else "inner"
             elif base == "full":
                 self.eat_kw("outer")
+                if self.at_kw("asof"):
+                    raise ParseError("ASOF join supports INNER/LEFT only")
                 kind = "full"
             elif base in ("left", "right"):
                 if self.eat_kw("semi"):

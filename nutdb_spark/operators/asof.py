@@ -85,6 +85,7 @@ def asof_join_any(
     left_ts,
     right_ts,
     how: str = "left",
+    strict: bool = False,
     prefix: str = "__asof__",
 ) -> DataFrame:
     """`asof_join` generalized to arbitrary key/ts Column expressions —
@@ -99,7 +100,9 @@ def asof_join_any(
     - SQL equality semantics on keys: right rows with a NULL key or
       NULL timestamp are dropped up front (they can never match), and a
       left row with a NULL key/timestamp matches nothing;
-    - ``how='inner'`` drops left rows with no prior right row.
+    - ``how='inner'`` drops left rows with no prior right row;
+    - ``strict=True`` matches ``left_ts > right_ts`` (an equal-ts
+      right row does NOT match) instead of the default ``>=``.
 
     Same single-shuffle union+window plan as :func:`asof_join` — scale
     notes there apply unchanged.
@@ -111,7 +114,22 @@ def asof_join_any(
     rcols = list(right.columns)
     rdt = dict(right.dtypes)
     keys = [f"__ak{i}" for i in range(len(left_keys))]
+    reserved = set(keys) | {"__ats", "__side", "__p", "__last"}
+    clash = reserved & (set(lcols) | set(rcols))
+    if clash:
+        raise ValueError(
+            f"asof_join_any: input columns collide with helper names {sorted(clash)}"
+        )
+    out_clash = {f"{prefix}{c}" for c in rcols} & set(lcols)
+    if out_clash:
+        raise ValueError(
+            f"asof_join_any: prefixed right columns collide with left columns {sorted(out_clash)}"
+        )
     struct_t = "struct<" + ",".join(f"`{c}`:{rdt[c]}" for c in rcols) + ">"
+    # At equal ts the right row must sort BEFORE the left row to be
+    # visible to the `<=` window (non-strict), and AFTER it to be
+    # hidden (strict `<`). Left rows are always tagged 1.
+    rside = 2 if strict else 0
     l = left.select(
         *lcols,
         *[k.alias(n) for k, n in zip(left_keys, keys)],
@@ -122,7 +140,7 @@ def asof_join_any(
     r = right.select(
         *[k.alias(n) for k, n in zip(right_keys, keys)],
         right_ts.alias("__ats"),
-        F.lit(0).alias("__side"),
+        F.lit(rside).alias("__side"),
         F.struct(*[F.col(c) for c in rcols]).alias("__p"),
         *[F.lit(None).cast(ldt[c]).alias(c) for c in lcols],
     )

@@ -424,6 +424,43 @@ def sql_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J9 ASOF JOIN through the frontend ------------------------------------
+
+
+@query(
+    "sql_asof",
+    """
+    WITH m AS (SELECT user_id AS m_user, ts AS m_ts, MAX(value) AS m_val
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, e.ts, m.m_ts, m.m_val
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
+    ASOF JOIN m ON e.user_id = m.m_user AND e.ts >= m.m_ts
+    """,
+)
+def sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN (J9, reference JoinType::AsOf query.rs:57,110) end to
+    end through the dialect frontend: each event matches the LATEST
+    prior purchase of the same user. The right side is aggregated to
+    one row per (user, ts) so the latest-prior match is unique and the
+    DuckDB ASOF JOIN oracle is deterministic. Lowering is the
+    union+window single-shuffle plan (operators/asof.py), never a
+    range join."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select e.event_id, e.user_id, e.ts, m.m_ts, m.m_val
+        from (select event_id, user_id, ts from events where event_id < 2000) as e
+        asof join (
+            select user_id as m_user, ts as m_ts, max(value) as m_val
+            from events where event_type = 'purchase'
+            group by user_id, ts
+        ) as m on e.user_id = m.m_user and e.ts >= m.m_ts
+        """,
+    )
+
+
 @query(
     "sql_params",
     """
