@@ -108,20 +108,38 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_minhash_sig",
     f"""
-    SELECT doc_id, {oracle_minhash_signature('text', n=4, num_hashes=8)} AS sig
-    FROM documents WHERE doc_id < 100
+    WITH sigs AS (
+      SELECT doc_id, {oracle_minhash_signature('text', n=4, num_hashes=8)} AS sig
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id, CAST(s.i - 1 AS INT) AS slot, sig[s.i] AS minhash
+    FROM sigs, (SELECT unnest(range(1, 9)) AS i) s
     """,
 )
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-hash MinHash signature over 4-gram shingles (hex-string minima
-    of seeded md5) — computed via the explode+aggregate path (one
-    shingle evaluation per doc, 8 min() aggregates)."""
+    """8-hash MinHash signature over 4-gram shingles (affine minima of
+    one md5 base hash) — computed via the explode+aggregate path (one
+    shingle evaluation per doc, 8 min() aggregates).
+
+    Output is SCALAR rows (doc_id, slot, minhash), not an array column:
+    the driver's pandas canonicalizer cannot sort list cells (r4
+    driver-red on exactly that), and exploding the signature is also
+    the natural relational shape for downstream banding."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sig = minhash_signature_df(d, "doc_id", "text", n=4, num_hashes=8)
     return sig.select(
         F.col("__id").alias("doc_id"),
-        F.array(*[F.col(f"__h{i}") for i in range(8)]).alias("sig"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slot"),
+                        F.col(f"__h{i}").alias("minhash"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.slot", "e.minhash")
 
 
 # --- MinHash + LSH banding pairs ------------------------------------------

@@ -116,6 +116,21 @@ def main(names: list[str]) -> int:
             failed.append(name)
             continue
         problems = []
+        # Driver-canon hazard: the driver canonicalizes through pandas
+        # sort_values, which raises `unhashable type: 'list'` on any
+        # top-level array/struct/map column (r4 q_dedup_minhash_sig
+        # went driver-red on exactly this). Explode to scalar rows or
+        # array_join before returning.
+        nested = [
+            c
+            for c, t in sdf.dtypes
+            if _num_class(t) in ("array", "struct") or t.startswith("map")
+        ]
+        if nested:
+            problems.append(
+                f"result columns {nested} are array/struct/map — the "
+                "driver canonicalizer cannot sort them; emit scalars"
+            )
         # The driver compares through Arrow, where DuckDB HUGEINT (the
         # result type of SUM over any integer) becomes decimal128(38,0)
         # and hash-mismatches Spark's BIGINT even when values are equal.
