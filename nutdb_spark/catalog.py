@@ -106,6 +106,85 @@ class CatalogError(ValueError):
     pass
 
 
+def _parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        ]
+    return out
+
+
+# --- incremental-view eligibility (S7) ------------------------------------
+
+
+def _unionall_branches(q) -> list | None:
+    """Flatten a view query into UNION ALL branches; None if any other
+    set operator appears (those are not delta-decomposable)."""
+    if isinstance(q, A.SetOp):
+        if q.op != "union_all":
+            return None
+        left = _unionall_branches(q.left)
+        right = _unionall_branches(q.right)
+        if left is None or right is None:
+            return None
+        return left + right
+    return [q]
+
+
+def _walk_ast(node):
+    yield node
+    for f in getattr(node, "__dataclass_fields__", {}):
+        v = getattr(node, f)
+        items = v if isinstance(v, list) else [v]
+        for x in items:
+            if isinstance(x, tuple):
+                for y in x:
+                    if hasattr(y, "__dataclass_fields__"):
+                        yield from _walk_ast(y)
+            elif hasattr(x, "__dataclass_fields__"):
+                yield from _walk_ast(x)
+
+
+def _branch_delta_ok(b) -> bool:
+    """A UNION ALL branch is delta-decomposable iff applying it to a
+    batch of newly inserted rows yields exactly that batch's
+    contribution to the view: per-row projection/filter over base
+    tables, inner joins only, each table referenced at most once (a
+    self-join of T needs ΔT⋈T_old and T_old⋈ΔT terms), and no
+    aggregates/subqueries (their value depends on the whole input).
+    This is the ClickHouse materialized-view contract: the insert block
+    flows through the query."""
+    from nutdb_spark.frontend.lower import _AGG_NAMES
+
+    if not isinstance(b, A.SelectCore):
+        return False
+    if (
+        b.distinct
+        or b.distinct_on is not None
+        or b.group_by
+        or b.having is not None
+        or b.limit is not None
+        or b.ctes
+        or b.from_ is None
+    ):
+        return False
+    if not isinstance(b.from_.source, A.TableRef):
+        return False
+    for j in b.joins:
+        if j.kind != "inner" or not isinstance(j.source, A.TableRef):
+            return False
+    refs: dict[str, int] = {}
+    for node in _walk_ast(b):
+        if isinstance(node, A.TableRef):
+            refs[node.name] = refs.get(node.name, 0) + 1
+        if isinstance(node, (A.Exists, A.InSubquery, A.ScalarSubquery)):
+            return False
+        if isinstance(node, A.FnCall) and node.name.lower() in _AGG_NAMES:
+            return False
+    return all(c == 1 for c in refs.values())
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, root: str | None = None):
         self.spark = spark
@@ -392,13 +471,25 @@ class Catalog:
                 writer = staged.write.mode("append")
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
-            writer.parquet(self._data_path(stmt.table))
+            data_path = self._data_path(stmt.table)
+            files_before = _parquet_files(data_path)
+            writer.parquet(data_path)
         finally:
             if need_serial:
                 src.unpersist()
         meta["serial_next"] = serial_bases
         self._save_meta(stmt.table, meta)
-        self._refresh_dependent_views(stmt.table, low)
+        # Delta for incremental view maintenance: exactly the files this
+        # insert wrote (re-planning `staged` after unpersist could
+        # regenerate serial ids differently; the written bytes can't).
+        new_files = sorted(set(_parquet_files(data_path)) - set(files_before))
+        delta = (
+            self.spark.read.option("basePath", data_path).parquet(*new_files)
+            .select(*[c["name"] for c in col_meta])
+            if new_files
+            else None
+        )
+        self._refresh_dependent_views(stmt.table, low, delta)
 
     def _referenced_tables(self, node, out: set[str]) -> None:
         if isinstance(node, A.TableRef):
@@ -413,12 +504,14 @@ class Catalog:
         for f in getattr(node, "__dataclass_fields__", {}):
             self._referenced_tables(getattr(node, f), out)
 
-    def _refresh_dependent_views(self, table: str, low) -> None:
+    def _refresh_dependent_views(
+        self, table: str, low, delta: DataFrame | None = None
+    ) -> None:
         """Keep `UPDATE BY <strategy>` views maintained: any view whose
-        defining query references the written table re-merges. (Full
-        refresh — correct for every query shape; the incremental
-        foreachBatch path in streaming/summing.py is the streaming
-        ingest variant.)"""
+        defining query references the written table re-merges.
+        Incrementally-maintained Summing views merge ONLY the insert's
+        delta rows (O(touched buckets) via streaming/summing.py); every
+        other view takes the full refresh."""
         for f in os.listdir(self.root):
             if not f.endswith(".json"):
                 continue
@@ -426,50 +519,165 @@ class Catalog:
             if meta and meta["type"] == "view":
                 refs: set[str] = set()
                 self._referenced_tables(_unpickle_ast(meta["query"]), refs)
-                if table in refs:
+                if table not in refs:
+                    continue
+                if meta.get("maintenance") == "incremental" and delta is not None:
+                    self._delta_merge_view(meta, table, delta, low)
+                else:
                     self.refresh_view(meta["name"], low)
 
     # --- views (S7): CREATE VIEW … UPDATE BY <strategy> -------------------
+
+    _VIEW_STRATEGIES = ("summing", "replacing")
 
     def create_view(self, v: A.ViewDefinition, low) -> None:
         if self._load_meta(v.name) is not None:
             if v.if_not_exists:
                 return
             raise CatalogError(f"view {v.name!r} already exists")
-        if v.strategy.lower() != "summing":
+        strategy = v.strategy.lower()
+        if strategy not in self._VIEW_STRATEGIES:
             raise CatalogError(f"unsupported view strategy {v.strategy!r}")
         if not v.order_by:
-            raise CatalogError("Summing view requires ORDER BY merge keys")
+            raise CatalogError(
+                f"{v.strategy} view requires ORDER BY merge keys"
+            )
+        if strategy == "replacing" and not v.primary_key:
+            raise CatalogError(
+                "Replacing view requires PRIMARY KEY (version columns): "
+                "the kept row per ORDER BY key is the one with the "
+                "greatest version"
+            )
         meta = {
             "type": "view",
             "name": v.name,
-            "strategy": "summing",
+            "strategy": strategy,
             "order_by": v.order_by,
             "primary_key": v.primary_key,
             "query": _pickle_ast(v.query),
         }
+        if strategy == "summing":
+            self._mark_incremental_if_eligible(meta, low)
         self._save_meta(v.name, meta)
-        self.refresh_view(v.name, low)
+        if meta.get("maintenance") == "incremental":
+            self._rebuild_incremental(meta, low)
+        else:
+            self.refresh_view(v.name, low)
+
+    def _mark_incremental_if_eligible(self, meta: dict, low) -> None:
+        """A Summing view maintains incrementally when (a) the defining
+        query is a UNION ALL of delta-decomposable branches and (b)
+        every non-key output column is numeric (summable). State is
+        then bucketed parquet merged per insert — O(touched buckets)
+        per batch instead of a full recompute, the property that keeps
+        a 100 TB view maintainable."""
+        q = _unpickle_ast(meta["query"])
+        branches = _unionall_branches(q)
+        if branches is None or not all(_branch_delta_ok(b) for b in branches):
+            meta["maintenance"] = "full"
+            return
+        df = low.lower_query(q)
+        keys = meta["order_by"]
+        if not set(keys) <= set(df.columns):
+            meta["maintenance"] = "full"
+            return
+        non_key = [f for f in df.schema.fields if f.name not in keys]
+        if not all(isinstance(f.dataType, S.NumericType) for f in non_key):
+            meta["maintenance"] = "full"
+            return
+        meta["maintenance"] = "incremental"
+        meta["out_columns"] = df.columns
+        meta["n_buckets"] = 16  # state-layout knob; raise at real scale
+        probe = df.groupBy(*keys).agg(
+            *[F.sum(f.name).alias(f.name) for f in non_key]
+        )
+        meta["merged_schema"] = probe.select(*df.columns).schema.json()
+
+    def _state_path(self, name: str) -> str:
+        return self._data_path(name)
+
+    def _rebuild_incremental(self, meta: dict, low) -> None:
+        """(Re)build the bucketed state from the full defining query —
+        the bootstrap at CREATE time (and the fallback repair path)."""
+        from nutdb_spark.streaming.summing import summing_merge_batch
+
+        state = self._state_path(meta["name"])
+        if os.path.exists(state):
+            shutil.rmtree(state)
+        os.makedirs(state, exist_ok=True)
+        df = low.lower_query(_unpickle_ast(meta["query"]))
+        keys = meta["order_by"]
+        sums = [c for c in meta["out_columns"] if c not in keys]
+        summing_merge_batch(
+            df, keys, sums, state, meta.get("n_buckets", 64)
+        )
+
+    def _delta_merge_view(
+        self, meta: dict, table: str, delta: DataFrame, low
+    ) -> None:
+        """Apply one insert's delta through the view query and merge it
+        into the bucketed state (ClickHouse MV semantics: the insert
+        block flows through the query; branches not referencing the
+        inserted table contribute nothing)."""
+        from nutdb_spark.frontend.lower import Lowerer
+        from nutdb_spark.streaming.summing import summing_merge_batch
+
+        branches = _unionall_branches(_unpickle_ast(meta["query"]))
+        base_resolve = low.resolve_table
+
+        def resolve(name: str) -> DataFrame:
+            if name == table:
+                return delta
+            return base_resolve(name)
+
+        low2 = Lowerer(self.spark, resolve, low.params)
+        parts = []
+        for b in branches:
+            refs: set[str] = set()
+            self._referenced_tables(b, refs)
+            if table in refs:
+                parts.append(low2.lower_query(b))
+        if not parts:
+            return
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        keys = meta["order_by"]
+        sums = [c for c in meta["out_columns"] if c not in keys]
+        summing_merge_batch(
+            out.select(*meta["out_columns"]), keys, sums,
+            self._state_path(meta["name"]), meta.get("n_buckets", 64),
+        )
 
     def refresh_view(self, name: str, low) -> None:
-        """Full refresh: re-run the defining query and apply the
-        Summing merge (sum numeric non-key columns per ORDER BY key —
-        ClickHouse SummingMergeTree semantics; non-numeric non-key
-        columns keep an arbitrary representative via `first`)."""
+        """Full refresh: re-run the defining query and apply the merge
+        strategy — Summing: sum numeric non-key columns per ORDER BY
+        key (ClickHouse SummingMergeTree semantics; non-numeric
+        non-key columns keep an arbitrary representative via `first`);
+        Replacing: keep, per ORDER BY key, the row with the greatest
+        PRIMARY KEY version (ReplacingMergeTree(ver) semantics)."""
         meta = self._load_meta(name)
         df = low.lower_query(_unpickle_ast(meta["query"]))
         keys = meta["order_by"]
-        numeric = {
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, S.NumericType) and f.name not in keys
-        }
-        aggs = [
-            F.sum(c).alias(c) if c in numeric else F.first(c).alias(c)
-            for c in df.columns
-            if c not in keys
-        ]
-        merged = df.groupBy(*keys).agg(*aggs).select(*df.columns)
+        if meta.get("strategy") == "replacing":
+            from nutdb_spark.operators import relational as R
+
+            order = [(F.col(v), False) for v in meta["primary_key"]]
+            merged = R.distinct_on(
+                df, [F.col(k) for k in keys], order_by=order
+            ).select(*df.columns)
+        else:
+            numeric = {
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, S.NumericType) and f.name not in keys
+            }
+            aggs = [
+                F.sum(c).alias(c) if c in numeric else F.first(c).alias(c)
+                for c in df.columns
+                if c not in keys
+            ]
+            merged = df.groupBy(*keys).agg(*aggs).select(*df.columns)
         tmp = self._data_path(name) + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         final = self._data_path(name)
@@ -478,6 +686,20 @@ class Catalog:
         os.rename(tmp, final)
 
     def read_view(self, name: str) -> DataFrame:
+        meta = self._load_meta(name)
+        if meta and meta.get("maintenance") == "incremental":
+            state = self._state_path(name)
+            if not any(
+                d.startswith("__bucket=")
+                for d in (os.listdir(state) if os.path.isdir(state) else [])
+            ):
+                schema = S.StructType.fromJson(
+                    json.loads(meta["merged_schema"])
+                )
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.parquet(state).select(
+                *meta["out_columns"]
+            )
         return self.spark.read.parquet(self._data_path(name))
 
     # --- DESCRIBE / DROP / TRUNCATE / ALTER / OPTIMIZE --------------------

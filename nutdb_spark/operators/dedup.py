@@ -376,8 +376,95 @@ def dedup_near_keep_first(
 ) -> DataFrame:
     """Drop the higher-id member of every near-dup pair (connected
     components approximated by one sweep — the standard single-pass
-    policy for pipeline dedup)."""
+    policy for pipeline dedup). Under-merges chains (A~B~C keeps A and
+    C); :func:`dedup_connected_keep_min` is the exact-transitive
+    variant."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, root) per id appearing in ``pairs``: root = the minimum id
+    of the id's connected component (transitive closure of the pair
+    relation).
+
+    Min-label propagation to a fixpoint: each round every node takes
+    min(own label, neighbors' labels) — one equi-join + one groupBy per
+    round, converging in O(component diameter) rounds. Near-dup
+    components are shallow (docs similar to a common template), so the
+    bound is small in practice; ``max_iters`` caps pathological chains.
+    Each round is ``localCheckpoint``-ed: iterative self-joins
+    otherwise double the lineage per round and the 20th plan would be
+    2^20 nodes. The only driver-side values are the per-round changed
+    COUNTS (the convergence test), never rows — the plan scales like
+    any iterative graph job. At extreme scale the alternating
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce") halves the round count; the plan shape
+    per round is identical (equi-join + min-aggregate), so this is the
+    honest small-diameter version of the same algorithm.
+    """
+    # Materialize the edge list ONCE: every round joins against it, and
+    # without the checkpoint the (possibly expensive) pair-generation
+    # plan above it would re-execute per round.
+    edges = pairs.select(
+        F.col(id_a).alias("__s"), F.col(id_b).alias("__d")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("__s"), F.col(id_a).alias("__d"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("__s").alias("__id"))
+        .distinct()
+        .withColumn("__root", F.col("__id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        via = edges.join(
+            labels.select(
+                F.col("__id").alias("__d"), F.col("__root").alias("__nr")
+            ),
+            "__d",
+        ).select(F.col("__s").alias("__id"), F.col("__nr").alias("__root"))
+        new = (
+            labels.unionByName(via)
+            .groupBy("__id")
+            .agg(F.min("__root").alias("__root"))
+            .localCheckpoint()
+        )
+        improved = (
+            new.join(
+                labels.select(
+                    F.col("__id"), F.col("__root").alias("__old")
+                ),
+                "__id",
+            )
+            .filter(F.col("__root") < F.col("__old"))
+            .count()
+        )
+        labels = new
+        if improved == 0:
+            break
+    return labels.select(
+        F.col("__id").alias("id"), F.col("__root").alias("root")
+    )
+
+
+def dedup_connected_keep_min(
+    pairs: DataFrame, df: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact transitive near-dup dedup: keep ONE representative (the
+    minimum id) per connected component of the pair graph — a 3-chain
+    A~B~C keeps exactly A, where the single-sweep keep-first policy
+    would keep A and C."""
+    comp = connected_components(pairs)
+    drop = (
+        comp.filter(F.col("root") != F.col("id"))
+        .select(F.col("id").alias(id_col))
+    )
     return df.join(drop, id_col, "left_anti")
 
 

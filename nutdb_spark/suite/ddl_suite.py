@@ -89,6 +89,77 @@ def q_ddl_view_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ddl_view_summing_incremental",
+    """
+    SELECT k, CAST(SUM(v) AS BIGINT) AS v FROM (
+      VALUES (1, 10), (2, 20), (1, 5), (2, 2), (3, 1), (3, 100), (4, 7)
+    ) u(k, v) GROUP BY k
+    """,
+)
+def q_ddl_view_summing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW … UPDATE BY Summing maintained INCREMENTALLY: the
+    view is created over EMPTY base tables, then three separate inserts
+    flow through the defining query and merge into the bucketed state
+    (streaming/summing.py — per insert only the touched buckets are
+    rewritten, never a full recompute). The oracle is the one-shot
+    aggregate over all inserted rows, so incremental state must
+    hash-match the full-refresh semantics exactly."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP VIEW IF EXISTS inc_v")
+    eng.sql("DROP TABLE IF EXISTS inc_a")
+    eng.sql("DROP TABLE IF EXISTS inc_b")
+    eng.sql("CREATE TABLE inc_a (k Int32, v Int64)")
+    eng.sql("CREATE TABLE inc_b (k Int32, v Int64)")
+    eng.sql(
+        """
+        CREATE VIEW inc_v UPDATE BY Summing ORDER BY (k) AS
+        SELECT k, v FROM inc_a
+        UNION ALL
+        SELECT k, v FROM inc_b
+        """
+    )
+    eng.sql("INSERT INTO inc_a (k, v) VALUES (1, 10), (2, 20), (1, 5)")
+    eng.sql("INSERT INTO inc_b (k, v) VALUES (2, 2), (3, 1)")
+    eng.sql("INSERT INTO inc_a (k, v) VALUES (3, 100), (4, 7)")
+    return eng.sql("SELECT k, v FROM inc_v")
+
+
+@query(
+    "q_ddl_view_replacing",
+    """
+    SELECT k, ver, v FROM (
+      VALUES (1, 1, 10), (1, 3, 30), (1, 2, 20),
+             (2, 7, 70), (2, 5, 50), (3, 1, 99)
+    ) t(k, ver, v)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) = 1
+    """,
+)
+def q_ddl_view_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW … UPDATE BY Replacing (the reference grammar accepts
+    any strategy identifier, src/parser/mod.rs:834-844):
+    ReplacingMergeTree(ver) semantics — per ORDER BY key keep the row
+    with the greatest PRIMARY KEY version. Maintained across inserts
+    that arrive BEFORE and AFTER the view exists."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP VIEW IF EXISTS rep_v")
+    eng.sql("DROP TABLE IF EXISTS rep_t")
+    eng.sql("CREATE TABLE rep_t (k Int32, ver Int64, v Int64)")
+    eng.sql(
+        "INSERT INTO rep_t (k, ver, v) VALUES (1, 1, 10), (1, 3, 30), (2, 7, 70)"
+    )
+    eng.sql(
+        """
+        CREATE VIEW rep_v UPDATE BY Replacing PRIMARY KEY (ver)
+        ORDER BY (k) AS SELECT k, ver, v FROM rep_t
+        """
+    )
+    eng.sql(
+        "INSERT INTO rep_t (k, ver, v) VALUES (1, 2, 20), (2, 5, 50), (3, 1, 99)"
+    )
+    return eng.sql("SELECT k, ver, v FROM rep_v")
+
+
+@query(
     "q_ddl_insert_select",
     """
     SELECT flag, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS total FROM (

@@ -181,6 +181,44 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- transitive near-dup groups (connected components) --------------------
+
+_CONNECTED_ORACLE = f"""
+WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach(id, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id),
+comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+drops AS (SELECT id FROM comp WHERE root <> id)
+SELECT d.doc_id, d.lang FROM documents d
+LEFT JOIN drops x ON d.doc_id = x.id
+WHERE x.id IS NULL
+"""
+
+
+@query("q_dedup_connected", _CONNECTED_ORACLE)
+def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact transitive near-dup dedup: Jaccard pairs (same guarded
+    inverted-index candidates as q_dedup_jaccard) → connected
+    components via bounded min-label propagation → keep one
+    representative (min doc_id) per component. The DuckDB oracle
+    computes the same closure with a recursive CTE, so chain-merging
+    (A~B~C keeps only A) is value-verified, not just unit-tested."""
+    from nutdb_spark.operators.dedup import dedup_connected_keep_min
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.6,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    )
+    return dedup_connected_keep_min(
+        pairs, d.select("doc_id", "lang"), "doc_id"
+    )
+
+
 # --- embedding-cosine near-dup --------------------------------------------
 
 

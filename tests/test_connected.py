@@ -1,0 +1,49 @@
+"""Connected-components near-dup (transitive groups)."""
+
+from __future__ import annotations
+
+
+def test_three_chain_keeps_exactly_one(spark):
+    from nutdb_spark.operators.dedup import (
+        dedup_connected_keep_min,
+        dedup_near_keep_first,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (9,)], "doc_id long"
+    )
+    kept = {r["doc_id"] for r in
+            dedup_connected_keep_min(pairs, docs, "doc_id").collect()}
+    assert kept == {1, 9}  # the whole chain collapses to its min
+    # contrast: single-sweep keep-first under-merges the chain
+    sweep = {r["doc_id"] for r in
+             dedup_near_keep_first(pairs, docs, "doc_id").collect()}
+    assert sweep == {1, 9}  # here B,C both drop (both appear as id_b)
+
+
+def test_components_roots_and_long_chain(spark):
+    from nutdb_spark.operators.dedup import connected_components
+
+    # two components: a 6-chain (diameter > 2 needs iteration) + a pair
+    chain = [(i, i + 1) for i in range(10, 15)]
+    pairs = spark.createDataFrame(
+        chain + [(100, 101)], "id_a long, id_b long"
+    )
+    comp = {(r["id"], r["root"]) for r in
+            connected_components(pairs).collect()}
+    assert comp == {(i, 10) for i in range(10, 16)} | {
+        (100, 100), (101, 100),
+    }
+
+
+def test_cross_pair_merges_components(spark):
+    from nutdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 4)], "id_a long, id_b long"
+    )
+    roots = {r["root"] for r in connected_components(pairs).collect()}
+    assert roots == {1}

@@ -1,0 +1,144 @@
+"""View maintenance lifecycle (S7): incremental Summing + Replacing.
+
+The reference defines `CREATE VIEW … UPDATE BY <strategy>`
+(src/parser/ast/item.rs:219-228; strategy parse src/parser/mod.rs:834-844,
+example tests/sql/12.sql); these tests pin the maintenance semantics the
+dialect implies: Summing views over delta-decomposable queries maintain
+by bucketed micro-merge (only touched buckets rewritten), everything
+else full-refreshes, and Replacing keeps max-version per key.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from nutdb_spark.engine import NutEngine
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    return NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_summing_view_marked_incremental(eng):
+    eng.sql("CREATE TABLE vm_a (k Int32, v Int64)")
+    eng.sql(
+        "CREATE VIEW vm_v UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT k, v FROM vm_a"
+    )
+    meta = eng.catalog._load_meta("vm_v")
+    assert meta["maintenance"] == "incremental"
+    # empty view reads as an empty frame with the merged schema
+    assert eng.sql("SELECT k, v FROM vm_v").count() == 0
+
+
+def test_summing_view_incremental_merge_only_touched_buckets(eng):
+    eng.sql("CREATE TABLE vm_a (k Int32, v Int64)")
+    eng.sql(
+        "CREATE VIEW vm_v UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT k, v FROM vm_a"
+    )
+    # spread keys across buckets
+    vals = ", ".join(f"({k}, {k * 10})" for k in range(40))
+    eng.sql(f"INSERT INTO vm_a (k, v) VALUES {vals}")
+    state = eng.catalog._state_path("vm_v")
+    dirs = [d for d in os.listdir(state) if d.startswith("__bucket=")]
+    assert len(dirs) > 1  # bucketed layout, not a flat overwrite
+    mtimes = {
+        d: max(
+            os.path.getmtime(os.path.join(state, d, f))
+            for f in os.listdir(os.path.join(state, d))
+        )
+        for d in dirs
+    }
+    # one-key insert touches exactly one bucket
+    eng.sql("INSERT INTO vm_a (k, v) VALUES (1, 5)")
+    touched = 0
+    for d in dirs:
+        now = max(
+            os.path.getmtime(os.path.join(state, d, f))
+            for f in os.listdir(os.path.join(state, d))
+        )
+        touched += now != mtimes[d]
+    assert touched == 1
+    out = dict(
+        (r["k"], r["v"]) for r in eng.sql("SELECT k, v FROM vm_v").collect()
+    )
+    assert out[1] == 15 and out[0] == 0 and len(out) == 40
+
+
+def test_summing_view_multi_table_union(eng):
+    eng.sql("CREATE TABLE vm_a (k Int32, v Int64)")
+    eng.sql("CREATE TABLE vm_b (k Int32, v Int64)")
+    eng.sql(
+        "CREATE VIEW vm_u UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT k, v FROM vm_a UNION ALL SELECT k, v FROM vm_b"
+    )
+    assert eng.catalog._load_meta("vm_u")["maintenance"] == "incremental"
+    eng.sql("INSERT INTO vm_a (k, v) VALUES (1, 10)")
+    # insert into b must NOT re-add a's rows (only b-branches flow)
+    eng.sql("INSERT INTO vm_b (k, v) VALUES (1, 1), (2, 2)")
+    eng.sql("INSERT INTO vm_a (k, v) VALUES (2, 20)")
+    assert _rows(eng.sql("SELECT k, v FROM vm_u")) == {(1, 11), (2, 22)}
+
+
+def test_aggregating_view_falls_back_to_full(eng):
+    eng.sql("CREATE TABLE vm_a (k Int32, v Int64)")
+    eng.sql(
+        "CREATE VIEW vm_g UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT k, sum(v) AS v FROM vm_a GROUP BY k"
+    )
+    assert eng.catalog._load_meta("vm_g")["maintenance"] == "full"
+    eng.sql("INSERT INTO vm_a (k, v) VALUES (1, 10), (1, 5)")
+    assert _rows(eng.sql("SELECT k, v FROM vm_g")) == {(1, 15)}
+
+
+def test_non_numeric_view_falls_back_to_full(eng):
+    eng.sql("CREATE TABLE vm_s (k Int32, name String)")
+    eng.sql(
+        "CREATE VIEW vm_sv UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT k, name FROM vm_s"
+    )
+    assert eng.catalog._load_meta("vm_sv")["maintenance"] == "full"
+
+
+def test_replacing_view_keeps_max_version(eng):
+    eng.sql("CREATE TABLE vm_r (k Int32, ver Int64, v Int64)")
+    eng.sql("INSERT INTO vm_r (k, ver, v) VALUES (1, 1, 10), (1, 3, 30)")
+    eng.sql(
+        "CREATE VIEW vm_rv UPDATE BY Replacing PRIMARY KEY (ver) "
+        "ORDER BY (k) AS SELECT k, ver, v FROM vm_r"
+    )
+    eng.sql("INSERT INTO vm_r (k, ver, v) VALUES (1, 2, 20), (2, 1, 7)")
+    assert _rows(eng.sql("SELECT k, ver, v FROM vm_rv")) == {
+        (1, 3, 30), (2, 1, 7),
+    }
+
+
+def test_replacing_requires_version(eng):
+    from nutdb_spark.catalog import CatalogError
+
+    eng.sql("CREATE TABLE vm_r2 (k Int32, v Int64)")
+    with pytest.raises(CatalogError, match="PRIMARY KEY"):
+        eng.sql(
+            "CREATE VIEW vm_bad UPDATE BY Replacing ORDER BY (k) AS "
+            "SELECT k, v FROM vm_r2"
+        )
+
+
+def test_unknown_strategy_rejected(eng):
+    from nutdb_spark.catalog import CatalogError
+
+    eng.sql("CREATE TABLE vm_r3 (k Int32, v Int64)")
+    with pytest.raises(CatalogError, match="strategy"):
+        eng.sql(
+            "CREATE VIEW vm_bad2 UPDATE BY Frobnicating ORDER BY (k) AS "
+            "SELECT k, v FROM vm_r3"
+        )
