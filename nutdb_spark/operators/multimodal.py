@@ -133,6 +133,48 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+
+def has_real_codec(media_type: str) -> bool:
+    """True when an installed library can decode this media family."""
+    return _find_real_codec(media_type) is not None
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-codec image feature extraction: decode each payload through
+    the `decode_media` seam (Pillow when installed — this is the live
+    real branch, not the fake codec) and emit (width, height, mode) per
+    image. Same Arrow-batched mapInPandas contract as the fake-codec
+    operators: payload never leaves the stage, downstream shuffles
+    carry only scalar features. In an environment without Pillow the
+    task raises the documented ``NotImplementedError`` — loud, never
+    silent garbage."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, b, t in zip(pdf[id_col], pdf["payload"], pdf["media_type"]):
+                img = decode_media(bytes(b), t)
+                rows.append((int(i), int(img.size[0]), int(img.size[1]), str(img.mode)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mode"]
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(
+        batches, IMAGE_SCHEMA
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
