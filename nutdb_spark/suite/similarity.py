@@ -110,36 +110,32 @@ WHERE rank <= 5
 )
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN scale path: probe only the query's LSH bucket
-    (equi-join on bucket id), exact-rank the candidates — constant
-    candidate set per query instead of the full corpus. Bucket ids and
-    norms come from the shared vectorized one-GEMM-per-batch path
-    (`assign_lsh_buckets`), not the interpreted per-row expression."""
+    (cogroup on bucket id), exact-rank the candidates — constant
+    candidate set per query instead of the full corpus. Bucket ids come
+    from the vectorized one-GEMM-per-batch path (`assign_lsh_buckets`)
+    and scoring is the same per-bucket int64 GEMM + block-local top-k
+    body as `topk_bruteforce` — no interpreted per-pair dots anywhere."""
     from pyspark.sql import Window
 
     from nutdb_spark.operators.similarity import (
+        _topk_gemm_merge,
         assign_lsh_buckets,
-        cosine_from_scaled,
-        dot_scaled,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    base = assign_lsh_buckets(e, "vec_id", "embedding", with_norm=True)
+    base = assign_lsh_buckets(e, "vec_id", "embedding")
     q = base.filter(F.col("__id") < 10).select(
         F.col("__id").alias("__qid"),
         F.col("__v").alias("__qv"),
-        F.col("__n2").alias("__qn2"),
-        F.col("__blk").alias("__qblk"),
+        "__blk",
     )
-    cos = cosine_from_scaled(
-        dot_scaled(F.col("__qv"), F.col("__v")), F.col("__qn2"), F.col("__n2")
-    )
-    scored = base.join(
-        F.broadcast(q),
-        (F.col("__qblk") == F.col("__blk")) & (F.col("__qid") != F.col("__id")),
-    ).select(
-        F.col("__qid").alias("query_id"),
-        F.col("__id").alias("neighbor_id"),
-        cos.alias("cosine"),
+    scored = (
+        base.groupby("__blk")
+        .cogroup(q.groupby("__blk"))
+        .applyInPandas(
+            _topk_gemm_merge(5),
+            "query_id long, neighbor_id long, cosine double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
