@@ -482,13 +482,19 @@ class Catalog:
         # Delta for incremental view maintenance: exactly the files this
         # insert wrote (re-planning `staged` after unpersist could
         # regenerate serial ids differently; the written bytes can't).
+        # Built lazily — only if an incremental view actually consumes it.
         new_files = sorted(set(_parquet_files(data_path)) - set(files_before))
-        delta = (
-            self.spark.read.option("basePath", data_path).parquet(*new_files)
-            .select(*[c["name"] for c in col_meta])
-            if new_files
-            else None
-        )
+        cols = [c["name"] for c in col_meta]
+
+        def delta() -> DataFrame | None:
+            if not new_files:
+                return None
+            return (
+                self.spark.read.option("basePath", data_path)
+                .parquet(*new_files)
+                .select(*cols)
+            )
+
         self._refresh_dependent_views(stmt.table, low, delta)
 
     def _referenced_tables(self, node, out: set[str]) -> None:
@@ -505,13 +511,16 @@ class Catalog:
             self._referenced_tables(getattr(node, f), out)
 
     def _refresh_dependent_views(
-        self, table: str, low, delta: DataFrame | None = None
+        self, table: str, low, delta=None
     ) -> None:
         """Keep `UPDATE BY <strategy>` views maintained: any view whose
         defining query references the written table re-merges.
         Incrementally-maintained Summing views merge ONLY the insert's
         delta rows (O(touched buckets) via streaming/summing.py); every
-        other view takes the full refresh."""
+        other view takes the full refresh. ``delta`` is a zero-arg
+        callable returning the insert's rows (or None) — evaluated only
+        if an incremental view needs it, so plain inserts pay nothing."""
+        delta_df: DataFrame | None | bool = False  # False = not built yet
         for f in os.listdir(self.root):
             if not f.endswith(".json"):
                 continue
@@ -522,9 +531,12 @@ class Catalog:
                 if table not in refs:
                     continue
                 if meta.get("maintenance") == "incremental" and delta is not None:
-                    self._delta_merge_view(meta, table, delta, low)
-                else:
-                    self.refresh_view(meta["name"], low)
+                    if delta_df is False:
+                        delta_df = delta()
+                    if delta_df is not None:
+                        self._delta_merge_view(meta, table, delta_df, low)
+                    continue
+                self.refresh_view(meta["name"], low)
 
     # --- views (S7): CREATE VIEW … UPDATE BY <strategy> -------------------
 

@@ -785,3 +785,174 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.filter(band).agg(dsum(rev, "revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share (corpus shape; classic TPC-H Q8).
+# Repair: no partsupp in the fixtures, so the supplier joins directly via
+# l_suppkey; p_type domain is the fixture's single-word set; nations are
+# NATION_n with region n%5. Share of supplier-nation NATION_7 in the
+# AMERICA customer region for ECONOMY parts, by order year.
+# Scale notes: the dimension chain (part, supplier, nation x2, region)
+# broadcasts; the only big shuffle is orders⋈lineitem; the year/nation
+# rollup is a tiny partial+final agg. The share divides two
+# deterministic floor-scaled sums in double — bit-identical cross-engine.
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       ({oracle_dsum("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END")})
+     / ({oracle_dsum('volume')}) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'ECONOMY') t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("tpch_q8", _Q8_ORACLE)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    hit = F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(dsum(hit, "__num"), dsum(F.col("volume"), "__den"))
+        .select(
+            "o_year", (F.col("__num") / F.col("__den")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year (classic TPC-H Q9).
+# Repair: no partsupp (ps_supplycost) in the fixtures — the cost term is
+# re-based on the part's retail price (amount = rev − 0.1·p_retailprice·qty),
+# keeping Q9's two-term profit expression; the part filter uses the
+# fixture vocabulary (%blue% — the corpus adjective 'green' is absent).
+# Scale notes: part filter broadcasts and prunes lineitem early; one big
+# shuffle (orders⋈lineitem); nation/year rollup is tiny.
+# --------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {oracle_dsum('amount')} AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%blue%') t
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("tpch_q9", _Q9_ORACLE)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount"), "sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (classic TPC-H Q20 shape).
+# Repair: no partsupp (ps_availqty) — the excess-inventory test becomes a
+# shipped-quantity threshold: suppliers who shipped more than 120 units of
+# %red% parts during 1997, via the same nested IN-subquery + HAVING shape.
+# Scale notes: the inner aggregate is a semi-join-reduced groupBy on
+# l_suppkey; the outer IN lowers to a left-semi join; supplier side
+# broadcasts.
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING {oracle_dsum('l_quantity')} > 120)
+ORDER BY s_suppkey
+"""
+
+
+@query("tpch_q20", _Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    heavy = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), "__q"))
+        .filter(F.col("__q") > 120)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
