@@ -568,8 +568,7 @@ class Catalog:
             "primary_key": v.primary_key,
             "query": _pickle_ast(v.query),
         }
-        if strategy == "summing":
-            self._mark_incremental_if_eligible(meta, low)
+        self._mark_incremental_if_eligible(meta, low)
         self._save_meta(v.name, meta)
         if meta.get("maintenance") == "incremental":
             self._rebuild_incremental(meta, low)
@@ -577,12 +576,13 @@ class Catalog:
             self.refresh_view(v.name, low)
 
     def _mark_incremental_if_eligible(self, meta: dict, low) -> None:
-        """A Summing view maintains incrementally when (a) the defining
-        query is a UNION ALL of delta-decomposable branches and (b)
-        every non-key output column is numeric (summable). State is
-        then bucketed parquet merged per insert — O(touched buckets)
-        per batch instead of a full recompute, the property that keeps
-        a 100 TB view maintainable."""
+        """A view maintains incrementally when the defining query is a
+        UNION ALL of delta-decomposable branches; Summing additionally
+        requires every non-key output column to be numeric (summable),
+        Replacing requires its version columns in the output (keep-max
+        merges any column type). State is then bucketed parquet merged
+        per insert — O(touched buckets) per batch instead of a full
+        recompute, the property that keeps a 100 TB view maintainable."""
         q = _unpickle_ast(meta["query"])
         branches = _unionall_branches(q)
         if branches is None or not all(_branch_delta_ok(b) for b in branches):
@@ -594,34 +594,58 @@ class Catalog:
             meta["maintenance"] = "full"
             return
         non_key = [f for f in df.schema.fields if f.name not in keys]
-        if not all(isinstance(f.dataType, S.NumericType) for f in non_key):
-            meta["maintenance"] = "full"
-            return
+        if meta["strategy"] == "replacing":
+            if not set(meta["primary_key"] or []) <= set(df.columns):
+                meta["maintenance"] = "full"
+                return
+            merged_schema = df.schema.json()
+        else:
+            if not all(
+                isinstance(f.dataType, S.NumericType) for f in non_key
+            ):
+                meta["maintenance"] = "full"
+                return
+            probe = df.groupBy(*keys).agg(
+                *[F.sum(f.name).alias(f.name) for f in non_key]
+            )
+            merged_schema = probe.select(*df.columns).schema.json()
         meta["maintenance"] = "incremental"
         meta["out_columns"] = df.columns
         meta["n_buckets"] = 16  # state-layout knob; raise at real scale
-        probe = df.groupBy(*keys).agg(
-            *[F.sum(f.name).alias(f.name) for f in non_key]
-        )
-        meta["merged_schema"] = probe.select(*df.columns).schema.json()
+        meta["merged_schema"] = merged_schema
 
     def _state_path(self, name: str) -> str:
         return self._data_path(name)
 
+    def _state_merge(self, meta: dict, batch: DataFrame) -> None:
+        """Merge one batch of view-query output rows into the bucketed
+        state per the view's strategy."""
+        from nutdb_spark.streaming.summing import (
+            replacing_merge_batch,
+            summing_merge_batch,
+        )
+
+        keys = meta["order_by"]
+        state = self._state_path(meta["name"])
+        buckets = meta.get("n_buckets", 64)
+        batch = batch.select(*meta["out_columns"])
+        if meta["strategy"] == "replacing":
+            replacing_merge_batch(
+                batch, keys, meta["primary_key"], state, buckets
+            )
+        else:
+            sums = [c for c in meta["out_columns"] if c not in keys]
+            summing_merge_batch(batch, keys, sums, state, buckets)
+
     def _rebuild_incremental(self, meta: dict, low) -> None:
         """(Re)build the bucketed state from the full defining query —
         the bootstrap at CREATE time (and the fallback repair path)."""
-        from nutdb_spark.streaming.summing import summing_merge_batch
-
         state = self._state_path(meta["name"])
         if os.path.exists(state):
             shutil.rmtree(state)
         os.makedirs(state, exist_ok=True)
-        df = low.lower_query(_unpickle_ast(meta["query"]))
-        keys = meta["order_by"]
-        sums = [c for c in meta["out_columns"] if c not in keys]
-        summing_merge_batch(
-            df, keys, sums, state, meta.get("n_buckets", 64)
+        self._state_merge(
+            meta, low.lower_query(_unpickle_ast(meta["query"]))
         )
 
     def _delta_merge_view(
@@ -632,7 +656,6 @@ class Catalog:
         block flows through the query; branches not referencing the
         inserted table contribute nothing)."""
         from nutdb_spark.frontend.lower import Lowerer
-        from nutdb_spark.streaming.summing import summing_merge_batch
 
         branches = _unionall_branches(_unpickle_ast(meta["query"]))
         base_resolve = low.resolve_table
@@ -654,12 +677,7 @@ class Catalog:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        keys = meta["order_by"]
-        sums = [c for c in meta["out_columns"] if c not in keys]
-        summing_merge_batch(
-            out.select(*meta["out_columns"]), keys, sums,
-            self._state_path(meta["name"]), meta.get("n_buckets", 64),
-        )
+        self._state_merge(meta, out)
 
     def refresh_view(self, name: str, low) -> None:
         """Full refresh: re-run the defining query and apply the merge

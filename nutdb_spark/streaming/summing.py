@@ -37,28 +37,15 @@ def _bucket_dirs(state_path: str) -> list[str]:
     return [d for d in os.listdir(state_path) if d.startswith("__bucket=")]
 
 
-def summing_merge_batch(
-    batch_df: DataFrame,
-    keys: list[str],
-    sums: list[str],
-    state_path: str,
-    n_buckets: int = DEFAULT_BUCKETS,
+def _merge_touched_buckets(
+    partial: DataFrame, merge, state_path: str
 ) -> None:
-    """Merge one micro-batch of raw rows into the bucketed summing
-    state, rewriting only the buckets the batch's keys fall in."""
-    spark = batch_df.sparkSession
-    partial = (
-        batch_df.groupBy(*keys)
-        .agg(
-            *[F.sum(c).alias(c) for c in sums],
-            F.count(F.lit(1)).alias("__n"),
-        )
-        .withColumn(
-            "__bucket",
-            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
-            .cast("int"),
-        )
-    )
+    """Shared bucketed-state maintenance: given a batch partial that
+    carries an int ``__bucket`` column, read ONLY the touched state
+    buckets, apply ``merge(state ∪ partial) -> merged`` and swap the
+    touched bucket directories (tmp-write-then-rename; single-writer).
+    The only driver-side values are the touched bucket ids (≤ B)."""
+    spark = partial.sparkSession
     touched = sorted(
         r["__bucket"] for r in partial.select("__bucket").distinct().collect()
     )
@@ -72,14 +59,7 @@ def summing_merge_batch(
     ]
     if hit:
         state = spark.read.option("basePath", state_path).parquet(*hit)
-        partial = (
-            state.unionByName(partial)
-            .groupBy(*keys, "__bucket")
-            .agg(
-                *[F.sum(c).alias(c) for c in sums],
-                F.sum("__n").alias("__n"),
-            )
-        )
+        partial = merge(state.unionByName(partial))
     tmp = state_path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -93,6 +73,75 @@ def summing_merge_batch(
         if os.path.exists(src):  # a bucket can aggregate to zero rows
             os.rename(src, dst)
     shutil.rmtree(tmp)
+
+
+def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+        .cast("int"),
+    )
+
+
+def summing_merge_batch(
+    batch_df: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    state_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Merge one micro-batch of raw rows into the bucketed summing
+    state, rewriting only the buckets the batch's keys fall in."""
+    partial = _with_bucket(
+        batch_df.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in sums],
+            F.count(F.lit(1)).alias("__n"),
+        ),
+        keys,
+        n_buckets,
+    )
+
+    def merge(both: DataFrame) -> DataFrame:
+        return both.groupBy(*keys, "__bucket").agg(
+            *[F.sum(c).alias(c) for c in sums],
+            F.sum("__n").alias("__n"),
+        )
+
+    _merge_touched_buckets(partial, merge, state_path)
+
+
+def replacing_merge_batch(
+    batch_df: DataFrame,
+    keys: list[str],
+    version: list[str],
+    state_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Replacing-strategy sibling of :func:`summing_merge_batch`:
+    per merge key keep the row with the greatest ``version`` tuple
+    (ClickHouse ReplacingMergeTree(ver)). Keep-max is associative and
+    commutative like the sum, so batch boundaries don't matter and the
+    same O(touched buckets) contract holds."""
+    payload = [c for c in batch_df.columns if c not in keys]
+
+    def keep_max(df: DataFrame) -> DataFrame:
+        row = F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(v) for v in version]),
+        ).alias("__row")
+        out = df.groupBy(*keys, "__bucket").agg(row)
+        return out.select(
+            *keys, *[F.col("__row")[c].alias(c) for c in payload], "__bucket"
+        )
+
+    partial = keep_max(
+        _with_bucket(batch_df, keys, n_buckets)
+    )
+
+    def merge(both: DataFrame) -> DataFrame:
+        return keep_max(both)
+
+    _merge_touched_buckets(partial, merge, state_path)
 
 
 def incremental_summing(

@@ -116,10 +116,29 @@ def test_replacing_view_keeps_max_version(eng):
         "CREATE VIEW vm_rv UPDATE BY Replacing PRIMARY KEY (ver) "
         "ORDER BY (k) AS SELECT k, ver, v FROM vm_r"
     )
+    # simple per-row query → maintained incrementally (keep-max merge)
+    assert eng.catalog._load_meta("vm_rv")["maintenance"] == "incremental"
     eng.sql("INSERT INTO vm_r (k, ver, v) VALUES (1, 2, 20), (2, 1, 7)")
     assert _rows(eng.sql("SELECT k, ver, v FROM vm_rv")) == {
         (1, 3, 30), (2, 1, 7),
     }
+    # a LATER higher version replaces state written before it
+    eng.sql("INSERT INTO vm_r (k, ver, v) VALUES (1, 9, 90)")
+    assert _rows(eng.sql("SELECT k, ver, v FROM vm_rv")) == {
+        (1, 9, 90), (2, 1, 7),
+    }
+
+
+def test_replacing_view_non_numeric_payload_incremental(eng):
+    # keep-max merges ANY payload type — strings don't force full refresh
+    eng.sql("CREATE TABLE vm_rs (k Int32, ver Int64, name String)")
+    eng.sql(
+        "CREATE VIEW vm_rsv UPDATE BY Replacing PRIMARY KEY (ver) "
+        "ORDER BY (k) AS SELECT k, ver, name FROM vm_rs"
+    )
+    assert eng.catalog._load_meta("vm_rsv")["maintenance"] == "incremental"
+    eng.sql("INSERT INTO vm_rs (k, ver, name) VALUES (1, 1, 'old'), (1, 2, 'new')")
+    assert _rows(eng.sql("SELECT k, ver, name FROM vm_rsv")) == {(1, 2, "new")}
 
 
 def test_replacing_requires_version(eng):
