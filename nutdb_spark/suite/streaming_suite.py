@@ -198,6 +198,63 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_enrich",
+    f"SELECT event_id, user_id, user_id % 3 AS tier, value FROM {_EV}",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: events stream in two micro-
+    batches and each batch broadcast-joins a STATIC dimension frame
+    (per-user tier) inside the streaming query itself — the canonical
+    fact-stream ⋈ dimension pattern. The static side is re-planned per
+    micro-batch by Structured Streaming (picking up dimension changes),
+    and with a broadcast dimension the stream side never shuffles —
+    the property that matters when the fact stream is the 100 TB side.
+    Oracle: the same join in batch (tier derives deterministically from
+    user_id, so the enriched rows are exactly the events rows)."""
+    import tempfile
+
+    from pyspark.sql.functions import broadcast
+
+    base = tempfile.mkdtemp(prefix="q_stream_enrich_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", F.pmod(F.col("user_id"), F.lit(3)))
+    )
+    src = _STREAM_SRC_CACHE.get(("enrich", sf_dir))
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="q_stream_enrich_src_") + "/src"
+        for parity in (0, 1):
+            ev.filter(F.col("event_id") % 2 == parity).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        _STREAM_SRC_CACHE[("enrich", sf_dir)] = src
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    enriched = stream.join(broadcast(dim), "user_id").select(
+        "event_id", "user_id", "tier", "value"
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "event_id long, user_id long, tier long, value double"
+    ).parquet(out)
+
+
+@query(
     "q_stream_summing",
     f"""
     SELECT event_type,
