@@ -952,7 +952,9 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        s.join(
+            F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi"
+        )
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )

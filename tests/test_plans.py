@@ -152,3 +152,27 @@ def test_simhash_dedup_is_all_jvm(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in plan, node
+
+
+def test_asof_sql_plan_is_union_window(spark):
+    """The ASOF JOIN lowering must be the union+window single-shuffle
+    plan — never a join node (a range/theta join would fan out
+    quadratically per key at scale)."""
+    import re
+
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["sql_asof"](spark, SF01))
+    assert "Window" in plan
+    assert not re.search(r"(SortMergeJoin|BroadcastHashJoin|"
+                         r"BroadcastNestedLoopJoin|CartesianProduct)", plan)
+
+
+def test_new_tpch_shapes_broadcast_and_no_cartesian(spark):
+    from nutdb_spark.suite import QUERIES
+
+    for name in ("tpch_q8", "tpch_q9", "tpch_q20"):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
