@@ -185,3 +185,80 @@ def _ceil(x: Column) -> Column:
 @scalar("sqrt")
 def _sqrt(x: Column) -> Column:
     return F.sqrt(x)
+
+
+# --- ClickHouse-family surface beyond the corpus --------------------------
+# The dialect is ClickHouse-flavored throughout (SURVEY.md §0), and the
+# parser keeps the function namespace open, so the names users of the
+# reference dialect reach for next are the standard ClickHouse ones.
+# All lower to built-in JVM expressions (whole-stage codegen) — never
+# Python UDFs.
+
+# datetime
+SCALAR_FNS["toStartOfDay"] = lambda d: F.date_trunc("day", d)
+SCALAR_FNS["toStartOfMonth"] = lambda d: F.date_trunc("month", d)
+SCALAR_FNS["toStartOfYear"] = lambda d: F.date_trunc("year", d)
+SCALAR_FNS["toStartOfHour"] = lambda d: F.date_trunc("hour", d)
+SCALAR_FNS["toStartOfMinute"] = lambda d: F.date_trunc("minute", d)
+SCALAR_FNS["toMonth"] = F.month
+SCALAR_FNS["toDayOfMonth"] = F.dayofmonth
+SCALAR_FNS["toDayOfWeek"] = F.dayofweek
+SCALAR_FNS["toHour"] = F.hour
+SCALAR_FNS["toMinute"] = F.minute
+SCALAR_FNS["toSecond"] = F.second
+SCALAR_FNS["addDays"] = lambda d, n: d + F.make_interval(days=n)
+SCALAR_FNS["addHours"] = lambda d, n: d + F.make_interval(hours=n)
+SCALAR_FNS["addMonths"] = lambda d, n: d + F.make_interval(months=n)
+
+# strings
+SCALAR_FNS["trim"] = F.trim
+SCALAR_FNS["ltrim"] = F.ltrim
+SCALAR_FNS["rtrim"] = F.rtrim
+SCALAR_FNS["reverse"] = F.reverse
+SCALAR_FNS["repeat"] = F.repeat
+SCALAR_FNS["startsWith"] = lambda s, p: s.startswith(p)
+SCALAR_FNS["endsWith"] = lambda s, p: s.endswith(p)
+SCALAR_FNS["position"] = lambda s, sub: F.instr(s, sub)  # 1-based, 0=absent
+SCALAR_FNS["replaceAll"] = F.replace  # literal replace (not regex)
+SCALAR_FNS["splitByChar"] = lambda sep, s: F.split(
+    s, F.regexp_replace(sep, r"([.*+?^${}()|\[\]\\])", r"\\$1")
+)
+SCALAR_FNS["leftPad"] = F.lpad
+SCALAR_FNS["rightPad"] = F.rpad
+
+# math
+SCALAR_FNS["exp"] = F.exp
+SCALAR_FNS["ln"] = F.log
+SCALAR_FNS["log2"] = F.log2
+SCALAR_FNS["log10"] = F.log10
+SCALAR_FNS["pow"] = F.pow
+SCALAR_FNS["sign"] = F.signum
+SCALAR_FNS["greatest"] = F.greatest
+SCALAR_FNS["least"] = F.least
+
+# arrays (1-based dialect; Spark's higher-order builtins are 1-based too)
+SCALAR_FNS["arrayLength"] = F.size
+SCALAR_FNS["has"] = F.array_contains
+SCALAR_FNS["arraySum"] = lambda a: F.aggregate(
+    a, F.lit(0).cast("long"), lambda acc, x: acc + x
+)
+SCALAR_FNS["arrayDistinct"] = F.array_distinct
+SCALAR_FNS["arraySort"] = F.sort_array
+SCALAR_FNS["arrayJoin"] = F.explode  # projection-level explode
+
+# conditional / positional aggregates (ClickHouse classics)
+AGGREGATE_FNS["sumIf"] = lambda x, cond: F.sum(F.when(cond, x))
+AGGREGATE_FNS["countIf"] = lambda cond: F.count(F.when(cond, F.lit(1)))
+AGGREGATE_FNS["avgIf"] = lambda x, cond: F.avg(F.when(cond, x))
+AGGREGATE_FNS["minIf"] = lambda x, cond: F.min(F.when(cond, x))
+AGGREGATE_FNS["maxIf"] = lambda x, cond: F.max(F.when(cond, x))
+AGGREGATE_FNS["argMax"] = F.max_by
+AGGREGATE_FNS["argMin"] = F.min_by
+AGGREGATE_FNS["any"] = lambda c: F.first(c, ignorenulls=True)
+AGGREGATE_FNS["uniqExact"] = F.count_distinct
+AGGREGATE_FNS["groupArray"] = F.collect_list  # order is partition-dependent
+AGGREGATE_FNS["stddevPop"] = F.stddev_pop
+AGGREGATE_FNS["stddevSamp"] = F.stddev_samp
+AGGREGATE_FNS["varPop"] = F.var_pop
+AGGREGATE_FNS["varSamp"] = F.var_samp
+AGGREGATE_FNS["corr"] = F.corr

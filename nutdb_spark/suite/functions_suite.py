@@ -202,3 +202,130 @@ def q_fn_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         qa(F.col("l_quantity"), 0.5, 1_000_000).alias("med_qty"),
         qa(F.col("l_extendedprice"), 0.9, 1_000_000).alias("p90_price"),
     )
+
+
+# --- ClickHouse-family surface (round 5): datetime / conditional aggs /
+# string+math scalars, each reached THROUGH THE DIALECT FRONTEND so the
+# open FnName::Others namespace resolution is what's certified ----------
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=sf_dir).sql(text)
+
+
+# DuckDB reads events.ts as TIMESTAMP_NS; normalize like streaming_suite.
+_EV = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+
+@query(
+    "q_fn_datetime",
+    f"""
+    SELECT event_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS mstart,
+           date_trunc('hour', ts) AS hstart,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS dom,
+           CAST(hour(ts) AS INT) AS h,
+           ts + INTERVAL 2 DAY AS plus2d,
+           ts + INTERVAL 3 HOUR AS plus3h
+    FROM {_EV} e WHERE event_id < 500
+    """,
+)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse datetime surface: toStartOfMonth/Hour, toMonth,
+    toDayOfMonth, toHour, addDays/addHours — all date_trunc/extract
+    builtins, codegen-side."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        select event_id,
+               toStartOfMonth(ts) as mstart,
+               toStartOfHour(ts) as hstart,
+               toMonth(ts) as m,
+               toDayOfMonth(ts) as dom,
+               toHour(ts) as h,
+               addDays(ts, 2) as plus2d,
+               addHours(ts, 3) as plus3h
+        from events where event_id < 500
+        """,
+    )
+
+
+@query(
+    "q_fn_conditional_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(FLOOR(l_quantity * 10000) AS BIGINT) END)
+                AS BIGINT) AS qty_hidisc,
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk,
+           MIN(CASE WHEN l_linenumber = 1 THEN l_shipdate END) AS first_l1,
+           arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part,
+           COUNT(DISTINCT l_suppkey) AS uniq_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_fn_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse conditional/positional aggregates: sumIf, countIf,
+    minIf, argMax (max_by on a unique composite), uniqExact — all
+    single-pass, map-side-partial JVM aggregates (the -If family is a
+    CASE inside the agg, never a second scan)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               sumIf(floor(l_quantity * 10000), l_discount > 0.05) as qty_hidisc,
+               countIf(l_quantity > 25) as n_bulk,
+               minIf(l_shipdate, l_linenumber = 1) as first_l1,
+               argMax(l_partkey, l_orderkey * 10 + l_linenumber) as last_part,
+               uniqExact(l_suppkey) as uniq_supp
+        from lineitem group by l_returnflag
+        """,
+    )
+
+
+@query(
+    "q_fn_scalar_surface",
+    """
+    SELECT p_partkey,
+           trim(p_name) AS t,
+           starts_with(p_name, 'red') AS is_red,
+           ends_with(p_name, 'bolt') AS is_bolt,
+           strpos(p_name, 'e') AS pos_e,
+           reverse(p_brand) AS rb,
+           repeat(p_brand, 2) AS rb2,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           greatest(p_size, 25) AS hi,
+           least(p_size, 25) AS lo,
+           CAST(pow(2, p_size % 10) AS DOUBLE) AS p2,
+           CAST(sign(p_size - 25) AS DOUBLE) AS sg
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def q_fn_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string/math scalars through the frontend: trim,
+    startsWith/endsWith, position, reverse, repeat, leftPad,
+    greatest/least, pow (exact powers of two), sign."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        select p_partkey,
+               trim(p_name) as t,
+               startsWith(p_name, 'red') as is_red,
+               endsWith(p_name, 'bolt') as is_bolt,
+               position(p_name, 'e') as pos_e,
+               reverse(p_brand) as rb,
+               repeat(p_brand, 2) as rb2,
+               leftPad(concat('', p_size), 4, '0') as padded,
+               greatest(p_size, 25) as hi,
+               least(p_size, 25) as lo,
+               pow(2, p_size % 10) as p2,
+               sign(p_size - 25) as sg
+        from part where p_partkey < 300
+        """,
+    )
