@@ -97,3 +97,105 @@ def test_comparisons_match_python(engine, a, b):
         f"({a}) != ({b}) AS ne"
     ).collect()[0]
     assert (row["lt"], row["ge"], row["ne"]) == (a < b, a >= b, a != b)
+
+
+# --- asof_join_any vs a naive per-row reference ---------------------------
+
+
+@st.composite
+def _asof_case(draw):
+    keys = ["a", "b", None]
+    left = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(keys),
+                st.one_of(st.none(), st.integers(0, 20)),
+            ),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(keys),
+                st.one_of(st.none(), st.integers(0, 20)),
+                st.integers(0, 99),
+            ),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    return left, right
+
+
+def _naive_asof(left, right, strict):
+    """Per-row reference: latest right (by ts, then payload as the
+    deterministic tie-break the operator also uses via last-in-sort) —
+    to keep ties deterministic the generator must not produce duplicate
+    (key, ts) on the right; we dedup keeping the max payload."""
+    best = {}
+    for k, ts, v in right:
+        if k is None or ts is None:
+            continue
+        cur = best.get((k, ts))
+        if cur is None or v > cur:
+            best[(k, ts)] = v
+    out = []
+    for i, (k, ts) in enumerate(left):
+        match = None
+        if k is not None and ts is not None:
+            cand = [
+                (rts, v)
+                for (rk, rts), v in best.items()
+                if rk == k and (rts < ts if strict else rts <= ts)
+            ]
+            if cand:
+                match = max(cand)[1]
+        out.append((i, match))
+    return out
+
+
+@pytest.mark.parametrize("strict", [False, True])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=_asof_case())
+def test_asof_join_any_matches_naive(spark, strict, case):
+    import pyspark.sql.functions as F
+
+    from nutdb_spark.operators.asof import asof_join_any
+
+    left, right = case
+    # dedup right on (key, ts) keeping max payload → ties deterministic
+    best = {}
+    for k, ts, v in right:
+        cur = best.get((k, ts))
+        if cur is None or v > cur:
+            best[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in best.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "lid int, k string, ts int",
+    )
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)], "k string, ts int, v int"
+    )
+    if not rrows:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        (r["lid"], r["__asof__v"])
+        for r in asof_join_any(
+            ldf,
+            rdf,
+            left_keys=[F.col("k")],
+            right_keys=[F.col("k")],
+            left_ts=F.col("ts"),
+            right_ts=F.col("ts"),
+            how="left",
+            strict=strict,
+        ).collect()
+    }
+    assert got == set(_naive_asof(left, rrows, strict))
