@@ -350,17 +350,36 @@ class Lowerer:
                 isinstance(conj, A.BinOp)
                 and conj.op in ("=", ">=", ">", "<=", "<")
             ):
+                # a conjunct with no comparison structure can still be a
+                # one-sided filter (e.g. r.flag IS NOT NULL)
+                side = self._asof_side(conj, base, right, alias, left_aliases)
+                if side == "l":
+                    base = base.filter(self._expr(conj, scope, {}, []))
+                    continue
+                if side == "r":
+                    right = right.filter(self._expr(conj, scope, {}, []))
+                    continue
                 raise LoweringError(
-                    "ASOF ON supports only '=' and one of >=, >, <=, < "
-                    f"between the two sides; got {conj!r}"
+                    "ASOF ON supports equi-key '=' conjuncts, ONE "
+                    ">=/>/<=/< timestamp inequality between the sides, "
+                    f"and one-sided filters; got {conj!r}"
                 )
             sl = self._asof_side(conj.left, base, right, alias, left_aliases)
             sr = self._asof_side(conj.right, base, right, alias, left_aliases)
-            if sl == sr:
-                raise LoweringError(
-                    "every ASOF ON conjunct must compare a left-side "
-                    "expression with a right-side expression"
-                )
+            if sl == sr or None in (sl, sr):
+                # both operands on one side (or one side + literal):
+                # a plain filter on that side, not a join condition
+                side = sl or sr
+                if side is None:
+                    raise LoweringError(
+                        "ASOF ON conjunct references neither side"
+                    )
+                col = self._expr(conj, scope, {}, [])
+                if side == "l":
+                    base = base.filter(col)
+                else:
+                    right = right.filter(col)
+                continue
             lhs, rhs = (
                 (conj.left, conj.right) if sl == "l" else (conj.right, conj.left)
             )
@@ -419,9 +438,10 @@ class Lowerer:
 
     def _asof_side(
         self, e, base: DataFrame, right: DataFrame, alias: str, left_aliases
-    ) -> str:
-        """Which side of an ASOF join an ON operand reads: 'l' | 'r'.
-        Mixed references or columns resolvable on neither side raise."""
+    ):
+        """Which side of an ASOF join an ON operand reads: 'l' | 'r' |
+        None (no column references — a literal). Mixed references or
+        columns resolvable on neither side raise."""
         sides: set[str] = set()
 
         def walk(node):
@@ -464,11 +484,11 @@ class Lowerer:
                     walk(v)
 
         walk(e)
-        if len(sides) != 1:
+        if len(sides) > 1:
             raise LoweringError(
-                "each ASOF ON operand must reference exactly one side"
+                "an ASOF ON operand may not mix columns from both sides"
             )
-        return sides.pop()
+        return sides.pop() if sides else None
 
     # --- WHERE with subquery lowering -------------------------------------
 

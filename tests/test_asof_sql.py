@@ -138,11 +138,28 @@ def test_asof_wrong_direction_rejected(eng):
         )
 
 
-def test_asof_same_side_rejected(eng):
-    with pytest.raises(LoweringError, match="left-side"):
+def test_asof_one_sided_conjuncts_become_filters(eng):
+    # r.v < 105 filters the right side BEFORE the as-of match: lid=1's
+    # equal-ts row (v=100) survives, lid=2's latest prior (v=110) is
+    # filtered so it falls back to the earlier row (v=100)
+    out = eng.sql(
+        "SELECT l.lid, r.v FROM asof_l l "
+        "ASOF JOIN asof_r r ON l.k = r.k AND l.lts >= r.rts AND r.v < 105"
+    )
+    assert _rows(out) == {(1, 100), (2, 100)}
+    # left-side filter: only lid=2 remains on the left
+    out = eng.sql(
+        "SELECT l.lid, r.v FROM asof_l l "
+        "ASOF JOIN asof_r r ON l.k = r.k AND l.lts >= r.rts AND l.lid = 2"
+    )
+    assert _rows(out) == {(2, 110)}
+
+
+def test_asof_mixed_operand_rejected(eng):
+    with pytest.raises(LoweringError, match="mix columns"):
         eng.sql(
             "SELECT * FROM asof_l l "
-            "ASOF JOIN asof_r r ON l.lid = l.lid AND l.lts >= r.rts"
+            "ASOF JOIN asof_r r ON l.lid + r.v = 3 AND l.lts >= r.rts"
         )
 
 
