@@ -89,6 +89,43 @@ def test_summing_view_multi_table_union(eng):
     assert _rows(eng.sql("SELECT k, v FROM vm_u")) == {(1, 11), (2, 22)}
 
 
+def test_summing_view_join_branch_incremental(eng):
+    """A fact⋈dim branch is delta-decomposable: inserting into the
+    FACT binds Δfact⋈dim; inserting into the DIM binds fact⋈Δdim —
+    each produces exactly the new match set (other tables resolve to
+    their current full state)."""
+    eng.sql("CREATE TABLE vm_fact (k Int32, v Int64)")
+    eng.sql("CREATE TABLE vm_dim (k Int32, w Int64)")
+    eng.sql(
+        "CREATE VIEW vm_j UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT f.k AS k, f.v * d.w AS v FROM vm_fact f "
+        "JOIN vm_dim d ON f.k = d.k"
+    )
+    assert eng.catalog._load_meta("vm_j")["maintenance"] == "incremental"
+    eng.sql("INSERT INTO vm_dim (k, w) VALUES (1, 10), (2, 100)")
+    eng.sql("INSERT INTO vm_fact (k, v) VALUES (1, 2), (1, 3), (2, 4)")
+    assert _rows(eng.sql("SELECT k, v FROM vm_j")) == {(1, 50), (2, 400)}
+    # new dim row for a NEW key joins future + existing facts once
+    eng.sql("INSERT INTO vm_fact (k, v) VALUES (3, 7)")  # no dim yet
+    eng.sql("INSERT INTO vm_dim (k, w) VALUES (3, 1000)")
+    assert _rows(eng.sql("SELECT k, v FROM vm_j")) == {
+        (1, 50), (2, 400), (3, 7000),
+    }
+
+
+def test_self_join_view_falls_back_to_full(eng):
+    # a table referenced twice in one branch is NOT delta-decomposable
+    eng.sql("CREATE TABLE vm_sj (k Int32, v Int64)")
+    eng.sql(
+        "CREATE VIEW vm_sjv UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT a.k AS k, a.v * b.v AS v FROM vm_sj a "
+        "JOIN vm_sj b ON a.k = b.k"
+    )
+    assert eng.catalog._load_meta("vm_sjv")["maintenance"] == "full"
+    eng.sql("INSERT INTO vm_sj (k, v) VALUES (1, 3)")
+    assert _rows(eng.sql("SELECT k, v FROM vm_sjv")) == {(1, 9)}
+
+
 def test_aggregating_view_falls_back_to_full(eng):
     eng.sql("CREATE TABLE vm_a (k Int32, v Int64)")
     eng.sql(
