@@ -239,6 +239,106 @@ def lsh_bucket_pairs(
     )
 
 
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic integer k-means (floored-mean Lloyd's) →
+    (id, cid, dist2) cluster assignments — the learned-centroid
+    counterpart of sign-LSH for IVF-style ANN blocking.
+
+    Exactness contract: vectors are 1e7-scaled ints; centroids stay
+    INTEGER by flooring each mean component, so every distance²
+    (|v|² − 2v·c + |c|²) is exact int64 arithmetic and assignments are
+    bit-identical across Spark, DuckDB, and any partitioning — no
+    float reduction-order hazard anywhere. Ties break to the lowest
+    centroid id. Init = the k lowest-id vectors (deterministic).
+
+    Scale shape per iteration: one broadcast of k×dim literal ints into
+    an explode+min_by assignment (no join), one groupBy(k) with dim
+    per-component sums. The ONLY driver-side values are the k×dim
+    centroid components (collect bounded by k, like the summing
+    operator's touched-bucket ids) — rows never leave the cluster.
+    This is an action at build time (like any iterative fixpoint).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), scaled(F.col(vec_col)).alias("__v")
+    ).localCheckpoint()
+    dim = len(base.select("__v").first()["__v"])
+    cents = [
+        (i, list(r["__v"]))
+        for i, r in enumerate(
+            base.orderBy("__id").limit(k).select("__v").collect()
+        )
+    ]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        cand = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).alias("cid"),
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__v"),
+                                F.array(*[F.lit(x).cast("long") for x in c]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, t: acc + t,
+                        ).alias("d2"),
+                    )
+                    for cid, c in cents
+                ]
+            )
+        )
+        best = F.min_by(
+            F.struct("__c.cid", "__c.d2"), F.struct("__c.d2", "__c.cid")
+        )
+        return (
+            frame.select("__id", "__v", cand.alias("__c"))
+            .groupBy("__id", "__v")
+            .agg(best.alias("__b"))
+            .select(
+                "__id",
+                "__v",
+                F.col("__b.cid").alias("cid"),
+                F.col("__b.d2").alias("dist2"),
+            )
+        )
+
+    for _ in range(iters):
+        assigned = assign(base)
+        sums = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        rows = {r["cid"]: r for r in sums.collect()}
+        new = []
+        for cid, old in cents:
+            r = rows.get(cid)
+            if r is None or r["__n"] == 0:  # empty cluster keeps its seed
+                new.append((cid, old))
+            else:
+                new.append(
+                    (
+                        cid,
+                        [r[f"__s{i}"] // r["__n"] for i in range(dim)],
+                    )
+                )
+        cents = new
+    return assign(base).select(
+        F.col("__id"), F.col("cid"), F.col("dist2")
+    )
+
+
 def _topk_gemm_merge(k: int):
     """cogroup(applyInPandas) body: exact int64 GEMM of a corpus block
     against the replicated query set, per-query BLOCK-LOCAL top-k by

@@ -53,13 +53,15 @@ _PRIORITY = [
     "sql_asof", "q_ddl_view_summing_incremental", "q_ddl_view_replacing",
     "q_dedup_connected", "tpch_q8", "tpch_q9", "tpch_q20",
     "q_stream_enrich", "q_fn_datetime", "q_fn_conditional_agg",
-    "q_fn_scalar_surface",
+    "q_fn_scalar_surface", "q_cluster_kmeans", "q_sim_topk_ivf",
     # --- r4 driver-red, reshaped this round ---
     "q_dedup_minhash_sig",
-    # --- stalest: last driver row is r2 (14 of 21; the 7 dropped for
+    # --- stalest: last driver row is r2 (12 of 21; the 9 dropped for
     # the new entries above are shapes covered by stronger window
-    # entries: select_star/in_subquery/not_in_list/join_right/q5/q6/q14)
-    "q_distinct", "q_expr_compare", "q_expr_logic",
+    # entries: select_star/in_subquery/not_in_list/join_right/q5/q6/q14
+    # and the expression pair compare/logic, r4-green via the
+    # like/between/isnull/index/interval family)
+    "q_distinct",
     "q_join_left", "q_join_left_anti", "q_join_right_semi",
     "q_join_theta", "q_not_exists", "q_not_in_list_null",
     "q_not_in_subquery", "q_union_distinct",

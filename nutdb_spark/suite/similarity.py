@@ -145,3 +145,136 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- IVF path: deterministic integer k-means clustering -------------------
+
+
+def _oracle_kmeans(iters: int = 2, k: int = 8) -> str:
+    """DuckDB twin of operators.similarity.kmeans_assign: same scaled
+    ints, same floored-mean centroid update, same (d2, cid) tie-break.
+    Parallel unnests zip a vector with its 1-based index, so the
+    per-dimension sums are plain GROUP BYs."""
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> (v.s[i] - c.s[i]) * (v.s[i] - c.s[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"v AS (SELECT vec_id, {oracle_scaled('embedding')} AS s FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, s
+               FROM v ORDER BY vec_id LIMIT {k})""",
+    ]
+    cur = "c0"
+    for r in range(1, iters + 1):
+        parts += [
+            f"""d{r} AS (SELECT v.vec_id, v.s, c.cid, {d2} AS d2
+                   FROM v, {cur} c)""",
+            f"""a{r} AS (SELECT vec_id, s, cid FROM (
+                     SELECT vec_id, s, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cid) AS rn
+                     FROM d{r}) t WHERE rn = 1)""",
+            f"""e{r} AS (SELECT cid, unnest(s) AS x,
+                            unnest(range(1, 65)) AS i FROM a{r})""",
+            f"""m{r} AS (SELECT cid,
+                            list(CAST(FLOOR(CAST(sx AS DOUBLE) / n) AS BIGINT)
+                                 ORDER BY i) AS s
+                     FROM (SELECT cid, i, SUM(x) AS sx,
+                                  COUNT(*) AS n
+                           FROM e{r} GROUP BY cid, i) t GROUP BY cid)""",
+            f"""c{r} AS (SELECT cid, s FROM m{r}
+                     UNION ALL
+                     SELECT cid, s FROM {cur}
+                     WHERE cid NOT IN (SELECT cid FROM m{r}))""",
+        ]
+        cur = f"c{r}"
+    parts.append(
+        f"""fin AS (SELECT vec_id, cid, d2 FROM (
+                 SELECT v.vec_id, c.cid, {d2} AS d2,
+                        row_number() OVER (PARTITION BY v.vec_id
+                                           ORDER BY {d2}, c.cid) AS rn
+                 FROM v, {cur} c) t WHERE rn = 1)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "q_cluster_kmeans",
+    _oracle_kmeans() + "\nSELECT vec_id, cid, d2 AS dist2 FROM fin",
+)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer k-means (2 Lloyd iterations, floored-mean
+    centroids, exact int64 distances): the learned-centroid IVF
+    blocking for ANN. Every assignment is bit-identical to the DuckDB
+    oracle because no float reduction order exists anywhere — scaled
+    ints in, integer centroid updates, exact distance² comparisons."""
+    from nutdb_spark.operators.similarity import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, "vec_id", "embedding", k=8, iters=2).select(
+        F.col("__id").alias("vec_id"), "cid", "dist2"
+    )
+
+
+@query(
+    "q_sim_topk_ivf",
+    _oracle_kmeans()
+    + f""",
+b AS (SELECT f.vec_id, f.cid, v.s,
+             {oracle_dot_scaled('v.s', 'v.s')} AS n2
+      FROM fin f JOIN v ON f.vec_id = v.vec_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {oracle_cosine(oracle_dot_scaled('q.s', 'c.s'), 'q.n2', 'c.n2')} DESC,
+                    c.vec_id) AS rank
+  FROM b q JOIN b c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10) t
+WHERE rank <= 5
+""",
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with LEARNED centroids: k-means clusters are the
+    inverted-file buckets; each query probes only its own cluster and
+    exact-ranks the members via the shared per-block GEMM body — the
+    classic IVF-flat search, completing the ANN family (brute-force →
+    sign-LSH → learned IVF)."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.similarity import (
+        _topk_gemm_merge,
+        kmeans_assign,
+        scaled,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(e, "vec_id", "embedding", k=8, iters=2)
+    base = assign.select(F.col("__id"), F.col("cid").alias("__blk")).join(
+        e.select(
+            F.col("vec_id").alias("__id"),
+            scaled(F.col("embedding")).alias("__v"),
+        ),
+        "__id",
+    )
+    q = base.filter(F.col("__id") < 10).select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("__blk").alias("__qblk"),
+    )
+    scored = (
+        base.groupby("__blk")
+        .cogroup(q.groupby("__qblk"))
+        .applyInPandas(
+            _topk_gemm_merge(5),
+            "query_id long, neighbor_id long, cosine double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -63,15 +63,16 @@ def test_lowerings_are_lazy(spark):
     from nutdb_spark.suite import QUERIES
 
     # q_ddl_* callables run INSERTs, q_stream_* run availableNow
-    # streams, sql_source_files writes its CSV/JSON sources, and
-    # q_dedup_connected is an iterative fixpoint (label propagation
-    # materializes each round and tests convergence) — all actions by
-    # design; everything else must be lazy
+    # streams, sql_source_files writes its CSV/JSON sources, and the
+    # iterative entries (connected-components label propagation,
+    # k-means Lloyd rounds) materialize per round by design — all
+    # actions; everything else must be lazy
     lazy = {
         n: f
         for n, f in QUERIES.items()
         if not n.startswith(("q_ddl", "q_stream"))
-        and n not in ("sql_source_files", "q_dedup_connected")
+        and n not in ("sql_source_files", "q_dedup_connected",
+                      "q_cluster_kmeans", "q_sim_topk_ivf")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
