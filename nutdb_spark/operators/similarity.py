@@ -265,78 +265,98 @@ def kmeans_assign(
     operator's touched-bucket ids) — rows never leave the cluster.
     This is an action at build time (like any iterative fixpoint).
     """
+    import numpy as np
+
     base = df.select(
         F.col(id_col).alias("__id"), scaled(F.col(vec_col)).alias("__v")
     ).localCheckpoint()
-    dim = len(base.select("__v").first()["__v"])
     cents = [
-        (i, list(r["__v"]))
-        for i, r in enumerate(
-            base.orderBy("__id").limit(k).select("__v").collect()
-        )
+        list(r["__v"])
+        for r in base.orderBy("__id").limit(k).select("__v").collect()
     ]
 
-    def assign(frame: DataFrame) -> DataFrame:
-        cand = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(cid).alias("cid"),
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("__v"),
-                                F.array(*[F.lit(x).cast("long") for x in c]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, t: acc + t,
-                        ).alias("d2"),
+    def _dists(C: "np.ndarray"):
+        """batch → (cid per row, dist2 per row): one exact int64 GEMM
+        (|v|² − 2v·C + |c|²); argmin's first-min rule IS the
+        lowest-cid tie-break because C is ordered by cid."""
+        cn2 = (C * C).sum(axis=1)
+
+        def per_batch(pdf):
+            V = np.array(
+                [np.asarray(x, dtype=np.int64) for x in pdf["__v"]]
+            )
+            d2 = (
+                (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cn2[None, :]
+            )
+            cid = d2.argmin(axis=1)
+            return cid, d2[np.arange(len(cid)), cid]
+
+        return per_batch
+
+    def partial_sums(C: "np.ndarray"):
+        """mapInPandas body: per-batch per-cluster (n, component sums)
+        partials — rows out ≤ batches × k, finished driver-side."""
+        import pandas as pd
+
+        score = _dists(C)
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cid, _ = score(pdf)
+                V = np.array(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["__v"]]
+                )
+                rows = []
+                for c in np.unique(cid):
+                    m = cid == c
+                    rows.append(
+                        (int(c), int(m.sum()), V[m].sum(axis=0).tolist())
                     )
-                    for cid, c in cents
-                ]
-            )
-        )
-        best = F.min_by(
-            F.struct("__c.cid", "__c.d2"), F.struct("__c.d2", "__c.cid")
-        )
-        return (
-            frame.select("__id", "__v", cand.alias("__c"))
-            .groupBy("__id", "__v")
-            .agg(best.alias("__b"))
-            .select(
-                "__id",
-                "__v",
-                F.col("__b.cid").alias("cid"),
-                F.col("__b.d2").alias("dist2"),
-            )
-        )
+                yield pd.DataFrame(rows, columns=["cid", "n", "s"])
+
+        return fn
+
+    def assign(C: "np.ndarray") -> DataFrame:
+        import pandas as pd
+
+        score = _dists(C)
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cid, d2 = score(pdf)
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"].to_numpy(),
+                        "cid": cid.astype("int64"),
+                        "dist2": d2,
+                    }
+                )
+
+        return base.mapInPandas(fn, "__id long, cid long, dist2 long")
 
     for _ in range(iters):
-        assigned = assign(base)
-        sums = assigned.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[
-                F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
-                for i in range(dim)
-            ],
-        )
-        rows = {r["cid"]: r for r in sums.collect()}
-        new = []
-        for cid, old in cents:
-            r = rows.get(cid)
-            if r is None or r["__n"] == 0:  # empty cluster keeps its seed
-                new.append((cid, old))
-            else:
-                new.append(
-                    (
-                        cid,
-                        [r[f"__s{i}"] // r["__n"] for i in range(dim)],
-                    )
-                )
-        cents = new
-    return assign(base).select(
-        F.col("__id"), F.col("cid"), F.col("dist2")
-    )
+        C = np.array(cents, dtype=np.int64)
+        partials = base.mapInPandas(
+            partial_sums(C), "cid int, n long, s array<long>"
+        ).collect()
+        agg: dict[int, tuple[int, "np.ndarray"]] = {}
+        for r in partials:
+            n, s = agg.get(r["cid"], (0, 0))
+            agg[r["cid"]] = (
+                n + r["n"],
+                s + np.asarray(r["s"], dtype=np.int64),
+            )
+        cents = [
+            (np.asarray(agg[c][1]) // agg[c][0]).tolist()
+            if c in agg and agg[c][0] > 0
+            else cents[c]  # empty cluster keeps its previous centroid
+            for c in range(k)
+        ]
+    return assign(np.array(cents, dtype=np.int64))
 
 
 def _topk_gemm_merge(k: int):
