@@ -1,0 +1,88 @@
+"""[EXT] Deterministic sampling & dataset splits for training pipelines.
+
+Training-data pipelines need samples and train/val/test splits that are
+REPRODUCIBLE — across engines, re-runs, partitionings, and appends
+(a late-arriving row must land in the same split it would have landed
+in on day one). Random number generators give none of that; the
+standard technique is hash-based assignment: a row's fate is a pure
+function of its stable key.
+
+Everything here keys off md5 (salted), available bit-identically in
+Spark, DuckDB, and Python: the first 15 hex digits (60 bits) are parsed
+to an int64 and reduced mod a granularity. No shuffle, no state, no
+RNG — a pure projection that scales like the scan and composes with
+every other operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GRAIN = 1_000_000  # split granularity: ppm resolution
+
+
+def hash_bucket(key: Column, salt: str = "", grain: int = GRAIN) -> Column:
+    """Deterministic bucket in [0, grain): md5(salt || key) first 60
+    bits mod grain. The salt decouples independent samples — two
+    samples with different salts are statistically independent even on
+    the same keys."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % grain
+
+
+def oracle_hash_bucket(key_expr: str, salt: str = "", grain: int = GRAIN) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % {grain}"
+    )
+
+
+def sample_fraction(
+    df: DataFrame, key: Column, fraction: float, *, salt: str = ""
+) -> DataFrame:
+    """Keep ~`fraction` of rows, deterministically: a row is kept iff
+    its hash bucket < fraction·grain. Append-stable and engine-portable
+    (unlike df.sample, whose output depends on partition layout)."""
+    return df.filter(hash_bucket(key, salt) < int(fraction * GRAIN))
+
+
+def with_split(
+    df: DataFrame,
+    key: Column,
+    *,
+    fractions: dict[str, float],
+    salt: str = "split",
+    col_name: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test…) by hash
+    range. Fractions must sum to ≤ 1; any remainder becomes NULL (rows
+    held out entirely). Assignment is per-row pure — appends, re-runs,
+    and engine changes never move a row between splits."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = hash_bucket(key, salt)
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(frac * GRAIN)
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(col_name, expr)
+
+
+def oracle_split_case(
+    key_expr: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> str:
+    b = oracle_hash_bucket(key_expr, salt)
+    parts = []
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(frac * GRAIN)
+        parts.append(f"WHEN ({b}) >= {lo} AND ({b}) < {hi} THEN '{name}'")
+        lo = hi
+    return "CASE " + " ".join(parts) + " END"

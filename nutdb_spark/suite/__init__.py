@@ -54,6 +54,7 @@ _PRIORITY = [
     "q_dedup_connected", "tpch_q8", "tpch_q9", "tpch_q20",
     "q_stream_enrich", "q_fn_datetime", "q_fn_conditional_agg",
     "q_fn_scalar_surface", "q_cluster_kmeans", "q_sim_topk_ivf",
+    "q_sample_hash", "q_split_train_eval",
     # --- r4 driver-red, reshaped this round ---
     "q_dedup_minhash_sig",
     # --- stalest: last driver row is r2 (12 of 21; the 9 dropped for
@@ -76,7 +77,6 @@ _PRIORITY = [
     "q_text_fingerprint", "q_text_quality", "q_multimodal_features",
     "q_window_tumbling", "q_window_session",
     "sql_q1", "sql_setops", "sql_table_fn",
-    "q_fn_quantile", "q_fn_quantile_approx",
 ]
 
 

@@ -175,3 +175,70 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         rolling_hash(normalize_text(F.col("text"))).alias("rhash"),
     ).join(fp, "doc_id")
+
+
+# --- deterministic sampling & splits (operators/sampling.py) --------------
+
+
+from nutdb_spark.operators.sampling import (  # noqa: E402
+    oracle_hash_bucket,
+    oracle_split_case,
+    sample_fraction,
+    with_split,
+)
+
+
+@query(
+    "q_sample_hash",
+    f"""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE {oracle_hash_bucket('doc_id', salt='s1')} < 100000
+    GROUP BY lang
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample: kept iff md5('s1'||doc_id) bucket
+    < 0.1·grain — append-stable and engine-portable, unlike df.sample
+    whose output depends on partition layout. A pure projection filter:
+    no shuffle, scales like the scan."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sample_fraction(d, F.col("doc_id"), 0.1, salt="s1")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "q_split_train_eval",
+    f"""
+    SELECT {oracle_split_case('doc_id', _SPLITS)} AS split,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY split
+    """,
+)
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by hash range: a row's
+    split is a pure function of its id, so late-arriving rows land
+    where they always would have and no engine/partitioning change can
+    move a document across the contamination boundary."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        with_split(d, F.col("doc_id"), fractions=_SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )

@@ -120,3 +120,34 @@ def test_sample_frames_short_payload_empty(spark):
 
     d = spark.createDataFrame([(1, "short")], "doc_id long, text string")
     assert sample_frames(with_binary_payload(d), frame_size=64).count() == 0
+
+
+def test_hash_split_is_append_stable(spark):
+    """A row's split assignment must not depend on which other rows are
+    present (the append-stability / no-contamination contract)."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.sampling import sample_fraction, with_split
+
+    full = spark.range(0, 1000).withColumnRenamed("id", "k")
+    part = full.filter(F.col("k") < 300)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    sf = with_split(full, F.col("k"), fractions=fr).collect()
+    sp = with_split(part, F.col("k"), fractions=fr).collect()
+    full_map = {r["k"]: r["split"] for r in sf}
+    assert all(full_map[r["k"]] == r["split"] for r in sp)
+    # different salts give independent samples
+    a = {r["k"] for r in sample_fraction(full, F.col("k"), 0.5, salt="a").collect()}
+    b = {r["k"] for r in sample_fraction(full, F.col("k"), 0.5, salt="b").collect()}
+    assert a != b and 300 < len(a) < 700 and 300 < len(b) < 700
+
+
+def test_split_fractions_validated(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.sampling import with_split
+
+    df = spark.range(10)
+    with _pytest.raises(ValueError, match="> 1"):
+        with_split(df, F.col("id"), fractions={"a": 0.9, "b": 0.2})
