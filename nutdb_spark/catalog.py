@@ -538,6 +538,29 @@ class Catalog:
                     continue
                 self.refresh_view(meta["name"], low)
 
+    def _repair_dependent_views(self, table: str, low) -> None:
+        """Full repair for base-table mutations that bypass the insert
+        delta path (TRUNCATE / ALTER data rewrites / DROP PARTITION /
+        OPTIMIZE): incremental bucketed state only ever merges insert
+        deltas, so removed or rewritten base rows would otherwise stay
+        in the view forever and reads would be silently wrong. Rebuild
+        incremental state from the full query; re-run full-refresh
+        views for read-consistency before the next insert."""
+        for f in os.listdir(self.root):
+            if not f.endswith(".json"):
+                continue
+            meta = self._load_meta(f[:-5])
+            if not meta or meta["type"] != "view":
+                continue
+            refs: set[str] = set()
+            self._referenced_tables(_unpickle_ast(meta["query"]), refs)
+            if table not in refs:
+                continue
+            if meta.get("maintenance") == "incremental":
+                self._rebuild_incremental(meta, low)
+            else:
+                self.refresh_view(meta["name"], low)
+
     # --- views (S7): CREATE VIEW … UPDATE BY <strategy> -------------------
 
     _VIEW_STRATEGIES = ("summing", "replacing")
@@ -776,7 +799,7 @@ class Catalog:
         if os.path.exists(self._data_path(stmt.name)):
             shutil.rmtree(self._data_path(stmt.name))
 
-    def truncate(self, stmt: A.TruncateStmt) -> None:
+    def truncate(self, stmt: A.TruncateStmt, low=None) -> None:
         meta = self._load_meta(stmt.name)
         if meta is None or meta["type"] != stmt.entity:
             if stmt.if_exists:
@@ -785,6 +808,8 @@ class Catalog:
         path = self._data_path(stmt.name)
         shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
+        if stmt.entity == "table" and low is not None:
+            self._repair_dependent_views(stmt.name, low)
 
     def alter(self, stmt: A.AlterStmt, low) -> None:
         meta = self._load_meta(stmt.table)
@@ -875,6 +900,10 @@ class Catalog:
         else:
             raise CatalogError(f"unsupported ALTER action {act}")
         self._save_meta(stmt.table, meta)
+        # Data-mutating ALTERs invalidate incremental view state (the
+        # delta-merge path never sees removed/rewritten rows).
+        if act in ("add_column", "drop_column", "rename_column", "drop_partition"):
+            self._repair_dependent_views(stmt.table, low)
 
     def _rewrite(self, name: str, meta: dict, low, rename=None) -> None:
         """Schema-evolution rewrite (columns added/dropped/renamed)."""
@@ -923,6 +952,10 @@ class Catalog:
         out.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
+        # Compaction preserves content, but rebuild dependent
+        # incremental state anyway: OPTIMIZE is the documented repair
+        # hook for views knocked stale by external file surgery.
+        self._repair_dependent_views(stmt.table, low)
 
 
 def _pickle_ast(node) -> str:

@@ -82,7 +82,7 @@ class NutEngine:
             self.catalog.drop(stmt)
             return None
         if isinstance(stmt, A.TruncateStmt):
-            self.catalog.truncate(stmt)
+            self.catalog.truncate(stmt, low)
             return None
         if isinstance(stmt, A.AlterStmt):
             self.catalog.alter(stmt, low)

@@ -354,6 +354,13 @@ class Lowerer:
                 # one-sided filter (e.g. r.flag IS NOT NULL)
                 side = self._asof_side(conj, base, right, alias, left_aliases)
                 if side == "l":
+                    if j.kind == "left_asof":
+                        raise LoweringError(
+                            "LEFT ASOF JOIN cannot take a left-side-only "
+                            "ON conjunct (outer semantics would keep the "
+                            "filtered rows with NULL right columns) — "
+                            "move it to WHERE"
+                        )
                     base = base.filter(self._expr(conj, scope, {}, []))
                     continue
                 if side == "r":
@@ -373,6 +380,13 @@ class Lowerer:
                 if side is None:
                     raise LoweringError(
                         "ASOF ON conjunct references neither side"
+                    )
+                if side == "l" and j.kind == "left_asof":
+                    raise LoweringError(
+                        "LEFT ASOF JOIN cannot take a left-side-only ON "
+                        "conjunct (outer semantics would keep the "
+                        "filtered rows with NULL right columns) — move "
+                        "it to WHERE"
                     )
                 col = self._expr(conj, scope, {}, [])
                 if side == "l":
@@ -419,15 +433,26 @@ class Lowerer:
             )
         except ValueError as ex:
             raise LoweringError(str(ex)) from ex
-        # un-prefix the right columns; collisions keep `<alias>_<name>`
+        # un-prefix the right columns; collisions keep `<alias>_<name>`.
+        # The duplicate check runs over the PRECOMPUTED full set of final
+        # names (left columns + every right target): checking out.columns
+        # mid-loop misses a sibling right column still carrying its
+        # __asof__ prefix whose target is the same name.
         lset = set(base.columns)
-        for c in right.columns:
-            final = c if c not in lset else f"{alias}_{c}"
-            if final != c and final in set(out.columns) | lset:
-                raise LoweringError(
-                    f"ASOF JOIN output name collision on {final!r}; "
-                    "alias the right columns apart"
-                )
+        finals = {
+            c: (c if c not in lset else f"{alias}_{c}")
+            for c in right.columns
+        }
+        all_names = list(base.columns) + list(finals.values())
+        dupes = sorted(
+            {n for n in finals.values() if all_names.count(n) > 1}
+        )
+        if dupes:
+            raise LoweringError(
+                f"ASOF JOIN output name collision on {dupes}; "
+                "alias the right columns apart"
+            )
+        for c, final in finals.items():
             out = out.withColumnRenamed(f"__asof__{c}", final)
             scope.redirects[f"{alias}.{c}"] = final
         for la in left_aliases:

@@ -202,7 +202,9 @@ SCALAR_FNS["toStartOfHour"] = lambda d: F.date_trunc("hour", d)
 SCALAR_FNS["toStartOfMinute"] = lambda d: F.date_trunc("minute", d)
 SCALAR_FNS["toMonth"] = F.month
 SCALAR_FNS["toDayOfMonth"] = F.dayofmonth
-SCALAR_FNS["toDayOfWeek"] = F.dayofweek
+# ClickHouse toDayOfWeek is ISO: Monday=1..Sunday=7 (Spark weekday is
+# Monday=0; Spark dayofweek would be Sunday=1 — wrong numbering).
+SCALAR_FNS["toDayOfWeek"] = lambda d: F.weekday(d) + F.lit(1)
 SCALAR_FNS["toHour"] = F.hour
 SCALAR_FNS["toMinute"] = F.minute
 SCALAR_FNS["toSecond"] = F.second

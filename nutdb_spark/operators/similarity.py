@@ -274,6 +274,11 @@ def kmeans_assign(
         list(r["__v"])
         for r in base.orderBy("__id").limit(k).select("__v").collect()
     ]
+    if not cents:
+        raise ValueError("kmeans_assign: input has no vectors")
+    # Fewer vectors than k: every vector is its own centroid (clamping
+    # k beats an IndexError in the update loop below).
+    k = min(k, len(cents))
 
     def _dists(C: "np.ndarray"):
         """batch → (cid per row, dist2 per row): one exact int64 GEMM

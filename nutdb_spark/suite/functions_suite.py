@@ -227,6 +227,7 @@ _EV = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
            date_trunc('hour', ts) AS hstart,
            CAST(month(ts) AS INT) AS m,
            CAST(day(ts) AS INT) AS dom,
+           CAST(isodow(ts) AS INT) AS dow,
            CAST(hour(ts) AS INT) AS h,
            ts + INTERVAL 2 DAY AS plus2d,
            ts + INTERVAL 3 HOUR AS plus3h
@@ -235,8 +236,8 @@ _EV = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 )
 def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse datetime surface: toStartOfMonth/Hour, toMonth,
-    toDayOfMonth, toHour, addDays/addHours — all date_trunc/extract
-    builtins, codegen-side."""
+    toDayOfMonth, toDayOfWeek (ISO Monday=1), toHour, addDays/addHours
+    — all date_trunc/extract builtins, codegen-side."""
     return _sql(
         spark,
         sf_dir,
@@ -246,6 +247,7 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
                toStartOfHour(ts) as hstart,
                toMonth(ts) as m,
                toDayOfMonth(ts) as dom,
+               toDayOfWeek(ts) as dow,
                toHour(ts) as h,
                addDays(ts, 2) as plus2d,
                addHours(ts, 3) as plus3h
