@@ -308,6 +308,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     est_threshold: float = 0.75,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """dedupNear: MinHash + LSH banding candidate generation.
 
@@ -316,10 +317,18 @@ def minhash_lsh_pairs(
     (groupBy the band struct + collect_list), candidates come from the
     per-bucket pair expansion (double explode), and verification is
     the estimated Jaccard (matching signature fraction) ≥
-    est_threshold. Two shuffles (bucket lists, pair dedup); no join —
-    and certainly no crossJoin — at any scale. Bucket sizes are
-    bounded by the LSH family itself (band collisions), the same
-    memory contract as any LSH bucketing.
+    est_threshold. Three shuffles (bucket sizes, bucket lists, pair
+    dedup); equi-joins only — no crossJoin — at any scale.
+
+    Hot-bucket guard (``max_bucket``): a web-scale corpus full of
+    boilerplate near-duplicates can put millions of docs in ONE band
+    bucket — a single-row OOM at collect_list and a quadratic pair
+    explosion after it. Bucket sizes are therefore counted FIRST
+    (map-side-partial count, no lists) and rows in buckets larger than
+    the cap are cut before any posting list materializes, mirroring the
+    ``max_shingle_freq`` guard on the exact-Jaccard path: a bucket that
+    hot is degenerate boilerplate, and its members still pair up
+    through their other, more selective bands.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -344,7 +353,13 @@ def minhash_lsh_pairs(
             )
         ).alias("__band"),
     )
-    buckets = banded.groupBy("__band").agg(
+    ok = (
+        banded.groupBy("__band")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter((F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket))
+        .select("__band")
+    )
+    buckets = banded.join(ok, "__band").groupBy("__band").agg(
         F.collect_list(F.struct("__id", "__sig")).alias("__ds")
     )
     matches = F.size(

@@ -145,10 +145,12 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH banding pairs ------------------------------------------
 
 
-def _oracle_lsh() -> str:
+def _oracle_lsh(max_bucket: int = 1000) -> str:
     sig = oracle_minhash_signature("text", n=4, num_hashes=8)
     # bands of 2 rows over the 8-slot signature; bucket = slot equality
-    # (NULL slots — empty docs — never join, matching keep_empty=False)
+    # (NULL slots — empty docs — never join, matching keep_empty=False).
+    # The hot-bucket cap mirrors minhash_lsh_pairs(max_bucket=...):
+    # buckets larger than the cap contribute no candidates.
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, sig, {b} AS band, sig[{2 * b + 1}] AS k1, sig[{2 * b + 2}] AS k2 FROM sigs"
         for b in range(4)
@@ -156,9 +158,14 @@ def _oracle_lsh() -> str:
     return f"""
 WITH sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
 banded AS ({band_rows}),
+ok AS (
+  SELECT band, k1, k2 FROM banded GROUP BY band, k1, k2
+  HAVING COUNT(*) BETWEEN 2 AND {max_bucket}),
+bk AS (
+  SELECT banded.* FROM banded JOIN ok USING (band, k1, k2)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM bk a JOIN bk b
     ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)
 SELECT c.id_a, c.id_b,
        len(list_filter(list_transform(range(1, 9),
@@ -174,7 +181,9 @@ WHERE len(list_filter(list_transform(range(1, 9),
 @query("q_dedup_minhash_lsh", _oracle_lsh())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedupNear: banded-LSH candidates (4 bands × 2 rows) verified by
-    estimated Jaccard ≥ 0.75. Equi-join on band keys only."""
+    estimated Jaccard ≥ 0.75. Equi-join on band keys only, with the
+    hot-bucket cap active (buckets over 1000 members are cut BEFORE any
+    posting list materializes; the oracle applies the identical cut)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", n=4, num_hashes=8, bands=4, est_threshold=0.75

@@ -143,6 +143,32 @@ def test_jaccard_hot_shingle_guard_filters(spark):
     }
 
 
+def test_lsh_hot_bucket_guard(spark):
+    """Boilerplate-heavy corpora put many docs in ONE band bucket; the
+    max_bucket cap must cut such buckets BEFORE the posting-list
+    collect_list (single-row OOM + quadratic pair explosion at scale),
+    and the plan must stay equi-join-only."""
+    from nutdb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "exact same boilerplate body repeated everywhere") for i in range(12)],
+        "doc_id long, text string",
+    )
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=8, bands=4,
+        est_threshold=0.5, max_bucket=5,
+    )
+    assert capped.count() == 0  # every bucket holds all 12 docs → cut
+    plan = plan_of(capped)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    uncapped = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=8, bands=4,
+        est_threshold=0.5, max_bucket=1000,
+    )
+    assert uncapped.count() == 12 * 11 // 2  # identical sigs: all pairs
+
+
 def test_simhash_dedup_is_all_jvm(spark):
     """SimHash dedup (md5 token hashing) must run entirely JVM-side —
     no Python evaluation nodes of any kind in the plan, unlike the
