@@ -258,12 +258,14 @@ def kmeans_assign(
     float reduction-order hazard anywhere. Ties break to the lowest
     centroid id. Init = the k lowest-id vectors (deterministic).
 
-    Scale shape per iteration: one broadcast of k×dim literal ints into
-    an explode+min_by assignment (no join), one groupBy(k) with dim
-    per-component sums. The ONLY driver-side values are the k×dim
-    centroid components (collect bounded by k, like the summing
-    operator's touched-bucket ids) — rows never leave the cluster.
-    This is an action at build time (like any iterative fixpoint).
+    Scale shape per iteration: k×dim centroid ints broadcast in the
+    Arrow-batch closure → per-batch GEMM scoring + per-batch partial
+    sums (≤ batches×k rows), then a DISTRIBUTED posexplode →
+    groupBy(cid, pos) exact-int64 reduce. The ONLY driver-side values
+    are the k×dim component sums + k counts (like the summing
+    operator's touched-bucket ids) — data rows and batch partials
+    never leave the cluster. This is an action at build time (like any
+    iterative fixpoint).
     """
     import numpy as np
 
@@ -343,21 +345,38 @@ def kmeans_assign(
 
         return base.mapInPandas(fn, "__id long, cid long, dist2 long")
 
+    dim = len(cents[0])
     for _ in range(iters):
         C = np.array(cents, dtype=np.int64)
-        partials = base.mapInPandas(
-            partial_sums(C), "cid int, n long, s array<long>"
-        ).collect()
-        agg: dict[int, tuple[int, "np.ndarray"]] = {}
-        for r in partials:
-            n, s = agg.get(r["cid"], (0, 0))
-            agg[r["cid"]] = (
-                n + r["n"],
-                s + np.asarray(r["s"], dtype=np.int64),
+        # Distributed reduce of the per-batch partials:
+        # posexplode(s) → groupBy(cid, pos) with exact int64 sums
+        # (map-side partial agg), so EXACTLY k×dim rows ever reach the
+        # driver — at 100 TB the batch partials are millions of rows
+        # and must not be collect()ed. The per-cluster row count rides
+        # along on the pos=0 slice (one value per cid, not dim copies).
+        reduced = (
+            base.mapInPandas(
+                partial_sums(C), "cid int, n long, s array<long>"
             )
+            .select("cid", "n", F.posexplode("s").alias("__pos", "__x"))
+            .groupBy("cid", "__pos")
+            .agg(
+                F.sum("__x").alias("__sx"),
+                F.sum(F.when(F.col("__pos") == 0, F.col("n"))).alias("__n"),
+            )
+            .collect()
+        )
+        agg_n: dict[int, int] = {}
+        agg_s: dict[int, "np.ndarray"] = {}
+        for r in reduced:
+            agg_s.setdefault(r["cid"], np.zeros(dim, dtype=np.int64))[
+                r["__pos"]
+            ] = r["__sx"]
+            if r["__pos"] == 0:
+                agg_n[r["cid"]] = r["__n"]
         cents = [
-            (np.asarray(agg[c][1]) // agg[c][0]).tolist()
-            if c in agg and agg[c][0] > 0
+            (agg_s[c] // agg_n[c]).tolist()
+            if agg_n.get(c, 0) > 0
             else cents[c]  # empty cluster keeps its previous centroid
             for c in range(k)
         ]
