@@ -146,6 +146,7 @@ class Join:
     alias: str | None
     on: object | None = None
     using: list[str] | None = None
+    within: "Interval | None" = None  # ASOF tolerance bound
 
 
 @dataclass

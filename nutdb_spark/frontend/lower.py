@@ -430,6 +430,11 @@ class Lowerer:
                 right_ts=self._expr(rts, scope, {}, []),
                 how="inner" if j.kind == "asof" else "left",
                 strict=strict,
+                tolerance=(
+                    self._expr(j.within, scope, {}, [])
+                    if j.within is not None
+                    else None
+                ),
             )
         except ValueError as ex:
             raise LoweringError(str(ex)) from ex

@@ -337,7 +337,15 @@ class Parser:
                 if not self.eat_sym(","):
                     break
             self.expect_sym(")")
-        return A.Join(kind, src, alias, on, using)
+        within = None
+        if self.eat_kw("within"):
+            # ASOF tolerance: match only right rows within the interval
+            # BEFORE the left timestamp (the bounded as-of window)
+            if kind not in ("asof", "left_asof"):
+                raise ParseError("WITHIN is only valid on ASOF joins")
+            self.expect_kw("interval")
+            within = self._interval()
+        return A.Join(kind, src, alias, on, using, within)
 
     def _limit_clause(self) -> A.Limit:
         first = self.parse_expr()

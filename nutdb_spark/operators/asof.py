@@ -86,6 +86,7 @@ def asof_join_any(
     right_ts,
     how: str = "left",
     strict: bool = False,
+    tolerance=None,
     prefix: str = "__asof__",
 ) -> DataFrame:
     """`asof_join` generalized to arbitrary key/ts Column expressions —
@@ -102,10 +103,19 @@ def asof_join_any(
       left row with a NULL key/timestamp matches nothing;
     - ``how='inner'`` drops left rows with no prior right row;
     - ``strict=True`` matches ``left_ts > right_ts`` (an equal-ts
-      right row does NOT match) instead of the default ``>=``.
+      right row does NOT match) instead of the default ``>=``;
+    - ``tolerance`` (optional Column/literal, e.g.
+      ``F.expr("INTERVAL 2 HOURS")`` for timestamps or a number for
+      numeric ts) bounds the match window: the latest prior right row
+      only counts when ``right_ts >= left_ts - tolerance`` — the
+      common real-world as-of shape ("the quote within the last N
+      minutes, else no match"). Out-of-window left rows get NULL
+      right columns (left) or are dropped (inner).
 
-    Same single-shuffle union+window plan as :func:`asof_join` — scale
-    notes there apply unchanged.
+    Same single-shuffle union+window plan as :func:`asof_join` — the
+    tolerance adds ONE more last() over the identical window frame
+    (the matched right timestamp riding alongside the payload) plus a
+    pushed row-local comparison; scale notes there apply unchanged.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof how must be left|inner, got {how!r}")
@@ -158,6 +168,22 @@ def asof_join_any(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = merged.withColumn("__last", F.last("__p", ignorenulls=True).over(w))
+    if tolerance is not None:
+        # the matched right row's timestamp: right rows carry __ats in
+        # __rts, so last-non-null over the SAME frame is by construction
+        # the timestamp of the row whose payload __last carries
+        merged = merged.withColumn(
+            "__rts",
+            F.when(F.col("__side") != 1, F.col("__ats")),
+        ).withColumn(
+            "__mts", F.last("__rts", ignorenulls=True).over(w)
+        ).withColumn(
+            "__last",
+            F.when(
+                F.col("__mts") >= F.col("__ats") - tolerance,
+                F.col("__last"),
+            ),
+        )
     out = merged.filter(F.col("__side") == 1)
     if how == "inner":
         out = out.filter(F.col("__last").isNotNull())

@@ -403,6 +403,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, root) per id appearing in ``pairs``: root = the minimum id
     of the id's connected component (transitive closure of the pair
@@ -417,12 +419,22 @@ def connected_components(
     otherwise double the lineage per round and the 20th plan would be
     2^20 nodes. The only driver-side values are the per-round changed
     COUNTS (the convergence test), never rows — the plan scales like
-    any iterative graph job. At extreme scale the alternating
+    any iterative graph job.
+
+    ``algorithm='two_phase'`` switches to the alternating
     large-star/small-star formulation (Kiveris et al., "Connected
-    Components in MapReduce") halves the round count; the plan shape
-    per round is identical (equi-join + min-aggregate), so this is the
-    honest small-diameter version of the same algorithm.
+    Components in MapReduce and Beyond"): rounds drop from
+    O(component diameter) to O(log n) — the right choice for deep
+    chain-shaped components — with the identical per-round plan
+    primitives (equi-join + min-aggregate). Near-dup components are
+    usually shallow (docs similar to one template), so min-label stays
+    the default. ``stats``, when a dict, receives {"rounds": N} for
+    either algorithm.
     """
+    if algorithm == "two_phase":
+        return _connected_two_phase(pairs, id_a, id_b, max_iters, stats)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # Materialize the edge list ONCE: every round joins against it, and
     # without the checkpoint the (possibly expensive) pair-generation
     # plan above it would re-execute per round.
@@ -437,6 +449,7 @@ def connected_components(
         .withColumn("__root", F.col("__id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iters):
         via = edges.join(
             labels.select(
@@ -461,10 +474,95 @@ def connected_components(
             .count()
         )
         labels = new
+        rounds += 1
         if improved == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("__id").alias("id"), F.col("__root").alias("root")
+    )
+
+
+def _connected_two_phase(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iters: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al.): the edge set
+    converges to stars — every node pointing directly at its component
+    minimum — in O(log n) alternations regardless of diameter.
+
+    large-star: per node u, hook every LARGER neighbor to
+    min(N(u) ∪ {u}); small-star: per node u (edges oriented
+    large→small), hook u and its smaller neighbors to the minimum.
+    Both are one min-aggregate + one equi-join per step — the same
+    shuffle primitives as min-label propagation, never a collect of
+    neighbor lists. Edges stay canonically (big, small); convergence =
+    an empty exceptAll delta (a count, the only driver-side value).
+    """
+    # canonical orientation big→small, self-loops dropped
+    e = (
+        pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.greatest("__a", "__b").alias("__u"),
+            F.least("__a", "__b").alias("__v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("__u").alias("__id"))
+        .unionByName(e.select(F.col("__v").alias("__id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        # --- large-star: symmetric neighborhoods ---
+        sym = e.unionByName(
+            e.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
+        )
+        m = sym.groupBy("__u").agg(
+            F.least(F.min("__v"), F.first("__u")).alias("__m")
+        )
+        ls = (
+            sym.filter(F.col("__v") > F.col("__u"))
+            .join(m, "__u")
+            .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+            .filter(F.col("__u") != F.col("__v"))
+        )
+        # --- small-star: edges already point big→small ---
+        ms = ls.groupBy("__u").agg(F.min("__v").alias("__m"))
+        ss = (
+            ls.join(ms, "__u")
+            .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+            .filter(F.col("__u") != F.col("__v"))
+            .unionByName(ms.select(F.col("__u"), F.col("__m").alias("__v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        # set equality (both are distinct): empty delta + equal size
+        if ss.exceptAll(e).count() == 0 and ss.count() == e.count():
+            e = ss
+            break
+        e = ss
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged stars: every non-root points at its component min (the
+    # min-agg is insurance for a max_iters cutoff mid-convergence)
+    roots = nodes.join(
+        e.select(F.col("__u").alias("__id")).distinct(), "__id", "left_anti"
+    ).select(F.col("__id").alias("id"), F.col("__id").alias("root"))
+    return (
+        e.select(F.col("__u").alias("id"), F.col("__v").alias("root"))
+        .groupBy("id")
+        .agg(F.min("root").alias("root"))
+        .unionByName(roots)
     )
 
 

@@ -462,6 +462,47 @@ def sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_asof_within",
+    """
+    WITH m AS (SELECT user_id AS m_user, ts AS m_ts, MAX(value) AS m_val
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts),
+    j AS (
+      SELECT e.event_id, e.user_id, e.ts, m.m_ts, m.m_val,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY m.m_ts DESC) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
+      JOIN m ON e.user_id = m.m_user AND e.ts >= m.m_ts
+             AND m.m_ts >= e.ts - INTERVAL 2 DAY)
+    SELECT event_id, user_id, ts, m_ts, m_val FROM j WHERE rn = 1
+    """,
+)
+def sql_asof_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ASOF JOIN (WITHIN <interval>): the latest prior purchase
+    only matches when it happened within the tolerance window — the
+    common real-world as-of shape. DuckDB's native ASOF JOIN has no
+    tolerance, so the oracle post-filters the matched row (equivalent:
+    the bound is a lower limit on the matched timestamp, so the latest
+    prior row is in-window iff any row is). Same union+window
+    single-shuffle plan with one extra last() over the identical frame.
+    """
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select e.event_id, e.user_id, e.ts, m.m_ts, m.m_val
+        from (select event_id, user_id, ts from events where event_id < 2000) as e
+        asof join (
+            select user_id as m_user, ts as m_ts, max(value) as m_val
+            from events where event_type = 'purchase'
+            group by user_id, ts
+        ) as m on e.user_id = m.m_user and e.ts >= m.m_ts
+        within interval 2 day
+        """,
+    )
+
+
+@query(
     "sql_params",
     """
     SELECT n_name, n_nationkey FROM nation

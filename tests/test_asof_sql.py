@@ -177,3 +177,40 @@ def test_asof_parse_kinds():
     assert q.joins[0].kind == "left_asof"
     q = parse("SELECT * FROM a INNER ASOF JOIN b ON a.x >= b.x").query
     assert q.joins[0].kind == "asof"
+
+
+def test_asof_within_bounds_match_window(eng):
+    # lid=2 (ts=12:00): latest prior is r@11:00 — inside a 2-hour
+    # window, outside a 30-minute one
+    out = eng.sql(
+        "SELECT l.lid, r.v FROM asof_l l "
+        "ASOF JOIN asof_r r ON l.k = r.k AND l.lts >= r.rts "
+        "WITHIN INTERVAL 2 HOUR"
+    )
+    assert _rows(out) == {(1, 100), (2, 110)}
+    out = eng.sql(
+        "SELECT l.lid, r.v FROM asof_l l "
+        "ASOF JOIN asof_r r ON l.k = r.k AND l.lts >= r.rts "
+        "WITHIN INTERVAL 30 MINUTE"
+    )
+    # lid=1 still matches its equal-ts row; lid=2's match is 1h old
+    assert _rows(out) == {(1, 100)}
+
+
+def test_left_asof_within_nulls_out_of_window(eng):
+    out = eng.sql(
+        "SELECT l.lid, r.v FROM asof_l l "
+        "LEFT ASOF JOIN asof_r r ON l.k = r.k AND l.lts >= r.rts "
+        "WITHIN INTERVAL 30 MINUTE"
+    )
+    assert _rows(out) == {
+        (1, 100), (2, None), (3, None), (4, None), (5, None), (6, None),
+    }
+
+
+def test_within_rejected_on_plain_join(eng):
+    with pytest.raises(ParseError, match="WITHIN"):
+        eng.sql(
+            "SELECT * FROM asof_l l JOIN asof_r r ON l.k = r.k "
+            "WITHIN INTERVAL 1 HOUR"
+        )

@@ -47,3 +47,35 @@ def test_cross_pair_merges_components(spark):
     )
     roots = {r["root"] for r in connected_components(pairs).collect()}
     assert roots == {1}
+
+
+def test_two_phase_matches_label_and_halves_rounds(spark):
+    """Alternating large-star/small-star must produce the identical
+    component labels AND converge in fewer rounds than min-label
+    propagation on a deep chain (label prop spreads the min one hop
+    per round; the star alternation contracts in O(log n))."""
+    from nutdb_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 25)]  # 25-node path
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    s_label: dict = {}
+    s_star: dict = {}
+    lab = {(r["id"], r["root"]) for r in connected_components(
+        pairs, max_iters=40, stats=s_label).collect()}
+    star = {(r["id"], r["root"]) for r in connected_components(
+        pairs, max_iters=40, algorithm="two_phase", stats=s_star).collect()}
+    assert lab == star == {(i, 1) for i in range(1, 26)}
+    assert s_star["rounds"] < s_label["rounds"]
+
+
+def test_two_phase_multi_component(spark):
+    from nutdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 4), (7, 8), (9, 9)],
+        "id_a long, id_b long",
+    )
+    comp = {(r["id"], r["root"]) for r in connected_components(
+        pairs, algorithm="two_phase").collect()}
+    # self-loop (9,9) contributes no edge; 9 is not in any pair output
+    assert comp == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7)}

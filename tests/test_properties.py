@@ -129,11 +129,14 @@ def _asof_case(draw):
     return left, right
 
 
-def _naive_asof(left, right, strict):
+def _naive_asof(left, right, strict, tol=None):
     """Per-row reference: latest right (by ts, then payload as the
     deterministic tie-break the operator also uses via last-in-sort) —
     to keep ties deterministic the generator must not produce duplicate
-    (key, ts) on the right; we dedup keeping the max payload."""
+    (key, ts) on the right; we dedup keeping the max payload. With
+    ``tol`` the latest prior row only matches when rts >= ts - tol
+    (equivalently: the latest row inside the bounded window, since the
+    bound is a lower limit on rts)."""
     best = {}
     for k, ts, v in right:
         if k is None or ts is None:
@@ -148,7 +151,9 @@ def _naive_asof(left, right, strict):
             cand = [
                 (rts, v)
                 for (rk, rts), v in best.items()
-                if rk == k and (rts < ts if strict else rts <= ts)
+                if rk == k
+                and (rts < ts if strict else rts <= ts)
+                and (tol is None or rts >= ts - tol)
             ]
             if cand:
                 match = max(cand)[1]
@@ -199,3 +204,50 @@ def test_asof_join_any_matches_naive(spark, strict, case):
         ).collect()
     }
     assert got == set(_naive_asof(left, rrows, strict))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=_asof_case(), tol=st.integers(0, 8))
+def test_asof_join_any_tolerance_matches_naive(spark, case, tol):
+    """Bounded as-of (the WITHIN clause): the latest prior right row
+    only matches inside the tolerance window; out-of-window left rows
+    keep NULL payload on how='left'."""
+    import pyspark.sql.functions as F
+
+    from nutdb_spark.operators.asof import asof_join_any
+
+    left, right = case
+    best = {}
+    for k, ts, v in right:
+        cur = best.get((k, ts))
+        if cur is None or v > cur:
+            best[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in best.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "lid int, k string, ts int",
+    )
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)], "k string, ts int, v int"
+    )
+    if not rrows:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        (r["lid"], r["__asof__v"])
+        for r in asof_join_any(
+            ldf,
+            rdf,
+            left_keys=[F.col("k")],
+            right_keys=[F.col("k")],
+            left_ts=F.col("ts"),
+            right_ts=F.col("ts"),
+            how="left",
+            strict=False,
+            tolerance=F.lit(tol),
+        ).collect()
+    }
+    assert got == set(_naive_asof(left, rrows, False, tol=tol))
