@@ -1,0 +1,62 @@
+"""One-off sf0.1 → sf1 scaling-slope measurement (VERDICT r5 #8).
+
+Times the heaviest SCALE-BOUND suite entries (DDL/stream entries build
+their own fixed-size tables and are excluded) at both scale points and
+prints per-entry slope = t(sf1) / t(sf0.1). Best-of-2 per point, same
+discipline as bench.py. Paste the table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ENTRIES = [
+    "q_dedup_connected",
+    "q_pipeline_clean",
+    "q_dedup_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_text_fingerprint",
+    "tpch_q21",
+    "tpch_q18",
+    "tpch_q16",
+    "tpch_q9",
+    "q_sim_topk",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".testdata_sf1",
+)
+
+
+def main() -> None:
+    from bench import run_one
+    from nutdb_spark.session import get_spark
+    from nutdb_spark.suite import QUERIES
+
+    spark = get_spark("scale_bench")
+    QUERIES["tpch_q1"](spark, SF01).write.format("noop").mode("overwrite").save()
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    rows = []
+    for name in ENTRIES:
+        t01 = run_one(spark, QUERIES[name], SF01)
+        t1 = run_one(spark, QUERIES[name], SF1)
+        rows.append((name, round(t01, 2), round(t1, 2), round(t1 / t01, 1)))
+        print(json.dumps({"entry": name, "sf0.1": rows[-1][1],
+                          "sf1": rows[-1][2], "slope": rows[-1][3]}))
+    print()
+    print("| entry | sf0.1 s | sf1 s | slope |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]}x |")
+
+
+if __name__ == "__main__":
+    main()
