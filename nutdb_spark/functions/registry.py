@@ -208,6 +208,9 @@ SCALAR_FNS["toDayOfWeek"] = lambda d: F.weekday(d) + F.lit(1)
 SCALAR_FNS["toHour"] = F.hour
 SCALAR_FNS["toMinute"] = F.minute
 SCALAR_FNS["toSecond"] = F.second
+SCALAR_FNS["toQuarter"] = F.quarter
+SCALAR_FNS["toDayOfYear"] = F.dayofyear
+SCALAR_FNS["toUnixTimestamp"] = F.unix_timestamp
 SCALAR_FNS["addDays"] = lambda d, n: d + F.make_interval(days=n)
 SCALAR_FNS["addHours"] = lambda d, n: d + F.make_interval(hours=n)
 SCALAR_FNS["addMonths"] = lambda d, n: d + F.make_interval(months=n)

@@ -264,3 +264,49 @@ def oracle_simhash(words_expr: str, bits: int = 16) -> str:
 
 def oracle_simhash16(words_expr: str) -> str:
     return oracle_simhash(words_expr, 16)
+
+
+def term_stats(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 4,
+    top_per_doc: int = 3,
+) -> "DataFrame":
+    """TF-IDF building block, exact-integer form: per-document top
+    terms with term frequency (tf) and document frequency (df).
+
+    The idf itself (ln N/df) is left to the consumer: a float log
+    differs in the last ulp across engines' libm, which would break the
+    bit-exact oracle contract, while (tf, df, N) carries the identical
+    information losslessly. Ranking is (tf desc, term asc) — a
+    deterministic keyword extraction.
+
+    Scale shape: explode → two hash-groupBys (doc,term) and (term),
+    both map-side partial; the df join shuffles on the term key; the
+    per-doc top-k is a bounded window. No collects, no UDFs — entirely
+    whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(normalize_text(F.col(text_col)))).alias(
+                "term"
+            ),
+        )
+        .filter(F.length("term") >= min_len)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_per_doc)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )

@@ -323,3 +323,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_SIMHASH_BANDS, bits=_SIMHASH_BITS, max_hamming=1,
         token_hash="md5",
     )
+
+
+@query("q_dedup_connected_star", _CONNECTED_ORACLE)
+def q_dedup_connected_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive dedup as q_dedup_connected, computed by the
+    alternating large-star/small-star formulation
+    (connected_components(algorithm='two_phase'), Kiveris et al.):
+    O(log n) rounds instead of O(component diameter) — the deep-chain
+    scale path — value-verified against the identical recursive-CTE
+    closure oracle."""
+    from nutdb_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.6,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    )
+    comp = connected_components(pairs, algorithm="two_phase")
+    drop = comp.filter(F.col("root") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.select("doc_id", "lang").join(drop, "doc_id", "left_anti")

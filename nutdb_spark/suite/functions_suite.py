@@ -228,6 +228,9 @@ _EV = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
            CAST(month(ts) AS INT) AS m,
            CAST(day(ts) AS INT) AS dom,
            CAST(isodow(ts) AS INT) AS dow,
+           CAST(quarter(ts) AS INT) AS q,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ut,
            CAST(hour(ts) AS INT) AS h,
            ts + INTERVAL 2 DAY AS plus2d,
            ts + INTERVAL 3 HOUR AS plus3h
@@ -248,6 +251,9 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
                toMonth(ts) as m,
                toDayOfMonth(ts) as dom,
                toDayOfWeek(ts) as dow,
+               toQuarter(ts) as q,
+               toDayOfYear(ts) as doy,
+               toUnixTimestamp(ts) as ut,
                toHour(ts) as h,
                addDays(ts, 2) as plus2d,
                addHours(ts, 3) as plus3h

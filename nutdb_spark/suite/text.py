@@ -242,3 +242,34 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars"),
         )
     )
+
+
+@query(
+    "q_text_termstats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS term
+      FROM (SELECT doc_id, {oracle_normalize('text')} AS norm
+            FROM documents WHERE doc_id < 300)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM toks WHERE len(term) >= 4 GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    r AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, tf.term) AS rank
+          FROM tf JOIN dfreq USING (term))
+    SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_text_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term statistics (exact-integer form): per-document top-3
+    terms by frequency with corpus document frequency riding along —
+    the keyword-extraction / idf building block. The ln(N/df) float is
+    deliberately left to the consumer (libm last-ulp differences would
+    break the bit-exact oracle); (tf, df, N) is the lossless integer
+    core. All JVM built-ins: explode → two map-side-partial groupBys →
+    term-key join → bounded per-doc window."""
+    from nutdb_spark.operators.text import term_stats
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return term_stats(d, "doc_id", "text", min_len=4, top_per_doc=3)
