@@ -72,7 +72,8 @@ def test_lowerings_are_lazy(spark):
         for n, f in QUERIES.items()
         if not n.startswith(("q_ddl", "q_stream"))
         and n not in ("sql_source_files", "q_dedup_connected",
-                      "q_cluster_kmeans", "q_sim_topk_ivf")
+                      "q_dedup_connected_star", "q_cluster_kmeans",
+                      "q_sim_topk_ivf")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
