@@ -538,6 +538,39 @@ class Catalog:
                     continue
                 self.refresh_view(meta["name"], low)
 
+    def _rename_refs(self, node, old: str, new: str) -> None:
+        if isinstance(node, A.TableRef):
+            if node.name == old:
+                node.name = new
+            return
+        if isinstance(node, (str, int, float, bool, bytes)) or node is None:
+            return
+        if isinstance(node, (list, tuple)):
+            for x in node:
+                self._rename_refs(x, old, new)
+            return
+        for f in getattr(node, "__dataclass_fields__", {}):
+            self._rename_refs(getattr(node, f), old, new)
+
+    def _rename_in_views(self, old: str, new: str) -> None:
+        """Follow a table rename through every dependent view's stored
+        query AST (ALTER … RENAME would otherwise orphan the views:
+        refreshes and delta merges resolve by name)."""
+        for f in os.listdir(self.root):
+            if not f.endswith(".json"):
+                continue
+            meta = self._load_meta(f[:-5])
+            if not meta or meta["type"] != "view":
+                continue
+            refs: set[str] = set()
+            q = _unpickle_ast(meta["query"])
+            self._referenced_tables(q, refs)
+            if old not in refs:
+                continue
+            self._rename_refs(q, old, new)
+            meta["query"] = _pickle_ast(q)
+            self._save_meta(meta["name"], meta)
+
     def _repair_dependent_views(self, table: str, low) -> None:
         """Full repair for base-table mutations that bypass the insert
         delta path (TRUNCATE / ALTER data rewrites / DROP PARTITION /
@@ -896,6 +929,9 @@ class Catalog:
                 os.rename(self._data_path(stmt.table), self._data_path(new))
             meta["name"] = new
             self._save_meta(new, meta)
+            # dependent views' pickled queries still name the old table
+            # — rewrite their TableRefs or every future refresh breaks
+            self._rename_in_views(stmt.table, new)
             return
         else:
             raise CatalogError(f"unsupported ALTER action {act}")

@@ -190,3 +190,18 @@ def test_kmeans_empty_input_raises(spark):
     df = spark.createDataFrame([], "vid long, v array<float>")
     with pytest.raises(ValueError, match="no vectors"):
         kmeans_assign(df, "vid", "v", k=4)
+
+
+def test_rename_table_follows_through_views(eng):
+    """ALTER … RENAME must rewrite dependent views' stored queries —
+    otherwise the next refresh/delta-merge resolves the dead name."""
+    eng.sql("CREATE TABLE rn_a (k Int32, v Int64)")
+    eng.sql(
+        "CREATE VIEW rn_v UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT k, v FROM rn_a"
+    )
+    eng.sql("INSERT INTO rn_a (k, v) VALUES (1, 10)")
+    eng.sql("ALTER TABLE rn_a RENAME TO rn_b")
+    # inserts under the NEW name keep maintaining the view
+    eng.sql("INSERT INTO rn_b (k, v) VALUES (1, 5), (2, 2)")
+    assert _rows(eng.sql("SELECT k, v FROM rn_v")) == {(1, 15), (2, 2)}
