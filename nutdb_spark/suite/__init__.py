@@ -52,7 +52,7 @@ for _m in _MODULES:
 _PRIORITY = [
     # --- new in round 6 (never graded) ---
     "sql_asof_within", "q_sim_topk_ivf_mp", "q_sim_recall",
-    "q_dedup_connected_star", "q_text_termstats",
+    "q_dedup_connected_star", "q_text_termstats", "q_stream_join",
     # --- stalest: last driver row is r2 (9) ---
     "q_expr_compare", "q_expr_logic", "q_in_subquery", "q_join_right",
     "q_not_in_list", "q_select_star", "tpch_q14", "tpch_q5", "tpch_q6",
@@ -64,9 +64,10 @@ _PRIORITY = [
     "q_join_using", "q_limit_offset", "q_limit_with_ties",
     "q_not_in_subquery_null", "q_qualified_star", "q_scalar_subquery",
     "q_union_all", "tpch_q12", "tpch_q18", "tpch_q21",
-    # --- code-touched in round 6 (9) ---
+    # --- code-touched in round 6 (8; asof operator changes are
+    # window-covered by sql_asof + sql_asof_within) ---
     "q_dedup_minhash_lsh", "q_cluster_kmeans", "q_sim_topk_ivf",
-    "q_fn_datetime", "sql_asof", "q_asof_join",
+    "q_fn_datetime", "sql_asof",
     "q_dedup_connected", "q_ddl_alter", "q_ddl_optimize",
 ]
 

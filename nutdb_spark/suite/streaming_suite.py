@@ -313,3 +313,88 @@ def q_stream_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__sv").cast("double") / 10000.0).alias("total"),
         F.col("__n").alias("n"),
     )
+
+
+@query(
+    "q_stream_join",
+    f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id, p.value AS value
+    FROM {_EV} v JOIN {_EV} p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with an event-time range condition —
+    the attribution pattern (purchase within 30 min of a view, same
+    user). Both sides are genuine Structured Streaming sources (two
+    micro-batch files each); watermarks on both event times let the
+    state store evict rows older than the join window instead of
+    buffering each stream forever — the property that keeps a
+    two-stream join alive at 100 TB/day. Inner join in append mode
+    emits each match exactly once, so the availableNow run over the
+    bounded fixture equals the batch join (the DuckDB oracle).
+
+    Scale shape: one shuffle per side on user_id into the symmetric
+    hash-join state; watermark-bounded state; no driver collection.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="q_stream_join_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = _STREAM_SRC_CACHE.get(("join", sf_dir))
+    if src is None or not os.path.isdir(src):
+        import tempfile as _tf
+
+        src = _tf.mkdtemp(prefix="q_stream_join_src_") + "/src"
+        for parity in (0, 1):
+            ev.filter(F.col("event_id") % 2 == parity).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        _STREAM_SRC_CACHE[("join", sf_dir)] = src
+
+    def read(kind: str, ts_alias: str, id_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                # fixture ts is TIMESTAMP_NTZ; watermarks require LTZ.
+                # Only the join window uses it (not the output), so the
+                # session-zone reinterpretation is side-effect-free.
+                F.col("ts").cast("timestamp").alias(ts_alias),
+                "value",
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    views = read("view", "v_ts", "view_id").drop("value")
+    purchases = read("purchase", "p_ts", "purchase_id").withColumnRenamed(
+        "user_id", "p_user"
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("view_id", "purchase_id", "user_id", "value")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "view_id long, purchase_id long, user_id long, value double"
+    ).parquet(out)
