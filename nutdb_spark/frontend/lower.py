@@ -157,7 +157,7 @@ class Lowerer:
             if not isinstance(n, A.Lit):
                 raise LoweringError("numbers(n) requires a literal")
             return self.spark.range(n.value).withColumnRenamed("id", "number")
-        for fmt in ("parquet", "json", "csv"):
+        for fmt in ("parquet", "json", "csv", "orc"):
             if name == fmt:
                 (path,) = fn.args
                 if not (isinstance(path, A.Lit) and path.kind == "string"):

@@ -530,11 +530,11 @@ def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source table functions (S16 beyond numbers()): the region
-    fixture round-trips through CSV and JSON files read back via the
-    dialect's csv()/json() table functions and joined — proving the
-    reader plumbing, header handling, and table-fn aliasing end to
-    end. Output is the string key so CSV's all-string typing needs no
-    casts."""
+    fixture round-trips through CSV, JSON, and ORC files read back via
+    the dialect's csv()/json()/orc() table functions and joined —
+    proving the reader plumbing, header handling, and table-fn
+    aliasing end to end. Output is the string key so CSV's all-string
+    typing needs no casts."""
     import tempfile
 
     from nutdb_spark.engine import NutEngine
@@ -544,8 +544,10 @@ def sql_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region")
     reg.coalesce(1).write.option("header", True).csv(base + "/csv")
     reg.coalesce(1).write.json(base + "/json")
+    reg.coalesce(1).write.orc(base + "/orc")
     eng = NutEngine(spark, data_dir=sf_dir)
     return eng.sql(
         f"SELECT c.r_name FROM csv('{base}/csv') c "
-        f"JOIN json('{base}/json') j ON c.r_name = j.r_name"
+        f"JOIN json('{base}/json') j ON c.r_name = j.r_name "
+        f"JOIN orc('{base}/orc') o ON c.r_name = o.r_name"
     )

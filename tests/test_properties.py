@@ -251,3 +251,45 @@ def test_asof_join_any_tolerance_matches_naive(spark, case, tol):
         ).collect()
     }
     assert got == set(_naive_asof(left, rrows, False, tol=tol))
+
+
+# --- minhash LSH hot-bucket cap: pairs(capped) ⊆ pairs(uncapped) ----------
+
+_LSH_PHRASES = (
+    "the cat sat on the mat today",
+    "the cat sat on the mat yesterday",
+    "a completely different sentence here",
+    "the dog ran in the park today",
+    "the cat sat on the mat today",  # exact dup of #0
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    picks=st.lists(st.integers(0, 4), min_size=2, max_size=8),
+    cap=st.integers(2, 5),
+)
+def test_minhash_cap_only_removes_pairs(spark, picks, cap):
+    """The hot-bucket guard must be a pure candidate FILTER: capping a
+    bucket can only drop pairs, never create or rescore one."""
+    from nutdb_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, _LSH_PHRASES[p]) for i, p in enumerate(picks)],
+        "doc_id long, text string",
+    )
+
+    def pairs(max_bucket):
+        return {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", n=2, num_hashes=8, bands=4,
+                est_threshold=0.5, max_bucket=max_bucket,
+            ).collect()
+        }
+
+    assert pairs(cap) <= pairs(1_000_000)
