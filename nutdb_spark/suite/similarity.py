@@ -152,21 +152,63 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Train-once centroid artifact: k-means centroids are a persisted model
 # in a real pipeline (trained by an OPTIMIZE-style maintenance job, then
 # probed at query time). The fit is bit-deterministic — any process
-# computes the identical ints — so a per-process memo IS the artifact;
-# every IVF entry after the first is probe-only.
+# computes the identical ints — so the artifact is safe to persist as a
+# plain JSON sidecar (gitignored warehouse dir) AND memoize in-process;
+# every IVF entry after the first training, in ANY process, is
+# probe-only. The fixture dirs are read-only, so the artifact cannot go
+# stale; a corrupt/foreign file falls back to retraining.
 _CENTROID_CACHE: dict[tuple, list] = {}
 
 
+# Bump when kmeans_fit's numeric contract changes (init, scaling,
+# floored-mean update, tie-break): a stale artifact from an older
+# algorithm would otherwise silently diverge from the retrained oracle.
+_IVF_ALGO_VERSION = 1
+
+
+def _ivf_artifact_path(sf_dir: str, k: int, iters: int) -> str:
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "ivf",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "dir"
+    return os.path.join(
+        base, f"centroids_v{_IVF_ALGO_VERSION}_{tag}_k{k}_i{iters}.json"
+    )
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str, *, k: int = 8, iters: int = 2):
+    import json
+    import os
+
     from nutdb_spark.operators.similarity import kmeans_fit
 
     key = (sf_dir, k, iters)
-    if key not in _CENTROID_CACHE:
-        e = load_table(spark, sf_dir, "embeddings")
-        _CENTROID_CACHE[key] = kmeans_fit(
-            e, "vec_id", "embedding", k=k, iters=iters
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    path = _ivf_artifact_path(sf_dir, k, iters)
+    try:
+        with open(path) as f:
+            cents = json.load(f)
+        assert (
+            isinstance(cents, list)
+            and len(cents) == k
+            and all(isinstance(c, list) for c in cents)
         )
-    return _CENTROID_CACHE[key]
+    except (OSError, ValueError, AssertionError):
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_fit(e, "vec_id", "embedding", k=k, iters=iters)
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(cents, f)
+        except OSError:
+            pass  # artifact is an optimization, never a correctness gate
+    _CENTROID_CACHE[key] = cents
+    return cents
 
 
 def _oracle_kmeans(iters: int = 2, k: int = 8) -> str:
