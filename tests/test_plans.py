@@ -237,3 +237,21 @@ def test_ivf_probe_only_reuses_centroid_artifact(spark):
     ):
         out = suite_sim.q_sim_topk_ivf(spark, SF01)
         assert out.count() == 50
+
+
+def test_ivf_artifact_survives_process_boundary(spark):
+    """The centroid artifact is durable: with the in-process memo
+    cleared (a fresh process), the JSON sidecar alone must satisfy the
+    lookup — no retraining."""
+    from unittest import mock
+
+    from nutdb_spark.operators import similarity as S
+    from nutdb_spark.suite import similarity as suite_sim
+
+    suite_sim._ivf_centroids(spark, SF01)  # ensure the file exists
+    suite_sim._CENTROID_CACHE.clear()      # simulate a new process
+    with mock.patch.object(
+        S, "kmeans_fit", side_effect=AssertionError("retrained")
+    ):
+        cents = suite_sim._ivf_centroids(spark, SF01)
+    assert len(cents) == 8 and len(cents[0]) == 64
