@@ -86,3 +86,46 @@ def oracle_split_case(
         parts.append(f"WHEN ({b}) >= {lo} AND ({b}) < {hi} THEN '{name}'")
         lo = hi
     return "CASE " + " ".join(parts) + " END"
+
+
+def sample_stratified(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    fractions: dict[str, float],
+    *,
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-rebalancing
+    primitive (keep 100% of a rare language, 5% of the dominant one).
+    Same hash-threshold mechanics as :func:`sample_fraction`, but the
+    threshold is selected per row by the stratum value (strata not
+    listed get ``default``). Still a pure projection: no shuffle, no
+    state, append-stable, and a row's fate never depends on the other
+    rows in its stratum."""
+    b = hash_bucket(key, salt)
+    thr = None
+    for name, frac in fractions.items():
+        c = int(frac * GRAIN)
+        thr = (
+            F.when(stratum == name, c)
+            if thr is None
+            else thr.when(stratum == name, c)
+        )
+    thr = thr.otherwise(int(default * GRAIN)) if thr is not None else F.lit(
+        int(default * GRAIN)
+    )
+    return df.filter(b < thr)
+
+
+def oracle_stratified_threshold(
+    stratum_expr: str, fractions: dict[str, float], default: float = 0.0
+) -> str:
+    parts = [
+        f"WHEN {stratum_expr} = '{name}' THEN {int(frac * GRAIN)}"
+        for name, frac in fractions.items()
+    ]
+    return (
+        "CASE " + " ".join(parts) + f" ELSE {int(default * GRAIN)} END"
+    )

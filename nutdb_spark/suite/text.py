@@ -183,6 +183,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 from nutdb_spark.operators.sampling import (  # noqa: E402
     oracle_hash_bucket,
     oracle_split_case,
+    oracle_stratified_threshold,
     sample_fraction,
     with_split,
 )
@@ -273,3 +274,97 @@ def q_text_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return term_stats(d, "doc_id", "text", min_len=4, top_per_doc=3)
+
+
+_STRATA = {"en": 0.1, "zh": 0.8, "fr": 1.0}  # rebalance: downsample en
+
+
+@query(
+    "q_sample_stratified",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {oracle_hash_bucket('doc_id', salt='s2')} <
+          {oracle_stratified_threshold('lang', _STRATA, default=0.25)}
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — class rebalancing: keep
+    10% of the dominant language, 80% of zh, all of fr, 25% of
+    everything else. Row-level output (doc_id, lang) so the driver
+    verifies the exact membership, not just counts. Same pure-
+    projection hash-threshold as q_sample_hash: the threshold is
+    selected per row by the stratum value, still no shuffle."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.sampling import sample_stratified
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_stratified(
+        d, F.col("doc_id"), F.col("lang"), _STRATA,
+        default=0.25, salt="s2",
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_text_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < 300),
+    ex AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    gram2 AS (
+      SELECT doc_id, t || ' ' || lead(t) OVER (
+               PARTITION BY doc_id ORDER BY rn) AS g
+      FROM (SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id) AS rn
+            FROM ex) s),
+    rep AS (SELECT doc_id, MAX(c) AS max_bigram FROM (
+              SELECT doc_id, g, COUNT(*) AS c FROM gram2
+              WHERE g IS NOT NULL GROUP BY doc_id, g) t GROUP BY doc_id)
+    SELECT s.doc_id,
+           len(s.w) AS n_tokens,
+           len(list_distinct(s.w)) AS n_distinct,
+           1.0 - CAST(len(list_distinct(s.w)) AS DOUBLE)
+               / CAST(len(s.w) AS DOUBLE) AS dup_ratio,
+           COALESCE(r.max_bigram, 0) AS max_bigram
+    FROM toks s LEFT JOIN rep r ON s.doc_id = r.doc_id
+    WHERE len(s.w) > 0
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the compression-proxy family):
+    per doc the distinct-token ratio and the max bigram multiplicity —
+    high dup_ratio / max_bigram flags boilerplate and degenerate
+    repetition, a standard pretraining-corpus filter. Exact ints + one
+    IEEE double division; bigrams via the shifted-zip ngrams helper
+    (per-row evaluation, no per-element re-evaluation)."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("w")).filter(F.size("w") > 0)
+    # ngrams() needs UNNAMED token expressions (arrays_zip derives its
+    # struct field names "0","1" from positional unnamed inputs)
+    grams = d.select(
+        "doc_id", F.explode(ngrams(tokenize(F.col("text")), 2)).alias("g")
+    )
+    rep = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    return (
+        base.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.size(F.array_distinct("w")).alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("w")).cast("double")
+                / F.size("w").cast("double")
+            ).alias("dup_ratio"),
+            F.coalesce(F.col("max_bigram"), F.lit(0)).cast("long").alias(
+                "max_bigram"
+            ),
+        )
+    )
