@@ -387,14 +387,24 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     ).select("view_id", "purchase_id", "user_id", "value")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stream-stream join state partitioning is FIXED per checkpoint at
+    # the session's shuffle-partition count; 32 state-store instances
+    # per side is pure micro-batch overhead at fixture scale (at real
+    # scale you'd size this UP, and it's a fresh-checkpoint decision,
+    # not a code change). Scope the setting to this query.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.schema(
         "view_id long, purchase_id long, user_id long, value double"
     ).parquet(out)
