@@ -180,6 +180,9 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- deterministic sampling & splits (operators/sampling.py) --------------
 
 
+from nutdb_spark.operators.dedup import (  # noqa: E402
+    oracle_shingles as _oracle_shingles,
+)
 from nutdb_spark.operators.sampling import (  # noqa: E402
     oracle_hash_bucket,
     oracle_split_case,
@@ -367,4 +370,81 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_bigram"
             ),
         )
+    )
+
+
+@query(
+    "q_sample_domain_cap",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {oracle_hash_bucket('doc_id', salt='cap')}, doc_id
+             ) AS rn
+      FROM documents) t
+    WHERE rn <= 10
+    """,
+)
+def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the domain-balancing crawl filter:
+    no single site may dominate the corpus). Keeps ≤10 docs per
+    source, selected DETERMINISTICALLY by salted-hash order (not
+    arrival order, which would make the kept set depend on scan
+    order): one window shuffle on the source key, engine-portable,
+    and a late-arriving doc displaces the same victim everywhere."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id"), "cap"), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "q_text_decontaminate",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {{SH}} AS sh FROM documents),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+    tr AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20)
+    SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_shared
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    """.replace("{SH}", _oracle_shingles("text", 4)),
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    a word-4-gram shingle with the held-out eval set (doc_id < 20
+    stands in for the benchmark corpus; real pipelines use 8-13-gram
+    windows — the gram size is a knob, the plan is identical) and
+    report the shared-shingle count — the standard n-gram-overlap
+    contamination check. Scale shape: the eval shingle set is small
+    and DISTINCT (broadcast-able semi-join side), training shingles
+    stream through an equi-join — never an all-pairs comparison;
+    flagged ids then drive an anti-join drop."""
+    from nutdb_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 4)).alias("s")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") < 20).select("s").distinct()
+    )
+    tr = sh.filter(F.col("doc_id") >= 20)
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
     )
