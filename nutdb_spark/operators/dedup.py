@@ -706,3 +706,60 @@ def simhash_pairs(
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span: int = 10,
+    max_freq: int = 1,
+) -> DataFrame:
+    """Span-level corpus dedup with document REASSEMBLY (the C4-style
+    "remove lines duplicated across the corpus" operator, on fixed
+    ``span``-token windows since the fixture has no line breaks —
+    the unit is a knob, the plan is identical for lines/sentences).
+
+    Every document splits into consecutive span-token chunks; a chunk
+    occurring more than ``max_freq`` times ACROSS THE CORPUS is cut
+    from every document, and each document is rebuilt from its
+    surviving chunks in order. Output (doc_id, clean_text, n_kept);
+    documents whose every chunk was cut drop out entirely.
+
+    Scale shape: chunking is per-row array math (no explode until the
+    frequency count), the frequency table is a hash-groupBy on the
+    chunk hash, membership is an equi-join, and reassembly is a
+    per-document collect_list — bounded by a single document's size,
+    the same per-group memory contract as any per-doc aggregate.
+    """
+    from nutdb_spark.operators.text import tokenize
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    nch = F.ceil(F.size("__toks") / F.lit(span)).cast("int")
+    chunked = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(
+                    F.slice("__toks", i * span + 1, span), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    freq = chunked.groupBy("chunk").agg(F.count(F.lit(1)).alias("__n"))
+    kept = chunked.join(freq, "chunk").filter(F.col("__n") <= max_freq)
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

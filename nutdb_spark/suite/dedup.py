@@ -345,3 +345,35 @@ def q_dedup_connected_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     return d.select("doc_id", "lang").join(drop, "doc_id", "left_anti")
+
+
+@query(
+    "q_dedup_spans",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+      FROM w, (SELECT unnest(range(0, 200)) AS i) s
+      WHERE i*10 < len(toks)),
+    f AS (SELECT chunk, COUNT(*) AS n FROM c GROUP BY chunk),
+    k AS (SELECT c.doc_id, c.pos, c.chunk
+          FROM c JOIN f USING (chunk) WHERE f.n <= 1)
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level corpus dedup + reassembly (C4's duplicated-line
+    removal on 10-token windows): chunks occurring more than once
+    across the corpus are cut from every document and the documents
+    are rebuilt from the surviving chunks in order — the
+    finest-grained member of the dedup family (exact doc → near-dup
+    doc → transitive groups → intra-doc spans)."""
+    from nutdb_spark.operators.dedup import dedup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_spans(d, "doc_id", "text", span=10, max_freq=1)
