@@ -79,3 +79,30 @@ def test_two_phase_multi_component(spark):
         pairs, algorithm="two_phase").collect()}
     # self-loop (9,9) contributes no edge; 9 is not in any pair output
     assert comp == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7)}
+
+
+def test_two_phase_equals_label_on_random_graphs(spark):
+    """Both algorithms must produce identical component labels on
+    random small graphs (including self-loops, parallel edges, and
+    disconnected singleton pairs)."""
+    import random
+
+    from nutdb_spark.operators.dedup import connected_components
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n_nodes = rng.randint(4, 14)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(2, 18))
+        ]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab = {(r["id"], r["root"]) for r in connected_components(
+            pairs, max_iters=40).collect()}
+        star = {(r["id"], r["root"]) for r in connected_components(
+            pairs, max_iters=40, algorithm="two_phase").collect()}
+        # label prop includes self-loop-only nodes; two_phase drops
+        # edges (x, x) before anything else — compare on shared ids
+        star_ids = {i for i, _ in star}
+        lab_shared = {(i, r) for i, r in lab if i in star_ids}
+        assert star == lab_shared, (trial, edges)
