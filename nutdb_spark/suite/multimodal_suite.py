@@ -88,3 +88,36 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes_in",
         "n_bytes_out",
     )
+
+
+@query(
+    "q_multimodal_audio",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) // 2 + 1),
+               i -> CAST(unicode(substring(text, 2*i - 1, 1))
+                    + 256 * unicode(substring(text, 2*i, 1)) AS BIGINT))
+               AS smp
+      FROM documents WHERE doc_id < 200 AND length(text) >= 2)
+    SELECT doc_id,
+           CAST(len(smp) AS BIGINT) AS n_samples,
+           CAST(len(smp) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(list_max(smp) AS BIGINT) AS peak,
+           CAST(list_sum(smp) AS BIGINT) AS energy
+    FROM s
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-member of the multimodal family: opaque payload → fake
+    PCM16 decode → per-clip sample/duration/peak/energy stats, all
+    exact ints (the oracle re-derives the samples from the ASCII
+    codepoint pairs). Same Arrow-batch seam as the image path — a real
+    soundfile decode activates by installing the library."""
+    from nutdb_spark.operators.multimodal import audio_stats
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.length("text") >= 2))
+    )
+    return audio_stats(with_binary_payload(d))
