@@ -214,3 +214,16 @@ def test_within_rejected_on_plain_join(eng):
             "SELECT * FROM asof_l l JOIN asof_r r ON l.k = r.k "
             "WITHIN INTERVAL 1 HOUR"
         )
+
+
+def test_within_requires_interval_literal():
+    with pytest.raises(ParseError):
+        parse(
+            "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
+            "WITHIN 5"
+        )
+    with pytest.raises(ParseError, match="interval unit"):
+        parse(
+            "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
+            "WITHIN INTERVAL 5 parsecs"
+        )

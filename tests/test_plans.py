@@ -255,3 +255,23 @@ def test_ivf_artifact_survives_process_boundary(spark):
     ):
         cents = suite_sim._ivf_centroids(spark, SF01)
     assert len(cents) == 8 and len(cents[0]) == 64
+
+
+def test_dedup_spans_reassembly_identity(spark):
+    """With an unreachable frequency cap, span dedup must rebuild every
+    document EXACTLY as its whitespace-normalized text — pinning chunk
+    order, boundary math, and the join/groupBy reassembly path."""
+    from nutdb_spark.operators.dedup import dedup_spans
+    from nutdb_spark.operators.text import normalize_text
+
+    d = (
+        spark.read.parquet(f"{SF01}/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+    )
+    out = dedup_spans(d, "doc_id", "text", span=10, max_freq=10**9)
+    joined = out.join(
+        d.select("doc_id", normalize_text(F.col("text")).alias("norm")),
+        "doc_id",
+    )
+    assert joined.filter(F.col("clean_text") != F.col("norm")).count() == 0
+    assert out.count() == d.filter(F.length(F.trim("text")) > 0).count()
