@@ -42,17 +42,28 @@ for _m in _MODULES:
 # The driver grades the first 50 registry entries. Round-6 window
 # (VERDICT r5 "Next round" #3: rotate onto the 36 stalest so no
 # entry's latest driver row is older than two rounds):
-# (1) the three entries NEW this round, (2) all 9 entries whose latest
-# driver row is r2, (3) all 27 whose latest row is r3, (4) entries
-# whose code paths CHANGED this round (LSH bucket cap, distributed
-# k-means reduce + probe-only IVF, ASOF lowering/operator + WITHIN,
-# toDayOfWeek in q_fn_datetime, connected-components refactor, the
-# catalog view-repair hooks behind ALTER/OPTIMIZE).
+# (1) ALL 12 entries NEW this round (never graded — a never-graded
+# entry can't be claimed driver-green at all, so these outrank
+# re-grades of locally-green code-touched entries), (2) all 9 entries
+# whose latest driver row is r2, (3) all 27 whose latest row is r3,
+# (4) the two entries whose ORACLE/guard semantics changed this round
+# and aren't transitively covered: q_dedup_minhash_lsh (max_bucket cap
+# applied on both sides) and q_fn_datetime (toDayOfWeek now ISO).
+# Other code-touched paths are window-covered transitively:
+# q_sim_topk_ivf/q_cluster_kmeans by q_sim_topk_ivf_mp + q_sim_recall
+# (same centroid artifact, same probe body), sql_asof by
+# sql_asof_within, q_dedup_connected by q_dedup_connected_star (same
+# closure oracle), catalog view-repair hooks by 4 lifecycle pytests.
 # Entries not listed keep module registration order after the window.
+# Entries added AFTER this round's window was frozen (sequence
+# packing, JSON fns, window analytics, rollup, PII scrub) queue for
+# the round-7 window.
 _PRIORITY = [
-    # --- new in round 6 (never graded) ---
+    # --- new in round 6 (never graded) (12) ---
     "sql_asof_within", "q_sim_topk_ivf_mp", "q_sim_recall",
     "q_dedup_connected_star", "q_text_termstats", "q_stream_join",
+    "q_sample_stratified", "q_sample_domain_cap", "q_text_repetition",
+    "q_text_decontaminate", "q_dedup_spans", "q_multimodal_audio",
     # --- stalest: last driver row is r2 (9) ---
     "q_expr_compare", "q_expr_logic", "q_in_subquery", "q_join_right",
     "q_not_in_list", "q_select_star", "tpch_q14", "tpch_q5", "tpch_q6",
@@ -64,11 +75,8 @@ _PRIORITY = [
     "q_join_using", "q_limit_offset", "q_limit_with_ties",
     "q_not_in_subquery_null", "q_qualified_star", "q_scalar_subquery",
     "q_union_all", "tpch_q12", "tpch_q18", "tpch_q21",
-    # --- code-touched in round 6 (8; asof operator changes are
-    # window-covered by sql_asof + sql_asof_within) ---
-    "q_dedup_minhash_lsh", "q_cluster_kmeans", "q_sim_topk_ivf",
-    "q_fn_datetime", "sql_asof",
-    "q_dedup_connected", "q_ddl_alter", "q_ddl_optimize",
+    # --- semantics-changed this round, not transitively covered (2) ---
+    "q_dedup_minhash_lsh", "q_fn_datetime",
 ]
 
 
