@@ -894,7 +894,20 @@ class Lowerer:
         if is_agg:
             # aggregate outside agg context (e.g. plain SELECT count(*))
             return self._lower_agg_call(e, scope)
-        args = [self._expr(a, scope, group_map, agg_calls, pending) for a in e.args]
+        raw_idx = _RAW_STRING_ARG_FNS.get(e.name.lower(), ())
+        args = []
+        for i, a in enumerate(e.args):
+            if i in raw_idx:
+                # The registry fn needs a compile-time python string
+                # (e.g. a JsonPath segment for get_json_object) — only
+                # a string literal can supply one.
+                if not (isinstance(a, A.Lit) and a.kind == "string"):
+                    raise LoweringError(
+                        f"{e.name} argument {i + 1} must be a string literal"
+                    )
+                args.append(a.value)
+            else:
+                args.append(self._expr(a, scope, group_map, agg_calls, pending))
         return fn(*args)
 
     @staticmethod
@@ -907,3 +920,13 @@ class Lowerer:
 
 
 _AGG_NAMES = {n.lower() for n in AGGREGATE_FNS}
+
+# fn name (lowercased) -> 0-based arg positions that must be string
+# LITERALS passed through raw (not lowered to Columns): Spark's
+# get_json_object takes its JsonPath as a compile-time string.
+_RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
+    "jsonextractint": (1,),
+    "jsonextractfloat": (1,),
+    "jsonextractstring": (1,),
+    "jsonhas": (1,),
+}

@@ -251,6 +251,35 @@ SCALAR_FNS["arrayDistinct"] = F.array_distinct
 SCALAR_FNS["arraySort"] = F.sort_array
 SCALAR_FNS["arrayJoin"] = F.explode  # projection-level explode
 
+# JSON extraction (ClickHouse JSONExtract* family, one-level keys).
+# The key argument arrives as a RAW python string: the frontend lowers
+# it from a string literal (lower.py _fn special case) because Spark's
+# get_json_object takes a compile-time path, not a Column. All four
+# stay JVM-side (JsonPath evaluation inside codegen), no Python UDF.
+
+
+def _json_path(key: str) -> str:
+    # A path is spliced into a JsonPath program — refuse anything that
+    # could change the path shape (quotes, brackets, dots).
+    import re as _re
+
+    if not isinstance(key, str) or not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+        raise ValueError(
+            f"JSON key must be a simple identifier string literal, got {key!r}"
+        )
+    return f"$.{key}"
+
+
+SCALAR_FNS["JSONExtractInt"] = lambda j, key: F.get_json_object(
+    j, _json_path(key)
+).cast("long")
+SCALAR_FNS["JSONExtractFloat"] = lambda j, key: F.get_json_object(
+    j, _json_path(key)
+).cast("double")
+SCALAR_FNS["JSONExtractString"] = lambda j, key: F.get_json_object(j, _json_path(key))
+SCALAR_FNS["JSONHas"] = lambda j, key: F.get_json_object(j, _json_path(key)).isNotNull()
+SCALAR_FNS["JSONLength"] = lambda j: F.size(F.json_object_keys(j))
+
 # conditional / positional aggregates (ClickHouse classics)
 AGGREGATE_FNS["sumIf"] = lambda x, cond: F.sum(F.when(cond, x))
 AGGREGATE_FNS["countIf"] = lambda cond: F.count(F.when(cond, F.lit(1)))

@@ -1,0 +1,155 @@
+"""[EXT] Windowed analytics + hierarchical aggregation over the fixtures.
+
+The reference dialect has no ``OVER`` grammar and no ``GROUPING
+SETS``/``ROLLUP`` (SURVEY.md §2.6 — absent from the grammar by
+design), but an analytics engine's users need both; these entries
+expose them at the DataFrame/API level, the same [EXT] precedent as
+streaming.
+
+Determinism notes (the driver hash-compares values vs DuckDB):
+
+- Every ordered frame is ``ROWS`` with a full tie-break (``ts,
+  event_id``) — ``RANGE`` defaults differ across engines when the
+  order key has duplicates.
+- Double aggregation inside frames uses the floor-scaling convention
+  (functions/exact.py): cumulative/sliding sums are exact BIGINT sums
+  of ``floor(value·10⁴)``. This matters *more* for windows than for
+  GROUP BY: DuckDB evaluates sliding frames with a segment tree, so
+  even a same-order IEEE sum would drift in the last ulp.
+
+Scale: a window partitioned by a key is ONE hash shuffle on that key
+followed by a per-partition sort — no global sort, no driver state.
+Top-N-per-group filters on ``row_number`` never materialize the full
+ordered group to one node (Spark's WindowExec is streaming within the
+partition; at 100 TB the only requirement is that one PARTITION BY
+group fits an executor's spill budget, the same contract as any
+groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nutdb_spark.functions.exact import SCALE
+from nutdb_spark.sources import load_table
+from nutdb_spark.suite.registry import query
+
+_ORDERED = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@query(
+    "q_analytic_running",
+    f"""
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER ({_ORDERED}) AS seq,
+           CAST(SUM(CAST(FLOOR(value * {SCALE}) AS BIGINT))
+                  OVER ({_ORDERED} ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / {SCALE}.0 AS running_sum,
+           date_diff('microseconds',
+                     LAG(ts) OVER ({_ORDERED}), ts) AS gap_us,
+           CAST(SUM(CAST(FLOOR(value * {SCALE}) AS BIGINT))
+                  OVER ({_ORDERED} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / {SCALE}.0
+             / COUNT(*) OVER ({_ORDERED} ROWS BETWEEN 3 PRECEDING
+                              AND CURRENT ROW) AS moving_avg
+    FROM events
+    WHERE user_id < 40
+    """,
+)
+def q_analytic_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-time running aggregates: row_number, cumulative
+    sum, gap-to-previous-event in exact microseconds (lag), and a
+    4-row moving average — the sessionized-metrics workhorse. One
+    shuffle on user_id; every frame is ROWS-bounded and tie-broken."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last4 = w.rowsBetween(-3, Window.currentRow)
+    scaled = F.floor(F.col("value") * SCALE)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        (F.sum(scaled).over(cum).cast("double") / float(SCALE)).alias(
+            "running_sum"
+        ),
+        # ts is TIMESTAMP_NTZ; timestamp_diff in micros is
+        # timezone-independent, unlike unix_micros which would shift
+        # under the driver's local-tz plain session.
+        F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts")).alias(
+            "gap_us"
+        ),
+        (
+            F.sum(scaled).over(last4).cast("double")
+            / float(SCALE)
+            / F.count(F.lit(1)).over(last4)
+        ).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_analytic_topn",
+    f"""
+    SELECT user_id, event_id, rnk, drnk
+    FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(FLOOR(value * {SCALE}) AS BIGINT) DESC,
+                            event_id)
+    ) t WHERE rn <= 3
+    """,
+)
+def q_analytic_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user by value with rank/dense_rank — the
+    canonical top-N-per-group: one shuffle on the group key, a
+    per-group sort, and a streamed row_number filter (never a global
+    sort, never a per-group collect). Ordering on the floor-scaled
+    BIGINT makes tie classes engine-identical."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.floor(F.col("value") * SCALE).cast("long")
+    w = Window.partitionBy("user_id").orderBy(key.desc(), "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_analytic_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * {SCALE}) AS BIGINT))
+                AS DOUBLE) / {SCALE}.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_analytic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: ROLLUP(returnflag, linestatus) with a
+    grouping id distinguishing detail rows from subtotals from the
+    grand total. Catalyst expands rollup to grouping sets inside ONE
+    hash aggregate (map-side partial included) — no union of three
+    scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("l_quantity") * SCALE)).cast("double")
+            / float(SCALE)
+        ).alias("sum_qty"),
+    )

@@ -551,3 +551,52 @@ def sql_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"JOIN json('{base}/json') j ON c.r_name = j.r_name "
         f"JOIN orc('{base}/orc') o ON c.r_name = o.r_name"
     )
+
+
+@query(
+    "sql_json",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           MAX(json_extract_string(props, '$.k')) AS k_str_max,
+           COUNT(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                      THEN 1 END) AS n_missing,
+           MAX(len(json_keys(props))) AS n_keys
+    FROM events
+    GROUP BY k_mod
+    """,
+)
+def sql_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-family JSON surface (JSONExtractInt/String, JSONHas,
+    JSONLength) end to end through the dialect frontend. The key
+    argument must be a string literal — the frontend passes it through
+    raw because Spark's get_json_object takes a compile-time JsonPath —
+    and everything lowers to JVM-side JsonPath evaluation inside
+    codegen (no Python UDF; semi-structured props never leave the
+    executor). Scale: a pure projection + one hash-agg shuffle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select
+            k_mod,
+            count(*) as n,
+            sum(k_val) as k_sum,
+            max(k_str) as k_str_max,
+            countIf(has_missing) as n_missing,
+            max(n_keys) as n_keys
+        from (
+            select
+                JSONExtractInt(props, 'k') % 10 as k_mod,
+                JSONExtractInt(props, 'k') as k_val,
+                JSONExtractString(props, 'k') as k_str,
+                JSONHas(props, 'missing') as has_missing,
+                JSONLength(props) as n_keys
+            from events
+        ) as j
+        group by k_mod
+        order by k_mod
+        """,
+    )

@@ -129,3 +129,31 @@ def test_function_names_case_insensitive(eng):
         "FROM customer"
     ).collect()
     assert rows[0]["n"] > 0 and rows[0]["u"] == 25
+
+
+# --- JSON function surface (ClickHouse JSONExtract* family) ---------------
+
+
+def test_json_extract_through_dialect(eng):
+    rows = eng.sql(
+        "SELECT JSONExtractInt(props, 'k') AS k, JSONHas(props, 'nope') AS h "
+        "FROM events WHERE event_id = 0"
+    ).collect()
+    assert rows[0]["k"] is not None and rows[0]["h"] is False
+
+
+def test_json_key_must_be_string_literal(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="string literal"):
+        eng.sql("SELECT JSONExtractInt(props, event_type) FROM events")
+
+
+def test_json_key_rejects_path_injection():
+    from nutdb_spark.functions.registry import _json_path
+
+    with pytest.raises(ValueError):
+        _json_path("a.b")
+    with pytest.raises(ValueError):
+        _json_path("a['x']")
+    assert _json_path("k") == "$.k"
