@@ -1,0 +1,113 @@
+"""[EXT] Sequence packing — fixed-token-budget chunking for LLM training.
+
+GPT-style training consumes fixed-length sequences built by
+concatenating documents in a deterministic order and slicing the
+stream every ``budget`` tokens (documents straddle slice boundaries;
+nothing is padded or dropped). The operator computes, for every
+document, WHERE its tokens land: which sequence it starts in, at what
+offset, and how many sequences it spans — a pure layout computation
+that downstream writers can use to emit the actual token stream
+shard-by-shard.
+
+Determinism + scale come from the same salted-hash discipline as
+operators/sampling.py:
+
+- the global order is (shard, h, key) where ``h`` is the salted md5
+  bucket of the key — reproducible across engines, re-runs, appends
+  do not reorder existing documents *within* a shard prefix,
+- the ONLY shuffle is the hash partition on ``shard``; the cumulative
+  sum is a per-shard ROWS window (sort within partition, spills to
+  disk at scale). There is no global sort and no driver state.
+- shards are independent token streams. At 100 TB you size ``shards``
+  so one shard's documents fit an executor's sort-spill budget
+  (millions of shards is fine — it's one long column); trainers
+  already read shard-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.sampling import GRAIN, hash_bucket, oracle_hash_bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: Column,
+    n_tokens: Column,
+    *,
+    budget: int,
+    shards: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign every row a (shard, seq, offset) packing position.
+
+    Returns the input columns plus:
+
+    - ``shard``   — which independent token stream the doc belongs to,
+    - ``seq``     — 0-based index (within the shard) of the ``budget``-token
+      sequence where the document STARTS,
+    - ``offset``  — token offset of the document inside that sequence,
+    - ``n_seqs``  — how many sequences the document touches (≥2 means it
+      straddles a boundary; 0 only for empty documents).
+
+    Layout invariant: concatenating a shard's documents in (h, key)
+    order and slicing every ``budget`` tokens reproduces exactly these
+    positions.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    h = hash_bucket(key, salt)
+    out = df.withColumn("__h", h).withColumn(
+        "__shard", (F.col("__h") % shards).cast("int")
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy("__h", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens).over(w)
+    return (
+        out.withColumn("__cum", cum)
+        .withColumn("__start", F.col("__cum") - n_tokens)
+        .select(
+            *df.columns,
+            F.col("__shard").alias("shard"),
+            F.floor(F.col("__start") / budget).alias("seq"),
+            (F.col("__start") % budget).alias("offset"),
+            F.when(n_tokens > 0,
+                   F.floor((F.col("__cum") - 1) / budget)
+                   - F.floor(F.col("__start") / budget)
+                   + 1)
+            .otherwise(F.lit(0))
+            .alias("n_seqs"),
+        )
+    )
+
+
+def oracle_pack_sequences(
+    key_expr: str,
+    n_tokens_expr: str,
+    *,
+    budget: int,
+    shards: int,
+    salt: str = "pack",
+) -> dict[str, str]:
+    """DuckDB twin expressions, keyed by output column name. Caller
+    embeds them in a query that computes ``__h``/``__shard``/``__cum``
+    with the same window."""
+    h = oracle_hash_bucket(key_expr, salt)
+    return {
+        "h": h,
+        "shard": f"CAST(({h}) % {shards} AS INT)",
+        "cum_window": (
+            f"SUM({n_tokens_expr}) OVER (PARTITION BY __shard "
+            f"ORDER BY __h, {key_expr} ROWS UNBOUNDED PRECEDING)"
+        ),
+    }
+
+
+__all__ = ["pack_sequences", "oracle_pack_sequences", "GRAIN"]

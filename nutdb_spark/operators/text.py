@@ -310,3 +310,49 @@ def term_stats(
         .filter(F.col("rank") <= top_per_doc)
         .select("doc_id", "term", "tf", "df", "rank")
     )
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# treat identically: char classes, bounded repeats, \b. No lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+\d{1,3}[ -]\d{3}[ -]\d{4}", "<PHONE>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed
+    placeholder tokens. Order matters: emails first (their domains
+    contain dot-digit runs an IP pattern could nibble), then phones,
+    then bare IPs. Pure JVM regexp_replace chain — codegen, no UDF,
+    scales like the scan."""
+    out = col
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def oracle_redact_pii(expr: str) -> str:
+    out = expr
+    for pat, token in PII_PATTERNS.values():
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{token}', 'g')"
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category match counts over the ORIGINAL text (audit signal:
+    how much PII a source emits drives keep/drop policy upstream of
+    redaction)."""
+    return {
+        name: F.regexp_count(col, F.lit(pat))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def oracle_pii_count(expr: str, name: str) -> str:
+    pat = PII_PATTERNS[name][0].replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"

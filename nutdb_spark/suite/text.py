@@ -21,6 +21,8 @@ from nutdb_spark.operators.text import (
     oracle_lang_id,
     oracle_ngrams,
     oracle_normalize,
+    oracle_pii_count,
+    oracle_redact_pii,
     oracle_rolling_hash,
     oracle_simhash16,
     oracle_simhash_bits,
@@ -447,4 +449,119 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.join(F.broadcast(ev), "s")
         .groupBy("doc_id")
         .agg(F.countDistinct("s").alias("n_shared"))
+    )
+
+
+_PACK_H = oracle_hash_bucket("doc_id", salt="pack")
+_PACK_BUDGET = 256
+_PACK_SHARDS = 4
+
+
+@query(
+    "q_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             {_PACK_H} AS __h,
+             CAST(({_PACK_H}) % {_PACK_SHARDS} AS INT) AS __shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, __shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY __shard
+                    ORDER BY __h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS __cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, __shard AS shard,
+           (__cum - n_tokens) // {_PACK_BUDGET} AS seq,
+           (__cum - n_tokens) % {_PACK_BUDGET} AS "offset",
+           CASE WHEN n_tokens > 0
+                THEN (__cum - 1) // {_PACK_BUDGET}
+                     - (__cum - n_tokens) // {_PACK_BUDGET} + 1
+                ELSE 0 END AS n_seqs
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (GPT-style fixed-length training chunks): each
+    document's tokens land at a deterministic (shard, seq, offset) in a
+    concatenate-and-slice layout with a 256-token budget — documents
+    straddle sequence boundaries, nothing padded or dropped. The only
+    shuffle is the hash partition on shard; the cumulative sum is a
+    per-shard ROWS window, so the plan scales by adding shards (no
+    global sort, no driver state)."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.packing import pack_sequences
+    from nutdb_spark.operators.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(
+        d,
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        budget=_PACK_BUDGET,
+        shards=_PACK_SHARDS,
+    )
+
+
+_PII_SRC_ORA = (
+    "CASE WHEN doc_id % 3 != 0 THEN text || ' reach user' "
+    "|| CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.org or 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' "
+    "|| CAST(doc_id % 100 AS VARCHAR) || ' tel +1 555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+)
+
+
+@query(
+    "q_text_pii",
+    f"""
+    WITH s AS (SELECT doc_id, {_PII_SRC_ORA} AS t FROM documents)
+    SELECT doc_id,
+           {oracle_redact_pii('t')} AS redacted,
+           {oracle_pii_count('t', 'email')} AS n_email,
+           {oracle_pii_count('t', 'phone')} AS n_phone,
+           {oracle_pii_count('t', 'ip')} AS n_ip
+    FROM s
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails / phone numbers / IPv4s replaced with
+    typed placeholders plus per-category audit counts. Patterns are
+    Java-regex/RE2-identical so both engines see the same matches; the
+    fixture has no organic PII, so a deterministic contact string is
+    synthesized onto 2/3 of the docs (the other third pins the no-op
+    path). All regexp_replace/regexp_count — codegen, no UDF, no
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.text import pii_counts, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        did.cast("string"),
+        F.lit("@mail"),
+        (did % 7).cast("string"),
+        F.lit(".org or 10."),
+        (did % 250).cast("string"),
+        F.lit(".0."),
+        (did % 100).cast("string"),
+        F.lit(" tel +1 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    t = F.when(did % 3 != 0, synth).otherwise(F.col("text"))
+    counts = pii_counts(t)
+    return d.select(
+        "doc_id",
+        redact_pii(t).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ip"].alias("n_ip"),
     )

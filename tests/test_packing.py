@@ -1,0 +1,90 @@
+"""Sequence-packing layout invariants (operators/packing.py).
+
+The contract: concatenating a shard's documents in (h, key) order and
+slicing the token stream every `budget` tokens reproduces exactly the
+(seq, offset, n_seqs) the operator assigns.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.packing import pack_sequences
+
+
+def _reference_layout(rows, budget):
+    """Driver-side simulation: rows = [(shard, h, key, n_tokens)]."""
+    out = {}
+    by_shard: dict[int, list] = {}
+    for shard, h, key, n in rows:
+        by_shard.setdefault(shard, []).append((h, key, n))
+    for shard, docs in by_shard.items():
+        pos = 0
+        for h, key, n in sorted(docs):
+            seq, offset = divmod(pos, budget)
+            n_seqs = 0 if n == 0 else (pos + n - 1) // budget - seq + 1
+            out[key] = (shard, seq, offset, n_seqs)
+            pos += n
+    return out
+
+
+@pytest.mark.parametrize("budget,shards", [(7, 1), (16, 3), (100, 2)])
+def test_pack_matches_concatenate_and_slice(spark, budget, shards):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), ((F.col("id") * 37 + 11) % 23).alias("n")
+    )
+    got = pack_sequences(
+        df, F.col("k"), F.col("n"), budget=budget, shards=shards
+    ).collect()
+
+    # Recover the operator's own (shard, h) per key to drive the
+    # reference simulation with the identical order.
+    from nutdb_spark.operators.sampling import hash_bucket
+
+    hs = {
+        r["k"]: (r["shard"], r["h"])
+        for r in df.select(
+            "k",
+            hash_bucket(F.col("k"), "pack").alias("h"),
+        )
+        .withColumn("shard", (F.col("h") % shards).cast("int"))
+        .collect()
+    }
+    ref = _reference_layout(
+        [(hs[r["k"]][0], hs[r["k"]][1], r["k"], r["n"]) for r in got], budget
+    )
+    for r in got:
+        assert (r["shard"], r["seq"], r["offset"], r["n_seqs"]) == ref[r["k"]]
+
+
+def test_pack_is_append_stable_within_prefix(spark):
+    """Adding documents never moves an existing document to an earlier
+    position in its shard stream (order is (h, key), so a new doc can
+    only push later-ordered docs right, not reorder the prefix)."""
+    base = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(10).alias("n"))
+    more = spark.range(0, 80).select(F.col("id").alias("k"), F.lit(10).alias("n"))
+    a = {
+        r["k"]: (r["shard"], r["seq"], r["offset"])
+        for r in pack_sequences(
+            base, F.col("k"), F.col("n"), budget=64, shards=2
+        ).collect()
+    }
+    b = {
+        r["k"]: (r["shard"], r["seq"], r["offset"])
+        for r in pack_sequences(
+            more, F.col("k"), F.col("n"), budget=64, shards=2
+        ).collect()
+    }
+    # Same shard always (shard is a pure hash); position may only grow.
+    for k, (shard, seq, offset) in a.items():
+        assert b[k][0] == shard
+        assert (b[k][1], b[k][2]) >= (seq, offset)
+
+
+def test_pack_rejects_bad_args(spark):
+    df = spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("n"))
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, F.col("k"), F.col("n"), budget=0, shards=1)
+    with pytest.raises(ValueError, match="shards"):
+        pack_sequences(df, F.col("k"), F.col("n"), budget=8, shards=0)
