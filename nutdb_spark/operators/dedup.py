@@ -461,7 +461,9 @@ def connected_components(
             labels.unionByName(via)
             .groupBy("__id")
             .agg(F.min("__root").alias("__root"))
-            .localCheckpoint()
+            # lazy: the `improved` count below materializes it, one
+            # Spark job per round instead of two.
+            .localCheckpoint(eager=False)
         )
         improved = (
             new.join(
@@ -543,14 +545,20 @@ def _connected_two_phase(
             .filter(F.col("__u") != F.col("__v"))
             .unionByName(ms.select(F.col("__u"), F.col("__m").alias("__v")))
             .distinct()
-            .localCheckpoint()
+            # lazy: materialized by the convergence job below, so each
+            # round costs ONE Spark job instead of checkpoint + two
+            # counts (matters for iterative wall-clock; the per-round
+            # PLAN is unchanged).
+            .localCheckpoint(eager=False)
         )
         rounds += 1
-        # set equality (both are distinct): empty delta + equal size
-        if ss.exceptAll(e).count() == 0 and ss.count() == e.count():
-            e = ss
-            break
+        # set equality (both sides distinct): symmetric difference
+        # empty — one early-exit action per round.
+        delta = ss.exceptAll(e).unionByName(e.exceptAll(ss))
+        converged = delta.isEmpty()
         e = ss
+        if converged:
+            break
     if stats is not None:
         stats["rounds"] = rounds
     # converged stars: every non-root points at its component min (the
