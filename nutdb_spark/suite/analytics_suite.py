@@ -153,3 +153,64 @@ def q_analytic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / float(SCALE)
         ).alias("sum_qty"),
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@query(
+    "q_analytic_sessionize",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER ({_ORDERED}) IS NULL
+                       OR date_diff('microseconds',
+                                    LAG(ts) OVER ({_ORDERED}),
+                                    ts) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(new_sess) OVER ({_ORDERED} ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           date_diff('microseconds', MIN(ts), MAX(ts)) AS duration_us,
+           CAST(SUM(CAST(FLOOR(value * {SCALE}) AS BIGINT)) AS DOUBLE)
+             / {SCALE}.0 AS session_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def q_analytic_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-min inactivity): a session
+    boundary is a lag-gap flag, the session id its per-user running
+    sum — the classic two-window + one-aggregate composition. All
+    three steps share ONE hash shuffle on user_id (the windows and the
+    final groupBy partition by the same key, so Catalyst reuses the
+    exchange); streaming twin is q_window_session."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_ts = F.lag("ts").over(w)
+    gap = F.timestamp_diff("MICROSECOND", lag_ts, F.col("ts"))
+    new_sess = F.when(
+        lag_ts.isNull() | (gap > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = e.withColumn(
+        "session_id", F.sum(new_sess).over(cum).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")).alias(
+            "duration_us"
+        ),
+        (
+            F.sum(F.floor(F.col("value") * SCALE)).cast("double")
+            / float(SCALE)
+        ).alias("session_value"),
+    )
