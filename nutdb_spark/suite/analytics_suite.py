@@ -214,3 +214,91 @@ def q_analytic_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / float(SCALE)
         ).alias("session_value"),
     )
+
+
+@query(
+    "q_analytic_distribution",
+    f"""
+    SELECT user_id, event_id,
+           NTILE(10) OVER w AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS first_eid,
+           LAST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS last_eid
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(value * {SCALE}) AS BIGINT), event_id)
+    """,
+)
+def q_analytic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window functions: ntile deciles, percent_rank,
+    cume_dist, and first/last value over the full partition. percent_
+    rank/cume_dist are exact integer ratios divided once in IEEE —
+    engine-identical; the order key is the floor-scaled BIGINT with an
+    event_id tie-break so rank classes match exactly."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    key = F.floor(F.col("value") * SCALE).cast("long")
+    w = Window.partitionBy("user_id").orderBy(key, "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("event_id").over(full).alias("first_eid"),
+        F.last("event_id").over(full).alias("last_eid"),
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_analytic_timerange",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_id, ts, value,
+             date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts)
+               AS us
+      FROM events WHERE user_id < 30
+    )
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(FLOOR(value * {SCALE}) AS BIGINT)) OVER w
+                AS DOUBLE) / {SCALE}.0 AS sum_1h
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_analytic_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling aggregates: per user, count and exact sum of
+    events in the trailing hour — a RANGE frame over an exact
+    microsecond offset column (NTZ-safe: derived by timestamp_diff
+    from a fixed literal epoch, no session-timezone dependence). RANGE
+    on a numeric key is deterministic even with duplicate timestamps
+    because the frame is value-bounded, not row-bounded. Same
+    single-shuffle-per-key contract as every window here."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    t = e.withColumn("us", us)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_HOUR_US, Window.currentRow)
+    )
+    scaled = F.floor(F.col("value") * SCALE)
+    return t.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(scaled).over(w).cast("double") / float(SCALE)).alias("sum_1h"),
+    )

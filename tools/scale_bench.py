@@ -25,6 +25,12 @@ ENTRIES = [
     "tpch_q16",
     "tpch_q9",
     "q_sim_topk",
+    # late round-6 additions — scale-claims validated the same way
+    "q_pack_sequences",
+    "q_analytic_sessionize",
+    "q_analytic_topn",
+    "q_text_pii",
+    "q_dedup_connected_star",
 ]
 
 SF01 = "/root/testdata/sf0.1"
