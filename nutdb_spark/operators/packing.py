@@ -76,11 +76,13 @@ def pack_sequences(
         .select(
             *df.columns,
             F.col("__shard").alias("shard"),
-            F.floor(F.col("__start") / budget).alias("seq"),
+            # integral `div`, not floor(a/b): the double round-trip
+            # loses exactness past 2^53 cumulative tokens per shard.
+            F.expr(f"__start div {budget}").alias("seq"),
             (F.col("__start") % budget).alias("offset"),
             F.when(n_tokens > 0,
-                   F.floor((F.col("__cum") - 1) / budget)
-                   - F.floor(F.col("__start") / budget)
+                   F.expr(f"(__cum - 1) div {budget}")
+                   - F.expr(f"__start div {budget}")
                    + 1)
             .otherwise(F.lit(0))
             .alias("n_seqs"),

@@ -540,3 +540,27 @@ def topk_bruteforce(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the standard ANN-index
+    compression step): components are floor-scaled to exact ints
+    (``scaled``), the per-vector max-abs becomes the scale, and each
+    component maps to floor(s·127 / amax) ∈ [-127, 127]. Everything
+    after the initial scaling is integer-exact or a single deterministic
+    IEEE division+floor, so results are bit-identical across engines
+    and partitionings. Pure projection: no shuffle, no UDF, scales like
+    the scan. Returns (id, amax_scaled, q8) with q8 the int8-valued
+    array (int-typed; callers pack to bytes at the sink)."""
+    s = scaled(F.col(vec_col))
+    amax = F.array_max(F.transform(s, lambda x: F.abs(x)))
+    q = F.transform(
+        s, lambda x: F.floor(x.cast("double") * 127 / amax).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        amax.alias("amax_scaled"),
+        F.when(amax > 0, q)
+        .otherwise(F.transform(s, lambda x: F.lit(0)))
+        .alias("q8"),
+    )

@@ -509,3 +509,49 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stat("ivf1", ivf1))
         .unionByName(stat("ivf2", ivf2))
     )
+
+
+@query(
+    "q_embed_quantize",
+    f"""
+    WITH s AS (SELECT vec_id, {oracle_scaled('embedding')} AS sv
+               FROM embeddings),
+    a AS (SELECT vec_id, sv,
+                 list_aggregate(list_transform(sv, x -> abs(x)), 'max')
+                   AS amax
+          FROM s),
+    q AS (SELECT vec_id, amax,
+                 CASE WHEN amax > 0
+                      THEN list_transform(sv,
+                             x -> CAST(FLOOR(CAST(x * 127 AS DOUBLE) / amax)
+                                       AS INT))
+                      ELSE list_transform(sv, x -> 0) END AS q8
+          FROM a)
+    SELECT vec_id, CAST(amax AS BIGINT) AS amax_scaled,
+           CAST(list_sum(q8) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT)
+             AS q_sq_sum,
+           len(list_filter(q8, x -> abs(x) = 127)) AS n_sat
+    FROM q
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization, certified by exact scalar
+    invariants per vector (component sum, energy, saturation count —
+    the driver compare avoids array cells, same reshaping precedent as
+    q_dedup_minhash_sig). At 100 TB this is the projection that turns
+    a 256-byte float vector into 64 bytes + one scale before index
+    build; no shuffle anywhere."""
+    from nutdb_spark.operators.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_int8(e, "vec_id", "embedding")
+    q8 = F.col("q8")
+    long0 = F.lit(0).cast("long")
+    return qd.select(
+        "vec_id",
+        "amax_scaled",
+        F.aggregate(q8, long0, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate(q8, long0, lambda acc, x: acc + x * x).alias("q_sq_sum"),
+        F.size(F.filter(q8, lambda x: F.abs(x) == 127)).alias("n_sat"),
+    )

@@ -408,3 +408,124 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "view_id long, purchase_id long, user_id long, value double"
     ).parquet(out)
+
+
+@query(
+    "q_stream_join_left",
+    f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id, p.value AS value
+    FROM (SELECT * FROM {_EV} WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM LEFT OUTER join with an event-time range — the
+    attribution pattern including the un-attributed views. Outer
+    stream-stream joins only emit an unmatched left row once the
+    watermark passes its join window (state-store eviction doubles as
+    NULL-emission), so a bounded availableNow run needs the watermark
+    pushed past all real data: a far-future sentinel micro-batch on
+    BOTH streams (join watermark = min over inputs) closes every
+    window, and sentinel rows (user_id < 0) are dropped post-join.
+    With that, append-mode availableNow equals the batch LEFT JOIN
+    (the DuckDB oracle) — matched rows exactly once, unmatched views
+    exactly once with NULL purchase columns.
+
+    Scale shape: identical to q_stream_join (one shuffle per side into
+    watermark-bounded symmetric hash state); the sentinel trick is a
+    bounded-replay artifact, not a production need (live streams
+    advance watermarks forever).
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="q_stream_join_left_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = _STREAM_SRC_CACHE.get(("join_left", sf_dir))
+    if src is None or not os.path.isdir(src):
+        import time as _time
+
+        src = tempfile.mkdtemp(prefix="q_stream_join_left_src_") + "/src"
+        for parity in (0, 1):
+            ev.filter(F.col("event_id") % 2 == parity).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            _time.sleep(1.1)  # distinct mtimes: files feed in this order
+        # TWO sentinel batches: the first advances the watermark past
+        # every real window (applied at its batch END), the second
+        # forces one more micro-batch so that watermark actually
+        # evicts-and-emits the remaining unmatched state.
+        far = F.expr("max(ts) + INTERVAL 30 DAY")
+        bounds = ev.select(far.alias("fts")).collect()[0]
+        import datetime as _dt
+
+        for i in (0, 1):
+            fts = bounds["fts"] + _dt.timedelta(days=30 * i)
+            sent = spark.createDataFrame(
+                [
+                    (-1 - 10 * i, -1, "view", fts, 0.0),
+                    (-2 - 10 * i, -1, "purchase", fts, 0.0),
+                ],
+                schema=ev.schema,
+            )
+            sent.coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+        _STREAM_SRC_CACHE[("join_left", sf_dir)] = src
+
+    def read(kind: str, ts_alias: str, id_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").cast("timestamp").alias(ts_alias),
+                "value",
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    views = read("view", "v_ts", "view_id").drop("value")
+    purchases = read("purchase", "p_ts", "purchase_id").withColumnRenamed(
+        "user_id", "p_user"
+    )
+    # NOTE: no sentinel filter inside the streaming plan — Catalyst
+    # pushes a deterministic row filter BELOW the eventTimeWatermark
+    # node into the file scan, which would drop the sentinel rows
+    # before they can advance the watermark (observed: batches read 0
+    # rows, no flush). Sentinels flow through join and sink; the batch
+    # read-back below removes them.
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("view_id", "purchase_id", "user_id", "value")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.schema(
+            "view_id long, purchase_id long, user_id long, value double"
+        )
+        .parquet(out)
+        .filter(F.col("user_id") >= 0)
+    )
