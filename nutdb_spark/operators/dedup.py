@@ -589,6 +589,33 @@ def dedup_connected_keep_min(
     return df.join(drop, id_col, "left_anti")
 
 
+def dedup_connected_keep_best(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Transitive near-dup dedup keeping the HIGHEST-SCORING member of
+    each component (ties → min id) — the production policy: when a
+    near-dup group mixes a clean original with truncated/boilerplate
+    copies, keep the best one, not the smallest id. One extra
+    equi-join (components ⋈ scores) and a per-root argmax window on
+    top of :func:`connected_components`; rows in no component are
+    always kept."""
+    comp = connected_components(pairs)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__sc")),
+        "id",
+    )
+    w = Window.partitionBy("root").orderBy(F.col("__sc").desc(), F.col("id"))
+    drop = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash_df(
     df: DataFrame,
     id_col: str,

@@ -377,3 +377,44 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dedup_spans(d, "doc_id", "text", span=10, max_freq=1)
+
+
+_CONNECTED_BEST_ORACLE = f"""
+WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+e AS (SELECT id_a AS s, id_b AS d FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach(id, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id),
+comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+scored AS (
+  SELECT c.id, c.root, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.root
+                            ORDER BY d.n_chars DESC, c.id) AS rk
+  FROM comp c JOIN documents d ON d.doc_id = c.id),
+drops AS (SELECT id FROM scored WHERE rk > 1)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+LEFT JOIN drops x ON d.doc_id = x.id
+WHERE x.id IS NULL
+"""
+
+
+@query("q_dedup_connected_best", _CONNECTED_BEST_ORACLE)
+def q_dedup_connected_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup dedup keeping the highest-quality member of
+    each duplicate group (here: longest document, ties → min id) — the
+    production representative policy, vs q_dedup_connected's keep-min.
+    Same guarded candidate generation and closure; one extra equi-join
+    + per-root argmax window on the (small) component table. Oracle:
+    the identical recursive-CTE closure with the same argmax."""
+    from nutdb_spark.operators.dedup import dedup_connected_keep_best
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.6,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    )
+    return dedup_connected_keep_best(
+        pairs, d.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars"
+    )

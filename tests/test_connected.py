@@ -106,3 +106,31 @@ def test_two_phase_equals_label_on_random_graphs(spark):
         star_ids = {i for i, _ in star}
         lab_shared = {(i, r) for i, r in lab if i in star_ids}
         assert star == lab_shared, (trial, edges)
+
+
+def test_keep_best_prefers_high_score_then_min_id(spark):
+    from nutdb_spark.operators.dedup import dedup_connected_keep_best
+
+    # component {1,2,3} (chain), singleton {9}; best score in the
+    # middle of the chain — keep-min would keep 1, keep-best keeps 2.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 10), (9, 1)], "doc_id long, sc long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_connected_keep_best(pairs, docs, "doc_id", "sc").collect()
+    )
+    assert kept == [2, 9]
+
+    # tie on score -> min id wins
+    docs2 = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (9, 1)], "doc_id long, sc long"
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dedup_connected_keep_best(pairs, docs2, "doc_id", "sc").collect()
+    )
+    assert kept2 == [1, 9]
