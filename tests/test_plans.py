@@ -72,8 +72,8 @@ def test_lowerings_are_lazy(spark):
         for n, f in QUERIES.items()
         if not n.startswith(("q_ddl", "q_stream"))
         and n not in ("sql_source_files", "q_dedup_connected",
-                      "q_dedup_connected_star", "q_cluster_kmeans",
-                      "q_sim_topk_ivf")
+                      "q_dedup_connected_star", "q_dedup_connected_best",
+                      "q_cluster_kmeans", "q_sim_topk_ivf")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
@@ -275,3 +275,41 @@ def test_dedup_spans_reassembly_identity(spark):
     )
     assert joined.filter(F.col("clean_text") != F.col("norm")).count() == 0
     assert out.count() == d.filter(F.length(F.trim("text")) > 0).count()
+
+
+def test_new_analytics_entries_single_exchange_no_python(spark):
+    """Each windowed-analytics entry is ONE hash exchange on its
+    partition key (sessionize's final agg reuses the window's
+    partitioning — HashPartitioning(user_id) satisfies the superset
+    clustering) and stays fully JVM-side."""
+    from nutdb_spark.suite import QUERIES
+
+    for name in (
+        "q_analytic_running",
+        "q_analytic_topn",
+        "q_analytic_sessionize",
+        "q_analytic_distribution",
+        "q_analytic_timerange",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_pack_sequences_single_shuffle_no_global_sort(spark):
+    """Packing = one hash exchange on the shard key + a per-shard sort;
+    never a global (range-partitioned) sort."""
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["q_pack_sequences"](spark, SF01))
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_pii_and_json_are_shuffle_free_projections(spark):
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["q_text_pii"](spark, SF01))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
