@@ -251,6 +251,12 @@ SCALAR_FNS["arrayDistinct"] = F.array_distinct
 SCALAR_FNS["arraySort"] = F.sort_array
 SCALAR_FNS["arrayJoin"] = F.explode  # projection-level explode
 
+# maps (ClickHouse map function family; dialect Map(K,V) + {k:v} literals)
+SCALAR_FNS["mapKeys"] = F.map_keys
+SCALAR_FNS["mapValues"] = F.map_values
+SCALAR_FNS["mapContains"] = F.map_contains_key
+SCALAR_FNS["mapLength"] = F.size
+
 # JSON extraction (ClickHouse JSONExtract* family, one-level keys).
 # The key argument arrives as a RAW python string: the frontend lowers
 # it from a string literal (lower.py _fn special case) because Spark's

@@ -106,3 +106,147 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens"
         ),
     )
+
+
+# --- end-to-end TRAINING-data pipeline (the round-6 op families) ----------
+
+_T_MIN_TOKENS = 20
+_T_MIN_DISTINCT = 0.3
+_T_NGRAM = 4
+_T_SPLITS = {"train": 0.9, "val": 0.1}
+_T_MIX = {"en": 0.5}
+_T_BUDGET = 256
+_T_SHARDS = 4
+
+
+def _train_oracle() -> str:
+    from nutdb_spark.operators.sampling import (
+        oracle_hash_bucket,
+        oracle_split_case,
+    )
+    from nutdb_spark.operators.text import oracle_redact_pii
+
+    rt = oracle_redact_pii("text")
+    w = "string_split_regex(trim(rt), '\\s+')"
+    sp = oracle_split_case("doc_id", _T_SPLITS)
+    mix_b = oracle_hash_bucket("doc_id", salt="mix")
+    pack_h = oracle_hash_bucket("doc_id", salt="pack")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {rt} AS rt FROM documents),
+tok AS (
+  SELECT doc_id, lang, rt, {w} AS w FROM base),
+qual AS (
+  SELECT * FROM tok
+  WHERE len(w) >= {_T_MIN_TOKENS}
+    AND len(list_distinct(w)) * 1.0 / len(w) >= {_T_MIN_DISTINCT}),
+reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM qual
+  GROUP BY {oracle_fingerprint_md5('rt')}),
+uniq AS (SELECT q.* FROM qual q JOIN reps USING (doc_id)),
+sp AS (SELECT u.*, {sp} AS split FROM uniq u),
+ev AS (
+  SELECT DISTINCT unnest({oracle_shingles('rt', _T_NGRAM)}) AS s
+  FROM sp WHERE split = 'val'),
+trsh AS (
+  SELECT doc_id, unnest({oracle_shingles('rt', _T_NGRAM)}) AS s
+  FROM sp WHERE split = 'train'),
+bad AS (SELECT DISTINCT t.doc_id FROM trsh t JOIN ev USING (s)),
+decon AS (
+  SELECT s.* FROM sp s LEFT JOIN bad b USING (doc_id)
+  WHERE s.split = 'train' AND b.doc_id IS NULL),
+mixed AS (
+  SELECT * FROM decon
+  WHERE {mix_b} < CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END),
+t2 AS (
+  SELECT doc_id, lang, len(w) AS n_tokens,
+         {pack_h} AS __h,
+         CAST(({pack_h}) % {_T_SHARDS} AS INT) AS __shard
+  FROM mixed),
+c2 AS (
+  SELECT doc_id, lang, n_tokens, __shard,
+         CAST(SUM(n_tokens) OVER (PARTITION BY __shard
+                ORDER BY __h, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS __cum
+  FROM t2)
+SELECT doc_id, lang, n_tokens, __shard AS shard,
+       (__cum - n_tokens) // {_T_BUDGET} AS seq,
+       (__cum - n_tokens) % {_T_BUDGET} AS "offset"
+FROM c2
+"""
+
+
+@query("q_pipeline_train", _train_oracle())
+def q_pipeline_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE composed plan: PII
+    redaction → repetition-quality filter → exact content dedup →
+    deterministic train/val split → eval-set decontamination (drop
+    train docs sharing a 4-gram with val) → language rebalancing
+    (keep 50% of en) → sequence packing into 256-token streams. Every
+    stage is an existing operator (text.redact_pii, sampling
+    with_split/sample_stratified, dedup.shingles, packing.
+    pack_sequences); the output is each surviving document's exact
+    (shard, seq, offset) in the final token layout.
+
+    Scale shape: projections/filters push to the scan; one groupBy for
+    the fingerprint; the decontamination side is a broadcast-able
+    DISTINCT shingle set streaming through an equi-join; packing adds
+    the single shard-key shuffle. Nothing materializes to the driver.
+    """
+    from nutdb_spark.operators.dedup import shingles
+    from nutdb_spark.operators.packing import pack_sequences
+    from nutdb_spark.operators.sampling import sample_stratified, with_split
+    from nutdb_spark.operators.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", redact_pii(F.col("text")).alias("rt")
+    )
+    toks = tokenize(F.col("rt"))
+    qual = base.filter(
+        (F.size(toks) >= _T_MIN_TOKENS)
+        & (
+            F.size(F.array_distinct(toks)) / F.size(toks)
+            >= _T_MIN_DISTINCT
+        )
+    )
+    reps = (
+        qual.groupBy(fingerprint_md5(F.col("rt")).alias("__k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = qual.join(reps, "doc_id", "left_semi")
+    sp = with_split(
+        uniq, F.col("doc_id"), fractions=_T_SPLITS, col_name="split"
+    )
+    sh = sp.select(
+        "doc_id", "split", F.explode(shingles(F.col("rt"), _T_NGRAM)).alias("s")
+    )
+    ev = sh.filter(F.col("split") == "val").select("s").distinct()
+    bad = (
+        sh.filter(F.col("split") == "train")
+        .join(F.broadcast(ev), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = sp.filter(F.col("split") == "train").join(
+        bad, "doc_id", "left_anti"
+    )
+    mixed = sample_stratified(
+        decon,
+        F.col("doc_id"),
+        F.col("lang"),
+        _T_MIX,
+        default=1.0,
+        salt="mix",
+    )
+    packed = pack_sequences(
+        mixed.select("doc_id", "lang", F.size(toks).alias("n_tokens")),
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        budget=_T_BUDGET,
+        shards=_T_SHARDS,
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "shard", "seq", "offset"
+    )

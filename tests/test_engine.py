@@ -157,3 +157,19 @@ def test_json_key_rejects_path_injection():
     with pytest.raises(ValueError):
         _json_path("a['x']")
     assert _json_path("k") == "$.k"
+
+
+def test_map_function_surface(eng):
+    rows = eng.sql(
+        "SELECT mapKeys({'a': 1, 'b': 2}) AS ks, "
+        "mapValues({'a': 1, 'b': 2}) AS vs, "
+        "mapContains({'a': 1}, 'a') AS has_a, "
+        "mapContains({'a': 1}, 'z') AS has_z, "
+        "mapLength({'a': 1, 'b': 2}) AS n "
+        "FROM numbers(1)"
+    ).collect()
+    r = rows[0]
+    assert sorted(r["ks"]) == ["a", "b"]
+    assert sorted(r["vs"]) == [1, 2]
+    assert r["has_a"] is True and r["has_z"] is False
+    assert r["n"] == 2

@@ -313,3 +313,15 @@ def test_pii_and_json_are_shuffle_free_projections(spark):
     plan = plan_of(QUERIES["q_text_pii"](spark, SF01))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pipeline_train_all_jvm_no_cartesian(spark):
+    """The composed training pipeline never leaves the JVM (every
+    stage is built-ins: regex PII scrub, md5 fingerprint, hash split,
+    shingle explode, window packing) and contains no all-pairs join."""
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["q_pipeline_train"](spark, SF01))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
