@@ -29,7 +29,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nutdb_spark.operators.sampling import GRAIN, hash_bucket, oracle_hash_bucket
+from nutdb_spark.operators.sampling import hash_bucket, oracle_hash_bucket
+
+# Finer grain than sampling's ppm buckets: the hash is the global
+# ORDER here, so 10^6 distinct values would (a) collide constantly at
+# corpus scale (order then falls to the id tie-break — still
+# deterministic, but appends between collided ids shift layouts more
+# than necessary) and (b) cap usable shards at 10^6. 10^12 keeps every
+# value exact in int64 and supports millions of shards.
+PACK_GRAIN = 10**12
 
 
 def pack_sequences(
@@ -60,7 +68,7 @@ def pack_sequences(
         raise ValueError(f"budget must be positive, got {budget}")
     if shards <= 0:
         raise ValueError(f"shards must be positive, got {shards}")
-    h = hash_bucket(key, salt)
+    h = hash_bucket(key, salt, grain=PACK_GRAIN)
     out = df.withColumn("__h", h).withColumn(
         "__shard", (F.col("__h") % shards).cast("int")
     )
@@ -101,7 +109,7 @@ def oracle_pack_sequences(
     """DuckDB twin expressions, keyed by output column name. Caller
     embeds them in a query that computes ``__h``/``__shard``/``__cum``
     with the same window."""
-    h = oracle_hash_bucket(key_expr, salt)
+    h = oracle_hash_bucket(key_expr, salt, grain=PACK_GRAIN)
     return {
         "h": h,
         "shard": f"CAST(({h}) % {shards} AS INT)",
@@ -112,4 +120,4 @@ def oracle_pack_sequences(
     }
 
 
-__all__ = ["pack_sequences", "oracle_pack_sequences", "GRAIN"]
+__all__ = ["pack_sequences", "oracle_pack_sequences", "PACK_GRAIN"]

@@ -130,7 +130,9 @@ def _train_oracle() -> str:
     w = "string_split_regex(trim(rt), '\\s+')"
     sp = oracle_split_case("doc_id", _T_SPLITS)
     mix_b = oracle_hash_bucket("doc_id", salt="mix")
-    pack_h = oracle_hash_bucket("doc_id", salt="pack")
+    from nutdb_spark.operators.packing import PACK_GRAIN
+
+    pack_h = oracle_hash_bucket("doc_id", salt="pack", grain=PACK_GRAIN)
     return f"""
 WITH base AS (
   SELECT doc_id, lang, {rt} AS rt FROM documents),

@@ -452,7 +452,9 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PACK_H = oracle_hash_bucket("doc_id", salt="pack")
+from nutdb_spark.operators.packing import PACK_GRAIN as _PACK_GRAIN
+
+_PACK_H = oracle_hash_bucket("doc_id", salt="pack", grain=_PACK_GRAIN)
 _PACK_BUDGET = 256
 _PACK_SHARDS = 4
 

@@ -40,13 +40,14 @@ def test_pack_matches_concatenate_and_slice(spark, budget, shards):
 
     # Recover the operator's own (shard, h) per key to drive the
     # reference simulation with the identical order.
+    from nutdb_spark.operators.packing import PACK_GRAIN
     from nutdb_spark.operators.sampling import hash_bucket
 
     hs = {
         r["k"]: (r["shard"], r["h"])
         for r in df.select(
             "k",
-            hash_bucket(F.col("k"), "pack").alias("h"),
+            hash_bucket(F.col("k"), "pack", grain=PACK_GRAIN).alias("h"),
         )
         .withColumn("shard", (F.col("h") % shards).cast("int"))
         .collect()
