@@ -89,3 +89,31 @@ def test_pack_rejects_bad_args(spark):
         pack_sequences(df, F.col("k"), F.col("n"), budget=0, shards=1)
     with pytest.raises(ValueError, match="shards"):
         pack_sequences(df, F.col("k"), F.col("n"), budget=8, shards=0)
+
+
+def test_redact_pii_matches_python_re(spark):
+    """Third-engine armor: the Spark (Java-regex) redaction equals a
+    Python-re reference on adversarial inputs — boundary cases where
+    Java/RE2/Python dialects could disagree would surface here."""
+    import re
+
+    from nutdb_spark.operators.text import PII_PATTERNS, redact_pii
+
+    samples = [
+        "mail a.b-c_1%x@sub.domain.org now",
+        "ip 10.0.0.1, list 1.2.3.4.5 and 256.1.1.1 edge",
+        "call +1 555-0100 or +421 123 4567 x",
+        "no pii here at all",
+        "a@b.co x@y.z ftp://1.2.3.4/ a@@b.com trailing@dot.com.",
+        "v1.2.3 is a version, not an ip",
+    ]
+
+    def py_redact(t):
+        for pat, token in PII_PATTERNS.values():
+            t = re.sub(pat, token, t)
+        return t
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+    got = {r["i"]: r["r"] for r in df.select("i", redact_pii(F.col("t")).alias("r")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == py_redact(s), s
