@@ -293,3 +293,51 @@ def test_minhash_cap_only_removes_pairs(spark, picks, cap):
         }
 
     assert pairs(cap) <= pairs(1_000_000)
+
+
+# --- sequence packing ≡ concatenate-and-slice (operators/packing.py) ------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                   max_size=60),
+    budget=st.integers(min_value=1, max_value=50),
+    shards=st.integers(min_value=1, max_value=4),
+)
+def test_pack_sequences_matches_slice_simulation(spark, sizes, budget, shards):
+    import pyspark.sql.functions as F
+
+    from nutdb_spark.operators.packing import PACK_GRAIN, pack_sequences
+    from nutdb_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "k long, n long"
+    )
+    got = pack_sequences(
+        df, F.col("k"), F.col("n"), budget=budget, shards=shards
+    ).collect()
+    hs = {
+        r["k"]: r["h"]
+        for r in df.select(
+            "k", hash_bucket(F.col("k"), "pack", grain=PACK_GRAIN).alias("h")
+        ).collect()
+    }
+    # reference: per shard, concatenate in (h, k) order and slice
+    per_shard: dict[int, list] = {}
+    for k, n in enumerate(sizes):
+        per_shard.setdefault(hs[k] % shards, []).append((hs[k], k, n))
+    ref = {}
+    for shard, docs in per_shard.items():
+        pos = 0
+        for h, k, n in sorted(docs):
+            seq, off = divmod(pos, budget)
+            n_seqs = 0 if n == 0 else (pos + n - 1) // budget - seq + 1
+            ref[k] = (shard, seq, off, n_seqs)
+            pos += n
+    for r in got:
+        assert (r["shard"], r["seq"], r["offset"], r["n_seqs"]) == ref[r["k"]]
