@@ -50,6 +50,21 @@ class FnCall:
 
 
 @dataclass
+class WindowCall:
+    """[EXT] `fn(args) OVER (...)` — window-function grammar. Absent
+    from the reference dialect (SURVEY §2.6) but supported by this
+    engine as an extension: the lowering maps 1:1 onto
+    pyspark.sql.Window."""
+
+    fn: object  # FnCall
+    partition_by: list  # Expr list (may be empty)
+    order_by: list  # [OrderItem] (may be empty)
+    # None = engine default frame; else ("rows", lo, hi) where each
+    # bound is ("up"|"uf"|"cur", None) or ("pre"|"fol", int)
+    frame: object | None = None
+
+
+@dataclass
 class BinOp:
     op: str  # + - * / % = != < <= >= > and or xor & | ^ << >> like ilike ...
     left: object

@@ -621,6 +621,10 @@ class Lowerer:
     # --- aggregation ------------------------------------------------------
 
     def _collect_aggs(self, e, out: list) -> None:
+        if isinstance(e, A.WindowCall):
+            # a window aggregate is evaluated per-row over its frame,
+            # not as a GROUP BY aggregate — never hoist it
+            return
         if isinstance(e, A.FnCall) and e.name.lower() in _AGG_NAMES:
             if not any(e == seen for seen, _ in out):
                 out.append((e, f"__a{len(out)}"))
@@ -719,6 +723,8 @@ class Lowerer:
             return F.col(f"{e.qualifier}.{e.name}" if e.qualifier else e.name)
         if isinstance(e, A.Wildcard):
             return F.col(f"{e.qualifier}.*" if e.qualifier else "*")
+        if isinstance(e, A.WindowCall):
+            return self._window_call(e, scope, group_map, agg_calls, pending)
         if isinstance(e, A.BinOp):
             return self._binop(e, scope, group_map, agg_calls, pending)
         if isinstance(e, A.UnOp):
@@ -883,6 +889,124 @@ class Lowerer:
                 self._expr(e.else_, scope, group_map, agg_calls, pending)
             )
         return out
+
+    # [EXT] window-only function names; ntile's bucket count and
+    # lag/lead's offset/default must be plain literals because Spark
+    # takes them as Python values.
+    _WINDOW_ONLY = {
+        "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+        "ntile", "lag", "lead", "first_value", "last_value",
+    }
+
+    def _window_call(self, e, scope, group_map, agg_calls, pending) -> Column:
+        from pyspark.sql import Window
+
+        if group_map:
+            raise LoweringError(
+                "window functions over GROUP BY queries are not supported"
+            )
+        w = self._window_spec(e, scope, agg_calls, pending)
+        name = e.fn.name.lower()
+        if name in self._WINDOW_ONLY:
+            col = self._window_only_fn(e, name, scope, agg_calls, pending)
+        else:
+            from nutdb_spark.functions.registry import resolve
+
+            try:
+                fn, is_agg = resolve(e.fn.name)
+            except KeyError as ex:
+                raise LoweringError(
+                    f"unknown window function {e.fn.name!r}"
+                ) from ex
+            if not is_agg:
+                raise LoweringError(
+                    f"{e.fn.name!r} is not a window or aggregate function"
+                )
+            if len(e.fn.args) == 1 and isinstance(e.fn.args[0], A.Wildcard):
+                col = F.count(F.lit(1))
+            else:
+                args = [
+                    self._expr(a, scope, None, agg_calls, pending)
+                    for a in e.fn.args
+                ]
+                col = fn(*args)
+        return col.over(w)
+
+    def _window_spec(self, e, scope, agg_calls, pending):
+        from pyspark.sql import Window
+
+        parts = [
+            self._expr(p, scope, None, agg_calls, pending)
+            for p in e.partition_by
+        ]
+        orders = []
+        for o in e.order_by:
+            c = self._expr(o.expr, scope, None, agg_calls, pending)
+            orders.append(c if o.asc else c.desc())
+        name = e.fn.name.lower()
+        if name in ("row_number", "rank", "dense_rank", "percent_rank",
+                    "cume_dist", "ntile", "lag", "lead") and not orders:
+            raise LoweringError(f"{e.fn.name} requires ORDER BY in OVER")
+        w = Window.partitionBy(*parts)
+        if orders:
+            w = w.orderBy(*orders)
+        if e.frame is not None:
+            if not orders:
+                raise LoweringError("a ROWS frame requires ORDER BY in OVER")
+            _, lo, hi = e.frame
+            w = w.rowsBetween(self._frame_val(lo, True),
+                              self._frame_val(hi, False))
+        return w
+
+    @staticmethod
+    def _frame_val(bound, is_lo: bool):
+        from pyspark.sql import Window
+
+        kind, n = bound
+        if kind == "up":
+            return Window.unboundedPreceding
+        if kind == "uf":
+            return Window.unboundedFollowing
+        if kind == "cur":
+            return Window.currentRow
+        return -n if kind == "pre" else n
+
+    def _window_only_fn(self, e, name, scope, agg_calls, pending) -> Column:
+        args = e.fn.args
+
+        def lit_int(i: int, what: str) -> int:
+            a = args[i]
+            if not (isinstance(a, A.Lit) and a.kind in ("int", "hex")):
+                raise LoweringError(f"{e.fn.name} {what} must be an "
+                                    "integer literal")
+            return int(a.value)
+
+        if name in ("row_number", "rank", "dense_rank", "percent_rank",
+                    "cume_dist"):
+            if args:
+                raise LoweringError(f"{e.fn.name} takes no arguments")
+            return getattr(F, name)()
+        if name == "ntile":
+            if len(args) != 1:
+                raise LoweringError("ntile takes exactly one argument")
+            return F.ntile(lit_int(0, "bucket count"))
+        if name in ("lag", "lead"):
+            if not 1 <= len(args) <= 3:
+                raise LoweringError(f"{e.fn.name} takes 1-3 arguments")
+            col = self._expr(args[0], scope, None, agg_calls, pending)
+            off = lit_int(1, "offset") if len(args) >= 2 else 1
+            if len(args) == 3:
+                if not isinstance(args[2], A.Lit):
+                    raise LoweringError(
+                        f"{e.fn.name} default must be a literal"
+                    )
+                return getattr(F, name)(col, off, args[2].value)
+            return getattr(F, name)(col, off)
+        # first_value / last_value
+        if len(args) != 1:
+            raise LoweringError(f"{e.fn.name} takes exactly one argument")
+        col = self._expr(args[0], scope, None, agg_calls, pending)
+        return F.first(col) if name == "first_value" else F.last(col)
 
     def _fn(self, e: A.FnCall, scope, group_map, agg_calls, pending) -> Column:
         from nutdb_spark.functions.registry import resolve

@@ -473,7 +473,13 @@ class Parser:
         name = t.text
         if self.at_sym("(") :
             self.next()
-            return self._fn_call(name)
+            call = self._fn_call(name)
+            # [EXT] window functions: fn(args) OVER (...) — not in the
+            # reference grammar (SURVEY §2.6), engine extension
+            if isinstance(call, A.FnCall) and self.at_kw("over"):
+                self.next()
+                call = self._window_over(call)
+            return call
         if self.at_sym("."):
             self.next()
             if self.eat_sym("*"):
@@ -500,6 +506,71 @@ class Parser:
             return A.FnCall(name, [A.Wildcard()])
         args = self._expr_list(")")
         return A.FnCall(name, args)
+
+    def _window_over(self, call):
+        """OVER (PARTITION BY ... ORDER BY ... [ROWS frame]) — clause
+        order fixed; named WINDOW clauses and RANGE frames are not in
+        the extension (RANGE defaults differ across engines when the
+        order key has duplicates; the engine default frame is used
+        instead)."""
+        self.expect_sym("(")
+        partition: list = []
+        order: list = []
+        frame = None
+        if self.eat_kw("partition"):
+            self.expect_kw("by")
+            while True:
+                partition.append(self.parse_expr())
+                if not self.eat_sym(","):
+                    break
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.eat_kw("desc"):
+                    asc = False
+                else:
+                    self.eat_kw("asc")
+                order.append(A.OrderItem(e, asc))
+                if not self.eat_sym(","):
+                    break
+        if self.at_kw("range"):
+            raise ParseError(
+                "RANGE frames are not supported — use a ROWS frame"
+            )
+        if self.eat_kw("rows"):
+            if self.eat_kw("between"):
+                lo = self._frame_bound()
+                self.expect_kw("and")
+                hi = self._frame_bound()
+            else:
+                lo = self._frame_bound()
+                hi = ("cur", None)
+            frame = ("rows", lo, hi)
+        self.expect_sym(")")
+        return A.WindowCall(call, partition, order, frame)
+
+    def _frame_bound(self):
+        if self.eat_kw("unbounded"):
+            if self.eat_kw("preceding"):
+                return ("up", None)
+            self.expect_kw("following")
+            return ("uf", None)
+        if self.eat_kw("current"):
+            self.expect_kw("row")
+            return ("cur", None)
+        t = self.peek()
+        if t.type == T.INT:
+            self.next()
+            n = int(t.text)
+            if self.eat_kw("preceding"):
+                return ("pre", n)
+            self.expect_kw("following")
+            return ("fol", n)
+        raise ParseError(
+            f"expected frame bound, got {t.text!r}"
+        )
 
     def _not_prefix(self):
         # NOT IN / NOT LIKE / NOT ILIKE / NOT BETWEEN / NOT EXISTS

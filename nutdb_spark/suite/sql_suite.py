@@ -600,3 +600,60 @@ def sql_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by k_mod
         """,
     )
+
+
+@query(
+    "sql_window",
+    """
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / 10000.0 AS run_sum,
+           LAG(event_id, 1) OVER w AS prev_id,
+           LEAD(event_id, 1, -1) OVER w AS next_id,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_user,
+           NTILE(4) OVER w AS quart,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 10000.0 AS last4
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Window functions through the dialect frontend: OVER with
+    PARTITION BY / ORDER BY / ROWS frames, ranking + offset + windowed
+    aggregates in one projection. The reference grammar has no OVER
+    (SURVEY §2.6); this is the engine extension, lowered 1:1 onto
+    pyspark Window — one shuffle on the partition key, every frame
+    ROWS-bounded and fully tie-broken, running sums on floor-scaled
+    BIGINTs so values hash-match DuckDB."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id, event_id,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) as rn,
+               sum(floor(value * 10000))
+                 over (partition by user_id order by ts, event_id
+                       rows unbounded preceding) / 10000.0 as run_sum,
+               lag(event_id, 1) over (partition by user_id
+                                      order by ts, event_id) as prev_id,
+               lead(event_id, 1, -1) over (partition by user_id
+                                           order by ts, event_id) as next_id,
+               count(*) over (partition by user_id) as n_user,
+               ntile(4) over (partition by user_id
+                              order by ts, event_id) as quart,
+               sum(floor(value * 10000))
+                 over (partition by user_id order by ts, event_id
+                       rows between 3 preceding and current row)
+                 / 10000.0 as last4
+        from events
+        where user_id < 30
+        """,
+    )

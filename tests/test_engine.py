@@ -173,3 +173,37 @@ def test_map_function_surface(eng):
     assert sorted(r["vs"]) == [1, 2]
     assert r["has_a"] is True and r["has_z"] is False
     assert r["n"] == 2
+
+
+# --- [EXT] window functions through the dialect ---------------------------
+
+
+def test_window_fn_positive(eng):
+    rows = eng.sql(
+        "SELECT user_id, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events WHERE user_id = 1"
+    ).collect()
+    assert sorted(r["rn"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_window_fn_errors(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="requires ORDER BY"):
+        eng.sql("SELECT row_number() OVER (PARTITION BY user_id) FROM events")
+    with pytest.raises(LoweringError, match="ROWS frame requires ORDER BY"):
+        eng.sql(
+            "SELECT sum(value) OVER (PARTITION BY user_id "
+            "ROWS UNBOUNDED PRECEDING) FROM events"
+        )
+    with pytest.raises(LoweringError, match="integer literal"):
+        eng.sql(
+            "SELECT ntile(user_id) OVER (ORDER BY event_id) FROM events"
+        )
+    with pytest.raises(LoweringError, match="GROUP BY"):
+        eng.sql(
+            "SELECT event_type, sum(count(*)) OVER () FROM events "
+            "GROUP BY event_type"
+        )
+    with pytest.raises(LoweringError, match="not a window"):
+        eng.sql("SELECT substring(event_type, 1, 2) OVER (ORDER BY ts) FROM events")

@@ -122,3 +122,16 @@ def test_insert_row_vs_column_list_conflict():
 def test_malformed_statements_raise(src):
     with pytest.raises((ParseError, TokenizeError)):
         parse(src)
+
+
+# --- [EXT] window-function error paths -------------------------------------
+
+
+def test_window_range_frames_rejected():
+    with pytest.raises(ParseError, match="RANGE"):
+        parse("SELECT sum(x) OVER (ORDER BY y RANGE UNBOUNDED PRECEDING) FROM t")
+
+
+def test_window_bad_frame_bound():
+    with pytest.raises(ParseError, match="frame bound"):
+        parse("SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN foo AND CURRENT ROW) FROM t")
