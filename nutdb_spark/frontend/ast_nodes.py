@@ -188,13 +188,24 @@ class Cte:
 
 
 @dataclass
+class ArrayJoin:
+    """[EXT] `[LEFT] ARRAY JOIN expr [AS alias][, ...]` — the clause the
+    reference grammar TODO'd (ast/query.rs:27-28). Multiple items
+    iterate in LOCKSTEP (ClickHouse semantics), not as a cross
+    product; LEFT keeps empty-array rows with NULL elements."""
+
+    items: list  # [(expr, alias)] — alias resolved at parse time
+    left: bool = False
+
+
+@dataclass
 class SelectCore:
     ctes: list[Cte] = field(default_factory=list)
     distinct: bool = False
     distinct_on: list | None = None
     columns: list = field(default_factory=list)  # (expr|Wildcard, alias|None)
     from_: FromClause | None = None
-    joins: list[Join] = field(default_factory=list)
+    joins: list = field(default_factory=list)  # Join | ArrayJoin, in order
     where: object | None = None
     group_by: list = field(default_factory=list)
     having: object | None = None

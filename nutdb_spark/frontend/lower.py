@@ -180,7 +180,10 @@ class Lowerer:
             base, alias = self._source_df(q.from_.source, q.from_.alias, scope, cte)
             scope.add(alias, base)
             for j in q.joins:
-                base = self._lower_join(base, j, scope, cte)
+                if isinstance(j, A.ArrayJoin):
+                    base = self._lower_array_join(base, j, scope)
+                else:
+                    base = self._lower_join(base, j, scope, cte)
 
         # WHERE: decompose into subquery conjuncts + plain predicate
         if q.where is not None:
@@ -561,7 +564,10 @@ class Lowerer:
         df, alias = self._source_df(sub.from_.source, sub.from_.alias, sub_scope, cte)
         sub_scope.add(alias, df)
         for j in sub.joins:
-            df = self._lower_join(df, j, sub_scope, cte)
+            if isinstance(j, A.ArrayJoin):
+                df = self._lower_array_join(df, j, sub_scope)
+            else:
+                df = self._lower_join(df, j, sub_scope, cte)
         inner_cols = set(df.columns)
         join_conjs: list = []
         if sub.where is not None:
@@ -1007,6 +1013,30 @@ class Lowerer:
             raise LoweringError(f"{e.fn.name} takes exactly one argument")
         col = self._expr(args[0], scope, None, agg_calls, pending)
         return F.first(col) if name == "first_value" else F.last(col)
+
+    def _lower_array_join(self, base, aj, scope):
+        """[EXT] ARRAY JOIN lowering. One generator per clause: items
+        iterate in LOCKSTEP via an exploded index over the longest
+        array (ClickHouse zips; a cross product would be one ARRAY
+        JOIN per clause instead). LEFT keeps empty/NULL-array rows with
+        NULL elements (explode_outer); inner drops them. Alias equal to
+        an existing column REPLACES it. Scale shape: a generator is
+        row-local — no shuffle, fan-out streamed by the scan."""
+        cols = [self._expr(e, scope, {}, []) for e, _ in aj.items]
+        tmps = [f"__aj{i}" for i in range(len(cols))]
+        out = base.select("*", *[c.alias(t) for c, t in zip(cols, tmps)])
+        sizes = [F.size(F.col(t)) for t in tmps]
+        n = sizes[0] if len(sizes) == 1 else F.greatest(*sizes)
+        # sequence(1, 0) would generate a DESCENDING [1, 0] — guard
+        # empty arrays to NULL so inner drops and LEFT null-fills.
+        seq = F.when(n >= 1, F.sequence(F.lit(1), n))
+        gen = F.explode_outer(seq) if aj.left else F.explode(seq)
+        out = out.withColumn("__aj_idx", gen)
+        for t, (_, alias) in zip(tmps, aj.items):
+            out = out.withColumn(
+                alias, F.element_at(F.col(t), F.col("__aj_idx"))
+            )
+        return out.drop(*tmps, "__aj_idx")
 
     def _fn(self, e: A.FnCall, scope, group_map, agg_calls, pending) -> Column:
         from nutdb_spark.functions.registry import resolve

@@ -204,8 +204,14 @@ class Parser:
         # FROM (mod.rs:362-374)
         if self.eat_kw("from"):
             q.from_ = self._from_source()
-            # JOINs chain left-deep (mod.rs:303-306, 376-431)
+            # JOINs chain left-deep (mod.rs:303-306, 376-431);
+            # [EXT] ARRAY JOIN interleaves (the reference's own TODO,
+            # ast/query.rs:27-28)
             while True:
+                aj = self._try_array_join()
+                if aj is not None:
+                    q.joins.append(aj)
+                    continue
                 j = self._try_join()
                 if j is None:
                     break
@@ -282,9 +288,42 @@ class Parser:
             "join", "inner", "left", "right", "full", "semi", "anti", "asof",
             "outer", "union", "intersect", "except", "as", "asc", "desc",
             "with", "ties", "offset", "set", "values", "from", "select",
+            "array",  # [EXT] ARRAY JOIN must not read as a table alias
         }:
             return self.ident()
         return None
+
+    def _try_array_join(self):
+        """[EXT] `[LEFT] ARRAY JOIN expr [AS alias][, ...]`. A bare
+        column needs no alias (its name is replaced by the element,
+        ClickHouse semantics); any other expression requires AS."""
+        t = self.peek()
+        left = False
+        if t.type == T.KWID and t.text.lower() == "left":
+            t2 = self.tokens[self.pos + 1]
+            if not (t2.type == T.KWID and t2.text.lower() == "array"):
+                return None
+            self.next()
+            left = True
+        elif not (t.type == T.KWID and t.text.lower() == "array"):
+            return None
+        self.next()  # ARRAY
+        self.expect_kw("join")
+        items = []
+        while True:
+            e = self.parse_expr()
+            if self.eat_kw("as"):
+                alias = self.ident()
+            elif isinstance(e, A.Ident) and e.qualifier is None:
+                alias = e.name
+            else:
+                raise ParseError(
+                    "ARRAY JOIN expression requires AS <alias>"
+                )
+            items.append((e, alias))
+            if not self.eat_sym(","):
+                break
+        return A.ArrayJoin(items, left)
 
     _JOIN_KINDS = {"inner", "full", "left", "right"}
 

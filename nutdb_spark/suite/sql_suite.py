@@ -657,3 +657,33 @@ def sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         where user_id < 30
         """,
     )
+
+
+@query(
+    "sql_array_join",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 50)
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM d) t
+    GROUP BY tok
+    """,
+)
+def sql_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ARRAY JOIN through the dialect — the clause the reference
+    grammar TODO'd (ast/query.rs:27-28), ClickHouse semantics: lockstep
+    iteration for multiple arrays, LEFT keeps empty rows, bare columns
+    are replaced by their elements. Lowered to one row-local generator
+    (explode of an index sequence + element_at) — no shuffle; the only
+    exchange here is the downstream GROUP BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select tok, count(*) as n
+        from (select doc_id, splitByChar(' ', text) as toks
+              from documents where doc_id < 50) as d
+        array join toks as tok
+        group by tok
+        """,
+    )

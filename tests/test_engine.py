@@ -207,3 +207,34 @@ def test_window_fn_errors(eng):
         )
     with pytest.raises(LoweringError, match="not a window"):
         eng.sql("SELECT substring(event_type, 1, 2) OVER (ORDER BY ts) FROM events")
+
+
+# --- [EXT] ARRAY JOIN ------------------------------------------------------
+
+
+def test_array_join_lockstep_left_and_replace(eng):
+    eng.sql("CREATE TABLE ajt (id Int64, xs Array(Int64), ys Array(String))")
+    eng.sql(
+        "INSERT INTO ajt (id, xs, ys) VALUES "
+        "(1, [10, 20], ['a', 'b']), (2, [], [])"
+    )
+    rows = eng.sql(
+        "SELECT id, x, y FROM ajt ARRAY JOIN xs AS x, ys AS y"
+    ).collect()
+    assert sorted((r["id"], r["x"], r["y"]) for r in rows) == [
+        (1, 10, "a"), (1, 20, "b")
+    ]
+    left = eng.sql("SELECT id, x FROM ajt LEFT ARRAY JOIN xs AS x").collect()
+    assert sorted(
+        ((r["id"], r["x"]) for r in left),
+        key=lambda t: (t[0], t[1] is None, t[1] or 0),
+    ) == [(1, 10), (1, 20), (2, None)]
+    rep = eng.sql("SELECT id, xs FROM ajt ARRAY JOIN xs").collect()
+    assert sorted((r["id"], r["xs"]) for r in rep) == [(1, 10), (1, 20)]
+
+
+def test_array_join_expr_requires_alias(eng):
+    from nutdb_spark.frontend.parser import ParseError
+
+    with pytest.raises(ParseError, match="AS"):
+        eng.sql("SELECT 1 FROM ajt2 ARRAY JOIN [1, 2]")
