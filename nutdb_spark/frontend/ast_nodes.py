@@ -179,6 +179,13 @@ class TableFn:
 class FromClause:
     source: object  # TableRef | Query | TableFn
     alias: str | None = None
+    # [EXT] `SAMPLE <fraction> BY (expr)` — the clause the reference
+    # grammar left as a question (ast/query.rs:12), realized as
+    # DETERMINISTIC hash sampling (operators/sampling.py): a row is
+    # kept iff its salted-md5 bucket of the BY key clears the
+    # fraction threshold — append-stable, engine-portable, unlike
+    # random sampling. (fraction: float, key expr)
+    sample: tuple | None = None
 
 
 @dataclass
@@ -208,6 +215,8 @@ class SelectCore:
     joins: list = field(default_factory=list)  # Join | ArrayJoin, in order
     where: object | None = None
     group_by: list = field(default_factory=list)
+    # [EXT] GROUP BY ... WITH ROLLUP / WITH CUBE (ClickHouse modifier)
+    group_modifier: str | None = None  # None | 'rollup' | 'cube'
     having: object | None = None
     order_by: list[OrderItem] = field(default_factory=list)
     limit: Limit | None = None

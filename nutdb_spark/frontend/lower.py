@@ -179,6 +179,7 @@ class Lowerer:
         else:
             base, alias = self._source_df(q.from_.source, q.from_.alias, scope, cte)
             scope.add(alias, base)
+            base = self._apply_sample(base, q.from_, scope)
             for j in q.joins:
                 if isinstance(j, A.ArrayJoin):
                     base = self._lower_array_join(base, j, scope)
@@ -563,6 +564,7 @@ class Lowerer:
             cte[c.name] = self.lower_query(c.query, scope)
         df, alias = self._source_df(sub.from_.source, sub.from_.alias, sub_scope, cte)
         sub_scope.add(alias, df)
+        df = self._apply_sample(df, sub.from_, sub_scope)
         for j in sub.joins:
             if isinstance(j, A.ArrayJoin):
                 df = self._lower_array_join(df, j, sub_scope)
@@ -667,7 +669,17 @@ class Lowerer:
             # GROUP BY with no aggregates → still needs an agg frame
             aggs = [F.count(F.lit(1)).alias(self._gen("cnt"))]
         if group_cols:
-            base = base.groupBy(*group_cols).agg(*aggs)
+            # [EXT] WITH ROLLUP / WITH CUBE: Catalyst expands either
+            # to grouping sets inside ONE hash aggregate (map-side
+            # partial preserved) — no union of re-scans.
+            modifier = getattr(q, "group_modifier", None)
+            if modifier == "rollup":
+                grouped = base.rollup(*group_cols)
+            elif modifier == "cube":
+                grouped = base.cube(*group_cols)
+            else:
+                grouped = base.groupBy(*group_cols)
+            base = grouped.agg(*aggs)
         else:
             base = base.agg(*aggs)
         return base, {"groups": q.group_by, "names": group_map}
@@ -1013,6 +1025,20 @@ class Lowerer:
             raise LoweringError(f"{e.fn.name} takes exactly one argument")
         col = self._expr(args[0], scope, None, agg_calls, pending)
         return F.first(col) if name == "first_value" else F.last(col)
+
+    def _apply_sample(self, base, from_clause, scope):
+        """[EXT] SAMPLE <frac> BY (key): deterministic hash sampling —
+        kept iff md5('sample' || key) bucket < frac·grain. A pure
+        pushed-down filter: append-stable, engine-portable, no shuffle
+        (unlike TABLESAMPLE, whose output depends on partition
+        layout)."""
+        if getattr(from_clause, "sample", None) is None:
+            return base
+        from nutdb_spark.operators.sampling import GRAIN, hash_bucket
+
+        frac, key_ast = from_clause.sample
+        key = self._expr(key_ast, scope, {}, [])
+        return base.filter(hash_bucket(key, "sample") < int(frac * GRAIN))
 
     def _lower_array_join(self, base, aj, scope):
         """[EXT] ARRAY JOIN lowering. One generator per clause: items

@@ -224,6 +224,12 @@ class Parser:
                 q.group_by.append(self.parse_expr())
                 if not self.eat_sym(","):
                     break
+            # [EXT] WITH ROLLUP / WITH CUBE (subtotal grouping sets)
+            if self.at_kw("with"):
+                t2 = self.tokens[self.pos + 1]
+                if t2.type == T.KWID and t2.text.lower() in ("rollup", "cube"):
+                    self.next()
+                    q.group_modifier = self.next().text.lower()
         if self.eat_kw("having"):
             q.having = self.parse_expr()
         if self.eat_kw("order"):
@@ -258,7 +264,23 @@ class Parser:
 
     def _from_source(self) -> A.FromClause:
         src, alias = self._table_like()
-        return A.FromClause(src, alias)
+        sample = None
+        if self.eat_kw("sample"):
+            t = self.peek()
+            if t.type not in (T.FLOAT, T.INT):
+                raise ParseError(
+                    f"expected sample fraction, got {t.text!r}"
+                )
+            self.next()
+            frac = float(t.text)
+            if not 0.0 < frac <= 1.0:
+                raise ParseError("sample fraction must be in (0, 1]")
+            self.expect_kw("by")
+            self.expect_sym("(")
+            key = self.parse_expr()
+            self.expect_sym(")")
+            sample = (frac, key)
+        return A.FromClause(src, alias, sample)
 
     def _table_like(self):
         if self.at_sym("("):
@@ -288,7 +310,9 @@ class Parser:
             "join", "inner", "left", "right", "full", "semi", "anti", "asof",
             "outer", "union", "intersect", "except", "as", "asc", "desc",
             "with", "ties", "offset", "set", "values", "from", "select",
-            "array",  # [EXT] ARRAY JOIN must not read as a table alias
+            # [EXT] clause openers must not read as table aliases
+            "array",  # ARRAY JOIN
+            "sample",  # SAMPLE <frac> BY (key)
         }:
             return self.ident()
         return None

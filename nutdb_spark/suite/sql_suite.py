@@ -687,3 +687,61 @@ def sql_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by tok
         """,
     )
+
+
+@query(
+    "sql_sample",
+    """
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE CAST('0x' || substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000000 < 200000
+    GROUP BY lang
+    """,
+)
+def sql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SAMPLE clause — the reference grammar's open question
+    (ast/query.rs:12 "[sample clause?]"), realized as DETERMINISTIC
+    hash sampling: `SAMPLE 0.2 BY (doc_id)` keeps a row iff its
+    salted-md5 bucket clears the threshold. Append-stable and
+    engine-portable (the DuckDB oracle computes the identical md5
+    filter), and a plain pushed filter in the plan — unlike
+    TABLESAMPLE, whose output depends on partition layout."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select lang, count(*) as n, sum(n_chars) as chars
+        from documents sample 0.2 by (doc_id)
+        group by lang
+        """,
+    )
+
+
+@query(
+    "sql_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] GROUP BY ... WITH ROLLUP through the dialect (ClickHouse
+    modifier; the reference's GROUP BY takes a plain expr list —
+    SURVEY §2.6). Catalyst expands the rollup to grouping sets inside
+    ONE hash aggregate with the map-side partial preserved — never a
+    union of re-scans; subtotal rows carry NULL group keys, matching
+    the DuckDB ROLLUP oracle exactly."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag, l_linestatus, count(*) as n,
+               sum(floor(l_quantity * 10000)) / 10000.0 as qty
+        from lineitem
+        group by l_returnflag, l_linestatus with rollup
+        """,
+    )

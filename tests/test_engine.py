@@ -238,3 +238,17 @@ def test_array_join_expr_requires_alias(eng):
 
     with pytest.raises(ParseError, match="AS"):
         eng.sql("SELECT 1 FROM ajt2 ARRAY JOIN [1, 2]")
+
+
+def test_group_by_with_cube(eng):
+    rows = eng.sql(
+        "SELECT event_type, user_id % 2 AS par, COUNT(*) AS n "
+        "FROM events GROUP BY event_type, user_id % 2 WITH CUBE"
+    ).collect()
+    # cube = 4 grouping sets; the (NULL, NULL) grand total present once
+    totals = [r for r in rows if r["event_type"] is None and r["par"] is None]
+    assert len(totals) == 1
+    assert totals[0]["n"] == sum(
+        r["n"] for r in rows
+        if r["event_type"] is not None and r["par"] is not None
+    )

@@ -135,3 +135,16 @@ def test_window_range_frames_rejected():
 def test_window_bad_frame_bound():
     with pytest.raises(ParseError, match="frame bound"):
         parse("SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN foo AND CURRENT ROW) FROM t")
+
+
+# --- [EXT] SAMPLE clause error paths ---------------------------------------
+
+
+def test_sample_fraction_out_of_range():
+    with pytest.raises(ParseError, match="fraction"):
+        parse("SELECT 1 FROM t SAMPLE 1.5 BY (id)")
+
+
+def test_sample_requires_by_key():
+    with pytest.raises(ParseError, match="BY"):
+        parse("SELECT 1 FROM t SAMPLE 0.5")
