@@ -218,6 +218,9 @@ class SelectCore:
     # [EXT] GROUP BY ... WITH ROLLUP / WITH CUBE (ClickHouse modifier)
     group_modifier: str | None = None  # None | 'rollup' | 'cube'
     having: object | None = None
+    # [EXT] QUALIFY — filter on window-function results (the top-N
+    # idiom); evaluated after windows, before ORDER BY/LIMIT
+    qualify: object | None = None
     order_by: list[OrderItem] = field(default_factory=list)
     limit: Limit | None = None
 

@@ -227,6 +227,22 @@ class Lowerer:
             )
             base = base.filter(hav)
 
+        # [EXT] QUALIFY: a filter over window-function results — Spark
+        # can't put a window expression in filter() directly, so the
+        # predicate is materialized as a temp column first (one extra
+        # projection inside the same WindowExec stage, no extra
+        # shuffle).
+        if getattr(q, "qualify", None) is not None:
+            qcol, base = self._expr_with_scalars(
+                q.qualify, base, scope, group_map, agg_calls
+            )
+            tmp = self._gen("qual")
+            base = (
+                base.withColumn(tmp, qcol)
+                .filter(F.col(tmp))
+                .drop(tmp)
+            )
+
         order_cols: list[tuple[Column, bool]] = []
         for o in q.order_by:
             # ORDER BY may name a projection alias

@@ -232,6 +232,9 @@ class Parser:
                     q.group_modifier = self.next().text.lower()
         if self.eat_kw("having"):
             q.having = self.parse_expr()
+        # [EXT] QUALIFY (window-result filter)
+        if self.eat_kw("qualify"):
+            q.qualify = self.parse_expr()
         if self.eat_kw("order"):
             self.expect_kw("by")
             while True:
@@ -313,6 +316,7 @@ class Parser:
             # [EXT] clause openers must not read as table aliases
             "array",  # ARRAY JOIN
             "sample",  # SAMPLE <frac> BY (key)
+            "qualify",  # QUALIFY <window predicate>
         }:
             return self.ident()
         return None

@@ -745,3 +745,32 @@ def sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by l_returnflag, l_linestatus with rollup
         """,
     )
+
+
+@query(
+    "sql_qualify",
+    f"""
+    SELECT user_id, event_id
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY CAST(FLOOR(value * 10000) AS BIGINT)
+                                        DESC, event_id) <= 3
+    """,
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] QUALIFY — the top-N-per-group idiom as a first-class
+    clause: filter on a window-function result without the wrap-in-a-
+    subquery dance. Lowered as a temp column + filter inside the same
+    WindowExec stage (no extra shuffle); DuckDB runs the identical
+    QUALIFY natively as the oracle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id, event_id
+        from events
+        qualify row_number() over (partition by user_id
+                                   order by floor(value * 10000) desc,
+                                            event_id) <= 3
+        """,
+    )

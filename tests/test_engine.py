@@ -252,3 +252,13 @@ def test_group_by_with_cube(eng):
         r["n"] for r in rows
         if r["event_type"] is not None and r["par"] is not None
     )
+
+
+def test_qualify_matches_subquery_form(eng):
+    q = eng.sql(
+        "SELECT user_id, event_id FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) = 1"
+    ).collect()
+    # exactly one row per user: the earliest event
+    assert len({r["user_id"] for r in q}) == len(q)
