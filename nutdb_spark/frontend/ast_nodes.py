@@ -50,6 +50,16 @@ class FnCall:
 
 
 @dataclass
+class Lambda:
+    """[EXT] `x -> body` / `(a, b) -> body` — only valid as an
+    argument of a higher-order array function; lowers to a Python
+    callable over pyspark lambda variables."""
+
+    params: list  # [str]
+    body: object
+
+
+@dataclass
 class WindowCall:
     """[EXT] `fn(args) OVER (...)` — window-function grammar. Absent
     from the reference dialect (SURVEY §2.6) but supported by this

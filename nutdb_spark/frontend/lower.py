@@ -118,6 +118,9 @@ class Lowerer:
         self.resolve_table = resolve_table
         self.params = params or []
         self._ids = itertools.count()
+        # [EXT] lambda-variable bindings (higher-order array fns) —
+        # innermost frame last
+        self._lambda_stack: list[dict] = []
 
     def _gen(self, prefix: str) -> str:
         return f"__{prefix}{next(self._ids)}"
@@ -649,6 +652,10 @@ class Lowerer:
             # a window aggregate is evaluated per-row over its frame,
             # not as a GROUP BY aggregate — never hoist it
             return
+        if isinstance(e, A.Lambda):
+            # lambda bodies are element-wise inside a higher-order fn,
+            # never GROUP BY aggregates
+            return
         if isinstance(e, A.FnCall) and e.name.lower() in _AGG_NAMES:
             if not any(e == seen for seen, _ in out):
                 out.append((e, f"__a{len(out)}"))
@@ -747,6 +754,10 @@ class Lowerer:
             kwargs = {_INTERVAL_ARGS[e.unit]: F.lit(e.count)}
             return F.make_interval(**kwargs)
         if isinstance(e, A.Ident):
+            if e.qualifier is None:
+                for frame in reversed(self._lambda_stack):
+                    if e.name in frame:
+                        return frame[e.name]
             if e.qualifier is not None:
                 s = scope
                 while s is not None:
@@ -1080,6 +1091,33 @@ class Lowerer:
             )
         return out.drop(*tmps, "__aj_idx")
 
+    def _make_lambda(self, lam, scope, group_map, agg_calls, pending):
+        """A.Lambda -> python callable over pyspark lambda variables:
+        the higher-order builtin (transform/filter/exists/forall/
+        aggregate) invokes it once with placeholder Columns; the body
+        lowers with the parameters bound innermost-first."""
+
+        def body(*cols):
+            self._lambda_stack.append(dict(zip(lam.params, cols)))
+            try:
+                return self._expr(
+                    lam.body, scope, group_map, agg_calls, pending
+                )
+            finally:
+                self._lambda_stack.pop()
+
+        # pyspark's higher-order builtins introspect the callable's
+        # signature (POSITIONAL only, no *args) to size the lambda
+        # variables — hand back a fixed-arity wrapper
+        n = len(lam.params)
+        if n == 1:
+            return lambda x: body(x)
+        if n == 2:
+            return lambda x, y: body(x, y)
+        if n == 3:
+            return lambda x, y, z: body(x, y, z)
+        raise LoweringError("lambdas support at most 3 parameters")
+
     def _fn(self, e: A.FnCall, scope, group_map, agg_calls, pending) -> Column:
         from nutdb_spark.functions.registry import resolve
 
@@ -1093,6 +1131,11 @@ class Lowerer:
         raw_idx = _RAW_STRING_ARG_FNS.get(e.name.lower(), ())
         args = []
         for i, a in enumerate(e.args):
+            if isinstance(a, A.Lambda):
+                args.append(
+                    self._make_lambda(a, scope, group_map, agg_calls, pending)
+                )
+                continue
             if i in raw_idx:
                 # The registry fn needs a compile-time python string
                 # (e.g. a JsonPath segment for get_json_object) — only

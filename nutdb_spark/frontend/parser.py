@@ -571,8 +571,52 @@ class Parser:
             self.next()
             self.expect_sym(")")
             return A.FnCall(name, [A.Wildcard()])
-        args = self._expr_list(")")
+        args = []
+        while True:
+            args.append(self._arg_or_lambda())
+            if self.eat_sym(","):
+                continue
+            self.expect_sym(")")
+            break
         return A.FnCall(name, args)
+
+    def _arg_or_lambda(self):
+        """[EXT] a function argument may be a lambda: `x -> body` or
+        `(a, b) -> body` (higher-order array functions). Plain
+        expressions are unaffected — the arrow is detected by
+        lookahead before any token is consumed."""
+        t = self.peek()
+        if (
+            t.type == T.KWID
+            and self.tokens[self.pos + 1].type == T.SYM
+            and self.tokens[self.pos + 1].text == "->"
+        ):
+            name = self.ident()
+            self.next()  # ->
+            return A.Lambda([name], self.parse_expr())
+        if t.type == T.SYM and t.text == "(":
+            j = self.pos + 1
+            params = []
+            ok = False
+            while True:
+                tj = self.tokens[j]
+                if tj.type != T.KWID:
+                    break
+                params.append(tj.text)
+                j += 1
+                tj = self.tokens[j]
+                if tj.type == T.SYM and tj.text == ",":
+                    j += 1
+                    continue
+                if tj.type == T.SYM and tj.text == ")":
+                    t2 = self.tokens[j + 1]
+                    ok = t2.type == T.SYM and t2.text == "->"
+                    break
+                break
+            if ok and params:
+                self.pos = j + 2  # past ') ->'
+                return A.Lambda(params, self.parse_expr())
+        return self.parse_expr()
 
     def _window_over(self, call):
         """OVER (PARTITION BY ... ORDER BY ... [ROWS frame]) — clause

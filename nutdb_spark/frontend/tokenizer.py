@@ -144,6 +144,12 @@ class Tokenizer:
             self.i += 1
             return Token(SYM, ch, pos=start)
         if ch == "-":
+            # [EXT] '->' lambda arrow (higher-order array functions);
+            # previously '-' '>' could only be a parse error, so no
+            # legal reference program changes meaning
+            if start + 1 < n and s[start + 1] == ">":
+                self.i += 2
+                return Token(SYM, "->", pos=start)
             self.i += 1
             return Token(SYM, "-", pos=start)
         if ch == "/":

@@ -248,6 +248,21 @@ SCALAR_FNS["arraySum"] = lambda a: F.aggregate(
     a, F.lit(0).cast("long"), lambda acc, x: acc + x
 )
 SCALAR_FNS["arrayDistinct"] = F.array_distinct
+
+# [EXT] higher-order array functions — lambda-first, ClickHouse order;
+# the frontend passes the lambda as a python callable (lower.py
+# _make_lambda), everything stays JVM-side codegen
+# 1-array form -> transform; 2-array form zips (ClickHouse arrayMap
+# iterates N arrays in lockstep; Spark zip_with covers the pair case)
+SCALAR_FNS["arrayMap"] = lambda f, a, b=None: (
+    F.transform(a, f) if b is None else F.zip_with(a, b, f)
+)
+SCALAR_FNS["arrayFilter"] = lambda f, a: F.filter(a, f)
+SCALAR_FNS["arrayExists"] = lambda f, a: F.exists(a, f)
+SCALAR_FNS["arrayAll"] = lambda f, a: F.forall(a, f)
+SCALAR_FNS["arrayCount"] = lambda f, a: F.size(F.filter(a, f))
+# NULL when nothing matches (try_element_at; ANSI element_at throws)
+SCALAR_FNS["arrayFirst"] = lambda f, a: F.try_element_at(F.filter(a, f), F.lit(1))
 SCALAR_FNS["arraySort"] = F.sort_array
 SCALAR_FNS["arrayJoin"] = F.explode  # projection-level explode
 

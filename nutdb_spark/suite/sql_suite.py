@@ -774,3 +774,40 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             event_id) <= 3
         """,
     )
+
+
+@query(
+    "sql_lambda",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(toks, x -> length(x)))
+                AS BIGINT) AS total_len,
+           len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+           len(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+           len(list_filter(toks, x -> length(x) <= 3)) AS n_short
+    FROM d
+    """,
+)
+def sql_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] higher-order array functions with lambda syntax —
+    arrayMap/arrayFilter/arrayCount/arrayExists over `x -> body` (and
+    `(x, y) -> body` for the zip form). The arrow token is new to the
+    tokenizer ('-' '>' could previously only be a parse error, so no
+    legal reference program changes meaning); lambdas lower to
+    pyspark's JVM-side transform/filter/exists — whole-stage codegen,
+    no Python evaluation."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select doc_id,
+               arraySum(arrayMap(x -> length(x), toks)) as total_len,
+               arrayCount(x -> length(x) > 4, toks) as n_long,
+               arrayExists(x -> x = 'the', toks) as has_the,
+               arrayLength(arrayFilter(x -> length(x) <= 3, toks)) as n_short
+        from (select doc_id, splitByChar(' ', text) as toks
+              from documents where doc_id < 100) as d
+        """,
+    )

@@ -262,3 +262,32 @@ def test_qualify_matches_subquery_form(eng):
     ).collect()
     # exactly one row per user: the earliest event
     assert len({r["user_id"] for r in q}) == len(q)
+
+
+# --- [EXT] lambdas / higher-order array functions -------------------------
+
+
+def test_lambda_two_param_zip(eng):
+    rows = eng.sql(
+        "SELECT arraySum(arrayMap((x, y) -> x * y, [1, 2, 3], [4, 5, 6])) "
+        "AS dot FROM numbers(1)"
+    ).collect()
+    assert rows[0]["dot"] == 32
+
+
+def test_lambda_shadowing_and_outer_column(eng):
+    # lambda param shadows nothing; outer column refs still resolve
+    rows = eng.sql(
+        "SELECT n_nationkey, "
+        "arrayCount(x -> x > n_regionkey, [0, 1, 2, 3, 4]) AS n_gt "
+        "FROM nation WHERE n_nationkey < 3"
+    ).collect()
+    for r in rows:
+        assert 0 <= r["n_gt"] <= 5
+
+
+def test_lambda_first_empty_is_null(eng):
+    rows = eng.sql(
+        "SELECT arrayFirst(x -> x > 99, [1, 2]) AS f FROM numbers(1)"
+    ).collect()
+    assert rows[0]["f"] is None
