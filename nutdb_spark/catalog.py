@@ -167,11 +167,23 @@ def _branch_delta_ok(b) -> bool:
         or b.limit is not None
         or b.ctes
         or b.from_ is None
+        # whole-input constructs added by the dialect extensions:
+        # SAMPLE is per-row-pure but conservative-reject keeps the
+        # contract obvious; QUALIFY and window functions depend on the
+        # entire input, so a per-insert delta would be silently wrong
+        or getattr(b, "qualify", None) is not None
+        or getattr(b, "group_modifier", None) is not None
+        or getattr(b.from_, "sample", None) is not None
     ):
         return False
     if not isinstance(b.from_.source, A.TableRef):
         return False
     for j in b.joins:
+        if isinstance(j, A.ArrayJoin):
+            # row-local generator — but its lockstep/LEFT shapes are
+            # untested under delta merge; take the always-correct
+            # full-refresh path
+            return False
         if j.kind != "inner" or not isinstance(j.source, A.TableRef):
             return False
     refs: dict[str, int] = {}
@@ -179,6 +191,10 @@ def _branch_delta_ok(b) -> bool:
         if isinstance(node, A.TableRef):
             refs[node.name] = refs.get(node.name, 0) + 1
         if isinstance(node, (A.Exists, A.InSubquery, A.ScalarSubquery)):
+            return False
+        if isinstance(node, A.WindowCall):
+            # window results depend on the whole partition, not the
+            # insert batch
             return False
         if isinstance(node, A.FnCall) and node.name.lower() in _AGG_NAMES:
             return False

@@ -230,21 +230,20 @@ class Lowerer:
             )
             base = base.filter(hav)
 
-        # [EXT] QUALIFY: a filter over window-function results — Spark
-        # can't put a window expression in filter() directly, so the
-        # predicate is materialized as a temp column first (one extra
-        # projection inside the same WindowExec stage, no extra
-        # shuffle).
+        # [EXT] QUALIFY: a filter over window-function results. The
+        # predicate rides in the SAME projection as the select list and
+        # the filter applies AFTER it — so every window (in SELECT and
+        # in the predicate) evaluates over the full pre-QUALIFY input,
+        # matching DuckDB/standard semantics. (Filtering `base` first
+        # would recompute SELECT-list windows over only the survivors —
+        # silently wrong counts/offsets.)
+        qual_tmp = None
         if getattr(q, "qualify", None) is not None:
             qcol, base = self._expr_with_scalars(
                 q.qualify, base, scope, group_map, agg_calls
             )
-            tmp = self._gen("qual")
-            base = (
-                base.withColumn(tmp, qcol)
-                .filter(F.col(tmp))
-                .drop(tmp)
-            )
+            qual_tmp = self._gen("qual")
+            proj.append(qcol.alias(qual_tmp))
 
         order_cols: list[tuple[Column, bool]] = []
         for o in q.order_by:
@@ -262,6 +261,8 @@ class Lowerer:
             order_cols.append((oc, o.asc))
 
         projected = base.select(*proj)
+        if qual_tmp is not None:
+            projected = projected.filter(F.col(qual_tmp)).drop(qual_tmp)
 
         if q.distinct_on is not None:
             keys = [
@@ -1061,11 +1062,14 @@ class Lowerer:
         layout)."""
         if getattr(from_clause, "sample", None) is None:
             return base
-        from nutdb_spark.operators.sampling import GRAIN, hash_bucket
+        from nutdb_spark.operators.sampling import sample_fraction
 
         frac, key_ast = from_clause.sample
         key = self._expr(key_ast, scope, {}, [])
-        return base.filter(hash_bucket(key, "sample") < int(frac * GRAIN))
+        # the canonical hash-sampling contract (incl. the
+        # int(frac*GRAIN) truncation the DuckDB oracles mirror) lives
+        # in ONE place — operators/sampling.sample_fraction
+        return sample_fraction(base, key, frac, salt="sample")
 
     def _lower_array_join(self, base, aj, scope):
         """[EXT] ARRAY JOIN lowering. One generator per clause: items
@@ -1086,8 +1090,11 @@ class Lowerer:
         gen = F.explode_outer(seq) if aj.left else F.explode(seq)
         out = out.withColumn("__aj_idx", gen)
         for t, (_, alias) in zip(tmps, aj.items):
+            # try_element_at: with unequal lockstep arrays the index
+            # runs to the LONGEST one — shorter arrays NULL-fill (ANSI
+            # element_at would throw out-of-bounds)
             out = out.withColumn(
-                alias, F.element_at(F.col(t), F.col("__aj_idx"))
+                alias, F.try_element_at(F.col(t), F.col("__aj_idx"))
             )
         return out.drop(*tmps, "__aj_idx")
 

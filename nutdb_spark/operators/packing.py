@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nutdb_spark.operators.sampling import hash_bucket, oracle_hash_bucket
+from nutdb_spark.operators.sampling import hash_bucket
 
 # Finer grain than sampling's ppm buckets: the hash is the global
 # ORDER here, so 10^6 distinct values would (a) collide constantly at
@@ -98,26 +98,4 @@ def pack_sequences(
     )
 
 
-def oracle_pack_sequences(
-    key_expr: str,
-    n_tokens_expr: str,
-    *,
-    budget: int,
-    shards: int,
-    salt: str = "pack",
-) -> dict[str, str]:
-    """DuckDB twin expressions, keyed by output column name. Caller
-    embeds them in a query that computes ``__h``/``__shard``/``__cum``
-    with the same window."""
-    h = oracle_hash_bucket(key_expr, salt, grain=PACK_GRAIN)
-    return {
-        "h": h,
-        "shard": f"CAST(({h}) % {shards} AS INT)",
-        "cum_window": (
-            f"SUM({n_tokens_expr}) OVER (PARTITION BY __shard "
-            f"ORDER BY __h, {key_expr} ROWS UNBOUNDED PRECEDING)"
-        ),
-    }
-
-
-__all__ = ["pack_sequences", "oracle_pack_sequences", "PACK_GRAIN"]
+__all__ = ["pack_sequences", "PACK_GRAIN"]

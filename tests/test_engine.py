@@ -291,3 +291,41 @@ def test_lambda_first_empty_is_null(eng):
         "SELECT arrayFirst(x -> x > 99, [1, 2]) AS f FROM numbers(1)"
     ).collect()
     assert rows[0]["f"] is None
+
+
+def test_array_join_unequal_lengths_null_fill(eng):
+    eng.sql("CREATE TABLE ajx (id Int64, xs Array(Int64), ys Array(String))")
+    eng.sql("INSERT INTO ajx (id, xs, ys) VALUES (1, [10, 20, 30], ['a'])")
+    rows = eng.sql(
+        "SELECT id, x, y FROM ajx ARRAY JOIN xs AS x, ys AS y"
+    ).collect()
+    assert sorted((r["x"], r["y"]) for r in rows) == [
+        (10, "a"), (20, None), (30, None)
+    ]
+
+
+def test_view_with_array_join_stays_correct_on_insert(eng):
+    eng.sql("CREATE TABLE ajsrc (tag String, xs Array(Int64))")
+    eng.sql(
+        "CREATE VIEW ajv UPDATE BY Summing ORDER BY (tag) AS "
+        "SELECT tag, x AS v FROM ajsrc ARRAY JOIN xs AS x"
+    )
+    eng.sql("INSERT INTO ajsrc (tag, xs) VALUES ('a', [1, 2]), ('b', [10])")
+    eng.sql("INSERT INTO ajsrc (tag, xs) VALUES ('a', [3])")
+    got = {r["tag"]: r["v"] for r in eng.sql("SELECT tag, v FROM ajv").collect()}
+    assert got == {"a": 6, "b": 10}
+
+
+def test_view_with_window_fn_stays_correct_on_insert(eng):
+    eng.sql("CREATE TABLE wsrc (tag String, v Int64)")
+    eng.sql(
+        "CREATE VIEW wv UPDATE BY Summing ORDER BY (tag) AS "
+        "SELECT tag, row_number() OVER (PARTITION BY tag ORDER BY v) AS v "
+        "FROM wsrc"
+    )
+    eng.sql("INSERT INTO wsrc (tag, v) VALUES ('a', 5), ('a', 7)")
+    eng.sql("INSERT INTO wsrc (tag, v) VALUES ('a', 9)")
+    # full recompute each insert: row_numbers over the WHOLE table,
+    # summed per tag -> 1+2+3
+    got = {r["tag"]: r["v"] for r in eng.sql("SELECT tag, v FROM wv").collect()}
+    assert got == {"a": 6}
