@@ -325,3 +325,19 @@ def test_pipeline_train_all_jvm_no_cartesian(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, node
+
+
+def test_dialect_extensions_stay_jvm_side(spark):
+    """The OVER / QUALIFY / ARRAY JOIN / lambda extensions must lower
+    to built-in expressions — zero Python evaluation nodes — and the
+    window entries must shuffle once on their partition key."""
+    from nutdb_spark.suite import QUERIES
+
+    for name in ("sql_window", "sql_qualify", "sql_array_join",
+                 "sql_lambda", "sql_sample", "sql_rollup"):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)
+    for name in ("sql_window", "sql_qualify"):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, name
