@@ -31,6 +31,12 @@ ENTRIES = [
     "q_analytic_topn",
     "q_text_pii",
     "q_dedup_connected_star",
+    # second-half additions
+    "q_pipeline_train",
+    "q_dedup_connected_best",
+    "q_embed_quantize",
+    "sql_window",
+    "sql_lambda",
 ]
 
 SF01 = "/root/testdata/sf0.1"
