@@ -137,6 +137,10 @@ class Lowerer:
                 return left.union(right).distinct()
             if q.op == "intersect":
                 return left.intersect(right)
+            if q.op == "intersect_all":
+                return left.intersectAll(right)
+            if q.op == "except_all":
+                return left.exceptAll(right)
             return left.subtract(right)  # EXCEPT (distinct semantics)
         return self._lower_select(q, outer)
 

@@ -163,9 +163,11 @@ class Parser:
                 else:
                     raise ParseError("UNION requires ALL or DISTINCT")
             elif op_kw == "intersect":
-                op = "intersect"
+                # [EXT] ALL = multiset semantics (ClickHouse/standard);
+                # bare INTERSECT stays distinct per the reference
+                op = "intersect_all" if self.eat_kw("all") else "intersect"
             else:
-                op = "except"
+                op = "except_all" if self.eat_kw("all") else "except"
             right = self.parse_query(power)
             left = A.SetOp(op, left, right)
 

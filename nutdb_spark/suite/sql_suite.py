@@ -811,3 +811,32 @@ def sql_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
               from documents where doc_id < 100) as d
         """,
     )
+
+
+@query(
+    "sql_setops_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 200
+    INTERSECT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_partkey < 1200
+    EXCEPT ALL
+    SELECT s_suppkey AS k FROM supplier WHERE s_nationkey < 5
+    """,
+)
+def sql_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    duplicate multiplicities (min / difference of counts) where the
+    reference's bare forms are distinct-only. Lowered to Spark's native
+    intersectAll/exceptAll (hash-partition both sides, count-matching —
+    no driver work); precedence unchanged (INTERSECT binds tighter)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_suppkey as k from lineitem where l_orderkey < 200
+        intersect all
+        select l_suppkey as k from lineitem where l_partkey < 1200
+        except all
+        select s_suppkey as k from supplier where s_nationkey < 5
+        """,
+    )
