@@ -238,6 +238,7 @@ class SelectCore:
 @dataclass
 class SetOp:
     op: str  # union_all | union_distinct | intersect | except
+    #          | intersect_all | except_all ([EXT] multiset forms)
     left: "Query"
     right: "Query"
 

@@ -164,10 +164,19 @@ class Parser:
                     raise ParseError("UNION requires ALL or DISTINCT")
             elif op_kw == "intersect":
                 # [EXT] ALL = multiset semantics (ClickHouse/standard);
-                # bare INTERSECT stays distinct per the reference
-                op = "intersect_all" if self.eat_kw("all") else "intersect"
+                # bare or explicit DISTINCT stays distinct per the
+                # reference
+                if self.eat_kw("all"):
+                    op = "intersect_all"
+                else:
+                    self.eat_kw("distinct")
+                    op = "intersect"
             else:
-                op = "except_all" if self.eat_kw("all") else "except"
+                if self.eat_kw("all"):
+                    op = "except_all"
+                else:
+                    self.eat_kw("distinct")
+                    op = "except"
             right = self.parse_query(power)
             left = A.SetOp(op, left, right)
 

@@ -225,3 +225,23 @@ def test_map_type_logical_order():
     m = stmt.definition.columns[0].dtype
     # reference has a k/v swap bug (mod.rs:1780); we keep documented order
     assert m.args[0].name == "string" and m.args[1].name == "int64"
+
+
+def test_multiset_setops_parse_and_precedence():
+    from nutdb_spark.frontend import ast_nodes as A
+    from nutdb_spark.frontend.parser import parse
+
+    # ALL variants produce the multiset ops; INTERSECT still binds
+    # tighter than EXCEPT, left-associative chains
+    st = parse(
+        "SELECT a FROM t EXCEPT ALL SELECT b FROM u "
+        "INTERSECT ALL SELECT c FROM v"
+    )
+    q = st.query
+    assert isinstance(q, A.SetOp) and q.op == "except_all"
+    assert isinstance(q.right, A.SetOp) and q.right.op == "intersect_all"
+    # explicit DISTINCT spellings keep the distinct ops
+    st2 = parse("SELECT a FROM t INTERSECT DISTINCT SELECT b FROM u")
+    assert st2.query.op == "intersect"
+    st3 = parse("SELECT a FROM t EXCEPT DISTINCT SELECT b FROM u")
+    assert st3.query.op == "except"

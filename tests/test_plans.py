@@ -333,11 +333,14 @@ def test_dialect_extensions_stay_jvm_side(spark):
     window entries must shuffle once on their partition key."""
     from nutdb_spark.suite import QUERIES
 
-    for name in ("sql_window", "sql_qualify", "sql_array_join",
-                 "sql_lambda", "sql_sample", "sql_rollup"):
-        plan = plan_of(QUERIES[name](spark, SF01))
+    plans = {
+        name: plan_of(QUERIES[name](spark, SF01))
+        for name in ("sql_window", "sql_qualify", "sql_array_join",
+                     "sql_lambda", "sql_sample", "sql_rollup")
+    }
+    for name, plan in plans.items():
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, (name, node)
     for name in ("sql_window", "sql_qualify"):
-        plan = plan_of(QUERIES[name](spark, SF01))
+        plan = plans[name]
         assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, name
