@@ -701,13 +701,26 @@ class Lowerer:
             # to grouping sets inside ONE hash aggregate (map-side
             # partial preserved) — no union of re-scans.
             modifier = getattr(q, "group_modifier", None)
-            if modifier == "rollup":
+            if modifier in ("rollup", "totals"):
                 grouped = base.rollup(*group_cols)
             elif modifier == "cube":
                 grouped = base.cube(*group_cols)
             else:
                 grouped = base.groupBy(*group_cols)
-            base = grouped.agg(*aggs)
+            if modifier == "totals":
+                # WITH TOTALS = grouping sets ((all keys), ()) — carve
+                # them out of the rollup via grouping_id (0 = detail,
+                # all-ones = grand total); still ONE hash aggregate,
+                # intermediate subtotal rows never materialize past the
+                # filter
+                gid = self._gen("gid")
+                base = grouped.agg(*aggs, F.grouping_id().alias(gid))
+                all_ones = (1 << len(group_cols)) - 1
+                base = base.filter(
+                    F.col(gid).isin(0, all_ones)
+                ).drop(gid)
+            else:
+                base = grouped.agg(*aggs)
         else:
             base = base.agg(*aggs)
         return base, {"groups": q.group_by, "names": group_map}

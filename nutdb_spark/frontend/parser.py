@@ -235,10 +235,13 @@ class Parser:
                 q.group_by.append(self.parse_expr())
                 if not self.eat_sym(","):
                     break
-            # [EXT] WITH ROLLUP / WITH CUBE (subtotal grouping sets)
+            # [EXT] WITH ROLLUP / WITH CUBE / WITH TOTALS (subtotal /
+            # grand-total grouping sets)
             if self.at_kw("with"):
                 t2 = self.tokens[self.pos + 1]
-                if t2.type == T.KWID and t2.text.lower() in ("rollup", "cube"):
+                if t2.type == T.KWID and t2.text.lower() in (
+                    "rollup", "cube", "totals"
+                ):
                     self.next()
                     q.group_modifier = self.next().text.lower()
         if self.eat_kw("having"):

@@ -840,3 +840,31 @@ def sql_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         select s_suppkey as k from supplier where s_nationkey < 5
         """,
     )
+
+
+@query(
+    "sql_totals",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), ())
+    """,
+)
+def sql_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] GROUP BY ... WITH TOTALS (ClickHouse): every detail group
+    plus ONE grand-total row (NULL keys) — grouping sets ((keys), ())
+    carved out of a rollup by grouping_id inside a single hash
+    aggregate; intermediate subtotals never materialize past the
+    filter. DuckDB runs the explicit GROUPING SETS as the oracle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag, l_linestatus, count(*) as n,
+               sum(floor(l_quantity * 10000)) / 10000.0 as qty
+        from lineitem
+        group by l_returnflag, l_linestatus with totals
+        """,
+    )

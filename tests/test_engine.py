@@ -329,3 +329,14 @@ def test_view_with_window_fn_stays_correct_on_insert(eng):
     # summed per tag -> 1+2+3
     got = {r["tag"]: r["v"] for r in eng.sql("SELECT tag, v FROM wv").collect()}
     assert got == {"a": 6}
+
+
+def test_group_by_with_totals(eng):
+    rows = eng.sql(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "GROUP BY event_type WITH TOTALS"
+    ).collect()
+    detail = [r for r in rows if r["event_type"] is not None]
+    total = [r for r in rows if r["event_type"] is None]
+    assert len(total) == 1
+    assert total[0]["n"] == sum(r["n"] for r in detail)
