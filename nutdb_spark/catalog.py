@@ -418,57 +418,11 @@ class Catalog:
             out_cols.append(col.alias(name))
         staged = src.select(*out_cols)
 
-        # Validation: ONE aggregate job computes every violation count
-        # (map-side partial aggregation; no per-constraint scans), then
-        # the first violated constraint raises with its own message.
-        violations: list[tuple[object, str]] = []
-        for c in col_meta:
-            if not c["nullable"] and not c["serial"]:
-                violations.append(
-                    (
-                        F.col(c["name"]).isNull(),
-                        f"column {c['name']!r} is not Nullable but got NULL",
-                    )
-                )
-            members = c["dtype"].get("members")
-            if members:
-                violations.append(
-                    (
-                        ~F.col(c["name"]).isin(list(members.keys())),
-                        f"enum column {c['name']!r} got a non-member value",
-                    )
-                )
-            if c["max_len"]:
-                violations.append(
-                    (
-                        F.length(F.col(c["name"])) > c["max_len"],
-                        f"column {c['name']!r} exceeds max length "
-                        f"{c['max_len']}",
-                    )
-                )
-        for con in meta["constraints"]:
-            check = low._expr(_unpickle_ast(con["check"]), None, {}, [])
-            # SQL semantics: a CHECK whose predicate is UNKNOWN passes.
-            violations.append(
-                (
-                    ~F.coalesce(check, F.lit(True)),
-                    f"CHECK constraint {con['name']!r} violated",
-                )
-            )
         # One try/finally spans validation AND write: if the validation
         # aggregate itself throws (analysis/runtime error inside a CHECK
         # expression), the persisted serial source must not leak.
         try:
-            if violations:
-                flags = staged.agg(
-                    *[
-                        F.max(F.coalesce(cond, F.lit(False))).alias(f"v{i}")
-                        for i, (cond, _) in enumerate(violations)
-                    ]
-                ).first()
-                for i, (_, msg) in enumerate(violations):
-                    if flags[f"v{i}"]:
-                        raise CatalogError(msg)
+            self._enforce(staged, meta, low)
 
             writer = staged.write.mode("append")
             part_cols: list[str] = []
@@ -512,6 +466,56 @@ class Catalog:
             )
 
         self._refresh_dependent_views(stmt.table, low, delta)
+
+    def _enforce(self, df: DataFrame, meta: dict, low) -> None:
+        """Validation: ONE aggregate job computes every violation flag
+        (map-side partial aggregation; no per-constraint scans), then
+        the first violated constraint raises with its own message.
+        Shared by INSERT and the UPDATE mutation."""
+        violations: list[tuple[object, str]] = []
+        for c in meta["columns"]:
+            if not c["nullable"] and not c["serial"]:
+                violations.append(
+                    (
+                        F.col(c["name"]).isNull(),
+                        f"column {c['name']!r} is not Nullable but got NULL",
+                    )
+                )
+            members = c["dtype"].get("members")
+            if members:
+                violations.append(
+                    (
+                        ~F.col(c["name"]).isin(list(members.keys())),
+                        f"enum column {c['name']!r} got a non-member value",
+                    )
+                )
+            if c["max_len"]:
+                violations.append(
+                    (
+                        F.length(F.col(c["name"])) > c["max_len"],
+                        f"column {c['name']!r} exceeds max length "
+                        f"{c['max_len']}",
+                    )
+                )
+        for con in meta["constraints"]:
+            check = low._expr(_unpickle_ast(con["check"]), None, {}, [])
+            # SQL semantics: a CHECK whose predicate is UNKNOWN passes.
+            violations.append(
+                (
+                    ~F.coalesce(check, F.lit(True)),
+                    f"CHECK constraint {con['name']!r} violated",
+                )
+            )
+        if violations:
+            flags = df.agg(
+                *[
+                    F.max(F.coalesce(cond, F.lit(False))).alias(f"v{i}")
+                    for i, (cond, _) in enumerate(violations)
+                ]
+            ).first()
+            for i, (_, msg) in enumerate(violations):
+                if flags[f"v{i}"]:
+                    raise CatalogError(msg)
 
     def _referenced_tables(self, node, out: set[str]) -> None:
         if isinstance(node, A.TableRef):
@@ -938,6 +942,44 @@ class Catalog:
             pdir = os.path.join(self._data_path(stmt.table), f"{col}={lit}")
             if os.path.exists(pdir):
                 shutil.rmtree(pdir)
+        elif act == "update":
+            # [EXT] ClickHouse mutation: rewrite matched rows in place.
+            # Same scale shape as ClickHouse's own mutations: a full
+            # read → conditional projection → rewrite, distributed end
+            # to end (no driver materialization), atomic via tmp+rename.
+            assignments, cond = stmt.payload
+            by_name = {c["name"]: c for c in meta["columns"]}
+            for cname, _ in assignments:
+                if cname not in by_name:
+                    raise CatalogError(f"unknown column {cname!r}")
+                if by_name[cname]["serial"]:
+                    raise CatalogError(
+                        f"cannot UPDATE serial column {cname!r}"
+                    )
+            df = self.read_table(stmt.table)
+            hit = F.coalesce(
+                low._expr(cond, None, {}, []).cast("boolean"), F.lit(False)
+            )
+            upd = {}
+            for cname, e in assignments:
+                stype = _parse_type(by_name[cname]["spark_type"])
+                upd[cname] = F.when(
+                    hit, low._expr(e, None, {}, []).cast(stype)
+                ).otherwise(F.col(cname))
+            out = df.withColumns(upd)
+            # a mutation must not sneak past the table's invariants
+            self._enforce(out, meta, low)
+            self._overwrite(stmt.table, meta, out, low)
+        elif act == "delete":
+            # [EXT] ClickHouse mutation: DELETE WHERE cond — rows whose
+            # predicate is TRUE go; NULL/UNKNOWN rows stay (standard
+            # DELETE semantics).
+            df = self.read_table(stmt.table)
+            hit = F.coalesce(
+                low._expr(stmt.payload, None, {}, []).cast("boolean"),
+                F.lit(False),
+            )
+            self._overwrite(stmt.table, meta, df.filter(~hit), low)
         elif act == "rename_table":
             new = stmt.payload
             os.rename(self._meta_path(stmt.table), self._meta_path(new))
@@ -954,8 +996,34 @@ class Catalog:
         self._save_meta(stmt.table, meta)
         # Data-mutating ALTERs invalidate incremental view state (the
         # delta-merge path never sees removed/rewritten rows).
-        if act in ("add_column", "drop_column", "rename_column", "drop_partition"):
+        if act in (
+            "add_column", "drop_column", "rename_column", "drop_partition",
+            "update", "delete",
+        ):
             self._repair_dependent_views(stmt.table, low)
+
+    def _overwrite(self, name: str, meta: dict, df: DataFrame, low) -> None:
+        """Atomic full-table rewrite preserving the declared partition
+        layout and ORDER BY clustering (tmp write + dir swap, same as
+        _rewrite/optimize)."""
+        path = self._data_path(name)
+        part_cols: list[str] = []
+        if meta["partition_by"]:
+            pe = _unpickle_ast(meta["partition_by"])
+            if isinstance(pe, A.Ident):
+                part_cols = [pe.name]
+            else:
+                df = df.withColumn("__part", low._expr(pe, None, {}, []))
+                part_cols = ["__part"]
+        if meta["order_by"]:
+            df = df.sortWithinPartitions(*meta["order_by"])
+        tmp = path + ".tmp"
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
 
     def _rewrite(self, name: str, meta: dict, low, rename=None) -> None:
         """Schema-evolution rewrite (columns added/dropped/renamed)."""

@@ -72,6 +72,11 @@ class WindowCall:
     # None = engine default frame; else ("rows", lo, hi) where each
     # bound is ("up"|"uf"|"cur", None) or ("pre"|"fol", int)
     frame: object | None = None
+    # [EXT] `OVER w` — reference to a named WINDOW clause; the parser
+    # patches partition_by/order_by/frame in from the definition once
+    # the WINDOW clause is reached (it syntactically follows the
+    # select list), so the lowering never sees an unresolved ref.
+    ref: str | None = None
 
 
 @dataclass
@@ -165,6 +170,17 @@ class Limit:
 
 
 @dataclass
+class LimitBy:
+    """[EXT] `LIMIT [offset,] n BY keys` (ClickHouse) — first n rows
+    PER distinct key tuple, in the query's ORDER BY order; a plain
+    LIMIT may still follow and applies to the combined result."""
+
+    n: object
+    offset: object | None
+    keys: list = field(default_factory=list)
+
+
+@dataclass
 class Join:
     kind: str  # inner|full|left|right|left_semi|right_semi|left_anti|right_anti
     source: "TableRef | Query | TableFn"
@@ -224,15 +240,31 @@ class SelectCore:
     from_: FromClause | None = None
     joins: list = field(default_factory=list)  # Join | ArrayJoin, in order
     where: object | None = None
+    # [EXT] PREWHERE (ClickHouse): a pre-filter evaluated before WHERE.
+    # In a column store it gates which columns get read; under Spark
+    # both conjunct sets reach the same pushed-down parquet filter, so
+    # the clause is accepted for dialect parity and lowered as an
+    # additional filter ahead of WHERE.
+    prewhere: object | None = None
     group_by: list = field(default_factory=list)
     # [EXT] GROUP BY ... WITH ROLLUP / WITH CUBE (ClickHouse modifier)
     group_modifier: str | None = None  # None | 'rollup' | 'cube'
+    # [EXT] GROUP BY GROUPING SETS ((a,b),(a),()) — explicit sets; when
+    # set, group_by holds the ordered union of all set members and each
+    # entry of group_sets is a list of indexes into group_by.
+    group_sets: list | None = None
     having: object | None = None
     # [EXT] QUALIFY — filter on window-function results (the top-N
     # idiom); evaluated after windows, before ORDER BY/LIMIT
     qualify: object | None = None
+    # [EXT] named WINDOW clause: [(name, WindowCall-shaped spec)] — the
+    # spec is a WindowCall with fn=None used purely as a carrier for
+    # (partition_by, order_by, frame).
+    windows: list = field(default_factory=list)
     order_by: list[OrderItem] = field(default_factory=list)
     limit: Limit | None = None
+    # [EXT] LIMIT n BY keys (ClickHouse per-group head)
+    limit_by: "LimitBy | None" = None
 
 
 @dataclass

@@ -193,6 +193,12 @@ class Lowerer:
                 else:
                     base = self._lower_join(base, j, scope, cte)
 
+        # [EXT] PREWHERE (ClickHouse): a pre-filter ahead of WHERE. In a
+        # column store it gates which columns are read; under Spark both
+        # conjunct sets reach the same pushed-down parquet filter, so it
+        # lowers as an ordinary extra filter (dialect parity, same plan).
+        if getattr(q, "prewhere", None) is not None:
+            base = self._lower_predicate(base, q.prewhere, scope)
         # WHERE: decompose into subquery conjuncts + plain predicate
         if q.where is not None:
             base = self._lower_predicate(base, q.where, scope)
@@ -215,6 +221,7 @@ class Lowerer:
         # projection
         proj: list[Column] = []
         out_names: list[str] = []
+        out_cols: list[Column | None] = []  # unaliased, for LIMIT BY refs
         for e, alias in q.columns:
             if isinstance(e, A.Wildcard):
                 if e.qualifier:
@@ -222,11 +229,13 @@ class Lowerer:
                 else:
                     proj.append(F.col("*"))
                 out_names.append("*")
+                out_cols.append(None)
                 continue
             col, base = self._expr_with_scalars(e, base, scope, group_map, agg_calls)
             name = alias or self._expr_name(e)
             proj.append(col.alias(name))
             out_names.append(name)
+            out_cols.append(col)
 
         if q.having is not None:
             hav, base = self._expr_with_scalars(
@@ -249,6 +258,51 @@ class Lowerer:
             qual_tmp = self._gen("qual")
             proj.append(qcol.alias(qual_tmp))
 
+        # [EXT] LIMIT n BY keys: a per-key head in the query's ORDER BY
+        # order. Lowered as row_number() over (partition by keys order
+        # by <order_by>) riding in the SAME projection (one WindowExec,
+        # no extra shuffle beyond the window's own hash partitioning),
+        # then a post-select filter — the ClickHouse per-group-head
+        # without the self-join idiom.
+        lb = getattr(q, "limit_by", None)
+        lb_tmp = None
+        if lb is not None:
+            if not q.order_by:
+                raise LoweringError(
+                    "LIMIT BY requires ORDER BY for a deterministic "
+                    "per-key row order"
+                )
+            if q.distinct or q.distinct_on is not None or q.qualify is not None:
+                raise LoweringError(
+                    "LIMIT BY cannot combine with DISTINCT or QUALIFY"
+                )
+
+            def _sel_ref(e):
+                # a key/order item may name a projection alias; resolve
+                # to the projected expression so the window can compute
+                # inside the same select
+                if (
+                    isinstance(e, A.Ident)
+                    and e.qualifier is None
+                    and e.name in out_names
+                ):
+                    c = out_cols[out_names.index(e.name)]
+                    if c is not None:
+                        return c
+                return self._expr(e, scope, group_map, agg_calls)
+
+            from pyspark.sql import Window
+
+            lb_order = [
+                _sel_ref(o.expr).asc() if o.asc else _sel_ref(o.expr).desc()
+                for o in q.order_by
+            ]
+            w = Window.partitionBy(*[_sel_ref(k) for k in lb.keys]).orderBy(
+                *lb_order
+            )
+            lb_tmp = self._gen("lb")
+            proj.append(F.row_number().over(w).alias(lb_tmp))
+
         order_cols: list[tuple[Column, bool]] = []
         for o in q.order_by:
             # ORDER BY may name a projection alias
@@ -267,6 +321,12 @@ class Lowerer:
         projected = base.select(*proj)
         if qual_tmp is not None:
             projected = projected.filter(F.col(qual_tmp)).drop(qual_tmp)
+        if lb_tmp is not None:
+            n = self._const_int(lb.n)
+            off = self._const_int(lb.offset) if lb.offset is not None else 0
+            projected = projected.filter(
+                (F.col(lb_tmp) > off) & (F.col(lb_tmp) <= off + n)
+            ).drop(lb_tmp)
 
         if q.distinct_on is not None:
             keys = [
@@ -701,7 +761,20 @@ class Lowerer:
             # to grouping sets inside ONE hash aggregate (map-side
             # partial preserved) — no union of re-scans.
             modifier = getattr(q, "group_modifier", None)
-            if modifier in ("rollup", "totals"):
+            group_sets = getattr(q, "group_sets", None)
+            if group_sets is not None:
+                # [EXT] explicit GROUPING SETS — Spark 4 groupingSets()
+                # keeps every set inside ONE hash aggregate (same
+                # Expand+partial-agg shape as rollup/cube). It matches
+                # set members to grouping columns by expression
+                # equality, which aliased expressions break (every key
+                # comes back NULL) — so pre-project the key expressions
+                # under their __g names and group by the plain columns.
+                base = base.select(F.col("*"), *group_cols)
+                names = [group_map[i] for i in range(len(group_cols))]
+                sets = [[F.col(names[i]) for i in s] for s in group_sets]
+                grouped = base.groupingSets(sets, *[F.col(n) for n in names])
+            elif modifier in ("rollup", "totals"):
                 grouped = base.rollup(*group_cols)
             elif modifier == "cube":
                 grouped = base.cube(*group_cols)

@@ -68,6 +68,8 @@ class Parser:
     def __init__(self, sql: str):
         self.tokens = T.tokenize(sql)
         self.pos = 0
+        # [EXT] pending `OVER w` references for the current query body
+        self._window_refs: list = []
 
     # --- token plumbing ---------------------------------------------------
 
@@ -188,6 +190,11 @@ class Parser:
             self.expect_sym(")")
             return q
         q = A.SelectCore()
+        # [EXT] window-name refs are per query body: snapshot the
+        # enclosing body's pending refs so a subquery's WINDOW clause
+        # never captures (or errors on) the outer body's `OVER w`.
+        outer_window_refs = self._window_refs
+        self._window_refs = []
         # WITH (mod.rs:327-347)
         if self.eat_kw("with"):
             while True:
@@ -227,28 +234,49 @@ class Parser:
                 if j is None:
                     break
                 q.joins.append(j)
+        # [EXT] PREWHERE (ClickHouse pre-filter, ahead of WHERE)
+        if self.eat_kw("prewhere"):
+            q.prewhere = self.parse_expr()
         if self.eat_kw("where"):
             q.where = self.parse_expr()
         if self.eat_kw("group"):
             self.expect_kw("by")
-            while True:
-                q.group_by.append(self.parse_expr())
-                if not self.eat_sym(","):
-                    break
-            # [EXT] WITH ROLLUP / WITH CUBE / WITH TOTALS (subtotal /
-            # grand-total grouping sets)
-            if self.at_kw("with"):
-                t2 = self.tokens[self.pos + 1]
-                if t2.type == T.KWID and t2.text.lower() in (
-                    "rollup", "cube", "totals"
-                ):
-                    self.next()
-                    q.group_modifier = self.next().text.lower()
+            # [EXT] GROUP BY GROUPING SETS ((a,b), (a), ())
+            t2 = self.tokens[self.pos + 1] if self.at_kw("grouping") else None
+            if t2 is not None and t2.type == T.KWID and t2.text.lower() == "sets":
+                self.next()
+                self.next()
+                self._grouping_sets(q)
+            else:
+                while True:
+                    q.group_by.append(self.parse_expr())
+                    if not self.eat_sym(","):
+                        break
+                # [EXT] WITH ROLLUP / WITH CUBE / WITH TOTALS (subtotal /
+                # grand-total grouping sets)
+                if self.at_kw("with"):
+                    t2 = self.tokens[self.pos + 1]
+                    if t2.type == T.KWID and t2.text.lower() in (
+                        "rollup", "cube", "totals"
+                    ):
+                        self.next()
+                        q.group_modifier = self.next().text.lower()
         if self.eat_kw("having"):
             q.having = self.parse_expr()
         # [EXT] QUALIFY (window-result filter)
         if self.eat_kw("qualify"):
             q.qualify = self.parse_expr()
+        # [EXT] named WINDOW clause: `WINDOW w AS (spec) [, ...]`.
+        # References (`OVER w`) parse earlier in the select list, so
+        # they are collected unresolved and patched here.
+        if self.eat_kw("window"):
+            while True:
+                name = self.ident()
+                self.expect_kw("as")
+                spec = self._window_over(None)
+                q.windows.append((name, spec))
+                if not self.eat_sym(","):
+                    break
         if self.eat_kw("order"):
             self.expect_kw("by")
             while True:
@@ -263,7 +291,67 @@ class Parser:
                     break
         if self.eat_kw("limit"):
             q.limit = self._limit_clause()
+            # [EXT] LIMIT [off,] n BY keys (ClickHouse per-group head);
+            # a second plain LIMIT may follow for the combined result
+            if self.eat_kw("by"):
+                if q.limit.with_ties:
+                    raise ParseError("LIMIT WITH TIES cannot take BY")
+                keys = [self.parse_expr()]
+                while self.eat_sym(","):
+                    keys.append(self.parse_expr())
+                q.limit_by = A.LimitBy(q.limit.n, q.limit.offset, keys)
+                q.limit = None
+                if self.eat_kw("limit"):
+                    q.limit = self._limit_clause()
+        # resolve at body end so ORDER BY window refs see the defs too
+        self._resolve_window_refs(q)
+        self._window_refs = outer_window_refs
         return q
+
+    def _grouping_sets(self, q) -> None:
+        """GROUPING SETS ((a,b), (a), ()) — fills q.group_by with the
+        ordered union of members and q.group_sets with index lists."""
+        self.expect_sym("(")
+        sets: list[list] = []
+        while True:
+            if self.at_sym("("):
+                self.next()
+                if self.at_sym(")"):
+                    self.next()
+                    members: list = []
+                else:
+                    members = self._expr_list(")")
+            else:
+                members = [self.parse_expr()]  # bare single-expr set
+            sets.append(members)
+            if not self.eat_sym(","):
+                break
+        self.expect_sym(")")
+        q.group_sets = []
+        for members in sets:
+            idxs: list[int] = []
+            for m in members:
+                for i, g in enumerate(q.group_by):
+                    if g == m:
+                        idxs.append(i)
+                        break
+                else:
+                    idxs.append(len(q.group_by))
+                    q.group_by.append(m)
+            q.group_sets.append(idxs)
+
+    def _resolve_window_refs(self, q) -> None:
+        """Patch `OVER w` references collected while parsing this query
+        body from the body's WINDOW clause definitions."""
+        refs, self._window_refs = self._window_refs, []
+        defs = {name: spec for name, spec in q.windows}
+        for wc in refs:
+            spec = defs.get(wc.ref)
+            if spec is None:
+                raise ParseError(f"unknown window name {wc.ref!r}")
+            wc.partition_by = spec.partition_by
+            wc.order_by = spec.order_by
+            wc.frame = spec.frame
 
     def _select_item(self):
         if self.at_sym("*"):
@@ -331,6 +419,8 @@ class Parser:
             "array",  # ARRAY JOIN
             "sample",  # SAMPLE <frac> BY (key)
             "qualify",  # QUALIFY <window predicate>
+            "prewhere",  # PREWHERE <pre-filter>
+            "window",  # WINDOW w AS (spec)
         }:
             return self.ident()
         return None
@@ -633,11 +723,17 @@ class Parser:
         return self.parse_expr()
 
     def _window_over(self, call):
-        """OVER (PARTITION BY ... ORDER BY ... [ROWS frame]) — clause
-        order fixed; named WINDOW clauses and RANGE frames are not in
-        the extension (RANGE defaults differ across engines when the
-        order key has duplicates; the engine default frame is used
-        instead)."""
+        """OVER (PARTITION BY ... ORDER BY ... [ROWS frame]) or
+        `OVER w` naming a WINDOW-clause definition — clause order
+        fixed; RANGE frames are not in the extension (RANGE defaults
+        differ across engines when the order key has duplicates; the
+        engine default frame is used instead)."""
+        if not self.at_sym("("):
+            # `OVER w` — collect unresolved; _resolve_window_refs
+            # patches in the definition at the end of the query body
+            wc = A.WindowCall(call, [], [], None, ref=self.ident())
+            self._window_refs.append(wc)
+            return wc
         self.expect_sym("(")
         partition: list = []
         order: list = []
@@ -1199,7 +1295,25 @@ class Parser:
             if self.eat_kw("to"):
                 return A.AlterStmt(table, "rename_table", self.ident())
             return A.AlterStmt(table, "rename_table", self.ident())
-        raise ParseError("ALTER supports ADD, DROP, RENAME")
+        # [EXT] ClickHouse-style mutations — WHERE is mandatory (the
+        # ClickHouse rule; an unconditioned rewrite must be spelled
+        # `WHERE 1`), so a forgotten predicate can't wipe a table.
+        if self.eat_kw("update"):
+            assignments: list = []
+            while True:
+                col = self.ident()
+                self.expect_sym("=")
+                assignments.append((col, self.parse_expr()))
+                if not self.eat_sym(","):
+                    break
+            self.expect_kw("where")
+            return A.AlterStmt(
+                table, "update", (assignments, self.parse_expr())
+            )
+        if self.eat_kw("delete"):
+            self.expect_kw("where")
+            return A.AlterStmt(table, "delete", self.parse_expr())
+        raise ParseError("ALTER supports ADD, DROP, RENAME, UPDATE, DELETE")
 
 
 def parse(sql: str):

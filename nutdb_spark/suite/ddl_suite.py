@@ -277,3 +277,39 @@ def q_ddl_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT k, count(*) AS n, sum(v) AS total FROM opt_t GROUP BY k"
     )
+
+
+@query(
+    "q_ddl_mutate",
+    """
+    SELECT CAST(k AS BIGINT) AS k, tag, CAST(v AS BIGINT) AS v FROM (
+      SELECT k, tag,
+             CASE WHEN tag = 'a' AND v < 50 THEN v * 10 ELSE v END AS v
+      FROM (VALUES (1, 'a', 5), (2, 'b', 7), (3, 'a', 80),
+                   (4, 'c', 9), (5, 'b', 50)) t(k, tag, v)
+    ) u
+    WHERE v < 80
+    ORDER BY k
+    """,
+)
+def q_ddl_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ClickHouse-style mutations: `ALTER TABLE t UPDATE c = expr
+    WHERE cond` and `ALTER TABLE t DELETE WHERE cond`. Lowered as a
+    distributed read → conditional projection / anti-filter → atomic
+    rewrite (tmp + dir swap), preserving the declared partition layout
+    and ORDER BY clustering; WHERE is mandatory (ClickHouse rule) so a
+    forgotten predicate can't wipe a table, UPDATE re-validates CHECK /
+    enum / NOT-NULL invariants, and both mutations trigger dependent
+    incremental-view repair. The oracle replays the UPDATE as a CASE
+    and the DELETE as a filter over the same VALUES — order-sensitive
+    (the DELETE sees post-UPDATE values)."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS mut_t")
+    eng.sql("CREATE TABLE mut_t (k Int64, tag String, v Int64)")
+    eng.sql(
+        "INSERT INTO mut_t (k, tag, v) VALUES "
+        "(1, 'a', 5), (2, 'b', 7), (3, 'a', 80), (4, 'c', 9), (5, 'b', 50)"
+    )
+    eng.sql("ALTER TABLE mut_t UPDATE v = v * 10 WHERE tag = 'a' AND v < 50")
+    eng.sql("ALTER TABLE mut_t DELETE WHERE v >= 80")
+    return eng.sql("SELECT k, tag, v FROM mut_t ORDER BY k")

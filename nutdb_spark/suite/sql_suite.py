@@ -868,3 +868,144 @@ def sql_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by l_returnflag, l_linestatus with totals
         """,
     )
+
+
+@query(
+    "sql_prewhere",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_quantity > 25 AND l_discount < 0.05
+    GROUP BY l_returnflag
+    """,
+)
+def sql_prewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PREWHERE (ClickHouse pre-filter). In a column store the
+    clause gates which columns are read for the surviving rows; under
+    Spark both conjunct sets reach the same pushed-down parquet filter,
+    so the clause is accepted for dialect parity and lowers to an
+    ordinary filter ahead of WHERE — the plan is identical to writing
+    one AND, which is exactly what the DuckDB oracle runs."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag, count(*) as n,
+               sum(floor(l_extendedprice * 100)) / 100.0 as revenue
+        from lineitem
+        prewhere l_quantity > 25
+        where l_discount < 0.05
+        group by l_returnflag
+        """,
+    )
+
+
+@query(
+    "sql_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] explicit GROUP BY GROUPING SETS — arbitrary set lists
+    (not just the rollup/cube/totals prefixes), including the empty
+    grand-total set. Lowered onto Spark 4's DataFrame.groupingSets:
+    every set stays inside ONE hash aggregate (Expand + partial agg,
+    map-side combine preserved), never a union of re-scans. Key
+    expressions are pre-projected because groupingSets matches set
+    members to grouping columns by expression equality."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag, l_linestatus, count(*) as n,
+               sum(floor(l_quantity * 10000)) / 10000.0 as qty
+        from lineitem
+        group by grouping sets ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+        """,
+    )
+
+
+@query(
+    "sql_limit_by",
+    """
+    SELECT l_returnflag, l_orderkey, n FROM (
+      SELECT l_returnflag, l_orderkey, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_orderkey) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_orderkey) t
+    WHERE rn <= 2
+    ORDER BY n DESC, l_orderkey, l_returnflag
+    LIMIT 5
+    """,
+)
+def sql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] `LIMIT n BY keys` (ClickHouse per-group head): the first n
+    rows of every distinct key tuple in the query's ORDER BY order,
+    with an optional trailing plain LIMIT over the combined result.
+    Lowered as one row_number() window riding in the same projection
+    (one WindowExec, one hash partitioning on the keys — no self-join)
+    plus a post-select filter; ORDER BY is required so the per-key
+    order is deterministic. The DuckDB oracle spells out the
+    row_number idiom the clause replaces."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag, l_orderkey, count(*) as n
+        from lineitem
+        group by l_returnflag, l_orderkey
+        order by n desc, l_orderkey, l_returnflag
+        limit 2 by l_returnflag
+        limit 5
+        """,
+    )
+
+
+@query(
+    "sql_window_named",
+    """
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / 10000.0 AS run_sum,
+           LAG(event_id, 1) OVER w AS prev_id
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def sql_window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] named WINDOW clause: `WINDOW w AS (spec)` defined once,
+    referenced as `OVER w` from any window call in the body (select
+    list or ORDER BY). References parse before the definition is
+    reached, so the parser collects them unresolved and patches in the
+    spec at the end of the query body — per query block, exactly like
+    the standard scoping DuckDB applies to the identical oracle text.
+    All three calls share one window spec, so Catalyst plans a single
+    WindowExec pass over one shuffle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id, event_id,
+               row_number() over w as rn,
+               sum(floor(value * 10000)) over (
+                   partition by user_id order by ts, event_id
+                   rows unbounded preceding) / 10000.0 as run_sum,
+               lag(event_id, 1) over w as prev_id
+        from events
+        where user_id < 40
+        window w as (partition by user_id order by ts, event_id)
+        """,
+    )

@@ -1,0 +1,215 @@
+"""Round-6 late dialect extensions: PREWHERE, GROUPING SETS,
+LIMIT ... BY, and the named WINDOW clause — parse shapes, scoping,
+lowering semantics, and the failure branches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nutdb_spark.frontend import ast_nodes as A
+from nutdb_spark.frontend.parser import ParseError, parse
+
+SF = "/root/testdata/sf0.001"
+
+
+def _eng(spark):
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=SF)
+
+
+# --- parse shapes ----------------------------------------------------------
+
+
+def test_prewhere_parses_before_where():
+    q = parse("select 1 from t prewhere a > 1 where b < 2").query
+    assert q.prewhere is not None and q.where is not None
+    assert isinstance(q.prewhere, A.BinOp) and q.prewhere.op == ">"
+
+
+def test_prewhere_alone():
+    q = parse("select 1 from t prewhere a > 1").query
+    assert q.prewhere is not None and q.where is None
+
+
+def test_prewhere_wrong_order_rejected():
+    # PREWHERE must precede WHERE (ClickHouse clause order)
+    with pytest.raises(ParseError):
+        parse("select 1 from t where b < 2 prewhere a > 1")
+
+
+def test_grouping_sets_indexes_and_union():
+    q = parse(
+        "select 1 from t group by grouping sets ((a, b), (b), a, ())"
+    ).query
+    # ordered union: a, b; sets as indexes incl. bare single-expr + empty
+    assert [g.name for g in q.group_by] == ["a", "b"]
+    assert q.group_sets == [[0, 1], [1], [0], []]
+
+
+def test_grouping_sets_requires_parens():
+    with pytest.raises(ParseError):
+        parse("select 1 from t group by grouping sets a, b")
+
+
+def test_limit_by_shapes():
+    q = parse(
+        "select a from t order by a limit 2 by k1, k2 limit 10"
+    ).query
+    assert isinstance(q.limit_by, A.LimitBy)
+    assert len(q.limit_by.keys) == 2 and q.limit_by.offset is None
+    assert q.limit is not None  # the trailing combined LIMIT survives
+    q2 = parse("select a from t order by a limit 1, 2 by k").query
+    assert q2.limit_by.offset is not None and q2.limit is None
+
+
+def test_limit_with_ties_rejects_by():
+    with pytest.raises(ParseError):
+        parse("select a from t order by a limit 2 with ties by k")
+
+
+def test_named_window_parses_and_patches():
+    q = parse(
+        "select row_number() over w as rn from t "
+        "window w as (partition by k order by a desc)"
+    ).query
+    wc = q.columns[0][0]
+    assert isinstance(wc, A.WindowCall) and wc.ref == "w"
+    assert [p.name for p in wc.partition_by] == ["k"]
+    assert wc.order_by[0].asc is False
+
+
+def test_named_window_unknown_ref():
+    with pytest.raises(ParseError, match="unknown window"):
+        parse("select row_number() over w from t")
+
+
+def test_named_window_subquery_scoping():
+    # the inner body's WINDOW clause must not capture (or error on)
+    # the outer body's `over w`, and vice versa
+    q = parse(
+        "select row_number() over w as rn, "
+        "(select count(*) from u) as c from t "
+        "window w as (order by a)"
+    ).query
+    assert q.columns[0][0].order_by[0].expr.name == "a"
+    with pytest.raises(ParseError, match="unknown window"):
+        parse(
+            "select (select row_number() over w from u) as c from t "
+            "window w as (order by a)"
+        )
+
+
+def test_named_window_ref_in_order_by():
+    q = parse(
+        "select a from t window w as (order by a) "
+        "order by row_number() over w"
+    ).query
+    assert q.order_by[0].expr.order_by[0].expr.name == "a"
+
+
+def test_window_not_eaten_as_alias():
+    q = parse("select a from t window w as (order by a)").query
+    assert q.from_.alias is None and len(q.windows) == 1
+
+
+# --- lowering semantics ----------------------------------------------------
+
+
+def test_prewhere_matches_single_where(spark):
+    eng = _eng(spark)
+    a = eng.sql(
+        "select count(*) as n from lineitem "
+        "prewhere l_quantity > 25 where l_discount < 0.05"
+    ).collect()[0]["n"]
+    b = eng.sql(
+        "select count(*) as n from lineitem "
+        "where l_quantity > 25 and l_discount < 0.05"
+    ).collect()[0]["n"]
+    assert a == b > 0
+
+
+def test_grouping_sets_matches_spark_sql(spark):
+    eng = _eng(spark)
+    got = eng.sql(
+        "select l_returnflag, l_linestatus, count(*) as n from lineitem "
+        "group by grouping sets ((l_returnflag, l_linestatus), "
+        "(l_linestatus), ())"
+    )
+    spark.read.parquet(f"{SF}/lineitem.parquet").createOrReplaceTempView(
+        "li_gs"
+    )
+    want = spark.sql(
+        "select l_returnflag, l_linestatus, count(*) as n from li_gs "
+        "group by grouping sets ((l_returnflag, l_linestatus), "
+        "(l_linestatus), ())"
+    )
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+
+
+def test_grouping_sets_expression_key(spark):
+    rows = _eng(spark).sql(
+        "select getYear(l_shipdate) as y, count(*) as n from lineitem "
+        "group by grouping sets ((getYear(l_shipdate)), ()) order by y"
+    ).collect()
+    # Spark sorts NULL first ascending → grand-total row leads
+    assert rows[0]["y"] is None
+    assert sum(r["n"] for r in rows[1:]) == rows[0]["n"]
+
+
+def test_limit_by_per_key_head(spark):
+    rows = _eng(spark).sql(
+        "select l_returnflag, l_orderkey, count(*) as n from lineitem "
+        "group by l_returnflag, l_orderkey "
+        "order by n desc, l_orderkey, l_returnflag limit 2 by l_returnflag"
+    ).collect()
+    per_key: dict[str, int] = {}
+    for r in rows:
+        per_key[r["l_returnflag"]] = per_key.get(r["l_returnflag"], 0) + 1
+    assert set(per_key.values()) == {2} and len(per_key) == 3
+
+
+def test_limit_by_offset_skips_first(spark):
+    eng = _eng(spark)
+    head2 = eng.sql(
+        "select l_returnflag, l_orderkey, count(*) as n from lineitem "
+        "group by l_returnflag, l_orderkey "
+        "order by n desc, l_orderkey, l_returnflag limit 2 by l_returnflag"
+    ).collect()
+    second = eng.sql(
+        "select l_returnflag, l_orderkey, count(*) as n from lineitem "
+        "group by l_returnflag, l_orderkey "
+        "order by n desc, l_orderkey, l_returnflag limit 1, 1 by l_returnflag"
+    ).collect()
+    want = {
+        (r["l_returnflag"], r["l_orderkey"])
+        for r in sorted(
+            head2, key=lambda r: (-r["n"], r["l_orderkey"], r["l_returnflag"])
+        )
+    }
+    got = {(r["l_returnflag"], r["l_orderkey"]) for r in second}
+    assert got < want and len(got) == 3
+
+
+def test_limit_by_requires_order_by(spark):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="ORDER BY"):
+        _eng(spark).sql("select l_returnflag from lineitem limit 2 by l_returnflag")
+
+
+def test_named_window_shares_one_windowexec(spark):
+    df = _eng(spark).sql(
+        "select user_id, event_id, row_number() over w as rn, "
+        "lag(event_id, 1) over w as prev_id from events "
+        "where user_id < 5 window w as (partition by user_id "
+        "order by ts, event_id)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1  # both calls share one pass
+    rows = df.collect()
+    assert rows and all(r["rn"] >= 1 for r in rows)

@@ -1,0 +1,115 @@
+"""[EXT] ClickHouse-style mutations: ALTER TABLE ... UPDATE / DELETE —
+parse rules, invariant enforcement, layout preservation, and dependent
+incremental-view repair.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nutdb_spark.frontend.parser import ParseError, parse
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def eng(spark):
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=SF)
+
+
+def test_update_delete_parse_shapes():
+    s = parse("alter table t update a = 1, b = b + 1 where k = 2")
+    assert s.action == "update"
+    assignments, cond = s.payload
+    assert [c for c, _ in assignments] == ["a", "b"]
+    d = parse("alter table t delete where k = 2")
+    assert d.action == "delete"
+
+
+def test_mutations_require_where():
+    with pytest.raises(ParseError):
+        parse("alter table t update a = 1")
+    with pytest.raises(ParseError):
+        parse("alter table t delete")
+
+
+def test_update_rewrites_matched_rows(eng):
+    eng.sql("DROP TABLE IF EXISTS mu1")
+    eng.sql("CREATE TABLE mu1 (k Int64, v Int64)")
+    eng.sql("INSERT INTO mu1 (k, v) VALUES (1, 10), (2, 20), (3, 30)")
+    eng.sql("ALTER TABLE mu1 UPDATE v = v + 100 WHERE k >= 2")
+    rows = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM mu1").collect()}
+    assert rows == {1: 10, 2: 120, 3: 130}
+
+
+def test_delete_null_predicate_keeps_rows(eng):
+    eng.sql("DROP TABLE IF EXISTS mu2")
+    eng.sql("CREATE TABLE mu2 (k Int64, v Nullable(Int64))")
+    eng.sql("INSERT INTO mu2 (k, v) VALUES (1, 1), (2, NULL), (3, 3)")
+    eng.sql("ALTER TABLE mu2 DELETE WHERE v > 1")
+    ks = sorted(r["k"] for r in eng.sql("SELECT k FROM mu2").collect())
+    assert ks == [1, 2]  # NULL predicate row survives
+
+
+def test_update_enforces_check_constraint(eng):
+    from nutdb_spark.catalog import CatalogError
+
+    eng.sql("DROP TABLE IF EXISTS mu3")
+    eng.sql(
+        "CREATE TABLE mu3 (k Int64, v Int64, "
+        "CONSTRAINT pos CHECK v >= 0)"
+    )
+    eng.sql("INSERT INTO mu3 (k, v) VALUES (1, 5)")
+    with pytest.raises(CatalogError, match="pos"):
+        eng.sql("ALTER TABLE mu3 UPDATE v = v - 10 WHERE k = 1")
+    # the failed mutation must not have clobbered the data
+    assert eng.sql("SELECT v FROM mu3").collect()[0]["v"] == 5
+
+
+def test_update_serial_column_rejected(eng):
+    from nutdb_spark.catalog import CatalogError
+
+    eng.sql("DROP TABLE IF EXISTS mu4")
+    eng.sql("CREATE TABLE mu4 (id Serial64, v Int64)")
+    eng.sql("INSERT INTO mu4 (v) VALUES (1)")
+    with pytest.raises(CatalogError, match="serial"):
+        eng.sql("ALTER TABLE mu4 UPDATE id = 99 WHERE v = 1")
+
+
+def test_mutation_preserves_partition_layout(eng):
+    eng.sql("DROP TABLE IF EXISTS mu5")
+    eng.sql(
+        "CREATE TABLE mu5 (k Int64, p String) PARTITION BY p"
+    )
+    eng.sql(
+        "INSERT INTO mu5 (k, p) VALUES (1, 'x'), (2, 'y'), (3, 'x')"
+    )
+    eng.sql("ALTER TABLE mu5 DELETE WHERE k = 2")
+    data = eng.catalog._data_path("mu5")
+    parts = {d for d in os.listdir(data) if d.startswith("p=")}
+    assert parts == {"p=x"}  # y partition emptied, x kept as a dir
+    ks = sorted(r["k"] for r in eng.sql("SELECT k FROM mu5").collect())
+    assert ks == [1, 3]
+
+
+def test_mutation_repairs_incremental_view(eng):
+    eng.sql("DROP VIEW IF EXISTS mu_v")
+    eng.sql("DROP TABLE IF EXISTS mu6")
+    eng.sql("CREATE TABLE mu6 (k Int32, v Int64)")
+    eng.sql("INSERT INTO mu6 (k, v) VALUES (1, 10), (1, 5), (2, 20)")
+    eng.sql(
+        "CREATE VIEW mu_v UPDATE BY Summing ORDER BY (k) AS "
+        "SELECT k, v FROM mu6"
+    )
+    before = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM mu_v").collect()}
+    assert before == {1: 15, 2: 20}
+    eng.sql("ALTER TABLE mu6 DELETE WHERE v = 5")
+    after = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM mu_v").collect()}
+    assert after == {1: 10, 2: 20}
+    eng.sql("ALTER TABLE mu6 UPDATE v = v + 1 WHERE k = 2")
+    after2 = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM mu_v").collect()}
+    assert after2 == {1: 10, 2: 21}
