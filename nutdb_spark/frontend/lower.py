@@ -1265,4 +1265,10 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "jsonextractfloat": (1,),
     "jsonextractstring": (1,),
     "jsonhas": (1,),
+    # timestampdiff unit / regexp_extract pattern / concat_ws+array_join
+    # separators are compile-time strings in Spark
+    "datediff": (0,),
+    "extract": (1,),
+    "concatwithseparator": (0,),
+    "arraystringconcat": (1,),
 }

@@ -317,3 +317,113 @@ AGGREGATE_FNS["stddevSamp"] = F.stddev_samp
 AGGREGATE_FNS["varPop"] = F.var_pop
 AGGREGATE_FNS["varSamp"] = F.var_samp
 AGGREGATE_FNS["corr"] = F.corr
+
+
+# --- round-6 late additions: the next tier of ClickHouse names -------------
+# Same rules as above: every lowering is a built-in JVM expression
+# (whole-stage codegen), raw-string args are compile-time literals
+# enforced by the frontend (_RAW_STRING_ARG_FNS).
+
+import math as _math
+
+# datetime arithmetic + week grain (date_trunc('week') is Monday-start
+# in both Spark and DuckDB, so toStartOfWeek/toMonday oracle exactly)
+SCALAR_FNS["addMinutes"] = lambda d, n: d + F.make_interval(mins=n)
+SCALAR_FNS["addSeconds"] = lambda d, n: d + F.make_interval(secs=n)
+SCALAR_FNS["addWeeks"] = lambda d, n: d + F.make_interval(weeks=n)
+SCALAR_FNS["addYears"] = lambda d, n: d + F.make_interval(years=n)
+SCALAR_FNS["subtractDays"] = lambda d, n: d - F.make_interval(days=n)
+SCALAR_FNS["subtractHours"] = lambda d, n: d - F.make_interval(hours=n)
+SCALAR_FNS["subtractMonths"] = lambda d, n: d - F.make_interval(months=n)
+SCALAR_FNS["subtractYears"] = lambda d, n: d - F.make_interval(years=n)
+SCALAR_FNS["toStartOfWeek"] = lambda d: F.date_trunc("week", d)
+SCALAR_FNS["toMonday"] = lambda d: F.date_trunc("week", d).cast("date")
+# dateDiff('unit', start, end) — unit is a compile-time string literal
+SCALAR_FNS["dateDiff"] = lambda unit, a, b: F.timestamp_diff(unit, a, b)
+
+# strings
+SCALAR_FNS["left"] = F.left
+SCALAR_FNS["right"] = F.right
+SCALAR_FNS["concatWithSeparator"] = lambda sep, *cols: F.concat_ws(sep, *cols)
+# first regex match ('' when absent — Spark group-0 extract matches CH)
+SCALAR_FNS["extract"] = lambda s, pat: F.regexp_extract(s, pat, 0)
+SCALAR_FNS["match"] = F.regexp_like
+SCALAR_FNS["replaceRegexpAll"] = F.regexp_replace
+SCALAR_FNS["splitByString"] = lambda sep, s: F.split(
+    s, F.regexp_replace(sep, r"([.*+?^${}()|\[\]\\])", r"\\$1")
+)
+SCALAR_FNS["arrayStringConcat"] = lambda a, sep="": F.array_join(a, sep)
+
+# math
+# toward-zero integer division (the cast truncates; identical to
+# ClickHouse intDiv on non-negatives — floor-division engines differ
+# on negatives, documented in the suite entry)
+SCALAR_FNS["intDiv"] = lambda a, b: (a / b).cast("long")
+SCALAR_FNS["modulo"] = lambda a, b: a % b
+SCALAR_FNS["sin"] = F.sin
+SCALAR_FNS["cos"] = F.cos
+SCALAR_FNS["tan"] = F.tan
+SCALAR_FNS["asin"] = F.asin
+SCALAR_FNS["acos"] = F.acos
+SCALAR_FNS["atan"] = F.atan
+SCALAR_FNS["atan2"] = F.atan2
+SCALAR_FNS["cbrt"] = F.cbrt
+SCALAR_FNS["pi"] = lambda: F.lit(_math.pi)
+
+# hashes (md5/sha256 are cross-engine standards → exact DuckDB oracle;
+# xxHash64/CRC32 are Spark-native, pytest-pinned)
+SCALAR_FNS["MD5"] = F.md5
+SCALAR_FNS["SHA256"] = lambda c: F.sha2(c, 256)
+SCALAR_FNS["xxHash64"] = F.xxhash64
+SCALAR_FNS["CRC32"] = F.crc32
+
+# null handling / conditionals
+SCALAR_FNS["ifNull"] = lambda a, b: F.coalesce(a, b)
+SCALAR_FNS["assumeNotNull"] = lambda c: c
+SCALAR_FNS["isNull"] = lambda c: c.isNull()
+SCALAR_FNS["isNotNull"] = lambda c: c.isNotNull()
+SCALAR_FNS["empty"] = lambda s: F.length(s) == 0
+SCALAR_FNS["notEmpty"] = lambda s: F.length(s) > 0
+
+
+@scalar("multiIf")
+def _multi_if(*args: Column) -> Column:
+    """multiIf(c1, v1, c2, v2, ..., else) — chained CASE."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("multiIf needs (cond, value) pairs plus an else")
+    out = F.when(args[0], args[1])
+    for i in range(2, len(args) - 1, 2):
+        out = out.when(args[i], args[i + 1])
+    return out.otherwise(args[-1])
+
+
+# arrays (1-based; matches the dialect's IndexAccess convention)
+SCALAR_FNS["arrayConcat"] = F.concat
+SCALAR_FNS["arrayReverse"] = F.reverse
+SCALAR_FNS["arraySlice"] = lambda a, off, ln=None: (
+    F.slice(a, off, F.size(a)) if ln is None else F.slice(a, off, ln)
+)
+SCALAR_FNS["arrayFlatten"] = F.flatten
+SCALAR_FNS["arrayMin"] = F.array_min
+SCALAR_FNS["arrayMax"] = F.array_max
+SCALAR_FNS["arrayAvg"] = lambda a: F.aggregate(
+    a, F.lit(0).cast("double"), lambda acc, x: acc + x
+) / F.nullif(F.size(a), F.lit(0))
+SCALAR_FNS["indexOf"] = F.array_position  # 0 when absent, like ClickHouse
+# guard the empty array: sequence(1, 0) would run DOWNWARD in Spark
+SCALAR_FNS["arrayEnumerate"] = lambda a: F.when(
+    F.size(a) > 0, F.sequence(F.lit(1), F.size(a))
+).otherwise(F.array().cast("array<int>"))
+SCALAR_FNS["arrayZip"] = F.arrays_zip
+
+# aggregates
+# anyLast = last non-null seen; like `any`, partition-order-dependent
+# (documented nondeterminism — pytest-pinned, not oracle-graded)
+AGGREGATE_FNS["anyLast"] = lambda c: F.last(c, ignorenulls=True)
+# collect_set sorted → DETERMINISTIC (ClickHouse's own groupUniqArray
+# order is undefined; sorting is the engine-portable strengthening)
+AGGREGATE_FNS["groupUniqArray"] = lambda c: F.array_sort(F.collect_set(c))
+AGGREGATE_FNS["quantiles"] = lambda c, *ps: F.percentile(c, F.array(*ps))
+AGGREGATE_FNS["groupBitAnd"] = F.bit_and
+AGGREGATE_FNS["groupBitOr"] = F.bit_or
+AGGREGATE_FNS["groupBitXor"] = F.bit_xor

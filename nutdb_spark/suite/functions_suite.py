@@ -337,3 +337,178 @@ def q_fn_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         from part where p_partkey < 300
         """,
     )
+
+
+# --- round-6 late function batch: datetime/string/array/agg tier 2 --------
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=sf_dir).sql(text)
+
+
+@query(
+    "q_fn_datetime2",
+    """
+    SELECT o_orderkey,
+           date_diff('day', date_trunc('week', o_orderdate), o_orderdate)
+             AS dow_idx,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS mon,
+           o_orderdate + INTERVAL 14 DAY AS plus2w,
+           o_orderdate - INTERVAL 1 MONTH AS minus1m,
+           o_orderdate + INTERVAL 90 MINUTE AS plus90m
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dateDiff / toStartOfWeek / toMonday / add-subtract interval tier:
+    date_trunc('week') is Monday-start in BOTH Spark and DuckDB, and
+    calendar month arithmetic clamps end-of-month identically, so every
+    column oracles exactly. dateDiff's unit is a compile-time string
+    literal (Spark timestampdiff takes no unit Column)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        select o_orderkey,
+               dateDiff('day', toStartOfWeek(o_orderdate), o_orderdate)
+                 as dow_idx,
+               toMonday(o_orderdate) as mon,
+               addWeeks(o_orderdate, 2) as plus2w,
+               subtractMonths(o_orderdate, 1) as minus1m,
+               addMinutes(o_orderdate, 90) as plus90m
+        from orders where o_orderkey < 200
+        """,
+    )
+
+
+@query(
+    "q_fn_scalar_surface2",
+    """
+    SELECT left(text, 4) AS l4,
+           right(text, 3) AS r3,
+           concat_ws('-', lang, source) AS tag,
+           CASE WHEN n_chars < 500 THEN 'low'
+                WHEN n_chars < 2000 THEN 'mid' ELSE 'high' END AS band,
+           COALESCE(NULLIF(lang, 'en'), 'x') AS lg,
+           doc_id // 7 AS q7,
+           doc_id % 7 AS m7,
+           md5(lang) AS h,
+           sha256(source) AS h2,
+           regexp_extract(text, '[a-z]{5,}') AS w5,
+           regexp_matches(text, 'ab') AS has_ab,
+           length(text) > 0 AS ne
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_fn_scalar_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/conditional/hash tier 2: left/right, concatWithSeparator,
+    multiIf, ifNull∘nullIf, intDiv+modulo (toward-zero == floor on the
+    non-negative keys used here; engines differ on negatives —
+    documented in the registry), MD5/SHA256 (cross-engine standard
+    digests), extract + match (regex, group-0 semantics shared with
+    DuckDB), notEmpty."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        select left(text, 4) as l4,
+               right(text, 3) as r3,
+               concatWithSeparator('-', lang, source) as tag,
+               multiIf(n_chars < 500, 'low',
+                       n_chars < 2000, 'mid', 'high') as band,
+               ifNull(nullIf(lang, 'en'), 'x') as lg,
+               intDiv(doc_id, 7) as q7,
+               modulo(doc_id, 7) as m7,
+               MD5(lang) as h,
+               SHA256(source) as h2,
+               extract(text, '[a-z]{5,}') as w5,
+               match(text, 'ab') as has_ab,
+               notEmpty(text) as ne
+        from documents where doc_id < 200
+        """,
+    )
+
+
+@query(
+    "q_fn_arrays",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 120)
+    SELECT doc_id,
+           CAST(len(list_concat(toks, toks)) AS INT) AS n2,
+           CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT)
+             AS pos_the,
+           array_to_string(toks[1:3], ' ') AS head3,
+           array_to_string(list_reverse(toks[1:3]), ' ') AS rev3,
+           CAST(list_min(list_transform(toks, x -> length(x))) AS INT)
+             AS minlen,
+           CAST(list_max(list_transform(toks, x -> length(x))) AS INT)
+             AS maxlen,
+           CAST(len(toks) AS INT) AS n_enum,
+           CAST(FLOOR(list_avg(list_transform(toks, x -> length(x)))
+                      * 1000) AS BIGINT) AS avglen_m
+    FROM d
+    """,
+)
+def q_fn_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface tier 2: arrayConcat/Slice/Reverse/Min/Max/Avg,
+    indexOf (0 when absent, both engines via COALESCE), arrayEnumerate
+    (empty-array guarded — Spark sequence(1,0) would run DOWNWARD),
+    arrayStringConcat. Everything stays a JVM higher-order expression;
+    scalar outputs only (array cells avoided in the driver compare)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        select doc_id,
+               arrayLength(arrayConcat(toks, toks)) as n2,
+               indexOf(toks, 'the') as pos_the,
+               arrayStringConcat(arraySlice(toks, 1, 3), ' ') as head3,
+               arrayStringConcat(arrayReverse(arraySlice(toks, 1, 3)), ' ')
+                 as rev3,
+               arrayMin(arrayMap(x -> length(x), toks)) as minlen,
+               arrayMax(arrayMap(x -> length(x), toks)) as maxlen,
+               arrayLength(arrayEnumerate(toks)) as n_enum,
+               floor(arrayAvg(arrayMap(x -> length(x), toks)) * 1000)
+                 as avglen_m
+        from (select doc_id, splitByChar(' ', text) as toks
+              from documents where doc_id < 120) as d
+        """,
+    )
+
+
+@query(
+    "q_fn_agg_surface2",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses,
+           quantile_cont(l_quantity, 0.5) AS med,
+           bit_and(l_linenumber) AS b_and,
+           bit_or(l_linenumber) AS b_or,
+           bit_xor(l_linenumber) AS b_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_fn_agg_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate tier 2: groupUniqArray (collect_set SORTED — the
+    deterministic, engine-portable strengthening of ClickHouse's
+    undefined order, stringified for the scalar-only compare),
+    quantiles(...)  plural indexed back to its median element, and the
+    bit-reduction aggregates. All map-side-partial JVM aggregates."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               arrayStringConcat(groupUniqArray(l_linestatus), ',')
+                 as statuses,
+               quantiles(l_quantity, 0.25, 0.5, 0.75)[2] as med,
+               groupBitAnd(l_linenumber) as b_and,
+               groupBitOr(l_linenumber) as b_or,
+               groupBitXor(l_linenumber) as b_xor
+        from lineitem group by l_returnflag
+        """,
+    )

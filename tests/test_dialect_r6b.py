@@ -213,3 +213,61 @@ def test_named_window_shares_one_windowexec(spark):
     assert plan.count("Window") == 1  # both calls share one pass
     rows = df.collect()
     assert rows and all(r["rn"] >= 1 for r in rows)
+
+
+# --- round-6 function batch (non-oracled names) -----------------------------
+
+
+def test_fn_batch_scalar_semantics(spark):
+    eng = _eng(spark)
+    row = eng.sql(
+        "select xxHash64('abc') as xx, CRC32('abc') as crc,"
+        " floor(sin(0) * 1000) as s0, floor(cos(0) * 1000) as c0,"
+        " floor(pi() * 10000) as pi4,"
+        " assumeNotNull(nullIf(1, 2)) as ann,"
+        " isNull(nullIf(1, 1)) as isn,"
+        " isNotNull(nullIf(1, 1)) as isnn,"
+        " empty('') as e1, empty('x') as e2,"
+        " replaceRegexpAll('a1b2', '[0-9]', '_') as rep,"
+        " arrayStringConcat(splitByString('--', 'a--b--c'), '|') as sp,"
+        " arrayStringConcat(arraySlice(['a','b','c','d'], 2), ',') as tl"
+    ).collect()[0]
+    assert row["crc"] == 891568578  # published CRC32('abc')
+    assert isinstance(row["xx"], int)
+    assert row["s0"] == 0 and row["c0"] == 1000 and row["pi4"] == 31415
+    assert row["ann"] == 1 and row["isn"] is True and row["isnn"] is False
+    assert row["e1"] is True and row["e2"] is False
+    assert row["rep"] == "a_b_"
+    assert row["sp"] == "a|b|c"
+    assert row["tl"] == "b,c,d"  # arraySlice default length = to the end
+
+
+def test_fn_multiif_arity_error(spark):
+    eng = _eng(spark)
+    with pytest.raises(Exception, match="multiIf"):
+        eng.sql("select multiIf(1 = 1, 'a') as x").collect()
+
+
+def test_fn_anylast_and_zip(spark):
+    eng = _eng(spark)
+    rows = eng.sql(
+        "select anyLast(v) as last_v from "
+        "(select case when doc_id % 2 = 0 then doc_id else null end as v "
+        " from documents where doc_id < 10) t"
+    ).collect()
+    assert rows[0]["last_v"] is not None  # some non-null survived
+    z = eng.sql(
+        "select arrayLength(arrayZip([1, 2], ['a', 'b'])) as n"
+    ).collect()[0]["n"]
+    assert z == 2
+
+
+def test_fn_arrayenumerate_empty_guard(spark):
+    # empty array must yield [], not Spark's DOWNWARD sequence(1, 0)
+    eng = _eng(spark)
+    row = eng.sql(
+        "select arrayLength(arrayEnumerate(arrayFilter(x -> x > 9, [1])))"
+        " as n0,"
+        " arrayEnumerate(['a','b','c'])[3] as last_idx"
+    ).collect()[0]
+    assert row["n0"] == 0 and row["last_idx"] == 3
