@@ -160,6 +160,9 @@ class IndexAccess:
 class OrderItem:
     expr: object
     asc: bool = True
+    # [EXT] `WITH FILL [FROM a] [TO b] [STEP s]` — (from, to, step)
+    # exprs (each may be None); TO is exclusive, ClickHouse-style.
+    fill: tuple | None = None
 
 
 @dataclass

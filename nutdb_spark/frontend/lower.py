@@ -349,9 +349,82 @@ class Lowerer:
                 *[c.asc() if asc else c.desc() for c, asc in order_cols]
             )
 
+        if any(getattr(o, "fill", None) is not None for o in q.order_by):
+            projected = self._apply_fill(projected, q, out_names)
+
         if q.limit is not None:
             projected = self._lower_limit(projected, q.limit, order_cols)
         return projected
+
+    def _apply_fill(self, projected, q, out_names):
+        """[EXT] ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]:
+        materialize the missing key values of an ordered result as rows
+        with NULL payload (NULLs mark filled rows — ClickHouse fills
+        type defaults and needs INTERPOLATE to tell them apart; NULL is
+        the honest Spark-side strengthening). The series is built
+        DISTRIBUTED: a one-row min/max aggregate (map-side partial,
+        when FROM/TO are omitted) feeds sequence()+explode — no driver
+        collect at any scale — and joins back FULL OUTER so original
+        rows outside the range survive, exactly like ClickHouse."""
+        fills = [o for o in q.order_by if getattr(o, "fill", None) is not None]
+        if len(fills) > 1:
+            raise LoweringError("WITH FILL supports one ORDER BY column")
+        o = fills[0]
+        if not (
+            isinstance(o.expr, A.Ident)
+            and o.expr.qualifier is None
+            and o.expr.name in out_names
+        ):
+            raise LoweringError(
+                "WITH FILL requires the ORDER BY item to name an output column"
+            )
+        if not o.asc:
+            raise LoweringError("WITH FILL requires an ascending key")
+        for other in q.order_by:
+            if not (
+                isinstance(other.expr, A.Ident)
+                and other.expr.qualifier is None
+                and other.expr.name in out_names
+            ):
+                raise LoweringError(
+                    "with WITH FILL, every ORDER BY item must name an "
+                    "output column"
+                )
+        name = o.expr.name
+        f_from, f_to, f_step = o.fill
+        key_type = dict(projected.dtypes)[name]
+        is_temporal = key_type in ("date",) or key_type.startswith("timestamp")
+        if f_step is not None:
+            step = self._expr(f_step, None, {}, [])
+        elif is_temporal:
+            raise LoweringError(
+                "WITH FILL on a date/timestamp key requires STEP <interval>"
+            )
+        else:
+            step = F.lit(1).cast(key_type)
+        key = F.col(name)
+        # bounds as a one-row aggregate (constants wrapped in max() so
+        # the frame stays a pure aggregate); TO is exclusive → -step
+        lo = (
+            F.min(key)
+            if f_from is None
+            else F.max(self._expr(f_from, None, {}, []).cast(key_type))
+        )
+        hi = (
+            F.max(key)
+            if f_to is None
+            else F.max(self._expr(f_to, None, {}, []).cast(key_type) - step)
+        )
+        series = projected.agg(lo.alias("__lo"), hi.alias("__hi")).select(
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(name)
+        )
+        filled = series.join(projected, on=name, how="full")
+        filled = filled.select(*out_names)
+        sort = [
+            F.col(x.expr.name).asc() if x.asc else F.col(x.expr.name).desc()
+            for x in q.order_by
+        ]
+        return filled.orderBy(*sort)
 
     def _lower_limit(self, df: DataFrame, lim: A.Limit, order_cols) -> DataFrame:
         n = self._const_int(lim.n)

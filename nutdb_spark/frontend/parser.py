@@ -286,7 +286,18 @@ class Parser:
                     asc = False
                 else:
                     self.eat_kw("asc")  # default; keyword accepted+ignored
-                q.order_by.append(A.OrderItem(e, asc))
+                # [EXT] WITH FILL [FROM a] [TO b] [STEP s] (TO exclusive)
+                fill = None
+                if self.at_kw("with"):
+                    t2 = self.tokens[self.pos + 1]
+                    if t2.type == T.KWID and t2.text.lower() == "fill":
+                        self.next()
+                        self.next()
+                        f_from = self.parse_expr() if self.eat_kw("from") else None
+                        f_to = self.parse_expr() if self.eat_kw("to") else None
+                        f_step = self.parse_expr() if self.eat_kw("step") else None
+                        fill = (f_from, f_to, f_step)
+                q.order_by.append(A.OrderItem(e, asc, fill))
                 if not self.eat_sym(","):
                     break
         if self.eat_kw("limit"):

@@ -1009,3 +1009,39 @@ def sql_window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
         window w as (partition by user_id order by ts, event_id)
         """,
     )
+
+
+@query(
+    "sql_with_fill",
+    """
+    SELECT s.b AS b, e.n AS n
+    FROM (SELECT CAST(k AS BIGINT) AS b FROM generate_series(0, 29) t(k)) s
+    LEFT JOIN (SELECT event_id // 10 AS b, COUNT(*) AS n
+               FROM events
+               WHERE event_type = 'purchase' AND event_id < 300
+               GROUP BY 1) e USING (b)
+    ORDER BY s.b
+    """,
+)
+def sql_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ORDER BY ... WITH FILL [FROM a] [TO b] [STEP s]: missing
+    key values materialize as rows with NULL payload (NULLs mark filled
+    rows — ClickHouse fills type defaults and needs INTERPOLATE to tell
+    them apart; NULL is the honest strengthening). The series is built
+    fully distributed: a one-row min/max aggregate (when FROM/TO are
+    omitted) feeds sequence()+explode, joined back FULL OUTER so
+    original rows outside the range survive — no driver collect at any
+    scale. TO is exclusive; temporal keys require an interval STEP.
+    The DuckDB oracle is the generate_series + LEFT JOIN idiom the
+    clause replaces."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select intDiv(event_id, 10) as b, count(*) as n
+        from events
+        where event_type = 'purchase' and event_id < 300
+        group by intDiv(event_id, 10)
+        order by b with fill from 0 to 30
+        """,
+    )

@@ -271,3 +271,66 @@ def test_fn_arrayenumerate_empty_guard(spark):
         " arrayEnumerate(['a','b','c'])[3] as last_idx"
     ).collect()[0]
     assert row["n0"] == 0 and row["last_idx"] == 3
+
+
+# --- WITH FILL ---------------------------------------------------------------
+
+
+def test_with_fill_parse_shapes():
+    q = parse("select a from t order by a with fill from 1 to 9 step 2").query
+    f_from, f_to, f_step = q.order_by[0].fill
+    assert f_from.value == 1 and f_to.value == 9 and f_step.value == 2
+    q2 = parse("select a from t order by a with fill").query
+    assert q2.order_by[0].fill == (None, None, None)
+
+
+def test_with_fill_bounds_and_gaps(spark):
+    rows = _eng(spark).sql(
+        "select intDiv(event_id, 10) as b, count(*) as n "
+        "from events where event_type = 'purchase' and event_id < 300 "
+        "group by intDiv(event_id, 10) order by b with fill from 0 to 30"
+    ).collect()
+    assert [r["b"] for r in rows] == list(range(30))  # TO exclusive
+    assert any(r["n"] is None for r in rows)  # gaps became NULL rows
+
+
+def test_with_fill_minmax_bounds_and_step(spark):
+    rows = _eng(spark).sql(
+        "select intDiv(event_id, 25) as b, count(*) as n "
+        "from events where event_type = 'signup' and event_id < 200 "
+        "group by intDiv(event_id, 25) order by b with fill step 2"
+    ).collect()
+    bs = [r["b"] for r in rows]
+    assert bs == sorted(bs)
+    # odd originals survive the even-step series (FULL OUTER semantics)
+    assert 1 in bs and 0 in bs
+
+
+def test_with_fill_errors(spark):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    eng = _eng(spark)
+    with pytest.raises(LoweringError, match="ascending"):
+        eng.sql(
+            "select event_id as e from events order by e desc with fill"
+        )
+    with pytest.raises(LoweringError, match="output column"):
+        eng.sql(
+            "select event_id as e from events "
+            "order by event_id + 1 with fill"
+        )
+    with pytest.raises(LoweringError, match="STEP"):
+        eng.sql("select ts from events order by ts with fill")
+
+
+def test_with_fill_temporal_step(spark):
+    rows = _eng(spark).sql(
+        "select toStartOfDay(ts) as d, count(*) as n from events "
+        "where event_type = 'purchase' group by toStartOfDay(ts) "
+        "order by d with fill step interval 1 day"
+    ).collect()
+    ds = [r["d"] for r in rows]
+    assert len(ds) >= 2 and ds == sorted(ds)
+    # consecutive days, no calendar gaps
+    deltas = {(b - a).days for a, b in zip(ds, ds[1:])}
+    assert deltas == {1}
