@@ -129,3 +129,44 @@ def oracle_stratified_threshold(
     return (
         "CASE " + " ".join(parts) + f" ELSE {int(default * GRAIN)} END"
     )
+
+
+def sample_temperature(
+    df: DataFrame,
+    key: Column,
+    domain: Column,
+    salt: str = "",
+    grain: int = GRAIN,
+) -> DataFrame:
+    """Temperature-based domain rebalancing at α = 0.5 (the UL2/PaLM
+    mixing idiom): sampling rate r_d = sqrt(c_min / c_d), so the rarest
+    domain keeps everything and a domain 100× larger keeps 10% — the
+    square-root flattening of the domain distribution.
+
+    α is pinned to 0.5 deliberately: sqrt and the preceding division
+    are EXACTLY rounded under IEEE 754 in every engine, so the
+    per-domain integer threshold floor(grain·sqrt(c_min/c_d)) is
+    bit-identical cross-engine — a generic pow(p, α-1) is not exactly
+    specified and could flip boundary rows between engines.
+
+    Scale shape: one count aggregate over the domain column (tiny
+    result, one row per domain), broadcast back — the document side
+    never shuffles; membership is then the same pure hash-threshold
+    projection as every other sampler here (partition-independent;
+    append-stable once the per-domain thresholds are frozen —
+    recounting a grown corpus legitimately moves them).
+    """
+    dom = domain.alias("__dom")
+    counts = df.select(dom).groupBy("__dom").agg(F.count(F.lit(1)).alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    rates = counts.join(F.broadcast(cmin)).select(
+        "__dom",
+        F.floor(
+            F.lit(grain)
+            * F.sqrt(F.col("__cmin").cast("double") / F.col("__c").cast("double"))
+        ).alias("__thr"),
+    )
+    joined = df.join(F.broadcast(rates), domain == F.col("__dom"))
+    return joined.filter(hash_bucket(key, salt, grain) < F.col("__thr")).drop(
+        "__dom", "__thr"
+    )

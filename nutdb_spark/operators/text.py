@@ -13,7 +13,7 @@ Extension scope per SURVEY.md §2.5 [EXT]; no reference counterpart
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: keeps the Horner accumulator in bigint range
@@ -356,3 +356,29 @@ def pii_counts(col: Column) -> dict[str, Column]:
 def oracle_pii_count(expr: str, name: str) -> str:
     pat = PII_PATTERNS[name][0].replace("'", "''")
     return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+def chunk_tokens(
+    df: DataFrame, id_col: str, tokens: Column, size: int, stride: int
+) -> DataFrame:
+    """GPT-style sliding-window chunking: split each document's token
+    array into windows of ``size`` tokens starting every ``stride``
+    tokens (overlap = size - stride). Returns (id, chunk_id, chunk)
+    with chunk_id dense from 0 in document order.
+
+    Scale shape: sequence()+explode is a row-local generator — no
+    shuffle, no state; the token array never leaves the row, and the
+    last partial window is kept (truncation is the packer's decision,
+    not the chunker's)."""
+    base = df.select(F.col(id_col), tokens.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    start = F.explode(
+        F.sequence(F.lit(1), F.size("__toks"), F.lit(stride))
+    ).alias("__start")
+    exploded = base.select(id_col, "__toks", start)
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("__start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.slice("__toks", F.col("__start"), size).alias("chunk"),
+    )

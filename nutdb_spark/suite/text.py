@@ -567,3 +567,78 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].alias("n_phone"),
         counts["ip"].alias("n_ip"),
     )
+
+
+@query(
+    "q_text_chunk",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents
+               WHERE doc_id < 150),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 48)) AS start
+          FROM t WHERE len(w) > 0)
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS INT) AS chunk_id,
+           CAST(len(list_slice(w, start, LEAST(start + 63, len(w))))
+                AS INT) AS n_tok,
+           array_to_string(list_slice(w, start, LEAST(start + 63, len(w))),
+                           ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-window prep): 64-token
+    chunks every 48 tokens (16-token overlap), last partial chunk kept.
+    sequence()+explode is a row-local generator — no shuffle, the token
+    array never leaves the row; chunk_id is dense from 0 in document
+    order so a packer can join chunks back deterministically. Output
+    scalarized (count + joined text) for the driver compare."""
+    from nutdb_spark.operators.text import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    chunks = chunk_tokens(
+        d.select("doc_id", tokenize(F.col("text")).alias("w")),
+        "doc_id",
+        F.col("w"),
+        size=64,
+        stride=48,
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").alias("n_tok"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "q_sample_temperature",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents
+               GROUP BY source),
+    m AS (SELECT MIN(cnt) AS cmin FROM c),
+    r AS (SELECT source,
+                 CAST(FLOOR(1000000 * SQRT(CAST(cmin AS DOUBLE)
+                                           / CAST(cnt AS DOUBLE)))
+                      AS BIGINT) AS thr
+          FROM c, m)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE {oracle_hash_bucket('d.doc_id', salt='temp')} < r.thr
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (α = 0.5, the UL2/PaLM
+    mixing idiom): per-source keep rate sqrt(c_min/c_d) — the rarest
+    source keeps everything, a 100× larger one keeps 10%. α pinned to
+    0.5 because sqrt and division are EXACTLY rounded IEEE ops, so the
+    integer thresholds are bit-identical cross-engine (generic pow is
+    not exactly specified). One tiny per-domain count broadcast back;
+    the document side never shuffles — membership stays the pure
+    hash-threshold projection (partition-independent; append-stable
+    once thresholds are frozen)."""
+    from nutdb_spark.operators.sampling import sample_temperature
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_temperature(
+        d, F.col("doc_id"), F.col("source"), salt="temp"
+    ).select("doc_id", "source")

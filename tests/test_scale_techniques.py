@@ -108,3 +108,70 @@ def test_asof_bucketed_equals_plain(spark, sf_dir):
     )
     a, b = key(plain.collect()), key(bucketed.collect())
     assert a == b and len(a) > 100
+
+
+# --- round-6 late pipeline ops: chunking + temperature mixing ---------------
+
+
+def test_chunk_tokens_overlap_and_coverage(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.text import chunk_tokens
+
+    toks = [f"t{i}" for i in range(150)]
+    df = spark.createDataFrame([(1, toks), (2, ["a"]), (3, [])],
+                               "id int, w array<string>")
+    out = chunk_tokens(df, "id", F.col("w"), size=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], {})[r["chunk_id"]] = r["chunk"]
+    # empty doc dropped; single-token doc = one 1-token chunk
+    assert 3 not in by_doc and by_doc[2] == {0: ["a"]}
+    c = by_doc[1]
+    # dense ids; starts at 48-stride; 150 tokens -> starts 1,49,97,145
+    assert sorted(c) == [0, 1, 2, 3]
+    assert c[0] == toks[0:64] and c[1] == toks[48:112]
+    # consecutive full chunks overlap by size - stride = 16
+    assert c[0][48:] == c[1][:16]
+    # last partial chunk is the tail, kept
+    assert c[3] == toks[144:150]
+    # stride-prefix concatenation reconstructs the document exactly
+    recon = c[0][:48] + c[1][:48] + c[2][:48] + c[3]
+    assert recon == toks
+
+
+def test_sample_temperature_rates(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.sampling import sample_temperature
+
+    rows = [(i, "big") for i in range(4000)] + [
+        (10_000 + i, "rare") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    kept = sample_temperature(df, F.col("k"), F.col("dom"), salt="t").collect()
+    by_dom = {}
+    for r in kept:
+        by_dom[r["dom"]] = by_dom.get(r["dom"], 0) + 1
+    # rarest domain keeps everything (threshold = grain)
+    assert by_dom["rare"] == 40
+    # 100x larger domain keeps ~sqrt(1/100) = 10% (hash noise allowed)
+    assert 0.05 * 4000 < by_dom["big"] < 0.15 * 4000
+
+
+def test_sample_temperature_membership_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.sampling import sample_temperature
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)], "k long, dom string"
+    )
+    a = {r["k"] for r in sample_temperature(df, F.col("k"), F.col("dom"), salt="x").collect()}
+    b = {
+        r["k"]
+        for r in sample_temperature(
+            df.repartition(7), F.col("k"), F.col("dom"), salt="x"
+        ).collect()
+    }
+    assert a == b  # partition-layout independent
