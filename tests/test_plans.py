@@ -344,3 +344,50 @@ def test_dialect_extensions_stay_jvm_side(spark):
     for name in ("sql_window", "sql_qualify"):
         plan = plans[name]
         assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, name
+
+
+def test_late_r6_extensions_stay_jvm_side(spark):
+    """The PREWHERE / GROUPING SETS / LIMIT BY / named-WINDOW /
+    WITH FILL / mutation-free function entries and the new pipeline
+    ops must lower to built-in expressions — zero Python evaluation
+    nodes, no cartesian blowup anywhere."""
+    from nutdb_spark.suite import QUERIES
+
+    for name in (
+        "sql_prewhere", "sql_grouping_sets", "sql_limit_by",
+        "sql_window_named", "sql_with_fill",
+        "q_fn_datetime2", "q_fn_scalar_surface2", "q_fn_arrays",
+        "q_fn_agg_surface2", "q_text_chunk",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "CartesianProduct"):
+            assert node not in plan, (name, node)
+
+
+def test_limit_by_single_window_exchange(spark):
+    """LIMIT BY = one WindowExec riding the projection: exactly one
+    hash exchange on the keys, no self-join — and because the filter is
+    rn <= n, Catalyst inserts WindowGroupLimit, truncating every group
+    to its top-n BEFORE the shuffle (map-side partial top-k)."""
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["sql_limit_by"](spark, SF01))
+    assert plan.count("Window [") == 1
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan  # pre-shuffle per-group truncation
+
+
+def test_prewhere_conjuncts_reach_scan(spark):
+    """PREWHERE and WHERE conjuncts must land in the SAME pushed
+    parquet filter set."""
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF01)
+    df = eng.sql(
+        "select count(*) as n from lineitem "
+        "prewhere l_quantity > 25 where l_discount < 0.05"
+    )
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_quantity" in pushed[0] and "l_discount" in pushed[0]
