@@ -564,3 +564,36 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         .otherwise(F.transform(s, lambda x: F.lit(0)))
         .alias("q8"),
     )
+
+
+def truncate_embed(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Matryoshka-style (MRL) embedding truncation: keep the first
+    ``k`` dimensions and L2-renormalize — the standard trick for
+    serving a cheaper index off the same embedding column. Components
+    are floor-scaled to exact ints first (``scaled``), so the head
+    energy ss_k is integer-exact; the renormalization (sqrt + divide)
+    uses only EXACTLY-rounded IEEE ops, so unit components are
+    bit-identical across engines and partitionings. Pure projection:
+    no shuffle, no UDF, scales like the scan.
+
+    Appends (trunc_scaled bigint-array, ss_k, unit double-array) to the
+    input frame (existing columns survive, so callers can project
+    further invariants without a re-join); unit is NULL for an
+    all-zero head.
+    """
+    s = scaled(F.col(vec_col))
+    head = F.slice(s, 1, k)
+    ss = F.aggregate(
+        head, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    norm = F.sqrt(ss.cast("double"))
+    unit = F.transform(head, lambda x: x.cast("double") / norm)
+    return df.withColumns(
+        {
+            "trunc_scaled": head,
+            "ss_k": ss,
+            "unit": F.when(ss > 0, unit),
+        }
+    )

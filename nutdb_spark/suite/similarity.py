@@ -555,3 +555,62 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q8, long0, lambda acc, x: acc + x * x).alias("q_sq_sum"),
         F.size(F.filter(q8, lambda x: F.abs(x) == 127)).alias("n_sat"),
     )
+
+
+@query(
+    "q_embed_truncate",
+    f"""
+    WITH s AS (SELECT vec_id, {oracle_scaled('embedding')} AS sv
+               FROM embeddings),
+    a AS (SELECT vec_id,
+                 CAST(list_sum(list_transform(sv[1:16], x -> x * x))
+                      AS BIGINT) AS ss_k,
+                 CAST(list_sum(list_transform(sv, x -> x * x))
+                      AS BIGINT) AS ss_full,
+                 sv[1:16] AS h
+          FROM s)
+    SELECT vec_id, ss_k, ss_full,
+           CAST(FLOOR(1000000 * SQRT(CAST(ss_k AS DOUBLE)
+                                     / CAST(ss_full AS DOUBLE)))
+                AS BIGINT) AS retained_m,
+           CAST(FLOOR(1000000 * (CAST(h[1] AS DOUBLE)
+                                 / SQRT(CAST(ss_k AS DOUBLE))))
+                AS BIGINT) AS u1_m
+    FROM a
+    """,
+)
+def q_embed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation 64→16 dims + L2 renorm, certified by
+    exact scalar invariants per vector: integer head/full energies, the
+    retained-cosine floor(1e6·sqrt(ss_k/ss_full)) (truncation quality —
+    cos(full, padded-head) reduces to exactly this), and the first unit
+    component. Every float op is an exactly-rounded IEEE primitive
+    (divide/sqrt/multiply/floor), so values hash-match DuckDB
+    bit-for-bit; pure projection, no shuffle."""
+    from nutdb_spark.operators.similarity import truncate_embed, scaled
+
+    e = load_table(spark, sf_dir, "embeddings")
+    t = truncate_embed(e, "vec_id", "embedding", k=16)
+    full = scaled(F.col("embedding"))
+    ss_full = F.aggregate(
+        full, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    # one shuffle-free projection: the operator appends its columns,
+    # so the full-energy invariant reads the original vector in place
+    base = t.withColumn("ss_full", ss_full)
+    return base.select(
+        "vec_id",
+        "ss_k",
+        "ss_full",
+        F.floor(
+            F.lit(1000000)
+            * F.sqrt(F.col("ss_k").cast("double") / F.col("ss_full").cast("double"))
+        ).alias("retained_m"),
+        F.floor(
+            F.lit(1000000)
+            * (
+                F.element_at("trunc_scaled", 1).cast("double")
+                / F.sqrt(F.col("ss_k").cast("double"))
+            )
+        ).alias("u1_m"),
+    )

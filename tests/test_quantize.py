@@ -63,3 +63,41 @@ def test_quantize_is_projection_only(spark):
 
 def test_quantize_scale_constant_matches_convention():
     assert SCALE == 10_000_000
+
+
+def test_truncate_embed_roundtrip(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.similarity import truncate_embed
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0]), (2, [0.0, 0.0, 5.0])],
+        "id int, v array<float>",
+    )
+    out = {r["id"]: r for r in truncate_embed(df, "id", "v", k=2).collect()}
+    # scaled head: [3e7, 4e7]; ss_k = 25e14; unit = [0.6, 0.8]
+    r1 = out[1]
+    assert r1["trunc_scaled"] == [30000000, 40000000]
+    assert r1["ss_k"] == 25 * 10**14
+    assert abs(r1["unit"][0] - 0.6) < 1e-12 and abs(r1["unit"][1] - 0.8) < 1e-12
+    assert abs(math.fsum(x * x for x in r1["unit"]) - 1.0) < 1e-12
+    # all-zero head → NULL unit, zero energy
+    r2 = out[2]
+    assert r2["ss_k"] == 0 and r2["unit"] is None
+
+
+def test_truncate_embed_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.similarity import truncate_embed
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        truncate_embed(e, "vec_id", "embedding", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
