@@ -60,7 +60,12 @@ class NutEngine:
         stmt = parse(text)
         low = Lowerer(self.spark, self.resolve_table, params)
         if isinstance(stmt, A.SelectStmt):
-            return low.lower_query(stmt.query)
+            df = low.lower_query(stmt.query)
+            if getattr(stmt, "outfile", None) is not None:
+                return self._write_outfile(df, *stmt.outfile)
+            return df
+        if isinstance(stmt, A.ShowStmt):
+            return self._show(stmt)
         if isinstance(stmt, A.ExplainStmt):
             df = low.lower_query(stmt.query)
             plan = df._jdf.queryExecution().toString()
@@ -102,6 +107,35 @@ class NutEngine:
                 raise LoweringError("SET requires a literal value")
             return None
         raise LoweringError(f"unsupported statement {type(stmt).__name__}")
+
+    def _write_outfile(self, df: DataFrame, path: str, fmt: str) -> DataFrame:
+        """[EXT] INTO OUTFILE sink: distributed write (one file per
+        partition — never a single-file driver funnel), then return the
+        read-back frame so the caller (and the oracle gate) verifies
+        the full write+read roundtrip, not just that a write ran."""
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise LoweringError(f"unsupported OUTFILE format {fmt!r}")
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(path)
+        reader = self.spark.read
+        if fmt == "csv":
+            return reader.option("header", "true").schema(df.schema).csv(path)
+        return getattr(reader, fmt)(path)
+
+    def _show(self, stmt: A.ShowStmt) -> DataFrame:
+        """[EXT] SHOW TABLES / VIEWS / DATABASE over the managed
+        catalog (fixture tables are not catalog objects)."""
+        import os
+
+        rows = []
+        for f in sorted(os.listdir(self.catalog.root)):
+            if f.endswith(".json"):
+                m = self.catalog._load_meta(f[:-5])
+                if stmt.entity == "database" or m["type"] == stmt.entity:
+                    rows.append((m["name"], m["type"]))
+        return self.spark.createDataFrame(rows, "name: string, type: string")
 
 
 def connect(**kwargs) -> NutEngine:

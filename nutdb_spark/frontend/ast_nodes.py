@@ -347,6 +347,15 @@ class ViewDefinition:
 @dataclass
 class SelectStmt:
     query: Query
+    # [EXT] `INTO OUTFILE '<path>' [FORMAT fmt]` — write sink; the
+    # engine writes the result and returns the read-back frame so the
+    # full write+read roundtrip is checkable.
+    outfile: tuple | None = None  # (path, format)
+
+
+@dataclass
+class ShowStmt:
+    entity: str  # table | view | database (SHOW TABLES/VIEWS/DATABASES)
 
 
 @dataclass

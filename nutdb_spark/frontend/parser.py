@@ -130,7 +130,7 @@ class Parser:
             "create": self._create, "describe": self._describe,
             "drop": self._drop, "truncate": self._truncate,
             "alter": self._alter, "optimize": self._optimize,
-            "set": self._set,
+            "set": self._set, "show": self._show,
         }
         if kw not in dispatch:
             raise ParseError(f"unknown statement keyword {t.text!r}")
@@ -432,6 +432,7 @@ class Parser:
             "qualify",  # QUALIFY <window predicate>
             "prewhere",  # PREWHERE <pre-filter>
             "window",  # WINDOW w AS (spec)
+            "into",  # INTO OUTFILE sink
         }:
             return self.ident()
         return None
@@ -949,7 +950,31 @@ class Parser:
     # --- statements -------------------------------------------------------
 
     def _select_stmt(self):
-        return A.SelectStmt(self.parse_query())
+        q = self.parse_query()
+        outfile = None
+        # [EXT] INTO OUTFILE '<path>' [FORMAT fmt] — write sink
+        if self.eat_kw("into"):
+            self.expect_kw("outfile")
+            pe = self.parse_expr()
+            if not (isinstance(pe, A.Lit) and pe.kind == "string"):
+                raise ParseError(
+                    "INTO OUTFILE requires a string literal path"
+                )
+            fmt = "parquet"
+            if self.eat_kw("format"):
+                fmt = self.ident().lower()
+            outfile = (pe.value, fmt)
+        return A.SelectStmt(q, outfile)
+
+    def _show(self):
+        """[EXT] SHOW TABLES / VIEWS / DATABASE — catalog listing."""
+        self.expect_kw("show")
+        for kw, entity in (
+            ("tables", "table"), ("views", "view"), ("database", "database"),
+        ):
+            if self.eat_kw(kw):
+                return A.ShowStmt(entity)
+        raise ParseError("SHOW supports TABLES, VIEWS, DATABASE")
 
     def _explain(self):
         self.expect_kw("explain")

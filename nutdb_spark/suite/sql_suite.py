@@ -1045,3 +1045,36 @@ def sql_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by b with fill from 0 to 30
         """,
     )
+
+
+@query(
+    "sql_outfile",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_outfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] `INTO OUTFILE '<path>' [FORMAT parquet|csv|json|orc]` —
+    the SQL-level write sink. The write is distributed (one file per
+    partition, never a single-file driver funnel) and the statement
+    returns the READ-BACK frame, so the oracle gate certifies the full
+    write+read roundtrip against the source aggregation — a green row
+    means bytes on disk decode to the exact same values."""
+    import os
+
+    out = f"/tmp/nutdb_outfile_{os.path.basename(sf_dir.rstrip('/'))}.parquet"
+    return _run(
+        spark,
+        sf_dir,
+        f"""
+        select l_returnflag, l_linestatus, count(*) as n,
+               sum(floor(l_quantity * 10000)) / 10000.0 as qty
+        from lineitem
+        group by l_returnflag, l_linestatus
+        into outfile '{out}' format parquet
+        """,
+    )

@@ -113,3 +113,53 @@ def test_mutation_repairs_incremental_view(eng):
     eng.sql("ALTER TABLE mu6 UPDATE v = v + 1 WHERE k = 2")
     after2 = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM mu_v").collect()}
     assert after2 == {1: 10, 2: 21}
+
+
+# --- SHOW + INTO OUTFILE (statement surface) ---------------------------------
+
+
+def test_show_tables_and_views(eng):
+    eng.sql("DROP TABLE IF EXISTS show_t")
+    eng.sql("DROP VIEW IF EXISTS show_v")
+    eng.sql("CREATE TABLE show_t (k Int64)")
+    eng.sql("INSERT INTO show_t (k) VALUES (1)")
+    eng.sql("CREATE VIEW show_v UPDATE BY Summing ORDER BY (k) AS "
+            "SELECT k, k AS v FROM show_t")
+    tables = {r["name"] for r in eng.sql("SHOW TABLES").collect()}
+    views = {r["name"] for r in eng.sql("SHOW VIEWS").collect()}
+    both = {(r["name"], r["type"]) for r in eng.sql("SHOW DATABASE").collect()}
+    assert "show_t" in tables and "show_t" not in views
+    assert "show_v" in views and "show_v" not in tables
+    assert ("show_t", "table") in both and ("show_v", "view") in both
+
+
+def test_outfile_formats_roundtrip(eng, tmp_path):
+    for fmt in ("parquet", "json", "orc", "csv"):
+        out = tmp_path / f"o.{fmt}"
+        df = eng.sql(
+            "select l_returnflag as rf, count(*) as n from lineitem "
+            f"group by l_returnflag into outfile '{out}' format {fmt}"
+        )
+        rows = {r["rf"]: int(r["n"]) for r in df.collect()}
+        assert len(rows) == 3 and all(v > 0 for v in rows.values())
+        import os
+
+        assert os.path.isdir(out)  # distributed write, one dir of parts
+
+
+def test_outfile_requires_string_literal():
+    from nutdb_spark.frontend.parser import ParseError, parse
+
+    with pytest.raises(ParseError, match="string literal"):
+        parse("select 1 into outfile 42")
+    with pytest.raises(ParseError):
+        parse("select 1 into outfile '/tmp/x' format")
+    s = parse("select 1 as x into outfile '/tmp/x.csv' format csv")
+    assert s.outfile == ("/tmp/x.csv", "csv")
+
+
+def test_outfile_bad_format_rejected(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="OUTFILE format"):
+        eng.sql("select 1 as x into outfile '/tmp/x.xyz' format xml")

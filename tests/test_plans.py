@@ -73,7 +73,8 @@ def test_lowerings_are_lazy(spark):
         if not n.startswith(("q_ddl", "q_stream"))
         and n not in ("sql_source_files", "q_dedup_connected",
                       "q_dedup_connected_star", "q_dedup_connected_best",
-                      "q_cluster_kmeans", "q_sim_topk_ivf")
+                      "q_cluster_kmeans", "q_sim_topk_ivf",
+                      "sql_outfile")  # INTO OUTFILE writes by design
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
