@@ -221,6 +221,10 @@ class FromClause:
 class Cte:
     name: str
     query: "Query"
+    # [EXT] WITH RECURSIVE — lowered to an iterative fixpoint when the
+    # body actually references itself (standard SQL treats a
+    # non-self-referencing CTE under RECURSIVE as ordinary)
+    recursive: bool = False
 
 
 @dataclass

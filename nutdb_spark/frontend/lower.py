@@ -112,6 +112,7 @@ class Lowerer:
         spark: SparkSession,
         resolve_table,
         params: list | None = None,
+        max_recursion: int = 100,
     ):
         """`resolve_table(name) -> DataFrame`; `params` binds $n."""
         self.spark = spark
@@ -121,6 +122,18 @@ class Lowerer:
         # [EXT] lambda-variable bindings (higher-order array fns) —
         # innermost frame last
         self._lambda_stack: list[dict] = []
+        # CTE name scopes, innermost last: a CTE body (and any
+        # subquery) sees every CTE defined before it in an enclosing
+        # WITH — including the iterating delta frame of a WITH
+        # RECURSIVE evaluation.
+        self._cte_stack: list[dict] = []
+        self._max_recursion = max_recursion
+
+    def _cte_lookup(self, name: str):
+        for frame in reversed(self._cte_stack):
+            if name in frame:
+                return frame[name]
+        return None
 
     def _gen(self, prefix: str) -> str:
         return f"__{prefix}{next(self._ids)}"
@@ -147,7 +160,9 @@ class Lowerer:
     def _source_df(self, src, alias, scope: Scope, cte: dict) -> tuple[DataFrame, str]:
         if isinstance(src, A.TableRef):
             name = src.name
-            df = cte[name] if name in cte else self.resolve_table(name)
+            df = self._cte_lookup(name)
+            if df is None:
+                df = self.resolve_table(name)
             use = alias or name
         elif isinstance(src, A.TableFn):
             df = self._table_fn(src)
@@ -176,10 +191,75 @@ class Lowerer:
         raise LoweringError(f"unknown table function {fn.name!r}")
 
     def _lower_select(self, q: A.SelectCore, outer: Scope | None) -> DataFrame:
+        frame: dict[str, DataFrame] = {}
+        self._cte_stack.append(frame)
+        try:
+            for c in q.ctes:
+                frame[c.name] = self._lower_cte(c, outer)
+            return self._lower_select_body(q, outer)
+        finally:
+            self._cte_stack.pop()
+
+    def _lower_cte(self, c: A.Cte, outer) -> DataFrame:
+        """A later CTE sees every earlier one (the frame is already on
+        the stack); a RECURSIVE self-referencing CTE lowers to an
+        iterative fixpoint."""
+        if getattr(c, "recursive", False) and _refs_table(c.query, c.name):
+            return self._lower_recursive_cte(c, outer)
+        return self.lower_query(c.query, outer)
+
+    def _lower_recursive_cte(self, c: A.Cte, outer) -> DataFrame:
+        """[EXT] WITH RECURSIVE on Spark: anchor UNION [ALL|DISTINCT]
+        recursive-term, evaluated as the standard iterative fixpoint —
+        each round re-lowers the recursive term against the previous
+        round's DELTA (bound through the CTE stack), localCheckpoint
+        bounds lineage, and the only driver-side values are the
+        per-round emptiness checks (same contract as connected
+        components). DISTINCT form subtracts the accumulator, so graph
+        closures over cyclic data terminate; ALL form terminates when
+        the term itself runs dry. Spark has no native recursive CTE —
+        this is the documented scale-out shape for it."""
+        q = c.query
+        if not (
+            isinstance(q, A.SetOp) and q.op in ("union_all", "union_distinct")
+        ):
+            raise LoweringError(
+                "recursive CTE must be <anchor> UNION ALL|DISTINCT <term>"
+            )
+        distinct = q.op == "union_distinct"
+        anchor = self.lower_query(q.left, outer)
+        if distinct:
+            anchor = anchor.distinct()
+        acc = anchor.localCheckpoint(eager=True)
+        delta = acc
+        frame: dict[str, DataFrame] = {}
+        self._cte_stack.append(frame)
+        try:
+            for _ in range(self._max_recursion):
+                frame[c.name] = delta
+                step = self.lower_query(q.right, outer)
+                if len(step.columns) != len(acc.columns):
+                    raise LoweringError(
+                        "recursive term arity differs from the anchor"
+                    )
+                step = step.toDF(*acc.columns)
+                if distinct:
+                    step = step.distinct().subtract(acc)
+                delta = step.localCheckpoint(eager=True)
+                if delta.isEmpty():
+                    return acc
+                acc = acc.unionAll(delta).localCheckpoint(eager=True)
+            raise LoweringError(
+                f"recursive CTE {c.name!r} exceeded "
+                f"{self._max_recursion} iterations (raise via "
+                "Lowerer(max_recursion=...))"
+            )
+        finally:
+            self._cte_stack.pop()
+
+    def _lower_select_body(self, q: A.SelectCore, outer: Scope | None) -> DataFrame:
         scope = Scope(outer)
         cte: dict[str, DataFrame] = {}
-        for c in q.ctes:
-            cte[c.name] = self.lower_query(c.query, outer)
 
         if q.from_ is None:
             base = self.spark.range(1).select(F.lit(1).alias("__one"))
@@ -1326,6 +1406,20 @@ class Lowerer:
         if isinstance(e, A.FnCall):
             return e.name
         return "expr"
+
+
+def _refs_table(node, name: str) -> bool:
+    """Does the (sub)tree reference table `name` in any FROM/JOIN?"""
+    if isinstance(node, A.TableRef):
+        return node.name == name
+    if isinstance(node, (str, int, float, bool, bytes)) or node is None:
+        return False
+    if isinstance(node, (list, tuple)):
+        return any(_refs_table(x, name) for x in node)
+    for f in getattr(node, "__dataclass_fields__", {}):
+        if _refs_table(getattr(node, f), name):
+            return True
+    return False
 
 
 _AGG_NAMES = {n.lower() for n in AGGREGATE_FNS}

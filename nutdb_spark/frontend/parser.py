@@ -195,15 +195,16 @@ class Parser:
         # never captures (or errors on) the outer body's `OVER w`.
         outer_window_refs = self._window_refs
         self._window_refs = []
-        # WITH (mod.rs:327-347)
+        # WITH (mod.rs:327-347); [EXT] WITH RECURSIVE
         if self.eat_kw("with"):
+            recursive = self.eat_kw("recursive")
             while True:
                 name = self.ident()
                 self.expect_kw("as")
                 self.expect_sym("(")
                 sub = self.parse_query()
                 self.expect_sym(")")
-                q.ctes.append(A.Cte(name, sub))
+                q.ctes.append(A.Cte(name, sub, recursive))
                 if not self.eat_sym(","):
                     break
         self.expect_kw("select")

@@ -1078,3 +1078,93 @@ def sql_outfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         into outfile '{out}' format parquet
         """,
     )
+
+
+@query(
+    "sql_cte_chain",
+    """
+    WITH a AS (SELECT l_returnflag AS rf, COUNT(*) AS n
+               FROM lineitem GROUP BY l_returnflag),
+         b AS (SELECT rf, n FROM a WHERE n > 0)
+    SELECT rf, n FROM b
+    """,
+)
+def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs — a later CTE references an earlier one (standard
+    scoping the round-6 CTE stack made work: previously each CTE body
+    lowered in an empty scope and `b` could not see `a`). The stack
+    also gives subqueries visibility of enclosing CTEs."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with a as (select l_returnflag as rf, count(*) as n
+                   from lineitem group by l_returnflag),
+             b as (select rf, n from a where n > 0)
+        select rf, n from b
+        """,
+    )
+
+
+@query(
+    "sql_recursive",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT 1 AS n
+      UNION ALL
+      SELECT n + 1 AS n FROM seq WHERE n < 25
+    )
+    SELECT n, n * n AS sq FROM seq
+    """,
+)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WITH RECURSIVE on Spark (which has no native recursive
+    CTE): the standard iterative fixpoint — each round re-lowers the
+    recursive term against the previous round's DELTA, localCheckpoint
+    bounds lineage, only per-round emptiness checks reach the driver
+    (the connected-components contract). UNION ALL form terminates
+    when the term runs dry; iteration cap guards divergence. DuckDB
+    runs the identical text natively as the oracle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with recursive seq as (
+          select 1 as n
+          union all
+          select n + 1 as n from seq where n < 25
+        )
+        select n, n * n as sq from seq
+        """,
+    )
+
+
+@query(
+    "sql_recursive_graph",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey IN (777, 999)
+      UNION
+      SELECT k // 2 AS k FROM chain WHERE k > 0
+    )
+    SELECT k FROM chain
+    """,
+)
+def sql_recursive_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WITH RECURSIVE, UNION DISTINCT form — the graph-closure
+    shape: each round's new frontier is step.distinct().subtract(acc),
+    so shared ancestors (777 and 999 halve onto the same chain) and
+    cycles terminate; anchored on a real table scan rather than a
+    literal."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with recursive chain as (
+          select o_orderkey as k from orders where o_orderkey in (777, 999)
+          union distinct
+          select intDiv(k, 2) as k from chain where k > 0
+        )
+        select k from chain
+        """,
+    )

@@ -334,3 +334,77 @@ def test_with_fill_temporal_step(spark):
     # consecutive days, no calendar gaps
     deltas = {(b - a).days for a, b in zip(ds, ds[1:])}
     assert deltas == {1}
+
+
+# --- chained CTEs + WITH RECURSIVE ------------------------------------------
+
+
+def test_chained_cte_and_subquery_scope(spark):
+    eng = _eng(spark)
+    assert eng.sql(
+        "with a as (select 1 as x), b as (select x + 1 as y from a) "
+        "select y from b"
+    ).collect()[0]["y"] == 2
+    # a subquery sees the enclosing WITH
+    assert eng.sql(
+        "with a as (select 3 as x) "
+        "select (select x from a) as v"
+    ).collect()[0]["v"] == 3
+
+
+def test_recursive_union_all_sequence(spark):
+    rows = _eng(spark).sql(
+        "with recursive seq as (select 1 as n union all "
+        "select n + 1 as n from seq where n < 6) "
+        "select n from seq order by n"
+    ).collect()
+    assert [r["n"] for r in rows] == [1, 2, 3, 4, 5, 6]
+
+
+def test_recursive_distinct_terminates_on_cycle(spark):
+    # self-loop: k -> k forever under ALL; DISTINCT subtracts the
+    # accumulator so the fixpoint closes after one round
+    rows = _eng(spark).sql(
+        "with recursive c as (select 5 as k union distinct "
+        "select k as k from c) select k from c"
+    ).collect()
+    assert [r["k"] for r in rows] == [5]
+
+
+def test_recursive_iteration_cap(spark):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="exceeded"):
+        _eng(spark).sql(
+            "with recursive c as (select 1 as n union all "
+            "select n + 1 as n from c) select n from c"
+        )
+
+
+def test_recursive_requires_union_shape(spark):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="UNION"):
+        _eng(spark).sql(
+            "with recursive c as (select n + 1 as n from c) "
+            "select n from c"
+        )
+
+
+def test_nonrecursive_cte_under_recursive_keyword(spark):
+    # standard SQL: RECURSIVE marks the WITH; a body that never
+    # references itself lowers as an ordinary CTE
+    assert _eng(spark).sql(
+        "with recursive a as (select 7 as x) select x from a"
+    ).collect()[0]["x"] == 7
+
+
+def test_recursive_arity_mismatch(spark):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="arity"):
+        _eng(spark).sql(
+            "with recursive c as (select 1 as n union all "
+            "select n + 1 as n, 2 as m from c where n < 3) "
+            "select n from c"
+        )
