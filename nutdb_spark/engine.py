@@ -60,6 +60,12 @@ class NutEngine:
         stmt = parse(text)
         low = Lowerer(self.spark, self.resolve_table, params)
         if isinstance(stmt, A.SelectStmt):
+            # [EXT] SETTINGS apply before lowering (they can affect the
+            # physical plan, e.g. spark_sql_shuffle_partitions)
+            for name, value in getattr(stmt, "settings", []) or []:
+                self.config[name] = value
+                if str(name).startswith("spark_"):
+                    self.spark.conf.set(name.replace("_", "."), str(value))
             df = low.lower_query(stmt.query)
             if getattr(stmt, "outfile", None) is not None:
                 return self._write_outfile(df, *stmt.outfile)
@@ -68,7 +74,23 @@ class NutEngine:
             return self._show(stmt)
         if isinstance(stmt, A.ExplainStmt):
             df = low.lower_query(stmt.query)
-            plan = df._jdf.queryExecution().toString()
+            qe = df._jdf.queryExecution()
+            mode = getattr(stmt, "mode", "simple")
+            if mode == "formatted":
+                # codegen-span view: the plan tree + per-node details
+                jvm = self.spark._jvm
+                plan = qe.explainString(
+                    jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+            elif mode == "analyze":
+                # run the query, then report the executed plan with
+                # runtime metrics (row counts, spill, shuffle bytes)
+                df.foreach(lambda _row: None)
+                plan = qe.executedPlan().toString()
+            else:
+                plan = qe.toString()
             return self.spark.createDataFrame(
                 [(line,) for line in plan.split("\n")], "plan: string"
             )

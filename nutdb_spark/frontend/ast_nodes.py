@@ -355,6 +355,10 @@ class SelectStmt:
     # engine writes the result and returns the read-back frame so the
     # full write+read roundtrip is checkable.
     outfile: tuple | None = None  # (path, format)
+    # [EXT] trailing `SETTINGS name = lit [, ...]` (ClickHouse): applied
+    # to the engine config before lowering; spark_* names map onto
+    # spark.* confs (same rule as SET @name)
+    settings: list = field(default_factory=list)  # [(name, Lit)]
 
 
 @dataclass
@@ -365,6 +369,9 @@ class ShowStmt:
 @dataclass
 class ExplainStmt:
     query: Query
+    # [EXT] EXPLAIN [FORMATTED | ANALYZE]: formatted Catalyst plan /
+    # executed plan with runtime metrics (runs the query)
+    mode: str = "simple"  # simple | formatted | analyze
 
 
 @dataclass

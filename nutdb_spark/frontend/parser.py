@@ -434,6 +434,7 @@ class Parser:
             "prewhere",  # PREWHERE <pre-filter>
             "window",  # WINDOW w AS (spec)
             "into",  # INTO OUTFILE sink
+            "settings",  # trailing SETTINGS k = v
         }:
             return self.ident()
         return None
@@ -965,7 +966,19 @@ class Parser:
             if self.eat_kw("format"):
                 fmt = self.ident().lower()
             outfile = (pe.value, fmt)
-        return A.SelectStmt(q, outfile)
+        # [EXT] trailing SETTINGS name = lit [, ...]
+        settings: list = []
+        if self.eat_kw("settings"):
+            while True:
+                name = self.ident()
+                self.expect_sym("=")
+                v = self.parse_expr()
+                if not isinstance(v, A.Lit):
+                    raise ParseError("SETTINGS values must be literals")
+                settings.append((name, v.value))
+                if not self.eat_sym(","):
+                    break
+        return A.SelectStmt(q, outfile, settings)
 
     def _show(self):
         """[EXT] SHOW TABLES / VIEWS / DATABASE — catalog listing."""
@@ -979,7 +992,13 @@ class Parser:
 
     def _explain(self):
         self.expect_kw("explain")
-        return A.ExplainStmt(self.parse_query())
+        # [EXT] EXPLAIN FORMATTED / EXPLAIN ANALYZE
+        mode = "simple"
+        if self.eat_kw("formatted"):
+            mode = "formatted"
+        elif self.eat_kw("analyze"):
+            mode = "analyze"
+        return A.ExplainStmt(self.parse_query(), mode)
 
     def _insert(self):
         self.expect_kw("insert")

@@ -163,3 +163,45 @@ def test_outfile_bad_format_rejected(eng):
 
     with pytest.raises(LoweringError, match="OUTFILE format"):
         eng.sql("select 1 as x into outfile '/tmp/x.xyz' format xml")
+
+
+def test_settings_clause_applies_conf(eng):
+    eng.spark.conf.set("spark.sql.shuffle.partitions", "8")
+    df = eng.sql(
+        "select l_returnflag, count(*) as n from lineitem "
+        "group by l_returnflag settings spark_sql_shuffle_partitions = 3"
+    )
+    assert eng.spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert eng.config["spark_sql_shuffle_partitions"] == 3
+    assert df.count() == 3
+    eng.spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_settings_requires_literals():
+    from nutdb_spark.frontend.parser import ParseError, parse
+
+    with pytest.raises(ParseError, match="literal"):
+        parse("select 1 settings a = b")
+    s = parse("select 1 as x settings a = 1, b = 'y'")
+    assert s.settings == [("a", 1), ("b", "y")]
+
+
+def test_explain_modes(eng):
+    simple = "\n".join(
+        r["plan"] for r in eng.sql("explain select 1 as x").collect()
+    )
+    assert "Physical Plan" in simple or "Project" in simple
+    fmt = "\n".join(
+        r["plan"]
+        for r in eng.sql(
+            "explain formatted select count(*) as n from lineitem"
+        ).collect()
+    )
+    assert "(1) Scan parquet" in fmt or "Scan parquet" in fmt
+    ana = "\n".join(
+        r["plan"]
+        for r in eng.sql(
+            "explain analyze select count(*) as n from lineitem"
+        ).collect()
+    )
+    assert "HashAggregate" in ana
