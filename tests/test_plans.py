@@ -74,7 +74,9 @@ def test_lowerings_are_lazy(spark):
         and n not in ("sql_source_files", "q_dedup_connected",
                       "q_dedup_connected_star", "q_dedup_connected_best",
                       "q_cluster_kmeans", "q_sim_topk_ivf",
-                      "sql_outfile")  # INTO OUTFILE writes by design
+                      "sql_outfile",  # INTO OUTFILE writes by design
+                      # recursive CTEs iterate to a fixpoint by design
+                      "sql_recursive", "sql_recursive_graph")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
