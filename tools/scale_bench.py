@@ -37,6 +37,15 @@ ENTRIES = [
     "q_embed_quantize",
     "sql_window",
     "sql_lambda",
+    # session-3 additions — new dialect clauses + pipeline ops
+    "sql_limit_by",
+    "sql_grouping_sets",
+    "sql_with_fill",
+    "sql_recursive_graph",
+    "q_text_chunk",
+    "q_sample_temperature",
+    "q_embed_truncate",
+    "q_fn_arrays",
 ]
 
 SF01 = "/root/testdata/sf0.1"
