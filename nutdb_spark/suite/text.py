@@ -642,3 +642,72 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_temperature(
         d, F.col("doc_id"), F.col("source"), salt="temp"
     ).select("doc_id", "source")
+
+
+@query(
+    "q_pack_manifest",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             {_PACK_H} AS __h,
+             CAST(({_PACK_H}) % {_PACK_SHARDS} AS INT) AS __shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, __shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY __shard
+                    ORDER BY __h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS __cum
+      FROM t
+    ), p AS (
+      SELECT doc_id, n_tokens, __shard,
+             CASE WHEN n_tokens > 0
+                  THEN (__cum - 1) // {_PACK_BUDGET}
+                       - (__cum - n_tokens) // {_PACK_BUDGET} + 1
+                  ELSE 0 END AS n_seqs
+      FROM c
+    )
+    SELECT __shard AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
+                AS BIGINT) AS n_seqs,
+           CAST(SUM(CASE WHEN n_seqs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS straddlers,
+           CAST(SUM({oracle_hash_bucket('doc_id', salt='manifest')})
+                AS BIGINT) AS fingerprint
+    FROM p GROUP BY __shard
+    """,
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest over the packed layout — the reproducible-loading
+    artifact a trainer checks before reading a shard: doc count, total
+    tokens, sequence count, boundary-straddler count, and an
+    ORDER-INDEPENDENT content fingerprint (sum of salted doc-id hash
+    buckets — any engine, any partition order, same value; a changed /
+    missing / duplicated doc changes it). One manifest row per shard,
+    map-side partial aggregation on top of the packing window's own
+    hash partitioning — no extra shuffle beyond the pack itself."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.packing import pack_sequences
+    from nutdb_spark.operators.sampling import hash_bucket
+    from nutdb_spark.operators.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        d, F.col("doc_id"), F.col("n_tokens"),
+        budget=_PACK_BUDGET, shards=_PACK_SHARDS,
+    )
+    b = F.lit(_PACK_BUDGET)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        ((F.sum("n_tokens") + b - 1) / b).cast("long").alias("n_seqs"),
+        F.sum(F.when(F.col("n_seqs") >= 2, 1).otherwise(0)).alias(
+            "straddlers"
+        ),
+        F.sum(hash_bucket(F.col("doc_id"), "manifest")).alias("fingerprint"),
+    )
