@@ -31,6 +31,11 @@ class Ident:
 @dataclass
 class Wildcard:
     qualifier: str | None = None  # `*` or `t.*`
+    # [EXT] ClickHouse SELECT-list modifiers: `* EXCEPT (a, b)` drops
+    # columns, `* REPLACE (expr AS col)` substitutes an expression for
+    # a column in place (name and position preserved)
+    except_cols: list | None = None  # [str]
+    replaces: list | None = None  # [(expr, str)]
 
 
 @dataclass
@@ -47,6 +52,9 @@ class ConfigIdent:
 class FnCall:
     name: str
     args: list  # Expr list; a lone Subquery arg is how EXISTS(...) works
+    # [EXT] ClickHouse parametric aggregates: `fn(params)(args)`,
+    # e.g. topK(3)(x), quantiles(0.25, 0.5)(x). None = plain call.
+    params: list | None = None
 
 
 @dataclass

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from nutdb_spark.frontend import ast_nodes as A
 from nutdb_spark.functions import textfns as _textfns  # noqa: F401 — registers [EXT] names
-from nutdb_spark.functions.registry import AGGREGATE_FNS, SCALAR_FNS
+from nutdb_spark.functions.registry import (
+    AGGREGATE_FNS,
+    PARAMETRIC_AGGS,
+    SCALAR_FNS,
+)
 from nutdb_spark.operators import relational as R
 
 
@@ -304,12 +308,85 @@ class Lowerer:
         out_cols: list[Column | None] = []  # unaliased, for LIMIT BY refs
         for e, alias in q.columns:
             if isinstance(e, A.Wildcard):
+                if e.except_cols or e.replaces:
+                    # [EXT] `* EXCEPT (...)` / `* REPLACE (expr AS c)`:
+                    # expand to an explicit column list so Catalyst
+                    # prunes the dropped columns out of the scan
+                    cols = (
+                        base.select(f"{e.qualifier}.*").columns
+                        if e.qualifier
+                        else [
+                            c
+                            for c in base.columns
+                            if not c.startswith("__")
+                        ]
+                    )
+                    for c in e.except_cols or []:
+                        if c not in cols:
+                            raise LoweringError(
+                                f"EXCEPT column {c!r} is not in the "
+                                "wildcard's column set"
+                            )
+                    repl = {}
+                    for rexpr, rname in e.replaces or []:
+                        if rname not in cols:
+                            raise LoweringError(
+                                f"REPLACE column {rname!r} is not in "
+                                "the wildcard's column set"
+                            )
+                        rcol, base = self._expr_with_scalars(
+                            rexpr, base, scope, group_map, agg_calls
+                        )
+                        repl[rname] = rcol
+                    drop = set(e.except_cols or [])
+                    for c in cols:
+                        if c in drop:
+                            continue
+                        col = repl.get(c)
+                        if col is None:
+                            col = (
+                                F.col(f"{e.qualifier}.{c}")
+                                if e.qualifier
+                                else F.col(c)
+                            )
+                        proj.append(col.alias(c))
+                        out_names.append(c)
+                        out_cols.append(col)
+                    continue
                 if e.qualifier:
                     proj.append(F.col(f"{e.qualifier}.*"))
                 else:
                     proj.append(F.col("*"))
                 out_names.append("*")
                 out_cols.append(None)
+                continue
+            if (
+                isinstance(e, A.FnCall)
+                and e.name.lower() == "columns"
+                and len(e.args) == 1
+                and isinstance(e.args[0], A.Lit)
+                and e.args[0].kind == "string"
+            ):
+                # [EXT] COLUMNS('regex') — expand to every column whose
+                # name matches (partial match, like ClickHouse re2 /
+                # DuckDB). Resolved at lowering time so the physical
+                # plan is an ordinary pruned projection.
+                import re as _re
+
+                pat = _re.compile(e.args[0].value)
+                matched = [
+                    c
+                    for c in base.columns
+                    if not c.startswith("__") and pat.search(c)
+                ]
+                if not matched:
+                    raise LoweringError(
+                        f"COLUMNS({e.args[0].value!r}) matched no columns"
+                    )
+                for c in matched:
+                    proj.append(F.col(c).alias(c))
+                    out_names.append(c)
+                    out_cols.append(F.col(c))
                 continue
             col, base = self._expr_with_scalars(e, base, scope, group_map, agg_calls)
             name = alias or self._expr_name(e)
@@ -954,7 +1031,34 @@ class Lowerer:
     def _lower_agg_call(self, call: A.FnCall, scope: Scope) -> Column:
         from nutdb_spark.functions.registry import resolve
 
-        fn, _ = resolve(call.name)
+        if call.params is not None:
+            # [EXT] parametric aggregate fn(params)(args)
+            low = call.name.lower()
+            pfn = next(
+                (f for k, f in PARAMETRIC_AGGS.items() if k.lower() == low),
+                None,
+            )
+            if pfn is None:
+                raise LoweringError(
+                    f"function {call.name!r} is not parametric"
+                )
+            params = []
+            for p in call.params:
+                if not isinstance(p, A.Lit):
+                    raise LoweringError(
+                        "parametric aggregate parameters must be "
+                        "constant literals"
+                    )
+                params.append(p.value)
+            args = [self._expr(a, scope, {}, []) for a in call.args]
+            return pfn(params, *args)
+        try:
+            fn, _ = resolve(call.name)
+        except KeyError as ex:
+            raise LoweringError(
+                f"function {call.name!r} requires parameters: "
+                f"{call.name}(params)(args)"
+            ) from ex
         if not call.args or isinstance(call.args[0], A.Wildcard):
             return F.count(F.lit(1))
         args = [self._expr(a, scope, {}, []) for a in call.args]
@@ -1371,6 +1475,10 @@ class Lowerer:
     def _fn(self, e: A.FnCall, scope, group_map, agg_calls, pending) -> Column:
         from nutdb_spark.functions.registry import resolve
 
+        if e.params is not None and e.name.lower() not in _AGG_NAMES:
+            raise LoweringError(
+                f"function {e.name!r} is not parametric"
+            )
         try:
             fn, is_agg = resolve(e.name)
         except KeyError as ex:
@@ -1422,7 +1530,9 @@ def _refs_table(node, name: str) -> bool:
     return False
 
 
-_AGG_NAMES = {n.lower() for n in AGGREGATE_FNS}
+_AGG_NAMES = {n.lower() for n in AGGREGATE_FNS} | {
+    n.lower() for n in PARAMETRIC_AGGS
+}
 
 # fn name (lowercased) -> 0-based arg positions that must be string
 # LITERALS passed through raw (not lowered to Columns): Spark's

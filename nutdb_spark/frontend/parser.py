@@ -41,6 +41,7 @@ _SYM_POWER = {
 _KW_POWER = {
     "or": P_OR, "xor": P_XOR, "and": P_AND, "not": P_NOT,
     "is": P_CMP, "in": P_CMP, "like": P_CMP, "ilike": P_CMP,
+    "global": P_CMP,
     "between": P_BETWEEN,
 }
 
@@ -368,8 +369,12 @@ class Parser:
     def _select_item(self):
         if self.at_sym("*"):
             self.next()
-            return (A.Wildcard(), None)
+            return (self._wildcard_modifiers(A.Wildcard()), None)
         e = self.parse_expr()
+        if isinstance(e, A.Wildcard):
+            # `t.*` came back from the expression parser — the same
+            # EXCEPT/REPLACE modifiers apply to the qualified form
+            return (self._wildcard_modifiers(e), None)
         if isinstance(e, A.Ident) and e.qualifier is None and self.at_sym("."):
             pass  # handled in prefix
         alias = None
@@ -378,6 +383,60 @@ class Parser:
         elif self.peek().type == T.DELIM_IDENT:
             alias = self.ident()
         return (e, alias)
+
+    def _wildcard_modifiers(self, wc: A.Wildcard) -> A.Wildcard:
+        """[EXT] ClickHouse SELECT-list modifiers on a wildcard:
+        `* EXCEPT (a, b)` and `* REPLACE (expr AS col, ...)`, in any
+        order. EXCEPT is ambiguous with the set operator — it is taken
+        as a modifier only when followed by `(` NOT opening a
+        subquery, or by a bare column name (a set-op operand must
+        start with SELECT/WITH/`(`, so `* EXCEPT SELECT ...` and
+        `* EXCEPT (SELECT ...)` still parse as set operations; so do
+        the explicit `EXCEPT ALL/DISTINCT` spellings)."""
+        while True:
+            if self.at_kw("except"):
+                nxt = self.tokens[self.pos + 1]
+                if nxt.type == T.SYM and nxt.text == "(":
+                    after = self.tokens[self.pos + 2]
+                    if after.type == T.KWID and after.text.lower() in (
+                        "select", "with"
+                    ):
+                        break  # `* EXCEPT (SELECT ...)` — set operator
+                    self.next()
+                    self.next()
+                    cols = [self.ident()]
+                    while self.eat_sym(","):
+                        cols.append(self.ident())
+                    self.expect_sym(")")
+                elif nxt.type == T.DELIM_IDENT or (
+                    nxt.type == T.KWID
+                    and nxt.text.lower()
+                    not in ("select", "with", "all", "distinct")
+                ):
+                    self.next()
+                    cols = [self.ident()]
+                else:
+                    break  # set operator
+                wc.except_cols = (wc.except_cols or []) + cols
+                continue
+            if self.at_kw("replace"):
+                nxt = self.tokens[self.pos + 1]
+                if not (nxt.type == T.SYM and nxt.text == "("):
+                    break
+                self.next()
+                self.next()
+                repls = []
+                while True:
+                    e = self.parse_expr()
+                    self.expect_kw("as")
+                    repls.append((e, self.ident()))
+                    if not self.eat_sym(","):
+                        break
+                self.expect_sym(")")
+                wc.replaces = (wc.replaces or []) + repls
+                continue
+            break
+        return wc
 
     def _from_source(self) -> A.FromClause:
         src, alias = self._table_like()
@@ -659,6 +718,19 @@ class Parser:
         if self.at_sym("(") :
             self.next()
             call = self._fn_call(name)
+            # [EXT] parametric aggregates: fn(params)(args) —
+            # ClickHouse combinator syntax (topK(3)(x),
+            # quantiles(0.25, 0.5)(x)). The first list is parameters,
+            # the second the actual arguments.
+            if (
+                isinstance(call, A.FnCall)
+                and call.params is None
+                and self.at_sym("(")
+            ):
+                self.next()
+                inner = self._fn_call(name)
+                inner.params = call.args
+                call = inner
             # [EXT] window functions: fn(args) OVER (...) — not in the
             # reference grammar (SURVEY §2.6), engine extension
             if isinstance(call, A.FnCall) and self.at_kw("over"):
@@ -879,6 +951,15 @@ class Parser:
             return self._fold_is_null(left, negated)
         if kw == "in":
             return self._in_rhs(left, negated=False)
+        if kw == "global":
+            # [EXT] GLOBAL IN / GLOBAL NOT IN (ClickHouse). The GLOBAL
+            # keyword controls distributed-subquery shipping in CH; on
+            # Spark the broadcast-vs-shuffle decision is Catalyst's, so
+            # it is accepted for dialect parity and lowers identically
+            # to plain IN.
+            negated = self.eat_kw("not")
+            self.expect_kw("in")
+            return self._in_rhs(left, negated=negated)
         if kw in ("like", "ilike"):
             right = self.parse_expr(power)
             return A.BinOp(kw, left, right)

@@ -427,3 +427,51 @@ AGGREGATE_FNS["quantiles"] = lambda c, *ps: F.percentile(c, F.array(*ps))
 AGGREGATE_FNS["groupBitAnd"] = F.bit_and
 AGGREGATE_FNS["groupBitOr"] = F.bit_or
 AGGREGATE_FNS["groupBitXor"] = F.bit_xor
+
+
+# --- [EXT] parametric aggregates ----------------------------------------
+# ClickHouse combinator syntax `fn(params)(args)`. Each entry takes
+# (params, *arg_columns) where params are Python literal values taken
+# from the parameter list (constants only), and returns ONE aggregate
+# Column — the whole pipeline stays a single JVM-side hash aggregate.
+PARAMETRIC_AGGS: dict[str, Callable] = {}
+
+
+def _topk(params: list, x: Column) -> Column:
+    """topK(k)(x) → the k most frequent values of x, as an array.
+
+    ClickHouse's topK is an approximate (Filtered Space-Saving)
+    sketch with an unspecified tie order; this engine strengthens it
+    to the EXACT top-k by frequency with a deterministic tie-break
+    (count desc, value asc) so the result is oracle-checkable on any
+    engine. Lowering: one collect_list per group, then pure
+    higher-order functions (distinct → per-value count → struct sort
+    → slice) — all JVM-side, no Python boundary. Exactness costs
+    O(|group| · |distinct|) per group, the right trade at moderate
+    group cardinality; a 100 TB heavy-hitter scan over huge groups
+    should pre-aggregate (GROUP BY value) first, which is exactly
+    what the DuckDB oracle formulation does."""
+    k = int(params[0])
+    cl = F.collect_list(x)
+    pairs = F.transform(
+        F.array_distinct(cl),
+        lambda v: F.struct(
+            (-F.size(F.filter(cl, lambda y: y == v))).alias("nc"),
+            v.alias("val"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, k), lambda s: s["val"]
+    )
+
+
+PARAMETRIC_AGGS["topK"] = _topk
+# quantiles(p1, p2, ...)(x) — exact interpolating percentile vector
+# (array<double>), same convention as the flat quantiles(x, p...) form
+PARAMETRIC_AGGS["quantiles"] = lambda params, x: F.percentile(
+    x, F.array(*[F.lit(float(p)) for p in params])
+)
+# quantile(p)(x) — scalar form
+PARAMETRIC_AGGS["quantile"] = lambda params, x: F.percentile(
+    x, float(params[0])
+)

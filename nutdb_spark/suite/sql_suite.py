@@ -1168,3 +1168,116 @@ def sql_recursive_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         select k from chain
         """,
     )
+
+
+@query(
+    "sql_select_modifiers",
+    """
+    SELECT * EXCLUDE (c_name)
+           REPLACE (CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS c_acctbal)
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5)
+    ORDER BY c_custkey
+    LIMIT 50
+    """,
+)
+def sql_select_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ClickHouse SELECT-list wildcard modifiers `* EXCEPT (c)`
+    and `* REPLACE (expr AS c)` plus `GLOBAL IN`. The wildcard expands
+    to an explicit column list at lowering time, so the dropped column
+    is pruned out of the parquet scan (ReadSchema excludes c_name) —
+    the modifier is a scan-narrowing declaration, not a post-project.
+    GLOBAL IN lowers identically to IN (the CH keyword only controls
+    distributed-subquery shipping, which is Catalyst's decision on
+    Spark). DuckDB oracle spells them EXCLUDE / REPLACE / IN."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select * except (c_name)
+               replace (floor(c_acctbal * 100) as c_acctbal)
+        from customer
+        where c_nationkey global in (1, 3, 5)
+        order by c_custkey
+        limit 50
+        """,
+    )
+
+
+@query(
+    "sql_columns_regex",
+    """
+    SELECT COLUMNS('key')
+    FROM (SELECT c_custkey, c_name, c_nationkey FROM customer)
+    ORDER BY c_custkey
+    LIMIT 20
+    """,
+)
+def sql_columns_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] COLUMNS('regex') dynamic projection (ClickHouse / DuckDB
+    both use partial regex match over column names). Expanded at
+    lowering time against the resolved input schema, so the physical
+    plan is an ordinary explicit projection with full column pruning —
+    the regex never reaches execution."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select columns('key')
+        from (select c_custkey, c_name, c_nationkey from customer)
+        order by c_custkey
+        limit 20
+        """,
+    )
+
+
+@query(
+    "sql_parametric",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus AS val, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), t AS (
+      SELECT l_returnflag,
+             list_aggregate((list(val ORDER BY cnt DESC, val))[1:2],
+                            'string_agg', ',') AS top_status
+      FROM c GROUP BY 1
+    ), q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q25,
+             quantile_cont(l_quantity, 0.5) AS q50,
+             quantile_cont(l_quantity, 0.75) AS q75,
+             quantile_cont(l_quantity, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    )
+    SELECT t.l_returnflag, t.top_status, q.q25, q.q50, q.q75, q.med
+    FROM t JOIN q USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def sql_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Parametric aggregates `fn(params)(args)` (ClickHouse
+    combinator syntax): topK(2)(x) and quantiles(...)(x) /
+    quantile(p)(x). topK is strengthened from CH's approximate
+    space-saving sketch to the EXACT top-k by frequency with a
+    deterministic (count desc, value asc) tie-break — one collect_list
+    per group post-processed by JVM higher-order functions, no second
+    shuffle and no Python. quantiles uses exact interpolating
+    percentile over integer-valued doubles, so every output is an
+    exactly-representable .25 multiple on both engines (see
+    functions/exact.py conventions)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               arrayStringConcat(topK(2)(l_linestatus), ',') as top_status,
+               quantiles(0.25, 0.5, 0.75)(l_quantity)[1] as q25,
+               quantiles(0.25, 0.5, 0.75)(l_quantity)[2] as q50,
+               quantiles(0.25, 0.5, 0.75)(l_quantity)[3] as q75,
+               quantile(0.5)(l_quantity) as med
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+        """,
+    )
