@@ -238,11 +238,19 @@ class Catalog:
 
     # --- CREATE TABLE (S6) ------------------------------------------------
 
-    def create_table(self, d: A.TableDefinition) -> None:
-        if self._load_meta(d.name) is not None:
+    def create_table(self, d: A.TableDefinition, low=None) -> None:
+        existing = self._load_meta(d.name)
+        if existing is not None:
             if d.if_not_exists:
                 return
-            raise CatalogError(f"table {d.name!r} already exists")
+            if getattr(d, "or_replace", False):
+                # [EXT] CREATE OR REPLACE TABLE — drop-and-recreate
+                self.drop(A.DropStmt(existing["type"], d.name, True))
+            else:
+                raise CatalogError(f"table {d.name!r} already exists")
+        if getattr(d, "as_query", None) is not None:
+            self._create_table_as(d, low)
+            return
         meta = {
             "type": "table",
             "name": d.name,
@@ -281,6 +289,69 @@ class Catalog:
         }
         self._save_meta(d.name, meta)
         os.makedirs(self._data_path(d.name), exist_ok=True)
+
+    def _create_table_as(self, d: A.TableDefinition, low) -> None:
+        """[EXT] CREATE TABLE ... AS SELECT: the schema is the query's
+        output schema; data is written through the same
+        partition/order-aware parquet path as INSERT. The write is the
+        query's own distributed plan — nothing materializes on the
+        driver. An ENGINE clause is recorded for ClickHouse parity but
+        storage is always parquet + JSON sidecar."""
+        if low is None:
+            raise CatalogError("CTAS requires a query lowerer")
+        df = low.lower_query(d.as_query)
+        meta = {
+            "type": "table",
+            "name": d.name,
+            "columns": [
+                {
+                    "name": f.name,
+                    "dtype": {
+                        "name": f.dataType.simpleString(),
+                        "nullable": True,
+                    },
+                    "spark_type": f.dataType.json(),
+                    "nullable": True,
+                    "serial": False,
+                    "default": None,
+                    "comment": None,
+                    "max_len": None,
+                }
+                for f in df.schema.fields
+            ],
+            "primary_key": d.primary_key,
+            "order_by": d.order_by,
+            "partition_by": (
+                _pickle_ast(d.partition_by) if d.partition_by else None
+            ),
+            "indexes": [],
+            "constraints": [],
+            "comment": d.comment,
+            "engine": d.engine,
+            "serial_next": {},
+        }
+        for c in d.order_by or []:
+            if c not in df.columns:
+                raise CatalogError(f"ORDER BY column {c!r} not in CTAS output")
+        self._save_meta(d.name, meta)
+        path = self._data_path(d.name)
+        os.makedirs(path, exist_ok=True)
+        staged = df
+        part_cols: list[str] = []
+        if d.partition_by is not None:
+            if isinstance(d.partition_by, A.Ident):
+                part_cols = [d.partition_by.name]
+            else:
+                staged = staged.withColumn(
+                    "__part", low._expr(d.partition_by, None, {}, [])
+                )
+                part_cols = ["__part"]
+        if d.order_by:
+            staged = staged.sortWithinPartitions(*d.order_by)
+        writer = staged.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(path)
 
     def _schema(self, meta: dict) -> S.StructType:
         return S.StructType(
@@ -619,10 +690,15 @@ class Catalog:
     _VIEW_STRATEGIES = ("summing", "replacing")
 
     def create_view(self, v: A.ViewDefinition, low) -> None:
-        if self._load_meta(v.name) is not None:
+        existing = self._load_meta(v.name)
+        if existing is not None:
             if v.if_not_exists:
                 return
-            raise CatalogError(f"view {v.name!r} already exists")
+            if getattr(v, "or_replace", False):
+                # [EXT] CREATE OR REPLACE VIEW — drop-and-recreate
+                self.drop(A.DropStmt(existing["type"], v.name, True))
+            else:
+                raise CatalogError(f"view {v.name!r} already exists")
         strategy = v.strategy.lower()
         if strategy not in self._VIEW_STRATEGIES:
             raise CatalogError(f"unsupported view strategy {v.strategy!r}")
@@ -1082,8 +1158,38 @@ def _pickle_ast(node) -> str:
     return base64.b64encode(pickle.dumps(node)).decode()
 
 
+def _upgrade_ast(node, _seen=None):
+    """Fill dataclass fields added AFTER a pickled AST was persisted
+    with their declared defaults, so every walker (getattr over
+    __dataclass_fields__) keeps working on catalogs written by older
+    engine versions."""
+    import dataclasses
+
+    if _seen is None:
+        _seen = set()
+    if id(node) in _seen:
+        return node
+    _seen.add(id(node))
+    if isinstance(node, (list, tuple)):
+        for x in node:
+            _upgrade_ast(x, _seen)
+        return node
+    if not hasattr(node, "__dataclass_fields__"):
+        return node
+    for f in dataclasses.fields(node):
+        if f.name not in node.__dict__:
+            if f.default is not dataclasses.MISSING:
+                setattr(node, f.name, f.default)
+            elif f.default_factory is not dataclasses.MISSING:
+                setattr(node, f.name, f.default_factory())
+            else:
+                setattr(node, f.name, None)
+        _upgrade_ast(getattr(node, f.name), _seen)
+    return node
+
+
 def _unpickle_ast(s: str):
-    return pickle.loads(base64.b64decode(s))
+    return _upgrade_ast(pickle.loads(base64.b64decode(s)))
 
 
 def _parse_type(js: str) -> S.DataType:

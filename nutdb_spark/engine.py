@@ -98,7 +98,11 @@ class NutEngine:
             self.catalog.insert(stmt, low)
             return None
         if isinstance(stmt, A.CreateTableStmt):
-            self.catalog.create_table(stmt.definition)
+            self.catalog.create_table(stmt.definition, low)
+            return None
+        if isinstance(stmt, A.RenameStmt):
+            for old, new in stmt.pairs:
+                self.catalog.alter(A.AlterStmt(old, "rename_table", new), low)
             return None
         if isinstance(stmt, A.CreateViewStmt):
             self.catalog.create_view(stmt.definition, low)

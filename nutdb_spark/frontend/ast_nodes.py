@@ -249,6 +249,10 @@ class ArrayJoin:
 @dataclass
 class SelectCore:
     ctes: list[Cte] = field(default_factory=list)
+    # [EXT] ClickHouse scalar WITH: `WITH <expr> AS <name>` — a named
+    # expression macro substituted for every unqualified reference to
+    # <name> in this query body (aliases may reference earlier ones)
+    expr_aliases: list = field(default_factory=list)  # [(name, expr)]
     distinct: bool = False
     distinct_on: list | None = None
     columns: list = field(default_factory=list)  # (expr|Wildcard, alias|None)
@@ -340,6 +344,12 @@ class TableDefinition:
     partition_by: object | None = None
     comment: str | None = None
     if_not_exists: bool = False
+    # [EXT] CREATE TABLE ... AS SELECT (CTAS): schema derived from the
+    # query; `engine` is accepted for ClickHouse parity and recorded
+    # only (storage is always parquet + JSON sidecar here)
+    as_query: object | None = None
+    engine: str | None = None
+    or_replace: bool = False
 
 
 @dataclass
@@ -351,6 +361,7 @@ class ViewDefinition:
     order_by: list[str] | None = None
     partition_by: object | None = None
     if_not_exists: bool = False
+    or_replace: bool = False  # [EXT] CREATE OR REPLACE VIEW
 
 
 # --- statements (ast/mod.rs:13-107, ast/alter.rs) -------------------------
@@ -419,6 +430,14 @@ class DropStmt:
     entity: str  # table|view
     name: str
     if_exists: bool = False
+
+
+@dataclass
+class RenameStmt:
+    """[EXT] RENAME TABLE a TO b[, c TO d ...] — statement-level form
+    of ALTER ... RENAME TO; each pair applies in order."""
+
+    pairs: list  # [(old, new)]
 
 
 @dataclass

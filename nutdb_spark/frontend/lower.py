@@ -200,9 +200,101 @@ class Lowerer:
         try:
             for c in q.ctes:
                 frame[c.name] = self._lower_cte(c, outer)
+            if getattr(q, "expr_aliases", None):
+                self._apply_expr_aliases(q)
             return self._lower_select_body(q, outer)
         finally:
             self._cte_stack.pop()
+
+    def _apply_expr_aliases(self, q: A.SelectCore) -> None:
+        """[EXT] ClickHouse scalar WITH: substitute each `WITH expr AS
+        name` binding for every unqualified Ident(name) in THIS query
+        body's expressions (select list, WHERE/PREWHERE, GROUP BY,
+        HAVING, QUALIFY, ORDER BY, join conditions). Later bindings see
+        earlier ones. Subqueries keep their own scope — substitution
+        stops at any nested query boundary — and the WITH alias takes
+        precedence over a same-named column, matching ClickHouse."""
+        import copy as _copy
+
+        bound: dict[str, object] = {}
+        for name, expr in q.expr_aliases:
+            bound[name] = self._subst_expr(_copy.deepcopy(expr), bound)
+
+        for f in (
+            "where", "prewhere", "having", "qualify", "limit", "offset"
+        ):
+            v = getattr(q, f, None)
+            if v is not None and hasattr(v, "__dataclass_fields__"):
+                setattr(q, f, self._subst_expr(v, bound))
+        new_cols = []
+        for e, a in q.columns:
+            if isinstance(e, A.Wildcard):
+                new_cols.append((e, a))
+                continue
+            if (
+                a is None
+                and isinstance(e, A.Ident)
+                and e.qualifier is None
+                and e.name in bound
+            ):
+                # a bare `SELECT rk2` keeps the alias name as the
+                # output column name, like ClickHouse
+                a = e.name
+            new_cols.append((self._subst_expr(e, bound), a))
+        q.columns = new_cols
+        q.group_by = [self._subst_expr(g, bound) for g in q.group_by]
+        for o in getattr(q, "order_by", None) or []:
+            o.expr = self._subst_expr(o.expr, bound)
+        for j in q.joins:
+            if getattr(j, "on", None) is not None:
+                j.on = self._subst_expr(j.on, bound)
+
+    def _subst_expr(self, node, bound: dict):
+        import copy as _copy
+
+        if isinstance(node, A.Ident) and node.qualifier is None:
+            hit = bound.get(node.name)
+            if hit is not None:
+                return _copy.deepcopy(hit)
+            return node
+        if isinstance(
+            node, (A.ScalarSubquery, A.Exists, A.InSubquery, A.Lit,
+                   A.Param, A.Wildcard, A.Interval)
+        ):
+            return node
+        if isinstance(node, A.Lambda):
+            # lambda parameters shadow WITH aliases inside the body
+            inner = {k: v for k, v in bound.items() if k not in node.params}
+            if hasattr(node.body, "__dataclass_fields__"):
+                node.body = self._subst_expr(node.body, inner)
+            return node
+        if not hasattr(node, "__dataclass_fields__"):
+            return node
+        for f in node.__dataclass_fields__:
+            v = getattr(node, f)
+            if isinstance(v, list):
+                setattr(
+                    node,
+                    f,
+                    [
+                        tuple(
+                            self._subst_expr(y, bound)
+                            if hasattr(y, "__dataclass_fields__")
+                            else y
+                            for y in x
+                        )
+                        if isinstance(x, tuple)
+                        else (
+                            self._subst_expr(x, bound)
+                            if hasattr(x, "__dataclass_fields__")
+                            else x
+                        )
+                        for x in v
+                    ],
+                )
+            elif hasattr(v, "__dataclass_fields__"):
+                setattr(node, f, self._subst_expr(v, bound))
+        return node
 
     def _lower_cte(self, c: A.Cte, outer) -> DataFrame:
         """A later CTE sees every earlier one (the frame is already on

@@ -77,6 +77,10 @@ class Parser:
     def peek(self) -> T.Token:
         return self.tokens[self.pos]
 
+    def peek_at(self, off: int) -> T.Token:
+        """Lookahead clamped to the trailing EOF token."""
+        return self.tokens[min(self.pos + off, len(self.tokens) - 1)]
+
     def next(self) -> T.Token:
         t = self.tokens[self.pos]
         if t.type != T.EOF:
@@ -132,6 +136,7 @@ class Parser:
             "drop": self._drop, "truncate": self._truncate,
             "alter": self._alter, "optimize": self._optimize,
             "set": self._set, "show": self._show,
+            "rename": self._rename,
         }
         if kw not in dispatch:
             raise ParseError(f"unknown statement keyword {t.text!r}")
@@ -200,12 +205,33 @@ class Parser:
         if self.eat_kw("with"):
             recursive = self.eat_kw("recursive")
             while True:
-                name = self.ident()
-                self.expect_kw("as")
-                self.expect_sym("(")
-                sub = self.parse_query()
-                self.expect_sym(")")
-                q.ctes.append(A.Cte(name, sub, recursive))
+                # standard CTE shape: ident AS ( SELECT ... ). Anything
+                # else is the [EXT] ClickHouse scalar form
+                # `WITH <expr> AS <name>` — a named expression macro.
+                t0 = self.peek_at(0)
+                t1 = self.peek_at(1)
+                t2 = self.peek_at(2)
+                t3 = self.peek_at(3)
+                is_cte = (
+                    t0.type in (T.KWID, T.DELIM_IDENT)
+                    and t1.type == T.KWID
+                    and t1.text.lower() == "as"
+                    and t2.type == T.SYM
+                    and t2.text == "("
+                    and t3.type == T.KWID
+                    and t3.text.lower() in ("select", "with")
+                )
+                if is_cte:
+                    name = self.ident()
+                    self.expect_kw("as")
+                    self.expect_sym("(")
+                    sub = self.parse_query()
+                    self.expect_sym(")")
+                    q.ctes.append(A.Cte(name, sub, recursive))
+                else:
+                    e = self.parse_expr()
+                    self.expect_kw("as")
+                    q.expr_aliases.append((self.ident(), e))
                 if not self.eat_sym(","):
                     break
         self.expect_kw("select")
@@ -395,9 +421,9 @@ class Parser:
         the explicit `EXCEPT ALL/DISTINCT` spellings)."""
         while True:
             if self.at_kw("except"):
-                nxt = self.tokens[self.pos + 1]
+                nxt = self.peek_at(1)
                 if nxt.type == T.SYM and nxt.text == "(":
-                    after = self.tokens[self.pos + 2]
+                    after = self.peek_at(2)
                     if after.type == T.KWID and after.text.lower() in (
                         "select", "with"
                     ):
@@ -420,7 +446,7 @@ class Parser:
                 wc.except_cols = (wc.except_cols or []) + cols
                 continue
             if self.at_kw("replace"):
-                nxt = self.tokens[self.pos + 1]
+                nxt = self.peek_at(1)
                 if not (nxt.type == T.SYM and nxt.text == "("):
                     break
                 self.next()
@@ -1123,11 +1149,41 @@ class Parser:
 
     def _create(self):
         self.expect_kw("create")
+        # [EXT] CREATE OR REPLACE TABLE/VIEW
+        or_replace = False
+        if self.eat_kw("or"):
+            self.expect_kw("replace")
+            or_replace = True
         if self.eat_kw("table"):
-            return A.CreateTableStmt(self._table_definition())
+            d = self._table_definition()
+            d.or_replace = or_replace
+            if or_replace and d.if_not_exists:
+                raise ParseError(
+                    "OR REPLACE and IF NOT EXISTS are mutually exclusive"
+                )
+            return A.CreateTableStmt(d)
         if self.eat_kw("view"):
-            return A.CreateViewStmt(self._view_definition())
+            v = self._view_definition()
+            v.or_replace = or_replace
+            if or_replace and v.if_not_exists:
+                raise ParseError(
+                    "OR REPLACE and IF NOT EXISTS are mutually exclusive"
+                )
+            return A.CreateViewStmt(v)
         raise ParseError("CREATE supports TABLE and VIEW")
+
+    def _rename(self):
+        # [EXT] RENAME TABLE a TO b[, c TO d ...]
+        self.expect_kw("rename")
+        self.expect_kw("table")
+        pairs = []
+        while True:
+            old = self.ident()
+            self.expect_kw("to")
+            pairs.append((old, self.ident()))
+            if not self.eat_sym(","):
+                break
+        return A.RenameStmt(pairs)
 
     def _if_not_exists(self) -> bool:
         if self.eat_kw("if"):
@@ -1140,6 +1196,16 @@ class Parser:
         ine = self._if_not_exists()
         name = self.ident()
         d = A.TableDefinition(name, [], if_not_exists=ine)
+        if not self.at_sym("("):
+            # [EXT] CTAS: CREATE TABLE name [ENGINE [=] e] [attrs]
+            # AS <query> — schema derived from the query
+            if self.eat_kw("engine"):
+                self.eat_sym("=")
+                d.engine = self.ident()
+            self._table_attrs(d)
+            self.expect_kw("as")
+            d.as_query = self.parse_query()
+            return d
         self.expect_sym("(")
         while True:
             if self.at_kw("index"):

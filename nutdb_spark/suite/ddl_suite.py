@@ -313,3 +313,40 @@ def q_ddl_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("ALTER TABLE mut_t UPDATE v = v * 10 WHERE tag = 'a' AND v < 50")
     eng.sql("ALTER TABLE mut_t DELETE WHERE v >= 80")
     return eng.sql("SELECT k, tag, v FROM mut_t ORDER BY k")
+
+
+@query(
+    "q_ddl_ctas",
+    """
+    SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s
+    FROM nation WHERE n_nationkey < 20
+    GROUP BY n_regionkey
+    """,
+)
+def q_ddl_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CREATE TABLE ... AS SELECT (CTAS, with ENGINE/ORDER BY
+    accepted ClickHouse-style), CREATE OR REPLACE TABLE, and the
+    statement-level RENAME TABLE a TO b. The CTAS write is the query's
+    own distributed plan (schema derived from the query output) and
+    the replace leg proves drop-and-recreate atomicity at the catalog
+    level."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ctas_t")
+    eng.sql("DROP TABLE IF EXISTS ctas_final")
+    # first version: too many rows — OR REPLACE must supersede it
+    eng.sql("CREATE TABLE ctas_t AS SELECT n_nationkey, n_regionkey FROM nation")
+    eng.sql(
+        """
+        CREATE OR REPLACE TABLE ctas_t ENGINE = MergeTree
+        ORDER BY n_nationkey
+        AS SELECT n_nationkey, n_regionkey FROM nation
+           WHERE n_nationkey < 20
+        """
+    )
+    eng.sql("RENAME TABLE ctas_t TO ctas_final")
+    return eng.sql(
+        """
+        SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS s
+        FROM ctas_final GROUP BY n_regionkey
+        """
+    )

@@ -1281,3 +1281,42 @@ def sql_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by l_returnflag
         """,
     )
+
+
+@query(
+    "sql_with_scalar",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS big,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_quantity > 25 - 5
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_with_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ClickHouse scalar WITH: `WITH <expr> AS <name>` binds a
+    named expression macro substituted (with precedence over columns,
+    chaining allowed) before lowering — so the physical plan is
+    IDENTICAL to hand-inlining the expression: the threshold constant
+    folds into the pushed parquet filter and the revenue expression
+    stays one whole-stage-codegen projection. The DuckDB oracle is the
+    inlined spelling."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with 25 as threshold,
+             l_extendedprice * (1 - l_discount) as disc_price
+        select l_returnflag,
+               sum(if l_quantity > threshold then 1 else 0 end) as big,
+               sum(floor(disc_price * 100)) / 100.0 as revenue
+        from lineitem
+        where l_quantity > threshold - 5
+        group by l_returnflag
+        order by l_returnflag
+        """,
+    )

@@ -189,3 +189,139 @@ def test_parametric_stays_jvm_side(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- CTAS / OR REPLACE / RENAME / scalar WITH ------------------------------
+
+
+def test_ctas_parses():
+    stmt = parse("create table t engine = Memory order by (a) as select 1 as a")
+    d = stmt.definition
+    assert d.as_query is not None and d.engine == "Memory"
+    assert d.order_by == ["a"]
+
+
+def test_create_or_replace_parses():
+    stmt = parse("create or replace table t as select 1 as a")
+    assert stmt.definition.or_replace
+
+
+def test_or_replace_if_not_exists_conflict():
+    with pytest.raises(ParseError, match="mutually exclusive"):
+        parse("create or replace table if not exists t as select 1 as a")
+
+
+def test_rename_statement_parses():
+    stmt = parse("rename table a to b, c to d")
+    assert stmt.pairs == [("a", "b"), ("c", "d")]
+
+
+def test_with_scalar_alias_parses():
+    stmt = parse("with 5 as k, k * 2 as m select m from t")
+    q = stmt.query
+    assert [n for n, _ in q.expr_aliases] == ["k", "m"]
+    assert q.ctes == []
+
+
+def test_with_cte_still_parses():
+    stmt = parse("with c as (select 1 as x) select x from c")
+    q = stmt.query
+    assert len(q.ctes) == 1 and q.expr_aliases == []
+
+
+def test_ctas_roundtrip(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
+    eng.sql("create table ct as select r_regionkey, r_name from region")
+    assert eng.sql("select count() as n from ct").collect()[0]["n"] == 5
+    # OR REPLACE swaps schema AND contents
+    eng.sql(
+        "create or replace table ct as "
+        "select n_nationkey from nation where n_nationkey < 3"
+    )
+    out = eng.sql("select count() as n from ct").collect()
+    assert out[0]["n"] == 3
+    assert eng.sql("select * from ct").columns == ["n_nationkey"]
+
+
+def test_ctas_partitioned_write(spark, tmp_path):
+    import os
+
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
+    eng.sql(
+        "create table ctp partition by n_regionkey as "
+        "select n_nationkey, n_regionkey from nation"
+    )
+    data = os.path.join(str(tmp_path), "ctp")
+    parts = [f for f in os.listdir(data) if f.startswith("n_regionkey=")]
+    assert len(parts) == 5  # hive-partitioned layout, one dir per key
+    assert eng.sql("select count() as n from ctp").collect()[0]["n"] == 25
+
+
+def test_rename_table_statement(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
+    eng.sql("create table rt1 as select 1 as x")
+    eng.sql("rename table rt1 to rt2")
+    assert eng.sql("select x from rt2").collect()[0]["x"] == 1
+    with pytest.raises(Exception):
+        eng.sql("select x from rt1").collect()
+
+
+def test_create_or_replace_view(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
+    eng.sql("create table base (k Int32, v Int64) ORDER BY (k)")
+    eng.sql("insert into base (k, v) values (1, 10), (1, 5), (2, 7)")
+    eng.sql(
+        "create view sv update by Summing order by (k) as "
+        "select k, v from base"
+    )
+    eng.sql(
+        "create or replace view sv update by Summing order by (k) as "
+        "select k, v * 2 as v from base"
+    )
+    got = {r["k"]: r["v"] for r in eng.sql("select k, v from sv").collect()}
+    assert got == {1: 30, 2: 14}
+
+
+def test_with_scalar_substitution(spark):
+    eng = _eng(spark)
+    out = eng.sql(
+        "with 10 as base, base * 2 as dbl "
+        "select n_nationkey, dbl from nation "
+        "where n_nationkey < base - 8 order by n_nationkey"
+    ).collect()
+    assert [(r["n_nationkey"], r["dbl"]) for r in out] == [(0, 20), (1, 20)]
+
+
+def test_with_scalar_shadows_column(spark):
+    # the WITH alias takes precedence over a same-named column (CH)
+    out = _eng(spark).sql(
+        "with 99 as n_regionkey select n_regionkey from nation limit 1"
+    ).collect()
+    assert out[0]["n_regionkey"] == 99
+
+
+def test_with_scalar_not_visible_in_subquery(spark):
+    # substitution stops at query boundaries: the subquery's column
+    # reference resolves to the real column, not the outer macro
+    out = _eng(spark).sql(
+        "with 99 as n_regionkey "
+        "select max(k) as m from "
+        "(select n_regionkey as k from nation)"
+    ).collect()
+    assert out[0]["m"] == 4
+
+
+def test_with_scalar_lambda_shadowing(spark):
+    out = _eng(spark).sql(
+        "with 100 as x "
+        "select arrayMap(x -> x + 1, [1, 2])[1] as first_el"
+    ).collect()
+    assert out[0]["first_el"] == 2
