@@ -223,6 +223,11 @@ class FromClause:
     # fraction threshold — append-stable, engine-portable, unlike
     # random sampling. (fraction: float, key expr)
     sample: tuple | None = None
+    # [EXT] `FROM t FINAL` (ClickHouse): force fully-merged state. The
+    # engine's view reads ALWAYS serve merged state (read_view applies
+    # the Summing/Replacing merge on every read), so FINAL is accepted
+    # for dialect parity and is semantically a no-op — pytest-pinned.
+    final: bool = False
 
 
 @dataclass

@@ -466,6 +466,7 @@ class Parser:
 
     def _from_source(self) -> A.FromClause:
         src, alias = self._table_like()
+        final = self.eat_kw("final")
         sample = None
         if self.eat_kw("sample"):
             t = self.peek()
@@ -482,7 +483,7 @@ class Parser:
             key = self.parse_expr()
             self.expect_sym(")")
             sample = (frac, key)
-        return A.FromClause(src, alias, sample)
+        return A.FromClause(src, alias, sample, final)
 
     def _table_like(self):
         if self.at_sym("("):
@@ -520,6 +521,7 @@ class Parser:
             "window",  # WINDOW w AS (spec)
             "into",  # INTO OUTFILE sink
             "settings",  # trailing SETTINGS k = v
+            "final",  # FROM t FINAL (merged-state read)
         }:
             return self.ident()
         return None

@@ -415,6 +415,12 @@ SCALAR_FNS["arrayEnumerate"] = lambda a: F.when(
     F.size(a) > 0, F.sequence(F.lit(1), F.size(a))
 ).otherwise(F.array().cast("array<int>"))
 SCALAR_FNS["arrayZip"] = F.arrays_zip
+# arrayJoin(arr) — ClickHouse's row-multiplying function form of
+# ARRAY JOIN: lowers to Spark's explode generator. Catalyst itself
+# enforces generator placement (top-level projection only, one
+# generator per select) with a loud AnalysisException, matching CH's
+# own restrictions closely enough to document rather than re-check.
+SCALAR_FNS["arrayJoin"] = F.explode
 
 # aggregates
 # anyLast = last non-null seen; like `any`, partition-order-dependent

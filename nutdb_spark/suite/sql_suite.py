@@ -1320,3 +1320,30 @@ def sql_with_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by l_returnflag
         """,
     )
+
+
+@query(
+    "sql_arrayjoin_fn",
+    """
+    SELECT n_nationkey, u.tok AS tok
+    FROM nation, unnest(string_split(n_name, 'A')) AS u(tok)
+    WHERE n_nationkey < 10
+    ORDER BY n_nationkey, tok
+    """,
+)
+def sql_arrayjoin_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] arrayJoin(arr) — ClickHouse's function form of ARRAY
+    JOIN: one call in the select list multiplies the row per array
+    element. Lowers to Spark's explode generator inside the same
+    whole-stage-codegen projection (no shuffle, no Python); DuckDB
+    oracle is the lateral unnest spelling."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select n_nationkey, arrayJoin(splitByChar('A', n_name)) as tok
+        from nation
+        where n_nationkey < 10
+        order by n_nationkey, tok
+        """,
+    )

@@ -711,3 +711,55 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(hash_bucket(F.col("doc_id"), "manifest")).alias("fingerprint"),
     )
+
+
+_CURR_SHARDS = 8
+_CURR_H = oracle_hash_bucket("doc_id", salt="curr")
+
+
+@query(
+    "q_sample_curriculum",
+    f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS len,
+             CAST(({_CURR_H}) % {_CURR_SHARDS} AS INT) AS shard
+      FROM documents
+    ), b AS (
+      SELECT shard, len,
+             CAST(ntile(10) OVER (PARTITION BY shard ORDER BY len, doc_id)
+                  AS INT) AS bin
+      FROM t
+    )
+    SELECT bin, COUNT(*) AS n_docs,
+           CAST(MIN(len) AS BIGINT) AS min_len,
+           CAST(MAX(len) AS BIGINT) AS max_len
+    FROM b GROUP BY bin
+    """,
+)
+def q_sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: assign each document a difficulty decile
+    (length as the proxy) for staged training schedules. Scale design:
+    a GLOBAL ntile would funnel the corpus through one partition, so
+    deciles are computed WITHIN deterministic hash shards — each shard
+    is a uniform random sample of the corpus, so shard-local deciles
+    converge to the global ones at scale while the window stays one
+    partition-parallel pass (PARTITION BY shard). Deterministic
+    (salted-md5 shard, (len, doc_id) total order) and engine-portable;
+    the DuckDB oracle runs the identical definition."""
+    from nutdb_spark.operators.sampling import hash_bucket
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("len"),
+        (hash_bucket(F.col("doc_id"), "curr") % _CURR_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("len", "doc_id")
+    b = d.withColumn("bin", F.ntile(10).over(w))
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("len").cast("long").alias("min_len"),
+        F.max("len").cast("long").alias("max_len"),
+    )

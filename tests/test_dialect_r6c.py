@@ -325,3 +325,55 @@ def test_with_scalar_lambda_shadowing(spark):
         "select arrayMap(x -> x + 1, [1, 2])[1] as first_el"
     ).collect()
     assert out[0]["first_el"] == 2
+
+
+# --- FINAL / arrayJoin -----------------------------------------------------
+
+
+def test_final_parses_and_is_noop_on_view(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
+    eng.sql("create table rb (k Int32, ver Int32, v Int64) ORDER BY (k)")
+    eng.sql(
+        "insert into rb (k, ver, v) values (1, 1, 10), (1, 2, 20), (2, 1, 7)"
+    )
+    eng.sql(
+        "create view rv update by Replacing primary key (ver) "
+        "order by (k) as select k, ver, v from rb"
+    )
+    plain = sorted(
+        (r["k"], r["v"]) for r in eng.sql("select k, v from rv").collect()
+    )
+    final = sorted(
+        (r["k"], r["v"])
+        for r in eng.sql("select k, v from rv final").collect()
+    )
+    # reads are ALWAYS merged state; FINAL must be accepted and change
+    # nothing
+    assert plain == final == [(1, 20), (2, 7)]
+
+
+def test_final_not_taken_as_alias():
+    stmt = parse("select a from t final where a > 1")
+    assert stmt.query.from_.final
+    assert stmt.query.from_.alias is None
+    assert stmt.query.where is not None
+
+
+def test_arrayjoin_fn_multiplies_rows(spark):
+    out = _eng(spark).sql(
+        "select n_nationkey, arrayJoin([10, 20]) as x "
+        "from nation where n_nationkey = 0"
+    ).collect()
+    assert [(r["n_nationkey"], r["x"]) for r in out] == [(0, 10), (0, 20)]
+
+
+def test_arrayjoin_fn_stays_jvm_side(spark):
+    df = _eng(spark).sql(
+        "select n_nationkey, arrayJoin(splitByChar('A', n_name)) as t "
+        "from nation"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "BatchEvalPython" not in plan
