@@ -302,3 +302,36 @@ def q_analytic_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         (F.sum(scaled).over(w).cast("double") / float(SCALE)).alias("sum_1h"),
     )
+
+
+@query(
+    "q_analytic_global_rank",
+    """
+    SELECT rn, l_orderkey, l_linenumber FROM (
+      SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                  AS BIGINT) AS rn,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ) WHERE rn % 997 = 1
+    """,
+)
+def q_analytic_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row_number WITHOUT the single-partition window
+    (operators/rank.py): range-repartition → local sort → bounded
+    per-partition-count collect (numPartitions rows) → offset + dense
+    local index. Bit-identical to `row_number() OVER (ORDER BY ...)`
+    on the (l_orderkey, l_linenumber) total order, while every stage
+    stays partition-parallel — the scale-correct form of the global
+    ranking a curriculum/packing pipeline needs. The sparse rn
+    checkpoints keep the compared result small at any SF."""
+    from nutdb_spark.operators.rank import global_row_number
+
+    d = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    ranked = global_row_number(
+        d, ["l_orderkey", "l_linenumber"], out="rn"
+    )
+    return ranked.filter(F.col("rn") % 997 == 1).select(
+        "rn", "l_orderkey", "l_linenumber"
+    )

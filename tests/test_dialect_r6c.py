@@ -377,3 +377,54 @@ def test_arrayjoin_fn_stays_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan or "Generate" in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- distributed global rank ----------------------------------------------
+
+
+def test_global_row_number_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.rank import global_row_number
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(1000), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, uid int").repartition(16)
+    got = global_row_number(df, ["k", "uid"], num_partitions=8)
+    expect = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "uid")).cast("long")
+    )
+    assert (
+        got.select("k", "uid", "rn")
+        .exceptAll(expect.select("k", "uid", "rn"))
+        .count()
+        == 0
+    )
+    assert got.count() == 5000
+
+
+def test_global_row_number_is_distributed(spark):
+    from nutdb_spark.operators.rank import global_row_number
+
+    df = spark.range(1000).selectExpr("id as k", "id as uid")
+    got = global_row_number(df, ["k", "uid"], num_partitions=8)
+    # the ranked frame must keep its range partitioning — NOT collapse
+    # to the single partition a global window would force
+    assert got.rdd.getNumPartitions() > 1
+
+
+def test_global_ntile_bins(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.rank import global_ntile
+
+    df = spark.range(100).selectExpr("id as k")
+    out = global_ntile(df, ["k"], 4, num_partitions=4)
+    sizes = {
+        r["bin"]: r["n"]
+        for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}
