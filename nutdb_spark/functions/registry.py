@@ -211,6 +211,9 @@ SCALAR_FNS["toSecond"] = F.second
 SCALAR_FNS["toQuarter"] = F.quarter
 SCALAR_FNS["toDayOfYear"] = F.dayofyear
 SCALAR_FNS["toUnixTimestamp"] = F.unix_timestamp
+# NTZ fixture timestamps cast to TZ under the engine's pinned UTC
+# session timezone (session.py) — identical to DuckDB epoch_us(naive)
+SCALAR_FNS["toUnixMicros"] = lambda d: F.unix_micros(d.cast("timestamp"))
 SCALAR_FNS["addDays"] = lambda d, n: d + F.make_interval(days=n)
 SCALAR_FNS["addHours"] = lambda d, n: d + F.make_interval(hours=n)
 SCALAR_FNS["addMonths"] = lambda d, n: d + F.make_interval(months=n)
@@ -481,3 +484,75 @@ PARAMETRIC_AGGS["quantiles"] = lambda params, x: F.percentile(
 PARAMETRIC_AGGS["quantile"] = lambda params, x: F.percentile(
     x, float(params[0])
 )
+
+
+# --- [EXT] event-analytics aggregates -----------------------------------
+def _retention(*conds: Column) -> Column:
+    """retention(cond1, ..., condN) → array<int> per group:
+    r[1] = 1 if cond1 ever held; r[k] = 1 if cond1 AND condk both ever
+    held (ClickHouse semantics: later steps are anchored on the first
+    condition only, no ordering requirement). All-JVM: one max() per
+    condition inside a single hash aggregate."""
+    firsts = F.max(conds[0].cast("int"))
+    out = [firsts]
+    for c in conds[1:]:
+        out.append(firsts * F.max(c.cast("int")))
+    return F.array(*out)
+
+
+AGGREGATE_FNS["retention"] = _retention
+
+
+def _window_funnel(params: list, ts: Column, *conds: Column) -> Column:
+    """windowFunnel(window)(ts, cond1, ..., condN) → the deepest step
+    k reached by any chain t1 ≤ t2 ≤ ... ≤ tk with condi holding at
+    ti and tk - t1 ≤ window (ts and window in the same integer unit,
+    e.g. epoch microseconds).
+
+    ClickHouse's windowFunnel keeps one candidate chain and can miss
+    deeper chains; this engine strengthens it to EXACT reachability:
+    a greedy DP over the events sorted by ts where dp[k] = the LATEST
+    chain-start time among chains reaching step k (latest start =
+    maximal window headroom, so reachability is never lost). Each
+    event updates dp from the PREVIOUS event's state, so one event
+    cannot serve two consecutive steps. Lowering: collect_list per
+    group + array_sort + one aggregate() fold — all JVM higher-order
+    functions, a single hash aggregate, no Python. Ties on ts are
+    processed in struct sort order; with distinct per-step conditions
+    and unique timestamps (the fixture guarantees both) the result
+    equals the pure EXISTS-chain definition any engine can check."""
+    win = int(params[0])
+    n = len(conds)
+    if n < 1:
+        raise ValueError("windowFunnel requires at least one condition")
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts.cast("long").alias("t"),
+                *[
+                    c.cast("boolean").alias(f"c{k}")
+                    for k, c in enumerate(conds)
+                ],
+            )
+        )
+    )
+    init = F.array(*[F.lit(None).cast("long") for _ in range(n)])
+
+    def step(acc, e):
+        outs = [F.when(e["c0"], e["t"]).otherwise(F.element_at(acc, 1))]
+        for k in range(1, n):
+            prev = F.element_at(acc, k)
+            cur = F.element_at(acc, k + 1)
+            ok = (
+                e[f"c{k}"]
+                & prev.isNotNull()
+                & ((e["t"] - prev) <= F.lit(win))
+            )
+            outs.append(F.when(ok, F.greatest(cur, prev)).otherwise(cur))
+        return F.array(*outs)
+
+    dp = F.aggregate(ev, init, step)
+    return F.size(F.filter(dp, lambda x: x.isNotNull()))
+
+
+PARAMETRIC_AGGS["windowFunnel"] = _window_funnel

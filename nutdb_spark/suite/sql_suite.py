@@ -1347,3 +1347,107 @@ def sql_arrayjoin_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by n_nationkey, tok
         """,
     )
+
+
+@query(
+    "sql_retention",
+    """
+    WITH u AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+        MAX(CASE WHEN event_type = 'purchase' AND value > 40 THEN 1
+                 ELSE 0 END) AS c2,
+        MAX(CASE WHEN event_type = 'error' AND value > 48 THEN 1
+                 ELSE 0 END) AS c3
+      FROM events GROUP BY user_id)
+    SELECT CAST(SUM(c1) AS BIGINT) AS s1,
+           CAST(SUM(c1 * c2) AS BIGINT) AS s2,
+           CAST(SUM(c1 * c3) AS BIGINT) AS s3,
+           COUNT(*) AS n_users
+    FROM u
+    """,
+)
+def sql_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] retention(cond1..condN) — ClickHouse cohort-retention
+    aggregate: per group r[1] = cond1 ever held, r[k] = cond1 AND
+    condk both held (later steps anchored on the first condition,
+    no ordering). Lowers to one max() per condition inside a single
+    hash aggregate (map-side partial preserved); the entry reshapes
+    the per-user arrays to the classic per-step user counts."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with per_user as (
+          select user_id,
+                 retention(event_type = 'signup',
+                           event_type = 'purchase' and value > 40,
+                           event_type = 'error' and value > 48) as r
+          from events group by user_id
+        )
+        select sum(r[1]) as s1, sum(r[2]) as s2, sum(r[3]) as s3,
+               count() as n_users
+        from per_user
+        """,
+    )
+
+
+@query(
+    "sql_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+    ),
+    lv1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    lv2 AS (
+      SELECT DISTINCT a.user_id FROM e a JOIN e b ON a.user_id = b.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND b.t >= a.t AND b.t - a.t <= 86400000000),
+    lv3 AS (
+      SELECT DISTINCT a.user_id FROM e a
+      JOIN e b ON a.user_id = b.user_id
+      JOIN e c ON a.user_id = c.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.t >= a.t AND c.t >= b.t AND c.t - a.t <= 86400000000),
+    lv AS (
+      SELECT u.user_id,
+             CASE WHEN u3.user_id IS NOT NULL THEN 3
+                  WHEN u2.user_id IS NOT NULL THEN 2
+                  WHEN u1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS lvl
+      FROM (SELECT DISTINCT user_id FROM e) u
+      LEFT JOIN lv1 u1 ON u.user_id = u1.user_id
+      LEFT JOIN lv2 u2 ON u.user_id = u2.user_id
+      LEFT JOIN lv3 u3 ON u.user_id = u3.user_id)
+    SELECT CAST(lvl AS INT) AS lvl, COUNT(*) AS n_users
+    FROM lv GROUP BY lvl
+    """,
+)
+def sql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] windowFunnel(window)(ts, cond1..condN) — sequential
+    conversion depth within a sliding window (view → click → purchase
+    inside 24 h). The engine strengthens ClickHouse's single-candidate
+    scan to EXACT chain reachability: a greedy DP over the per-user
+    events (sorted by ts) keeping the LATEST chain-start per step, so
+    its result equals the pure EXISTS-chain definition — which is what
+    the DuckDB oracle computes via per-user self-joins. Lowering is
+    one collect_list + array_sort + aggregate() fold per user: ONE
+    hash aggregate on user_id, all-JVM higher-order functions. At
+    100 TB the per-group state is one user's events (bounded), never
+    the corpus; the oracle's O(events²) self-join is exactly the plan
+    this aggregate avoids."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with per_user as (
+          select user_id,
+                 windowFunnel(86400000000)(toUnixMicros(ts),
+                   event_type = 'view', event_type = 'click',
+                   event_type = 'purchase') as lvl
+          from events group by user_id
+        )
+        select lvl, count() as n_users from per_user group by lvl
+        """,
+    )

@@ -428,3 +428,110 @@ def test_global_ntile_bins(spark):
         for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()
     }
     assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}
+
+
+# --- event analytics: retention / windowFunnel -----------------------------
+
+
+def _funnel_brute(events, conds_hit, win):
+    """Brute-force max funnel depth: exists t1<=...<=tk chains."""
+    n_steps = len(conds_hit[0][1])
+    best = 0
+    import itertools
+
+    evs = sorted(events)
+    for depth in range(n_steps, 0, -1):
+        for combo in itertools.combinations(range(len(evs)), depth):
+            ts = [evs[i][0] for i in combo]
+            if ts[-1] - ts[0] > win:
+                continue
+            if all(
+                conds_hit[combo[j]][1][j] for j in range(depth)
+            ):
+                return depth
+    return best
+
+
+def test_window_funnel_matches_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+
+    rnd = random.Random(42)
+    WIN = 10
+    for trial in range(12):
+        n = rnd.randrange(3, 12)
+        evs = sorted(
+            (rnd.randrange(0, 40), rnd.randrange(3)) for _ in range(n)
+        )
+        # unique ts (fixture contract)
+        evs = [(t * 100 + i, s) for i, (t, s) in enumerate(evs)]
+        rows = [(t, s == 0, s == 1, s == 2) for t, s in evs]
+        df = spark.createDataFrame(
+            rows, "t long, c0 boolean, c1 boolean, c2 boolean"
+        )
+        got = df.agg(
+            PARAMETRIC_AGGS["windowFunnel"](
+                [WIN * 100],
+                F.col("t"),
+                F.col("c0"),
+                F.col("c1"),
+                F.col("c2"),
+            ).alias("lvl")
+        ).collect()[0]["lvl"]
+        conds_hit = [
+            ((t,), (s == 0, s == 1, s == 2)) for t, s in evs
+        ]
+        want = _funnel_brute(
+            [(t,) for t, _ in evs], conds_hit, WIN * 100
+        )
+        assert got == want, (trial, evs, got, want)
+
+
+def test_window_funnel_boundary_inclusive(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+
+    df = spark.createDataFrame(
+        [(0, True, False), (100, False, True)], "t long, c0 boolean, c1 boolean"
+    )
+    agg = lambda w: df.agg(
+        PARAMETRIC_AGGS["windowFunnel"](
+            [w], F.col("t"), F.col("c0"), F.col("c1")
+        ).alias("lvl")
+    ).collect()[0]["lvl"]
+    assert agg(100) == 2  # tk - t1 == window is inside
+    assert agg(99) == 1
+
+
+def test_window_funnel_same_event_not_two_steps(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+
+    # one event satisfying both conditions must NOT count as a chain
+    df = spark.createDataFrame([(5, True, True)], "t long, c0 boolean, c1 boolean")
+    lvl = df.agg(
+        PARAMETRIC_AGGS["windowFunnel"](
+            [1000], F.col("t"), F.col("c0"), F.col("c1")
+        ).alias("lvl")
+    ).collect()[0]["lvl"]
+    assert lvl == 1
+
+
+def test_retention_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import AGGREGATE_FNS
+
+    # user never hit cond1 → all steps 0 even if cond2 held
+    df = spark.createDataFrame(
+        [(False, True)], "c1 boolean, c2 boolean"
+    )
+    r = df.agg(
+        AGGREGATE_FNS["retention"](F.col("c1"), F.col("c2")).alias("r")
+    ).collect()[0]["r"]
+    assert r == [0, 0]
