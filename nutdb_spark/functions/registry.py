@@ -314,6 +314,12 @@ AGGREGATE_FNS["argMax"] = F.max_by
 AGGREGATE_FNS["argMin"] = F.min_by
 AGGREGATE_FNS["any"] = lambda c: F.first(c, ignorenulls=True)
 AGGREGATE_FNS["uniqExact"] = F.count_distinct
+# uniq / uniqCombined — ClickHouse's approximate distinct counters.
+# Lowered to Spark's HyperLogLog++ (rsd 0.023, ~= uniqCombined's
+# default precision); nondeterministic cross-engine by nature, so
+# pytest pins a relative-error bound instead of a DuckDB oracle.
+AGGREGATE_FNS["uniq"] = F.approx_count_distinct
+AGGREGATE_FNS["uniqCombined"] = F.approx_count_distinct
 AGGREGATE_FNS["groupArray"] = F.collect_list  # order is partition-dependent
 AGGREGATE_FNS["stddevPop"] = F.stddev_pop
 AGGREGATE_FNS["stddevSamp"] = F.stddev_samp

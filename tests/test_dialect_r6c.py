@@ -535,3 +535,31 @@ def test_retention_semantics(spark):
         AGGREGATE_FNS["retention"](F.col("c1"), F.col("c2")).alias("r")
     ).collect()[0]["r"]
     assert r == [0, 0]
+
+
+# --- approximate distinct / partition pruning ------------------------------
+
+
+def test_uniq_error_bound(spark):
+    got = _eng(spark).sql(
+        "select uniq(c_custkey) as u, uniqExact(c_custkey) as e "
+        "from customer"
+    ).collect()[0]
+    assert abs(got["u"] - got["e"]) <= 0.05 * got["e"]
+
+
+def test_ctas_partition_pruning(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
+    eng.sql(
+        "create table pp partition by n_regionkey as "
+        "select n_nationkey, n_regionkey from nation"
+    )
+    df = eng.sql("select n_nationkey from pp where n_regionkey = 2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the predicate must prune hive partitions at the scan, not filter
+    # post-read
+    assert "PartitionFilters: [" in plan
+    assert "n_regionkey" in plan.split("PartitionFilters")[1][:120]
+    assert df.count() == 5

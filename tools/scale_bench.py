@@ -46,6 +46,17 @@ ENTRIES = [
     "q_sample_temperature",
     "q_embed_truncate",
     "q_fn_arrays",
+    # session-4 additions — packing manifest, dialect wave 3, event
+    # analytics, distributed global rank
+    "q_pack_manifest",
+    "sql_select_modifiers",
+    "sql_parametric",
+    "sql_with_scalar",
+    "sql_arrayjoin_fn",
+    "q_sample_curriculum",
+    "q_analytic_global_rank",
+    "sql_retention",
+    "sql_funnel",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -65,8 +76,9 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    names = sys.argv[1:] or ENTRIES
     rows = []
-    for name in ENTRIES:
+    for name in names:
         t01 = run_one(spark, QUERIES[name], SF01)
         t1 = run_one(spark, QUERIES[name], SF1)
         rows.append((name, round(t01, 2), round(t1, 2), round(t1 / t01, 1)))
