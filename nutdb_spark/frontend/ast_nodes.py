@@ -123,6 +123,19 @@ class InSubquery:
 
 
 @dataclass
+class QuantCompare:
+    """[EXT] quantified comparison `expr <op> ANY/ALL (subquery)`
+    (SOME = ANY). Lowered to a single scalar aggregate over the
+    subquery (min/max/count/count-nonnull) broadcast-joined to the
+    outer side — never a per-row nested-loop."""
+
+    op: str  # = != < <= > >=
+    expr: object
+    quant: str  # 'any' | 'all'
+    query: "Query" = None
+
+
+@dataclass
 class Exists:
     query: "Query"
     negated: bool = False

@@ -258,8 +258,9 @@ class Lowerer:
                 return _copy.deepcopy(hit)
             return node
         if isinstance(
-            node, (A.ScalarSubquery, A.Exists, A.InSubquery, A.Lit,
-                   A.Param, A.Wildcard, A.Interval)
+            node, (A.ScalarSubquery, A.Exists, A.InSubquery,
+                   A.QuantCompare, A.Lit, A.Param, A.Wildcard,
+                   A.Interval)
         ):
             return node
         if isinstance(node, A.Lambda):
@@ -939,6 +940,8 @@ class Lowerer:
                 base = self._lower_exists(base, conj, scope)
             elif isinstance(conj, A.InSubquery):
                 base = self._lower_in_subquery(base, conj, scope)
+            elif isinstance(conj, A.QuantCompare):
+                base = self._lower_quant_compare(base, conj, scope)
             elif isinstance(conj, A.UnOp) and conj.op == "not" and isinstance(
                 conj.operand, A.Exists
             ):
@@ -1032,6 +1035,72 @@ class Lowerer:
             return R.not_in_subquery(base, e, sub)
         return R.in_subquery(base, e, sub)
 
+    def _lower_quant_compare(self, base, node: A.QuantCompare, scope: Scope):
+        """[EXT] `x <op> ANY/ALL (SELECT s FROM ...)` in WHERE/HAVING.
+
+        `= ANY` and `!= ALL` delegate to the IN / NOT IN machinery
+        (hash semi/anti join, shared-scan ReuseExchange). Every other
+        form reduces to ONE scalar aggregate over the subquery —
+        (min, max, count, count-nonnull) — broadcast to the outer
+        side as a single row: the 100 TB plan is a tiny broadcast +
+        pushed filter, never the per-row nested-loop a naive EXISTS
+        rewrite would give. The predicates below are outcome-exact
+        with standard three-valued semantics in filter context
+        (UNKNOWN and FALSE both drop the row): empty set → ANY false,
+        ALL true; NULLs in the set block ALL and never satisfy
+        ordered ANY."""
+        if node.op == "=" and node.quant == "any":
+            return self._lower_in_subquery(
+                base, A.InSubquery(node.expr, node.query, False), scope
+            )
+        if node.op == "!=" and node.quant == "all":
+            return self._lower_in_subquery(
+                base, A.InSubquery(node.expr, node.query, True), scope
+            )
+        sub = self.lower_query(node.query, scope)
+        if len(sub.columns) != 1:
+            raise LoweringError("ANY/ALL subquery must produce one column")
+        s = F.col(sub.columns[0])
+        mn, mx, c, cn = (
+            self._gen("qmn"), self._gen("qmx"), self._gen("qc"), self._gen("qcn")
+        )
+        aggrow = sub.agg(
+            F.min(s).alias(mn),
+            F.max(s).alias(mx),
+            F.count(F.lit(1)).alias(c),
+            F.count(s).alias(cn),
+        )
+        x = self._expr(node.expr, scope, {}, [])
+        vmn, vmx = F.col(mn), F.col(mx)
+        vc, vcn = F.col(c), F.col(cn)
+        if node.quant == "any":
+            cond = {
+                "!=": (vcn > 0) & ((vmn != x) | (vmx != x)),
+                "<": x < vmx,
+                "<=": x <= vmx,
+                ">": x > vmn,
+                ">=": x >= vmn,
+            }[node.op]
+        else:
+            nonulls = vcn == vc
+            cond = (vc == 0) | (
+                nonulls
+                & {
+                    "=": (vmn == x) & (vmx == x),
+                    "<": x < vmn,
+                    "<=": x <= vmn,
+                    ">": x > vmx,
+                    ">=": x >= vmx,
+                }[node.op]
+            )
+        from pyspark.sql.functions import broadcast
+
+        return (
+            base.join(broadcast(aggrow), F.lit(True), "inner")
+            .filter(cond)
+            .drop(mn, mx, c, cn)
+        )
+
     # --- aggregation ------------------------------------------------------
 
     def _collect_aggs(self, e, out: list) -> None:
@@ -1049,7 +1118,8 @@ class Lowerer:
             return  # no nested aggregates in the dialect
         if isinstance(e, (A.Lit, A.Param, A.Ident, A.Wildcard, A.Interval)):
             return
-        if isinstance(e, (A.ScalarSubquery, A.Exists, A.InSubquery)):
+        if isinstance(e, (A.ScalarSubquery, A.Exists, A.InSubquery,
+                          A.QuantCompare)):
             # a subquery's aggregates belong to ITS OWN query block, not
             # the enclosing select — don't hoist them outward
             return
@@ -1298,6 +1368,10 @@ class Lowerer:
         if isinstance(e, A.InSubquery):
             raise LoweringError(
                 "IN (SELECT …) is supported as a top-level WHERE conjunct"
+            )
+        if isinstance(e, A.QuantCompare):
+            raise LoweringError(
+                "ANY/ALL comparison is supported as a top-level WHERE conjunct"
             )
         raise LoweringError(f"cannot lower expression {e!r}")
 

@@ -965,6 +965,21 @@ class Parser:
                 idx = self.parse_expr()
                 self.expect_sym("]")
                 return A.IndexAccess(left, idx)
+            if (
+                sym in ("=", "!=", "<", "<=", ">", ">=")
+                and self.at_kw("any", "all", "some")
+                and self.peek_at(1).type == T.SYM
+                and self.peek_at(1).text == "("
+            ):
+                # [EXT] quantified comparison: expr <op> ANY|ALL (SELECT …)
+                quant = "any" if self.peek().text.lower() in ("any", "some") else "all"
+                self.next()
+                self.next()  # (
+                if not self.at_kw("select", "with"):
+                    raise ParseError("ANY/ALL requires a subquery")
+                q = self.parse_query()
+                self.expect_sym(")")
+                return A.QuantCompare(sym, left, quant, q)
             right = self.parse_expr(power)
             if sym in ("=", "!="):
                 return self._fold_eq(sym, left, right)

@@ -1451,3 +1451,41 @@ def sql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         select lvl, count() as n_users from per_user group by lvl
         """,
     )
+
+
+@query(
+    "sql_any_all",
+    """
+    SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS total
+    FROM orders
+    WHERE o_totalprice > ALL (
+            SELECT o_totalprice FROM orders WHERE o_custkey = 1)
+      AND o_orderdate >= ANY (
+            SELECT o_orderdate FROM orders WHERE o_orderpriority = '1-URGENT')
+      AND o_orderkey < 5000
+    ORDER BY o_orderkey
+    """,
+)
+def sql_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quantified comparisons `<op> ANY/ALL (subquery)` (SOME =
+    ANY). `= ANY`/`!= ALL` reuse the IN/NOT IN hash semi/anti joins;
+    every ordered form collapses to ONE scalar aggregate over the
+    subquery — (min, max, count, count-nonnull) — broadcast as a
+    single row and folded into the outer filter. The 100 TB plan is a
+    one-row broadcast + pushed predicate, never the per-outer-row
+    nested loop of a naive rewrite; three-valued NULL/empty-set
+    outcomes are exact in filter context (pytest-pinned edges)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select o_orderkey, floor(o_totalprice) as total
+        from orders
+        where o_totalprice > all (
+                select o_totalprice from orders where o_custkey = 1)
+          and o_orderdate >= any (
+                select o_orderdate from orders where o_orderpriority = '1-URGENT')
+          and o_orderkey < 5000
+        order by o_orderkey
+        """,
+    )

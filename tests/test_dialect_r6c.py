@@ -563,3 +563,77 @@ def test_ctas_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "n_regionkey" in plan.split("PartitionFilters")[1][:120]
     assert df.count() == 5
+
+
+# --- quantified comparisons (ANY / ALL / SOME) -----------------------------
+
+
+def test_any_all_parse_shapes():
+    stmt = parse("select a from t where a > any (select b from u)")
+    qc = stmt.query.where
+    assert isinstance(qc, A.QuantCompare)
+    assert (qc.op, qc.quant) == (">", "any")
+    stmt = parse("select a from t where a <= some (select b from u)")
+    assert stmt.query.where.quant == "any"
+    with pytest.raises(ParseError, match="requires a subquery"):
+        parse("select a from t where a > any (1, 2)")
+
+
+def test_any_all_null_and_empty_edges(spark):
+    # set with a NULL blocks ALL; ordered ANY is never satisfied by
+    # NULL-only sets; empty set → ALL keeps, ANY drops
+    spark.createDataFrame(
+        [(1,), (None,)], "v int"
+    ).createOrReplaceTempView("qs_nulls")
+    eng = _eng(spark)
+
+    def rows(sql):
+        df = eng.sql(sql)
+        return [r[df.columns[0]] for r in df.collect()]
+
+    # 5 > ALL {1, NULL} → UNKNOWN → dropped
+    from nutdb_spark.frontend import ast_nodes as A2
+    from nutdb_spark.frontend.lower import Lowerer
+    from pyspark.sql import functions as F
+
+    base = spark.range(1).select(F.lit(5).alias("x"))
+    sub_nulls = spark.createDataFrame([(1,), (None,)], "v int")
+    sub_empty = spark.createDataFrame([], "v int")
+
+    low = Lowerer(spark, lambda n: None, None)
+    import types
+
+    def quant(basedf, subdf, op, q):
+        node = types.SimpleNamespace()
+        # drive _lower_quant_compare with a pre-lowered subquery by
+        # monkeypatching lower_query
+        qc = A2.QuantCompare(op, A2.Ident("x"), q, None)
+        orig = low.lower_query
+        low.lower_query = lambda *_a, **_k: subdf
+        try:
+            from nutdb_spark.frontend.lower import Scope
+
+            scope = Scope(None)
+            scope.add("t", basedf)
+            return low._lower_quant_compare(basedf, qc, scope).count()
+        finally:
+            low.lower_query = orig
+
+    assert quant(base, sub_nulls, ">", "all") == 0   # NULL blocks ALL
+    assert quant(base, sub_nulls, ">", "any") == 1   # 5 > 1
+    assert quant(base, sub_empty, ">", "all") == 1   # vacuous truth
+    assert quant(base, sub_empty, ">", "any") == 0   # nothing matches
+    assert quant(base, sub_nulls, "=", "all") == 0
+    # x < ANY {1, NULL}: no non-null element exceeds 5 → dropped
+    assert quant(base, sub_nulls, "<", "any") == 0
+
+
+def test_any_all_plan_is_broadcast(spark):
+    df = _eng(spark).sql(
+        "select r_regionkey from region "
+        "where r_regionkey > any (select n_regionkey from nation)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+    # the subquery side must be a one-row aggregate, not the raw table
+    assert "HashAggregate" in plan
