@@ -1035,6 +1035,132 @@ class Lowerer:
             return R.not_in_subquery(base, e, sub)
         return R.in_subquery(base, e, sub)
 
+    def _try_correlated_scalar(
+        self, e: A.ScalarSubquery, scope, group_map, agg_calls, pending
+    ):
+        """[EXT] correlated scalar subquery — the TPC-H Q17 shape:
+        `(SELECT agg(x) FROM t WHERE t.k = outer.k [AND inner-only…])`.
+
+        Decorrelated into ONE grouped frame per subquery — group by
+        the correlation keys, aggregate once — LEFT-joined to the
+        outer side on those keys. The 100 TB plan is a single hash
+        aggregate + hash join instead of one subquery execution per
+        outer row. SQL semantics preserved: a missing key yields NULL
+        via the left join; for aggregates that are non-NULL over an
+        empty input (the count family) the empty-group value is
+        computed once on a zero-row frame and coalesced in; a
+        non-aggregate correlated subquery guards >1 row per key with
+        a runtime error, matching the uncorrelated path.
+
+        Returns the value Column, or None when the subquery is not
+        correlated (caller falls back to the broadcast-1-row path).
+        Only equality correlations are decorrelatable this way;
+        anything else raises."""
+        sub = e.query
+        if not isinstance(sub, A.SelectCore) or sub.where is None:
+            return None
+        if len(sub.columns) != 1 or isinstance(sub.columns[0][0], A.Wildcard):
+            return None
+        sub_scope = Scope(scope)
+        cte: dict[str, DataFrame] = {}
+        for c in sub.ctes:
+            cte[c.name] = self.lower_query(c.query, scope)
+        df, alias = self._source_df(
+            sub.from_.source, sub.from_.alias, sub_scope, cte
+        )
+        sub_scope.add(alias, df)
+        df = self._apply_sample(df, sub.from_, sub_scope)
+        for j in sub.joins:
+            if isinstance(j, A.ArrayJoin):
+                df = self._lower_array_join(df, j, sub_scope)
+            else:
+                df = self._lower_join(df, j, sub_scope, cte)
+        inner_cols = set(df.columns)
+        cross: list = []
+        for conj in _split_conjuncts(sub.where):
+            if self._refs_outer(conj, inner_cols, sub_scope):
+                cross.append(conj)
+            else:
+                df = df.filter(self._expr(conj, sub_scope, {}, []))
+        if not cross:
+            return None  # uncorrelated — existing broadcast path
+        if sub.group_by:
+            raise LoweringError(
+                "correlated scalar subquery may not have GROUP BY"
+            )
+        keys: list[Column] = []
+        outer_sides: list = []
+        for i, conj in enumerate(cross):
+            if not (isinstance(conj, A.BinOp) and conj.op == "="):
+                raise LoweringError(
+                    "correlated scalar subquery supports only equality "
+                    "correlation predicates"
+                )
+            l_out = self._refs_outer(conj.left, inner_cols, sub_scope)
+            r_out = self._refs_outer(conj.right, inner_cols, sub_scope)
+            if l_out == r_out:
+                raise LoweringError(
+                    "correlation predicate must compare an inner "
+                    "expression with an outer expression"
+                )
+            inner_ast, outer_ast = (
+                (conj.right, conj.left) if l_out else (conj.left, conj.right)
+            )
+            keys.append(
+                self._expr(inner_ast, sub_scope, {}, []).alias(f"__ck{i}")
+            )
+            outer_sides.append(outer_ast)
+
+        sel_expr, _ = sub.columns[0]
+        sub_aggs: list = []
+        self._collect_aggs(sel_expr, sub_aggs)
+        name = self._gen("sc")
+        if sub_aggs:
+            aggs = [
+                self._lower_agg_call(call, sub_scope).alias(nm)
+                for call, nm in sub_aggs
+            ]
+            grouped = df.groupBy(*keys).agg(*aggs)
+            val = self._expr(sel_expr, sub_scope, {}, sub_aggs)
+            frame = grouped.select(
+                *[F.col(f"__ck{i}") for i in range(len(keys))],
+                val.alias(name),
+            )
+            # empty-group value (count family is 0, not NULL): one
+            # zero-row aggregate evaluated at lowering time, only when
+            # some aggregate can be non-null over empty input
+            fallback = None
+            if any(
+                call.name.lower().startswith(("count", "uniq"))
+                for call, _ in sub_aggs
+            ):
+                empty = df.limit(0).agg(*aggs).select(val.alias(name))
+                fallback = empty.collect()[0][0]
+            out_val = (
+                F.coalesce(F.col(name), F.lit(fallback))
+                if fallback is not None
+                else F.col(name)
+            )
+        else:
+            val = self._expr(sel_expr, sub_scope, {}, [])
+            frame = df.groupBy(*keys).agg(
+                F.first(val).alias(name),
+                F.count(F.lit(1)).alias(name + "_n"),
+            )
+            out_val = F.when(
+                F.col(name + "_n") > 1,
+                F.raise_error(
+                    F.lit("scalar subquery produced more than one row")
+                ),
+            ).otherwise(F.col(name))
+        cond = None
+        for i, outer_ast in enumerate(outer_sides):
+            oc = self._expr(outer_ast, scope, group_map, agg_calls, pending)
+            piece = F.col(f"__ck{i}") == oc
+            cond = piece if cond is None else (cond & piece)
+        pending.append((name, frame, cond))
+        return out_val
+
     def _lower_quant_compare(self, base, node: A.QuantCompare, scope: Scope):
         """[EXT] `x <op> ANY/ALL (SELECT s FROM ...)` in WHERE/HAVING.
 
@@ -1231,10 +1357,21 @@ class Lowerer:
     def _expr_with_scalars(self, e, base, scope, group_map, agg_calls):
         """Lower an expression; any scalar subqueries get cross-joined
         into `base` as broadcast 1-row frames first."""
-        pending: list[tuple[str, DataFrame]] = []
+        pending: list[tuple] = []
         col = self._expr(e, scope, group_map, agg_calls, pending)
-        for name, df in pending:
-            base = base.join(F.broadcast(df))
+        for name, df, *rest in pending:
+            cond = rest[0] if rest else None
+            if cond is None:
+                base = base.join(F.broadcast(df))
+            else:
+                # correlated scalar: per-key frame, LEFT join on the
+                # correlation keys (missing key → NULL, per SQL).
+                # Join strategy is left to Catalyst/AQE — the frame is
+                # one row per distinct correlation key, not always
+                # broadcastable.
+                base = base.join(df, cond, "left").drop(
+                    *[c for c in df.columns if c.startswith("__ck")]
+                )
         return col, base
 
     def _expr(self, e, scope, group_map, agg_calls, pending=None) -> Column:
@@ -1341,6 +1478,11 @@ class Lowerer:
         if isinstance(e, A.ScalarSubquery):
             if pending is None:
                 raise LoweringError("scalar subquery not allowed here")
+            corr = self._try_correlated_scalar(
+                e, scope, group_map, agg_calls, pending
+            )
+            if corr is not None:
+                return corr
             df = self.lower_query(e.query, scope)
             if len(df.columns) != 1:
                 raise LoweringError("scalar subquery must produce one column")

@@ -1489,3 +1489,39 @@ def sql_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by o_orderkey
         """,
     )
+
+
+@query(
+    "sql_q17_corr",
+    """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_size < 15
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem
+                        WHERE l_partkey = p_partkey)
+    """,
+)
+def sql_q17_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] TPC-H Q17 in its NATIVE correlated form through the
+    frontend — `l_quantity < (SELECT 0.2*avg(l_quantity) ... WHERE
+    l_partkey = p_partkey)`. The correlated scalar subquery
+    decorrelates into ONE per-partkey aggregate LEFT-joined on the
+    correlation key (lower.py _try_correlated_scalar): at 100 TB
+    that's a single hash aggregate over lineitem + a hash join,
+    instead of re-running the subquery per outer row. avg over
+    integer-valued doubles is exact cross-engine; the outer sum uses
+    the floor-scaling convention."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select sum(floor(l_extendedprice * 100)) / 100.0 / 7.0 as avg_yearly
+        from lineitem
+        join part on p_partkey = l_partkey
+        where p_brand = 'Brand#4' and p_size < 15
+          and l_quantity < (select 0.2 * avg(l_quantity) from lineitem
+                            where l_partkey = p_partkey)
+        """,
+    )

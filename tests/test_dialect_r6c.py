@@ -637,3 +637,65 @@ def test_any_all_plan_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
     # the subquery side must be a one-row aggregate, not the raw table
     assert "HashAggregate" in plan
+
+
+# --- correlated scalar subqueries ------------------------------------------
+
+
+def test_correlated_scalar_lookup(spark):
+    out = _eng(spark).sql(
+        "select n_name, (select r_name from region "
+        "where r_regionkey = n_regionkey) as rname "
+        "from nation order by n_nationkey limit 2"
+    ).collect()
+    assert [r["rname"] for r in out] == ["AFRICA", "AMERICA"]
+
+
+def test_correlated_count_empty_group_is_zero(spark):
+    # count(*) over an empty correlated group must be 0, not NULL
+    out = _eng(spark).sql(
+        "select r_regionkey, (select count(*) from nation "
+        "where n_regionkey = r_regionkey and n_nationkey < 0) as n "
+        "from region order by r_regionkey limit 1"
+    ).collect()
+    assert out[0]["n"] == 0
+
+
+def test_correlated_avg_missing_key_is_null(spark):
+    out = _eng(spark).sql(
+        "select r_regionkey, (select avg(n_nationkey) from nation "
+        "where n_regionkey = r_regionkey + 100) as a "
+        "from region order by r_regionkey limit 1"
+    ).collect()
+    assert out[0]["a"] is None
+
+
+def test_correlated_nonagg_multirow_errors(spark):
+    import pytest as _pytest
+
+    df = _eng(spark).sql(
+        "select r_regionkey, (select n_name from nation "
+        "where n_regionkey = r_regionkey) as nm from region"
+    )
+    with _pytest.raises(Exception, match="more than one row"):
+        df.collect()
+
+
+def test_correlated_nonequality_rejected(spark):
+    with pytest.raises(LoweringError, match="equality"):
+        _eng(spark).sql(
+            "select (select max(n_nationkey) from nation "
+            "where n_regionkey > r_regionkey) from region"
+        )
+
+
+def test_correlated_plan_single_aggregate(spark):
+    # decorrelation contract: ONE aggregate + ONE join, no nested-loop
+    df = _eng(spark).sql(
+        "select o_orderkey from orders "
+        "where o_totalprice > 2 * (select avg(l_extendedprice) "
+        "from lineitem where l_orderkey = o_orderkey)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
