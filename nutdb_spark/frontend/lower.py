@@ -1027,13 +1027,75 @@ class Lowerer:
         return found
 
     def _lower_in_subquery(self, base, node: A.InSubquery, scope: Scope):
-        sub = self.lower_query(node.query, scope)
+        sub_q = node.query
+        if (
+            isinstance(sub_q, A.SelectCore)
+            and sub_q.where is not None
+            and not sub_q.group_by
+            and len(sub_q.columns) == 1
+            and not isinstance(sub_q.columns[0][0], A.Wildcard)
+            and self._subquery_is_correlated(sub_q, scope)
+        ):
+            # [EXT] correlated IN — rewrite to the (de)correlated
+            # EXISTS semi/anti join: x IN (SELECT s … WHERE corr)
+            # ⟺ EXISTS(… WHERE corr AND s = x). NOT IN additionally
+            # matches on either side being NULL, preserving the
+            # three-valued NOT IN trap in filter context.
+            sel = sub_q.columns[0][0]
+            aggs: list = []
+            self._collect_aggs(sel, aggs)
+            if aggs:
+                raise LoweringError(
+                    "correlated IN subquery may not aggregate in its "
+                    "select list"
+                )
+            match = A.BinOp("=", sel, node.expr)
+            if node.negated:
+                match = A.BinOp(
+                    "or",
+                    A.BinOp("or", match, A.UnOp("isnull", sel)),
+                    A.UnOp("isnull", node.expr),
+                )
+            import copy as _copy
+
+            probe = _copy.copy(sub_q)
+            probe.where = A.BinOp("and", sub_q.where, match)
+            return self._lower_exists(
+                base, A.Exists(probe, node.negated), scope
+            )
+        sub = self.lower_query(sub_q, scope)
         if len(sub.columns) != 1:
             raise LoweringError("IN subquery must produce one column")
         e = self._expr(node.expr, scope, {}, [])
         if node.negated:
             return R.not_in_subquery(base, e, sub)
         return R.in_subquery(base, e, sub)
+
+    def _subquery_is_correlated(self, sub: A.SelectCore, scope: Scope) -> bool:
+        """Probe-build the subquery's FROM side and report whether any
+        WHERE conjunct references the enclosing scope. The probe frames
+        are lazy — nothing executes."""
+        try:
+            sub_scope = Scope(scope)
+            cte: dict[str, DataFrame] = {}
+            for c in sub.ctes:
+                cte[c.name] = self.lower_query(c.query, scope)
+            df, alias = self._source_df(
+                sub.from_.source, sub.from_.alias, sub_scope, cte
+            )
+            sub_scope.add(alias, df)
+            for j in sub.joins:
+                if isinstance(j, A.ArrayJoin):
+                    df = self._lower_array_join(df, j, sub_scope)
+                else:
+                    df = self._lower_join(df, j, sub_scope, cte)
+        except Exception:
+            return False
+        inner_cols = set(df.columns)
+        return any(
+            self._refs_outer(conj, inner_cols, sub_scope)
+            for conj in _split_conjuncts(sub.where)
+        )
 
     def _try_correlated_scalar(
         self, e: A.ScalarSubquery, scope, group_map, agg_calls, pending

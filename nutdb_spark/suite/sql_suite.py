@@ -1525,3 +1525,38 @@ def sql_q17_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                             where l_partkey = p_partkey)
         """,
     )
+
+
+@query(
+    "sql_in_corr",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_quantity >= 49)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_in_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] correlated IN subquery. Rewritten at lowering time to the
+    decorrelated EXISTS semi-join — the correlation conjuncts AND the
+    IN match (`s = x`) become ONE hash left-semi join condition, so
+    the 100 TB plan is a single shuffle-hash/broadcast semi join with
+    the inner pre-filter pushed to the lineitem scan (same machinery
+    as sql_q4_exists; NOT IN adds the NULL-match disjuncts to keep
+    three-valued semantics, pytest-pinned)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select o_orderpriority, count(*) as n
+        from orders
+        where o_orderkey in (select l_orderkey from lineitem
+                             where l_orderkey = o_orderkey
+                               and l_quantity >= 49)
+        group by o_orderpriority
+        order by o_orderpriority
+        """,
+    )

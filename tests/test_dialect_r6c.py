@@ -699,3 +699,45 @@ def test_correlated_plan_single_aggregate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- correlated IN ---------------------------------------------------------
+
+
+def test_correlated_in_and_not_in_complement(spark):
+    eng = _eng(spark)
+    base = "from orders where o_orderkey < 500"
+    inq = (
+        "o_orderkey in (select l_orderkey from lineitem "
+        "where l_orderkey = o_orderkey and l_quantity >= 49)"
+    )
+    n_in = eng.sql(f"select count() as n {base} and {inq}").collect()[0]["n"]
+    n_out = eng.sql(
+        f"select count() as n {base} and not_marker"
+        .replace("and not_marker", f"and o_orderkey not in "
+                 "(select l_orderkey from lineitem "
+                 "where l_orderkey = o_orderkey and l_quantity >= 49)")
+    ).collect()[0]["n"]
+    n_all = eng.sql(f"select count() as n {base}").collect()[0]["n"]
+    # subquery side is never NULL here → IN / NOT IN partition the rows
+    assert n_in + n_out == n_all and n_in > 0
+
+
+def test_correlated_in_plan_is_semi_join(spark):
+    df = _eng(spark).sql(
+        "select o_orderkey from orders "
+        "where o_orderkey in (select l_orderkey from lineitem "
+        "where l_orderkey = o_orderkey and l_quantity >= 49)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_in_agg_select_rejected(spark):
+    with pytest.raises(LoweringError, match="may not aggregate"):
+        _eng(spark).sql(
+            "select o_orderkey from orders "
+            "where o_orderkey in (select max(l_orderkey) from lineitem "
+            "where l_orderkey = o_orderkey)"
+        )
