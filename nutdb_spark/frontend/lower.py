@@ -1716,9 +1716,22 @@ class Lowerer:
         if e.frame is not None:
             if not orders:
                 raise LoweringError("a ROWS frame requires ORDER BY in OVER")
-            _, lo, hi = e.frame
-            w = w.rowsBetween(self._frame_val(lo, True),
-                              self._frame_val(hi, False))
+            kind, lo, hi = e.frame
+            if kind == "range":
+                # [EXT] value-offset RANGE frame — deterministic (peer
+                # rows included symmetrically on every engine), unlike
+                # the bare-RANGE default frame which stays rejected.
+                # Spark requires exactly one ascending numeric sort key.
+                if len(e.order_by) != 1 or not e.order_by[0].asc:
+                    raise LoweringError(
+                        "a RANGE frame requires exactly one ascending "
+                        "ORDER BY key"
+                    )
+                w = w.rangeBetween(self._frame_val(lo, True),
+                                   self._frame_val(hi, False))
+            else:
+                w = w.rowsBetween(self._frame_val(lo, True),
+                                  self._frame_val(hi, False))
         return w
 
     @staticmethod

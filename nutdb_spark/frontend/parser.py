@@ -870,10 +870,22 @@ class Parser:
                 order.append(A.OrderItem(e, asc))
                 if not self.eat_sym(","):
                     break
-        if self.at_kw("range"):
-            raise ParseError(
-                "RANGE frames are not supported — use a ROWS frame"
-            )
+        if self.eat_kw("range"):
+            # [EXT] RANGE frames are allowed ONLY with explicit bounds
+            # over one numeric sort key: value-offset frames include
+            # peer rows symmetrically on every engine, so they are
+            # deterministic where the bare-RANGE *default* frame (the
+            # original reason for rejection) is not.
+            if not self.eat_kw("between"):
+                raise ParseError(
+                    "RANGE requires explicit BETWEEN bounds"
+                )
+            lo = self._frame_bound()
+            self.expect_kw("and")
+            hi = self._frame_bound()
+            frame = ("range", lo, hi)
+            self.expect_sym(")")
+            return A.WindowCall(call, partition, order, frame)
         if self.eat_kw("rows"):
             if self.eat_kw("between"):
                 lo = self._frame_bound()

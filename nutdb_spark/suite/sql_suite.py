@@ -1560,3 +1560,49 @@ def sql_in_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by o_orderpriority
         """,
     )
+
+
+@query(
+    "sql_range_frame",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ets
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS roll_1h,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ets
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_1h
+    FROM (SELECT user_id, event_id, epoch_us(ts) AS ets, value
+          FROM events)
+    ORDER BY user_id, event_id
+    LIMIT 500
+    """,
+)
+def sql_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] value-offset RANGE window frames — the rolling time
+    window (sum/count of the trailing hour per user, keyed on epoch
+    micros). Deterministic cross-engine because explicit value bounds
+    include peer rows symmetrically; the bare-RANGE *default* frame
+    stays rejected (its tie behavior is the classic cross-engine
+    trap). Plan: one hash shuffle on user_id + per-partition sort —
+    WindowExec streams the frame, no per-row rescans, same 100 TB
+    contract as the ROWS-frame entries."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id, event_id,
+               sum(floor(value * 100)) over (
+                 partition by user_id order by ets
+                 range between 3600000000 preceding and current row) as roll_1h,
+               count(*) over (
+                 partition by user_id order by ets
+                 range between 3600000000 preceding and current row) as n_1h
+        from (select user_id, event_id, toUnixMicros(ts) as ets, value
+              from events)
+        order by user_id, event_id
+        limit 500
+        """,
+    )

@@ -741,3 +741,41 @@ def test_correlated_in_agg_select_rejected(spark):
             "where o_orderkey in (select max(l_orderkey) from lineitem "
             "where l_orderkey = o_orderkey)"
         )
+
+
+# --- RANGE window frames ---------------------------------------------------
+
+
+def test_range_frame_parses():
+    stmt = parse(
+        "select sum(v) over (order by t "
+        "range between 10 preceding and current row) from e"
+    )
+    wc = stmt.query.columns[0][0]
+    assert wc.frame[0] == "range"
+
+
+def test_bare_range_still_rejected():
+    with pytest.raises(ParseError, match="explicit BETWEEN"):
+        parse("select sum(v) over (order by t range 10 preceding) from e")
+
+
+def test_range_frame_requires_single_asc_key(spark):
+    with pytest.raises(LoweringError, match="one ascending"):
+        _eng(spark).sql(
+            "select sum(n_nationkey) over (order by n_name desc "
+            "range between 1 preceding and current row) from nation"
+        ).collect()
+
+
+def test_range_frame_includes_peers_and_values(spark):
+    rows = _eng(spark).sql(
+        "select k, sum(v) over (order by k "
+        "range between 1 preceding and current row) as s "
+        "from (select n_nationkey % 3 as k, 1 as v from nation "
+        "      where n_nationkey < 6) "
+        "order by k"
+    ).collect()
+    # k values 0,0,1,1,2,2 → range frame [k-1,k] with peers:
+    # k=0 → 2; k=1 → 4; k=2 → 4
+    assert [r["s"] for r in rows] == [2, 2, 4, 4, 4, 4]
