@@ -299,6 +299,10 @@ class SelectCore:
     # (partition_by, order_by, frame).
     windows: list = field(default_factory=list)
     order_by: list[OrderItem] = field(default_factory=list)
+    # [EXT] INTERPOLATE (col [AS expr], ...) riding on WITH FILL:
+    # how generated rows populate non-key columns (carry-forward, or
+    # closed-form linear col ± const per filled step)
+    interpolate: list = field(default_factory=list)  # [(name, expr|None)]
     limit: Limit | None = None
     # [EXT] LIMIT n BY keys (ClickHouse per-group head)
     limit_by: "LimitBy | None" = None

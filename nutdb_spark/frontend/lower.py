@@ -668,13 +668,93 @@ class Lowerer:
         series = projected.agg(lo.alias("__lo"), hi.alias("__hi")).select(
             F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(name)
         )
-        filled = series.join(projected, on=name, how="full")
+        real_flag = self._gen("real")
+        filled = series.join(
+            projected.withColumn(real_flag, F.lit(True)), on=name, how="full"
+        )
+        interp = getattr(q, "interpolate", None) or []
+        if interp:
+            filled = self._apply_interpolate(
+                filled, q, name, real_flag, out_names, interp
+            )
         filled = filled.select(*out_names)
         sort = [
             F.col(x.expr.name).asc() if x.asc else F.col(x.expr.name).desc()
             for x in q.order_by
         ]
         return filled.orderBy(*sort)
+
+    def _apply_interpolate(
+        self, filled, q, key_name, real_flag, out_names, interp
+    ):
+        """[EXT] INTERPOLATE over WITH FILL-generated rows. Two forms,
+        both closed-form (no iterative per-row evaluation):
+
+        - `col` / `col AS col` — carry the last real row's value
+          forward into consecutive generated rows;
+        - `col AS col ± <const>` — ClickHouse's running expression,
+          applied once per generated step: consecutive fills compound,
+          so the value is last_real ± const × steps_since_real, which
+          one window expression computes exactly.
+
+        The window is ordered by the fill key over the FILLED result —
+        a presentation-layer pass over the already-bounded series,
+        the same scale class as the final ORDER BY that WITH FILL
+        implies. Real rows always keep their own values (including
+        real NULLs)."""
+        from pyspark.sql import Window
+
+        w = (
+            Window.orderBy(F.col(key_name))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        real = F.col(real_flag)
+        rn = self._gen("irn")
+        filled = filled.withColumn(
+            rn, F.row_number().over(Window.orderBy(F.col(key_name)))
+        )
+        for cname, iexpr in interp:
+            if cname not in out_names or cname == key_name:
+                raise LoweringError(
+                    f"INTERPOLATE column {cname!r} must be a non-key "
+                    "output column"
+                )
+            col = F.col(cname)
+            last_real = F.last(
+                F.when(real, col), ignorenulls=True
+            ).over(w)
+            if iexpr is None or (
+                isinstance(iexpr, A.Ident)
+                and iexpr.qualifier is None
+                and iexpr.name == cname
+            ):
+                val = last_real
+            elif (
+                isinstance(iexpr, A.BinOp)
+                and iexpr.op in ("+", "-")
+                and isinstance(iexpr.left, A.Ident)
+                and iexpr.left.qualifier is None
+                and iexpr.left.name == cname
+                and isinstance(iexpr.right, A.Lit)
+            ):
+                steps = F.col(rn) - F.last(
+                    F.when(real, F.col(rn)), ignorenulls=True
+                ).over(w)
+                delta = F.lit(iexpr.right.value) * steps
+                val = (
+                    last_real + delta
+                    if iexpr.op == "+"
+                    else last_real - delta
+                )
+            else:
+                raise LoweringError(
+                    "INTERPOLATE supports carry-forward (`col`) or "
+                    "`col AS col ± <constant>`"
+                )
+            filled = filled.withColumn(
+                cname, F.when(real, col).otherwise(val)
+            )
+        return filled.drop(rn)
 
     def _lower_limit(self, df: DataFrame, lim: A.Limit, order_cols) -> DataFrame:
         n = self._const_int(lim.n)

@@ -328,6 +328,17 @@ class Parser:
                 q.order_by.append(A.OrderItem(e, asc, fill))
                 if not self.eat_sym(","):
                     break
+            # [EXT] INTERPOLATE (col [AS expr], ...) — how WITH FILL
+            # populates non-key columns of the generated rows
+            if self.eat_kw("interpolate"):
+                self.expect_sym("(")
+                while True:
+                    cname = self.ident()
+                    iexpr = self.parse_expr() if self.eat_kw("as") else None
+                    q.interpolate.append((cname, iexpr))
+                    if not self.eat_sym(","):
+                        break
+                self.expect_sym(")")
         if self.eat_kw("limit"):
             q.limit = self._limit_clause()
             # [EXT] LIMIT [off,] n BY keys (ClickHouse per-group head);

@@ -1606,3 +1606,56 @@ def sql_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit 500
         """,
     )
+
+
+@query(
+    "sql_with_fill_interp",
+    """
+    WITH src AS (
+      SELECT n_nationkey * 3 AS k, n_nationkey * 10 AS v, n_nationkey AS w
+      FROM nation
+    ), series AS (
+      SELECT CAST(unnest(generate_series((SELECT MIN(k) FROM src),
+                                         (SELECT MAX(k) FROM src)))
+                  AS INT) AS k
+    ), j AS (
+      SELECT s.k, src.v, src.w, src.k IS NOT NULL AS is_real,
+             row_number() OVER (ORDER BY s.k) AS rn
+      FROM series s LEFT JOIN src ON s.k = src.k
+    )
+    SELECT k,
+      CAST(CASE WHEN is_real THEN v
+           ELSE last_value(CASE WHEN is_real THEN v END IGNORE NULLS)
+                OVER w1 END AS INT) AS v,
+      CAST(CASE WHEN is_real THEN w
+           ELSE last_value(CASE WHEN is_real THEN w END IGNORE NULLS) OVER w1
+                + 2 * (rn - last_value(CASE WHEN is_real THEN rn END
+                                       IGNORE NULLS) OVER w1)
+           END AS INT) AS w
+    FROM j
+    WINDOW w1 AS (ORDER BY k ROWS UNBOUNDED PRECEDING)
+    ORDER BY k
+    """,
+)
+def sql_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] INTERPOLATE on WITH FILL: generated gap rows carry the
+    last real value forward (`v`) or apply ClickHouse's running
+    expression once per generated step (`w AS w + 2` → last_real +
+    2 × steps, computed CLOSED-FORM by one window expression — no
+    iterative per-row evaluation). The fill series itself stays the
+    distributed sequence+join plan; interpolation is one
+    presentation-layer window over the bounded series, the same scale
+    class as the ORDER BY the clause already implies. The DuckDB
+    oracle replays the definition with IGNORE NULLS window
+    carry-forward."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select k, v, w from (
+          select n_nationkey * 3 as k, n_nationkey * 10 as v,
+                 n_nationkey as w
+          from nation
+        ) order by k with fill interpolate (v, w as w + 2)
+        """,
+    )

@@ -779,3 +779,44 @@ def test_range_frame_includes_peers_and_values(spark):
     # k values 0,0,1,1,2,2 → range frame [k-1,k] with peers:
     # k=0 → 2; k=1 → 4; k=2 → 4
     assert [r["s"] for r in rows] == [2, 2, 4, 4, 4, 4]
+
+
+# --- WITH FILL INTERPOLATE -------------------------------------------------
+
+
+def test_interpolate_carry_and_linear(spark):
+    rows = _eng(spark).sql(
+        "select k, v, w from ("
+        "  select n_nationkey * 3 as k, n_nationkey * 10 as v,"
+        "         n_nationkey as w from nation where n_nationkey < 2"
+        ") order by k with fill interpolate (v, w as w + 2)"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(0, 0, 0), (1, 0, 2), (2, 0, 4), (3, 10, 1)]
+
+
+def test_interpolate_rejects_unknown_column(spark):
+    with pytest.raises(LoweringError, match="non-key output column"):
+        _eng(spark).sql(
+            "select n_nationkey as k from nation "
+            "order by k with fill interpolate (nope)"
+        )
+
+
+def test_interpolate_rejects_complex_expr(spark):
+    with pytest.raises(LoweringError, match="carry-forward"):
+        _eng(spark).sql(
+            "select n_nationkey as k, n_regionkey as v from nation "
+            "order by k with fill interpolate (v as v * 2)"
+        )
+
+
+def test_interpolate_real_rows_keep_values(spark):
+    rows = _eng(spark).sql(
+        "select k, v from ("
+        "  select n_nationkey * 2 as k, n_nationkey + 100 as v"
+        "  from nation where n_nationkey < 3"
+        ") order by k with fill interpolate (v)"
+    ).collect()
+    got = {r["k"]: r["v"] for r in rows}
+    assert got[0] == 100 and got[2] == 101 and got[4] == 102
+    assert got[1] == 100 and got[3] == 101  # carried
