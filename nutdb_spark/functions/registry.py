@@ -562,3 +562,122 @@ def _window_funnel(params: list, ts: Column, *conds: Column) -> Column:
 
 
 PARAMETRIC_AGGS["windowFunnel"] = _window_funnel
+
+
+import re as _re_seq
+
+
+def _parse_seq_pattern(pattern: str, n_conds: int):
+    """Parse the sequenceMatch pattern subset: `(?N)` step refs,
+    cosmetic `.*` separators, and at most ONE `(?t<=N|<N|>=N|>N)`
+    time constraint per gap (constraining the two adjacent matched
+    steps). Returns (steps, gaps) where steps is the ordered list of
+    0-based condition indexes and gaps[j] is None or (op, value) for
+    the gap between steps j and j+1."""
+    toks = _re_seq.findall(
+        r"\(\?(\d+)\)|\(\?t\s*(<=|<|>=|>)\s*(\d+)\)|(\.\*)", pattern
+    )
+    if not toks or "".join(
+        _re_seq.split(
+            r"\(\?\d+\)|\(\?t\s*(?:<=|<|>=|>)\s*\d+\)|\.\*", pattern
+        )
+    ).strip():
+        raise ValueError(f"unsupported sequenceMatch pattern {pattern!r}")
+    steps: list[int] = []
+    gaps: list = []
+    pending_gap = None
+    for num, top, tval, _dots in toks:
+        if num:
+            idx = int(num) - 1
+            if not 0 <= idx < n_conds:
+                raise ValueError(
+                    f"pattern step (?{num}) has no matching condition"
+                )
+            if steps:
+                gaps.append(pending_gap)
+            pending_gap = None
+            steps.append(idx)
+        elif top:
+            if not steps:
+                raise ValueError("time constraint must follow a step")
+            if pending_gap is not None:
+                raise ValueError(
+                    "at most one time constraint per gap is supported"
+                )
+            pending_gap = (top, int(tval))
+        # `.*` is cosmetic under gapped semantics
+    if pending_gap is not None:
+        raise ValueError("trailing time constraint has no next step")
+    return steps, gaps
+
+
+def _sequence_match(params: list, ts: Column, *conds: Column) -> Column:
+    """sequenceMatch('pattern')(ts, cond1, ...) → true when the
+    events of the group contain a chain matching the pattern.
+
+    Supported pattern subset (documented; ClickHouse's full grammar
+    has under-specified adjacency semantics): ordered steps `(?N)`
+    with gapped semantics (other events may always occur between —
+    `.*` is accepted and cosmetic), plus at most one time constraint
+    `(?t<=N)` / `(?t<N)` / `(?t>=N)` / `(?t>N)` per gap, bounding
+    t(next) - t(prev) between the two ADJACENT matched steps.
+
+    Exact chain reachability via one fold over the ts-sorted events
+    keeping, per step, the MIN and MAX feasible match time: a `≤`
+    next-gap is satisfiable iff it is satisfiable against the MAX
+    (latest prior match is the closest), a `>` gap iff against the
+    MIN — so tracking both endpoints preserves exact reachability
+    with one time constraint per gap. Each event updates from the
+    previous event's state, so one event never fills two steps.
+    Same plan shape as windowFunnel: collect_list + array_sort +
+    aggregate(), ONE hash aggregate, all JVM."""
+    pattern = str(params[0])
+    steps, gaps = _parse_seq_pattern(pattern, len(conds))
+    n = len(steps)
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts.cast("long").alias("t"),
+                *[
+                    c.cast("boolean").alias(f"c{k}")
+                    for k, c in enumerate(conds)
+                ],
+            )
+        )
+    )
+    init = F.struct(
+        F.array(*[F.lit(None).cast("long") for _ in range(n)]).alias("mn"),
+        F.array(*[F.lit(None).cast("long") for _ in range(n)]).alias("mx"),
+    )
+
+    def step(acc, e):
+        mns, mxs = [], []
+        for j, cidx in enumerate(steps):
+            mn = F.element_at(acc["mn"], j + 1)
+            mx = F.element_at(acc["mx"], j + 1)
+            hit = e[f"c{cidx}"]
+            if j > 0:
+                pmn = F.element_at(acc["mn"], j)
+                pmx = F.element_at(acc["mx"], j)
+                gate = pmx.isNotNull()
+                g = gaps[j - 1]
+                if g is not None:
+                    op, val = g
+                    d_le = e["t"] - pmx  # vs latest prior match
+                    d_gt = e["t"] - pmn  # vs earliest prior match
+                    gate = gate & {
+                        "<=": d_le <= F.lit(val),
+                        "<": d_le < F.lit(val),
+                        ">=": d_gt >= F.lit(val),
+                        ">": d_gt > F.lit(val),
+                    }[op]
+                hit = hit & gate
+            mns.append(F.when(hit, F.least(mn, e["t"])).otherwise(mn))
+            mxs.append(F.when(hit, F.greatest(mx, e["t"])).otherwise(mx))
+        return F.struct(F.array(*mns).alias("mn"), F.array(*mxs).alias("mx"))
+
+    dp = F.aggregate(ev, init, step)
+    return F.element_at(dp["mx"], n).isNotNull()
+
+
+PARAMETRIC_AGGS["sequenceMatch"] = _sequence_match

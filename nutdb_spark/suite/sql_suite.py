@@ -1659,3 +1659,65 @@ def sql_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) order by k with fill interpolate (v, w as w + 2)
         """,
     )
+
+
+@query(
+    "sql_sequence_match",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+    ),
+    m1 AS (
+      SELECT DISTINCT a.user_id FROM e a
+      JOIN e b ON a.user_id = b.user_id
+      JOIN e c ON a.user_id = c.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.t >= a.t AND b.t - a.t <= 7200000000 AND c.t >= b.t),
+    m2 AS (
+      SELECT DISTINCT a.user_id FROM e a
+      JOIN e b ON a.user_id = b.user_id
+      WHERE a.event_type = 'signup' AND b.event_type = 'error'
+        AND b.t >= a.t AND b.t - a.t > 1728000000000),
+    u AS (SELECT DISTINCT user_id FROM e)
+    SELECT CAST(COUNT(m1.user_id) AS BIGINT) AS n_quick_funnel,
+           CAST(COUNT(m2.user_id) AS BIGINT) AS n_late_error,
+           COUNT(*) AS n_users
+    FROM u
+    LEFT JOIN m1 ON u.user_id = m1.user_id
+    LEFT JOIN m2 ON u.user_id = m2.user_id
+    """,
+)
+def sql_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sequenceMatch('pattern')(ts, cond...) — ordered event
+    chains with per-gap time constraints: `(?1)(?t<=2h)(?2).*(?3)`
+    (view→click within 2 h, then a purchase any time later) and
+    `(?1)(?t>20d)(?2)` (an error more than 20 days after a signup).
+    Exact reachability: the fold keeps per-step MIN and MAX feasible
+    match times — a `≤` gap is satisfiable iff satisfiable against
+    the latest prior match, a `>` gap iff against the earliest, so
+    one (min, max) pair per step decides any single-constraint gap
+    exactly (the DuckDB oracle is the literal EXISTS-chain). One hash
+    aggregate per user, JVM higher-order fold, bounded per-group
+    state — same 100 TB contract as windowFunnel."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with per_user as (
+          select user_id,
+                 sequenceMatch('(?1)(?t<=7200000000)(?2).*(?3)')(
+                   toUnixMicros(ts),
+                   event_type = 'view', event_type = 'click',
+                   event_type = 'purchase') as quick,
+                 sequenceMatch('(?1)(?t>1728000000000)(?2)')(
+                   toUnixMicros(ts),
+                   event_type = 'signup', event_type = 'error') as late
+          from events group by user_id
+        )
+        select sum(if quick then 1 else 0 end) as n_quick_funnel,
+               sum(if late then 1 else 0 end) as n_late_error,
+               count() as n_users
+        from per_user
+        """,
+    )

@@ -820,3 +820,84 @@ def test_interpolate_real_rows_keep_values(spark):
     got = {r["k"]: r["v"] for r in rows}
     assert got[0] == 100 and got[2] == 101 and got[4] == 102
     assert got[1] == 100 and got[3] == 101  # carried
+
+
+# --- sequenceMatch ---------------------------------------------------------
+
+
+def _seq_brute(events, pattern_steps, gaps):
+    """Brute-force: exists chain t1<=...<=tk matching steps, with
+    per-gap constraints."""
+    import itertools
+
+    evs = sorted(events)
+    n = len(pattern_steps)
+    for combo in itertools.permutations(range(len(evs)), n):
+        if list(combo) != sorted(combo):
+            continue
+        ok = all(evs[combo[j]][1][pattern_steps[j]] for j in range(n))
+        if not ok:
+            continue
+        ok = True
+        for j in range(n - 1):
+            g = gaps[j]
+            if g is None:
+                continue
+            d = evs[combo[j + 1]][0] - evs[combo[j]][0]
+            op, v = g
+            ok &= {"<=": d <= v, "<": d < v, ">=": d >= v, ">": d > v}[op]
+        if ok:
+            return True
+    return False
+
+
+def test_sequence_match_matches_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+
+    rnd = random.Random(11)
+    for trial in range(10):
+        n = rnd.randrange(3, 10)
+        evs = [(rnd.randrange(0, 30) * 10 + i, rnd.randrange(3))
+               for i, _ in enumerate(range(n))]
+        rows = [(t, s == 0, s == 1, s == 2) for t, s in evs]
+        df = spark.createDataFrame(
+            rows, "t long, c0 boolean, c1 boolean, c2 boolean"
+        )
+        for pattern, steps, gaps in [
+            ("(?1).*(?2)", [0, 1], [None]),
+            ("(?1)(?t<=50)(?2)", [0, 1], [("<=", 50)]),
+            ("(?1)(?t>40)(?2).*(?3)", [0, 1, 2], [(">", 40), None]),
+            ("(?2)(?t<100)(?1)", [1, 0], [("<", 100)]),
+        ]:
+            got = df.agg(
+                PARAMETRIC_AGGS["sequenceMatch"](
+                    [pattern], F.col("t"),
+                    F.col("c0"), F.col("c1"), F.col("c2"),
+                ).alias("ok")
+            ).collect()[0]["ok"]
+            want = _seq_brute(
+                [(t, (s == 0, s == 1, s == 2)) for t, s in evs],
+                steps, gaps,
+            )
+            assert got == want, (trial, pattern, evs, got, want)
+
+
+def test_sequence_match_bad_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import _parse_seq_pattern
+
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_seq_pattern("(?1)(+2)", 2)
+    with pytest.raises(ValueError, match="no matching condition"):
+        _parse_seq_pattern("(?1)(?5)", 2)
+    with pytest.raises(ValueError, match="must follow a step"):
+        _parse_seq_pattern("(?t<=3)(?1)", 1)
+    with pytest.raises(ValueError, match="at most one"):
+        _parse_seq_pattern("(?1)(?t<=3)(?t>1)(?2)", 2)
+    with pytest.raises(ValueError, match="trailing time"):
+        _parse_seq_pattern("(?1)(?t<=3)", 1)
