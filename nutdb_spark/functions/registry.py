@@ -681,3 +681,56 @@ def _sequence_match(params: list, ts: Column, *conds: Column) -> Column:
 
 
 PARAMETRIC_AGGS["sequenceMatch"] = _sequence_match
+
+
+def _topk_weighted(params: list, x: Column, w: Column) -> Column:
+    """topKWeighted(k)(x, w) → the k values of x with the largest
+    total weight, ties by value asc — the weighted sibling of topK,
+    same exact-within-group lowering (collect pairs, JVM higher-order
+    sum-per-distinct-value, sort, slice)."""
+    k = int(params[0])
+    cl = F.collect_list(F.struct(x.alias("v"), w.cast("long").alias("w")))
+    pairs = F.transform(
+        F.array_distinct(F.transform(cl, lambda s: s["v"])),
+        lambda v: F.struct(
+            (
+                -F.aggregate(
+                    F.filter(cl, lambda s: s["v"] == v),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + s["w"],
+                )
+            ).alias("nw"),
+            v.alias("val"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, k), lambda s: s["val"]
+    )
+
+
+PARAMETRIC_AGGS["topKWeighted"] = _topk_weighted
+
+
+def _summap(keys: Column, vals: Column) -> Column:
+    """sumMap(keys, vals) — ClickHouse's per-key summing aggregate
+    over parallel key/value arrays: one merged map per group with
+    values summed per key, keys sorted. JVM-only: collect the zipped
+    pairs once, fold with map_zip_with (union-of-keys semantics)."""
+    pair = F.arrays_zip(keys.alias("k"), vals.alias("v"))
+    cl = F.collect_list(pair)
+    flat = F.flatten(cl)
+    dk = F.array_sort(F.array_distinct(F.transform(flat, lambda s: s["k"])))
+    return F.map_from_arrays(
+        dk,
+        F.transform(
+            dk,
+            lambda key: F.aggregate(
+                F.filter(flat, lambda s: s["k"] == key),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["v"],
+            ),
+        ),
+    )
+
+
+AGGREGATE_FNS["sumMap"] = _summap

@@ -901,3 +901,62 @@ def test_sequence_match_bad_patterns(spark):
         _parse_seq_pattern("(?1)(?t<=3)(?t>1)(?2)", 2)
     with pytest.raises(ValueError, match="trailing time"):
         _parse_seq_pattern("(?1)(?t<=3)", 1)
+
+
+# --- topKWeighted / sumMap / pickle upgrades --------------------------------
+
+
+def test_topk_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 10), (2, 4), (2, 3), (0, 2)], "x int, w int"
+    )
+    got = df.agg(
+        PARAMETRIC_AGGS["topKWeighted"]([2], F.col("x"), F.col("w")).alias("t")
+    ).collect()[0]["t"]
+    assert got == [1, 2]  # weights: 1→10, 2→7, 0→3
+
+
+def test_summap(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import AGGREGATE_FNS
+
+    df = spark.createDataFrame(
+        [(["a", "b"], [1, 2]), (["b", "c"], [3, 4])],
+        "k array<string>, v array<int>",
+    )
+    got = df.agg(
+        AGGREGATE_FNS["sumMap"](F.col("k"), F.col("v")).alias("m")
+    ).collect()[0]["m"]
+    assert got == {"a": 1, "b": 5, "c": 4}
+
+
+def test_summap_via_sql(spark):
+    r = _eng(spark).sql(
+        "select sumMap(['x', 'y'], [n_nationkey, 1]) as m "
+        "from nation where n_nationkey < 3"
+    ).collect()[0]["m"]
+    assert r == {"x": 3, "y": 3}
+
+
+def test_unpickle_upgrades_old_asts(spark):
+    # simulate a catalog written before a dataclass field existed:
+    # strip instance attrs, unpickle, and walk with the new fields
+    import pickle
+
+    from nutdb_spark.catalog import _pickle_ast, _unpickle_ast
+    from nutdb_spark.frontend.parser import parse
+
+    q = parse("select a from t where b > 1").query
+    blob = _pickle_ast(q)
+    revived = _unpickle_ast(blob)
+    core = revived
+    # delete a newer field as an old pickle would lack it
+    del core.__dict__["expr_aliases"]
+    blob2 = _pickle_ast(core)
+    revived2 = _unpickle_ast(blob2)
+    assert revived2.expr_aliases == []  # refilled with the default
