@@ -101,3 +101,73 @@ def running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def make_funnel_schemas(n_steps: int):
+    out = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("lvl", LongType()),
+        ]
+    )
+    state = StructType([StructField("dp", ArrayType(LongType()))])
+    return out, state
+
+
+def streaming_funnel(events: DataFrame, window: int, n_steps: int) -> DataFrame:
+    """[EXT] stateful streaming windowFunnel: per-user conversion depth
+    maintained ACROSS micro-batches. Input columns: user_id, t (epoch
+    micros) and pre-computed JVM-side booleans c0..c{n-1} (one per
+    funnel step). State per user = the batch aggregate's DP vector
+    (latest chain-start per step, operators-exact to the batch
+    windowFunnel in functions/registry.py); each batch folds its
+    events in t order into the carried DP, so after the final batch
+    the per-user level equals the batch computation over the full
+    history — pytest + driver-oracle pinned. Emits (user_id, lvl) per
+    batch; levels are monotone, so the sink's MAX(lvl) per user is
+    the final depth.
+
+    Ordering contract: per-user event time must not go backwards
+    ACROSS micro-batches (within a batch the fold sorts). File
+    sources split by time and Kafka per-key ordering both satisfy
+    this — the same contract as any event-time stateful operator
+    without a reorder buffer."""
+    out_schema, state_schema = make_funnel_schemas(n_steps)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        dp: list = (
+            list(state.get[0]) if state.exists else [None] * n_steps
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("t")
+            for row in pdf.itertuples(index=False):
+                t = int(row.t)
+                # descending update: dp[k-1] still holds the
+                # PRE-event value, so one event never fills two steps
+                for k in range(n_steps - 1, 0, -1):
+                    if (
+                        getattr(row, f"c{k}")
+                        and dp[k - 1] is not None
+                        and t - dp[k - 1] <= window
+                    ):
+                        prev = dp[k - 1]
+                        dp[k] = prev if dp[k] is None else max(dp[k], prev)
+                if getattr(row, "c0"):
+                    dp[0] = t
+        state.update((dp,))
+        lvl = 0
+        for v in dp:
+            if v is None:
+                break
+            lvl += 1
+        yield pd.DataFrame({"user_id": [key[0]], "lvl": [lvl]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

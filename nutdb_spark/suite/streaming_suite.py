@@ -529,3 +529,94 @@ def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .filter(F.col("user_id") >= 0)
     )
+
+
+@query(
+    "q_stream_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+      FROM events
+    ),
+    lv1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    lv2 AS (
+      SELECT DISTINCT a.user_id FROM e a JOIN e b ON a.user_id = b.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND b.t >= a.t AND b.t - a.t <= 86400000000),
+    lv3 AS (
+      SELECT DISTINCT a.user_id FROM e a
+      JOIN e b ON a.user_id = b.user_id
+      JOIN e c ON a.user_id = c.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.t >= a.t AND c.t >= b.t AND c.t - a.t <= 86400000000),
+    lv AS (
+      SELECT u.user_id,
+             CASE WHEN u3.user_id IS NOT NULL THEN 3
+                  WHEN u2.user_id IS NOT NULL THEN 2
+                  WHEN u1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS lvl
+      FROM (SELECT DISTINCT user_id FROM e) u
+      LEFT JOIN lv1 u1 ON u.user_id = u1.user_id
+      LEFT JOIN lv2 u2 ON u.user_id = u2.user_id
+      LEFT JOIN lv3 u3 ON u.user_id = u3.user_id)
+    SELECT CAST(lvl AS BIGINT) AS lvl, COUNT(*) AS n_users
+    FROM lv GROUP BY lvl
+    """,
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING windowFunnel: the events fixture is split
+    into two time-halves streamed one file per micro-batch; per-user
+    DP state (latest chain-start per step) carries across batches, so
+    the final level must equal the batch windowFunnel over the full
+    history — which is exactly what the DuckDB EXISTS-chain oracle
+    computes. This is the streaming form of sql_funnel: same 24 h
+    view→click→purchase funnel, state bounded per user, levels emitted
+    per batch and reduced by MAX (levels are monotone)."""
+    import tempfile
+
+    from nutdb_spark.streaming.stateful import (
+        make_funnel_schemas,
+        streaming_funnel,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_stream_funnel_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        (F.col("event_type") == "view").alias("c0"),
+        (F.col("event_type") == "click").alias("c1"),
+        (F.col("event_type") == "purchase").alias("c2"),
+    )
+    src = _STREAM_SRC_CACHE.get(("funnel", sf_dir))
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="q_stream_funnel_src_") + "/src"
+        # split by TIME so per-user order never goes backwards across
+        # micro-batches (the operator's ordering contract)
+        mid = ev.agg(
+            F.percentile_approx("t", 0.5).alias("m")
+        ).collect()[0]["m"]
+        ev.filter(F.col("t") <= mid).coalesce(1).write.parquet(src)
+        ev.filter(F.col("t") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _STREAM_SRC_CACHE[("funnel", sf_dir)] = src
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_schema, _ = make_funnel_schemas(3)
+    q = (
+        streaming_funnel(stream, 86400000000, 3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.schema(out_schema).parquet(out)
+    per_user = snap.groupBy("user_id").agg(F.max("lvl").alias("lvl"))
+    return per_user.groupBy("lvl").agg(F.count(F.lit(1)).alias("n_users"))

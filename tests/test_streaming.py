@@ -204,3 +204,70 @@ def test_summing_merge_rewrites_only_touched_buckets(spark, tmp_path):
     }
     assert got["k3"] == (13.0, 2)
     assert len(got) == 200
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """The carried DP state across micro-batches must reproduce the
+    batch windowFunnel exactly (time-split batches)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+    from nutdb_spark.streaming.stateful import (
+        make_funnel_schemas,
+        streaming_funnel,
+    )
+
+    rnd = random.Random(3)
+    rows = []
+    for uid in range(12):
+        for i in range(30):
+            rows.append(
+                (uid, rnd.randrange(0, 10_000) * 100 + uid * 7 + i,
+                 rnd.randrange(3))
+            )
+    df = spark.createDataFrame(rows, "user_id long, t long, s int").select(
+        "user_id", "t",
+        (F.col("s") == 0).alias("c0"),
+        (F.col("s") == 1).alias("c1"),
+        (F.col("s") == 2).alias("c2"),
+    )
+    WIN = 50_000
+    batch = {
+        r["user_id"]: r["lvl"]
+        for r in df.groupBy("user_id").agg(
+            PARAMETRIC_AGGS["windowFunnel"](
+                [WIN], F.col("t"), F.col("c0"), F.col("c1"), F.col("c2")
+            ).alias("lvl")
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    mid = df.agg(F.percentile_approx("t", 0.5).alias("m")).collect()[0]["m"]
+    df.filter(F.col("t") <= mid).coalesce(1).write.parquet(src)
+    df.filter(F.col("t") > mid).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    out_schema, _ = make_funnel_schemas(3)
+    q = (
+        streaming_funnel(stream, WIN, 3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.schema(out_schema).parquet(out)
+    streamed = {
+        r["user_id"]: r["lvl"]
+        for r in snap.groupBy("user_id")
+        .agg(F.max("lvl").alias("lvl"))
+        .collect()
+    }
+    assert streamed == batch
