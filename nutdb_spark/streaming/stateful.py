@@ -164,10 +164,23 @@ def streaming_funnel(events: DataFrame, window: int, n_steps: int) -> DataFrame:
             lvl += 1
         yield pd.DataFrame({"user_id": [key[0]], "lvl": [lvl]})
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    from pyspark.sql import functions as F
+
+    # events matching NO step can never alter the DP — drop them
+    # JVM-side before the Python state boundary (scan-side pushdown;
+    # at 100 TB this is most of the stream)
+    any_step = None
+    for k in range(n_steps):
+        c = F.col(f"c{k}")
+        any_step = c if any_step is None else (any_step | c)
+    return (
+        events.filter(any_step)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

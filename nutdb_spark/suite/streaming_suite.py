@@ -619,4 +619,10 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     snap = spark.read.schema(out_schema).parquet(out)
     per_user = snap.groupBy("user_id").agg(F.max("lvl").alias("lvl"))
+    # users with no step-matching events are filtered before the state
+    # op and never reach the sink — they are level 0 by definition
+    all_users = ev.select("user_id").distinct()
+    per_user = all_users.join(per_user, "user_id", "left").select(
+        "user_id", F.coalesce("lvl", F.lit(0)).alias("lvl")
+    )
     return per_user.groupBy("lvl").agg(F.count(F.lit(1)).alias("n_users"))
