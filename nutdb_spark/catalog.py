@@ -146,6 +146,31 @@ def _walk_ast(node):
                 yield from _walk_ast(x)
 
 
+def _has_subquery(node) -> bool:
+    """Any subquery construct inside an expression tree (their value
+    depends on whole-table state, so a per-insert delta through them
+    would be silently wrong)."""
+    if isinstance(
+        node, (A.ScalarSubquery, A.Exists, A.InSubquery, A.QuantCompare)
+    ):
+        return True
+    for f in getattr(node, "__dataclass_fields__", {}):
+        v = getattr(node, f, None)
+        if isinstance(v, list):
+            for x in v:
+                if isinstance(x, tuple):
+                    if any(
+                        hasattr(y, "__dataclass_fields__") and _has_subquery(y)
+                        for y in x
+                    ):
+                        return True
+                elif hasattr(x, "__dataclass_fields__") and _has_subquery(x):
+                    return True
+        elif hasattr(v, "__dataclass_fields__") and _has_subquery(v):
+            return True
+    return False
+
+
 def _branch_delta_ok(b) -> bool:
     """A UNION ALL branch is delta-decomposable iff applying it to a
     batch of newly inserted rows yields exactly that batch's
@@ -687,7 +712,7 @@ class Catalog:
 
     # --- views (S7): CREATE VIEW … UPDATE BY <strategy> -------------------
 
-    _VIEW_STRATEGIES = ("summing", "replacing")
+    _VIEW_STRATEGIES = ("summing", "replacing", "aggregating")
 
     def create_view(self, v: A.ViewDefinition, low) -> None:
         existing = self._load_meta(v.name)
@@ -736,6 +761,12 @@ class Catalog:
         per insert — O(touched buckets) per batch instead of a full
         recompute, the property that keeps a 100 TB view maintainable."""
         q = _unpickle_ast(meta["query"])
+        if meta["strategy"] == "aggregating":
+            # [EXT] Aggregating views carry their OWN GROUP BY; the
+            # delta contract is re-aggregatability (sum/count/min/max
+            # merge associatively), not row-flow
+            self._mark_aggregating_incremental(meta, q, low)
+            return
         branches = _unionall_branches(q)
         if branches is None or not all(_branch_delta_ok(b) for b in branches):
             meta["maintenance"] = "full"
@@ -766,6 +797,71 @@ class Catalog:
         meta["n_buckets"] = 16  # state-layout knob; raise at real scale
         meta["merged_schema"] = merged_schema
 
+    def _mark_aggregating_incremental(self, meta: dict, q, low) -> None:
+        """[EXT] UPDATE BY Aggregating — ClickHouse AggregatingMergeTree
+        for the re-aggregatable functions. Eligible shape: ONE
+        SelectCore `SELECT keys..., agg(x) AS a, ... FROM t [WHERE
+        row-local] GROUP BY keys` where every aggregate is sum / count
+        / min / max (merge ops: counts ADD, min/max keep-extreme — all
+        associative+commutative, so agg(old ∪ Δ) = merge(agg(old),
+        agg(Δ)) exactly; avg is NOT re-aggregatable and falls back to
+        full refresh, spell it sum/count). State is the same bucketed
+        parquet as Summing, merged per insert in O(touched buckets)."""
+        meta["maintenance"] = "full"
+        if not isinstance(q, A.SelectCore):
+            return
+        b = q
+        if (
+            b.distinct
+            or b.distinct_on is not None
+            or not b.group_by
+            or b.having is not None
+            or b.limit is not None
+            or b.ctes
+            or b.joins
+            or b.from_ is None
+            or getattr(b, "qualify", None) is not None
+            or getattr(b, "group_modifier", None) is not None
+            or getattr(b, "group_sets", None) is not None
+            or getattr(b.from_, "sample", None) is not None
+            or not isinstance(b.from_.source, A.TableRef)
+        ):
+            return
+        if b.where is not None and _has_subquery(b.where):
+            return
+        group_names = set()
+        for g in b.group_by:
+            if not (isinstance(g, A.Ident) and g.qualifier is None):
+                return
+            group_names.add(g.name)
+        _AGG_OPS = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+        ops: dict[str, str] = {}
+        out_keys: list[str] = []
+        for e, alias in b.columns:
+            if isinstance(e, A.Ident) and e.qualifier is None:
+                if e.name not in group_names:
+                    return
+                out_keys.append(alias or e.name)
+                continue
+            if (
+                isinstance(e, A.FnCall)
+                and e.name.lower() in _AGG_OPS
+                and e.params is None
+                and alias
+            ):
+                ops[alias] = _AGG_OPS[e.name.lower()]
+                continue
+            return
+        keys = meta["order_by"]
+        if set(keys) != set(out_keys) or not ops:
+            return
+        df = low.lower_query(q)
+        meta["maintenance"] = "incremental"
+        meta["out_columns"] = df.columns
+        meta["merge_ops"] = ops
+        meta["n_buckets"] = 16
+        meta["merged_schema"] = df.schema.json()
+
     def _state_path(self, name: str) -> str:
         return self._data_path(name)
 
@@ -784,6 +880,12 @@ class Catalog:
         if meta["strategy"] == "replacing":
             replacing_merge_batch(
                 batch, keys, meta["primary_key"], state, buckets
+            )
+        elif meta["strategy"] == "aggregating":
+            from nutdb_spark.streaming.summing import aggregating_merge_batch
+
+            aggregating_merge_batch(
+                batch, keys, meta["merge_ops"], state, buckets
             )
         else:
             sums = [c for c in meta["out_columns"] if c not in keys]

@@ -165,3 +165,34 @@ def incremental_summing(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def aggregating_merge_batch(
+    batch_df: DataFrame,
+    keys: list[str],
+    merge_ops: dict,
+    state_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Aggregating-strategy sibling of :func:`summing_merge_batch`
+    (ClickHouse AggregatingMergeTree for the re-aggregatable
+    functions): the batch is the VIEW QUERY's output over the insert
+    delta — already per-key partial aggregates — and each column
+    merges with the state under its own operator (`sum` for sum AND
+    count — counts add; `min`/`max` keep-extreme). All three are
+    associative + commutative, so batch boundaries don't matter and
+    the O(touched buckets) contract holds."""
+    partial = _with_bucket(batch_df, keys, n_buckets)
+
+    def merge(both: DataFrame) -> DataFrame:
+        return both.groupBy(*keys, "__bucket").agg(
+            *[
+                _MERGE_FNS[op](c).alias(c)
+                for c, op in merge_ops.items()
+            ]
+        )
+
+    _merge_touched_buckets(merge(partial), merge, state_path)

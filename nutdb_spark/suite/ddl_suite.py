@@ -350,3 +350,39 @@ def q_ddl_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ctas_final GROUP BY n_regionkey
         """
     )
+
+
+@query(
+    "q_ddl_view_aggregating",
+    """
+    SELECT tag, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+           CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+    FROM (VALUES (1, 10), (1, 5), (2, 7), (1, 30), (2, 2), (3, 40))
+         t(tag, v)
+    GROUP BY tag
+    """,
+)
+def q_ddl_view_aggregating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CREATE VIEW ... UPDATE BY Aggregating — ClickHouse
+    AggregatingMergeTree for the re-aggregatable functions: the view
+    query carries its own GROUP BY with sum/count/min/max outputs,
+    and each INSERT merges the delta's partial aggregates into the
+    bucketed state under per-column operators (counts ADD, min/max
+    keep-extreme) — O(touched buckets) per insert, never a recompute.
+    The second INSERT must move every aggregate of the touched keys
+    (count +, sum +, min down, max up) for the oracle to match."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP VIEW IF EXISTS agg_v")
+    eng.sql("DROP TABLE IF EXISTS agg_t")
+    eng.sql("CREATE TABLE agg_t (tag Int32, v Int64) ORDER BY (tag)")
+    eng.sql("INSERT INTO agg_t (tag, v) VALUES (1, 10), (1, 5), (2, 7)")
+    eng.sql(
+        """
+        CREATE VIEW agg_v UPDATE BY Aggregating ORDER BY (tag) AS
+        SELECT tag, count(*) AS n, sum(v) AS s, min(v) AS lo,
+               max(v) AS hi
+        FROM agg_t GROUP BY tag
+        """
+    )
+    eng.sql("INSERT INTO agg_t (tag, v) VALUES (1, 30), (2, 2), (3, 40)")
+    return eng.sql("SELECT tag, n, s, lo, hi FROM agg_v")

@@ -198,3 +198,60 @@ def test_unknown_strategy_rejected(eng):
             "CREATE VIEW vm_bad2 UPDATE BY Frobnicating ORDER BY (k) AS "
             "SELECT k, v FROM vm_r3"
         )
+
+
+def test_aggregating_view_is_incremental(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir="/root/testdata/sf0.001", catalog_dir=str(tmp_path)
+    )
+    eng.sql("create table ag (k Int32, v Int64) ORDER BY (k)")
+    eng.sql("insert into ag (k, v) values (1, 10), (2, 7)")
+    eng.sql(
+        "create view agv update by Aggregating order by (k) as "
+        "select k, count(*) as n, sum(v) as s, min(v) as lo, "
+        "max(v) as hi from ag group by k"
+    )
+    assert eng.catalog._load_meta("agv")["maintenance"] == "incremental"
+    eng.sql("insert into ag (k, v) values (1, 3), (1, 99)")
+    got = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in eng.sql("select k, n, s, lo, hi from agv").collect()
+    }
+    assert got == {1: (3, 112, 3, 99), 2: (1, 7, 7, 7)}
+
+
+def test_aggregating_view_avg_falls_back_to_full(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir="/root/testdata/sf0.001", catalog_dir=str(tmp_path)
+    )
+    eng.sql("create table ag2 (k Int32, v Int64) ORDER BY (k)")
+    eng.sql(
+        "create view agv2 update by Aggregating order by (k) as "
+        "select k, avg(v) as a from ag2 group by k"
+    )
+    # avg is not re-aggregatable — must be full-refresh, still correct
+    assert eng.catalog._load_meta("agv2")["maintenance"] == "full"
+    eng.sql("insert into ag2 (k, v) values (1, 10), (1, 20)")
+    assert eng.sql("select a from agv2").collect()[0]["a"] == 15.0
+
+
+def test_aggregating_view_filtered_delta(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir="/root/testdata/sf0.001", catalog_dir=str(tmp_path)
+    )
+    eng.sql("create table ag3 (k Int32, v Int64) ORDER BY (k)")
+    eng.sql(
+        "create view agv3 update by Aggregating order by (k) as "
+        "select k, sum(v) as s from ag3 where v > 5 group by k"
+    )
+    assert eng.catalog._load_meta("agv3")["maintenance"] == "incremental"
+    eng.sql("insert into ag3 (k, v) values (1, 3), (1, 10), (2, 6)")
+    eng.sql("insert into ag3 (k, v) values (1, 2), (2, 100)")
+    got = {r["k"]: r["s"] for r in eng.sql("select k, s from agv3").collect()}
+    assert got == {1: 10, 2: 106}  # v<=5 rows never contribute
