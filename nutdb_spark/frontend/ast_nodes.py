@@ -123,6 +123,16 @@ class InSubquery:
 
 
 @dataclass
+class Cast:
+    """[EXT] CAST(expr AS Type) / CAST(expr, 'Type') / expr :: Type /
+    accurateCast — Spark cast under the session's ANSI setting
+    (overflow errors rather than ClickHouse's wrapping)."""
+
+    expr: object
+    dtype: object  # DataType
+
+
+@dataclass
 class QuantCompare:
     """[EXT] quantified comparison `expr <op> ANY/ALL (subquery)`
     (SOME = ANY). Lowered to a single scalar aggregate over the

@@ -1617,6 +1617,11 @@ class Lowerer:
             return F.struct(
                 *[self._expr(x, scope, group_map, agg_calls, pending) for x in e.items]
             )
+        if isinstance(e, A.Cast):
+            from nutdb_spark.catalog import to_spark_type
+
+            v = self._expr(e.expr, scope, group_map, agg_calls, pending)
+            return v.cast(to_spark_type(e.dtype))
         if isinstance(e, A.ScalarSubquery):
             if pending is None:
                 raise LoweringError("scalar subquery not allowed here")

@@ -36,7 +36,7 @@ _SYM_POWER = {
     "<<": P_SHIFT, ">>": P_SHIFT,
     "+": P_ADD, "-": P_ADD,
     "*": P_MUL, "/": P_MUL, "%": P_MUL,
-    "[": P_ACCESS,
+    "[": P_ACCESS, "::": P_ACCESS,
 }
 _KW_POWER = {
     "or": P_OR, "xor": P_XOR, "and": P_AND, "not": P_NOT,
@@ -789,6 +789,21 @@ class Parser:
     def _fn_call(self, name: str):
         """try_parse_fn_call_args (mod.rs:1534-1556): a lone subquery is
         allowed as the only argument — how EXISTS(SELECT…) parses."""
+        if name.lower() in ("cast", "accuratecast"):
+            # [EXT] CAST(expr AS Type) and CAST(expr, 'Type')
+            e = self.parse_expr()
+            if self.eat_kw("as"):
+                dt = self._datatype()
+            else:
+                self.expect_sym(",")
+                t = self.next()
+                if t.type != T.STRING:
+                    raise ParseError(
+                        "CAST(expr, type) requires a string type literal"
+                    )
+                dt = Parser(t.value)._datatype()
+            self.expect_sym(")")
+            return A.Cast(e, dt)
         if self.eat_sym(")"):
             return A.FnCall(name, [])
         if self.at_kw("select", "with"):
@@ -988,6 +1003,9 @@ class Parser:
                 idx = self.parse_expr()
                 self.expect_sym("]")
                 return A.IndexAccess(left, idx)
+            if sym == "::":
+                # [EXT] postfix cast operator
+                return A.Cast(left, self._datatype())
             if (
                 sym in ("=", "!=", "<", "<=", ">", ">=")
                 and self.at_kw("any", "all", "some")

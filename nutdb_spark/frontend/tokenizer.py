@@ -140,6 +140,14 @@ class Tokenizer:
             return Token(EOF, "", pos=self.i)
         start = self.i
         ch = s[start]
+        if ch == ":":
+            # [EXT] '::' cast operator; a single ':' stays the map
+            # literal / slice separator
+            if start + 1 < n and s[start + 1] == ":":
+                self.i += 2
+                return Token(SYM, "::", pos=start)
+            self.i += 1
+            return Token(SYM, ":", pos=start)
         if ch in _SIMPLE:
             self.i += 1
             return Token(SYM, ch, pos=start)

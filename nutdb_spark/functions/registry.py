@@ -734,3 +734,20 @@ def _summap(keys: Column, vals: Column) -> Column:
 
 
 AGGREGATE_FNS["sumMap"] = _summap
+
+
+# --- type conversion family (ClickHouse to<Type> names) -----------------
+# Same Spark cast as CAST(x AS T) under the session's ANSI setting;
+# unsigned names widen per the catalog's type mapping (no unsigned in
+# Spark/parquet).
+_CAST_TYPES = {
+    "toInt8": "tinyint", "toInt16": "smallint", "toInt32": "int",
+    "toInt64": "bigint",
+    "toUInt8": "smallint", "toUInt16": "int", "toUInt32": "bigint",
+    "toUInt64": "decimal(20,0)",
+    "toFloat32": "float", "toFloat64": "double",
+    "toString": "string", "toBool": "boolean",
+}
+for _nm, _t in _CAST_TYPES.items():
+    SCALAR_FNS[_nm] = (lambda t: lambda c: c.cast(t))(_t)
+del _nm, _t

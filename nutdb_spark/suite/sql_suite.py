@@ -1721,3 +1721,43 @@ def sql_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         from per_user
         """,
     )
+
+
+@query(
+    "sql_cast",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS a,
+           CAST(n_nationkey AS SMALLINT) AS b,
+           CAST(n_nationkey AS VARCHAR) AS c,
+           CAST(n_nationkey AS DOUBLE) AS d,
+           CAST(CAST(n_nationkey AS VARCHAR) || '.5' AS DOUBLE) AS e,
+           CAST(n_nationkey % 2 AS BOOLEAN) AS f,
+           CAST('2024-01-0' || CAST(n_nationkey % 9 + 1 AS VARCHAR)
+                AS DATE) AS g
+    FROM nation
+    ORDER BY a
+    """,
+)
+def sql_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the full cast surface: CAST(x AS Type), CAST(x, 'Type'),
+    the `::` postfix operator, and the ClickHouse to<Type>() family —
+    all lower to ONE Spark cast expression under the session's ANSI
+    setting (overflow raises, accurateCast-style, rather than CH's
+    silent wraparound — the honest strengthening). Dialect type names
+    (Int64, UInt32, Float64, String, Date, Array(T)) map through the
+    catalog's one type table, unsigned widening included."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select cast(n_nationkey as Int64) as a,
+               n_nationkey :: Int16 as b,
+               toString(n_nationkey) as c,
+               cast(n_nationkey, 'Float64') as d,
+               toFloat64(toString(n_nationkey) + '.5') as e,
+               toBool(n_nationkey % 2) as f,
+               toDate('2024-01-0' + toString(n_nationkey % 9 + 1)) as g
+        from nation
+        order by a
+        """,
+    )

@@ -960,3 +960,45 @@ def test_unpickle_upgrades_old_asts(spark):
     blob2 = _pickle_ast(core)
     revived2 = _unpickle_ast(blob2)
     assert revived2.expr_aliases == []  # refilled with the default
+
+
+# --- cast surface ----------------------------------------------------------
+
+
+def test_cast_forms_parse():
+    for sql in (
+        "select cast(x as Int64) from t",
+        "select cast(x, 'Int64') from t",
+        "select x :: Int64 from t",
+        "select cast(x as Nullable(Int32)) from t",
+        "select cast(x as Array(String)) from t",
+    ):
+        stmt = parse(sql)
+        assert isinstance(stmt.query.columns[0][0], A.Cast), sql
+
+
+def test_cast_bad_type_string():
+    with pytest.raises(ParseError):
+        parse("select cast(x, 42) from t")
+
+
+def test_double_colon_precedence(spark):
+    # :: binds tighter than arithmetic: 1 + x::Int64 = 1 + (x::Int64)
+    out = _eng(spark).sql(
+        "select 1 + n_nationkey :: Int64 as x from nation "
+        "order by x limit 1"
+    ).collect()
+    assert out[0]["x"] == 1
+
+
+def test_map_literal_single_colon_still_works(spark):
+    out = _eng(spark).sql("select {1: 'a', 2: 'b'}[2] as m").collect()
+    assert out[0]["m"] == "b"
+
+
+def test_ansi_overflow_cast_raises(spark):
+    import pytest as _pytest
+
+    df = _eng(spark).sql("select cast(300 as Int8) as x")
+    with _pytest.raises(Exception):
+        df.collect()
