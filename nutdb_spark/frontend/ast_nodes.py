@@ -55,6 +55,8 @@ class FnCall:
     # [EXT] ClickHouse parametric aggregates: `fn(params)(args)`,
     # e.g. topK(3)(x), quantiles(0.25, 0.5)(x). None = plain call.
     params: list | None = None
+    # [EXT] fn(DISTINCT args) — count/sum only
+    distinct: bool = False
 
 
 @dataclass

@@ -53,6 +53,7 @@ _BIN_COLUMN_OPS = {
     "<=": lambda a, b: a <= b,
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
+    "||": F.concat,  # [EXT] string/array concatenation
     "and": lambda a, b: a & b,
     "or": lambda a, b: a | b,
     "&": lambda a, b: a.bitwiseAND(b),
@@ -206,6 +207,42 @@ class Lowerer:
         finally:
             self._cte_stack.pop()
 
+    def _resolve_positional(self, q: A.SelectCore) -> None:
+        """[EXT] positional arguments: an integer literal in GROUP BY
+        or ORDER BY names the select item at that 1-based ordinal
+        (ClickHouse enable_positional_arguments / DuckDB behavior —
+        sorting by a constant is meaningless, so the ordinal reading
+        costs nothing). Substituted before aggregate hoisting so an
+        ordinal naming an aggregate item behaves exactly like spelling
+        it out."""
+        import copy as _copy
+
+        ncols = len(q.columns)
+
+        def sub(e):
+            if (
+                isinstance(e, A.Lit)
+                and e.kind in ("int", "hex")
+                and isinstance(e.value, int)
+            ):
+                i = e.value
+                if not 1 <= i <= ncols:
+                    raise LoweringError(
+                        f"positional reference {i} is out of range "
+                        f"(select list has {ncols} items)"
+                    )
+                item, alias = q.columns[i - 1]
+                if isinstance(item, A.Wildcard):
+                    raise LoweringError(
+                        "positional reference cannot name a wildcard item"
+                    )
+                return _copy.deepcopy(item)
+            return e
+
+        q.group_by = [sub(g) for g in q.group_by]
+        for o in q.order_by or []:
+            o.expr = sub(o.expr)
+
     def _apply_expr_aliases(self, q: A.SelectCore) -> None:
         """[EXT] ClickHouse scalar WITH: substitute each `WITH expr AS
         name` binding for every unqualified Ident(name) in THIS query
@@ -355,6 +392,7 @@ class Lowerer:
             self._cte_stack.pop()
 
     def _lower_select_body(self, q: A.SelectCore, outer: Scope | None) -> DataFrame:
+        self._resolve_positional(q)
         scope = Scope(outer)
         cte: dict[str, DataFrame] = {}
 
@@ -777,6 +815,11 @@ class Lowerer:
         if j.kind in ("asof", "left_asof"):
             return self._lower_asof(base, right, alias, j, scope)
         scope.add(alias, right)
+        if j.kind == "cross":
+            # comma join: the WHERE equalities reach Catalyst as a
+            # filter over the cross join, which it rewrites to the
+            # same hash join an explicit INNER JOIN would give
+            return base.crossJoin(right)
         if j.using is not None:
             how = {
                 "inner": "inner", "full": "full", "left": "left",
@@ -1492,6 +1535,16 @@ class Lowerer:
         if not call.args or isinstance(call.args[0], A.Wildcard):
             return F.count(F.lit(1))
         args = [self._expr(a, scope, {}, []) for a in call.args]
+        if getattr(call, "distinct", False):
+            # [EXT] fn(DISTINCT args) — standard distinct aggregates
+            low = call.name.lower()
+            if low == "count":
+                return F.count_distinct(*args)
+            if low == "sum":
+                return F.sum_distinct(args[0])
+            raise LoweringError(
+                f"DISTINCT is supported for count/sum, not {call.name!r}"
+            )
         return fn(*args)
 
     # --- expressions ------------------------------------------------------

@@ -36,7 +36,7 @@ _SYM_POWER = {
     "<<": P_SHIFT, ">>": P_SHIFT,
     "+": P_ADD, "-": P_ADD,
     "*": P_MUL, "/": P_MUL, "%": P_MUL,
-    "[": P_ACCESS, "::": P_ACCESS,
+    "[": P_ACCESS, "::": P_ACCESS, "||": P_ADD,
 }
 _KW_POWER = {
     "or": P_OR, "xor": P_XOR, "and": P_AND, "not": P_NOT,
@@ -49,6 +49,13 @@ _KW_POWER = {
 _UNION_POWER = {"except": 1, "union": 2, "intersect": 3}
 
 _INTERVAL_UNITS = {"second", "minute", "hour", "day", "month", "year"}
+
+# ANSI EXTRACT(unit FROM expr) → the registered datetime getters
+_EXTRACT_FNS = {
+    "year": "getYear", "month": "toMonth", "day": "toDayOfMonth",
+    "hour": "toHour", "minute": "toMinute", "second": "toSecond",
+    "quarter": "toQuarter", "dayofyear": "toDayOfYear",
+}
 
 _TYPE_KEYWORDS = {
     "int8", "int16", "int32", "int64", "int128",
@@ -257,6 +264,13 @@ class Parser:
                 aj = self._try_array_join()
                 if aj is not None:
                     q.joins.append(aj)
+                    continue
+                if self.eat_sym(","):
+                    # [EXT] comma join (FROM a, b WHERE ...): lowered
+                    # as a cross join; Catalyst rewrites it to a hash
+                    # join once WHERE supplies the equality
+                    src, alias = self._table_like()
+                    q.joins.append(A.Join("cross", src, alias))
                     continue
                 j = self._try_join()
                 if j is None:
@@ -747,6 +761,11 @@ class Parser:
                 return self._if_expr()
             if kw == "interval":
                 return self._interval()
+            if kw in ("date", "timestamp") and self.peek().type == T.STRING:
+                # [EXT] typed literals DATE '...' / TIMESTAMP '...'
+                lit = self.next()
+                dt = A.DataType("date" if kw == "date" else "datetime", [])
+                return A.Cast(A.Lit(lit.value, "string"), dt)
             if kw == "exists" and self.at_sym("("):
                 self.next()
                 q = self.parse_query()
@@ -804,12 +823,23 @@ class Parser:
                 dt = Parser(t.value)._datatype()
             self.expect_sym(")")
             return A.Cast(e, dt)
+        if name.lower() == "extract" and self._extract_unit_ahead():
+            # [EXT] ANSI EXTRACT(unit FROM expr); the regex form
+            # extract(s, 're') keeps the plain-call path below
+            unit = self.next().text.lower()
+            self.expect_kw("from")
+            e = self.parse_expr()
+            self.expect_sym(")")
+            return A.FnCall(_EXTRACT_FNS[unit], [e])
         if self.eat_sym(")"):
             return A.FnCall(name, [])
         if self.at_kw("select", "with"):
             q = self.parse_query()
             self.expect_sym(")")
             return A.FnCall(name, [A.ScalarSubquery(q)])
+        # [EXT] fn(DISTINCT args) — standard spelling of the distinct
+        # aggregates (count/sum)
+        distinct = self.eat_kw("distinct")
         if self.at_sym("*"):
             # count(*)
             self.next()
@@ -822,7 +852,16 @@ class Parser:
                 continue
             self.expect_sym(")")
             break
-        return A.FnCall(name, args)
+        return A.FnCall(name, args, distinct=distinct)
+
+    def _extract_unit_ahead(self) -> bool:
+        t0, t1 = self.peek_at(0), self.peek_at(1)
+        return (
+            t0.type == T.KWID
+            and t0.text.lower() in _EXTRACT_FNS
+            and t1.type == T.KWID
+            and t1.text.lower() == "from"
+        )
 
     def _arg_or_lambda(self):
         """[EXT] a function argument may be a lambda: `x -> body` or

@@ -44,7 +44,7 @@ class Token:
     pos: int = 0
 
 
-_SIMPLE = set("()[]{},:;+*%=&|^~")
+_SIMPLE = set("()[]{},:;+*%=&^~")
 _IDENT_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
 _IDENT_CONT = _IDENT_START | set("0123456789")
 _DIGITS = set("0123456789")
@@ -140,6 +140,14 @@ class Tokenizer:
             return Token(EOF, "", pos=self.i)
         start = self.i
         ch = s[start]
+        if ch == "|":
+            # [EXT] '||' string/array concatenation; single '|' stays
+            # bitwise OR
+            if start + 1 < n and s[start + 1] == "|":
+                self.i += 2
+                return Token(SYM, "||", pos=start)
+            self.i += 1
+            return Token(SYM, "|", pos=start)
         if ch == ":":
             # [EXT] '::' cast operator; a single ':' stays the map
             # literal / slice separator

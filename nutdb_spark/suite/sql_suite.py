@@ -1761,3 +1761,44 @@ def sql_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by a
         """,
     )
+
+
+@query(
+    "sql_ansi_basics",
+    """
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_mktsegment) AS segs,
+           CAST(SUM(DISTINCT c.c_nationkey) AS BIGINT) AS snk,
+           EXTRACT(YEAR FROM DATE '2024-03-05') AS y,
+           r.r_name || '/' || n.n_name AS path
+    FROM region r, nation n, customer c
+    WHERE r.r_regionkey = n.n_regionkey
+      AND n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 5
+    ORDER BY 1
+    """,
+)
+def sql_ansi_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the ANSI basics batch: comma joins (cross join + WHERE
+    equalities — Catalyst rewrites to the same broadcast/hash joins an
+    explicit INNER JOIN gives, plan-tested), COUNT/SUM(DISTINCT),
+    EXTRACT(unit FROM expr), `||` concatenation, typed DATE literals,
+    and positional GROUP BY / ORDER BY ordinals (substituted before
+    aggregate hoisting, so an ordinal naming an aggregate item is
+    identical to spelling it out)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select n.n_name,
+               count(distinct c.c_mktsegment) as segs,
+               sum(distinct c.c_nationkey) as snk,
+               extract(year from date '2024-03-05') as y,
+               r.r_name || '/' || n.n_name as path
+        from region r, nation n, customer c
+        where r.r_regionkey = n.n_regionkey
+          and n.n_nationkey = c.c_nationkey
+        group by 1, 5
+        order by 1
+        """,
+    )

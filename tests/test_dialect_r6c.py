@@ -1002,3 +1002,57 @@ def test_ansi_overflow_cast_raises(spark):
     df = _eng(spark).sql("select cast(300 as Int8) as x")
     with _pytest.raises(Exception):
         df.collect()
+
+
+# --- ANSI basics batch ------------------------------------------------------
+
+
+def test_count_distinct_forms(spark):
+    r = _eng(spark).sql(
+        "select count(distinct n_regionkey) as c, "
+        "sum(distinct n_regionkey) as s from nation"
+    ).collect()[0]
+    assert (r["c"], r["s"]) == (5, 10)
+
+
+def test_distinct_unsupported_agg_errors(spark):
+    with pytest.raises(LoweringError, match="count/sum"):
+        _eng(spark).sql("select avg(distinct n_regionkey) from nation")
+
+
+def test_extract_both_forms(spark):
+    r = _eng(spark).sql(
+        "select extract(year from date '2024-03-05') as y, "
+        "extract('abc123', '([0-9]+)') as rx"
+    ).collect()[0]
+    assert (r["y"], r["rx"]) == (2024, "123")
+
+
+def test_concat_pipes_and_precedence(spark):
+    r = _eng(spark).sql(
+        "select 'n' || toString(1 + 2) as s, 5 | 2 as bor"
+    ).collect()[0]
+    assert (r["s"], r["bor"]) == ("n3", 7)
+
+
+def test_comma_join_becomes_hash_join(spark):
+    df = _eng(spark).sql(
+        "select r_name, n_name from region, nation "
+        "where r_regionkey = n_regionkey"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_positional_out_of_range_errors(spark):
+    with pytest.raises(LoweringError, match="out of range"):
+        _eng(spark).sql("select n_name from nation group by 3")
+
+
+def test_positional_names_aggregate_item(spark):
+    rows = _eng(spark).sql(
+        "select n_regionkey, count(*) as n from nation "
+        "group by 1 order by 2 desc, 1 limit 1"
+    ).collect()
+    assert rows[0]["n"] == 5
