@@ -125,6 +125,25 @@ class InSubquery:
 
 
 @dataclass
+class ValuesTable:
+    """[EXT] `(VALUES (…), (…)) AS t(a, b)` inline table constructor.
+    Rows are constant expression lists; lowered to a literal local
+    DataFrame (broadcast-sized by construction)."""
+
+    rows: list  # [[expr, ...], ...]
+    names: list | None = None  # column names from the alias clause
+
+
+@dataclass
+class TupleAccess:
+    """[EXT] tuple element access `expr.1` (1-based) or struct field
+    `expr.name` on a non-identifier primary."""
+
+    expr: object
+    field: object  # int (1-based) | str
+
+
+@dataclass
 class Cast:
     """[EXT] CAST(expr AS Type) / CAST(expr, 'Type') / expr :: Type /
     accurateCast — Spark cast under the session's ANSI setting
@@ -196,6 +215,8 @@ class OrderItem:
     # [EXT] `WITH FILL [FROM a] [TO b] [STEP s]` — (from, to, step)
     # exprs (each may be None); TO is exclusive, ClickHouse-style.
     fill: tuple | None = None
+    # [EXT] NULLS FIRST / NULLS LAST (engine default when None)
+    nulls: str | None = None
 
 
 @dataclass

@@ -42,6 +42,16 @@ class LoweringError(ValueError):
     pass
 
 
+def _sort_col(c, asc: bool, nulls: str | None):
+    """[EXT] NULLS FIRST/LAST; engine default otherwise (Spark:
+    nulls first when ascending, last when descending)."""
+    if nulls == "first":
+        return c.asc_nulls_first() if asc else c.desc_nulls_first()
+    if nulls == "last":
+        return c.asc_nulls_last() if asc else c.desc_nulls_last()
+    return c.asc() if asc else c.desc()
+
+
 _BIN_COLUMN_OPS = {
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
@@ -54,6 +64,9 @@ _BIN_COLUMN_OPS = {
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
     "||": F.concat,  # [EXT] string/array concatenation
+    # [EXT] IS [NOT] DISTINCT FROM — null-safe comparison
+    "is_distinct": lambda a, b: ~a.eqNullSafe(b),
+    "is_not_distinct": lambda a, b: a.eqNullSafe(b),
     "and": lambda a, b: a & b,
     "or": lambda a, b: a | b,
     "&": lambda a, b: a.bitwiseAND(b),
@@ -169,6 +182,9 @@ class Lowerer:
             if df is None:
                 df = self.resolve_table(name)
             use = alias or name
+        elif isinstance(src, A.ValuesTable):
+            df = self._values_table(src)
+            use = alias or self._gen("vals")
         elif isinstance(src, A.TableFn):
             df = self._table_fn(src)
             use = alias or src.name
@@ -176,6 +192,23 @@ class Lowerer:
             df = self.lower_query(src, scope)
             use = alias or self._gen("sq")
         return df.alias(use), use
+
+    def _values_table(self, vt: A.ValuesTable) -> DataFrame:
+        """[EXT] inline (VALUES ...) table — a literal local frame
+        (broadcast-sized by construction). Entries must be constants
+        (parse-time folding reduces signed literals etc.)."""
+        rows = []
+        for r in vt.rows:
+            vals = []
+            for e in r:
+                if not isinstance(e, A.Lit):
+                    raise LoweringError(
+                        "VALUES entries must be constant literals"
+                    )
+                vals.append(e.value)
+            rows.append(tuple(vals))
+        names = vt.names or [f"col{i + 1}" for i in range(len(vt.rows[0]))]
+        return self.spark.createDataFrame(rows, names)
 
     def _table_fn(self, fn: A.TableFn) -> DataFrame:
         name = fn.name.lower()
@@ -604,7 +637,7 @@ class Lowerer:
                 oc, base = self._expr_with_scalars(
                     o.expr, base, scope, group_map, agg_calls
                 )
-            order_cols.append((oc, o.asc))
+            order_cols.append((oc, o.asc, getattr(o, "nulls", None)))
 
         projected = base.select(*proj)
         if qual_tmp is not None:
@@ -620,21 +653,21 @@ class Lowerer:
             keys = [
                 self._expr(k, scope, group_map, agg_calls) for k in q.distinct_on
             ]
-            spec = [(c, asc) for c, asc in order_cols] or None
+            spec = [(c, asc) for c, asc, _ in order_cols] or None
             projected = R.distinct_on(projected, keys, order_by=spec)
             if order_cols:
                 projected = projected.orderBy(
-                    *[c.asc() if asc else c.desc() for c, asc in order_cols]
+                    *[_sort_col(c, asc, nl) for c, asc, nl in order_cols]
                 )
         elif q.distinct:
             projected = projected.distinct()
             if order_cols:
                 projected = projected.orderBy(
-                    *[c.asc() if asc else c.desc() for c, asc in order_cols]
+                    *[_sort_col(c, asc, nl) for c, asc, nl in order_cols]
                 )
         elif order_cols:
             projected = projected.orderBy(
-                *[c.asc() if asc else c.desc() for c, asc in order_cols]
+                *[_sort_col(c, asc, nl) for c, asc, nl in order_cols]
             )
 
         if any(getattr(o, "fill", None) is not None for o in q.order_by):
@@ -1667,9 +1700,21 @@ class Lowerer:
                 parts.append(self._expr(v, scope, group_map, agg_calls, pending))
             return F.create_map(*parts)
         if isinstance(e, A.TupleLit):
+            # field names follow the tuple TYPE convention (_1.._n,
+            # catalog.to_spark_type) so `.N` access and tuple casts
+            # agree
             return F.struct(
-                *[self._expr(x, scope, group_map, agg_calls, pending) for x in e.items]
+                *[
+                    self._expr(x, scope, group_map, agg_calls, pending)
+                    .alias(f"_{i + 1}")
+                    for i, x in enumerate(e.items)
+                ]
             )
+        if isinstance(e, A.TupleAccess):
+            v = self._expr(e.expr, scope, group_map, agg_calls, pending)
+            if isinstance(e.field, int):
+                return v.getField(f"_{e.field}")
+            return v.getField(e.field)
         if isinstance(e, A.Cast):
             from nutdb_spark.catalog import to_spark_type
 

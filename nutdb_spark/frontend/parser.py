@@ -328,6 +328,14 @@ class Parser:
                     asc = False
                 else:
                     self.eat_kw("asc")  # default; keyword accepted+ignored
+                # [EXT] NULLS FIRST / NULLS LAST
+                nulls = None
+                if self.eat_kw("nulls"):
+                    if self.eat_kw("first"):
+                        nulls = "first"
+                    else:
+                        self.expect_kw("last")
+                        nulls = "last"
                 # [EXT] WITH FILL [FROM a] [TO b] [STEP s] (TO exclusive)
                 fill = None
                 if self.at_kw("with"):
@@ -339,7 +347,7 @@ class Parser:
                         f_to = self.parse_expr() if self.eat_kw("to") else None
                         f_step = self.parse_expr() if self.eat_kw("step") else None
                         fill = (f_from, f_to, f_step)
-                q.order_by.append(A.OrderItem(e, asc, fill))
+                q.order_by.append(A.OrderItem(e, asc, fill, nulls))
                 if not self.eat_sym(","):
                     break
             # [EXT] INTERPOLATE (col [AS expr], ...) — how WITH FILL
@@ -513,6 +521,34 @@ class Parser:
     def _table_like(self):
         if self.at_sym("("):
             self.next()
+            if self.at_kw("values"):
+                # [EXT] inline table: (VALUES (…), (…)) AS t(a, b)
+                self.next()
+                rows = []
+                while True:
+                    self.expect_sym("(")
+                    row = self._expr_list(")")
+                    if rows and len(row) != len(rows[0]):
+                        raise ParseError(
+                            "VALUES rows have conflicting arity"
+                        )
+                    rows.append(row)
+                    if not self.eat_sym(","):
+                        break
+                self.expect_sym(")")
+                alias = self._opt_alias()
+                names = None
+                if self.at_sym("("):
+                    self.next()
+                    names = [self.ident()]
+                    while self.eat_sym(","):
+                        names.append(self.ident())
+                    self.expect_sym(")")
+                    if len(names) != len(rows[0]):
+                        raise ParseError(
+                            "VALUES column list arity does not match rows"
+                        )
+                return A.ValuesTable(rows, names), alias
             sub = self.parse_query()
             self.expect_sym(")")
             alias = self._opt_alias()
@@ -678,9 +714,15 @@ class Parser:
     def _infix_power(self) -> int:
         t = self.peek()
         if t.type == T.SYM:
+            if t.text == ".":
+                return P_ACCESS  # tuple element access
             return _SYM_POWER.get(t.text, P_TERM)
         if t.type == T.KWID:
             return _KW_POWER.get(t.text.lower(), P_TERM)
+        if t.type == T.FLOAT and t.text.startswith(".") and t.text[1:].isdigit():
+            # `.1` after an expression tokenized as a float literal —
+            # it is tuple element access
+            return P_ACCESS
         return P_TERM
 
     def _prefix(self):
@@ -758,6 +800,19 @@ class Parser:
             if kw == "case":
                 return self._case()
             if kw == "if":
+                # [EXT] function form if(cond, then, else) vs the
+                # reference's IF … THEN … ELSE … END: backtrack-probe
+                # the paren form for the 3-arg comma shape
+                if self.at_sym("("):
+                    save = self.pos
+                    try:
+                        self.next()
+                        args = self._expr_list(")")
+                        if len(args) == 3 and not self.at_kw("then"):
+                            return A.FnCall("if", args)
+                    except ParseError:
+                        pass
+                    self.pos = save
                 return self._if_expr()
             if kw == "interval":
                 return self._interval()
@@ -1036,6 +1091,12 @@ class Parser:
 
     def _infix(self, left, power: int):
         t = self.next()
+        if (
+            t.type == T.FLOAT
+            and t.text.startswith(".")
+            and t.text[1:].isdigit()
+        ):
+            return A.TupleAccess(left, int(t.text[1:]))
         if t.type == T.SYM:
             sym = t.text
             if sym == "[":
@@ -1045,6 +1106,17 @@ class Parser:
             if sym == "::":
                 # [EXT] postfix cast operator
                 return A.Cast(left, self._datatype())
+            if sym == ".":
+                # [EXT] tuple/struct element access on a non-identifier
+                # primary: (t).1 or (t).field
+                nt = self.next()
+                if nt.type == T.INT:
+                    return A.TupleAccess(left, int(nt.text))
+                if nt.type in (T.KWID, T.DELIM_IDENT):
+                    return A.TupleAccess(left, nt.text)
+                raise ParseError(
+                    "tuple access needs an element number or field name"
+                )
             if (
                 sym in ("=", "!=", "<", "<=", ">", ">=")
                 and self.at_kw("any", "all", "some")
@@ -1070,6 +1142,12 @@ class Parser:
             return self._fold_logical(kw, left, right)
         if kw == "is":
             negated = self.eat_kw("not")
+            if self.eat_kw("distinct"):
+                # [EXT] IS [NOT] DISTINCT FROM — null-safe comparison
+                self.expect_kw("from")
+                right = self.parse_expr(P_CMP)
+                op = "is_not_distinct" if negated else "is_distinct"
+                return A.BinOp(op, left, right)
             self.expect_kw("null")
             return self._fold_is_null(left, negated)
         if kw == "in":

@@ -1802,3 +1802,35 @@ def sql_ansi_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by 1
         """,
     )
+
+
+@query(
+    "sql_values_inline",
+    """
+    SELECT v.id, v.tag,
+           n.n_name IS DISTINCT FROM v.tag AS differs,
+           CASE WHEN v.id = 1 THEN 'one' ELSE 'many' END AS card
+    FROM (VALUES (1, 'AFRICA'), (2, 'nope'), (3, NULL)) AS v(id, tag)
+    LEFT JOIN nation n ON n.n_nationkey = v.id
+    ORDER BY v.tag NULLS FIRST, v.id
+    """,
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] inline `(VALUES ...) AS t(cols)` table constructor (a
+    literal broadcast-sized frame), `IS [NOT] DISTINCT FROM`
+    (null-safe comparison — one JVM eqNullSafe, no CASE dance),
+    `if(c, a, b)` function form, and `ORDER BY ... NULLS FIRST/LAST`.
+    The DuckDB oracle runs the identical text — all four are ANSI /
+    DuckDB spellings too."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select v.id, v.tag,
+               n.n_name is distinct from v.tag as differs,
+               if(v.id = 1, 'one', 'many') as card
+        from (values (1, 'AFRICA'), (2, 'nope'), (3, NULL)) as v(id, tag)
+        left join nation n on n.n_nationkey = v.id
+        order by v.tag nulls first, v.id
+        """,
+    )

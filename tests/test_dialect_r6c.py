@@ -1056,3 +1056,51 @@ def test_positional_names_aggregate_item(spark):
         "group by 1 order by 2 desc, 1 limit 1"
     ).collect()
     assert rows[0]["n"] == 5
+
+
+# --- VALUES / IS DISTINCT FROM / NULLS / tuple access -----------------------
+
+
+def test_values_table_requires_constants(spark):
+    with pytest.raises(LoweringError, match="constant"):
+        _eng(spark).sql(
+            "select * from (values (n_name)) t(x)"
+        )
+
+
+def test_values_default_column_names(spark):
+    df = _eng(spark).sql("select * from (values (1, 'a'))")
+    assert df.columns == ["col1", "col2"]
+
+
+def test_is_distinct_from_semantics(spark):
+    r = _eng(spark).sql(
+        "select 1 is distinct from null as a,"
+        "       null is distinct from null as b,"
+        "       2 is not distinct from 2 as c,"
+        "       null is not distinct from null as d"
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, False, True, True)
+
+
+def test_tuple_access_forms(spark):
+    r = _eng(spark).sql(
+        "select (1, 'a').1 as f, ((1, 'a')).2 as s"
+    ).collect()[0]
+    assert (r["f"], r["s"]) == (1, "a")
+
+
+def test_if_both_forms_equivalent(spark):
+    fn = _eng(spark).sql("select if(2 > 1, 'y', 'n') as x").collect()[0]["x"]
+    kw = _eng(spark).sql(
+        "select if 2 > 1 then 'y' else 'n' end as x"
+    ).collect()[0]["x"]
+    assert fn == kw == "y"
+
+
+def test_nulls_ordering(spark):
+    rows = _eng(spark).sql(
+        "select x from (values (1), (NULL), (2)) t(x) "
+        "order by x desc nulls last"
+    ).collect()
+    assert [r["x"] for r in rows] == [2, 1, None]
