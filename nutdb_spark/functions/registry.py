@@ -751,3 +751,20 @@ _CAST_TYPES = {
 for _nm, _t in _CAST_TYPES.items():
     SCALAR_FNS[_nm] = (lambda t: lambda c: c.cast(t))(_t)
 del _nm, _t
+
+
+# --- remaining ClickHouse staples ---------------------------------------
+SCALAR_FNS["hasAll"] = lambda a, b: F.size(F.array_except(b, a)) == 0
+SCALAR_FNS["hasAny"] = F.arrays_overlap
+# guard the empty range: sequence(0, -1) would run DOWNWARD in Spark
+SCALAR_FNS["range"] = lambda n: F.when(
+    n > 0, F.sequence(F.lit(0).cast("bigint"), n.cast("bigint") - 1)
+).otherwise(F.array().cast("array<bigint>"))
+# CH transform(x, [from], [to], default) — value mapping via a literal
+# map lookup, one JVM expression
+SCALAR_FNS["transform"] = lambda x, frm, to, dflt: F.coalesce(
+    F.element_at(F.map_from_arrays(frm, to), x), dflt
+)
+# wall-clock — nondeterministic by nature (rows-only checkable)
+SCALAR_FNS["now"] = F.current_timestamp
+SCALAR_FNS["today"] = F.current_date

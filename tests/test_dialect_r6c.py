@@ -1104,3 +1104,15 @@ def test_nulls_ordering(spark):
         "order by x desc nulls last"
     ).collect()
     assert [r["x"] for r in rows] == [2, 1, None]
+
+
+def test_ch_staples_surface(spark):
+    r = _eng(spark).sql(
+        "select hasAll([1,2,3], [1,2]) as ha, hasAny([1,2], [5]) as hy,"
+        "       range(3)[3] as r3, arrayConcat(range(0), [9])[1] as r0,"
+        "       transform(1, [0,1], ['a','b'], 'z') as t,"
+        "       multiIf(1 > 2, 'a', 3 > 2, 'b', 'c') as m"
+    ).collect()[0]
+    assert (r["ha"], r["hy"], r["r3"], r["r0"], r["t"], r["m"]) == (
+        True, False, 2, 9, "b", "b",
+    )
