@@ -832,7 +832,9 @@ class Lowerer:
         if lim.with_ties:
             if not order_cols:
                 raise LoweringError("LIMIT WITH TIES requires ORDER BY")
-            return R.limit_with_ties(df, [(c, asc) for c, asc in order_cols], n)
+            return R.limit_with_ties(
+                df, [(c, asc) for c, asc, _ in order_cols], n
+            )
         off = self._const_int(lim.offset) if lim.offset is not None else 0
         return R.limit_offset(df, n, off)
 

@@ -1834,3 +1834,92 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by v.tag nulls first, v.id
         """,
     )
+
+
+@query(
+    "sql_q22_corr",
+    """
+    SELECT CAST(c_nationkey % 5 AS VARCHAR) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT (CAST(SUM(CAST(FLOOR(c_acctbal * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(c_acctbal)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000)
+    GROUP BY cntrycode
+    """,
+)
+def sql_q22_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 in its NATIVE SQL form end-to-end through the
+    frontend: uncorrelated scalar-subquery threshold (broadcast 1-row)
+    + correlated NOT EXISTS (decorrelated left-anti join). The
+    DataFrame twin is tpch_q22; this entry certifies the dialect text
+    itself produces the same plan shape."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select toString(c_nationkey % 5) as cntrycode,
+               count(*) as numcust,
+               sum(floor(c_acctbal * 10000)) / 10000.0 as totacctbal
+        from customer
+        where c_acctbal > (select sum(floor(c_acctbal * 10000)) / 10000.0
+                                  / count(c_acctbal)
+                           from customer where c_acctbal > 0)
+          and not exists (select * from orders
+                          where o_custkey = c_custkey
+                            and o_totalprice > 300000)
+        group by toString(c_nationkey % 5)
+        """,
+    )
+
+
+@query(
+    "sql_q21_corr",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 1 MONTH
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 1 MONTH)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+    GROUP BY s_name
+    """,
+)
+def sql_q21_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 in its NATIVE SQL form through the frontend: FOUR
+    comma-joined tables (Catalyst turns the filter-over-cross into
+    hash joins), a correlated EXISTS and a correlated NOT EXISTS whose
+    condition mixes TWO outer tables (l1 and orders) — the hardest
+    decorrelation shape in the benchmark. DataFrame twin: tpch_q21."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select s_name, count(*) as numwait
+        from supplier, lineitem as l1, orders, nation
+        where s_suppkey = l1.l_suppkey and o_orderkey = l1.l_orderkey
+          and o_orderstatus = 'F'
+          and l1.l_shipdate > o_orderdate + interval 1 month
+          and exists (select * from lineitem as l2
+                      where l2.l_orderkey = l1.l_orderkey
+                        and l2.l_suppkey != l1.l_suppkey)
+          and not exists (select * from lineitem as l3
+                          where l3.l_orderkey = l1.l_orderkey
+                            and l3.l_suppkey != l1.l_suppkey
+                            and l3.l_shipdate > o_orderdate + interval 1 month)
+          and s_nationkey = n_nationkey and n_name = 'NATION_5'
+        group by s_name
+        """,
+    )

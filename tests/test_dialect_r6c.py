@@ -1116,3 +1116,13 @@ def test_ch_staples_surface(spark):
     assert (r["ha"], r["hy"], r["r3"], r["r0"], r["t"], r["m"]) == (
         True, False, 2, 9, "b", "b",
     )
+
+
+def test_q21_comma_join_plan_no_cartesian(spark):
+    df = _eng(spark).sql(
+        "select s_name, count(*) as n "
+        "from supplier, nation "
+        "where s_nationkey = n_nationkey group by s_name"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
