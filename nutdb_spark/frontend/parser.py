@@ -144,6 +144,7 @@ class Parser:
             "alter": self._alter, "optimize": self._optimize,
             "set": self._set, "show": self._show,
             "rename": self._rename,
+            "delete": self._delete,
         }
         if kw not in dispatch:
             raise ParseError(f"unknown statement keyword {t.text!r}")
@@ -1346,6 +1347,15 @@ class Parser:
                 )
             return A.CreateViewStmt(v)
         raise ParseError("CREATE supports TABLE and VIEW")
+
+    def _delete(self):
+        # [EXT] DELETE FROM t WHERE cond — ClickHouse lightweight
+        # delete; sugar for the ALTER TABLE t DELETE WHERE mutation
+        self.expect_kw("delete")
+        self.expect_kw("from")
+        table = self.ident()
+        self.expect_kw("where")
+        return A.AlterStmt(table, "delete", self.parse_expr())
 
     def _rename(self):
         # [EXT] RENAME TABLE a TO b[, c TO d ...]

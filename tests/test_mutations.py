@@ -205,3 +205,16 @@ def test_explain_modes(eng):
         ).collect()
     )
     assert "HashAggregate" in ana
+
+
+def test_delete_from_statement(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir="/root/testdata/sf0.001", catalog_dir=str(tmp_path)
+    )
+    eng.sql("create table dl (k Int32, v Int64) ORDER BY (k)")
+    eng.sql("insert into dl (k, v) values (1, 10), (2, 20), (3, 30)")
+    eng.sql("delete from dl where k = 2")
+    got = sorted(r["k"] for r in eng.sql("select k from dl").collect())
+    assert got == [1, 3]
