@@ -145,6 +145,7 @@ class Parser:
             "set": self._set, "show": self._show,
             "rename": self._rename,
             "delete": self._delete,
+            "update": self._update,
         }
         if kw not in dispatch:
             raise ParseError(f"unknown statement keyword {t.text!r}")
@@ -1356,6 +1357,22 @@ class Parser:
         table = self.ident()
         self.expect_kw("where")
         return A.AlterStmt(table, "delete", self.parse_expr())
+
+    def _update(self):
+        # [EXT] UPDATE t SET c = e[, ...] WHERE cond — statement sugar
+        # for the ALTER TABLE t UPDATE mutation (WHERE stays mandatory)
+        self.expect_kw("update")
+        table = self.ident()
+        self.expect_kw("set")
+        assignments: list = []
+        while True:
+            col = self.ident()
+            self.expect_sym("=")
+            assignments.append((col, self.parse_expr()))
+            if not self.eat_sym(","):
+                break
+        self.expect_kw("where")
+        return A.AlterStmt(table, "update", (assignments, self.parse_expr()))
 
     def _rename(self):
         # [EXT] RENAME TABLE a TO b[, c TO d ...]

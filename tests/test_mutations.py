@@ -218,3 +218,25 @@ def test_delete_from_statement(spark, tmp_path):
     eng.sql("delete from dl where k = 2")
     got = sorted(r["k"] for r in eng.sql("select k from dl").collect())
     assert got == [1, 3]
+
+
+def test_update_statement(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir="/root/testdata/sf0.001", catalog_dir=str(tmp_path)
+    )
+    eng.sql("create table up (k Int32, v Int64) ORDER BY (k)")
+    eng.sql("insert into up (k, v) values (1, 10), (2, 20)")
+    eng.sql("update up set v = v * 2 where k = 2")
+    got = {r["k"]: r["v"] for r in eng.sql("select k, v from up").collect()}
+    assert got == {1: 10, 2: 40}
+
+
+def test_update_requires_where(spark):
+    from nutdb_spark.frontend.parser import ParseError, parse
+
+    import pytest as _pytest
+
+    with _pytest.raises(ParseError):
+        parse("update t set v = 1")
