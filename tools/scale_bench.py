@@ -57,6 +57,16 @@ ENTRIES = [
     "q_analytic_global_rank",
     "sql_retention",
     "sql_funnel",
+    # session-4b additions — correlated subqueries, event patterns,
+    # casts, ANSI basics
+    "sql_q21_corr",
+    "sql_q17_corr",
+    "sql_in_corr",
+    "sql_any_all",
+    "sql_sequence_match",
+    "sql_range_frame",
+    "sql_ansi_basics",
+    "sql_cast",
 ]
 
 SF01 = "/root/testdata/sf0.1"
