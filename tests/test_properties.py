@@ -341,3 +341,44 @@ def test_pack_sequences_matches_slice_simulation(spark, sizes, budget, shards):
             pos += n
     for r in got:
         assert (r["shard"], r["seq"], r["offset"], r["n_seqs"]) == ref[r["k"]]
+
+
+# --- parser fuzz armor ------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_parser_never_crashes_on_arbitrary_text(sql):
+    """Any input must either parse or raise the parser's OWN error
+    types — never IndexError/RecursionError/AttributeError."""
+    from nutdb_spark.frontend.parser import ParseError, parse
+    from nutdb_spark.frontend.tokenizer import TokenizeError
+
+    try:
+        parse(sql)
+    except (ParseError, TokenizeError):
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            "select from where group by order limit with ( ) , * + - 1 'a' "
+            "x t as and or not in exists union all distinct cast :: int64 "
+            "values || any . except replace columns if then else end".split()
+        ),
+        max_size=30,
+    )
+)
+def test_parser_never_crashes_on_token_soup(toks):
+    """Keyword/symbol soup — exercises lookahead paths (EXCEPT
+    disambiguation, CAST forms, tuple access) that raw text rarely
+    reaches."""
+    from nutdb_spark.frontend.parser import ParseError, parse
+    from nutdb_spark.frontend.tokenizer import TokenizeError
+
+    try:
+        parse(" ".join(toks))
+    except (ParseError, TokenizeError):
+        pass
