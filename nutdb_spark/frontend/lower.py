@@ -1381,6 +1381,57 @@ class Lowerer:
         pending.append((name, frame, cond))
         return out_val
 
+    _DICT_MAX_ENTRIES = 1_000_000
+
+    def _dict_get(self, e: A.FnCall, scope, group_map, agg_calls, pending):
+        """[EXT] dictGet('table', 'value_col', key_expr[, default]) —
+        ClickHouse external-dictionary lookup in expression position.
+        The dictionary is any resolvable table (managed or fixture);
+        its FIRST column is the key. Lowered to a LITERAL MAP (two
+        array literals + element_at) — which is exactly what a CH
+        dictionary is: a table small enough to pin in memory on every
+        node. The load happens once at lowering time and is capped at
+        1M entries; anything bigger is a join, not a dictionary, and
+        raises with that advice."""
+        args = e.args
+        if len(args) not in (3, 4):
+            raise LoweringError(
+                "dictGet takes (table, value_col, key[, default])"
+            )
+        for i in (0, 1):
+            if not (isinstance(args[i], A.Lit) and args[i].kind == "string"):
+                raise LoweringError(
+                    "dictGet table and column must be string literals"
+                )
+        tname, vcol = args[0].value, args[1].value
+        df = self.resolve_table(tname)
+        if vcol not in df.columns:
+            raise LoweringError(
+                f"dictionary {tname!r} has no column {vcol!r}"
+            )
+        kcol = df.columns[0]
+        rows = (
+            df.select(kcol, vcol)
+            .filter(F.col(kcol).isNotNull())
+            .limit(self._DICT_MAX_ENTRIES + 1)
+            .collect()
+        )
+        if len(rows) > self._DICT_MAX_ENTRIES:
+            raise LoweringError(
+                f"dictionary {tname!r} exceeds {self._DICT_MAX_ENTRIES} "
+                "entries — use a JOIN for tables of this size"
+            )
+        keys = [r[0] for r in rows]
+        vals = [r[1] for r in rows]
+        key = self._expr(args[2], scope, group_map, agg_calls, pending)
+        hit = F.element_at(
+            F.map_from_arrays(F.lit(keys), F.lit(vals)), key
+        )
+        if len(args) == 4:
+            dflt = self._expr(args[3], scope, group_map, agg_calls, pending)
+            return F.coalesce(hit, dflt)
+        return hit
+
     def _lower_quant_compare(self, base, node: A.QuantCompare, scope: Scope):
         """[EXT] `x <op> ANY/ALL (SELECT s FROM ...)` in WHERE/HAVING.
 
@@ -2047,6 +2098,8 @@ class Lowerer:
             raise LoweringError(
                 f"function {e.name!r} is not parametric"
             )
+        if e.name.lower() in ("dictget", "dictgetordefault"):
+            return self._dict_get(e, scope, group_map, agg_calls, pending)
         try:
             fn, is_agg = resolve(e.name)
         except KeyError as ex:

@@ -1923,3 +1923,37 @@ def sql_q21_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by s_name
         """,
     )
+
+
+@query(
+    "sql_dictget",
+    """
+    SELECT n.n_name,
+           r.r_name AS rname,
+           COALESCE(r2.r_name, 'missing') AS rname_or
+    FROM nation n
+    LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    LEFT JOIN region r2 ON r2.r_regionkey = n.n_nationkey
+    ORDER BY n.n_nationkey
+    """,
+)
+def sql_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] dictGet('table', 'value_col', key[, default]) —
+    ClickHouse dictionary lookup in expression position. The
+    dictionary table (first column = key) is pinned as a LITERAL MAP
+    (two array literals + element_at), which is what a CH dictionary
+    IS — an in-memory lookup replicated to every node; >1M entries
+    raises with join advice. The DuckDB oracle is the LEFT JOIN the
+    function replaces."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select n_name,
+               dictGet('region', 'r_name', n_regionkey) as rname,
+               dictGetOrDefault('region', 'r_name', n_nationkey,
+                                'missing') as rname_or
+        from nation
+        order by n_nationkey
+        """,
+    )

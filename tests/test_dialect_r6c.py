@@ -1126,3 +1126,19 @@ def test_q21_comma_join_plan_no_cartesian(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_dictget_forms(spark):
+    r = _eng(spark).sql(
+        "select dictGet('region', 'r_name', 2) as a,"
+        "       dictGet('region', 'r_name', 99) as b,"
+        "       dictGetOrDefault('region', 'r_name', 99, 'zz') as c"
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == ("ASIA", None, "zz")
+
+
+def test_dictget_errors(spark):
+    with pytest.raises(LoweringError, match="no column"):
+        _eng(spark).sql("select dictGet('region', 'nope', 1)")
+    with pytest.raises(LoweringError, match="string literals"):
+        _eng(spark).sql("select dictGet(region, 'r_name', 1) from region")

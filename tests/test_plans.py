@@ -77,6 +77,8 @@ def test_lowerings_are_lazy(spark):
                       "sql_outfile",  # INTO OUTFILE writes by design
                       # bounded per-partition-count collect by design
                       "q_analytic_global_rank",
+                      # dictionary pinned at lowering time by design
+                      "sql_dictget",
                       # recursive CTEs iterate to a fixpoint by design
                       "sql_recursive", "sql_recursive_graph")
     }
