@@ -585,6 +585,8 @@ class Parser:
             "into",  # INTO OUTFILE sink
             "settings",  # trailing SETTINGS k = v
             "final",  # FROM t FINAL (merged-state read)
+            "cross",  # CROSS JOIN
+            "interpolate",  # WITH FILL INTERPOLATE (...)
         }:
             return self.ident()
         return None
@@ -631,10 +633,15 @@ class Parser:
         t = self.peek()
         if not (
             t.type == T.KWID
-            and t.text.lower() in (self._JOIN_KINDS | {"join", "asof"})
+            and t.text.lower() in (self._JOIN_KINDS | {"join", "asof", "cross"})
         ):
             return None
         kind = "inner"
+        if self.eat_kw("cross"):
+            # [EXT] explicit CROSS JOIN — no ON/USING allowed
+            self.expect_kw("join")
+            src, alias = self._table_like()
+            return A.Join("cross", src, alias)
         if self.eat_kw("asof"):
             kind = "asof"
         elif not self.at_kw("join"):

@@ -1142,3 +1142,18 @@ def test_dictget_errors(spark):
         _eng(spark).sql("select dictGet('region', 'nope', 1)")
     with pytest.raises(LoweringError, match="string literals"):
         _eng(spark).sql("select dictGet(region, 'r_name', 1) from region")
+
+
+def test_cross_join_explicit(spark):
+    stmt = parse("select * from a cross join b")
+    assert stmt.query.joins[0].kind == "cross"
+    n = _eng(spark).sql(
+        "select count() as n from region cross join nation"
+    ).collect()[0]["n"]
+    assert n == 125
+
+
+def test_cross_is_not_an_alias(spark):
+    # `FROM region CROSS JOIN ...` must not read CROSS as an alias
+    stmt = parse("select * from region cross join nation")
+    assert stmt.query.from_.alias is None
