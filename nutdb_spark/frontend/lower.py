@@ -212,6 +212,28 @@ class Lowerer:
 
     def _table_fn(self, fn: A.TableFn) -> DataFrame:
         name = fn.name.lower()
+        if name == "jaccardpairs":
+            # [EXT] pipeline operator as a table function:
+            # jaccardPairs('table', 'id_col', 'text_col', n, threshold
+            # [, max_shingle_freq]) → (id_a, id_b, jaccard) near-dup
+            # candidate pairs via the inverted-index equi-join
+            # (operators/dedup.py — hot-shingle guarded, never
+            # all-pairs)
+            from nutdb_spark.operators.dedup import jaccard_pairs
+
+            if len(fn.args) not in (5, 6) or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "jaccardPairs takes ('table', 'id_col', 'text_col', "
+                    "n, threshold[, max_shingle_freq]) literals"
+                )
+            tbl, idc, txc, n, thr, *rest = [a.value for a in fn.args]
+            return jaccard_pairs(
+                self.resolve_table(tbl), idc, txc,
+                n=int(n), threshold=float(thr),
+                max_shingle_freq=int(rest[0]) if rest else 100,
+            )
         if name == "numbers":
             (n,) = fn.args
             if not isinstance(n, A.Lit):

@@ -1957,3 +1957,49 @@ def sql_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by n_nationkey
         """,
     )
+
+
+@query(
+    "sql_table_fn_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)),
+                     '\\s+')) - 3, 0) + 1),
+               i -> array_to_string(string_split_regex(trim(lower(text)),
+                     '\\s+')[i:i+3], ' ')) AS sh
+      FROM documents),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM toks),
+    ex0 AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+    keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 100),
+    ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep USING (s)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           p.shared * 1.0 / (sa.n + sb.n - p.shared) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def sql_table_fn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the LLM-pipeline operators exposed at the SQL surface:
+    jaccardPairs('documents', 'doc_id', 'text', 4, 0.6) runs the
+    inverted-index near-dup pair generator as a TABLE FUNCTION — the
+    same guarded plan as q_dedup_jaccard (no all-pairs, hot shingles
+    cut), now reachable from pure dialect text; a user of the
+    reference can dedup without touching the Python API."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select id_a, id_b, jaccard
+        from jaccardPairs('documents', 'doc_id', 'text', 4, 0.6, 100)
+        order by id_a, id_b
+        """,
+    )
