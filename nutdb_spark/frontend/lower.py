@@ -234,6 +234,25 @@ class Lowerer:
                 n=int(n), threshold=float(thr),
                 max_shingle_freq=int(rest[0]) if rest else 100,
             )
+        if name == "anntopk":
+            # [EXT] annTopK('table', 'id_col', 'vec_col', k, n_queries)
+            # → (query_id, neighbor_id, rank): exact cosine top-k of
+            # the first n_queries ids over the corpus (the brute-force
+            # baseline; the IVF/LSH variants stay Python-API — their
+            # build artifacts don't fit a one-call table fn)
+            from nutdb_spark.operators.similarity import topk_bruteforce
+
+            if len(fn.args) != 5 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "annTopK takes ('table', 'id_col', 'vec_col', k, "
+                    "n_queries) literals"
+                )
+            tbl, idc, vc, k, nq = [a.value for a in fn.args]
+            corpus = self.resolve_table(tbl)
+            queries = corpus.filter(F.col(idc) < int(nq))
+            return topk_bruteforce(corpus, queries, idc, vc, k=int(k))
         if name == "numbers":
             (n,) = fn.args
             if not isinstance(n, A.Lit):

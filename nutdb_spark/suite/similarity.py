@@ -614,3 +614,35 @@ def q_embed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("u1_m"),
     )
+
+
+@query(
+    "sql_table_fn_ann",
+    _SCALED_CTE
+    + f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {oracle_cosine(oracle_dot_scaled('q.s', 'c.s'), 'q.n2', 'c.n2')} DESC,
+                    c.vec_id) AS rank
+  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def sql_table_fn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] similarity search at the SQL surface:
+    annTopK('embeddings', 'vec_id', 'embedding', 5, 10) runs the exact
+    cosine top-k as a TABLE FUNCTION (cogroup block-GEMM under the
+    hood — q_sim_topk's plan, reachable from pure dialect text)."""
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=sf_dir).sql(
+        """
+        select query_id, neighbor_id, rank
+        from annTopK('embeddings', 'vec_id', 'embedding', 5, 10)
+        order by query_id, rank
+        """
+    )
