@@ -291,6 +291,12 @@ class Lowerer:
         it out."""
         import copy as _copy
 
+        if getattr(q, "_positional_done", False):
+            # iterative lowerings re-enter with the SAME AST; ordinals
+            # were already substituted (a substituted item that is
+            # itself an integer literal must not re-resolve)
+            return
+        q._positional_done = True
         ncols = len(q.columns)
 
         def sub(e):
@@ -330,6 +336,10 @@ class Lowerer:
         bound: dict[str, object] = {}
         for name, expr in q.expr_aliases:
             bound[name] = self._subst_expr(_copy.deepcopy(expr), bound)
+        # one-shot: iterative lowerings (recursive CTE rounds) re-lower
+        # the SAME AST — a second substitution pass over an already
+        # substituted tree would double-apply self-referential aliases
+        q.expr_aliases = []
 
         for f in (
             "where", "prewhere", "having", "qualify", "limit", "offset"

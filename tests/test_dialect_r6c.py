@@ -1157,3 +1157,35 @@ def test_cross_is_not_an_alias(spark):
     # `FROM region CROSS JOIN ...` must not read CROSS as an alias
     stmt = parse("select * from region cross join nation")
     assert stmt.query.from_.alias is None
+
+
+def test_scalar_with_idempotent_relowering(spark):
+    # recursive-CTE-style double lowering of the SAME AST must not
+    # double-apply a self-referential alias
+    from nutdb_spark.frontend.lower import Lowerer
+    from nutdb_spark.frontend.parser import parse
+
+    stmt = parse(
+        "with n_regionkey + 1 as n_regionkey "
+        "select n_regionkey from nation order by n_regionkey limit 1"
+    )
+    eng = _eng(spark)
+    low = Lowerer(spark, eng.resolve_table, None)
+    first = low.lower_query(stmt.query).collect()[0][0]
+    second = low.lower_query(stmt.query).collect()[0][0]
+    assert first == second == 1
+
+
+def test_positional_idempotent_relowering(spark):
+    from nutdb_spark.frontend.lower import Lowerer
+    from nutdb_spark.frontend.parser import parse
+
+    stmt = parse(
+        "select 2 as a, n_regionkey as b from nation "
+        "order by 1, b limit 1"
+    )
+    eng = _eng(spark)
+    low = Lowerer(spark, eng.resolve_table, None)
+    r1 = low.lower_query(stmt.query).collect()[0]
+    r2 = low.lower_query(stmt.query).collect()[0]
+    assert tuple(r1) == tuple(r2) == (2, 0)
