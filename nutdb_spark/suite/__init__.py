@@ -59,6 +59,17 @@ for _m in _MODULES:
 # Entries added AFTER this round's window was frozen (sequence
 # packing, JSON fns, window analytics, rollup, PII scrub) queue for
 # the round-7 window.
+#
+# ROUND-7 QUEUE (never driver-graded; admit these first): the 27
+# session-4 entries — q_pack_manifest, sql_select_modifiers,
+# sql_columns_regex, sql_parametric, q_ddl_ctas, sql_with_scalar,
+# sql_arrayjoin_fn, q_sample_curriculum, q_analytic_global_rank,
+# sql_retention, sql_funnel, sql_any_all, sql_q17_corr, sql_in_corr,
+# sql_range_frame, sql_with_fill_interp, sql_sequence_match,
+# q_stream_funnel, q_ddl_view_aggregating, sql_cast, sql_ansi_basics,
+# sql_values_inline, sql_q21_corr, sql_q22_corr, sql_dictget,
+# sql_table_fn_dedup, sql_table_fn_ann — plus the earlier-r6
+# late additions already noted below.
 _PRIORITY = [
     # --- new in round 6 (never graded) (12) ---
     "sql_asof_within", "q_sim_topk_ivf_mp", "q_sim_recall",
