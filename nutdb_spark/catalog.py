@@ -862,6 +862,70 @@ class Catalog:
         meta["n_buckets"] = 16
         meta["merged_schema"] = df.schema.json()
 
+    def show_create(self, meta: dict) -> str:
+        """[EXT] SHOW CREATE TABLE/VIEW — DDL text reconstructed from
+        the sidecar metadata. Not a byte replay of the original
+        statement: types print as the catalog stored them (dialect
+        names for declared tables, Spark simpleStrings for
+        CTAS-derived schemas) and clause order is normalized."""
+
+        def _type_str(d: dict) -> str:
+            name = d["name"]
+            if d.get("members"):
+                inner = ", ".join(
+                    f"'{k}' = {v}" for k, v in d["members"].items()
+                )
+                base = f"Enum({inner})"
+            elif d.get("args") and all(
+                isinstance(a, dict) for a in d["args"]
+            ):
+                base = (
+                    f"{name.capitalize()}("
+                    + ", ".join(_type_str(a) for a in d["args"])
+                    + ")"
+                )
+            elif d.get("args"):
+                base = (
+                    f"{name.capitalize()}("
+                    + ", ".join(str(a) for a in d["args"])
+                    + ")"
+                )
+            else:
+                base = {
+                    "int8": "Int8", "int16": "Int16", "int32": "Int32",
+                    "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                    "uint32": "UInt32", "uint64": "UInt64",
+                    "float32": "Float32", "float64": "Float64",
+                    "string": "String", "boolean": "Boolean",
+                    "date": "Date", "datetime": "Datetime",
+                    "serial64": "Serial64", "serial32": "Serial32",
+                    "uuid": "Uuid", "chars": "Chars",
+                }.get(name, name)
+            if d.get("nullable"):
+                return f"Nullable({base})"
+            return base
+
+        if meta["type"] == "view":
+            q = "<stored query>"
+            return (
+                f"CREATE VIEW {meta['name']} UPDATE BY "
+                f"{meta['strategy'].capitalize()} ORDER BY "
+                f"({', '.join(meta['order_by'])}) AS {q}"
+            )
+        cols = ", ".join(
+            f"{c['name']} {_type_str(c['dtype'])}" for c in meta["columns"]
+        )
+        out = f"CREATE TABLE {meta['name']} ({cols})"
+        if meta.get("primary_key"):
+            out += f" PRIMARY KEY ({', '.join(meta['primary_key'])})"
+        if meta.get("order_by"):
+            out += f" ORDER BY ({', '.join(meta['order_by'])})"
+        if meta.get("partition_by"):
+            out += " PARTITION BY <expr>"
+        if meta.get("engine"):
+            out += f" ENGINE = {meta['engine']}"
+        return out
+
     def _state_path(self, name: str) -> str:
         return self._data_path(name)
 

@@ -152,9 +152,22 @@ class NutEngine:
 
     def _show(self, stmt: A.ShowStmt) -> DataFrame:
         """[EXT] SHOW TABLES / VIEWS / DATABASE over the managed
-        catalog (fixture tables are not catalog objects)."""
+        catalog (fixture tables are not catalog objects), plus
+        SHOW CREATE TABLE — DDL reconstructed from the sidecar
+        metadata (type names are the catalog's stored dialect names;
+        CTAS tables print their derived schema)."""
         import os
 
+        if stmt.entity == "create":
+            meta = self.catalog._load_meta(stmt.name)
+            if meta is None:
+                from nutdb_spark.catalog import CatalogError
+
+                raise CatalogError(f"unknown object {stmt.name!r}")
+            ddl = self.catalog.show_create(meta)
+            return self.spark.createDataFrame(
+                [(stmt.name, ddl)], "name: string, create_query: string"
+            )
         rows = []
         for f in sorted(os.listdir(self.catalog.root)):
             if f.endswith(".json"):

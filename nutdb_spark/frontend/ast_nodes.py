@@ -437,7 +437,8 @@ class SelectStmt:
 
 @dataclass
 class ShowStmt:
-    entity: str  # table | view | database (SHOW TABLES/VIEWS/DATABASES)
+    entity: str  # table | view | database | create (SHOW CREATE TABLE)
+    name: str | None = None  # for SHOW CREATE TABLE <name>
 
 
 @dataclass

@@ -1274,12 +1274,16 @@ class Parser:
     def _show(self):
         """[EXT] SHOW TABLES / VIEWS / DATABASE — catalog listing."""
         self.expect_kw("show")
+        if self.eat_kw("create"):
+            # [EXT] SHOW CREATE TABLE <name> — reconstructed DDL
+            self.eat_kw("table") or self.eat_kw("view")
+            return A.ShowStmt("create", self.ident())
         for kw, entity in (
             ("tables", "table"), ("views", "view"), ("database", "database"),
         ):
             if self.eat_kw(kw):
                 return A.ShowStmt(entity)
-        raise ParseError("SHOW supports TABLES, VIEWS, DATABASE")
+        raise ParseError("SHOW supports TABLES, VIEWS, DATABASE, CREATE")
 
     def _explain(self):
         self.expect_kw("explain")

@@ -1189,3 +1189,31 @@ def test_positional_idempotent_relowering(spark):
     r1 = low.lower_query(stmt.query).collect()[0]
     r2 = low.lower_query(stmt.query).collect()[0]
     assert tuple(r1) == tuple(r2) == (2, 0)
+
+
+def test_show_create_table(spark, tmp_path):
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
+    eng.sql(
+        "create table sc (id Serial64, tag Enum('a'=1,'b'=2), "
+        "v Int64 DEFAULT 0) ORDER BY (tag)"
+    )
+    row = eng.sql("show create table sc").collect()[0]
+    ddl = row["create_query"]
+    assert ddl.startswith("CREATE TABLE sc (")
+    assert "Serial64" in ddl and "Enum('a' = 1, 'b' = 2)" in ddl
+    assert "ORDER BY (tag)" in ddl
+    # the reconstructed DDL must itself be parseable dialect text
+    from nutdb_spark.frontend.parser import parse
+
+    parse(ddl)
+
+
+def test_show_create_unknown_errors(spark, tmp_path):
+    from nutdb_spark.catalog import CatalogError
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
+    with pytest.raises(CatalogError, match="unknown object"):
+        eng.sql("show create table nope")
