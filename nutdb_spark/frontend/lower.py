@@ -1853,13 +1853,71 @@ class Lowerer:
                 ),
             ).otherwise(F.col(name))
         if isinstance(e, A.Exists):
-            raise LoweringError(
-                "EXISTS is supported as a top-level WHERE conjunct"
-            )
+            # [EXT] EXISTS as a VALUE (select list / general
+            # expression): uncorrelated form only — one count
+            # aggregate broadcast as a single row. Correlated EXISTS
+            # stays a WHERE-conjunct (it decorrelates to a join there).
+            if pending is None:
+                raise LoweringError("EXISTS not allowed here")
+            try:
+                sub = self.lower_query(e.query, scope)
+            except LoweringError:
+                raise
+            except Exception as ex:
+                raise LoweringError(
+                    "EXISTS as a value supports uncorrelated "
+                    "subqueries only; use it as a WHERE conjunct for "
+                    "the correlated form"
+                ) from ex
+            name = self._gen("ex")
+            red = sub.limit(1).agg(F.count(F.lit(1)).alias(name))
+            pending.append((name, red))
+            col = F.col(name) > 0
+            return ~col if e.negated else col
         if isinstance(e, A.InSubquery):
-            raise LoweringError(
-                "IN (SELECT …) is supported as a top-level WHERE conjunct"
+            # [EXT] IN (SELECT …) as a VALUE — exact three-valued
+            # semantics from one (set, count, count-nonnull) aggregate
+            # broadcast as a single row: FALSE on empty set, NULL when
+            # unmatched-but-NULLs-present or the probe is NULL.
+            if pending is None:
+                raise LoweringError("IN (SELECT …) not allowed here")
+            try:
+                sub = self.lower_query(e.query, scope)
+            except LoweringError:
+                raise
+            except Exception as ex:
+                raise LoweringError(
+                    "IN (SELECT …) as a value supports uncorrelated "
+                    "subqueries only; use it as a WHERE conjunct for "
+                    "the correlated form"
+                ) from ex
+            if len(sub.columns) != 1:
+                raise LoweringError("IN subquery must produce one column")
+            s = F.col(sub.columns[0])
+            arr, c, cn = (
+                self._gen("inarr"), self._gen("inc"), self._gen("incn")
             )
+            red = sub.agg(
+                F.collect_set(s).alias(arr),
+                F.count(F.lit(1)).alias(c),
+                F.count(s).alias(cn),
+            )
+            pending.append((arr, red))
+            x = self._expr(e.expr, scope, group_map, agg_calls, pending)
+            # pin the probe to the set's element type (makes a bare
+            # NULL literal well-typed and applies SQL coercion)
+            x = x.cast(sub.schema[0].dataType)
+            hit = F.array_contains(F.col(arr), x)
+            val = (
+                F.when(F.col(c) == 0, F.lit(False))
+                .when(hit, F.lit(True))
+                .when(
+                    x.isNull() | (F.col(cn) < F.col(c)),
+                    F.lit(None).cast("boolean"),
+                )
+                .otherwise(F.lit(False))
+            )
+            return ~val if e.negated else val
         if isinstance(e, A.QuantCompare):
             raise LoweringError(
                 "ANY/ALL comparison is supported as a top-level WHERE conjunct"

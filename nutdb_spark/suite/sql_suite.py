@@ -2003,3 +2003,39 @@ def sql_table_fn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by id_a, id_b
         """,
     )
+
+
+@query(
+    "sql_subquery_values",
+    """
+    SELECT n_name,
+           n_regionkey IN (SELECT r_regionkey FROM region
+                           WHERE r_regionkey < 2) AS in_low,
+           EXISTS(SELECT 1 FROM region WHERE r_regionkey > 3) AS any_high,
+           n_nationkey NOT IN (SELECT r_regionkey FROM region) AS not_rk
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def sql_subquery_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] EXISTS / IN (SELECT …) in VALUE position (select list,
+    OR-branches) for uncorrelated subqueries: each lowers to ONE
+    scalar aggregate — count for EXISTS, (collect_set, count,
+    count-nonnull) for IN — broadcast as a single row, with exact
+    three-valued IN semantics (FALSE on empty set, NULL when
+    unmatched-with-NULLs or NULL probe; pytest-pinned vs DuckDB).
+    The correlated forms remain WHERE-conjuncts where they
+    decorrelate to joins."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select n_name,
+               n_regionkey in (select r_regionkey from region
+                               where r_regionkey < 2) as in_low,
+               exists(select 1 from region where r_regionkey > 3) as any_high,
+               n_nationkey not in (select r_regionkey from region) as not_rk
+        from nation
+        order by n_nationkey
+        """,
+    )

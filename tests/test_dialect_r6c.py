@@ -1217,3 +1217,36 @@ def test_show_create_unknown_errors(spark, tmp_path):
     eng = NutEngine(spark, data_dir=SF, catalog_dir=str(tmp_path))
     with pytest.raises(CatalogError, match="unknown object"):
         eng.sql("show create table nope")
+
+
+# --- value-position subqueries ---------------------------------------------
+
+
+def test_in_value_three_valued(spark):
+    r = _eng(spark).sql(
+        "select NULL in (select r_regionkey from region) as a,"
+        "       NULL in (select r_regionkey from region where 1=0) as b,"
+        "       99 in (select r_regionkey from region) as c,"
+        "       2 in (select r_regionkey from region) as d,"
+        "       99 in (select nullIf(r_regionkey, 0) from region) as e"
+    ).collect()[0]
+    # e: unmatched + NULLs present → NULL
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (
+        None, False, False, True, None,
+    )
+
+
+def test_exists_value_position(spark):
+    r = _eng(spark).sql(
+        "select exists(select 1 from region where r_regionkey > 3) as e,"
+        "       not exists(select 1 from region where r_regionkey > 99) as n"
+    ).collect()[0]
+    assert (r["e"], r["n"]) == (True, True)
+
+
+def test_in_value_correlated_rejected(spark):
+    with pytest.raises(LoweringError, match="uncorrelated"):
+        _eng(spark).sql(
+            "select (n_regionkey in (select r_regionkey from region "
+            "where r_regionkey = n_nationkey)) as x from nation"
+        ).collect()
