@@ -2275,6 +2275,8 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     # timestampdiff unit / regexp_extract pattern / concat_ws+array_join
     # separators are compile-time strings in Spark
     "datediff": (0,),
+    "formatdatetime": (1,),
+    "age": (0,),
     "extract": (1,),
     "concatwithseparator": (0,),
     "arraystringconcat": (1,),

@@ -768,3 +768,84 @@ SCALAR_FNS["transform"] = lambda x, frm, to, dflt: F.coalesce(
 # wall-clock — nondeterministic by nature (rows-only checkable)
 SCALAR_FNS["now"] = F.current_timestamp
 SCALAR_FNS["today"] = F.current_date
+
+
+# --- datetime formatting (ClickHouse formatDateTime) --------------------
+_CH_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss", "j": "DDD",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "D": "MM/dd/yy",
+    "a": "a", "W": "EEEE", "w": "e", "Q": "q", "%": "%",
+}
+
+
+def _translate_ch_format(fmt: str) -> str:
+    """ClickHouse %-specifiers → Spark datetime pattern. Literal text
+    is single-quoted (Spark pattern letters are reserved); unknown
+    specifiers raise rather than silently passing through."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            text = "".join(lit).replace("'", "''")
+            out.append(f"'{text}'")
+            lit.clear()
+
+    while i < n:
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= n:
+                raise ValueError("dangling % in formatDateTime pattern")
+            spec = fmt[i + 1]
+            if spec not in _CH_FMT:
+                raise ValueError(
+                    f"unsupported formatDateTime specifier %{spec}"
+                )
+            if spec == "%":
+                lit.append("%")
+            else:
+                flush()
+                out.append(_CH_FMT[spec])
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+SCALAR_FNS["formatDateTime"] = lambda d, fmt: F.date_format(
+    d, _translate_ch_format(fmt)
+)
+SCALAR_FNS["toYYYYMM"] = lambda d: F.date_format(d, "yyyyMM").cast("int")
+
+
+def _age(unit: str, a: Column, b: Column) -> Column:
+    """age('unit', a, b) — COMPLETE calendar units from a to b
+    (ClickHouse semantics: 2024-01-15 → 2024-03-14 is 1 month)."""
+    u = unit.lower()
+    if u in ("second", "minute", "hour", "day", "week"):
+        secs = F.unix_micros(b.cast("timestamp")) - F.unix_micros(
+            a.cast("timestamp")
+        )
+        div = {
+            "second": 1_000_000,
+            "minute": 60_000_000,
+            "hour": 3_600_000_000,
+            "day": 86_400_000_000,
+            "week": 604_800_000_000,
+        }[u]
+        return F.floor(secs / F.lit(div)).cast("long")
+    if u in ("month", "year", "quarter"):
+        months = F.floor(F.months_between(b, a)).cast("long")
+        if u == "month":
+            return months
+        return (
+            months / F.lit(12 if u == "year" else 3)
+        ).cast("long")
+    raise ValueError(f"unsupported age unit {unit!r}")
+
+
+SCALAR_FNS["age"] = _age

@@ -1250,3 +1250,28 @@ def test_in_value_correlated_rejected(spark):
             "select (n_regionkey in (select r_regionkey from region "
             "where r_regionkey = n_nationkey)) as x from nation"
         ).collect()
+
+
+def test_format_datetime_translation(spark):
+    r = _eng(spark).sql(
+        "select formatDateTime(toDatetime('2024-03-05 14:07:09'),"
+        " '%F %T') as full,"
+        " formatDateTime(toDate('2024-03-05'), '100%% %Y') as pct"
+    ).collect()[0]
+    assert r["full"] == "2024-03-05 14:07:09"
+    assert r["pct"] == "100% 2024"
+
+
+def test_format_datetime_bad_spec(spark):
+    with pytest.raises(Exception, match="unsupported formatDateTime"):
+        _eng(spark).sql(
+            "select formatDateTime(toDate('2024-01-01'), '%q')"
+        )
+
+
+def test_age_complete_units(spark):
+    r = _eng(spark).sql(
+        "select age('year', toDate('2022-06-01'), toDate('2024-05-31')) as y,"
+        "       age('week', toDate('2024-01-01'), toDate('2024-01-14')) as w"
+    ).collect()[0]
+    assert (r["y"], r["w"]) == (1, 1)
