@@ -849,3 +849,40 @@ def _age(unit: str, a: Column, b: Column) -> Column:
 
 
 SCALAR_FNS["age"] = _age
+
+
+# --- array staples, tier 3 ----------------------------------------------
+SCALAR_FNS["arrayUniq"] = lambda a: F.size(F.array_distinct(a))
+# collapse consecutive duplicates: keep element i iff i==1 or a[i]!=a[i-1]
+SCALAR_FNS["arrayCompact"] = lambda a: F.filter(
+    a, lambda x, i: (i == 0) | ~x.eqNullSafe(F.element_at(a, i))
+)
+# pairwise differences, first element 0 (ClickHouse convention)
+SCALAR_FNS["arrayDifference"] = lambda a: F.transform(
+    a,
+    lambda x, i: F.when(i == 0, F.lit(0)).otherwise(
+        x - F.element_at(a, i)
+    ),
+)
+# prefix sums via slice+aggregate per position (JVM-side; O(n²) per
+# row — arrays here are row-local payloads, not datasets)
+SCALAR_FNS["arrayCumSum"] = lambda a: F.transform(
+    a,
+    lambda x, i: F.aggregate(
+        F.slice(a, 1, i + 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, y: acc + y,
+    ),
+)
+SCALAR_FNS["arrayReverseSort"] = lambda a: F.reverse(F.array_sort(a))
+SCALAR_FNS["arrayIntersect"] = F.array_intersect
+SCALAR_FNS["arrayExcept"] = F.array_except
+SCALAR_FNS["arrayUnion"] = F.array_union
+SCALAR_FNS["arrayPushBack"] = lambda a, x: F.concat(a, F.array(x))
+SCALAR_FNS["arrayPushFront"] = lambda a, x: F.concat(F.array(x), a)
+SCALAR_FNS["arrayPopBack"] = lambda a: F.slice(
+    a, 1, F.greatest(F.size(a) - 1, F.lit(0))
+)
+SCALAR_FNS["arrayPopFront"] = lambda a: F.when(
+    F.size(a) > 1, F.slice(a, 2, F.size(a) - 1)
+).otherwise(F.slice(a, 1, 0))

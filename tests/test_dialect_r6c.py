@@ -1275,3 +1275,20 @@ def test_age_complete_units(spark):
         "       age('week', toDate('2024-01-01'), toDate('2024-01-14')) as w"
     ).collect()[0]
     assert (r["y"], r["w"]) == (1, 1)
+
+
+def test_array_tier3(spark):
+    r = _eng(spark).sql(
+        "select arrayUniq([1,2,1]) as u,"
+        "       arrayCompact([1,1,2,2,1]) as c,"
+        "       arrayDifference([1,4,9]) as d,"
+        "       arrayCumSum([1,2,3]) as s,"
+        "       arrayReverseSort([1,3,2]) as rs,"
+        "       arrayPopBack([1]) as e1, arrayPopFront([7]) as e2"
+    ).collect()[0]
+    assert r["u"] == 2
+    assert r["c"] == [1, 2, 1]
+    assert r["d"] == [0, 3, 5]
+    assert r["s"] == [1, 3, 6]
+    assert r["rs"] == [3, 2, 1]
+    assert r["e1"] == [] and r["e2"] == []
