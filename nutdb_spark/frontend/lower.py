@@ -2277,6 +2277,7 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "datediff": (0,),
     "formatdatetime": (1,),
     "age": (0,),
+    "format": (0,),
     "extract": (1,),
     "concatwithseparator": (0,),
     "arraystringconcat": (1,),

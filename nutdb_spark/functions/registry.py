@@ -886,3 +886,79 @@ SCALAR_FNS["arrayPopBack"] = lambda a: F.slice(
 SCALAR_FNS["arrayPopFront"] = lambda a: F.when(
     F.size(a) > 1, F.slice(a, 2, F.size(a) - 1)
 ).otherwise(F.slice(a, 1, 0))
+
+
+# --- string staples, tier 3 ---------------------------------------------
+# call_function passes Columns straight to the JVM SQL function,
+# bypassing the python wrapper's literal-typed signature
+SCALAR_FNS["substringIndex"] = lambda s, d, c: F.call_function(
+    "substring_index", s, d, c
+)
+# non-overlapping occurrence count via length arithmetic (codegen)
+SCALAR_FNS["countSubstrings"] = lambda s, sub: (
+    (F.length(s) - F.length(F.replace(s, sub, F.lit(""))))
+    / F.length(sub)
+).cast("int")
+SCALAR_FNS["positionCaseInsensitive"] = lambda s, sub: F.instr(
+    F.lower(s), F.lower(sub)
+)
+SCALAR_FNS["base64Encode"] = lambda s: F.base64(s.cast("binary"))
+SCALAR_FNS["base64Decode"] = lambda s: F.unbase64(s).cast("string")
+SCALAR_FNS["hex"] = lambda s: F.hex(s.cast("binary"))
+SCALAR_FNS["unhex"] = lambda s: F.unhex(s).cast("string")
+# ClickHouse format('{} {}', a, b) — positional {} placeholders; {n}
+# indexed refs also accepted. printf-style lowering.
+SCALAR_FNS["initcap"] = F.initcap
+SCALAR_FNS["soundex"] = F.soundex
+SCALAR_FNS["levenshteinDistance"] = F.levenshtein
+SCALAR_FNS["editDistance"] = F.levenshtein
+SCALAR_FNS["translate"] = lambda s, frm, to: F.call_function(
+    "translate", s, frm, to
+)
+
+
+def _ch_format(fmt: str, *cols: Column) -> Column:
+    """format('{} and {}', a, b) / format('{1}{0}', a, b) — CH
+    placeholder syntax over Spark's format_string. The template is a
+    compile-time literal; `{}` consume arguments in order, `{n}` is
+    0-based indexed; `{{`/`}}` escape braces."""
+    import re as _re
+
+    out: list[str] = []
+    auto = 0
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "{":
+            if fmt[i: i + 2] == "{{":
+                out.append("{")
+                i += 2
+                continue
+            m = _re.match(r"\{(\d*)\}", fmt[i:])
+            if not m:
+                raise ValueError(f"bad format placeholder at {i} in {fmt!r}")
+            idx = int(m.group(1)) if m.group(1) else auto
+            if not m.group(1):
+                auto += 1
+            if idx >= len(cols):
+                raise ValueError(
+                    f"format placeholder {{{m.group(1)}}} has no argument"
+                )
+            out.append(f"%{idx + 1}$s")
+            i += len(m.group(0))
+        elif ch == "}":
+            if fmt[i: i + 2] == "}}":
+                out.append("}")
+                i += 2
+                continue
+            raise ValueError(f"unmatched '}}' in format template {fmt!r}")
+        elif ch == "%":
+            out.append("%%")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return F.format_string("".join(out), *cols)
+
+
+SCALAR_FNS["format"] = _ch_format

@@ -1292,3 +1292,25 @@ def test_array_tier3(spark):
     assert r["s"] == [1, 3, 6]
     assert r["rs"] == [3, 2, 1]
     assert r["e1"] == [] and r["e2"] == []
+
+
+def test_string_tier3(spark):
+    r = _eng(spark).sql(
+        "select substringIndex('a.b.c', '.', 2) as si,"
+        "       countSubstrings('ababab', 'ab') as cs,"
+        "       positionCaseInsensitive('Hello', 'he') as pc,"
+        "       base64Decode(base64Encode('abc')) as rt,"
+        "       unhex(hex('xyz')) as rt2,"
+        "       format('{1}-{0} {}%', 'a', 'b') as fm,"
+        "       levenshteinDistance('kitten', 'sitting') as lv,"
+        "       translate('abc', 'ab', 'xy') as tr"
+    ).collect()[0]
+    assert (r["si"], r["cs"], r["pc"]) == ("a.b", 3, 1)
+    assert (r["rt"], r["rt2"]) == ("abc", "xyz")
+    assert r["fm"] == "b-a a%"
+    assert (r["lv"], r["tr"]) == (3, "xyc")
+
+
+def test_format_errors(spark):
+    with pytest.raises(Exception, match="no argument"):
+        _eng(spark).sql("select format('{} {}', 'a')")
