@@ -2039,3 +2039,42 @@ def sql_subquery_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by n_nationkey
         """,
     )
+
+
+@query(
+    "sql_fn_tier3",
+    """
+    SELECT p_partkey,
+           array_to_string((string_split(p_name, ' '))[1:2], ' ') AS si,
+           CAST((length(p_name) - length(replace(p_name, 'a', '')))
+                AS INT) AS cs,
+           levenshtein(p_brand, p_type) AS lv,
+           replace(p_brand, '#', '-') AS tr,
+           format('{}-{}', p_brand, p_size) AS fm,
+           CAST(2 * p_size AS BIGINT) AS cum
+    FROM part WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+)
+def sql_fn_tier3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-3 scalar surface, driver-graded: substringIndex,
+    countSubstrings (length arithmetic — codegen, no regex),
+    levenshteinDistance, translate, CH-style format('{}') placeholders
+    (translated to printf indexes at lowering), and arrayCumSum
+    (indexed to a scalar). All JVM built-ins; DuckDB oracle spells
+    each via its own equivalents."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select p_partkey,
+               substringIndex(p_name, ' ', 2) as si,
+               countSubstrings(p_name, 'a') as cs,
+               levenshteinDistance(p_brand, p_type) as lv,
+               translate(p_brand, '#', '-') as tr,
+               format('{}-{}', p_brand, toString(p_size)) as fm,
+               arrayCumSum([p_size, p_size])[2] as cum
+        from part where p_partkey < 200
+        order by p_partkey
+        """,
+    )
