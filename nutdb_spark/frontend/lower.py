@@ -466,7 +466,11 @@ class Lowerer:
                 delta = step.localCheckpoint(eager=True)
                 if delta.isEmpty():
                     return acc
-                acc = acc.unionAll(delta).localCheckpoint(eager=True)
+                # deltas are checkpointed, so the accumulator's
+                # lineage is a flat union over cached blocks — a
+                # per-round acc checkpoint would re-materialize ALL
+                # accumulated rows every round (O(rounds²) copies)
+                acc = acc.unionAll(delta)
             raise LoweringError(
                 f"recursive CTE {c.name!r} exceeded "
                 f"{self._max_recursion} iterations (raise via "
