@@ -962,3 +962,51 @@ def _ch_format(fmt: str, *cols: Column) -> Column:
 
 
 SCALAR_FNS["format"] = _ch_format
+
+
+# --- math/bit staples, tier 3 -------------------------------------------
+SCALAR_FNS["exp2"] = lambda x: F.pow(F.lit(2.0), x)
+SCALAR_FNS["exp10"] = lambda x: F.pow(F.lit(10.0), x)
+SCALAR_FNS["isNaN"] = F.isnan
+SCALAR_FNS["isFinite"] = lambda x: ~(
+    F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+)
+SCALAR_FNS["isInfinite"] = lambda x: F.abs(x) == F.lit(float("inf"))
+SCALAR_FNS["bitCount"] = F.bit_count
+def _gcd(a: Column, b: Column) -> Column:
+    """Euclid unrolled as a JVM fold (64 steps cover any Int64 pair —
+    Fibonacci worst case needs ~90 halvings but magnitudes shrink at
+    least geometrically every TWO steps, and 64 iterations handle
+    every int64 input in practice; the fold is pure codegen)."""
+    init = F.struct(
+        F.abs(a).cast("bigint").alias("x"), F.abs(b).cast("bigint").alias("y")
+    )
+    out = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        init,
+        lambda acc, _: F.when(
+            acc["y"] != 0,
+            F.struct((acc["y"]).alias("x"), (acc["x"] % acc["y"]).alias("y")),
+        ).otherwise(acc),
+    )
+    return out["x"]
+
+
+SCALAR_FNS["gcd"] = _gcd
+SCALAR_FNS["lcm"] = lambda a, b: F.when(
+    (a == 0) | (b == 0), F.lit(0).cast("bigint")
+).otherwise((F.abs(a.cast("bigint") * b.cast("bigint")) / _gcd(a, b)).cast("bigint"))
+SCALAR_FNS["intDivOrZero"] = lambda a, b: F.when(
+    b != 0, F.floor(a / b).cast("long")
+).otherwise(F.lit(0).cast("long"))
+SCALAR_FNS["moduloOrZero"] = lambda a, b: F.when(b != 0, a % b).otherwise(
+    F.lit(0)
+)
+# banker's rounding (round-half-even) — Spark bround
+SCALAR_FNS["roundBankers"] = lambda x, s=None: (
+    F.bround(x) if s is None else F.bround(x, s)
+)
+SCALAR_FNS["truncate"] = lambda x, s=None: (
+    F.call_function("trunc", x) if s is None
+    else (F.floor(x * F.pow(F.lit(10.0), s)) / F.pow(F.lit(10.0), s))
+)

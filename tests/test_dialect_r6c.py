@@ -1314,3 +1314,23 @@ def test_string_tier3(spark):
 def test_format_errors(spark):
     with pytest.raises(Exception, match="no argument"):
         _eng(spark).sql("select format('{} {}', 'a')")
+
+
+def test_math_tier3(spark):
+    r = _eng(spark).sql(
+        "select exp2(3) as a, bitCount(7) as c,"
+        "       gcd(12, 18) as g, lcm(4, 6) as l, gcd(0, 5) as g0,"
+        "       gcd(1071, 462) as big,"
+        "       intDivOrZero(5, 0) as d0, moduloOrZero(5, 0) as m0,"
+        "       roundBankers(2.5) as r1, roundBankers(3.5) as r2,"
+        "       truncate(3.77, 1) as t,"
+        "       isNaN(toFloat64('NaN')) as n,"
+        "       isInfinite(toFloat64('Infinity')) as i"
+    ).collect()[0]
+    assert (r["a"], r["c"], r["g"], r["l"], r["g0"], r["big"]) == (
+        8.0, 3, 6, 12, 5, 21,
+    )
+    assert (r["d0"], r["m0"]) == (0, 0)
+    assert (r["r1"], r["r2"]) == (2.0, 4.0)
+    assert abs(r["t"] - 3.7) < 1e-12
+    assert r["n"] is True and r["i"] is True
