@@ -1006,7 +1006,11 @@ SCALAR_FNS["moduloOrZero"] = lambda a, b: F.when(b != 0, a % b).otherwise(
 SCALAR_FNS["roundBankers"] = lambda x, s=None: (
     F.bround(x) if s is None else F.bround(x, s)
 )
+# toward-ZERO truncation (ClickHouse; floor would be wrong for
+# negatives): long cast truncates toward zero in Spark
 SCALAR_FNS["truncate"] = lambda x, s=None: (
-    F.call_function("trunc", x) if s is None
-    else (F.floor(x * F.pow(F.lit(10.0), s)) / F.pow(F.lit(10.0), s))
+    x.cast("long").cast("double")
+    if s is None
+    else (x * F.pow(F.lit(10.0), s)).cast("long")
+    / F.pow(F.lit(10.0), s)
 )

@@ -2078,3 +2078,37 @@ def sql_fn_tier3(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by p_partkey
         """,
     )
+
+
+@query(
+    "sql_fn_math3",
+    """
+    SELECT p_partkey,
+           gcd(p_partkey, 36) AS g,
+           lcm(p_partkey % 7 + 1, 6) AS l,
+           CAST(bit_count(p_size) AS INT) AS bc,
+           trunc(p_retailprice * 10) / 10 AS tr,
+           CAST(2 AS DOUBLE) ** p_size AS e2
+    FROM part WHERE p_partkey BETWEEN 1 AND 200
+    ORDER BY p_partkey
+    """,
+)
+def sql_fn_math3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] math tier 3 driver-graded: gcd (Euclid as a 64-step JVM
+    fold — no UDF), lcm, bitCount, toward-zero truncate (long-cast
+    truncation ≡ DuckDB trunc; floor would diverge on negatives —
+    pytest-pinned), exp2 (2^n exact in double for n ≤ 52)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select p_partkey,
+               gcd(p_partkey, 36) as g,
+               lcm(p_partkey % 7 + 1, 6) as l,
+               bitCount(p_size) as bc,
+               truncate(p_retailprice, 1) as tr,
+               exp2(p_size) as e2
+        from part where p_partkey between 1 and 200
+        order by p_partkey
+        """,
+    )

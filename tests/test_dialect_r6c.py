@@ -1333,4 +1333,8 @@ def test_math_tier3(spark):
     assert (r["d0"], r["m0"]) == (0, 0)
     assert (r["r1"], r["r2"]) == (2.0, 4.0)
     assert abs(r["t"] - 3.7) < 1e-12
+    neg = _eng(spark).sql(
+        "select truncate(-3.77, 1) as tn, truncate(-3.77) as tz"
+    ).collect()[0]
+    assert abs(neg["tn"] + 3.7) < 1e-12 and neg["tz"] == -3.0
     assert r["n"] is True and r["i"] is True
