@@ -234,6 +234,27 @@ class Lowerer:
                 n=int(n), threshold=float(thr),
                 max_shingle_freq=int(rest[0]) if rest else 100,
             )
+        if name == "traintestsplit":
+            # [EXT] trainTestSplit('table', 'key_col', train_frac,
+            # val_frac[, salt]) → the source rows + a deterministic
+            # 'split' column (train/val/NULL-holdout) by salted hash
+            # range — per-row pure, append/partition-stable
+            from nutdb_spark.operators.sampling import with_split
+
+            if len(fn.args) not in (4, 5) or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "trainTestSplit takes ('table', 'key_col', "
+                    "train_frac, val_frac[, 'salt']) literals"
+                )
+            tbl, keyc, ftr, fva, *rest = [a.value for a in fn.args]
+            return with_split(
+                self.resolve_table(tbl),
+                F.col(keyc),
+                fractions={"train": float(ftr), "val": float(fva)},
+                salt=str(rest[0]) if rest else "split",
+            )
         if name == "anntopk":
             # [EXT] annTopK('table', 'id_col', 'vec_col', k, n_queries)
             # → (query_id, neighbor_id, rank): exact cosine top-k of

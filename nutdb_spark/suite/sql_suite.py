@@ -2112,3 +2112,34 @@ def sql_fn_math3(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by p_partkey
         """,
     )
+
+
+from nutdb_spark.operators.sampling import oracle_split_case as _osc
+
+
+@query(
+    "sql_table_fn_split",
+    f"""
+    SELECT {_osc('doc_id', {'train': 0.8, 'val': 0.1})} AS split,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY split ORDER BY split NULLS FIRST
+    """,
+)
+def sql_table_fn_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the pipeline split operator at the SQL surface:
+    trainTestSplit('documents', 'doc_id', 0.8, 0.1) assigns every row
+    its deterministic hash-range split (train/val; the remaining 10%
+    holds out as NULL) as a TABLE FUNCTION — closing the SQL-surface
+    trio with jaccardPairs and annTopK. Same salted-md5 contract as
+    the SAMPLE clause: appends and partition changes never move a row
+    across the contamination boundary."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select split, count(*) as n, sum(n_chars) as chars
+        from trainTestSplit('documents', 'doc_id', 0.8, 0.1)
+        group by split
+        order by split nulls first
+        """,
+    )
