@@ -2143,3 +2143,75 @@ def sql_table_fn_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by split nulls first
         """,
     )
+
+
+from nutdb_spark.operators.text import (
+    ENGLISH_STOPWORDS as _SW,
+    oracle_fingerprint_md5 as _ofp,
+    oracle_lang_id as _olid,
+    oracle_stopword_ratio as _oswr,
+    oracle_tokenize as _otok,
+)
+
+_PW = _otok("text")
+
+
+@query(
+    "sql_pipeline_e2e",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len({_PW}) AS INT) AS n_tok,
+             {_oswr(_PW, _SW)} AS swr,
+             {_olid(_PW)} AS lid,
+             {_ofp('text')} AS fp
+      FROM documents
+    ), clean AS (
+      SELECT * FROM scored WHERE n_tok >= 8
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) rn
+        FROM clean) WHERE rn = 1
+    )
+    SELECT source, lid, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(FLOOR(swr * 10000) AS BIGINT)) AS BIGINT)
+             AS swr_scaled
+    FROM dedup GROUP BY source, lid
+    ORDER BY source, lid
+    """,
+)
+def sql_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the training-data cleaning pipeline in PURE DIALECT SQL —
+    quality scoring (tokenCount / stopwordRatio / languageId), exact
+    content dedup (fingerprint + QUALIFY keep-first), per-source
+    corpus stats — no Python API anywhere: a user of the reference
+    dialect can run the whole q_pipeline_clean shape from SQL text.
+    One composed plan: the scan computes all features in one
+    projection, dedup is one window on the fingerprint, stats are one
+    hash aggregate. DuckDB oracle replays the identical definitions
+    via the established oracle twins."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with scored as (
+          select doc_id, source,
+                 tokenCount(text) as n_tok,
+                 stopwordRatio(tokenize(text)) as swr,
+                 languageId(text) as lid,
+                 fingerprint(text) as fp
+          from documents
+        ), clean as (
+          select * from scored where n_tok >= 8
+        ), dedup as (
+          select * from clean
+          qualify row_number() over (partition by fp order by doc_id) = 1
+        )
+        select source, lid, count(*) as n_docs,
+               sum(n_tok) as total_tokens,
+               sum(floor(swr * 10000)) as swr_scaled
+        from dedup group by source, lid
+        order by source, lid
+        """,
+    )
