@@ -58,7 +58,7 @@ class NutEngine:
 
     def sql(self, text: str, params: list | None = None):
         stmt = parse(text)
-        low = Lowerer(self.spark, self.resolve_table, params)
+        low = Lowerer(self.spark, self.resolve_table, params, config=self.config)
         if isinstance(stmt, A.SelectStmt):
             # [EXT] SETTINGS apply before lowering (they can affect the
             # physical plan, e.g. spark_sql_shuffle_partitions)

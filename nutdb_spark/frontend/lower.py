@@ -131,11 +131,14 @@ class Lowerer:
         resolve_table,
         params: list | None = None,
         max_recursion: int = 100,
+        config: dict | None = None,
     ):
-        """`resolve_table(name) -> DataFrame`; `params` binds $n."""
+        """`resolve_table(name) -> DataFrame`; `params` binds $n;
+        `config` binds @name identifiers (SET @x = v)."""
         self.spark = spark
         self.resolve_table = resolve_table
         self.params = params or []
+        self.config = config or {}
         self._ids = itertools.count()
         # [EXT] lambda-variable bindings (higher-order array fns) —
         # innermost frame last
@@ -1754,6 +1757,12 @@ class Lowerer:
             return F.lit(e.value)
         if isinstance(e, A.Param):
             return F.lit(self._param(e))
+        if isinstance(e, A.ConfigIdent):
+            if e.name not in self.config:
+                raise LoweringError(
+                    f"config @{e.name} is not set (SET @{e.name} = ...)"
+                )
+            return F.lit(self.config[e.name])
         if isinstance(e, A.Interval):
             kwargs = {_INTERVAL_ARGS[e.unit]: F.lit(e.count)}
             return F.make_interval(**kwargs)

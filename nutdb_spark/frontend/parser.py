@@ -767,6 +767,10 @@ class Parser:
             if t.text == "*":
                 return A.Wildcard()
             raise ParseError(f"unexpected symbol {t.text!r} in expression")
+        if t.type == T.CONFIG:
+            # [EXT] @name config identifiers usable in expressions —
+            # resolved to their SET value at lowering time
+            return A.ConfigIdent(t.text)
         if t.type in (T.KWID, T.DELIM_IDENT):
             return self._prefix_keyword_or_ident(t)
         raise ParseError(f"unexpected token {t.text!r} in expression")

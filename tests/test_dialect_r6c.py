@@ -1338,3 +1338,18 @@ def test_math_tier3(spark):
     ).collect()[0]
     assert abs(neg["tn"] + 3.7) < 1e-12 and neg["tz"] == -3.0
     assert r["n"] is True and r["i"] is True
+
+
+def test_config_identifiers_in_expressions(spark):
+    eng = _eng(spark)
+    eng.sql("SET @thr = 2")
+    rows = eng.sql(
+        "select r_name from region where r_regionkey < @thr order by r_name"
+    ).collect()
+    assert [r["r_name"] for r in rows] == ["AFRICA", "AMERICA"]
+    eng.sql("SET @thr = 1")  # re-SET takes effect on the next query
+    assert len(eng.sql(
+        "select r_name from region where r_regionkey < @thr"
+    ).collect()) == 1
+    with pytest.raises(LoweringError, match="is not set"):
+        eng.sql("select @nope")
