@@ -48,6 +48,15 @@ _KW_POWER = {
 # set-op precedence (UnionTypePower): EXCEPT < UNION < INTERSECT
 _UNION_POWER = {"except": 1, "union": 2, "intersect": 3}
 
+# keywords that open clauses — never identifiers in postfix positions
+_CLAUSE_KEYWORDS = {
+    "from", "where", "group", "order", "having", "limit", "union",
+    "intersect", "except", "join", "inner", "left", "right", "full",
+    "on", "using", "as", "and", "or", "then", "else", "end", "when",
+    "settings", "into", "window", "qualify", "prewhere", "sample",
+    "asc", "desc", "nulls", "with", "by", "offset",
+}
+
 _INTERVAL_UNITS = {"second", "minute", "hour", "day", "month", "year"}
 
 # ANSI EXTRACT(unit FROM expr) → the registered datetime getters
@@ -853,6 +862,10 @@ class Parser:
                 and call.params is None
                 and self.at_sym("(")
             ):
+                if not call.args:
+                    raise ParseError(
+                        "parametric call requires at least one parameter"
+                    )
                 self.next()
                 inner = self._fn_call(name)
                 inner.params = call.args
@@ -1121,11 +1134,16 @@ class Parser:
                 return A.Cast(left, self._datatype())
             if sym == ".":
                 # [EXT] tuple/struct element access on a non-identifier
-                # primary: (t).1 or (t).field
+                # primary: (t).1 or (t).field — clause keywords are NOT
+                # field names (`(x). from t` must fail loudly, not eat
+                # the FROM)
                 nt = self.next()
                 if nt.type == T.INT:
                     return A.TupleAccess(left, int(nt.text))
-                if nt.type in (T.KWID, T.DELIM_IDENT):
+                if nt.type == T.DELIM_IDENT or (
+                    nt.type == T.KWID
+                    and nt.text.lower() not in _CLAUSE_KEYWORDS
+                ):
                     return A.TupleAccess(left, nt.text)
                 raise ParseError(
                     "tuple access needs an element number or field name"

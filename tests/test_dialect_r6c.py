@@ -1353,3 +1353,53 @@ def test_config_identifiers_in_expressions(spark):
     ).collect()) == 1
     with pytest.raises(LoweringError, match="is not set"):
         eng.sql("select @nope")
+
+
+# --- negative-parity armor for the session's parser surface ------------------
+
+
+def test_session4_error_branches():
+    cases = [
+        ("select * except () from t", "identifier"),
+        ("select topK()(x) from t", None),
+        ("create or replace table if not exists t as select 1", "mutually"),
+        ("rename table a", "TO"),
+        ("select cast(x as) from t", None),
+        ("select x :: from t", None),
+        ("delete from t", "WHERE"),
+        ("update t set where x", None),
+        ("select a from t where b global like 'x'", "IN"),
+        ("select f from t order by k with fill interpolate", None),
+        ("show create", "identifier"),
+        ("select * from (values) v(x)", None),
+        ("select (1,2). from t", "element"),
+    ]
+    for sql, frag in cases:
+        with pytest.raises(ParseError) as ei:
+            parse(sql)
+        if frag:
+            assert frag.lower() in str(ei.value).lower(), (sql, str(ei.value))
+
+
+def test_session4_roundtrip_smoke(spark):
+    """One SQL text touching most session-4 surfaces at once — the
+    integration canary: if any two features interact badly at parse or
+    lowering time, this breaks before anything subtle does."""
+    rows = _eng(spark).sql(
+        """
+        with 2 as lim,
+             base as (select n_nationkey as k, n_regionkey as r,
+                             n_name as nm from nation)
+        select r,
+               count(distinct k) as n,
+               topK(1)(k % 3)[1] as tk,
+               max(nm) || '!' as shout,
+               quantile(0.5)(k) as med
+        from base
+        where k < 20 and r global in (0, 1, 2)
+          and k > any (select r_regionkey from region where r_regionkey < 2)
+        group by 1
+        order by 1 nulls last
+        """
+    ).collect()
+    assert len(rows) == 3 and all(r["shout"].endswith("!") for r in rows)
