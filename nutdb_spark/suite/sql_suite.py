@@ -2215,3 +2215,31 @@ def sql_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by source, lid
         """,
     )
+
+
+@query(
+    "sql_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] GROUP BY ... WITH CUBE — the rollup's power-set sibling
+    (every subset of the keys gets subtotals, 2^k grouping sets in ONE
+    Catalyst hash aggregate via Expand; map-side partials preserved).
+    Previously pytest-only; this entry makes it driver-graded against
+    the DuckDB CUBE oracle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag, l_linestatus, count(*) as n,
+               sum(floor(l_quantity * 10000)) / 10000.0 as qty
+        from lineitem
+        group by l_returnflag, l_linestatus with cube
+        """,
+    )
