@@ -2243,3 +2243,30 @@ def sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by l_returnflag, l_linestatus with cube
         """,
     )
+
+
+@query(
+    "sql_config_vars",
+    """
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem WHERE l_quantity > 30
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_config_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] session config variables end-to-end: SET @min_qty binds a
+    value, @min_qty in a later query resolves to a literal at lowering
+    time — so the threshold constant-folds into the pushed parquet
+    filter exactly as if written inline (the oracle is the inlined
+    spelling)."""
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=sf_dir)
+    eng.sql("SET @min_qty = 30")
+    return eng.sql(
+        """
+        select l_returnflag, count(*) as n
+        from lineitem where l_quantity > @min_qty
+        group by l_returnflag order by l_returnflag
+        """
+    )
