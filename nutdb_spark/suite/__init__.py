@@ -69,9 +69,8 @@ for _m in _MODULES:
 # q_stream_funnel, q_ddl_view_aggregating, sql_cast, sql_ansi_basics,
 # sql_values_inline, sql_q21_corr, sql_q22_corr, sql_dictget,
 # sql_table_fn_dedup, sql_table_fn_ann, sql_fn_tier3, sql_fn_math3,
-# sql_table_fn_split, sql_pipeline_e2e, sql_cast also covers the ::
-# surface, sql_cube, sql_config_vars — plus the earlier-r6
-# late additions already noted below.
+# sql_table_fn_split, sql_pipeline_e2e, sql_cube, sql_config_vars —
+# plus the earlier-r6 late additions already noted below.
 _PRIORITY = [
     # --- new in round 6 (never graded) (12) ---
     "sql_asof_within", "q_sim_topk_ivf_mp", "q_sim_recall",
