@@ -1403,3 +1403,15 @@ def test_session4_roundtrip_smoke(spark):
         """
     ).collect()
     assert len(rows) == 3 and all(r["shout"].endswith("!") for r in rows)
+
+
+def test_row_value_in_list(spark):
+    rows = _eng(spark).sql(
+        "select n_nationkey from nation "
+        "where (n_regionkey, n_nationkey % 2) in ((1, 0), (2, 1)) "
+        "order by n_nationkey"
+    ).collect()
+    got = [r["n_nationkey"] for r in rows]
+    # region 1 & even, or region 2 & odd
+    assert all((k % 5 == 1 and k % 2 == 0) or (k % 5 == 2 and k % 2 == 1)
+               for k in got) and got
