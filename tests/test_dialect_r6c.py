@@ -872,6 +872,10 @@ def test_sequence_match_matches_bruteforce(spark):
             ("(?1)(?t<=50)(?2)", [0, 1], [("<=", 50)]),
             ("(?1)(?t>40)(?2).*(?3)", [0, 1, 2], [(">", 40), None]),
             ("(?2)(?t<100)(?1)", [1, 0], [("<", 100)]),
+            # mixed directions across gaps: > uses the MIN prior
+            # match, <= the MAX — both endpoints must be tracked
+            ("(?1)(?t>20)(?2)(?t<=30)(?3)", [0, 1, 2],
+             [(">", 20), ("<=", 30)]),
         ]:
             got = df.agg(
                 PARAMETRIC_AGGS["sequenceMatch"](
