@@ -41,55 +41,44 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries. Round-6 window
-# (VERDICT r5 "Next round" #3: rotate onto the 36 stalest so no
-# entry's latest driver row is older than two rounds):
-# (1) ALL 12 entries NEW this round (never graded — a never-graded
-# entry can't be claimed driver-green at all, so these outrank
-# re-grades of locally-green code-touched entries), (2) all 9 entries
-# whose latest driver row is r2, (3) all 27 whose latest row is r3,
-# (4) the two entries whose ORACLE/guard semantics changed this round
-# and aren't transitively covered: q_dedup_minhash_lsh (max_bucket cap
-# applied on both sides) and q_fn_datetime (toDayOfWeek now ISO).
-# Other code-touched paths are window-covered transitively:
-# q_sim_topk_ivf/q_cluster_kmeans by q_sim_topk_ivf_mp + q_sim_recall
-# (same centroid artifact, same probe body), sql_asof by
-# sql_asof_within, q_dedup_connected by q_dedup_connected_star (same
-# closure oracle), catalog view-repair hooks by 4 lifecycle pytests.
-# Entries not listed keep module registration order after the window.
-# Entries added AFTER this round's window was frozen (sequence
-# packing, JSON fns, window analytics, rollup, PII scrub) queue for
-# the round-7 window.
-#
-# ROUND-7 QUEUE (never driver-graded; admit these first): the 27
-# session-4 entries — q_pack_manifest, sql_select_modifiers,
-# sql_columns_regex, sql_parametric, q_ddl_ctas, sql_with_scalar,
-# sql_arrayjoin_fn, q_sample_curriculum, q_analytic_global_rank,
-# sql_retention, sql_funnel, sql_any_all, sql_q17_corr, sql_in_corr,
-# sql_range_frame, sql_with_fill_interp, sql_sequence_match,
-# q_stream_funnel, q_ddl_view_aggregating, sql_cast, sql_ansi_basics,
-# sql_values_inline, sql_q21_corr, sql_q22_corr, sql_dictget,
-# sql_table_fn_dedup, sql_table_fn_ann, sql_fn_tier3, sql_fn_math3,
-# sql_table_fn_split, sql_pipeline_e2e, sql_cube, sql_config_vars —
-# plus the earlier-r6 late additions already noted below.
+# Round-7 window (VERDICT r6 "Next round" #1 + #5): 72 entries have
+# never been driver-graded, more than the window holds, so the whole
+# window is never-graded entries: (1) the 33-entry ROUND-7 QUEUE from
+# r6 (the session-4 additions), (2) the two streaming/analytic entries
+# the judge called out explicitly (q_stream_join_left,
+# q_analytic_sessionize), (3) entries NEW this round (decontaminate
+# table fn, IVF-int8 probe + its recall gate — names listed ahead of
+# registration; _reorder filters to what exists), (4) fill to 50 with
+# never-graded entries touched by this round's ADVICE fixes
+# (sql_limit_by → NULLS modifiers, sql_with_fill → exclusive-TO bound)
+# and the heaviest never-graded remainder (q_pipeline_train,
+# sql_recursive, …). Still-ungraded after this window (≈20 r6 late
+# additions: sql_qualify, sql_prewhere, sql_sample, sql_outfile,
+# sql_window_named, sql_cte_chain, sql_recursive_graph, sql_setops_all,
+# sql_totals, q_analytic_{running,topn,rollup,distribution,timerange},
+# q_fn_*2 surface splits, q_dedup_connected_best, q_embed_*,
+# q_sample_temperature, q_text_chunk, q_multimodal_*) → ROUND-8 QUEUE.
 _PRIORITY = [
-    # --- new in round 6 (never graded) (12) ---
-    "sql_asof_within", "q_sim_topk_ivf_mp", "q_sim_recall",
-    "q_dedup_connected_star", "q_text_termstats", "q_stream_join",
-    "q_sample_stratified", "q_sample_domain_cap", "q_text_repetition",
-    "q_text_decontaminate", "q_dedup_spans", "q_multimodal_audio",
-    # --- stalest: last driver row is r2 (9) ---
-    "q_expr_compare", "q_expr_logic", "q_in_subquery", "q_join_right",
-    "q_not_in_list", "q_select_star", "tpch_q14", "tpch_q5", "tpch_q6",
-    # --- last driver row is r3 (27) ---
-    "q_cte", "q_distinct_on", "q_except", "q_exists", "q_expr_arith",
-    "q_expr_bitwise", "q_expr_case", "q_fn_dates", "q_fn_minmax",
-    "q_fn_quantile", "q_fn_quantile_approx", "q_having", "q_in_list",
-    "q_intersect", "q_join_full", "q_join_inner", "q_join_left_semi",
-    "q_join_using", "q_limit_offset", "q_limit_with_ties",
-    "q_not_in_subquery_null", "q_qualified_star", "q_scalar_subquery",
-    "q_union_all", "tpch_q12", "tpch_q18", "tpch_q21",
-    # --- semantics-changed this round, not transitively covered (2) ---
-    "q_dedup_minhash_lsh", "q_fn_datetime",
+    # --- (1) the r6 ROUND-7 QUEUE: session-4, never graded (33) ---
+    "sql_pipeline_e2e", "sql_table_fn_dedup", "sql_table_fn_ann",
+    "sql_table_fn_split", "sql_parametric", "sql_funnel",
+    "sql_sequence_match", "sql_retention", "sql_cube", "sql_cast",
+    "sql_dictget", "sql_any_all", "sql_in_corr", "sql_q17_corr",
+    "sql_q21_corr", "sql_q22_corr", "q_pack_manifest", "q_ddl_ctas",
+    "q_stream_funnel", "q_ddl_view_aggregating", "sql_select_modifiers",
+    "sql_columns_regex", "sql_with_scalar", "sql_arrayjoin_fn",
+    "q_sample_curriculum", "q_analytic_global_rank", "sql_range_frame",
+    "sql_with_fill_interp", "sql_ansi_basics", "sql_values_inline",
+    "sql_fn_tier3", "sql_fn_math3", "sql_config_vars",
+    # --- (2) judge-named streaming/analytic gaps (2) ---
+    "q_stream_join_left", "q_analytic_sessionize",
+    # --- (3) new in round 7 (registered this round) (3) ---
+    "sql_table_fn_decon", "q_sim_topk_ivf_pq", "q_sim_recall_pq",
+    # --- (4) fix-touched + heaviest never-graded fill (12) ---
+    "sql_limit_by", "sql_with_fill", "q_pipeline_train",
+    "sql_recursive", "sql_json", "sql_window", "sql_rollup",
+    "sql_grouping_sets", "q_pack_sequences", "q_text_pii",
+    "sql_subquery_values", "q_ddl_mutate",
 ]
 
 
