@@ -265,17 +265,24 @@ class Catalog:
 
     def create_table(self, d: A.TableDefinition, low=None) -> None:
         existing = self._load_meta(d.name)
+        replace_entity: str | None = None
         if existing is not None:
             if d.if_not_exists:
                 return
             if getattr(d, "or_replace", False):
-                # [EXT] CREATE OR REPLACE TABLE — drop-and-recreate
-                self.drop(A.DropStmt(existing["type"], d.name, True))
+                # [EXT] CREATE OR REPLACE TABLE. For CTAS the drop is
+                # DEFERRED until the new data is staged — dropping
+                # first would destroy the source of a self-referencing
+                # `CREATE OR REPLACE TABLE t AS SELECT ... FROM t` and
+                # leave nothing behind if the query fails.
+                replace_entity = existing["type"]
             else:
                 raise CatalogError(f"table {d.name!r} already exists")
         if getattr(d, "as_query", None) is not None:
-            self._create_table_as(d, low)
+            self._create_table_as(d, low, replace_entity=replace_entity)
             return
+        if replace_entity is not None:
+            self.drop(A.DropStmt(replace_entity, d.name, True))
         meta = {
             "type": "table",
             "name": d.name,
@@ -315,13 +322,22 @@ class Catalog:
         self._save_meta(d.name, meta)
         os.makedirs(self._data_path(d.name), exist_ok=True)
 
-    def _create_table_as(self, d: A.TableDefinition, low) -> None:
+    def _create_table_as(
+        self, d: A.TableDefinition, low, replace_entity: str | None = None
+    ) -> None:
         """[EXT] CREATE TABLE ... AS SELECT: the schema is the query's
         output schema; data is written through the same
         partition/order-aware parquet path as INSERT. The write is the
         query's own distributed plan — nothing materializes on the
         driver. An ENGINE clause is recorded for ClickHouse parity but
-        storage is always parquet + JSON sidecar."""
+        storage is always parquet + JSON sidecar.
+
+        Atomicity: the query writes to a tmp dir FIRST, then the
+        sidecar metadata is saved and the directory swapped into place
+        — a failed CTAS never leaves a registered table with partial
+        data, and OR REPLACE drops the old table only after the new
+        data is fully staged (so a self-referencing query reads the old
+        data while it runs)."""
         if low is None:
             raise CatalogError("CTAS requires a query lowerer")
         df = low.lower_query(d.as_query)
@@ -358,9 +374,8 @@ class Catalog:
         for c in d.order_by or []:
             if c not in df.columns:
                 raise CatalogError(f"ORDER BY column {c!r} not in CTAS output")
-        self._save_meta(d.name, meta)
         path = self._data_path(d.name)
-        os.makedirs(path, exist_ok=True)
+        tmp = path + ".tmp"
         staged = df
         part_cols: list[str] = []
         if d.partition_by is not None:
@@ -373,10 +388,16 @@ class Catalog:
                 part_cols = ["__part"]
         if d.order_by:
             staged = staged.sortWithinPartitions(*d.order_by)
-        writer = staged.write.mode("append")
+        writer = staged.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(path)
+        # the query executes HERE, against the pre-drop catalog state
+        writer.parquet(tmp)
+        if replace_entity is not None:
+            self.drop(A.DropStmt(replace_entity, d.name, True))
+        shutil.rmtree(path, ignore_errors=True)
+        self._save_meta(d.name, meta)
+        os.rename(tmp, path)
 
     def _schema(self, meta: dict) -> S.StructType:
         return S.StructType(

@@ -24,6 +24,16 @@ from nutdb_spark.frontend.parser import parse
 from nutdb_spark.sources.tables import TABLES, load_table
 
 
+def _conf_key(name: str) -> str:
+    """Map a dialect conf name to a Spark conf key: `_` ↔ `.`, with a
+    literal underscore in the Spark key spelled `__`
+    (spark_foo__bar → spark.foo_bar)."""
+    sentinel = "\x00"
+    return (
+        name.replace("__", sentinel).replace("_", ".").replace(sentinel, "_")
+    )
+
+
 class NutEngine:
     def __init__(
         self,
@@ -61,15 +71,34 @@ class NutEngine:
         low = Lowerer(self.spark, self.resolve_table, params, config=self.config)
         if isinstance(stmt, A.SelectStmt):
             # [EXT] SETTINGS apply before lowering (they can affect the
-            # physical plan, e.g. spark_sql_shuffle_partitions)
+            # physical plan, e.g. spark_sql_shuffle_partitions) and are
+            # STATEMENT-scoped like ClickHouse's: prior conf values are
+            # restored before returning so later statements don't
+            # silently run under this statement's confs.
+            saved: list[tuple[str, str | None]] = []
             for name, value in getattr(stmt, "settings", []) or []:
                 self.config[name] = value
                 if str(name).startswith("spark_"):
-                    self.spark.conf.set(name.replace("_", "."), str(value))
-            df = low.lower_query(stmt.query)
-            if getattr(stmt, "outfile", None) is not None:
-                return self._write_outfile(df, *stmt.outfile)
-            return df
+                    key = _conf_key(name)
+                    saved.append((key, self.spark.conf.get(key, None)))
+                    self.spark.conf.set(key, str(value))
+            try:
+                df = low.lower_query(stmt.query)
+                if saved:
+                    # the returned frame is lazy — force physical
+                    # planning NOW, while the confs are in effect; the
+                    # resolved plan is cached on the QueryExecution, so
+                    # later actions on this frame reuse it
+                    df._jdf.queryExecution().executedPlan()
+                if getattr(stmt, "outfile", None) is not None:
+                    return self._write_outfile(df, *stmt.outfile)
+                return df
+            finally:
+                for key, prior in reversed(saved):
+                    if prior is None:
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, prior)
         if isinstance(stmt, A.ShowStmt):
             return self._show(stmt)
         if isinstance(stmt, A.ExplainStmt):
@@ -127,7 +156,9 @@ class NutEngine:
                 self.config[stmt.name] = value.value
                 if str(stmt.name).startswith("spark_"):
                     # @spark_sql_shuffle_partitions ↔ spark.sql.shuffle.partitions
-                    key = stmt.name.replace("_", ".")
+                    # (SET is session-scoped by design, like ClickHouse SET;
+                    # statement-scoped overrides are the SETTINGS clause)
+                    key = _conf_key(stmt.name)
                     self.spark.conf.set(key, str(value.value))
             else:
                 raise LoweringError("SET requires a literal value")

@@ -693,8 +693,10 @@ class Lowerer:
 
             from pyspark.sql import Window
 
+            # share _sort_col so NULLS FIRST/LAST picks the same
+            # per-key head rows as the final presented order
             lb_order = [
-                _sel_ref(o.expr).asc() if o.asc else _sel_ref(o.expr).desc()
+                _sort_col(_sel_ref(o.expr), o.asc, getattr(o, "nulls", None))
                 for o in q.order_by
             ]
             w = Window.partitionBy(*[_sel_ref(k) for k in lb.keys]).orderBy(
@@ -804,7 +806,11 @@ class Lowerer:
             step = F.lit(1).cast(key_type)
         key = F.col(name)
         # bounds as a one-row aggregate (constants wrapped in max() so
-        # the frame stays a pure aggregate); TO is exclusive → -step
+        # the frame stays a pure aggregate). TO is exclusive: generate
+        # through TO itself and filter `key < TO` after the explode —
+        # subtracting one STEP instead would drop the last legitimate
+        # value whenever (TO - lo) is not a multiple of STEP
+        # (e.g. FROM 0 TO 10 STEP 3 must yield 0,3,6,9, not 0,3,6).
         lo = (
             F.min(key)
             if f_from is None
@@ -813,11 +819,15 @@ class Lowerer:
         hi = (
             F.max(key)
             if f_to is None
-            else F.max(self._expr(f_to, None, {}, []).cast(key_type) - step)
+            else F.max(self._expr(f_to, None, {}, []).cast(key_type))
         )
         series = projected.agg(lo.alias("__lo"), hi.alias("__hi")).select(
             F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(name)
         )
+        if f_to is not None:
+            series = series.where(
+                key < self._expr(f_to, None, {}, []).cast(key_type)
+            )
         real_flag = self._gen("real")
         filled = series.join(
             projected.withColumn(real_flag, F.lit(True)), on=name, how="full"

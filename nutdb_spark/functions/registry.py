@@ -364,10 +364,12 @@ SCALAR_FNS["splitByString"] = lambda sep, s: F.split(
 SCALAR_FNS["arrayStringConcat"] = lambda a, sep="": F.array_join(a, sep)
 
 # math
-# toward-zero integer division (the cast truncates; identical to
-# ClickHouse intDiv on non-negatives — floor-division engines differ
-# on negatives, documented in the suite entry)
-SCALAR_FNS["intDiv"] = lambda a, b: (a / b).cast("long")
+# exact toward-zero integer division via Spark's integral `div`
+# operator — (a / b).cast('long') would round-trip through double and
+# silently return wrong quotients once operands exceed 2^53
+SCALAR_FNS["intDiv"] = lambda a, b: F.call_function(
+    "div", a.cast("long"), b.cast("long")
+)
 SCALAR_FNS["modulo"] = lambda a, b: a % b
 SCALAR_FNS["sin"] = F.sin
 SCALAR_FNS["cos"] = F.cos
@@ -996,8 +998,10 @@ SCALAR_FNS["gcd"] = _gcd
 SCALAR_FNS["lcm"] = lambda a, b: F.when(
     (a == 0) | (b == 0), F.lit(0).cast("bigint")
 ).otherwise((F.abs(a.cast("bigint") * b.cast("bigint")) / _gcd(a, b)).cast("bigint"))
+# same exact toward-zero rounding as intDiv (floor(a/b) differed on
+# negatives AND shared the 2^53 double-precision hazard)
 SCALAR_FNS["intDivOrZero"] = lambda a, b: F.when(
-    b != 0, F.floor(a / b).cast("long")
+    b != 0, F.call_function("div", a.cast("long"), b.cast("long"))
 ).otherwise(F.lit(0).cast("long"))
 SCALAR_FNS["moduloOrZero"] = lambda a, b: F.when(b != 0, a % b).otherwise(
     F.lit(0)

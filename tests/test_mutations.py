@@ -171,10 +171,25 @@ def test_settings_clause_applies_conf(eng):
         "select l_returnflag, count(*) as n from lineitem "
         "group by l_returnflag settings spark_sql_shuffle_partitions = 3"
     )
-    assert eng.spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    # SETTINGS is statement-scoped: the conf was in effect while the
+    # statement's physical plan was resolved, then restored
+    assert eng.spark.conf.get("spark.sql.shuffle.partitions") == "8"
     assert eng.config["spark_sql_shuffle_partitions"] == 3
+    # the already-planned frame keeps the 3-partition shuffle
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "3" in plan.split("Exchange")[1][:120]
     assert df.count() == 3
     eng.spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_settings_underscore_escape(eng):
+    # `__` spells a literal underscore in the Spark conf key
+    from nutdb_spark.engine import _conf_key
+
+    assert _conf_key("spark_sql_shuffle_partitions") == (
+        "spark.sql.shuffle.partitions"
+    )
+    assert _conf_key("spark_foo__bar_baz") == "spark.foo_bar.baz"
 
 
 def test_settings_requires_literals():
