@@ -1628,6 +1628,29 @@ class Lowerer:
             name = f"__g{i}"
             group_map[i] = name
             group_cols.append(self._expr(g, scope, {}, []).alias(name))
+        # [EXT] heavy-hitter rewrite: exact topK/topKWeighted must NOT
+        # lower to one collect_list per group (per-group state would be
+        # O(group rows) — a single hot group OOMs a task at 100 TB).
+        # For plain GROUP BY they instead lower to a pre-aggregate by
+        # (keys, value) — map-side partials shrink duplicates — plus a
+        # bounded per-key top-k, joined back onto the main aggregate.
+        # collect_list stays only where state is genuinely bounded:
+        # rollup/cube/totals/grouping-sets fall back to the in-group
+        # form (subtotal rows aggregate across key values, which the
+        # (keys, value) pre-aggregate can't serve), as do
+        # windowFunnel/sequenceMatch (one user's events).
+        modifier = getattr(q, "group_modifier", None)
+        group_sets = getattr(q, "group_sets", None)
+        topk_calls = [
+            (call, name)
+            for call, name in agg_calls
+            if call.params is not None
+            and call.name.lower() in ("topk", "topkweighted")
+        ]
+        if topk_calls and modifier is None and group_sets is None:
+            return self._lower_aggregate_with_topk(
+                base, q, agg_calls, topk_calls, scope, group_map, group_cols
+            )
         aggs: list[Column] = []
         for call, name in agg_calls:
             aggs.append(self._lower_agg_call(call, scope).alias(name))
@@ -1675,6 +1698,115 @@ class Lowerer:
         else:
             base = base.agg(*aggs)
         return base, {"groups": q.group_by, "names": group_map}
+
+    def _lower_aggregate_with_topk(
+        self, base, q, agg_calls, topk_calls, scope, group_map, group_cols
+    ):
+        """Two-level lowering for exact topK/topKWeighted (see the
+        dispatch comment in _lower_aggregate):
+
+          level 1: groupBy(keys, value) → count / sum(weight) — the
+                   hash aggregate gets map-side partials, so per-task
+                   state is O(distinct values in the task), never
+                   O(rows);
+          level 2: per-key top-k over the (value, cnt) rows — a
+                   row_number window (sort-based, SPILLABLE — the
+                   property collect_list lacks) for grouped queries, a
+                   TakeOrdered limit for the global form;
+          then the ≤k survivors per key fold into the result array
+          (count desc, value asc — the same deterministic tie-break as
+          the in-group form) and join back onto the main aggregate on
+          null-safe key equality.
+        """
+        from functools import reduce
+
+        names = [group_map[i] for i in range(len(group_cols))]
+        pre = base.select(F.col("*"), *group_cols) if group_cols else base
+        topk_names = {n for _, n in topk_calls}
+        other_aggs = [
+            self._lower_agg_call(call, scope).alias(name)
+            for call, name in agg_calls
+            if name not in topk_names
+        ]
+        if not other_aggs:
+            other_aggs = [F.count(F.lit(1)).alias(self._gen("cnt"))]
+        if names:
+            main = pre.groupBy(*[F.col(n) for n in names]).agg(*other_aggs)
+        else:
+            main = pre.agg(*other_aggs)
+        for call, name in topk_calls:
+            side = self._topk_side(pre, names, call, scope, name)
+            arr_type = side.schema[name].dataType
+            if names:
+                renamed = side.select(
+                    *[F.col(n).alias(f"__tk_{n}") for n in names],
+                    F.col(name),
+                )
+                cond = reduce(
+                    Column.__and__,
+                    [
+                        main[n].eqNullSafe(renamed[f"__tk_{n}"])
+                        for n in names
+                    ],
+                )
+                main = (
+                    main.join(renamed, cond, "left")
+                    .drop(*[f"__tk_{n}" for n in names])
+                )
+            else:
+                main = main.crossJoin(F.broadcast(side))
+            # a group whose values were all NULL has no level-1 rows:
+            # [] like the in-group form, not NULL
+            main = main.withColumn(
+                name,
+                F.when(F.col(name).isNull(), F.array().cast(arr_type))
+                .otherwise(F.col(name)),
+            )
+        return main, {"groups": q.group_by, "names": group_map}
+
+    def _topk_side(self, pre, names, call, scope, out_name):
+        from pyspark.sql import Window
+
+        params = []
+        for p in call.params:
+            if not isinstance(p, A.Lit):
+                raise LoweringError(
+                    "parametric aggregate parameters must be "
+                    "constant literals"
+                )
+            params.append(p.value)
+        k = int(params[0])
+        args = [self._expr(a, scope, {}, []) for a in call.args]
+        val = self._gen("tkv")
+        cnt = self._gen("tkc")
+        x = args[0]
+        lvl1 = pre.where(x.isNotNull()).groupBy(
+            *[F.col(n) for n in names], x.alias(val)
+        )
+        if call.name.lower() == "topk":
+            lvl1 = lvl1.agg(F.count(F.lit(1)).alias(cnt))
+        else:
+            lvl1 = lvl1.agg(F.sum(args[1].cast("long")).alias(cnt))
+        order = [F.col(cnt).desc(), F.col(val).asc()]
+        if names:
+            rn = self._gen("rn")
+            w = Window.partitionBy(*[F.col(n) for n in names]).orderBy(*order)
+            top = (
+                lvl1.withColumn(rn, F.row_number().over(w))
+                .where(F.col(rn) <= k)
+                .drop(rn)
+            )
+        else:
+            top = lvl1.orderBy(*order).limit(k)
+        pair = F.struct(
+            (-F.col(cnt)).alias("nc"), F.col(val).alias("val")
+        )
+        arr = F.transform(
+            F.array_sort(F.collect_list(pair)), lambda s: s["val"]
+        ).alias(out_name)
+        if names:
+            return top.groupBy(*[F.col(n) for n in names]).agg(arr)
+        return top.agg(arr)
 
     def _lower_agg_call(self, call: A.FnCall, scope: Scope) -> Column:
         from nutdb_spark.functions.registry import resolve

@@ -1,0 +1,118 @@
+"""Pins for the heavy-hitter topK/topKWeighted lowering (VERDICT r6
+"What's wrong" #1): plain-GROUP-BY topK must lower to a (keys, value)
+pre-aggregate + bounded per-key top-k — never one collect_list over a
+group's raw rows, whose per-group state is O(rows) and OOMs a task on
+one hot group at 100 TB. The in-group collect_list form survives only
+under rollup/cube/totals/grouping sets (subtotal rows aggregate across
+key values)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from nutdb_spark.engine import NutEngine
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    return NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+
+
+def _with_frame(eng, name, df):
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: df if n == name else real(n)
+    return eng
+
+
+def test_hot_group_no_per_group_row_state(spark, eng):
+    # ONE hot group: 40k rows, 7 distinct values. The old lowering
+    # collected all 40k rows into one aggregation buffer; the new plan
+    # carries at most |distinct| rows per group past level 1.
+    df = spark.range(40_000).selectExpr(
+        "'hot' as k", "cast(id % 7 as int) as v"
+    )
+    _with_frame(eng, "hotg", df)
+    out = eng.sql(
+        "select k, topK(3)(v) as tk, count(*) as n from hotg group by k"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bounded per-key top-k is a row_number window over the
+    # level-1 counts — sort-based and spillable
+    assert "Window" in plan
+    r = out.collect()[0]
+    # id % 7: values 0..2 appear 5715 times, 3..6 appear 5714
+    assert r["tk"] == [0, 1, 2] and r["n"] == 40_000
+
+
+def test_topk_ties_and_other_aggs(spark, eng):
+    df = spark.createDataFrame(
+        [("a", 0)] * 5 + [("a", 1)] * 3 + [("a", 2)] * 3 + [("b", 9)] * 2,
+        "k string, v int",
+    )
+    _with_frame(eng, "tkx", df)
+    rows = eng.sql(
+        "select k, topK(2)(v) as tk, sum(v) as s from tkx "
+        "group by k order by k"
+    ).collect()
+    # count desc then value asc: a → [0, 1] (1 beats 2 on the tie)
+    assert [(r["k"], r["tk"], r["s"]) for r in rows] == [
+        ("a", [0, 1], 9),
+        ("b", [9], 18),
+    ]
+
+
+def test_topk_global_uses_take_ordered(spark, eng):
+    df = spark.createDataFrame(
+        [(0,)] * 5 + [(1,)] * 3 + [(2,)] * 3, "x int"
+    )
+    _with_frame(eng, "tkg", df)
+    out = eng.sql("select topK(2)(x) as tk from tkg")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    assert out.collect()[0]["tk"] == [0, 1]
+
+
+def test_topk_all_null_group_yields_empty_array(spark, eng):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", None), (None, 2)],
+        "k string, v int",
+    )
+    _with_frame(eng, "tkn", df)
+    rows = eng.sql(
+        "select k, topK(2)(v) as tk from tkn group by k order by k nulls first"
+    ).collect()
+    got = [(r["k"], r["tk"]) for r in rows]
+    # NULL group key survives the null-safe join-back; all-NULL group → []
+    assert got == [(None, [2]), ("a", [1]), ("b", [])]
+
+
+def test_topk_weighted_two_level(spark, eng):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 3), ("a", 2, 3), ("a", 3, 5), ("b", 7, 1)],
+        "k string, v int, w int",
+    )
+    _with_frame(eng, "tkw", df)
+    rows = eng.sql(
+        "select k, topKWeighted(2)(v, w) as tk from tkw group by k order by k"
+    ).collect()
+    # a: weights 1→10, 2→6, 3→5 → [1, 2]
+    assert [(r["k"], r["tk"]) for r in rows] == [
+        ("a", [1, 2]),
+        ("b", [7]),
+    ]
+
+
+def test_topk_under_rollup_falls_back_in_group(spark, eng):
+    df = spark.createDataFrame(
+        [("a", 0)] * 3 + [("a", 1)] * 2 + [("b", 1)] * 4, "k string, v int"
+    )
+    _with_frame(eng, "tkr", df)
+    rows = eng.sql(
+        "select k, topK(1)(v) as tk from tkr group by k with rollup "
+        "order by k nulls first"
+    ).collect()
+    got = [(r["k"], r["tk"]) for r in rows]
+    # the grand-total row aggregates across keys: v=1 has 6 ≥ v=0's 3
+    assert got == [(None, [1]), ("a", [0]), ("b", [1])]
