@@ -1470,18 +1470,26 @@ class Lowerer:
         pending.append((name, frame, cond))
         return out_val
 
-    _DICT_MAX_ENTRIES = 1_000_000
+    _DICT_LITERAL_MAX = 10_000
 
     def _dict_get(self, e: A.FnCall, scope, group_map, agg_calls, pending):
         """[EXT] dictGet('table', 'value_col', key_expr[, default]) —
         ClickHouse external-dictionary lookup in expression position.
         The dictionary is any resolvable table (managed or fixture);
-        its FIRST column is the key. Lowered to a LITERAL MAP (two
-        array literals + element_at) — which is exactly what a CH
-        dictionary is: a table small enough to pin in memory on every
-        node. The load happens once at lowering time and is capped at
-        1M entries; anything bigger is a join, not a dictionary, and
-        raises with that advice."""
+        its FIRST column is the key (assumed unique — the dictionary
+        contract). Two regimes:
+
+        - ≤ _DICT_LITERAL_MAX entries: a LITERAL MAP (two array
+          literals + element_at) — a tiny constant folded into the
+          expression, zero joins;
+        - larger: an automatic broadcast LEFT join on the key
+          (semantically identical for dictGet/dictGetOrDefault: miss →
+          NULL → default). A 1M-pair literal would serialize a
+          multi-hundred-MB expression tree to every task; the
+          broadcast join ships the same data once per executor through
+          the torrent broadcast path instead and has no hard size cap
+          beyond executor memory — the same bound a CH dictionary has.
+        """
         args = e.args
         if len(args) not in (3, 4):
             raise LoweringError(
@@ -1499,23 +1507,35 @@ class Lowerer:
                 f"dictionary {tname!r} has no column {vcol!r}"
             )
         kcol = df.columns[0]
+        key = self._expr(args[2], scope, group_map, agg_calls, pending)
         rows = (
             df.select(kcol, vcol)
             .filter(F.col(kcol).isNotNull())
-            .limit(self._DICT_MAX_ENTRIES + 1)
+            .limit(self._DICT_LITERAL_MAX + 1)
             .collect()
         )
-        if len(rows) > self._DICT_MAX_ENTRIES:
-            raise LoweringError(
-                f"dictionary {tname!r} exceeds {self._DICT_MAX_ENTRIES} "
-                "entries — use a JOIN for tables of this size"
+        if len(rows) <= self._DICT_LITERAL_MAX:
+            keys = [r[0] for r in rows]
+            vals = [r[1] for r in rows]
+            hit = F.element_at(
+                F.map_from_arrays(F.lit(keys), F.lit(vals)), key
             )
-        keys = [r[0] for r in rows]
-        vals = [r[1] for r in rows]
-        key = self._expr(args[2], scope, group_map, agg_calls, pending)
-        hit = F.element_at(
-            F.map_from_arrays(F.lit(keys), F.lit(vals)), key
-        )
+        else:
+            if pending is None:
+                raise LoweringError(
+                    f"dictionary {tname!r} exceeds "
+                    f"{self._DICT_LITERAL_MAX} entries and dictGet is in "
+                    "a position that cannot host its broadcast join — "
+                    "use an explicit JOIN here"
+                )
+            ck = self._gen("ck_d")
+            val = self._gen("dictv")
+            dict_df = (
+                df.select(F.col(kcol).alias(ck), F.col(vcol).alias(val))
+                .filter(F.col(ck).isNotNull())
+            )
+            pending.append((val, F.broadcast(dict_df), key == F.col(ck)))
+            hit = F.col(val)
         if len(args) == 4:
             dflt = self._expr(args[3], scope, group_map, agg_calls, pending)
             return F.coalesce(hit, dflt)
