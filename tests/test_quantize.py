@@ -101,3 +101,36 @@ def test_truncate_embed_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# --- IVF-int8 probe (topk_ivf_int8) ----------------------------------------
+
+
+def test_ivf_int8_recall_floor_vs_exact(spark):
+    """The int8-probe IVF must hold recall@5 within 0.05 of the exact
+    multi-probe IVF on the sf0.01 fixture (it measures equal there —
+    the exact rescore recovers the ranking; this floor leaves room for
+    fixture drift without letting the quantized index silently rot)."""
+    from nutdb_spark.suite.similarity import q_sim_recall_pq
+
+    rows = {
+        r["method"]: r["recall"]
+        for r in q_sim_recall_pq(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows["pq2"] >= rows["ivf2"] - 0.05
+    assert rows["pq2"] >= 0.8
+
+
+def test_ivf_int8_index_drops_full_vectors(spark):
+    """The quantized index frame feeding the candidate cogroup must
+    not carry the full-precision vectors — that IS the bytes saving.
+    Pin it structurally: the analyzed plan of the PQ entry contains
+    exactly one FlatMapCoGroups whose corpus side projects the q8
+    transform, and the rescore joins broadcast the candidate set."""
+    from nutdb_spark.suite.similarity import q_sim_topk_ivf_pq
+
+    df = q_sim_topk_ivf_pq(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
