@@ -391,13 +391,34 @@ class Catalog:
         writer = staged.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        # the query executes HERE, against the pre-drop catalog state
-        writer.parquet(tmp)
-        if replace_entity is not None:
-            self.drop(A.DropStmt(replace_entity, d.name, True))
-        shutil.rmtree(path, ignore_errors=True)
+        # the query executes HERE, against the pre-drop catalog state;
+        # a failed write must not orphan the staging dir
+        try:
+            writer.parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        # true swap (OR REPLACE): rename the OLD data aside, rename the
+        # new data in, THEN delete the old — at no instant is the table
+        # name without a data directory, and a crash mid-swap leaves
+        # either the old table intact (before the rename-in) or the new
+        # one fully in place (after). Metadata is saved only after the
+        # new directory exists, so a registered table always has data.
+        old = path + ".old"
+        had_old = os.path.exists(path)
+        if had_old:
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except Exception:
+            if had_old:
+                os.rename(old, path)  # roll the old table back in
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         self._save_meta(d.name, meta)
-        os.rename(tmp, path)
+        if had_old:
+            shutil.rmtree(old, ignore_errors=True)
 
     def _schema(self, meta: dict) -> S.StructType:
         return S.StructType(

@@ -76,7 +76,13 @@ class NutEngine:
             # restored before returning so later statements don't
             # silently run under this statement's confs.
             saved: list[tuple[str, str | None]] = []
+            # self.config entries are statement-scoped too: a SETTINGS
+            # name must not clobber session config consulted by later
+            # statements (@name references, SET @name) — only SET is
+            # session-durable
+            saved_cfg: list[tuple[str, object, bool]] = []
             for name, value in getattr(stmt, "settings", []) or []:
+                saved_cfg.append((name, self.config.get(name), name in self.config))
                 self.config[name] = value
                 if str(name).startswith("spark_"):
                     key = _conf_key(name)
@@ -99,6 +105,11 @@ class NutEngine:
                         self.spark.conf.unset(key)
                     else:
                         self.spark.conf.set(key, prior)
+                for name, prior, existed in reversed(saved_cfg):
+                    if existed:
+                        self.config[name] = prior
+                    else:
+                        self.config.pop(name, None)
         if isinstance(stmt, A.ShowStmt):
             return self._show(stmt)
         if isinstance(stmt, A.ExplainStmt):

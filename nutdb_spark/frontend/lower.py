@@ -237,6 +237,43 @@ class Lowerer:
                 n=int(n), threshold=float(thr),
                 max_shingle_freq=int(rest[0]) if rest else 100,
             )
+        if name == "decontaminate":
+            # [EXT] decontaminate('train_tbl', 'eval_tbl', 'id_col',
+            # 'text_col', n) → (id_col, n_shared): the benchmark
+            # decontamination check as a TABLE FUNCTION — flag every
+            # training document sharing a word-n-gram shingle with the
+            # eval corpus and report the shared-shingle count. The eval
+            # shingle set is DISTINCT and broadcast (a benchmark is
+            # tiny next to a 100 TB training corpus); training shingles
+            # stream through the broadcast equi-join — never all-pairs.
+            # Same plan as q_text_decontaminate (suite/text.py); the
+            # open FnName::Others namespace
+            # (reference src/parser/ast/item.rs:178) + the S16 table-fn
+            # source (src/parser/mod.rs:546-562) are the dialect hook.
+            from nutdb_spark.operators.dedup import shingles
+
+            if len(fn.args) != 5 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "decontaminate takes ('train_tbl', 'eval_tbl', "
+                    "'id_col', 'text_col', n) literals"
+                )
+            tr_t, ev_t, idc, txc, n = [a.value for a in fn.args]
+            sh = shingles(F.col(txc), int(n))
+            tr = self.resolve_table(tr_t).select(
+                F.col(idc), F.explode(sh).alias("__s")
+            )
+            ev = (
+                self.resolve_table(ev_t)
+                .select(F.explode(sh).alias("__s"))
+                .distinct()
+            )
+            return (
+                tr.join(F.broadcast(ev), "__s")
+                .groupBy(idc)
+                .agg(F.countDistinct("__s").alias("n_shared"))
+            )
         if name == "traintestsplit":
             # [EXT] trainTestSplit('table', 'key_col', train_frac,
             # val_frac[, salt]) → the source rows + a deterministic
@@ -1530,9 +1567,41 @@ class Lowerer:
                 )
             ck = self._gen("ck_d")
             val = self._gen("dictv")
+            # duplicate-key guard: the dictionary contract says the
+            # first column is a unique key. The literal regime fails
+            # loudly (map_from_arrays → DUPLICATED_MAP_KEY); without a
+            # guard the join regime would silently FAN OUT probe rows
+            # per duplicate — a wrong-answer class, and the two regimes
+            # would disagree across the 10k threshold. Collapse to one
+            # row per key and raise on duplicates so both regimes fail
+            # identically on a dirty dictionary. The groupBy shuffles
+            # only the (small) dictionary side, pre-broadcast.
+            dcnt = self._gen("dictn")
             dict_df = (
                 df.select(F.col(kcol).alias(ck), F.col(vcol).alias(val))
                 .filter(F.col(ck).isNotNull())
+                .groupBy(ck)
+                .agg(
+                    F.first(val).alias(val),
+                    F.count(F.lit(1)).alias(dcnt),
+                )
+                .select(
+                    F.col(ck),
+                    F.when(
+                        F.col(dcnt) > 1,
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"duplicate key in dictionary "
+                                    f"{tname!r}: "
+                                ),
+                                F.col(ck).cast("string"),
+                            )
+                        ),
+                    )
+                    .otherwise(F.col(val))
+                    .alias(val),
+                )
             )
             pending.append((val, F.broadcast(dict_df), key == F.col(ck)))
             hit = F.col(val)
@@ -1651,14 +1720,17 @@ class Lowerer:
         # [EXT] heavy-hitter rewrite: exact topK/topKWeighted must NOT
         # lower to one collect_list per group (per-group state would be
         # O(group rows) — a single hot group OOMs a task at 100 TB).
-        # For plain GROUP BY they instead lower to a pre-aggregate by
-        # (keys, value) — map-side partials shrink duplicates — plus a
-        # bounded per-key top-k, joined back onto the main aggregate.
-        # collect_list stays only where state is genuinely bounded:
-        # rollup/cube/totals/grouping-sets fall back to the in-group
-        # form (subtotal rows aggregate across key values, which the
-        # (keys, value) pre-aggregate can't serve), as do
-        # windowFunnel/sequenceMatch (one user's events).
+        # They instead lower to a pre-aggregate by (keys, value) —
+        # map-side partials shrink duplicates — plus a bounded per-key
+        # top-k, joined back onto the main aggregate. Under ROLLUP /
+        # CUBE / TOTALS / GROUPING SETS the ONE (keys, value)
+        # pre-aggregate serves every grouping set: value counts are
+        # summable across dropped keys, so each set's top-k re-derives
+        # from it with an Expand over the (small) distinct-value frame
+        # — never per-group row state, even for the grand-total row
+        # over a 100 TB fact. collect_list stays only where state is
+        # genuinely bounded (windowFunnel/sequenceMatch — one user's
+        # events).
         modifier = getattr(q, "group_modifier", None)
         group_sets = getattr(q, "group_sets", None)
         topk_calls = [
@@ -1667,7 +1739,9 @@ class Lowerer:
             if call.params is not None
             and call.name.lower() in ("topk", "topkweighted")
         ]
-        if topk_calls and modifier is None and group_sets is None:
+        if topk_calls and (
+            group_cols or (modifier is None and group_sets is None)
+        ):
             return self._lower_aggregate_with_topk(
                 base, q, agg_calls, topk_calls, scope, group_map, group_cols
             )
@@ -1737,6 +1811,14 @@ class Lowerer:
           (count desc, value asc — the same deterministic tie-break as
           the in-group form) and join back onto the main aggregate on
           null-safe key equality.
+
+        Under ROLLUP / CUBE / WITH TOTALS / GROUPING SETS the level-1
+        pre-aggregate is computed ONCE over the full keys, then every
+        grouping set's (value, count) frame re-derives from it by an
+        Expand + sum (counts are summable across dropped keys); output
+        rows are identified by (keys, grouping-bits) so a subtotal row
+        (NULL from grouping) never collides with a detail row whose key
+        value IS NULL.
         """
         from functools import reduce
 
@@ -1750,28 +1832,61 @@ class Lowerer:
         ]
         if not other_aggs:
             other_aggs = [F.count(F.lit(1)).alias(self._gen("cnt"))]
-        if names:
+        modifier = getattr(q, "group_modifier", None)
+        group_sets = getattr(q, "group_sets", None)
+        sets_idx = self._grouping_sets_idx(modifier, group_sets, len(names))
+        gid = self._gen("tkgid") if sets_idx is not None else None
+
+        def gid_bits():
+            # key-only grouping id (first key = most significant bit);
+            # grouping() is valid only inside the aggregate, so this is
+            # rebuilt per .agg() on both the main and the side frames
+            bits = F.lit(0)
+            for n in names:
+                bits = F.shiftleft(bits, 1) + F.grouping(F.col(n)).cast("int")
+            return bits
+
+        if sets_idx is not None:
+            name_cols = [F.col(n) for n in names]
+            if group_sets is not None:
+                grouped = pre.groupingSets(
+                    [[name_cols[i] for i in s] for s in group_sets],
+                    *name_cols,
+                )
+            elif modifier in ("rollup", "totals"):
+                grouped = pre.rollup(*name_cols)
+            else:
+                grouped = pre.cube(*name_cols)
+            main = grouped.agg(*other_aggs, gid_bits().alias(gid))
+            if modifier == "totals":
+                all_ones = (1 << len(names)) - 1
+                main = main.filter(F.col(gid).isin(0, all_ones))
+        elif names:
             main = pre.groupBy(*[F.col(n) for n in names]).agg(*other_aggs)
         else:
             main = pre.agg(*other_aggs)
         for call, name in topk_calls:
-            side = self._topk_side(pre, names, call, scope, name)
+            side = self._topk_side(
+                pre, names, call, scope, name,
+                sets_idx=sets_idx, gid=gid, gid_bits=gid_bits,
+            )
             arr_type = side.schema[name].dataType
             if names:
+                tk_cols = names + ([gid] if gid else [])
                 renamed = side.select(
-                    *[F.col(n).alias(f"__tk_{n}") for n in names],
+                    *[F.col(n).alias(f"__tk_{n}") for n in tk_cols],
                     F.col(name),
                 )
                 cond = reduce(
                     Column.__and__,
                     [
                         main[n].eqNullSafe(renamed[f"__tk_{n}"])
-                        for n in names
+                        for n in tk_cols
                     ],
                 )
                 main = (
                     main.join(renamed, cond, "left")
-                    .drop(*[f"__tk_{n}" for n in names])
+                    .drop(*[f"__tk_{n}" for n in tk_cols])
                 )
             else:
                 main = main.crossJoin(F.broadcast(side))
@@ -1782,9 +1897,37 @@ class Lowerer:
                 F.when(F.col(name).isNull(), F.array().cast(arr_type))
                 .otherwise(F.col(name)),
             )
+        if gid is not None:
+            main = main.drop(gid)
         return main, {"groups": q.group_by, "names": group_map}
 
-    def _topk_side(self, pre, names, call, scope, out_name):
+    @staticmethod
+    def _grouping_sets_idx(modifier, group_sets, n):
+        """Expand a GROUP BY modifier into explicit key-index sets
+        (None for a plain GROUP BY). Used only to re-derive each set's
+        top-k from the shared (keys, value) pre-aggregate."""
+        if group_sets is not None:
+            return [list(s) for s in group_sets]
+        if modifier == "totals":
+            # TOTALS emits only (all keys, ()) — the side Expand need
+            # not produce the intermediate rollup prefixes at all
+            return [list(range(n)), []]
+        if modifier == "rollup":
+            return [list(range(i)) for i in range(n, -1, -1)]
+        if modifier == "cube":
+            from itertools import combinations
+
+            return [
+                list(c)
+                for size in range(n, -1, -1)
+                for c in combinations(range(n), size)
+            ]
+        return None
+
+    def _topk_side(
+        self, pre, names, call, scope, out_name,
+        sets_idx=None, gid=None, gid_bits=None,
+    ):
         from pyspark.sql import Window
 
         params = []
@@ -1807,10 +1950,24 @@ class Lowerer:
             lvl1 = lvl1.agg(F.count(F.lit(1)).alias(cnt))
         else:
             lvl1 = lvl1.agg(F.sum(args[1].cast("long")).alias(cnt))
+        key_cols = list(names)
+        if sets_idx is not None:
+            # one Expand over the DISTINCT-value frame (already shrunk
+            # by the level-1 map-side partials), re-summing counts per
+            # grouping set — never a second pass over the fact rows
+            name_cols = [F.col(n) for n in names]
+            lvl1 = lvl1.groupingSets(
+                [[name_cols[i] for i in s] + [F.col(val)] for s in sets_idx],
+                *name_cols,
+                F.col(val),
+            ).agg(F.sum(cnt).alias(cnt), gid_bits().alias(gid))
+            key_cols = names + [gid]
         order = [F.col(cnt).desc(), F.col(val).asc()]
-        if names:
+        if key_cols:
             rn = self._gen("rn")
-            w = Window.partitionBy(*[F.col(n) for n in names]).orderBy(*order)
+            w = Window.partitionBy(
+                *[F.col(n) for n in key_cols]
+            ).orderBy(*order)
             top = (
                 lvl1.withColumn(rn, F.row_number().over(w))
                 .where(F.col(rn) <= k)
@@ -1824,8 +1981,8 @@ class Lowerer:
         arr = F.transform(
             F.array_sort(F.collect_list(pair)), lambda s: s["val"]
         ).alias(out_name)
-        if names:
-            return top.groupBy(*[F.col(n) for n in names]).agg(arr)
+        if key_cols:
+            return top.groupBy(*[F.col(n) for n in key_cols]).agg(arr)
         return top.agg(arr)
 
     def _lower_agg_call(self, call: A.FnCall, scope: Scope) -> Column:

@@ -1284,6 +1284,47 @@ def sql_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_topk_rollup",
+    """
+    WITH c AS (
+      SELECT l_returnflag AS k, l_linestatus AS val, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    u AS (
+      SELECT k, val, cnt FROM c
+      UNION ALL
+      SELECT CAST(NULL AS VARCHAR), val, SUM(cnt) FROM c GROUP BY val)
+    SELECT k,
+           list_aggregate((list(val ORDER BY cnt DESC, val))[1:2],
+                          'string_agg', ',') AS top_status,
+           CAST(SUM(cnt) AS BIGINT) AS n
+    FROM u GROUP BY k
+    ORDER BY k NULLS FIRST
+    """,
+)
+def sql_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact topK under WITH ROLLUP: every grouping set's top-k
+    (including the grand-total row) derives from the SINGLE
+    (keys, value) pre-aggregate — value counts are summable across
+    dropped keys, so the subtotal's heavy hitters cost one Expand over
+    the distinct-value frame plus a bounded spillable window, never a
+    collect_list of a 100 TB group's raw rows (frontend/lower.py
+    _lower_aggregate_with_topk; tests/test_advice_r8.py pins the hot
+    -group plan). The oracle mirrors the re-sum: per-key counts UNION
+    ALL their value-wise rollup."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag as k,
+               arrayStringConcat(topK(2)(l_linestatus), ',') as top_status,
+               count(*) as n
+        from lineitem group by l_returnflag with rollup
+        order by k nulls first
+        """,
+    )
+
+
+@query(
     "sql_with_scalar",
     """
     SELECT l_returnflag,

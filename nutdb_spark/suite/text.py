@@ -452,6 +452,53 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_table_fn_decon",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {{SH}} AS sh FROM documents),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+    tr AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20)
+    SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_shared
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id
+    """.replace("{SH}", _oracle_shingles("text", 4)),
+)
+def sql_table_fn_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] decontamination at the SQL surface:
+    decontaminate('train', 'eval', 'doc_id', 'text', 4) runs the
+    benchmark n-gram-overlap check as a TABLE FUNCTION (the plan of
+    q_text_decontaminate above — broadcast DISTINCT eval shingles,
+    training shingles stream through the equi-join, never all-pairs).
+    The train/eval corpora are real catalog tables built by CTAS, so a
+    dialect user can decontaminate without touching the Python API —
+    the one pipeline step round 7 left SQL-unreachable."""
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS decon_eval")
+    eng.sql("DROP TABLE IF EXISTS decon_train")
+    eng.sql(
+        "CREATE TABLE decon_eval AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id < 20"
+    )
+    eng.sql(
+        "CREATE TABLE decon_train AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 20"
+    )
+    return eng.sql(
+        """
+        select doc_id, n_shared
+        from decontaminate('decon_train', 'decon_eval',
+                           'doc_id', 'text', 4)
+        order by doc_id
+        """
+    )
+
+
 from nutdb_spark.operators.packing import PACK_GRAIN as _PACK_GRAIN
 
 _PACK_H = oracle_hash_bucket("doc_id", salt="pack", grain=_PACK_GRAIN)

@@ -172,9 +172,11 @@ def test_settings_clause_applies_conf(eng):
         "group by l_returnflag settings spark_sql_shuffle_partitions = 3"
     )
     # SETTINGS is statement-scoped: the conf was in effect while the
-    # statement's physical plan was resolved, then restored
+    # statement's physical plan was resolved, then restored — BOTH the
+    # Spark conf and the engine config entry (a SETTINGS name must not
+    # clobber session state the way a durable SET does)
     assert eng.spark.conf.get("spark.sql.shuffle.partitions") == "8"
-    assert eng.config["spark_sql_shuffle_partitions"] == 3
+    assert "spark_sql_shuffle_partitions" not in eng.config
     # the already-planned frame keeps the 3-partition shuffle
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "3" in plan.split("Exchange")[1][:120]

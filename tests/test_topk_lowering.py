@@ -2,9 +2,10 @@
 "What's wrong" #1): plain-GROUP-BY topK must lower to a (keys, value)
 pre-aggregate + bounded per-key top-k — never one collect_list over a
 group's raw rows, whose per-group state is O(rows) and OOMs a task on
-one hot group at 100 TB. The in-group collect_list form survives only
-under rollup/cube/totals/grouping sets (subtotal rows aggregate across
-key values)."""
+one hot group at 100 TB. Since round 8 the same bounded two-level plan
+also serves rollup/cube/totals/grouping sets (each set's counts are
+re-summed from the shared (keys, value) pre-aggregate —
+tests/test_advice_r8.py pins those)."""
 
 from __future__ import annotations
 
@@ -104,7 +105,7 @@ def test_topk_weighted_two_level(spark, eng):
     ]
 
 
-def test_topk_under_rollup_falls_back_in_group(spark, eng):
+def test_topk_under_rollup_values(spark, eng):
     df = spark.createDataFrame(
         [("a", 0)] * 3 + [("a", 1)] * 2 + [("b", 1)] * 4, "k string, v int"
     )
