@@ -40,45 +40,36 @@ for _m in _MODULES:
         if ex.name != _m:
             raise
 
-# The driver grades the first 50 registry entries. Round-6 window
-# Round-7 window (VERDICT r6 "Next round" #1 + #5): 72 entries have
-# never been driver-graded, more than the window holds, so the whole
-# window is never-graded entries: (1) the 33-entry ROUND-7 QUEUE from
-# r6 (the session-4 additions), (2) the two streaming/analytic entries
-# the judge called out explicitly (q_stream_join_left,
-# q_analytic_sessionize), (3) entries NEW this round (decontaminate
-# table fn, IVF-int8 probe + its recall gate — names listed ahead of
-# registration; _reorder filters to what exists), (4) fill to 50 with
-# never-graded entries touched by this round's ADVICE fixes
-# (sql_limit_by → NULLS modifiers, sql_with_fill → exclusive-TO bound)
-# and the heaviest never-graded remainder (q_pipeline_train,
-# sql_recursive, …). Still-ungraded after this window (≈20 r6 late
-# additions: sql_qualify, sql_prewhere, sql_sample, sql_outfile,
-# sql_window_named, sql_cte_chain, sql_recursive_graph, sql_setops_all,
-# sql_totals, q_analytic_{running,topn,rollup,distribution,timerange},
-# q_fn_*2 surface splits, q_dedup_connected_best, q_embed_*,
-# q_sample_temperature, q_text_chunk, q_multimodal_*) → ROUND-8 QUEUE.
+# The driver grades the first 50 registry entries.
+# Round-8 window (VERDICT r7 "Next round" #1): drain the never-graded
+# backlog to ZERO — (1) all 25 ROUND-8 QUEUE entries (the last
+# registry entries without any driver row), (2) the two entries NEW
+# this round (the decontaminate table fn that r7 queued but never
+# wrote, and the bounded topK-under-ROLLUP surface), (3) fill to 50
+# with the STALEST re-grades (last driver row r4; q_fn_random stays
+# out — rows-only by design, re-grading it adds no hash signal).
+# After this window every registry entry has a driver row.
 _PRIORITY = [
-    # --- (1) the r6 ROUND-7 QUEUE: session-4, never graded (33) ---
-    "sql_pipeline_e2e", "sql_table_fn_dedup", "sql_table_fn_ann",
-    "sql_table_fn_split", "sql_parametric", "sql_funnel",
-    "sql_sequence_match", "sql_retention", "sql_cube", "sql_cast",
-    "sql_dictget", "sql_any_all", "sql_in_corr", "sql_q17_corr",
-    "sql_q21_corr", "sql_q22_corr", "q_pack_manifest", "q_ddl_ctas",
-    "q_stream_funnel", "q_ddl_view_aggregating", "sql_select_modifiers",
-    "sql_columns_regex", "sql_with_scalar", "sql_arrayjoin_fn",
-    "q_sample_curriculum", "q_analytic_global_rank", "sql_range_frame",
-    "sql_with_fill_interp", "sql_ansi_basics", "sql_values_inline",
-    "sql_fn_tier3", "sql_fn_math3", "sql_config_vars",
-    # --- (2) judge-named streaming/analytic gaps (2) ---
-    "q_stream_join_left", "q_analytic_sessionize",
-    # --- (3) new in round 7 (registered this round) (3) ---
-    "sql_table_fn_decon", "q_sim_topk_ivf_pq", "q_sim_recall_pq",
-    # --- (4) fix-touched + heaviest never-graded fill (12) ---
-    "sql_limit_by", "sql_with_fill", "q_pipeline_train",
-    "sql_recursive", "sql_json", "sql_window", "sql_rollup",
-    "sql_grouping_sets", "q_pack_sequences", "q_text_pii",
-    "sql_subquery_values", "q_ddl_mutate",
+    # --- (1) the ROUND-8 QUEUE: never driver-graded (25) ---
+    "sql_qualify", "sql_prewhere", "sql_sample", "sql_outfile",
+    "sql_window_named", "sql_cte_chain", "sql_recursive_graph",
+    "sql_setops_all", "sql_totals", "sql_array_join", "sql_lambda",
+    "q_analytic_running", "q_analytic_topn", "q_analytic_rollup",
+    "q_analytic_distribution", "q_analytic_timerange",
+    "q_dedup_connected_best", "q_embed_quantize", "q_embed_truncate",
+    "q_sample_temperature", "q_text_chunk", "q_fn_arrays",
+    "q_fn_datetime2", "q_fn_scalar_surface2", "q_fn_agg_surface2",
+    # --- (2) new in round 8 (2) ---
+    "sql_table_fn_decon", "sql_topk_rollup",
+    # --- (3) stalest re-grades: last driver row r4 (23) ---
+    "q_ddl_complex_types", "q_ddl_optimize", "q_dedup_exact_content",
+    "q_dedup_simhash", "q_expr_between", "q_expr_index",
+    "q_expr_interval", "q_expr_isnull", "q_expr_like",
+    "q_fn_count_unique", "q_fn_strings", "q_fn_substring",
+    "q_join_broadcast", "q_join_salted", "q_multimodal_frames",
+    "q_multimodal_resize", "q_pipeline_clean", "q_sim_lsh_pairs",
+    "q_stream_dedup", "q_stream_summing", "q_text_langid",
+    "q_text_ngrams", "q_text_normalize",
 ]
 
 
