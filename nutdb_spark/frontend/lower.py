@@ -1713,10 +1713,22 @@ class Lowerer:
     def _lower_aggregate(self, base, q, agg_calls, scope):
         group_map: dict[int, str] = {}
         group_cols: list[Column] = []
+        # group keys may host pending broadcast joins (dictGet et al.):
+        # the lookup frames attach to `base` BEFORE the aggregate, so a
+        # dictionary-keyed GROUP BY is a broadcast join + hash agg
+        gpend: list[tuple] = []
         for i, g in enumerate(q.group_by):
             name = f"__g{i}"
             group_map[i] = name
-            group_cols.append(self._expr(g, scope, {}, []).alias(name))
+            group_cols.append(self._expr(g, scope, {}, [], gpend).alias(name))
+        for pname, df, *rest in gpend:
+            cond = rest[0] if rest else None
+            if cond is None:
+                base = base.join(F.broadcast(df))
+            else:
+                base = base.join(df, cond, "left").drop(
+                    *[c for c in df.columns if c.startswith("__ck")]
+                )
         # [EXT] heavy-hitter rewrite: exact topK/topKWeighted must NOT
         # lower to one collect_list per group (per-group state would be
         # O(group rows) — a single hot group OOMs a task at 100 TB).

@@ -143,6 +143,9 @@ class Parser:
     def parse_stmt(self):
         t = self.peek()
         if t.type != T.KWID:
+            if not t.text:
+                # error.rs SyntaxError::EmptyQuery — same wording
+                raise ParseError("empty query")
             raise ParseError(f"statement must start with a keyword, got {t.text!r}")
         kw = t.text.lower()
         dispatch = {

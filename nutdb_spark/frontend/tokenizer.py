@@ -50,6 +50,12 @@ _IDENT_CONT = _IDENT_START | set("0123456789")
 _DIGITS = set("0123456789")
 _HEX_DIGITS = _DIGITS | set("abcdefABCDEF")
 
+# the reference parses integer/hex literals into u128
+# (src/parser/mod.rs:1263-1285 via literal.rs integer_from_str!);
+# beyond that it raises InvalidIntegerLiteral / InvalidHexLiteral —
+# Python ints are unbounded, so the bound is enforced here
+_U128_MAX = (1 << 128) - 1
+
 
 def unescape(raw: str, quote: str) -> str:
     """Unescape per reference literal.rs:36-107: quote-doubling,
@@ -80,7 +86,14 @@ def unescape(raw: str, quote: str) -> str:
                     raise TokenizeError("unterminated \\u{...} escape", i)
                 hexpart = raw[i + 3 : end]
                 try:
-                    out.append(chr(int(hexpart, 16)))
+                    cp = int(hexpart, 16)
+                    # mirror Rust char::from_u32 (literal.rs:82-89):
+                    # surrogate code points are not chars — Python's
+                    # chr() would accept them, producing an
+                    # unencodable string instead of an error
+                    if 0xD800 <= cp <= 0xDFFF:
+                        raise ValueError("surrogate")
+                    out.append(chr(cp))
                 except ValueError as ex:
                     raise TokenizeError(f"invalid \\u escape {hexpart!r}", i) from ex
                 i = end + 1
@@ -282,7 +295,13 @@ class Tokenizer:
             while j < n and s[j] in _HEX_DIGITS:
                 j += 1
             self.i = j
-            return Token(HEX, s[h:j], value=int(s[h:j] or "0", 16), pos=start)
+            hval = int(s[h:j] or "0", 16)
+            if hval > _U128_MAX:
+                # literal.rs integer_from_str!(hex, u128, s): the
+                # reference parses hex into u128 and surfaces overflow
+                # as SyntaxError::InvalidHexLiteral
+                raise TokenizeError(f"invalid hex '0x{s[h:j]}'", start)
+            return Token(HEX, s[h:j], value=hval, pos=start)
         if j < n and s[j] == ".":
             j += 1
             while j < n and s[j] in _DIGITS:
@@ -301,7 +320,13 @@ class Tokenizer:
         if j < n and s[j] in _IDENT_START:
             raise self._err("invalid char in integer literal")
         self.i = j
-        return Token(INT, intpart, value=int(intpart), pos=start)
+        ival = int(intpart)
+        if ival > _U128_MAX:
+            # literal.rs integer_from_str!(u128, s): the reference
+            # parses integers into u128 and surfaces overflow as
+            # SyntaxError::InvalidIntegerLiteral
+            raise TokenizeError(f"invalid integer '{intpart}'", start)
+        return Token(INT, intpart, value=ival, pos=start)
 
 
 def tokenize(src: str) -> list[Token]:

@@ -2001,6 +2001,34 @@ def sql_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_dictget_broadcast",
+    """
+    SELECT o.o_orderstatus AS st, COUNT(*) AS n
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY st ORDER BY st
+    """,
+)
+def sql_dictget_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] dictGet in the BROADCAST-JOIN regime: the orders
+    dictionary has >10k entries at sf≥0.01, so the lookup lowers to an
+    automatic broadcast LEFT join (duplicate-key-guarded — see
+    tests/test_advice_r8.py) instead of a literal map whose expression
+    tree would serialize to every task. The oracle is the LEFT JOIN
+    the function replaces; the probe side streams, only the dictionary
+    shuffles (groupBy for the dup guard) then broadcasts once per
+    executor."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select dictGet('orders', 'o_orderstatus', l_orderkey) as st,
+               count(*) as n
+        from lineitem group by 1 order by st
+        """,
+    )
+
+
+@query(
     "sql_table_fn_dedup",
     """
     WITH toks AS (

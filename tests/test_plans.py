@@ -78,7 +78,10 @@ def test_lowerings_are_lazy(spark):
                       # bounded per-partition-count collect by design
                       "q_analytic_global_rank",
                       # dictionary pinned at lowering time by design
-                      "sql_dictget",
+                      # (regime probe collects ≤10k+1 rows)
+                      "sql_dictget", "sql_dictget_broadcast",
+                      # CTAS builds the train/eval tables by design
+                      "sql_table_fn_decon",
                       # recursive CTEs iterate to a fixpoint by design
                       "sql_recursive", "sql_recursive_graph")
     }

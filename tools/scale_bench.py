@@ -67,6 +67,19 @@ ENTRIES = [
     "sql_range_frame",
     "sql_ansi_basics",
     "sql_cast",
+    # round-8 additions — the r7 surface the judge asked for 10×
+    # points on (VERDICT r7 #5) plus this round's new entries.
+    # q_stream_join_left / q_ddl_view_aggregating build fixed-size
+    # fixtures (their slope measures the micro-batch/write machinery,
+    # expected flat); the rest are scale-bound. sql_parametric is
+    # above (session 4) — re-measured post-topK-rewrite in r8.
+    "sql_dictget_broadcast",
+    "q_sim_topk_ivf_pq",
+    "q_sim_recall_pq",
+    "q_stream_join_left",
+    "q_ddl_view_aggregating",
+    "sql_topk_rollup",
+    "sql_table_fn_decon",
 ]
 
 SF01 = "/root/testdata/sf0.1"
