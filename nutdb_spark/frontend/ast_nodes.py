@@ -317,6 +317,10 @@ class SelectCore:
     # additional filter ahead of WHERE.
     prewhere: object | None = None
     group_by: list = field(default_factory=list)
+    # [EXT] GROUP BY ALL (ClickHouse/DuckDB): group by every select
+    # expression that contains no aggregate; expanded at lowering time
+    # (the aggregate-name registry lives there)
+    group_all: bool = False
     # [EXT] GROUP BY ... WITH ROLLUP / WITH CUBE (ClickHouse modifier)
     group_modifier: str | None = None  # None | 'rollup' | 'cube'
     # [EXT] GROUP BY GROUPING SETS ((a,b),(a),()) — explicit sets; when

@@ -542,6 +542,27 @@ class Lowerer:
 
     def _lower_select_body(self, q: A.SelectCore, outer: Scope | None) -> DataFrame:
         self._resolve_positional(q)
+        # [EXT] GROUP BY ALL: every select expression that contains no
+        # aggregate becomes a group key (ClickHouse/DuckDB). Expanded
+        # once (the AST may be re-lowered by recursive-CTE rounds).
+        if getattr(q, "group_all", False) and not getattr(
+            q, "_group_all_done", False
+        ):
+            q._group_all_done = True
+            for e, _alias in q.columns:
+                if isinstance(e, A.Wildcard):
+                    raise LoweringError(
+                        "GROUP BY ALL cannot expand a * select item"
+                    )
+                probe: list = []
+                self._collect_aggs(e, probe)
+                if not probe and not isinstance(e, A.WindowCall):
+                    q.group_by.append(e)
+            if not q.group_by:
+                raise LoweringError(
+                    "GROUP BY ALL found no non-aggregate select "
+                    "expressions to group by"
+                )
         scope = Scope(outer)
         cte: dict[str, DataFrame] = {}
 

@@ -138,6 +138,29 @@ class Parser:
             return t.text
         raise ParseError(f"expected identifier, got {t.text!r}")
 
+    # [EXT] GROUP BY ALL / ORDER BY ALL: the bare keyword is the
+    # modifier only when nothing after it could continue an expression
+    # or a list — a column actually named `all` keeps working in
+    # every other position
+    _ALL_ENDERS = {
+        "with", "having", "qualify", "window", "order", "limit",
+        "offset", "settings", "union", "intersect", "except", "into",
+        "format", "interpolate", "asc", "desc", "nulls",
+    }
+
+    def _bare_all_ahead(self) -> bool:
+        t = self.peek()
+        if not (t.type == T.KWID and t.text.lower() == "all"):
+            return False
+        if self.pos + 1 >= len(self.tokens):
+            return True
+        nxt = self.tokens[self.pos + 1]
+        if not nxt.text:
+            return True
+        if nxt.type == T.KWID and nxt.text.lower() in self._ALL_ENDERS:
+            return True
+        return nxt.type == T.SYM and nxt.text == ")"
+
     # --- entry ------------------------------------------------------------
 
     def parse_stmt(self):
@@ -303,6 +326,12 @@ class Parser:
                 self.next()
                 self.next()
                 self._grouping_sets(q)
+            elif self._bare_all_ahead():
+                # [EXT] GROUP BY ALL — the modifier wins over a column
+                # named `all` (ClickHouse precedence); expansion to the
+                # non-aggregate select expressions happens at lowering
+                self.next()
+                q.group_all = True
             else:
                 while True:
                     q.group_by.append(self.parse_expr())
@@ -335,35 +364,70 @@ class Parser:
                     break
         if self.eat_kw("order"):
             self.expect_kw("by")
-            while True:
-                e = self.parse_expr()
-                asc = True
-                if self.eat_kw("desc"):
-                    asc = False
-                else:
-                    self.eat_kw("asc")  # default; keyword accepted+ignored
-                # [EXT] NULLS FIRST / NULLS LAST
-                nulls = None
+            if self._bare_all_ahead():
+                # [EXT] ORDER BY ALL [ASC|DESC] [NULLS ...] — every
+                # select item left-to-right, expanded to positional
+                # ordinals (resolved by _resolve_positional in the
+                # lowerer, same machinery as ORDER BY 1, 2)
+                self.next()
+                a_asc = not self.eat_kw("desc")
+                if a_asc:
+                    self.eat_kw("asc")
+                a_nulls = None
                 if self.eat_kw("nulls"):
                     if self.eat_kw("first"):
-                        nulls = "first"
+                        a_nulls = "first"
                     else:
                         self.expect_kw("last")
-                        nulls = "last"
-                # [EXT] WITH FILL [FROM a] [TO b] [STEP s] (TO exclusive)
-                fill = None
-                if self.at_kw("with"):
-                    t2 = self.tokens[self.pos + 1]
-                    if t2.type == T.KWID and t2.text.lower() == "fill":
-                        self.next()
-                        self.next()
-                        f_from = self.parse_expr() if self.eat_kw("from") else None
-                        f_to = self.parse_expr() if self.eat_kw("to") else None
-                        f_step = self.parse_expr() if self.eat_kw("step") else None
-                        fill = (f_from, f_to, f_step)
-                q.order_by.append(A.OrderItem(e, asc, fill, nulls))
-                if not self.eat_sym(","):
-                    break
+                        a_nulls = "last"
+                if any(isinstance(c[0], A.Wildcard) for c in q.columns):
+                    raise ParseError(
+                        "ORDER BY ALL requires an explicit select list"
+                    )
+                for i in range(len(q.columns)):
+                    q.order_by.append(
+                        A.OrderItem(A.Lit(i + 1, "int"), a_asc, None, a_nulls)
+                    )
+            else:
+                while True:
+                    e = self.parse_expr()
+                    asc = True
+                    if self.eat_kw("desc"):
+                        asc = False
+                    else:
+                        self.eat_kw("asc")  # default; accepted+ignored
+                    # [EXT] NULLS FIRST / NULLS LAST
+                    nulls = None
+                    if self.eat_kw("nulls"):
+                        if self.eat_kw("first"):
+                            nulls = "first"
+                        else:
+                            self.expect_kw("last")
+                            nulls = "last"
+                    # [EXT] WITH FILL [FROM a] [TO b] [STEP s]
+                    # (TO exclusive)
+                    fill = None
+                    if self.at_kw("with"):
+                        t2 = self.tokens[self.pos + 1]
+                        if t2.type == T.KWID and t2.text.lower() == "fill":
+                            self.next()
+                            self.next()
+                            f_from = (
+                                self.parse_expr()
+                                if self.eat_kw("from") else None
+                            )
+                            f_to = (
+                                self.parse_expr()
+                                if self.eat_kw("to") else None
+                            )
+                            f_step = (
+                                self.parse_expr()
+                                if self.eat_kw("step") else None
+                            )
+                            fill = (f_from, f_to, f_step)
+                    q.order_by.append(A.OrderItem(e, asc, fill, nulls))
+                    if not self.eat_sym(","):
+                        break
             # [EXT] INTERPOLATE (col [AS expr], ...) — how WITH FILL
             # populates non-key columns of the generated rows
             if self.eat_kw("interpolate"):

@@ -1284,6 +1284,44 @@ def sql_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_group_order_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_shipdate < DATE '1997-01-01'
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] GROUP BY ALL / ORDER BY ALL (ClickHouse 22.12+ / DuckDB):
+    ALL expands to every non-aggregate select expression (group) and
+    every select item left-to-right (order). Expansion is front-end
+    only — GROUP BY ALL becomes the same hash aggregate as spelling
+    the keys, ORDER BY ALL reuses the positional-ordinal machinery —
+    so the physical plan is identical to the explicit form. A column
+    literally named `all` keeps working; the keyword reading applies
+    only where nothing after it can continue an expression. The
+    oracle runs DuckDB's native GROUP BY ALL / ORDER BY ALL."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag, l_linestatus,
+               getYear(l_shipdate) as yr,
+               count(*) as n, sum(toInt64(l_quantity)) as qty
+        from lineitem
+        where l_shipdate < toDate('1997-01-01')
+        group by all
+        order by all
+        """,
+    )
+
+
+@query(
     "sql_topk_rollup",
     """
     WITH c AS (

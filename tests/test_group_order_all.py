@@ -1,0 +1,90 @@
+"""GROUP BY ALL / ORDER BY ALL (ClickHouse 22.12+/23.12+, DuckDB).
+
+Parse-SHAPE asserts first (the `_opt_alias`/keyword traps bite
+silently — a mis-read returns right rows on small data), then value
+behavior, then the column-named-`all` precedence edges."""
+
+from __future__ import annotations
+
+import pytest
+
+from nutdb_spark.frontend import ast_nodes as A
+from nutdb_spark.frontend.parser import ParseError, parse
+
+
+# --- parse shape -----------------------------------------------------------
+
+
+def test_group_by_all_sets_marker_not_ident():
+    q = parse("SELECT a, count(*) FROM t GROUP BY ALL").query
+    assert q.group_all is True
+    assert q.group_by == []  # expansion happens at lowering
+
+
+def test_order_by_all_expands_to_ordinals():
+    q = parse("SELECT a, b FROM t ORDER BY ALL").query
+    assert [(o.expr.value, o.asc) for o in q.order_by] == [(1, True), (2, True)]
+
+
+def test_order_by_all_desc_nulls_last():
+    q = parse("SELECT a, b FROM t ORDER BY ALL DESC NULLS LAST").query
+    assert [(o.expr.value, o.asc, o.nulls) for o in q.order_by] == [
+        (1, False, "last"),
+        (2, False, "last"),
+    ]
+
+
+def test_group_by_all_then_other_clauses_parse():
+    q = parse(
+        "SELECT a, count(*) AS n FROM t GROUP BY ALL "
+        "HAVING count(*) > 1 ORDER BY ALL LIMIT 3"
+    ).query
+    assert q.group_all and q.having is not None and q.limit is not None
+
+
+def test_column_named_all_still_usable_in_expressions():
+    # `all` only reads as the modifier when nothing after it can
+    # continue an expression — these are all column references
+    q = parse("SELECT x FROM t GROUP BY all + 1").query
+    assert q.group_all is False and len(q.group_by) == 1
+    q = parse("SELECT x FROM t GROUP BY all, y").query
+    assert q.group_all is False and len(q.group_by) == 2
+    q = parse("SELECT x FROM t ORDER BY all.v").query
+    assert isinstance(q.order_by[0].expr, A.Ident)
+
+
+def test_order_by_all_rejects_wildcard_select():
+    with pytest.raises(ParseError, match="explicit select list"):
+        parse("SELECT * FROM t ORDER BY ALL")
+
+
+# --- values ----------------------------------------------------------------
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    return NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+
+
+def test_group_by_all_matches_explicit(eng):
+    got = eng.sql(
+        "select n_regionkey, n_nationkey % 2 as par, count(*) as n "
+        "from nation group by all order by all"
+    ).collect()
+    want = eng.sql(
+        "select n_regionkey, n_nationkey % 2 as par, count(*) as n "
+        "from nation group by n_regionkey, n_nationkey % 2 "
+        "order by 1, 2, 3"
+    ).collect()
+    assert got == want
+
+
+def test_group_by_all_only_aggregates_raises(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="no non-aggregate"):
+        eng.sql("select count(*) from nation group by all").collect()
