@@ -36,6 +36,10 @@ class Wildcard:
     # a column in place (name and position preserved)
     except_cols: list | None = None  # [str]
     replaces: list | None = None  # [(expr, str)]
+    # [EXT] `* APPLY(fn) [APPLY(fn2) ...]` — wrap every expanded
+    # column in fn (chains compose left-to-right); also set
+    # dynamically on a COLUMNS('re') FnCall by the parser
+    applies: list | None = None  # [str]
 
 
 @dataclass

@@ -540,6 +540,66 @@ class Lowerer:
         finally:
             self._cte_stack.pop()
 
+    def _expand_applies(self, q: A.SelectCore, base: DataFrame) -> None:
+        """[EXT] `* [EXCEPT (...)] APPLY(fn) [APPLY(fn2)...]` and
+        `COLUMNS('re') APPLY(fn)...`: replace the carrier item with an
+        explicit FnCall per expanded column, labeled ClickHouse-style
+        (`fn(col)`, chains nest). Runs once per AST — after expansion
+        no `applies` markers remain, so recursive-CTE re-lowerings are
+        no-ops. Functions are plain names; each wraps exactly one
+        column reference, so the result is an ordinary projection or
+        aggregate — nothing new in the physical plan."""
+        if not any(getattr(e, "applies", None) for e, _ in q.columns):
+            return
+        import re as _re
+
+        new_cols: list = []
+        for e, alias in q.columns:
+            applies = getattr(e, "applies", None)
+            if not applies:
+                new_cols.append((e, alias))
+                continue
+            if isinstance(e, A.Wildcard):
+                if e.replaces:
+                    raise LoweringError(
+                        "APPLY cannot combine with REPLACE "
+                        "(apply to the replaced expression instead)"
+                    )
+                cols = (
+                    base.select(f"{e.qualifier}.*").columns
+                    if e.qualifier
+                    else [c for c in base.columns if not c.startswith("__")]
+                )
+                drop = set(e.except_cols or [])
+                for c in drop:
+                    if c not in cols:
+                        raise LoweringError(
+                            f"EXCEPT column {c!r} is not in the "
+                            "wildcard's column set"
+                        )
+                cols = [c for c in cols if c not in drop]
+                qual = e.qualifier
+            else:  # COLUMNS('re') carrier
+                pat = _re.compile(e.args[0].value)
+                cols = [
+                    c
+                    for c in base.columns
+                    if not c.startswith("__") and pat.search(c)
+                ]
+                if not cols:
+                    raise LoweringError(
+                        f"COLUMNS({e.args[0].value!r}) matched no columns"
+                    )
+                qual = None
+            for c in cols:
+                expr: object = A.Ident(c, qual)
+                label = c
+                for fname in applies:
+                    expr = A.FnCall(fname, [expr])
+                    label = f"{fname}({label})"
+                new_cols.append((expr, label))
+        q.columns = new_cols
+
     def _lower_select_body(self, q: A.SelectCore, outer: Scope | None) -> DataFrame:
         self._resolve_positional(q)
         # [EXT] GROUP BY ALL: every select expression that contains no
@@ -587,6 +647,12 @@ class Lowerer:
         # WHERE: decompose into subquery conjuncts + plain predicate
         if q.where is not None:
             base = self._lower_predicate(base, q.where, scope)
+
+        # [EXT] `* APPLY(fn)` / `COLUMNS('re') APPLY(fn)` — expand to
+        # explicit FnCall items BEFORE aggregate hoisting, so an
+        # applied aggregate (the common `* APPLY(sum) ... GROUP BY`
+        # idiom) rides the normal GROUP BY machinery
+        self._expand_applies(q, base)
 
         # aggregate or plain projection
         agg_calls: list[tuple[A.FnCall, str]] = []

@@ -514,6 +514,24 @@ class Parser:
             return (self._wildcard_modifiers(e), None)
         if isinstance(e, A.Ident) and e.qualifier is None and self.at_sym("."):
             pass  # handled in prefix
+        # [EXT] COLUMNS('re') APPLY(fn) [APPLY(fn2) ...] — the APPLY
+        # chain rides on the COLUMNS call and expands at lowering
+        if (
+            isinstance(e, A.FnCall)
+            and e.name.lower() == "columns"
+            and self.at_kw("apply")
+        ):
+            applies = []
+            while self.at_kw("apply"):
+                nxt = self.peek_at(1)
+                if not (nxt.type == T.SYM and nxt.text == "("):
+                    break
+                self.next()
+                self.next()
+                applies.append(self.ident())
+                self.expect_sym(")")
+            if applies:
+                e.applies = applies
         alias = None
         if self.eat_kw("as"):
             alias = self.ident()
@@ -571,6 +589,15 @@ class Parser:
                         break
                 self.expect_sym(")")
                 wc.replaces = (wc.replaces or []) + repls
+                continue
+            if self.at_kw("apply"):
+                nxt = self.peek_at(1)
+                if not (nxt.type == T.SYM and nxt.text == "("):
+                    break
+                self.next()
+                self.next()
+                wc.applies = (wc.applies or []) + [self.ident()]
+                self.expect_sym(")")
                 continue
             break
         return wc

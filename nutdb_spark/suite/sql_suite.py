@@ -1284,6 +1284,36 @@ def sql_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_apply_modifier",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT)
+             AS "sum(toInt64(l_quantity))",
+           CAST(SUM(l_orderkey) AS BIGINT)
+             AS "sum(toInt64(l_orderkey))"
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_apply_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the ClickHouse APPLY select-list modifier:
+    `COLUMNS('re') APPLY(fn) [APPLY(fn2)]` (and `* [EXCEPT ...]
+    APPLY(fn)`) wraps every expanded column in fn, chains composing
+    left-to-right with CH-style output names (`fn(col)`). Expansion
+    happens BEFORE aggregate hoisting, so `APPLY(sum) ... GROUP BY`
+    lowers into the one hash aggregate it would be if spelled out —
+    the modifier is pure front-end sugar, nothing new in the plan."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               COLUMNS('l_quantity|l_orderkey') APPLY(toInt64) APPLY(sum)
+        from lineitem group by l_returnflag order by l_returnflag
+        """,
+    )
+
+
+@query(
     "sql_group_order_all",
     """
     SELECT l_returnflag, l_linestatus,
