@@ -252,28 +252,38 @@ class Lowerer:
             # source (src/parser/mod.rs:546-562) are the dialect hook.
             from nutdb_spark.operators.dedup import shingles
 
-            if len(fn.args) != 5 or not all(
+            if len(fn.args) not in (5, 6) or not all(
                 isinstance(a, A.Lit) for a in fn.args
             ):
                 raise LoweringError(
                     "decontaminate takes ('train_tbl', 'eval_tbl', "
-                    "'id_col', 'text_col', n) literals"
+                    "'id_col', 'text_col', n[, min_shared]) literals"
                 )
-            tr_t, ev_t, idc, txc, n = [a.value for a in fn.args]
+            tr_t, ev_t, idc, txc, n, *rest = [a.value for a in fn.args]
             sh = shingles(F.col(txc), int(n))
-            tr = self.resolve_table(tr_t).select(
-                F.col(idc), F.explode(sh).alias("__s")
-            )
+            train = self.resolve_table(tr_t)
+            tr = train.select(F.col(idc), F.explode(sh).alias("__s"))
             ev = (
                 self.resolve_table(ev_t)
                 .select(F.explode(sh).alias("__s"))
                 .distinct()
             )
-            return (
+            shared = (
                 tr.join(F.broadcast(ev), "__s")
                 .groupBy(idc)
                 .agg(F.countDistinct("__s").alias("n_shared"))
             )
+            if not rest:
+                return shared
+            # 6-arg DROP form: the usable output — the train table
+            # minus every document sharing >= min_shared distinct
+            # shingles with the eval set. The flagged-id frame is tiny
+            # (bounded by contamination, not corpus size): broadcast
+            # LEFT ANTI join, the train scan streams through untouched.
+            flagged = shared.filter(
+                F.col("n_shared") >= int(rest[0])
+            ).select(idc)
+            return train.join(F.broadcast(flagged), idc, "left_anti")
         if name == "traintestsplit":
             # [EXT] trainTestSplit('table', 'key_col', train_frac,
             # val_frac[, salt]) → the source rows + a deterministic

@@ -499,6 +499,55 @@ def sql_table_fn_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_table_fn_decon_drop",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {{SH}} AS sh FROM documents),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+    tr AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20),
+    shared AS (
+      SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n
+      FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id >= 20
+      AND d.doc_id NOT IN (SELECT doc_id FROM shared WHERE n >= 3)
+    ORDER BY d.doc_id
+    """.replace("{SH}", _oracle_shingles("text", 4)),
+)
+def sql_table_fn_decon_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the DROP form of the decontaminate table function: a 6th
+    literal (min_shared) makes it return the TRAIN TABLE with every
+    document sharing >= min_shared distinct eval shingles removed —
+    the output a pipeline actually trains on. The flagged-id frame is
+    bounded by contamination, not corpus size, so the drop is a
+    broadcast LEFT ANTI join and the train scan streams through
+    untouched at any scale."""
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS decon_eval2")
+    eng.sql("DROP TABLE IF EXISTS decon_train2")
+    eng.sql(
+        "CREATE TABLE decon_eval2 AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id < 20"
+    )
+    eng.sql(
+        "CREATE TABLE decon_train2 AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 20"
+    )
+    return eng.sql(
+        """
+        select doc_id
+        from decontaminate('decon_train2', 'decon_eval2',
+                           'doc_id', 'text', 4, 3)
+        order by doc_id
+        """
+    )
+
+
 from nutdb_spark.operators.packing import PACK_GRAIN as _PACK_GRAIN
 
 _PACK_H = oracle_hash_bucket("doc_id", salt="pack", grain=_PACK_GRAIN)
