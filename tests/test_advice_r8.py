@@ -263,3 +263,27 @@ def test_ctas_replace_failed_rename_in_rolls_old_back(eng, monkeypatch):
     assert after == before
     assert not os.path.exists(_table_dir(eng, "swp2") + ".tmp")
     assert not os.path.exists(_table_dir(eng, "swp2") + ".old")
+
+
+def test_dictget_same_values_across_regime_threshold(spark, eng):
+    # exactly 10_000 entries → literal map; 10_001 → broadcast join.
+    # Same probe must return identical values on both sides of the
+    # flip (the regimes may differ in PLAN, never in ANSWER).
+    small = spark.range(10_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    big = spark.range(10_001).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: (
+        small if n == "edge_s" else big if n == "edge_b" else real(n)
+    )
+    q = (
+        "select n_nationkey as k, "
+        "dictGetOrDefault('{t}', 'v', toInt64(n_nationkey), 'miss') as v "
+        "from nation order by n_nationkey"
+    )
+    got_s = [tuple(r) for r in eng.sql(q.format(t="edge_s")).collect()]
+    got_b = [tuple(r) for r in eng.sql(q.format(t="edge_b")).collect()]
+    assert got_s == got_b and got_s[7][1] == "v7"

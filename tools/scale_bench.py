@@ -80,6 +80,9 @@ ENTRIES = [
     "q_ddl_view_aggregating",
     "sql_topk_rollup",
     "sql_table_fn_decon",
+    "sql_table_fn_decon_drop",
+    "sql_group_order_all",
+    "sql_apply_modifier",
 ]
 
 SF01 = "/root/testdata/sf0.1"
