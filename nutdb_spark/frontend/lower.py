@@ -1072,6 +1072,32 @@ class Lowerer:
         right, alias = self._source_df(j.source, j.alias, scope, cte)
         if j.kind in ("asof", "left_asof"):
             return self._lower_asof(base, right, alias, j, scope)
+        if j.kind in ("left_any", "inner_any", "right_any"):
+            # [EXT] ClickHouse ANY strictness: at most ONE match from
+            # the non-preserved side per key. CH picks an arbitrary
+            # match; we pick the FIRST by a deterministic total order
+            # over the deduped side's non-key columns, so results are
+            # engine- and partitioning-stable (and oracle-able). The
+            # dedup is one bounded window on the side that would have
+            # fanned out — the preserved side streams through the
+            # ordinary hash join untouched. USING is required: the
+            # dedup keys must be explicit.
+            if j.using is None:
+                raise LoweringError(
+                    "ANY JOIN requires USING (...) — the pick-one "
+                    "dedup keys must be explicit"
+                )
+            how = {
+                "left_any": "left",
+                "inner_any": "inner",
+                "right_any": "right",
+            }[j.kind]
+            if j.kind == "right_any":
+                base = self._dedup_any(base, j.using)
+            else:
+                right = self._dedup_any(right, j.using).alias(alias)
+            scope.add(alias, right)
+            return base.join(right, j.using, how)
         scope.add(alias, right)
         if j.kind == "cross":
             # comma join: the WHERE equalities reach Catalyst as a
@@ -1100,6 +1126,30 @@ class Lowerer:
             j.kind, j.kind
         )
         return base.join(right, cond, how)
+
+    def _dedup_any(self, df: DataFrame, keys: list) -> DataFrame:
+        """One row per USING-key for ANY-join strictness: row_number
+        over a deterministic order on every orderable non-key column
+        (maps are not orderable in Spark and are skipped; a frame with
+        no orderable tie-break column degrades to an arbitrary-but-
+        single pick, which is all ClickHouse promises)."""
+        import pyspark.sql.types as S
+        from pyspark.sql import Window
+
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        kset = set(keys)
+        order = [
+            F.col(c).asc_nulls_last()
+            for c in df.columns
+            if c not in kset and not isinstance(fields[c], S.MapType)
+        ]
+        rn = self._gen("anyrn")
+        w = Window.partitionBy(*keys).orderBy(*(order or [F.lit(1)]))
+        return (
+            df.withColumn(rn, F.row_number().over(w))
+            .where(F.col(rn) == 1)
+            .drop(rn)
+        )
 
     # --- ASOF JOIN lowering ----------------------------------------------
 

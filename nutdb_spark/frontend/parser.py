@@ -750,7 +750,13 @@ class Parser:
         elif not self.at_kw("join"):
             base = self.next().text.lower()
             if base == "inner":
-                kind = "asof" if self.eat_kw("asof") else "inner"
+                if self.eat_kw("asof"):
+                    kind = "asof"
+                elif self.eat_kw("any"):
+                    # [EXT] ClickHouse ANY strictness (pick-one match)
+                    kind = "inner_any"
+                else:
+                    kind = "inner"
             elif base == "full":
                 self.eat_kw("outer")
                 if self.at_kw("asof"):
@@ -765,6 +771,9 @@ class Parser:
                     if base == "right":
                         raise ParseError("ASOF join supports INNER/LEFT only")
                     kind = "left_asof"
+                elif self.eat_kw("any"):
+                    # [EXT] LEFT/RIGHT ANY JOIN (ClickHouse strictness)
+                    kind = f"{base}_any"
                 else:
                     self.eat_kw("outer")
                     kind = base

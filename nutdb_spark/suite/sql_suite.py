@@ -1284,6 +1284,47 @@ def sql_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_any_join",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS n_nationkey, c_acctbal AS acct, c_custkey,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal ASC NULLS LAST,
+                        c_custkey ASC NULLS LAST) AS rn
+      FROM customer)
+    SELECT n.n_name, c.acct, c.c_custkey AS ck
+    FROM nation n
+    LEFT JOIN c ON n.n_nationkey = c.n_nationkey AND c.rn = 1
+    ORDER BY n.n_name
+    """,
+)
+def sql_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ClickHouse ANY join strictness (`LEFT|INNER|RIGHT ANY
+    JOIN ... USING`): at most ONE match from the non-preserved side
+    per key. CH picks an arbitrary match; this engine strengthens to
+    the FIRST by a deterministic order over the deduped side's non-key
+    columns, so results are partition-stable and oracle-able. The
+    dedup is one bounded window on the side that would have fanned out
+    — the preserved side streams through the ordinary hash join
+    untouched (the 100 TB shape: fact side never carries the window).
+    The oracle is the rn=1 LEFT JOIN the strictness replaces."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select n_name, acct, c_custkey as ck
+        from nation left any join
+             (select c_nationkey as n_nationkey, c_acctbal as acct,
+                     c_custkey
+              from customer) c
+             using (n_nationkey)
+        order by n_name
+        """,
+    )
+
+
+@query(
     "sql_apply_modifier",
     """
     SELECT l_returnflag,

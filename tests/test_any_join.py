@@ -1,0 +1,98 @@
+"""[EXT] ClickHouse ANY join strictness. Parse-shape asserts first
+(keyword traps bite silently), then semantics: pick-one determinism,
+preserved-side cardinality, USING-required error."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from nutdb_spark.frontend.parser import parse
+
+
+def _kinds(src):
+    return [j.kind for j in parse(src).query.joins]
+
+
+def test_parse_any_join_kinds():
+    assert _kinds("SELECT 1 FROM a LEFT ANY JOIN b USING (k)") == ["left_any"]
+    assert _kinds("SELECT 1 FROM a INNER ANY JOIN b USING (k)") == [
+        "inner_any"
+    ]
+    assert _kinds("SELECT 1 FROM a RIGHT ANY JOIN b USING (k)") == [
+        "right_any"
+    ]
+    # plain joins unchanged
+    assert _kinds("SELECT 1 FROM a LEFT JOIN b USING (k)") == ["left"]
+    # a table named/aliased around `any` is unaffected (no leading-ANY
+    # form, so `any` is only read inside an explicit join prefix)
+    assert _kinds("SELECT 1 FROM a LEFT SEMI JOIN b USING (k)") == [
+        "left_semi"
+    ]
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    from nutdb_spark.engine import NutEngine
+
+    e = NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+    dup = spark.createDataFrame(
+        [(1, "b", 10), (1, "a", 20), (2, "c", 30)], "k int, v string, w int"
+    )
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k int")
+    real = e.resolve_table
+    e.resolve_table = lambda n: (
+        dup if n == "d" else left if n == "l" else real(n)
+    )
+    return e
+
+
+def test_left_any_preserves_left_cardinality(eng):
+    rows = [
+        tuple(r)
+        for r in eng.sql(
+            "select k, v from l left any join d using (k) order by k"
+        ).collect()
+    ]
+    # 4 left rows in, 4 out — no fanout on the duplicate k=1, miss → NULL
+    assert rows == [(1, "a"), (1, "a"), (2, "c"), (3, None)]
+
+
+def test_inner_any_drops_misses(eng):
+    rows = [
+        tuple(r)
+        for r in eng.sql(
+            "select k, v from l inner any join d using (k) order by k"
+        ).collect()
+    ]
+    assert rows == [(1, "a"), (1, "a"), (2, "c")]
+
+
+def test_right_any_mirrors(eng):
+    rows = [
+        tuple(r)
+        for r in eng.sql(
+            "select k, v from d right any join l using (k) order by k, v"
+        ).collect()
+    ]
+    # all 4 right (l) rows preserved; d deduped per key
+    assert rows == [(1, "a"), (1, "a"), (2, "c"), (3, None)]
+
+
+def test_any_pick_is_deterministic_first_by_remaining_columns(eng):
+    # d has k=1 → ("a",20) and ("b",10); order over (v, w) picks "a"
+    rows = eng.sql(
+        "select k, v, w from l inner any join d using (k) "
+        "where k = 1"
+    ).collect()
+    assert {(r["v"], r["w"]) for r in rows} == {("a", 20)}
+
+
+def test_any_join_requires_using(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="USING"):
+        eng.sql(
+            "select 1 from l left any join d on l.k = d.k"
+        ).collect()
