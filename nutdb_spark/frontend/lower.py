@@ -1906,10 +1906,18 @@ class Lowerer:
             )
         aggs: list[Column] = []
         for call, name in agg_calls:
-            aggs.append(self._lower_agg_call(call, scope).alias(name))
+            aggs.append(self._agg_expr(call, scope, q, group_map).alias(name))
         if not aggs:
             # GROUP BY with no aggregates → still needs an agg frame
             aggs = [F.count(F.lit(1)).alias(self._gen("cnt"))]
+        # grouping(col) must reference the EXACT grouping expression;
+        # aliased key expressions break Catalyst's match, so when it
+        # appears the keys are pre-projected under their __g names and
+        # grouped as plain columns (the grouping-sets branch already
+        # does this unconditionally)
+        has_grouping = any(
+            c.name.lower() == "grouping" for c, _ in agg_calls
+        )
         if group_cols:
             # [EXT] WITH ROLLUP / WITH CUBE: Catalyst expands either
             # to grouping sets inside ONE hash aggregate (map-side
@@ -1928,12 +1936,19 @@ class Lowerer:
                 names = [group_map[i] for i in range(len(group_cols))]
                 sets = [[F.col(names[i]) for i in s] for s in group_sets]
                 grouped = base.groupingSets(sets, *[F.col(n) for n in names])
-            elif modifier in ("rollup", "totals"):
-                grouped = base.rollup(*group_cols)
-            elif modifier == "cube":
-                grouped = base.cube(*group_cols)
             else:
-                grouped = base.groupBy(*group_cols)
+                gcols = group_cols
+                if has_grouping:
+                    base = base.select(F.col("*"), *group_cols)
+                    gcols = [
+                        F.col(group_map[i]) for i in range(len(group_cols))
+                    ]
+                if modifier in ("rollup", "totals"):
+                    grouped = base.rollup(*gcols)
+                elif modifier == "cube":
+                    grouped = base.cube(*gcols)
+                else:
+                    grouped = base.groupBy(*gcols)
             if modifier == "totals":
                 # WITH TOTALS = grouping sets ((all keys), ()) — carve
                 # them out of the rollup via grouping_id (0 = detail,
@@ -1985,7 +2000,7 @@ class Lowerer:
         pre = base.select(F.col("*"), *group_cols) if group_cols else base
         topk_names = {n for _, n in topk_calls}
         other_aggs = [
-            self._lower_agg_call(call, scope).alias(name)
+            self._agg_expr(call, scope, q, group_map).alias(name)
             for call, name in agg_calls
             if name not in topk_names
         ]
@@ -2143,6 +2158,22 @@ class Lowerer:
         if key_cols:
             return top.groupBy(*[F.col(n) for n in key_cols]).agg(arr)
         return top.agg(arr)
+
+    def _agg_expr(self, call: A.FnCall, scope, q, group_map) -> Column:
+        """Lower one hoisted aggregate call. grouping(col) is special:
+        its argument must be the EXACT grouping expression, which this
+        engine aliases to __gN — so the argument is matched against
+        the GROUP BY list structurally and rewritten to the aliased
+        column (the caller pre-projects the keys)."""
+        if call.name.lower() == "grouping" and call.args:
+            for i, g in enumerate(q.group_by):
+                if g == call.args[0]:
+                    return F.grouping(F.col(group_map[i])).cast("int")
+            raise LoweringError(
+                "grouping() argument must be one of the GROUP BY "
+                "expressions"
+            )
+        return self._lower_agg_call(call, scope)
 
     def _lower_agg_call(self, call: A.FnCall, scope: Scope) -> Column:
         from nutdb_spark.functions.registry import resolve

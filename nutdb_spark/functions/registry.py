@@ -313,6 +313,12 @@ AGGREGATE_FNS["maxIf"] = lambda x, cond: F.max(F.when(cond, x))
 AGGREGATE_FNS["argMax"] = F.max_by
 AGGREGATE_FNS["argMin"] = F.min_by
 AGGREGATE_FNS["any"] = lambda c: F.first(c, ignorenulls=True)
+# grouping(col) — standard-SQL companion to ROLLUP/CUBE/GROUPING SETS:
+# 1 on subtotal rows where col was aggregated away, 0 on detail rows
+# (the only way to tell a subtotal from a genuinely-NULL key).
+# Hoisted like any aggregate; Catalyst requires the enclosing
+# aggregate to actually be a grouping-set form, and raises otherwise.
+AGGREGATE_FNS["grouping"] = lambda c: F.grouping(c).cast("int")
 AGGREGATE_FNS["uniqExact"] = F.count_distinct
 # uniq / uniqCombined — ClickHouse's approximate distinct counters.
 # Lowered to Spark's HyperLogLog++ (rsd 0.023, ~= uniqCombined's

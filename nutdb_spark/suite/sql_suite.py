@@ -1284,6 +1284,41 @@ def sql_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_grouping_fn",
+    """
+    SELECT l_returnflag AS k1, l_linestatus AS k2,
+           CAST(GROUPING(l_returnflag) AS INT) AS g1,
+           CAST(GROUPING(l_linestatus) AS INT) AS g2,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g1, g2, k1, k2
+    """,
+)
+def sql_grouping_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the standard-SQL grouping(col) aggregate — the companion
+    to ROLLUP/CUBE/GROUPING SETS that distinguishes a subtotal row
+    (key aggregated away → 1) from a detail row whose key is
+    genuinely NULL (→ 0). The argument is matched structurally
+    against the GROUP BY list and rewritten to the engine's aliased
+    key column, so it composes with expression keys and with the
+    bounded topK rewrite; still ONE hash aggregate. DuckDB runs the
+    identical GROUPING() natively as the oracle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag as k1, l_linestatus as k2,
+               grouping(l_returnflag) as g1,
+               grouping(l_linestatus) as g2,
+               count(*) as n
+        from lineitem group by l_returnflag, l_linestatus with rollup
+        order by g1, g2, k1, k2
+        """,
+    )
+
+
+@query(
     "sql_any_join",
     """
     WITH c AS (
