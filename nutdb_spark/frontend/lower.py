@@ -1177,10 +1177,48 @@ class Lowerer:
         """
         from nutdb_spark.operators.asof import asof_join_any
 
-        if j.using is not None or j.on is None:
+        if j.using is not None:
+            # [EXT] ClickHouse ASOF JOIN ... USING (k..., ts): the LAST
+            # USING column is the timestamp (matched left_ts >= right_ts,
+            # latest prior row), the rest are equi-keys. Same lowering
+            # as the ON form; right-side copies of shared names come
+            # back as `<alias>_<name>` like every ASOF output.
+            if len(j.using) < 2:
+                raise LoweringError(
+                    "ASOF JOIN USING needs (key..., ts) — at least two "
+                    "columns, the LAST being the timestamp"
+                )
+            for c in j.using:
+                if c not in base.columns or c not in right.columns:
+                    raise LoweringError(
+                        f"ASOF USING column {c!r} must exist on both sides"
+                    )
+            scope.add(alias, right)
+            left_aliases = [a for a in scope.frames if a != alias]
+            try:
+                out = asof_join_any(
+                    base,
+                    right,
+                    left_keys=[F.col(c) for c in j.using[:-1]],
+                    right_keys=[F.col(c) for c in j.using[:-1]],
+                    left_ts=F.col(j.using[-1]),
+                    right_ts=F.col(j.using[-1]),
+                    how="inner" if j.kind == "asof" else "left",
+                    strict=False,
+                    tolerance=(
+                        self._expr(j.within, scope, {}, [])
+                        if j.within is not None
+                        else None
+                    ),
+                )
+            except ValueError as ex:
+                raise LoweringError(str(ex)) from ex
+            return self._asof_rename(out, base, right, alias, scope,
+                                     left_aliases)
+        if j.on is None:
             raise LoweringError(
                 "ASOF JOIN requires ON <equi-keys AND one timestamp "
-                "inequality>; USING cannot express the time predicate"
+                "inequality> or USING (key..., ts)"
             )
         scope.add(alias, right)
         left_aliases = [a for a in scope.frames if a != alias]
@@ -1280,11 +1318,15 @@ class Lowerer:
             )
         except ValueError as ex:
             raise LoweringError(str(ex)) from ex
-        # un-prefix the right columns; collisions keep `<alias>_<name>`.
-        # The duplicate check runs over the PRECOMPUTED full set of final
-        # names (left columns + every right target): checking out.columns
-        # mid-loop misses a sibling right column still carrying its
-        # __asof__ prefix whose target is the same name.
+        return self._asof_rename(out, base, right, alias, scope, left_aliases)
+
+    def _asof_rename(self, out, base, right, alias, scope, left_aliases):
+        """Un-prefix the right columns of an ASOF output; collisions
+        keep `<alias>_<name>`. The duplicate check runs over the
+        PRECOMPUTED full set of final names (left columns + every right
+        target): checking out.columns mid-loop misses a sibling right
+        column still carrying its __asof__ prefix whose target is the
+        same name."""
         lset = set(base.columns)
         finals = {
             c: (c if c not in lset else f"{alias}_{c}")

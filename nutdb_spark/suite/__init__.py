@@ -62,14 +62,14 @@ _PRIORITY = [
     # --- (2) new in round 8 (7) ---
     "sql_table_fn_decon", "sql_table_fn_decon_drop", "sql_topk_rollup",
     "sql_dictget_broadcast", "sql_group_order_all", "sql_apply_modifier",
-    "sql_any_join", "sql_grouping_fn",
+    "sql_any_join", "sql_grouping_fn", "sql_asof_using",
     # --- (3) stalest re-grades: last driver row r4 (17) ---
     "q_ddl_complex_types", "q_ddl_optimize", "q_dedup_exact_content",
     "q_dedup_simhash", "q_expr_between", "q_expr_index",
     "q_expr_interval", "q_expr_isnull", "q_expr_like",
     "q_fn_count_unique", "q_fn_strings", "q_fn_substring",
     "q_join_broadcast", "q_join_salted", "q_multimodal_frames",
-    "q_multimodal_resize", "q_pipeline_clean",
+    "q_multimodal_resize",
 ]
 
 

@@ -462,6 +462,43 @@ def sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_asof_using",
+    """
+    WITH m AS (SELECT user_id, ts, MAX(value) AS m_val
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, e.ts, m.m_val
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_id < 2000) e
+    ASOF JOIN m USING (user_id, ts)
+    ORDER BY e.event_id
+    """,
+)
+def sql_asof_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the ClickHouse ASOF JOIN ... USING (k..., ts) spelling:
+    the LAST USING column is the timestamp (left_ts >= right_ts,
+    latest prior match), the rest are equi-keys — same single-shuffle
+    union+window lowering as the ON form. DuckDB runs the identical
+    ASOF JOIN USING natively as the oracle (it shares the
+    last-column-is-the-inequality convention)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select e.event_id, e.user_id, e.ts, m_val
+        from (select event_id, user_id, ts from events
+              where event_id < 2000) as e
+        asof join (
+            select user_id, ts, max(value) as m_val
+            from events where event_type = 'purchase'
+            group by user_id, ts
+        ) as m using (user_id, ts)
+        order by event_id
+        """,
+    )
+
+
+@query(
     "sql_asof_within",
     """
     WITH m AS (SELECT user_id AS m_user, ts AS m_ts, MAX(value) AS m_val

@@ -96,3 +96,50 @@ def test_any_join_requires_using(eng):
         eng.sql(
             "select 1 from l left any join d on l.k = d.k"
         ).collect()
+
+
+# --- ASOF JOIN USING (k..., ts) --------------------------------------------
+
+
+def test_asof_using_matches_on_form(spark, sf_dir):
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+    on_form = eng.sql(
+        """
+        select e.event_id, m.m_val from
+          (select event_id, user_id, ts from events where event_id < 500) as e
+        asof join (select user_id as u, ts as t, max(value) as m_val
+                   from events where event_type = 'purchase'
+                   group by 1, 2) as m
+        on e.user_id = m.u and e.ts >= m.t
+        order by e.event_id
+        """
+    ).collect()
+    using_form = eng.sql(
+        """
+        select e.event_id, m_val from
+          (select event_id, user_id, ts from events where event_id < 500) as e
+        asof join (select user_id, ts, max(value) as m_val
+                   from events where event_type = 'purchase'
+                   group by user_id, ts) as m
+        using (user_id, ts)
+        order by event_id
+        """
+    ).collect()
+    assert [tuple(r) for r in on_form] == [tuple(r) for r in using_form]
+
+
+def test_asof_using_needs_two_columns(spark, sf_dir):
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+    from nutdb_spark.frontend.lower import LoweringError
+
+    eng = NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+    with pytest.raises(LoweringError, match="at least two"):
+        eng.sql(
+            "select 1 from events e asof join events m using (ts)"
+        ).collect()
