@@ -498,6 +498,14 @@ PARAMETRIC_AGGS["quantiles"] = lambda params, x: F.percentile(
 PARAMETRIC_AGGS["quantile"] = lambda params, x: F.percentile(
     x, float(params[0])
 )
+# uniqUpTo(N)(x) — ClickHouse: EXACT distinct count while <= N, else
+# N+1 (the "more than N" sentinel). Lowered as least(countDistinct,
+# N+1): Spark's count_distinct is exact, so this is value-identical to
+# CH's semantics (CH only saves state by capping; the answer contract
+# is the same) and trivially oracle-able.
+PARAMETRIC_AGGS["uniqUpTo"] = lambda params, x: F.least(
+    F.count_distinct(x), F.lit(int(params[0]) + 1).cast("long")
+)
 
 
 # --- [EXT] event-analytics aggregates -----------------------------------

@@ -43,12 +43,15 @@ for _m in _MODULES:
 # The driver grades the first 50 registry entries.
 # Round-8 window (VERDICT r7 "Next round" #1): drain the never-graded
 # backlog to ZERO — (1) all 25 ROUND-8 QUEUE entries (the last
-# registry entries without any driver row), (2) the two entries NEW
-# this round (the decontaminate table fn that r7 queued but never
-# wrote, and the bounded topK-under-ROLLUP surface), (3) fill to 50
-# with the STALEST re-grades (last driver row r4; q_fn_random stays
-# out — rows-only by design, re-grading it adds no hash signal).
-# After this window every registry entry has a driver row.
+# registry entries without any driver row), (2) every entry NEW this
+# round (each new registration displaced one stale re-grade, so no
+# new backlog forms), (3) the remainder filled with the STALEST
+# re-grades (last driver row r4; q_fn_random stays out — rows-only by
+# design, re-grading it adds no hash signal). After this window every
+# registry entry has a driver row. Stale r4 entries displaced by (2)
+# (q_text_normalize/ngrams/langid, q_stream_dedup/summing,
+# q_pipeline_clean, q_sim_lsh_pairs, q_multimodal_resize) → the
+# ROUND-9 re-grade pool, all already r4-green.
 _PRIORITY = [
     # --- (1) the ROUND-8 QUEUE: never driver-graded (25) ---
     "sql_qualify", "sql_prewhere", "sql_sample", "sql_outfile",
@@ -59,17 +62,16 @@ _PRIORITY = [
     "q_dedup_connected_best", "q_embed_quantize", "q_embed_truncate",
     "q_sample_temperature", "q_text_chunk", "q_fn_arrays",
     "q_fn_datetime2", "q_fn_scalar_surface2", "q_fn_agg_surface2",
-    # --- (2) new in round 8 (7) ---
+    # --- (2) new in round 8 (10) ---
     "sql_table_fn_decon", "sql_table_fn_decon_drop", "sql_topk_rollup",
     "sql_dictget_broadcast", "sql_group_order_all", "sql_apply_modifier",
-    "sql_any_join", "sql_grouping_fn", "sql_asof_using",
-    # --- (3) stalest re-grades: last driver row r4 (17) ---
+    "sql_any_join", "sql_grouping_fn", "sql_asof_using", "sql_uniq_upto",
+    # --- (3) stalest re-grades: last driver row r4 (15) ---
     "q_ddl_complex_types", "q_ddl_optimize", "q_dedup_exact_content",
     "q_dedup_simhash", "q_expr_between", "q_expr_index",
     "q_expr_interval", "q_expr_isnull", "q_expr_like",
     "q_fn_count_unique", "q_fn_strings", "q_fn_substring",
     "q_join_broadcast", "q_join_salted", "q_multimodal_frames",
-    "q_multimodal_resize",
 ]
 
 

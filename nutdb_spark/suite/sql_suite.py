@@ -1321,6 +1321,36 @@ def sql_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_uniq_upto",
+    """
+    SELECT l_returnflag,
+           CAST(LEAST(COUNT(DISTINCT l_linenumber), 4) AS BIGINT) AS u3,
+           CAST(LEAST(COUNT(DISTINCT l_linenumber), 101) AS BIGINT) AS u100,
+           CAST(LEAST(COUNT(DISTINCT l_suppkey), 51) AS BIGINT) AS u50
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] uniqUpTo(N)(x) — ClickHouse's capped distinct counter:
+    exact while <= N, the sentinel N+1 beyond. Lowered as
+    least(countDistinct, N+1); Spark's distinct count is exact, so
+    the answer contract is identical to CH's (CH caps only its state)
+    and the entry is value-oracle-able — one of the three parametric
+    aggregates the r6-r7 rounds didn't cover (topK/quantiles did)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               uniqUpTo(3)(l_linenumber) as u3,
+               uniqUpTo(100)(l_linenumber) as u100,
+               uniqUpTo(50)(l_suppkey) as u50
+        from lineitem group by l_returnflag order by l_returnflag
+        """,
+    )
+
+
+@query(
     "sql_grouping_fn",
     """
     SELECT l_returnflag AS k1, l_linestatus AS k2,
