@@ -83,6 +83,10 @@ ENTRIES = [
     "sql_table_fn_decon_drop",
     "sql_group_order_all",
     "sql_apply_modifier",
+    "sql_any_join",
+    "sql_grouping_fn",
+    "sql_asof_using",
+    "sql_uniq_upto",
 ]
 
 SF01 = "/root/testdata/sf0.1"
