@@ -611,28 +611,6 @@ class Lowerer:
         q.columns = new_cols
 
     def _lower_select_body(self, q: A.SelectCore, outer: Scope | None) -> DataFrame:
-        self._resolve_positional(q)
-        # [EXT] GROUP BY ALL: every select expression that contains no
-        # aggregate becomes a group key (ClickHouse/DuckDB). Expanded
-        # once (the AST may be re-lowered by recursive-CTE rounds).
-        if getattr(q, "group_all", False) and not getattr(
-            q, "_group_all_done", False
-        ):
-            q._group_all_done = True
-            for e, _alias in q.columns:
-                if isinstance(e, A.Wildcard):
-                    raise LoweringError(
-                        "GROUP BY ALL cannot expand a * select item"
-                    )
-                probe: list = []
-                self._collect_aggs(e, probe)
-                if not probe and not isinstance(e, A.WindowCall):
-                    q.group_by.append(e)
-            if not q.group_by:
-                raise LoweringError(
-                    "GROUP BY ALL found no non-aggregate select "
-                    "expressions to group by"
-                )
         scope = Scope(outer)
         cte: dict[str, DataFrame] = {}
 
@@ -663,6 +641,35 @@ class Lowerer:
         # applied aggregate (the common `* APPLY(sum) ... GROUP BY`
         # idiom) rides the normal GROUP BY machinery
         self._expand_applies(q, base)
+        # positional ordinals resolve AFTER the APPLY expansion so
+        # `ORDER BY 2` addresses the FINAL output column list, not a
+        # pre-expansion carrier item (which would re-lower COLUMNS()
+        # in expression position and fail)
+        self._resolve_positional(q)
+
+        # [EXT] GROUP BY ALL: every select expression that contains no
+        # aggregate becomes a group key (ClickHouse/DuckDB). Runs
+        # AFTER the APPLY expansion so applied aggregates are visible
+        # to the probe; expanded once (the AST may be re-lowered by
+        # recursive-CTE rounds).
+        if getattr(q, "group_all", False) and not getattr(
+            q, "_group_all_done", False
+        ):
+            q._group_all_done = True
+            for e, _alias in q.columns:
+                if isinstance(e, A.Wildcard):
+                    raise LoweringError(
+                        "GROUP BY ALL cannot expand a * select item"
+                    )
+                probe: list = []
+                self._collect_aggs(e, probe)
+                if not probe and not isinstance(e, A.WindowCall):
+                    q.group_by.append(e)
+            if not q.group_by:
+                raise LoweringError(
+                    "GROUP BY ALL found no non-aggregate select "
+                    "expressions to group by"
+                )
 
         # aggregate or plain projection
         agg_calls: list[tuple[A.FnCall, str]] = []

@@ -380,9 +380,20 @@ class Parser:
                     else:
                         self.expect_kw("last")
                         a_nulls = "last"
-                if any(isinstance(c[0], A.Wildcard) for c in q.columns):
+                if any(
+                    isinstance(c[0], A.Wildcard)
+                    or (
+                        isinstance(c[0], A.FnCall)
+                        and c[0].name.lower() == "columns"
+                    )
+                    for c in q.columns
+                ):
+                    # wildcards and COLUMNS()/APPLY carriers expand at
+                    # lowering, so parse-time ordinals can't address
+                    # the final column list
                     raise ParseError(
-                        "ORDER BY ALL requires an explicit select list"
+                        "ORDER BY ALL requires an explicit select list "
+                        "(no * or COLUMNS() items)"
                     )
                 for i in range(len(q.columns)):
                     q.order_by.append(

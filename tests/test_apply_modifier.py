@@ -85,3 +85,27 @@ def test_apply_with_replace_rejected(eng):
             "select * REPLACE (n_nationkey + 1 AS n_nationkey) "
             "APPLY(max) from nation"
         ).collect()
+
+
+def test_apply_composes_with_group_by_all_and_ordinals(eng):
+    # GROUP BY ALL sees POST-expansion items (applied aggregates are
+    # excluded from keys; applied scalars become keys), and positional
+    # ordinals address the final output column list
+    df = eng.sql(
+        "select COLUMNS('n_regionkey') APPLY(toInt64), count(*) as n "
+        "from nation group by all order by 1"
+    )
+    assert df.columns == ["toInt64(n_regionkey)", "n"]
+    assert [tuple(r) for r in df.collect()][:2] == [(0, 5), (1, 5)]
+    df2 = eng.sql(
+        "select n_regionkey, COLUMNS('n_nationkey') APPLY(sum) "
+        "from nation group by all order by n_regionkey"
+    )
+    assert df2.columns == ["n_regionkey", "sum(n_nationkey)"]
+
+
+def test_order_by_all_rejects_columns_carrier(eng):
+    from nutdb_spark.frontend.parser import ParseError, parse
+
+    with pytest.raises(ParseError, match="explicit select list"):
+        parse("select COLUMNS('n_') APPLY(sum) from nation order by all")
