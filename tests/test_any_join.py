@@ -143,3 +143,41 @@ def test_asof_using_needs_two_columns(spark, sf_dir):
         eng.sql(
             "select 1 from events e asof join events m using (ts)"
         ).collect()
+
+
+def test_any_pick_partition_independent(spark, sf_dir):
+    # the deterministic pick must not depend on input partitioning or
+    # arrival order — shuffle the right side three ways, same answer
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    base = spark.createDataFrame(
+        [(k, f"v{k}_{i}", i * 7 % 13) for k in range(20) for i in range(5)],
+        "k int, v string, w int",
+    )
+    left = spark.createDataFrame([(k,) for k in range(25)], "k int")
+    outs = []
+    for right in (
+        base,
+        base.repartition(17, "w"),
+        base.orderBy("w").coalesce(1),
+    ):
+        eng = NutEngine(
+            spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp()
+        )
+        real = eng.resolve_table
+        eng.resolve_table = (
+            lambda r, rt: (
+                lambda n: rt if n == "d" else left if n == "l" else r(n)
+            )
+        )(real, right)
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in eng.sql(
+                    "select k, v, w from l left any join d using (k)"
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
