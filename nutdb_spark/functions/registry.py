@@ -332,6 +332,12 @@ AGGREGATE_FNS["stddevSamp"] = F.stddev_samp
 AGGREGATE_FNS["varPop"] = F.var_pop
 AGGREGATE_FNS["varSamp"] = F.var_samp
 AGGREGATE_FNS["corr"] = F.corr
+AGGREGATE_FNS["covarPop"] = F.covar_pop
+AGGREGATE_FNS["covarSamp"] = F.covar_samp
+# CH skewPop/kurtPop are the population moments — Spark's skewness /
+# kurtosis are exactly those (kurtosis is the EXCESS form in both)
+AGGREGATE_FNS["skewPop"] = F.skewness
+AGGREGATE_FNS["kurtPop"] = F.kurtosis
 
 
 # --- round-6 late additions: the next tier of ClickHouse names -------------

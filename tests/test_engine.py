@@ -340,3 +340,19 @@ def test_group_by_with_totals(eng):
     total = [r for r in rows if r["event_type"] is None]
     assert len(total) == 1
     assert total[0]["n"] == sum(r["n"] for r in detail)
+
+
+def test_stat_aggregates_surface(eng):
+    # covar/skew/kurt family (CH names onto Spark's population
+    # moments; kurtosis is the EXCESS form in both engines). The
+    # compare is tolerance-based: Spark's streaming moment updates
+    # accumulate rounding even on integer inputs.
+    r = eng.sql(
+        "select covarPop(n_nationkey, n_regionkey) as cp, "
+        "covarSamp(n_nationkey, n_regionkey) as cs, "
+        "skewPop(n_nationkey) as sk "
+        "from nation"
+    ).collect()[0]
+    assert abs(r["cp"] - 2.0) < 1e-9
+    assert abs(r["cs"] - 50.0 / 24.0) < 1e-9
+    assert abs(r["sk"]) < 1e-9  # 0..24 is symmetric
