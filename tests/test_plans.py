@@ -401,3 +401,25 @@ def test_prewhere_conjuncts_reach_scan(spark):
     plan = plan_of(df)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "l_quantity" in pushed[0] and "l_discount" in pushed[0]
+
+
+def test_round8_entry_plan_shapes(spark):
+    """Scale-shape invariants for the round-8 surfaces: broadcast where
+    a small side exists, no cartesian anywhere, the ANY-join dedup
+    window rides the dimension side only."""
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["sql_dictget_broadcast"](spark, SF01))
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # probe side never sort-merges
+
+    plan = plan_of(QUERIES["sql_any_join"](spark, SF01))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "WindowGroupLimit" in plan
+
+    plan = plan_of(QUERIES["sql_asof_using"](spark, SF01))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    plan = plan_of(QUERIES["sql_grouping_fn"](spark, SF01))
+    assert "Expand" in plan  # one grouping-sets aggregate, no re-scan union
+    assert plan.count("FileScan") == 1
