@@ -332,6 +332,19 @@ class Parser:
                 # non-aggregate select expressions happens at lowering
                 self.next()
                 q.group_all = True
+            elif (
+                self.at_kw("rollup") or self.at_kw("cube")
+            ) and self.peek_at(1).text == "(":
+                # [EXT] ANSI spelling GROUP BY ROLLUP (a, b) /
+                # CUBE (a, b) — same AST as the ClickHouse
+                # `GROUP BY a, b WITH ROLLUP/CUBE` form
+                q.group_modifier = self.next().text.lower()
+                self.expect_sym("(")
+                while True:
+                    q.group_by.append(self.parse_expr())
+                    if not self.eat_sym(","):
+                        break
+                self.expect_sym(")")
             else:
                 while True:
                     q.group_by.append(self.parse_expr())

@@ -88,3 +88,25 @@ def test_group_by_all_only_aggregates_raises(eng):
 
     with pytest.raises(LoweringError, match="no non-aggregate"):
         eng.sql("select count(*) from nation group by all").collect()
+
+
+# --- ANSI GROUP BY ROLLUP (…) / CUBE (…) spellings -------------------------
+
+
+def test_ansi_rollup_cube_spellings_parse():
+    q = parse("SELECT a, count(*) FROM t GROUP BY ROLLUP (a, b)").query
+    assert q.group_modifier == "rollup" and len(q.group_by) == 2
+    q = parse("SELECT a, count(*) FROM t GROUP BY CUBE (a)").query
+    assert q.group_modifier == "cube" and len(q.group_by) == 1
+
+
+def test_ansi_rollup_values_match_with_rollup(eng):
+    a = eng.sql(
+        "select n_regionkey as k, count(*) as n from nation "
+        "group by rollup (n_regionkey) order by k nulls first"
+    ).collect()
+    b = eng.sql(
+        "select n_regionkey as k, count(*) as n from nation "
+        "group by n_regionkey with rollup order by k nulls first"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
