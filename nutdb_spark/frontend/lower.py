@@ -1806,6 +1806,25 @@ class Lowerer:
             return F.coalesce(hit, dflt)
         return hit
 
+    def _dict_has(self, e: A.FnCall, scope, group_map, agg_calls, pending):
+        """[EXT] dictHas('table', key) — true iff the dictionary
+        contains the key. Rides the dictGet machinery with the KEY
+        column probed as its own value: the key is non-null by the
+        dictionary contract (nulls are filtered, duplicates guarded
+        there), so hit-is-not-null IS key membership. Inherits both
+        regimes — literal map ≤10k entries, automatic broadcast LEFT
+        join above."""
+        if len(e.args) != 2:
+            raise LoweringError("dictHas takes (table, key)")
+        t = e.args[0]
+        if not (isinstance(t, A.Lit) and t.kind == "string"):
+            raise LoweringError("dictHas table must be a string literal")
+        df = self.resolve_table(t.value)
+        kcol = df.columns[0]
+        synth = A.FnCall(e.name, [t, A.Lit(kcol, "string"), e.args[1]])
+        hit = self._dict_get(synth, scope, group_map, agg_calls, pending)
+        return hit.isNotNull()
+
     def _lower_quant_compare(self, base, node: A.QuantCompare, scope: Scope):
         """[EXT] `x <op> ANY/ALL (SELECT s FROM ...)` in WHERE/HAVING.
 
@@ -2801,6 +2820,8 @@ class Lowerer:
             )
         if e.name.lower() in ("dictget", "dictgetordefault"):
             return self._dict_get(e, scope, group_map, agg_calls, pending)
+        if e.name.lower() == "dicthas":
+            return self._dict_has(e, scope, group_map, agg_calls, pending)
         try:
             fn, is_agg = resolve(e.name)
         except KeyError as ex:

@@ -1038,3 +1038,223 @@ SCALAR_FNS["truncate"] = lambda x, s=None: (
     else (x * F.pow(F.lit(10.0), s)).cast("long")
     / F.pow(F.lit(10.0), s)
 )
+
+
+# --- [EXT] weighted / positional / map aggregates ------------------------
+def _avg_weighted(x: Column, w: Column) -> Column:
+    """avgWeighted(x, w) — Σ(x·w) / Σw inside ONE hash aggregate.
+    Zero or empty total weight → NULL (ClickHouse returns NaN there;
+    NULL is this engine's portable spelling of "undefined", pinned by
+    pytest — try_divide, immune to the session's ANSI div-by-zero)."""
+    return F.try_divide(F.sum(x * w), F.sum(F.when(x.isNotNull(), w)))
+
+
+AGGREGATE_FNS["avgWeighted"] = _avg_weighted
+
+
+def _bounding_ratio(x: Column, y: Column) -> Column:
+    """boundingRatio(x, y) — the slope between the leftmost and the
+    rightmost point of the group: (y@max(x) − y@min(x)) / (max(x) −
+    min(x)). Four JVM aggregates composed in one expression;
+    single-point groups have zero width → NULL (try_divide)."""
+    return F.try_divide(
+        F.max_by(y, x) - F.min_by(y, x), F.max(x) - F.min(x)
+    )
+
+
+AGGREGATE_FNS["boundingRatio"] = _bounding_ratio
+
+
+def _single_value_or_null(c: Column) -> Column:
+    """singleValueOrNull(x) — the group's value when it has exactly
+    one distinct non-NULL value, else NULL. count_distinct gate +
+    min as the witness, both map-side-partial JVM aggregates."""
+    return F.when(F.count_distinct(c) == 1, F.min(c))
+
+
+AGGREGATE_FNS["singleValueOrNull"] = _single_value_or_null
+
+# sumCount(x) → struct(sum, count) in one pass (the classic CH
+# average-building block; field access `.sum` / `.count` downstream)
+AGGREGATE_FNS["sumCount"] = lambda c: F.struct(
+    F.sum(c).alias("sum"), F.count(c).alias("count")
+)
+
+
+def _map_reduce_agg(reducer: Callable[[Column], Column]) -> ScalarFn:
+    """minMap/maxMap(keys, vals) — sumMap's ordered siblings: merge
+    the group's parallel key/value arrays into ONE map keyed by the
+    sorted distinct keys, reducing values per key with array_min /
+    array_max. Same all-JVM shape as sumMap: collect the zipped
+    pairs once, then pure higher-order functions."""
+
+    def f(keys: Column, vals: Column) -> Column:
+        pair = F.arrays_zip(keys.alias("k"), vals.alias("v"))
+        flat = F.flatten(F.collect_list(pair))
+        dk = F.array_sort(
+            F.array_distinct(F.transform(flat, lambda s: s["k"]))
+        )
+        return F.map_from_arrays(
+            dk,
+            F.transform(
+                dk,
+                lambda key: reducer(
+                    F.transform(
+                        F.filter(flat, lambda s: s["k"] == key),
+                        lambda s: s["v"],
+                    )
+                ),
+            ),
+        )
+
+    return f
+
+
+AGGREGATE_FNS["minMap"] = _map_reduce_agg(F.array_min)
+AGGREGATE_FNS["maxMap"] = _map_reduce_agg(F.array_max)
+
+
+def _delta_sum_timestamp(v: Column, ts: Column) -> Column:
+    """deltaSumTimestamp(v, ts) — the sum of POSITIVE consecutive
+    differences of v taken in ts order (counter-increase total, the
+    Prometheus-style rate building block). ClickHouse's plain
+    deltaSum depends on arrival order — unreproducible on any
+    distributed engine — so this engine ships only the
+    timestamp-anchored form (deltaSum itself raises with advice).
+    collect_list + array_sort + one O(1)-per-event fold: the same
+    bounded per-group-state contract as windowFunnel."""
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(ts.cast("long").alias("t"), v.cast("double").alias("v"))
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("prev"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def step(acc, e):
+        d = e["v"] - acc["prev"]
+        s2 = F.when(
+            acc["prev"].isNotNull() & (d > 0), acc["s"] + d
+        ).otherwise(acc["s"])
+        return F.struct(e["v"].alias("prev"), s2.alias("s"))
+
+    return F.aggregate(ev, init, step)["s"]
+
+
+AGGREGATE_FNS["deltaSumTimestamp"] = _delta_sum_timestamp
+
+
+def _delta_sum_unsupported(*_a: Column) -> Column:
+    raise ValueError(
+        "deltaSum depends on arrival order, which a distributed scan "
+        "does not define — use deltaSumTimestamp(value, ts) instead"
+    )
+
+
+AGGREGATE_FNS["deltaSum"] = _delta_sum_unsupported
+
+
+# --- [EXT] the -If combinator over the row-argument aggregate surface ----
+# ClickHouse's `<agg>If(args..., cond)`: aggregate only the rows where
+# cond holds. Lowered by wrapping EVERY argument in CASE WHEN cond —
+# null-skipping aggregate semantics then drop the non-matching rows —
+# so the whole family stays ONE JVM hash aggregate with map-side
+# partials. Generated only for bases whose arguments are all row
+# expressions: parametric literals (quantile levels, topK's k) must
+# not be when-wrapped, so those bases are excluded. sum/count/avg/
+# min/maxIf keep their earlier hand-registered forms.
+_IF_BASES = (
+    "uniq", "uniqExact", "countUnique", "any", "anyLast",
+    "argMin", "argMax", "groupArray", "groupUniqArray",
+    "stddevPop", "stddevSamp", "varPop", "varSamp",
+    "corr", "covarPop", "covarSamp", "skewPop", "kurtPop",
+    "median", "avgWeighted", "sumCount",
+)
+
+
+def _if_combinator(base: ScalarFn) -> ScalarFn:
+    def wrapped(*args: Column) -> Column:
+        if len(args) < 2:
+            raise ValueError("-If aggregate takes (args..., cond)")
+        *cols, cond = args
+        return base(*[F.when(cond, c) for c in cols])
+
+    return wrapped
+
+
+for _b in _IF_BASES:
+    _k = _b + "If"
+    if _b in AGGREGATE_FNS and _k not in AGGREGATE_FNS:
+        AGGREGATE_FNS[_k] = _if_combinator(AGGREGATE_FNS[_b])
+del _b, _k
+
+
+def _sequence_count(params: list, ts: Column, *conds: Column) -> Column:
+    """sequenceCount('pattern')(ts, cond1, ...) → how many
+    NON-OVERLAPPING chains match the pattern, scanning the ts-sorted
+    events once left-to-right and restarting after each completed
+    chain (ClickHouse's greedy semantics, made deterministic here by
+    the explicit ts sort). Same pattern subset as sequenceMatch —
+    ordered steps `(?N)` with gapped semantics plus at most one time
+    constraint per gap — and the same plan shape: collect_list +
+    array_sort + ONE O(1)-per-event JVM fold. The greedy scanner
+    keeps a single candidate chain, so its state is just (next step
+    index, time of the last matched step, count); gaps check against
+    that one timestamp (no min/max pair needed — contrast
+    sequenceMatch, which must decide reachability over ALL chains)."""
+    pattern = str(params[0])
+    steps, gaps = _parse_seq_pattern(pattern, len(conds))
+    n = len(steps)
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts.cast("long").alias("t"),
+                *[
+                    c.cast("boolean").alias(f"c{k}")
+                    for k, c in enumerate(conds)
+                ],
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("j"),
+        F.lit(None).cast("long").alias("lt"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+
+    def step(acc, e):
+        hit = F.lit(False)
+        for j, cidx in enumerate(steps):
+            cond_j = e[f"c{cidx}"]
+            if j > 0:
+                g = gaps[j - 1]
+                if g is not None:
+                    op, val = g
+                    d = e["t"] - acc["lt"]
+                    cond_j = cond_j & {
+                        "<=": d <= F.lit(val),
+                        "<": d < F.lit(val),
+                        ">=": d >= F.lit(val),
+                        ">": d > F.lit(val),
+                    }[op]
+            hit = F.when(acc["j"] == j, cond_j).otherwise(hit)
+        hit = F.coalesce(hit, F.lit(False))
+        nj = F.when(hit, acc["j"] + 1).otherwise(acc["j"])
+        done = nj == n
+        return F.struct(
+            F.when(done, F.lit(0)).otherwise(nj).alias("j"),
+            F.when(done, F.lit(None).cast("long"))
+            .otherwise(F.when(hit, e["t"]).otherwise(acc["lt"]))
+            .alias("lt"),
+            (
+                acc["cnt"]
+                + F.when(done, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ).alias("cnt"),
+        )
+
+    return F.aggregate(ev, init, step)["cnt"]
+
+
+PARAMETRIC_AGGS["sequenceCount"] = _sequence_count

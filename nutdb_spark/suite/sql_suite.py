@@ -2550,3 +2550,237 @@ def sql_config_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by l_returnflag order by l_returnflag
         """
     )
+
+
+@query(
+    "sql_agg_if",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) FILTER (l_tax > 0.02) AS u_tax,
+           arg_max(l_linestatus, l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber)
+             FILTER (l_quantity > 25) AS am,
+           arg_min(l_orderkey, l_orderkey)
+             FILTER (l_linestatus = 'F') AS first_f,
+           COALESCE(array_to_string(list_sort(
+             list(DISTINCT l_linestatus) FILTER (l_quantity > 48)), ','),
+             '') AS st_hi,
+           quantile_cont(l_quantity, 0.5)
+             FILTER (l_linestatus = 'F') AS med_f,
+           count(DISTINCT l_partkey) FILTER (l_discount = 0) AS u_nodisc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_agg_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the generated -If combinator family
+    (functions/registry.py `_if_combinator`): ClickHouse's
+    `<agg>If(args..., cond)` for every row-argument aggregate —
+    uniqExactIf, argMaxIf/argMinIf, groupUniqArrayIf, medianIf,
+    countUniqueIf here. Lowered by CASE-WHEN-wrapping every argument,
+    so the whole family stays ONE map-side-partial JVM hash aggregate
+    (standard SQL's FILTER clause, which the DuckDB oracle uses, is
+    the same plan). argMax's ordering key is made unique
+    (orderkey·10+linenumber) so the pick is tie-free on both
+    engines; the empty groupUniqArrayIf case is pinned ('' on both,
+    via COALESCE in the oracle — Spark's collect_set gives [] where
+    DuckDB's FILTERed list gives NULL)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               uniqExactIf(l_suppkey, l_tax > 0.02) as u_tax,
+               argMaxIf(l_linestatus, l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber,
+                        l_quantity > 25) as am,
+               argMinIf(l_orderkey, l_orderkey,
+                        l_linestatus = 'F') as first_f,
+               arrayStringConcat(
+                 groupUniqArrayIf(l_linestatus, l_quantity > 48), ',')
+                 as st_hi,
+               medianIf(l_quantity, l_linestatus = 'F') as med_f,
+               countUniqueIf(l_partkey, l_discount = 0) as u_nodisc
+        from lineitem group by l_returnflag order by l_returnflag
+        """,
+    )
+
+
+@query(
+    "sql_agg_misc",
+    """
+    WITH ds AS (
+      SELECT l_linestatus,
+             l_quantity - lag(l_quantity) OVER (
+               PARTITION BY l_linestatus
+               ORDER BY l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber) AS d
+      FROM lineitem)
+    SELECT l.l_linestatus,
+           CAST(FLOOR(SUM(l_quantity * l_linenumber)
+                      / SUM(l_linenumber) * 10000) AS BIGINT) AS aw_m,
+           CAST(FLOOR((arg_max(l_quantity, l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber)
+                       - arg_min(l_quantity, l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber))
+                      / (MAX(l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber)
+                         - MIN(l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber))
+                      * 1000000000) AS BIGINT) AS br_n,
+           CASE WHEN COUNT(DISTINCT l_linestatus) = 1
+                THEN MIN(l_linestatus) END AS sv,
+           SUM(l_quantity) AS sc_sum,
+           COUNT(l_quantity) AS sc_n,
+           MIN(l_quantity) FILTER (l_returnflag = 'N') AS mn_n,
+           MAX(l_quantity) FILTER (l_returnflag = 'R') AS mx_r,
+           (SELECT CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+            FROM ds WHERE ds.l_linestatus = l.l_linestatus) AS dsum
+    FROM lineitem l GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+    """,
+)
+def sql_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] weighted/positional/map aggregate surface: avgWeighted
+    (Σxw/Σw in one hash aggregate), boundingRatio (slope between the
+    group's leftmost and rightmost points — the x key is made unique
+    so the endpoint pick is tie-free), singleValueOrNull,
+    sumCount(x).sum/.count struct field access, minMap/maxMap merged
+    per-key maps indexed back to scalars, and deltaSumTimestamp (sum
+    of positive consecutive deltas in key order — the counter-rate
+    building block; the oracle replays it with a lag window). All
+    integer-valued inputs so every float op is exactly rounded on
+    both engines; floor-scaled where a division leaves the integer
+    grid."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_linestatus,
+               floor(avgWeighted(l_quantity, l_linenumber) * 10000) as aw_m,
+               floor(boundingRatio(l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber,
+                                   l_quantity) * 1000000000) as br_n,
+               singleValueOrNull(l_linestatus) as sv,
+               sumCount(l_quantity).sum as sc_sum,
+               sumCount(l_quantity).count as sc_n,
+               minMap([l_returnflag], [l_quantity])['N'] as mn_n,
+               maxMap([l_returnflag], [l_quantity])['R'] as mx_r,
+               floor(deltaSumTimestamp(l_quantity,
+                     l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber)) as dsum
+        from lineitem group by l_linestatus order by l_linestatus
+        """,
+    )
+
+
+@query(
+    "sql_seq_count",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events),
+    nmax AS (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS rn,
+             0 AS j1, CAST(NULL AS BIGINT) AS lt1, CAST(0 AS BIGINT) AS c1,
+             0 AS j2, CAST(NULL AS BIGINT) AS lt2, CAST(0 AS BIGINT) AS c2
+      FROM nmax
+      UNION ALL
+      SELECT w.user_id, e.rn,
+             CASE WHEN w.j1 = 0 AND e.event_type = 'view' THEN 1
+                  WHEN w.j1 = 1 AND e.event_type = 'purchase' THEN 0
+                  ELSE w.j1 END,
+             CASE WHEN w.j1 = 0 AND e.event_type = 'view' THEN e.t
+                  WHEN w.j1 = 1 AND e.event_type = 'purchase' THEN NULL
+                  ELSE w.lt1 END,
+             w.c1 + CASE WHEN w.j1 = 1 AND e.event_type = 'purchase'
+                         THEN 1 ELSE 0 END,
+             CASE WHEN w.j2 = 0 AND e.event_type = 'view' THEN 1
+                  WHEN w.j2 = 1 AND e.event_type = 'purchase'
+                       AND e.t - w.lt2 <= 3600000000 THEN 0
+                  ELSE w.j2 END,
+             CASE WHEN w.j2 = 0 AND e.event_type = 'view' THEN e.t
+                  WHEN w.j2 = 1 AND e.event_type = 'purchase'
+                       AND e.t - w.lt2 <= 3600000000 THEN NULL
+                  ELSE w.lt2 END,
+             w.c2 + CASE WHEN w.j2 = 1 AND e.event_type = 'purchase'
+                         AND e.t - w.lt2 <= 3600000000 THEN 1 ELSE 0 END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+    fin AS (
+      SELECT w.user_id, w.c1, w.c2
+      FROM walk w JOIN nmax n ON n.user_id = w.user_id AND w.rn = n.mx)
+    SELECT CAST(SUM(c1) AS BIGINT) AS total_vp,
+           CAST(SUM(c2) AS BIGINT) AS total_vp_1h,
+           MAX(c1) AS max_vp,
+           COUNT(*) FILTER (c2 > 0) AS users_quick,
+           COUNT(*) AS n_users
+    FROM fin
+    """,
+)
+def sql_seq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sequenceCount('pattern')(ts, cond...) — the COUNT
+    sibling of sequenceMatch: how many non-overlapping chains match,
+    scanning each group's ts-sorted events once, greedily, restarting
+    after each completed chain (ClickHouse semantics, deterministic
+    here via the explicit sort). Both the plain `(?1)(?2)` form and a
+    time-constrained `(?1)(?t<=1h)(?2)` gap. One O(1)-per-event JVM
+    fold per user inside a single hash aggregate — the same bounded
+    per-group-state contract as windowFunnel. The DuckDB oracle
+    replays the greedy automaton literally with a recursive CTE over
+    the row-numbered events (both pattern states walked in one
+    recursion)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with per_user as (
+          select user_id,
+                 sequenceCount('(?1)(?2)')(
+                   toUnixMicros(ts),
+                   event_type = 'view', event_type = 'purchase') as c1,
+                 sequenceCount('(?1)(?t<=3600000000)(?2)')(
+                   toUnixMicros(ts),
+                   event_type = 'view', event_type = 'purchase') as c2
+          from events group by user_id)
+        select sum(c1) as total_vp, sum(c2) as total_vp_1h,
+               max(c1) as max_vp,
+               countIf(c2 > 0) as users_quick,
+               count() as n_users
+        from per_user
+        """,
+    )
+
+
+@query(
+    "sql_dicthas",
+    """
+    WITH probes AS (
+      SELECT (l.l_orderkey IN (SELECT o_orderkey FROM orders)) AS h_ord,
+             (-l.l_orderkey IN (SELECT o_orderkey FROM orders)) AS h_neg,
+             ((l.l_suppkey % 8) IN (SELECT r_regionkey FROM region))
+               AS h_reg
+      FROM lineitem l)
+    SELECT COUNT(*) FILTER (h_ord) AS n_hit,
+           COUNT(*) FILTER (h_neg) AS n_miss,
+           COUNT(*) FILTER (h_reg) AS n_reg,
+           COUNT(*) AS n
+    FROM probes
+    """,
+)
+def sql_dicthas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] dictHas('table', key) — dictionary membership, riding
+    the dictGet machinery with the key column probed as its own
+    value (frontend/lower.py `_dict_has`), so it inherits BOTH
+    regimes exercised here at sf0.01: region (5 rows → literal map
+    folded into the expression, zero joins) and orders (15k rows →
+    automatic duplicate-key-guarded broadcast LEFT join; the probe
+    side streams). The oracle is the IN-subquery (hash semi join)
+    spelling the function replaces."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with probes as (
+          select dictHas('orders', l_orderkey) as h_ord,
+                 dictHas('orders', -l_orderkey) as h_neg,
+                 dictHas('region', l_suppkey % 8) as h_reg
+          from lineitem)
+        select countIf(h_ord) as n_hit,
+               countIf(h_neg) as n_miss,
+               countIf(h_reg) as n_reg,
+               count() as n
+        from probes
+        """,
+    )

@@ -1,0 +1,274 @@
+"""Pins for the late-round-8 aggregate surface:
+
+- the generated -If combinator family (CASE-WHEN-wrapped arguments ≡
+  standard SQL FILTER) — null-skip semantics, multi-argument bases,
+  empty-match behavior;
+- avgWeighted / boundingRatio / singleValueOrNull / sumCount /
+  minMap / maxMap;
+- deltaSumTimestamp (and the documented deltaSum refusal);
+- sequenceCount's greedy non-overlap semantics and time constraints;
+- dictHas in both dictGet regimes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nutdb_spark.engine import NutEngine
+from nutdb_spark.frontend.lower import LoweringError
+from nutdb_spark.functions.registry import AGGREGATE_FNS, PARAMETRIC_AGGS
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    return NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+
+
+@pytest.fixture(scope="module")
+def gdf(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, "a", 1.0),
+            (1, 20, "b", 2.0),
+            (1, 30, "a", 4.0),
+            (1, None, "z", 9.0),
+            (2, 5, "c", 3.0),
+        ],
+        "g int, v int, s string, w double",
+    )
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+class TestIfCombinator:
+    def test_matches_filter_semantics(self, gdf):
+        cond = F.col("s") != "b"
+        got = _one(
+            gdf.filter("g = 1").agg(
+                AGGREGATE_FNS["uniqExactIf"](F.col("s"), cond).alias("u"),
+                AGGREGATE_FNS["argMaxIf"](
+                    F.col("s"), F.col("v"), cond
+                ).alias("am"),
+                AGGREGATE_FNS["argMinIf"](
+                    F.col("s"), F.col("v"), cond
+                ).alias("an"),
+                AGGREGATE_FNS["medianIf"](F.col("v"), cond).alias("md"),
+            )
+        )
+        # rows kept: (10,a) (30,a) (null,z); uniqExact counts distinct s
+        assert got["u"] == 2
+        assert got["am"] == "a" and got["an"] == "a"
+        assert got["md"] == 20.0
+
+    def test_no_match_yields_null_or_zero(self, gdf):
+        cond = F.lit(False)
+        got = _one(
+            gdf.agg(
+                AGGREGATE_FNS["uniqExactIf"](F.col("s"), cond).alias("u"),
+                AGGREGATE_FNS["argMaxIf"](
+                    F.col("s"), F.col("v"), cond
+                ).alias("am"),
+                AGGREGATE_FNS["groupUniqArrayIf"](
+                    F.col("s"), cond
+                ).alias("ga"),
+            )
+        )
+        assert got["u"] == 0
+        assert got["am"] is None
+        assert got["ga"] == []
+
+    def test_two_argument_base_conditions_both_args(self, gdf):
+        # corrIf must drop the whole ROW when cond fails, not mix a
+        # conditioned x with an unconditioned y
+        cond = F.col("v") < 25
+        got = _one(
+            gdf.filter("g = 1").agg(
+                AGGREGATE_FNS["corrIf"](
+                    F.col("v").cast("double"), F.col("w"), cond
+                ).alias("c")
+            )
+        )
+        # kept pairs: (10,1.0),(20,2.0) → perfect correlation
+        assert got["c"] == pytest.approx(1.0)
+
+    def test_sql_surface_resolves(self, eng):
+        df = eng.sql(
+            "select uniqExactIf(n_nationkey, n_regionkey = 0) as u "
+            "from nation"
+        )
+        assert df.collect()[0]["u"] > 0
+
+
+class TestMiscAggregates:
+    def test_avg_weighted(self, gdf):
+        got = _one(
+            gdf.filter("g = 1").agg(
+                AGGREGATE_FNS["avgWeighted"](F.col("v"), F.col("w")).alias(
+                    "aw"
+                )
+            )
+        )
+        # x-null row contributes NO weight: (10+40+120)/(1+2+4)
+        assert got["aw"] == pytest.approx(170.0 / 7.0)
+
+    def test_avg_weighted_zero_weight_is_null(self, spark):
+        df = spark.createDataFrame([(1, 0.0), (2, 0.0)], "v int, w double")
+        got = _one(
+            df.agg(
+                AGGREGATE_FNS["avgWeighted"](F.col("v"), F.col("w")).alias(
+                    "aw"
+                )
+            )
+        )
+        assert got["aw"] is None
+
+    def test_bounding_ratio_and_single_point(self, gdf):
+        got = gdf.groupBy("g").agg(
+            AGGREGATE_FNS["boundingRatio"](F.col("v"), F.col("w")).alias(
+                "br"
+            )
+        )
+        by_g = {r["g"]: r["br"] for r in got.collect()}
+        # g=1: (w@v=30 − w@v=10)/(30−10) = (4−1)/20
+        assert by_g[1] == pytest.approx(0.15)
+        assert by_g[2] is None  # zero width
+
+    def test_single_value_or_null(self, gdf):
+        got = gdf.groupBy("g").agg(
+            AGGREGATE_FNS["singleValueOrNull"](F.col("g")).alias("sv"),
+            AGGREGATE_FNS["singleValueOrNull"](F.col("s")).alias("sv2"),
+        )
+        by_g = {r["g"]: (r["sv"], r["sv2"]) for r in got.collect()}
+        assert by_g[1] == (1, None)  # 4 distinct s values
+        assert by_g[2] == (2, "c")
+
+    def test_sum_count_struct(self, gdf):
+        got = _one(
+            gdf.filter("g = 1").agg(
+                AGGREGATE_FNS["sumCount"](F.col("v")).alias("sc")
+            )
+        )
+        assert got["sc"]["sum"] == 60 and got["sc"]["count"] == 3
+
+    def test_min_max_map(self, gdf):
+        got = _one(
+            gdf.filter("g = 1").agg(
+                AGGREGATE_FNS["minMap"](
+                    F.array("s"), F.array("v")
+                ).alias("mn"),
+                AGGREGATE_FNS["maxMap"](
+                    F.array("s"), F.array("v")
+                ).alias("mx"),
+            )
+        )
+        assert got["mn"] == {"a": 10, "b": 20, "z": None}
+        assert got["mx"] == {"a": 30, "b": 20, "z": None}
+
+
+class TestDeltaSum:
+    def test_delta_sum_timestamp(self, spark):
+        # values by ts order: 5, 8, 3, 10 → +3 +7 = 10
+        df = spark.createDataFrame(
+            [(4, 10.0), (1, 5.0), (3, 3.0), (2, 8.0)], "t int, v double"
+        )
+        got = _one(
+            df.agg(
+                AGGREGATE_FNS["deltaSumTimestamp"](
+                    F.col("v"), F.col("t")
+                ).alias("d")
+            )
+        )
+        assert got["d"] == 10.0
+
+    def test_delta_sum_refuses(self, eng):
+        with pytest.raises(Exception, match="deltaSumTimestamp"):
+            eng.sql("select deltaSum(l_quantity) as d from lineitem")
+
+
+class TestSequenceCount:
+    def _count(self, spark, events, pattern, n_conds=2):
+        df = spark.createDataFrame(events, "t int, e string")
+        conds = [F.col("e") == chr(ord("A") + k) for k in range(n_conds)]
+        return _one(
+            df.agg(
+                PARAMETRIC_AGGS["sequenceCount"](
+                    [pattern], F.col("t"), *conds
+                ).alias("c")
+            )
+        )["c"]
+
+    def test_greedy_non_overlap(self, spark):
+        ev = [(1, "A"), (2, "B"), (3, "A"), (4, "B"), (5, "A")]
+        assert self._count(spark, ev, "(?1)(?2)") == 2
+        # one A, many B: a single chain, then no A to restart
+        ev2 = [(1, "A"), (2, "B"), (3, "B"), (4, "B")]
+        assert self._count(spark, ev2, "(?1)(?2)") == 1
+
+    def test_time_constraints(self, spark):
+        ev = [(1, "A"), (2, "B"), (10, "A"), (40, "B")]
+        assert self._count(spark, ev, "(?1)(?t<=5)(?2)") == 1
+        assert self._count(spark, ev, "(?1)(?t<=30)(?2)") == 2
+        assert self._count(spark, ev, "(?1)(?t>5)(?2)") == 1
+
+    def test_three_steps(self, spark):
+        ev = [(1, "A"), (2, "B"), (3, "C"), (4, "A"), (5, "B"), (6, "C")]
+        assert self._count(spark, ev, "(?1)(?2)(?3)", 3) == 2
+
+    def test_matches_sequence_match_when_positive(self, spark):
+        ev = [(1, "A"), (2, "B")]
+        df = spark.createDataFrame(ev, "t int, e string")
+        conds = [F.col("e") == "A", F.col("e") == "B"]
+        got = _one(
+            df.agg(
+                PARAMETRIC_AGGS["sequenceCount"](
+                    ["(?1)(?2)"], F.col("t"), *conds
+                ).alias("c"),
+                PARAMETRIC_AGGS["sequenceMatch"](
+                    ["(?1)(?2)"], F.col("t"), *conds
+                ).alias("m"),
+            )
+        )
+        assert (got["c"] > 0) == got["m"]
+
+
+class TestDictHas:
+    def test_literal_regime(self, eng):
+        rows = eng.sql(
+            "select n_nationkey, dictHas('region', n_nationkey) as h "
+            "from nation order by n_nationkey"
+        ).collect()
+        n_regions = eng.resolve_table("region").count()
+        for r in rows:
+            assert r["h"] == (r["n_nationkey"] < n_regions)
+
+    def test_broadcast_regime(self, spark, eng):
+        big = spark.range(0, 20001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        real = eng.resolve_table
+        eng.resolve_table = lambda n: big if n == "bigdict" else real(n)
+        got = eng.sql(
+            "select countIf(h) as h, count() as n from "
+            "(select dictHas('bigdict', n_nationkey) as h from nation) "
+            "as p"
+        ).collect()[0]
+        assert got["h"] == got["n"]  # every nationkey < 20001
+        # aggregate-argument position cannot host the broadcast join:
+        # the documented loud failure, not a silent wrong answer
+        with pytest.raises(LoweringError, match="broadcast"):
+            eng.sql(
+                "select countIf(dictHas('bigdict', n_nationkey)) as h "
+                "from nation"
+            )
+
+    def test_wrong_arity_raises(self, eng):
+        with pytest.raises(LoweringError, match="dictHas"):
+            eng.sql("select dictHas('region') as h from nation")
