@@ -2822,6 +2822,19 @@ class Lowerer:
             return self._dict_get(e, scope, group_map, agg_calls, pending)
         if e.name.lower() == "dicthas":
             return self._dict_has(e, scope, group_map, agg_calls, pending)
+        if e.name.lower() == "tupleelement":
+            # tupleElement(t, 1) / tupleElement(t, 'name') — the index
+            # is a compile-time literal resolving a struct field:
+            # positional for tuple()'s _1.._n fields, by name for any
+            # named struct (e.g. sumCount's .sum/.count)
+            if len(e.args) != 2 or not isinstance(e.args[1], A.Lit):
+                raise LoweringError(
+                    "tupleElement takes (tuple, literal index or name)"
+                )
+            t = self._expr(e.args[0], scope, group_map, agg_calls, pending)
+            idx = e.args[1].value
+            field = f"_{idx}" if isinstance(idx, int) else str(idx)
+            return t.getField(field)
         try:
             fn, is_agg = resolve(e.name)
         except KeyError as ex:
@@ -2892,6 +2905,9 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "age": (0,),
     "format": (0,),
     "extract": (1,),
+    "extractall": (1,),
+    "dateadd": (0,),
+    "datesub": (0,),
     "concatwithseparator": (0,),
     "arraystringconcat": (1,),
 }

@@ -1258,3 +1258,235 @@ def _sequence_count(params: list, ts: Column, *conds: Column) -> Column:
 
 
 PARAMETRIC_AGGS["sequenceCount"] = _sequence_count
+
+
+# --- [EXT] tier-4 scalar surface ----------------------------------------
+# The remaining everyday ClickHouse scalar names a migrating user
+# types — all pure JVM built-ins (never Python), registered in bulk.
+
+# string search / split / shape
+SCALAR_FNS["multiSearchAny"] = lambda h, needles: F.exists(
+    needles, lambda n: F.contains(h, n)
+)
+SCALAR_FNS["trimLeft"] = F.ltrim
+SCALAR_FNS["trimRight"] = F.rtrim
+SCALAR_FNS["trimBoth"] = F.trim
+SCALAR_FNS["space"] = lambda n: F.repeat(F.lit(" "), n.cast("int"))
+# CH arg order (separator first) matches splitByChar above
+SCALAR_FNS["splitByRegexp"] = lambda sep, s: F.split(s, sep)
+SCALAR_FNS["splitByWhitespace"] = lambda s: F.filter(
+    F.split(s, r"\s+"), lambda x: x != ""
+)
+SCALAR_FNS["alphaTokens"] = lambda s: F.filter(
+    F.split(s, "[^A-Za-z]+"), lambda x: x != ""
+)
+# Spark strings are UTF-8 native: the UTF8-suffixed names are the
+# plain functions (CH splits them because its plain forms are
+# byte-oriented)
+SCALAR_FNS["lengthUTF8"] = F.length
+SCALAR_FNS["lowerUTF8"] = F.lower
+SCALAR_FNS["upperUTF8"] = F.upper
+SCALAR_FNS["ascii"] = F.ascii
+SCALAR_FNS["char"] = lambda *ns: F.concat(
+    *[F.char(n.cast("long")) for n in ns]
+)
+SCALAR_FNS["bin"] = F.bin
+
+
+def _replace_one(h: Column, a: Column, b: Column) -> Column:
+    """replaceOne(haystack, pattern, replacement) — first literal
+    occurrence only (replaceAll/regexp live elsewhere). Pure splice:
+    locate + two substrings, all codegen."""
+    pos = F.instr(h, a)
+    return F.when(pos == 0, h).otherwise(
+        F.concat(
+            F.substr(h, F.lit(1), pos - 1),
+            b,
+            F.substr(h, pos + F.length(a)),
+        )
+    )
+
+
+SCALAR_FNS["replaceOne"] = _replace_one
+
+
+def _extract_all(s: Column, pat: str) -> Column:
+    """extractAll(haystack, re) — every match, as array<string>.
+    ClickHouse extracts capture group 1 when the pattern has one,
+    else the whole match; the pattern is a compile-time literal
+    (raw-arg), so the group sniff happens at lowering."""
+    import re as _re
+
+    grp = 1 if _re.compile(pat).groups >= 1 else 0
+    return F.regexp_extract_all(s, F.lit(pat), grp)
+
+
+SCALAR_FNS["extractAll"] = _extract_all
+
+
+def _format_readable_size(b: Column) -> Column:
+    """formatReadableSize(bytes) → '1.23 MiB' — the CH admin-query
+    staple; chained when over the 1024 ladder, %.2f (no thousands
+    separators, matching CH)."""
+    x = b.cast("double")
+    units = ["B", "KiB", "MiB", "GiB", "TiB", "PiB"]
+    out = F.format_string(
+        "%.2f EiB", x / F.lit(float(1024**6))
+    )
+    for i in reversed(range(len(units))):
+        scaled = x / F.lit(float(1024**i))
+        out = F.when(
+            x < F.lit(float(1024 ** (i + 1))),
+            F.format_string(f"%.2f {units[i]}", scaled),
+        ).otherwise(out)
+    return out
+
+
+SCALAR_FNS["formatReadableSize"] = _format_readable_size
+
+# math
+SCALAR_FNS["log1p"] = F.log1p
+SCALAR_FNS["degrees"] = F.degrees
+SCALAR_FNS["radians"] = F.radians
+SCALAR_FNS["sinh"] = F.sinh
+SCALAR_FNS["cosh"] = F.cosh
+SCALAR_FNS["tanh"] = F.tanh
+SCALAR_FNS["e"] = lambda: F.lit(2.718281828459045)
+SCALAR_FNS["power"] = F.pow  # ANSI spelling of pow
+
+# exact integer exponentials (pow would round past 2^53 / 10^15)
+SCALAR_FNS["intExp2"] = lambda n: F.when(
+    n < 0, F.lit(0).cast("long")
+).otherwise(
+    F.call_function("shiftleft", F.lit(1).cast("long"), n.cast("int"))
+)
+
+
+def _int_exp10(n: Column) -> Column:
+    nn = n.cast("int")
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(nn, F.lit(1))),
+        F.lit(1).cast("long"),
+        lambda acc, _: acc * 10,
+    )
+    return (
+        F.when(nn < 0, F.lit(0).cast("long"))
+        .when(nn == 0, F.lit(1).cast("long"))
+        .otherwise(fold)
+    )
+
+
+SCALAR_FNS["intExp10"] = _int_exp10
+
+
+def _round_to_exp2(x: Column) -> Column:
+    """roundToExp2(x) — round DOWN to the nearest power of two
+    (<1 → 0). Exact via the binary-string length of the integer part
+    (no float log2 at the boundaries)."""
+    xi = x.cast("long")
+    return F.when(xi < 1, F.lit(0).cast("long")).otherwise(
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.length(F.bin(xi)).cast("int") - 1,
+        )
+    )
+
+
+SCALAR_FNS["roundToExp2"] = _round_to_exp2
+# roundDown(x, arr) — largest array element <= x, first element when
+# x is below all of them (CH convention)
+SCALAR_FNS["roundDown"] = lambda x, arr: F.coalesce(
+    F.array_max(F.filter(arr, lambda e: e <= x)), F.element_at(arr, 1)
+)
+
+# bit surface (function spellings of the E8 operators)
+SCALAR_FNS["bitTest"] = lambda x, n: (
+    F.call_function("shiftright", x.cast("long"), n.cast("int")) % 2
+).cast("int")
+SCALAR_FNS["bitShiftLeft"] = lambda x, n: F.call_function(
+    "shiftleft", x.cast("long"), n.cast("int")
+)
+SCALAR_FNS["bitShiftRight"] = lambda x, n: F.call_function(
+    "shiftright", x.cast("long"), n.cast("int")
+)
+SCALAR_FNS["bitAnd"] = lambda a, b: a.cast("long").bitwiseAND(b.cast("long"))
+SCALAR_FNS["bitOr"] = lambda a, b: a.cast("long").bitwiseOR(b.cast("long"))
+SCALAR_FNS["bitXor"] = lambda a, b: a.cast("long").bitwiseXOR(b.cast("long"))
+SCALAR_FNS["bitNot"] = lambda a: F.bitwise_not(a.cast("long"))
+
+# arithmetic function spellings
+SCALAR_FNS["plus"] = lambda a, b: a + b
+SCALAR_FNS["minus"] = lambda a, b: a - b
+SCALAR_FNS["multiply"] = lambda a, b: a * b
+SCALAR_FNS["divide"] = lambda a, b: a / b
+SCALAR_FNS["negate"] = lambda a: -a
+
+# dates
+SCALAR_FNS["toStartOfQuarter"] = lambda d: F.date_trunc(
+    "quarter", d
+).cast("date")
+SCALAR_FNS["toISOWeek"] = F.weekofyear
+SCALAR_FNS["yesterday"] = lambda: F.date_sub(F.current_date(), 1)
+
+_ADD_MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _date_add(unit: str, n: Column, d: Column) -> Column:
+    """dateAdd('unit', n, date) / dateSub — CH's generic date
+    arithmetic. day/week/month/quarter/year keep the date type
+    (date_add/add_months); hour/minute/second promote to timestamp
+    via make_interval. The unit is a compile-time literal
+    (raw-arg)."""
+    u = unit.lower().rstrip("s")
+    nn = n.cast("int")
+    if u == "day":
+        return F.date_add(d, nn)
+    if u == "week":
+        return F.date_add(d, nn * 7)
+    if u in _ADD_MONTH_UNITS:
+        return F.add_months(d, nn * _ADD_MONTH_UNITS[u])
+    if u in ("hour", "minute", "second"):
+        zero = F.lit(0)
+        parts = {
+            "hour": (nn, zero, zero),
+            "minute": (zero, nn, zero),
+            "second": (zero, zero, nn.cast("double")),
+        }[u]
+        return d.cast("timestamp") + F.make_interval(
+            zero, zero, zero, zero, parts[0], parts[1], parts[2]
+        )
+    raise ValueError(f"dateAdd: unsupported unit {unit!r}")
+
+
+SCALAR_FNS["dateAdd"] = _date_add
+SCALAR_FNS["dateSub"] = lambda unit, n, d: _date_add(unit, -n, d)
+
+# hashes — stable 64-bit within THIS engine (xxhash64 under both CH
+# names: the CH algorithms are engine-internal and their values are
+# not portable anyway; documented deviation)
+SCALAR_FNS["cityHash64"] = F.xxhash64
+SCALAR_FNS["sipHash64"] = F.xxhash64
+
+# misc
+SCALAR_FNS["toTypeName"] = lambda c: F.call_function("typeof", c)
+SCALAR_FNS["toNullable"] = lambda c: c  # every Spark column is nullable
+SCALAR_FNS["emptyArrayString"] = lambda: F.array().cast("array<string>")
+SCALAR_FNS["mapFromArrays"] = F.map_from_arrays
+SCALAR_FNS["array"] = F.array
+# tuple(...) → struct with CH-style positional fields _1.._n
+# (tupleElement resolves them; named structs resolve by name)
+SCALAR_FNS["tuple"] = lambda *cs: F.struct(
+    *[c.alias(f"_{i + 1}") for i, c in enumerate(cs)]
+)
+
+# nondeterministic generators (rows-only by nature, like random())
+SCALAR_FNS["uuid"] = lambda: F.call_function("uuid")
+SCALAR_FNS["generateUUIDv4"] = lambda: F.call_function("uuid")
+SCALAR_FNS["rand"] = lambda: (F.rand() * F.lit(4294967296.0)).cast("long")
+SCALAR_FNS["rand64"] = lambda: (
+    F.rand() * F.lit(float(2**63))
+).cast("long")
+SCALAR_FNS["randCanonical"] = F.rand
+SCALAR_FNS["randUniform"] = lambda a, b: a + F.rand() * (b - a)
+SCALAR_FNS["randNormal"] = lambda m, s: m + F.randn() * s

@@ -67,14 +67,16 @@ _PRIORITY = [
     "sql_dictget_broadcast", "sql_group_order_all", "sql_apply_modifier",
     "sql_any_join", "sql_grouping_fn", "sql_asof_using", "sql_uniq_upto",
     "sql_agg_if", "sql_agg_misc", "sql_seq_count", "sql_dicthas",
-    # --- (3) stalest re-grades: last driver row r4 (11; the four
-    # displaced by the late-round registrations — q_fn_substring,
-    # q_join_broadcast, q_join_salted, q_multimodal_frames — join the
-    # ROUND-9 re-grade pool, all already r4-green) ---
+    "sql_fn_tier4",
+    # --- (3) stalest re-grades: last driver row r4 (10; the five
+    # displaced by the late-round registrations — q_fn_strings,
+    # q_fn_substring, q_join_broadcast, q_join_salted,
+    # q_multimodal_frames — join the ROUND-9 re-grade pool, all
+    # already r4-green) ---
     "q_ddl_complex_types", "q_ddl_optimize", "q_dedup_exact_content",
     "q_dedup_simhash", "q_expr_between", "q_expr_index",
     "q_expr_interval", "q_expr_isnull", "q_expr_like",
-    "q_fn_count_unique", "q_fn_strings",
+    "q_fn_count_unique",
 ]
 
 

@@ -2784,3 +2784,95 @@ def sql_dicthas(spark: SparkSession, sf_dir: str) -> DataFrame:
         from probes
         """,
     )
+
+
+@query(
+    "sql_fn_tier4",
+    """
+    SELECT p_partkey,
+           (contains(p_name, 'al') OR contains(p_name, 'zz')) AS ms,
+           CASE WHEN strpos(p_name, 'a') = 0 THEN p_name
+                ELSE substr(p_name, 1, strpos(p_name, 'a') - 1) || '@'
+                     || substr(p_name, strpos(p_name, 'a') + 1) END AS ro,
+           array_to_string(regexp_extract_all(p_name, '[aeiou]+'), '')
+             AS ev,
+           trim('  ' || p_brand || ' ') AS tb,
+           array_to_string(list_filter(
+             string_split_regex(p_brand, '[^A-Za-z]+'), x -> x <> ''),
+             '.') AS al,
+           bin(p_size) AS bn,
+           printf('%.2f MiB', CAST(p_partkey + 1 AS DOUBLE)) AS fs,
+           CAST(1 << (p_size % 20) AS BIGINT) AS e2,
+           CAST(power(10, p_size % 15) AS BIGINT) AS e10,
+           CAST(1 << (length(ltrim(bin(p_size), '0')) - 1) AS BIGINT)
+             AS r2,
+           CAST(COALESCE(list_max(
+             list_filter([10, 25, 40], x -> x <= p_size)), 10) AS INT)
+             AS rd,
+           CAST((p_size >> 1) & 1 AS INT) AS bt,
+           CAST(p_size << 3 AS BIGINT) AS bsl,
+           CAST(p_size & 12 AS BIGINT) AS ba,
+           CAST(p_size | 1 AS BIGINT) AS bo,
+           CAST(xor(p_size, 5) AS BIGINT) AS bx,
+           CAST(~p_size AS BIGINT) AS bnn,
+           p_size + 2 AS pl, p_size - 2 AS mi, p_size * 3 AS mu,
+           -p_size AS ng,
+           date_trunc('quarter',
+             date '2024-01-01' + INTERVAL (p_size * 7) DAY)::DATE AS q,
+           CAST(weekofyear(
+             date '2024-01-01' + INTERVAL (p_size) DAY) AS INT) AS iw,
+           (date '2024-12-15' - INTERVAL (p_size % 12) MONTH)::DATE
+             AS dsb,
+           p_brand AS te
+    FROM part WHERE p_partkey < 150
+    ORDER BY p_partkey
+    """,
+)
+def sql_fn_tier4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-4 scalar surface, driver-graded: multiSearchAny,
+    replaceOne (locate + splice, no regex), extractAll (lowering-time
+    capture-group sniff on the literal pattern), trimBoth,
+    alphaTokens, bin, formatReadableSize (CH's 1024-ladder %.2f),
+    exact intExp2/intExp10 (shift / integer fold — pow would round
+    past 2^53), roundToExp2 (binary-string length, no float log2 at
+    the boundaries), roundDown, the bitTest/bitShift/bitAnd...
+    function spellings, plus/minus/multiply/negate, date helpers
+    (toStartOfQuarter, toISOWeek, dateAdd/dateSub with raw unit
+    literal), and tuple/tupleElement (struct _1.._n fields). All JVM
+    codegen; the DuckDB oracle spells each via its own built-ins."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select p_partkey,
+               multiSearchAny(p_name, ['al', 'zz']) as ms,
+               replaceOne(p_name, 'a', '@') as ro,
+               arrayStringConcat(extractAll(p_name, '[aeiou]+'), '') as ev,
+               trimBoth('  ' + p_brand + ' ') as tb,
+               arrayStringConcat(alphaTokens(p_brand), '.') as al,
+               bin(p_size) as bn,
+               formatReadableSize((p_partkey + 1) * 1048576) as fs,
+               intExp2(p_size % 20) as e2,
+               intExp10(p_size % 15) as e10,
+               roundToExp2(p_size) as r2,
+               roundDown(p_size, [10, 25, 40]) as rd,
+               bitTest(p_size, 1) as bt,
+               bitShiftLeft(p_size, 3) as bsl,
+               bitAnd(p_size, 12) as ba,
+               bitOr(p_size, 1) as bo,
+               bitXor(p_size, 5) as bx,
+               bitNot(p_size) as bnn,
+               plus(p_size, 2) as pl,
+               minus(p_size, 2) as mi,
+               multiply(p_size, 3) as mu,
+               negate(p_size) as ng,
+               toStartOfQuarter(dateAdd('day', p_size * 7,
+                                        toDate('2024-01-01'))) as q,
+               toISOWeek(dateAdd('day', p_size,
+                                 toDate('2024-01-01'))) as iw,
+               dateSub('month', p_size % 12, toDate('2024-12-15')) as dsb,
+               tupleElement(tuple(p_size, p_brand), 2) as te
+        from part where p_partkey < 150
+        order by p_partkey
+        """,
+    )

@@ -272,3 +272,69 @@ class TestDictHas:
     def test_wrong_arity_raises(self, eng):
         with pytest.raises(LoweringError, match="dictHas"):
             eng.sql("select dictHas('region') as h from nation")
+
+
+class TestTier4Scalars:
+    """The tier-4 names whose outputs are nondeterministic or
+    engine-typed (not oracle-able) — pinned here instead."""
+
+    def test_uuid_and_rand_shapes(self, eng):
+        r = eng.sql(
+            "select uuid() as u, generateUUIDv4() as u2, rand() as r32, "
+            "rand64() as r64, randCanonical() as rc, "
+            "randUniform(5, 6) as ru, randNormal(0, 1) as rn "
+            "from nation limit 3"
+        ).collect()
+        assert len({row["u"] for row in r}) == 3  # distinct per row
+        for row in r:
+            assert len(row["u"]) == 36 and row["u"].count("-") == 4
+            assert 0 <= row["r32"] < 2**32
+            assert 0 <= row["rc"] < 1.0
+            assert 5.0 <= row["ru"] < 6.0
+
+    def test_to_type_name(self, eng):
+        r = eng.sql(
+            "select toTypeName(n_nationkey) as a, toTypeName('x') as b, "
+            "toTypeName(1.5) as c from nation limit 1"
+        ).collect()[0]
+        assert r["a"] in ("int", "bigint") and r["b"] == "string"
+        assert r["c"] == "double"
+
+    def test_date_add_subday_promotes(self, eng):
+        r = eng.sql(
+            "select dateAdd('hour', 5, toDate('2024-01-01')) as h, "
+            "dateAdd('minute', 90, toDate('2024-01-01')) as m, "
+            "dateSub('second', 30, toDate('2024-01-01')) as s "
+            "from nation limit 1"
+        ).collect()[0]
+        assert str(r["h"]) == "2024-01-01 05:00:00"
+        assert str(r["m"]) == "2024-01-01 01:30:00"
+        assert str(r["s"]) == "2023-12-31 23:59:30"
+
+    def test_date_add_bad_unit_raises(self, eng):
+        with pytest.raises(Exception, match="unsupported unit"):
+            eng.sql(
+                "select dateAdd('fortnight', 1, toDate('2024-01-01')) "
+                "as x from nation limit 1"
+            ).collect()
+
+    def test_tuple_element_bad_arg_raises(self, eng):
+        with pytest.raises(LoweringError, match="tupleElement"):
+            eng.sql(
+                "select tupleElement(tuple(1, 2), n_nationkey) as x "
+                "from nation limit 1"
+            )
+
+    def test_misc_edges(self, eng):
+        r = eng.sql(
+            "select intExp2(-1) as a, intExp10(-2) as b, "
+            "roundToExp2(0) as c, formatReadableSize(0) as d, "
+            "multiSearchAny('x', emptyArrayString()) as e, "
+            "toNullable(7) as f, char(72, 105) as g, "
+            "mapFromArrays(['a'], [1])['a'] as h "
+            "from nation limit 1"
+        ).collect()[0]
+        assert (r["a"], r["b"], r["c"]) == (0, 0, 0)
+        assert r["d"] == "0.00 B"
+        assert r["e"] is False
+        assert r["f"] == 7 and r["g"] == "Hi" and r["h"] == 1
