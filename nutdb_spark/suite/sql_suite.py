@@ -2606,59 +2606,92 @@ def sql_agg_if(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_agg_misc",
     """
-    WITH ds AS (
-      SELECT l_linestatus,
+    WITH uk AS (
+      SELECT l_orderkey, l_quantity, l_linenumber, l_returnflag,
+             l_linestatus,
+             l_orderkey * 100000000 + l_partkey * 10000
+               + l_suppkey * 10 + l_linenumber AS k
+      FROM lineitem),
+    d AS (
+      SELECT l_orderkey,
              l_quantity - lag(l_quantity) OVER (
-               PARTITION BY l_linestatus
-               ORDER BY l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber) AS d
-      FROM lineitem)
-    SELECT l.l_linestatus,
-           CAST(FLOOR(SUM(l_quantity * l_linenumber)
-                      / SUM(l_linenumber) * 10000) AS BIGINT) AS aw_m,
-           CAST(FLOOR((arg_max(l_quantity, l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber)
-                       - arg_min(l_quantity, l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber))
-                      / (MAX(l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber)
-                         - MIN(l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber))
-                      * 1000000000) AS BIGINT) AS br_n,
-           CASE WHEN COUNT(DISTINCT l_linestatus) = 1
-                THEN MIN(l_linestatus) END AS sv,
-           SUM(l_quantity) AS sc_sum,
-           COUNT(l_quantity) AS sc_n,
-           MIN(l_quantity) FILTER (l_returnflag = 'N') AS mn_n,
-           MAX(l_quantity) FILTER (l_returnflag = 'R') AS mx_r,
-           (SELECT CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
-            FROM ds WHERE ds.l_linestatus = l.l_linestatus) AS dsum
-    FROM lineitem l GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+               PARTITION BY l_orderkey ORDER BY k) AS dq
+      FROM uk),
+    per_order AS (
+      SELECT u.l_orderkey,
+             FLOOR(SUM(l_quantity * l_linenumber)
+                   / SUM(l_linenumber) * 10000) AS aw,
+             FLOOR((arg_max(l_quantity, k) - arg_min(l_quantity, k))
+                   / NULLIF(MAX(k) - MIN(k), 0) * 1000000000) AS br,
+             CASE WHEN COUNT(DISTINCT l_returnflag) = 1
+                  THEN MIN(l_returnflag) END AS sv,
+             SUM(l_quantity) AS ss,
+             COUNT(l_quantity) AS sc,
+             MIN(l_quantity) FILTER (l_linestatus = 'F') AS mf,
+             MAX(l_quantity) FILTER (l_linestatus = 'O') AS mo,
+             (SELECT SUM(CASE WHEN dq > 0 THEN dq ELSE 0 END)
+              FROM d WHERE d.l_orderkey = u.l_orderkey) AS ds
+      FROM uk u GROUP BY u.l_orderkey)
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(aw) AS BIGINT) AS s_aw,
+           CAST(SUM(br) AS BIGINT) AS s_br,
+           COUNT(sv) AS n_single,
+           SUM(ss) AS s_sum,
+           CAST(SUM(sc) AS BIGINT) AS s_cnt,
+           SUM(mf) AS s_mf,
+           SUM(mo) AS s_mo,
+           SUM(ds) AS s_ds
+    FROM per_order
     """,
 )
 def sql_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] weighted/positional/map aggregate surface: avgWeighted
     (Σxw/Σw in one hash aggregate), boundingRatio (slope between the
-    group's leftmost and rightmost points — the x key is made unique
-    so the endpoint pick is tie-free), singleValueOrNull,
-    sumCount(x).sum/.count struct field access, minMap/maxMap merged
-    per-key maps indexed back to scalars, and deltaSumTimestamp (sum
-    of positive consecutive deltas in key order — the counter-rate
-    building block; the oracle replays it with a lag window). All
-    integer-valued inputs so every float op is exactly rounded on
-    both engines; floor-scaled where a division leaves the integer
-    grid."""
+    group's leftmost and rightmost points over a tie-free unique x),
+    singleValueOrNull, sumCount(x).sum/.count struct field access,
+    minMap/maxMap merged per-key maps indexed back to scalars, and
+    deltaSumTimestamp (sum of positive consecutive deltas in key
+    order — the counter-rate building block; the oracle replays it
+    with a lag window). DESIGNED-FOR-SCALE SHAPE: the fold-backed
+    aggregates (deltaSumTimestamp, minMap/maxMap) hold O(group rows)
+    state, so the entry applies them per ORDER (bounded ≤7 rows per
+    group at every sf — the per-entity contract these event-style
+    aggregates are for, like windowFunnel per user) and re-aggregates
+    the per-order results distributively to a one-row summary;
+    sf0.1→sf1 slope stays linear with no hot group. All inputs
+    integer-valued so every float op is exactly rounded on both
+    engines; floor-scaled where a division leaves the integer grid."""
     return _run(
         spark,
         sf_dir,
         """
-        select l_linestatus,
-               floor(avgWeighted(l_quantity, l_linenumber) * 10000) as aw_m,
-               floor(boundingRatio(l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber,
-                                   l_quantity) * 1000000000) as br_n,
-               singleValueOrNull(l_linestatus) as sv,
-               sumCount(l_quantity).sum as sc_sum,
-               sumCount(l_quantity).count as sc_n,
-               minMap([l_returnflag], [l_quantity])['N'] as mn_n,
-               maxMap([l_returnflag], [l_quantity])['R'] as mx_r,
-               floor(deltaSumTimestamp(l_quantity,
-                     l_orderkey * 100000000 + l_partkey * 10000 + l_suppkey * 10 + l_linenumber)) as dsum
-        from lineitem group by l_linestatus order by l_linestatus
+        with per_order as (
+          select l_orderkey,
+                 floor(avgWeighted(l_quantity, l_linenumber) * 10000)
+                   as aw,
+                 floor(boundingRatio(l_orderkey * 100000000
+                         + l_partkey * 10000 + l_suppkey * 10
+                         + l_linenumber, l_quantity)
+                       * 1000000000) as br,
+                 singleValueOrNull(l_returnflag) as sv,
+                 sumCount(l_quantity).sum as ss,
+                 sumCount(l_quantity).count as sc,
+                 minMap([l_linestatus], [l_quantity])['F'] as mf,
+                 maxMap([l_linestatus], [l_quantity])['O'] as mo,
+                 deltaSumTimestamp(l_quantity,
+                   l_orderkey * 100000000 + l_partkey * 10000
+                   + l_suppkey * 10 + l_linenumber) as ds
+          from lineitem group by l_orderkey)
+        select count() as n_orders,
+               sum(aw) as s_aw,
+               sum(br) as s_br,
+               countIf(sv is not null) as n_single,
+               sum(ss) as s_sum,
+               sum(sc) as s_cnt,
+               sum(mf) as s_mf,
+               sum(mo) as s_mo,
+               sum(ds) as s_ds
+        from per_order
         """,
     )
 

@@ -80,6 +80,7 @@ def test_lowerings_are_lazy(spark):
                       # dictionary pinned at lowering time by design
                       # (regime probe collects ≤10k+1 rows)
                       "sql_dictget", "sql_dictget_broadcast",
+                      "sql_dicthas",
                       # CTAS builds the train/eval tables by design
                       "sql_table_fn_decon", "sql_table_fn_decon_drop",
                       # recursive CTEs iterate to a fixpoint by design

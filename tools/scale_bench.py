@@ -78,6 +78,14 @@ ENTRIES = [
     "q_sim_recall_pq",
     "q_stream_join_left",
     "q_ddl_view_aggregating",
+    # session-5 additions — -If combinator family, weighted/map/delta
+    # aggregates, sequenceCount, dictHas (both regimes), tier-4
+    # scalars (constant 150-row output, scan-bound)
+    "sql_agg_if",
+    "sql_agg_misc",
+    "sql_seq_count",
+    "sql_dicthas",
+    "sql_fn_tier4",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
