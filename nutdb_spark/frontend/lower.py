@@ -1964,7 +1964,8 @@ class Lowerer:
             (call, name)
             for call, name in agg_calls
             if call.params is not None
-            and call.name.lower() in ("topk", "topkweighted")
+            and call.name.lower()
+            in ("topk", "topkweighted", "grouparraysorted")
         ]
         if topk_calls and (
             group_cols or (modifier is None and group_sets is None)
@@ -2188,10 +2189,11 @@ class Lowerer:
         lvl1 = pre.where(x.isNotNull()).groupBy(
             *[F.col(n) for n in names], x.alias(val)
         )
-        if call.name.lower() == "topk":
-            lvl1 = lvl1.agg(F.count(F.lit(1)).alias(cnt))
-        else:
+        is_sorted = call.name.lower() == "grouparraysorted"
+        if call.name.lower() == "topkweighted":
             lvl1 = lvl1.agg(F.sum(args[1].cast("long")).alias(cnt))
+        else:
+            lvl1 = lvl1.agg(F.count(F.lit(1)).alias(cnt))
         key_cols = list(names)
         if sets_idx is not None:
             # one Expand over the DISTINCT-value frame (already shrunk
@@ -2204,25 +2206,71 @@ class Lowerer:
                 F.col(val),
             ).agg(F.sum(cnt).alias(cnt), gid_bits().alias(gid))
             key_cols = names + [gid]
-        order = [F.col(cnt).desc(), F.col(val).asc()]
+        if is_sorted:
+            # groupArraySorted(n): smallest n ELEMENTS ascending with
+            # duplicates — running count over the value-sorted distinct
+            # frame keeps only rows whose copies reach into the first n
+            # (≤ n rows survive per key), array_repeat rebuilds the
+            # duplicate elements from the counts
+            order = [F.col(val).asc()]
+        else:
+            order = [F.col(cnt).desc(), F.col(val).asc()]
+        cum = self._gen("tkcum")
         if key_cols:
-            rn = self._gen("rn")
             w = Window.partitionBy(
                 *[F.col(n) for n in key_cols]
             ).orderBy(*order)
-            top = (
-                lvl1.withColumn(rn, F.row_number().over(w))
-                .where(F.col(rn) <= k)
-                .drop(rn)
-            )
+            if is_sorted:
+                wcum = w.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                top = (
+                    lvl1.withColumn(cum, F.sum(cnt).over(wcum))
+                    .where(F.col(cum) - F.col(cnt) < k)
+                )
+            else:
+                rn = self._gen("rn")
+                top = (
+                    lvl1.withColumn(rn, F.row_number().over(w))
+                    .where(F.col(rn) <= k)
+                    .drop(rn)
+                )
         else:
             top = lvl1.orderBy(*order).limit(k)
-        pair = F.struct(
-            (-F.col(cnt)).alias("nc"), F.col(val).alias("val")
-        )
-        arr = F.transform(
-            F.array_sort(F.collect_list(pair)), lambda s: s["val"]
-        ).alias(out_name)
+            if is_sorted:
+                w0 = Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                top = top.withColumn(cum, F.sum(cnt).over(w0)).where(
+                    F.col(cum) - F.col(cnt) < k
+                )
+        if is_sorted:
+            take = F.least(
+                F.col(cnt), F.lit(k) - (F.col(cum) - F.col(cnt))
+            ).cast("int")
+            top = top.select(
+                *[F.col(n) for n in key_cols],
+                F.col(val),
+                take.alias(cum),
+            )
+            pair = F.struct(
+                F.col(val).alias("val"), F.col(cum).alias("tk")
+            )
+            arr = F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(pair)),
+                    lambda s: F.call_function(
+                        "array_repeat", s["val"], s["tk"]
+                    ),
+                )
+            ).alias(out_name)
+        else:
+            pair = F.struct(
+                (-F.col(cnt)).alias("nc"), F.col(val).alias("val")
+            )
+            arr = F.transform(
+                F.array_sort(F.collect_list(pair)), lambda s: s["val"]
+            ).alias(out_name)
         if key_cols:
             return top.groupBy(*[F.col(n) for n in key_cols]).agg(arr)
         return top.agg(arr)

@@ -1490,3 +1490,20 @@ SCALAR_FNS["rand64"] = lambda: (
 SCALAR_FNS["randCanonical"] = F.rand
 SCALAR_FNS["randUniform"] = lambda a, b: a + F.rand() * (b - a)
 SCALAR_FNS["randNormal"] = lambda m, s: m + F.randn() * s
+
+
+def _group_array_sorted(params: list, x: Column) -> Column:
+    """groupArraySorted(n)(x) — the n smallest values ascending,
+    duplicates included (ClickHouse). In plain GROUP BY and under
+    ROLLUP / CUBE / GROUPING SETS the frontend lowers this through
+    the bounded two-level rewrite shared with topK
+    (frontend/lower.py `_topk_side`): pre-aggregate by (keys, value),
+    running-count window keeps ≤ n distinct-value rows per key,
+    array_repeat rebuilds duplicates — per-task state O(distinct
+    values), never O(group rows). This in-group form (window
+    position, HAVING) keeps the direct sort+slice."""
+    k = int(params[0])
+    return F.slice(F.array_sort(F.collect_list(x)), 1, k)
+
+
+PARAMETRIC_AGGS["groupArraySorted"] = _group_array_sorted

@@ -2909,3 +2909,39 @@ def sql_fn_tier4(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by p_partkey
         """,
     )
+
+
+@query(
+    "sql_group_array_sorted",
+    """
+    SELECT l_returnflag,
+           CAST(CASE WHEN GROUPING(l_returnflag) = 1 THEN 1 ELSE 0 END
+                AS INT) AS g,
+           array_to_string(list_sort(list(l_suppkey))[1:5], ',') AS sm
+    FROM lineitem GROUP BY ROLLUP(l_returnflag)
+    ORDER BY g, l_returnflag
+    """,
+)
+def sql_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] groupArraySorted(n)(x) — the n smallest values ascending
+    with duplicates, exercised under ROLLUP so the grand-total row
+    rides the shared (keys, value) pre-aggregate: counts re-sum per
+    grouping set over the distinct-value frame, a running-count
+    window keeps ≤ n rows per set, array_repeat rebuilds duplicate
+    elements — bounded state even for the all-rows subtotal (the
+    same contract as topK's rewrite, frontend/lower.py
+    `_topk_side`). Output stringified for the scalar-only driver
+    compare; DuckDB oracle is list_sort + slice."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               grouping(l_returnflag) as g,
+               arrayStringConcat(
+                 arrayMap(x -> toString(x), groupArraySorted(5)(l_suppkey)),
+                 ',') as sm
+        from lineitem group by rollup(l_returnflag)
+        order by g, l_returnflag
+        """,
+    )

@@ -117,3 +117,87 @@ def test_topk_under_rollup_values(spark, eng):
     got = [(r["k"], r["tk"]) for r in rows]
     # the grand-total row aggregates across keys: v=1 has 6 ≥ v=0's 3
     assert got == [(None, [1]), ("a", [0]), ("b", [1])]
+
+
+def test_group_array_sorted_two_level(spark, eng):
+    # groupArraySorted rides the same bounded rewrite: one hot group,
+    # 40k rows, 7 distinct values — level 1 shrinks to 7 rows, the
+    # running-count window keeps the rows reaching into the first n,
+    # array_repeat rebuilds duplicates
+    df = spark.range(40_000).selectExpr(
+        "'hot' as k", "cast(id % 7 as int) as v"
+    )
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: df if n == "hotg" else real(n)
+    out = eng.sql(
+        "select k, groupArraySorted(9)(v) as gs, count(*) as n "
+        "from hotg group by k"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    r = out.collect()[0]
+    # 0 appears 5715 times: the first 9 elements are all zeros... no:
+    # 0 appears 5715 >= 9, so first 9 are nine 0s
+    assert r["gs"] == [0] * 9 and r["n"] == 40_000
+
+
+def test_group_array_sorted_duplicates_and_boundary(spark, eng):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 1), ("a", 2), ("a", 2), ("b", 5)],
+        "k string, v int",
+    )
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: df if n == "t6" else real(n)
+    out = {
+        r["k"]: r["gs"]
+        for r in eng.sql(
+            "select k, groupArraySorted(4)(v) as gs from t6 group by k"
+        ).collect()
+    }
+    # duplicates included, cut mid-value-run at n=4
+    assert out["a"] == [1, 1, 2, 2]
+    assert out["b"] == [5]
+
+
+def test_group_array_sorted_matches_fallback(spark, eng):
+    # the two-level rewrite must agree with the in-group sort+slice
+    # (used in window position) on the same data
+    import pyspark.sql.functions as F
+
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+
+    df = spark.range(500).selectExpr(
+        "cast(id % 3 as int) as k", "cast((id * 37) % 23 as int) as v"
+    )
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: df if n == "t500" else real(n)
+    got = {
+        r["k"]: r["gs"]
+        for r in eng.sql(
+            "select k, groupArraySorted(7)(v) as gs from t500 group by k"
+        ).collect()
+    }
+    want = {
+        r["k"]: r["gs"]
+        for r in df.groupBy("k")
+        .agg(PARAMETRIC_AGGS["groupArraySorted"]([7], F.col("v")).alias("gs"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_group_array_sorted_global_and_rollup(spark, eng):
+    df = spark.createDataFrame(
+        [("x", 4), ("x", 2), ("y", 3), ("y", 1)], "k string, v int"
+    )
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: df if n == "t4" else real(n)
+    g = eng.sql("select groupArraySorted(3)(v) as gs from t4").collect()
+    assert g[0]["gs"] == [1, 2, 3]
+    rows = eng.sql(
+        "select k, grouping(k) as g, groupArraySorted(2)(v) as gs "
+        "from t4 group by rollup(k) order by g, k"
+    ).collect()
+    by = {(r["k"], r["g"]): r["gs"] for r in rows}
+    assert by[("x", 0)] == [2, 4] and by[("y", 0)] == [1, 3]
+    assert by[(None, 1)] == [1, 2]  # grand total from the shared pre-agg

@@ -86,6 +86,7 @@ ENTRIES = [
     "sql_seq_count",
     "sql_dicthas",
     "sql_fn_tier4",
+    "sql_group_array_sorted",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
