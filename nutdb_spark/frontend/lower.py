@@ -1965,7 +1965,10 @@ class Lowerer:
             for call, name in agg_calls
             if call.params is not None
             and call.name.lower()
-            in ("topk", "topkweighted", "grouparraysorted")
+            in (
+                "topk", "topkweighted", "grouparraysorted",
+                "quantileexact", "quantileexactlow", "quantileexacthigh",
+            )
         ]
         if topk_calls and (
             group_cols or (modifier is None and group_sets is None)
@@ -2134,12 +2137,16 @@ class Lowerer:
             else:
                 main = main.crossJoin(F.broadcast(side))
             # a group whose values were all NULL has no level-1 rows:
-            # [] like the in-group form, not NULL
-            main = main.withColumn(
-                name,
-                F.when(F.col(name).isNull(), F.array().cast(arr_type))
-                .otherwise(F.col(name)),
-            )
+            # [] like the in-group form for the array aggregates, NULL
+            # for the scalar quantileExact family
+            from pyspark.sql.types import ArrayType
+
+            if isinstance(arr_type, ArrayType):
+                main = main.withColumn(
+                    name,
+                    F.when(F.col(name).isNull(), F.array().cast(arr_type))
+                    .otherwise(F.col(name)),
+                )
         if gid is not None:
             main = main.drop(gid)
         return main, {"groups": q.group_by, "names": group_map}
@@ -2181,7 +2188,10 @@ class Lowerer:
                     "constant literals"
                 )
             params.append(p.value)
-        k = int(params[0])
+        is_quantile = call.name.lower() in (
+            "quantileexact", "quantileexactlow", "quantileexacthigh"
+        )
+        k = float(params[0]) if is_quantile else int(params[0])
         args = [self._expr(a, scope, {}, []) for a in call.args]
         val = self._gen("tkv")
         cnt = self._gen("tkc")
@@ -2206,6 +2216,47 @@ class Lowerer:
                 F.col(val),
             ).agg(F.sum(cnt).alias(cnt), gid_bits().alias(gid))
             key_cols = names + [gid]
+        if is_quantile:
+            # exact order statistic straight from the (keys, value,
+            # cnt) pre-aggregate: a running count plus the per-key
+            # total locate the target index in the value-sorted
+            # HISTOGRAM — state O(distinct values), never O(group
+            # rows), and the histogram counts re-sum per grouping set
+            # under ROLLUP/CUBE like topK's. Low picks sorted index
+            # floor(level·(n−1)), High ceil(level·(n−1)) (both
+            # 0-based; the index arithmetic is double, matching how
+            # any engine computes it). The filter keeps exactly the
+            # row whose count-run covers the target, so the side is
+            # one row per key; a group with only NULLs has no level-1
+            # rows → NULL through the left join.
+            cum = self._gen("qcum")
+            tot = self._gen("qtot")
+            wp = (
+                Window.partitionBy(*[F.col(n) for n in key_cols])
+                if key_cols
+                else Window.partitionBy()
+            )
+            wcum = wp.orderBy(F.col(val).asc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            wtot = wp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            side = lvl1.withColumn(cum, F.sum(cnt).over(wcum)).withColumn(
+                tot, F.sum(cnt).over(wtot)
+            )
+            pos = (
+                F.ceil(F.lit(k) * (F.col(tot) - 1))
+                if call.name.lower() == "quantileexacthigh"
+                else F.floor(F.lit(k) * (F.col(tot) - 1))
+            )
+            tgt = pos.cast("long")
+            return side.where(
+                ((F.col(cum) - F.col(cnt)) <= tgt) & (tgt < F.col(cum))
+            ).select(
+                *[F.col(n) for n in key_cols],
+                F.col(val).alias(out_name),
+            )
         if is_sorted:
             # groupArraySorted(n): smallest n ELEMENTS ascending with
             # duplicates — running count over the value-sorted distinct

@@ -1507,3 +1507,31 @@ def _group_array_sorted(params: list, x: Column) -> Column:
 
 
 PARAMETRIC_AGGS["groupArraySorted"] = _group_array_sorted
+
+
+def _quantile_exact(high: bool):
+    def f(params: list, x: Column) -> Column:
+        """quantileExact[Low|High](level)(x) — the EXACT order
+        statistic: the element of the sorted values at 0-based index
+        floor(level·(n−1)) (Low — also the plain quantileExact
+        spelling, documented convention) or ceil(level·(n−1))
+        (High). In plain GROUP BY and under ROLLUP/CUBE/GROUPING
+        SETS the frontend lowers this through the shared (keys,
+        value, cnt) pre-aggregate (frontend/lower.py `_topk_side`):
+        a running count over the value-sorted HISTOGRAM locates the
+        index — state O(distinct values), never O(group rows),
+        unlike Spark's own percentile buffer. This in-group form
+        (window position) keeps the direct sort + pick."""
+        level = float(params[0])
+        cl = F.array_sort(F.collect_list(x))
+        n = F.size(cl)
+        raw = F.lit(level) * (n - 1).cast("double")
+        idx = (F.ceil(raw) if high else F.floor(raw)).cast("int")
+        return F.get(cl, idx)
+
+    return f
+
+
+PARAMETRIC_AGGS["quantileExactLow"] = _quantile_exact(False)
+PARAMETRIC_AGGS["quantileExact"] = _quantile_exact(False)
+PARAMETRIC_AGGS["quantileExactHigh"] = _quantile_exact(True)

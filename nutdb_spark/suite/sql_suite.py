@@ -2945,3 +2945,46 @@ def sql_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by g, l_returnflag
         """,
     )
+
+
+@query(
+    "sql_quantile_exact",
+    """
+    SELECT l_returnflag,
+           CAST(GROUPING(l_returnflag) AS INT) AS g,
+           list_sort(list(l_quantity))[
+             CAST(floor(0.5 * (count(l_quantity) - 1)) AS INT) + 1]
+             AS ql,
+           list_sort(list(l_quantity))[
+             CAST(ceil(0.5 * (count(l_quantity) - 1)) AS INT) + 1]
+             AS qh,
+           list_sort(list(l_suppkey))[
+             CAST(floor(0.9 * (count(l_suppkey) - 1)) AS INT) + 1]
+             AS q9
+    FROM lineitem GROUP BY ROLLUP(l_returnflag)
+    ORDER BY g, l_returnflag
+    """,
+)
+def sql_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quantileExactLow/High(level)(x) — EXACT order statistics
+    (sorted-index floor/ceil of level·(n−1)), exercised under ROLLUP.
+    Lowered through the shared (keys, value, cnt) pre-aggregate: a
+    running count over the value-sorted HISTOGRAM locates the index,
+    so per-task state is O(distinct values) — never the O(group rows)
+    buffer Spark's own percentile keeps — and the histogram counts
+    re-sum per grouping set for the grand-total row (frontend/
+    lower.py `_topk_side` quantile branch). The DuckDB oracle indexes
+    the sorted list directly."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               grouping(l_returnflag) as g,
+               quantileExactLow(0.5)(l_quantity) as ql,
+               quantileExactHigh(0.5)(l_quantity) as qh,
+               quantileExact(0.9)(l_suppkey) as q9
+        from lineitem group by rollup(l_returnflag)
+        order by g, l_returnflag
+        """,
+    )

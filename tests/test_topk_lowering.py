@@ -201,3 +201,77 @@ def test_group_array_sorted_global_and_rollup(spark, eng):
     by = {(r["k"], r["g"]): r["gs"] for r in rows}
     assert by[("x", 0)] == [2, 4] and by[("y", 0)] == [1, 3]
     assert by[(None, 1)] == [1, 2]  # grand total from the shared pre-agg
+
+
+def test_quantile_exact_two_level(spark, eng):
+    # histogram-based exact quantile: one hot group, 40k rows, 7
+    # distinct values — the side frame carries 7 rows, never 40k
+    df = spark.range(40_000).selectExpr(
+        "'hot' as k", "cast(id % 7 as int) as v"
+    )
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: df if n == "hotq" else real(n)
+    out = eng.sql(
+        "select k, quantileExactLow(0.5)(v) as m, "
+        "quantileExactHigh(0.999)(v) as hi, count(*) as n "
+        "from hotq group by k"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    r = out.collect()[0]
+    assert r["m"] == 3 and r["hi"] == 6 and r["n"] == 40_000
+
+
+def test_quantile_exact_low_high_and_fallback(spark, eng):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+
+    df = spark.range(501).selectExpr(
+        "cast(id % 2 as int) as k", "cast((id * 37) % 101 as int) as v"
+    )
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: df if n == "tq" else real(n)
+    for level in (0.0, 0.25, 0.5, 0.9, 1.0):
+        got = {
+            r["k"]: (r["lo"], r["hi"])
+            for r in eng.sql(
+                f"select k, quantileExactLow({level})(v) as lo, "
+                f"quantileExactHigh({level})(v) as hi "
+                "from tq group by k"
+            ).collect()
+        }
+        want_rows = df.collect()
+        for kk in (0, 1):
+            vs = sorted(r["v"] for r in want_rows if r["k"] == kk)
+            lo = vs[math.floor(level * (len(vs) - 1))]
+            hi = vs[math.ceil(level * (len(vs) - 1))]
+            assert got[kk] == (lo, hi), (level, kk)
+    # the in-group fallback (window position path) agrees
+    fb = df.groupBy("k").agg(
+        PARAMETRIC_AGGS["quantileExactLow"]([0.5], F.col("v")).alias("m")
+    )
+    got = {
+        r["k"]: r["m"]
+        for r in eng.sql(
+            "select k, quantileExactLow(0.5)(v) as m from tq group by k"
+        ).collect()
+    }
+    assert {r["k"]: r["m"] for r in fb.collect()} == got
+
+
+def test_quantile_exact_all_null_group_is_null(spark, eng):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", None)], "k string, v int"
+    )
+    real = eng.resolve_table
+    eng.resolve_table = lambda n: df if n == "tn" else real(n)
+    rows = {
+        r["k"]: r["m"]
+        for r in eng.sql(
+            "select k, quantileExactLow(0.5)(v) as m from tn group by k"
+        ).collect()
+    }
+    assert rows == {"a": 1, "b": None}

@@ -87,6 +87,7 @@ ENTRIES = [
     "sql_dicthas",
     "sql_fn_tier4",
     "sql_group_array_sorted",
+    "sql_quantile_exact",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
