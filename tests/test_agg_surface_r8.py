@@ -338,3 +338,68 @@ class TestTier4Scalars:
         assert r["d"] == "0.00 B"
         assert r["e"] is False
         assert r["f"] == 7 and r["g"] == "Hi" and r["h"] == 1
+
+
+class TestSequenceCountProperty:
+    def test_matches_reference_automaton_many_groups(self, spark):
+        """200 random event strings, ONE aggregate — each group's
+        greedy count must equal a Python replay of the automaton,
+        with and without a time constraint."""
+        import random
+
+        rng = random.Random(0xC0FFEE)
+        rows = []
+        for g in range(200):
+            n = rng.randint(0, 12)
+            for i in range(n):
+                rows.append((g, i * rng.randint(1, 3), rng.choice("AB")))
+        # unique ts per group: make ts strictly increasing
+        fixed = []
+        for g in range(200):
+            evs = sorted(
+                [r for r in rows if r[0] == g], key=lambda r: r[1]
+            )
+            t = 0
+            for _, step, e in evs:
+                t += 1 + step
+                fixed.append((g, t, e))
+        if not fixed:
+            fixed = [(0, 1, "A")]
+        df = spark.createDataFrame(fixed, "g int, t int, e string")
+
+        def ref(events, gap=None):
+            j, lt, cnt = 0, None, 0
+            for t, e in events:
+                need = "A" if j == 0 else "B"
+                hit = e == need
+                if j == 1 and gap is not None:
+                    hit = hit and (t - lt <= gap)
+                if hit:
+                    j += 1
+                    lt = t
+                    if j == 2:
+                        j, lt = 0, None
+                        cnt += 1
+            return cnt
+
+        got = {
+            r["g"]: (r["c"], r["cg"])
+            for r in df.groupBy("g")
+            .agg(
+                PARAMETRIC_AGGS["sequenceCount"](
+                    ["(?1)(?2)"], F.col("t"),
+                    F.col("e") == "A", F.col("e") == "B",
+                ).alias("c"),
+                PARAMETRIC_AGGS["sequenceCount"](
+                    ["(?1)(?t<=4)(?2)"], F.col("t"),
+                    F.col("e") == "A", F.col("e") == "B",
+                ).alias("cg"),
+            )
+            .collect()
+        }
+        by_g = {}
+        for g, t, e in fixed:
+            by_g.setdefault(g, []).append((t, e))
+        for g, evs in by_g.items():
+            evs.sort()
+            assert got[g] == (ref(evs), ref(evs, gap=4)), (g, evs)
