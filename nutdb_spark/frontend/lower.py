@@ -3009,4 +3009,6 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "datesub": (0,),
     "concatwithseparator": (0,),
     "arraystringconcat": (1,),
+    # URL parameter name folds into the extraction regex
+    "extracturlparameter": (1,),
 }

@@ -2988,3 +2988,139 @@ def sql_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by g, l_returnflag
         """,
     )
+
+
+@query(
+    "sql_fn_url",
+    r"""
+    WITH urls AS (
+      SELECT p_partkey, p_size,
+        CASE p_partkey % 4
+          WHEN 0 THEN 'https://www.' || replace(lower(p_brand), '#', '')
+            || '.example.com.tr:8080/cat/' || p_partkey || '/view?size='
+            || p_size || '&c=' || replace(p_type, ' ', '+')
+            || '#frag'
+          WHEN 1 THEN '//cdn.' || replace(lower(p_brand), '#', '')
+            || '.site.io/img/' || p_partkey || '.png?w=' || p_size
+          WHEN 2 THEN 'http://user@' || replace(lower(p_brand), '#', '')
+            || '.org/p/' || p_partkey
+          ELSE 'files/' || p_partkey || '/readme.txt?x=1%20y'
+        END AS u
+      FROM part WHERE p_partkey < 200),
+    hosts AS (
+      SELECT *,
+        regexp_extract(u,
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)',
+          1) AS dom0
+      FROM urls),
+    lbl AS (
+      SELECT *,
+        string_split(regexp_replace(dom0, '^www\.', ''), '.') AS ls
+      FROM hosts)
+    SELECT p_partkey,
+      regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*):', 1) AS proto,
+      dom0 AS dom,
+      regexp_replace(dom0, '^www\.', '') AS dww,
+      regexp_extract(u, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]*)',
+        1) AS nl,
+      coalesce(try_cast(regexp_extract(u,
+        '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?[^/?#:]*:(\d+)',
+        1) AS INT), 0) AS prt,
+      regexp_extract(u,
+        '^(?:(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*)?([^?#]*)',
+        1) AS pth,
+      regexp_extract(u,
+        '^(?:(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*)?(.*)', 1) AS pf,
+      regexp_extract(u, '\?([^#]*)', 1) AS qs,
+      regexp_extract(u, '#(.*)$', 1) AS fr,
+      regexp_extract(u, '\?(.*)$', 1) AS qsf,
+      CASE WHEN len(string_split(dom0, '.')) >= 2
+           THEN string_split(dom0, '.')[-1] ELSE '' END AS tld,
+      CASE WHEN len(ls) >= 3 THEN (CASE WHEN ls[-2] IN
+             ('com','net','org','co','gov','edu','mil','biz')
+             THEN ls[-3] ELSE ls[-2] END)
+           WHEN len(ls) = 2 THEN ls[-2] ELSE '' END AS fss,
+      CASE WHEN len(ls) >= 3 AND ls[-2] IN
+             ('com','net','org','co','gov','edu','mil','biz')
+           THEN array_to_string(ls[-3:], '.')
+           WHEN len(ls) >= 2 THEN array_to_string(ls[-2:], '.')
+           ELSE '' END AS cfss,
+      regexp_replace(u,
+        '^((?:[A-Za-z][A-Za-z0-9+.-]*:)?//)www\.', '\1') AS cw,
+      regexp_replace(u, '\?[^#]*', '') AS cq,
+      regexp_replace(u, '#.*$', '') AS cf,
+      regexp_replace(u, '[?#].*$', '') AS cqf,
+      regexp_extract(u, '[?&]size=([^&#]*)', 1) AS xp,
+      coalesce(array_to_string(
+        regexp_extract_all(u, '[?&]([^=&#]+)=', 1), ','), '') AS pn,
+      CAST(len(regexp_extract_all(u, '[?&]([^&#]+)', 1)) AS INT)
+        AS npr,
+      'a b/' || p_size AS dcc,
+      'a+b%2F' || p_size AS enc
+    FROM lbl ORDER BY p_partkey
+    """,
+)
+def sql_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the URL function family over fixture-synthesized URLs
+    (four shapes: full https with www/port/query/fragment,
+    scheme-relative CDN, userinfo@host, bare relative path):
+    protocol/domain/domainWithoutWWW/netloc/port/path/pathFull/
+    queryString/fragment/queryStringAndFragment, the public-suffix
+    trio (topLevelDomain, firstSignificantSubdomain,
+    cutToFirstSignificantSubdomain), the four cutters, URL-parameter
+    extraction (scalar + names + pairs), and percent-coding. All
+    anchored JVM regexps (functions/registry.py URL section) — the
+    DuckDB oracle mirrors each with the same RE2-compatible regex.
+
+    Scale: every function is a stateless projection over the scan —
+    no shuffle, no UDF; at 100 TB this is the cheap map stage feeding
+    domain-cap sampling (q_sample_domain_cap) and URL dedup."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with urls as (
+          select p_partkey, p_size,
+                 multiIf(
+                   p_partkey % 4 = 0,
+                     'https://www.' + replaceAll(lower(p_brand), '#', '')
+                     + '.example.com.tr:8080/cat/' + toString(p_partkey)
+                     + '/view?size=' + toString(p_size) + '&c='
+                     + encodeURLComponent(p_type) + '#frag',
+                   p_partkey % 4 = 1,
+                     '//cdn.' + replaceAll(lower(p_brand), '#', '')
+                     + '.site.io/img/' + toString(p_partkey) + '.png?w='
+                     + toString(p_size),
+                   p_partkey % 4 = 2,
+                     'http://user@' + replaceAll(lower(p_brand), '#', '')
+                     + '.org/p/' + toString(p_partkey),
+                   'files/' + toString(p_partkey) + '/readme.txt?x=1%20y'
+                 ) as u
+          from part where p_partkey < 200)
+        select p_partkey,
+               protocol(u) as proto,
+               domain(u) as dom,
+               domainWithoutWWW(u) as dww,
+               netloc(u) as nl,
+               port(u) as prt,
+               path(u) as pth,
+               pathFull(u) as pf,
+               queryString(u) as qs,
+               fragment(u) as fr,
+               queryStringAndFragment(u) as qsf,
+               topLevelDomain(u) as tld,
+               firstSignificantSubdomain(u) as fss,
+               cutToFirstSignificantSubdomain(u) as cfss,
+               cutWWW(u) as cw,
+               cutQueryString(u) as cq,
+               cutFragment(u) as cf,
+               cutQueryStringAndFragment(u) as cqf,
+               extractURLParameter(u, 'size') as xp,
+               arrayStringConcat(extractURLParameterNames(u), ',') as pn,
+               arrayLength(extractURLParameters(u)) as npr,
+               decodeURLComponent('a%20b%2F' + toString(p_size)) as dcc,
+               encodeURLComponent('a b/' + toString(p_size)) as enc
+        from urls
+        order by p_partkey
+        """,
+    )

@@ -1,0 +1,89 @@
+"""Pins for the URL function family (functions/registry.py URL
+section): edge shapes the suite entry's four fixture-derived URL
+forms don't isolate — schemeless hosts, missing parts, userinfo,
+public-suffix branching, percent-coding round-trips.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from nutdb_spark.engine import NutEngine
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    return NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+
+
+def _one(eng, expr: str):
+    return eng.sql(f"select {expr} as v from numbers(1)").collect()[0][0]
+
+
+URL = "https://www.news.yandex.com.tr:8080/a/b?x=1&y=2%20z#frag"
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        (f"protocol('{URL}')", "https"),
+        (f"domain('{URL}')", "www.news.yandex.com.tr"),
+        (f"domainWithoutWWW('{URL}')", "news.yandex.com.tr"),
+        (f"netloc('{URL}')", "www.news.yandex.com.tr:8080"),
+        (f"port('{URL}')", 8080),
+        (f"path('{URL}')", "/a/b"),
+        (f"pathFull('{URL}')", "/a/b?x=1&y=2%20z#frag"),
+        (f"queryString('{URL}')", "x=1&y=2%20z"),
+        (f"fragment('{URL}')", "frag"),
+        (f"queryStringAndFragment('{URL}')", "x=1&y=2%20z#frag"),
+        (f"topLevelDomain('{URL}')", "tr"),
+        (f"firstSignificantSubdomain('{URL}')", "yandex"),
+        (f"cutToFirstSignificantSubdomain('{URL}')", "yandex.com.tr"),
+        (f"cutWWW('{URL}')",
+         "https://news.yandex.com.tr:8080/a/b?x=1&y=2%20z#frag"),
+        (f"cutQueryString('{URL}')",
+         "https://www.news.yandex.com.tr:8080/a/b#frag"),
+        (f"cutFragment('{URL}')",
+         "https://www.news.yandex.com.tr:8080/a/b?x=1&y=2%20z"),
+        (f"cutQueryStringAndFragment('{URL}')",
+         "https://www.news.yandex.com.tr:8080/a/b"),
+        (f"extractURLParameter('{URL}', 'y')", "2%20z"),
+        (f"extractURLParameter('{URL}', 'nope')", ""),
+        # userinfo is part of netloc but never of domain
+        ("domain('http://user:pw@ex.org/p')", "ex.org"),
+        ("netloc('http://user:pw@ex.org/p')", "user:pw@ex.org"),
+        # scheme-relative
+        ("domain('//cdn.site.io/x')", "cdn.site.io"),
+        ("protocol('//cdn.site.io/x')", ""),
+        # no authority at all: domain-ish fns empty, path is the text
+        ("domain('plain/path?q=1')", ""),
+        ("path('plain/path?q=1')", "plain/path"),
+        ("port('plain/path')", 0),
+        # port default argument
+        ("port('https://h.io/x', 443)", 443),
+        # public-suffix branch: second-to-last label NOT a registry
+        ("firstSignificantSubdomain('https://a.b.site.io/')", "site"),
+        ("cutToFirstSignificantSubdomain('https://a.b.site.io/')",
+         "site.io"),
+        ("topLevelDomain('http://localhost/x')", ""),
+        ("firstSignificantSubdomain('http://localhost/x')", ""),
+        # percent-coding (form-encoded: space <-> '+')
+        ("decodeURLComponent('a%20b%2Fc')", "a b/c"),
+        ("encodeURLComponent('a b/c')", "a+b%2Fc"),
+        ("decodeURLComponent(encodeURLComponent('x y&z=1/2'))",
+         "x y&z=1/2"),
+    ],
+)
+def test_url_functions(eng, expr, expected):
+    assert _one(eng, expr) == expected
+
+
+def test_extract_url_parameter_names_and_pairs(eng):
+    assert _one(
+        eng, f"arrayStringConcat(extractURLParameterNames('{URL}'), ',')"
+    ) == "x,y"
+    assert _one(
+        eng, f"arrayStringConcat(extractURLParameters('{URL}'), '&')"
+    ) == "x=1&y=2%20z"
