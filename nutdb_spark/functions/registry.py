@@ -1682,3 +1682,157 @@ SCALAR_FNS["extractURLParameters"] = lambda u: F.regexp_extract_all(
 # (application/x-www-form-urlencoded — space ↔ '+')
 SCALAR_FNS["decodeURLComponent"] = F.url_decode
 SCALAR_FNS["encodeURLComponent"] = F.url_encode
+
+
+# --- [EXT] more aggregate combinators: -Array / -Distinct / -OrNull /
+# -OrDefault (+ their -If compositions) ------------------------------------
+# Same design rule as the -If family above: every combinator rewrites
+# to expressions INSIDE one JVM hash aggregate (row-side array
+# reductions, CASE-wrapped inputs, agg-over-agg guards), so map-side
+# partial aggregation survives and no Python touches the hot path.
+
+
+def _arr_nn(a: Column) -> Column:
+    return F.filter(a, lambda x: x.isNotNull())
+
+
+def _arr_sum_typed(a: Column) -> Column:
+    """Element-typed row-side array sum: the zero is `first*0`, so int
+    arrays stay integral (the long-accumulator arraySum is the CH
+    byte-compat spelling; this one preserves the element type for the
+    combinator). NULL for empty/NULL arrays — the outer aggregate's
+    null-skip then drops the row, matching CH -Array semantics."""
+    nn = _arr_nn(a)
+    zero = F.get(nn, 0) * F.lit(0)
+    return F.aggregate(nn, zero, lambda acc, x: acc + x)
+
+
+AGGREGATE_FNS["sumArray"] = lambda a: F.sum(_arr_sum_typed(a))
+AGGREGATE_FNS["minArray"] = lambda a: F.min(F.array_min(a))
+AGGREGATE_FNS["maxArray"] = lambda a: F.max(F.array_max(a))
+AGGREGATE_FNS["countArray"] = lambda a: F.coalesce(
+    F.sum(F.size(_arr_nn(a))), F.lit(0).cast("long")
+)
+AGGREGATE_FNS["avgArray"] = lambda a: F.try_divide(
+    F.sum(_arr_sum_typed(a).cast("double")),
+    F.sum(F.size(_arr_nn(a))),
+)
+
+
+def _uniq_exact_array(a: Column) -> Column:
+    """uniqExactArray(a) — exact distinct count over the UNION of the
+    group's array elements. State is the set of distinct normalized
+    (sorted, deduped) arrays — bounded by distinct array values, not
+    group rows; the flatten+distinct collapse happens once per group
+    at emit."""
+    return F.size(
+        F.array_distinct(
+            F.flatten(
+                F.collect_set(
+                    F.array_sort(F.array_distinct(_arr_nn(a)))
+                )
+            )
+        )
+    ).cast("long")
+
+
+AGGREGATE_FNS["uniqExactArray"] = _uniq_exact_array
+AGGREGATE_FNS["uniqArray"] = _uniq_exact_array
+AGGREGATE_FNS["countUniqueArray"] = _uniq_exact_array
+# flatten-concat forms (unbounded state, like groupArray itself)
+AGGREGATE_FNS["groupArrayArray"] = lambda a: F.flatten(F.collect_list(a))
+AGGREGATE_FNS["groupUniqArrayArray"] = lambda a: F.array_sort(
+    F.array_distinct(
+        F.flatten(
+            F.collect_set(F.array_sort(F.array_distinct(_arr_nn(a))))
+        )
+    )
+)
+
+# -Distinct: aggregate over the distinct VALUES of the argument
+AGGREGATE_FNS["sumDistinct"] = F.sum_distinct
+AGGREGATE_FNS["countDistinct"] = F.count_distinct
+AGGREGATE_FNS["avgDistinct"] = lambda x: F.try_divide(
+    F.sum_distinct(x.cast("double")), F.count_distinct(x)
+)
+AGGREGATE_FNS["minDistinct"] = F.min  # min/max are distinct-invariant
+AGGREGATE_FNS["maxDistinct"] = F.max
+# sorted for cross-run determinism (CH's is insertion-ordered)
+AGGREGATE_FNS["groupArrayDistinct"] = lambda x: F.array_sort(
+    F.collect_set(x)
+)
+
+# -OrNull: NULL instead of the empty-input default; -OrDefault: the
+# numeric default instead of NULL. Both guard with an agg-over-agg
+# CASE (count(arg) == 0), which Spark folds into the SAME hash
+# aggregate — two accumulators, one pass.
+_ORNULL_BASES = (
+    "sum", "min", "max", "avg", "any", "anyLast", "count",
+    "uniqExact", "countUnique", "median",
+)
+_ORDEFAULT_BASES = (  # numeric-default bases only (0 coerces)
+    "sum", "min", "max", "avg", "count",
+    "uniqExact", "countUnique", "median",
+)
+
+
+def _or_null(base: ScalarFn) -> ScalarFn:
+    def wrapped(*args: Column) -> Column:
+        r = base(*args)
+        alive = (
+            F.count(args[0]) if args else F.count(F.lit(1))
+        )
+        return F.when(alive == 0, F.lit(None)).otherwise(r)
+
+    return wrapped
+
+
+def _or_default(base: ScalarFn) -> ScalarFn:
+    def wrapped(*args: Column) -> Column:
+        return F.coalesce(base(*args), F.lit(0))
+
+    return wrapped
+
+
+def _if_first(fn: ScalarFn) -> ScalarFn:
+    """Compose -If INSIDE -OrNull/-OrDefault: wrap the data args with
+    CASE WHEN cond first, THEN apply the outer combinator — so the
+    emptiness test sees only the rows the condition admits."""
+
+    def wrapped(*args: Column) -> Column:
+        if len(args) < 1:
+            raise ValueError("-If aggregate takes (args..., cond)")
+        *cols, cond = args
+        if not cols:
+            return fn(F.when(cond, F.lit(1)))
+        return fn(*[F.when(cond, c) for c in cols])
+
+    return wrapped
+
+
+for _b in _ORNULL_BASES:
+    if _b in AGGREGATE_FNS:
+        _base = AGGREGATE_FNS[_b]
+        AGGREGATE_FNS.setdefault(_b + "OrNull", _or_null(_base))
+        AGGREGATE_FNS.setdefault(
+            _b + "OrNullIf", _if_first(_or_null(_base))
+        )
+for _b in _ORDEFAULT_BASES:
+    if _b in AGGREGATE_FNS:
+        _base = AGGREGATE_FNS[_b]
+        AGGREGATE_FNS.setdefault(_b + "OrDefault", _or_default(_base))
+        AGGREGATE_FNS.setdefault(
+            _b + "OrDefaultIf", _if_first(_or_default(_base))
+        )
+del _b, _base
+
+# -ArrayIf: condition-filtered array aggregation (CH order: the
+# -Array base name + If). when(cond, a) nulls the array out; every
+# -Array base null-skips.
+for _b in (
+    "sumArray", "minArray", "maxArray", "countArray", "avgArray",
+    "uniqExactArray", "uniqArray", "countUniqueArray",
+    "groupArrayArray", "groupUniqArrayArray",
+):
+    AGGREGATE_FNS.setdefault(_b + "If", _if_combinator(AGGREGATE_FNS[_b]))
+del _b

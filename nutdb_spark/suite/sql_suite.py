@@ -3124,3 +3124,102 @@ def sql_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by p_partkey
         """,
     )
+
+
+@query(
+    "sql_agg_combinators",
+    """
+    WITH t AS (
+      SELECT l_returnflag rf, l_linenumber ln,
+             l_suppkey % 5 m5, l_suppkey % 7 m7
+      FROM lineitem),
+    u AS (SELECT rf, m5 AS v FROM t UNION ALL SELECT rf, m7 FROM t),
+    ucnt AS (SELECT rf, CAST(count(DISTINCT v) AS BIGINT) ua
+             FROM u GROUP BY rf),
+    g2 AS (SELECT rf, m5 % 3 AS v FROM t
+           UNION ALL SELECT rf, 2 FROM t),
+    gl AS (SELECT rf,
+                  array_to_string(list_sort(list(DISTINCT v)), ',') gua
+           FROM g2 GROUP BY rf),
+    base AS (
+      SELECT rf,
+        CAST(sum(ln + m5) AS BIGINT) sa,
+        CAST(min(least(ln, m5)) AS BIGINT) mna,
+        CAST(max(greatest(ln, m5)) AS BIGINT) mxa,
+        CAST(2 * count(*) AS BIGINT) ca,
+        CAST(sum(ln + m5) AS DOUBLE) / (2 * count(*)) aa,
+        CAST(sum(DISTINCT ln) AS BIGINT) sd,
+        CAST(count(DISTINCT ln) AS BIGINT) cd,
+        CAST(sum(DISTINCT ln) AS DOUBLE) / count(DISTINCT ln) ad,
+        CAST(min(ln) AS BIGINT) mnd,
+        CAST(max(ln) AS BIGINT) mxd,
+        array_to_string(list_sort(list(DISTINCT m5)), ',') gad,
+        CAST(sum(ln) AS BIGINT) sn,
+        CAST(sum(ln) FILTER (WHERE m5 = 2) AS BIGINT) snh,
+        CAST(NULL AS BIGINT) snm,
+        CAST(coalesce(sum(ln) FILTER (WHERE m5 = 9), 0) AS BIGINT) sdm,
+        CAST(NULL AS BIGINT) cnm,
+        CAST(count(DISTINCT m5) FILTER (WHERE m7 = 3) AS BIGINT) udi,
+        CAST(NULL AS BIGINT) anm,
+        CAST(sum(ln + m5) FILTER (WHERE m5 = 2) AS BIGINT) sai,
+        CAST(coalesce(2 * count(*) FILTER (WHERE m5 = 2), 0)
+             AS BIGINT) cai
+      FROM t GROUP BY rf)
+    SELECT base.*, ucnt.ua, gl.gua
+    FROM base JOIN ucnt USING (rf) JOIN gl USING (rf)
+    ORDER BY rf
+    """,
+)
+def sql_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the -Array / -Distinct / -OrNull / -OrDefault aggregate
+    combinator families (plus -If compositions), generated over the
+    registered bases (functions/registry.py combinator section).
+    Every name rewrites to expressions inside ONE JVM hash aggregate:
+    -Array reduces each array row-side (element-typed fold) before
+    the group fold, -OrNull/-OrDefault guard with an agg-over-agg
+    CASE that Spark plans as a second accumulator in the same
+    aggregate — no extra shuffle, map-side partials intact.
+    uniqExactArray's state is the set of distinct normalized arrays
+    (bounded by distinct values, not rows). The oracle spells each as
+    standard SQL (FILTER clauses, DISTINCT aggregates, an exploded
+    UNION for the cross-array distinct count)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select l_returnflag as rf, l_linenumber as ln,
+                 l_suppkey % 5 as m5, l_suppkey % 7 as m7,
+                 [l_linenumber, l_suppkey % 5] as arr
+          from lineitem)
+        select rf,
+               sumArray(arr) as sa,
+               minArray(arr) as mna,
+               maxArray(arr) as mxa,
+               countArray(arr) as ca,
+               avgArray(arr) as aa,
+               sumDistinct(ln) as sd,
+               countDistinct(ln) as cd,
+               avgDistinct(ln) as ad,
+               minDistinct(ln) as mnd,
+               maxDistinct(ln) as mxd,
+               arrayStringConcat(
+                 arrayMap(x -> toString(x), groupArrayDistinct(m5)),
+                 ',') as gad,
+               sumOrNull(ln) as sn,
+               sumOrNullIf(ln, m5 = 2) as snh,
+               sumOrNullIf(ln, m5 = 9) as snm,
+               sumOrDefaultIf(ln, m5 = 9) as sdm,
+               countOrNullIf(ln, m5 = 9) as cnm,
+               uniqExactOrDefaultIf(m5, m7 = 3) as udi,
+               anyOrNullIf(ln, m5 = 9) as anm,
+               sumArrayIf(arr, m5 = 2) as sai,
+               countArrayIf(arr, m5 = 2) as cai,
+               uniqExactArray([m5, m7]) as ua,
+               arrayStringConcat(
+                 arrayMap(x -> toString(x),
+                          groupUniqArrayArray([m5 % 3, 2])),
+                 ',') as gua
+        from t group by rf order by rf
+        """,
+    )
