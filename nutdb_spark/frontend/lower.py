@@ -1963,12 +1963,19 @@ class Lowerer:
         topk_calls = [
             (call, name)
             for call, name in agg_calls
-            if call.params is not None
-            and call.name.lower()
-            in (
-                "topk", "topkweighted", "grouparraysorted",
-                "quantileexact", "quantileexactlow", "quantileexacthigh",
+            if (
+                call.params is not None
+                and call.name.lower()
+                in (
+                    "topk", "topkweighted", "grouparraysorted",
+                    "quantileexact", "quantileexactlow",
+                    "quantileexacthigh",
+                )
             )
+            # entropy is non-parametric but shares the bounded
+            # (keys, value, cnt) pre-aggregate: H = log2(n) − Σc·log2(c)/n
+            # needs only per-value counts, never per-group row state
+            or call.name.lower() == "entropy"
         ]
         if topk_calls and (
             group_cols or (modifier is None and group_sets is None)
@@ -2181,7 +2188,7 @@ class Lowerer:
         from pyspark.sql import Window
 
         params = []
-        for p in call.params:
+        for p in call.params or []:
             if not isinstance(p, A.Lit):
                 raise LoweringError(
                     "parametric aggregate parameters must be "
@@ -2191,7 +2198,10 @@ class Lowerer:
         is_quantile = call.name.lower() in (
             "quantileexact", "quantileexactlow", "quantileexacthigh"
         )
-        k = float(params[0]) if is_quantile else int(params[0])
+        is_entropy = call.name.lower() == "entropy"
+        k = None
+        if not is_entropy:
+            k = float(params[0]) if is_quantile else int(params[0])
         args = [self._expr(a, scope, {}, []) for a in call.args]
         val = self._gen("tkv")
         cnt = self._gen("tkc")
@@ -2216,6 +2226,25 @@ class Lowerer:
                 F.col(val),
             ).agg(F.sum(cnt).alias(cnt), gid_bits().alias(gid))
             key_cols = names + [gid]
+        if is_entropy:
+            # Shannon entropy straight off the histogram: one more
+            # hash aggregate over the (keys, value, cnt) frame —
+            # H = log2(n) − Σ c·log2(c) / n. Still zero per-group row
+            # state; the grouping-sets re-sum above already rebuilt
+            # per-set counts.
+            cd = F.col(cnt).cast("double")
+            if key_cols:
+                grouped_side = lvl1.groupBy(
+                    *[F.col(n) for n in key_cols]
+                )
+            else:
+                grouped_side = lvl1.groupBy()
+            return grouped_side.agg(
+                (
+                    F.log2(F.sum(cd))
+                    - F.try_divide(F.sum(cd * F.log2(cd)), F.sum(cd))
+                ).alias(out_name)
+            )
         if is_quantile:
             # exact order statistic straight from the (keys, value,
             # cnt) pre-aggregate: a running count plus the per-key

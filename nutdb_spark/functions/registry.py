@@ -1836,3 +1836,218 @@ for _b in (
 ):
     AGGREGATE_FNS.setdefault(_b + "If", _if_combinator(AGGREGATE_FNS[_b]))
 del _b
+
+
+# --- [EXT] statistical / interval aggregates ------------------------------
+# Exact-arithmetic designs: integer (or integer-valued-double) sums
+# plus only exactly-rounded IEEE finishers (*, /, sqrt), so results
+# are bit-identical across engines and partition orders (the suite's
+# oracle convention, functions/exact.py).
+
+
+def _simple_lin_reg(x: Column, y: Column) -> Column:
+    """simpleLinearRegression(x, y) → struct(k, b) of the least-squares
+    line y = k·x + b. Lowered to the five classical sums inside ONE
+    hash aggregate (pairwise null-skip); the finishing divisions are
+    exactly-rounded, so with integer inputs the result is
+    deterministic to the bit. NULL k/b for degenerate groups (n = 0
+    or zero x-variance) via try_divide."""
+    both = x.isNotNull() & y.isNotNull()
+    xd = F.when(both, x.cast("double"))
+    yd = F.when(both, y.cast("double"))
+    n = F.count(xd).cast("double")
+    sx = F.sum(xd)
+    sy = F.sum(yd)
+    sxy = F.sum(xd * yd)
+    sxx = F.sum(xd * xd)
+    k = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    b = F.try_divide(sy - k * sx, n)
+    return F.struct(k.alias("k"), b.alias("b"))
+
+
+AGGREGATE_FNS["simpleLinearRegression"] = _simple_lin_reg
+
+
+def _interval_length_sum(s: Column, e: Column) -> Column:
+    """intervalLengthSum(start, end) — total length of the UNION of
+    the group's [start, end) intervals (overlaps counted once).
+    collect_list + array_sort + one O(1)-per-interval JVM fold over
+    (cover_end, total) — the same bounded per-entity pattern as
+    sequenceCount (use per-entity groups; a group's state is its own
+    interval count)."""
+    iv = F.array_sort(
+        F.collect_list(
+            F.when(
+                s.isNotNull() & e.isNotNull(),
+                F.struct(
+                    s.cast("long").alias("s"), e.cast("long").alias("e")
+                ),
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("cov"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+    res = F.aggregate(
+        iv,
+        init,
+        lambda acc, p: F.struct(
+            F.greatest(F.coalesce(acc["cov"], p["s"]), p["e"]).alias(
+                "cov"
+            ),
+            (
+                acc["tot"]
+                + F.greatest(
+                    F.lit(0).cast("long"),
+                    p["e"]
+                    - F.greatest(p["s"], F.coalesce(acc["cov"], p["s"])),
+                )
+            ).alias("tot"),
+        ),
+    )
+    return res["tot"]
+
+
+AGGREGATE_FNS["intervalLengthSum"] = _interval_length_sum
+
+
+def _max_intersections(position: bool):
+    def f(s: Column, e: Column) -> Column:
+        """maxIntersections[Position](start, end) — the maximum number
+        of simultaneously-open [start, end) intervals (and the
+        position where that maximum is first reached). Boundary
+        sweep: each interval contributes (+1 at start, −1 at end);
+        sorting struct(pos, delta) ascending puts −1 before +1 at
+        equal positions — half-open semantics, an interval ending
+        where another starts does not overlap it. One fold, exact
+        integer state."""
+        pts = F.flatten(
+            F.collect_list(
+                F.when(
+                    s.isNotNull() & e.isNotNull(),
+                    F.array(
+                        F.struct(
+                            s.cast("long").alias("p"),
+                            F.lit(1).alias("d"),
+                        ),
+                        F.struct(
+                            e.cast("long").alias("p"),
+                            F.lit(-1).alias("d"),
+                        ),
+                    ),
+                )
+            )
+        )
+        init = F.struct(
+            F.lit(0).cast("long").alias("cur"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(None).cast("long").alias("at"),
+        )
+        res = F.aggregate(
+            F.array_sort(pts),
+            init,
+            lambda acc, ev: F.struct(
+                (acc["cur"] + ev["d"]).alias("cur"),
+                F.greatest(acc["best"], acc["cur"] + ev["d"]).alias(
+                    "best"
+                ),
+                F.when(
+                    acc["cur"] + ev["d"] > acc["best"], ev["p"]
+                )
+                .otherwise(acc["at"])
+                .alias("at"),
+            ),
+        )
+        return res["at"] if position else res["best"]
+
+    return f
+
+
+AGGREGATE_FNS["maxIntersections"] = _max_intersections(False)
+AGGREGATE_FNS["maxIntersectionsPosition"] = _max_intersections(True)
+
+
+def _rank_corr(x: Column, y: Column) -> Column:
+    """rankCorr(x, y) — Spearman rank correlation with average ranks
+    for ties, computed in EXACT integer arithmetic: the doubled
+    average rank of element i is 2·|{t < v_i}| + |{t = v_i}| + 1 (an
+    integer), correlation is affine-invariant, and the Pearson
+    finisher over the doubled ranks uses only exact int sums plus
+    exactly-rounded sqrt/division — bit-identical to a SQL-window
+    oracle (2·rank() + tie_count − 1). collect_list per group: use
+    per-entity groups (the bounded-state convention); the rank scan
+    is O(n²) per group, fine for entity-sized n."""
+    both = x.isNotNull() & y.isNotNull()
+    pairs = F.collect_list(
+        F.when(
+            both,
+            F.struct(
+                x.cast("double").alias("x"), y.cast("double").alias("y")
+            ),
+        )
+    )
+
+    def ranks(arr, field):
+        return F.transform(
+            arr,
+            lambda p: (
+                F.lit(2)
+                * F.size(F.filter(arr, lambda q: q[field] < p[field]))
+                + F.size(F.filter(arr, lambda q: q[field] == p[field]))
+                + 1
+            ).cast("double"),
+        )
+
+    u = ranks(pairs, "x")
+    v = ranks(pairs, "y")
+    n = F.size(pairs).cast("double")
+    su = F.aggregate(u, F.lit(0.0), lambda a, t: a + t)
+    sv = F.aggregate(v, F.lit(0.0), lambda a, t: a + t)
+    suv = F.aggregate(
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    suu = F.aggregate(
+        F.transform(u, lambda t: t * t), F.lit(0.0), lambda a, t: a + t
+    )
+    svv = F.aggregate(
+        F.transform(v, lambda t: t * t), F.lit(0.0), lambda a, t: a + t
+    )
+    num = n * suv - su * sv
+    den = F.sqrt(n * suu - su * su) * F.sqrt(n * svv - sv * sv)
+    return F.try_divide(num, den)
+
+
+AGGREGATE_FNS["rankCorr"] = _rank_corr
+
+
+def _entropy(x: Column) -> Column:
+    """entropy(x) — Shannon entropy (bits) of the group's value
+    distribution: −Σ (c/n)·log2(c/n). This in-group form folds over
+    the collected values (use per-entity groups); plain GROUP BY
+    lowers through the shared (keys, value, cnt) pre-aggregate
+    (frontend/lower.py `_topk_side`) — state O(distinct values).
+    log2 is not exactly-rounded cross-engine, so entropy is
+    pytest-verified against a Python reference, not hash-oracled."""
+    cl = F.collect_list(x)
+    n = F.size(cl).cast("double")
+    dv = F.array_distinct(cl)
+    h = F.aggregate(
+        dv,
+        F.lit(0.0),
+        lambda acc, v: acc
+        - (
+            (
+                F.size(F.filter(cl, lambda e: e == v)).cast("double") / n
+            )
+            * F.log2(
+                F.size(F.filter(cl, lambda e: e == v)).cast("double") / n
+            )
+        ),
+    )
+    return F.when(n > 0, h)
+
+
+AGGREGATE_FNS["entropy"] = _entropy

@@ -3223,3 +3223,122 @@ def sql_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t group by rf order by rf
         """,
     )
+
+
+@query(
+    "sql_agg_stats2",
+    """
+    WITH t AS (
+      SELECT user_id,
+             event_id % 100 AS x,
+             event_id % 31 + 2 * (event_id % 100) AS y,
+             event_id % 50 AS rx,
+             value AS ry,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + event_id % 97 + 1 AS e
+      FROM events),
+    slr AS (
+      SELECT user_id, count(*)::DOUBLE AS n,
+             sum(x)::DOUBLE sx, sum(y)::DOUBLE sy,
+             sum(x*y)::DOUBLE sxy, sum(x*x)::DOUBLE sxx
+      FROM t GROUP BY user_id),
+    slr2 AS (
+      SELECT user_id,
+        CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+             ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope,
+        CASE WHEN n = 0 THEN NULL
+             ELSE (sy - CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+                   ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END * sx) / n
+             END AS intercept,
+        CAST(n AS BIGINT) AS n
+      FROM slr),
+    r AS (
+      SELECT user_id,
+        2*rank() OVER (PARTITION BY user_id ORDER BY rx)
+          + count(*) OVER (PARTITION BY user_id, rx) - 1 AS du,
+        2*rank() OVER (PARTITION BY user_id ORDER BY ry)
+          + count(*) OVER (PARTITION BY user_id, ry) - 1 AS dv
+      FROM t),
+    rcs AS (
+      SELECT user_id, count(*)::DOUBLE n, sum(du)::DOUBLE su,
+             sum(dv)::DOUBLE sv, sum(du*dv)::DOUBLE suv,
+             sum(du*du)::DOUBLE suu, sum(dv*dv)::DOUBLE svv
+      FROM r GROUP BY user_id),
+    rc2 AS (
+      SELECT user_id,
+        CASE WHEN sqrt(n*suu - su*su) * sqrt(n*svv - sv*sv) = 0
+             THEN NULL
+             ELSE (n*suv - su*sv)
+                  / (sqrt(n*suu - su*su) * sqrt(n*svv - sv*sv))
+        END AS rc
+      FROM rcs),
+    w AS (
+      SELECT user_id, s, e,
+        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pm
+      FROM t),
+    ils AS (
+      SELECT user_id,
+        CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s))))
+             AS BIGINT) AS ils
+      FROM w GROUP BY user_id),
+    b AS (SELECT user_id, s AS p, 1 AS d FROM t
+          UNION ALL SELECT user_id, e, -1 FROM t),
+    c AS (SELECT user_id, p, d,
+            sum(d) OVER (PARTITION BY user_id ORDER BY p, d
+                         ROWS UNBOUNDED PRECEDING) AS cur
+          FROM b),
+    c2 AS (SELECT *, max(cur) OVER (PARTITION BY user_id) AS mx
+           FROM c),
+    mi AS (SELECT user_id, CAST(max(cur) AS BIGINT) AS mi,
+                  CAST(min(p) FILTER (WHERE cur = mx) AS BIGINT) AS mip
+           FROM c2 GROUP BY user_id)
+    SELECT slr2.user_id, slope, intercept, rc, ils.ils, mi.mi, mi.mip,
+           n
+    FROM slr2 JOIN rc2 USING (user_id) JOIN ils USING (user_id)
+         JOIN mi USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def sql_agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] statistical / interval aggregates, exact-arithmetic by
+    design (functions/registry.py stats section):
+    simpleLinearRegression (five integer sums + exactly-rounded
+    division, one hash aggregate), rankCorr (Spearman with average
+    ties via DOUBLED ranks — integers, so every sum is exact and the
+    sqrt/divide finisher is bit-identical to the SQL-window oracle),
+    intervalLengthSum (union length of [s,e) — sorted fold, O(1) per
+    interval), maxIntersections[Position] (boundary sweep, −1 before
+    +1 at equal positions = half-open semantics). Per-user groups
+    keep the fold-backed states entity-bounded (the suite
+    convention). The oracle spells each in portable SQL: classical
+    regression sums, 2·rank()+ties−1 windows, running-max gaps, and
+    a cumulative boundary sweep."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select user_id,
+                 event_id % 100 as x,
+                 event_id % 31 + 2 * (event_id % 100) as y,
+                 event_id % 50 as rx,
+                 value as ry,
+                 intDiv(toUnixMicros(ts), 1000000) as s,
+                 intDiv(toUnixMicros(ts), 1000000)
+                   + event_id % 97 + 1 as e
+          from events)
+        select user_id,
+               tupleElement(simpleLinearRegression(x, y), 'k')
+                 as slope,
+               tupleElement(simpleLinearRegression(x, y), 'b')
+                 as intercept,
+               rankCorr(rx, ry) as rc,
+               intervalLengthSum(s, e) as ils,
+               maxIntersections(s, e) as mi,
+               maxIntersectionsPosition(s, e) as mip,
+               count() as n
+        from t group by user_id order by user_id
+        """,
+    )

@@ -1,0 +1,140 @@
+"""Pins for the statistical / interval aggregate batch:
+simpleLinearRegression, rankCorr (tie handling), intervalLengthSum,
+maxIntersections[Position] edge geometry, and entropy — including
+entropy's bounded two-level GROUP BY lowering (no collect_list of
+group rows in the plan) and its value vs a Python reference.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from nutdb_spark.engine import NutEngine
+from nutdb_spark.functions.registry import AGGREGATE_FNS as A
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    return NutEngine(spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp())
+
+
+def _agg(spark, rows, schema, col):
+    df = spark.createDataFrame(rows, schema)
+    out = df.groupBy("g").agg(col.alias("v")).orderBy("g").collect()
+    return [r["v"] for r in out]
+
+
+def test_simple_linear_regression_exact(spark):
+    rows = [(1, 1, 3), (1, 2, 5), (1, 3, 7), (1, 4, 10)]
+    [v] = _agg(
+        spark, rows, "g int, x int, y int",
+        A["simpleLinearRegression"](F.col("x"), F.col("y")),
+    )
+    assert (v["k"], v["b"]) == (2.3, 0.5)
+
+
+def test_simple_linear_regression_degenerate(spark):
+    rows = [(1, 2, 3), (1, 2, 5)]  # zero x-variance
+    [v] = _agg(
+        spark, rows, "g int, x int, y int",
+        A["simpleLinearRegression"](F.col("x"), F.col("y")),
+    )
+    assert v["k"] is None and v["b"] is None
+
+
+def test_rank_corr_ties_and_sign(spark):
+    # perfect monotone -> 1; reversed -> -1; ties averaged
+    up = [(1, i, i * 3) for i in range(1, 6)]
+    dn = [(2, i, 10 - i) for i in range(1, 6)]
+    [a, b] = _agg(
+        spark, up + dn, "g int, x int, y int",
+        A["rankCorr"](F.col("x"), F.col("y")),
+    )
+    assert a == pytest.approx(1.0) and b == pytest.approx(-1.0)
+    tie = [(1, 1, 1), (1, 2, 1), (1, 3, 2)]
+    [t] = _agg(
+        spark, tie, "g int, x int, y int",
+        A["rankCorr"](F.col("x"), F.col("y")),
+    )
+    # ranks x: 1,2,3 ; y: 1.5,1.5,3 -> spearman = 0.866...
+    assert t == pytest.approx(math.sqrt(3) / 2)
+
+
+def test_interval_length_sum_geometry(spark):
+    rows = [
+        (1, 0, 10), (1, 5, 12), (1, 11, 14), (1, 13, 20),  # union 20
+        (2, 0, 1), (2, 2, 3),                              # gap, 2
+        (3, 0, 5), (3, 1, 2),                              # nested, 5
+        (4, 0, 5), (4, 5, 7),                              # touching, 7
+    ]
+    out = _agg(
+        spark, rows, "g int, s int, e int",
+        A["intervalLengthSum"](F.col("s"), F.col("e")),
+    )
+    assert out == [20, 2, 5, 7]
+
+
+def test_max_intersections_half_open(spark):
+    rows = [
+        (1, 0, 10), (1, 5, 12), (1, 11, 14), (1, 13, 20),
+        (2, 0, 2), (2, 2, 4),  # touching: never overlap
+        (3, 1, 5), (3, 2, 6), (3, 3, 7),  # 3 deep at p=3
+    ]
+    mi = _agg(
+        spark, rows, "g int, s int, e int",
+        A["maxIntersections"](F.col("s"), F.col("e")),
+    )
+    mip = _agg(
+        spark, rows, "g int, s int, e int",
+        A["maxIntersectionsPosition"](F.col("s"), F.col("e")),
+    )
+    assert mi == [2, 1, 3]
+    assert mip == [5, 0, 3]
+
+
+def test_entropy_value_and_uniform(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "b"),
+            (2, "x"), (2, "x"), (2, "x")]
+    out = _agg(spark, rows, "g int, v string", A["entropy"](F.col("v")))
+    assert out[0] == pytest.approx(1.0) and out[1] == pytest.approx(0.0)
+
+
+def test_entropy_group_by_lowering_bounded(eng, sf_dir):
+    """Dialect GROUP BY entropy must use the two-level histogram
+    path: value matches the Python reference AND the plan has no
+    collect_list (per-group row state)."""
+    import duckdb
+
+    df = eng.sql(
+        "select l_returnflag as k, entropy(l_linestatus) as h "
+        "from lineitem group by l_returnflag order by l_returnflag"
+    )
+    got = {r["k"]: r["h"] for r in df.collect()}
+    con = duckdb.connect()
+    ref = dict(
+        con.execute(
+            "with c as (select l_returnflag k, l_linestatus v, "
+            f"count(*) c from read_parquet('{sf_dir}/lineitem.parquet')"
+            " group by 1, 2) "
+            "select k, log2(sum(c)) - sum(c*log2(c))/sum(c) "
+            "from c group by k"
+        ).fetchall()
+    )
+    for k, h in ref.items():
+        assert got[k] == pytest.approx(h, abs=1e-12)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_entropy_rollup_grand_total(eng):
+    rows = eng.sql(
+        "select l_returnflag as k, entropy(l_linestatus) as h "
+        "from lineitem group by l_returnflag with rollup"
+    ).collect()
+    byk = {r["k"]: r["h"] for r in rows}
+    assert None in byk and byk[None] is not None
+    assert all(0.0 <= h <= 1.0 for h in byk.values())
