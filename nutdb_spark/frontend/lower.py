@@ -2743,6 +2743,9 @@ class Lowerer:
     _WINDOW_ONLY = {
         "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
         "ntile", "lag", "lead", "first_value", "last_value",
+        # [EXT] nth_value + the ClickHouse lagInFrame/leadInFrame
+        # spellings (same offset/default signature as lag/lead)
+        "nth_value", "laginframe", "leadinframe",
     }
 
     def _window_call(self, e, scope, group_map, agg_calls, pending) -> Column:
@@ -2792,7 +2795,8 @@ class Lowerer:
             orders.append(c if o.asc else c.desc())
         name = e.fn.name.lower()
         if name in ("row_number", "rank", "dense_rank", "percent_rank",
-                    "cume_dist", "ntile", "lag", "lead") and not orders:
+                    "cume_dist", "ntile", "lag", "lead", "nth_value",
+                    "laginframe", "leadinframe") and not orders:
             raise LoweringError(f"{e.fn.name} requires ORDER BY in OVER")
         w = Window.partitionBy(*parts)
         if orders:
@@ -2850,7 +2854,15 @@ class Lowerer:
             if len(args) != 1:
                 raise LoweringError("ntile takes exactly one argument")
             return F.ntile(lit_int(0, "bucket count"))
-        if name in ("lag", "lead"):
+        if name == "nth_value":
+            if len(args) != 2:
+                raise LoweringError("nth_value takes (expr, n)")
+            col = self._expr(args[0], scope, None, agg_calls, pending)
+            return F.nth_value(col, lit_int(1, "n"))
+        if name in ("lag", "lead", "laginframe", "leadinframe"):
+            name = {"laginframe": "lag", "leadinframe": "lead"}.get(
+                name, name
+            )
             if not 1 <= len(args) <= 3:
                 raise LoweringError(f"{e.fn.name} takes 1-3 arguments")
             col = self._expr(args[0], scope, None, agg_calls, pending)

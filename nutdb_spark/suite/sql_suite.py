@@ -3342,3 +3342,51 @@ def sql_agg_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t group by user_id order by user_id
         """,
     )
+
+
+@query(
+    "sql_window_fns2",
+    """
+    SELECT event_id,
+      nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts)
+        AS nv,
+      lag(event_id % 10) OVER (PARTITION BY user_id ORDER BY ts)
+        AS lg,
+      lead(event_id % 10, 2, -1) OVER (PARTITION BY user_id
+                                       ORDER BY ts) AS ld,
+      ntile(4) OVER (PARTITION BY user_id ORDER BY ts) AS nt,
+      percent_rank() OVER (PARTITION BY user_id ORDER BY event_id)
+        AS pr,
+      cume_dist() OVER (PARTITION BY user_id ORDER BY event_id) AS cd
+    FROM events WHERE user_id < 30
+    ORDER BY event_id
+    """,
+)
+def sql_window_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] second window-function batch: nth_value (standard
+    default frame — NULL until n peers seen), the ClickHouse
+    lagInFrame/leadInFrame spellings (offset + default), ntile,
+    percent_rank, cume_dist. One Exchange on user_id serves all six
+    (same partition key); the rank fractions are exact divisions.
+    Events ts is unique per fixture, so every ordering is total."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select event_id,
+               nth_value(value, 2)
+                 over (partition by user_id order by ts) as nv,
+               lagInFrame(event_id % 10)
+                 over (partition by user_id order by ts) as lg,
+               leadInFrame(event_id % 10, 2, -1)
+                 over (partition by user_id order by ts) as ld,
+               ntile(4)
+                 over (partition by user_id order by ts) as nt,
+               percent_rank()
+                 over (partition by user_id order by event_id) as pr,
+               cume_dist()
+                 over (partition by user_id order by event_id) as cd
+        from events where user_id < 30
+        order by event_id
+        """,
+    )

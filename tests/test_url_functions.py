@@ -87,3 +87,35 @@ def test_extract_url_parameter_names_and_pairs(eng):
     assert _one(
         eng, f"arrayStringConcat(extractURLParameters('{URL}'), '&')"
     ) == "x=1&y=2%20z"
+
+
+# --- window extras (same session fixtures) --------------------------------
+
+
+def test_nth_value_null_prefix(eng):
+    rows = eng.sql(
+        "select user_id, event_id, nth_value(event_id, 3) over "
+        "(partition by user_id order by ts) as nv "
+        "from events where user_id = 1 order by ts limit 4"
+    ).collect()
+    assert rows[0]["nv"] is None and rows[1]["nv"] is None
+    assert rows[2]["nv"] == rows[3]["nv"] == rows[2]["event_id"]
+
+
+def test_lag_in_frame_alias(eng):
+    rows = eng.sql(
+        "select lagInFrame(event_id) over (partition by user_id "
+        "order by ts) as a, lag(event_id) over (partition by user_id "
+        "order by ts) as b from events where user_id = 1"
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+
+
+def test_window_extras_require_order(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="requires ORDER BY"):
+        eng.sql(
+            "select nth_value(event_id, 2) over "
+            "(partition by user_id) from events"
+        )
