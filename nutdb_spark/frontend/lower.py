@@ -3052,4 +3052,5 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "arraystringconcat": (1,),
     # URL parameter name folds into the extraction regex
     "extracturlparameter": (1,),
+    "countmatches": (1,),
 }

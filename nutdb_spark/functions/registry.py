@@ -2051,3 +2051,156 @@ def _entropy(x: Column) -> Column:
 
 
 AGGREGATE_FNS["entropy"] = _entropy
+
+
+# --- [EXT] tier-5 scalar surface ------------------------------------------
+# Dates / timestamps
+SCALAR_FNS["fromUnixTimestamp"] = lambda s: F.timestamp_seconds(
+    s.cast("long")
+)
+SCALAR_FNS["makeDate"] = lambda y, m, d: F.make_date(y, m, d)
+SCALAR_FNS["toLastDayOfMonth"] = F.last_day
+SCALAR_FNS["monthName"] = lambda d: F.date_format(d, "MMMM")
+SCALAR_FNS["toRelativeDayNum"] = lambda d: F.datediff(
+    d.cast("date"), F.lit("1970-01-01").cast("date")
+)
+SCALAR_FNS["toRelativeHourNum"] = lambda t: F.floor(
+    F.unix_timestamp(t) / 3600
+).cast("long")
+SCALAR_FNS["toRelativeMinuteNum"] = lambda t: F.floor(
+    F.unix_timestamp(t) / 60
+).cast("long")
+SCALAR_FNS["addQuarters"] = lambda d, n: F.add_months(
+    d, (n * 3).cast("int")
+)
+SCALAR_FNS["subtractQuarters"] = lambda d, n: F.add_months(
+    d, (-n * 3).cast("int")
+)
+# Modified Julian Day epoch is 1858-11-17
+SCALAR_FNS["toModifiedJulianDay"] = lambda d: F.datediff(
+    d.cast("date"), F.lit("1858-11-17").cast("date")
+)
+SCALAR_FNS["fromModifiedJulianDay"] = lambda n: F.date_add(
+    F.lit("1858-11-17").cast("date"), n.cast("int")
+)
+
+
+def _floor_to_seconds(step: int):
+    def f(t: Column) -> Column:
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(t) / step).cast("long") * step
+        )
+
+    return f
+
+
+SCALAR_FNS["timeSlot"] = _floor_to_seconds(1800)
+SCALAR_FNS["toStartOfFifteenMinutes"] = _floor_to_seconds(900)
+SCALAR_FNS["toStartOfTenMinutes"] = _floor_to_seconds(600)
+SCALAR_FNS["toStartOfFiveMinutes"] = _floor_to_seconds(300)
+
+# UTF-8 / strings
+SCALAR_FNS["isValidUTF8"] = lambda s: F.is_valid_utf8(s)
+SCALAR_FNS["toValidUTF8"] = lambda s: F.make_valid_utf8(s)
+SCALAR_FNS["reverseUTF8"] = F.reverse
+SCALAR_FNS["leftUTF8"] = SCALAR_FNS["left"]
+SCALAR_FNS["rightUTF8"] = SCALAR_FNS["right"]
+SCALAR_FNS["positionUTF8"] = SCALAR_FNS["position"]
+
+
+def _count_matches(s: Column, pat: str) -> Column:
+    """countMatches(haystack, re) — raw-arg pattern like extractAll."""
+    return F.size(F.regexp_extract_all(s, F.lit(pat), 0))
+
+
+SCALAR_FNS["countMatches"] = _count_matches
+
+# math (not oracle-safe cross-engine — pytest-pinned)
+SCALAR_FNS["hypot"] = F.hypot
+SCALAR_FNS["asinh"] = F.asinh
+SCALAR_FNS["acosh"] = F.acosh
+SCALAR_FNS["atanh"] = F.atanh
+SCALAR_FNS["cot"] = F.cot
+
+
+def _bitmask_to_array(n: Column) -> Column:
+    """bitmaskToArray(n) — the powers of two whose sum is n,
+    ascending (CH order). Pure sequence/filter codegen over the 63
+    bit positions."""
+    nn = n.cast("long")
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(62)),
+            lambda i: F.when(
+                F.call_function(
+                    "shiftright", nn, i.cast("int")
+                ).bitwiseAND(F.lit(1).cast("long"))
+                == 1,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), i.cast("int")
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+SCALAR_FNS["bitmaskToArray"] = _bitmask_to_array
+SCALAR_FNS["bitmaskToList"] = lambda n: F.array_join(
+    F.transform(_bitmask_to_array(n), lambda x: x.cast("string")), ","
+)
+
+# maps
+SCALAR_FNS["mapFilter"] = lambda lam, m: F.map_filter(m, lam)
+
+
+def _map_update(m1: Column, m2: Column) -> Column:
+    """mapUpdate(m1, m2) — m2's value wins on key collision (Spark's
+    map_concat raises on duplicates, so drop m1's colliding keys
+    first)."""
+    ks = F.map_keys(m2)
+    return F.map_concat(
+        F.map_filter(m1, lambda k, _v: ~F.array_contains(ks, k)), m2
+    )
+
+
+SCALAR_FNS["mapUpdate"] = _map_update
+
+# vector math over array columns (embedding staples). F.aggregate is
+# a sequential left fold — element order is the ARRAY order, so with
+# integer-valued inputs every result is exact and oracle-safe;
+# float embeddings get the same deterministic in-order fold.
+_VSUM = lambda arr: F.aggregate(  # noqa: E731
+    arr, F.lit(0.0), lambda acc, x: acc + x
+)
+SCALAR_FNS["dotProduct"] = lambda a, b: _VSUM(
+    F.zip_with(a, b, lambda x, y: x.cast("double") * y)
+)
+SCALAR_FNS["L1Norm"] = lambda a: _VSUM(
+    F.transform(a, lambda x: F.abs(x.cast("double")))
+)
+SCALAR_FNS["L2Norm"] = lambda a: F.sqrt(
+    _VSUM(F.transform(a, lambda x: x.cast("double") * x))
+)
+SCALAR_FNS["LinfNorm"] = lambda a: F.array_max(
+    F.transform(a, lambda x: F.abs(x.cast("double")))
+)
+SCALAR_FNS["L1Distance"] = lambda a, b: _VSUM(
+    F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y))
+)
+SCALAR_FNS["L2Distance"] = lambda a, b: F.sqrt(
+    _VSUM(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y)
+            * (x.cast("double") - y),
+        )
+    )
+)
+SCALAR_FNS["LinfDistance"] = lambda a, b: F.array_max(
+    F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y))
+)
+SCALAR_FNS["cosineDistance"] = lambda a, b: 1 - F.try_divide(
+    SCALAR_FNS["dotProduct"](a, b),
+    SCALAR_FNS["L2Norm"](a) * SCALAR_FNS["L2Norm"](b),
+)

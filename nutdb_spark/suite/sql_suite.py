@@ -3390,3 +3390,129 @@ def sql_window_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by event_id
         """,
     )
+
+
+@query(
+    "sql_fn_tier5",
+    r"""
+    WITH t AS (
+      SELECT event_id, ts, event_type, props,
+             make_date(2020 + event_id % 5, 1 + event_id % 12,
+                       1 + event_id % 28) AS d,
+             event_id % 7 AS p, event_id % 11 - 5 AS q
+      FROM events WHERE user_id < 10)
+    SELECT event_id,
+      make_timestamp((event_id % 100000 + 1700000000) * 1000000)
+        AS fu,
+      d AS md,
+      last_day(d) AS ld,
+      monthname(d) AS mn,
+      CAST(d - DATE '1970-01-01' AS INT) AS rd,
+      CAST(d + (event_id % 3) * 3 * INTERVAL 1 MONTH AS DATE) AS aq,
+      CAST(d - 3 * INTERVAL 1 MONTH AS DATE) AS sq,
+      CAST(d - DATE '1858-11-17' AS INT) AS mjd,
+      DATE '1858-11-17' + CAST(event_id % 60000 AS INT) AS fmjd,
+      make_timestamp(epoch_us(ts) // 1000000 // 1800 * 1800
+                     * 1000000) AS tslot,
+      make_timestamp(epoch_us(ts) // 1000000 // 300 * 300
+                     * 1000000) AS t5,
+      CAST(epoch_us(ts) // 1000000 // 3600 AS BIGINT) AS rh,
+      CAST(epoch_us(ts) // 1000000 // 60 AS BIGINT) AS rm,
+      CAST(1 AS BOOLEAN) AS iv,
+      event_type AS tv,
+      reverse(event_type) AS rev,
+      left(event_type, 3) AS lu,
+      CAST(strpos(event_type, 'i') AS BIGINT) AS pu,
+      CAST(len(regexp_extract_all(props, '\d', 0)) AS INT) AS cm,
+      coalesce(array_to_string(
+        list_filter([1, 2, 4, 8, 16, 32, 64, 128],
+                    x -> (event_id % 200 & x) != 0), ','), '') AS bm,
+      CAST(p * 3 + q * 1 + 3 * 2 AS DOUBLE) AS dot,
+      CAST(abs(p) + abs(q) + 3 AS DOUBLE) AS l1,
+      sqrt(CAST(p * p + q * q + 9 AS DOUBLE)) AS l2,
+      CAST(abs(p - 3) + abs(q - 1) + abs(3 - 2) AS DOUBLE) AS l1d,
+      sqrt(CAST((p - 3) * (p - 3) + (q - 1) * (q - 1) + 1
+                AS DOUBLE)) AS l2d,
+      CAST(greatest(abs(p - 3), abs(q - 1), 1) AS DOUBLE) AS linf,
+      1 - CAST(p * 3 + q + 6 AS DOUBLE)
+          / (sqrt(CAST(p * p + q * q + 9 AS DOUBLE))
+             * sqrt(CAST(14 AS DOUBLE))) AS cosd,
+      'a,b,c' AS muk,
+      (event_id % 3) || ',9,' || (event_id % 5) AS muv,
+      CASE WHEN event_id % 3 = 2 THEN 'a,b' ELSE 'b' END AS mfk
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_tier5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-5 scalar surface, oracle-safe members: date/time
+    helpers (fromUnixTimestamp, makeDate, toLastDayOfMonth,
+    monthName, toRelativeDay/Hour/MinuteNum, add/subtractQuarters,
+    toModifiedJulianDay/fromModifiedJulianDay, timeSlot + the
+    toStartOfNMinutes ladder), UTF-8 names (isValidUTF8, toValidUTF8,
+    reverseUTF8, leftUTF8, positionUTF8), countMatches (raw-arg
+    regex), bitmaskToList, map combinators (mapUpdate with
+    m2-wins-on-collision, mapFilter with a (k,v) lambda), and the
+    vector family (dotProduct, L1/L2/LinfNorm, L1/L2/LinfDistance,
+    cosineDistance) over integer-valued arrays — F.aggregate is a
+    sequential in-order fold, so int folds are exact and the sqrt/
+    divide finishers are bit-identical to the oracle's spelled-out
+    arithmetic. hypot/asinh/acosh/atanh/cot are registered but
+    pytest-pinned (libm results differ cross-engine at the ulp).
+    Everything is a stateless JVM projection — zero shuffles before
+    the ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, ts, event_type, props,
+                 makeDate(2020 + event_id % 5, 1 + event_id % 12,
+                          1 + event_id % 28) as d,
+                 event_id % 7 as p, event_id % 11 - 5 as q,
+                 [event_id % 7, event_id % 11 - 5, 3] as va,
+                 [3, 1, 2] as vb
+          from events where user_id < 10)
+        select event_id,
+               fromUnixTimestamp(event_id % 100000 + 1700000000) as fu,
+               d as md,
+               toLastDayOfMonth(d) as ld,
+               monthName(d) as mn,
+               toRelativeDayNum(d) as rd,
+               addQuarters(d, event_id % 3) as aq,
+               subtractQuarters(d, 1) as sq,
+               toModifiedJulianDay(d) as mjd,
+               fromModifiedJulianDay(event_id % 60000) as fmjd,
+               timeSlot(ts) as tslot,
+               toStartOfFiveMinutes(ts) as t5,
+               toRelativeHourNum(ts) as rh,
+               toRelativeMinuteNum(ts) as rm,
+               isValidUTF8(event_type) as iv,
+               toValidUTF8(event_type) as tv,
+               reverseUTF8(event_type) as rev,
+               leftUTF8(event_type, 3) as lu,
+               positionUTF8(event_type, 'i') as pu,
+               countMatches(props, '\\\\d') as cm,
+               bitmaskToList(event_id % 200) as bm,
+               dotProduct(va, vb) as dot,
+               L1Norm(va) as l1,
+               L2Norm(va) as l2,
+               L1Distance(va, vb) as l1d,
+               L2Distance(va, vb) as l2d,
+               LinfDistance(va, vb) as linf,
+               cosineDistance(va, vb) as cosd,
+               arrayStringConcat(mapKeys(mapUpdate(
+                 mapFromArrays(['a', 'b'], [event_id % 3, 0]),
+                 mapFromArrays(['b', 'c'], [9, event_id % 5]))), ',')
+                 as muk,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 mapValues(mapUpdate(
+                   mapFromArrays(['a', 'b'], [event_id % 3, 0]),
+                   mapFromArrays(['b', 'c'], [9, event_id % 5])))),
+                 ',') as muv,
+               arrayStringConcat(mapKeys(mapFilter(
+                 (k, v) -> v > 1,
+                 mapFromArrays(['a', 'b'], [event_id % 3, 5]))), ',')
+                 as mfk
+        from t order by event_id
+        """,
+    )

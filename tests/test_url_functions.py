@@ -119,3 +119,41 @@ def test_window_extras_require_order(eng):
             "select nth_value(event_id, 2) over "
             "(partition by user_id) from events"
         )
+
+
+# --- tier-5 scalars: libm members (not oracle-safe, pinned here) ----------
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("hypot(3.0, 4.0)", 5.0),
+        ("asinh(0.0)", 0.0),
+        ("acosh(1.0)", 0.0),
+        ("atanh(0.0)", 0.0),
+        ("cot(pi() / 4)", 1.0000000000000002),
+        ("bitmaskToList(50)", "2,16,32"),
+        ("bitmaskToList(0)", ""),
+        ("toModifiedJulianDay(makeDate(1858, 11, 17))", 0),
+        ("monthName(makeDate(2024, 2, 29))", "February"),
+        ("dotProduct([1, 2], [3, 4])", 11.0),
+        ("cosineDistance([1, 0], [1, 0])", 0.0),
+        ("cosineDistance([1, 0], [0, 1])", 1.0),
+        ("LinfNorm([-7, 3])", 7.0),
+    ],
+)
+def test_tier5_scalars(eng, expr, expected):
+    got = _one(eng, expr)
+    if isinstance(expected, float):
+        assert got == pytest.approx(expected)
+    else:
+        assert got == expected
+
+
+def test_map_update_collision(eng):
+    assert _one(
+        eng,
+        "arrayStringConcat(arrayMap(x -> toString(x), mapValues("
+        "mapUpdate(mapFromArrays(['a','b'], [1, 2]), "
+        "mapFromArrays(['b','c'], [9, 3])))), ',')",
+    ) == "1,9,3"
