@@ -1,0 +1,95 @@
+"""Pins for true product quantization (operators/similarity.py PQ
+section): codebook determinism, encode shape, the ADC recall floor vs
+brute force, and the index-compression claim.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.similarity import (
+    pq_encode,
+    pq_fit,
+    topk_bruteforce,
+    topk_pq_adc,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_fit(emb, "vec_id", "embedding", m=4, k=16, iters=2)
+
+
+def test_pq_fit_shape_and_determinism(emb, books):
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    assert all(
+        isinstance(x, int) for b in books for c in b for x in c
+    )
+    again = pq_fit(emb, "vec_id", "embedding", m=4, k=16, iters=2)
+    assert again == books  # bit-identical retrain
+
+
+def test_pq_fit_rejects_indivisible_dim(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, "vec_id", "embedding", m=7)
+
+
+def test_pq_encode_codes_in_range(emb, books):
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    stats = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] <= 15 and stats["m"] == 4
+
+
+def test_pq_adc_recall_floor(emb, books):
+    q = emb.filter(F.col("vec_id") < 10)
+    adc = topk_pq_adc(
+        emb, q, "vec_id", "embedding", books, k=5, cand_per_block=15,
+        blocks=8,
+    )
+    truth = topk_bruteforce(emb, q, "vec_id", "embedding", k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in adc.collect()}
+    t = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    recall = len(a & t) / len(t)
+    # 4×16 codebooks over 64 dims at 120 rescored candidates per
+    # query: observed 0.92 at sf0.001 — pin a conservative floor
+    assert recall >= 0.80
+
+
+def test_pq_index_compression(emb, books, tmp_path):
+    """The PQ code frame must be dramatically smaller than the raw
+    scaled-vector index it replaces (the docstring claims ~128× for
+    the int64 spelling; parquet encodings eat some of that — pin a
+    conservative 8× on bytes actually written)."""
+    import os
+
+    from nutdb_spark.operators.similarity import scaled
+
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    raw = emb.select(
+        F.col("vec_id"), scaled(F.col("embedding")).alias("v")
+    )
+    p1, p2 = str(tmp_path / "codes"), str(tmp_path / "raw")
+    enc.write.parquet(p1)
+    raw.write.parquet(p2)
+
+    def size(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert size(p2) / size(p1) >= 8
