@@ -424,3 +424,41 @@ def test_round8_entry_plan_shapes(spark):
     plan = plan_of(QUERIES["sql_grouping_fn"](spark, SF01))
     assert "Expand" in plan  # one grouping-sets aggregate, no re-scan union
     assert plan.count("FileScan") == 1
+
+
+def test_session6_scalar_entries_are_pure_projections(spark):
+    """sql_fn_url / sql_fn_tier5 are stateless map stages: the ONLY
+    Exchange in the plan is the final ORDER BY's range partitioning,
+    and nothing drops out of whole-stage codegen into Python."""
+    from nutdb_spark.suite import QUERIES
+
+    for name in ("sql_fn_url", "sql_fn_tier5"):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        assert plan.count("Exchange") == 1, name
+        assert "rangepartitioning" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_agg_combinators_bounded_exchanges(spark):
+    """sql_agg_combinators mixes DISTINCT aggregates with plain ones,
+    so Catalyst plans the standard two-level distinct rewrite: ONE
+    expand aggregate + ONE final aggregate + the ORDER BY range
+    Exchange — exactly three shuffles total regardless of how many
+    combinator families the query uses, and never Python."""
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["sql_agg_combinators"](spark, SF01))
+    assert plan.count("Exchange") == 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_adc_no_cartesian_and_broadcast_rescore(spark):
+    """topk_pq_adc: candidate generation is a cogroup over blocks
+    (never a cartesian), and the exact rescore joins the tiny
+    candidate frame via broadcast — the corpus never shuffles for
+    the rescore."""
+    from nutdb_spark.suite import QUERIES
+
+    plan = plan_of(QUERIES["q_sim_topk_pq_adc"](spark, SF01))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

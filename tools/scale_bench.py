@@ -88,6 +88,16 @@ ENTRIES = [
     "sql_fn_tier4",
     "sql_group_array_sorted",
     "sql_quantile_exact",
+    # session-6 additions — URL family, combinator families, stats/
+    # interval aggregates, window extras, tier-5 scalars, true PQ
+    # (pq fit/encode/ADC; trains once via the artifact cache, the
+    # slope measures encode+ADC scan)
+    "sql_fn_url",
+    "sql_agg_combinators",
+    "sql_agg_stats2",
+    "sql_window_fns2",
+    "sql_fn_tier5",
+    "q_sim_topk_pq_adc",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
