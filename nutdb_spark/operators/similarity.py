@@ -972,3 +972,70 @@ def topk_pq_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def dedup_pq_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    *,
+    threshold: float = 0.3,
+    max_bucket: int = 50,
+    block_subspaces: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup candidate generation blocked on PQ CODES:
+    two vectors that quantize to the same m codewords are near-dup
+    candidates — an exact equi-join on an m-int key, never a
+    cartesian — then every candidate pair is verified with exact
+    full-precision cosine ≥ ``threshold``. The inverted-index shape
+    of q_dedup_jaccard applied to the embedding space: the blocking
+    scan reads the compressed code frame, and a ``max_bucket``
+    frequency cut drops degenerate buckets (a constant-vector corpus
+    would otherwise pair quadratically) — the cut counts bucket sizes
+    map-side BEFORE any pairing, like the hot-shingle guard.
+
+    ``block_subspaces`` blocks on only the first b codes (a coarser
+    key → higher recall, bigger buckets); default = all m codes.
+
+    Output (id_a, id_b, cosine), id_a < id_b, ordered nowhere —
+    callers sort. Recall is governed by quantization granularity
+    (coarser codebooks block more aggressively); the verify step
+    keeps precision exact."""
+    b = block_subspaces or len(codebooks)
+    enc = pq_encode(df, id_col, vec_col, codebooks).withColumn(
+        "__ck",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("codes"), 1, b),
+                lambda x: x.cast("string"),
+            ),
+        ),
+    )
+    sizes = enc.groupBy("__ck").agg(F.count(F.lit(1)).alias("__n"))
+    kept = enc.join(
+        F.broadcast(sizes.filter(F.col("__n") <= max_bucket)), "__ck"
+    ).select("__ck", "__id")
+    a = kept.select(F.col("__ck"), F.col("__id").alias("id_a"))
+    b = kept.select(F.col("__ck"), F.col("__id").alias("id_b"))
+    pairs = a.join(b, "__ck").filter(F.col("id_a") < F.col("id_b"))
+    va = df.select(
+        F.col(id_col).alias("__ia"), scaled(F.col(vec_col)).alias("__va")
+    )
+    vb = df.select(
+        F.col(id_col).alias("__ib"), scaled(F.col(vec_col)).alias("__vb")
+    )
+    j = (
+        pairs.join(va, F.col("id_a") == F.col("__ia"))
+        .join(vb, F.col("id_b") == F.col("__ib"))
+    )
+    cos = cosine_from_scaled(
+        dot_scaled(F.col("__va"), F.col("__vb")),
+        norm_sq_scaled(F.col("__va")),
+        norm_sq_scaled(F.col("__vb")),
+    )
+    return (
+        j.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

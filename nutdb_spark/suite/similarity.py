@@ -877,15 +877,13 @@ def _pq_books(
     return books
 
 
-def _oracle_pq_adc(
+def _oracle_pq_parts(
     m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
-    blocks: int = 8, cand: int = 15, topk: int = 5, nq: int = 10,
-) -> str:
-    """DuckDB twin of pq_fit + pq_encode + topk_pq_adc: m independent
-    per-subspace k-means chains (identical init / floored-mean /
-    tie-break to `_oracle_kmeans`), nearest-codeword encoding, the
-    per-query m×k dot LUT, gather-summed approximate cosine with
-    block-local candidate cuts, exact full-vector rescore."""
+) -> list[str]:
+    """Shared DuckDB CTE prefix replaying pq_fit + pq_encode: m
+    independent per-subspace k-means chains (identical init /
+    floored-mean / tie-break to `_oracle_kmeans`), per-codeword
+    norms² (s{S}n), and the `enc` codes frame (vec_id, c0..c{m-1})."""
     d = dim // m
     parts = [
         f"v AS (SELECT vec_id, {oracle_scaled('embedding')} AS s "
@@ -938,6 +936,18 @@ def _oracle_pq_adc(
     parts.append(
         f"enc AS (SELECT v.vec_id, {enc_cols} FROM v {enc_joins})"
     )
+    return parts
+
+
+def _oracle_pq_adc(
+    m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
+    blocks: int = 8, cand: int = 15, topk: int = 5, nq: int = 10,
+) -> str:
+    """DuckDB twin of topk_pq_adc on top of `_oracle_pq_parts`: the
+    per-query m×k dot LUT, gather-summed approximate cosine with
+    block-local candidate cuts, exact full-vector rescore."""
+    d = dim // m
+    parts = _oracle_pq_parts(m, k, iters, dim)
     parts.append(
         "qv AS (SELECT vec_id, s, "
         f"{oracle_dot_scaled('s', 's')} AS n2 "
@@ -1022,4 +1032,53 @@ def q_sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         cand_per_block=15,
         blocks=8,
+    )
+
+
+def _oracle_pq_dedup(
+    m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
+    threshold: float = 0.3, max_bucket: int = 50, bsub: int = 2,
+) -> str:
+    code_cols = ", ".join(f"c{S}" for S in range(bsub))
+    eq = " AND ".join(f"a.c{S} = b.c{S}" for S in range(bsub))
+    cos = oracle_cosine(
+        oracle_dot_scaled("x.s", "y.s"), "x.n2", "y.n2"
+    )
+    parts = _oracle_pq_parts(m, k, iters, dim)
+    parts += [
+        f"sizes AS (SELECT {code_cols}, count(*) AS n FROM enc "
+        f"GROUP BY {code_cols})",
+        f"kept AS (SELECT enc.* FROM enc JOIN sizes USING ({code_cols}) "
+        f"WHERE sizes.n <= {max_bucket})",
+        "nn AS (SELECT vec_id, s, "
+        f"{oracle_dot_scaled('s', 's')} AS n2 FROM v)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM kept a JOIN kept b ON {eq} AND a.vec_id < b.vec_id
+JOIN nn x ON x.vec_id = a.vec_id
+JOIN nn y ON y.vec_id = b.vec_id
+WHERE {cos} >= {threshold}
+"""
+    )
+
+
+@query("q_dedup_pq_blocked", _oracle_pq_dedup())
+def q_dedup_pq_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via PQ-code blocking: vectors sharing their
+    first-2-subspace codes pair through an exact small-int equi-join (the jaccard inverted-index
+    shape in embedding space; max_bucket frequency cut guards
+    degenerate buckets BEFORE pairing), then exact full-precision
+    cosine verifies every candidate. The blocking scan reads the
+    compressed code frame — at 100 TB this is the cheap first pass
+    of embedding-space dedup, with brute/LSH/IVF ladder entries as
+    the recall-graded alternatives."""
+    from nutdb_spark.operators.similarity import dedup_pq_blocked
+
+    books = _pq_books(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup_pq_blocked(
+        e, "vec_id", "embedding", books, threshold=0.3, max_bucket=50,
+        block_subspaces=2,
     )

@@ -93,3 +93,20 @@ def test_pq_index_compression(emb, books, tmp_path):
         )
 
     assert size(p2) / size(p1) >= 8
+
+
+def test_dedup_pq_blocked_precision_and_guard(emb, books):
+    """Every emitted pair must clear the cosine threshold (exact
+    verify), ids ordered, and the plan must contain no cartesian —
+    blocking is an equi-join on the code prefix."""
+    from nutdb_spark.operators.similarity import dedup_pq_blocked
+
+    out = dedup_pq_blocked(
+        emb, "vec_id", "embedding", books, threshold=0.3,
+        max_bucket=50, block_subspaces=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    assert rows, "fixture should produce at least one near-dup pair"
+    assert all(r["cosine"] >= 0.3 and r["id_a"] < r["id_b"] for r in rows)

@@ -98,6 +98,7 @@ ENTRIES = [
     "sql_window_fns2",
     "sql_fn_tier5",
     "q_sim_topk_pq_adc",
+    "q_dedup_pq_blocked",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
