@@ -3053,4 +3053,6 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     # URL parameter name folds into the extraction regex
     "extracturlparameter": (1,),
     "countmatches": (1,),
+    # arrayReduce's aggregate-name selector
+    "arrayreduce": (0,),
 }

@@ -2204,3 +2204,43 @@ SCALAR_FNS["cosineDistance"] = lambda a, b: 1 - F.try_divide(
     SCALAR_FNS["dotProduct"](a, b),
     SCALAR_FNS["L2Norm"](a) * SCALAR_FNS["L2Norm"](b),
 )
+
+
+def _array_fold(lam: ScalarFn, arr: Column, init: Column) -> Column:
+    """arrayFold((acc, x) -> ..., arr, init) — CH 23.x argument order
+    (lambda first, init LAST); Spark's aggregate is the same
+    sequential in-order left fold."""
+    return F.aggregate(arr, init, lam)
+
+
+SCALAR_FNS["arrayFold"] = _array_fold
+
+# arrayReduce('agg', arr): the aggregate name is a compile-time string
+# (raw-arg); each supported name maps to the row-side array reduction
+# the -Array combinators already use.
+_ARRAY_REDUCERS: dict[str, ScalarFn] = {
+    "sum": lambda a: SCALAR_FNS["arraySum"](a),
+    "min": F.array_min,
+    "max": F.array_max,
+    "avg": lambda a: SCALAR_FNS["arrayAvg"](a),
+    "count": F.size,
+    "uniq": lambda a: F.size(F.array_distinct(a)),
+    "uniqexact": lambda a: F.size(F.array_distinct(a)),
+    "countunique": lambda a: F.size(F.array_distinct(a)),
+    "any": lambda a: F.get(a, 0),
+    "anylast": lambda a: F.element_at(a, F.size(a)),
+    "grouparray": lambda a: a,
+}
+
+
+def _array_reduce(name: str, arr: Column) -> Column:
+    fn = _ARRAY_REDUCERS.get(name.lower())
+    if fn is None:
+        raise ValueError(
+            f"arrayReduce: unsupported aggregate {name!r} "
+            f"(supported: {sorted(_ARRAY_REDUCERS)})"
+        )
+    return fn(arr)
+
+
+SCALAR_FNS["arrayReduce"] = _array_reduce

@@ -157,3 +157,24 @@ def test_map_update_collision(eng):
         "mapUpdate(mapFromArrays(['a','b'], [1, 2]), "
         "mapFromArrays(['b','c'], [9, 3])))), ',')",
     ) == "1,9,3"
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("arrayFold((acc, x) -> acc * 10 + x, [1, 2, 3], 0)", 123),
+        ("arrayReduce('sum', [1, 2, 3])", 6),
+        ("arrayReduce('max', [1, 7, 3])", 7),
+        ("arrayReduce('count', [1, 7, 3])", 3),
+        ("arrayReduce('uniq', [1, 1, 3])", 2),
+        ("arrayReduce('any', [9, 1])", 9),
+        ("arrayReduce('anyLast', [9, 1])", 1),
+    ],
+)
+def test_array_fold_reduce(eng, expr, expected):
+    assert _one(eng, expr) == expected
+
+
+def test_array_reduce_unknown_agg(eng):
+    with pytest.raises(Exception, match="unsupported aggregate"):
+        eng.sql("select arrayReduce('median', [1,2]) from numbers(1)")
