@@ -62,7 +62,7 @@ _PRIORITY = [
     "q_dedup_connected_best", "q_embed_quantize", "q_embed_truncate",
     "q_sample_temperature", "q_text_chunk", "q_fn_arrays",
     "q_fn_datetime2", "q_fn_scalar_surface2", "q_fn_agg_surface2",
-    # --- (2) new in round 8 (24) ---
+    # --- (2) new in round 8 (25) ---
     "sql_table_fn_decon", "sql_table_fn_decon_drop", "sql_topk_rollup",
     "sql_dictget_broadcast", "sql_group_order_all", "sql_apply_modifier",
     "sql_any_join", "sql_grouping_fn", "sql_asof_using", "sql_uniq_upto",
@@ -70,15 +70,15 @@ _PRIORITY = [
     "sql_fn_tier4", "sql_group_array_sorted", "sql_quantile_exact",
     "sql_fn_url", "sql_agg_combinators", "sql_agg_stats2",
     "sql_window_fns2", "sql_fn_tier5", "q_sim_topk_pq_adc",
-    "q_dedup_pq_blocked",
-    # --- (3) stalest re-grades: last driver row r4 (1; the seven
+    "q_dedup_pq_blocked", "q_stream_join_full",
+    # --- (3) stalest re-grades (0 this session — the eight
     # displaced by the session-6 registrations — q_ddl_optimize,
     # q_dedup_exact_content, q_dedup_simhash, q_expr_between,
-    # q_expr_index, q_expr_isnull, q_expr_interval — join the ROUND-9
-    # re-grade pool beside q_expr_like, q_fn_count_unique,
-    # q_fn_strings, q_fn_substring, q_join_broadcast, q_join_salted,
-    # q_multimodal_frames, all already r4-green) ---
-    "q_ddl_complex_types",
+    # q_expr_index, q_expr_isnull, q_expr_interval,
+    # q_ddl_complex_types — join the ROUND-9 re-grade pool beside
+    # q_expr_like, q_fn_count_unique, q_fn_strings, q_fn_substring,
+    # q_join_broadcast, q_join_salted, q_multimodal_frames, all
+    # already r4-green) ---
 ]
 
 
