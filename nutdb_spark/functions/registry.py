@@ -2244,3 +2244,40 @@ def _array_reduce(name: str, arr: Column) -> Column:
 
 
 SCALAR_FNS["arrayReduce"] = _array_reduce
+
+
+# --- [EXT] -State / -Merge combinators ------------------------------------
+# ClickHouse's mergeable-aggregate-state pair: <agg>State produces a
+# re-aggregatable partial, <agg>Merge folds partials into the final
+# value — the machinery behind incremental materialized views and
+# multi-level rollups (aggregate once per fine bucket, re-merge per
+# coarse bucket without rescanning the fact table). For the
+# decomposable aggregates the state IS a value (sum/min/max) or a
+# tiny struct (avg); for distinct counting the state is a DataSketches
+# HLL sketch (binary, fixed size, mergeable) via Spark's JVM
+# hll_sketch_agg/hll_union_agg — the only approximate member, which
+# is exactly the 100 TB trade -State exists for.
+AGGREGATE_FNS["sumState"] = F.sum
+AGGREGATE_FNS["sumMerge"] = F.sum
+AGGREGATE_FNS["minState"] = F.min
+AGGREGATE_FNS["minMerge"] = F.min
+AGGREGATE_FNS["maxState"] = F.max
+AGGREGATE_FNS["maxMerge"] = F.max
+AGGREGATE_FNS["countState"] = lambda *a: F.count(a[0] if a else F.lit(1))
+AGGREGATE_FNS["countMerge"] = F.sum  # merging counts = summing them
+AGGREGATE_FNS["avgState"] = lambda x: F.struct(
+    F.sum(x.cast("double")).alias("s"), F.count(x).alias("c")
+)
+AGGREGATE_FNS["avgMerge"] = lambda st: F.try_divide(
+    F.sum(st["s"]), F.sum(st["c"])
+)
+AGGREGATE_FNS["groupArrayState"] = F.collect_list
+AGGREGATE_FNS["groupArrayMerge"] = lambda st: F.flatten(
+    F.collect_list(st)
+)
+AGGREGATE_FNS["uniqState"] = lambda x: F.hll_sketch_agg(x)
+AGGREGATE_FNS["uniqMerge"] = lambda st: F.hll_sketch_estimate(
+    F.hll_union_agg(st)
+)
+AGGREGATE_FNS["uniqCombinedState"] = AGGREGATE_FNS["uniqState"]
+AGGREGATE_FNS["uniqCombinedMerge"] = AGGREGATE_FNS["uniqMerge"]

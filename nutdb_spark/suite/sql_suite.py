@@ -3516,3 +3516,51 @@ def sql_fn_tier5(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+@query(
+    "sql_agg_state_merge",
+    """
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS DOUBLE) AS q,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_suppkey) AS BIGINT) AS mn,
+           CAST(max(l_partkey) AS BIGINT) AS mx,
+           CAST(sum(l_linenumber) AS DOUBLE) / count(l_linenumber)
+             AS av
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the -State / -Merge combinator pair: fine-grain states
+    per (returnflag, linestatus), re-merged per returnflag in an
+    outer aggregate — the incremental-materialized-view machinery
+    (aggregate once per bucket, re-roll without rescanning the fact).
+    The exact members (sum/count/min/max/avg — avg's state is a
+    (sum, count) struct) merge associatively, so the oracle is the
+    DIRECT single-level aggregate. uniqState/uniqMerge ride Spark's
+    mergeable DataSketches HLL (binary, fixed-size state — the 100 TB
+    trade -State exists for) and are pinned in
+    tests/test_state_merge.py instead (estimates aren't
+    SQL-reproducible in DuckDB)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with st as (
+          select l_returnflag, l_linestatus,
+                 sumState(l_quantity) as s_sum,
+                 countState() as s_cnt,
+                 minState(l_suppkey) as s_min,
+                 maxState(l_partkey) as s_max,
+                 avgState(l_linenumber) as s_avg
+          from lineitem group by l_returnflag, l_linestatus)
+        select l_returnflag,
+               sumMerge(s_sum) as q,
+               countMerge(s_cnt) as n,
+               minMerge(s_min) as mn,
+               maxMerge(s_max) as mx,
+               avgMerge(s_avg) as av
+        from st group by l_returnflag order by l_returnflag
+        """,
+    )
