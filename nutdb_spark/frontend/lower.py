@@ -3035,6 +3035,13 @@ _AGG_NAMES = {n.lower() for n in AGGREGATE_FNS} | {
 # get_json_object takes its JsonPath as a compile-time string.
 _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "jsonextractint": (1,),
+    "jsonextractbool": (1,),
+    "jsonextractuint": (1,),
+    "simplejsonextractstring": (1,),
+    "simplejsonextractint": (1,),
+    "simplejsonextractfloat": (1,),
+    "simplejsonextractbool": (1,),
+    "simplejsonhas": (1,),
     "jsonextractfloat": (1,),
     "jsonextractstring": (1,),
     "jsonhas": (1,),

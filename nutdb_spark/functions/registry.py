@@ -2281,3 +2281,137 @@ AGGREGATE_FNS["uniqMerge"] = lambda st: F.hll_sketch_estimate(
 )
 AGGREGATE_FNS["uniqCombinedState"] = AGGREGATE_FNS["uniqState"]
 AGGREGATE_FNS["uniqCombinedMerge"] = AGGREGATE_FNS["uniqMerge"]
+
+
+# --- [EXT] tier-6 scalar surface ------------------------------------------
+# JSON extras (raw-arg keys like the JSONExtract family above)
+SCALAR_FNS["JSONExtractBool"] = lambda j, key: F.get_json_object(
+    j, _json_path(key)
+).cast("boolean")
+SCALAR_FNS["JSONExtractUInt"] = SCALAR_FNS["JSONExtractInt"]
+SCALAR_FNS["JSONExtractKeys"] = lambda j: F.json_object_keys(j)
+# CH's simpleJSON* fast-path spellings are the same contract here
+SCALAR_FNS["simpleJSONExtractString"] = SCALAR_FNS["JSONExtractString"]
+SCALAR_FNS["simpleJSONExtractInt"] = SCALAR_FNS["JSONExtractInt"]
+SCALAR_FNS["simpleJSONExtractFloat"] = SCALAR_FNS["JSONExtractFloat"]
+SCALAR_FNS["simpleJSONExtractBool"] = SCALAR_FNS["JSONExtractBool"]
+SCALAR_FNS["simpleJSONHas"] = SCALAR_FNS["JSONHas"]
+
+# multiSearch family (needles = array literal; first-in-LIST-order
+# semantics for FirstIndex, documented deviation from CH's leftmost)
+SCALAR_FNS["multiSearchFirstIndex"] = lambda h, needles: F.array_position(
+    F.transform(needles, lambda n: F.contains(h, n)), F.lit(True)
+)
+SCALAR_FNS["multiSearchAllPositions"] = lambda h, needles: F.transform(
+    needles, lambda n: F.call_function("instr", h, n).cast("long")
+)
+
+
+def _multi_search_first_position(h: Column, needles: Column) -> Column:
+    pos = F.transform(
+        needles, lambda n: F.call_function("instr", h, n).cast("long")
+    )
+    return F.coalesce(
+        F.array_min(F.filter(pos, lambda p: p > 0)),
+        F.lit(0).cast("long"),
+    )
+
+
+SCALAR_FNS["multiSearchFirstPosition"] = _multi_search_first_position
+
+
+def _has_substr(a: Column, b: Column) -> Column:
+    """hasSubstr(arr, subarr) — subarr occurs CONTIGUOUSLY in arr (CH
+    semantics; contrast hasAll's set containment). Empty subarr →
+    true. A window of |b| is compared at every start offset — arrays
+    here are row-sized, so the quadratic stays row-local."""
+    nb = F.size(b)
+    na = F.size(a)
+    starts = F.when(
+        na >= nb, F.sequence(F.lit(1), na - nb + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.when(nb == 0, F.lit(True)).otherwise(
+        F.exists(starts, lambda i: F.slice(a, i, nb) == b)
+    )
+
+
+SCALAR_FNS["hasSubstr"] = _has_substr
+SCALAR_FNS["countSubstringsCaseInsensitive"] = lambda s, sub: SCALAR_FNS[
+    "countSubstrings"
+](F.lower(s), F.lower(sub))
+SCALAR_FNS["startsWithUTF8"] = SCALAR_FNS["startsWith"]
+SCALAR_FNS["endsWithUTF8"] = SCALAR_FNS["endsWith"]
+
+# epoch64 conversions (NTZ→TZ cast under the pinned UTC session tz,
+# matching toUnixMicros above)
+SCALAR_FNS["toUnixTimestamp64Micro"] = SCALAR_FNS["toUnixMicros"]
+SCALAR_FNS["toUnixTimestamp64Milli"] = lambda d: F.unix_millis(
+    d.cast("timestamp")
+)
+SCALAR_FNS["toUnixTimestamp64Nano"] = lambda d: F.unix_micros(
+    d.cast("timestamp")
+) * 1000
+SCALAR_FNS["fromUnixTimestamp64Milli"] = lambda x: F.timestamp_millis(
+    x.cast("long")
+)
+SCALAR_FNS["fromUnixTimestamp64Micro"] = lambda x: F.timestamp_micros(
+    x.cast("long")
+)
+
+
+def _format_readable_decimal_size(b: Column) -> Column:
+    """formatReadableDecimalSize(bytes) — the 1000-ladder sibling of
+    formatReadableSize ('1.23 MB')."""
+    x = b.cast("double")
+    units = ["B", "KB", "MB", "GB", "TB", "PB"]
+    out = F.format_string("%.2f EB", x / F.lit(float(1000**6)))
+    for i in reversed(range(len(units))):
+        scaled = x / F.lit(float(1000**i))
+        out = F.when(
+            x < F.lit(float(1000 ** (i + 1))),
+            F.format_string(f"%.2f {units[i]}", scaled),
+        ).otherwise(out)
+    return out
+
+
+SCALAR_FNS["formatReadableDecimalSize"] = _format_readable_decimal_size
+
+
+def _array_rotate_left(a: Column, n: Column) -> Column:
+    sz = F.size(a)
+    k = F.pmod(n.cast("int"), sz)
+    return F.when(sz <= 1, a).otherwise(
+        F.concat(F.slice(a, k + 1, sz - k), F.slice(a, 1, k))
+    )
+
+
+SCALAR_FNS["arrayRotateLeft"] = _array_rotate_left
+SCALAR_FNS["arrayRotateRight"] = lambda a, n: _array_rotate_left(
+    a, F.size(a) - F.pmod(n.cast("int"), F.size(a))
+)
+
+
+def _array_shift_left(
+    a: Column, n: Column, fill: Column | None = None
+) -> Column:
+    """arrayShiftLeft(arr, n[, fill]) — drop the first n, pad the tail
+    with ``fill`` (an element-typed NULL when omitted — F.get past the
+    end supplies one without knowing the type)."""
+    sz = F.size(a)
+    k = F.least(F.greatest(n.cast("int"), F.lit(0)), sz)
+    f = fill if fill is not None else F.get(a, sz + 1)
+    return F.concat(
+        F.slice(a, k + 1, sz - k),
+        F.transform(
+            F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda _i: f,
+        ),
+    )
+
+
+SCALAR_FNS["arrayShiftLeft"] = _array_shift_left
+SCALAR_FNS["arrayShiftRight"] = lambda a, n, fill=None: F.reverse(
+    _array_shift_left(F.reverse(a), n, fill)
+)

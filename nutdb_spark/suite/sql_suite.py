@@ -3564,3 +3564,114 @@ def sql_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         from st group by l_returnflag order by l_returnflag
         """,
     )
+
+
+@query(
+    "sql_fn_tier6",
+    """
+    WITH t AS (
+      SELECT event_id, ts, event_type,
+             '{"a":' || (event_id % 5) || ',"b":"' || event_type
+               || '","f":' || (event_id % 3) || '.5,"t":'
+               || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false'
+                  END || ',"arr":[1,2,3]}' AS j,
+             [1 + event_id % 4, 2, 3, 4] AS arr
+      FROM events WHERE user_id < 20)
+    SELECT event_id,
+      CAST(json_extract_string(j, '$.t') AS BOOLEAN) AS jb,
+      CAST(json_extract_string(j, '$.a') AS BIGINT) AS ju,
+      json_extract_string(j, '$.b') AS js,
+      CAST(json_extract_string(j, '$.f') AS DOUBLE) AS jf,
+      array_to_string(json_keys(j), ',') AS jk,
+      CAST(CASE WHEN contains(event_type, 'purchase') THEN 1
+                WHEN contains(event_type, 'view') THEN 2
+                WHEN contains(event_type, 'ick') THEN 3
+                ELSE 0 END AS BIGINT) AS mfi,
+      CAST(strpos(event_type, 'i') AS BIGINT) || ','
+        || CAST(strpos(event_type, 'ck') AS BIGINT) || ','
+        || CAST(strpos(event_type, 'zz') AS BIGINT) AS map_,
+      CAST(coalesce(least(nullif(strpos(event_type, 'i'), 0),
+                          nullif(strpos(event_type, 'ck'), 0),
+                          nullif(strpos(event_type, 'zz'), 0)), 0)
+           AS BIGINT) AS mfp,
+      CAST(1 AS BOOLEAN) AS hs1,
+      CAST(event_id % 4 = 2 AS BOOLEAN) AS hs2,
+      CAST((length(event_type)
+            - length(replace(lower(event_type), 'e', ''))) AS INT)
+        AS cs,
+      event_type LIKE 'vi%' AS sw,
+      event_type LIKE '%ck' AS ew,
+      CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms,
+      make_timestamp((event_id * 1000 + 1700000000000) * 1000) AS fm,
+      CASE WHEN event_id * 1230 + 1 < 1000
+             THEN printf('%.2f B', CAST(event_id * 1230 + 1 AS DOUBLE))
+           WHEN event_id * 1230 + 1 < 1000000
+             THEN printf('%.2f KB',
+                         (event_id * 1230 + 1) / 1000.0)
+           ELSE printf('%.2f MB',
+                       (event_id * 1230 + 1) / 1000000.0)
+      END AS frd,
+      array_to_string(arr[(event_id % 5) % 4 + 1:]
+                      || arr[1:(event_id % 5) % 4], ',') AS rl,
+      array_to_string(arr[4:] || arr[1:3], ',') AS rr,
+      array_to_string(arr[2:] || [9], ',') AS sl
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_tier6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-6 scalar surface: JSON extras (JSONExtractBool/
+    UInt/Keys + the simpleJSON* fast-path spellings, raw-arg keys →
+    JVM JsonPath), the multiSearch family (FirstIndex by list order,
+    AllPositions, FirstPosition), hasSubstr (contiguous-subarray
+    containment, row-local window compare),
+    countSubstringsCaseInsensitive, UTF8 start/end aliases, the
+    epoch64 conversion quartet (milli/micro both ways under the
+    pinned UTC tz), formatReadableDecimalSize (1000 ladder), and
+    array rotate/shift (element-typed NULL fill via an
+    out-of-bounds F.get when the fill is omitted). All JVM
+    expressions — one range Exchange for the ORDER BY, nothing
+    else."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, ts, event_type,
+                 '{"a":' + toString(event_id % 5) + ',"b":"'
+                   + event_type + '","f":' + toString(event_id % 3)
+                   + '.5,"t":'
+                   + if(event_id % 2 = 0, 'true', 'false')
+                   + ',"arr":[1,2,3]}' as j,
+                 [1 + event_id % 4, 2, 3, 4] as arr
+          from events where user_id < 20)
+        select event_id,
+               JSONExtractBool(j, 't') as jb,
+               JSONExtractUInt(j, 'a') as ju,
+               simpleJSONExtractString(j, 'b') as js,
+               simpleJSONExtractFloat(j, 'f') as jf,
+               arrayStringConcat(JSONExtractKeys(j), ',') as jk,
+               multiSearchFirstIndex(event_type,
+                 ['purchase', 'view', 'ick']) as mfi,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 multiSearchAllPositions(event_type,
+                   ['i', 'ck', 'zz'])), ',') as map_,
+               multiSearchFirstPosition(event_type,
+                 ['i', 'ck', 'zz']) as mfp,
+               hasSubstr(arr, [2, 3]) as hs1,
+               hasSubstr(arr, [3, 2]) as hs2,
+               countSubstringsCaseInsensitive(event_type, 'E') as cs,
+               startsWithUTF8(event_type, 'vi') as sw,
+               endsWithUTF8(event_type, 'ck') as ew,
+               toUnixTimestamp64Milli(ts) as ms,
+               fromUnixTimestamp64Milli(
+                 event_id * 1000 + 1700000000000) as fm,
+               formatReadableDecimalSize(event_id * 1230 + 1) as frd,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayRotateLeft(arr, event_id % 5)), ',') as rl,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayRotateRight(arr, 1)), ',') as rr,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayShiftLeft(arr, 1, 9)), ',') as sl
+        from t order by event_id
+        """,
+    )

@@ -178,3 +178,30 @@ def test_array_fold_reduce(eng, expr, expected):
 def test_array_reduce_unknown_agg(eng):
     with pytest.raises(Exception, match="unsupported aggregate"):
         eng.sql("select arrayReduce('median', [1,2]) from numbers(1)")
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("arrayRotateLeft([1,2,3,4], 1)", [2, 3, 4, 1]),
+        ("arrayRotateLeft([1,2,3,4], 6)", [3, 4, 1, 2]),
+        ("arrayRotateLeft([1,2,3,4], 0)", [1, 2, 3, 4]),
+        ("arrayRotateRight([1,2,3,4], 1)", [4, 1, 2, 3]),
+        ("arrayShiftLeft([1,2,3,4], 2, 0)", [3, 4, 0, 0]),
+        ("arrayShiftLeft([1,2,3], 2)", [3, None, None]),
+        ("arrayShiftRight([1,2,3,4], 1, 0)", [0, 1, 2, 3]),
+        ("hasSubstr([1,2,3,4], [2,3])", True),
+        ("hasSubstr([1,2,3,4], [2,4])", False),
+        ("hasSubstr([1,2], [])", True),
+        ("hasSubstr([1], [1,2])", False),
+        ("multiSearchFirstIndex('click', ['zz', 'ick'])", 2),
+        ("multiSearchFirstIndex('click', ['zz'])", 0),
+        ("multiSearchFirstPosition('click', ['ck', 'li'])", 2),
+        ("multiSearchFirstPosition('click', ['zz'])", 0),
+        ("toUnixTimestamp64Nano(toDatetime('1970-01-01 00:00:01'))",
+         1000000000),
+        ("JSONExtractBool('{\"t\":true}', 't')", True),
+    ],
+)
+def test_tier6_scalars(eng, expr, expected):
+    assert _one(eng, expr) == expected

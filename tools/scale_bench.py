@@ -99,6 +99,8 @@ ENTRIES = [
     "sql_fn_tier5",
     "q_sim_topk_pq_adc",
     "q_dedup_pq_blocked",
+    "sql_agg_state_merge",
+    "sql_fn_tier6",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
