@@ -1193,6 +1193,23 @@ class Catalog:
                 if c["name"] == old:
                     c["name"] = new
             self._rewrite(stmt.table, meta, low, rename=(old, new))
+        elif act == "modify_column":
+            # [EXT] retype in the metadata, then let the schema-
+            # evolution rewrite cast the stored data (it already casts
+            # every surviving column to its meta spark_type).
+            col = stmt.payload
+            entry = next(
+                (c for c in meta["columns"] if c["name"] == col.name),
+                None,
+            )
+            if entry is None:
+                raise CatalogError(f"unknown column {col.name!r}")
+            entry["dtype"] = _dtype_meta(col.dtype)
+            entry["spark_type"] = to_spark_type(col.dtype).json()
+            entry["nullable"] = col.dtype.nullable
+            if col.default is not None:
+                entry["default"] = _pickle_ast(col.default)
+            self._rewrite(stmt.table, meta, low)
         elif act == "add_index":
             meta["indexes"].append(
                 {
@@ -1350,6 +1367,35 @@ class Catalog:
         )
         target = max(1, size // (128 << 20) + 1)
         tmp = path + ".tmp"
+        if getattr(stmt, "deduplicate", False):
+            by = getattr(stmt, "dedup_by", None)
+            if by:
+                # [EXT] DEDUPLICATE BY cols: keep ONE row per key,
+                # deterministically (min over the remaining columns'
+                # sort order — CH keeps an arbitrary row; a rewrite
+                # that can differ per run is untestable).
+                missing = [c for c in by if c not in df.columns]
+                if missing:
+                    raise CatalogError(
+                        f"DEDUPLICATE BY unknown column(s) {missing}"
+                    )
+                rest = [c for c in df.columns if c not in by]
+                if rest:
+                    from pyspark.sql import Window
+
+                    w = Window.partitionBy(*by).orderBy(
+                        *[F.col(c).asc_nulls_first() for c in rest]
+                    )
+                    rn = "__optimize_rn"
+                    df = (
+                        df.withColumn(rn, F.row_number().over(w))
+                        .where(F.col(rn) == 1)
+                        .drop(rn)
+                    )
+                else:
+                    df = df.dropDuplicates()
+            else:
+                df = df.dropDuplicates()
         out = df.repartition(target)
         if meta["order_by"]:
             out = out.sortWithinPartitions(*meta["order_by"])

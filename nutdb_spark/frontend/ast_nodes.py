@@ -515,6 +515,9 @@ class TruncateStmt:
 class OptimizeStmt:
     table: str
     partition: object | None = None
+    # [EXT] OPTIMIZE ... [FINAL] DEDUPLICATE [BY col, ...]
+    deduplicate: bool = False
+    dedup_by: list | None = None
 
 
 @dataclass

@@ -1796,7 +1796,19 @@ class Parser:
         if self.eat_kw("on"):
             self.expect_kw("partition")
             part = self.parse_expr()
-        return A.OptimizeStmt(name, part)
+        # [EXT] ClickHouse OPTIMIZE modifiers: FINAL is a no-op here
+        # (this OPTIMIZE always rewrites fully); DEDUPLICATE [BY cols]
+        # drops duplicate rows during the compaction rewrite.
+        self.eat_kw("final")
+        dedup = False
+        by: list | None = None
+        if self.eat_kw("deduplicate"):
+            dedup = True
+            if self.eat_kw("by"):
+                by = [self.ident()]
+                while self.eat_sym(","):
+                    by.append(self.ident())
+        return A.OptimizeStmt(name, part, dedup, by)
 
     def _set(self):
         self.expect_kw("set")
@@ -1851,6 +1863,11 @@ class Parser:
                     )
                     return A.AlterStmt(table, f"drop_{ent}", payload, None, ife)
             raise ParseError("ALTER DROP supports COLUMN/INDEX/CONSTRAINT/PARTITION")
+        if self.eat_kw("modify"):
+            # [EXT] ALTER TABLE t MODIFY COLUMN c <Type> — retype the
+            # column; stored data is cast during the rewrite.
+            self.expect_kw("column")
+            return A.AlterStmt(table, "modify_column", self._column_def())
         if self.eat_kw("rename"):
             for ent in ("column", "index", "constraint"):
                 if self.eat_kw(ent):
@@ -1878,7 +1895,9 @@ class Parser:
         if self.eat_kw("delete"):
             self.expect_kw("where")
             return A.AlterStmt(table, "delete", self.parse_expr())
-        raise ParseError("ALTER supports ADD, DROP, RENAME, UPDATE, DELETE")
+        raise ParseError(
+            "ALTER supports ADD, DROP, RENAME, MODIFY, UPDATE, DELETE"
+        )
 
 
 def parse(sql: str):

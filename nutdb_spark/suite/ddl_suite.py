@@ -386,3 +386,50 @@ def q_ddl_view_aggregating(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.sql("INSERT INTO agg_t (tag, v) VALUES (1, 30), (2, 2), (3, 40)")
     return eng.sql("SELECT tag, n, s, lo, hi FROM agg_v")
+
+
+@query(
+    "q_ddl_optimize_dedup",
+    """
+    WITH src AS (
+      SELECT CAST(l_orderkey % 7 AS BIGINT) AS k,
+             CAST(l_linenumber % 3 AS BIGINT) AS tag,
+             CAST(l_suppkey AS BIGINT) AS v
+      FROM lineitem WHERE l_orderkey < 1500),
+    uni AS (SELECT DISTINCT k, tag, v FROM src),
+    keyed AS (
+      SELECT k, tag, v FROM (
+        SELECT k, tag, v,
+               row_number() OVER (PARTITION BY k, tag
+                                  ORDER BY v ASC NULLS FIRST) AS rn
+        FROM uni) t WHERE rn = 1)
+    SELECT k, tag, CAST(sum(v) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM keyed GROUP BY k, tag
+    """,
+)
+def q_ddl_optimize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] OPTIMIZE ... DEDUPLICATE and MODIFY COLUMN end to end:
+    the table is loaded TWICE (exact duplicates), full-row
+    DEDUPLICATE collapses them during compaction, then DEDUPLICATE BY
+    (k, tag) keeps exactly one row per key — deterministically (min
+    over the remaining columns, unlike CH's arbitrary pick, so the
+    rewrite is oracle-able). A MODIFY COLUMN retype (Int32→Int64)
+    runs before the final read to prove the cast-rewrite path. The
+    oracle replays both dedups with DISTINCT + a row_number pick."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS opt_dd")
+    eng.sql("CREATE TABLE opt_dd (k Int64, tag Int64, v Int32)")
+    for _ in range(2):  # exact duplicates across two loads
+        eng.sql(
+            "INSERT INTO opt_dd (k, tag, v) "
+            "SELECT l_orderkey % 7, l_linenumber % 3, l_suppkey "
+            "FROM lineitem WHERE l_orderkey < 1500"
+        )
+    eng.sql("OPTIMIZE TABLE opt_dd DEDUPLICATE")
+    eng.sql("ALTER TABLE opt_dd MODIFY COLUMN v Int64")
+    eng.sql("OPTIMIZE TABLE opt_dd FINAL DEDUPLICATE BY k, tag")
+    return eng.sql(
+        "SELECT k, tag, sum(v) AS total, count(*) AS n "
+        "FROM opt_dd GROUP BY k, tag"
+    )

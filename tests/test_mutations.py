@@ -257,3 +257,61 @@ def test_update_requires_where(spark):
 
     with _pytest.raises(ParseError):
         parse("update t set v = 1")
+
+
+# --- [EXT] OPTIMIZE DEDUPLICATE + MODIFY COLUMN ---------------------------
+
+
+def test_optimize_deduplicate_full_and_by(spark, sf_dir):
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp()
+    )
+    eng.sql("create table dd (a Int32, b String, c Float64)")
+    eng.sql(
+        "insert into dd values (1,'x',1.5),(1,'x',1.5),(1,'y',2.0),"
+        "(2,'x',9.0),(1,'x',0.5)"
+    )
+    eng.sql("optimize table dd deduplicate")
+    assert sorted(tuple(r) for r in eng.sql("select * from dd").collect()) == [
+        (1, "x", 0.5), (1, "x", 1.5), (1, "y", 2.0), (2, "x", 9.0),
+    ]
+    eng.sql("optimize table dd final deduplicate by a, b")
+    # deterministic keep: MIN over the remaining columns
+    assert sorted(tuple(r) for r in eng.sql("select * from dd").collect()) == [
+        (1, "x", 0.5), (1, "y", 2.0), (2, "x", 9.0),
+    ]
+    import pytest as _pytest
+
+    from nutdb_spark.catalog import CatalogError
+
+    with _pytest.raises(CatalogError, match="unknown column"):
+        eng.sql("optimize table dd deduplicate by nope")
+
+
+def test_modify_column_retypes_and_casts(spark, sf_dir):
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp()
+    )
+    eng.sql("create table mc (a Int32, c Float64)")
+    eng.sql("insert into mc values (1, 2.5), (2, 9.0)")
+    eng.sql("alter table mc modify column a Int64")
+    eng.sql("alter table mc modify column c String")
+    df = eng.sql("select * from mc")
+    assert dict(df.dtypes) == {"a": "bigint", "c": "string"}
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (1, "2.5"), (2, "9.0"),
+    ]
+    from nutdb_spark.catalog import CatalogError
+
+    import pytest as _pytest
+
+    with _pytest.raises(CatalogError, match="unknown column"):
+        eng.sql("alter table mc modify column nope Int64")
