@@ -1303,6 +1303,20 @@ class Catalog:
         ):
             self._repair_dependent_views(stmt.table, low)
 
+    def exchange(self, a: str, b: str, low) -> None:
+        """[EXT] EXCHANGE TABLES a AND b: both tables (and their
+        dependent views' references) swap names — three renames
+        through a temp name, each riding the rename_table path so
+        metadata, data dirs, and view TableRefs all follow."""
+        for n in (a, b):
+            if self._load_meta(n) is None:
+                raise CatalogError(f"unknown table {n!r}")
+        tmp = f"__exchange_{a}__{b}"
+        if self._load_meta(tmp) is not None:
+            raise CatalogError(f"exchange temp name {tmp!r} exists")
+        for old_name, new_name in ((a, tmp), (b, a), (tmp, b)):
+            self.alter(A.AlterStmt(old_name, "rename_table", new_name), low)
+
     def _overwrite(self, name: str, meta: dict, df: DataFrame, low) -> None:
         """Atomic full-table rewrite preserving the declared partition
         layout and ORDER BY clustering (tmp write + dir swap, same as

@@ -140,6 +140,9 @@ class NutEngine:
         if isinstance(stmt, A.CreateTableStmt):
             self.catalog.create_table(stmt.definition, low)
             return None
+        if isinstance(stmt, A.ExchangeStmt):
+            self.catalog.exchange(stmt.a, stmt.b, low)
+            return None
         if isinstance(stmt, A.RenameStmt):
             for old, new in stmt.pairs:
                 self.catalog.alter(A.AlterStmt(old, "rename_table", new), low)

@@ -497,6 +497,15 @@ class DropStmt:
 
 
 @dataclass
+class ExchangeStmt:
+    """[EXT] EXCHANGE TABLES a AND b — atomic-ish two-way swap (three
+    renames through a temp name; dependent views follow both ways)."""
+
+    a: str
+    b: str
+
+
+@dataclass
 class RenameStmt:
     """[EXT] RENAME TABLE a TO b[, c TO d ...] — statement-level form
     of ALTER ... RENAME TO; each pair applies in order."""

@@ -179,6 +179,7 @@ class Parser:
             "alter": self._alter, "optimize": self._optimize,
             "set": self._set, "show": self._show,
             "rename": self._rename,
+            "exchange": self._exchange,
             "delete": self._delete,
             "update": self._update,
         }
@@ -1533,6 +1534,14 @@ class Parser:
                 break
         self.expect_kw("where")
         return A.AlterStmt(table, "update", (assignments, self.parse_expr()))
+
+    def _exchange(self):
+        # [EXT] EXCHANGE TABLES a AND b — ClickHouse's atomic swap
+        self.expect_kw("exchange")
+        self.expect_kw("tables")
+        a = self.ident()
+        self.expect_kw("and")
+        return A.ExchangeStmt(a, self.ident())
 
     def _rename(self):
         # [EXT] RENAME TABLE a TO b[, c TO d ...]

@@ -315,3 +315,36 @@ def test_modify_column_retypes_and_casts(spark, sf_dir):
 
     with _pytest.raises(CatalogError, match="unknown column"):
         eng.sql("alter table mc modify column nope Int64")
+
+
+def test_exchange_tables_swaps_data_and_views_follow(spark, sf_dir):
+    import tempfile
+
+    import pytest as _pytest
+
+    from nutdb_spark.catalog import CatalogError
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp()
+    )
+    eng.sql("create table ta (k Int32, x Int32)")
+    eng.sql("insert into ta values (1, 1)")
+    eng.sql("create table tb (k Int32, x Int32)")
+    eng.sql("insert into tb values (1, 2), (1, 3)")
+    eng.sql(
+        "create view va update by Summing order by k as "
+        "select k, sum(x) as sx from ta group by k"
+    )
+    eng.sql("exchange tables ta and tb")
+    # the NAMES swapped: ta now holds tb's two rows and vice versa
+    assert eng.sql("select count() as n from ta").first()["n"] == 2
+    assert eng.sql("select count() as n from tb").first()["n"] == 1
+    # the view follows its base table's DATA through the swap (same
+    # contract as RENAME TO — incremental state stays valid), so it
+    # still sums the original rows, now named tb
+    assert eng.sql("select sx from va").first()["sx"] == 1
+    eng.sql("insert into tb values (1, 10)")
+    assert eng.sql("select sx from va").first()["sx"] == 11
+    with _pytest.raises(CatalogError, match="unknown table"):
+        eng.sql("exchange tables ta and nope")
