@@ -433,3 +433,44 @@ def q_ddl_optimize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT k, tag, sum(v) AS total, count(*) AS n "
         "FROM opt_dd GROUP BY k, tag"
     )
+
+
+@query(
+    "q_ddl_exchange",
+    """
+    SELECT 'a' AS t, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_suppkey) AS BIGINT) AS s
+    FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 900
+    UNION ALL
+    SELECT 'b', CAST(count(*) AS BIGINT),
+           CAST(sum(l_suppkey) AS BIGINT)
+    FROM lineitem WHERE l_orderkey < 500
+    ORDER BY t
+    """,
+)
+def q_ddl_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] EXCHANGE TABLES end to end: two tables loaded from
+    disjoint lineitem slices, swapped, then aggregated under their
+    (exchanged) names — table xa must now report the slice originally
+    loaded into xb and vice versa, which is exactly what the oracle
+    states by querying the slices crosswise."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS xa")
+    eng.sql("DROP TABLE IF EXISTS xb")
+    eng.sql("CREATE TABLE xa (k Int64, v Int64)")
+    eng.sql("CREATE TABLE xb (k Int64, v Int64)")
+    eng.sql(
+        "INSERT INTO xa (k, v) SELECT l_orderkey, l_suppkey "
+        "FROM lineitem WHERE l_orderkey < 500"
+    )
+    eng.sql(
+        "INSERT INTO xb (k, v) SELECT l_orderkey, l_suppkey "
+        "FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 900"
+    )
+    eng.sql("EXCHANGE TABLES xa AND xb")
+    return eng.sql(
+        "SELECT 'a' AS t, count(*) AS n, sum(v) AS s FROM xa "
+        "UNION ALL "
+        "SELECT 'b' AS t, count(*) AS n, sum(v) AS s FROM xb "
+        "ORDER BY t"
+    )
