@@ -227,3 +227,30 @@ def test_sample_fraction_out_of_range():
 def test_sample_requires_by_key():
     with pytest.raises(ParseError, match="BY"):
         parse("SELECT 1 FROM t SAMPLE 0.5")
+
+
+# --- [EXT] session-6 grammar error paths ------------------------------------
+
+
+def test_alter_modify_requires_column():
+    with pytest.raises(ParseError, match="COLUMN"):
+        parse("ALTER TABLE t MODIFY x Int64")
+
+
+def test_exchange_requires_and():
+    with pytest.raises(ParseError, match="AND"):
+        parse("EXCHANGE TABLES a b")
+
+
+def test_exchange_requires_tables_keyword():
+    with pytest.raises(ParseError, match="TABLES"):
+        parse("EXCHANGE a AND b")
+
+
+def test_optimize_deduplicate_parse_shapes():
+    s = parse("OPTIMIZE TABLE t DEDUPLICATE")
+    assert s.deduplicate and s.dedup_by is None
+    s = parse("OPTIMIZE TABLE t FINAL DEDUPLICATE BY a, b")
+    assert s.deduplicate and s.dedup_by == ["a", "b"]
+    s = parse("OPTIMIZE TABLE t FINAL")
+    assert not s.deduplicate

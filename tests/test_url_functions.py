@@ -205,3 +205,15 @@ def test_array_reduce_unknown_agg(eng):
 )
 def test_tier6_scalars(eng, expr, expected):
     assert _one(eng, expr) == expected
+
+
+def test_raw_arg_fns_demand_string_literals(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    for sql in (
+        "select extractURLParameter('u', event_type) from events",
+        "select countMatches(event_type, event_type) from events",
+        "select arrayReduce(event_type, [1]) from events",
+    ):
+        with pytest.raises(LoweringError, match="string literal"):
+            eng.sql(sql)
