@@ -2958,8 +2958,17 @@ class Lowerer:
             raise LoweringError(
                 f"function {e.name!r} is not parametric"
             )
-        if e.name.lower() in ("dictget", "dictgetordefault"):
+        if e.name.lower() in ("dictget", "dictgetordefault",
+                              "dictgetornull"):
+            # dictGetOrNull ≡ dictGet: a miss is NULL unless a default
+            # is given (the 4-arg form)
             return self._dict_get(e, scope, group_map, agg_calls, pending)
+        if e.name.lower() in _DICT_GET_CASTS:
+            # [EXT] typed spellings (dictGetString/Int64/Float64/...):
+            # dictGet + a cast to the named type
+            return self._dict_get(
+                e, scope, group_map, agg_calls, pending
+            ).cast(_DICT_GET_CASTS[e.name.lower()])
         if e.name.lower() == "dicthas":
             return self._dict_has(e, scope, group_map, agg_calls, pending)
         if e.name.lower() == "tupleelement":
@@ -3062,4 +3071,24 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "countmatches": (1,),
     # arrayReduce's aggregate-name selector
     "arrayreduce": (0,),
+}
+
+
+# [EXT] dictGet<Type> spellings → cast target (ClickHouse's typed
+# accessors; unsigned widths widen like the catalog type map)
+_DICT_GET_CASTS: dict[str, str] = {
+    "dictgetstring": "string",
+    "dictgetint8": "tinyint",
+    "dictgetint16": "smallint",
+    "dictgetint32": "int",
+    "dictgetint64": "bigint",
+    "dictgetuint8": "smallint",
+    "dictgetuint16": "int",
+    "dictgetuint32": "bigint",
+    "dictgetuint64": "decimal(20,0)",
+    "dictgetfloat32": "float",
+    "dictgetfloat64": "double",
+    "dictgetdate": "date",
+    "dictgetdatetime": "timestamp",
+    "dictgetbool": "boolean",
 }

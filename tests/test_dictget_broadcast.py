@@ -51,3 +51,19 @@ def test_small_dict_stays_literal(eng):
     df = eng.sql("select dictGet('region', 'r_name', 2) as a")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_dict_get_typed_spellings(eng):
+    r = eng.sql(
+        "select dictGetString('nation', 'n_name', 3) as s, "
+        "dictGetInt64('nation', 'n_regionkey', 3) as i, "
+        "dictGetFloat64('nation', 'n_regionkey', 3) as f, "
+        "dictGetOrNull('nation', 'n_name', 999) as miss "
+        "from numbers(1)"
+    )
+    row = r.first()
+    assert row["s"] == "NATION_3" and row["i"] == 3
+    assert row["f"] == 3.0 and row["miss"] is None
+    assert dict(r.dtypes) == {
+        "s": "string", "i": "bigint", "f": "double", "miss": "string",
+    }
