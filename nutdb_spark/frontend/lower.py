@@ -1932,7 +1932,38 @@ class Lowerer:
         # the lookup frames attach to `base` BEFORE the aggregate, so a
         # dictionary-keyed GROUP BY is a broadcast join + hash agg
         gpend: list[tuple] = []
-        for i, g in enumerate(q.group_by):
+        # [EXT] GROUP BY <select alias> (ClickHouse allows it): a bare
+        # unqualified group ident that is NOT a source column but IS a
+        # select-list alias lowers as the aliased expression. Schema-
+        # aware (a real column of the same name wins, so existing
+        # queries keep their meaning) and non-mutating (the AST is
+        # re-lowered unchanged on iterative rounds).
+        sel_aliases = {
+            a: e
+            for e, a in q.columns
+            if a is not None and not isinstance(e, A.Wildcard)
+        }
+
+        def _group_expr(g):
+            if (
+                isinstance(g, A.Ident)
+                and g.qualifier is None
+                and g.name not in base.columns
+                and g.name in sel_aliases
+            ):
+                aliased = sel_aliases[g.name]
+                aggs_in: list = []
+                self._collect_aggs(aliased, aggs_in)
+                if aggs_in:
+                    raise LoweringError(
+                        f"GROUP BY alias {g.name!r} names an aggregate "
+                        "expression"
+                    )
+                return aliased
+            return g
+
+        resolved_groups = [_group_expr(g) for g in q.group_by]
+        for i, g in enumerate(resolved_groups):
             name = f"__g{i}"
             group_map[i] = name
             group_cols.append(self._expr(g, scope, {}, [], gpend).alias(name))
@@ -1981,7 +2012,8 @@ class Lowerer:
             group_cols or (modifier is None and group_sets is None)
         ):
             return self._lower_aggregate_with_topk(
-                base, q, agg_calls, topk_calls, scope, group_map, group_cols
+                base, q, agg_calls, topk_calls, scope, group_map,
+                group_cols, resolved_groups,
             )
         aggs: list[Column] = []
         for call, name in agg_calls:
@@ -2044,10 +2076,11 @@ class Lowerer:
                 base = grouped.agg(*aggs)
         else:
             base = base.agg(*aggs)
-        return base, {"groups": q.group_by, "names": group_map}
+        return base, {"groups": resolved_groups, "names": group_map}
 
     def _lower_aggregate_with_topk(
-        self, base, q, agg_calls, topk_calls, scope, group_map, group_cols
+        self, base, q, agg_calls, topk_calls, scope, group_map,
+        group_cols, resolved_groups=None,
     ):
         """Two-level lowering for exact topK/topKWeighted (see the
         dispatch comment in _lower_aggregate):
@@ -2156,7 +2189,13 @@ class Lowerer:
                 )
         if gid is not None:
             main = main.drop(gid)
-        return main, {"groups": q.group_by, "names": group_map}
+        return main, {
+            "groups": (
+                resolved_groups if resolved_groups is not None
+                else q.group_by
+            ),
+            "names": group_map,
+        }
 
     @staticmethod
     def _grouping_sets_idx(modifier, group_sets, n):

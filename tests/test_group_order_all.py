@@ -110,3 +110,60 @@ def test_ansi_rollup_values_match_with_rollup(eng):
         "group by n_regionkey with rollup order by k nulls first"
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --- [EXT] GROUP BY <select alias> -----------------------------------------
+
+
+def test_group_by_select_alias_plain(eng):
+    rows = eng.sql(
+        "select l_returnflag as rf, count() as n from lineitem "
+        "group by rf order by rf"
+    ).collect()
+    direct = eng.sql(
+        "select l_returnflag as rf, count() as n from lineitem "
+        "group by l_returnflag order by l_returnflag"
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+
+
+def test_group_by_select_alias_expression_and_rollup(eng):
+    rows = eng.sql(
+        "select l_suppkey % 3 as m, count() as n from lineitem "
+        "group by m with rollup order by m nulls first"
+    ).collect()
+    assert rows[0]["m"] is None  # grand total present
+    assert rows[0]["n"] == sum(r["n"] for r in rows[1:])
+
+
+def test_group_by_alias_bounded_rewrite_paths(eng):
+    rows = eng.sql(
+        "select l_suppkey % 3 as m, topK(2)(l_linestatus) as t, "
+        "entropy(l_linestatus) as h from lineitem group by m order by m"
+    ).collect()
+    assert len(rows) == 3 and all(len(r["t"]) == 2 for r in rows)
+
+
+def test_group_by_alias_column_precedence(eng):
+    """A REAL source column of the same name wins over the alias —
+    existing queries keep their meaning (ClickHouse prefers the
+    alias; we take the safer choice). Consequence: aliasing a
+    DIFFERENT column to a real column's name and grouping by that
+    name groups by the REAL column, leaving the select item
+    ungrouped — an analysis error, not a silent regroup."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "select l_returnflag as l_linestatus, count() as n "
+            "from lineitem group by l_linestatus order by n"
+        ).collect()
+
+
+def test_group_by_alias_of_aggregate_rejected(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="names an aggregate"):
+        eng.sql(
+            "select sum(l_quantity) as s from lineitem group by s"
+        )
