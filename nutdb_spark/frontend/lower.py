@@ -676,6 +676,27 @@ class Lowerer:
         for e, _ in q.columns:
             self._collect_aggs(e, agg_calls)
         if q.having is not None:
+            # [EXT] HAVING <select alias> (ClickHouse allows it): an
+            # unqualified ident that is NOT a source column but IS a
+            # select alias substitutes as the aliased expression
+            # (deep-copied — a shared FnCall object would double-
+            # register in the aggregate hoist). Same column-wins
+            # precedence as GROUP BY aliases; idempotent because the
+            # substituted tree contains no matching idents.
+            import copy as _copy
+
+            hav_bound = {
+                a: e
+                for e, a in q.columns
+                if a is not None
+                and not isinstance(e, A.Wildcard)
+                and a not in base.columns
+            }
+            if hav_bound:
+                q.having = self._subst_expr(
+                    _copy.deepcopy(q.having),
+                    {k: _copy.deepcopy(v) for k, v in hav_bound.items()},
+                )
             self._collect_aggs(q.having, agg_calls)
         for o in q.order_by:
             self._collect_aggs(o.expr, agg_calls)

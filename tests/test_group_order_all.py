@@ -167,3 +167,30 @@ def test_group_by_alias_of_aggregate_rejected(eng):
         eng.sql(
             "select sum(l_quantity) as s from lineitem group by s"
         )
+
+
+def test_having_select_alias(eng):
+    rows = eng.sql(
+        "select l_returnflag as rf, count() as n from lineitem "
+        "group by rf having n > 1000 and rf != 'A' order by rf"
+    ).collect()
+    direct = eng.sql(
+        "select l_returnflag as rf, count() as n from lineitem "
+        "group by l_returnflag "
+        "having count() > 1000 and l_returnflag != 'A' "
+        "order by l_returnflag"
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+
+
+def test_having_real_column_not_hijacked_by_alias(eng):
+    """An alias that shadows a REAL column name must not capture a
+    HAVING reference to that column — ungrouped real columns in
+    HAVING stay an analysis error, never a silent alias rebind."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "select count() as l_orderkey from lineitem "
+            "group by l_returnflag having l_orderkey > 0"
+        ).collect()
