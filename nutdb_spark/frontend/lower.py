@@ -630,6 +630,37 @@ class Lowerer:
         # column store it gates which columns are read; under Spark both
         # conjunct sets reach the same pushed-down parquet filter, so it
         # lowers as an ordinary extra filter (dialect parity, same plan).
+        # [EXT] WHERE/PREWHERE <select alias> (ClickHouse's alias-
+        # anywhere rule): substitute non-column select aliases before
+        # the filter lowers — textual substitution, so the predicate
+        # still pushes to the scan. Aliases wrapping AGGREGATES or
+        # WINDOWS are excluded (they can't filter pre-grouping rows; a
+        # reference to one keeps failing loudly at resolution). Same
+        # column-wins precedence as the GROUP BY/HAVING alias rules.
+        if getattr(q, "prewhere", None) is not None or q.where is not None:
+            import copy as _copy
+
+            _pb: dict = {}
+            for _e, _a in q.columns:
+                if (
+                    _a is None
+                    or isinstance(_e, (A.Wildcard, A.WindowCall))
+                    or _a in base.columns
+                ):
+                    continue
+                _probe: list = []
+                self._collect_aggs(_e, _probe)
+                if not _probe:
+                    _pb[_a] = _copy.deepcopy(_e)
+            if _pb:
+                if getattr(q, "prewhere", None) is not None:
+                    q.prewhere = self._subst_expr(
+                        _copy.deepcopy(q.prewhere), _pb
+                    )
+                if q.where is not None:
+                    q.where = self._subst_expr(
+                        _copy.deepcopy(q.where), _pb
+                    )
         if getattr(q, "prewhere", None) is not None:
             base = self._lower_predicate(base, q.prewhere, scope)
         # WHERE: decompose into subquery conjuncts + plain predicate

@@ -194,3 +194,41 @@ def test_having_real_column_not_hijacked_by_alias(eng):
             "select count() as l_orderkey from lineitem "
             "group by l_returnflag having l_orderkey > 0"
         ).collect()
+
+
+def test_where_select_alias(eng):
+    rows = eng.sql(
+        "select l_quantity * (1 - l_discount) as net, l_orderkey "
+        "from lineitem where net > 49 order by l_orderkey limit 2"
+    ).collect()
+    assert rows and all(r["net"] > 49 for r in rows)
+
+
+def test_where_alias_predicate_pushes_to_scan(eng):
+    df = eng.sql(
+        "select l_suppkey % 7 as b, l_orderkey from lineitem "
+        "where b = 2"
+    )
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+
+
+def test_where_alias_of_aggregate_fails_loudly(eng):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "select sum(l_quantity) as s from lineitem where s > 0"
+        ).collect()
+
+
+def test_where_real_column_wins_over_alias(eng):
+    rows = eng.sql(
+        "select l_partkey as l_orderkey, count(*) as n from lineitem "
+        "where l_orderkey < 5 group by l_partkey"
+    ).collect()
+    # filtered on the REAL l_orderkey (< 5), not the aliased partkey
+    direct = eng.sql(
+        "select count(*) as n from lineitem where l_orderkey < 5"
+    ).first()["n"]
+    assert sum(r["n"] for r in rows) == direct
