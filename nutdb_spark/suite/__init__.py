@@ -72,8 +72,9 @@ _PRIORITY = [
     "sql_window_fns2", "sql_fn_tier5", "q_sim_topk_pq_adc",
     "q_dedup_pq_blocked", "q_stream_join_full",
     # (registered after the window filled — sql_agg_state_merge,
-    # sql_fn_tier6, q_ddl_optimize_dedup, and q_ddl_exchange head the
-    # ROUND-9 queue with the displaced re-grades below)
+    # sql_fn_tier6, q_ddl_optimize_dedup, q_ddl_exchange, and
+    # sql_alias_anywhere head the ROUND-9 queue with the displaced
+    # re-grades below)
     # --- (3) stalest re-grades (0 this session — the eight
     # displaced by the session-6 registrations — q_ddl_optimize,
     # q_dedup_exact_content, q_dedup_simhash, q_expr_between,

@@ -3675,3 +3675,48 @@ def sql_fn_tier6(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+@query(
+    "sql_alias_anywhere",
+    """
+    WITH f AS (
+      SELECT l_suppkey % 7 AS b, l_linenumber
+      FROM lineitem
+      WHERE l_quantity * (1 - l_discount) > 10
+        AND l_suppkey % 7 != 3)
+    SELECT b AS bb,
+           CAST(sum(l_linenumber) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM f
+    GROUP BY bb
+    HAVING n > 100
+    ORDER BY bb
+    """,
+)
+def sql_alias_anywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ClickHouse's alias-anywhere rule, all three clauses in
+    one query: a computed WHERE alias (net — substituted textually,
+    the predicate still reaches the parquet scan), a GROUP BY alias
+    (b), and a HAVING alias (n, naming an aggregate). Column-wins
+    precedence throughout — a real column of the same name never
+    silently rebinds. DuckDB supports the same lateral column
+    aliases natively, so the oracle is nearly the same SQL."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with f as (
+          select l_suppkey % 7 as b, l_linenumber,
+                 l_quantity * (1 - l_discount) as net
+          from lineitem
+          where net > 10 and b != 3)
+        select b as bb,
+               sum(l_linenumber) as s,
+               count() as n
+        from f
+        group by bb
+        having n > 100
+        order by bb
+        """,
+    )

@@ -101,6 +101,7 @@ ENTRIES = [
     "q_dedup_pq_blocked",
     "sql_agg_state_merge",
     "sql_fn_tier6",
+    "sql_alias_anywhere",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
