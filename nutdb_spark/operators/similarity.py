@@ -1039,3 +1039,109 @@ def dedup_pq_blocked(
         j.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def topk_ivf_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    *,
+    k: int = 5,
+    probes: int = 2,
+    cand_factor: int = 3,
+) -> DataFrame:
+    """The production ANN composition: IVF cluster blocking
+    (:func:`kmeans_probe`) over a PQ-code index scored by ADC
+    (:func:`topk_pq_adc`'s LUT gathers), exact full-precision rescore
+    of the survivors. At 100 TB this is the full ladder end state —
+    the scan is (cid, id, m-int codes), a query touches only its
+    ``probes`` nearest clusters, per-code scoring is two table
+    gathers, and precision is restored by the exact rescore of
+    ≤ probes·cand_factor·k candidates per query. Same deterministic
+    contract as every ladder rung (int64 LUTs, IEEE div/sqrt,
+    (cosine desc, id) tie-break); recall vs brute force is pinned in
+    tests/test_pq_adc.py."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype=np.int64)
+    m, _, d = B.shape
+    cn2 = (B * B).sum(axis=2)
+
+    codes = pq_encode(corpus, id_col, vec_col, codebooks)
+    assign = kmeans_probe(corpus, id_col, vec_col, centroids, probes=1)
+    index = assign.select("__id", "cid").join(codes, "__id")
+    q = kmeans_probe(
+        queries, id_col, vec_col, centroids, probes=probes
+    ).select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("cid").alias("__qblk"),
+    )
+    cand_n = cand_factor * k
+
+    def adc(cpdf: "pd.DataFrame", qpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                }
+            )
+        C = np.array(
+            [np.asarray(c, dtype=np.int64) for c in cpdf["codes"]]
+        )
+        nid = cpdf["__id"].to_numpy()
+        an2 = cn2[np.arange(m)[None, :], C].sum(axis=1)
+        out = []
+        for qid, qv in zip(qpdf["__qid"], qpdf["__qv"]):
+            Q = np.asarray(qv, dtype=np.int64)
+            qn2 = float((Q * Q).sum())
+            lut = np.einsum("sd,skd->sk", Q.reshape(m, d), B)
+            adot = lut[np.arange(m)[None, :], C].sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = adot / (
+                    np.sqrt(qn2) * np.sqrt(an2.astype("float64"))
+                )
+            cos = np.where(an2 > 0, cos, -2.0)
+            keep = ~(nid == qid)
+            order = np.lexsort((nid[keep], -cos[keep]))[:cand_n]
+            sel = np.flatnonzero(keep)[order]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": nid[sel]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        index.groupby("cid")
+        .cogroup(q.groupby("__qblk"))
+        .applyInPandas(adc, "query_id long, neighbor_id long")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("__nid"), scaled(F.col(vec_col)).alias("__cv")
+    )
+    qfull = queries.select(
+        F.col(id_col).alias("__rqid"), scaled(F.col(vec_col)).alias("__rqv")
+    )
+    j = full.join(
+        F.broadcast(cand), F.col("__nid") == F.col("neighbor_id")
+    ).join(F.broadcast(qfull), F.col("query_id") == F.col("__rqid"))
+    cos = cosine_from_scaled(
+        dot_scaled(F.col("__rqv"), F.col("__cv")),
+        norm_sq_scaled(F.col("__rqv")),
+        norm_sq_scaled(F.col("__cv")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("__cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -110,3 +110,30 @@ def test_dedup_pq_blocked_precision_and_guard(emb, books):
     rows = out.collect()
     assert rows, "fixture should produce at least one near-dup pair"
     assert all(r["cosine"] >= 0.3 and r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_ivf_adc_composition_recall(emb, books):
+    """The full ladder end state (IVF blocking + ADC code scan +
+    exact rescore) must hold a recall floor vs brute force and keep
+    the candidate contract (≤ probes·cand_factor·k per query)."""
+    from nutdb_spark.operators.similarity import (
+        kmeans_fit,
+        topk_bruteforce,
+        topk_ivf_adc,
+    )
+
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = topk_ivf_adc(
+        emb, q, "vec_id", "embedding", cents, books, k=5, probes=2,
+        cand_factor=6,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    truth = topk_bruteforce(emb, q, "vec_id", "embedding", k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    t = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    # IVF(2 probes of 8) bounds recall near the exact-ivf2 gate
+    # (~0.86 at this sf); ADC candidates inside the probed clusters
+    # then rescore exactly — pin a conservative floor
+    assert len(a & t) / len(t) >= 0.6
