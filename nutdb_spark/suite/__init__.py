@@ -73,8 +73,8 @@ _PRIORITY = [
     "q_dedup_pq_blocked", "q_stream_join_full",
     # (registered after the window filled — sql_agg_state_merge,
     # sql_fn_tier6, q_ddl_optimize_dedup, q_ddl_exchange, and
-    # sql_alias_anywhere head the ROUND-9 queue with the displaced
-    # re-grades below)
+    # sql_alias_anywhere, and q_sim_topk_ivf_adc head the ROUND-9
+    # queue with the displaced re-grades below)
     # --- (3) stalest re-grades (0 this session — the eight
     # displaced by the session-6 registrations — q_ddl_optimize,
     # q_dedup_exact_content, q_dedup_simhash, q_expr_between,

@@ -879,16 +879,23 @@ def _pq_books(
 
 def _oracle_pq_parts(
     m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
+    include_v: bool = True,
 ) -> list[str]:
     """Shared DuckDB CTE prefix replaying pq_fit + pq_encode: m
     independent per-subspace k-means chains (identical init /
     floored-mean / tie-break to `_oracle_kmeans`), per-codeword
-    norms² (s{S}n), and the `enc` codes frame (vec_id, c0..c{m-1})."""
+    norms² (s{S}n), and the `enc` codes frame (vec_id, c0..c{m-1}).
+    ``include_v=False`` omits the scaled-vector CTE when a composed
+    oracle (e.g. the IVF chain) already defines `v`."""
     d = dim // m
-    parts = [
-        f"v AS (SELECT vec_id, {oracle_scaled('embedding')} AS s "
-        "FROM embeddings)"
-    ]
+    parts = (
+        [
+            f"v AS (SELECT vec_id, {oracle_scaled('embedding')} AS s "
+            "FROM embeddings)"
+        ]
+        if include_v
+        else []
+    )
     for S in range(m):
         lo, hi = S * d + 1, (S + 1) * d
         p = f"s{S}"
@@ -1081,4 +1088,101 @@ def q_dedup_pq_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pq_blocked(
         e, "vec_id", "embedding", books, threshold=0.3, max_bucket=50,
         block_subspaces=2,
+    )
+
+
+def _oracle_ivf_adc(
+    m: int = 4, kcode: int = 16, iters: int = 2, dim: int = 64,
+    probes: int = 2, cand: int = 30, topk: int = 5, nq: int = 10,
+) -> str:
+    """DuckDB twin of topk_ivf_adc: the IVF chain (`_oracle_kmeans` →
+    fin/probe/b) composed with the PQ chain (`_oracle_pq_parts`,
+    sharing the IVF chain's `v`), ADC LUT scoring inside the probed
+    clusters with per-(query, cluster) candidate cuts, exact
+    rescore."""
+    d = dim // m
+    parts = _oracle_pq_parts(m, kcode, iters, dim, include_v=False)
+    for S in range(m):
+        lo = S * d + 1
+        parts.append(
+            f"lut{S} AS (SELECT q.vec_id AS qid, c.cid, "
+            f"CAST(list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> q.s[{lo} + i - 1] * c.s[i])) AS BIGINT) AS dp "
+            f"FROM qv q, s{S}c{iters} c)"
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{S} l{S} ON l{S}.qid = q.vec_id AND "
+        f"l{S}.cid = ie.c{S}" for S in range(m)
+    )
+    n_joins = " ".join(
+        f"JOIN s{S}n w{S} ON w{S}.cid = ie.c{S}" for S in range(m)
+    )
+    adot = " + ".join(f"l{S}.dp" for S in range(m))
+    an2 = " + ".join(f"w{S}.n2" for S in range(m))
+    exact = oracle_cosine(
+        oracle_dot_scaled("q.s", "c.s"), "q.n2", "c.n2"
+    )
+    return (
+        _oracle_kmeans()
+        + _ORACLE_PROBE2
+        + _ORACLE_IVF_B
+        + ",\n"
+        + ",\n".join(parts)
+        + f""",
+qv AS (SELECT vec_id, s, n2 FROM b WHERE vec_id < {nq}),
+ie AS (SELECT enc.*, f.cid FROM enc JOIN fin f USING (vec_id)),
+pairs AS (
+  SELECT q.vec_id AS query_id, ie.vec_id AS neighbor_id, p.cid,
+         CAST({adot} AS DOUBLE) AS adot,
+         CAST({an2} AS DOUBLE) AS an2,
+         CAST(q.n2 AS DOUBLE) AS qn2
+  FROM probe p
+  JOIN qv q ON q.vec_id = p.vec_id
+  JOIN ie ON ie.cid = p.cid AND ie.vec_id <> q.vec_id
+  {lut_joins} {n_joins}),
+cand AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id, cid ORDER BY
+    CASE WHEN an2 > 0 THEN adot / (sqrt(qn2) * sqrt(an2))
+         ELSE -2.0 END DESC, neighbor_id) AS rn FROM pairs) t
+  WHERE rn <= {cand}),
+nn AS (SELECT vec_id, s, n2 FROM b)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT ca.query_id, ca.neighbor_id,
+         row_number() OVER (PARTITION BY ca.query_id
+           ORDER BY {exact} DESC, ca.neighbor_id) AS rank
+  FROM cand ca
+  JOIN nn q ON q.vec_id = ca.query_id
+  JOIN nn c ON c.vec_id = ca.neighbor_id) t
+WHERE rank <= {topk}
+"""
+    )
+
+
+@query("q_sim_topk_ivf_adc", _oracle_ivf_adc())
+def q_sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN ladder END STATE, driver-graded: IVF cluster blocking
+    (train-once centroid artifact) over the PQ-code index
+    (train-once codebook artifact), ADC LUT scoring inside the
+    probes=2 nearest clusters, exact full-precision rescore of
+    ≤ probes·cand·k survivors — a 100 TB query touches 2 clusters of
+    an m-int-per-vector scan. Every step integer-exact or
+    deterministic IEEE; the oracle composes the replayed IVF k-means,
+    the 4 per-subspace PQ chains, the LUT join, and the rescore, and
+    hash-matches."""
+    from nutdb_spark.operators.similarity import topk_ivf_adc
+
+    cents = _ivf_centroids(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_ivf_adc(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        cents,
+        books,
+        k=5,
+        probes=2,
+        cand_factor=6,
     )

@@ -102,6 +102,7 @@ ENTRIES = [
     "sql_agg_state_merge",
     "sql_fn_tier6",
     "sql_alias_anywhere",
+    "q_sim_topk_ivf_adc",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
