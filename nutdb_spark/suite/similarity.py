@@ -1186,3 +1186,58 @@ def q_sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes=2,
         cand_factor=6,
     )
+
+
+@query(
+    "q_pipeline_index",
+    _oracle_kmeans()
+    + _ORACLE_IVF_B
+    + ",\n"
+    + ",\n".join(_oracle_pq_parts(include_v=False))
+    + _ORACLE_Q8
+    + """
+SELECT bq.vec_id, bq.cid,
+       CAST(enc.c0 AS VARCHAR) || ',' || CAST(enc.c1 AS VARCHAR)
+         || ',' || CAST(enc.c2 AS VARCHAR) || ',' ||
+         CAST(enc.c3 AS VARCHAR) AS pq,
+       bq.q8n2
+FROM bq JOIN enc ON enc.vec_id = bq.vec_id
+""",
+)
+def q_pipeline_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN INDEX BUILD as one composed plan: every vector
+    gets its IVF bucket (train-once centroids), its 4 PQ codewords
+    (train-once codebooks), and its int8-quantization norm² — the
+    three artifacts q_sim_topk_ivf / _ivf_pq / _ivf_adc then probe.
+    Two stateless Arrow passes + one id equi-join, no collect, no
+    cartesian; at 100 TB this is the nightly index-build job whose
+    output the query ladder scans. All integer-exact, so the whole
+    build hash-matches the composed DuckDB replay."""
+    from nutdb_spark.operators.similarity import (
+        kmeans_probe,
+        pq_encode,
+        quantize_scaled_q8,
+    )
+
+    cents = _ivf_centroids(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_probe(e, "vec_id", "embedding", cents, probes=1)
+    q8 = quantize_scaled_q8(F.col("__v"))
+    q8n2 = F.aggregate(
+        q8, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    left = assign.select(
+        F.col("__id").alias("vec_id"),
+        F.col("cid"),
+        q8n2.alias("q8n2"),
+    )
+    codes = pq_encode(e, "vec_id", "embedding", books).select(
+        F.col("__id").alias("vec_id"),
+        F.array_join(
+            F.transform(F.col("codes"), lambda x: x.cast("string")), ","
+        ).alias("pq"),
+    )
+    return left.join(codes, "vec_id").select(
+        "vec_id", "cid", "pq", "q8n2"
+    )

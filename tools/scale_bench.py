@@ -103,6 +103,7 @@ ENTRIES = [
     "sql_fn_tier6",
     "sql_alias_anywhere",
     "q_sim_topk_ivf_adc",
+    "q_pipeline_index",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
