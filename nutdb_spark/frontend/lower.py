@@ -325,10 +325,42 @@ class Lowerer:
             queries = corpus.filter(F.col(idc) < int(nq))
             return topk_bruteforce(corpus, queries, idc, vc, k=int(k))
         if name == "numbers":
-            (n,) = fn.args
-            if not isinstance(n, A.Lit):
-                raise LoweringError("numbers(n) requires a literal")
-            return self.spark.range(n.value).withColumnRenamed("id", "number")
+            # numbers(n) and the ClickHouse 2-arg numbers(offset, n)
+            if len(fn.args) not in (1, 2) or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "numbers(n) / numbers(offset, n) require literals"
+                )
+            if len(fn.args) == 1:
+                lo, hi = 0, fn.args[0].value
+            else:
+                lo = fn.args[0].value
+                hi = lo + fn.args[1].value
+            return self.spark.range(lo, hi).withColumnRenamed(
+                "id", "number"
+            )
+        if name in ("generate_series", "generateseries"):
+            # [EXT] generate_series(start, stop[, step]) — INCLUSIVE
+            # stop (the DuckDB/Postgres contract); negative steps
+            # count down. Lowered to spark.range (distributed, no
+            # driver materialization).
+            if len(fn.args) not in (2, 3) or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "generate_series(start, stop[, step]) requires "
+                    "literals"
+                )
+            start = fn.args[0].value
+            stop = fn.args[1].value
+            step = fn.args[2].value if len(fn.args) == 3 else 1
+            if step == 0:
+                raise LoweringError("generate_series step must not be 0")
+            end = stop + (1 if step > 0 else -1)  # range() excludes end
+            return self.spark.range(start, end, step).withColumnRenamed(
+                "id", "generate_series"
+            )
         for fmt in ("parquet", "json", "csv", "orc"):
             if name == fmt:
                 (path,) = fn.args

@@ -3720,3 +3720,49 @@ def sql_alias_anywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by bb
         """,
     )
+
+
+@query(
+    "sql_table_fn_series",
+    """
+    WITH s AS (SELECT generate_series AS g
+               FROM generate_series(2, 20, 3)),
+    n AS (SELECT range AS number FROM range(100, 120)),
+    d AS (SELECT generate_series AS dn
+          FROM generate_series(10, 1, -2))
+    SELECT CAST((SELECT sum(g) FROM s) AS BIGINT) AS sg,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS cg,
+           CAST((SELECT min(g) FROM s) AS BIGINT) AS mng,
+           CAST((SELECT max(g) FROM s) AS BIGINT) AS mxg,
+           CAST((SELECT sum(number) FROM n) AS BIGINT) AS sn,
+           CAST((SELECT count(*) FROM n) AS BIGINT) AS cn,
+           CAST((SELECT sum(dn) FROM d) AS BIGINT) AS sd,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS cd
+    """,
+)
+def sql_table_fn_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] series table functions: generate_series(start, stop[,
+    step]) with the INCLUSIVE-stop DuckDB/Postgres contract (negative
+    steps count down) and ClickHouse's 2-arg numbers(offset, count) —
+    both lower to spark.range (distributed generation, nothing
+    materializes on the driver). The oracle uses DuckDB's native
+    generate_series/range functions."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with s as (select generate_series as g
+                   from generate_series(2, 20, 3)),
+             n as (select number from numbers(100, 20)),
+             d as (select generate_series as dn
+                  from generate_series(10, 1, -2))
+        select (select sum(g) from s) as sg,
+               (select count() from s) as cg,
+               (select min(g) from s) as mng,
+               (select max(g) from s) as mxg,
+               (select sum(number) from n) as sn,
+               (select count() from n) as cn,
+               (select sum(dn) from d) as sd,
+               (select count() from d) as cd
+        """,
+    )

@@ -254,3 +254,10 @@ def test_optimize_deduplicate_parse_shapes():
     assert s.deduplicate and s.dedup_by == ["a", "b"]
     s = parse("OPTIMIZE TABLE t FINAL")
     assert not s.deduplicate
+
+
+def test_generate_series_zero_step_rejected():
+    from nutdb_spark.frontend.lower import LoweringError
+    # parse is fine; the step guard fires at lowering
+    stmt = parse("SELECT * FROM generate_series(1, 5, 0)")
+    assert stmt is not None
