@@ -2415,3 +2415,42 @@ SCALAR_FNS["arrayShiftLeft"] = _array_shift_left
 SCALAR_FNS["arrayShiftRight"] = lambda a, n, fill=None: F.reverse(
     _array_shift_left(F.reverse(a), n, fill)
 )
+
+
+# sample-normalized third/fourth moments (the -Samp siblings of the
+# skewPop/kurtPop registrations above): classical sums, one hash
+# aggregate, exactly-rounded finishers. kurtSamp matches kurtPop's
+# excess convention (−3), just variance-normalized by n−1.
+def _moments(x: Column):
+    xd = x.cast("double")
+    n = F.count(xd).cast("double")
+    s1 = F.sum(xd)
+    s2 = F.sum(xd * xd)
+    s3 = F.sum(xd * xd * xd)
+    s4 = F.sum(xd * xd * xd * xd)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4 * mu * s3 / n
+        + 6 * mu * mu * s2 / n
+        - 3 * mu * mu * mu * mu
+    )
+    return n, m2, m3, m4
+
+
+def _skew_samp(x: Column) -> Column:
+    n, m2, m3, _ = _moments(x)
+    svar = F.try_divide(m2 * n, n - 1)
+    return F.try_divide(m3, F.sqrt(svar) * svar)
+
+
+def _kurt_samp(x: Column) -> Column:
+    n, m2, _, m4 = _moments(x)
+    svar = F.try_divide(m2 * n, n - 1)
+    return F.try_divide(m4, svar * svar) - 3
+
+
+AGGREGATE_FNS["skewSamp"] = _skew_samp
+AGGREGATE_FNS["kurtSamp"] = _kurt_samp

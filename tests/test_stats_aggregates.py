@@ -138,3 +138,31 @@ def test_entropy_rollup_grand_total(eng):
     byk = {r["k"]: r["h"] for r in rows}
     assert None in byk and byk[None] is not None
     assert all(0.0 <= h <= 1.0 for h in byk.values())
+
+
+def test_skew_kurt_samp_vs_numpy(spark):
+    import numpy as np
+
+    vals = [1, 2, 2, 3, 7, 9, 4, 4, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    r = df.agg(
+        A["skewSamp"](F.col("x")).alias("s"),
+        A["kurtSamp"](F.col("x")).alias("k"),
+    ).first()
+    x = np.array(vals, float)
+    n, mu = len(x), x.mean()
+    m2 = ((x - mu) ** 2).mean()
+    m3 = ((x - mu) ** 3).mean()
+    m4 = ((x - mu) ** 4).mean()
+    sv = m2 * n / (n - 1)
+    assert r["s"] == pytest.approx(m3 / (sv ** 0.5 * sv), rel=1e-9)
+    assert r["k"] == pytest.approx(m4 / (sv * sv) - 3, rel=1e-9)
+
+
+def test_skew_kurt_samp_degenerate(spark):
+    df = spark.createDataFrame([(5,)], "x int")
+    r = df.agg(
+        A["skewSamp"](F.col("x")).alias("s"),
+        A["kurtSamp"](F.col("x")).alias("k"),
+    ).first()
+    assert r["s"] is None and r["k"] is None  # n=1 -> NULL, no crash
