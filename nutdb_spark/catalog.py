@@ -767,6 +767,22 @@ class Catalog:
             else:
                 raise CatalogError(f"view {v.name!r} already exists")
         strategy = v.strategy.lower()
+        if strategy == "plain":
+            # [EXT] non-materialized view: store the query, nothing
+            # else — reads lower it fresh (engine.resolve_table), so
+            # there is no state to maintain, refresh, or repair.
+            self._save_meta(
+                v.name,
+                {
+                    "type": "view",
+                    "name": v.name,
+                    "strategy": "plain",
+                    "order_by": v.order_by,
+                    "primary_key": v.primary_key,
+                    "query": _pickle_ast(v.query),
+                },
+            )
+            return
         if strategy not in self._VIEW_STRATEGIES:
             raise CatalogError(f"unsupported view strategy {v.strategy!r}")
         if not v.order_by:
@@ -1040,6 +1056,8 @@ class Catalog:
         self._state_merge(meta, out)
 
     def refresh_view(self, name: str, low) -> None:
+        if (self._load_meta(name) or {}).get("strategy") == "plain":
+            return  # nothing materialized to refresh
         """Full refresh: re-run the defining query and apply the merge
         strategy — Summing: sum numeric non-key columns per ORDER BY
         key (ClickHouse SummingMergeTree semantics; non-numeric
@@ -1110,7 +1128,11 @@ class Catalog:
             df = engine.resolve_table(stmt.name)
             rows = [(f.name, f.dataType.simpleString(), f.nullable, None) for f in df.schema.fields]
         elif meta["type"] == "view":
-            df = self.read_view(stmt.name)
+            df = (
+                engine.resolve_table(stmt.name)
+                if meta.get("strategy") == "plain"
+                else self.read_view(stmt.name)
+            )
             rows = [(f.name, f.dataType.simpleString(), True, None) for f in df.schema.fields]
         else:
             rows = [

@@ -59,6 +59,27 @@ class NutEngine:
         if self.catalog.has_table(name):
             return self.catalog.read_table(name)
         if self.catalog.has_view(name):
+            meta = self.catalog._load_meta(name)
+            if meta.get("strategy") == "plain":
+                # [EXT] plain view: lower the stored query fresh —
+                # fully composable with the outer plan (pushdowns and
+                # pruning cross the view boundary). Guard cycles.
+                from nutdb_spark.catalog import _unpickle_ast
+
+                stack = getattr(self, "_view_stack", set())
+                if name in stack:
+                    raise LoweringError(
+                        f"circular view reference through {name!r}"
+                    )
+                self._view_stack = stack | {name}
+                try:
+                    low = Lowerer(
+                        self.spark, self.resolve_table,
+                        config=self.config,
+                    )
+                    return low.lower_query(_unpickle_ast(meta["query"]))
+                finally:
+                    self._view_stack = stack
             return self.catalog.read_view(name)
         if name in TABLES:
             return load_table(self.spark, self.data_dir, name)

@@ -1659,10 +1659,15 @@ class Parser:
     def _view_definition(self) -> A.ViewDefinition:
         ine = self._if_not_exists()
         name = self.ident()
-        # UPDATE BY <strategy> is NON-optional (mod.rs:823-833,902)
-        self.expect_kw("update")
-        self.expect_kw("by")
-        strategy = self.ident()
+        # UPDATE BY <strategy> is NON-optional in the reference
+        # grammar (mod.rs:823-833,902); [EXT] omitting it creates a
+        # PLAIN (non-materialized) view — the stored query lowers
+        # fresh on every read.
+        if self.eat_kw("update"):
+            self.expect_kw("by")
+            strategy = self.ident()
+        else:
+            strategy = "plain"
         v = A.ViewDefinition(name, strategy, if_not_exists=ine)
         # trailing attrs (no COMMENT on views in the grammar)
         while True:

@@ -474,3 +474,37 @@ def q_ddl_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT 'b' AS t, count(*) AS n, sum(v) AS s FROM xb "
         "ORDER BY t"
     )
+
+
+@query(
+    "q_ddl_view_plain",
+    """
+    WITH v AS (
+      SELECT l_orderkey AS k, l_returnflag AS rf,
+             l_quantity * (1 - l_discount) AS net
+      FROM lineitem WHERE l_quantity > 30)
+    SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(floor(net * 100)) AS BIGINT) / 100.0 AS s
+    FROM v WHERE k % 2 = 0 GROUP BY rf ORDER BY rf
+    """,
+)
+def q_ddl_view_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PLAIN (non-materialized) views: CREATE VIEW without the
+    reference grammar's UPDATE BY stores only the query; every read
+    lowers it fresh, so the view composes with the outer plan —
+    the outer WHERE pushes through the view into the parquet scan
+    (plan-pinned in tests/test_view_maintenance.py) and nothing is
+    materialized or maintained. The oracle inlines the view as a
+    CTE."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP VIEW IF EXISTS vp")
+    eng.sql(
+        "CREATE VIEW vp AS SELECT l_orderkey AS k, "
+        "l_returnflag AS rf, l_quantity * (1 - l_discount) AS net "
+        "FROM lineitem WHERE l_quantity > 30"
+    )
+    return eng.sql(
+        "SELECT rf, count() AS n, "
+        "sum(floor(net * 100)) / 100.0 AS s "
+        "FROM vp WHERE k % 2 = 0 GROUP BY rf ORDER BY rf"
+    )

@@ -255,3 +255,53 @@ def test_aggregating_view_filtered_delta(spark, tmp_path):
     eng.sql("insert into ag3 (k, v) values (1, 2), (2, 100)")
     got = {r["k"]: r["s"] for r in eng.sql("select k, s from agv3").collect()}
     assert got == {1: 10, 2: 106}  # v<=5 rows never contribute
+
+
+# --- [EXT] plain (non-materialized) views ---------------------------------
+
+
+def test_plain_view_composes_and_pushes_down(spark, sf_dir):
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp()
+    )
+    eng.sql(
+        "create view pv as select l_orderkey, l_quantity from lineitem"
+    )
+    df = eng.sql("select * from pv where l_orderkey < 50")
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "l_orderkey" in plan
+    direct = eng.sql(
+        "select count() as n from lineitem where l_orderkey < 50"
+    ).first()["n"]
+    assert df.count() == direct
+    # always-fresh: new base rows appear without any refresh
+    eng.sql("create table pt (x Int64)")
+    eng.sql("create view pvt as select sum(x) as s from pt")
+    eng.sql("insert into pt values (1), (2)")
+    assert eng.sql("select * from pvt").first()["s"] == 3
+    eng.sql("insert into pt values (10)")
+    assert eng.sql("select * from pvt").first()["s"] == 13
+
+
+def test_plain_view_cycle_guard(spark, sf_dir):
+    import tempfile
+
+    import pytest as _pytest
+
+    from nutdb_spark.engine import NutEngine
+    from nutdb_spark.frontend.lower import LoweringError
+
+    eng = NutEngine(
+        spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp()
+    )
+    # create order dodges reference validation; reading must not hang
+    eng.sql("create table seed (x Int64)")
+    eng.sql("create view ca as select x from seed")
+    eng.sql("create or replace view ca as select x from cb")
+    eng.sql("create view cb as select x from ca")
+    with _pytest.raises(LoweringError, match="circular view"):
+        eng.sql("select * from cb")
