@@ -965,11 +965,15 @@ class Catalog:
 
         if meta["type"] == "view":
             q = "<stored query>"
-            return (
+            if meta.get("strategy") == "plain":
+                return f"CREATE VIEW {meta['name']} AS {q}"
+            out = (
                 f"CREATE VIEW {meta['name']} UPDATE BY "
-                f"{meta['strategy'].capitalize()} ORDER BY "
-                f"({', '.join(meta['order_by'])}) AS {q}"
+                f"{meta['strategy'].capitalize()}"
             )
+            if meta.get("order_by"):
+                out += f" ORDER BY ({', '.join(meta['order_by'])})"
+            return out + f" AS {q}"
         cols = ", ".join(
             f"{c['name']} {_type_str(c['dtype'])}" for c in meta["columns"]
         )

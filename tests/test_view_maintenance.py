@@ -305,3 +305,17 @@ def test_plain_view_cycle_guard(spark, sf_dir):
     eng.sql("create view cb as select x from ca")
     with _pytest.raises(LoweringError, match="circular view"):
         eng.sql("select * from cb")
+
+
+def test_show_create_plain_view(spark, sf_dir):
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp()
+    )
+    eng.sql("create table sc (a Int32)")
+    eng.sql("create view scv as select a from sc")
+    out = [r[0] for r in eng.sql("show create table scv").collect()]
+    assert any("CREATE VIEW scv AS" in line for line in out)
