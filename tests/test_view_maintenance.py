@@ -317,5 +317,5 @@ def test_show_create_plain_view(spark, sf_dir):
     )
     eng.sql("create table sc (a Int32)")
     eng.sql("create view scv as select a from sc")
-    out = [r[0] for r in eng.sql("show create table scv").collect()]
-    assert any("CREATE VIEW scv AS" in line for line in out)
+    out = eng.sql("show create table scv").first()["create_query"]
+    assert "CREATE VIEW scv AS" in out
