@@ -2454,3 +2454,45 @@ def _kurt_samp(x: Column) -> Column:
 
 AGGREGATE_FNS["skewSamp"] = _skew_samp
 AGGREGATE_FNS["kurtSamp"] = _kurt_samp
+
+
+# --- [EXT] lenient cast family: to<T>OrNull / to<T>OrZero ------------------
+# ClickHouse's safe parsers: OrNull yields NULL on an unparseable
+# input (Spark's try_cast), OrZero the type's zero. Generated over
+# the numeric tiers + Date/Datetime (OrNull only for those — a zero
+# date is a CH-ism this engine does not reproduce).
+_LENIENT_CASTS = {
+    "Int8": "tinyint", "Int16": "smallint", "Int32": "int",
+    "Int64": "bigint", "UInt8": "smallint", "UInt16": "int",
+    "UInt32": "bigint", "UInt64": "decimal(20,0)",
+    "Float32": "float", "Float64": "double",
+}
+
+
+def _try_cast(t: str):
+    return lambda x: x.try_cast(t)
+
+
+for _n, _t in _LENIENT_CASTS.items():
+    SCALAR_FNS.setdefault(f"to{_n}OrNull", _try_cast(_t))
+    SCALAR_FNS.setdefault(
+        f"to{_n}OrZero",
+        (lambda t: lambda x: F.coalesce(
+            x.try_cast(t), F.lit(0).cast(t)
+        ))(_t),
+    )
+del _n, _t
+SCALAR_FNS["toDateOrNull"] = lambda x: x.try_cast("date")
+SCALAR_FNS["toDatetimeOrNull"] = lambda x: x.try_cast("timestamp")
+SCALAR_FNS["toDateTimeOrNull"] = SCALAR_FNS["toDatetimeOrNull"]
+
+# remaining subtract* date helpers (add* siblings exist above)
+SCALAR_FNS["subtractWeeks"] = lambda d, n: d - F.make_interval(
+    weeks=n.cast("int")
+)
+SCALAR_FNS["subtractMinutes"] = lambda d, n: d - F.make_interval(
+    mins=n.cast("int")
+)
+SCALAR_FNS["subtractSeconds"] = lambda d, n: d - F.make_interval(
+    secs=n.cast("double")
+)

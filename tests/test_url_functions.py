@@ -217,3 +217,30 @@ def test_raw_arg_fns_demand_string_literals(eng):
     ):
         with pytest.raises(LoweringError, match="string literal"):
             eng.sql(sql)
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("toInt64OrNull('12')", 12),
+        ("toInt64OrNull('12x')", None),
+        ("toInt32OrZero('nope')", 0),
+        # unsigned types widen (catalog map: UInt16 -> int), so the
+        # value is representable rather than CH's overflow-to-zero
+        ("toUInt16OrZero('70000')", 70000),
+        ("toUInt16OrZero('x')", 0),
+        ("toFloat64OrZero('2.5')", 2.5),
+        ("toDateOrNull('2024-02-30')", None),
+        ("toString(toDateOrNull('2024-02-29'))", "2024-02-29"),
+        ("toString(subtractWeeks(toDate('2024-01-15'), 2))",
+         "2024-01-01"),
+        ("toString(subtractSeconds("
+         "toDatetime('2024-01-01 00:00:10'), 9))",
+         "2024-01-01 00:00:01"),
+        ("toString(subtractMinutes("
+         "toDatetime('2024-01-01 00:10:00'), 9))",
+         "2024-01-01 00:01:00"),
+    ],
+)
+def test_lenient_casts_and_subtract_helpers(eng, expr, expected):
+    assert _one(eng, expr) == expected
