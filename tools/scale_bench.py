@@ -104,6 +104,9 @@ ENTRIES = [
     "sql_alias_anywhere",
     "q_sim_topk_ivf_adc",
     "q_pipeline_index",
+    "q_ddl_view_plain",
+    "q_ddl_optimize_dedup",
+    "q_ddl_exchange",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
