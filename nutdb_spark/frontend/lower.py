@@ -1376,21 +1376,20 @@ class Lowerer:
             op = conj.op
             if sl == "r":  # e.g. r.ts <= l.ts  →  l.ts >= r.ts
                 op = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}[op]
-            if op in ("<=", "<"):
-                raise LoweringError(
-                    "ASOF JOIN matches the latest PRIOR right row: the "
-                    "inequality must order left_ts >= right_ts (or >)"
-                )
             if ts is not None:
                 raise LoweringError(
                     "ASOF ON must contain exactly one timestamp inequality"
                 )
-            ts = (lhs, rhs, op == ">")
+            # >=/> = BACKWARD (latest prior right row, the default);
+            # [EXT] <=/< = FORWARD (earliest following right row) —
+            # ClickHouse accepts all four orientations
+            ts = (lhs, rhs, op in (">", "<"),
+                  "backward" if op in (">=", ">") else "forward")
         if ts is None:
             raise LoweringError(
                 "ASOF ON must contain exactly one timestamp inequality"
             )
-        lts, rts, strict = ts
+        lts, rts, strict, direction = ts
         try:
             out = asof_join_any(
                 base,
@@ -1401,6 +1400,7 @@ class Lowerer:
                 right_ts=self._expr(rts, scope, {}, []),
                 how="inner" if j.kind == "asof" else "left",
                 strict=strict,
+                direction=direction,
                 tolerance=(
                     self._expr(j.within, scope, {}, [])
                     if j.within is not None

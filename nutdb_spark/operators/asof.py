@@ -88,6 +88,7 @@ def asof_join_any(
     strict: bool = False,
     tolerance=None,
     prefix: str = "__asof__",
+    direction: str = "backward",
 ) -> DataFrame:
     """`asof_join` generalized to arbitrary key/ts Column expressions —
     the frontend lowering target for `[LEFT] ASOF JOIN … ON k = k AND
@@ -119,6 +120,10 @@ def asof_join_any(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof how must be left|inner, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof direction must be backward|forward, got {direction!r}"
+        )
     lcols = list(left.columns)
     ldt = dict(left.dtypes)
     rcols = list(right.columns)
@@ -162,9 +167,20 @@ def asof_join_any(
     # asc NULLS FIRST: a left row with NULL key/ts sorts before every
     # surviving right row in its partition → carries no payload, which
     # is exactly SQL's no-match-on-NULL
+    # backward: scan ts ASC, carry the latest right payload forward —
+    # matches the latest right_ts <= left_ts. forward: scan ts DESC —
+    # "latest in the reversed scan" IS the EARLIEST right_ts >=
+    # left_ts. The equal-ts side ordering (rside) makes >=/<= vs >/<
+    # in both directions. NULL left ts: asc NULLS FIRST / desc NULLS
+    # LAST both park the row where no right payload precedes it.
+    order_ts = (
+        F.col("__ats")
+        if direction == "backward"
+        else F.col("__ats").desc_nulls_last()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ats"), F.col("__side"))
+        .orderBy(order_ts, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = merged.withColumn("__last", F.last("__p", ignorenulls=True).over(w))
@@ -180,7 +196,9 @@ def asof_join_any(
         ).withColumn(
             "__last",
             F.when(
-                F.col("__mts") >= F.col("__ats") - tolerance,
+                F.col("__mts") >= F.col("__ats") - tolerance
+                if direction == "backward"
+                else F.col("__mts") <= F.col("__ats") + tolerance,
                 F.col("__last"),
             ),
         )

@@ -3766,3 +3766,41 @@ def sql_table_fn_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                (select count() from d) as cd
         """,
     )
+
+
+@query(
+    "sql_asof_forward",
+    """
+    SELECT v.event_id AS vid,
+           (SELECT p.event_id FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.ts LIMIT 1) AS pid
+    FROM events v
+    WHERE v.event_type = 'view' AND v.user_id < 40
+    ORDER BY vid
+    """,
+)
+def sql_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] FORWARD as-of join (`l.ts <= r.ts` — the earliest
+    FOLLOWING right row, where the default orientation matches the
+    latest prior): each view attributed to the next purchase by the
+    same user. Same single-shuffle union+window lowering as the
+    backward form — the window just scans time DESCENDING, so
+    'latest in the reversed scan' is the earliest follower; no range
+    join, no fan-out. Events ts is unique per fixture, so the match
+    is total-ordered. The oracle spells it as a correlated
+    first-row-at-or-after subquery."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select v.event_id as vid, p.event_id as pid
+        from (select * from events
+              where event_type = 'view' and user_id < 40) as v
+        left asof join (select * from events
+                        where event_type = 'purchase') as p
+          on v.user_id = p.user_id and v.ts <= p.ts
+        order by vid
+        """,
+    )

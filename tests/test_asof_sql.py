@@ -130,12 +130,14 @@ def test_asof_two_inequalities_rejected(eng):
         )
 
 
-def test_asof_wrong_direction_rejected(eng):
-    with pytest.raises(LoweringError, match="latest PRIOR"):
-        eng.sql(
-            "SELECT * FROM asof_l l "
-            "ASOF JOIN asof_r r ON l.k = r.k AND l.lts <= r.rts"
-        )
+def test_asof_forward_direction_accepted(eng):
+    # `l.ts <= r.ts` is the FORWARD as-of (earliest following right
+    # row) — previously rejected, now a first-class direction
+    out = eng.sql(
+        "SELECT * FROM asof_l l "
+        "ASOF JOIN asof_r r ON l.k = r.k AND l.lts <= r.rts"
+    )
+    assert out.count() >= 0  # lowers and runs
 
 
 def test_asof_one_sided_conjuncts_become_filters(eng):
@@ -227,3 +229,32 @@ def test_within_requires_interval_literal():
             "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
             "WITHIN INTERVAL 5 parsecs"
         )
+
+
+# --- [EXT] FORWARD direction -----------------------------------------------
+
+
+def test_asof_forward_directions(eng):
+    # earliest following, inclusive vs strict
+    import pandas as pd  # noqa: F401
+
+    rows = eng.sql(
+        "select l.k as k, l.ts as ts, r.v as v from "
+        "(select 1 as k, 10 as ts union all select 1, 20 "
+        " union all select 2, 5) as l "
+        "left asof join (select 1 as k, 12 as ts, 'a' as v "
+        " union all select 1, 19, 'b' union all select 1, 25, 'c' "
+        " union all select 2, 1, 'z') as r "
+        "on l.k = r.k and l.ts <= r.ts order by k, ts"
+    ).collect()
+    assert [(r["k"], r["ts"], r["v"]) for r in rows] == [
+        (1, 10, "a"), (1, 20, "c"), (2, 5, None),
+    ]
+    strict = eng.sql(
+        "select l.ts as ts, r.v as v from "
+        "(select 1 as k, 12 as ts) as l "
+        "left asof join (select 1 as k, 12 as ts, 'a' as v "
+        " union all select 1, 19, 'b') as r "
+        "on l.k = r.k and l.ts < r.ts"
+    ).first()
+    assert strict["v"] == "b"  # equal ts excluded under strict <

@@ -107,6 +107,7 @@ ENTRIES = [
     "q_ddl_view_plain",
     "q_ddl_optimize_dedup",
     "q_ddl_exchange",
+    "sql_asof_forward",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
