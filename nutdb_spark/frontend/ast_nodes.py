@@ -249,6 +249,9 @@ class Join:
     on: object | None = None
     using: list[str] | None = None
     within: "Interval | None" = None  # ASOF tolerance bound
+    # [EXT] GLOBAL <join> — broadcast the right side (CH ships it to
+    # every node; Spark's F.broadcast hint is the same contract)
+    broadcast: bool = False
 
 
 @dataclass

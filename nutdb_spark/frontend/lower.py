@@ -1161,6 +1161,11 @@ class Lowerer:
 
     def _lower_join(self, base: DataFrame, j: A.Join, scope: Scope, cte) -> DataFrame:
         right, alias = self._source_df(j.source, j.alias, scope, cte)
+        if getattr(j, "broadcast", False):
+            # [EXT] GLOBAL JOIN → broadcast the right side (the hint
+            # survives scope.add; ASOF/ANY lowerings keep their own
+            # shuffle shapes, where CH's GLOBAL would be a no-op too)
+            right = F.broadcast(right).alias(alias)
         if j.kind in ("asof", "left_asof"):
             return self._lower_asof(base, right, alias, j, scope)
         if j.kind in ("left_any", "inner_any", "right_any"):

@@ -715,6 +715,7 @@ class Parser:
             "final",  # FROM t FINAL (merged-state read)
             "cross",  # CROSS JOIN
             "interpolate",  # WITH FILL INTERPOLATE (...)
+            "global",  # GLOBAL <join> (broadcast hint)
         }:
             return self.ident()
         return None
@@ -759,10 +760,20 @@ class Parser:
         # and JoinType::AsOf (query.rs:110), which the reference parser
         # declares but never produces
         t = self.peek()
+        glob = False
+        if t.type == T.KWID and t.text.lower() == "global":
+            # [EXT] ClickHouse GLOBAL <join>: on a cluster CH ships the
+            # right side to every node — here, an explicit BROADCAST
+            # hint on the right side of the join.
+            self.next()
+            glob = True
+            t = self.peek()
         if not (
             t.type == T.KWID
             and t.text.lower() in (self._JOIN_KINDS | {"join", "asof", "cross"})
         ):
+            if glob:
+                raise ParseError("GLOBAL must be followed by a JOIN")
             return None
         kind = "inner"
         if self.eat_kw("cross"):
@@ -824,7 +835,9 @@ class Parser:
                 raise ParseError("WITHIN is only valid on ASOF joins")
             self.expect_kw("interval")
             within = self._interval()
-        return A.Join(kind, src, alias, on, using, within)
+        out = A.Join(kind, src, alias, on, using, within)
+        out.broadcast = glob
+        return out
 
     def _limit_clause(self) -> A.Limit:
         first = self.parse_expr()

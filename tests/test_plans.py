@@ -462,3 +462,36 @@ def test_pq_adc_no_cartesian_and_broadcast_rescore(spark):
     plan = plan_of(QUERIES["q_sim_topk_pq_adc"](spark, SF01))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_global_join_broadcasts_right_side(spark):
+    """[EXT] GLOBAL JOIN = an explicit broadcast hint on the right
+    side (ClickHouse ships the right table to every node; Spark's
+    broadcast hint is the same contract) — pinned with the automatic
+    broadcast threshold disabled so the hint itself is what's
+    tested."""
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng = NutEngine(
+            spark, data_dir=SF01, catalog_dir=tempfile.mkdtemp()
+        )
+        plain = eng.sql(
+            "select count() as n from lineitem l join orders o "
+            "on l.l_orderkey = o.o_orderkey"
+        )
+        hinted = eng.sql(
+            "select count() as n from lineitem l global join orders o "
+            "on l.l_orderkey = o.o_orderkey"
+        )
+        p1 = plan_of(plain)
+        p2 = plan_of(hinted)
+        assert "BroadcastHashJoin" not in p1
+        assert "BroadcastHashJoin" in p2
+        assert plain.first()["n"] == hinted.first()["n"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
