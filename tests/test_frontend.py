@@ -202,9 +202,10 @@ def test_create_table_shape():
     assert d.indexes[0].name == "ix" and d.constraints[0].name == "pos"
 
 
-def test_view_requires_strategy():
-    with pytest.raises(ParseError):
-        parse("CREATE VIEW v AS SELECT 1")
+def test_view_strategy_forms():
+    # [EXT] omitting UPDATE BY creates a PLAIN (non-materialized) view
+    stmt = parse("CREATE VIEW v AS SELECT 1")
+    assert stmt.definition.strategy == "plain"
     stmt = parse("CREATE VIEW v UPDATE BY Summing ORDER BY (k) AS SELECT 1")
     assert stmt.definition.strategy == "Summing"
 
