@@ -1178,22 +1178,73 @@ class Lowerer:
             # fanned out — the preserved side streams through the
             # ordinary hash join untouched. USING is required: the
             # dedup keys must be explicit.
-            if j.using is None:
-                raise LoweringError(
-                    "ANY JOIN requires USING (...) — the pick-one "
-                    "dedup keys must be explicit"
-                )
             how = {
                 "left_any": "left",
                 "inner_any": "inner",
                 "right_any": "right",
             }[j.kind]
-            if j.kind == "right_any":
-                base = self._dedup_any(base, j.using)
-            else:
-                right = self._dedup_any(right, j.using).alias(alias)
+            if j.using is not None:
+                if j.kind == "right_any":
+                    base = self._dedup_any(base, j.using)
+                else:
+                    right = self._dedup_any(right, j.using).alias(alias)
+                scope.add(alias, right)
+                return base.join(right, j.using, how)
+            if j.on is None:
+                raise LoweringError(
+                    "ANY JOIN requires USING (...) or an equi-key ON — "
+                    "the pick-one dedup keys must be derivable"
+                )
+            # [EXT] ON form: every conjunct must be an equi-key `=`
+            # between the sides; the non-preserved side dedups on ITS
+            # key expressions (materialized as temp columns so the
+            # window partitions on exactly the join keys), then the
+            # ordinary hash join runs on the lowered condition.
             scope.add(alias, right)
-            return base.join(right, j.using, how)
+            left_aliases = [a for a in scope.frames if a != alias]
+            pairs: list[tuple] = []
+            for conj in _split_conjuncts(j.on):
+                ok = (
+                    isinstance(conj, A.BinOp)
+                    and conj.op == "="
+                )
+                if ok:
+                    sl = self._asof_side(
+                        conj.left, base, right, alias, left_aliases
+                    )
+                    sr = self._asof_side(
+                        conj.right, base, right, alias, left_aliases
+                    )
+                    ok = sl != sr and None not in (sl, sr)
+                if not ok:
+                    raise LoweringError(
+                        "ANY JOIN ON supports only equi-key '=' "
+                        f"conjuncts between the sides; got {conj!r}"
+                    )
+                lhs, rhs = (
+                    (conj.left, conj.right)
+                    if sl == "l"
+                    else (conj.right, conj.left)
+                )
+                pairs.append((lhs, rhs))
+            dedup_side = "l" if j.kind == "right_any" else "r"
+            key_exprs = [
+                self._expr(p[0] if dedup_side == "l" else p[1],
+                           scope, {}, [])
+                for p in pairs
+            ]
+            tmps = [self._gen("anyk") for _ in key_exprs]
+            target = base if dedup_side == "l" else right
+            for t, k in zip(tmps, key_exprs):
+                target = target.withColumn(t, k)
+            target = self._dedup_any(target, tmps).drop(*tmps)
+            if dedup_side == "l":
+                base = target
+            else:
+                right = target.alias(alias)
+                scope.add(alias, right)
+            cond = self._expr(j.on, scope, {}, [])
+            return base.join(right, cond, how)
         scope.add(alias, right)
         if j.kind == "cross":
             # comma join: the WHERE equalities reach Catalyst as a

@@ -3804,3 +3804,45 @@ def sql_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by vid
         """,
     )
+
+
+@query(
+    "sql_any_join_on",
+    """
+    WITH r AS (
+      SELECT l_orderkey, l_quantity, l_linenumber FROM (
+        SELECT l_orderkey, l_quantity, l_linenumber,
+               row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_orderkey ASC NULLS LAST,
+                          l_quantity ASC NULLS LAST,
+                          l_linenumber ASC NULLS LAST) AS rn
+        FROM lineitem) t WHERE rn = 1)
+    SELECT o.o_orderkey AS k, r.l_quantity AS q, r.l_linenumber AS ln
+    FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey
+    WHERE o.o_orderkey < 500
+    ORDER BY k
+    """,
+)
+def sql_any_join_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ANY join strictness through the ON form (the USING form
+    is sql_any_join): equi-key '=' conjuncts derive the pick-one
+    dedup keys, the non-preserved side dedups on its OWN key
+    expressions (materialized temp columns → one bounded window),
+    and the preserved side streams through the ordinary hash join —
+    output cardinality equals the left side exactly (no fan-out).
+    Non-equi conjuncts fail loudly. The oracle replays the
+    deterministic first-by-all-columns pick."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select o.o_orderkey as k, l.l_quantity as q,
+               l.l_linenumber as ln
+        from orders as o
+        left any join (select l_orderkey, l_quantity, l_linenumber
+                       from lineitem) as l
+          on o.o_orderkey = l.l_orderkey
+        where o.o_orderkey < 500
+        order by k
+        """,
+    )

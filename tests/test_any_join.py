@@ -89,13 +89,17 @@ def test_any_pick_is_deterministic_first_by_remaining_columns(eng):
     assert {(r["v"], r["w"]) for r in rows} == {("a", 20)}
 
 
-def test_any_join_requires_using(eng):
-    from nutdb_spark.frontend.lower import LoweringError
-
-    with pytest.raises(LoweringError, match="USING"):
-        eng.sql(
-            "select 1 from l left any join d on l.k = d.k"
-        ).collect()
+def test_any_join_on_form_matches_using(eng):
+    # the ON equi-key form (added later) must agree with USING when
+    # the key names align
+    on = eng.sql(
+        "select l.k as k, d.v as v from l left any join d on l.k = d.k "
+        "order by k"
+    ).collect()
+    using = eng.sql(
+        "select k, v from l left any join d using (k) order by k"
+    ).collect()
+    assert [tuple(r) for r in on] == [tuple(r) for r in using]
 
 
 # --- ASOF JOIN USING (k..., ts) --------------------------------------------
@@ -181,3 +185,22 @@ def test_any_pick_partition_independent(spark, sf_dir):
             )
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_any_join_on_form_no_fanout(eng):
+    n_left = eng.sql("select count() as n from orders").first()["n"]
+    n_join = eng.sql(
+        "select count() as n from (select o.o_orderkey from orders o "
+        "left any join lineitem l on o.o_orderkey = l.l_orderkey)"
+    ).first()["n"]
+    assert n_left == n_join
+
+
+def test_any_join_on_rejects_non_equi(eng):
+    from nutdb_spark.frontend.lower import LoweringError
+
+    with pytest.raises(LoweringError, match="equi-key"):
+        eng.sql(
+            "select 1 from orders o left any join lineitem l "
+            "on o.o_orderkey < l.l_orderkey"
+        )
