@@ -145,7 +145,7 @@ class Parser:
     _ALL_ENDERS = {
         "with", "having", "qualify", "window", "order", "limit",
         "offset", "settings", "union", "intersect", "except", "into",
-        "format", "interpolate", "asc", "desc", "nulls",
+        "format", "interpolate", "asc", "desc", "nulls", "fetch",
     }
 
     def _bare_all_ahead(self) -> bool:
@@ -464,7 +464,30 @@ class Parser:
                     if not self.eat_sym(","):
                         break
                 self.expect_sym(")")
-        if self.eat_kw("limit"):
+        # [EXT] ANSI `OFFSET n ROW[S] [FETCH {FIRST|NEXT} m ROW[S]
+        # {ONLY|WITH TIES}]` — sugar over the same Limit AST
+        if self.at_kw("offset"):
+            self.next()
+            off = self.parse_expr()
+            if not (self.eat_kw("rows") or self.eat_kw("row")):
+                raise ParseError("OFFSET n must be followed by ROW[S]")
+            if self.eat_kw("fetch"):
+                q.limit = self._fetch_clause(off)
+            else:
+                # bare OFFSET: everything after the first n rows.
+                # Spark requires limit + offset <= max int32, so the
+                # synthetic limit is the remaining headroom (the
+                # offset must be a literal for that arithmetic).
+                if not (isinstance(off, A.Lit) and off.kind == "int"):
+                    raise ParseError(
+                        "bare OFFSET n ROWS requires an integer literal"
+                    )
+                cap = 2**31 - 1 - int(off.value)
+                q.limit = A.Limit(A.Lit(cap, "int"), offset=off)
+        elif self.at_kw("fetch"):
+            self.next()
+            q.limit = self._fetch_clause(None)
+        elif self.eat_kw("limit"):
             q.limit = self._limit_clause()
             # [EXT] LIMIT [off,] n BY keys (ClickHouse per-group head);
             # a second plain LIMIT may follow for the combined result
@@ -716,6 +739,7 @@ class Parser:
             "cross",  # CROSS JOIN
             "interpolate",  # WITH FILL INTERPOLATE (...)
             "global",  # GLOBAL <join> (broadcast hint)
+            "fetch",  # ANSI OFFSET/FETCH
         }:
             return self.ident()
         return None
@@ -838,6 +862,21 @@ class Parser:
         out = A.Join(kind, src, alias, on, using, within)
         out.broadcast = glob
         return out
+
+    def _fetch_clause(self, offset) -> A.Limit:
+        """FETCH {FIRST|NEXT} m ROW[S] {ONLY | WITH TIES} — called with
+        FETCH already consumed."""
+        if not (self.eat_kw("first") or self.eat_kw("next")):
+            raise ParseError("FETCH requires FIRST or NEXT")
+        n = self.parse_expr()
+        if not (self.eat_kw("rows") or self.eat_kw("row")):
+            raise ParseError("FETCH m must be followed by ROW[S]")
+        if self.eat_kw("only"):
+            return A.Limit(n, offset=offset)
+        if self.eat_kw("with"):
+            self.expect_kw("ties")
+            return A.Limit(n, offset=offset, with_ties=True)
+        raise ParseError("FETCH requires ONLY or WITH TIES")
 
     def _limit_clause(self) -> A.Limit:
         first = self.parse_expr()

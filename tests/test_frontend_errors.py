@@ -261,3 +261,21 @@ def test_generate_series_zero_step_rejected():
     # parse is fine; the step guard fires at lowering
     stmt = parse("SELECT * FROM generate_series(1, 5, 0)")
     assert stmt is not None
+
+
+def test_ansi_offset_fetch_shapes():
+    s = parse(
+        "SELECT x FROM t ORDER BY x OFFSET 5 ROWS "
+        "FETCH FIRST 3 ROWS ONLY"
+    )
+    assert s.query.limit.n.value == 3 and s.query.limit.offset.value == 5
+    s = parse("SELECT x FROM t ORDER BY x FETCH NEXT 2 ROW WITH TIES")
+    assert s.query.limit.with_ties and s.query.limit.n.value == 2
+    s = parse("SELECT x FROM t ORDER BY x OFFSET 7 ROWS")
+    assert s.query.limit.offset.value == 7
+    with pytest.raises(ParseError, match="ROW"):
+        parse("SELECT x FROM t OFFSET 5 FETCH FIRST 1 ROWS ONLY")
+    with pytest.raises(ParseError, match="ONLY or WITH TIES"):
+        parse("SELECT x FROM t FETCH FIRST 1 ROWS")
+    with pytest.raises(ParseError, match="FIRST or NEXT"):
+        parse("SELECT x FROM t FETCH 1 ROWS ONLY")
