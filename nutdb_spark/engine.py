@@ -134,6 +134,45 @@ class NutEngine:
         if isinstance(stmt, A.ShowStmt):
             return self._show(stmt)
         if isinstance(stmt, A.ExplainStmt):
+            if getattr(stmt, "mode", "simple") == "ast":
+                # [EXT] EXPLAIN AST — pretty-printed dataclass tree of
+                # the PARSED query (before lowering), one node per line
+                import dataclasses
+
+                lines: list[str] = []
+
+                def walk(node, depth):
+                    pad = "  " * depth
+                    if dataclasses.is_dataclass(node):
+                        lines.append(f"{pad}{type(node).__name__}")
+                        for f in dataclasses.fields(node):
+                            v = getattr(node, f.name)
+                            if v is None or v == [] or v is False:
+                                continue
+                            if dataclasses.is_dataclass(v) or (
+                                isinstance(v, list)
+                                and any(
+                                    dataclasses.is_dataclass(x)
+                                    for x in v
+                                )
+                            ):
+                                lines.append(f"{pad}  .{f.name}:")
+                                walk(v, depth + 2)
+                            else:
+                                lines.append(f"{pad}  .{f.name} = {v!r}")
+                    elif isinstance(node, list):
+                        for x in node:
+                            walk(x, depth)
+                    elif isinstance(node, tuple):
+                        for x in node:
+                            walk(x, depth)
+                    else:
+                        lines.append(f"{'  ' * depth}{node!r}")
+
+                walk(stmt.query, 0)
+                return self.spark.createDataFrame(
+                    [(line,) for line in lines], "ast: string"
+                )
             df = low.lower_query(stmt.query)
             qe = df._jdf.queryExecution()
             mode = getattr(stmt, "mode", "simple")

@@ -1495,6 +1495,9 @@ class Parser:
             mode = "formatted"
         elif self.eat_kw("analyze"):
             mode = "analyze"
+        elif self.eat_kw("ast"):
+            # [EXT] EXPLAIN AST (ClickHouse): the parsed tree itself
+            mode = "ast"
         return A.ExplainStmt(self.parse_query(), mode)
 
     def _insert(self):

@@ -279,3 +279,10 @@ def test_ansi_offset_fetch_shapes():
         parse("SELECT x FROM t FETCH FIRST 1 ROWS")
     with pytest.raises(ParseError, match="FIRST or NEXT"):
         parse("SELECT x FROM t FETCH 1 ROWS ONLY")
+
+
+def test_explain_ast_mode_parses():
+    s = parse("EXPLAIN AST SELECT 1")
+    assert s.mode == "ast"
+    s = parse("EXPLAIN SELECT 1")
+    assert s.mode == "simple"

@@ -244,3 +244,15 @@ def test_raw_arg_fns_demand_string_literals(eng):
 )
 def test_lenient_casts_and_subtract_helpers(eng, expr, expected):
     assert _one(eng, expr) == expected
+
+
+def test_explain_ast_renders_tree(eng):
+    rows = [
+        r["ast"]
+        for r in eng.sql(
+            "explain ast select event_id from events where user_id = 1"
+        ).collect()
+    ]
+    assert rows[0] == "SelectCore"
+    assert any("TableRef" in l for l in rows)
+    assert any("BinOp" in l for l in rows)
