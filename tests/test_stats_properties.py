@@ -189,3 +189,58 @@ def test_or_null_if_vs_filtered_python(spark):
             sum(kept) if kept else 0,
             len(kept) if kept else None,
         ), g
+
+
+def test_url_family_roundtrip_fuzz(spark):
+    """200 random well-formed URLs assembled from component pools —
+    every extractor must return exactly the component that built the
+    URL, and the cutters must reassemble to the original."""
+    import random
+
+    from nutdb_spark.functions.registry import SCALAR_FNS as S
+
+    rng = random.Random(0x0501)
+    hosts = ["example.com", "a.b.site.io", "x.co", "news.port.com.tr",
+             "localhost"]
+    rows = []
+    for i in range(200):
+        scheme = rng.choice(["http", "https", "ftp"])
+        host = rng.choice(hosts)
+        port = rng.choice(["", f":{rng.randint(1, 65000)}"])
+        path = rng.choice(["", "/", f"/p{i}", f"/a/b{i}/c"])
+        n_params = rng.randint(0, 3)
+        params = "&".join(
+            f"k{j}=v{rng.randint(0, 9)}" for j in range(n_params)
+        )
+        query = f"?{params}" if params else ""
+        frag = rng.choice(["", f"#f{i}"])
+        rows.append(
+            (i, f"{scheme}://{host}{port}{path}{query}{frag}",
+             scheme, host, port[1:], path, params, frag[1:])
+        )
+    df = spark.createDataFrame(
+        rows, "i int, u string, scheme string, host string, "
+        "port string, path string, query string, frag string"
+    )
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        "i", "u", "scheme", "host", "port", "path", "query", "frag",
+        S["protocol"](F.col("u")).alias("g_scheme"),
+        S["domain"](F.col("u")).alias("g_host"),
+        S["port"](F.col("u")).alias("g_port"),
+        S["path"](F.col("u")).alias("g_path"),
+        S["queryString"](F.col("u")).alias("g_query"),
+        S["fragment"](F.col("u")).alias("g_frag"),
+        S["cutQueryStringAndFragment"](F.col("u")).alias("g_cut"),
+    ).collect()
+    for r in got:
+        assert r["g_scheme"] == r["scheme"], r["u"]
+        assert r["g_host"] == r["host"], r["u"]
+        assert r["g_port"] == (int(r["port"]) if r["port"] else 0), r["u"]
+        assert r["g_path"] == r["path"], r["u"]
+        assert r["g_query"] == r["query"], r["u"]
+        assert r["g_frag"] == r["frag"], r["u"]
+        scheme, host, port = r["scheme"], r["host"], r["port"]
+        prefix = f"{scheme}://{host}" + (f":{port}" if port else "")
+        assert r["g_cut"] == prefix + r["path"], r["u"]
