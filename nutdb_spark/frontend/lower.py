@@ -2141,6 +2141,10 @@ class Lowerer:
                     "topk", "topkweighted", "grouparraysorted",
                     "quantileexact", "quantileexactlow",
                     "quantileexacthigh",
+                    # [EXT] -If compositions: last arg = condition,
+                    # applied as a filter on the level-1 pre-aggregate
+                    "topkif", "topkweightedif", "grouparraysortedif",
+                    "quantileexactif",
                 )
             )
             # entropy is non-parametric but shares the bounded
@@ -2374,22 +2378,36 @@ class Lowerer:
                     "constant literals"
                 )
             params.append(p.value)
-        is_quantile = call.name.lower() in (
+        name_l = call.name.lower()
+        is_if = name_l.endswith("if") and name_l != "quantileexact"
+        if is_if:
+            name_l = name_l[:-2]
+        is_quantile = name_l in (
             "quantileexact", "quantileexactlow", "quantileexacthigh"
         )
-        is_entropy = call.name.lower() == "entropy"
+        is_entropy = name_l == "entropy"
         k = None
         if not is_entropy:
             k = float(params[0]) if is_quantile else int(params[0])
         args = [self._expr(a, scope, {}, []) for a in call.args]
+        cond = None
+        if is_if:
+            if len(args) < 2:
+                raise LoweringError(
+                    f"{call.name} takes (args..., cond)"
+                )
+            *args, cond = args
         val = self._gen("tkv")
         cnt = self._gen("tkc")
         x = args[0]
-        lvl1 = pre.where(x.isNotNull()).groupBy(
+        keep = x.isNotNull() if cond is None else (
+            x.isNotNull() & cond.cast("boolean")
+        )
+        lvl1 = pre.where(keep).groupBy(
             *[F.col(n) for n in names], x.alias(val)
         )
-        is_sorted = call.name.lower() == "grouparraysorted"
-        if call.name.lower() == "topkweighted":
+        is_sorted = name_l == "grouparraysorted"
+        if name_l == "topkweighted":
             lvl1 = lvl1.agg(F.sum(args[1].cast("long")).alias(cnt))
         else:
             lvl1 = lvl1.agg(F.count(F.lit(1)).alias(cnt))
@@ -2455,7 +2473,7 @@ class Lowerer:
             )
             pos = (
                 F.ceil(F.lit(k) * (F.col(tot) - 1))
-                if call.name.lower() == "quantileexacthigh"
+                if name_l == "quantileexacthigh"
                 else F.floor(F.lit(k) * (F.col(tot) - 1))
             )
             tgt = pos.cast("long")

@@ -2496,3 +2496,26 @@ SCALAR_FNS["subtractMinutes"] = lambda d, n: d - F.make_interval(
 SCALAR_FNS["subtractSeconds"] = lambda d, n: d - F.make_interval(
     secs=n.cast("double")
 )
+
+
+# -If composition over the parametric aggregates (topKIf(k)(x, cond)
+# etc): in GROUP BY position the frontend's bounded two-level rewrite
+# intercepts these names and filters the level-1 pre-aggregate; this
+# in-group fallback CASE-wraps the data args (null-skip drops the
+# non-matching rows) for window/HAVING positions.
+def _parametric_if(base):
+    def wrapped(params: list, *args: Column) -> Column:
+        if len(args) < 2:
+            raise ValueError("-If parametric aggregate takes (args..., cond)")
+        *cols, cond = args
+        return base(params, *[F.when(cond.cast("boolean"), c) for c in cols])
+
+    return wrapped
+
+
+for _b in ("topK", "topKWeighted", "groupArraySorted", "quantileExact",
+           "quantileExactLow", "quantileExactHigh", "quantiles",
+           "uniqUpTo"):
+    if _b in PARAMETRIC_AGGS and _b + "If" not in PARAMETRIC_AGGS:
+        PARAMETRIC_AGGS[_b + "If"] = _parametric_if(PARAMETRIC_AGGS[_b])
+del _b

@@ -74,8 +74,8 @@ _PRIORITY = [
     # (registered after the window filled — sql_agg_state_merge,
     # sql_fn_tier6, q_ddl_optimize_dedup, q_ddl_exchange, and
     # sql_alias_anywhere, q_sim_topk_ivf_adc, q_pipeline_index,
-    # sql_table_fn_series, q_ddl_view_plain, sql_asof_forward, and
-    # sql_any_join_on head the ROUND-9
+    # sql_table_fn_series, q_ddl_view_plain, sql_asof_forward,
+    # sql_any_join_on, and sql_topk_if head the ROUND-9
     # queue with the displaced re-grades below)
     # --- (3) stalest re-grades (0 this session — the eight
     # displaced by the session-6 registrations — q_ddl_optimize,

@@ -3846,3 +3846,49 @@ def sql_any_join_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by k
         """,
     )
+
+
+@query(
+    "sql_topk_if",
+    """
+    WITH f AS (SELECT * FROM lineitem WHERE l_quantity > 25),
+    counts AS (
+      SELECT l_returnflag rf, l_linestatus v, count(*) c
+      FROM f GROUP BY rf, v),
+    ranked AS (
+      SELECT rf, v, row_number() OVER (PARTITION BY rf
+               ORDER BY c DESC, v ASC) AS rn FROM counts),
+    tk AS (SELECT rf, string_agg(v, ',' ORDER BY rn) AS t
+           FROM ranked WHERE rn <= 2 GROUP BY rf),
+    q AS (
+      SELECT rf, CAST(v AS BIGINT) AS med FROM (
+        SELECT l_returnflag rf, l_suppkey v,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_suppkey) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM f) t
+      WHERE rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT))
+    SELECT tk.rf AS l_returnflag, tk.t AS t, q.med AS q
+    FROM tk JOIN q USING (rf) ORDER BY rf
+    """,
+)
+def sql_topk_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] -If composition over the PARAMETRIC aggregates
+    (topKIf(k)(x, cond), quantileExactIf(level)(x, cond)): under
+    GROUP BY the bounded two-level rewrite filters its level-1
+    (keys, value, cnt) pre-aggregate by the condition — the state
+    stays O(distinct values), identical to the unfiltered paths —
+    and the in-group fallback CASE-wraps the data args. Equivalent
+    to pre-filtering the input (pinned); the oracle replays the
+    count-rank top-k and the exact median over the filtered rows."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               arrayStringConcat(
+                 topKIf(2)(l_linestatus, l_quantity > 25), ',') as t,
+               quantileExactIf(0.5)(l_suppkey, l_quantity > 25) as q
+        from lineitem group by l_returnflag order by l_returnflag
+        """,
+    )

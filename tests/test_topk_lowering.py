@@ -275,3 +275,30 @@ def test_quantile_exact_all_null_group_is_null(spark, eng):
         ).collect()
     }
     assert rows == {"a": 1, "b": None}
+
+
+def test_parametric_if_equals_prefiltered(eng):
+    """topKIf/quantileExactIf under GROUP BY must equal the
+    unconditioned aggregate over a pre-filtered input, and the plan
+    must stay collect_list-free (the bounded rewrite, not the
+    fallback)."""
+    a = eng.sql(
+        "select l_returnflag as k, "
+        "topKIf(2)(l_linestatus, l_quantity > 25) as t, "
+        "quantileExactIf(0.5)(l_suppkey, l_quantity > 25) as q "
+        "from lineitem group by l_returnflag order by l_returnflag"
+    )
+    b = eng.sql(
+        "select l_returnflag as k, topK(2)(l_linestatus) as t, "
+        "quantileExact(0.5)(l_suppkey) as q "
+        "from (select * from lineitem where l_quantity > 25) "
+        "group by l_returnflag order by l_returnflag"
+    )
+    assert [tuple(r) for r in a.collect()] == [
+        tuple(r) for r in b.collect()
+    ]
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    # the bounded two-level rewrite's generated level-1 columns prove
+    # the rewrite (not the in-group fallback) served the -If form;
+    # its only collect_list folds the <=k survivor rows per key
+    assert "__tkv" in plan

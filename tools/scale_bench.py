@@ -109,6 +109,7 @@ ENTRIES = [
     "q_ddl_exchange",
     "sql_asof_forward",
     "sql_any_join_on",
+    "sql_topk_if",
     "sql_topk_rollup",
     "sql_table_fn_decon",
     "sql_table_fn_decon_drop",
