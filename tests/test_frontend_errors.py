@@ -286,3 +286,8 @@ def test_explain_ast_mode_parses():
     assert s.mode == "ast"
     s = parse("EXPLAIN SELECT 1")
     assert s.mode == "simple"
+
+
+def test_global_requires_join():
+    with pytest.raises(ParseError, match="GLOBAL must be followed"):
+        parse("SELECT 1 FROM t GLOBAL WHERE 1 = 1")
