@@ -964,7 +964,14 @@ class Catalog:
             return base
 
         if meta["type"] == "view":
-            q = "<stored query>"
+            # best-effort re-executable query text; exotic clauses the
+            # printer doesn't cover fall back to the loud placeholder
+            try:
+                from nutdb_spark.frontend.printer import query as _pq
+
+                q = _pq(_unpickle_ast(meta["query"]))
+            except Exception:
+                q = "<stored query>"
             if meta.get("strategy") == "plain":
                 return f"CREATE VIEW {meta['name']} AS {q}"
             out = (

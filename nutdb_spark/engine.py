@@ -134,6 +134,12 @@ class NutEngine:
         if isinstance(stmt, A.ShowStmt):
             return self._show(stmt)
         if isinstance(stmt, A.ExplainStmt):
+            if getattr(stmt, "mode", "simple") == "syntax":
+                from nutdb_spark.frontend.printer import query as _print
+
+                return self.spark.createDataFrame(
+                    [(_print(stmt.query),)], "syntax: string"
+                )
             if getattr(stmt, "mode", "simple") == "ast":
                 # [EXT] EXPLAIN AST — pretty-printed dataclass tree of
                 # the PARSED query (before lowering), one node per line

@@ -1498,6 +1498,12 @@ class Parser:
         elif self.eat_kw("ast"):
             # [EXT] EXPLAIN AST (ClickHouse): the parsed tree itself
             mode = "ast"
+        elif self.eat_kw("syntax"):
+            # [EXT] EXPLAIN SYNTAX (ClickHouse): the query printed
+            # back from the parsed tree
+            mode = "syntax"
+        else:
+            self.eat_kw("plan")  # EXPLAIN PLAN = the default mode
         return A.ExplainStmt(self.parse_query(), mode)
 
     def _insert(self):

@@ -1,0 +1,310 @@
+"""[EXT] AST → dialect-SQL printer.
+
+Renders a parsed query back to dialect text — the engine side of
+EXPLAIN SYNTAX and the re-executable query in SHOW CREATE VIEW. The
+contract is ROUND-TRIP FIDELITY, not byte identity: parse(print(ast))
+must lower to the same result as the original (pinned in
+tests/test_printer.py). Unknown node types raise ``Unprintable`` so a
+caller can fall back loudly ("<stored query>") instead of emitting
+wrong SQL.
+"""
+
+from __future__ import annotations
+
+from nutdb_spark.frontend import ast_nodes as A
+
+
+class Unprintable(ValueError):
+    pass
+
+
+def _str_lit(s: str) -> str:
+    body = (
+        s.replace("\\", "\\\\")
+        .replace("'", "''")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+    return f"'{body}'"
+
+
+def expr(e) -> str:  # noqa: C901 — one dispatch table, flat by design
+    if e is None:
+        raise Unprintable("None expression")
+    if isinstance(e, A.Lit):
+        if e.kind == "string":
+            return _str_lit(e.value)
+        if e.kind == "null":
+            return "NULL"
+        if e.kind == "bool":
+            return "true" if e.value else "false"
+        return repr(e.value)
+    if isinstance(e, A.Ident):
+        return f"{e.qualifier}.{e.name}" if e.qualifier else e.name
+    if isinstance(e, A.Param):
+        return f"${e.index}"
+    if isinstance(e, A.ConfigIdent):
+        return f"@{e.name}"
+    if isinstance(e, A.Interval):
+        return f"INTERVAL {e.count} {e.unit.upper()}"
+    if isinstance(e, A.Wildcard):
+        out = f"{e.qualifier}.*" if e.qualifier else "*"
+        if e.except_cols:
+            out += f" EXCEPT ({', '.join(e.except_cols)})"
+        if e.replaces:
+            out += " REPLACE (" + ", ".join(
+                f"{expr(x)} AS {c}" for x, c in e.replaces
+            ) + ")"
+        for fn in e.applies or []:
+            out += f" APPLY({fn})"
+        return out
+    if isinstance(e, A.FnCall):
+        inner = ", ".join(expr(a) for a in e.args)
+        if e.distinct:
+            inner = "DISTINCT " + inner
+        if e.params is not None:
+            ps = ", ".join(expr(p) for p in e.params)
+            return f"{e.name}({ps})({inner})"
+        return f"{e.name}({inner})"
+    if isinstance(e, A.Lambda):
+        ps = ", ".join(e.params)
+        head = ps if len(e.params) == 1 else f"({ps})"
+        return f"{head} -> {expr(e.body)}"
+    if isinstance(e, A.BinOp):
+        return f"({expr(e.left)} {e.op.upper()} {expr(e.right)})"
+    if isinstance(e, A.UnOp):
+        op = e.op
+        inner = expr(e.operand)
+        if op == "not":
+            return f"(NOT {inner})"
+        if op == "neg":
+            return f"(-{inner})"
+        if op == "bitnot":
+            return f"(~{inner})"
+        if op == "isnull":
+            return f"({inner} IS NULL)"
+        if op == "isnotnull":
+            return f"({inner} IS NOT NULL)"
+        raise Unprintable(f"unary op {op!r}")
+    if isinstance(e, A.Between):
+        neg = "NOT " if e.negated else ""
+        return (
+            f"({expr(e.expr)} {neg}BETWEEN {expr(e.low)} "
+            f"AND {expr(e.high)})"
+        )
+    if isinstance(e, A.InList):
+        neg = "NOT " if e.negated else ""
+        return (
+            f"({expr(e.expr)} {neg}IN "
+            f"({', '.join(expr(x) for x in e.items)}))"
+        )
+    if isinstance(e, A.InSubquery):
+        neg = "NOT " if e.negated else ""
+        return f"({expr(e.expr)} {neg}IN ({query(e.query)}))"
+    if isinstance(e, A.Exists):
+        neg = "NOT " if e.negated else ""
+        return f"({neg}EXISTS ({query(e.query)}))"
+    if isinstance(e, A.ScalarSubquery):
+        return f"({query(e.query)})"
+    if isinstance(e, A.QuantCompare):
+        return (
+            f"({expr(e.expr)} {e.op} {e.quant.upper()} "
+            f"({query(e.query)}))"
+        )
+    if isinstance(e, A.Case):
+        out = "CASE"
+        if e.scrutinee is not None:
+            out += f" {expr(e.scrutinee)}"
+        for c, r in e.whens:
+            out += f" WHEN {expr(c)} THEN {expr(r)}"
+        if e.else_ is not None:
+            out += f" ELSE {expr(e.else_)}"
+        return out + " END"
+    if isinstance(e, A.ArrayLit):
+        return "[" + ", ".join(expr(x) for x in e.items) + "]"
+    if isinstance(e, A.TupleLit):
+        return "(" + ", ".join(expr(x) for x in e.items) + ")"
+    if isinstance(e, A.MapLit):
+        inner = ", ".join(f"{expr(k)}: {expr(v)}" for k, v in e.entries)
+        return "{" + inner + "}"
+    if isinstance(e, A.IndexAccess):
+        return f"{expr(e.base)}[{expr(e.index)}]"
+    if isinstance(e, A.TupleAccess):
+        return f"{expr(e.expr)}.{e.field}"
+    if isinstance(e, A.Cast):
+        return f"CAST({expr(e.expr)} AS {_dtype(e.dtype)})"
+    if isinstance(e, A.WindowCall):
+        over = []
+        if e.partition_by:
+            over.append(
+                "PARTITION BY "
+                + ", ".join(expr(p) for p in e.partition_by)
+            )
+        if e.order_by:
+            over.append(
+                "ORDER BY " + ", ".join(_order_item(o) for o in e.order_by)
+            )
+        if e.frame is not None:
+            kind, lo, hi = e.frame
+            over.append(
+                f"{kind.upper()} BETWEEN {_bound(lo)} AND {_bound(hi)}"
+            )
+        return f"{expr(e.fn)} OVER ({' '.join(over)})"
+    raise Unprintable(f"node {type(e).__name__}")
+
+
+def _bound(b) -> str:
+    kind, n = b
+    return {
+        "up": "UNBOUNDED PRECEDING",
+        "uf": "UNBOUNDED FOLLOWING",
+        "cur": "CURRENT ROW",
+        "pre": f"{n} PRECEDING",
+        "fol": f"{n} FOLLOWING",
+    }[kind]
+
+
+def _dtype(d) -> str:
+    name = getattr(d, "name", None)
+    if name is None:
+        raise Unprintable("untyped CAST")
+    base = {
+        "int8": "Int8", "int16": "Int16", "int32": "Int32",
+        "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+        "uint32": "UInt32", "uint64": "UInt64", "float32": "Float32",
+        "float64": "Float64", "string": "String", "boolean": "Boolean",
+        "date": "Date", "datetime": "Datetime",
+    }.get(name)
+    if base is None:
+        if name == "array" and d.args:
+            return f"Array({_dtype(d.args[0])})"
+        raise Unprintable(f"type {name!r}")
+    if getattr(d, "nullable", False):
+        return f"Nullable({base})"
+    return base
+
+
+def _order_item(o) -> str:
+    out = expr(o.expr)
+    if not o.asc:
+        out += " DESC"
+    if o.nulls:
+        out += f" NULLS {o.nulls.upper()}"
+    if o.fill is not None:
+        raise Unprintable("WITH FILL")
+    return out
+
+
+def _source(src, alias) -> str:
+    if isinstance(src, A.TableRef):
+        out = src.name
+    elif isinstance(src, A.TableFn):
+        out = f"{src.name}({', '.join(expr(a) for a in src.args)})"
+    elif isinstance(src, (A.SelectCore, A.SetOp)) or hasattr(
+        src, "columns"
+    ):
+        out = f"({query(src)})"
+    else:
+        raise Unprintable(f"source {type(src).__name__}")
+    if alias:
+        out += f" AS {alias}"
+    return out
+
+
+def query(q) -> str:  # noqa: C901
+    if isinstance(q, A.SetOp):
+        op = {
+            "union_all": "UNION ALL",
+            "union_distinct": "UNION DISTINCT",
+            "intersect": "INTERSECT",
+            "intersect_all": "INTERSECT ALL",
+            "except": "EXCEPT",
+            "except_all": "EXCEPT ALL",
+        }.get(q.op)
+        if op is None:
+            raise Unprintable(f"set op {q.op!r}")
+        return f"{query(q.left)} {op} {query(q.right)}"
+    if not isinstance(q, A.SelectCore):
+        raise Unprintable(f"query {type(q).__name__}")
+    for attr in ("group_modifier", "group_sets", "qualify", "limit_by",
+                 "interpolate", "settings", "outfile", "group_all",
+                 "windows"):
+        if getattr(q, attr, None):
+            raise Unprintable(f"clause {attr}")
+    if q.from_ is not None and getattr(q.from_, "sample", None):
+        raise Unprintable("SAMPLE clause")
+    parts = []
+    if q.ctes:
+        parts.append(
+            "WITH "
+            + ", ".join(f"{c.name} AS ({query(c.query)})" for c in q.ctes)
+        )
+    if getattr(q, "expr_aliases", None):
+        raise Unprintable("scalar WITH aliases")
+    sel = "SELECT "
+    if q.distinct:
+        sel += "DISTINCT "
+    if getattr(q, "distinct_on", None):
+        sel = (
+            "SELECT DISTINCT ON ("
+            + ", ".join(expr(x) for x in q.distinct_on)
+            + ") "
+        )
+    cols = []
+    for e, a in q.columns:
+        s = expr(e)
+        if a:
+            s += f" AS {a}"
+        cols.append(s)
+    parts.append(sel + ", ".join(cols))
+    if q.from_ is not None:
+        if getattr(q.from_, "final", False):
+            raise Unprintable("FROM ... FINAL")
+        parts.append("FROM " + _source(q.from_.source, q.from_.alias))
+    for j in q.joins:
+        if isinstance(j, A.ArrayJoin):
+            raise Unprintable("ARRAY JOIN")
+        kw = {
+            "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+            "full": "FULL JOIN", "cross": "CROSS JOIN",
+            "left_semi": "LEFT SEMI JOIN", "right_semi": "RIGHT SEMI JOIN",
+            "left_anti": "LEFT ANTI JOIN", "right_anti": "RIGHT ANTI JOIN",
+            "asof": "ASOF JOIN", "left_asof": "LEFT ASOF JOIN",
+            "inner_any": "INNER ANY JOIN", "left_any": "LEFT ANY JOIN",
+            "right_any": "RIGHT ANY JOIN",
+        }.get(j.kind)
+        if kw is None:
+            raise Unprintable(f"join {j.kind!r}")
+        if getattr(j, "broadcast", False):
+            kw = "GLOBAL " + kw
+        s = f"{kw} {_source(j.source, j.alias)}"
+        if j.on is not None:
+            s += f" ON {expr(j.on)}"
+        elif j.using is not None:
+            s += f" USING ({', '.join(j.using)})"
+        if getattr(j, "within", None) is not None:
+            s += f" WITHIN {expr(j.within)}"
+        parts.append(s)
+    if getattr(q, "prewhere", None) is not None:
+        parts.append("PREWHERE " + expr(q.prewhere))
+    if q.where is not None:
+        parts.append("WHERE " + expr(q.where))
+    if q.group_by:
+        parts.append(
+            "GROUP BY " + ", ".join(expr(g) for g in q.group_by)
+        )
+    if q.having is not None:
+        parts.append("HAVING " + expr(q.having))
+    if q.order_by:
+        parts.append(
+            "ORDER BY " + ", ".join(_order_item(o) for o in q.order_by)
+        )
+    if q.limit is not None:
+        s = "LIMIT " + expr(q.limit.n)
+        if q.limit.offset is not None:
+            s += " OFFSET " + expr(q.limit.offset)
+        if q.limit.with_ties:
+            s += " WITH TIES"
+        parts.append(s)
+    return " ".join(parts)
