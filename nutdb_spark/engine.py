@@ -140,6 +140,19 @@ class NutEngine:
                 return self.spark.createDataFrame(
                     [(_print(stmt.query),)], "syntax: string"
                 )
+            if getattr(stmt, "mode", "simple") == "estimate":
+                df = low.lower_query(stmt.query)
+                stats = (
+                    df._jdf.queryExecution().optimizedPlan().stats()
+                )
+                rc = stats.rowCount()
+                rows = int(rc.get()) if rc.isDefined() else None
+                return self.spark.createDataFrame(
+                    [(int(stats.sizeInBytes().longValue())
+                      if hasattr(stats.sizeInBytes(), "longValue")
+                      else int(str(stats.sizeInBytes())), rows)],
+                    "size_bytes: long, row_count: long",
+                )
             if getattr(stmt, "mode", "simple") == "ast":
                 # [EXT] EXPLAIN AST — pretty-printed dataclass tree of
                 # the PARSED query (before lowering), one node per line

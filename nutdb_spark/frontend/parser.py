@@ -1498,6 +1498,10 @@ class Parser:
         elif self.eat_kw("ast"):
             # [EXT] EXPLAIN AST (ClickHouse): the parsed tree itself
             mode = "ast"
+        elif self.eat_kw("estimate"):
+            # [EXT] EXPLAIN ESTIMATE (ClickHouse): Catalyst's size/row
+            # statistics for the optimized plan
+            mode = "estimate"
         elif self.eat_kw("syntax"):
             # [EXT] EXPLAIN SYNTAX (ClickHouse): the query printed
             # back from the parsed tree

@@ -256,3 +256,14 @@ def test_explain_ast_renders_tree(eng):
     assert rows[0] == "SelectCore"
     assert any("TableRef" in l for l in rows)
     assert any("BinOp" in l for l in rows)
+
+
+def test_explain_estimate(eng):
+    r = eng.sql(
+        "explain estimate select * from lineitem where l_quantity > 30"
+    ).first()
+    assert r["size_bytes"] > 0
+    assert dict(
+        eng.sql("explain estimate select 1 from numbers(5)").first()
+        .asDict()
+    )["size_bytes"] >= 0
