@@ -192,7 +192,14 @@ def _order_item(o) -> str:
     if o.nulls:
         out += f" NULLS {o.nulls.upper()}"
     if o.fill is not None:
-        raise Unprintable("WITH FILL")
+        f_from, f_to, f_step = o.fill
+        out += " WITH FILL"
+        if f_from is not None:
+            out += " FROM " + expr(f_from)
+        if f_to is not None:
+            out += " TO " + expr(f_to)
+        if f_step is not None:
+            out += " STEP " + expr(f_step)
     return out
 
 
@@ -227,13 +234,10 @@ def query(q) -> str:  # noqa: C901
         return f"{query(q.left)} {op} {query(q.right)}"
     if not isinstance(q, A.SelectCore):
         raise Unprintable(f"query {type(q).__name__}")
-    for attr in ("group_modifier", "group_sets", "qualify", "limit_by",
-                 "interpolate", "settings", "outfile", "group_all",
+    for attr in ("group_sets", "interpolate", "settings", "outfile",
                  "windows"):
         if getattr(q, attr, None):
             raise Unprintable(f"clause {attr}")
-    if q.from_ is not None and getattr(q.from_, "sample", None):
-        raise Unprintable("SAMPLE clause")
     parts = []
     if q.ctes:
         parts.append(
@@ -259,9 +263,14 @@ def query(q) -> str:  # noqa: C901
         cols.append(s)
     parts.append(sel + ", ".join(cols))
     if q.from_ is not None:
+        src = "FROM " + _source(q.from_.source, q.from_.alias)
         if getattr(q.from_, "final", False):
-            raise Unprintable("FROM ... FINAL")
-        parts.append("FROM " + _source(q.from_.source, q.from_.alias))
+            src += " FINAL"
+        smp = getattr(q.from_, "sample", None)
+        if smp is not None:
+            frac, key = smp
+            src += f" SAMPLE {frac} BY ({expr(key)})"
+        parts.append(src)
     for j in q.joins:
         if isinstance(j, A.ArrayJoin):
             raise Unprintable("ARRAY JOIN")
@@ -290,16 +299,31 @@ def query(q) -> str:  # noqa: C901
         parts.append("PREWHERE " + expr(q.prewhere))
     if q.where is not None:
         parts.append("WHERE " + expr(q.where))
-    if q.group_by:
-        parts.append(
-            "GROUP BY " + ", ".join(expr(g) for g in q.group_by)
-        )
+    if getattr(q, "group_all", False):
+        parts.append("GROUP BY ALL")
+    elif q.group_by:
+        g = "GROUP BY " + ", ".join(expr(x) for x in q.group_by)
+        mod = getattr(q, "group_modifier", None)
+        if mod in ("rollup", "cube", "totals"):
+            g += f" WITH {mod.upper()}"
+        elif mod is not None:
+            raise Unprintable(f"group modifier {mod!r}")
+        parts.append(g)
     if q.having is not None:
         parts.append("HAVING " + expr(q.having))
+    if getattr(q, "qualify", None) is not None:
+        parts.append("QUALIFY " + expr(q.qualify))
     if q.order_by:
         parts.append(
             "ORDER BY " + ", ".join(_order_item(o) for o in q.order_by)
         )
+    lb = getattr(q, "limit_by", None)
+    if lb is not None:
+        s = "LIMIT "
+        if lb.offset is not None:
+            s += expr(lb.offset) + ", "
+        s += expr(lb.n) + " BY " + ", ".join(expr(k) for k in lb.keys)
+        parts.append(s)
     if q.limit is not None:
         s = "LIMIT " + expr(q.limit.n)
         if q.limit.offset is not None:

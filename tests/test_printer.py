@@ -21,6 +21,18 @@ def eng(spark, sf_dir):
 
 
 ROUNDTRIP = [
+    "select l_returnflag, l_linestatus, count() as n from lineitem "
+    "group by l_returnflag, l_linestatus with rollup "
+    "order by l_returnflag nulls first, l_linestatus nulls first",
+    "select l_orderkey, l_linenumber from lineitem "
+    "order by l_orderkey, l_linenumber limit 2 by l_orderkey "
+    "limit 10",
+    "select l_orderkey, row_number() over (order by l_orderkey) as rn "
+    "from lineitem qualify rn <= 5",
+    "select count() as n from lineitem sample 0.5 by (l_orderkey)",
+    "select l_linenumber as x, count() as n from lineitem "
+    "where l_linenumber <= 3 group by x "
+    "order by x with fill from 1 to 8",
     "select l_returnflag, count() as n, sum(l_quantity) as q "
     "from lineitem where l_quantity > 30 group by l_returnflag "
     "having count() > 10 order by l_returnflag",
@@ -58,11 +70,11 @@ def test_print_roundtrip_same_result(eng, sql):
 
 def test_unprintable_clauses_raise():
     for sql in (
-        "select l_orderkey from lineitem order by l_orderkey "
-        "with fill from 1 to 5",
-        "select count() from lineitem group by l_returnflag "
-        "with rollup",
-        "select 1 from lineitem sample 0.5 by (l_orderkey)",
+        "select l_linenumber as x, max(l_quantity) as q from lineitem "
+        "group by x order by x with fill from 1 to 9 "
+        "interpolate (q)",
+        "select count() from lineitem "
+        "group by grouping sets ((l_returnflag), ())",
     ):
         with pytest.raises(Unprintable):
             print_q(parse(sql).query)
