@@ -2519,3 +2519,11 @@ for _b in ("topK", "topKWeighted", "groupArraySorted", "quantileExact",
     if _b in PARAMETRIC_AGGS and _b + "If" not in PARAMETRIC_AGGS:
         PARAMETRIC_AGGS[_b + "If"] = _parametric_if(PARAMETRIC_AGGS[_b])
 del _b
+
+
+# approximate-distinct sketch spellings: all map onto Spark's HLL++
+# approx_count_distinct (CH's HLL12/Theta are different sketches with
+# the same contract — an estimate; exactness-critical paths use
+# uniqExact)
+AGGREGATE_FNS["uniqHLL12"] = AGGREGATE_FNS["countUniqueApprox"]
+AGGREGATE_FNS["uniqTheta"] = AGGREGATE_FNS["countUniqueApprox"]

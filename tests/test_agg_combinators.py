@@ -98,3 +98,19 @@ def test_single_hash_aggregate_plan(adf):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+def test_uniq_sketch_spellings(spark, sf_dir):
+    import tempfile
+
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(
+        spark, data_dir=sf_dir, catalog_dir=tempfile.mkdtemp()
+    )
+    r = eng.sql(
+        "select uniqHLL12(l_partkey) as a, uniqTheta(l_partkey) as b, "
+        "uniqExact(l_partkey) as x from lineitem"
+    ).first()
+    assert abs(r["a"] - r["x"]) / r["x"] < 0.05
+    assert r["a"] == r["b"]
