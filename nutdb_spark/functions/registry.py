@@ -2527,3 +2527,29 @@ del _b
 # uniqExact)
 AGGREGATE_FNS["uniqHLL12"] = AGGREGATE_FNS["countUniqueApprox"]
 AGGREGATE_FNS["uniqTheta"] = AGGREGATE_FNS["countUniqueApprox"]
+
+
+# lambda-first array accessors completing the arrayFirst family
+SCALAR_FNS["arrayLast"] = lambda lam, a: F.element_at(
+    F.filter(a, lam), -1
+)
+
+
+def _array_first_index(lam: ScalarFn, a: Column) -> Column:
+    """arrayFirstIndex(f, a) — 1-based index of the first element
+    matching f, 0 when none (CH contract)."""
+    return F.coalesce(
+        F.array_position(F.transform(a, lam), F.lit(True)),
+        F.lit(0).cast("long"),
+    )
+
+
+SCALAR_FNS["arrayFirstIndex"] = _array_first_index
+SCALAR_FNS["arrayLastIndex"] = lambda lam, a: F.when(
+    _array_first_index(lam, F.reverse(a)) == 0, F.lit(0).cast("long")
+).otherwise(
+    F.size(a).cast("long") + 1 - _array_first_index(lam, F.reverse(a))
+)
+SCALAR_FNS["countEqual"] = lambda a, x: F.size(
+    F.filter(a, lambda e: e.eqNullSafe(x))
+)

@@ -267,3 +267,20 @@ def test_explain_estimate(eng):
         eng.sql("explain estimate select 1 from numbers(5)").first()
         .asDict()
     )["size_bytes"] >= 0
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("arrayLast(x -> x % 2 = 0, [1, 2, 3, 4, 5])", 4),
+        ("arrayLast(x -> x > 9, [1, 2])", None),
+        ("arrayFirstIndex(x -> x % 2 = 0, [1, 2, 3, 4])", 2),
+        ("arrayFirstIndex(x -> x > 9, [1, 2])", 0),
+        ("arrayLastIndex(x -> x % 2 = 0, [1, 2, 3, 4])", 4),
+        ("arrayLastIndex(x -> x > 9, [1, 2])", 0),
+        ("countEqual([1, 2, 2, 3], 2)", 2),
+        ("countEqual([1, 2], 9)", 0),
+    ],
+)
+def test_array_accessor_family(eng, expr, expected):
+    assert _one(eng, expr) == expected
