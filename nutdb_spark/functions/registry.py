@@ -2530,9 +2530,12 @@ AGGREGATE_FNS["uniqTheta"] = AGGREGATE_FNS["countUniqueApprox"]
 
 
 # lambda-first array accessors completing the arrayFirst family
-SCALAR_FNS["arrayLast"] = lambda lam, a: F.element_at(
-    F.filter(a, lam), -1
-)
+def _array_last(lam: ScalarFn, a: Column) -> Column:
+    kept = F.filter(a, lam)
+    return F.get(kept, F.size(kept) - 1)  # null-safe on empty
+
+
+SCALAR_FNS["arrayLast"] = _array_last
 
 
 def _array_first_index(lam: ScalarFn, a: Column) -> Column:
