@@ -1354,9 +1354,12 @@ SCALAR_FNS["tanh"] = F.tanh
 SCALAR_FNS["e"] = lambda: F.lit(2.718281828459045)
 SCALAR_FNS["power"] = F.pow  # ANSI spelling of pow
 
-# exact integer exponentials (pow would round past 2^53 / 10^15)
+# exact integer exponentials (pow would round past 2^53 / 10^15).
+# n > 62 overflows a signed long — return 0, mirroring the n < 0 guard
+# (the JVM shiftleft masks the shift amount to 6 bits, so without the
+# guard intExp2(64) would silently return 1 and intExp2(63) a negative).
 SCALAR_FNS["intExp2"] = lambda n: F.when(
-    n < 0, F.lit(0).cast("long")
+    (n < 0) | (n > 62), F.lit(0).cast("long")
 ).otherwise(
     F.call_function("shiftleft", F.lit(1).cast("long"), n.cast("int"))
 )

@@ -171,12 +171,15 @@ def asof_join_any(
     # matches the latest right_ts <= left_ts. forward: scan ts DESC —
     # "latest in the reversed scan" IS the EARLIEST right_ts >=
     # left_ts. The equal-ts side ordering (rside) makes >=/<= vs >/<
-    # in both directions. NULL left ts: asc NULLS FIRST / desc NULLS
-    # LAST both park the row where no right payload precedes it.
+    # in both directions. NULL left ts: asc NULLS FIRST (backward) /
+    # desc NULLS FIRST (forward) both park the row before any right
+    # payload in scan order, so it carries no match. (desc NULLS LAST
+    # would sort a NULL-ts left row AFTER every right row and pick up
+    # the earliest right payload — a spurious match.)
     order_ts = (
         F.col("__ats")
         if direction == "backward"
-        else F.col("__ats").desc_nulls_last()
+        else F.col("__ats").desc_nulls_first()
     )
     w = (
         Window.partitionBy(*keys)
