@@ -398,6 +398,165 @@ def dedup_near_keep_first(
     return df.join(drop, id_col, "left_anti")
 
 
+# --- incremental corpus-delta dedup ----------------------------------------
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The persistable MinHash band index: one row per (doc, band) with
+    the band's slot values as SCALAR key columns (__k0..__k{r-1}) plus
+    the full signature array — the exact join surface
+    :func:`incremental_near_dedup` probes a delta batch against.
+
+    Scalar key columns (not a struct) so the index persists as a plain
+    parquet table whose band-key join is a vanilla multi-column
+    equi-join with min/max statistics — bucket/sort the stored table by
+    (band, __k0, ...) and delta probes become co-located lookups.
+    Empty docs (no shingles) contribute no rows, matching
+    ``minhash_lsh_pairs(keep_empty=False)``.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature_df(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, keep_empty=False
+    )
+    return sig.select(
+        "__id",
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias(
+            "__sig"
+        ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"__h{b * r + j}").alias(f"__k{j}")
+                            for j in range(r)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__band.*", "__sig")
+
+
+def incremental_near_dedup(
+    delta: DataFrame,
+    index: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    est_threshold: float = 0.75,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against the EXISTING corpus without rescanning
+    the corpus text — the nightly-ingest pattern at 100 TB. Returns
+    ``(survivors, band_rows)``: the delta rows that survive, and the
+    delta's band rows to APPEND to the index table for the next batch.
+
+    ``index`` is the accumulated :func:`minhash_band_rows` output for
+    every previously ingested batch (None for the first batch). A delta
+    doc is dropped when its estimated Jaccard (matching signature
+    fraction) ≥ ``est_threshold`` against ANY indexed doc, or against a
+    lower-id doc of the same delta. Both candidate generators are
+    banded equi-joins — the corpus text is never re-shingled, only its
+    O(bands) index rows are joined.
+
+    Replay contract (pinned in tests/test_incremental_dedup.py):
+    ingesting batches in ascending-id order and unioning the survivors
+    is row-identical to one-shot
+    ``dedup_near_keep_first(minhash_lsh_pairs(corpus))``. Two design
+    points follow from that contract:
+
+    - the index keeps band rows for ALL delta docs, dropped ones too.
+      One-shot keep-first drops the higher id of every pair, including
+      pairs whose lower member was itself dropped (A~B, B~C, no A~C
+      drops both B and C) — a survivors-only index would let C back in.
+      It is also the production-correct choice: a new doc that
+      near-duplicates an already-dropped doc is still a member of that
+      doc's retained cluster.
+    - ascending-id batches make "any corpus match drops the delta doc"
+      coincide with keep-first-by-id (every indexed id is lower).
+
+    Scale notes: the hot-bucket guard counts bucket population across
+    index ∪ delta FIRST (map-side partial count) and cuts band keys
+    with more than ``max_bucket`` members before any pair expansion —
+    the same boilerplate-bucket blowup guard as
+    :func:`minhash_lsh_pairs`, now also protecting against a degenerate
+    bucket that accumulates ACROSS batches. Per-batch cost is
+    O(delta band rows + touched index buckets); the corpus contributes
+    only an equi-join probe of its persisted index.
+    """
+    keys = ["band"] + [
+        f"__k{j}" for j in range(num_hashes // bands)
+    ]
+    d_rows = minhash_band_rows(
+        delta, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    if index is None:
+        all_rows = d_rows.withColumn("__new", F.lit(True))
+    else:
+        all_rows = index.select(
+            "__id", *keys, "__sig", F.lit(False).alias("__new")
+        ).unionByName(d_rows.withColumn("__new", F.lit(True)))
+    ok = (
+        all_rows.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__bn"),
+            F.sum(F.col("__new").cast("int")).alias("__dn"),
+        )
+        .filter(
+            (F.col("__bn") >= 2)
+            & (F.col("__bn") <= max_bucket)
+            & (F.col("__dn") >= 1)  # buckets no delta row touches: skip
+        )
+        .select(*keys)
+    )
+    live = all_rows.join(ok, keys)
+    # candidate pairs: delta doc (right) vs any LOWER-id doc (left) in
+    # the same bucket — corpus or delta; the strict < plus __new on the
+    # right covers both generators in one join
+    a = live.select(
+        *keys,
+        F.col("__id").alias("__ida"),
+        F.col("__sig").alias("__siga"),
+    )
+    b = live.filter(F.col("__new")).select(
+        *keys,
+        F.col("__id").alias("__idb"),
+        F.col("__sig").alias("__sigb"),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("__siga"), F.col("__sigb"), lambda x, y: x == y
+            ),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    dropped = (
+        a.join(b, keys)
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(est >= F.lit(est_threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    survivors = delta.join(dropped, id_col, "left_anti")
+    return survivors, d_rows
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -418,3 +418,64 @@ def q_dedup_connected_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_connected_keep_best(
         pairs, d.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars"
     )
+
+
+# --- incremental corpus-delta dedup ----------------------------------------
+
+# One-shot oracle: the two-batch incremental replay must be
+# row-identical to a single LSH dedup over the whole corpus (the
+# q_stream_dedup replay contract applied to near-dup). Same params as
+# q_dedup_minhash_lsh (4-gram shingles, 8 hashes, 4 bands, est ≥ 0.75);
+# at sf0.01 (500 docs) no bucket can exceed the 1000 cap, so the
+# prefix-vs-total bucket-count seam the incremental guard documents is
+# structurally unreachable here.
+_INCREMENTAL_ORACLE = f"""
+WITH pairs AS ({_oracle_lsh()}),
+drops AS (SELECT DISTINCT id_b AS id FROM pairs)
+SELECT d.doc_id, d.lang FROM documents d
+LEFT JOIN drops x ON d.doc_id = x.id
+WHERE x.id IS NULL
+"""
+
+
+@query("q_dedup_incremental", _INCREMENTAL_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-delta dedup — the nightly-ingest pattern: the
+    corpus is split into two ascending-id batches; batch 1 is deduped
+    and its MinHash band index PERSISTED as a parquet table
+    (spark-warehouse/band_index/<sf>/ingest=1); batch 2 is deduped by
+    joining only its own band rows against that stored index (the
+    batch-1 TEXT is never re-read or re-shingled), and its band rows
+    land beside the index (ingest=2) for the next batch. Output is the
+    union of both batches' survivors, value-equal to the one-shot LSH
+    dedup oracle over the full corpus.
+
+    Each ingest partition is overwritten in place, so re-running the
+    entry is idempotent (no compounding appends across runs)."""
+    import os
+
+    from nutdb_spark.operators.dedup import incremental_near_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    b1 = d.filter(F.col("doc_id") < split)
+    b2 = d.filter(F.col("doc_id") >= split)
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "band_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    kw = dict(n=4, num_hashes=8, bands=4, est_threshold=0.75)
+    surv1, rows1 = incremental_near_dedup(b1, None, "doc_id", "text", **kw)
+    rows1.write.mode("overwrite").parquet(os.path.join(base, "ingest=1"))
+    index = spark.read.parquet(os.path.join(base, "ingest=1"))
+    surv2, rows2 = incremental_near_dedup(b2, index, "doc_id", "text", **kw)
+    rows2.write.mode("overwrite").parquet(os.path.join(base, "ingest=2"))
+    return (
+        surv1.select("doc_id", "lang")
+        .unionByName(surv2.select("doc_id", "lang"))
+    )
