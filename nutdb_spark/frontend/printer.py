@@ -65,14 +65,25 @@ def expr(e) -> str:  # noqa: C901 — one dispatch table, flat by design
             inner = "DISTINCT " + inner
         if e.params is not None:
             ps = ", ".join(expr(p) for p in e.params)
-            return f"{e.name}({ps})({inner})"
-        return f"{e.name}({inner})"
+            out = f"{e.name}({ps})({inner})"
+        else:
+            out = f"{e.name}({inner})"
+        # COLUMNS('re') carries its APPLY chain on the call node —
+        # dropping it would print WRONG SQL (raw columns under GROUP BY)
+        for fn in getattr(e, "applies", None) or []:
+            out += f" APPLY({fn})"
+        return out
     if isinstance(e, A.Lambda):
         ps = ", ".join(e.params)
         head = ps if len(e.params) == 1 else f"({ps})"
         return f"{head} -> {expr(e.body)}"
     if isinstance(e, A.BinOp):
-        return f"({expr(e.left)} {e.op.upper()} {expr(e.right)})"
+        # multi-word ops whose AST tag is not their SQL spelling
+        op = {
+            "is_distinct": "IS DISTINCT FROM",
+            "is_not_distinct": "IS NOT DISTINCT FROM",
+        }.get(e.op, e.op.upper())
+        return f"({expr(e.left)} {op} {expr(e.right)})"
     if isinstance(e, A.UnOp):
         op = e.op
         inner = expr(e.operand)
@@ -208,6 +219,15 @@ def _source(src, alias) -> str:
         out = src.name
     elif isinstance(src, A.TableFn):
         out = f"{src.name}({', '.join(expr(a) for a in src.args)})"
+    elif isinstance(src, A.ValuesTable):
+        out = "(VALUES " + ", ".join(
+            "(" + ", ".join(expr(x) for x in row) + ")" for row in src.rows
+        ) + ")"
+        if alias:
+            out += f" AS {alias}"
+        if src.names:
+            out += "(" + ", ".join(src.names) + ")"
+        return out
     elif isinstance(src, (A.SelectCore, A.SetOp)) or hasattr(
         src, "columns"
     ):
@@ -234,18 +254,27 @@ def query(q) -> str:  # noqa: C901
         return f"{query(q.left)} {op} {query(q.right)}"
     if not isinstance(q, A.SelectCore):
         raise Unprintable(f"query {type(q).__name__}")
-    for attr in ("group_sets", "interpolate", "settings", "outfile",
-                 "windows"):
+    for attr in ("settings", "outfile"):
         if getattr(q, attr, None):
             raise Unprintable(f"clause {attr}")
+    # named WINDOW clause: `OVER w` references are resolved into the
+    # WindowCall nodes at parse time, so every call prints its full
+    # inline spec and the clause itself needs no output — the printed
+    # query is round-trip-identical without it
     parts = []
-    if q.ctes:
-        parts.append(
-            "WITH "
-            + ", ".join(f"{c.name} AS ({query(c.query)})" for c in q.ctes)
+    if q.ctes or getattr(q, "expr_aliases", None):
+        items = []
+        for c in q.ctes:
+            items.append(f"{c.name} AS ({query(c.query)})")
+        for name, e in getattr(q, "expr_aliases", None) or []:
+            # ClickHouse scalar WITH: `WITH <expr> AS <name>`
+            items.append(f"{expr(e)} AS {name}")
+        kw = (
+            "WITH RECURSIVE "
+            if any(c.recursive for c in q.ctes)
+            else "WITH "
         )
-    if getattr(q, "expr_aliases", None):
-        raise Unprintable("scalar WITH aliases")
+        parts.append(kw + ", ".join(items))
     sel = "SELECT "
     if q.distinct:
         sel += "DISTINCT "
@@ -273,7 +302,16 @@ def query(q) -> str:  # noqa: C901
         parts.append(src)
     for j in q.joins:
         if isinstance(j, A.ArrayJoin):
-            raise Unprintable("ARRAY JOIN")
+            # bare-ident items alias themselves at parse time, so
+            # printing the explicit AS form is always re-parseable
+            parts.append(
+                ("LEFT " if j.left else "")
+                + "ARRAY JOIN "
+                + ", ".join(
+                    f"{expr(e)} AS {a}" for e, a in j.items
+                )
+            )
+            continue
         kw = {
             "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
             "full": "FULL JOIN", "cross": "CROSS JOIN",
@@ -301,6 +339,17 @@ def query(q) -> str:  # noqa: C901
         parts.append("WHERE " + expr(q.where))
     if getattr(q, "group_all", False):
         parts.append("GROUP BY ALL")
+    elif getattr(q, "group_sets", None) is not None:
+        # group_by holds the ordered union of set members; each set is
+        # a list of indexes into it
+        parts.append(
+            "GROUP BY GROUPING SETS ("
+            + ", ".join(
+                "(" + ", ".join(expr(q.group_by[i]) for i in idxs) + ")"
+                for idxs in q.group_sets
+            )
+            + ")"
+        )
     elif q.group_by:
         g = "GROUP BY " + ", ".join(expr(x) for x in q.group_by)
         mod = getattr(q, "group_modifier", None)
@@ -317,6 +366,15 @@ def query(q) -> str:  # noqa: C901
         parts.append(
             "ORDER BY " + ", ".join(_order_item(o) for o in q.order_by)
         )
+        if getattr(q, "interpolate", None):
+            parts.append(
+                "INTERPOLATE ("
+                + ", ".join(
+                    name if e is None else f"{name} AS {expr(e)}"
+                    for name, e in q.interpolate
+                )
+                + ")"
+            )
     lb = getattr(q, "limit_by", None)
     if lb is not None:
         s = "LIMIT "

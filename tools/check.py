@@ -91,6 +91,29 @@ def main(names: list[str]) -> int:
         )
 
     targets = names or sorted(qs)
+    # Not-oracle-safe function audit: warn when an oracled entry's
+    # source (python + embedded dialect SQL) mentions a function from
+    # the consolidated PYTEST_ONLY list in functions/registry.py —
+    # those cannot be hash-compared cross-engine (libm last-ulp drift
+    # or nondeterminism), so a new entry using one is a bug-in-waiting.
+    import inspect
+    import re as _re
+
+    from nutdb_spark.functions.registry import PYTEST_ONLY
+
+    for name in targets:
+        if name not in oracles:
+            continue
+        try:
+            src = inspect.getsource(qs[name])
+        except (OSError, TypeError):
+            continue
+        for fn, why in PYTEST_ONLY.items():
+            if _re.search(rf"\b{_re.escape(fn)}\s*\(", src):
+                print(
+                    f"WARN {name}: oracled entry mentions {fn}() — "
+                    f"not oracle-safe ({why})"
+                )
     failed = []
     for name in targets:
         t0 = time.time()
