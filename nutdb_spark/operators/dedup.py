@@ -557,6 +557,43 @@ def incremental_near_dedup(
     return survivors, d_rows
 
 
+def incremental_exact_dedup(
+    delta: DataFrame,
+    index: DataFrame | None,
+    id_col: str,
+    key: Column,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a NEW batch against the EXISTING corpus via its
+    persisted key index (one `__key` column of the distinct dedup keys
+    seen so far). Returns ``(survivors, new_keys)``: the delta rows
+    that survive (first occurrence per key within the delta, none
+    whose key is already indexed) and the SURVIVORS' distinct keys to
+    append to the index.
+
+    Contrast with :func:`incremental_near_dedup`: equality is
+    transitive, so a survivors-only index is exact here — every
+    dropped doc's key equals its keeper's key, which IS in the index.
+    Ascending-id batch replay is row-identical to one-shot
+    keep-min-id-per-key (``dedup_groups``' keeper policy).
+
+    Scale shape: one shuffle on the key for the within-delta
+    keep-first, plus a key equi-join against the index (broadcast when
+    the index is small, shuffle-hash once it is not); the index is
+    O(distinct corpus keys) — the minimal state any exact incremental
+    dedup must carry.
+    """
+    keyed = delta.withColumn("__key", key)
+    if index is not None:
+        keyed = keyed.join(index, "__key", "left_anti")
+    w = Window.partitionBy("__key").orderBy(F.col(id_col))
+    survivors = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return survivors.drop("__key"), survivors.select("__key").distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

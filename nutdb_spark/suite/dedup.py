@@ -479,3 +479,55 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv1.select("doc_id", "lang")
         .unionByName(surv2.select("doc_id", "lang"))
     )
+
+
+_INCREMENTAL_EXACT_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, {oracle_fingerprint_md5('text')} AS k
+  FROM documents),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY k)
+SELECT d.doc_id, d.lang FROM keyed d JOIN keep USING (doc_id)
+"""
+
+
+@query("q_dedup_incremental_exact", _INCREMENTAL_EXACT_ORACLE)
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup on the md5 content fingerprint — the
+    transitive sibling of q_dedup_incremental: the persisted index is
+    just the survivors' distinct keys (equality is transitive, so
+    dropped docs' keys are already covered by their keepers'), stored
+    beside the band index (spark-warehouse/exact_index/<sf>/ingest=N,
+    overwritten per ingest → idempotent re-runs). Two ascending-id
+    batches replayed through the stored index must equal the one-shot
+    keep-min-id-per-key oracle."""
+    import os
+
+    from nutdb_spark.operators.dedup import incremental_exact_dedup
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    hi = d.agg(F.max("doc_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "exact_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    key = fingerprint_md5(F.col("text"))
+    surv1, keys1 = incremental_exact_dedup(
+        d.filter(F.col("doc_id") < split), None, "doc_id", key
+    )
+    keys1.write.mode("overwrite").parquet(os.path.join(base, "ingest=1"))
+    index = spark.read.parquet(os.path.join(base, "ingest=1"))
+    surv2, keys2 = incremental_exact_dedup(
+        d.filter(F.col("doc_id") >= split), index, "doc_id", key
+    )
+    keys2.write.mode("overwrite").parquet(os.path.join(base, "ingest=2"))
+    return (
+        surv1.select("doc_id", "lang")
+        .unionByName(surv2.select("doc_id", "lang"))
+    )

@@ -123,3 +123,60 @@ def test_first_batch_and_empty_delta(spark, chain):
 def test_partition_independence(spark, chain):
     skewed = chain.repartition(7)
     assert _ids(_replay(skewed, [3])) == [1]
+
+
+# --- incremental EXACT dedup (transitive key; survivors-only index) --------
+
+
+def test_incremental_exact_cross_batch_hits(spark):
+    """The sf0.01 documents fixture has ZERO exact content duplicates,
+    so the graded entry never exercises an index HIT — pin the hit
+    path (and the within-delta keep-first) on synthetic clones."""
+    from nutdb_spark.operators.dedup import incremental_exact_dedup
+    from nutdb_spark.operators.text import fingerprint_md5
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha"), (2, "beta"), (3, "alpha"),   # batch 1
+            (4, "alpha"), (5, "gamma"), (6, "gamma"),  # batch 2
+        ],
+        "doc_id int, text string",
+    )
+    key = fingerprint_md5(F.col("text"))
+    b1 = df.filter("doc_id <= 3")
+    b2 = df.filter("doc_id > 3")
+    surv1, keys1 = incremental_exact_dedup(b1, None, "doc_id", key)
+    assert _ids(surv1) == [1, 2]          # 3 dropped within batch 1
+    assert keys1.count() == 2             # survivors' keys only
+    surv2, keys2 = incremental_exact_dedup(b2, keys1, "doc_id", key)
+    assert _ids(surv2) == [5]             # 4 hits index; 6 loses to 5
+    assert keys2.count() == 1
+    # replay == one-shot keep-min-per-key
+    one_shot = (
+        df.withColumn("__k", key)
+        .groupBy("__k").agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert sorted(r["doc_id"] for r in one_shot.collect()) == [1, 2, 5]
+
+
+def test_incremental_exact_three_batch_replay(spark, sf_dir):
+    from nutdb_spark.operators.dedup import incremental_exact_dedup
+    from nutdb_spark.operators.text import fingerprint_md5
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = fingerprint_md5(F.col("text"))
+    want = sorted(
+        r["doc_id"]
+        for r in d.withColumn("__k", key)
+        .groupBy("__k").agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    )
+    index, got = None, []
+    for lo, hi in ((0, 150), (150, 320), (320, 10**9)):
+        b = d.filter(
+            (F.col("doc_id") >= F.lit(lo)) & (F.col("doc_id") < F.lit(hi))
+        )
+        surv, keys = incremental_exact_dedup(b, index, "doc_id", key)
+        got.extend(_ids(surv))
+        index = keys if index is None else index.unionByName(keys).distinct()
+    assert sorted(got) == want

@@ -26,11 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
+# `python tools/make_sf1.py [copies]` — default 10 (sf1). Other values
+# build .testdata_sf{copies/10} (e.g. 50 → .testdata_sf5), the
+# VERDICT-r8 #5 points past sf1 for the steepest-sloped entries. The
+# key strides below are per-copy offsets, so they hold for any copy
+# count until cust/part copies reach their 100k stride (sf ~150) —
+# far past anything this box can hold.
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+_TAG = "sf1" if COPIES == 10 else f"sf{COPIES // 10}"
 DST = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".testdata_sf1",
+    f".testdata_{_TAG}",
 )
-COPIES = 10
 
 # per-table key columns to offset, as (column, stride-key) pairs; all
 # strides are >= the sf0.1 max of their key space so copies never clash
