@@ -61,8 +61,10 @@ _PRIORITY = [
     "sql_asof_forward", "sql_any_join_on", "sql_topk_if",
     "q_ddl_optimize_dedup", "q_ddl_exchange", "q_ddl_view_plain",
     # --- (2) new in round 9 (each displaced a section-3 filler, by
-    # name: q_dedup_incremental_exact displaced sql_join_group) ---
+    # name: q_dedup_incremental_exact displaced sql_join_group,
+    # q_sim_ivf_append displaced sql_q4_exists) ---
     "q_dedup_incremental", "q_dedup_incremental_exact",
+    "q_sim_ivf_append",
     # --- (3) stalest re-grades (last driver row r4; 37 to fill the
     # window to exactly 50). sql_params re-grades here per VERDICT r8
     # #6 (the $n-parameter entry needed a fresh driver row) ---
@@ -77,7 +79,7 @@ _PRIORITY = [
     "q_multimodal_frames",
     "tpch_q2_mincost", "tpch_q3", "tpch_q4", "tpch_q7", "tpch_q11",
     "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19",
-    "q_text_tokenize", "q_window_sliding", "sql_q4_exists",
+    "q_text_tokenize", "q_window_sliding",
 ]
 
 

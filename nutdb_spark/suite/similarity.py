@@ -1241,3 +1241,92 @@ def q_pipeline_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(codes, "vec_id").select(
         "vec_id", "cid", "pq", "q8n2"
     )
+
+
+# --- incremental IVF index maintenance (append without retrain) ------------
+
+
+@query(
+    "q_sim_ivf_append",
+    _oracle_kmeans()
+    + _ORACLE_IVF_B
+    + f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {oracle_cosine(oracle_dot_scaled('q.s', 'c.s'), 'q.n2', 'c.n2')} DESC,
+                    c.vec_id) AS rank
+  FROM b q JOIN b c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10) t
+WHERE rank <= 5
+""",
+)
+def q_sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the nightly-ingest pattern
+    for the IVF family (completing the corpus-delta triad beside
+    q_dedup_incremental / q_dedup_incremental_exact): the corpus is
+    split into two ascending-id batches; batch 1's posting rows
+    (cid, id, scaled vector) are PERSISTED as the index
+    (spark-warehouse/ivf_index/<sf>/ingest=1); batch 2 is assigned to
+    the SAME train-once centroids (no retrain, no old-batch rescan)
+    and appended beside it (ingest=2). Queries probe the STORED
+    posting lists, never the raw table — and because assignment is
+    per-row against frozen centroids, the result is value-identical
+    to the one-shot IVF oracle over the full corpus. Each ingest
+    partition is overwritten in place → idempotent re-runs."""
+    import os
+
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.similarity import (
+        _topk_gemm_merge,
+        kmeans_probe,
+    )
+
+    cents = _ivf_centroids(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    hi = e.agg(F.max("vec_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "ivf_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    for tag, batch in (
+        ("ingest=1", e.filter(F.col("vec_id") < split)),
+        ("ingest=2", e.filter(F.col("vec_id") >= split)),
+    ):
+        kmeans_probe(
+            batch, "vec_id", "embedding", cents, probes=1
+        ).write.mode("overwrite").parquet(os.path.join(base, tag))
+    # partition discovery adds the ingest column; drop to the posting
+    # schema the cogroup body expects
+    stored = spark.read.parquet(base).select("cid", "__id", "__v")
+    q = kmeans_probe(
+        e.filter(F.col("vec_id") < 10), "vec_id", "embedding", cents,
+        probes=1,
+    ).select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("cid").alias("__qblk"),
+    )
+    scored = (
+        stored.groupby("cid")
+        .cogroup(q.groupby("__qblk"))
+        .applyInPandas(
+            _topk_gemm_merge(5),
+            "query_id long, neighbor_id long, cosine double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -84,8 +84,9 @@ def test_lowerings_are_lazy(spark):
                       # CTAS builds the train/eval tables by design
                       "sql_table_fn_decon", "sql_table_fn_decon_drop",
                       # persist their batch-1 index + bounded one-row
-                      # max(doc_id) collect by design
+                      # max-id collect by design
                       "q_dedup_incremental", "q_dedup_incremental_exact",
+                      "q_sim_ivf_append",
                       # recursive CTEs iterate to a fixpoint by design
                       "sql_recursive", "sql_recursive_graph")
     }

@@ -125,6 +125,7 @@ ENTRIES = [
     # the entries the r8 judge flagged as missing slope rows
     "q_dedup_incremental",
     "q_dedup_incremental_exact",
+    "q_sim_ivf_append",
     "q_stream_funnel",
     "q_ddl_mutate",
     "sql_json",
