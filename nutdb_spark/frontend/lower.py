@@ -2141,16 +2141,18 @@ class Lowerer:
                     "topk", "topkweighted", "grouparraysorted",
                     "quantileexact", "quantileexactlow",
                     "quantileexacthigh",
+                    # medianExact ≡ quantileExact(0.5), param-free
+                    "medianexact",
                     # [EXT] -If compositions: last arg = condition,
                     # applied as a filter on the level-1 pre-aggregate
                     "topkif", "topkweightedif", "grouparraysortedif",
                     "quantileexactif",
                 )
             )
-            # entropy is non-parametric but shares the bounded
-            # (keys, value, cnt) pre-aggregate: H = log2(n) − Σc·log2(c)/n
-            # needs only per-value counts, never per-group row state
-            or call.name.lower() == "entropy"
+            # entropy and medianExact are non-parametric but share the
+            # bounded (keys, value, cnt) pre-aggregate (medianExact ≡
+            # quantileExact(0.5); entropy needs only per-value counts)
+            or call.name.lower() in ("entropy", "medianexact")
         ]
         if topk_calls and (
             group_cols or (modifier is None and group_sets is None)
@@ -2382,6 +2384,8 @@ class Lowerer:
         is_if = name_l.endswith("if") and name_l != "quantileexact"
         if is_if:
             name_l = name_l[:-2]
+        if name_l == "medianexact":  # param-free quantileExact(0.5)
+            name_l, params = "quantileexact", [0.5]
         is_quantile = name_l in (
             "quantileexact", "quantileexactlow", "quantileexacthigh"
         )
@@ -3248,6 +3252,7 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "simplejsonextractfloat": (1,),
     "simplejsonextractbool": (1,),
     "simplejsonhas": (1,),
+    "visitparamextractstring": (1,),
     "jsonextractfloat": (1,),
     "jsonextractstring": (1,),
     "jsonhas": (1,),
@@ -3268,6 +3273,8 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "countmatches": (1,),
     # arrayReduce's aggregate-name selector
     "arrayreduce": (0,),
+    # date_trunc's unit selector
+    "datetrunc": (0,),
 }
 
 

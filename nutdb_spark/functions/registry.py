@@ -2595,3 +2595,306 @@ SCALAR_FNS["arrayLastIndex"] = lambda lam, a: F.when(
 SCALAR_FNS["countEqual"] = lambda a, x: F.size(
     F.filter(a, lambda e: e.eqNullSafe(x))
 )
+
+
+# --- [EXT] tier-7 scalar/aggregate surface ---------------------------------
+# Next ClickHouse-name wave: date_trunc, bit rotates/hamming, UTF8 pad
+# aliases, the array construction/enumeration family, ngram string
+# similarity, tokens(), map arithmetic, time-delta formatting, and the
+# exact/approx median spellings. Everything is pure JVM expression
+# except nothing — no Python anywhere; the not-oracle-safe names are
+# listed in PYTEST_ONLY / registered with their rationale.
+
+# dateTrunc(unit, ts) — unit is a compile-time string (raw-arg, like
+# formatDateTime's pattern); Spark's date_trunc has the same arg order
+SCALAR_FNS["dateTrunc"] = lambda unit, d: F.date_trunc(unit, d)
+
+SCALAR_FNS["bitHammingDistance"] = lambda a, b: F.bit_count(
+    a.cast("long").bitwiseXOR(b.cast("long"))
+)
+
+
+def _bit_rotate(left: bool):
+    def f(x: Column, n: Column) -> Column:
+        xl = x.cast("long")
+        nn = (n.cast("int") % 64 + 64) % 64
+        a = "shiftleft" if left else "shiftrightunsigned"
+        b = "shiftrightunsigned" if left else "shiftleft"
+        return F.call_function(a, xl, nn).bitwiseOR(
+            # n=0: the complementary shift of 64 is masked to 0 by the
+            # JVM, making the OR a no-op (x | x) — still correct
+            F.call_function(b, xl, (F.lit(64) - nn).cast("int") % 64)
+        )
+
+    return f
+
+
+SCALAR_FNS["bitRotateLeft"] = _bit_rotate(True)
+SCALAR_FNS["bitRotateRight"] = _bit_rotate(False)
+
+# UTF8 pad aliases (Spark lpad/rpad are codepoint-based on strings —
+# already the UTF8 semantics; call_function bypasses the literal-only
+# python wrapper)
+SCALAR_FNS["leftPadUTF8"] = lambda s, n, p=None: F.call_function(
+    "lpad", s, n.cast("int"), p if p is not None else F.lit(" ")
+)
+SCALAR_FNS["rightPadUTF8"] = lambda s, n, p=None: F.call_function(
+    "rpad", s, n.cast("int"), p if p is not None else F.lit(" ")
+)
+
+SCALAR_FNS["arrayWithConstant"] = lambda n, x: F.call_function(
+    "array_repeat", x, n.cast("int")
+)
+
+
+def _array_resize(arr: Column, size: Column, ext: Column = None) -> Column:
+    """arrayResize(arr, size[, extender]) — truncate or right-pad to
+    `size` (positive sizes only, the common form). Without an
+    extender, pads with element-typed NULL (CH pads with the type's
+    default; NULL is this engine's documented deviation — pass the
+    extender for CH-exact zeros)."""
+    n = size.cast("int")
+    if ext is None:
+        ext = F.get(arr, F.lit(2147483647))  # element-typed NULL
+    pad = F.call_function(
+        "array_repeat", ext, F.greatest(n - F.size(arr), F.lit(0))
+    )
+    return F.call_function("slice", F.concat(arr, pad), F.lit(1), n)
+
+
+SCALAR_FNS["arrayResize"] = _array_resize
+
+
+def _array_cumsum_nonneg(arr: Column) -> Column:
+    """arrayCumSumNonNegative(arr) — running sum clamped at 0 after
+    every step (the CH traffic-counter idiom). Sequential left fold:
+    exact for integers; element-typed zero derived from the array
+    itself so int folds stay integral."""
+    zero = F.get(arr, F.lit(0)) * F.lit(0)
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.slice(arr, 1, 0).alias("a"), zero.alias("s")
+        ),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["a"], F.array(F.greatest(acc["s"] + x, acc["s"] * 0))
+            ).alias("a"),
+            F.greatest(acc["s"] + x, acc["s"] * 0).alias("s"),
+        ),
+        lambda acc: acc["a"],
+    )
+
+
+SCALAR_FNS["arrayCumSumNonNegative"] = _array_cumsum_nonneg
+
+# arrayEnumerateUniq: occurrence index of each element among its
+# equals so far (1-based); arrayEnumerateDense: rank of the element's
+# first occurrence among distinct values. Both O(n²) row-local over
+# small arrays — no shuffle, no state.
+SCALAR_FNS["arrayEnumerateUniq"] = lambda arr: F.transform(
+    arr,
+    lambda x, i: F.size(
+        F.filter(
+            F.call_function("slice", arr, F.lit(1), (i + 1).cast("int")),
+            lambda e: e == x,
+        )
+    ),
+)
+SCALAR_FNS["arrayEnumerateDense"] = lambda arr: F.transform(
+    arr,
+    lambda x: F.size(
+        F.array_distinct(
+            F.call_function(
+                "slice", arr, F.lit(1),
+                F.array_position(arr, x).cast("int"),
+            )
+        )
+    ),
+)
+
+
+def _ngrams4(s: Column) -> Column:
+    n = F.length(s)
+    # sequence(1, 0) runs DOWNWARD in Spark — guard short strings
+    return F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(1), n - 3),
+            lambda i: F.call_function("substring", s, i, F.lit(4)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ngram_distance(a: Column, b: Column) -> Column:
+    """ngramDistance(a, b) — 4-gram multiset symmetric difference over
+    the sum of sizes, in [0, 1] (0 = identical gram multisets). Both
+    under 4 chars → 0.0 if equal else 1.0 (CH hashes padded grams;
+    this engine's documented short-string convention). Integer counts
+    and one final division — oracle-exact."""
+    ga, gb = _ngrams4(a), _ngrams4(b)
+    cnt = lambda g, arr: F.size(F.filter(arr, lambda e: e == g))  # noqa: E731
+    common = F.aggregate(
+        F.array_distinct(ga),
+        F.lit(0),
+        lambda acc, g: acc + F.least(cnt(g, ga), cnt(g, gb)),
+    )
+    total = (F.size(ga) + F.size(gb)).cast("double")
+    return (
+        F.when(total == 0, F.when(a == b, F.lit(0.0)).otherwise(F.lit(1.0)))
+        .otherwise((total - 2 * common.cast("double")) / total)
+    )
+
+
+SCALAR_FNS["ngramDistance"] = _ngram_distance
+# ngramSearch(haystack, needle) — asymmetric: fraction of the NEEDLE's
+# grams found in the haystack (1 = all present)
+SCALAR_FNS["ngramSearch"] = lambda h, nd: F.when(
+    F.size(_ngrams4(nd)) == 0, F.lit(1.0)
+).otherwise(
+    F.aggregate(
+        F.array_distinct(_ngrams4(nd)),
+        F.lit(0),
+        lambda acc, g: acc
+        + F.least(
+            F.size(F.filter(_ngrams4(nd), lambda e: e == g)),
+            F.size(F.filter(_ngrams4(h), lambda e: e == g)),
+        ),
+    ).cast("double")
+    / F.size(_ngrams4(nd)).cast("double")
+)
+
+# tokens(s) — maximal runs of alphanumeric characters
+SCALAR_FNS["tokens"] = lambda s: F.filter(
+    F.split(s, "[^A-Za-z0-9]+"), lambda t: t != ""
+)
+
+SCALAR_FNS["visitParamExtractString"] = SCALAR_FNS["simpleJSONExtractString"]
+
+
+def _map_arith(plus: bool):
+    def f(m1: Column, m2: Column) -> Column:
+        ks = F.array_union(F.map_keys(m1), F.map_keys(m2))
+
+        def val(k):
+            a, b = F.element_at(m1, k), F.element_at(m2, k)
+            z = F.coalesce(a, b) * F.lit(0)  # typed zero (k ∈ union)
+            return (
+                F.coalesce(a, z) + F.coalesce(b, z)
+                if plus
+                else F.coalesce(a, z) - F.coalesce(b, z)
+            )
+
+        return F.map_from_arrays(ks, F.transform(ks, val))
+
+    return f
+
+
+# mapAdd / mapSubtract — key-union merge, absent keys count 0
+SCALAR_FNS["mapAdd"] = _map_arith(True)
+SCALAR_FNS["mapSubtract"] = _map_arith(False)
+
+
+def _format_readable_time_delta(s: Column) -> Column:
+    """formatReadableTimeDelta(sec) → '1 day, 2 hours, 3 seconds'
+    (zero units omitted; '0 seconds' when everything is zero);
+    integer arithmetic only."""
+    t = s.cast("long")
+    units = [
+        ("day", t / F.lit(86400)),
+        ("hour", (t % 86400) / F.lit(3600)),
+        ("minute", (t % 3600) / F.lit(60)),
+        ("second", t % 60),
+    ]
+    parts = []
+    for name, v in units:
+        v = v.cast("long")
+        parts.append(
+            F.when(
+                v > 0,
+                F.concat(
+                    v.cast("string"),
+                    F.lit(" " + name),
+                    F.when(v > 1, F.lit("s")).otherwise(F.lit("")),
+                ),
+            )
+        )
+    joined = F.concat_ws(", ", *parts)  # concat_ws skips NULLs
+    return F.when(joined == "", F.lit("0 seconds")).otherwise(joined)
+
+
+SCALAR_FNS["formatReadableTimeDelta"] = _format_readable_time_delta
+
+
+def _great_circle_distance(lon1, lat1, lon2, lat2) -> Column:
+    """greatCircleDistance(lon1, lat1, lon2, lat2) → meters
+    (haversine, CH's 6372797.56 m radius). sin/cos/asin are libm —
+    in PYTEST_ONLY, never hash-oracled."""
+    import math
+
+    rad = math.pi / 180.0
+    p1, p2 = lat1 * F.lit(rad), lat2 * F.lit(rad)
+    dlat = (lat2 - lat1) * F.lit(rad / 2)
+    dlon = (lon2 - lon1) * F.lit(rad / 2)
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(p1) * F.cos(p2) * (
+        F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2 * 6372797.560856) * F.asin(F.sqrt(a))
+
+
+SCALAR_FNS["greatCircleDistance"] = _great_circle_distance
+SCALAR_FNS["geoDistance"] = _great_circle_distance
+
+
+def _bar(x: Column, lo: Column, hi: Column, width: Column = None) -> Column:
+    """bar(x, min, max[, width=80]) — the CH console histogram bar:
+    full blocks plus one eighth-block remainder, clamped to [0, width]."""
+    w = (width if width is not None else F.lit(80)).cast("double")
+    frac = (x.cast("double") - lo) / (hi - lo)
+    frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    n8 = F.floor(frac * w * 8).cast("int")
+    eighths = "▏▎▍▌▋▊▉"
+    return F.concat(
+        F.call_function("repeat", F.lit("█"), (n8 / 8).cast("int")),
+        F.when(
+            n8 % 8 > 0,
+            F.call_function(
+                "substring", F.lit(eighths), (n8 % 8).cast("int"), F.lit(1)
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+SCALAR_FNS["bar"] = _bar
+
+# medianExact(x) — the exact lower-median order statistic
+# (≡ quantileExact(0.5)); under GROUP BY the frontend lowers it through
+# the bounded (keys, value, cnt) pre-aggregate like the quantileExact
+# family (frontend/lower.py _topk_side). This registry form is the
+# in-group fallback (window contexts).
+AGGREGATE_FNS["medianExact"] = lambda c: F.get(
+    F.array_sort(F.collect_list(c)),
+    F.floor(F.lit(0.5) * (F.size(F.collect_list(c)) - 1)).cast("int"),
+)
+
+# approx-quantile sketch spellings: CH's t-digest / timing sketches map
+# onto Spark's Greenwald-Khanna approx_percentile — same contract (an
+# estimate), different sketch → estimates differ cross-engine and
+# across implementations, so these stay pytest-pinned (PYTEST_ONLY).
+PARAMETRIC_AGGS["quantileTDigest"] = lambda params, x: F.percentile_approx(
+    x, float(params[0]), 1000
+)
+PARAMETRIC_AGGS["quantileTiming"] = lambda params, x: F.percentile_approx(
+    x, float(params[0]), 1000
+)
+
+PYTEST_ONLY.update(
+    {
+        "greatCircleDistance": "libm (sin/cos/asin haversine)",
+        "geoDistance": "libm (sin/cos/asin haversine)",
+        "quantileTDigest": "sketch-specific estimate (GK vs t-digest)",
+        "quantileTiming": "sketch-specific estimate (GK vs timing)",
+        "bar": "float width scaling (floor ties at representation "
+               "boundaries differ cross-engine)",
+    }
+)

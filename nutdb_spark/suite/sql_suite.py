@@ -3892,3 +3892,171 @@ def sql_topk_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lineitem group by l_returnflag order by l_returnflag
         """,
     )
+
+
+@query(
+    "sql_fn_tier7",
+    """
+    WITH t AS (
+      SELECT event_id, ts, event_type,
+             [CAST(1 + event_id % 4 AS BIGINT),
+              CAST(event_id % 3 - 1 AS BIGINT),
+              CAST(2 AS BIGINT), CAST(event_id % 2 AS BIGINT)] AS arr
+      FROM events WHERE user_id < 20)
+    SELECT event_id,
+      CAST(date_trunc('month', ts) AS TIMESTAMP) AS dt,
+      CAST(bit_count(xor(CAST(event_id AS BIGINT),
+                         CAST(event_id // 3 AS BIGINT))) AS INT) AS bh,
+      lpad(event_type, 12, '.') AS lp,
+      rpad(event_type, 12, '_') AS rp,
+      array_to_string(list_transform(range(1, event_id % 3 + 2),
+                                     i -> CAST(7 AS BIGINT)), ',') AS awc,
+      array_to_string(
+        CASE WHEN len(arr) >= CAST(event_id % 6 + 1 AS INT)
+             THEN arr[1:event_id % 6 + 1]
+             ELSE list_concat(arr, list_transform(
+                    range(1, CAST(event_id % 6 + 1 AS INT) - len(arr) + 1),
+                    i -> CAST(0 AS BIGINT))) END, ',') AS ar,
+      array_to_string(list_transform(range(1, len(arr) + 1),
+        i -> list_reduce(list_concat([CAST(0 AS BIGINT)], arr[1:i]),
+                         (a, b) -> greatest(a + b, 0))), ',') AS acs,
+      array_to_string(list_transform(range(1, len(arr) + 1),
+        i -> len(list_filter(arr[1:i], e -> e = arr[i]))), ',') AS aeu,
+      array_to_string(list_transform(arr,
+        x -> len(list_distinct(arr[1:list_position(arr, x)]))), ',')
+        AS aed,
+      array_to_string(list_filter(
+        string_split_regex(event_type || '-' || CAST(event_id AS VARCHAR),
+                           '[^A-Za-z0-9]+'), s -> s <> ''), '|') AS tk,
+      json_extract_string('{"k":"' || event_type || '"}', '$.k') AS vp,
+      CASE WHEN (event_id * 97) % 100000 = 0 THEN '0 seconds'
+           ELSE concat_ws(', ',
+             CASE WHEN (event_id * 97) % 100000 // 86400 > 0
+                  THEN CAST((event_id * 97) % 100000 // 86400 AS VARCHAR)
+                       || ' day' || CASE WHEN (event_id * 97) % 100000
+                            // 86400 > 1 THEN 's' ELSE '' END END,
+             CASE WHEN (event_id * 97) % 100000 % 86400 // 3600 > 0
+                  THEN CAST((event_id * 97) % 100000 % 86400 // 3600
+                       AS VARCHAR) || ' hour'
+                       || CASE WHEN (event_id * 97) % 100000 % 86400
+                            // 3600 > 1 THEN 's' ELSE '' END END,
+             CASE WHEN (event_id * 97) % 100000 % 3600 // 60 > 0
+                  THEN CAST((event_id * 97) % 100000 % 3600 // 60
+                       AS VARCHAR) || ' minute'
+                       || CASE WHEN (event_id * 97) % 100000 % 3600
+                            // 60 > 1 THEN 's' ELSE '' END END,
+             CASE WHEN (event_id * 97) % 100000 % 60 > 0
+                  THEN CAST((event_id * 97) % 100000 % 60 AS VARCHAR)
+                       || ' second' || CASE WHEN (event_id * 97)
+                            % 100000 % 60 > 1 THEN 's' ELSE '' END END)
+      END AS td,
+      CASE WHEN len(list_filter(list_transform(
+                 range(1, greatest(length(event_type) - 3, 0) + 1),
+                 i -> substring(event_type, CAST(i AS INT), 4)),
+               g -> TRUE)) + 4 = 4
+           THEN CASE WHEN event_type = 'view,click' THEN 0.0 ELSE 1.0 END
+           ELSE (CAST(len(list_transform(range(1,
+                   greatest(length(event_type) - 3, 0) + 1),
+                   i -> substring(event_type, CAST(i AS INT), 4))) +
+                 len(list_transform(range(1, 8),
+                   i -> substring('view,click', CAST(i AS INT), 4)))
+                 AS DOUBLE)
+                 - 2 * CAST((SELECT coalesce(sum(c), 0) FROM (
+                     SELECT least(
+                       len(list_filter(list_transform(range(1,
+                         greatest(length(t.event_type) - 3, 0) + 1),
+                         i -> substring(t.event_type, CAST(i AS INT), 4)),
+                         e -> e = g)),
+                       len(list_filter(list_transform(range(1, 8),
+                         i -> substring('view,click', CAST(i AS INT), 4)),
+                         e -> e = g))) AS c
+                     FROM unnest(list_distinct(list_transform(range(1,
+                       greatest(length(t.event_type) - 3, 0) + 1),
+                       i -> substring(t.event_type, CAST(i AS INT), 4))))
+                       AS u(g))) AS DOUBLE))
+                / (CAST(len(list_transform(range(1,
+                     greatest(length(event_type) - 3, 0) + 1),
+                     i -> substring(event_type, CAST(i AS INT), 4))) +
+                   len(list_transform(range(1, 8),
+                     i -> substring('view,click', CAST(i AS INT), 4)))
+                   AS DOUBLE))
+      END AS nd
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_tier7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-7 scalar surface: dateTrunc (raw-arg unit),
+    bitHammingDistance, UTF8 pad aliases, the array construction/
+    enumeration family (arrayWithConstant, arrayResize with explicit
+    extender, arrayCumSumNonNegative via a typed sequential fold,
+    arrayEnumerateUniq/Dense as row-local prefix scans), tokens(),
+    visitParamExtractString (simpleJSON fast-path alias),
+    formatReadableTimeDelta (integer-only string building), and
+    ngramDistance (4-gram multiset symmetric difference — integer
+    counts, one final division, so oracle-exact). All JVM
+    expressions — one range Exchange for the ORDER BY, nothing else.
+    The libm / sketch-backed tier-7 names (greatCircleDistance,
+    quantileTDigest/Timing, bar, bitRotate*, mapAdd/Subtract) are
+    pytest-pinned in tests/test_fn_tier7.py per PYTEST_ONLY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, ts, event_type,
+                 [toInt64(1 + event_id % 4), toInt64(event_id % 3 - 1),
+                  toInt64(2), toInt64(event_id % 2)] as arr
+          from events where user_id < 20)
+        select event_id,
+               dateTrunc('month', ts) as dt,
+               bitHammingDistance(event_id, intDiv(event_id, 3)) as bh,
+               leftPadUTF8(event_type, 12, '.') as lp,
+               rightPadUTF8(event_type, 12, '_') as rp,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayWithConstant(event_id % 3 + 1, toInt64(7))), ',')
+                 as awc,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayResize(arr, event_id % 6 + 1, toInt64(0))), ',')
+                 as ar,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayCumSumNonNegative(arr)), ',') as acs,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayEnumerateUniq(arr)), ',') as aeu,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayEnumerateDense(arr)), ',') as aed,
+               arrayStringConcat(tokens(event_type + '-'
+                 + toString(event_id)), '|') as tk,
+               visitParamExtractString('{"k":"' + event_type + '"}',
+                 'k') as vp,
+               formatReadableTimeDelta((event_id * 97) % 100000) as td,
+               ngramDistance(event_type, 'view,click') as nd
+        from t order by event_id
+        """,
+    )
+
+
+@query(
+    "sql_median_exact",
+    """
+    SELECT l_returnflag AS f, l_linestatus AS s,
+           quantile_disc(l_quantity, 0.5) AS med,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY f, s
+    """,
+)
+def sql_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """medianExact(x) — the exact lower-median order statistic
+    (≡ quantileExact(0.5), param-free spelling). Lowers through the
+    bounded (keys, value, cnt) pre-aggregate shared with the
+    quantileExact family (frontend/lower.py _topk_side) — state
+    O(distinct values) per group, never O(group rows). DuckDB's
+    quantile_disc(x, 0.5) picks the identical lower-median element."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag as f, l_linestatus as s,
+               medianExact(l_quantity) as med, count() as n
+        from lineitem group by f, s
+        """,
+    )

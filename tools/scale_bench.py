@@ -129,6 +129,8 @@ ENTRIES = [
     "q_stream_funnel",
     "q_ddl_mutate",
     "sql_json",
+    "sql_fn_tier7",
+    "sql_median_exact",
 ]
 
 SF01 = "/root/testdata/sf0.1"
