@@ -2898,3 +2898,18 @@ PYTEST_ONLY.update(
                "boundaries differ cross-engine)",
     }
 )
+
+
+def _string_jaccard(a: Column, b: Column) -> Column:
+    """stringJaccardIndex(a, b) — Jaccard over the CHARACTER SETS of
+    the two strings (|A∩B| / |A∪B|, DuckDB's jaccard() convention —
+    exact rational from integer set sizes). Both empty → 1.0."""
+    da = F.array_distinct(F.split(a, ""))
+    db = F.array_distinct(F.split(b, ""))
+    u = F.size(F.array_union(da, db))
+    return F.when(u == 0, F.lit(1.0)).otherwise(
+        F.size(F.array_intersect(da, db)).cast("double") / u.cast("double")
+    )
+
+
+SCALAR_FNS["stringJaccardIndex"] = _string_jaccard

@@ -531,3 +531,50 @@ def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv1.select("doc_id", "lang")
         .unionByName(surv2.select("doc_id", "lang"))
     )
+
+
+# --- edit-distance-verified near-dup pairs ----------------------------------
+
+_EDIT_VERIFIED_ORACLE = f"""
+WITH pairs AS ({_oracle_lsh()})
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+WHERE levenshtein(a.text, b.text) <= 80
+"""
+
+
+@query("q_dedup_edit_verified", _EDIT_VERIFIED_ORACLE)
+def q_dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with EXACT edit-distance verification: MinHash-LSH
+    candidate pairs (the usual banded equi-join — never all-pairs)
+    re-joined to their texts and kept only when
+    levenshtein(a, b) <= 80 — the production two-stage shape when the
+    dedup policy is character-edit-based (boilerplate with small
+    substitutions) rather than token-shingle-based. The quadratic
+    levenshtein runs ONLY on LSH survivors (O(candidates·len²), never
+    O(n²) pairs); Spark and DuckDB implement the same DP, so the
+    distances are oracle-exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=4, num_hashes=8, bands=4,
+        est_threshold=0.75,
+    )
+    ta = d.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("__ta")
+    )
+    tb = d.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("__tb")
+    )
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("__ta"), F.col("__tb")).cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 80)
+        .select("id_a", "id_b", "edit_dist")
+    )

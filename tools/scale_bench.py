@@ -131,6 +131,7 @@ ENTRIES = [
     "sql_json",
     "sql_fn_tier7",
     "sql_median_exact",
+    "q_dedup_edit_verified",
 ]
 
 SF01 = "/root/testdata/sf0.1"
