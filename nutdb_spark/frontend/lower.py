@@ -81,6 +81,7 @@ _BIN_COLUMN_OPS = {
 _INTERVAL_ARGS = {
     "year": "years",
     "month": "months",
+    "week": "weeks",
     "day": "days",
     "hour": "hours",
     "minute": "mins",
@@ -2670,6 +2671,8 @@ class Lowerer:
                 )
             return F.lit(self.config[e.name])
         if isinstance(e, A.Interval):
+            if e.unit == "quarter":  # no quarter kwarg: 3 months each
+                return F.make_interval(months=F.lit(3 * e.count))
             kwargs = {_INTERVAL_ARGS[e.unit]: F.lit(e.count)}
             return F.make_interval(**kwargs)
         if isinstance(e, A.Ident):
@@ -3193,12 +3196,24 @@ class Lowerer:
             # aggregate outside agg context (e.g. plain SELECT count(*))
             return self._lower_agg_call(e, scope)
         raw_idx = _RAW_STRING_ARG_FNS.get(e.name.lower(), ())
+        iv_idx = _RAW_INTERVAL_ARG_FNS.get(e.name.lower(), ())
         args = []
         for i, a in enumerate(e.args):
             if isinstance(a, A.Lambda):
                 args.append(
                     self._make_lambda(a, scope, group_map, agg_calls, pending)
                 )
+                continue
+            if i in iv_idx:
+                # The registry fn consumes the interval at PLAN time
+                # (bucket widths are compile-time constants) — only an
+                # INTERVAL literal can supply one.
+                if not isinstance(a, A.Interval):
+                    raise LoweringError(
+                        f"{e.name} argument {i + 1} must be an "
+                        "INTERVAL literal"
+                    )
+                args.append((a.count, a.unit))
                 continue
             if i in raw_idx:
                 # The registry fn needs a compile-time python string
@@ -3275,6 +3290,15 @@ _RAW_STRING_ARG_FNS: dict[str, tuple[int, ...]] = {
     "arrayreduce": (0,),
     # date_trunc's unit selector
     "datetrunc": (0,),
+    # parseDateTime's CH %-pattern (translated at plan time)
+    "parsedatetime": (1,),
+}
+
+# fn name (lowercased) -> 0-based arg positions that must be INTERVAL
+# literals, handed to the registry as a (count, unit) python tuple —
+# bucket widths are plan-time constants (toStartOfInterval)
+_RAW_INTERVAL_ARG_FNS: dict[str, tuple[int, ...]] = {
+    "tostartofinterval": (1,),
 }
 
 

@@ -57,7 +57,9 @@ _CLAUSE_KEYWORDS = {
     "asc", "desc", "nulls", "with", "by", "offset",
 }
 
-_INTERVAL_UNITS = {"second", "minute", "hour", "day", "month", "year"}
+_INTERVAL_UNITS = {
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+}
 
 # ANSI EXTRACT(unit FROM expr) → the registered datetime getters
 _EXTRACT_FNS = {

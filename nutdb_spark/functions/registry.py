@@ -2913,3 +2913,176 @@ def _string_jaccard(a: Column, b: Column) -> Column:
 
 
 SCALAR_FNS["stringJaccardIndex"] = _string_jaccard
+
+
+# --- [EXT] tier-8 scalar surface (time-series bucketing + parsing) ---------
+
+# second-based interval widths; month-based units bucket in month space
+_IV_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+    "week": 604800,
+}
+_IV_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+# 1969-12-29 is the Monday before the epoch: shifting by +3 days makes
+# week buckets Monday-anchored (n=1 ≡ toMonday), the CH convention
+_WEEK_SHIFT = 3 * 86400
+
+
+def _to_start_of_interval(ts: Column, iv) -> Column:
+    """toStartOfInterval(ts, INTERVAL n unit) — generic time-series
+    bucketing (the raw-interval second arg is consumed at lowering
+    time, like raw-string args). Second-based units floor the epoch
+    (weeks Monday-anchored); month-based units floor in month space
+    and return a DATE, mirroring ClickHouse's return-type split."""
+    count, unit = iv
+    u = str(unit).lower().rstrip("s")
+    if u in _IV_SECONDS:
+        w = int(count) * _IV_SECONDS[u]
+        e = ts.cast("timestamp").cast("long")
+        if u == "week":
+            e = e + F.lit(_WEEK_SHIFT)
+        b = F.floor(e / F.lit(w)).cast("long") * F.lit(w)
+        if u == "week":
+            b = b - F.lit(_WEEK_SHIFT)
+        return b.cast("timestamp")
+    if u in _IV_MONTHS:
+        w = int(count) * _IV_MONTHS[u]
+        m = (F.year(ts) - 1970) * 12 + F.month(ts) - 1
+        b = F.floor(m / F.lit(w)).cast("int") * F.lit(w)
+        return F.add_months(F.lit("1970-01-01").cast("date"), b)
+    raise ValueError(f"toStartOfInterval: unsupported unit {unit!r}")
+
+
+SCALAR_FNS["toStartOfInterval"] = _to_start_of_interval
+
+
+def _time_slots(start: Column, duration: Column, size: Column = None) -> Column:
+    """timeSlots(start, duration[, size=1800]) — the slot starts the
+    half-open window [start, start+duration] touches (CH's session-
+    to-slot expander). Row-local sequence; slot count is bounded by
+    duration/size."""
+    sz = (size if size is not None else F.lit(1800)).cast("long")
+    e = start.cast("timestamp").cast("long")
+    return F.transform(
+        F.sequence(
+            F.floor(e / sz).cast("long"),
+            F.floor((e + duration.cast("long")) / sz).cast("long"),
+        ),
+        lambda i: (i * sz).cast("timestamp"),
+    )
+
+
+SCALAR_FNS["timeSlots"] = _time_slots
+
+SCALAR_FNS["dayName"] = lambda d: F.date_format(d, "EEEE")
+
+# parseDateTime(s, '%Y-%m-%d ...') — CH %-format, same translation
+# table as formatDateTime (raw-arg pattern); unparseable → error like
+# CH; the BestEffort sibling tries a ladder of common shapes and
+# returns NULL when nothing fits (pytest-pinned: the ladder is
+# engine-specific by nature)
+SCALAR_FNS["parseDateTime"] = lambda s, fmt: F.to_timestamp(
+    s, _translate_ch_format(fmt)
+)
+
+
+def _parse_best_effort(s: Column) -> Column:
+    pats = [
+        "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy/MM/dd HH:mm:ss", "yyyyMMddHHmmss",
+        "yyyy-MM-dd", "yyyy/MM/dd", "yyyyMMdd",
+        "dd.MM.yyyy HH:mm:ss", "dd.MM.yyyy",
+    ]
+    return F.coalesce(
+        *[F.try_to_timestamp(s, F.lit(p)) for p in pats]
+    )
+
+
+SCALAR_FNS["parseDateTimeBestEffort"] = _parse_best_effort
+SCALAR_FNS["parseDateTimeBestEffortOrNull"] = _parse_best_effort
+
+SCALAR_FNS["makeDateTime"] = lambda y, m, d, h, mi, s: F.make_timestamp(
+    y, m, d, h, mi, s
+)
+
+# ISO week-year: the year of the Thursday of the date's ISO week
+SCALAR_FNS["toISOYear"] = lambda d: F.year(
+    F.date_add(F.date_trunc("week", d).cast("date"), 3)
+)
+
+_DAYS_TO_EPOCH = 719528  # days from 0000-01-01 to 1970-01-01 (proleptic)
+SCALAR_FNS["toDaysSinceYearZero"] = lambda d: (
+    F.datediff(d, F.lit("1970-01-01").cast("date")) + F.lit(_DAYS_TO_EPOCH)
+).cast("long")
+SCALAR_FNS["fromDaysSinceYearZero"] = lambda n: F.date_add(
+    F.lit("1970-01-01").cast("date"),
+    (n - F.lit(_DAYS_TO_EPOCH)).cast("int"),
+)
+
+# array math extras: in-order folds (deterministic), double results
+SCALAR_FNS["arrayProduct"] = lambda a: F.aggregate(
+    a, F.lit(1.0), lambda acc, x: acc * x.cast("double")
+)
+SCALAR_FNS["arrayAvg"] = lambda a: F.when(
+    F.size(a) > 0,
+    F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    / F.size(a).cast("double"),
+)
+SCALAR_FNS["arrayJaccardIndex"] = lambda a, b: F.when(
+    F.size(F.array_union(a, b)) > 0,
+    F.size(F.array_intersect(a, b)).cast("double")
+    / F.size(F.array_union(a, b)).cast("double"),
+)
+
+
+def _array_fill(reverse: bool):
+    def f(lam, arr: Column) -> Column:
+        """arrayFill(cond, arr) — elements failing cond take the value
+        of the nearest PRECEDING passing element (carry-forward);
+        leading failures keep their original value (CH semantics).
+        arrayReverseFill carries backward (nearest FOLLOWING)."""
+        src = F.reverse(arr) if reverse else arr
+        none = F.get(arr, F.lit(2147483647))  # element-typed NULL
+        filled = F.aggregate(
+            src,
+            F.struct(F.slice(arr, 1, 0).alias("a"), none.alias("l")),
+            lambda acc, x: F.struct(
+                F.concat(
+                    acc["a"],
+                    F.array(
+                        F.when(lam(x).cast("boolean"), x).otherwise(
+                            F.coalesce(acc["l"], x)
+                        )
+                    ),
+                ).alias("a"),
+                F.when(lam(x).cast("boolean"), x)
+                .otherwise(acc["l"])
+                .alias("l"),
+            ),
+            lambda acc: acc["a"],
+        )
+        return F.reverse(filled) if reverse else filled
+
+    return f
+
+
+SCALAR_FNS["arrayFill"] = _array_fill(False)
+SCALAR_FNS["arrayReverseFill"] = _array_fill(True)
+
+# interval constructors (compose with date arithmetic; interval-typed
+# results are pytest-pinned — no oracle column type for intervals)
+SCALAR_FNS["toIntervalSecond"] = lambda n: F.make_interval(secs=n)
+SCALAR_FNS["toIntervalMinute"] = lambda n: F.make_interval(mins=n)
+SCALAR_FNS["toIntervalHour"] = lambda n: F.make_interval(hours=n)
+SCALAR_FNS["toIntervalDay"] = lambda n: F.make_interval(days=n)
+SCALAR_FNS["toIntervalWeek"] = lambda n: F.make_interval(weeks=n)
+SCALAR_FNS["toIntervalMonth"] = lambda n: F.make_interval(months=n)
+SCALAR_FNS["toIntervalYear"] = lambda n: F.make_interval(years=n)
+
+PYTEST_ONLY.update(
+    {
+        "parseDateTimeBestEffort": "format-ladder heuristic is "
+        "engine-specific by nature",
+        "parseDateTimeBestEffortOrNull": "format-ladder heuristic",
+    }
+)

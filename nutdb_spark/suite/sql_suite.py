@@ -4060,3 +4060,91 @@ def sql_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lineitem group by f, s
         """,
     )
+
+
+@query(
+    "sql_fn_tier8",
+    """
+    WITH t AS (
+      SELECT event_id, ts,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es,
+             [CAST(1 + event_id % 4 AS BIGINT), CAST(0 AS BIGINT),
+              CAST(event_id % 3 AS BIGINT), CAST(0 AS BIGINT),
+              CAST(2 + event_id % 2 AS BIGINT)] AS arr
+      FROM events WHERE user_id < 15)
+    SELECT event_id,
+      CAST(to_timestamp((es // 900) * 900) AS TIMESTAMP) AS i15m,
+      CAST(to_timestamp(((es + 259200) // 604800) * 604800
+            - 259200) AS TIMESTAMP) AS iw,
+      make_date(CAST(1970 + (((year(ts) - 1970) * 12 + month(ts) - 1)
+                  // 2 * 2) // 12 AS INT),
+                CAST((((year(ts) - 1970) * 12 + month(ts) - 1)
+                  // 2 * 2) % 12 + 1 AS INT), 1) AS i2mo,
+      array_to_string(list_transform(
+        range(es // 1800, (es + 3600) // 1800 + 1),
+        i -> CAST(CAST(to_timestamp(i * 1800) AS TIMESTAMP)
+               AS VARCHAR)), '|') AS slots,
+      dayname(CAST(ts AS DATE)) AS dn,
+      isoyear(CAST(ts AS DATE)) AS iy,
+      CAST((CAST(ts AS DATE) - DATE '1970-01-01') + 719528 AS BIGINT)
+        AS d0,
+      DATE '1970-01-01' + CAST(719000 + event_id % 1000 - 719528 AS INT)
+        AS fd,
+      list_reduce(list_concat([CAST(1 AS DOUBLE)],
+        list_transform(arr, x -> CAST(x AS DOUBLE))),
+        (a, b) -> a * b) AS ap,
+      list_reduce(list_concat([CAST(0 AS DOUBLE)],
+        list_transform(arr, x -> CAST(x AS DOUBLE))),
+        (a, b) -> a + b) / len(arr) AS aa,
+      CAST(len(list_intersect(arr, [CAST(1 AS BIGINT), CAST(2 AS BIGINT)]))
+        AS DOUBLE)
+        / len(list_distinct(list_concat(arr,
+            [CAST(1 AS BIGINT), CAST(2 AS BIGINT)]))) AS aj,
+      array_to_string(list_transform(range(1, len(arr) + 1),
+        i -> CAST(coalesce(
+               arr[list_max(list_filter(range(1, i + 1),
+                 j -> arr[j] <> 0))], arr[i]) AS VARCHAR)), ',') AS af
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_tier8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-8 surface — time-series bucketing and calendar math:
+    toStartOfInterval (INTERVAL literal consumed at PLAN time like
+    raw-string args — 15-minute, Monday-anchored week, and 2-month
+    buckets here), timeSlots (row-local slot expansion), dayName,
+    toISOYear (year of the ISO week's Thursday), toDaysSinceYearZero /
+    fromDaysSinceYearZero (proleptic day counts), and the array math
+    extras (arrayProduct/arrayAvg as in-order double folds,
+    arrayJaccardIndex from integer set sizes, arrayFill carry-forward
+    as a typed sequential fold). parseDateTime is pinned in
+    tests/test_fn_tier8.py (its %-pattern translation shares
+    formatDateTime's table); the BestEffort ladder is PYTEST_ONLY.
+    All JVM expressions — one Exchange for the ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, ts,
+                 [toInt64(1 + event_id % 4), toInt64(0),
+                  toInt64(event_id % 3), toInt64(0),
+                  toInt64(2 + event_id % 2)] as arr
+          from events where user_id < 15)
+        select event_id,
+               toStartOfInterval(ts, INTERVAL 15 MINUTE) as i15m,
+               toStartOfInterval(ts, INTERVAL 1 WEEK) as iw,
+               toStartOfInterval(ts, INTERVAL 2 MONTH) as i2mo,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 timeSlots(ts, 3600)), '|') as slots,
+               dayName(toDate(ts)) as dn,
+               toISOYear(toDate(ts)) as iy,
+               toDaysSinceYearZero(toDate(ts)) as d0,
+               fromDaysSinceYearZero(719000 + event_id % 1000) as fd,
+               arrayProduct(arr) as ap,
+               arrayAvg(arr) as aa,
+               arrayJaccardIndex(arr, [toInt64(1), toInt64(2)]) as aj,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayFill(x -> x != 0, arr)), ',') as af
+        from t order by event_id
+        """,
+    )

@@ -132,6 +132,7 @@ ENTRIES = [
     "sql_fn_tier7",
     "sql_median_exact",
     "q_dedup_edit_verified",
+    "sql_fn_tier8",
 ]
 
 SF01 = "/root/testdata/sf0.1"
