@@ -252,3 +252,144 @@ def q_pipeline_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "lang", "n_tokens", "shard", "seq", "offset"
     )
+
+
+# --- the nightly-ingest pipeline: incremental end to end -------------------
+
+
+def _incremental_oracle() -> str:
+    from nutdb_spark.operators.dedup import oracle_minhash_signature
+
+    sw = oracle_stopword_ratio("w", ENGLISH_STOPWORDS)
+    sig = oracle_minhash_signature("text", n=_NGRAM, num_hashes=8)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, sig[{2 * b + 1}] AS k1, "
+        f"sig[{2 * b + 2}] AS k2 FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang, text, {_W} AS w FROM documents),
+kept AS (
+  SELECT * FROM q
+  WHERE len(w) >= {_MIN_TOKENS} AND {sw} >= {_MIN_STOPWORD}),
+reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept
+  GROUP BY {oracle_fingerprint_md5('text')}),
+surv AS (SELECT k.* FROM kept k JOIN reps USING (doc_id)),
+sigs AS (SELECT doc_id, {sig} AS sig FROM surv),
+banded AS ({band_rows}),
+ok AS (
+  SELECT band, k1, k2 FROM banded GROUP BY band, k1, k2
+  HAVING COUNT(*) BETWEEN 2 AND 1000),
+bk AS (SELECT banded.* FROM banded JOIN ok USING (band, k1, k2)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.doc_id < b.doc_id),
+neardup AS (
+  SELECT DISTINCT c.id_b FROM cand c
+  JOIN sigs sa ON c.id_a = sa.doc_id
+  JOIN sigs sb ON c.id_b = sb.doc_id
+  WHERE len(list_filter(list_transform(range(1, 9),
+        i -> sa.sig[i] = sb.sig[i]), m -> m)) / 8.0 >= 0.75),
+clean AS (
+  SELECT s.* FROM surv s LEFT JOIN neardup d ON s.doc_id = d.id_b
+  WHERE d.id_b IS NULL)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+FROM clean GROUP BY lang
+"""
+
+
+@query("q_pipeline_incremental", _incremental_oracle())
+def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY-INGEST pipeline end to end: the corpus arrives as
+    two ascending-id batches; each batch is quality-filtered
+    (row-local), exact-deduped against the PERSISTED survivors-key
+    index, near-deduped against the PERSISTED MinHash band index
+    (batch text from earlier ingests is never re-read), and the
+    indexes are extended on disk for the next night
+    (spark-warehouse/pipe_incr/<sf>/{keys,bands}/ingest=N, overwritten
+    per ingest → idempotent). Output per-lang corpus stats must equal
+    the ONE-SHOT quality → exact keep-min → LSH keep-first pipeline —
+    pinning that the round's incremental operators COMPOSE, not just
+    work in isolation.
+
+    Stage order note: exact dedup runs before near-dup (cheaper key
+    equi-join shrinks the shingle work), and both replay contracts
+    hold through the composition because quality is per-row, exact
+    keys are transitive (survivors-only index), and the band index
+    keeps every exact-survivor's rows (keep-first pairing needs
+    dropped docs too)."""
+    import os
+
+    from nutdb_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_near_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    hi = d.agg(F.max("doc_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "pipe_incr",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    toks = tokenize(F.col("text"))
+    key = fingerprint_md5(F.col("text"))
+    kw = dict(n=_NGRAM, num_hashes=8, bands=4, est_threshold=0.75)
+    key_index = band_index = None
+    out = None
+    key_dirs: list = []
+    band_dirs: list = []
+    # read back ONLY the dirs this run wrote — a bare read of the
+    # parent would pick up a previous run's later ingests and wrongly
+    # drop the whole next batch as "already indexed"
+    from functools import reduce
+
+    for i, batch in (
+        (1, d.filter(F.col("doc_id") < split)),
+        (2, d.filter(F.col("doc_id") >= split)),
+    ):
+        q = batch.filter(
+            (F.size(toks) >= _MIN_TOKENS)
+            & (stopword_ratio(toks, ENGLISH_STOPWORDS) >= _MIN_STOPWORD)
+        )
+        s1, keys = incremental_exact_dedup(q, key_index, "doc_id", key)
+        keys.write.mode("overwrite").parquet(
+            os.path.join(base, "keys", f"ingest={i}")
+        )
+        key_dirs.append(os.path.join(base, "keys", f"ingest={i}"))
+        key_index = reduce(
+            lambda a, b: a.unionByName(b),
+            [spark.read.parquet(p) for p in key_dirs],
+        )
+        s2, rows = incremental_near_dedup(s1, band_index, "doc_id", "text", **kw)
+        rows.write.mode("overwrite").parquet(
+            os.path.join(base, "bands", f"ingest={i}")
+        )
+        band_dirs.append(os.path.join(base, "bands", f"ingest={i}"))
+        band_index = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(p).select(
+                    "__id", "band", "__k0", "__k1", "__sig"
+                )
+                for p in band_dirs
+            ],
+        )
+        out = s2 if out is None else out.unionByName(s2)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text"))).cast("long")).alias(
+            "total_tokens"
+        ),
+    )

@@ -86,7 +86,7 @@ def test_lowerings_are_lazy(spark):
                       # persist their batch-1 index + bounded one-row
                       # max-id collect by design
                       "q_dedup_incremental", "q_dedup_incremental_exact",
-                      "q_sim_ivf_append",
+                      "q_sim_ivf_append", "q_pipeline_incremental",
                       # recursive CTEs iterate to a fixpoint by design
                       "sql_recursive", "sql_recursive_graph")
     }

@@ -133,6 +133,7 @@ ENTRIES = [
     "sql_median_exact",
     "q_dedup_edit_verified",
     "sql_fn_tier8",
+    "q_pipeline_incremental",
 ]
 
 SF01 = "/root/testdata/sf0.1"
