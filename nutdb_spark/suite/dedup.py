@@ -571,10 +571,15 @@ def q_dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
+        .filter(
+            # dist >= |len(a) - len(b)|: skip the DP entirely when the
+            # lengths alone put the pair over the threshold
+            F.abs(F.length("__ta") - F.length("__tb")) <= 80
+        )
         .withColumn(
             "edit_dist",
-            F.levenshtein(F.col("__ta"), F.col("__tb")).cast("long"),
+            F.levenshtein(F.col("__ta"), F.col("__tb"), 80).cast("long"),
         )
-        .filter(F.col("edit_dist") <= 80)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 80))
         .select("id_a", "id_b", "edit_dist")
     )
