@@ -3086,3 +3086,11 @@ PYTEST_ONLY.update(
         "parseDateTimeBestEffortOrNull": "format-ladder heuristic",
     }
 )
+
+# case-insensitive ngram spellings (lowercase both sides, same math)
+SCALAR_FNS["ngramDistanceCaseInsensitive"] = lambda a, b: _ngram_distance(
+    F.lower(a), F.lower(b)
+)
+SCALAR_FNS["ngramSearchCaseInsensitive"] = lambda h, nd: SCALAR_FNS[
+    "ngramSearch"
+](F.lower(h), F.lower(nd))

@@ -110,3 +110,14 @@ def test_median_exact_bounded_plan(eng, spark):
         "(select number as n from numbers(4))"
     ).first()
     assert r["v"] == 1  # lower median of 0,1,2,3
+
+
+def test_ngram_case_insensitive(eng):
+    r = eng.sql(
+        "select ngramDistance('HELLO WORLD', 'hello world') as a, "
+        "ngramDistanceCaseInsensitive('HELLO WORLD', 'hello world') as b, "
+        "ngramSearchCaseInsensitive('Hello World', 'WORLD') as c"
+    ).first()
+    assert r["a"] == 1.0  # case-sensitive: no common grams
+    assert r["b"] == 0.0
+    assert r["c"] == 1.0
