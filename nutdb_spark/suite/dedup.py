@@ -583,3 +583,72 @@ def q_dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 80))
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+# --- LSH quality: recall/precision vs exact Jaccard truth -------------------
+
+_JACCARD_TRUTH_75 = f"""
+WITH toks AS (
+  SELECT doc_id, {oracle_shingles('text', 4)} AS sh FROM documents),
+sizes AS (SELECT doc_id, len(sh) AS n FROM toks),
+ex0 AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+keep AS (SELECT s FROM ex0 GROUP BY s
+         HAVING COUNT(*) <= {_MAX_SHINGLE_FREQ}),
+ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep USING (s)),
+jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT jp.id_a, jp.id_b FROM jp
+  JOIN sizes sa ON jp.id_a = sa.doc_id
+  JOIN sizes sb ON jp.id_b = sb.doc_id
+  WHERE jp.shared * 1.0 / (sa.n + sb.n - jp.shared) >= 0.75),
+lsh AS (SELECT id_a, id_b FROM ({_oracle_lsh()})),
+hit AS (SELECT t.id_a, t.id_b FROM truth t JOIN lsh USING (id_a, id_b))
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       (SELECT COUNT(*) FROM hit) * 1.0
+         / (SELECT COUNT(*) FROM truth) AS recall,
+       (SELECT COUNT(*) FROM hit) * 1.0
+         / (SELECT COUNT(*) FROM lsh) AS precision_
+"""
+
+
+@query("q_dedup_recall", _JACCARD_TRUTH_75)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a dedup OPERATOR needs before anyone trusts it:
+    recall and precision of the MinHash-LSH candidate pipeline
+    (4 bands × 2 rows, est ≥ 0.75) against the exact guarded-Jaccard
+    truth set (true 4-gram Jaccard ≥ 0.75, same hot-shingle cut).
+    Every pipeline is exact-integer, so the two ratios are exact
+    rationals — oracle-able like any other entry, the q_sim_recall
+    pattern applied to dedup. One scalar row; both pair generators
+    are the suite's own guarded equi-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.75,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        d, "doc_id", "text", n=4, num_hashes=8, bands=4,
+        est_threshold=0.75,
+    ).select("id_a", "id_b")
+    hit = truth.join(lsh, ["id_a", "id_b"])
+    n_truth = truth.count()
+    n_lsh = lsh.count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_lsh,
+                n_hit,
+                n_hit / n_truth if n_truth else None,
+                n_hit / n_lsh if n_lsh else None,
+            )
+        ],
+        "n_truth long, n_lsh long, n_hit long, recall double, "
+        "precision_ double",
+    )

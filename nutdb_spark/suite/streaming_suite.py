@@ -732,3 +732,103 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .filter(F.col("user_id") >= 0)
     )
+
+
+@query(
+    "q_stream_join_right",
+    f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           p.user_id, p.value AS value
+    FROM (SELECT * FROM {_EV} WHERE event_type = 'view') v
+    RIGHT JOIN (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM RIGHT OUTER join — completes the streaming outer
+    matrix (inner/left/full/right): every purchase emits exactly once,
+    with NULL view columns when no view preceded it inside the
+    30-minute window. Same two-sentinel bounded-replay machinery as
+    the left/full entries (the watermark must pass the join window
+    before unmatched state evicts-and-emits); the preserved side is
+    the RIGHT stream, so the eviction happens from the views' state
+    store. Oracle = batch RIGHT JOIN."""
+    import datetime as _dt
+    import tempfile
+    import time as _time
+
+    base = tempfile.mkdtemp(prefix="q_stream_join_right_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = _STREAM_SRC_CACHE.get(("join_right", sf_dir))
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="q_stream_join_right_src_") + "/src"
+        for parity in (0, 1):
+            ev.filter(F.col("event_id") % 2 == parity).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+        far = F.expr("max(ts) + INTERVAL 30 DAY")
+        bounds = ev.select(far.alias("fts")).collect()[0]
+        for i in (0, 1):
+            fts = bounds["fts"] + _dt.timedelta(days=30 * i)
+            sent = spark.createDataFrame(
+                [
+                    (-1 - 10 * i, -1, "view", fts, 0.0),
+                    (-2 - 10 * i, -1, "purchase", fts, 0.0),
+                ],
+                schema=ev.schema,
+            )
+            sent.coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+        _STREAM_SRC_CACHE[("join_right", sf_dir)] = src
+
+    def read(kind: str, ts_alias: str, id_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").cast("timestamp").alias(ts_alias),
+                "value",
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    views = read("view", "v_ts", "view_id").drop("value").withColumnRenamed(
+        "user_id", "v_user"
+    )
+    purchases = read("purchase", "p_ts", "purchase_id")
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "right_outer",
+    ).select("view_id", "purchase_id", "user_id", "value")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.schema(
+            "view_id long, purchase_id long, user_id long, value double"
+        )
+        .parquet(out)
+        .filter(F.col("user_id") >= 0)
+    )

@@ -134,6 +134,8 @@ ENTRIES = [
     "q_dedup_edit_verified",
     "sql_fn_tier8",
     "q_pipeline_incremental",
+    "q_dedup_recall",
+    "q_stream_join_right",
 ]
 
 SF01 = "/root/testdata/sf0.1"
