@@ -501,3 +501,50 @@ def test_global_join_broadcasts_right_side(spark):
         assert plain.first()["n"] == hinted.first()["n"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_incremental_dedup_plan_shape(spark):
+    """The round-9 incremental operators must keep the same candidate
+    discipline as their one-shot parents: banded/keyed equi-joins
+    only — no cartesian anywhere — and the delta-vs-index probe is a
+    plain multi-column equi-join (visible as a HashedRelation /
+    SortMergeJoin on the band keys, never a nested-loop)."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_near_dedup,
+        minhash_band_rows,
+    )
+    from nutdb_spark.operators.text import fingerprint_md5
+    from nutdb_spark.sources import load_table
+
+    d = load_table(spark, SF01, "documents").select("doc_id", "text")
+    b1 = d.filter(F.col("doc_id") < 250)
+    b2 = d.filter(F.col("doc_id") >= 250)
+    index = minhash_band_rows(b1, "doc_id", "text", n=4, num_hashes=8,
+                              bands=4)
+    surv, _rows = incremental_near_dedup(
+        b2, index, "doc_id", "text", n=4, num_hashes=8, bands=4,
+        est_threshold=0.75,
+    )
+    plan = plan_of(surv)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    keys = fingerprint_md5(F.col("text"))
+    surv2, _keys = incremental_exact_dedup(
+        b2, surv.select(keys.alias("__key")).distinct(), "doc_id", keys
+    )
+    plan2 = plan_of(surv2)
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_ivf_append_and_recall_no_cartesian(spark):
+    from nutdb_spark.suite import QUERIES
+
+    for name in ("q_sim_ivf_append", "q_dedup_edit_verified"):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
