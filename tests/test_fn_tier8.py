@@ -119,3 +119,61 @@ def test_interval_printer_roundtrip(eng):
     a = eng.sql(sql).first()["w"]
     b = eng.sql(printed).first()["w"]
     assert a == b
+
+
+def test_array_functions_randomized_vs_python(spark, eng):
+    """Batched randomized armor: 200 seeded random int arrays through
+    arrayCumSumNonNegative / arrayEnumerateUniq / arrayEnumerateDense /
+    arrayFill in ONE Spark job, compared against a pure-Python
+    reference."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import SCALAR_FNS
+
+    rnd = random.Random(20260815)
+    arrays = [
+        [rnd.randint(-3, 3) for _ in range(rnd.randint(0, 8))]
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)],
+        "i int, arr array<long>",
+    )
+    out = df.select(
+        "i",
+        SCALAR_FNS["arrayCumSumNonNegative"](F.col("arr")).alias("acs"),
+        SCALAR_FNS["arrayEnumerateUniq"](F.col("arr")).alias("aeu"),
+        SCALAR_FNS["arrayEnumerateDense"](F.col("arr")).alias("aed"),
+        SCALAR_FNS["arrayFill"](
+            lambda x: x != 0, F.col("arr")
+        ).alias("af"),
+    ).collect()
+
+    def ref(a):
+        acs, run = [], 0
+        for x in a:
+            run = max(run + x, 0)
+            acs.append(run)
+        aeu = [a[: i + 1].count(x) for i, x in enumerate(a)]
+        aed = []
+        for x in a:
+            first = a.index(x)
+            aed.append(len(set(a[: first + 1])))
+        af, last = [], None
+        for x in a:
+            if x != 0:
+                last = x
+                af.append(x)
+            else:
+                af.append(last if last is not None else x)
+        return acs, aeu, aed, af
+
+    for r in out:
+        a = arrays[r["i"]]
+        acs, aeu, aed, af = ref(a)
+        assert list(r["acs"]) == acs, (a, list(r["acs"]), acs)
+        assert list(r["aeu"]) == aeu, (a, list(r["aeu"]), aeu)
+        assert list(r["aed"]) == aed, (a, list(r["aed"]), aed)
+        assert list(r["af"]) == af, (a, list(r["af"]), af)
