@@ -3094,3 +3094,103 @@ SCALAR_FNS["ngramDistanceCaseInsensitive"] = lambda a, b: _ngram_distance(
 SCALAR_FNS["ngramSearchCaseInsensitive"] = lambda h, nd: SCALAR_FNS[
     "ngramSearch"
 ](F.lower(h), F.lower(nd))
+
+
+# --- [EXT] categorical-association aggregates -------------------------------
+# cramersV / cramersVBiasCorrected / contingency / theilsU over two
+# categorical columns — the CH data-profiling quartet. Exact-arithmetic
+# discipline (the rankCorr pattern): the (x, y) pair is ENCODED as one
+# integer x*K + y, the contingency table is derived by row-local array
+# counting over the collected codes, and the chi² sum folds over the
+# SORTED distinct codes — every double op is a fixed expression tree
+# evaluated in identical order on both engines, so cramersV /
+# contingency hash-match DuckDB. theilsU needs log (libm) and stays
+# PYTEST_ONLY. Use per-entity groups (the suite convention) — state is
+# O(group rows) like the other fold-backed stats.
+_ASSOC_K = 1_000_000
+
+
+def _assoc_parts(x: Column, y: Column):
+    code = x.cast("long") * _ASSOC_K + y.cast("long")
+    cl = F.collect_list(code)
+    n = F.size(cl).cast("double")
+    codes = F.array_sort(F.array_distinct(cl))
+    K = F.lit(_ASSOC_K).cast("long")
+
+    def term(c):
+        o = F.size(F.filter(cl, lambda e: e == c)).cast("long")
+        r = F.size(
+            F.filter(cl, lambda e: (e / K).cast("long") == (c / K).cast("long"))
+        ).cast("long")
+        cc = F.size(F.filter(cl, lambda e: e % K == c % K)).cast("long")
+        return (o * o).cast("double") / (r * cc).cast("double")
+
+    s = F.aggregate(codes, F.lit(0.0), lambda acc, c: acc + term(c))
+    chi2 = n * s - n
+    R = F.size(
+        F.array_distinct(F.transform(cl, lambda e: (e / K).cast("long")))
+    ).cast("double")
+    C = F.size(
+        F.array_distinct(F.transform(cl, lambda e: e % K))
+    ).cast("double")
+    return n, chi2, R, C
+
+
+def _cramers_v(x: Column, y: Column) -> Column:
+    n, chi2, R, C = _assoc_parts(x, y)
+    k = F.least(R, C) - 1
+    return F.when((n > 0) & (k >= 1), F.sqrt(chi2 / (n * k)))
+
+
+def _cramers_v_bias_corrected(x: Column, y: Column) -> Column:
+    n, chi2, R, C = _assoc_parts(x, y)
+    phi2 = chi2 / n
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (R - 1) * (C - 1) / (n - 1)
+    )
+    rc = R - (R - 1) * (R - 1) / (n - 1)
+    cc = C - (C - 1) * (C - 1) / (n - 1)
+    k = F.least(rc, cc) - 1
+    return F.when((n > 1) & (k > 0), F.sqrt(phi2c / k))
+
+
+def _contingency(x: Column, y: Column) -> Column:
+    n, chi2, R, C = _assoc_parts(x, y)
+    return F.when(n > 0, F.sqrt(chi2 / (chi2 + n)))
+
+
+def _theils_u(x: Column, y: Column) -> Column:
+    """theilsU(x, y) — uncertainty coefficient U(x|y) =
+    (H(x) + H(y) − H(x,y)) / H(x): how much knowing y reduces the
+    entropy of x. log is libm → PYTEST_ONLY, never hash-oracled."""
+    code = x.cast("long") * _ASSOC_K + y.cast("long")
+    cl = F.collect_list(code)
+    n = F.size(cl).cast("double")
+    K = F.lit(_ASSOC_K).cast("long")
+
+    def H(vals):
+        dv = F.array_sort(F.array_distinct(vals))
+        return F.aggregate(
+            dv,
+            F.lit(0.0),
+            lambda acc, v: acc
+            - (
+                (F.size(F.filter(vals, lambda e: e == v)).cast("double") / n)
+                * F.log(
+                    F.size(F.filter(vals, lambda e: e == v)).cast("double")
+                    / n
+                )
+            ),
+        )
+
+    hx = H(F.transform(cl, lambda e: (e / K).cast("long")))
+    hy = H(F.transform(cl, lambda e: e % K))
+    hxy = H(cl)
+    return F.when((n > 0) & (hx > 0), (hx + hy - hxy) / hx)
+
+
+AGGREGATE_FNS["cramersV"] = _cramers_v
+AGGREGATE_FNS["cramersVBiasCorrected"] = _cramers_v_bias_corrected
+AGGREGATE_FNS["contingency"] = _contingency
+AGGREGATE_FNS["theilsU"] = _theils_u
+PYTEST_ONLY["theilsU"] = "folds log — libm drift"

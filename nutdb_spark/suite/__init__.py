@@ -67,11 +67,11 @@ _PRIORITY = [
     # q_dedup_edit_verified displaced tpch_q19, sql_fn_tier8 displaced
     # tpch_q17, q_pipeline_incremental displaced tpch_q15,
     # q_stream_join_right displaced tpch_q13, q_dedup_recall displaced
-    # tpch_q11) ---
+    # tpch_q11, sql_agg_assoc displaced tpch_q7) ---
     "q_dedup_incremental", "q_dedup_incremental_exact",
     "q_sim_ivf_append", "sql_fn_tier7", "sql_median_exact",
     "q_dedup_edit_verified", "sql_fn_tier8", "q_pipeline_incremental",
-    "q_stream_join_right", "q_dedup_recall",
+    "q_stream_join_right", "q_dedup_recall", "sql_agg_assoc",
     # --- (3) stalest re-grades (last driver row r4; 37 to fill the
     # window to exactly 50). sql_params re-grades here per VERDICT r8
     # #6 (the $n-parameter entry needed a fresh driver row) ---
@@ -84,7 +84,7 @@ _PRIORITY = [
     "q_ddl_complex_types", "q_fn_count_unique", "q_fn_strings",
     "q_fn_substring", "q_join_broadcast", "q_join_salted",
     "q_multimodal_frames",
-    "tpch_q2_mincost", "tpch_q3", "tpch_q4", "tpch_q7",
+    "tpch_q2_mincost", "tpch_q3", "tpch_q4",
 ]
 
 

@@ -4148,3 +4148,82 @@ def sql_fn_tier8(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+_ASSOC_K = 1_000_000
+# chi² machinery shared by the cramersV/contingency oracles: the same
+# encoded-pair fold the Spark lowering runs, spelled in DuckDB lists —
+# identical expression trees in identical (sorted-code) order, so the
+# doubles match bit-exactly.
+_ASSOC_LST = "list_sort(list(CAST(x AS BIGINT) * 1000000 + CAST(y AS BIGINT)))"
+_ASSOC_S = (
+    "list_reduce(list_concat([CAST(0 AS DOUBLE)],"
+    " list_transform(list_sort(list_distinct(lst)), c ->"
+    " CAST(len(list_filter(lst, e -> e = c))"
+    "      * len(list_filter(lst, e -> e = c)) AS DOUBLE)"
+    " / CAST(len(list_filter(lst, e -> e // 1000000 = c // 1000000))"
+    "        * len(list_filter(lst, e -> e % 1000000 = c % 1000000))"
+    "   AS DOUBLE))), (a, b) -> a + b)"
+)
+
+
+@query(
+    "sql_agg_assoc",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_id % 5 AS x, event_id % 7 AS y
+      FROM events WHERE user_id < 40),
+    g AS (
+      SELECT user_id, {_ASSOC_LST} AS lst, COUNT(*) AS cnt
+      FROM t GROUP BY user_id),
+    m AS (
+      SELECT user_id, cnt, lst, {_ASSOC_S} AS s,
+             CAST(len(lst) AS DOUBLE) AS n,
+             CAST(len(list_distinct(list_transform(lst,
+                  e -> e // 1000000))) AS DOUBLE) AS r,
+             CAST(len(list_distinct(list_transform(lst,
+                  e -> e % 1000000))) AS DOUBLE) AS c
+      FROM g),
+    f AS (
+      SELECT user_id, cnt, n, r, c, n * s - n AS chi2 FROM m)
+    SELECT user_id,
+           CASE WHEN n > 0 AND least(r, c) - 1 >= 1
+                THEN sqrt(chi2 / (n * (least(r, c) - 1))) END AS cv,
+           CASE WHEN n > 1
+                 AND least(r - (r-1)*(r-1)/(n-1),
+                           c - (c-1)*(c-1)/(n-1)) - 1 > 0
+                THEN sqrt(greatest(CAST(0 AS DOUBLE),
+                            chi2 / n - (r-1)*(c-1)/(n-1))
+                          / (least(r - (r-1)*(r-1)/(n-1),
+                                   c - (c-1)*(c-1)/(n-1)) - 1)) END
+             AS cvbc,
+           CASE WHEN n > 0 THEN sqrt(chi2 / (chi2 + n)) END AS cont,
+           CAST(cnt AS BIGINT) AS n_rows
+    FROM f ORDER BY user_id
+    """,
+)
+def sql_agg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] categorical-association aggregates: cramersV,
+    cramersVBiasCorrected (Bergsma's correction), contingency
+    coefficient — the CH data-profiling quartet minus theilsU (libm
+    log, PYTEST_ONLY). Exact cross-engine: pairs encode as one
+    integer, the chi² fold runs over SORTED distinct codes, and every
+    double op is a fixed expression tree — so the values hash-match
+    DuckDB's identical list fold. Per-user groups keep the fold-backed
+    state entity-bounded (the suite convention for stats
+    aggregates)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select user_id, event_id % 5 as x, event_id % 7 as y
+          from events where user_id < 40)
+        select user_id,
+               cramersV(x, y) as cv,
+               cramersVBiasCorrected(x, y) as cvbc,
+               contingency(x, y) as cont,
+               count() as n_rows
+        from t group by user_id order by user_id
+        """,
+    )

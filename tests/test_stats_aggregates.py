@@ -166,3 +166,60 @@ def test_skew_kurt_samp_degenerate(spark):
         A["kurtSamp"](F.col("x")).alias("k"),
     ).first()
     assert r["s"] is None and r["k"] is None  # n=1 -> NULL, no crash
+
+
+def test_association_aggregates_vs_python(spark):
+    """cramersV / cramersVBiasCorrected / contingency / theilsU vs a
+    pure-Python reference on a hand-made contingency table."""
+    import math
+    from collections import Counter
+
+    from nutdb_spark.engine import NutEngine
+
+    data = [
+        (1, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 1),
+        (1, 1, 0), (1, 2, 0), (1, 2, 2), (1, 2, 2), (1, 2, 2),
+    ]
+    eng = NutEngine(spark, data_dir="/root/testdata/sf0.001")
+    df = spark.createDataFrame(data, "g int, x int, y int")
+    df.createOrReplaceTempView("assoc_t")
+    real = eng.resolve_table
+
+    def resolve(name):
+        if name == "assoc_t":
+            return spark.table("assoc_t")
+        return real(name)
+
+    eng.resolve_table = resolve
+    r = eng.sql(
+        "select cramersV(x, y) as cv, contingency(x, y) as cont, "
+        "cramersVBiasCorrected(x, y) as cvbc, theilsU(x, y) as tu "
+        "from assoc_t group by g"
+    ).first()
+
+    xs = [d[1] for d in data]
+    ys = [d[2] for d in data]
+    n = len(data)
+    o = Counter(zip(xs, ys))
+    rx, cy = Counter(xs), Counter(ys)
+    chi2 = n * sum(
+        v * v / (rx[k[0]] * cy[k[1]]) for k, v in o.items()
+    ) - n
+    R, C = len(rx), len(cy)
+    cv = math.sqrt(chi2 / (n * (min(R, C) - 1)))
+    cont = math.sqrt(chi2 / (chi2 + n))
+    phi2c = max(0.0, chi2 / n - (R - 1) * (C - 1) / (n - 1))
+    k = min(R - (R - 1) ** 2 / (n - 1), C - (C - 1) ** 2 / (n - 1)) - 1
+    cvbc = math.sqrt(phi2c / k)
+
+    def H(vals):
+        c = Counter(vals)
+        return -sum(v / n * math.log(v / n) for v in c.values())
+
+    hx, hy, hxy = H(xs), H(ys), H(list(zip(xs, ys)))
+    tu = (hx + hy - hxy) / hx
+
+    assert abs(r["cv"] - cv) < 1e-12
+    assert abs(r["cont"] - cont) < 1e-12
+    assert abs(r["cvbc"] - cvbc) < 1e-12
+    assert abs(r["tu"] - tu) < 1e-9  # libm tolerance

@@ -136,6 +136,7 @@ ENTRIES = [
     "q_pipeline_incremental",
     "q_dedup_recall",
     "q_stream_join_right",
+    "sql_agg_assoc",
 ]
 
 SF01 = "/root/testdata/sf0.1"
