@@ -624,31 +624,39 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth set (true 4-gram Jaccard ≥ 0.75, same hot-shingle cut).
     Every pipeline is exact-integer, so the two ratios are exact
     rationals — oracle-able like any other entry, the q_sim_recall
-    pattern applied to dedup. One scalar row; both pair generators
-    are the suite's own guarded equi-joins."""
+    pattern applied to dedup. ONE action: the two pair sets full-outer
+    join on the pair key and a single aggregate derives all three
+    counts — each candidate pipeline is evaluated exactly once (three
+    separate counts would recompute both pipelines for the
+    intersection). Fully lazy, so the entry also leaves the
+    lowering-laziness contract intact."""
     d = load_table(spark, sf_dir, "documents")
     truth = jaccard_pairs(
         d, "doc_id", "text", n=4, threshold=0.75,
         max_shingle_freq=_MAX_SHINGLE_FREQ,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b", F.lit(1).alias("__t"))
     lsh = minhash_lsh_pairs(
         d, "doc_id", "text", n=4, num_hashes=8, bands=4,
         est_threshold=0.75,
-    ).select("id_a", "id_b")
-    hit = truth.join(lsh, ["id_a", "id_b"])
-    n_truth = truth.count()
-    n_lsh = lsh.count()
-    n_hit = hit.count()
-    return spark.createDataFrame(
-        [
-            (
-                n_truth,
-                n_lsh,
-                n_hit,
-                n_hit / n_truth if n_truth else None,
-                n_hit / n_lsh if n_lsh else None,
-            )
-        ],
-        "n_truth long, n_lsh long, n_hit long, recall double, "
-        "precision_ double",
+    ).select("id_a", "id_b", F.lit(1).alias("__l"))
+    both = truth.join(lsh, ["id_a", "id_b"], "full_outer")
+    agg = both.agg(
+        F.sum("__t").alias("n_truth"),
+        F.sum("__l").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__l").isNotNull(), 1)
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        F.coalesce(F.col("n_truth"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_truth").cast("double")
+        ).alias("recall"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_lsh").cast("double")
+        ).alias("precision_"),
     )

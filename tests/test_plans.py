@@ -87,8 +87,6 @@ def test_lowerings_are_lazy(spark):
                       # max-id collect by design
                       "q_dedup_incremental", "q_dedup_incremental_exact",
                       "q_sim_ivf_append", "q_pipeline_incremental",
-                      # three bounded scalar counts by design
-                      "q_dedup_recall",
                       # recursive CTEs iterate to a fixpoint by design
                       "sql_recursive", "sql_recursive_graph")
     }
