@@ -1144,13 +1144,17 @@ class Lowerer:
 
     def _lower_limit(self, df: DataFrame, lim: A.Limit, order_cols) -> DataFrame:
         n = self._const_int(lim.n)
+        off = self._const_int(lim.offset) if lim.offset is not None else 0
         if lim.with_ties:
             if not order_cols:
                 raise LoweringError("LIMIT WITH TIES requires ORDER BY")
-            return R.limit_with_ties(
-                df, [(c, asc) for c, asc, _ in order_cols], n
+            # OFFSET skips first, then ties of the (off+n)-th row are
+            # kept: threshold at off+n, drop the first off rows of the
+            # ordered tie-extended frame.
+            out = R.limit_with_ties(
+                df, [(c, asc) for c, asc, _ in order_cols], n + off
             )
-        off = self._const_int(lim.offset) if lim.offset is not None else 0
+            return out.offset(off) if off else out
         return R.limit_offset(df, n, off)
 
     def _const_int(self, e) -> int:

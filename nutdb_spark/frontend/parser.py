@@ -883,16 +883,21 @@ class Parser:
     def _limit_clause(self) -> A.Limit:
         first = self.parse_expr()
         if self.eat_sym(","):
-            # LIMIT offset, n (MySQL-style, mod.rs:516-521)
+            # LIMIT offset, n (MySQL-style, mod.rs:516-521); the
+            # reference grammar allows WITH TIES after every LIMIT
+            # form (mod.rs:513-543)
             n = self.parse_expr()
-            return A.Limit(n, offset=first)
+            return A.Limit(n, offset=first, with_ties=self._opt_with_ties())
         if self.eat_kw("offset"):
             off = self.parse_expr()
-            return A.Limit(first, offset=off)
+            return A.Limit(first, offset=off, with_ties=self._opt_with_ties())
+        return A.Limit(first, with_ties=self._opt_with_ties())
+
+    def _opt_with_ties(self) -> bool:
         if self.eat_kw("with"):
             self.expect_kw("ties")
-            return A.Limit(first, with_ties=True)
-        return A.Limit(first)
+            return True
+        return False
 
     def _expr_list(self, closing: str) -> list:
         out = [self.parse_expr()]

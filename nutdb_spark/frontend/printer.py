@@ -383,22 +383,10 @@ def query(q) -> str:  # noqa: C901
         s += expr(lb.n) + " BY " + ", ".join(expr(k) for k in lb.keys)
         parts.append(s)
     if q.limit is not None:
-        if q.limit.offset is not None and q.limit.with_ties:
-            # 'LIMIT n OFFSET m WITH TIES' does not re-parse (the
-            # limit clause ends after OFFSET); the ANSI FETCH form is
-            # the round-trippable spelling of this combination
-            parts.append(
-                "OFFSET "
-                + expr(q.limit.offset)
-                + " ROWS FETCH FIRST "
-                + expr(q.limit.n)
-                + " ROWS WITH TIES"
-            )
-        else:
-            s = "LIMIT " + expr(q.limit.n)
-            if q.limit.offset is not None:
-                s += " OFFSET " + expr(q.limit.offset)
-            if q.limit.with_ties:
-                s += " WITH TIES"
-            parts.append(s)
+        s = "LIMIT " + expr(q.limit.n)
+        if q.limit.offset is not None:
+            s += " OFFSET " + expr(q.limit.offset)
+        if q.limit.with_ties:
+            s += " WITH TIES"
+        parts.append(s)
     return " ".join(parts)

@@ -2960,21 +2960,32 @@ def _time_slots(start: Column, duration: Column, size: Column = None) -> Column:
     """timeSlots(start, duration[, size=1800]) — the slot starts the
     half-open window [start, start+duration] touches (CH's session-
     to-slot expander). Row-local sequence; slot count is bounded by
-    duration/size."""
+    duration/size. A negative duration yields an empty array (Spark's
+    sequence would otherwise run DOWNWARD and emit bogus slots)."""
     sz = (size if size is not None else F.lit(1800)).cast("long")
     e = start.cast("timestamp").cast("long")
-    return F.transform(
+    dur = duration.cast("long")
+    slots = F.transform(
         F.sequence(
             F.floor(e / sz).cast("long"),
-            F.floor((e + duration.cast("long")) / sz).cast("long"),
+            F.floor((e + dur) / sz).cast("long"),
         ),
         lambda i: (i * sz).cast("timestamp"),
     )
+    return F.when(dur >= 0, slots).otherwise(F.slice(slots, 1, 0))
 
 
 SCALAR_FNS["timeSlots"] = _time_slots
 
-SCALAR_FNS["dayName"] = lambda d: F.date_format(d, "EEEE")
+# fixed English day names (CH behavior) — date_format(d, 'EEEE') would
+# follow the JVM default locale
+_DAY_NAMES = [
+    "Sunday", "Monday", "Tuesday", "Wednesday",
+    "Thursday", "Friday", "Saturday",
+]
+SCALAR_FNS["dayName"] = lambda d: F.element_at(
+    F.array(*[F.lit(n) for n in _DAY_NAMES]), F.dayofweek(d)
+)
 
 # parseDateTime(s, '%Y-%m-%d ...') — CH %-format, same translation
 # table as formatDateTime (raw-arg pattern); unparseable → error like
@@ -3037,27 +3048,28 @@ SCALAR_FNS["arrayJaccardIndex"] = lambda a, b: F.when(
 
 def _array_fill(reverse: bool):
     def f(lam, arr: Column) -> Column:
-        """arrayFill(cond, arr) — elements failing cond take the value
-        of the nearest PRECEDING passing element (carry-forward);
-        leading failures keep their original value (CH semantics).
-        arrayReverseFill carries backward (nearest FOLLOWING)."""
+        """arrayFill(cond, arr) — res[0] = arr[0]; res[i] = arr[i] when
+        cond passes, else res[i-1] (the previous RESULT value, so the
+        first element propagates through a leading failing run — CH
+        semantics: only the first element is never replaced).
+        arrayReverseFill mirrors: res[n-1] = arr[n-1], failures take
+        res[i+1]."""
         src = F.reverse(arr) if reverse else arr
         none = F.get(arr, F.lit(2147483647))  # element-typed NULL
+
+        def res(acc, x):
+            return (
+                F.when(F.size(acc["a"]) == 0, x)
+                .when(lam(x).cast("boolean"), x)
+                .otherwise(acc["l"])
+            )
+
         filled = F.aggregate(
             src,
             F.struct(F.slice(arr, 1, 0).alias("a"), none.alias("l")),
             lambda acc, x: F.struct(
-                F.concat(
-                    acc["a"],
-                    F.array(
-                        F.when(lam(x).cast("boolean"), x).otherwise(
-                            F.coalesce(acc["l"], x)
-                        )
-                    ),
-                ).alias("a"),
-                F.when(lam(x).cast("boolean"), x)
-                .otherwise(acc["l"])
-                .alias("l"),
+                F.concat(acc["a"], F.array(res(acc, x))).alias("a"),
+                res(acc, x).alias("l"),
             ),
             lambda acc: acc["a"],
         )
@@ -3111,7 +3123,15 @@ _ASSOC_K = 1_000_000
 
 
 def _assoc_parts(x: Column, y: Column):
-    code = x.cast("long") * _ASSOC_K + y.cast("long")
+    """Encodes the (x, y) pair as x*K + y. The encoding is only
+    injective for 0 <= x and 0 <= y < K (= 1e6): outside that domain
+    Spark's sign-following % and the truncating (e/K) cast would
+    silently corrupt the contingency table, so `ok` guards the domain
+    and the wrappers NULL the result instead."""
+    xl, yl = x.cast("long"), y.cast("long")
+    code = xl * _ASSOC_K + yl
+    bad = F.max((xl < 0) | (yl < 0) | (yl >= _ASSOC_K))
+    ok = ~F.coalesce(bad, F.lit(False))
     cl = F.collect_list(code)
     n = F.size(cl).cast("double")
     codes = F.array_sort(F.array_distinct(cl))
@@ -3133,17 +3153,17 @@ def _assoc_parts(x: Column, y: Column):
     C = F.size(
         F.array_distinct(F.transform(cl, lambda e: e % K))
     ).cast("double")
-    return n, chi2, R, C
+    return n, chi2, R, C, ok
 
 
 def _cramers_v(x: Column, y: Column) -> Column:
-    n, chi2, R, C = _assoc_parts(x, y)
+    n, chi2, R, C, ok = _assoc_parts(x, y)
     k = F.least(R, C) - 1
-    return F.when((n > 0) & (k >= 1), F.sqrt(chi2 / (n * k)))
+    return F.when(ok & (n > 0) & (k >= 1), F.sqrt(chi2 / (n * k)))
 
 
 def _cramers_v_bias_corrected(x: Column, y: Column) -> Column:
-    n, chi2, R, C = _assoc_parts(x, y)
+    n, chi2, R, C, ok = _assoc_parts(x, y)
     phi2 = chi2 / n
     phi2c = F.greatest(
         F.lit(0.0), phi2 - (R - 1) * (C - 1) / (n - 1)
@@ -3151,19 +3171,23 @@ def _cramers_v_bias_corrected(x: Column, y: Column) -> Column:
     rc = R - (R - 1) * (R - 1) / (n - 1)
     cc = C - (C - 1) * (C - 1) / (n - 1)
     k = F.least(rc, cc) - 1
-    return F.when((n > 1) & (k > 0), F.sqrt(phi2c / k))
+    return F.when(ok & (n > 1) & (k > 0), F.sqrt(phi2c / k))
 
 
 def _contingency(x: Column, y: Column) -> Column:
-    n, chi2, R, C = _assoc_parts(x, y)
-    return F.when(n > 0, F.sqrt(chi2 / (chi2 + n)))
+    n, chi2, R, C, ok = _assoc_parts(x, y)
+    return F.when(ok & (n > 0), F.sqrt(chi2 / (chi2 + n)))
 
 
 def _theils_u(x: Column, y: Column) -> Column:
     """theilsU(x, y) — uncertainty coefficient U(x|y) =
     (H(x) + H(y) − H(x,y)) / H(x): how much knowing y reduces the
-    entropy of x. log is libm → PYTEST_ONLY, never hash-oracled."""
-    code = x.cast("long") * _ASSOC_K + y.cast("long")
+    entropy of x. log is libm → PYTEST_ONLY, never hash-oracled.
+    Same non-negative / y < 1e6 encoding domain as the chi² family."""
+    xl, yl = x.cast("long"), y.cast("long")
+    code = xl * _ASSOC_K + yl
+    bad = F.max((xl < 0) | (yl < 0) | (yl >= _ASSOC_K))
+    ok = ~F.coalesce(bad, F.lit(False))
     cl = F.collect_list(code)
     n = F.size(cl).cast("double")
     K = F.lit(_ASSOC_K).cast("long")
@@ -3186,7 +3210,7 @@ def _theils_u(x: Column, y: Column) -> Column:
     hx = H(F.transform(cl, lambda e: (e / K).cast("long")))
     hy = H(F.transform(cl, lambda e: e % K))
     hxy = H(cl)
-    return F.when((n > 0) & (hx > 0), (hx + hy - hxy) / hx)
+    return F.when(ok & (n > 0) & (hx > 0), (hx + hy - hxy) / hx)
 
 
 AGGREGATE_FNS["cramersV"] = _cramers_v

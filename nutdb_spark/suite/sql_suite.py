@@ -4068,7 +4068,7 @@ def sql_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT event_id, ts,
              CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es,
-             [CAST(1 + event_id % 4 AS BIGINT), CAST(0 AS BIGINT),
+             [CAST(event_id % 4 AS BIGINT), CAST(0 AS BIGINT),
               CAST(event_id % 3 AS BIGINT), CAST(0 AS BIGINT),
               CAST(2 + event_id % 2 AS BIGINT)] AS arr
       FROM events WHERE user_id < 15)
@@ -4103,7 +4103,7 @@ def sql_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       array_to_string(list_transform(range(1, len(arr) + 1),
         i -> CAST(coalesce(
                arr[list_max(list_filter(range(1, i + 1),
-                 j -> arr[j] <> 0))], arr[i]) AS VARCHAR)), ',') AS af
+                 j -> arr[j] <> 0))], arr[1]) AS VARCHAR)), ',') AS af
     FROM t ORDER BY event_id
     """,
 )
@@ -4126,7 +4126,7 @@ def sql_fn_tier8(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         with t as (
           select event_id, ts,
-                 [toInt64(1 + event_id % 4), toInt64(0),
+                 [toInt64(event_id % 4), toInt64(0),
                   toInt64(event_id % 3), toInt64(0),
                   toInt64(2 + event_id % 2)] as arr
           from events where user_id < 15)

@@ -89,21 +89,33 @@ def test_time_slots_edges(eng):
         "select arrayStringConcat(arrayMap(x -> toString(x), "
         "timeSlots(toDateTime('2024-01-01 00:00:00'), 0)), '|') as a, "
         "arrayStringConcat(arrayMap(x -> toString(x), "
-        "timeSlots(toDateTime('2024-01-01 00:59:00'), 60, 3600)), '|') as b"
+        "timeSlots(toDateTime('2024-01-01 00:59:00'), 60, 3600)), '|') as b, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "timeSlots(toDateTime('2024-01-01 00:59:00'), -60)), '|') as c"
     ).first()
     assert rows["a"] == "2024-01-01 00:00:00"  # zero duration: one slot
     assert rows["b"] == "2024-01-01 00:00:00|2024-01-01 01:00:00"
+    assert rows["c"] == ""  # negative duration: empty, never descending
 
 
-def test_array_fill_leading_failures_keep_value(eng):
+def test_array_fill_carries_previous_result(eng):
     r = eng.sql(
         "select arrayStringConcat(arrayMap(x -> toString(x), "
         "arrayFill(x -> x != 0, [0, 0, 5, 0])), ',') as a, "
         "arrayStringConcat(arrayMap(x -> toString(x), "
-        "arrayReverseFill(x -> x != 0, [0, 7, 0, 0])), ',') as b"
+        "arrayReverseFill(x -> x != 0, [0, 7, 0, 0])), ',') as b, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayFill(x -> x > 2, [1, 2, 5])), ',') as c, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayReverseFill(x -> x > 2, [5, 2, 1])), ',') as d"
     ).first()
-    assert r["a"] == "0,0,5,5"  # leading failures stay unchanged
-    assert r["b"] == "7,7,0,0"  # trailing failures stay unchanged
+    assert r["a"] == "0,0,5,5"
+    assert r["b"] == "7,7,0,0"
+    # CH carries the previous RESULT: the first element's value
+    # propagates through a leading failing run even when the run's
+    # own values differ (the r9 advice divergence case)
+    assert r["c"] == "1,1,5"
+    assert r["d"] == "5,1,1"
 
 
 def test_interval_printer_roundtrip(eng):
@@ -167,7 +179,9 @@ def test_array_functions_randomized_vs_python(spark, eng):
                 last = x
                 af.append(x)
             else:
-                af.append(last if last is not None else x)
+                # CH: carry the previous result; before any pass that
+                # is the first element's value
+                af.append(last if last is not None else a[0])
         return acs, aeu, aed, af
 
     for r in out:
