@@ -41,50 +41,48 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries.
-# Round-9 window (VERDICT r8 "Next round" #1): finish the signal
-# ledger — (1) the 12 entries registered after the r8 window filled
-# (never driver-graded, all local-green), (2) entries NEW this round
-# (each displaces one filler re-grade from section 3, by name, so the
-# list stays exactly 50), (3) the remainder filled with the STALEST
-# re-grades (last driver row r4; q_fn_random stays out — rows-only by
-# design, re-grading it adds no hash signal). After this window the
-# only entries without a driver row are this round's own late
-# registrations, if any; the remaining r4-graded entries
-# (sql_expressions, sql_distinct_on, sql_limit_ties, sql_cte_scalar,
-# sql_not_in, sql_describe, sql_text_pipeline, sql_embed_cosine,
-# sql_multi_join, sql_source_files) are the ROUND-10 re-grade pool.
+# Round-10 window: every entry has a driver row (the r9 window drained
+# the never-graded list to zero), so this window is (1) entries NEW
+# this round — each displaces one section-3 filler by name so the list
+# stays exactly 50 — then the STALEST re-grades: (2) the 20 remaining
+# r4-graded entries (q_fn_random stays out — rows-only by design,
+# re-grading it adds no hash signal; sql_limit_ties and sql_expressions
+# also exercise this round's LIMIT…WITH TIES and arrayFill advice
+# fixes), (3) the 30 stalest r5-graded entries in ledger order. The 18
+# r5 entries left over (q_sim_topk_lsh, q_split_train_eval,
+# q_stream_enrich, q_text_fingerprint, q_text_quality,
+# q_union_distinct, q_window_session, q_window_tumbling, sql_asof,
+# sql_q1, sql_setops, sql_table_fn, tpch_q10, tpch_q16, tpch_q20,
+# tpch_q22, tpch_q8, tpch_q9) are the ROUND-11 re-grade pool.
 _PRIORITY = [
-    # --- (1) never driver-graded: registered after the r8 window
-    # filled (12) ---
-    "q_sim_topk_ivf_adc", "q_pipeline_index", "sql_agg_state_merge",
-    "sql_fn_tier6", "sql_alias_anywhere", "sql_table_fn_series",
-    "sql_asof_forward", "sql_any_join_on", "sql_topk_if",
-    "q_ddl_optimize_dedup", "q_ddl_exchange", "q_ddl_view_plain",
-    # --- (2) new in round 9 (each displaced a section-3 filler, by
-    # name: q_dedup_incremental_exact displaced sql_join_group,
-    # q_sim_ivf_append displaced sql_q4_exists, sql_fn_tier7 displaced
-    # q_window_sliding, sql_median_exact displaced q_text_tokenize,
-    # q_dedup_edit_verified displaced tpch_q19, sql_fn_tier8 displaced
-    # tpch_q17, q_pipeline_incremental displaced tpch_q15,
-    # q_stream_join_right displaced tpch_q13, q_dedup_recall displaced
-    # tpch_q11, sql_agg_assoc displaced tpch_q7) ---
-    "q_dedup_incremental", "q_dedup_incremental_exact",
-    "q_sim_ivf_append", "sql_fn_tier7", "sql_median_exact",
-    "q_dedup_edit_verified", "sql_fn_tier8", "q_pipeline_incremental",
-    "q_stream_join_right", "q_dedup_recall", "sql_agg_assoc",
-    # --- (3) stalest re-grades (last driver row r4; 37 to fill the
-    # window to exactly 50). sql_params re-grades here per VERDICT r8
-    # #6 (the $n-parameter entry needed a fresh driver row) ---
-    "sql_params",
-    "q_text_normalize", "q_text_ngrams", "q_text_langid",
-    "q_stream_dedup", "q_stream_summing", "q_pipeline_clean",
-    "q_sim_lsh_pairs", "q_multimodal_resize", "q_ddl_optimize",
-    "q_dedup_exact_content", "q_dedup_simhash", "q_expr_between",
-    "q_expr_index", "q_expr_isnull", "q_expr_interval", "q_expr_like",
-    "q_ddl_complex_types", "q_fn_count_unique", "q_fn_strings",
-    "q_fn_substring", "q_join_broadcast", "q_join_salted",
-    "q_multimodal_frames",
-    "tpch_q2_mincost", "tpch_q3", "tpch_q4",
+    # --- (1) new in round 10 (displacements named per entry:
+    # sql_fn_tier9 displaced q_sim_topk_ivf, sql_topk_weighted
+    # displaced q_sim_topk, q_dedup_cdc_chunks displaced
+    # q_sim_cosine_blocked, q_text_tfidf displaced q_sample_hash,
+    # sql_window_range_date displaced q_not_in_subquery,
+    # q_bucketed_join displaced q_not_in_list_null,
+    # sql_fn_maps displaced q_not_exists,
+    # q_stream_session_state displaced q_multimodal_features) ---
+    "sql_fn_tier9", "sql_topk_weighted", "q_dedup_cdc_chunks",
+    "q_text_tfidf", "sql_window_range_date", "q_bucketed_join",
+    "sql_fn_maps", "q_stream_session_state",
+    # --- (2) r4 re-grades (20) ---
+    "q_text_tokenize", "q_window_sliding", "sql_cte_scalar",
+    "sql_describe", "sql_distinct_on", "sql_embed_cosine",
+    "sql_expressions", "sql_join_group", "sql_limit_ties",
+    "sql_multi_join", "sql_not_in", "sql_q4_exists",
+    "sql_source_files", "sql_text_pipeline",
+    "tpch_q7", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q19",
+    # --- (3) r5 re-grades (22 after displacements) ---
+    "q_asof_join", "q_cluster_kmeans", "q_ddl_alter",
+    "q_ddl_insert_select", "q_ddl_roundtrip", "q_ddl_view_replacing",
+    "q_ddl_view_summing", "q_ddl_view_summing_incremental",
+    "q_dedup_connected", "q_dedup_embedding", "q_dedup_exact",
+    "q_dedup_jaccard", "q_dedup_minhash_sig", "q_distinct",
+    "q_expr_concat", "q_fn_conditional_agg", "q_fn_scalar_surface",
+    "q_join_left", "q_join_left_anti", "q_join_right_anti",
+    "q_join_right_semi", "q_join_theta",
 ]
 
 
