@@ -3218,3 +3218,209 @@ AGGREGATE_FNS["cramersVBiasCorrected"] = _cramers_v_bias_corrected
 AGGREGATE_FNS["contingency"] = _contingency
 AGGREGATE_FNS["theilsU"] = _theils_u
 PYTEST_ONLY["theilsU"] = "folds log — libm drift"
+
+
+# --- [EXT] tier-9 scalars ----------------------------------------------------
+# Window/subsequence/string-shingle surface (ClickHouse names). All
+# pure JVM expression trees: transforms over bounded sequences, no
+# Python rows. Spark's sequence(1, 0) runs DOWNWARD, so every
+# sequence stop is clamped to >= 1 and the empty case is carved out
+# with the slice(x, 1, 0) typed-empty trick.
+
+
+def _array_shingles(a: Column, n: Column) -> Column:
+    """arrayShingles(arr, n) — consecutive length-n windows
+    ([1,2,3,4], 3 → [[1,2,3],[2,3,4]]); empty when len(arr) < n."""
+    full = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(a) - n + 1, F.lit(1))),
+        lambda i: F.slice(a, i, n),
+    )
+    return F.when(F.size(a) >= n, full).otherwise(F.slice(full, 1, 0))
+
+
+SCALAR_FNS["arrayShingles"] = _array_shingles
+
+
+def _char_ngrams(s: Column, n: Column) -> Column:
+    """ngrams(s, n) — character n-grams of a string, in order."""
+    ln = F.length(s)
+    full = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1))),
+        lambda i: F.call_function("substring", s, i, n),
+    )
+    return F.when(ln >= n, full).otherwise(F.slice(full, 1, 0))
+
+
+SCALAR_FNS["ngrams"] = _char_ngrams
+
+
+def _has_subsequence(h: Column, needle: Column) -> Column:
+    """hasSubsequence(haystack, needle) — 1 when needle's characters
+    appear in haystack in order (not necessarily contiguous). Single
+    in-order fold over haystack positions; case-sensitive like CH."""
+    matched = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(h), F.lit(1))),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (acc < F.length(needle))
+            & (
+                F.call_function("substring", h, i, F.lit(1))
+                == F.call_function("substring", needle, acc + 1, F.lit(1))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.when(F.length(needle) == 0, F.lit(1)).otherwise(
+        (matched >= F.length(needle)).cast("int")
+    )
+
+
+SCALAR_FNS["hasSubsequence"] = _has_subsequence
+SCALAR_FNS["hasSubsequenceCaseInsensitive"] = lambda h, n: _has_subsequence(
+    F.lower(h), F.lower(n)
+)
+
+
+def _array_split(reverse: bool):
+    def f(lam, arr: Column) -> Column:
+        """arraySplit(cond, arr) — split into consecutive runs, cutting
+        BEFORE each element where cond holds (a flag on the first
+        element adds no leading empty group, CH semantics).
+        arrayReverseSplit cuts AFTER flagged elements."""
+        n = F.size(arr)
+        idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+        if reverse:
+            cuts = F.transform(
+                F.filter(
+                    idx,
+                    lambda i: (i < n)
+                    & lam(F.element_at(arr, i)).cast("boolean"),
+                ),
+                lambda i: i + 1,
+            )
+        else:
+            cuts = F.filter(
+                idx,
+                lambda i: (i > 1) & lam(F.element_at(arr, i)).cast("boolean"),
+            )
+        bounds = F.concat(F.array(F.lit(1)), cuts, F.array(n + 1))
+        segs = F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.slice(
+                arr,
+                F.element_at(bounds, j),
+                F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+            ),
+        )
+        return F.when(n > 0, segs).otherwise(F.slice(segs, 1, 0))
+
+    return f
+
+
+SCALAR_FNS["arraySplit"] = _array_split(False)
+SCALAR_FNS["arrayReverseSplit"] = _array_split(True)
+
+
+def _array_dot_product(a: Column, b: Column) -> Column:
+    """arrayDotProduct(a, b) — Σ aᵢ·bᵢ as an in-order double fold
+    (deterministic order ≡ DuckDB list_reduce, so oracle-exact on
+    integer inputs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+SCALAR_FNS["arrayDotProduct"] = _array_dot_product
+
+# bit positions that equal 1, ascending, 0-based (CH). (x >> i) & 1
+# reads bit i regardless of the arithmetic shift's sign extension.
+SCALAR_FNS["bitPositionsToArray"] = lambda x: F.filter(
+    F.sequence(F.lit(0), F.lit(63)),
+    lambda i: F.call_function("shiftright", x.cast("long"), i.cast("int"))
+    .bitwiseAND(F.lit(1))
+    == 1,
+)
+
+SCALAR_FNS["ifNotFinite"] = lambda x, y: F.when(
+    ~F.isnan(x.cast("double"))
+    & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+    x,
+).otherwise(y)
+SCALAR_FNS["nanToNull"] = lambda x: F.when(~F.isnan(x.cast("double")), x)
+
+
+def _format_readable_quantity(q: Column) -> Column:
+    """formatReadableQuantity(x) → '1.23 million' — the decimal
+    sibling of formatReadableSize (same %.2f tie hazard)."""
+    x = q.cast("double")
+    out = F.format_string("%.2f trillion", x / F.lit(1e12))
+    for scale, unit in ((1e9, "billion"), (1e6, "million"), (1e3, "thousand")):
+        out = F.when(
+            F.abs(x) < F.lit(scale * 1000.0),
+            F.format_string(f"%.2f {unit}", x / F.lit(scale)),
+        ).otherwise(out)
+    return F.when(F.abs(x) < F.lit(1000.0), F.format_string("%.2f", x)).otherwise(out)
+
+
+SCALAR_FNS["formatReadableQuantity"] = _format_readable_quantity
+FORMAT_TIE_HAZARD["formatReadableQuantity"] = (
+    "%.2f tie: Java HALF_UP vs C half-even on .xx5"
+)
+
+
+# --- [EXT] map-function surface (CH map* family gaps) ------------------------
+# Entry-level lambdas ride Spark's map_entries/map_from_entries;
+# mapSort gives maps a deterministic printable order (Spark map
+# equality/iteration order is otherwise unspecified — entries that
+# print a map go through mapSort first).
+
+SCALAR_FNS["map"] = lambda *cs: F.create_map(*cs)
+
+
+def _map_apply(lam, m: Column) -> Column:
+    """mapApply((k, v) -> tuple(k', v'), m) — the lambda returns a
+    2-tuple (struct _1/_2); entries rebuild through
+    map_from_entries."""
+    return F.map_from_entries(
+        F.transform(F.map_entries(m), lambda e: lam(e["key"], e["value"]))
+    )
+
+
+SCALAR_FNS["mapApply"] = _map_apply
+SCALAR_FNS["mapExists"] = lambda lam, m: F.exists(
+    F.map_entries(m), lambda e: lam(e["key"], e["value"]).cast("boolean")
+).cast("int")
+SCALAR_FNS["mapAll"] = lambda lam, m: F.forall(
+    F.map_entries(m), lambda e: lam(e["key"], e["value"]).cast("boolean")
+).cast("int")
+SCALAR_FNS["mapSort"] = lambda m: F.map_from_entries(
+    F.array_sort(F.map_entries(m))
+)
+SCALAR_FNS["mapReverseSort"] = lambda m: F.map_from_entries(
+    F.reverse(F.array_sort(F.map_entries(m)))
+)
+SCALAR_FNS["mapContainsKeyLike"] = lambda m, pat: F.exists(
+    F.map_keys(m), lambda k: F.like(k, pat)
+).cast("int")
+SCALAR_FNS["mapExtractKeyLike"] = lambda m, pat: F.map_filter(
+    m, lambda k, v: F.like(k, pat)
+)
+
+
+def _map_populate_series(m: Column, mx: Column = None) -> Column:
+    """mapPopulateSeries(m[, max]) — fill integer-key gaps from
+    min(key) to max(key) (or `max`) with typed zeros."""
+    ks = F.map_keys(m)
+    hi = mx if mx is not None else F.array_max(ks)
+    seq = F.sequence(F.array_min(ks), hi)
+    zero = F.get(F.map_values(m), F.lit(0)) * F.lit(0)
+    return F.map_from_arrays(
+        seq,
+        F.transform(seq, lambda k: F.coalesce(F.try_element_at(m, k), zero)),
+    )
+
+
+SCALAR_FNS["mapPopulateSeries"] = _map_populate_series

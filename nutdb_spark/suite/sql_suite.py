@@ -4227,3 +4227,169 @@ def sql_agg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t group by user_id order by user_id
         """,
     )
+
+
+@query(
+    "sql_fn_tier9",
+    """
+    WITH t AS (
+      SELECT event_id, event_type AS et,
+             [CAST(event_id % 4 AS BIGINT), CAST(1 + event_id % 3 AS BIGINT),
+              CAST(2 * (event_id % 2) AS BIGINT), CAST(3 AS BIGINT),
+              CAST(event_id % 5 AS BIGINT)] AS arr,
+             [CAST(1 + event_id % 2 AS BIGINT), CAST(event_id % 6 AS BIGINT),
+              CAST(2 AS BIGINT), CAST(event_id % 3 AS BIGINT),
+              CAST(1 AS BIGINT)] AS arr2,
+             event_id * 1000 + 7 AS v
+      FROM events WHERE user_id < 15),
+    b AS (
+      SELECT *,
+        list_concat([1], list_concat(
+          list_filter(range(2, len(arr) + 1), i -> arr[i] % 3 = 0),
+          [len(arr) + 1])) AS bounds,
+        list_concat([1], list_concat(
+          list_transform(list_filter(range(1, len(arr)),
+            i -> arr[i] % 3 = 0), i -> i + 1),
+          [len(arr) + 1])) AS rbounds
+      FROM t)
+    SELECT event_id,
+      array_to_string(list_transform(range(1, len(arr)),
+        i -> array_to_string(arr[i:i+1], '-')), '|') AS sh,
+      array_to_string(list_transform(range(1, len(et) - 1),
+        i -> substr(et, i, 3)), '|') AS ng,
+      CAST(list_reduce(list_concat([0], range(1, len(et) + 1)), (a, i) ->
+        a + CASE WHEN a < 2 AND substr(et, i, 1) = substr('ik', a + 1, 1)
+                 THEN 1 ELSE 0 END) >= 2 AS INT) AS hs,
+      array_to_string(list_transform(range(1, len(bounds)),
+        j -> array_to_string(arr[bounds[j]:bounds[j+1]-1], '-')), '|') AS sp,
+      array_to_string(list_transform(range(1, len(rbounds)),
+        j -> array_to_string(arr[rbounds[j]:rbounds[j+1]-1], '-')), '|') AS rsp,
+      list_reduce(list_concat([CAST(0 AS DOUBLE)],
+        list_transform(range(1, len(arr) + 1),
+          i -> CAST(arr[i] AS DOUBLE) * CAST(arr2[i] AS DOUBLE))),
+        (a, x) -> a + x) AS dp,
+      coalesce(array_to_string(list_filter(range(0, 64),
+        i -> (CAST(event_id % 1000 AS BIGINT) >> i) & 1 = 1), ','), '')
+        AS bp,
+      CASE WHEN event_id % 5 - 2 < 0 THEN NULL
+           ELSE sqrt(CAST(event_id % 5 - 2 AS DOUBLE)) END AS nn,
+      CAST(CASE WHEN event_id % 2 = 0 THEN 1.5 ELSE -1.0 END AS DOUBLE) AS infn,
+      CASE WHEN v < 1000 THEN printf('%.2f', CAST(v AS DOUBLE))
+           WHEN v < 1000000 THEN printf('%.2f thousand', v / 1000.0)
+           WHEN v < 1000000000 THEN printf('%.2f million', v / 1000000.0)
+           WHEN v < 1000000000000 THEN
+             printf('%.2f billion', v / 1000000000.0)
+           ELSE printf('%.2f trillion', v / 1000000000000.0) END AS frq
+    FROM b ORDER BY event_id
+    """,
+)
+def sql_fn_tier9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-9 surface — window/subsequence/bit scalars:
+    arrayShingles (consecutive windows), character ngrams,
+    hasSubsequence (single in-order position fold, ≡ DuckDB
+    list_reduce), arraySplit/arrayReverseSplit (cut-index bounds +
+    slices, no per-element state), arrayDotProduct (in-order double
+    fold), bitPositionsToArray ((x>>i)&1 probes, sign-safe),
+    nanToNull/ifNotFinite, and formatReadableQuantity (the %.2f
+    fixture values stay off .xx5 ties — FORMAT_TIE_HAZARD). All JVM
+    expression trees; one Exchange for the ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, event_type as et,
+                 [toInt64(event_id % 4), toInt64(1 + event_id % 3),
+                  toInt64(2 * (event_id % 2)), toInt64(3),
+                  toInt64(event_id % 5)] as arr,
+                 [toInt64(1 + event_id % 2), toInt64(event_id % 6),
+                  toInt64(2), toInt64(event_id % 3), toInt64(1)] as arr2
+          from events where user_id < 15)
+        select event_id,
+               arrayStringConcat(arrayMap(
+                 x -> arrayStringConcat(arrayMap(y -> toString(y), x), '-'),
+                 arrayShingles(arr, 2)), '|') as sh,
+               arrayStringConcat(ngrams(et, 3), '|') as ng,
+               hasSubsequence(et, 'ik') as hs,
+               arrayStringConcat(arrayMap(
+                 x -> arrayStringConcat(arrayMap(y -> toString(y), x), '-'),
+                 arraySplit(x -> x % 3 = 0, arr)), '|') as sp,
+               arrayStringConcat(arrayMap(
+                 x -> arrayStringConcat(arrayMap(y -> toString(y), x), '-'),
+                 arrayReverseSplit(x -> x % 3 = 0, arr)), '|') as rsp,
+               arrayDotProduct(arr, arr2) as dp,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 bitPositionsToArray(event_id % 1000)), ',') as bp,
+               nanToNull(sqrt(toFloat64(event_id % 5 - 2))) as nn,
+               ifNotFinite(if(event_id % 2 = 0, 1.5,
+                 toFloat64('1e200') * toFloat64('1e200')), -1.0) as infn,
+               formatReadableQuantity(event_id * 1000 + 7) as frq
+        from t order by event_id
+        """,
+    )
+
+
+@query(
+    "sql_fn_maps",
+    """
+    WITH t AS (
+      SELECT event_id, event_id % 5 AS va, event_id % 7 AS vb,
+             event_id % 3 AS k2
+      FROM events WHERE user_id < 15)
+    SELECT event_id,
+      'a,b,c' AS msk,
+      concat(CAST(va AS VARCHAR), ',', CAST(vb AS VARCHAR), ',3') AS msv,
+      'c,b,a' AS mrk,
+      CAST(va > 4 OR vb > 4 AS INT) AS me,
+      CAST(va >= 3 AND vb >= 3 AS INT) AS ma,
+      CAST(k2 = 1 AS INT) AS mckl,
+      CASE WHEN k2 = 1 THEN 'a1' ELSE '' END AS mekl,
+      concat(CAST(va AS VARCHAR), ',0,0,', CAST(vb AS VARCHAR)) AS mps,
+      concat(CAST(va * 2 + 1 AS VARCHAR), ',',
+             CAST(vb * 2 + 1 AS VARCHAR), ',7') AS mapp
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CH map-function surface: map() constructor, mapSort /
+    mapReverseSort (entry-array sort — gives Spark maps a
+    deterministic printable order), mapExists / mapAll (entry-level
+    lambdas), mapContainsKeyLike / mapExtractKeyLike (LIKE over
+    keys), mapPopulateSeries (integer-key gap fill with typed
+    zeros), and mapApply (tuple-returning lambda through
+    map_from_entries). The oracle states each expected string in
+    closed form — the map machinery itself has no DuckDB
+    equivalent, the VALUES do."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id,
+                 map('a', toInt64(event_id % 5), 'b', toInt64(event_id % 7),
+                     'c', toInt64(3)) as m,
+                 map(concat('a', toString(event_id % 3)), toInt64(1),
+                     'xy', toInt64(2)) as m2,
+                 map(toInt64(1), toInt64(event_id % 5),
+                     toInt64(4), toInt64(event_id % 7)) as mi
+          from events where user_id < 15)
+        select event_id,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 mapKeys(mapSort(m))), ',') as msk,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 mapValues(mapSort(m))), ',') as msv,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 mapKeys(mapReverseSort(m))), ',') as mrk,
+               mapExists((k, v) -> v > 4, m) as me,
+               mapAll((k, v) -> v >= 3, m) as ma,
+               mapContainsKeyLike(m2, 'a1%') as mckl,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 mapKeys(mapExtractKeyLike(m2, 'a1%'))), ',') as mekl,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 mapValues(mapPopulateSeries(mi))), ',') as mps,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 mapValues(mapApply((k, v) -> tuple(k, v * 2 + 1),
+                   mapSort(m)))), ',') as mapp
+        from t order by event_id
+        """,
+    )
