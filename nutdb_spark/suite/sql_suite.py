@@ -4393,3 +4393,42 @@ def sql_fn_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+@query(
+    "sql_topk_weighted",
+    """
+    WITH s AS (
+      SELECT l_returnflag rf, l_linenumber v,
+             SUM(CAST(l_quantity AS BIGINT)) w, COUNT(*) c
+      FROM lineitem GROUP BY rf, v),
+    r AS (
+      SELECT rf, v, row_number() OVER (PARTITION BY rf
+               ORDER BY w DESC, v ASC) AS rn FROM s),
+    t AS (
+      SELECT rf, string_agg(CAST(v AS VARCHAR), ',' ORDER BY rn) AS tw
+      FROM r WHERE rn <= 3 GROUP BY rf),
+    n AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS n FROM s GROUP BY rf)
+    SELECT n.rf AS l_returnflag, t.tw AS tw, n.n AS n
+    FROM n JOIN t USING (rf) ORDER BY l_returnflag
+    """,
+)
+def sql_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] topKWeighted(k)(x, w) — the k values with the largest
+    total weight (ties value asc), the weighted sibling of topK.
+    Under GROUP BY it rides the same bounded two-level rewrite
+    (level-1 pre-aggregate is (keys, value, Σw) — state O(distinct
+    values) per group, never O(group rows)); the oracle replays the
+    weight-rank top-k. Weights fold as longs, so the sums are
+    integer-exact cross-engine."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select l_returnflag,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 topKWeighted(3)(l_linenumber, l_quantity)), ',') as tw,
+               count() as n
+        from lineitem group by l_returnflag order by l_returnflag
+        """,
+    )
