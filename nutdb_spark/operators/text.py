@@ -382,3 +382,74 @@ def chunk_tokens(
         ((F.col("__start") - 1) / stride).cast("int").alias("chunk_id"),
         F.slice("__toks", F.col("__start"), size).alias("chunk"),
     )
+
+
+def bm25_top_terms(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 4,
+    top_per_doc: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """BM25 keyword extraction, oracle-exact form: per-document top
+    terms by a BM25 score whose idf is the RATIONAL Robertson form
+    (N - df + 0.5)/(df + 0.5) instead of its log — every op in the
+    score is an exactly-rounded IEEE +,*,/ over identical operands,
+    so the doubles (and the ranking) hash-match DuckDB where a libm
+    log would drift in the last ulp.
+
+    score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: explode → (doc,term) and (doc) hash-groupBys (both
+    map-side partial) → df groupBy on term → term-key join + doc-key
+    join; N and avgdl are a 1-row aggregate broadcast by the scalar
+    cross join; the per-doc top-k is a bounded window. No collects,
+    no UDFs.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    n, d = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    idf = (n - d + F.lit(0.5)) / (d + F.lit(0.5))
+    score = (
+        idf
+        * (tfd * F.lit(k1 + 1.0))
+        / (
+            tfd
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_per_doc)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

@@ -859,3 +859,48 @@ def q_sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("len").cast("long").alias("min_len"),
         F.max("len").cast("long").alias("max_len"),
     )
+
+
+@query(
+    "q_text_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS term
+      FROM (SELECT doc_id, {oracle_normalize('text')} AS norm
+            FROM documents WHERE doc_id < 300)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM toks WHERE len(term) >= 4 GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    corpus AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        AS avgdl
+               FROM dl),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+               / (CAST(df AS DOUBLE) + 0.5))
+             * (CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               AS score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id),
+           corpus),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+    SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword extraction with a RATIONAL idf — the full float
+    score is oracled (not just the integer tf/df core of
+    q_text_termstats): every op is an exactly-rounded IEEE +,*,/
+    over identical operands, so score doubles hash-match DuckDB.
+    Corpus stats (N, avgdl) are a broadcast 1-row aggregate; the
+    rest is equi-join + bounded window — the same shape at 100 TB."""
+    from nutdb_spark.operators.text import bm25_top_terms
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return bm25_top_terms(d, "doc_id", "text", min_len=4, top_per_doc=3)
