@@ -994,3 +994,126 @@ def dedup_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+# --- content-defined chunking (CDC) dedup -----------------------------------
+
+_CDC_P = 1_000_000_007
+_CDC_W = 8  # rolling-window width in characters
+
+
+def _cdc_weights() -> list[int]:
+    return [pow(31, j, _CDC_P) for j in range(_CDC_W)]
+
+
+def _let(val: Column, body) -> Column:
+    """Bind `val` to a lambda variable so `body` references it as a
+    cheap attribute instead of re-evaluating the expression tree at
+    every use (Catalyst CollapseProject inlines projected aliases
+    into lambda bodies — a regexp normalize referenced 8×len times
+    turns O(len) into O(len²·regexp) without this)."""
+    return F.get(F.transform(F.array(val), body), 0)
+
+
+def cdc_chunks(text: Column, mask: int = 64) -> Column:
+    """Content-defined chunk boundaries (gear/Rabin style): position i
+    ends a chunk when the polynomial hash of the trailing 8-character
+    window is ≡ 0 (mod `mask`) — boundaries move with the CONTENT, so
+    an insertion early in a document shifts chunk offsets without
+    changing the chunks downstream (what fixed-size chunking cannot
+    do, and why CDC is the span-dedup primitive at corpus scale).
+
+    Every position's window hash is an independent 8-term sum over a
+    let-bound codepoint array (O(1) element_at per term, no
+    sequential state), so the whole operator is one JVM expression
+    tree: codes → filter positions → boundary list → slice
+    substrings. Average chunk length ≈ mask characters.
+    """
+    ws = _cdc_weights()
+
+    def with_s(s):
+        codes_expr = F.transform(
+            F.split(s, ""), lambda c: F.ascii(c).cast("long")
+        )
+
+        def with_codes(codes):
+            ln = F.length(s)
+
+            # Σ_j code(s[i-j]) · 31^j (mod p) — weight literals
+            def wh(i):
+                h = F.lit(0).cast("long")
+                for j, w in enumerate(ws):
+                    h = h + F.element_at(codes, (i - F.lit(j)).cast("int")) * F.lit(w)
+                return (h % F.lit(_CDC_P)) % F.lit(mask)
+
+            # a boundary at the final position is a no-op — excluding
+            # it (i < ln) keeps `bounds` strictly increasing with no
+            # dedup pass
+            bpos = F.filter(
+                F.sequence(F.lit(_CDC_W), F.greatest(ln, F.lit(_CDC_W))),
+                lambda i: (i < ln) & (wh(i) == 0),
+            )
+            bounds = F.concat(
+                F.array(F.lit(1)),
+                F.transform(bpos, lambda i: i + 1),
+                F.array(ln + 1),
+            )
+            chunks = F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(bounds) - 1, F.lit(1))
+                ),
+                lambda j: F.call_function(
+                    "substring",
+                    s,
+                    F.element_at(bounds, j),
+                    F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+                ),
+            )
+            return F.when(ln > 0, chunks).otherwise(F.slice(chunks, 1, 0))
+
+        return _let(codes_expr, with_codes)
+
+    return _let(text, with_s)
+
+
+def cdc_chunk_dedup(
+    df: "DataFrame", id_col: str, text_col: str, *, mask: int = 64
+) -> "DataFrame":
+    """Corpus-wide CDC chunk dedup: chunk every document, md5 each
+    chunk, keep the (doc, position)-lexicographically-first
+    occurrence of each distinct chunk, and report per document how
+    many chunks / characters were duplicates of earlier content.
+
+    Scale shape: chunking is row-local codegen; the dedup is ONE
+    hash-groupBy on the chunk digest (map-side partial) joined back
+    on the same key — the identical bucketed equi-join discipline as
+    exact dedup, never all-pairs. Chunk payloads leave the row only
+    as 32-byte digests.
+    """
+    from nutdb_spark.operators.text import normalize_text
+
+    rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            cdc_chunks(normalize_text(F.col(text_col)), mask=mask)
+        ).alias("idx", "chunk"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.md5(F.col("chunk")).alias("h"),
+        F.length("chunk").alias("chunk_len"),
+    )
+    firsts = rows.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    j = rows.join(firsts, "h")
+    dup = (F.col("doc_id") != F.col("first.doc_id")) | (
+        F.col("idx") != F.col("first.idx")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup.cast("long")).alias("n_dup"),
+        F.sum(F.when(dup, F.col("chunk_len")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+    )

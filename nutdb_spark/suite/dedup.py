@@ -660,3 +660,71 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_lsh").cast("double")
         ).alias("precision_"),
     )
+
+
+def _cdc_hash_sql(s: str, i: str) -> str:
+    """The 8-term trailing-window polynomial hash, spelled for DuckDB
+    with the same precomputed 31^j mod p weight literals the Spark
+    lowering uses."""
+    from nutdb_spark.operators.dedup import _CDC_P, _cdc_weights
+
+    terms = " + ".join(
+        f"CAST(ascii(substr({s}, {i} - {j}, 1)) AS BIGINT) * {w}"
+        for j, w in enumerate(_cdc_weights())
+    )
+    return f"(({terms}) % {_CDC_P}) % 64"
+
+
+@query(
+    "q_dedup_cdc_chunks",
+    f"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+               AS s
+      FROM documents WHERE doc_id < 300),
+    b AS (
+      SELECT doc_id, s, len(s) AS ln,
+             list_concat([1], list_concat(
+               list_transform(
+                 list_filter(range(8, greatest(len(s), 8) + 1),
+                   i -> i < len(s) AND {_cdc_hash_sql('s', 'i')} = 0),
+                 i -> i + 1),
+               [len(s) + 1])) AS bounds
+      FROM d),
+    c AS (
+      SELECT doc_id,
+             list_filter(list_transform(range(1, len(bounds)),
+               j -> substr(s, bounds[j], bounds[j+1] - bounds[j])),
+               x -> len(x) > 0) AS chunks
+      FROM b),
+    rows_ AS (
+      SELECT doc_id, j - 1 AS idx, md5(chunks[j]) AS h,
+             len(chunks[j]) AS chunk_len
+      FROM c, unnest(range(1, len(chunks) + 1)) AS t(j)),
+    m AS (
+      SELECT doc_id, chunk_len,
+             row_number() OVER (PARTITION BY h
+               ORDER BY doc_id, idx) > 1 AS dup
+      FROM rows_)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN dup THEN chunk_len ELSE 0 END) AS BIGINT)
+             AS dup_chars
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) span dedup — the rsync/gear
+    primitive for corpus-scale span dedup: chunk boundaries follow
+    the CONTENT (trailing-window polynomial hash ≡ 0 mod 64), so an
+    early insertion shifts offsets without changing downstream
+    chunks, which fixed windows cannot do. Every position's window
+    hash is an independent 8-term fold (no sequential state) — the
+    whole chunker is row-local codegen; the corpus dedup is one
+    hash-groupBy on chunk digests joined back on the same key (the
+    exact-dedup discipline, never all-pairs). Per-doc output: chunk
+    count, chunks duplicating earlier content, duplicated chars."""
+    from nutdb_spark.operators.dedup import cdc_chunk_dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return cdc_chunk_dedup(d, "doc_id", "text")
