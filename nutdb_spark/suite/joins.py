@@ -291,3 +291,42 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(e, c, "user_id", "c_custkey", salt=8).select(
         "user_id", "event_type", "c_mktsegment"
     )
+
+
+@query(
+    "q_bucketed_join",
+    """
+    SELECT o.o_custkey AS cust, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_custkey < 300
+    GROUP BY cust
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: orders and lineitem are
+    materialized ONCE as 8-bucket tables hashed+sorted on the order
+    key, then joined with zero Exchange (sort-merge over co-located
+    buckets — plan-pinned in tests/test_bucketed_join.py). At 100 TB
+    this converts the nightly orders⋈lineitem re-shuffle into a
+    one-time write-side cost. Values are identical to the plain
+    shuffle join, which is what the oracle replays."""
+    from nutdb_spark.operators.bucketing import bucketed_join, ensure_bucketed
+
+    o = ensure_bucketed(
+        spark, load_table(spark, sf_dir, "orders"), sf_dir, "orders",
+        "o_orderkey",
+    )
+    li = ensure_bucketed(
+        spark, load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem",
+        "l_orderkey",
+    )
+    j = bucketed_join(o, li, "o_orderkey", "l_orderkey")
+    return (
+        j.filter(F.col("o_custkey") < 300)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
