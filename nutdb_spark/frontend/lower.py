@@ -3023,12 +3023,50 @@ class Lowerer:
                         "a RANGE frame requires exactly one ascending "
                         "ORDER BY key"
                     )
+                if any(isinstance(b[1], A.Interval) for b in (lo, hi)):
+                    # [EXT] INTERVAL bounds over a timestamp sort key:
+                    # re-key the window on epoch micros (a monotonic
+                    # bijection — identical frames) and convert the
+                    # bounds to micros. Variable-length units (month+)
+                    # are rejected: they have no fixed micro width.
+                    key = self._expr(
+                        e.order_by[0].expr, scope, None, agg_calls,
+                        pending,
+                    )
+                    w = Window.partitionBy(*parts).orderBy(
+                        F.unix_micros(key.cast("timestamp"))
+                    )
+                    lo = (lo[0], self._iv_micros(lo[1]))
+                    hi = (hi[0], self._iv_micros(hi[1]))
                 w = w.rangeBetween(self._frame_val(lo, True),
                                    self._frame_val(hi, False))
             else:
+                if any(isinstance(b[1], A.Interval) for b in (lo, hi)):
+                    raise LoweringError(
+                        "INTERVAL frame bounds require a RANGE frame"
+                    )
                 w = w.rowsBetween(self._frame_val(lo, True),
                                   self._frame_val(hi, False))
         return w
+
+    _IV_MICROS = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 604_800_000_000,
+    }
+
+    @classmethod
+    def _iv_micros(cls, iv):
+        if iv is None or not isinstance(iv, A.Interval):
+            return iv
+        if iv.unit not in cls._IV_MICROS:
+            raise LoweringError(
+                "RANGE INTERVAL bounds need a fixed-length unit "
+                "(SECOND..WEEK)"
+            )
+        return iv.count * cls._IV_MICROS[iv.unit]
 
     @staticmethod
     def _frame_val(bound, is_lo: bool):

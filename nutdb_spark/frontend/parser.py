@@ -1240,6 +1240,13 @@ class Parser:
         if self.eat_kw("current"):
             self.expect_kw("row")
             return ("cur", None)
+        if self.eat_kw("interval"):
+            # [EXT] time-offset RANGE bounds over a timestamp sort key
+            iv = self._interval()
+            if self.eat_kw("preceding"):
+                return ("pre", iv)
+            self.expect_kw("following")
+            return ("fol", iv)
         t = self.peek()
         if t.type == T.INT:
             self.next()

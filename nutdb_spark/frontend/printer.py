@@ -166,7 +166,11 @@ def expr(e) -> str:  # noqa: C901 — one dispatch table, flat by design
 
 
 def _bound(b) -> str:
+    from nutdb_spark.frontend import ast_nodes as A
+
     kind, n = b
+    if isinstance(n, A.Interval):
+        n = f"INTERVAL {n.count} {n.unit.upper()}"
     return {
         "up": "UNBOUNDED PRECEDING",
         "uf": "UNBOUNDED FOLLOWING",

@@ -4432,3 +4432,56 @@ def sql_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lineitem group by l_returnflag order by l_returnflag
         """,
     )
+
+
+@query(
+    "sql_window_range_date",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS roll_1h,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+               AND INTERVAL 30 MINUTE FOLLOWING) AS BIGINT) AS n_pm30,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_1d
+    FROM events WHERE user_id < 25
+    ORDER BY user_id, event_id
+    """,
+)
+def sql_window_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] INTERVAL-offset RANGE frames over a timestamp sort key —
+    `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW` with
+    ORDER BY ts directly, no manual epoch-micros re-key (the
+    ergonomic form of sql_range_frame). The lowering re-keys the
+    window on unix_micros(ts) — a monotonic bijection, so frames are
+    identical — and converts the bounds to micros; variable-length
+    units (MONTH+) are rejected. DuckDB runs the identical INTERVAL
+    frame natively. Same WindowExec streaming shape: one shuffle on
+    user_id, per-partition sort, no rescans."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id, event_id,
+               sum(toInt64(floor(value * 100))) over (
+                 partition by user_id order by ts
+                 range between interval 1 hour preceding
+                   and current row) as roll_1h,
+               count(*) over (
+                 partition by user_id order by ts
+                 range between interval 30 minute preceding
+                   and interval 30 minute following) as n_pm30,
+               count(*) over (
+                 partition by user_id order by ts
+                 range between interval 1 day preceding
+                   and current row) as n_1d
+        from events where user_id < 25
+        order by user_id, event_id
+        """,
+    )
