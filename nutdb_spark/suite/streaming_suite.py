@@ -832,3 +832,111 @@ def q_stream_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .filter(F.col("user_id") >= 0)
     )
+
+
+@query(
+    "q_stream_session_state",
+    f"""
+    WITH src AS (SELECT * FROM {_EV} WHERE user_id < 40),
+    ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      FROM src),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sv
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows — gap-based sessionization under real
+    micro-batch execution: events replay two files at a time into
+    `session_window` state that MERGES sessions across batches (an
+    event in batch 2 can extend a batch-1 session), and a closed
+    session only emits once the watermark passes its end. Same
+    two-sentinel bounded-replay machinery as the stream-stream joins
+    (first sentinel advances the watermark past every real session,
+    second forces the evicting micro-batch); append-mode availableNow
+    then equals the batch gaps-and-islands oracle exactly — each
+    session once, end = last event + gap.
+
+    Scale shape: one shuffle on user_id into watermark-bounded session
+    state; state size is O(open sessions), not O(events)."""
+    import tempfile
+    import time as _time
+
+    from nutdb_spark.streaming.windows import session
+
+    base = tempfile.mkdtemp(prefix="q_stream_session_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    src = _STREAM_SRC_CACHE.get(("session", sf_dir))
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="q_stream_session_src_") + "/src"
+        for parity in (0, 1):
+            ev.filter(F.col("user_id") % 2 == parity).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _time.sleep(1.1)
+        import datetime as _dt
+
+        far = ev.select(
+            F.expr("max(ts) + INTERVAL 30 DAY").alias("fts")
+        ).collect()[0]["fts"]
+        for i in (0, 1):
+            sent = spark.createDataFrame(
+                [(-1, far + _dt.timedelta(days=30 * i), 0.0)],
+                schema=ev.schema,
+            )
+            sent.coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+        _STREAM_SRC_CACHE[("session", sf_dir)] = src
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    sess = session(
+        stream,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sv"),
+        ],
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.schema(
+            "session_start timestamp, session_end timestamp, "
+            "user_id long, n long, sv long"
+        )
+        .parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n", "sv")
+    )
