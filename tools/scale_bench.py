@@ -137,6 +137,17 @@ ENTRIES = [
     "q_dedup_recall",
     "q_stream_join_right",
     "sql_agg_assoc",
+    # round-10 additions — tier-9/map scalar waves, weighted topK,
+    # BM25 scoring, CDC span dedup, bucketed co-located join,
+    # INTERVAL range frames, streaming sessionization
+    "sql_fn_tier9",
+    "sql_fn_maps",
+    "sql_topk_weighted",
+    "q_text_tfidf",
+    "q_dedup_cdc_chunks",
+    "q_bucketed_join",
+    "sql_window_range_date",
+    "q_stream_session_state",
 ]
 
 SF01 = "/root/testdata/sf0.1"
