@@ -3424,3 +3424,91 @@ def _map_populate_series(m: Column, mx: Column = None) -> Column:
 
 
 SCALAR_FNS["mapPopulateSeries"] = _map_populate_series
+
+
+def _summap_filtered(params: list, keys: Column, vals: Column) -> Column:
+    """sumMapFiltered([k...])(keys, vals) — sumMap restricted to the
+    listed keys (the parametric CH sibling): pairs outside the key
+    list never enter the fold."""
+    keep = F.array(*[F.lit(k) for k in params])
+    kf = F.filter(
+        F.arrays_zip(keys.alias("k"), vals.alias("v")),
+        lambda s: F.array_contains(keep, s["k"]),
+    )
+    return _summap(
+        F.transform(kf, lambda s: s["k"]),
+        F.transform(kf, lambda s: s["v"]),
+    )
+
+
+PARAMETRIC_AGGS["sumMapFiltered"] = _summap_filtered
+
+
+def _exp_moving_average(params: list, value: Column, time: Column) -> Column:
+    """exponentialMovingAverage(halflife)(value, time) — CH semantics:
+    Σ vᵢ·2^((tᵢ-t_max)/halflife) / Σ 2^((tᵢ-t_max)/halflife). The
+    2^x is libm → PYTEST_ONLY (randomized armor vs a Python
+    reference in tests/test_agg_moving.py), never hash-oracled.
+    State is the collected (t, v) pair list — use per-entity groups
+    (the suite convention for fold-backed aggregates)."""
+    hl = float(params[0])
+    cl = F.collect_list(
+        F.struct(time.cast("double").alias("t"), value.cast("double").alias("v"))
+    )
+    tmax = F.array_max(F.transform(cl, lambda s: s["t"]))
+
+    def wsum(f):
+        return F.aggregate(
+            cl,
+            F.lit(0.0),
+            lambda acc, s: acc
+            + f(s) * F.pow(F.lit(2.0), (s["t"] - tmax) / F.lit(hl)),
+        )
+
+    den = wsum(lambda s: F.lit(1.0))
+    return F.when(den > 0, wsum(lambda s: s["v"]) / den)
+
+
+PARAMETRIC_AGGS["exponentialMovingAverage"] = _exp_moving_average
+PYTEST_ONLY["exponentialMovingAverage"] = "2^x decay — libm drift"
+
+
+def _group_array_moving(avg: bool):
+    def f(params: list, value: Column, time: Column) -> Column:
+        """groupArrayMovingSum(k)(x, t) / groupArrayMovingAvg — the
+        trailing-k-row window sums over the group's rows, [EXT]
+        2-arg deterministic form: rows order by the explicit t key
+        (CH's 1-arg form depends on block arrival order, which a
+        distributed engine cannot reproduce — the extra key is the
+        determinism contract). Divisor is k even for the warm-up
+        prefix (CH semantics)."""
+        k = int(params[0])
+        cl = F.array_sort(
+            F.collect_list(
+                F.struct(time.alias("t"), value.cast("long").alias("v"))
+            )
+        )
+        vs = F.transform(cl, lambda s: s["v"])
+
+        def win_sum(i):
+            return F.aggregate(
+                F.slice(vs, F.greatest(i - F.lit(k - 1), F.lit(1)),
+                        F.least(i, F.lit(k))),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        idx = F.sequence(F.lit(1), F.greatest(F.size(vs), F.lit(1)))
+        out = F.transform(
+            idx,
+            (lambda i: win_sum(i).cast("double") / F.lit(float(k)))
+            if avg
+            else win_sum,
+        )
+        return F.when(F.size(vs) > 0, out).otherwise(F.slice(out, 1, 0))
+
+    return f
+
+
+PARAMETRIC_AGGS["groupArrayMovingSum"] = _group_array_moving(False)
+PARAMETRIC_AGGS["groupArrayMovingAvg"] = _group_array_moving(True)

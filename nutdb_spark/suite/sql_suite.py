@@ -4205,7 +4205,7 @@ _ASSOC_S = (
 def sql_agg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] categorical-association aggregates: cramersV,
     cramersVBiasCorrected (Bergsma's correction), contingency
-    coefficient — the CH data-profiling quartet minus theilsU (libm
+    coefficient — the CH data-profiling quartet minus Theil's U (libm
     log, PYTEST_ONLY). Exact cross-engine: pairs encode as one
     integer, the chi² fold runs over SORTED distinct codes, and every
     double op is a fixed expression tree — so the values hash-match
@@ -4483,5 +4483,69 @@ def sql_window_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
                    and current row) as n_1d
         from events where user_id < 25
         order by user_id, event_id
+        """,
+    )
+
+
+@query(
+    "sql_agg_moving",
+    """
+    WITH t AS (
+      SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS v,
+             event_type
+      FROM events WHERE user_id < 20),
+    w AS (
+      SELECT user_id, ts,
+             SUM(v) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC)
+               AS rdesc
+      FROM t),
+    a AS (
+      SELECT user_id,
+             string_agg(CAST(ms AS VARCHAR), ',' ORDER BY ts) AS msum,
+             CAST(MAX(CASE WHEN rdesc = 1 THEN ms END) AS DOUBLE) / 3.0
+               AS mavg_last
+      FROM w GROUP BY user_id),
+    s AS (
+      SELECT user_id,
+             COUNT(*) FILTER (event_type = 'click') AS c,
+             COUNT(*) FILTER (event_type = 'view') AS vv
+      FROM t GROUP BY user_id)
+    SELECT a.user_id AS user_id, a.msum AS msum, a.mavg_last AS mavg_last,
+           CASE WHEN c > 0 AND vv > 0
+                  THEN CAST(c AS VARCHAR) || ',' || CAST(vv AS VARCHAR)
+                WHEN c > 0 THEN CAST(c AS VARCHAR)
+                WHEN vv > 0 THEN CAST(vv AS VARCHAR)
+                ELSE '' END AS smf
+    FROM a JOIN s USING (user_id) ORDER BY user_id
+    """,
+)
+def sql_agg_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] moving-window aggregates: groupArrayMovingSum(3) /
+    groupArrayMovingAvg(3) in the 2-arg deterministic form (explicit
+    time key — CH's 1-arg form depends on block arrival order, which
+    a distributed engine cannot honestly reproduce) and
+    sumMapFiltered (parametric key-filtered sumMap).
+    Integer window sums fold exactly; the avg divides by k even in
+    the warm-up prefix (CH semantics) as one double op. The oracle
+    replays the trailing window with ROWS BETWEEN. Per-user groups
+    keep fold state entity-bounded. exponentialMovingAverage shares
+    this machinery but is PYTEST_ONLY (2^x decay is libm)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 groupArrayMovingSum(3)(toInt64(floor(value * 100)),
+                   toUnixMicros(ts))), ',') as msum,
+               groupArrayMovingAvg(3)(toInt64(floor(value * 100)),
+                 toUnixMicros(ts))[-1] as mavg_last,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 mapValues(sumMapFiltered('click', 'view')(
+                   [event_type], [toInt64(1)]))), ',') as smf
+        from events where user_id < 20
+        group by user_id order by user_id
         """,
     )
