@@ -3512,3 +3512,111 @@ def _group_array_moving(avg: bool):
 
 PARAMETRIC_AGGS["groupArrayMovingSum"] = _group_array_moving(False)
 PARAMETRIC_AGGS["groupArrayMovingAvg"] = _group_array_moving(True)
+
+
+def _lttb(params: list, x: Column, y: Column) -> Column:
+    """largestTriangleThreeBuckets(n)(x, y) — LTTB downsampling (CH
+    name, alias lttb): keep first and last point, split the middle
+    into n-2 buckets, and from each bucket keep the point forming the
+    largest triangle with the PREVIOUSLY SELECTED point and the NEXT
+    bucket's average. Returns the selected points as
+    array<struct<_1,_2>> (CH tuple fields) sorted by x.
+
+    Deterministic + oracle-exact: points collect as longs, bucket
+    bounds use integer division, and the area comparisons are a fixed
+    double expression tree folded left-to-right (strict > → first max
+    wins) — identical in DuckDB's list_reduce. Sequential by nature
+    (the selection feeds the next bucket), so it runs as one in-order
+    fold over the collected group; use per-entity groups (state is
+    O(group rows), the fold-backed convention)."""
+    n = int(params[0])
+    if n < 3:
+        raise ValueError("largestTriangleThreeBuckets needs n >= 3")
+    cl_expr = F.array_sort(
+        F.collect_list(
+            F.struct(x.cast("long").alias("_1"), y.cast("long").alias("_2"))
+        )
+    )
+    m = F.lit(n - 2)
+
+    def with_cl(cl):
+        N = F.size(cl)
+
+        def pt(i):
+            return F.element_at(cl, i.cast("int"))
+
+        def fx(i):
+            return pt(i)["_1"].cast("double")
+
+        def fy(i):
+            return pt(i)["_2"].cast("double")
+
+        def div(a, b):
+            return F.call_function("div", a.cast("long"), b.cast("long"))
+
+        def lo(i):
+            return (F.lit(2) + div((i - 1) * (N - 2), m)).cast("int")
+
+        def hi(i):
+            return (F.lit(1) + div(i * (N - 2), m)).cast("int")
+
+        def merge(acc, i):
+            nlo = F.when(i < m, lo(i + 1)).otherwise(N.cast("int"))
+            nhi = F.when(i < m, hi(i + 1)).otherwise(N.cast("int"))
+            nxt = F.slice(cl, nlo, nhi - nlo + 1)
+            cnt = F.size(nxt).cast("double")
+            cx = (
+                F.aggregate(
+                    nxt, F.lit(0.0), lambda a, p: a + p["_1"].cast("double")
+                )
+                / cnt
+            )
+            cy = (
+                F.aggregate(
+                    nxt, F.lit(0.0), lambda a, p: a + p["_2"].cast("double")
+                )
+                / cnt
+            )
+            ax, ay = fx(acc["li"]), fy(acc["li"])
+            best = F.aggregate(
+                F.sequence(lo(i), hi(i)),
+                F.struct(
+                    F.lit(-1.0).alias("a"), F.lit(0).cast("int").alias("i")
+                ),
+                lambda b, j: F.when(
+                    F.abs(
+                        (ax - cx) * (fy(j) - ay) - (ax - fx(j)) * (cy - ay)
+                    )
+                    > b["a"],
+                    F.struct(
+                        F.abs(
+                            (ax - cx) * (fy(j) - ay)
+                            - (ax - fx(j)) * (cy - ay)
+                        ).alias("a"),
+                        j.cast("int").alias("i"),
+                    ),
+                ).otherwise(b),
+            )
+            return F.struct(
+                F.concat(acc["sel"], F.array(pt(best["i"]))).alias("sel"),
+                best["i"].alias("li"),
+            )
+
+        folded = F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.struct(
+                F.slice(cl, 1, 0).alias("sel"),
+                F.lit(1).cast("int").alias("li"),
+            ),
+            merge,
+            lambda acc: acc["sel"],
+        )
+        return F.when(N <= F.lit(n), cl).otherwise(
+            F.concat(F.slice(cl, 1, 1), folded, F.slice(cl, N, 1))
+        )
+
+    return F.get(F.transform(F.array(cl_expr), with_cl), 0)
+
+
+PARAMETRIC_AGGS["largestTriangleThreeBuckets"] = _lttb
+PARAMETRIC_AGGS["lttb"] = _lttb

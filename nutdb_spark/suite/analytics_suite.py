@@ -335,3 +335,109 @@ def q_analytic_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") % 997 == 1).select(
         "rn", "l_orderkey", "l_linenumber"
     )
+
+
+def _lttb_oracle(n: int) -> str:
+    """LTTB replay as n-2 chained CTE steps: each step's carry (the
+    last selected index) is a plain COLUMN, and the per-bucket argmax
+    is list_position(areas, list_max(areas)) — NOT a struct-element
+    list_reduce, which DuckDB 1.0 mis-threads under vectorized
+    (multi-group) execution: per-group it answers correctly, batched
+    the struct accumulator crosses rows (verified; the 8/25-groups
+    failure disappears with this shape). The double-sum folds stay
+    list_reduce over DOUBLE elements, which batch correctly and match
+    Spark's in-order F.aggregate."""
+    m = n - 2
+    N = "len(cl)"
+
+    def lo(i):
+        return f"(2 + (({i} - 1) * ({N} - 2)) // {m})"
+
+    def hi(i):
+        return f"(1 + ({i} * ({N} - 2)) // {m})"
+
+    ctes = ["s0 AS (SELECT *, CAST(1 AS BIGINT) AS li0 FROM g0)"]
+    for i in range(1, m + 1):
+        nlo = lo(i + 1) if i < m else N
+        nhi = hi(i + 1) if i < m else N
+        cx = (
+            f"(list_reduce(list_concat([CAST(0 AS DOUBLE)],"
+            f" list_transform(cl[{nlo}:{nhi}], p -> CAST(p.x AS DOUBLE))),"
+            f" (a2,b2) -> a2 + b2) / ({nhi} - {nlo} + 1))"
+        )
+        cy = cx.replace("p.x", "p.y")
+        ctes.append(
+            f"c{i} AS (SELECT *, {cx} AS cx{i}, {cy} AS cy{i},"
+            f" CAST(cl[li{i-1}].x AS DOUBLE) AS ax{i},"
+            f" CAST(cl[li{i-1}].y AS DOUBLE) AS ay{i} FROM s{i-1})"
+        )
+        area = (
+            f"abs((ax{i} - cx{i}) * (CAST(cl[j].y AS DOUBLE) - ay{i})"
+            f" - (ax{i} - CAST(cl[j].x AS DOUBLE)) * (cy{i} - ay{i}))"
+        )
+        areas = f"list_transform(range({lo(i)}, {hi(i)} + 1), j -> {area})"
+        am = f"({lo(i)} + list_position({areas}, list_max({areas})) - 1)"
+        ctes.append(
+            f"s{i} AS (SELECT *, CASE WHEN {N} <= {n} THEN 0 ELSE {am} END"
+            f" AS li{i} FROM c{i})"
+        )
+    mid = "list_concat(" * (m - 1) + "[cl[li1]]" + "".join(
+        f", [cl[li{i}]])" for i in range(2, m + 1)
+    )
+    sel = (
+        f"CASE WHEN {N} <= {n} THEN cl"
+        f" ELSE list_concat(list_concat(cl[1:1], {mid}), cl[{N}:{N}]) END"
+    )
+    return f"""
+    WITH g0 AS (
+      SELECT user_id, list_sort(list(
+        {{'x': epoch_us(ts), 'y': CAST(floor(value * 100) AS BIGINT)}}))
+        AS cl
+      FROM events WHERE user_id < 12 GROUP BY user_id),
+    {',' .join(ctes)}
+    SELECT user_id,
+           array_to_string(list_transform({sel},
+             p -> CAST(p.x AS VARCHAR) || ':' || CAST(p.y AS VARCHAR)),
+             '|') AS lt,
+           CAST(len(cl) AS BIGINT) AS n_points
+    FROM s{m} ORDER BY user_id
+    """
+
+
+@query("q_analytic_lttb", _lttb_oracle(10))
+def q_analytic_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """largestTriangleThreeBuckets(10) — LTTB downsampling of each
+    user's (ts, value) series to 10 visually-representative points
+    (endpoints kept; each bucket keeps the point forming the largest
+    triangle with the previous selection and the next bucket's
+    average). Exact cross-engine: integer inputs, integer-division
+    bucket bounds, and area comparisons as a fixed double tree folded
+    first-max-wins. Sequential by nature, so it folds in-order over
+    one collected entity series — per-user groups keep state
+    O(series), the fold-backed convention. The dashboard primitive
+    for rendering billion-point series at pixel resolution."""
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 12)
+    lt = PARAMETRIC_AGGS["largestTriangleThreeBuckets"](
+        [10],
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.floor(F.col("value") * 100).cast("long"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(lt.alias("pts"), F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(
+                    F.col("pts"),
+                    lambda p: F.concat_ws(
+                        ":", p["_1"].cast("string"), p["_2"].cast("string")
+                    ),
+                ),
+                "|",
+            ).alias("lt"),
+            "n_points",
+        )
+    )
