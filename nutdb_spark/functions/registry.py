@@ -3620,3 +3620,102 @@ def _lttb(params: list, x: Column, y: Column) -> Column:
 
 PARAMETRIC_AGGS["largestTriangleThreeBuckets"] = _lttb
 PARAMETRIC_AGGS["lttb"] = _lttb
+
+
+def _array_auc(scores: Column, labels: Column) -> Column:
+    """arrayAUC(scores, labels) — ROC AUC over parallel arrays via the
+    midrank rank-sum formula: AUC = (Σ ranks⁺ - P(P+1)/2) / (P·N).
+    Midranks are exact halves and every op is +,*,/ over identical
+    operands — oracle-exact. Row-local O(n²) counting (bounded by the
+    array, never the table)."""
+    n = F.size(scores)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+
+    def sc(i):
+        return F.get(scores, (i - F.lit(1)).cast("int"))  # null-safe OOB
+
+    def lb(i):
+        return F.get(labels, (i - F.lit(1)).cast("int"))
+
+    rank_sum = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when(
+            lb(i).cast("int") == 1,
+            F.size(F.filter(scores, lambda s: s < sc(i))).cast("double")
+            + (
+                F.size(F.filter(scores, lambda s: s == sc(i))).cast(
+                    "double"
+                )
+                + F.lit(1.0)
+            )
+            / F.lit(2.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    p = F.size(F.filter(labels, lambda l: l.cast("int") == 1)).cast("double")
+    nn = F.size(F.filter(labels, lambda l: l.cast("int") != 1)).cast("double")
+    return F.when(
+        (p > 0) & (nn > 0),
+        (rank_sum - p * (p + F.lit(1.0)) / F.lit(2.0)) / (p * nn),
+    )
+
+
+SCALAR_FNS["arrayAUC"] = _array_auc
+SCALAR_FNS["arrayROCAUC"] = _array_auc
+
+
+def _sequence_next_node(params: list, ts: Column, value: Column, *conds) -> Column:
+    """sequenceNextNode(direction, base)(ts, value, cond1, ...) — the
+    value FOLLOWING the first consecutive run matching cond1..condk in
+    event-time order (CH's next-step-in-journey aggregate;
+    'forward'/'head' supported — the chain anchors at its first
+    match scanning forward). NULL when no chain matches or the chain
+    ends the series. The match scan is list_position over a
+    precomputed boolean array — no sequential state."""
+    direction = str(params[0]).lower() if params else "forward"
+    base = str(params[1]).lower() if len(params) > 1 else "head"
+    if direction != "forward" or base != "head":
+        raise ValueError(
+            "sequenceNextNode supports (forward, head) only"
+        )
+    k = len(conds)
+    if k == 0:
+        raise ValueError("sequenceNextNode needs at least one condition")
+    cl = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts.alias("t"),
+                value.alias("v"),
+                *[c.cast("boolean").alias(f"c{i}") for i, c in enumerate(conds)],
+            )
+        )
+    )
+
+    def with_cl(cl_):
+        n = F.size(cl_)
+        ok = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: reduce_and(
+                [
+                    F.get(cl_, (i + F.lit(j) - 1).cast("int"))[f"c{j}"]
+                    for j in range(k)
+                ]
+            ),
+        )
+        pos = F.array_position(ok, F.lit(True))
+        return F.when(
+            (n >= k + 1) & (pos > 0) & (pos + k <= n),
+            F.get(cl_, (pos + F.lit(k) - 1).cast("int"))["v"],
+        )
+
+    def reduce_and(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+
+    return F.get(F.transform(F.array(cl), with_cl), 0)
+
+
+PARAMETRIC_AGGS["sequenceNextNode"] = _sequence_next_node

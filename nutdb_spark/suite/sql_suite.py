@@ -4549,3 +4549,102 @@ def sql_agg_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by user_id order by user_id
         """,
     )
+
+
+@query(
+    "sql_fn_auc",
+    """
+    WITH t AS (
+      SELECT event_id,
+             [CAST(event_id % 7 AS BIGINT), CAST((event_id * 3) % 7 AS BIGINT),
+              CAST((event_id * 5) % 7 AS BIGINT), CAST(event_id % 4 AS BIGINT),
+              CAST((event_id * 2) % 5 AS BIGINT)] AS sc,
+             [CAST(event_id % 2 AS BIGINT), CAST((event_id // 2) % 2 AS BIGINT),
+              CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+              CAST((event_id // 4) % 2 AS BIGINT)] AS lb
+      FROM events WHERE user_id < 15),
+    r AS (
+      SELECT event_id, sc, lb,
+        list_reduce(list_concat([CAST(0 AS DOUBLE)],
+          list_transform(range(1, len(sc) + 1), i ->
+            CASE WHEN lb[i] = 1
+                 THEN CAST(len(list_filter(sc, s -> s < sc[i])) AS DOUBLE)
+                      + (CAST(len(list_filter(sc, s -> s = sc[i]))
+                          AS DOUBLE) + 1.0) / 2.0
+                 ELSE CAST(0 AS DOUBLE) END)),
+          (a, b) -> a + b) AS rs,
+        CAST(len(list_filter(lb, l -> l = 1)) AS DOUBLE) AS p,
+        CAST(len(list_filter(lb, l -> l <> 1)) AS DOUBLE) AS nn
+      FROM t)
+    SELECT event_id,
+           CASE WHEN p > 0 AND nn > 0
+                THEN (rs - p * (p + 1.0) / 2.0) / (p * nn) END AS auc
+    FROM r ORDER BY event_id
+    """,
+)
+def sql_fn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] arrayAUC/arrayROCAUC — ROC AUC over parallel score/label
+    arrays via the midrank rank-sum formula (ties count half):
+    AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N). Exact cross-engine — counts
+    are integers, midranks exact halves, one double division at the
+    end; degenerate single-class rows are NULL. Row-local O(n²) in
+    the ARRAY length only — the model-evaluation primitive for
+    quality-classifier scoring at corpus scale."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id,
+                 [toInt64(event_id % 7), toInt64((event_id * 3) % 7),
+                  toInt64((event_id * 5) % 7), toInt64(event_id % 4),
+                  toInt64((event_id * 2) % 5)] as sc,
+                 [toInt64(event_id % 2), toInt64(intDiv(event_id, 2) % 2),
+                  toInt64(1), toInt64(0),
+                  toInt64(intDiv(event_id, 4) % 2)] as lb
+          from events where user_id < 15)
+        select event_id, arrayAUC(sc, lb) as auc
+        from t order by event_id
+        """,
+    )
+
+
+@query(
+    "sql_seq_next",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2,
+             row_number() OVER w AS rn
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    m AS (
+      SELECT user_id, e2,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn) AS k
+      FROM o WHERE event_type = 'view' AND e1 = 'click')
+    SELECT u.user_id AS user_id, m.e2 AS nxt
+    FROM (SELECT DISTINCT user_id FROM o) u
+    LEFT JOIN m ON u.user_id = m.user_id AND m.k = 1
+    ORDER BY user_id
+    """,
+)
+def sql_seq_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sequenceNextNode('forward', 'head')(ts, value, cond...) —
+    the value FOLLOWING the first consecutive view→click run in
+    event-time order (CH's next-step-in-journey aggregate, completing
+    the windowFunnel/sequenceMatch/retention family). The match scan
+    is array_position over a precomputed boolean window — no
+    sequential state; NULL when no chain matches or it ends the
+    series. The oracle replays it with lead() windows."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id,
+               sequenceNextNode('forward', 'head')(ts, event_type,
+                 event_type = 'view', event_type = 'click') as nxt
+        from events where user_id < 40
+        group by user_id order by user_id
+        """,
+    )
