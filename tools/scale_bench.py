@@ -148,6 +148,10 @@ ENTRIES = [
     "q_bucketed_join",
     "sql_window_range_date",
     "q_stream_session_state",
+    "sql_agg_moving",
+    "q_analytic_lttb",
+    "sql_fn_auc",
+    "sql_seq_next",
 ]
 
 SF01 = "/root/testdata/sf0.1"
