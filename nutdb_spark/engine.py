@@ -208,6 +208,11 @@ class NutEngine:
                 # runtime metrics (row counts, spill, shuffle bytes)
                 df.foreach(lambda _row: None)
                 plan = qe.executedPlan().toString()
+            elif mode == "pipeline":
+                # [EXT] EXPLAIN PIPELINE (CH): the physical operator
+                # pipeline — the executed plan tree WITHOUT running
+                # (EXPLAIN ANALYZE is the run-and-measure sibling)
+                plan = qe.executedPlan().toString()
             else:
                 plan = qe.toString()
             return self.spark.createDataFrame(

@@ -1520,6 +1520,10 @@ class Parser:
             # [EXT] EXPLAIN SYNTAX (ClickHouse): the query printed
             # back from the parsed tree
             mode = "syntax"
+        elif self.eat_kw("pipeline"):
+            # [EXT] EXPLAIN PIPELINE (ClickHouse): the physical
+            # execution pipeline — Spark's executed plan, unrun
+            mode = "pipeline"
         else:
             self.eat_kw("plan")  # EXPLAIN PLAN = the default mode
         return A.ExplainStmt(self.parse_query(), mode)

@@ -3719,3 +3719,49 @@ def _sequence_next_node(params: list, ts: Column, value: Column, *conds) -> Colu
 
 
 PARAMETRIC_AGGS["sequenceNextNode"] = _sequence_next_node
+
+
+def _quantile_exact_weighted(params: list, x: Column, w: Column) -> Column:
+    """quantileExactWeighted(level)(x, w) — the exact weighted order
+    statistic: among the Σw expanded repetitions, the value at 0-based
+    rank floor(level·(Σw−1)) (the first value whose cumulative weight
+    exceeds the rank; with all weights 1 this is exactly
+    quantileExactLow, pytest-pinned). One in-order fold over the
+    value-sorted (v, w) pairs — integer cumulative weights, a single
+    double multiply for the rank; use per-entity groups (state is
+    O(group rows), the fold-backed convention)."""
+    level = float(params[0])
+    cl = F.array_sort(
+        F.collect_list(F.struct(x.alias("v"), w.cast("long").alias("w")))
+    )
+
+    def with_cl(cl_):
+        totw = F.aggregate(
+            cl_, F.lit(0).cast("long"), lambda acc, s: acc + s["w"]
+        )
+        t = F.floor(F.lit(level) * (totw - 1).cast("double")).cast("long")
+        none = F.get(cl_, F.lit(2147483647))["v"]  # typed NULL
+        res = F.aggregate(
+            cl_,
+            F.struct(
+                F.lit(0).cast("long").alias("cum"), none.alias("val")
+            ),
+            lambda acc, s: F.struct(
+                (acc["cum"] + s["w"]).alias("cum"),
+                F.when(acc["val"].isNotNull(), acc["val"])
+                .when(acc["cum"] + s["w"] >= t + 1, s["v"])
+                .alias("val"),
+            ),
+            lambda acc: acc["val"],
+        )
+        return F.when(totw > 0, res)
+
+    return F.get(F.transform(F.array(cl), with_cl), 0)
+
+
+PARAMETRIC_AGGS["quantileExactWeighted"] = _quantile_exact_weighted
+# param-free spelling (≡ quantileExactWeighted(0.5)) — a plain
+# aggregate, like medianExact
+AGGREGATE_FNS["medianExactWeighted"] = (
+    lambda x, w: _quantile_exact_weighted([0.5], x, w)
+)

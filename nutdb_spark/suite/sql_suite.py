@@ -4648,3 +4648,54 @@ def sql_seq_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by user_id order by user_id
         """,
     )
+
+
+@query(
+    "sql_quantile_weighted",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v,
+             CAST(1 + event_id % 5 AS BIGINT) AS w
+      FROM events WHERE user_id < 40),
+    c AS (
+      SELECT user_id, v,
+             SUM(w) OVER (PARTITION BY user_id ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY user_id) AS totw
+      FROM t)
+    SELECT user_id,
+           MIN(CASE WHEN cumw >= CAST(floor(0.5 * (totw - 1)) AS BIGINT)
+                      + 1 THEN v END) AS q50,
+           MIN(CASE WHEN cumw >= CAST(floor(0.9 * (totw - 1)) AS BIGINT)
+                      + 1 THEN v END) AS q90,
+           MIN(CASE WHEN cumw >= CAST(floor(0.5 * (totw - 1)) AS BIGINT)
+                      + 1 THEN v END) AS med,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sql_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quantileExactWeighted(level)(x, w) / medianExactWeighted —
+    the exact weighted order statistic: the value at 0-based rank
+    floor(level·(Σw−1)) among the weight-expanded repetitions (all
+    weights 1 ⇒ exactly quantileExactLow, pytest-pinned). Integer
+    cumulative weights fold in value order; the oracle replays the
+    rank with window cumsums — the first v whose cumulative weight
+    passes the rank is order-independent under ties, so the values
+    hash-match. Per-user groups keep the fold state entity-bounded."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id,
+               quantileExactWeighted(0.5)(toInt64(floor(value * 100)),
+                 1 + event_id % 5) as q50,
+               quantileExactWeighted(0.9)(toInt64(floor(value * 100)),
+                 1 + event_id % 5) as q90,
+               medianExactWeighted(toInt64(floor(value * 100)),
+                 1 + event_id % 5) as med,
+               count() as n
+        from events where user_id < 40
+        group by user_id order by user_id
+        """,
+    )
