@@ -1117,3 +1117,67 @@ def cdc_chunk_dedup(
             "dup_chars"
         ),
     )
+
+
+def incremental_cdc_dedup(
+    delta: "DataFrame",
+    index: "DataFrame | None",
+    id_col: str,
+    text_col: str,
+    *,
+    mask: int = 64,
+) -> tuple["DataFrame", "DataFrame"]:
+    """CDC span dedup of a NEW batch against the EXISTING corpus via
+    its persisted chunk-digest index (one `h` column of the distinct
+    md5 digests seen so far). Returns ``(stats, new_digests)``: the
+    per-document dup accounting (same schema as
+    :func:`cdc_chunk_dedup`) and the digests NOT previously indexed
+    (chunk equality is transitive, so an all-distinct-digests index is
+    exact — the incremental_exact_dedup argument, at span
+    granularity). Ascending-id batch replay reproduces the one-shot
+    accounting row-for-row.
+
+    Scale shape: chunking stays row-local codegen; the index probe is
+    one digest equi-join (broadcast while small); within-delta firsts
+    are the same digest groupBy as the one-shot operator. The index is
+    O(distinct corpus chunks) — the minimal state any span-level
+    incremental dedup must carry.
+    """
+    from nutdb_spark.operators.text import normalize_text
+
+    rows = delta.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            cdc_chunks(normalize_text(F.col(text_col)), mask=mask)
+        ).alias("idx", "chunk"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.md5(F.col("chunk")).alias("h"),
+        F.length("chunk").alias("chunk_len"),
+    )
+    if index is not None:
+        rows = rows.join(
+            index.select("h", F.lit(True).alias("__seen")), "h", "left"
+        ).withColumn("__seen", F.coalesce(F.col("__seen"), F.lit(False)))
+    else:
+        rows = rows.withColumn("__seen", F.lit(False))
+    firsts = rows.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    j = rows.join(firsts, "h")
+    dup = F.col("__seen") | (
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("idx") != F.col("first.idx"))
+    )
+    stats = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup.cast("long")).alias("n_dup"),
+        F.sum(F.when(dup, F.col("chunk_len")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+    )
+    new_digests = (
+        rows.filter(~F.col("__seen")).select("h").distinct()
+    )
+    return stats, new_digests

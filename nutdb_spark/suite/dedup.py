@@ -675,9 +675,7 @@ def _cdc_hash_sql(s: str, i: str) -> str:
     return f"(({terms}) % {_CDC_P}) % 64"
 
 
-@query(
-    "q_dedup_cdc_chunks",
-    f"""
+_CDC_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                AS s
@@ -711,8 +709,10 @@ def _cdc_hash_sql(s: str, i: str) -> str:
            CAST(SUM(CASE WHEN dup THEN chunk_len ELSE 0 END) AS BIGINT)
              AS dup_chars
     FROM m GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("q_dedup_cdc_chunks", _CDC_ORACLE)
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (CDC) span dedup — the rsync/gear
     primitive for corpus-scale span dedup: chunk boundaries follow
@@ -728,3 +728,43 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return cdc_chunk_dedup(d, "doc_id", "text")
+
+
+@query("q_dedup_cdc_incremental", _CDC_ORACLE)
+def q_dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC span dedup — the nightly-ingest pattern at
+    CHUNK granularity: batch 1's distinct chunk digests persist as a
+    parquet index (spark-warehouse/cdc_index/<sf>/ingest=N,
+    overwritten per ingest → idempotent), batch 2 chunks only ITSELF
+    and probes the stored digests (corpus text never re-chunked).
+    Chunk equality is transitive, so the all-distinct-digests index
+    is exact — the incremental_exact_dedup argument at span level.
+    Two ascending-id batch replays must equal the one-shot
+    q_dedup_cdc_chunks oracle row-for-row (the shared _CDC_ORACLE)."""
+    import os
+
+    from nutdb_spark.operators.dedup import incremental_cdc_dedup
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "cdc_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    s1, h1 = incremental_cdc_dedup(
+        d.filter(F.col("doc_id") < 150), None, "doc_id", "text"
+    )
+    h1.write.mode("overwrite").parquet(os.path.join(base, "ingest=1"))
+    index = spark.read.parquet(os.path.join(base, "ingest=1"))
+    s2, h2 = incremental_cdc_dedup(
+        d.filter(F.col("doc_id") >= 150), index, "doc_id", "text"
+    )
+    h2.write.mode("overwrite").parquet(os.path.join(base, "ingest=2"))
+    return s1.unionByName(s2)

@@ -87,6 +87,9 @@ def test_lowerings_are_lazy(spark):
                       # max-id collect by design
                       "q_dedup_incremental", "q_dedup_incremental_exact",
                       "q_sim_ivf_append", "q_pipeline_incremental",
+                      "q_dedup_cdc_incremental",
+                      # writes its bucketed tables once per session
+                      "q_bucketed_join",
                       # recursive CTEs iterate to a fixpoint by design
                       "sql_recursive", "sql_recursive_graph")
     }
