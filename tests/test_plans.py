@@ -88,8 +88,9 @@ def test_lowerings_are_lazy(spark):
                       "q_dedup_incremental", "q_dedup_incremental_exact",
                       "q_sim_ivf_append", "q_pipeline_incremental",
                       "q_dedup_cdc_incremental",
-                      # writes its bucketed tables once per session
-                      "q_bucketed_join",
+                      # write bucketed/partitioned layouts once per
+                      # session
+                      "q_bucketed_join", "q_partition_pruning",
                       # recursive CTEs iterate to a fixpoint by design
                       "sql_recursive", "sql_recursive_graph")
     }
