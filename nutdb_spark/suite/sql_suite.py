@@ -4761,10 +4761,10 @@ def sql_fn_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         with t as (
           select event_id, event_id % 100000 as x, user_id as y
-          from events where user_id < 15)
-        select event_id, mortonEncode(x, y) as z,
-               mortonDecode(1, mortonEncode(x, y)) as dx,
-               mortonDecode(2, mortonEncode(x, y)) as dy
-        from t order by event_id
+          from events where user_id < 15),
+        e as (select event_id, mortonEncode(x, y) as z from t)
+        select event_id, z,
+               mortonDecode(1, z) as dx, mortonDecode(2, z) as dy
+        from e order by event_id
         """,
     )

@@ -152,6 +152,10 @@ ENTRIES = [
     "q_analytic_lttb",
     "sql_fn_auc",
     "sql_seq_next",
+    "sql_quantile_weighted",
+    "q_dedup_cdc_incremental",
+    "sql_fn_morton",
+    "q_partition_pruning",
 ]
 
 SF01 = "/root/testdata/sf0.1"
