@@ -3833,3 +3833,115 @@ def _morton_decode(n: Column, z: Column) -> Column:
 
 
 SCALAR_FNS["mortonDecode"] = _morton_decode
+
+
+# --- [EXT] tier-10 scalars: calendar names, relative period numbers,
+# compact date codecs, snowflake IDs, array/split extras -----------------------
+
+_MONTH_NAMES = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+
+
+def _date_name(unit: Column, d: Column) -> Column:
+    """dateName(unit, d) — the named/numbered date part as a string
+    (fixed English names, locale-independent like dayName)."""
+    u = F.lower(unit)
+    return (
+        F.when(u == "year", F.year(d).cast("string"))
+        .when(u == "quarter", F.quarter(d).cast("string"))
+        .when(
+            u == "month",
+            F.element_at(
+                F.array(*[F.lit(m) for m in _MONTH_NAMES]), F.month(d)
+            ),
+        )
+        .when(u == "week", F.weekofyear(d).cast("string"))
+        .when(u == "dayofyear", F.dayofyear(d).cast("string"))
+        .when(u == "day", F.dayofmonth(d).cast("string"))
+        .when(u == "hour", F.hour(d).cast("string"))
+        .when(u == "minute", F.minute(d).cast("string"))
+        .when(u == "second", F.second(d).cast("string"))
+        .when(u == "weekday", SCALAR_FNS["dayName"](d))
+    )
+
+
+SCALAR_FNS["dateName"] = _date_name
+
+# timeDiff(start, end) — whole seconds from start to end
+SCALAR_FNS["timeDiff"] = lambda a, b: (
+    b.cast("timestamp").cast("long") - a.cast("timestamp").cast("long")
+)
+
+SCALAR_FNS["toRelativeSecondNum"] = lambda t: t.cast("timestamp").cast(
+    "long"
+)
+SCALAR_FNS["toRelativeMonthNum"] = lambda d: (
+    F.year(d) * 12 + F.month(d)
+).cast("long")
+SCALAR_FNS["toRelativeYearNum"] = lambda d: F.year(d).cast("long")
+# weeks since the epoch with Monday boundaries: 1970-01-01 was a
+# Thursday, so +3 aligns the week rollover to Mondays (documented
+# convention; pinned vs the oracle's identical arithmetic)
+SCALAR_FNS["toRelativeWeekNum"] = lambda d: F.floor(
+    (
+        F.datediff(d.cast("date"), F.lit("1970-01-01").cast("date")) + 3
+    ).cast("double")
+    / 7.0
+).cast("long")
+
+# compact integer date codecs
+SCALAR_FNS["YYYYMMDDToDate"] = lambda v: F.make_date(
+    F.floor(v / 10000).cast("int"),
+    (F.floor(v / 100) % 100).cast("int"),
+    (v % 100).cast("int"),
+)
+SCALAR_FNS["YYYYMMDDhhmmssToDateTime"] = lambda v: F.make_timestamp(
+    F.floor(v / 10000000000).cast("int"),
+    (F.floor(v / 100000000) % 100).cast("int"),
+    (F.floor(v / 1000000) % 100).cast("int"),
+    (F.floor(v / 10000) % 100).cast("int"),
+    (F.floor(v / 100) % 100).cast("int"),
+    (v % 100).cast("int"),
+)
+SCALAR_FNS["toYYYYMMDDhhmmss"] = lambda t: (
+    F.year(t).cast("long") * 10000000000
+    + F.month(t).cast("long") * 100000000
+    + F.dayofmonth(t).cast("long") * 1000000
+    + F.hour(t).cast("long") * 10000
+    + F.minute(t).cast("long") * 100
+    + F.second(t).cast("long")
+)
+
+# snowflake IDs: 41-bit millis since the twitter epoch, shifted 22
+_SNOWFLAKE_EPOCH_MS = 1288834974657
+SCALAR_FNS["dateTimeToSnowflakeID"] = lambda t: F.call_function(
+    "shiftleft",
+    (
+        t.cast("timestamp").cast("long") * 1000 - F.lit(_SNOWFLAKE_EPOCH_MS)
+    ).cast("long"),
+    F.lit(22),
+)
+SCALAR_FNS["snowflakeIDToDateTime"] = lambda i: (
+    (
+        F.call_function("shiftright", i.cast("long"), F.lit(22))
+        + F.lit(_SNOWFLAKE_EPOCH_MS)
+    )
+    / F.lit(1000)
+).cast("long").cast("timestamp")
+
+# split/array extras
+SCALAR_FNS["splitByNonAlpha"] = lambda s: F.filter(
+    F.split(s, r"[^A-Za-z0-9]+"), lambda x: F.length(x) > 0
+)
+SCALAR_FNS["arrayFirstOrNull"] = lambda lam, a: F.get(
+    F.filter(a, lambda x: lam(x).cast("boolean")), F.lit(0)
+)
+SCALAR_FNS["arrayLastOrNull"] = lambda lam, a: F.get(
+    F.reverse(F.filter(a, lambda x: lam(x).cast("boolean"))), F.lit(0)
+)
+SCALAR_FNS["clamp"] = lambda x, lo, hi: F.least(F.greatest(x, lo), hi)
+SCALAR_FNS["arraySymmetricDifference"] = lambda a, b: F.array_except(
+    F.array_union(a, b), F.array_intersect(a, b)
+)

@@ -69,13 +69,14 @@ _PRIORITY = [
     # sql_quantile_weighted displaced q_join_left,
     # q_dedup_cdc_incremental displaced q_fn_scalar_surface,
     # sql_fn_morton displaced q_fn_conditional_agg,
-    # q_partition_pruning displaced q_expr_concat) ---
+    # q_partition_pruning displaced q_expr_concat,
+    # sql_fn_tier10 displaced q_distinct) ---
     "sql_fn_tier9", "sql_topk_weighted", "q_dedup_cdc_chunks",
     "q_text_tfidf", "sql_window_range_date", "q_bucketed_join",
     "sql_fn_maps", "q_stream_session_state", "sql_agg_moving",
     "q_analytic_lttb", "sql_fn_auc", "sql_seq_next",
     "sql_quantile_weighted", "q_dedup_cdc_incremental",
-    "sql_fn_morton", "q_partition_pruning",
+    "sql_fn_morton", "q_partition_pruning", "sql_fn_tier10",
     # --- (2) r4 re-grades (20) ---
     "q_text_tokenize", "q_window_sliding", "sql_cte_scalar",
     "sql_describe", "sql_distinct_on", "sql_embed_cosine",
@@ -89,7 +90,7 @@ _PRIORITY = [
     "q_ddl_insert_select", "q_ddl_roundtrip", "q_ddl_view_replacing",
     "q_ddl_view_summing", "q_ddl_view_summing_incremental",
     "q_dedup_connected", "q_dedup_embedding", "q_dedup_exact",
-    "q_dedup_jaccard", "q_dedup_minhash_sig", "q_distinct",
+    "q_dedup_jaccard", "q_dedup_minhash_sig",
 ]
 
 

@@ -4768,3 +4768,89 @@ def sql_fn_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
         from e order by event_id
         """,
     )
+
+
+@query(
+    "sql_fn_tier10",
+    """
+    WITH t AS (
+      SELECT event_id, ts, props,
+             [CAST(event_id % 9 AS BIGINT), CAST(2 AS BIGINT),
+              CAST(event_id % 5 AS BIGINT)] AS arr,
+             [CAST(event_id % 5 AS BIGINT), CAST(7 AS BIGINT)] AS arr2
+      FROM events WHERE user_id < 15)
+    SELECT event_id,
+      monthname(ts) AS dn_m,
+      dayname(ts) AS dn_w,
+      CAST(epoch_us(ts) // 1000000
+           - epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 1000000
+           AS BIGINT) AS td,
+      CAST(year(ts) * 12 + month(ts) AS BIGINT) AS rm,
+      CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3)
+           // 7 AS BIGINT) AS rw,
+      CAST(year(ts) AS BIGINT) AS ry,
+      CAST(year(ts) AS BIGINT) * 10000000000
+        + CAST(month(ts) AS BIGINT) * 100000000
+        + CAST(day(ts) AS BIGINT) * 1000000
+        + CAST(hour(ts) AS BIGINT) * 10000
+        + CAST(minute(ts) AS BIGINT) * 100
+        + CAST(second(ts) AS BIGINT) AS ts10,
+      CAST(((epoch_us(ts) // 1000000) * 1000 - 1288834974657) << 22
+           AS BIGINT) AS snow,
+      CAST(to_timestamp((((((epoch_us(ts) // 1000000) * 1000
+             - 1288834974657) << 22) >> 22) + 1288834974657) // 1000)
+           AS TIMESTAMP) AS sback,
+      coalesce(array_to_string(list_filter(
+        string_split_regex(props, '[^A-Za-z0-9]+'),
+        x -> len(x) > 0), ','), '') AS spl,
+      arr[list_position(list_transform(arr, x -> x > 2), true)] AS afo,
+      arr[len(arr) + 1 - list_position(
+        list_transform(list_reverse(arr), x -> x > 2), true)] AS alo,
+      CAST(least(greatest(event_id % 20, 3), 12) AS BIGINT) AS cl,
+      coalesce(array_to_string(list_transform(
+        list_filter(
+          list_filter(list_concat(arr, arr2),
+            (x, i) -> list_position(list_concat(arr, arr2), x) = i),
+          x -> NOT (list_contains(arr, x) AND list_contains(arr2, x))),
+        x -> CAST(x AS VARCHAR)), ','), '') AS sd
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_tier10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-10 surface — calendar names and period codecs:
+    dateName (fixed English names), timeDiff, toRelative{Month,Week,
+    Year}Num (weeks are Monday-bounded epoch weeks, +3 alignment —
+    documented convention), toYYYYMMDDhhmmss, snowflake ID round-trip
+    (41-bit millis << 22, integer-exact both ways), splitByNonAlpha
+    (empty runs dropped), arrayFirstOrNull/arrayLastOrNull, clamp,
+    and arraySymmetricDifference (union minus intersection, left
+    order). All JVM expression trees; one Exchange for ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, ts, props,
+                 [toInt64(event_id % 9), toInt64(2),
+                  toInt64(event_id % 5)] as arr,
+                 [toInt64(event_id % 5), toInt64(7)] as arr2
+          from events where user_id < 15)
+        select event_id,
+               dateName('month', ts) as dn_m,
+               dateName('weekday', ts) as dn_w,
+               timeDiff(toDate(ts), ts) as td,
+               toRelativeMonthNum(ts) as rm,
+               toRelativeWeekNum(ts) as rw,
+               toRelativeYearNum(ts) as ry,
+               toYYYYMMDDhhmmss(ts) as ts10,
+               dateTimeToSnowflakeID(ts) as snow,
+               snowflakeIDToDateTime(dateTimeToSnowflakeID(ts)) as sback,
+               arrayStringConcat(splitByNonAlpha(props), ',') as spl,
+               arrayFirstOrNull(x -> x > 2, arr) as afo,
+               arrayLastOrNull(x -> x > 2, arr) as alo,
+               clamp(event_id % 20, 3, 12) as cl,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arraySymmetricDifference(arr, arr2)), ',') as sd
+        from t order by event_id
+        """,
+    )
