@@ -156,6 +156,7 @@ ENTRIES = [
     "q_dedup_cdc_incremental",
     "sql_fn_morton",
     "q_partition_pruning",
+    "sql_fn_tier10",
 ]
 
 SF01 = "/root/testdata/sf0.1"
