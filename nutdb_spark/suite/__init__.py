@@ -48,12 +48,20 @@ for _m in _MODULES:
 # r4-graded entries (q_fn_random stays out — rows-only by design,
 # re-grading it adds no hash signal; sql_limit_ties and sql_expressions
 # also exercise this round's LIMIT…WITH TIES and arrayFill advice
-# fixes), (3) the 30 stalest r5-graded entries in ledger order. The 18
-# r5 entries left over (q_sim_topk_lsh, q_split_train_eval,
-# q_stream_enrich, q_text_fingerprint, q_text_quality,
-# q_union_distinct, q_window_session, q_window_tumbling, sql_asof,
-# sql_q1, sql_setops, sql_table_fn, tpch_q10, tpch_q16, tpch_q20,
-# tpch_q22, tpch_q8, tpch_q9) are the ROUND-11 re-grade pool.
+# fixes), (3) the stalest r5-graded entries in ledger order — 13
+# after the 17 new-entry displacements. The ROUND-11 re-grade pool is
+# the 35 remaining r5-graded entries: the 18 never in this window
+# (q_sim_topk_lsh, q_split_train_eval, q_stream_enrich,
+# q_text_fingerprint, q_text_quality, q_union_distinct,
+# q_window_session, q_window_tumbling, sql_asof, sql_q1, sql_setops,
+# sql_table_fn, tpch_q10, tpch_q16, tpch_q20, tpch_q22, tpch_q8,
+# tpch_q9) plus the 17 displaced by this round's new entries
+# (q_sim_topk_ivf, q_sim_topk, q_sim_cosine_blocked, q_sample_hash,
+# q_not_in_subquery, q_not_in_list_null, q_not_exists,
+# q_multimodal_features, q_join_theta, q_join_right_semi,
+# q_join_right_anti, q_join_left_anti, q_join_left,
+# q_fn_scalar_surface, q_fn_conditional_agg, q_expr_concat,
+# q_distinct); then the r6 pool.
 _PRIORITY = [
     # --- (1) new in round 10 (displacements named per entry:
     # sql_fn_tier9 displaced q_sim_topk_ivf, sql_topk_weighted
