@@ -3120,6 +3120,9 @@ SCALAR_FNS["ngramSearchCaseInsensitive"] = lambda h, nd: SCALAR_FNS[
 # PYTEST_ONLY. Use per-entity groups (the suite convention) — state is
 # O(group rows) like the other fold-backed stats.
 _ASSOC_K = 1_000_000
+# x upper bound: x*K + y must stay double-exact (< 2^53) for the (e/K)
+# cast in the fold to round-trip — see _assoc_parts docstring.
+_ASSOC_X_MAX = (2**53) // _ASSOC_K
 
 
 def _assoc_parts(x: Column, y: Column):
@@ -3127,10 +3130,16 @@ def _assoc_parts(x: Column, y: Column):
     injective for 0 <= x and 0 <= y < K (= 1e6): outside that domain
     Spark's sign-following % and the truncating (e/K) cast would
     silently corrupt the contingency table, so `ok` guards the domain
-    and the wrappers NULL the result instead."""
+    and the wrappers NULL the result instead. The x upper bound keeps
+    x*K + y inside the double-exact 2^53 range — past it the (e/K)
+    double division loses exactness (and ~9.2e12 overflows the long
+    encoding outright), so far-out-of-domain groups would return
+    non-NULL junk despite the guard's contract."""
     xl, yl = x.cast("long"), y.cast("long")
     code = xl * _ASSOC_K + yl
-    bad = F.max((xl < 0) | (yl < 0) | (yl >= _ASSOC_K))
+    bad = F.max(
+        (xl < 0) | (xl > _ASSOC_X_MAX) | (yl < 0) | (yl >= _ASSOC_K)
+    )
     ok = ~F.coalesce(bad, F.lit(False))
     cl = F.collect_list(code)
     n = F.size(cl).cast("double")
@@ -3183,10 +3192,13 @@ def _theils_u(x: Column, y: Column) -> Column:
     """theilsU(x, y) — uncertainty coefficient U(x|y) =
     (H(x) + H(y) − H(x,y)) / H(x): how much knowing y reduces the
     entropy of x. log is libm → PYTEST_ONLY, never hash-oracled.
-    Same non-negative / y < 1e6 encoding domain as the chi² family."""
+    Same non-negative / x <= 2^53/K / y < 1e6 encoding domain as the
+    chi² family."""
     xl, yl = x.cast("long"), y.cast("long")
     code = xl * _ASSOC_K + yl
-    bad = F.max((xl < 0) | (yl < 0) | (yl >= _ASSOC_K))
+    bad = F.max(
+        (xl < 0) | (xl > _ASSOC_X_MAX) | (yl < 0) | (yl >= _ASSOC_K)
+    )
     ok = ~F.coalesce(bad, F.lit(False))
     cl = F.collect_list(code)
     n = F.size(cl).cast("double")
@@ -3813,13 +3825,6 @@ def _morton_compact(x: Column) -> Column:
 SCALAR_FNS["mortonEncode"] = lambda x, y: _morton_spread(x).bitwiseOR(
     F.call_function("shiftleft", _morton_spread(y), F.lit(1))
 )
-SCALAR_FNS["mortonDecode"] = lambda n, z: (
-    _morton_compact(z)
-    if True
-    else None
-)
-
-
 def _morton_decode(n: Column, z: Column) -> Column:
     """mortonDecode(dim, z) — the dim-th coordinate (1 or 2) back out
     of a 2-D Morton code. Tuple returns don't canonicalize, so the CH

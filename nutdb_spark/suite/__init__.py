@@ -93,7 +93,7 @@ _PRIORITY = [
     "sql_source_files", "sql_text_pipeline",
     "tpch_q7", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q17",
     "tpch_q19",
-    # --- (3) r5 re-grades (22 after displacements) ---
+    # --- (3) r5 re-grades (13 after displacements) ---
     "q_asof_join", "q_cluster_kmeans", "q_ddl_alter",
     "q_ddl_insert_select", "q_ddl_roundtrip", "q_ddl_view_replacing",
     "q_ddl_view_summing", "q_ddl_view_summing_incremental",

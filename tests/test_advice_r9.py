@@ -89,3 +89,22 @@ def test_limit_offset_with_ties_prints_native(eng):
     a = [r["x"] for r in eng.sql(sql).collect()]
     b = [r["x"] for r in eng.sql(printed).collect()]
     assert a == b
+
+
+def test_assoc_domain_guard_nulls_oversized_x(eng):
+    # x past 2^53/K breaks the double-exact x*K+y encoding (and
+    # ~9.2e12 overflows the long encoding outright) — the whole
+    # group must be NULL, not plausible junk (r10 ADVICE).
+    row = eng.sql(
+        "select cramersV(x, y) as cv, theilsU(x, y) as tu from "
+        "(select 9100000000 as x, 1 as y "
+        " union all select 9100000001, 2 "
+        " union all select 1, 1)"
+    ).first()
+    assert row["cv"] is None and row["tu"] is None
+    # the boundary value itself is still in-domain
+    ok = eng.sql(
+        "select cramersV(x, y) as cv from "
+        "(select 9007199254 as x, 1 as y union all select 1, 2)"
+    ).first()
+    assert ok["cv"] is not None

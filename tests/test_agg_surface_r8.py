@@ -403,3 +403,20 @@ class TestSequenceCountProperty:
         for g, evs in by_g.items():
             evs.sort()
             assert got[g] == (ref(evs), ref(evs, gap=4)), (g, evs)
+
+
+# --- intExp2 overflow guard (r9 ADVICE fix pin, re-added per r10 ADVICE) ----
+# The JVM shiftleft masks the shift amount to 6 bits, so unguarded
+# intExp2(64) silently returned 1 and intExp2(63) a negative long.
+
+
+def test_intexp2_overflow_guard(eng):
+    row = eng.sql(
+        "select intExp2(62) as a, intExp2(63) as b, intExp2(64) as c, "
+        "intExp2(0) as d, intExp2(-1) as e"
+    ).first()
+    assert row["a"] == 2**62
+    assert row["b"] == 0  # would be negative under raw shiftleft
+    assert row["c"] == 0  # JVM masks shift to 6 bits → raw would be 1
+    assert row["d"] == 1
+    assert row["e"] == 0

@@ -258,3 +258,84 @@ def test_asof_forward_directions(eng):
         "on l.k = r.k and l.ts < r.ts"
     ).first()
     assert strict["v"] == "b"  # equal ts excluded under strict <
+
+
+# --- forward ASOF: NULL left ts matches nothing (r9 ADVICE fix pin) ---------
+# The scan order was desc_nulls_last, which parked NULL-ts left rows
+# AFTER every right row so they picked up the EARLIEST right payload —
+# a spurious match (and a wrongly kept row under how='inner'). Fixed to
+# desc_nulls_first; these pins were lost in a round-10 file rewrite and
+# re-added per the r10 ADVICE.
+
+
+def _forward_fixture(spark):
+    from pyspark.sql import functions as F  # noqa: F401 (local import)
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", T(2024, 1, 1, 10)),
+            (2, "a", None),  # NULL ts: must match nothing
+        ],
+        "lid int, k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", T(2024, 1, 1, 11), "a11"),
+            ("a", T(2024, 1, 1, 12), "a12"),
+        ],
+        "k string, rts timestamp, v string",
+    )
+    return left, right
+
+
+def test_forward_null_ts_left_row_matches_nothing(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.asof import asof_join_any
+
+    left, right = _forward_fixture(spark)
+    out = asof_join_any(
+        left,
+        right,
+        left_keys=[F.col("k")],
+        right_keys=[F.col("k")],
+        left_ts=F.col("lts"),
+        right_ts=F.col("rts"),
+        direction="forward",
+        prefix="r_",
+    )
+    rows = {r["lid"]: r["r_v"] for r in out.collect()}
+    assert rows == {1: "a11", 2: None}
+
+
+def test_forward_null_ts_left_row_dropped_under_inner(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.asof import asof_join_any
+
+    left, right = _forward_fixture(spark)
+    out = asof_join_any(
+        left,
+        right,
+        left_keys=[F.col("k")],
+        right_keys=[F.col("k")],
+        left_ts=F.col("lts"),
+        right_ts=F.col("rts"),
+        direction="forward",
+        how="inner",
+        prefix="r_",
+    )
+    assert [r["lid"] for r in out.collect()] == [1]
+
+
+def test_forward_null_ts_sql(eng):
+    rows = eng.sql(
+        "select l.lid as lid, r.v as v from "
+        "(select 1 as lid, 1 as k, 10 as ts "
+        " union all select 2, 1, null) as l "
+        "left asof join "
+        "(select 1 as k, 12 as ts, 'a' as v "
+        " union all select 1, 19, 'b') as r "
+        "on l.k = r.k and l.ts <= r.ts order by lid"
+    ).collect()
+    assert [(r["lid"], r["v"]) for r in rows] == [(1, "a"), (2, None)]
