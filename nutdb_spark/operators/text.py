@@ -453,3 +453,53 @@ def bm25_top_terms(
         .filter(F.col("rank") <= top_per_doc)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+# --- URL canonicalization (the CommonCrawl refetch-dedup key) ---------------
+# Composes the registered URL scalar family (functions/registry.py) into
+# the standard canonical-URL dedup key: significant registrable domain
+# (cutToFirstSignificantSubdomain — scheme/www/subdomain/port-blind) +
+# the lowercased path with query string, fragment, and trailing slashes
+# stripped. Pure regex/split expression tree → whole-stage codegen and
+# an exact DuckDB mirror.
+
+_URL_SIG_2LD = "('com','net','org','co','gov','edu','mil','biz')"
+
+
+def canonical_url(url: Column) -> Column:
+    """canonicalUrl: cutToFirstSignificantSubdomain(url) || lower(path)
+    with trailing slashes stripped — the URL-dedup grouping key."""
+    from nutdb_spark.functions.registry import SCALAR_FNS
+
+    sig = SCALAR_FNS["cutToFirstSignificantSubdomain"](url)
+    p = F.lower(F.regexp_replace(SCALAR_FNS["path"](url), r"/+$", ""))
+    return F.concat(sig, p)
+
+
+def oracle_canonical_url(expr: str) -> str:
+    """DuckDB mirror of canonical_url over a URL expression.
+
+    Mirrors the registry's domain/path regexes and the short embedded
+    public-suffix subset verbatim. DuckDB regexp_replace is
+    first-match-only — fine here: '^www\\.' and '/+$' each match at
+    most once."""
+    dom = (
+        "regexp_replace(regexp_extract(" + expr + ", "
+        "'^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)', 1), "
+        "'^www\\.', '')"
+    )
+    path = (
+        "lower(regexp_replace(regexp_extract(" + expr + ", "
+        "'^(?:(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*)?([^?#]*)', 1), "
+        "'/+$', ''))"
+    )
+    ls = f"string_split({dom}, '.')"
+    n = f"len({ls})"
+    sig = (
+        f"CASE WHEN {n} >= 3 THEN "
+        f"  CASE WHEN {ls}[{n}-1] IN {_URL_SIG_2LD} "
+        f"       THEN array_to_string({ls}[{n}-2:{n}], '.') "
+        f"       ELSE array_to_string({ls}[{n}-1:{n}], '.') END "
+        f"WHEN {n} = 2 THEN {dom} ELSE '' END"
+    )
+    return f"({sig} || {path})"

@@ -18,7 +18,12 @@ from nutdb_spark.operators.dedup import (
     oracle_minhash_signature,
     oracle_shingles,
 )
-from nutdb_spark.operators.text import fingerprint_md5, oracle_fingerprint_md5
+from nutdb_spark.operators.text import (
+    canonical_url,
+    fingerprint_md5,
+    oracle_canonical_url,
+    oracle_fingerprint_md5,
+)
 from nutdb_spark.sources import load_table
 from nutdb_spark.suite.registry import query
 
@@ -768,3 +773,80 @@ def q_dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h2.write.mode("overwrite").parquet(os.path.join(base, "ingest=2"))
     return s1.unionByName(s2)
+
+
+# --- URL-canonicalization dedup (the CommonCrawl refetch-dedup step) -------
+# The fixture has no URL column, so a deterministic synthetic URL is
+# derived from (doc_id, source) with the SAME string expression on both
+# engines: scheme + {www./bare/m. subdomain or .co.uk zone} + a path
+# with mixed case, optional trailing slash, query string, and fragment.
+# Canonicalization must collapse all of those refetch variants.
+
+_URL_EXPR = (
+    "'https://' || "
+    "CASE doc_id % 4 WHEN 0 THEN 'www.' || source || '.com' "
+    "                WHEN 1 THEN source || '.com' "
+    "                WHEN 2 THEN 'm.' || source || '.com' "
+    "                ELSE source || '.co.uk' END || "
+    "'/Articles/' || CAST(doc_id % 25 AS VARCHAR) || "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' "
+    "     || CAST(doc_id AS VARCHAR) ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END"
+)
+
+
+def _synthetic_url() -> F.Column:
+    m4 = F.col("doc_id") % 4
+    host = (
+        F.when(m4 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".com")))
+        .when(m4 == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(m4 == 2, F.concat(F.lit("m."), F.col("source"), F.lit(".com")))
+        .otherwise(F.concat(F.col("source"), F.lit(".co.uk")))
+    )
+    path = F.concat(
+        F.lit("/Articles/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qs = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
+    return F.concat(F.lit("https://"), host, path, qs, frag)
+
+
+_URL_DEDUP_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents)
+SELECT {oracle_canonical_url('url')} AS dup_key,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+       COUNT(DISTINCT url) AS n_urls
+FROM u GROUP BY 1
+"""
+
+
+@query("q_dedup_url", _URL_DEDUP_ORACLE)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: group refetched URL variants under
+    cutToFirstSignificantSubdomain(url) || normalized path (lowercase,
+    query/fragment/trailing-slash stripped) and keep the min doc_id —
+    the standard CommonCrawl refetch-dedup step. n_urls > 1 per group
+    proves canonicalization collapsed genuinely distinct raw URLs.
+    Plan: one projection (pure regex/split tree, codegen) + one
+    hash-groupBy shuffle on the canonical key — exact-dedup shape, no
+    driver state, scale-invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            canonical_url(_synthetic_url()).alias("dup_key"),
+            F.col("doc_id"),
+            _synthetic_url().alias("url"),
+        )
+        .groupBy("dup_key")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("url").alias("n_urls"),
+        )
+    )

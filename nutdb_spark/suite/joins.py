@@ -330,3 +330,62 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
     )
+
+
+_SKEW_AQE_ORACLE = """
+WITH l AS (
+  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey END AS k,
+         CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem),
+agg AS (
+  SELECT o.o_orderpriority AS pri,
+         COUNT(*) AS n_rows,
+         CAST(SUM(qty) AS BIGINT) AS sum_qty
+  FROM l JOIN orders o ON o.o_orderkey = l.k
+  GROUP BY 1)
+SELECT 'plain' AS variant, pri, n_rows, sum_qty FROM agg
+UNION ALL
+SELECT 'salted' AS variant, pri, n_rows, sum_qty FROM agg
+"""
+
+
+@query("q_join_skew_aqe", _SKEW_AQE_ORACLE)
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed join stress: ~30% of the fact table's rows
+    remapped onto ONE hot key (orderkey 0), joined to orders two ways
+    and unioned with a variant tag — (a) the plain sort-merge path,
+    where AQE's skewJoin rewrite splits the hot partition at runtime
+    (plan-pinned with lowered thresholds in tests/test_skew_aqe.py —
+    the default 256 MB threshold rightly ignores test-SF data), and
+    (b) the explicit salted path (operators/skew.py) for the
+    one-key-exceeds-an-executor case AQE splitting can't save. The
+    oracle computes the aggregate once and replays it under both tags:
+    salted ≡ plain IS the correctness claim. floor() bridges Spark's
+    truncating double→long cast vs DuckDB's rounding one."""
+    from nutdb_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def agg(j: DataFrame, tag: str) -> DataFrame:
+        return (
+            j.groupBy(F.col("o_orderpriority").alias("pri"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").alias("sum_qty"),
+            )
+            .select(
+                F.lit(tag).alias("variant"), "pri", "n_rows", "sum_qty"
+            )
+        )
+
+    plain = li.hint("SHUFFLE_MERGE").join(o, li["k"] == o["o_orderkey"])
+    salted = salted_join(li, o, "k", "o_orderkey", salt=8)
+    return agg(plain, "plain").unionAll(agg(salted, "salted"))
