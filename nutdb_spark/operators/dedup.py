@@ -499,11 +499,55 @@ def incremental_near_dedup(
     O(delta band rows + touched index buckets); the corpus contributes
     only an equi-join probe of its persisted index.
     """
+    pairs, d_rows = incremental_lsh_pairs(
+        delta, index, id_col, text_col,
+        n=n, num_hashes=num_hashes, bands=bands,
+        est_threshold=est_threshold, max_bucket=max_bucket,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = delta.join(dropped, id_col, "left_anti")
+    return survivors, d_rows
+
+
+def incremental_lsh_pairs(
+    delta: DataFrame,
+    index: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    est_threshold: float = 0.75,
+    max_bucket: int = 1000,
+    band_rows: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Banded candidate PAIRS between a new batch and the corpus'
+    persisted band index — the edge generator behind
+    :func:`incremental_near_dedup` (which keeps only the dropped
+    right-hand ids) and :func:`incremental_connected` (which needs the
+    edges themselves to maintain transitive groups). Returns
+    ``(pairs, band_rows)``: distinct ``(id_a, id_b)`` with
+    ``id_a < id_b``, ``id_b`` always a delta doc, estimated Jaccard ≥
+    ``est_threshold``; and the delta's band rows to append to the
+    index. Same plan shape and hot-bucket guard as the caller's
+    docstring describes — the corpus text is never re-shingled.
+
+    ``band_rows``, when given, is the delta's own
+    :func:`minhash_band_rows` output ALREADY materialized (e.g. read
+    back from the just-written index partition) — callers that persist
+    the index anyway pass it so the delta's minhash is computed exactly
+    once instead of once per consumer of the pair plan."""
     keys = ["band"] + [
         f"__k{j}" for j in range(num_hashes // bands)
     ]
-    d_rows = minhash_band_rows(
-        delta, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    d_rows = (
+        band_rows
+        if band_rows is not None
+        else minhash_band_rows(
+            delta, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+        )
     )
     if index is None:
         all_rows = d_rows.withColumn("__new", F.lit(True))
@@ -546,15 +590,79 @@ def incremental_near_dedup(
             lambda m: m,
         )
     ) / F.lit(float(num_hashes))
-    dropped = (
+    pairs = (
         a.join(b, keys)
         .filter(F.col("__ida") < F.col("__idb"))
         .filter(est >= F.lit(est_threshold))
-        .select(F.col("__idb").alias(id_col))
+        .select(
+            F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b")
+        )
         .distinct()
     )
-    survivors = delta.join(dropped, id_col, "left_anti")
-    return survivors, d_rows
+    return pairs, d_rows
+
+
+def incremental_connected(
+    pairs: DataFrame,
+    labels: DataFrame | None,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Union a NEW batch's near-dup edges into stored component labels,
+    re-converging only the TOUCHED components — the incremental sibling
+    of :func:`connected_components` for the nightly-ingest shape.
+
+    ``labels`` is the accumulated ``(id, root)`` table from previous
+    ingests (None for the first batch; roots are component minima, and
+    every root labels itself). Each new edge's endpoints are first
+    CONTRACTED through the stored labels (endpoint → its stored root,
+    or itself when unseen), so the fixpoint iteration runs over a graph
+    of O(delta edges) nodes — old roots and fresh ids — never the
+    corpus. Untouched components contribute zero rows to the fixpoint
+    (pinned in tests/test_incremental_dedup.py) and pass through the
+    final label update as a no-op left join. Because stored roots are
+    their components' minima, taking the min over contracted node ids
+    reproduces the global min — batch replay is label-identical to
+    one-shot :func:`connected_components` over the unioned edges.
+
+    ``stats``, when a dict, receives ``fixpoint_nodes`` (nodes that
+    entered the fixpoint — the recomputation bound) and ``rounds``."""
+    if labels is None:
+        contracted = pairs.select(
+            F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+        )
+    else:
+        la = labels.select(
+            F.col("id").alias(id_a), F.col("root").alias("__ra")
+        )
+        lb = labels.select(
+            F.col("id").alias(id_b), F.col("root").alias("__rb")
+        )
+        contracted = (
+            pairs.join(la, id_a, "left")
+            .join(lb, id_b, "left")
+            .select(
+                F.coalesce(F.col("__ra"), F.col(id_a)).alias("id_a"),
+                F.coalesce(F.col("__rb"), F.col(id_b)).alias("id_b"),
+            )
+        )
+    cc_stats: dict | None = {} if stats is not None else None
+    remap = connected_components(contracted, "id_a", "id_b", stats=cc_stats)
+    if stats is not None:
+        stats["fixpoint_nodes"] = remap.count()  # bounded: O(delta edges)
+        stats["rounds"] = cc_stats["rounds"]
+    if labels is None:
+        return remap
+    ren = remap.select(
+        F.col("id").alias("root"), F.col("root").alias("__nr")
+    )
+    updated = labels.join(ren, "root", "left").select(
+        "id", F.coalesce(F.col("__nr"), F.col("root")).alias("root")
+    )
+    fresh = remap.join(labels.select("id"), "id", "left_anti")
+    return updated.unionByName(fresh.select("id", "root"))
 
 
 def incremental_exact_dedup(

@@ -198,8 +198,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- transitive near-dup groups (connected components) --------------------
 
 _CONNECTED_ORACLE = f"""
-WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
-e AS (SELECT id_a AS s, id_b AS d FROM p
+WITH RECURSIVE p AS MATERIALIZED ({_JACCARD_ORACLE}),
+e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p
       UNION ALL SELECT id_b, id_a FROM p),
 reach(id, r) AS (
   SELECT s, s FROM e
@@ -385,8 +385,8 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONNECTED_BEST_ORACLE = f"""
-WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
-e AS (SELECT id_a AS s, id_b AS d FROM p
+WITH RECURSIVE p AS MATERIALIZED ({_JACCARD_ORACLE}),
+e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p
       UNION ALL SELECT id_b, id_a FROM p),
 reach(id, r) AS (
   SELECT s, s FROM e
@@ -850,3 +850,88 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("url").alias("n_urls"),
         )
     )
+
+
+# --- incremental transitive near-dup groups --------------------------------
+
+_CONNECTED_LSH_ORACLE = f"""
+WITH RECURSIVE p AS MATERIALIZED ({_oracle_lsh()}),
+e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach(id, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id),
+comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+drops AS (SELECT id FROM comp WHERE root <> id)
+SELECT d.doc_id, d.lang FROM documents d
+LEFT JOIN drops x ON d.doc_id = x.id
+WHERE x.id IS NULL
+"""
+
+
+@query("q_dedup_connected_incremental", _CONNECTED_LSH_ORACLE)
+def q_dedup_connected_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TRANSITIVE near-dup groups — the last incremental
+    dedup shape (VERDICT r10 item 4): component labels persist beside
+    the MinHash band index (spark-warehouse/cc_index/<sf>/ingest=N,
+    overwritten per ingest → idempotent), and each new batch's LSH
+    edges are CONTRACTED through the stored labels so only the touched
+    components re-converge (operators/dedup.py incremental_connected —
+    the fixpoint never sees an untouched component, pinned in
+    tests/test_incremental_dedup.py). Two ascending-id batch replays
+    must equal the one-shot connected-components closure over the full
+    corpus' LSH pairs — the recursive-CTE oracle computes exactly
+    that, so cross-batch chain merges (batch-1 A~B, batch-2 B~C drops
+    B AND C) are value-verified every round."""
+    import os
+
+    from nutdb_spark.operators.dedup import (
+        incremental_connected,
+        incremental_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    b1 = d.filter(F.col("doc_id") < split)
+    b2 = d.filter(F.col("doc_id") >= split)
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "cc_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    kw = dict(n=4, num_hashes=8, bands=4, est_threshold=0.75)
+
+    def ingest(batch, k, index, stored):
+        """Persist the batch's band rows FIRST, then build edges from
+        the read-back parquet — each batch's minhash is computed
+        exactly once, into the index write."""
+        from nutdb_spark.operators.dedup import minhash_band_rows
+
+        bands_dir = os.path.join(base, f"ingest={k}", "bands")
+        minhash_band_rows(
+            batch, "doc_id", "text",
+            n=kw["n"], num_hashes=kw["num_hashes"], bands=kw["bands"],
+        ).write.mode("overwrite").parquet(bands_dir)
+        own = spark.read.parquet(bands_dir)
+        pairs, _ = incremental_lsh_pairs(
+            batch, index, "doc_id", "text", band_rows=own, **kw
+        )
+        labels = incremental_connected(pairs, stored)
+        labels.write.mode("overwrite").parquet(
+            os.path.join(base, f"ingest={k}", "labels")
+        )
+        return own, spark.read.parquet(
+            os.path.join(base, f"ingest={k}", "labels")
+        )
+
+    rows1, labels1 = ingest(b1, 1, None, None)
+    _, final = ingest(b2, 2, rows1, labels1)
+    drops = final.filter(F.col("root") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.select("doc_id", "lang").join(drops, "doc_id", "left_anti")

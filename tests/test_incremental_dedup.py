@@ -180,3 +180,68 @@ def test_incremental_exact_three_batch_replay(spark, sf_dir):
         got.extend(_ids(surv))
         index = keys if index is None else index.unionByName(keys).distinct()
     assert sorted(got) == want
+
+
+# --- incremental connected components (r11) ---------------------------------
+
+
+def _labels(df):
+    return {r["id"]: r["root"] for r in df.collect()}
+
+
+def test_incremental_connected_untouched_component_not_recomputed(spark):
+    from nutdb_spark.operators.dedup import incremental_connected
+
+    p1 = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    l1 = incremental_connected(p1, None)
+    assert _labels(l1) == {1: 1, 2: 1, 5: 5, 6: 5}
+    # batch 2 touches only component {1,2}: the fixpoint must see the
+    # contracted edge (1, 10) and NOTHING of component {5,6}
+    p2 = spark.createDataFrame([(2, 10)], "id_a long, id_b long")
+    stats = {}
+    l2 = incremental_connected(p2, l1, stats=stats)
+    assert _labels(l2) == {1: 1, 2: 1, 10: 1, 5: 5, 6: 5}
+    assert stats["fixpoint_nodes"] == 2  # {1, 10} only — 5/6 untouched
+
+
+def test_incremental_connected_merges_existing_components(spark):
+    from nutdb_spark.operators.dedup import incremental_connected
+
+    p1 = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    l1 = incremental_connected(p1, None)
+    # one delta edge bridges the two stored components: both re-root
+    # to the global min through the contracted edge (1, 5)
+    p2 = spark.createDataFrame([(2, 6)], "id_a long, id_b long")
+    stats = {}
+    l2 = incremental_connected(p2, l1, stats=stats)
+    assert _labels(l2) == {1: 1, 2: 1, 5: 1, 6: 1}
+    assert stats["fixpoint_nodes"] == 2  # the two old roots only
+
+
+def test_incremental_connected_replay_matches_one_shot(spark, sf_dir):
+    from nutdb_spark.operators.dedup import (
+        connected_components,
+        incremental_connected,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    one_shot = connected_components(
+        minhash_lsh_pairs(
+            d, "doc_id", "text",
+            n=4, num_hashes=8, bands=4, est_threshold=0.75,
+        )
+    )
+    kw = dict(n=4, num_hashes=8, bands=4, est_threshold=0.75)
+    index, labels = None, None
+    for lo, hi in ((0, 20), (20, 35), (35, 10**9)):
+        b = d.filter(
+            (F.col("doc_id") >= F.lit(lo)) & (F.col("doc_id") < F.lit(hi))
+        )
+        pairs, rows = incremental_lsh_pairs(b, index, "doc_id", "text", **kw)
+        labels = incremental_connected(pairs, labels)
+        labels = labels.localCheckpoint()
+        index = rows if index is None else index.unionByName(rows)
+        index = index.localCheckpoint()
+    assert _labels(labels) == _labels(one_shot)
