@@ -1330,3 +1330,181 @@ def q_sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- IVF index maintenance: rebalance (split the hottest posting list) -----
+
+
+def _oracle_kmeans_on(src: str, *, k: int, iters: int, pfx: str) -> str:
+    """CTE parts running the SAME deterministic integer k-means
+    (`_oracle_kmeans` math: lowest-id init, floored-mean update,
+    (d2, cid) tie-break, empty clusters keep their centroid) over an
+    existing CTE ``src`` with columns (vec_id, s). Final assignment
+    CTE is ``{pfx}fin`` with (vec_id, cid)."""
+    parts = [
+        f"""{pfx}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, s
+               FROM {src} ORDER BY vec_id LIMIT {k})"""
+    ]
+    cur = f"{pfx}c0"
+    for r in range(1, iters + 1):
+        parts += [
+            f"""{pfx}d{r} AS (SELECT v.vec_id, v.s, c.cid, {_D2_VC} AS d2
+                   FROM {src} v, {cur} c)""",
+            f"""{pfx}a{r} AS (SELECT vec_id, s, cid FROM (
+                     SELECT vec_id, s, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cid) AS rn
+                     FROM {pfx}d{r}) t WHERE rn = 1)""",
+            f"""{pfx}e{r} AS (SELECT cid, unnest(s) AS x,
+                            unnest(range(1, 65)) AS i FROM {pfx}a{r})""",
+            f"""{pfx}m{r} AS (SELECT cid,
+                            list(CAST(FLOOR(CAST(sx AS DOUBLE) / n) AS BIGINT)
+                                 ORDER BY i) AS s
+                     FROM (SELECT cid, i, SUM(x) AS sx,
+                                  COUNT(*) AS n
+                           FROM {pfx}e{r} GROUP BY cid, i) t GROUP BY cid)""",
+            f"""{pfx}c{r} AS (SELECT cid, s FROM {pfx}m{r}
+                     UNION ALL
+                     SELECT cid, s FROM {cur}
+                     WHERE cid NOT IN (SELECT cid FROM {pfx}m{r}))""",
+        ]
+        cur = f"{pfx}c{r}"
+    parts.append(
+        f"""{pfx}fin AS (SELECT vec_id, cid FROM (
+                 SELECT v.vec_id, c.cid, {_D2_VC} AS d2,
+                        row_number() OVER (PARTITION BY v.vec_id
+                                           ORDER BY {_D2_VC}, c.cid) AS rn
+                 FROM {src} v, {cur} c) t WHERE rn = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+_REBALANCE_CACHE: dict[str, tuple] = {}
+
+
+def _ivf_rebalance_artifact_path(sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "dir"
+    return os.path.join(
+        os.path.dirname(_ivf_artifact_path(sf_dir, 8, 2)),
+        f"rebalance_v{_IVF_ALGO_VERSION}_{tag}_k8_i2.json",
+    )
+
+
+def _ivf_rebalanced(spark: SparkSession, sf_dir: str):
+    """(base_centroids, hot_cid, sub_centroids): the VERSIONED upgrade
+    of the train-once IVF artifact — when the hottest posting list
+    outgrows its peers, split THAT cluster with a k=2 deterministic
+    integer k-means over its own stored vectors only (never a full
+    retrain, never an old-batch rescan beyond the one cluster). The
+    split is itself persisted as a sidecar beside the base centroids
+    (`rebalance_v{N}_…json`, versioned by the same `_IVF_ALGO_VERSION`
+    so a numeric-contract bump invalidates both artifacts together)
+    and memoized in-process; a corrupt/foreign file falls back to
+    recomputing."""
+    import json
+    import os
+
+    from nutdb_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    if sf_dir in _REBALANCE_CACHE:
+        return _REBALANCE_CACHE[sf_dir]
+    base_cents = _ivf_centroids(spark, sf_dir)
+    path = _ivf_rebalance_artifact_path(sf_dir)
+    try:
+        with open(path) as f:
+            art = json.load(f)
+        hot, sub = art["hot"], art["sub"]
+        assert isinstance(hot, int) and 0 <= hot < len(base_cents)
+        assert isinstance(sub, list) and len(sub) == 2
+        assert all(len(c) == len(base_cents[0]) for c in sub)
+    except (OSError, ValueError, KeyError, AssertionError):
+        e = load_table(spark, sf_dir, "embeddings")
+        assign = kmeans_assign(
+            e, "vec_id", "embedding", centroids=base_cents
+        )
+        # bounded collect: ≤ k rows of (cid, count)
+        counts = assign.groupBy("cid").count().collect()
+        hot = int(
+            sorted(counts, key=lambda r: (-r["count"], r["cid"]))[0]["cid"]
+        )
+        hv = e.join(
+            assign.filter(F.col("cid") == hot).select(
+                F.col("__id").alias("vec_id")
+            ),
+            "vec_id",
+        )
+        sub = kmeans_fit(hv, "vec_id", "embedding", k=2, iters=2)
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"hot": hot, "sub": sub}, f)
+        except OSError:
+            pass  # artifact is an optimization, never a correctness gate
+    _REBALANCE_CACHE[sf_dir] = (base_cents, hot, sub)
+    return _REBALANCE_CACHE[sf_dir]
+
+
+_IVF_REBALANCE_ORACLE = (
+    _oracle_kmeans()
+    + f""",
+cnt AS (SELECT cid, COUNT(*) AS n FROM fin GROUP BY cid),
+hot AS (SELECT cid FROM cnt ORDER BY n DESC, cid LIMIT 1),
+hv AS (SELECT f.vec_id, v.s FROM fin f JOIN v ON f.vec_id = v.vec_id
+       WHERE f.cid = (SELECT cid FROM hot)),
+"""
+    + _oracle_kmeans_on("hv", k=2, iters=2, pfx="h")
+    + """
+SELECT f.vec_id, f.cid AS old_cid,
+       CASE WHEN h.vec_id IS NULL THEN f.cid
+            WHEN h.cid = 0 THEN f.cid
+            ELSE 8 END AS new_cid
+FROM fin f LEFT JOIN hfin h ON f.vec_id = h.vec_id
+"""
+)
+
+
+@query("q_sim_ivf_rebalance", _IVF_REBALANCE_ORACLE)
+def q_sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index REBALANCE — the missing maintenance step of the ANN
+    lifecycle (fit → encode → append → probe → rebalance): the hottest
+    posting list (max count, ties to the lowest cid) is split by a
+    k=2 deterministic integer k-means over ITS vectors only; sub-0
+    keeps the old cluster id, sub-1 becomes cluster k(=8). Every other
+    posting list is untouched — the output maps each vector's old cid
+    to its post-rebalance cid, and the DuckDB oracle replays the
+    identical hot-pick + sub-fit math, so the no-full-retrain contract
+    is value-verified. The split centroids persist as a versioned
+    sidecar beside the base artifact (`_ivf_rebalanced`); recall
+    non-regression is pinned in tests/test_ivf_rebalance.py."""
+    from nutdb_spark.operators.similarity import kmeans_assign
+
+    base_cents, hot, sub = _ivf_rebalanced(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(e, "vec_id", "embedding", centroids=base_cents)
+    hv = e.join(
+        assign.filter(F.col("cid") == hot).select(
+            F.col("__id").alias("vec_id")
+        ),
+        "vec_id",
+    )
+    sub_assign = kmeans_assign(hv, "vec_id", "embedding", centroids=sub)
+    new = sub_assign.select(
+        F.col("__id").alias("vec_id"),
+        F.when(F.col("cid") == 0, F.lit(hot))
+        .otherwise(F.lit(len(base_cents)))
+        .cast("long")
+        .alias("__nc"),
+    )
+    return (
+        assign.select(
+            F.col("__id").alias("vec_id"), F.col("cid").alias("old_cid")
+        )
+        .join(new, "vec_id", "left")
+        .select(
+            "vec_id",
+            "old_cid",
+            F.coalesce(F.col("__nc"), F.col("old_cid")).alias("new_cid"),
+        )
+    )

@@ -74,6 +74,8 @@ def test_lowerings_are_lazy(spark):
         and n not in ("sql_source_files", "q_dedup_connected",
                       "q_dedup_connected_star", "q_dedup_connected_best",
                       "q_cluster_kmeans", "q_sim_topk_ivf",
+                      # hot-list pick + one-cluster sub-fit by design
+                      "q_sim_ivf_rebalance",
                       "sql_outfile",  # INTO OUTFILE writes by design
                       # bounded per-partition-count collect by design
                       "q_analytic_global_rank",
