@@ -157,6 +157,14 @@ ENTRIES = [
     "sql_fn_morton",
     "q_partition_pruning",
     "sql_fn_tier10",
+    # round-11 additions — URL-canonical dedup, skewed-join stress
+    # (the sf1 point IS the no-straggler-collapse evidence), incremental
+    # connected components (persisted labels + band index), IVF
+    # rebalance (artifact-cached split: the slope measures assignment)
+    "q_dedup_url",
+    "q_join_skew_aqe",
+    "q_dedup_connected_incremental",
+    "q_sim_ivf_rebalance",
 ]
 
 SF01 = "/root/testdata/sf0.1"
