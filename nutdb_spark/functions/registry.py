@@ -3950,3 +3950,338 @@ SCALAR_FNS["clamp"] = lambda x, lo, hi: F.least(F.greatest(x, lo), hi)
 SCALAR_FNS["arraySymmetricDifference"] = lambda a, b: F.array_except(
     F.array_union(a, b), F.array_intersect(a, b)
 )
+
+
+# --- [EXT] tier-11 scalars: string-similarity family -------------------------
+# damerauLevenshteinDistance (OSA form), jaroSimilarity,
+# jaroWinklerSimilarity, byteHammingDistance — the CH fuzzy-matching
+# quartet. All pure JVM expression trees: nested F.aggregate folds over
+# bounded codepoint arrays, so every value is deterministic integer /
+# fixed-order IEEE arithmetic with an exact DuckDB counterpart
+# (jaro/jaroWinkler match DuckDB's NATIVE jaro_similarity /
+# jaro_winkler_similarity bit-exactly — textbook algorithm, 0.7 boost
+# threshold, prefix cap 4, p=0.1; the OSA Damerau form is mirrored as
+# the identical fold because DuckDB's native damerau_levenshtein is the
+# UNRESTRICTED variant, e.g. 'ca'→'abc' = 2 vs OSA's 3).
+
+_DL_INF = 1 << 40
+
+
+def _cp(s: Column) -> Column:
+    """Codepoint array of a string (ASCII-exact; the fixture corpus is
+    ASCII word salad — same caveat as the CDC chunker)."""
+    return F.transform(
+        F.filter(F.split(s, ""), lambda c: F.length(c) > 0),
+        lambda c: F.ascii(c).cast("long"),
+    )
+
+
+def _damerau_osa(sa: Column, sb: Column) -> Column:
+    """Optimal-string-alignment Damerau-Levenshtein: the classic
+    3-way DP plus an adjacent-transposition case (each substring
+    edited at most once). Outer fold = rows of the DP matrix, inner
+    fold = sequential left-to-right cells; the accumulator carries the
+    previous TWO rows (flattened into one struct) for the
+    transposition lookback."""
+    A, B = _cp(sa), _cp(sb)
+
+    def dp(A, B):
+        la, lb = F.size(A), F.size(B)
+        row0 = F.sequence(F.lit(0).cast("long"), lb.cast("long"))
+        init = F.struct(
+            row0.alias("prev"),
+            F.transform(row0, lambda _: F.lit(_DL_INF).cast("long")).alias(
+                "pp"
+            ),
+        )
+
+        def outer(acc, i):
+            prev, pp = acc["prev"], acc["pp"]
+
+            def cell(r, j):
+                cost = F.when(
+                    F.get(A, (i - 1).cast("int"))
+                    == F.get(B, (j - 1).cast("int")),
+                    F.lit(0),
+                ).otherwise(F.lit(1)).cast("long")
+                best = F.least(
+                    F.get(prev, j.cast("int")) + 1,
+                    F.element_at(r, -1) + 1,
+                    F.get(prev, (j - 1).cast("int")) + cost,
+                )
+                trans_ok = (
+                    (i >= 2)
+                    & (j >= 2)
+                    & (
+                        F.get(A, (i - 1).cast("int"))
+                        == F.get(B, (j - 2).cast("int"))
+                    )
+                    & (
+                        F.get(A, (i - 2).cast("int"))
+                        == F.get(B, (j - 1).cast("int"))
+                    )
+                )
+                best = F.least(
+                    best,
+                    F.when(
+                        trans_ok, F.get(pp, (j - 2).cast("int")) + 1
+                    ).otherwise(F.lit(_DL_INF).cast("long")),
+                )
+                return F.concat(r, F.array(best))
+
+            new = F.aggregate(
+                F.sequence(F.lit(1).cast("long"), lb.cast("long")),
+                F.array(i.cast("long")),
+                cell,
+            )
+            return F.struct(new.alias("prev"), prev.alias("pp"))
+
+        fold = F.aggregate(
+            F.sequence(F.lit(1).cast("long"), la.cast("long")), init, outer
+        )
+        return F.element_at(fold["prev"], -1)
+
+    # let-bind A/B (each referenced O(la*lb) times inside the folds —
+    # the CollapseProject inlining trap) and carve out the empty cases
+    # (sequence(1, 0) runs DOWNWARD).
+    return F.get(
+        F.transform(
+            F.array(F.struct(A.alias("a"), B.alias("b"))),
+            lambda t: F.when(
+                F.size(t["a"]) == 0, F.size(t["b"]).cast("long")
+            )
+            .when(F.size(t["b"]) == 0, F.size(t["a"]).cast("long"))
+            .otherwise(dp(t["a"], t["b"])),
+        ),
+        0,
+    )
+
+
+SCALAR_FNS["damerauLevenshteinDistance"] = _damerau_osa
+
+
+def _jaro(sa: Column, sb: Column) -> Column:
+    """Textbook Jaro similarity: match window floor(max/2)-1,
+    first-unused-in-window matching, transpositions = half the
+    mismatched positions of the two matched sequences. Codepoint
+    arrays are let-bound once (CollapseProject trap), then the core
+    runs in `_jaro_sim_arrays` (shared with jaroWinklerSimilarity).
+    NULL input → NULL (the m==0 → 0.0 path would otherwise swallow
+    it)."""
+    A, B = _cp(sa), _cp(sb)
+    return F.when(
+        sa.isNull() | sb.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.get(
+            F.transform(
+                F.array(F.struct(A.alias("a"), B.alias("b"))),
+                lambda t: F.when(
+                    (F.size(t["a"]) == 0) | (F.size(t["b"]) == 0),
+                    F.lit(0.0),
+                ).otherwise(_jaro_sim_arrays(t["a"], t["b"])),
+            ),
+            0,
+        )
+    )
+
+
+SCALAR_FNS["jaroSimilarity"] = _jaro
+
+
+def _jaro_winkler(sa: Column, sb: Column) -> Column:
+    """Jaro-Winkler: jaro + prefix boost l*0.1*(1-jaro), prefix capped
+    at 4, applied only above the 0.7 boost threshold (DuckDB/textbook
+    behavior, verified empirically). The jaro core is let-bound so the
+    boost branch references it once, not three times. NULL input →
+    NULL (the m==0 → 0.0 path would otherwise swallow it)."""
+    A, B = _cp(sa), _cp(sb)
+
+    def jw(t):
+        a, b = t["a"], t["b"]
+        j = t["j"]
+        cap = F.least(F.size(a), F.size(b), F.lit(4)).cast("long")
+        # prefix length = count of k in 1..4 with first-k equality
+        # (monotone, so the count IS the prefix length)
+        l = F.size(
+            F.filter(
+                F.when(
+                    cap >= 1, F.sequence(F.lit(1).cast("long"), cap)
+                ).otherwise(
+                    F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0).cast(
+                        "array<long>"
+                    )
+                ),
+                lambda k: F.size(
+                    F.filter(
+                        F.sequence(F.lit(0).cast("long"), k - 1),
+                        lambda p: F.get(a, p.cast("int"))
+                        == F.get(b, p.cast("int")),
+                    )
+                )
+                == k.cast("int"),
+            )
+        ).cast("double")
+        return F.when(j > 0.7, j + l * F.lit(0.1) * (F.lit(1.0) - j)).otherwise(j)
+
+    def bind_j(t):
+        a, b = t["a"], t["b"]
+        j0 = F.when(
+            (F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0)
+        ).otherwise(_jaro_sim_arrays(a, b))
+        return F.get(
+            F.transform(
+                F.array(
+                    F.struct(a.alias("a"), b.alias("b"), j0.alias("j"))
+                ),
+                jw,
+            ),
+            0,
+        )
+
+    return F.when(
+        sa.isNull() | sb.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.get(
+            F.transform(
+                F.array(F.struct(A.alias("a"), B.alias("b"))), bind_j
+            ),
+            0,
+        )
+    )
+
+
+def _jaro_sim_arrays(a: Column, b: Column) -> Column:
+    """_jaro's core over already-bound codepoint arrays (shared by
+    jaroWinklerSimilarity so the arrays bind once)."""
+    # Re-enter the bound-array body of _jaro: duplicate the inner sim()
+    # by folding through a single-element transform again is wasteful —
+    # instead rebuild the same expression with a/b as the arrays.
+    la, lb = F.size(a).cast("long"), F.size(b).cast("long")
+    w = F.greatest(
+        F.floor(F.greatest(la, lb) / 2).cast("long") - 1,
+        F.lit(0).cast("long"),
+    )
+    init = F.struct(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), lb),
+            lambda _: F.lit(0).cast("long"),
+        ).alias("used"),
+        F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+        .cast("array<long>")
+        .alias("mb"),
+        F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+        .cast("array<long>")
+        .alias("ma"),
+    )
+
+    def step(acc, i):
+        lo = F.greatest(i - w, F.lit(0).cast("long"))
+        hi = F.least(i + w, lb - 1)
+        cand = F.filter(
+            F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+            ),
+            lambda j: (F.get(b, j.cast("int")) == F.get(a, i.cast("int")))
+            & (F.get(acc["used"], j.cast("int")) == 0),
+        )
+        j = F.get(cand, 0)
+        return F.when(j.isNull(), acc).otherwise(
+            F.struct(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), lb - 1),
+                    lambda k: F.when(
+                        k == j, F.lit(1).cast("long")
+                    ).otherwise(F.get(acc["used"], k.cast("int"))),
+                ).alias("used"),
+                F.concat(acc["mb"], F.array(j)).alias("mb"),
+                F.concat(acc["ma"], F.array(F.get(a, i.cast("int")))).alias(
+                    "ma"
+                ),
+            )
+        )
+
+    fold = F.aggregate(F.sequence(F.lit(0).cast("long"), la - 1), init, step)
+
+    # Let-bind the fold result and m: every `fold[...]` / `m` reference
+    # otherwise duplicates the ENTIRE aggregate tree (34 KB → ~200 KB
+    # per call site before this binding — the CollapseProject trap).
+    def score(f):
+        m = F.size(f["mb"]).cast("long")
+
+        def with_m(u):
+            mm = u["m"]
+            m2 = F.filter(
+                F.sequence(F.lit(0).cast("long"), lb - 1),
+                lambda j: F.get(u["used"], j.cast("int")) == 1,
+            )
+            mism = F.size(
+                F.filter(
+                    F.sequence(F.lit(0).cast("long"), mm - 1),
+                    lambda k: F.get(u["ma"], k.cast("int"))
+                    != F.get(b, F.get(m2, k.cast("int")).cast("int")),
+                )
+            ).cast("long")
+            # transpositions = HALF the mismatched positions, floored —
+            # the classic C implementations (and DuckDB) use integer
+            # division here
+            t = F.floor(mism / F.lit(2)).cast("double")
+            md = mm.cast("double")
+            return F.when(mm == 0, F.lit(0.0)).otherwise(
+                (
+                    md / la.cast("double")
+                    + md / lb.cast("double")
+                    + (md - t) / md
+                )
+                / F.lit(3.0)
+            )
+
+        return F.get(
+            F.transform(
+                F.array(
+                    F.struct(
+                        m.alias("m"),
+                        f["used"].alias("used"),
+                        f["ma"].alias("ma"),
+                    )
+                ),
+                with_m,
+            ),
+            0,
+        )
+
+    return F.get(F.transform(F.array(fold), score), 0)
+
+
+SCALAR_FNS["jaroWinklerSimilarity"] = _jaro_winkler
+
+
+def _byte_hamming(sa: Column, sb: Column) -> Column:
+    """byteHammingDistance: differing positions over the common prefix
+    length plus the length difference (CH counts unmatched tail bytes
+    as differences)."""
+    A, B = _cp(sa), _cp(sb)
+
+    def hd(t):
+        a, b = t["a"], t["b"]
+        la, lb = F.size(a).cast("long"), F.size(b).cast("long")
+        lo = F.least(la, lb)
+        diffs = F.size(
+            F.filter(
+                F.when(
+                    lo >= 1, F.sequence(F.lit(0).cast("long"), lo - 1)
+                ).otherwise(
+                    F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0).cast(
+                        "array<long>"
+                    )
+                ),
+                lambda i: F.get(a, i.cast("int")) != F.get(b, i.cast("int")),
+            )
+        ).cast("long")
+        return diffs + F.abs(la - lb)
+
+    return F.get(
+        F.transform(F.array(F.struct(A.alias("a"), B.alias("b"))), hd), 0
+    )
+
+
+SCALAR_FNS["byteHammingDistance"] = _byte_hamming

@@ -4854,3 +4854,131 @@ def sql_fn_tier10(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+# --- tier-11: string-similarity family --------------------------------------
+
+_OSA_INF = 1 << 40
+
+
+def _oracle_cp(expr: str) -> str:
+    """Codepoint list of a string — the DuckDB twin of the registry's
+    _cp (string_split('') drops nothing because empty splits vanish)."""
+    return (
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))"
+    )
+
+
+def _oracle_osa(A: str, B: str, la: str, lb: str) -> str:
+    """DuckDB mirror of the registry's OSA Damerau-Levenshtein fold
+    (functions/registry.py _damerau_osa): the SAME nested
+    rows-of-the-DP-matrix fold, with the accumulator FLATTENED to one
+    BIGINT list (state = prevprev || prev, each lb+1 long) because
+    DuckDB struct-accumulator list_reduce is broken under vectorized
+    multi-group execution (the r10 trap) while plain BIGINT[] folds
+    are exact. Elements are [i]/[j] singleton lists so the reduce's
+    acc-type == element-type constraint holds."""
+    return f"""(
+      CASE WHEN {la} = 0 THEN CAST({lb} AS BIGINT)
+           WHEN {lb} = 0 THEN CAST({la} AS BIGINT)
+           ELSE (
+             list_reduce(
+               [list_concat(
+                  list_transform(range(1, {lb}+2),
+                                 x -> CAST({_OSA_INF} AS BIGINT)),
+                  list_transform(range(0, {lb}+1),
+                                 x -> CAST(x AS BIGINT)))]
+               || list_transform(range(1, {la}+1),
+                                 i -> [CAST(i AS BIGINT)]),
+               (st, xi) -> list_concat(
+                 st[{lb}+2 : 2*{lb}+2],
+                 list_reduce(
+                   [[xi[1]]] || list_transform(range(1, {lb}+1),
+                                               j -> [CAST(j AS BIGINT)]),
+                   (r, xj) -> r || [least(
+                      st[{lb}+2+xj[1]] + 1,
+                      r[len(r)] + 1,
+                      st[{lb}+1+xj[1]]
+                        + (CASE WHEN {A}[xi[1]] = {B}[xj[1]]
+                                THEN 0 ELSE 1 END),
+                      CASE WHEN xi[1] >= 2 AND xj[1] >= 2
+                                AND {A}[xi[1]] = {B}[xj[1]-1]
+                                AND {A}[xi[1]-1] = {B}[xj[1]]
+                           THEN st[xj[1]-1] + 1
+                           ELSE CAST({_OSA_INF} AS BIGINT) END)]
+                 )
+               )
+             )[2*({lb}+1)]
+           ) END)"""
+
+
+def _oracle_byte_hamming(A: str, B: str, la: str, lb: str) -> str:
+    return (
+        f"CAST((CASE WHEN least({la},{lb}) = 0 THEN 0 ELSE "
+        f"len(list_filter(range(1, least({la},{lb})+1), "
+        f"i -> {A}[i] <> {B}[i])) END) + abs({la} - {lb}) AS BIGINT)"
+    )
+
+
+@query(
+    "sql_fn_strsim",
+    f"""
+    WITH t0 AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                    x -> len(x) > 0) AS ws,
+        substr(text, 1, 12) AS p1, substr(text, 3, 12) AS p2
+      FROM documents WHERE doc_id < 200),
+    t AS (SELECT doc_id, ws[1] AS w1, ws[2] AS w2, p1, p2 FROM t0),
+    cp AS (SELECT doc_id, w1, w2, p1, p2,
+            {_oracle_cp('w1')} AS A1, {_oracle_cp('w2')} AS B1,
+            {_oracle_cp('p1')} AS A2, {_oracle_cp('p2')} AS B2
+           FROM t),
+    sz AS (SELECT *, len(A1) AS la1, len(B1) AS lb1,
+                  len(A2) AS la2, len(B2) AS lb2 FROM sz0),
+    sz0 AS (SELECT * FROM cp)
+    SELECT doc_id,
+      {_oracle_osa('A1', 'B1', 'la1', 'lb1')} AS dl_w,
+      {_oracle_osa('A2', 'B2', 'la2', 'lb2')} AS dl_p,
+      jaro_similarity(w1, w2) AS js_w,
+      jaro_winkler_similarity(w1, w2) AS jws_w,
+      jaro_similarity(p1, p2) AS js_p,
+      jaro_winkler_similarity(p1, p2) AS jws_p,
+      {_oracle_byte_hamming('A1', 'B1', 'la1', 'lb1')} AS bh
+    FROM sz ORDER BY doc_id
+    """,
+)
+def sql_fn_strsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-11 string-similarity family over word pairs and
+    shifted text slices: damerauLevenshteinDistance (OSA form — each
+    substring edited once; mirrored in DuckDB as the identical nested
+    DP fold because the native damerau_levenshtein is the unrestricted
+    variant), jaroSimilarity / jaroWinklerSimilarity (bit-exact
+    against DuckDB's NATIVE implementations — textbook window/match/
+    floored-transposition algorithm, 0.7 boost threshold, prefix cap
+    4), and byteHammingDistance (common-prefix diffs + length tail).
+    All nested F.aggregate folds over let-bound codepoint arrays —
+    whole-stage codegen, no Python; one Exchange for ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select doc_id,
+                 splitByNonAlpha(text)[1] as w1,
+                 splitByNonAlpha(text)[2] as w2,
+                 substring(text, 1, 12) as p1,
+                 substring(text, 3, 12) as p2
+          from documents where doc_id < 200)
+        select doc_id,
+               damerauLevenshteinDistance(w1, w2) as dl_w,
+               damerauLevenshteinDistance(p1, p2) as dl_p,
+               jaroSimilarity(w1, w2) as js_w,
+               jaroWinklerSimilarity(w1, w2) as jws_w,
+               jaroSimilarity(p1, p2) as js_p,
+               jaroWinklerSimilarity(p1, p2) as jws_p,
+               byteHammingDistance(w1, w2) as bh
+        from t order by doc_id
+        """,
+    )
