@@ -4285,3 +4285,276 @@ def _byte_hamming(sa: Column, sb: Column) -> Column:
 
 
 SCALAR_FNS["byteHammingDistance"] = _byte_hamming
+
+
+# --- [EXT] tier-11 grab bag: factorial, unbin, key-value extraction,
+# point-in-polygon, geohash ----------------------------------------------
+
+# CH factorial() accepts 0..20 (21! overflows int64); out-of-domain is
+# NULL-instead-of-junk (the intExp2 guard convention).
+SCALAR_FNS["factorial"] = lambda n: F.when(
+    (n < 0) | (n > 20), F.lit(None).cast("long")
+).otherwise(
+    F.aggregate(
+        F.sequence(
+            F.lit(1).cast("long"),
+            F.greatest(n.cast("long"), F.lit(1).cast("long")),
+        ),
+        F.lit(1).cast("long"),
+        lambda acc, x: acc * x,
+    )
+)
+
+
+def _unbin(s: Column) -> Column:
+    """unbin('1010') → 10: inverse of this registry's numeric bin()
+    (CH's unbin is byte-oriented because its bin is; ours pairs with
+    F.bin — documented deviation). Any character other than 0/1 → NULL."""
+    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
+    bad = F.exists(chars, lambda c: ~c.isin("0", "1"))
+    return F.when(
+        s.isNull() | bad | (F.size(chars) == 0) | (F.size(chars) > 63),
+        F.lit(None).cast("long"),
+    ).otherwise(
+        F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: acc * 2 + (c == "1").cast("long"),
+        )
+    )
+
+
+SCALAR_FNS["unbin"] = _unbin
+
+
+def _extract_kv_pairs(s: Column) -> Column:
+    """extractKeyValuePairs('a:1, b:2') → map('a','1','b','2') — the
+    CH log-scraping helper with the default separators (pair ',',
+    key-value ':'); keys and values are trimmed, pairs without a ':'
+    are dropped, the FIRST occurrence of a duplicate key wins (Spark
+    map_from_entries errors on duplicates, so they are pre-filtered)."""
+    entries = F.transform(
+        F.filter(
+            F.split(s, ","),
+            lambda kv: F.length(F.trim(kv)) > 0
+        ),
+        lambda kv: F.struct(
+            F.trim(F.substring_index(kv, ":", 1)).alias("key"),
+            F.trim(
+                F.when(
+                    F.instr(kv, ":") > 0,
+                    F.call_function("substr", kv, F.instr(kv, ":") + 1),
+                ).otherwise(F.lit(None).cast("string"))
+            ).alias("value"),
+        ),
+    )
+    good = F.filter(entries, lambda e: e["value"].isNotNull())
+    first_wins = F.filter(
+        good,
+        lambda e, i: ~F.exists(
+            F.slice(good, 1, i),
+            lambda p: p["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(first_wins)
+
+
+SCALAR_FNS["extractKeyValuePairs"] = _extract_kv_pairs
+
+
+def _point_in_polygon(pt: Column, poly: Column) -> Column:
+    """pointInPolygon([x, y], [[x1,y1], ...]) → 0/1 — classic
+    even-odd ray casting with the division cross-multiplied away, so
+    integer coordinates stay integer-exact end to end (the CH tuple
+    signature is expressed with 2-element arrays — documented
+    deviation; the dialect has no tuple literals)."""
+
+    def f(t):
+        p, pg = t["p"], t["pg"]
+        n = F.size(pg)
+        x, y = F.get(p, 0), F.get(p, 1)
+
+        def crossing(i):
+            a = F.get(pg, i.cast("int"))
+            b = F.get(
+                pg,
+                F.when(i == 0, n - 1).otherwise(i - 1).cast("int"),
+            )
+            xi, yi = F.get(a, 0), F.get(a, 1)
+            xj, yj = F.get(b, 0), F.get(b, 1)
+            straddle = (yi > y) != (yj > y)
+            dy = yj - yi
+            lhs = (x - xi) * dy
+            rhs = (xj - xi) * (y - yi)
+            return straddle & F.when(dy > 0, lhs < rhs).otherwise(
+                lhs > rhs
+            )
+
+        cnt = F.size(F.filter(F.sequence(F.lit(0), n - 1), crossing))
+        return (cnt % 2).cast("long")
+
+    return F.get(
+        F.transform(
+            F.array(F.struct(pt.alias("p"), poly.alias("pg"))), f
+        ),
+        0,
+    )
+
+
+SCALAR_FNS["pointInPolygon"] = _point_in_polygon
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_alpha() -> Column:
+    return F.array(*[F.lit(c) for c in _GEOHASH32])
+
+
+def _geohash_encode(lon: Column, lat: Column, precision: Column) -> Column:
+    """geohashEncode(lon, lat, precision) — standard geohash: bits
+    alternate longitude-first, 5 bits per base-32 character. The fold
+    state is one flat DOUBLE array [lon_lo, lon_hi, lat_lo, lat_hi,
+    cur_digit, completed digits...]; every halving midpoint is an
+    exact IEEE (lo+hi)/2, so the DuckDB mirror (the identical
+    DOUBLE[] fold) is bit-identical. Precision is clamped to 1..12."""
+
+    def enc(t):
+        lo_, la_, p = t["lon"], t["lat"], t["p"]
+        nbits = (p * 5).cast("long")
+        init = F.array(
+            F.lit(-180.0), F.lit(180.0), F.lit(-90.0), F.lit(90.0),
+            F.lit(0.0),
+        )
+
+        def step(acc, i):
+            is_lon = i % 2 == 0
+            lo = F.when(is_lon, F.get(acc, 0)).otherwise(F.get(acc, 2))
+            hi = F.when(is_lon, F.get(acc, 1)).otherwise(F.get(acc, 3))
+            mid = (lo + hi) / 2
+            v = F.when(is_lon, lo_).otherwise(la_)
+            bit = (v >= mid).cast("double")
+            nlo = F.when(v >= mid, mid).otherwise(lo)
+            nhi = F.when(v >= mid, hi).otherwise(mid)
+            cur = F.get(acc, 4) * 2 + bit
+            flush = i % 5 == 4
+            head = F.array(
+                F.when(is_lon, nlo).otherwise(F.get(acc, 0)),
+                F.when(is_lon, nhi).otherwise(F.get(acc, 1)),
+                F.when(is_lon, F.get(acc, 2)).otherwise(nlo),
+                F.when(is_lon, F.get(acc, 3)).otherwise(nhi),
+                F.when(flush, F.lit(0.0)).otherwise(cur),
+            )
+            tail = F.slice(acc, F.lit(6), F.greatest(F.size(acc) - 5, F.lit(0)))
+            return F.concat(
+                head,
+                tail,
+                F.when(flush, F.array(cur)).otherwise(
+                    F.slice(F.array(F.lit(0.0)), 1, 0)
+                ),
+            )
+
+        fold = F.aggregate(
+            F.sequence(F.lit(0).cast("long"), nbits - 1), init, step
+        )
+        alpha = _geohash_alpha()
+        return F.array_join(
+            F.transform(
+                F.slice(fold, F.lit(6), F.greatest(F.size(fold) - 5, F.lit(0))),
+                lambda d: F.get(alpha, d.cast("int")),
+            ),
+            "",
+        )
+
+    p = F.least(
+        F.greatest(precision.cast("long"), F.lit(1).cast("long")),
+        F.lit(12).cast("long"),
+    )
+    return F.when(
+        lon.isNull() | lat.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.get(
+            F.transform(
+                F.array(
+                    F.struct(
+                        lon.cast("double").alias("lon"),
+                        lat.cast("double").alias("lat"),
+                        p.alias("p"),
+                    )
+                ),
+                enc,
+            ),
+            0,
+        )
+    )
+
+
+SCALAR_FNS["geohashEncode"] = _geohash_encode
+
+
+def _geohash_decode(dim: Column, s: Column) -> Column:
+    """geohashDecode(dim, hash) — the dim-th coordinate (1 = longitude,
+    2 = latitude) of the cell CENTER. CH returns the (lon, lat) tuple;
+    tuple returns don't canonicalize, so the dimension index selects
+    the coordinate (the mortonDecode convention)."""
+
+    def dec(t):
+        h, d = t["h"], t["d"]
+        alpha = _geohash_alpha()
+        chars = F.filter(F.split(h, ""), lambda c: F.length(c) > 0)
+        # bits in order: per char, 5 bits msb-first
+        bits = F.flatten(
+            F.transform(
+                chars,
+                lambda c: F.transform(
+                    F.sequence(F.lit(4), F.lit(0), F.lit(-1)),
+                    # shiftright, not pow: pow is libm (never in an
+                    # oracled path); the digit is array_position - 1
+                    lambda k: F.call_function(
+                        "shiftright",
+                        (F.array_position(alpha, c) - 1).cast("int"),
+                        k.cast("int"),
+                    ).cast("long")
+                    % 2,
+                ),
+            )
+        )
+        init = F.array(
+            F.lit(-180.0), F.lit(180.0), F.lit(-90.0), F.lit(90.0),
+            F.lit(0.0),  # bit index rides in slot 4
+        )
+
+        def step(acc, bit):
+            i = F.get(acc, 4)
+            is_lon = i % 2 == 0
+            lo = F.when(is_lon, F.get(acc, 0)).otherwise(F.get(acc, 2))
+            hi = F.when(is_lon, F.get(acc, 1)).otherwise(F.get(acc, 3))
+            mid = (lo + hi) / 2
+            one = bit == 1
+            nlo = F.when(one, mid).otherwise(lo)
+            nhi = F.when(one, hi).otherwise(mid)
+            return F.array(
+                F.when(is_lon, nlo).otherwise(F.get(acc, 0)),
+                F.when(is_lon, nhi).otherwise(F.get(acc, 1)),
+                F.when(is_lon, F.get(acc, 2)).otherwise(nlo),
+                F.when(is_lon, F.get(acc, 3)).otherwise(nhi),
+                i + 1,
+            )
+
+        fold = F.aggregate(bits, init, step)
+        return F.when(
+            d.cast("int") == 1,
+            (F.get(fold, 0) + F.get(fold, 1)) / 2,
+        ).otherwise((F.get(fold, 2) + F.get(fold, 3)) / 2)
+
+    return F.when(s.isNull(), F.lit(None).cast("double")).otherwise(
+        F.get(
+            F.transform(
+                F.array(F.struct(s.alias("h"), dim.alias("d"))), dec
+            ),
+            0,
+        )
+    )
+
+
+SCALAR_FNS["geohashDecode"] = _geohash_decode

@@ -4982,3 +4982,172 @@ def sql_fn_strsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by doc_id
         """,
     )
+
+
+# --- tier-11 grab bag: factorial/unbin/kv-pairs/geo ---------------------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _oracle_geohash_encode(lon: str, lat: str, p: int) -> str:
+    """DuckDB mirror of registry _geohash_encode: the identical flat
+    DOUBLE[]-state fold (struct accumulators are the r10 list_reduce
+    trap); every midpoint is an exact IEEE (lo+hi)/2 so the string is
+    bit-identical."""
+    step = f"""(st, xi) -> list_concat(
+        [CASE WHEN CAST(xi[1] AS BIGINT) % 2 = 0
+              THEN (CASE WHEN {lon} >= (st[1]+st[2])/2
+                         THEN (st[1]+st[2])/2 ELSE st[1] END)
+              ELSE st[1] END,
+         CASE WHEN CAST(xi[1] AS BIGINT) % 2 = 0
+              THEN (CASE WHEN {lon} >= (st[1]+st[2])/2
+                         THEN st[2] ELSE (st[1]+st[2])/2 END)
+              ELSE st[2] END,
+         CASE WHEN CAST(xi[1] AS BIGINT) % 2 = 0 THEN st[3]
+              ELSE (CASE WHEN {lat} >= (st[3]+st[4])/2
+                         THEN (st[3]+st[4])/2 ELSE st[3] END) END,
+         CASE WHEN CAST(xi[1] AS BIGINT) % 2 = 0 THEN st[4]
+              ELSE (CASE WHEN {lat} >= (st[3]+st[4])/2
+                         THEN st[4] ELSE (st[3]+st[4])/2 END) END,
+         CASE WHEN CAST(xi[1] AS BIGINT) % 5 = 4 THEN 0.0
+              ELSE st[5]*2 + (CASE WHEN (CASE WHEN CAST(xi[1] AS BIGINT) % 2 = 0
+                                              THEN {lon} >= (st[1]+st[2])/2
+                                              ELSE {lat} >= (st[3]+st[4])/2 END)
+                                   THEN 1.0 ELSE 0.0 END) END],
+        list_concat(
+          st[6 : len(st)],
+          CASE WHEN CAST(xi[1] AS BIGINT) % 5 = 4
+               THEN [st[5]*2 + (CASE WHEN (CASE WHEN CAST(xi[1] AS BIGINT) % 2 = 0
+                                                THEN {lon} >= (st[1]+st[2])/2
+                                                ELSE {lat} >= (st[3]+st[4])/2 END)
+                                     THEN 1.0 ELSE 0.0 END)]
+               ELSE CAST([] AS DOUBLE[]) END))"""
+    fold = f"""list_reduce(
+        [[CAST(-180 AS DOUBLE), 180, -90, 90, 0]]
+        || list_transform(range(0, {p * 5}), i -> [CAST(i AS DOUBLE)]),
+        {step})"""
+    return (
+        f"array_to_string(list_transform(({fold})[6 : {p} + 5], "
+        f"d -> substr('{_GH32}', CAST(d AS INT) + 1, 1)), '')"
+    )
+
+
+def _oracle_geohash_decode(dim: int, h: str) -> str:
+    bits = f"""flatten(list_transform(string_split({h}, ''),
+        c -> list_transform([4, 3, 2, 1, 0],
+          k -> [CAST((strpos('{_GH32}', c) - 1) // (1 << k) % 2 AS DOUBLE)])))"""
+    step = """(st, xb) -> [
+        CASE WHEN CAST(st[5] AS BIGINT) % 2 = 0
+             THEN (CASE WHEN xb[1] = 1 THEN (st[1]+st[2])/2 ELSE st[1] END)
+             ELSE st[1] END,
+        CASE WHEN CAST(st[5] AS BIGINT) % 2 = 0
+             THEN (CASE WHEN xb[1] = 1 THEN st[2] ELSE (st[1]+st[2])/2 END)
+             ELSE st[2] END,
+        CASE WHEN CAST(st[5] AS BIGINT) % 2 = 0 THEN st[3]
+             ELSE (CASE WHEN xb[1] = 1 THEN (st[3]+st[4])/2 ELSE st[3] END) END,
+        CASE WHEN CAST(st[5] AS BIGINT) % 2 = 0 THEN st[4]
+             ELSE (CASE WHEN xb[1] = 1 THEN st[4] ELSE (st[3]+st[4])/2 END) END,
+        st[5] + 1]"""
+    fold = f"""list_reduce(
+        [[CAST(-180 AS DOUBLE), 180, -90, 90, 0]] || {bits}, {step})"""
+    pick = "(({f})[1] + ({f})[2]) / 2" if dim == 1 else "(({f})[3] + ({f})[4]) / 2"
+    return pick.replace("{f}", fold)
+
+
+_PIP_POLY = "[[0,0],[10,0],[10,10],[5,5],[0,10]]"  # non-convex pentagon
+_PIP_N = 5
+
+
+def _oracle_pip(x: str, y: str) -> str:
+    a = f"(CAST({_PIP_POLY} AS BIGINT[][]))[i+1]"
+    b = (
+        f"(CAST({_PIP_POLY} AS BIGINT[][]))"
+        f"[CASE WHEN i = 0 THEN {_PIP_N} ELSE i END]"
+    )
+    crossing = f"""(
+        (({a})[2] > {y}) <> (({b})[2] > {y})
+        AND (CASE WHEN ({b})[2] - ({a})[2] > 0
+                  THEN ({x} - ({a})[1]) * (({b})[2] - ({a})[2])
+                       < (({b})[1] - ({a})[1]) * ({y} - ({a})[2])
+                  ELSE ({x} - ({a})[1]) * (({b})[2] - ({a})[2])
+                       > (({b})[1] - ({a})[1]) * ({y} - ({a})[2]) END))"""
+    return (
+        f"CAST(len(list_filter(range(0, {_PIP_N}), i -> {crossing})) % 2 "
+        "AS BIGINT)"
+    )
+
+
+@query(
+    "sql_fn_tier11",
+    f"""
+    WITH t AS (
+      SELECT event_id, event_type,
+             CAST(event_id % 25 - 2 AS BIGINT) AS fn,
+             CAST(event_id % 1000 + 1 AS BIGINT) AS bm,
+             CAST(event_id % 6 AS BIGINT) AS ze,
+             'a:' || CAST(event_id % 5 AS VARCHAR) || ', b : ' || event_type
+               || ' ,a:9,junk,' AS kvs,
+             CAST(event_id % 21 - 10 AS BIGINT) AS px,
+             CAST(event_id % 17 - 8 AS BIGINT) AS py,
+             CAST(event_id % 360 AS DOUBLE) - 180 + 0.5 AS lon,
+             CAST(event_id % 180 AS DOUBLE) - 90 + 0.25 AS lat
+      FROM events WHERE user_id < 15)
+    SELECT event_id,
+      CASE WHEN fn < 0 OR fn > 20 THEN NULL
+           ELSE CAST(factorial(CAST(fn AS INT)) AS BIGINT) END AS fac,
+      bm AS ubrt,
+      CAST(1 << ze AS BIGINT) AS ubp,
+      'a,b' AS kvk,
+      CAST(event_id % 5 AS VARCHAR) || ',' || event_type AS kvv,
+      {_oracle_pip('px', 'py')} AS pip,
+      {_oracle_geohash_encode('lon', 'lat', 6)} AS gh,
+      {_oracle_geohash_decode(1, _oracle_geohash_encode('lon', 'lat', 6))} AS glon,
+      {_oracle_geohash_decode(2, _oracle_geohash_encode('lon', 'lat', 6))} AS glat
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_tier11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-11 grab bag: factorial (0..20, NULL-instead-of-junk
+    guard), unbin (inverse of the numeric bin — round-trip plus a
+    '1'+zeros power-of-two pattern), extractKeyValuePairs (trimmed
+    first-colon split, first duplicate key wins; keys/values
+    string-joined through mapSort for a canonical order),
+    pointInPolygon over a non-convex pentagon (cross-multiplied ray
+    casting — integer-exact), and the geohash pair (encode at
+    precision 6, decode back to the cell center; the oracle replays
+    the identical flat DOUBLE[] fold, every midpoint an exact IEEE
+    halving). All JVM expression trees; one Exchange for ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id,
+                 toInt64(event_id % 25) - 2 as fn,
+                 toInt64(event_id % 1000) + 1 as bm,
+                 toInt64(event_id % 6) as ze,
+                 concat('a:', toString(event_id % 5), ', b : ', event_type,
+                        ' ,a:9,junk,') as kvs,
+                 toInt64(event_id % 21) - 10 as px,
+                 toInt64(event_id % 17) - 8 as py,
+                 toFloat64(event_id % 360) - 180 + 0.5 as lon,
+                 toFloat64(event_id % 180) - 90 + 0.25 as lat
+          from events where user_id < 15)
+        select event_id,
+               factorial(fn) as fac,
+               unbin(bin(bm)) as ubrt,
+               unbin(concat('1', repeat('0', ze))) as ubp,
+               arrayStringConcat(mapKeys(mapSort(
+                 extractKeyValuePairs(kvs))), ',') as kvk,
+               arrayStringConcat(mapValues(mapSort(
+                 extractKeyValuePairs(kvs))), ',') as kvv,
+               pointInPolygon([px, py],
+                 [[toInt64(0),toInt64(0)],[toInt64(10),toInt64(0)],
+                  [toInt64(10),toInt64(10)],[toInt64(5),toInt64(5)],
+                  [toInt64(0),toInt64(10)]]) as pip,
+               geohashEncode(lon, lat, 6) as gh,
+               geohashDecode(1, geohashEncode(lon, lat, 6)) as glon,
+               geohashDecode(2, geohashEncode(lon, lat, 6)) as glat
+        from t order by event_id
+        """,
+    )

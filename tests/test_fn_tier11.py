@@ -1,0 +1,119 @@
+"""tier-11 grab-bag pins: factorial guard edges, unbin round-trip and
+invalid-input NULLs, extractKeyValuePairs parsing edges, pointInPolygon
+vs a python ray-casting reference on a non-convex polygon, and the
+geohash encode/decode round-trip property (decode returns the cell
+center, so re-encoding the decoded point reproduces the hash).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutdb_spark.functions.registry import SCALAR_FNS
+
+
+def py_pip(x, y, poly):
+    n = len(poly)
+    inside = False
+    j = n - 1
+    for i in range(n):
+        xi, yi = poly[i]
+        xj, yj = poly[j]
+        if (yi > y) != (yj > y) and x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    return 1 if inside else 0
+
+
+POLY = [(0, 0), (10, 0), (10, 10), (5, 5), (0, 10)]
+
+
+def _poly_col():
+    return F.array(
+        *[F.array(F.lit(a).cast("long"), F.lit(b).cast("long")) for a, b in POLY]
+    )
+
+
+def test_point_in_polygon_matches_reference(spark):
+    rng = random.Random(3)
+    pts = [(rng.randint(-3, 13), rng.randint(-3, 13)) for _ in range(120)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x",
+        "y",
+        SCALAR_FNS["pointInPolygon"](
+            F.array(F.col("x"), F.col("y")), _poly_col()
+        ).alias("p"),
+    ).collect()
+    for r in rows:
+        assert r["p"] == py_pip(r["x"], r["y"], POLY), (r["x"], r["y"])
+
+
+def test_factorial_edges(spark):
+    r = spark.range(1).select(
+        SCALAR_FNS["factorial"](F.lit(0)).alias("a"),
+        SCALAR_FNS["factorial"](F.lit(1)).alias("b"),
+        SCALAR_FNS["factorial"](F.lit(20)).alias("c"),
+        SCALAR_FNS["factorial"](F.lit(21)).alias("d"),
+        SCALAR_FNS["factorial"](F.lit(-1)).alias("e"),
+    ).first()
+    assert (r["a"], r["b"], r["c"]) == (1, 1, 2432902008176640000)
+    assert r["d"] is None and r["e"] is None
+
+
+def test_unbin_edges(spark):
+    r = spark.range(1).select(
+        SCALAR_FNS["unbin"](SCALAR_FNS["bin"](F.lit(987654321))).alias("rt"),
+        SCALAR_FNS["unbin"](F.lit("0")).alias("z"),
+        SCALAR_FNS["unbin"](F.lit("102")).alias("bad"),
+        SCALAR_FNS["unbin"](F.lit("")).alias("empty"),
+        SCALAR_FNS["unbin"](F.lit("1" * 64)).alias("over"),
+    ).first()
+    assert r["rt"] == 987654321 and r["z"] == 0
+    assert r["bad"] is None and r["empty"] is None and r["over"] is None
+
+
+def test_extract_kv_pairs_edges(spark):
+    r = spark.range(1).select(
+        F.map_entries(
+            SCALAR_FNS["extractKeyValuePairs"](
+                F.lit(" a : 1 ,junk, b:2, a:9, c:x:y ,")
+            )
+        ).alias("kv")
+    ).first()
+    got = {e["key"]: e["value"] for e in r["kv"]}
+    # first duplicate wins, junk (no colon) dropped, values keep
+    # everything after the FIRST colon, whitespace trimmed
+    assert got == {"a": "1", "b": "2", "c": "x:y"}
+
+
+def test_geohash_known_vectors_and_roundtrip(spark):
+    # ezs42 is the canonical example cell; Palermo is sqc8b49
+    r = spark.range(1).select(
+        SCALAR_FNS["geohashEncode"](
+            F.lit(-5.60302734375), F.lit(42.60498046875), F.lit(5)
+        ).alias("g1"),
+        SCALAR_FNS["geohashEncode"](
+            F.lit(13.361389), F.lit(38.115556), F.lit(7)
+        ).alias("g2"),
+    ).first()
+    assert r["g1"] == "ezs42" and r["g2"] == "sqc8b49"
+
+    rng = random.Random(11)
+    pts = [
+        (rng.uniform(-179.9, 179.9), rng.uniform(-89.9, 89.9))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    gh = SCALAR_FNS["geohashEncode"](F.col("lon"), F.col("lat"), F.lit(6))
+    re_enc = SCALAR_FNS["geohashEncode"](
+        SCALAR_FNS["geohashDecode"](F.lit(1), gh),
+        SCALAR_FNS["geohashDecode"](F.lit(2), gh),
+        F.lit(6),
+    )
+    rows = df.select(gh.alias("g"), re_enc.alias("g2")).collect()
+    for r in rows:
+        assert r["g"] == r["g2"]  # cell center re-encodes to same cell
