@@ -41,64 +41,34 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries.
-# Round-10 window: every entry has a driver row (the r9 window drained
-# the never-graded list to zero), so this window is (1) entries NEW
-# this round — each displaces one section-3 filler by name so the list
-# stays exactly 50 — then the STALEST re-grades: (2) the 20 remaining
-# r4-graded entries (q_fn_random stays out — rows-only by design,
-# re-grading it adds no hash signal; sql_limit_ties and sql_expressions
-# also exercise this round's LIMIT…WITH TIES and arrayFill advice
-# fixes), (3) the stalest r5-graded entries in ledger order — 13
-# after the 17 new-entry displacements. The ROUND-11 re-grade pool is
-# the 35 remaining r5-graded entries: the 18 never in this window
-# (q_sim_topk_lsh, q_split_train_eval, q_stream_enrich,
-# q_text_fingerprint, q_text_quality, q_union_distinct,
-# q_window_session, q_window_tumbling, sql_asof, sql_q1, sql_setops,
-# sql_table_fn, tpch_q10, tpch_q16, tpch_q20, tpch_q22, tpch_q8,
-# tpch_q9) plus the 17 displaced by this round's new entries
-# (q_sim_topk_ivf, q_sim_topk, q_sim_cosine_blocked, q_sample_hash,
-# q_not_in_subquery, q_not_in_list_null, q_not_exists,
-# q_multimodal_features, q_join_theta, q_join_right_semi,
-# q_join_right_anti, q_join_left_anti, q_join_left,
-# q_fn_scalar_surface, q_fn_conditional_agg, q_expr_concat,
-# q_distinct); then the r6 pool.
+# Round-11 window: (1) the 6 entries NEW this round, then the STALEST
+# re-grades: (2) the full 35-entry r5 pool declared in the r10 ledger
+# (18 never windowed in r10 + 17 displaced by r10's new entries;
+# q_fn_random stays out — rows-only by design, re-grading it adds no
+# hash signal), (3) the first 9 of the r6 pool in name order
+# (6 + 35 + 9 = 50). The ROUND-12 re-grade pool is the remaining
+# r6-graded entries (41 of the 50 r6 rows), continuing in name order
+# from q_expr_case; then the r7 pool.
 _PRIORITY = [
-    # --- (1) new in round 10 (displacements named per entry:
-    # sql_fn_tier9 displaced q_sim_topk_ivf, sql_topk_weighted
-    # displaced q_sim_topk, q_dedup_cdc_chunks displaced
-    # q_sim_cosine_blocked, q_text_tfidf displaced q_sample_hash,
-    # sql_window_range_date displaced q_not_in_subquery,
-    # q_bucketed_join displaced q_not_in_list_null,
-    # sql_fn_maps displaced q_not_exists,
-    # q_stream_session_state displaced q_multimodal_features,
-    # sql_agg_moving displaced q_join_theta, q_analytic_lttb
-    # displaced q_join_right_semi, sql_fn_auc displaced
-    # q_join_right_anti, sql_seq_next displaced q_join_left_anti,
-    # sql_quantile_weighted displaced q_join_left,
-    # q_dedup_cdc_incremental displaced q_fn_scalar_surface,
-    # sql_fn_morton displaced q_fn_conditional_agg,
-    # q_partition_pruning displaced q_expr_concat,
-    # sql_fn_tier10 displaced q_distinct) ---
-    "sql_fn_tier9", "sql_topk_weighted", "q_dedup_cdc_chunks",
-    "q_text_tfidf", "sql_window_range_date", "q_bucketed_join",
-    "sql_fn_maps", "q_stream_session_state", "sql_agg_moving",
-    "q_analytic_lttb", "sql_fn_auc", "sql_seq_next",
-    "sql_quantile_weighted", "q_dedup_cdc_incremental",
-    "sql_fn_morton", "q_partition_pruning", "sql_fn_tier10",
-    # --- (2) r4 re-grades (20) ---
-    "q_text_tokenize", "q_window_sliding", "sql_cte_scalar",
-    "sql_describe", "sql_distinct_on", "sql_embed_cosine",
-    "sql_expressions", "sql_join_group", "sql_limit_ties",
-    "sql_multi_join", "sql_not_in", "sql_q4_exists",
-    "sql_source_files", "sql_text_pipeline",
-    "tpch_q7", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q17",
-    "tpch_q19",
-    # --- (3) r5 re-grades (13 after displacements) ---
-    "q_asof_join", "q_cluster_kmeans", "q_ddl_alter",
-    "q_ddl_insert_select", "q_ddl_roundtrip", "q_ddl_view_replacing",
-    "q_ddl_view_summing", "q_ddl_view_summing_incremental",
-    "q_dedup_connected", "q_dedup_embedding", "q_dedup_exact",
-    "q_dedup_jaccard", "q_dedup_minhash_sig",
+    # --- (1) new in round 11 ---
+    "q_join_skew_aqe", "q_dedup_url", "q_dedup_connected_incremental",
+    "q_sim_ivf_rebalance", "sql_fn_strsim", "sql_fn_tier11",
+    # --- (2) r5 re-grades (the full declared pool, 35) ---
+    "q_distinct", "q_expr_concat", "q_fn_conditional_agg",
+    "q_fn_scalar_surface", "q_join_left", "q_join_left_anti",
+    "q_join_right_anti", "q_join_right_semi", "q_join_theta",
+    "q_multimodal_features", "q_not_exists", "q_not_in_list_null",
+    "q_not_in_subquery", "q_sample_hash", "q_sim_cosine_blocked",
+    "q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_lsh",
+    "q_split_train_eval", "q_stream_enrich", "q_text_fingerprint",
+    "q_text_quality", "q_union_distinct", "q_window_session",
+    "q_window_tumbling", "sql_asof", "sql_q1", "sql_setops",
+    "sql_table_fn", "tpch_q10", "tpch_q16", "tpch_q20", "tpch_q22",
+    "tpch_q8", "tpch_q9",
+    # --- (3) r6 re-grades (first 9 in name order) ---
+    "q_cte", "q_dedup_connected_star", "q_dedup_minhash_lsh",
+    "q_dedup_spans", "q_distinct_on", "q_except", "q_exists",
+    "q_expr_arith", "q_expr_bitwise",
 ]
 
 
