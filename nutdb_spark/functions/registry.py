@@ -4558,3 +4558,109 @@ def _geohash_decode(dim: Column, s: Column) -> Column:
 
 
 SCALAR_FNS["geohashDecode"] = _geohash_decode
+
+
+# --- [EXT] tier-11 two-sample test aggregates --------------------------------
+# studentTTest / welchTTest / mannWhitneyUTest over (value, sample
+# index 0/1) — the CH A/B-testing trio, STATISTIC component only (CH
+# returns (stat, p); the p-values need the incomplete beta / erf, both
+# libm, so they are deliberately not exposed — the docstring is the
+# contract). Exact-arithmetic discipline: with integer inputs the six
+# sufficient statistics (n, Σx, Σx² per sample) are exact int64 sums,
+# the statistic is ONE fixed double expression over them (division and
+# the exactly-rounded sqrt only), so the value hash-matches the DuckDB
+# oracle running the same formula over SUM/COUNT. Degenerate groups
+# (either sample < 2 points, or zero variance) → NULL-instead-of-junk.
+
+
+def _ttest_parts(x: Column, ind: Column):
+    xl = x.cast("long")
+    is1 = ind.cast("long") == 1
+    n0 = F.sum(F.when(~is1, F.lit(1)).otherwise(F.lit(0))).cast("double")
+    n1 = F.sum(F.when(is1, F.lit(1)).otherwise(F.lit(0))).cast("double")
+    s0 = F.sum(F.when(~is1, xl).otherwise(F.lit(0))).cast("double")
+    s1 = F.sum(F.when(is1, xl).otherwise(F.lit(0))).cast("double")
+    q0 = F.sum(F.when(~is1, xl * xl).otherwise(F.lit(0))).cast("double")
+    q1 = F.sum(F.when(is1, xl * xl).otherwise(F.lit(0))).cast("double")
+    # try_divide throughout: the guard's own evaluation must not trip
+    # the ANSI divide-by-zero on degenerate samples, and DuckDB double
+    # division already returns NULL at zero — the two line up.
+    v0 = F.try_divide(q0 - F.try_divide(s0 * s0, n0), n0 - 1)
+    v1 = F.try_divide(q1 - F.try_divide(s1 * s1, n1), n1 - 1)
+    return n0, n1, s0, s1, v0, v1
+
+
+def _student_ttest(x: Column, ind: Column) -> Column:
+    """studentTTest(x, index) — pooled-variance two-sample t statistic
+    (mean0 − mean1 orientation)."""
+    n0, n1, s0, s1, v0, v1 = _ttest_parts(x, ind)
+    sp2 = F.try_divide((n0 - 1) * v0 + (n1 - 1) * v1, n0 + n1 - 2)
+    denom = F.sqrt(
+        sp2 * (F.try_divide(F.lit(1.0), n0) + F.try_divide(F.lit(1.0), n1))
+    )
+    return F.when(
+        (n0 < 2) | (n1 < 2) | (denom <= 0.0),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.try_divide(
+            F.try_divide(s0, n0) - F.try_divide(s1, n1), denom
+        )
+    )
+
+
+def _welch_ttest(x: Column, ind: Column) -> Column:
+    """welchTTest(x, index) — unequal-variance two-sample t statistic
+    (mean0 − mean1 orientation)."""
+    n0, n1, s0, s1, v0, v1 = _ttest_parts(x, ind)
+    denom = F.sqrt(F.try_divide(v0, n0) + F.try_divide(v1, n1))
+    return F.when(
+        (n0 < 2) | (n1 < 2) | (denom <= 0.0),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.try_divide(
+            F.try_divide(s0, n0) - F.try_divide(s1, n1), denom
+        )
+    )
+
+
+AGGREGATE_FNS["studentTTest"] = _student_ttest
+AGGREGATE_FNS["welchTTest"] = _welch_ttest
+
+
+def _mann_whitney_u(x: Column, ind: Column) -> Column:
+    """mannWhitneyUTest(x, index) — U statistic of sample 1 with
+    midrank tie handling, kept RATIONAL throughout: the fold carries
+    2·R1 (twice the rank sum, always an integer even at .5 midranks)
+    and returns (2·R1 − n1(n1+1)) / 2. Per-entity groups only — the
+    collected state is O(group rows), the suite convention for every
+    fold-backed aggregate."""
+    xl = x.cast("long")
+    code = xl * 2 + ind.cast("long")
+    cl = F.collect_list(code)
+    n1 = F.size(F.filter(cl, lambda c: F.pmod(c, 2) == 1)).cast("long")
+    dv = F.array_sort(
+        F.array_distinct(F.transform(cl, lambda c: c - F.pmod(c, 2)))
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(0).cast("long").alias("r2"),
+    )
+
+    def step(acc, v2):
+        cnt = F.size(
+            F.filter(cl, lambda c: c - F.pmod(c, 2) == v2)
+        ).cast("long")
+        c1 = F.size(F.filter(cl, lambda c: c == v2 + 1)).cast("long")
+        return F.struct(
+            (acc["cum"] + cnt).alias("cum"),
+            (acc["r2"] + (2 * acc["cum"] + cnt + 1) * c1).alias("r2"),
+        )
+
+    fold = F.aggregate(dv, init, step)
+    u2 = fold["r2"] - n1 * (n1 + 1)
+    return F.when(
+        (n1 == 0) | (n1 == F.size(cl)), F.lit(None).cast("double")
+    ).otherwise(u2.cast("double") / F.lit(2.0))
+
+
+AGGREGATE_FNS["mannWhitneyUTest"] = _mann_whitney_u

@@ -5151,3 +5151,83 @@ def sql_fn_tier11(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+# --- tier-11: two-sample test aggregates -------------------------------------
+
+_TT_V0 = "((q0 - s0*s0/n0) / (n0 - 1))"
+_TT_V1 = "((q1 - s1*s1/n1) / (n1 - 1))"
+_TT_SP2 = f"(((n0 - 1) * {_TT_V0} + (n1 - 1) * {_TT_V1}) / (n0 + n1 - 2))"
+_TT_DEN_S = f"sqrt({_TT_SP2} * (1/n0 + 1/n1))"
+_TT_DEN_W = f"sqrt({_TT_V0}/n0 + {_TT_V1}/n1)"
+
+_MWU_FOLD = """list_reduce(
+  [[CAST(0 AS BIGINT), 0]]
+  || list_transform(
+       list_sort(list_distinct(list_transform(cl, c -> c - (c % 2)))),
+       v -> [v]),
+  (st, xv) -> [
+    st[1] + len(list_filter(cl, c -> c - (c % 2) = xv[1])),
+    st[2] + (2*st[1] + len(list_filter(cl, c -> c - (c % 2) = xv[1])) + 1)
+            * len(list_filter(cl, c -> c = xv[1] + 1))])"""
+
+
+@query(
+    "sql_agg_ttest",
+    f"""
+    WITH t AS (
+      SELECT o_custkey AS cust, CAST(floor(o_totalprice) AS BIGINT) AS x,
+             CAST(o_orderkey % 2 AS BIGINT) AS i
+      FROM orders WHERE o_custkey < 300),
+    agg AS (
+      SELECT cust,
+        CAST(CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS n0,
+        CAST(CAST(SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS n1,
+        CAST(CAST(SUM(CASE WHEN i = 0 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s0,
+        CAST(CAST(SUM(CASE WHEN i = 1 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s1,
+        CAST(CAST(SUM(CASE WHEN i = 0 THEN x*x ELSE 0 END) AS BIGINT) AS DOUBLE) AS q0,
+        CAST(CAST(SUM(CASE WHEN i = 1 THEN x*x ELSE 0 END) AS BIGINT) AS DOUBLE) AS q1,
+        list(x*2 + i) AS cl
+      FROM t GROUP BY cust)
+    SELECT cust,
+      CASE WHEN n0 < 2 OR n1 < 2 OR {_TT_DEN_S} <= 0 THEN NULL
+           ELSE (s0/n0 - s1/n1) / {_TT_DEN_S} END AS st,
+      CASE WHEN n0 < 2 OR n1 < 2 OR {_TT_DEN_W} <= 0 THEN NULL
+           ELSE (s0/n0 - s1/n1) / {_TT_DEN_W} END AS wt,
+      CASE WHEN len(list_filter(cl, c -> c % 2 = 1)) = 0
+                OR len(list_filter(cl, c -> c % 2 = 1)) = len(cl)
+           THEN NULL
+           ELSE CAST(({_MWU_FOLD})[2]
+                     - len(list_filter(cl, c -> c % 2 = 1))
+                       * (len(list_filter(cl, c -> c % 2 = 1)) + 1)
+                     AS DOUBLE) / 2 END AS u
+    FROM agg ORDER BY cust
+    """,
+)
+def sql_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-11 A/B-test aggregates per customer (orders split by
+    odd/even order key): studentTTest (pooled variance), welchTTest
+    (unequal variance), mannWhitneyUTest (midrank-tied U, exact
+    rationals) — statistic components; the p-values need libm
+    (incomplete beta / erf) and are deliberately not exposed. The six
+    sufficient statistics are exact int64 sums inside ONE hash
+    aggregate; the statistic is a fixed double expression over them
+    (division + the exactly-rounded sqrt), so values hash-match the
+    oracle running the same formula over SUM/COUNT. Degenerate
+    samples (either side < 2, zero variance, one-sided groups) →
+    NULL-instead-of-junk."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select o_custkey as cust,
+               studentTTest(toInt64(floor(o_totalprice)),
+                            o_orderkey % 2) as st,
+               welchTTest(toInt64(floor(o_totalprice)),
+                          o_orderkey % 2) as wt,
+               mannWhitneyUTest(toInt64(floor(o_totalprice)),
+                                o_orderkey % 2) as u
+        from orders where o_custkey < 300
+        group by cust order by cust
+        """,
+    )

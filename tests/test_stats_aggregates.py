@@ -223,3 +223,45 @@ def test_association_aggregates_vs_python(spark):
     assert abs(r["cont"] - cont) < 1e-12
     assert abs(r["cvbc"] - cvbc) < 1e-12
     assert abs(r["tu"] - tu) < 1e-9  # libm tolerance
+
+
+# --- tier-11 two-sample test aggregates (r11) --------------------------------
+
+
+def test_ttest_aggregates_match_reference(spark):
+    from nutdb_spark.functions.registry import AGGREGATE_FNS
+    from pyspark.sql import functions as F
+
+    data = [
+        (1, 10, 0), (1, 12, 0), (1, 14, 0),
+        (1, 20, 1), (1, 22, 1), (1, 19, 1),
+        (2, 5, 0), (2, 5, 1), (2, 5, 0), (2, 5, 1),  # zero variance
+        (3, 7, 0), (3, 9, 0),                        # one-sided
+    ]
+    df = spark.createDataFrame(data, "g int, x int, i int")
+    rows = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            AGGREGATE_FNS["studentTTest"](F.col("x"), F.col("i")).alias("st"),
+            AGGREGATE_FNS["welchTTest"](F.col("x"), F.col("i")).alias("wt"),
+            AGGREGATE_FNS["mannWhitneyUTest"](F.col("x"), F.col("i")).alias(
+                "u"
+            ),
+        )
+        .collect()
+    }
+    # hand-computed pooled/Welch t for {10,12,14} vs {20,22,19}
+    import math
+
+    m0, m1 = 12.0, 61.0 / 3
+    v0, v1 = 4.0, 7.0 / 3
+    sp2 = (2 * v0 + 2 * v1) / 4
+    st = (m0 - m1) / math.sqrt(sp2 * (2 / 3))
+    wt = (m0 - m1) / math.sqrt(v0 / 3 + v1 / 3)
+    assert rows[1]["st"] == pytest.approx(st, rel=1e-12)
+    assert rows[1]["wt"] == pytest.approx(wt, rel=1e-12)
+    assert rows[1]["u"] == 9.0  # sample 1 strictly above: R1=15, U=9
+    assert rows[2]["st"] is None and rows[2]["wt"] is None  # zero variance
+    assert rows[2]["u"] == 2.0  # all tied at 5: midranks 2.5 each
+    assert rows[3]["st"] is None and rows[3]["u"] is None  # one-sided
