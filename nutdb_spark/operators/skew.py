@@ -40,4 +40,9 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     cond = (l2[left_key] == r2[right_key]) & (l2["__salt"] == r2["__salt"])
-    return l2.join(r2, cond, how).drop("__salt")
+    # Force the shuffled path: salting exists to spread a hot SHUFFLE
+    # partition, and Catalyst's size estimate of the exploded right
+    # side is pre-explode — at scale it would pick (and OOM on) a
+    # broadcast of salt× the table. A broadcast join has no skewed
+    # partitions to fix in the first place.
+    return l2.hint("SHUFFLE_MERGE").join(r2, cond, how).drop("__salt")
