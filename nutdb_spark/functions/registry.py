@@ -4664,3 +4664,75 @@ def _mann_whitney_u(x: Column, ind: Column) -> Column:
 
 
 AGGREGATE_FNS["mannWhitneyUTest"] = _mann_whitney_u
+
+
+def _ks_test(x: Column, ind: Column) -> Column:
+    """kolmogorovSmirnovTest(x, index) — two-sample KS D statistic
+    (statistic component; the p-value is the Kolmogorov series —
+    libm — and deliberately unexposed). Exact rationals: D =
+    max|c0·n1 − c1·n0| / (n0·n1) folded over the sorted distinct
+    values, everything integer until the single final division.
+    Per-entity groups only (O(group rows) collected state)."""
+    xl = x.cast("long")
+    code = xl * 2 + ind.cast("long")
+    cl = F.collect_list(code)
+    n0 = F.size(F.filter(cl, lambda c: F.pmod(c, 2) == 0)).cast("long")
+    n1 = F.size(F.filter(cl, lambda c: F.pmod(c, 2) == 1)).cast("long")
+    dv = F.array_sort(
+        F.array_distinct(F.transform(cl, lambda c: c - F.pmod(c, 2)))
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("c0"),
+        F.lit(0).cast("long").alias("c1"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, v2):
+        nc0 = acc["c0"] + F.size(F.filter(cl, lambda c: c == v2)).cast(
+            "long"
+        )
+        nc1 = acc["c1"] + F.size(
+            F.filter(cl, lambda c: c == v2 + 1)
+        ).cast("long")
+        return F.struct(
+            nc0.alias("c0"),
+            nc1.alias("c1"),
+            F.greatest(
+                acc["best"], F.abs(nc0 * n1 - nc1 * n0)
+            ).alias("best"),
+        )
+
+    fold = F.aggregate(dv, init, step)
+    return F.when(
+        (n0 == 0) | (n1 == 0), F.lit(None).cast("double")
+    ).otherwise(fold["best"].cast("double") / (n0 * n1).cast("double"))
+
+
+AGGREGATE_FNS["kolmogorovSmirnovTest"] = _ks_test
+
+
+def _proportions_z_test(
+    sx: Column, sy: Column, nx: Column, ny: Column
+) -> Column:
+    """proportionsZTest(successes_x, successes_y, trials_x, trials_y)
+    — pooled two-proportion z statistic (CH returns (z, p, ci_lo,
+    ci_hi); p and the CI need erf/quantiles — libm — so only z is
+    exposed). try_divide ≡ DuckDB's NULL-on-zero division; degenerate
+    inputs (zero trials, pooled p of 0 or 1) → NULL."""
+    sxd, syd = sx.cast("double"), sy.cast("double")
+    nxd, nyd = nx.cast("double"), ny.cast("double")
+    p = F.try_divide(sxd + syd, nxd + nyd)
+    denom = F.sqrt(
+        p
+        * (1 - p)
+        * (F.try_divide(F.lit(1.0), nxd) + F.try_divide(F.lit(1.0), nyd))
+    )
+    return F.when(
+        (nxd <= 0) | (nyd <= 0) | (denom <= 0.0) | denom.isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        (F.try_divide(sxd, nxd) - F.try_divide(syd, nyd)) / denom
+    )
+
+
+SCALAR_FNS["proportionsZTest"] = _proportions_z_test

@@ -5231,3 +5231,78 @@ def sql_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by cust order by cust
         """,
     )
+
+
+_KS_FOLD = """list_reduce(
+  [[CAST(0 AS BIGINT), 0, 0]]
+  || list_transform(
+       list_sort(list_distinct(list_transform(cl, c -> c - (c % 2)))),
+       v -> [v]),
+  (st, xv) -> [
+    st[1] + len(list_filter(cl, c -> c = xv[1])),
+    st[2] + len(list_filter(cl, c -> c = xv[1] + 1)),
+    greatest(st[3],
+      abs((st[1] + len(list_filter(cl, c -> c = xv[1]))) * n1
+        - (st[2] + len(list_filter(cl, c -> c = xv[1] + 1))) * n0))])"""
+
+_PZT_P = "((sx + sy) / (nx + ny))"
+_PZT_DEN = f"sqrt({_PZT_P} * (1 - {_PZT_P}) * (1/nx + 1/ny))"
+
+
+@query(
+    "sql_agg_ks",
+    f"""
+    WITH t AS (
+      SELECT o_custkey AS cust, CAST(floor(o_totalprice) AS BIGINT) AS x,
+             CAST(o_orderkey % 2 AS BIGINT) AS i,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS s
+      FROM orders WHERE o_custkey < 300),
+    g AS (SELECT cust, list(x*2 + i) AS cl,
+                 CAST(CAST(SUM(CASE WHEN i = 0 THEN s ELSE 0 END) AS BIGINT) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(CASE WHEN i = 1 THEN s ELSE 0 END) AS BIGINT) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS nx,
+                 CAST(CAST(SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS ny
+          FROM t GROUP BY cust),
+    s AS (SELECT cust, cl, sx, sy, nx, ny,
+                 CAST(len(list_filter(cl, c -> c % 2 = 0)) AS BIGINT) AS n0,
+                 CAST(len(list_filter(cl, c -> c % 2 = 1)) AS BIGINT) AS n1
+          FROM g)
+    SELECT cust,
+      CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+           ELSE CAST(({_KS_FOLD})[3] AS DOUBLE) / (n0 * n1) END AS ks,
+      CASE WHEN nx <= 0 OR ny <= 0 OR {_PZT_DEN} <= 0
+                OR {_PZT_DEN} IS NULL THEN NULL
+           ELSE (sx/nx - sy/ny) / {_PZT_DEN} END AS z
+    FROM s ORDER BY cust
+    """,
+)
+def sql_agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-11 distribution tests per customer:
+    kolmogorovSmirnovTest (two-sample KS D over odd/even-keyed order
+    totals — exact rationals, max|c0·n1 − c1·n0|/(n0·n1) folded over
+    sorted distinct values) and proportionsZTest (pooled
+    two-proportion z over the F-status share of each sample — fixed
+    double expression over four exact int sums). Statistic
+    components; both p-values are libm and deliberately unexposed.
+    Degenerate samples NULL-instead-of-junk."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select o_custkey as cust,
+                 toInt64(floor(o_totalprice)) as x,
+                 o_orderkey % 2 as i,
+                 toInt64(o_orderstatus = 'F') as s
+          from orders where o_custkey < 300),
+        g as (
+          select cust,
+                 kolmogorovSmirnovTest(x, i) as ks,
+                 sumIf(s, i = 0) as sx, sumIf(s, i = 1) as sy,
+                 countIf(i = 0) as nx, countIf(i = 1) as ny
+          from t group by cust)
+        select cust, ks,
+               proportionsZTest(sx, sy, nx, ny) as z
+        from g order by cust
+        """,
+    )

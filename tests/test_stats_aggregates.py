@@ -265,3 +265,42 @@ def test_ttest_aggregates_match_reference(spark):
     assert rows[2]["st"] is None and rows[2]["wt"] is None  # zero variance
     assert rows[2]["u"] == 2.0  # all tied at 5: midranks 2.5 each
     assert rows[3]["st"] is None and rows[3]["u"] is None  # one-sided
+
+
+def test_ks_and_proportions_z(spark):
+    from nutdb_spark.functions.registry import AGGREGATE_FNS, SCALAR_FNS
+    from pyspark.sql import functions as F
+
+    data = [(1, v, 0) for v in (1, 2, 3)] + [(1, v, 1) for v in (2, 4, 5, 5)]
+    data += [(2, 7, 0), (2, 8, 0)]  # one-sided → NULL
+    df = spark.createDataFrame(data, "g int, x int, i int")
+    rows = {
+        r["g"]: r["ks"]
+        for r in df.groupBy("g")
+        .agg(
+            AGGREGATE_FNS["kolmogorovSmirnovTest"](
+                F.col("x"), F.col("i")
+            ).alias("ks")
+        )
+        .collect()
+    }
+    assert rows[1] == 0.75  # hand-computed max ECDF gap at x=3
+    assert rows[2] is None
+
+    import math
+
+    r = spark.range(1).select(
+        SCALAR_FNS["proportionsZTest"](
+            F.lit(40), F.lit(30), F.lit(100), F.lit(100)
+        ).alias("z"),
+        SCALAR_FNS["proportionsZTest"](
+            F.lit(0), F.lit(0), F.lit(100), F.lit(100)
+        ).alias("degen"),
+        SCALAR_FNS["proportionsZTest"](
+            F.lit(5), F.lit(5), F.lit(0), F.lit(10)
+        ).alias("zero_n"),
+    ).first()
+    p = 70 / 200
+    want = (0.4 - 0.3) / math.sqrt(p * (1 - p) * (2 / 100))
+    assert r["z"] == pytest.approx(want, rel=1e-12)
+    assert r["degen"] is None and r["zero_n"] is None
