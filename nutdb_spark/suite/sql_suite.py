@@ -5132,7 +5132,11 @@ def sql_fn_tier11(spark: SparkSession, sf_dir: str) -> DataFrame:
                  toInt64(event_id % 17) - 8 as py,
                  toFloat64(event_id % 360) - 180 + 0.5 as lon,
                  toFloat64(event_id % 180) - 90 + 0.25 as lat
-          from events where user_id < 15)
+          from events where user_id < 15),
+        g as (
+          select event_id, fn, bm, ze, kvs, px, py,
+                 geohashEncode(lon, lat, 6) as gh
+          from t)
         select event_id,
                factorial(fn) as fac,
                unbin(bin(bm)) as ubrt,
@@ -5145,10 +5149,10 @@ def sql_fn_tier11(spark: SparkSession, sf_dir: str) -> DataFrame:
                  [[toInt64(0),toInt64(0)],[toInt64(10),toInt64(0)],
                   [toInt64(10),toInt64(10)],[toInt64(5),toInt64(5)],
                   [toInt64(0),toInt64(10)]]) as pip,
-               geohashEncode(lon, lat, 6) as gh,
-               geohashDecode(1, geohashEncode(lon, lat, 6)) as glon,
-               geohashDecode(2, geohashEncode(lon, lat, 6)) as glat
-        from t order by event_id
+               gh,
+               geohashDecode(1, gh) as glon,
+               geohashDecode(2, gh) as glat
+        from g order by event_id
         """,
     )
 
