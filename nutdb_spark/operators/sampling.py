@@ -170,3 +170,45 @@ def sample_temperature(
     return joined.filter(hash_bucket(key, salt, grain) < F.col("__thr")).drop(
         "__dom", "__thr"
     )
+
+
+def sample_quota(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    quota: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT per-stratum quota: keep the ``quota`` lowest hash-ranked
+    rows of every stratum — min(quota, |stratum|) rows GUARANTEED,
+    the eval-set construction primitive (vs the fraction samplers'
+    probabilistic keep, which under- or over-shoots small strata).
+
+    Deterministic (md5 bucket, ties broken by the key itself) and
+    deliberately append-UNSTABLE: a newly ingested lower-hash row
+    legitimately displaces the highest kept one — a fixed-size quota
+    cannot be append-stable and exact at once; pick
+    :func:`sample_stratified` when stability matters more than size.
+
+    Scale shape: ONE shuffle on the stratum for the window rank; no
+    global sort, no driver state. Skewed strata are bounded by the
+    per-partition top-k AQE applies to rank-filter windows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum).orderBy(hash_bucket(key, salt), key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def oracle_quota(
+    key_expr: str, stratum_expr: str, quota: int, salt: str = ""
+) -> str:
+    """DuckDB mirror of :func:`sample_quota`'s membership rank."""
+    b = oracle_hash_bucket(key_expr, salt)
+    return (
+        f"row_number() OVER (PARTITION BY {stratum_expr} "
+        f"ORDER BY {b}, {key_expr}) <= {quota}"
+    )

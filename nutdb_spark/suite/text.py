@@ -187,6 +187,7 @@ from nutdb_spark.operators.dedup import (  # noqa: E402
 )
 from nutdb_spark.operators.sampling import (  # noqa: E402
     oracle_hash_bucket,
+    oracle_quota,
     oracle_split_case,
     oracle_stratified_threshold,
     sample_fraction,
@@ -904,3 +905,27 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return bm25_top_terms(d, "doc_id", "text", min_len=4, top_per_doc=3)
+
+
+@query(
+    "q_sample_quota",
+    f"""
+    SELECT doc_id, source, lang FROM (
+      SELECT doc_id, source, lang,
+             {oracle_quota('doc_id', 'source', 10, salt='q')} AS keep
+      FROM documents) t
+    WHERE keep
+    """,
+)
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota stratified sample: the 10 lowest hash-ranked docs
+    per source — guarantees min(10, |stratum|) rows per stratum where
+    the fraction samplers under/over-shoot small strata (the eval-set
+    construction primitive). One shuffle on the stratum; the oracle
+    replays the identical md5 rank."""
+    from nutdb_spark.operators.sampling import sample_quota
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_quota(
+        d, F.col("doc_id"), F.col("source"), 10, salt="q"
+    ).select("doc_id", "source", "lang")

@@ -175,3 +175,34 @@ def test_sample_temperature_membership_deterministic(spark):
         ).collect()
     }
     assert a == b  # partition-layout independent
+
+
+def test_sample_quota_exact_per_stratum(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.sampling import sample_quota
+    from nutdb_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sample_quota(d, F.col("doc_id"), F.col("source"), 3, salt="t")
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sizes = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got and all(got[s] == min(3, sizes[s]) for s in got)
+    assert set(got) == {s for s in sizes}  # every stratum represented
+    # deterministic across repartitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_quota(
+            d.repartition(13), F.col("doc_id"), F.col("source"), 3, salt="t"
+        ).collect()
+    )
+    assert a == b
