@@ -4736,3 +4736,28 @@ def _proportions_z_test(
 
 
 SCALAR_FNS["proportionsZTest"] = _proportions_z_test
+
+
+def _mean_z_test(
+    x: Column, ind: Column, var_x: Column, var_y: Column
+) -> Column:
+    """meanZTest(x, index, pop_var_x, pop_var_y) — two-sample z
+    statistic with KNOWN population variances (statistic component;
+    the p-value/CI are erf — libm — and deliberately unexposed).
+    Same exact-sums + try_divide discipline as studentTTest."""
+    n0, n1, s0, s1, _, _ = _ttest_parts(x, ind)
+    denom = F.sqrt(
+        F.try_divide(var_x.cast("double"), n0)
+        + F.try_divide(var_y.cast("double"), n1)
+    )
+    return F.when(
+        (n0 < 1) | (n1 < 1) | (denom <= 0.0) | denom.isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.try_divide(
+            F.try_divide(s0, n0) - F.try_divide(s1, n1), denom
+        )
+    )
+
+
+AGGREGATE_FNS["meanZTest"] = _mean_z_test

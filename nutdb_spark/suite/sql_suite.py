@@ -5204,7 +5204,10 @@ _MWU_FOLD = """list_reduce(
            ELSE CAST(({_MWU_FOLD})[2]
                      - len(list_filter(cl, c -> c % 2 = 1))
                        * (len(list_filter(cl, c -> c % 2 = 1)) + 1)
-                     AS DOUBLE) / 2 END AS u
+                     AS DOUBLE) / 2 END AS u,
+      CASE WHEN n0 < 1 OR n1 < 1 OR sqrt(4000000/n0 + 9000000/n1) <= 0
+                OR sqrt(4000000/n0 + 9000000/n1) IS NULL THEN NULL
+           ELSE (s0/n0 - s1/n1) / sqrt(4000000/n0 + 9000000/n1) END AS mz
     FROM agg ORDER BY cust
     """,
 )
@@ -5230,7 +5233,9 @@ def sql_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                welchTTest(toInt64(floor(o_totalprice)),
                           o_orderkey % 2) as wt,
                mannWhitneyUTest(toInt64(floor(o_totalprice)),
-                                o_orderkey % 2) as u
+                                o_orderkey % 2) as u,
+               meanZTest(toInt64(floor(o_totalprice)),
+                         o_orderkey % 2, 4000000, 9000000) as mz
         from orders where o_custkey < 300
         group by cust order by cust
         """,

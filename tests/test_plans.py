@@ -553,3 +553,26 @@ def test_ivf_append_and_recall_no_cartesian(spark):
         plan = plan_of(QUERIES[name](spark, SF01))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r11_entries_plan_shapes(spark):
+    """Round-11 additions keep the shapes they claim: URL-canonical
+    dedup and the quota sampler are one-Exchange plans; the skew
+    entry's plain variant is a sort-merge join (the AQE-skew target),
+    never a broadcast."""
+    from nutdb_spark.suite import QUERIES
+
+    url = QUERIES["q_dedup_url"](spark, SF01)
+    p = url._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") <= 2  # agg partial/final pair at most
+    assert "CartesianProduct" not in p and "PythonUDF" not in p
+
+    quota = QUERIES["q_sample_quota"](spark, SF01)
+    p = quota._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1  # the stratum window shuffle
+    assert "Window" in p
+
+    skew = QUERIES["q_join_skew_aqe"](spark, SF01)
+    p = skew._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p  # salting under broadcast is void
