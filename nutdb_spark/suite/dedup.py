@@ -935,3 +935,52 @@ def q_dedup_connected_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("id").alias("doc_id")
     )
     return d.select("doc_id", "lang").join(drops, "doc_id", "left_anti")
+
+
+_URL_INC_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+k AS (SELECT doc_id, {oracle_canonical_url('url')} AS ck FROM u),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM k GROUP BY ck)
+SELECT d.doc_id, d.ck AS dup_key FROM k d JOIN keep USING (doc_id)
+"""
+
+
+@query("q_dedup_url_incremental", _URL_INC_ORACLE)
+def q_dedup_url_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental URL-canonicalization dedup — the refetch-dedup step
+    as it actually runs in production (per crawl batch against the
+    accumulated index): the canonical-URL key feeds
+    incremental_exact_dedup, whose survivors-only key index is exact
+    because URL-key equality is transitive (the
+    q_dedup_incremental_exact argument). Index persists at
+    spark-warehouse/url_index/<sf>/ingest=N (overwritten per ingest →
+    idempotent); two ascending-id batch replays must equal the
+    one-shot keep-min-per-canonical-key oracle."""
+    import os
+
+    from nutdb_spark.operators.dedup import incremental_exact_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hi = d.agg(F.max("doc_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "url_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    key = canonical_url(_synthetic_url())
+    surv1, keys1 = incremental_exact_dedup(
+        d.filter(F.col("doc_id") < split), None, "doc_id", key
+    )
+    keys1.write.mode("overwrite").parquet(os.path.join(base, "ingest=1"))
+    index = spark.read.parquet(os.path.join(base, "ingest=1"))
+    surv2, keys2 = incremental_exact_dedup(
+        d.filter(F.col("doc_id") >= split), index, "doc_id", key
+    )
+    keys2.write.mode("overwrite").parquet(os.path.join(base, "ingest=2"))
+    out1 = surv1.select("doc_id", key.alias("dup_key"))
+    out2 = surv2.select("doc_id", key.alias("dup_key"))
+    return out1.unionByName(out2)

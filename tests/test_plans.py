@@ -91,6 +91,7 @@ def test_lowerings_are_lazy(spark):
                       "q_sim_ivf_append", "q_pipeline_incremental",
                       "q_dedup_cdc_incremental",
                       "q_dedup_connected_incremental",
+                      "q_dedup_url_incremental",
                       # write bucketed/partitioned layouts once per
                       # session
                       "q_bucketed_join", "q_partition_pruning",
