@@ -4761,3 +4761,200 @@ def _mean_z_test(
 
 
 AGGREGATE_FNS["meanZTest"] = _mean_z_test
+
+
+# --- [EXT] p-values for the test family (PYTEST_ONLY — libm) ------------------
+# CH returns (statistic, p_value) tuples; the statistics above are
+# hash-oracled, and the p-values live here behind PYTEST_ONLY: they
+# need exp/log (libm — never in an oracled path). The machinery is
+# real numerics, not a stub: Lanczos log-gamma, the regularized
+# incomplete beta via the Numerical-Recipes-style continued fraction
+# (fixed 100 iterations as an expression fold), the A&S 7.1.26 erfc
+# polynomial, and the Kolmogorov Q series.
+
+_LANCZOS_G = 7.0
+_LANCZOS_C = (
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+)
+
+
+def _lgamma_col(z: Column) -> Column:
+    """ln Γ(z) for z ≥ 0.5 (all call sites: a=df/2 ≥ 0.5, b=0.5)."""
+    zz = z - 1.0
+    s = F.lit(_LANCZOS_C[0])
+    for i, c in enumerate(_LANCZOS_C[1:], start=1):
+        s = s + F.lit(c) / (zz + i)
+    base = zz + _LANCZOS_G + 0.5
+    return (
+        F.lit(0.9189385332046727)  # 0.5*ln(2π)
+        + (zz + 0.5) * F.log(base)
+        - base
+        + F.log(s)
+    )
+
+
+def _betacf(a: Column, b: Column, x: Column) -> Column:
+    """Continued fraction for the incomplete beta (modified Lentz,
+    fixed 100 rounds — far past double convergence for the df range
+    any test statistic produces)."""
+    fpmin = F.lit(1e-30)
+
+    def clamp(v):
+        return F.when(F.abs(v) < 1e-30, fpmin).otherwise(v)
+
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    d0 = 1.0 / clamp(1.0 - qab * x / qap)
+    init = F.struct(
+        F.lit(1.0).alias("c"), d0.alias("d"), d0.alias("h")
+    )
+
+    def step(acc, m):
+        md = m.cast("double")
+        m2 = 2.0 * md
+        aa1 = md * (b - md) * x / ((qam + m2) * (a + m2))
+        d1 = 1.0 / clamp(1.0 + aa1 * acc["d"])
+        c1 = clamp(1.0 + aa1 / acc["c"])
+        h1 = acc["h"] * d1 * c1
+        aa2 = -(a + md) * (qab + md) * x / ((a + m2) * (qap + m2))
+        d2 = 1.0 / clamp(1.0 + aa2 * d1)
+        c2 = clamp(1.0 + aa2 / c1)
+        return F.struct(
+            c2.alias("c"), d2.alias("d"), (h1 * d2 * c2).alias("h")
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(100)), init, step)["h"]
+
+
+def _betainc(a: Column, b: Column, x: Column) -> Column:
+    """Regularized incomplete beta I_x(a, b) for 0 ≤ x ≤ 1."""
+    bt = F.exp(
+        _lgamma_col(a + b)
+        - _lgamma_col(a)
+        - _lgamma_col(b)
+        + a * F.log(x)
+        + b * F.log(1.0 - x)
+    )
+    direct = bt * _betacf(a, b, x) / a
+    flipped = 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+    return (
+        F.when(x <= 0.0, F.lit(0.0))
+        .when(x >= 1.0, F.lit(1.0))
+        .when(x < (a + 1.0) / (a + b + 2.0), direct)
+        .otherwise(flipped)
+    )
+
+
+def _erfc_col(x: Column) -> Column:
+    """erfc(x) for x ≥ 0 — Abramowitz & Stegun 7.1.26 (|ε| < 1.5e-7)."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * 1.061405429)
+            )
+        )
+    )
+    return poly * F.exp(-x * x)
+
+
+def _t_pvalue(t: Column, df: Column) -> Column:
+    """Two-sided Student-t p: I_{df/(df+t²)}(df/2, 1/2)."""
+    return _betainc(
+        df / 2.0, F.lit(0.5), df / (df + t * t)
+    )
+
+
+def _z_pvalue(z: Column) -> Column:
+    """Two-sided normal p: erfc(|z|/√2)."""
+    return _erfc_col(F.abs(z) / F.lit(1.4142135623730951))
+
+
+def _student_ttest_pvalue(x: Column, ind: Column) -> Column:
+    n0, n1, _, _, _, _ = _ttest_parts(x, ind)
+    t = _student_ttest(x, ind)
+    return F.when(t.isNull(), F.lit(None).cast("double")).otherwise(
+        _t_pvalue(t, n0 + n1 - 2.0)
+    )
+
+
+def _welch_ttest_pvalue(x: Column, ind: Column) -> Column:
+    """Welch-Satterthwaite degrees of freedom."""
+    n0, n1, _, _, v0, v1 = _ttest_parts(x, ind)
+    t = _welch_ttest(x, ind)
+    num = (
+        F.try_divide(v0, n0) + F.try_divide(v1, n1)
+    )
+    df = F.try_divide(
+        num * num,
+        F.try_divide(F.try_divide(v0, n0) * F.try_divide(v0, n0), n0 - 1)
+        + F.try_divide(F.try_divide(v1, n1) * F.try_divide(v1, n1), n1 - 1),
+    )
+    return F.when(
+        t.isNull() | df.isNull(), F.lit(None).cast("double")
+    ).otherwise(_t_pvalue(t, df))
+
+
+def _mwu_pvalue(x: Column, ind: Column) -> Column:
+    """Normal-approximation two-sided p for U (no tie correction —
+    documented; use on near-continuous data)."""
+    xl = x.cast("long")
+    is1 = ind.cast("long") == 1
+    n1 = F.sum(F.when(is1, F.lit(1)).otherwise(F.lit(0))).cast("double")
+    n0 = F.sum(F.when(~is1, F.lit(1)).otherwise(F.lit(0))).cast("double")
+    u = _mann_whitney_u(x, ind)
+    mu = n0 * n1 / 2.0
+    sigma = F.sqrt(n0 * n1 * (n0 + n1 + 1.0) / 12.0)
+    z = F.try_divide(u - mu, sigma)
+    return F.when(
+        u.isNull() | z.isNull(), F.lit(None).cast("double")
+    ).otherwise(_z_pvalue(z))
+
+
+def _ks_pvalue(x: Column, ind: Column) -> Column:
+    """Kolmogorov Q(λ) with the NR small-sample adjustment
+    λ = (√ne + 0.12 + 0.11/√ne)·D, Q = 2Σ(-1)^{k-1}e^{-2k²λ²}."""
+    xl = x.cast("long")
+    is1 = ind.cast("long") == 1
+    n1 = F.sum(F.when(is1, F.lit(1)).otherwise(F.lit(0))).cast("double")
+    n0 = F.sum(F.when(~is1, F.lit(1)).otherwise(F.lit(0))).cast("double")
+    d = _ks_test(x, ind)
+    ne = F.sqrt(F.try_divide(n0 * n1, n0 + n1))
+    lam = (ne + 0.12 + F.try_divide(F.lit(0.11), ne)) * d
+    q = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(k % 2 == 1, F.lit(2.0)).otherwise(F.lit(-2.0))
+        * F.exp(-2.0 * (k * k).cast("double") * lam * lam),
+    )
+    return F.when(
+        d.isNull() | lam.isNull(), F.lit(None).cast("double")
+    ).when(
+        # the alternating series stops converging as λ → 0 (all terms
+        # → ±2); the true tail probability there is 1 — NR's
+        # convergence-failure convention
+        lam < 0.2,
+        F.lit(1.0),
+    ).otherwise(F.least(F.greatest(q, F.lit(0.0)), F.lit(1.0)))
+
+
+AGGREGATE_FNS["studentTTestPValue"] = _student_ttest_pvalue
+AGGREGATE_FNS["welchTTestPValue"] = _welch_ttest_pvalue
+AGGREGATE_FNS["mannWhitneyUTestPValue"] = _mwu_pvalue
+AGGREGATE_FNS["kolmogorovSmirnovTestPValue"] = _ks_pvalue
+SCALAR_FNS["proportionsZTestPValue"] = lambda sx, sy, nx, ny: F.when(
+    _proportions_z_test(sx, sy, nx, ny).isNull(),
+    F.lit(None).cast("double"),
+).otherwise(_z_pvalue(_proportions_z_test(sx, sy, nx, ny)))
+for _n in (
+    "studentTTestPValue", "welchTTestPValue", "mannWhitneyUTestPValue",
+    "kolmogorovSmirnovTestPValue", "proportionsZTestPValue",
+):
+    PYTEST_ONLY[_n] = "exp/log (libm) in the tail integral"

@@ -304,3 +304,79 @@ def test_ks_and_proportions_z(spark):
     want = (0.4 - 0.3) / math.sqrt(p * (1 - p) * (2 / 100))
     assert r["z"] == pytest.approx(want, rel=1e-12)
     assert r["degen"] is None and r["zero_n"] is None
+
+
+def test_pvalue_family_against_table_anchors(spark):
+    """Classic distribution-table anchors: t(df=10) two-sided critical
+    values 2.228→0.05 and 1.812→0.10; z 1.96→0.05; plus betainc
+    identities I_x(1,1)=x and I_0.5(2,2)=0.5."""
+    from nutdb_spark.functions.registry import (
+        _betainc,
+        _t_pvalue,
+        _z_pvalue,
+    )
+    from pyspark.sql import functions as F
+
+    r = spark.range(1).select(
+        _t_pvalue(F.lit(2.228139), F.lit(10.0)).alias("p05"),
+        _t_pvalue(F.lit(1.812461), F.lit(10.0)).alias("p10"),
+        _z_pvalue(F.lit(1.959964)).alias("z05"),
+        _z_pvalue(F.lit(-1.959964)).alias("z05n"),
+        _betainc(F.lit(1.0), F.lit(1.0), F.lit(0.37)).alias("b11"),
+        _betainc(F.lit(2.0), F.lit(2.0), F.lit(0.5)).alias("b22"),
+        _betainc(F.lit(5.0), F.lit(0.5), F.lit(0.0)).alias("b0"),
+        _betainc(F.lit(5.0), F.lit(0.5), F.lit(1.0)).alias("b1"),
+    ).first()
+    assert r["p05"] == pytest.approx(0.05, abs=2e-6)
+    assert r["p10"] == pytest.approx(0.10, abs=2e-6)
+    assert r["z05"] == pytest.approx(0.05, abs=2e-6)
+    assert r["z05n"] == r["z05"]  # two-sided: symmetric in z
+    assert r["b11"] == pytest.approx(0.37, abs=1e-10)
+    assert r["b22"] == pytest.approx(0.5, abs=1e-10)
+    assert r["b0"] == 0.0 and r["b1"] == 1.0
+
+
+def test_pvalue_aggregates_behave(spark):
+    from nutdb_spark.functions.registry import AGGREGATE_FNS, SCALAR_FNS
+    from pyspark.sql import functions as F
+
+    # clearly separated samples → tiny p; identical samples → p ≈ 1
+    far = [(1, v, 0) for v in (10, 11, 12, 13)] + [
+        (1, v, 1) for v in (50, 51, 52, 53)
+    ]
+    same = [(2, v, i) for v in (5, 6, 7, 8) for i in (0, 1)]
+    df = spark.createDataFrame(far + same, "g int, x int, i int")
+    rows = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            AGGREGATE_FNS["studentTTestPValue"](
+                F.col("x"), F.col("i")
+            ).alias("sp"),
+            AGGREGATE_FNS["welchTTestPValue"](F.col("x"), F.col("i")).alias(
+                "wp"
+            ),
+            AGGREGATE_FNS["mannWhitneyUTestPValue"](
+                F.col("x"), F.col("i")
+            ).alias("up"),
+            AGGREGATE_FNS["kolmogorovSmirnovTestPValue"](
+                F.col("x"), F.col("i")
+            ).alias("kp"),
+        )
+        .collect()
+    }
+    assert rows[1]["sp"] < 1e-6 and rows[1]["wp"] < 1e-6
+    assert rows[1]["up"] < 0.05 and rows[1]["kp"] < 0.05
+    assert rows[2]["sp"] > 0.9 and rows[2]["wp"] > 0.9
+    assert rows[2]["up"] > 0.9 and rows[2]["kp"] > 0.5
+
+    r = spark.range(1).select(
+        SCALAR_FNS["proportionsZTestPValue"](
+            F.lit(40), F.lit(30), F.lit(100), F.lit(100)
+        ).alias("zp"),
+        SCALAR_FNS["proportionsZTestPValue"](
+            F.lit(50), F.lit(50), F.lit(100), F.lit(100)
+        ).alias("zeq"),
+    ).first()
+    assert 0.1 < r["zp"] < 0.2  # z ≈ 1.48 → p ≈ 0.139
+    assert r["zeq"] == pytest.approx(1.0, abs=1e-7)
