@@ -475,3 +475,50 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sv"),
         )
     )
+
+
+@query(
+    "q_partition_pruning_dynamic",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events WHERE length(event_type) = 5)
+    SELECT e.user_id, e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS sv
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY e.user_id, e.event_type
+    """,
+)
+def q_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime sibling of
+    q_partition_pruning: the pruning predicate is not known at
+    planning time (it comes out of a joined dimension's NON-partition
+    filter, here length(event_type) = 5 → click/error), so Spark
+    inserts a dynamicpruning subquery on the fact scan's partition
+    column and reuses the dimension broadcast to evaluate it — only
+    the matching partition directories are ever opened (plan-pinned
+    in tests/test_bucketed_join.py). At 100 TB this is the
+    star-schema scan reducer: the fact side prunes on a predicate
+    that lives in the dimension. Values equal the plain join, which
+    is what the oracle replays."""
+    from nutdb_spark.operators.bucketing import ensure_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value"), "event_type"
+    )
+    path = ensure_partitioned(spark, ev, sf_dir, "events", "event_type")
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .filter(F.length("event_type") == 5)
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sv"),
+        )
+        .select("user_id", "event_type", "n", "sv")
+    )

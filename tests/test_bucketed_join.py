@@ -80,3 +80,16 @@ def test_partition_pruning_in_plan(spark):
     assert "click" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     n_part = df.select("event_type").distinct().count()
     assert n_part == 1
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """q_partition_pruning_dynamic's fact scan must carry the runtime
+    dynamicpruning subquery on the partition column — the predicate
+    only exists in the joined dimension, so a static PartitionFilters
+    can't express it."""
+    from nutdb_spark.suite import QUERIES
+
+    df = QUERIES["q_partition_pruning_dynamic"](spark, SF)
+    df.collect()  # materialize THIS DataFrame's own execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

@@ -95,6 +95,7 @@ def test_lowerings_are_lazy(spark):
                       # write bucketed/partitioned layouts once per
                       # session
                       "q_bucketed_join", "q_partition_pruning",
+                      "q_partition_pruning_dynamic",
                       # recursive CTEs iterate to a fixpoint by design
                       "sql_recursive", "sql_recursive_graph")
     }
