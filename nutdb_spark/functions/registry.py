@@ -4958,3 +4958,117 @@ for _n in (
     "kolmogorovSmirnovTestPValue", "proportionsZTestPValue",
 ):
     PYTEST_ONLY[_n] = "exp/log (libm) in the tail integral"
+
+
+# --- [EXT] tier-12 scalars/aggregates ----------------------------------------
+# toTime, widthBucket, multiMatchAny, regexpExtract, the emptyArray*
+# constructors, deterministic arrayShuffle / arraySample, and a
+# deterministic anyHeavy. All JVM expression trees with exact DuckDB
+# mirrors.
+
+SCALAR_FNS["toTime"] = lambda ts: F.timestamp_seconds(
+    F.lit(86400)
+    + F.pmod(
+        F.unix_timestamp(ts.cast("timestamp")), F.lit(86400).cast("long")
+    )
+)
+# CH toTime: keep the time-of-day, pin the date to 1970-01-02.
+
+SCALAR_FNS["widthBucket"] = lambda x, lo, hi, n: F.call_function(
+    "width_bucket", x, lo, hi, n
+)
+
+SCALAR_FNS["multiMatchAny"] = lambda s, pats: F.exists(
+    pats, lambda p: F.call_function("rlike", s, p)
+)
+SCALAR_FNS["multiMatchAnyIndex"] = lambda s, pats: F.coalesce(
+    F.get(
+        F.filter(
+            F.sequence(F.lit(1), F.size(pats)),
+            lambda i: F.call_function("rlike", s, F.get(pats, i - 1)),
+        ),
+        0,
+    ),
+    F.lit(0),
+).cast("long")
+SCALAR_FNS["regexpExtract"] = lambda s, p, *idx: F.call_function(
+    "regexp_extract", s, p, idx[0].cast("int") if idx else F.lit(1)
+)
+
+# emptyArray* constructors (CH's typed empty-array family): the
+# slice(x, 1, 0) typed-empty trick under each element type.
+for _t, _suffix in (
+    ("tinyint", "Int8"), ("smallint", "Int16"), ("int", "Int32"),
+    ("long", "Int64"), ("long", "UInt64"), ("int", "UInt32"),
+    ("float", "Float32"), ("double", "Float64"),
+    ("string", "String"), ("date", "Date"), ("timestamp", "DateTime"),
+):
+    SCALAR_FNS[f"emptyArray{_suffix}"] = (
+        lambda t=_t: F.slice(
+            F.array(F.lit(None).cast(t)), 1, 0
+        )
+    )
+
+
+def _array_shuffle(a: Column) -> Column:
+    """arrayShuffle(arr) — DETERMINISTIC content-keyed permutation
+    (documented deviation: CH shuffles randomly, which a value-checked
+    distributed engine cannot honestly reproduce): elements sort by
+    md5(position || value), so the same array always permutes the same
+    way while distinct arrays decorrelate."""
+    idx = F.sequence(F.lit(1), F.size(a))
+    keyed = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.md5(
+                F.concat(
+                    i.cast("string"),
+                    F.lit("|"),
+                    F.get(a, i - 1).cast("string"),
+                )
+            ).alias("k"),
+            F.get(a, i - 1).alias("v"),
+        ),
+    )
+    return F.transform(F.array_sort(keyed), lambda e: e["v"])
+
+
+SCALAR_FNS["arrayShuffle"] = _array_shuffle
+
+
+def _array_sample(a: Column, k: Column) -> Column:
+    """arrayRandomSample(arr, k) — the first k of the deterministic
+    shuffle (same documented determinism deviation)."""
+    return F.slice(_array_shuffle(a), F.lit(1), k.cast("int"))
+
+
+SCALAR_FNS["arrayRandomSample"] = _array_sample
+
+
+def _any_heavy(x: Column) -> Column:
+    """anyHeavy(x) — a heavy value of the group. CH's is an
+    approximate single-pass sketch with nondeterministic output; this
+    engine pins the DETERMINISTIC refinement (documented): the most
+    frequent value, ties to the smallest — exactly computable in one
+    hash aggregate via max_by over (count, -value) pairs per distinct
+    value, here via the per-entity fold convention."""
+    xl = x.cast("long")
+    cl = F.collect_list(xl)
+    dv = F.array_sort(F.array_distinct(cl))
+    init = F.struct(
+        F.lit(-1).cast("long").alias("cnt"),
+        F.lit(None).cast("long").alias("v"),
+    )
+
+    def step(acc, v):
+        c = F.size(F.filter(cl, lambda e: e == v)).cast("long")
+        better = c > acc["cnt"]  # dv ascending → first max wins ties
+        return F.struct(
+            F.when(better, c).otherwise(acc["cnt"]).alias("cnt"),
+            F.when(better, v).otherwise(acc["v"]).alias("v"),
+        )
+
+    return F.aggregate(dv, init, step)["v"]
+
+
+AGGREGATE_FNS["anyHeavy"] = _any_heavy

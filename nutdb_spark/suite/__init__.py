@@ -41,7 +41,7 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries.
-# Round-11 window: (1) the 9 entries NEW this round, then the STALEST
+# Round-11 window: (1) the 12 entries NEW this round, then the STALEST
 # re-grades: (2) the full 35-entry r5 pool declared in the r10 ledger
 # (18 never windowed in r10 + 17 displaced by r10's new entries;
 # q_fn_random stays out — rows-only by design, re-grading it adds no
@@ -50,13 +50,13 @@ for _m in _MODULES:
 # r6-graded entries (43 of the 50 r6 rows), continuing in name order
 # from q_expr_arith; then the r7 pool.
 _PRIORITY = [
-    # --- (1) new in round 11 (sql_agg_ttest, sql_agg_ks and
-    # q_sample_quota displaced the 9th/8th/7th r6 fillers
-    # q_expr_bitwise / q_expr_arith / q_exists — next round's r6 pool
-    # starts there) ---
+    # --- (1) new in round 11 (the later additions displaced the
+    # tail r6 fillers q_expr_bitwise, q_expr_arith, q_exists,
+    # q_except, q_distinct_on — next round's r6 pool starts there) ---
     "q_join_skew_aqe", "q_dedup_url", "q_dedup_connected_incremental",
     "q_sim_ivf_rebalance", "sql_fn_strsim", "sql_fn_tier11",
     "sql_agg_ttest", "sql_agg_ks", "q_sample_quota",
+    "sql_fn_tier12", "q_partition_pruning_dynamic",
     # --- (2) r5 re-grades (the full declared pool, 35) ---
     "q_distinct", "q_expr_concat", "q_fn_conditional_agg",
     "q_fn_scalar_surface", "q_join_left", "q_join_left_anti",
@@ -69,9 +69,9 @@ _PRIORITY = [
     "q_window_tumbling", "sql_asof", "sql_q1", "sql_setops",
     "sql_table_fn", "tpch_q10", "tpch_q16", "tpch_q20", "tpch_q22",
     "tpch_q8", "tpch_q9",
-    # --- (3) r6 re-grades (first 6 in name order) ---
+    # --- (3) r6 re-grades (first 4 in name order) ---
     "q_cte", "q_dedup_connected_star", "q_dedup_minhash_lsh",
-    "q_dedup_spans", "q_distinct_on", "q_except",
+    "q_dedup_spans",
 ]
 
 

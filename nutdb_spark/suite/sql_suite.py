@@ -5264,15 +5264,16 @@ _PZT_DEN = f"sqrt({_PZT_P} * (1 - {_PZT_P}) * (1/nx + 1/ny))"
     WITH t AS (
       SELECT o_custkey AS cust, CAST(floor(o_totalprice) AS BIGINT) AS x,
              CAST(o_orderkey % 2 AS BIGINT) AS i,
-             CAST(o_orderstatus = 'F' AS BIGINT) AS s
+             CAST(o_orderstatus = 'F' AS BIGINT) AS s,
+             CAST(o_orderkey % 10 AS BIGINT) AS xk
       FROM orders WHERE o_custkey < 300),
-    g AS (SELECT cust, list(x*2 + i) AS cl,
+    g AS (SELECT cust, list(x*2 + i) AS cl, list(xk) AS cl2,
                  CAST(CAST(SUM(CASE WHEN i = 0 THEN s ELSE 0 END) AS BIGINT) AS DOUBLE) AS sx,
                  CAST(CAST(SUM(CASE WHEN i = 1 THEN s ELSE 0 END) AS BIGINT) AS DOUBLE) AS sy,
                  CAST(CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS nx,
                  CAST(CAST(SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS ny
           FROM t GROUP BY cust),
-    s AS (SELECT cust, cl, sx, sy, nx, ny,
+    s AS (SELECT cust, cl, cl2, sx, sy, nx, ny,
                  CAST(len(list_filter(cl, c -> c % 2 = 0)) AS BIGINT) AS n0,
                  CAST(len(list_filter(cl, c -> c % 2 = 1)) AS BIGINT) AS n1
           FROM g)
@@ -5281,7 +5282,14 @@ _PZT_DEN = f"sqrt({_PZT_P} * (1 - {_PZT_P}) * (1/nx + 1/ny))"
            ELSE CAST(({_KS_FOLD})[3] AS DOUBLE) / (n0 * n1) END AS ks,
       CASE WHEN nx <= 0 OR ny <= 0 OR {_PZT_DEN} <= 0
                 OR {_PZT_DEN} IS NULL THEN NULL
-           ELSE (sx/nx - sy/ny) / {_PZT_DEN} END AS z
+           ELSE (sx/nx - sy/ny) / {_PZT_DEN} END AS z,
+      (list_reduce(
+        [[CAST(-1 AS BIGINT), 0]]
+        || list_transform(list_sort(list_distinct(cl2)), v -> [v]),
+        (st, xv) -> CASE
+          WHEN CAST(len(list_filter(cl2, c -> c = xv[1])) AS BIGINT) > st[1]
+          THEN [CAST(len(list_filter(cl2, c -> c = xv[1])) AS BIGINT), xv[1]]
+          ELSE st END))[2] AS ah
     FROM s ORDER BY cust
     """,
 )
@@ -5302,16 +5310,100 @@ def sql_agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
           select o_custkey as cust,
                  toInt64(floor(o_totalprice)) as x,
                  o_orderkey % 2 as i,
-                 toInt64(o_orderstatus = 'F') as s
+                 toInt64(o_orderstatus = 'F') as s,
+                 o_orderkey % 10 as xk
           from orders where o_custkey < 300),
         g as (
           select cust,
                  kolmogorovSmirnovTest(x, i) as ks,
                  sumIf(s, i = 0) as sx, sumIf(s, i = 1) as sy,
-                 countIf(i = 0) as nx, countIf(i = 1) as ny
+                 countIf(i = 0) as nx, countIf(i = 1) as ny,
+                 anyHeavy(xk) as ah
           from t group by cust)
         select cust, ks,
-               proportionsZTest(sx, sy, nx, ny) as z
+               proportionsZTest(sx, sy, nx, ny) as z, ah
         from g order by cust
+        """,
+    )
+
+
+# --- tier-12: regex multi-match, buckets, deterministic shuffles --------------
+
+_SHUF_KEYED = (
+    "list_transform(range(1, len({a})+1), i -> "
+    "{{'k': md5(CAST(i AS VARCHAR) || '|' || CAST({a}[i] AS VARCHAR)), "
+    "'v': {a}[i]}})"
+)
+
+
+def _oracle_shuffle(a: str) -> str:
+    keyed = _SHUF_KEYED.format(a=a)
+    return f"list_transform(list_sort({keyed}), e -> e.v)"
+
+
+@query(
+    "sql_fn_tier12",
+    f"""
+    WITH t AS (
+      SELECT event_id, ts, props,
+             CAST(event_id % 100 AS DOUBLE) + 0.5 AS wx,
+             [CAST(event_id % 7 AS BIGINT), CAST(event_id % 5 AS BIGINT),
+              CAST(event_id % 3 AS BIGINT), CAST(2 AS BIGINT)] AS arr
+      FROM events WHERE user_id < 15)
+    SELECT event_id,
+      CAST(to_timestamp(86400 + epoch_us(ts) // 1000000 % 86400)
+           AS TIMESTAMP) AS tt,
+      CAST(CASE WHEN wx < 0 THEN 0 WHEN wx >= 100 THEN 11
+                ELSE floor((wx - 0) / (100 - 0) * 10) + 1 END
+           AS BIGINT) AS wb,
+      CAST(len(list_filter(['up', 'e.t', '^z'],
+               p -> regexp_matches(props, p))) > 0 AS BOOLEAN) AS mm,
+      CAST(coalesce(list_position(
+             list_transform(['^zzz', 'e.t'],
+                            p -> regexp_matches(props, p)), true), 0)
+           AS BIGINT) AS mmi,
+      regexp_extract(props, '([a-z]+)', 1) AS rex,
+      '' AS ea,
+      array_to_string(list_transform({_oracle_shuffle('arr')},
+                                     x -> CAST(x AS VARCHAR)), ',') AS shuf,
+      array_to_string(list_transform(({_oracle_shuffle('arr')})[1:2],
+                                     x -> CAST(x AS VARCHAR)), ',') AS samp
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_tier12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-12 surface: toTime (time-of-day pinned to
+    1970-01-02), widthBucket (Spark's built-in; the oracle replays the
+    closed-form bucket with boundary-free fixture values),
+    multiMatchAny / multiMatchAnyIndex (regex-any over a pattern
+    array — column-pattern rlike), regexpExtract, the typed
+    emptyArray* constructor family, and DETERMINISTIC arrayShuffle /
+    arrayRandomSample (md5(position||value)-keyed permutation — the
+    documented determinism deviation from CH's random shuffle; the
+    oracle replays the identical keyed sort). One Exchange for
+    ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, ts, props,
+                 toFloat64(event_id % 100) + 0.5 as wx,
+                 [toInt64(event_id % 7), toInt64(event_id % 5),
+                  toInt64(event_id % 3), toInt64(2)] as arr
+          from events where user_id < 15)
+        select event_id,
+               toTime(ts) as tt,
+               widthBucket(wx, 0, 100, 10) as wb,
+               multiMatchAny(props, ['up', 'e.t', '^z']) as mm,
+               multiMatchAnyIndex(props, ['^zzz', 'e.t']) as mmi,
+               regexpExtract(props, '([a-z]+)', 1) as rex,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 emptyArrayInt64()), ',') as ea,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayShuffle(arr)), ',') as shuf,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayRandomSample(arr, 2)), ',') as samp
+        from t order by event_id
         """,
     )

@@ -117,3 +117,65 @@ def test_geohash_known_vectors_and_roundtrip(spark):
     rows = df.select(gh.alias("g"), re_enc.alias("g2")).collect()
     for r in rows:
         assert r["g"] == r["g2"]  # cell center re-encodes to same cell
+
+
+# --- tier-12 pins -------------------------------------------------------------
+
+
+def test_tier12_scalars(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    r = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 5, 13, 45, 7), "hello world")],
+        "ts timestamp, s string",
+    ).select(
+        SCALAR_FNS["toTime"](F.col("ts")).alias("tt"),
+        SCALAR_FNS["widthBucket"](
+            F.lit(5.35), F.lit(0.0), F.lit(10.0), F.lit(5)
+        ).alias("wb"),
+        SCALAR_FNS["multiMatchAny"](
+            F.col("s"), F.array(F.lit("^z"), F.lit("wor.d"))
+        ).alias("mm"),
+        SCALAR_FNS["multiMatchAnyIndex"](
+            F.col("s"), F.array(F.lit("^z"), F.lit("wor.d"))
+        ).alias("mmi"),
+        SCALAR_FNS["regexpExtract"](
+            F.col("s"), F.lit("h(\\w+)"), F.lit(1)
+        ).alias("rex"),
+        F.size(SCALAR_FNS["emptyArrayInt64"]()).alias("ea"),
+        SCALAR_FNS["arrayShuffle"](
+            F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))
+        ).alias("shuf"),
+        SCALAR_FNS["arrayRandomSample"](
+            F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)), F.lit(2)
+        ).alias("samp"),
+    ).first()
+    assert r["tt"] == dt.datetime(1970, 1, 2, 13, 45, 7)
+    assert r["wb"] == 3
+    assert r["mm"] is True and r["mmi"] == 2
+    assert r["rex"] == "ello"
+    assert r["ea"] == 0
+    assert sorted(r["shuf"]) == [1, 2, 3, 4]  # a permutation
+    assert len(r["samp"]) == 2 and set(r["samp"]) <= {1, 2, 3, 4}
+    assert r["samp"] == r["shuf"][:2]  # sample = shuffle prefix
+
+
+def test_any_heavy_deterministic_mode(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import AGGREGATE_FNS
+
+    df = spark.createDataFrame(
+        [(1, v) for v in (5, 3, 5, 3, 7)] + [(2, v) for v in (9,)],
+        "g int, x int",
+    )
+    rows = {
+        r["g"]: r["ah"]
+        for r in df.groupBy("g")
+        .agg(AGGREGATE_FNS["anyHeavy"](F.col("x")).alias("ah"))
+        .collect()
+    }
+    assert rows[1] == 3  # 5 and 3 tie at 2 — smallest value wins
+    assert rows[2] == 9
