@@ -41,14 +41,17 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries.
-# Round-11 window: (1) the 12 entries NEW this round, then the STALEST
-# re-grades: (2) the full 35-entry r5 pool declared in the r10 ledger
-# (18 never windowed in r10 + 17 displaced by r10's new entries;
-# q_fn_random stays out — rows-only by design, re-grading it adds no
-# hash signal), (3) the first 8 of the r6 pool in name order
-# (8 + 35 + 7 = 50). The ROUND-12 re-grade pool is the remaining
-# r6-graded entries (43 of the 50 r6 rows), continuing in name order
-# from q_expr_arith; then the r7 pool.
+# Round-11 window: (1) the 11 entries NEW this round that fit, then
+# the STALEST re-grades: (2) the full 35-entry r5 pool declared in
+# the r10 ledger (18 never windowed in r10 + 17 displaced by r10's
+# new entries; q_fn_random stays out — rows-only by design,
+# re-grading it adds no hash signal), (3) the first 4 of the r6 pool
+# in name order (11 + 35 + 4 = 50; q_dedup_url_incremental, also new
+# this round, sits just past the window — the judge's full local
+# gate covers it). The ROUND-12 re-grade pool is the remaining
+# r6-graded entries (46 of the 50 r6 rows), continuing in name order
+# from q_distinct_on/q_except/q_exists/q_expr_arith/q_expr_bitwise
+# (the displaced tail fillers); then the r7 pool.
 _PRIORITY = [
     # --- (1) new in round 11 (the later additions displaced the
     # tail r6 fillers q_expr_bitwise, q_expr_arith, q_exists,
