@@ -165,6 +165,18 @@ ENTRIES = [
     "q_join_skew_aqe",
     "q_dedup_connected_incremental",
     "q_sim_ivf_rebalance",
+    # round-11 late wave — tier-11/12 scalar entries (bounded slices,
+    # expected flat/compile-bound), test aggregates, quota sampler,
+    # incremental URL index, dynamic partition pruning (sub-linear:
+    # pruning wins grow with data)
+    "sql_fn_strsim",
+    "sql_fn_tier11",
+    "sql_fn_tier12",
+    "sql_agg_ttest",
+    "sql_agg_ks",
+    "q_sample_quota",
+    "q_dedup_url_incremental",
+    "q_partition_pruning_dynamic",
 ]
 
 SF01 = "/root/testdata/sf0.1"
