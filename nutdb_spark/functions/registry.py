@@ -5072,3 +5072,85 @@ def _any_heavy(x: Column) -> Column:
 
 
 AGGREGATE_FNS["anyHeavy"] = _any_heavy
+
+
+def _array_levenshtein(a: Column, b: Column) -> Column:
+    """arrayLevenshtein(a, b) — plain Levenshtein between two arrays
+    (insert/delete/substitute over elements; null-safe equality). Same
+    nested rows-of-the-DP fold as damerauLevenshteinDistance minus the
+    transposition case."""
+
+    def dp(A, B):
+        la, lb = F.size(A), F.size(B)
+        row0 = F.sequence(F.lit(0).cast("long"), lb.cast("long"))
+
+        def outer(prev, i):
+            def cell(r, j):
+                cost = F.when(
+                    F.get(A, (i - 1).cast("int")).eqNullSafe(
+                        F.get(B, (j - 1).cast("int"))
+                    ),
+                    F.lit(0),
+                ).otherwise(F.lit(1)).cast("long")
+                best = F.least(
+                    F.get(prev, j.cast("int")) + 1,
+                    F.element_at(r, -1) + 1,
+                    F.get(prev, (j - 1).cast("int")) + cost,
+                )
+                return F.concat(r, F.array(best))
+
+            return F.aggregate(
+                F.sequence(F.lit(1).cast("long"), lb.cast("long")),
+                F.array(i.cast("long")),
+                cell,
+            )
+
+        fold = F.aggregate(
+            F.sequence(F.lit(1).cast("long"), la.cast("long")), row0, outer
+        )
+        return F.element_at(fold, -1)
+
+    return F.get(
+        F.transform(
+            F.array(F.struct(a.alias("a"), b.alias("b"))),
+            lambda t: F.when(
+                F.size(t["a"]) == 0, F.size(t["b"]).cast("long")
+            )
+            .when(F.size(t["b"]) == 0, F.size(t["a"]).cast("long"))
+            .otherwise(dp(t["a"], t["b"])),
+        ),
+        0,
+    )
+
+
+SCALAR_FNS["arrayLevenshtein"] = _array_levenshtein
+
+# groupBitmap: CH's roaring-bitmap cardinality of an integer column —
+# semantically exact distinct count, which this engine computes exactly
+AGGREGATE_FNS["groupBitmap"] = lambda x: F.count_distinct(
+    x.cast("long")
+).cast("long")
+
+
+def _sum_kahan(x: Column) -> Column:
+    """sumKahan(x) — compensated summation folded over the group IN
+    VALUE ORDER (ties included), which makes it deterministic where
+    CH's block-order Kahan is not — the moving-aggregate convention.
+    PYTEST_ONLY: float summation never hash-oracles."""
+    cl = F.array_sort(F.collect_list(x.cast("double")))
+    init = F.struct(
+        F.lit(0.0).alias("s"), F.lit(0.0).alias("c")
+    )
+
+    def step(acc, v):
+        y = v - acc["c"]
+        t = acc["s"] + y
+        return F.struct(
+            t.alias("s"), ((t - acc["s"]) - y).alias("c")
+        )
+
+    return F.aggregate(cl, init, step)["s"]
+
+
+AGGREGATE_FNS["sumKahan"] = _sum_kahan
+PYTEST_ONLY["sumKahan"] = "float summation (value-ordered Kahan fold)"

@@ -5289,7 +5289,8 @@ _PZT_DEN = f"sqrt({_PZT_P} * (1 - {_PZT_P}) * (1/nx + 1/ny))"
         (st, xv) -> CASE
           WHEN CAST(len(list_filter(cl2, c -> c = xv[1])) AS BIGINT) > st[1]
           THEN [CAST(len(list_filter(cl2, c -> c = xv[1])) AS BIGINT), xv[1]]
-          ELSE st END))[2] AS ah
+          ELSE st END))[2] AS ah,
+      CAST(len(list_distinct(cl2)) AS BIGINT) AS gb
     FROM s ORDER BY cust
     """,
 )
@@ -5318,10 +5319,11 @@ def sql_agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  kolmogorovSmirnovTest(x, i) as ks,
                  sumIf(s, i = 0) as sx, sumIf(s, i = 1) as sy,
                  countIf(i = 0) as nx, countIf(i = 1) as ny,
-                 anyHeavy(xk) as ah
+                 anyHeavy(xk) as ah,
+                 groupBitmap(xk) as gb
           from t group by cust)
         select cust, ks,
-               proportionsZTest(sx, sy, nx, ny) as z, ah
+               proportionsZTest(sx, sy, nx, ny) as z, ah, gb
         from g order by cust
         """,
     )
@@ -5341,6 +5343,32 @@ def _oracle_shuffle(a: str) -> str:
     return f"list_transform(list_sort({keyed}), e -> e.v)"
 
 
+def _oracle_lev(A: str, B: str, la: str, lb: str) -> str:
+    """DuckDB mirror of arrayLevenshtein: the plain-Levenshtein DP as
+    the same nested BIGINT[]-accumulator fold, carrying only the
+    previous row (no transposition lookback)."""
+    return f"""(
+      CASE WHEN {la} = 0 THEN CAST({lb} AS BIGINT)
+           WHEN {lb} = 0 THEN CAST({la} AS BIGINT)
+           ELSE (
+             list_reduce(
+               [list_transform(range(0, {lb}+1), x -> CAST(x AS BIGINT))]
+               || list_transform(range(1, {la}+1),
+                                 i -> [CAST(i AS BIGINT)]),
+               (prev, xi) -> list_reduce(
+                 [[xi[1]]] || list_transform(range(1, {lb}+1),
+                                             j -> [CAST(j AS BIGINT)]),
+                 (r, xj) -> r || [least(
+                    prev[xj[1]+1] + 1,
+                    r[len(r)] + 1,
+                    prev[xj[1]]
+                      + (CASE WHEN {A}[xi[1]] = {B}[xj[1]]
+                              THEN 0 ELSE 1 END))]
+               )
+             )
+           )[{lb}+1] END)"""
+
+
 @query(
     "sql_fn_tier12",
     f"""
@@ -5348,7 +5376,9 @@ def _oracle_shuffle(a: str) -> str:
       SELECT event_id, ts, props,
              CAST(event_id % 100 AS DOUBLE) + 0.5 AS wx,
              [CAST(event_id % 7 AS BIGINT), CAST(event_id % 5 AS BIGINT),
-              CAST(event_id % 3 AS BIGINT), CAST(2 AS BIGINT)] AS arr
+              CAST(event_id % 3 AS BIGINT), CAST(2 AS BIGINT)] AS arr,
+             [CAST(event_id % 5 AS BIGINT), CAST(7 AS BIGINT),
+              CAST(event_id % 3 AS BIGINT)] AS arr2
       FROM events WHERE user_id < 15)
     SELECT event_id,
       CAST(to_timestamp(86400 + epoch_us(ts) // 1000000 % 86400)
@@ -5367,7 +5397,8 @@ def _oracle_shuffle(a: str) -> str:
       array_to_string(list_transform({_oracle_shuffle('arr')},
                                      x -> CAST(x AS VARCHAR)), ',') AS shuf,
       array_to_string(list_transform(({_oracle_shuffle('arr')})[1:2],
-                                     x -> CAST(x AS VARCHAR)), ',') AS samp
+                                     x -> CAST(x AS VARCHAR)), ',') AS samp,
+      {_oracle_lev('arr', 'arr2', 'len(arr)', 'len(arr2)')} AS alev
     FROM t ORDER BY event_id
     """,
 )
@@ -5390,7 +5421,9 @@ def sql_fn_tier12(spark: SparkSession, sf_dir: str) -> DataFrame:
           select event_id, ts, props,
                  toFloat64(event_id % 100) + 0.5 as wx,
                  [toInt64(event_id % 7), toInt64(event_id % 5),
-                  toInt64(event_id % 3), toInt64(2)] as arr
+                  toInt64(event_id % 3), toInt64(2)] as arr,
+                 [toInt64(event_id % 5), toInt64(7),
+                  toInt64(event_id % 3)] as arr2
           from events where user_id < 15)
         select event_id,
                toTime(ts) as tt,
@@ -5403,7 +5436,8 @@ def sql_fn_tier12(spark: SparkSession, sf_dir: str) -> DataFrame:
                arrayStringConcat(arrayMap(x -> toString(x),
                  arrayShuffle(arr)), ',') as shuf,
                arrayStringConcat(arrayMap(x -> toString(x),
-                 arrayRandomSample(arr, 2)), ',') as samp
+                 arrayRandomSample(arr, 2)), ',') as samp,
+               arrayLevenshtein(arr, arr2) as alev
         from t order by event_id
         """,
     )

@@ -179,3 +179,48 @@ def test_any_heavy_deterministic_mode(spark):
     }
     assert rows[1] == 3  # 5 and 3 tie at 2 — smallest value wins
     assert rows[2] == 9
+
+
+def test_array_levenshtein_and_sum_kahan(spark):
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.functions.registry import AGGREGATE_FNS
+
+    r = spark.range(1).select(
+        SCALAR_FNS["arrayLevenshtein"](
+            F.array(F.lit(1), F.lit(2), F.lit(3)),
+            F.array(F.lit(2), F.lit(3), F.lit(4)),
+        ).alias("a"),
+        SCALAR_FNS["arrayLevenshtein"](
+            F.array(F.lit(1), F.lit(2)),
+            F.slice(F.array(F.lit(1)), 1, 0),
+        ).alias("b"),
+        SCALAR_FNS["arrayLevenshtein"](
+            F.array(F.lit(5), F.lit(6)), F.array(F.lit(5), F.lit(6))
+        ).alias("c"),
+    ).first()
+    assert (r["a"], r["b"], r["c"]) == (2, 2, 0)
+
+    # Kahan: the classic 1 + 1e100 + 1 - 1e100 pattern is beyond even
+    # compensation; instead pin that value-ordered compensated sum of
+    # 0.1 x 10 beats nothing but EQUALS the fold of sorted values
+    df = spark.createDataFrame([(0.1,)] * 10, "x double")
+    got = df.agg(
+        AGGREGATE_FNS["sumKahan"](F.col("x")).alias("s")
+    ).first()["s"]
+    import math
+
+    ref_s, ref_c = 0.0, 0.0
+    for v in [0.1] * 10:
+        y = v - ref_c
+        t = ref_s + y
+        ref_c = (t - ref_s) - y
+        ref_s = t
+    assert got == ref_s and math.isclose(got, 1.0, rel_tol=1e-15)
+
+    rows = spark.createDataFrame(
+        [(1, 3), (1, 3), (1, 9), (2, 4)], "g int, x int"
+    ).groupBy("g").agg(
+        AGGREGATE_FNS["groupBitmap"](F.col("x")).alias("n")
+    ).collect()
+    assert {r["g"]: r["n"] for r in rows} == {1: 2, 2: 1}
