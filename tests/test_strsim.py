@@ -141,3 +141,50 @@ def test_strsim_null_propagates(spark):
     ).first()
     assert r["dl"] is None and r["j"] is None
     assert r["jw"] is None and r["bh"] is None
+
+
+def py_lev(a, b):
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        new = [i]
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            new.append(min(prev[j] + 1, new[j - 1] + 1, prev[j - 1] + cost))
+        prev = new
+    return prev[lb]
+
+
+def test_array_levenshtein_matches_reference(spark):
+    rng = random.Random(13)
+    rows = [
+        (
+            [rng.randint(0, 4) for _ in range(rng.randint(0, 8))],
+            [rng.randint(0, 4) for _ in range(rng.randint(0, 8))],
+        )
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(rows, "a array<long>, b array<long>")
+    got = df.select(
+        "a",
+        "b",
+        SCALAR_FNS["arrayLevenshtein"](F.col("a"), F.col("b")).alias("d"),
+    ).collect()
+    for r in got:
+        assert r["d"] == py_lev(r["a"], r["b"]), (r["a"], r["b"])
+    # OSA damerau over strings is always <= plain lev over their chars
+    pairs = [("ab", "ba"), ("spark", "sprak"), ("abc", "cab")]
+    df2 = spark.createDataFrame(pairs, "x string, y string")
+    rows2 = df2.select(
+        "x",
+        "y",
+        SCALAR_FNS["damerauLevenshteinDistance"](
+            F.col("x"), F.col("y")
+        ).alias("dl"),
+    ).collect()
+    for r in rows2:
+        assert r["dl"] <= py_lev(r["x"], r["y"])
