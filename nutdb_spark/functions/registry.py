@@ -5154,3 +5154,250 @@ def _sum_kahan(x: Column) -> Column:
 
 AGGREGATE_FNS["sumKahan"] = _sum_kahan
 PYTEST_ONLY["sumKahan"] = "float summation (value-ordered Kahan fold)"
+
+
+# --- [EXT] tier-13: one-way ANOVA ----------------------------------------
+# analysisOfVariance(x, group) — CH's ANOVA aggregate (F statistic
+# component; the p-value is the regularized incomplete beta — libm —
+# and lives with the rest of the PYTEST_ONLY p-value family below).
+# Exact-arithmetic discipline, same as the t-test family: with integer
+# inputs N, k, Σx, Σx² are exact int64; the one float accumulation —
+# T = Σ_g S_g²/n_g — is folded over the SORTED distinct group ids, so
+# its rounding sequence is deterministic and the DuckDB oracle replays
+# the identical fold (list_reduce over list_sort(list_distinct)).
+# F = ((T − S²/N)/(k−1)) / ((Q − T)/(n−k)) is then one fixed double
+# expression. Degenerate inputs (k<2, n<=k, zero within-variance) →
+# NULL-instead-of-junk. Per-entity groups only: the collected state is
+# O(group rows), the suite convention for fold-backed aggregates; a
+# 100 TB ANOVA over a handful of GLOBAL groups should instead
+# pre-aggregate (GROUP BY group id → six exact sums), which is the
+# shape the oracle formulation makes obvious.
+
+
+def _anova(x: Column, g: Column) -> Column:
+    """analysisOfVariance(x, group) → one-way ANOVA F statistic."""
+    code = x.cast("long") * 8 + g.cast("long")
+    cl = F.collect_list(code)
+    xs = F.transform(cl, lambda c: ((c - F.pmod(c, 8)) / 8).cast("long"))
+    gs = F.transform(cl, lambda c: F.pmod(c, 8))
+    n = F.size(cl).cast("long")
+    s = F.aggregate(xs, F.lit(0).cast("long"), lambda a, v: a + v)
+    q = F.aggregate(xs, F.lit(0).cast("long"), lambda a, v: a + v * v)
+    dv = F.array_sort(F.array_distinct(gs))
+    k = F.size(dv).cast("long")
+
+    def step(acc, gg):
+        sg = F.aggregate(
+            F.zip_with(
+                xs,
+                gs,
+                lambda xv, gv: F.when(gv == gg, xv).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        ng = F.size(F.filter(gs, lambda gv: gv == gg)).cast("long")
+        return acc + F.try_divide((sg * sg).cast("double"), ng.cast("double"))
+
+    t = F.aggregate(dv, F.lit(0.0), step)
+    ssb = t - F.try_divide((s * s).cast("double"), n.cast("double"))
+    ssw = q.cast("double") - t
+    fstat = F.try_divide(
+        F.try_divide(ssb, (k - 1).cast("double")),
+        F.try_divide(ssw, (n - k).cast("double")),
+    )
+    return F.when(
+        (k < 2) | (n <= k) | (ssw <= 0.0), F.lit(None).cast("double")
+    ).otherwise(fstat)
+
+
+AGGREGATE_FNS["analysisOfVariance"] = _anova
+AGGREGATE_FNS["anova"] = _anova
+
+
+# --- [EXT] tier-13: sparkbar ----------------------------------------------
+# sparkbar(width)(x, y) — CH's inline text histogram. DETERMINISTIC
+# spec (documented deviation from CH's float scaling): x is bucketed by
+# exact integer math bucket = (x − min_x)·width ÷ (max_x − min_x + 1),
+# bucket weight is the exact integer Σy, and the glyph level is
+# ceil(8·w / max_w) in {1..8} for non-empty buckets ('▁'..'█'), '░' for
+# empty ones — every step integer, so the string hash-oracles. One
+# collect_list per group, then pure higher-order functions.
+
+
+_SPARKBAR_GLYPHS = "░▁▂▃▄▅▆▇█"
+
+
+def _sparkbar(params: list, x: Column, y: Column) -> Column:
+    width = int(params[0])
+    cl = F.collect_list(
+        F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
+    )
+    mn = F.array_min(F.transform(cl, lambda t: t["x"]))
+    mx = F.array_max(F.transform(cl, lambda t: t["x"]))
+    span = mx - mn + 1
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(width - 1)),
+        lambda b: F.aggregate(
+            cl,
+            F.lit(0).cast("long"),
+            lambda a, t: a
+            + F.when(
+                F.floor(
+                    ((t["x"] - mn) * width).cast("double") / span.cast("double")
+                ).cast("long")
+                == b.cast("long"),
+                t["y"],
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    mw = F.array_max(weights)
+    glyphs = F.transform(
+        weights,
+        lambda w: F.substring(
+            F.lit(_SPARKBAR_GLYPHS),
+            F.when(w <= 0, F.lit(1)).otherwise(
+                (-F.floor((w * -8).cast("double") / mw.cast("double"))).cast(
+                    "int"
+                )
+                + 1
+            ),
+            1,
+        ),
+    )
+    return F.when(F.size(cl) == 0, F.lit(None).cast("string")).otherwise(
+        F.array_join(glyphs, "")
+    )
+
+
+PARAMETRIC_AGGS["sparkbar"] = _sparkbar
+
+
+# --- [EXT] tier-13: groupArrayInsertAt -------------------------------------
+# groupArrayInsertAt(default, size)(x, pos) — fixed-size array with x
+# placed at position pos (0-based). CH keeps an arbitrary value on
+# position collisions; this engine strengthens that to MIN(x) (the
+# usual determinism deviation, same rationale as topK's tie-break) so
+# the result is oracle-checkable. Pure higher-order functions over one
+# collect_list; positions outside [0, size) are ignored.
+
+
+def _group_array_insert_at(params: list, x: Column, pos: Column) -> Column:
+    default, size = params[0], int(params[1])
+    cl = F.collect_list(
+        F.struct(pos.cast("long").alias("p"), x.alias("v"))
+    )
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(size - 1).cast("long")),
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.filter(cl, lambda t: t["p"] == p), lambda t: t["v"]
+                )
+            ),
+            F.lit(default),
+        ),
+    )
+
+
+PARAMETRIC_AGGS["groupArrayInsertAt"] = _group_array_insert_at
+
+
+# --- [EXT] tier-13 scalar wave ---------------------------------------------
+
+
+def _regexp_quote_meta(s: Column) -> Column:
+    """regexpQuoteMeta(s) — escape every regex metacharacter with a
+    backslash (CH's set: \\0 is out of scope for parquet strings)."""
+    return F.regexp_replace(
+        s, r"([\\^$.\[\]|()?*+{}:\-])", r"\\$1"
+    )
+
+
+SCALAR_FNS["regexpQuoteMeta"] = _regexp_quote_meta
+
+# UTF8 spelling of the case-insensitive position: engine strings are
+# Unicode already, so this is the same lowering as
+# positionCaseInsensitive (ref dialect keeps both names).
+SCALAR_FNS["positionCaseInsensitiveUTF8"] = lambda h, n: F.instr(
+    F.lower(h), F.lower(n)
+).cast("long")
+
+
+def _normalize_query(s: Column) -> Column:
+    """normalizeQuery(s) — replace literals with placeholders so
+    structurally-identical queries compare equal: string literals →
+    '?', then numeric literals → '?', then IN/VALUES lists of
+    placeholders collapse to '?..'. Regex-only (JVM codegen)."""
+    out = F.regexp_replace(s, r"'[^']*'", "?")
+    out = F.regexp_replace(out, r"\b\d+(\.\d+)?\b", "?")
+    return F.regexp_replace(out, r"\?(\s*,\s*\?)+", "?..")
+
+
+def _normalized_query_hash(s: Column) -> Column:
+    """normalizedQueryHash(s) — 60-bit integer fingerprint of
+    normalizeQuery(s). md5-based (the sampling-family convention:
+    bit-identical in Spark, DuckDB, and Python) rather than CH's
+    siphash — a documented deviation; the CONTRACT (equal iff the
+    normalized text is equal, modulo truncation) is preserved."""
+    return F.conv(F.substring(F.md5(_normalize_query(s)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+SCALAR_FNS["normalizeQuery"] = _normalize_query
+SCALAR_FNS["normalizedQueryHash"] = _normalized_query_hash
+
+
+def _to_decimal_string(x: Column, scale: Column) -> Column:
+    """toDecimalString(x, scale) — fixed-point rendering with exactly
+    `scale` fractional digits. Integer-exact construction (scaled
+    floor(|x|·10^s + 0.5) half-up rounding, then digit assembly with
+    lpad) rather than %f formatting, so Java-vs-C printf tie behavior
+    never enters and the string hash-oracles. scale ∈ [0, 15] (10^s
+    exact in a double); out-of-range scale → NULL."""
+    s = scale.cast("int")
+    p = F.pow(F.lit(10.0), s.cast("double"))
+    total = F.floor(F.abs(x.cast("double")) * p + F.lit(0.5)).cast("long")
+    ipart = F.floor(total.cast("double") / p).cast("long")
+    fpart = total - ipart * p.cast("long")
+    sign = F.when(x.cast("double") < 0, F.lit("-")).otherwise(F.lit(""))
+    body = F.when(s == 0, ipart.cast("string")).otherwise(
+        F.concat(
+            ipart.cast("string"),
+            F.lit("."),
+            # right-take of a zero-prefixed render: lpad needs a
+            # literal width, but scale arrives as a Column
+            F.right(F.concat(F.lit("0" * 15), fpart.cast("string")), s),
+        )
+    )
+    return F.when(
+        (s < 0) | (s > 15) | x.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat(sign, body))
+
+
+SCALAR_FNS["toDecimalString"] = _to_decimal_string
+
+
+def _anova_pvalue(x: Column, g: Column) -> Column:
+    """analysisOfVariancePValue(x, group) — upper-tail F probability
+    I_{d2/(d2+d1·F)}(d2/2, d1/2) with d1 = k−1, d2 = n−k, via the same
+    incomplete-beta machinery as the t-test p-values. PYTEST_ONLY
+    (exp/log in the tail integral), like the rest of the family."""
+    code = x.cast("long") * 8 + g.cast("long")
+    cl = F.collect_list(code)
+    gs = F.transform(cl, lambda c: F.pmod(c, 8))
+    n = F.size(cl).cast("double")
+    k = F.size(F.array_distinct(gs)).cast("double")
+    fstat = _anova(x, g)
+    d1, d2 = k - 1.0, n - k
+    p = _betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * fstat))
+    return F.when(fstat.isNull(), F.lit(None).cast("double")).otherwise(p)
+
+
+AGGREGATE_FNS["analysisOfVariancePValue"] = _anova_pvalue
+PYTEST_ONLY["analysisOfVariancePValue"] = (
+    "exp/log (libm) in the tail integral"
+)

@@ -5441,3 +5441,174 @@ def sql_fn_tier12(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+# --- tier-13: ANOVA / sparkbar / groupArrayInsertAt ---------------------------
+
+_ANOVA_SG = """CAST(list_sum(list_transform(list_zip(xs, gs), z ->
+        CASE WHEN z[2] = gg THEN z[1] ELSE 0 END)) AS DOUBLE)"""
+
+_ANOVA_T = f"""list_reduce(
+  [CAST(0.0 AS DOUBLE)] || list_transform(dv, gg ->
+    {_ANOVA_SG} * {_ANOVA_SG}
+    / CAST(len(list_filter(gs, x2 -> x2 = gg)) AS DOUBLE)),
+  (a, b) -> a + b)"""
+
+_SB_W = """list_transform(range(0, 8), b -> list_sum(
+  list_transform(cl2, t -> CASE WHEN CAST(floor(
+    CAST((t[1] - mn) * 8 AS DOUBLE) / CAST(mx - mn + 1 AS DOUBLE))
+    AS BIGINT) = b THEN t[2] ELSE 0 END)))"""
+
+
+@query(
+    "sql_agg_anova",
+    f"""
+    WITH t AS (
+      SELECT o_custkey AS cust, CAST(floor(o_totalprice) AS BIGINT) AS x,
+             CAST(o_orderkey % 5 AS BIGINT) AS g,
+             CAST(year(o_orderdate) AS BIGINT) AS yr
+      FROM orders WHERE o_custkey < 300),
+    g1 AS (
+      SELECT cust, list(x*8 + g) AS cl,
+             list([yr, CAST(1 AS BIGINT)]) AS cl2,
+             list([g, x]) AS cl3
+      FROM t GROUP BY cust),
+    s AS (
+      SELECT cust, cl2, cl3, CAST(len(cl) AS BIGINT) AS n,
+             list_transform(cl, c -> (c - c % 8) // 8) AS xs,
+             list_transform(cl, c -> c % 8) AS gs
+      FROM g1),
+    u AS (
+      SELECT cust, cl2, cl3, n, xs, gs,
+             list_sum(xs) AS s_, list_sum(list_transform(xs, v -> v*v)) AS q_,
+             list_sort(list_distinct(gs)) AS dv
+      FROM s),
+    v AS (
+      SELECT cust, cl2, cl3, n, s_, q_, CAST(len(dv) AS BIGINT) AS k,
+             {_ANOVA_T} AS t_
+      FROM u),
+    w AS (
+      SELECT cust, cl3, n, s_, q_, k, t_,
+             list_min(list_transform(cl2, t -> t[1])) AS mn,
+             list_max(list_transform(cl2, t -> t[1])) AS mx, cl2
+      FROM v),
+    sb AS (
+      SELECT cust, cl3, n, s_, q_, k, t_, mn, mx,
+             {_SB_W} AS weights
+      FROM w)
+    SELECT cust,
+      CASE WHEN k < 2 OR n <= k OR (CAST(q_ AS DOUBLE) - t_) <= 0 THEN NULL
+           ELSE ((t_ - CAST(s_*s_ AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(k - 1 AS DOUBLE))
+                / ((CAST(q_ AS DOUBLE) - t_) / CAST(n - k AS DOUBLE)) END AS f,
+      array_to_string(list_transform(weights, w2 -> substring(
+        '░▁▂▃▄▅▆▇█',
+        CAST(CASE WHEN w2 <= 0 THEN 0 ELSE -floor(
+          CAST(w2 * -8 AS DOUBLE)
+          / CAST(list_max(weights) AS DOUBLE)) END AS INT) + 1,
+        1)), '') AS sb,
+      array_to_string(list_transform(range(0, 5), p -> CAST(coalesce(
+        list_min(list_transform(list_filter(cl3, t2 -> t2[1] = p),
+                                t2 -> t2[2])),
+        CAST(-1 AS BIGINT)) AS VARCHAR)), ',') AS ga
+    FROM sb ORDER BY cust
+    """,
+)
+def sql_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-13 aggregates per customer: analysisOfVariance
+    (one-way ANOVA F statistic over order totals grouped by order-key
+    residue — exact int sufficient statistics, the one float
+    accumulation folded in sorted-group order so the oracle replays the
+    identical rounding sequence), sparkbar(8) (inline text histogram of
+    order years, integer-exact bucket/level math so the glyph string
+    hash-oracles), and groupArrayInsertAt (fixed-size positional array,
+    MIN on collisions — the documented determinism strengthening).
+    Statistic component only for ANOVA; its p-value is the incomplete
+    beta (libm) and lives in the PYTEST_ONLY family."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select o_custkey as cust,
+               analysisOfVariance(toInt64(floor(o_totalprice)),
+                                  o_orderkey % 5) as f,
+               sparkbar(8)(getYear(o_orderdate), toInt64(1)) as sb,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 groupArrayInsertAt(-1, 5)(
+                   toInt64(floor(o_totalprice)), o_orderkey % 5)), ',') as ga
+        from orders where o_custkey < 300
+        group by cust order by cust
+        """,
+    )
+
+
+_T13_NQ = r"""regexp_replace(regexp_replace(regexp_replace(
+  qsql, '''[^'']*''', '?', 'g'),
+  '\b\d+(\.\d+)?\b', '?', 'g'),
+  '\?(\s*,\s*\?)+', '?..', 'g')"""
+
+_T13_TDS = """CASE WHEN {x} IS NULL THEN NULL ELSE
+  concat(CASE WHEN {x} < 0 THEN '-' ELSE '' END,
+    CAST(CAST(floor(CAST(CAST(floor(abs({x}) * {p} + 0.5) AS BIGINT)
+      AS DOUBLE) / {p}) AS BIGINT) AS VARCHAR),
+    '.',
+    right(concat(repeat('0', 15), CAST(
+      CAST(floor(abs({x}) * {p} + 0.5) AS BIGINT)
+      - CAST(floor(CAST(CAST(floor(abs({x}) * {p} + 0.5) AS BIGINT)
+          AS DOUBLE) / {p}) AS BIGINT) * CAST({p} AS BIGINT)
+      AS VARCHAR)), {s})) END"""
+
+
+@query(
+    "sql_fn_tier13",
+    f"""
+    WITH t AS (
+      SELECT event_id, props,
+        CAST(event_id % 1000 AS DOUBLE) / 7 + event_id % 9 AS dx,
+        concat('SELECT v FROM t WHERE id = ', CAST(event_id AS VARCHAR),
+               ' AND name = ''u', CAST(event_id % 5 AS VARCHAR),
+               ''' AND k IN (1, 2, 3)') AS qsql
+      FROM events WHERE user_id < 15)
+    SELECT event_id,
+      regexp_replace(concat(props, '.*[x]+'),
+        '([\\^$.\\[\\]|()?*+{{}}:\\-])', '\\\\\\1', 'g') AS rqm,
+      strpos(lower(props), 'k"') AS pci,
+      {_T13_NQ} AS nq,
+      CAST('0x' || substring(md5({_T13_NQ}), 1, 15) AS BIGINT) AS nqh,
+      {_T13_TDS.format(x='dx', p='power(10.0, 3)', s='3')} AS tds,
+      {_T13_TDS.format(x='-dx', p='power(10.0, 2)', s='2')} AS tdsn
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_tier13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-13 scalar surface: regexpQuoteMeta (escape regex
+    metacharacters — the oracle replays the identical RE2-compatible
+    pattern), positionCaseInsensitiveUTF8, normalizeQuery /
+    normalizedQueryHash (literal → '?' placeholder folding with '?..'
+    list collapse; the hash is the md5-60-bit sampling-family
+    convention, a documented deviation from CH's siphash),
+    and toDecimalString (fixed-point rendering by integer-exact
+    scaled-half-up assembly — no %f formatting, so Java-vs-C tie
+    behavior never enters). One Exchange for ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, props,
+                 toFloat64(event_id % 1000) / 7 + event_id % 9 as dx,
+                 concat('SELECT v FROM t WHERE id = ',
+                        toString(event_id),
+                        ' AND name = ''u', toString(event_id % 5),
+                        ''' AND k IN (1, 2, 3)') as qsql
+          from events where user_id < 15)
+        select event_id,
+               regexpQuoteMeta(concat(props, '.*[x]+')) as rqm,
+               positionCaseInsensitiveUTF8(props, 'K"') as pci,
+               normalizeQuery(qsql) as nq,
+               normalizedQueryHash(qsql) as nqh,
+               toDecimalString(dx, 3) as tds,
+               toDecimalString(-dx, 2) as tdsn
+        from t order by event_id
+        """,
+    )

@@ -1,0 +1,247 @@
+"""Tier-13 armor: analysisOfVariance (+ p-value), sparkbar,
+groupArrayInsertAt, toDecimalString, regexpQuoteMeta,
+normalizeQuery / normalizedQueryHash.
+
+The oracled suite entries (sql_agg_anova, sql_fn_tier13) pin the
+DuckDB bit-identity; these tests pin the VALUES against independent
+Python references plus the degenerate/edge branches the fixtures
+can't reach.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutdb_spark.functions.registry import (
+    AGGREGATE_FNS as A,
+    PARAMETRIC_AGGS as P,
+    SCALAR_FNS as S,
+)
+
+
+def _anova_ref(pairs):
+    """One-way ANOVA F from first principles (floats are fine — the
+    engine's fold is compared with approx, the bit-identity pin lives
+    in the DuckDB oracle)."""
+    groups: dict[int, list[int]] = {}
+    for x, g in pairs:
+        groups.setdefault(g, []).append(x)
+    n = len(pairs)
+    k = len(groups)
+    if k < 2 or n <= k:
+        return None
+    grand = sum(x for x, _ in pairs) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    if ssw <= 0:
+        return None
+    return (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_anova_matches_python_reference(spark):
+    rng = random.Random(1307)
+    rows = [
+        (gid, rng.randrange(0, 500), rng.randrange(0, 4))
+        for gid in range(8)
+        for _ in range(rng.randrange(6, 40))
+    ]
+    got = {
+        r["g"]: r["f"]
+        for r in spark.createDataFrame(rows, "g int, x long, grp long")
+        .groupBy("g")
+        .agg(A["analysisOfVariance"](F.col("x"), F.col("grp")).alias("f"))
+        .collect()
+    }
+    for gid in range(8):
+        ref = _anova_ref([(x, gr) for g, x, gr in rows if g == gid])
+        if ref is None:
+            assert got[gid] is None
+        else:
+            assert got[gid] == pytest.approx(ref, rel=1e-9)
+
+
+def test_anova_degenerate_branches(spark):
+    rows = [
+        (1, 5, 0), (1, 7, 0),            # one group -> NULL
+        (2, 5, 0), (2, 5, 1),            # n <= k -> NULL
+        (3, 5, 0), (3, 5, 0), (3, 9, 1), (3, 9, 1),  # zero SSW -> NULL
+        (4, 1, 0), (4, 3, 0), (4, 10, 1), (4, 14, 1),  # healthy
+    ]
+    got = {
+        r["g"]: r["f"]
+        for r in spark.createDataFrame(rows, "g int, x long, grp long")
+        .groupBy("g")
+        .agg(A["analysisOfVariance"](F.col("x"), F.col("grp")).alias("f"))
+        .collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] == pytest.approx(_anova_ref([(1, 0), (3, 0), (10, 1), (14, 1)]))
+
+
+def test_anova_pvalue_equals_ttest_on_two_groups(spark):
+    """With k = 2, F = t² and the F(1, n−2) upper tail equals the
+    two-sided t(n−2) tail — the classic identity, which ties the new
+    p-value straight to the already-anchored t machinery."""
+    rows = [(1, v, 0) for v in (10, 12, 14, 11)] + [
+        (1, v, 1) for v in (20, 23, 21, 26)
+    ]
+    r = (
+        spark.createDataFrame(rows, "g int, x long, grp long")
+        .groupBy("g")
+        .agg(
+            A["analysisOfVariance"](F.col("x"), F.col("grp")).alias("f"),
+            A["analysisOfVariancePValue"](F.col("x"), F.col("grp")).alias(
+                "fp"
+            ),
+            A["studentTTest"](F.col("x"), F.col("grp")).alias("t"),
+            A["studentTTestPValue"](F.col("x"), F.col("grp")).alias("tp"),
+        )
+        .first()
+    )
+    assert r["f"] == pytest.approx(r["t"] ** 2, rel=1e-12)
+    assert r["fp"] == pytest.approx(r["tp"], rel=1e-6)
+    r2 = (
+        spark.createDataFrame(
+            [(1, v, v % 3) for v in range(30)], "g int, x long, grp long"
+        )
+        .groupBy("g")
+        .agg(
+            A["analysisOfVariancePValue"](F.col("x"), F.col("grp")).alias(
+                "fp"
+            )
+        )
+        .first()
+    )
+    assert 0.0 <= r2["fp"] <= 1.0
+
+
+def test_sparkbar_known_shape(spark):
+    # x 0..7 with weights 1..8 over 8 buckets: strictly rising bar
+    rows = [(1, x, x + 1) for x in range(8)]
+    r = (
+        spark.createDataFrame(rows, "g int, x long, y long")
+        .groupBy("g")
+        .agg(P["sparkbar"]([8], F.col("x"), F.col("y")).alias("sb"))
+        .first()
+    )
+    assert r["sb"] == "▁▂▃▄▅▆▇█"
+
+
+def test_sparkbar_empty_bucket_and_uniform(spark):
+    rows = [(1, 0, 5), (1, 3, 5)]  # width 4, buckets 1..2 empty
+    r = (
+        spark.createDataFrame(rows, "g int, x long, y long")
+        .groupBy("g")
+        .agg(P["sparkbar"]([4], F.col("x"), F.col("y")).alias("sb"))
+        .first()
+    )
+    assert r["sb"] == "█░░█"
+
+
+def test_group_array_insert_at(spark):
+    rows = [
+        (1, 9, 0),
+        (1, 4, 2), (1, 7, 2),   # collision -> min = 4
+        (1, 5, 99),             # out of range -> ignored
+    ]
+    r = (
+        spark.createDataFrame(rows, "g int, x long, p long")
+        .groupBy("g")
+        .agg(
+            P["groupArrayInsertAt"]([-1, 4], F.col("x"), F.col("p")).alias(
+                "a"
+            )
+        )
+        .first()
+    )
+    assert list(r["a"]) == [9, -1, 4, -1]
+
+
+def test_to_decimal_string(spark):
+    rows = [
+        (1.5, 2, "1.50"),
+        (-1.005, 0, "-1"),
+        (0.125, 2, "0.13"),       # scaled half-up, by construction
+        (123.456, 3, "123.456"),
+        (2.0, 5, "2.00000"),
+    ]
+    df = spark.createDataFrame(
+        [(x, s) for x, s, _ in rows], "x double, s int"
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            S["toDecimalString"](F.col("x"), F.col("s")).alias("d")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in rows]
+    bad = (
+        spark.range(1)
+        .select(
+            S["toDecimalString"](F.lit(1.0), F.lit(16)).alias("hi"),
+            S["toDecimalString"](F.lit(1.0), F.lit(-1)).alias("lo"),
+            S["toDecimalString"](F.lit(None).cast("double"), F.lit(2)).alias(
+                "nn"
+            ),
+        )
+        .first()
+    )
+    assert bad["hi"] is None and bad["lo"] is None and bad["nn"] is None
+
+
+def test_regexp_quote_meta_roundtrip(spark):
+    """The escaped form used as a pattern must match the original
+    literally — the defining property."""
+    samples = ["a.b*c", "x[1]{2}", "(a|b)?", "c:\\d+", "plain", "a-b^$"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    out = df.select(
+        "s",
+        S["regexpQuoteMeta"](F.col("s")).alias("q"),
+        F.regexp_like(
+            F.col("s"),
+            F.concat(
+                F.lit("^"), S["regexpQuoteMeta"](F.col("s")), F.lit("$")
+            ),
+        ).alias("m"),
+    ).collect()
+    assert all(r["m"] for r in out)
+    byval = {r["s"]: r["q"] for r in out}
+    assert byval["a.b*c"] == r"a\.b\*c"
+    assert byval["plain"] == "plain"
+
+
+def test_normalize_query_and_hash(spark):
+    q1 = "SELECT a FROM t WHERE id = 42 AND n = 'bob' AND k IN (1, 2, 3)"
+    q2 = "SELECT a FROM t WHERE id = 7 AND n = 'eve' AND k IN (5, 6)"
+    q3 = "SELECT b FROM t WHERE id = 42"
+    df = spark.createDataFrame([(q1,), (q2,), (q3,)], "q string")
+    rows = df.select(
+        S["normalizeQuery"](F.col("q")).alias("n"),
+        S["normalizedQueryHash"](F.col("q")).alias("h"),
+    ).collect()
+    n1, n2, n3 = (r["n"] for r in rows)
+    h1, h2, h3 = (r["h"] for r in rows)
+    assert n1 == n2 == "SELECT a FROM t WHERE id = ? AND n = ? AND k IN (?..)"
+    assert h1 == h2 and h1 != h3
+    assert "42" not in n3 and n3.endswith("id = ?")
+
+
+def test_position_case_insensitive_utf8(spark):
+    r = (
+        spark.range(1)
+        .select(
+            S["positionCaseInsensitiveUTF8"](
+                F.lit("Hello WORLD"), F.lit("world")
+            ).alias("p"),
+            S["positionCaseInsensitiveUTF8"](
+                F.lit("abc"), F.lit("zz")
+            ).alias("z"),
+        )
+        .first()
+    )
+    assert r["p"] == 7 and r["z"] == 0
