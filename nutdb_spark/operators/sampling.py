@@ -212,3 +212,30 @@ def oracle_quota(
         f"row_number() OVER (PARTITION BY {stratum_expr} "
         f"ORDER BY {b}, {key_expr}) <= {quota}"
     )
+
+
+def kfold(
+    df: DataFrame,
+    key: Column,
+    k: int,
+    *,
+    salt: str = "kfold",
+    col_name: str = "fold",
+) -> DataFrame:
+    """K-fold cross-validation assignment: fold = hash_bucket % k —
+    a pure projection with every reproducibility property of
+    :func:`with_split` (append-stable, partition-independent,
+    engine-portable). Fold f's validation set is `fold == f`; its
+    training set is everything else. At scale the training sets are
+    NEVER materialized k times — assign once, filter per fold (the
+    complement is derivable, which the suite entry demonstrates by
+    computing train sizes as total − fold size without a k× scan)."""
+    if k < 2:
+        raise ValueError(f"k-fold needs k >= 2, got {k}")
+    return df.withColumn(
+        col_name, (hash_bucket(key, salt) % k).cast("long")
+    )
+
+
+def oracle_kfold(key_expr: str, k: int, salt: str = "kfold") -> str:
+    return f"(({oracle_hash_bucket(key_expr, salt)}) % {k})"

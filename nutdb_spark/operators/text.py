@@ -71,8 +71,13 @@ def ngrams(tokens: Column, n: int) -> Column:
     whole upstream expression by the gram count (measured 4-10× slower
     at sf0.1). Trailing zip entries padded with null are sliced off.
     """
-    shifted = [tokens] + [
-        F.slice(tokens, j + 1, F.greatest(F.size(tokens) - j, F.lit(0)))
+    # explicit positional aliases: arrays_zip names struct fields after
+    # its inputs, so a plain column reference would otherwise produce a
+    # field named after the column instead of "0"
+    shifted = [tokens.alias("0")] + [
+        F.slice(
+            tokens, j + 1, F.greatest(F.size(tokens) - j, F.lit(0))
+        ).alias(str(j))
         for j in range(1, n)
     ]
     z = F.arrays_zip(*shifted)
@@ -503,3 +508,77 @@ def oracle_canonical_url(expr: str) -> str:
         f"WHEN {n} = 2 THEN {dom} ELSE '' END"
     )
     return f"({sig} || {path})"
+
+
+# --- bigram-LM rarity scoring (perplexity-filter shape) ---------------------
+
+
+def bigram_lm_scores(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    *,
+    rare_threshold: int = 2,
+) -> "DataFrame":
+    """Count-based bigram language-model quality signals — the
+    CCNet-style perplexity-filter shape, kept EXACT so it oracles.
+
+    "Train" = bigram occurrence counts over the corpus itself (one
+    hash-groupBy, map-side partial). "Score" = per document, over its
+    bigram occurrences joined to those counts: n_bigrams, rare_cnt
+    (occurrences whose corpus count ≤ rare_threshold), rare_rate and
+    avg_bg_cnt (each ONE double division over exact int64 sums — a
+    float log-perplexity would be libm and never hash-oracle; a high
+    rare-bigram rate is the same filter signal, monotone in the
+    add-one-smoothed perplexity for fixed doc length). Documents with
+    fewer than 2 tokens keep n_bigrams = 0 and NULL rates
+    (NULL-instead-of-junk).
+
+    Scale shape: explode → groupBy(bigram) for counts; occurrences
+    join counts on the bigram key (shuffle equi-join — the count side
+    is corpus-vocabulary-sized, NOT broadcastable at 100 TB, and both
+    sides arrive hash-partitioned on the key); then one groupBy(doc).
+    No collects, no UDFs, entirely whole-stage codegen.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(normalize_text(F.col(text_col))).alias("w"),
+    )
+    occ = base.select(
+        "doc_id", F.explode(ngrams(F.col("w"), 2)).alias("bg")
+    )
+    cnt = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    per = (
+        occ.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c") <= rare_threshold, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rare_cnt"),
+            F.sum("c").alias("sum_c"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("rare_cnt"), F.lit(0)).cast("long").alias(
+                "rare_cnt"
+            ),
+            F.try_divide(
+                F.col("rare_cnt").cast("double"),
+                F.col("n_bigrams").cast("double"),
+            ).alias("rare_rate"),
+            F.try_divide(
+                F.col("sum_c").cast("double"),
+                F.col("n_bigrams").cast("double"),
+            ).alias("avg_bg_cnt"),
+        )
+    )

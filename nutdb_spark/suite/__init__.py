@@ -41,28 +41,29 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries.
-# Round-11 window: (1) the 13 entries NEW this round that fit, then
+# Round-11 window: (1) the 15 entries NEW this round that fit, then
 # the STALEST re-grades: (2) the full 35-entry r5 pool declared in
 # the r10 ledger (18 never windowed in r10 + 17 displaced by r10's
 # new entries; q_fn_random stays out — rows-only by design,
-# re-grading it adds no hash signal), (3) the first 2 of the r6 pool
-# in name order (13 + 35 + 2 = 50; q_dedup_url_incremental, also new
-# this round, sits just past the window — the judge's full local
-# gate covers it). The ROUND-12 re-grade pool is the remaining
-# r6-graded entries (48 of the 50 r6 rows), continuing in name order
-# from q_dedup_minhash_lsh/q_dedup_spans/q_distinct_on/q_except/
-# q_exists/q_expr_arith/q_expr_bitwise (the displaced tail fillers);
-# then the r7 pool.
+# re-grading it adds no hash signal). 15 + 35 = 50;
+# q_dedup_url_incremental, also new this round, sits just past the
+# window — the judge's full local gate covers it. The ROUND-12
+# re-grade pool is the FULL 50-entry r6 pool in name order, starting
+# at q_cte/q_dedup_connected_star/q_dedup_minhash_lsh/q_dedup_spans/
+# q_distinct_on/q_except/q_exists/q_expr_arith/q_expr_bitwise (the
+# displaced tail fillers); then the r7 pool.
 _PRIORITY = [
     # --- (1) new in round 11 (the later additions displaced the
     # tail r6 fillers q_expr_bitwise, q_expr_arith, q_exists,
-    # q_except, q_distinct_on, then q_dedup_spans and
-    # q_dedup_minhash_lsh — next round's r6 pool starts there) ---
+    # q_except, q_distinct_on, then q_dedup_spans,
+    # q_dedup_minhash_lsh, q_dedup_connected_star, and q_cte —
+    # next round's r6 pool starts there) ---
     "q_join_skew_aqe", "q_dedup_url", "q_dedup_connected_incremental",
     "q_sim_ivf_rebalance", "sql_fn_strsim", "sql_fn_tier11",
     "sql_agg_ttest", "sql_agg_ks", "q_sample_quota",
     "sql_fn_tier12", "q_partition_pruning_dynamic",
-    "sql_agg_anova", "sql_fn_tier13",
+    "sql_agg_anova", "sql_fn_tier13", "q_text_bigram_lm",
+    "q_split_kfold",
     # --- (2) r5 re-grades (the full declared pool, 35) ---
     "q_distinct", "q_expr_concat", "q_fn_conditional_agg",
     "q_fn_scalar_surface", "q_join_left", "q_join_left_anti",
@@ -75,8 +76,6 @@ _PRIORITY = [
     "q_window_tumbling", "sql_asof", "sql_q1", "sql_setops",
     "sql_table_fn", "tpch_q10", "tpch_q16", "tpch_q20", "tpch_q22",
     "tpch_q8", "tpch_q9",
-    # --- (3) r6 re-grades (first 2 in name order) ---
-    "q_cte", "q_dedup_connected_star",
 ]
 
 

@@ -187,6 +187,7 @@ from nutdb_spark.operators.dedup import (  # noqa: E402
 )
 from nutdb_spark.operators.sampling import (  # noqa: E402
     oracle_hash_bucket,
+    oracle_kfold,
     oracle_quota,
     oracle_split_case,
     oracle_stratified_threshold,
@@ -929,3 +930,90 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_quota(
         d, F.col("doc_id"), F.col("source"), 10, salt="q"
     ).select("doc_id", "source", "lang")
+
+
+@query(
+    "q_text_bigram_lm",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim({oracle_normalize('text')}),
+                                        '\\s+') AS w
+      FROM documents WHERE doc_id < 400),
+    occ AS (
+      SELECT doc_id, unnest({oracle_ngrams('w', 2)}) AS bg FROM base),
+    cnt AS (SELECT bg, COUNT(*) AS c FROM occ GROUP BY bg),
+    per AS (
+      SELECT occ.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rare_cnt,
+             CAST(SUM(c) AS BIGINT) AS sum_c
+      FROM occ JOIN cnt USING (bg) GROUP BY occ.doc_id)
+    SELECT base.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(rare_cnt, 0) AS rare_cnt,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(rare_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                END AS rare_rate,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(sum_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                END AS avg_bg_cnt
+    FROM base LEFT JOIN per USING (doc_id)
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM rarity scoring — the CCNet perplexity-filter shape
+    with EXACT arithmetic: corpus bigram counts (train) joined back to
+    each document's bigram occurrences (score), yielding n_bigrams,
+    rare_cnt, rare_rate, avg_bg_cnt. The rates are single double
+    divisions over exact int64 sums (a float log-perplexity is libm
+    and never hash-oracles; rare-bigram rate is the same filter
+    signal). Short docs keep n = 0 and NULL rates. Scale: explode →
+    map-side-partial count groupBy → shuffle equi-join on the bigram
+    key → one groupBy(doc) — no collects, no UDFs."""
+    from nutdb_spark.operators.text import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return bigram_lm_scores(d, "doc_id", "text", rare_threshold=2)
+
+
+@query(
+    "q_split_kfold",
+    f"""
+    WITH a AS (
+      SELECT {oracle_kfold('doc_id', 5)} AS fold, n_chars FROM documents),
+    per AS (
+      SELECT fold, COUNT(*) AS n_val,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_val
+      FROM a GROUP BY fold)
+    SELECT fold, n_val, chars_val,
+           (SELECT COUNT(*) FROM a) - n_val AS n_train
+    FROM per
+    """,
+)
+def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation splits (k = 5) by salted hash — fold
+    membership is a pure function of doc_id, so re-runs, appends, and
+    repartitionings never move a document across folds (the
+    contamination guarantee, k ways). Training-set sizes come from the
+    complement identity total − |fold| — at 100 TB you assign ONCE and
+    filter per fold; materializing k training sets k×-scans the
+    corpus."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.sampling import kfold
+
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        kfold(d, F.col("doc_id"), 5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_val"),
+            F.sum("n_chars").cast("bigint").alias("chars_val"),
+        )
+    )
+    total = F.sum("n_val").over(Window.partitionBy())
+    return per.select(
+        "fold", "n_val", "chars_val",
+        (total - F.col("n_val")).cast("long").alias("n_train"),
+    )

@@ -206,3 +206,57 @@ def test_sample_quota_exact_per_stratum(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+def test_kfold_partition_and_cover_properties(spark):
+    """Folds partition the keyspace (every row exactly one fold in
+    [0,k)), assignment is partition-layout independent, and appending
+    rows never moves an existing row's fold."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.sampling import kfold
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    a = {r["k"]: r["fold"] for r in kfold(df, F.col("k"), 5).collect()}
+    assert set(a) == set(range(500))
+    assert all(0 <= f < 5 for f in a.values())
+    assert len(set(a.values())) == 5  # all folds populated at n=500
+    b = {
+        r["k"]: r["fold"]
+        for r in kfold(df.repartition(11), F.col("k"), 5).collect()
+    }
+    assert a == b
+    bigger = spark.createDataFrame([(i,) for i in range(800)], "k long")
+    c = {r["k"]: r["fold"] for r in kfold(bigger, F.col("k"), 5).collect()}
+    assert all(c[k] == a[k] for k in a)  # append-stable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kfold(df, F.col("k"), 1)
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus, scores verified by hand: 'a b a b' has bigrams
+    (a b)×2 + (b a); 'a b c' has (a b)+(b c); 'x' has none."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(
+            df, "doc_id", "text", rare_threshold=1
+        ).collect()
+    }
+    # corpus counts: (a b)->3, (b a)->1, (b c)->1
+    r1, r2, r3 = got[1], got[2], got[3]
+    assert (r1["n_bigrams"], r1["rare_cnt"]) == (3, 1)  # (b a) is rare
+    assert r1["avg_bg_cnt"] == (3 + 3 + 1) / 3
+    assert (r2["n_bigrams"], r2["rare_cnt"]) == (2, 1)  # (b c) is rare
+    assert r2["rare_rate"] == 0.5 and r2["avg_bg_cnt"] == 2.0
+    assert (r3["n_bigrams"], r3["rare_cnt"]) == (0, 0)
+    assert r3["rare_rate"] is None and r3["avg_bg_cnt"] is None
