@@ -5401,3 +5401,187 @@ AGGREGATE_FNS["analysisOfVariancePValue"] = _anova_pvalue
 PYTEST_ONLY["analysisOfVariancePValue"] = (
     "exp/log (libm) in the tail integral"
 )
+
+
+# --- [EXT] tier-14: sequenceMatchEvents, deterministic group-array forms ----
+
+
+def _sequence_match_events(params: list, ts: Column, *conds: Column) -> Column:
+    """sequenceMatchEvents('pattern')(ts, cond1, ...) → the timestamps
+    of the EARLIEST matching chain, as array<long>; NULL when the
+    pattern doesn't match. Completes the windowFunnel / sequenceMatch /
+    sequenceCount / sequenceNextNode family.
+
+    Supported subset: step refs `(?N)` with gapped semantics (`.*`
+    cosmetic). Time constraints are deliberately rejected here: under
+    a `(?t<=N)` gap the greedy-earliest chain is no longer a faithful
+    witness (a later first step can admit a match the earliest one
+    misses), so the "which events" answer would be ill-defined —
+    sequenceMatch answers the boolean for those patterns. Without time
+    constraints, greedy-earliest IS the canonical minimal witness
+    (standard subsequence matching), deterministic on any engine.
+
+    One fold over the ts-sorted events carrying the n first-match
+    times; each event updates from the PREVIOUS event's state, so one
+    event never fills two steps — identical discipline (and plan
+    shape) to sequenceMatch: collect_list + array_sort + aggregate(),
+    ONE hash aggregate, all JVM."""
+    pattern = str(params[0])
+    steps, gaps = _parse_seq_pattern(pattern, len(conds))
+    if any(g is not None for g in gaps):
+        raise ValueError(
+            "sequenceMatchEvents supports step-only patterns; time "
+            "constraints make the witness chain ill-defined — use "
+            "sequenceMatch for the boolean"
+        )
+    n = len(steps)
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts.cast("long").alias("t"),
+                *[
+                    c.cast("boolean").alias(f"c{k}")
+                    for k, c in enumerate(conds)
+                ],
+            )
+        )
+    )
+    init = F.array(*[F.lit(None).cast("long") for _ in range(n)])
+
+    def step(acc, e):
+        out = []
+        for j, cidx in enumerate(steps):
+            cur = F.element_at(acc, j + 1)
+            gate = e[f"c{cidx}"]
+            if j > 0:
+                gate = gate & F.element_at(acc, j).isNotNull()
+            out.append(
+                F.when(cur.isNull() & gate, e["t"]).otherwise(cur)
+            )
+        return F.array(*out)
+
+    fold = F.aggregate(ev, init, step)
+    return F.when(
+        F.element_at(fold, n).isNull(), F.lit(None).cast("array<long>")
+    ).otherwise(fold)
+
+
+PARAMETRIC_AGGS["sequenceMatchEvents"] = _sequence_match_events
+
+
+def _group_array_sample(params: list, x: Column) -> Column:
+    """groupArraySample(n)(x) — n values of the group chosen by the
+    DETERMINISTIC md5(value)-keyed rank (ties by value), the
+    arrayShuffle/arrayRandomSample convention: CH samples with an RNG,
+    which a distributed engine cannot honestly reproduce; the md5 rank
+    is uniform-ish, engine-portable, and oracle-checkable. Output is
+    in rank order (a uniform sample, not a sorted one)."""
+    n = int(params[0])
+    cl = F.collect_list(x)
+    keyed = F.transform(
+        cl,
+        lambda v: F.struct(
+            F.md5(v.cast("string")).alias("k"), v.alias("v")
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(keyed), 1, n), lambda s: s["v"]
+    )
+
+
+PARAMETRIC_AGGS["groupArraySample"] = _group_array_sample
+
+
+def _group_array_last(params: list, x: Column, t: Column) -> Column:
+    """groupArrayLast(n)(x, t) — the n most recent values by the
+    explicit time key t, in ascending-t order. CH's 1-arg form keeps
+    insertion order, which is block-order-dependent — the same
+    honesty deviation as groupArrayMovingSum: a distributed engine
+    exposes the 2-arg deterministic form only. Ties break by value."""
+    n = int(params[0])
+    cl = F.collect_list(
+        F.struct(t.cast("long").alias("t"), x.alias("v"))
+    )
+    sz = F.size(cl)
+    return F.transform(
+        F.slice(
+            F.array_sort(cl),
+            F.greatest(sz - F.lit(n) + 1, F.lit(1)),
+            F.least(F.lit(n), sz),
+        ),
+        lambda s: s["v"],
+    )
+
+
+PARAMETRIC_AGGS["groupArrayLast"] = _group_array_last
+
+
+def _array_normalize(a: Column) -> Column:
+    """arrayNormalize(a) — scale to unit L2 norm. Two exactly-rounded
+    IEEE steps per element (the sqrt of an exact-int-or-double dot
+    product, then one division), so results hash-oracle when inputs
+    are exact — the same discipline as the BM25 rational idf. Zero
+    vector (or empty) → returned unchanged (CH convention)."""
+    dot = F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    nrm = F.sqrt(dot)
+    return F.when(
+        (F.size(a) == 0) | (nrm == 0.0), a.cast("array<double>")
+    ).otherwise(F.transform(a, lambda v: v.cast("double") / nrm))
+
+
+SCALAR_FNS["arrayNormalize"] = _array_normalize
+
+
+def _series_period_detect(a: Column, maxlag: Column) -> Column:
+    """seriesPeriodDetect(series, maxlag) — dominant period of an
+    integer series by autocorrelation argmax, kept INTEGER-EXACT:
+    score(lag) = Σ s[t]·s[t+lag] / (L−lag) is compared between lags by
+    cross-multiplication (N_a·D_b vs N_b·D_a — never a float), ties
+    break to the smaller lag. The mean-normalized ACF needs floats and
+    a subtraction cascade whose rounding order is engine-dependent;
+    the raw-moment argmax is the same argmax for non-negative count
+    series with the per-lag length correction applied, and it
+    hash-oracles. Returns NULL when the series is shorter than 2
+    points or maxlag < 1. CH's seriesPeriodDetectFFT is the float
+    sibling; this is the deterministic engine-portable form.
+
+    Per-entity series only (the LTTB convention): the array is one
+    row's column, so state is O(series), and the lag scan is
+    O(maxlag·L) inside ONE projection — no shuffle at all."""
+    size = F.size(a).cast("long")
+    ml = F.least(maxlag.cast("long"), size - 1)
+
+    def num(lag):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, 1, (size - lag).cast("int")),
+                F.slice(a, (lag + 1).cast("int"), (size - lag).cast("int")),
+                lambda x, y: x.cast("long") * y.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    init = F.array(
+        F.lit(-1).cast("long"), F.lit(1).cast("long"), F.lit(0).cast("long")
+    )  # [bestN, bestD, bestLag]
+
+    def step(acc, lag):
+        n = num(lag)
+        d = size - lag
+        better = n * F.element_at(acc, 2) > F.element_at(acc, 1) * d
+        return F.when(better, F.array(n, d, lag)).otherwise(acc)
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.greatest(ml, F.lit(1).cast("long"))),
+        init,
+        step,
+    )
+    return F.when(
+        (size < 2) | (ml < 1), F.lit(None).cast("long")
+    ).otherwise(F.element_at(fold, 3))
+
+
+SCALAR_FNS["seriesPeriodDetect"] = _series_period_detect

@@ -1145,3 +1145,84 @@ def topk_ivf_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def grid_neighbor_join(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    cell: int,
+    radius_sq: int,
+) -> DataFrame:
+    """All point pairs within a radius, by 3×3 grid-cell equi-join —
+    the spatial candidate generator (LSH-for-geo): each point probes
+    its own cell plus the 8 neighbors; a pair (a, b) is produced
+    exactly once because b's HOME cell is unique and falls in a's
+    3×3 neighborhood iff the cells differ by ≤1 per axis. `cell` must
+    be ≥ the radius so no qualifying pair escapes the neighborhood
+    (asserted). Distances stay integer (squared Euclidean on integer
+    coordinates) — exact, no libm.
+
+    Scale shape: one 9× row expansion on the probe side, then a
+    shuffle equi-join on the cell key and a codegen distance filter —
+    never an all-pairs product. Skewed (urban) cells behave like hot
+    LSH buckets: AQE skew-split applies, and a pre-collect per-cell
+    frequency cap is the same remedy the MinHash path uses.
+    Coordinates must be non-negative (integer floor-division
+    contract; shift first if needed)."""
+    if cell * cell < radius_sq:
+        raise ValueError(
+            f"cell² ({cell * cell}) must cover radius_sq ({radius_sq}) "
+            "or neighbor pairs escape the 3x3 probe"
+        )
+    base = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+        ((F.col(x_col) - F.pmod(F.col(x_col), cell)) / cell)
+        .cast("long")
+        .alias("cx"),
+        ((F.col(y_col) - F.pmod(F.col(y_col), cell)) / cell)
+        .cast("long")
+        .alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = base.select(
+        F.col("pid").alias("id_a"),
+        F.col("px").alias("xa"),
+        F.col("py").alias("ya"),
+        F.explode(offsets).alias("o"),
+        F.col("cx"),
+        F.col("cy"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    )
+    d2 = (F.col("xa") - F.col("px")) * (F.col("xa") - F.col("px")) + (
+        F.col("ya") - F.col("py")
+    ) * (F.col("ya") - F.col("py"))
+    return (
+        probes.join(
+            base,
+            (F.col("ncx") == F.col("cx"))
+            & (F.col("ncy") == F.col("cy"))
+            & (F.col("id_a") < F.col("pid")),
+        )
+        .select(
+            "id_a",
+            F.col("pid").alias("id_b"),
+            d2.cast("long").alias("d2"),
+        )
+        .filter(F.col("d2") <= radius_sq)
+    )

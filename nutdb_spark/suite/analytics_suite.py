@@ -522,3 +522,85 @@ def q_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_type", "n", "sv")
     )
+
+
+_PD_NUM = """list_sum(list_transform(range(1, len(arr) - lv[1] + 1),
+  t -> arr[t] * arr[t + lv[1]]))"""
+
+_PD_FOLD = f"""list_reduce(
+  [[CAST(-1 AS BIGINT), 1, 0]] ||
+  list_transform(range(1, greatest(least(24, len(arr) - 1), 1) + 1),
+                 l -> [l, 0, 0]),
+  (acc, lv) -> CASE
+    WHEN {_PD_NUM} * acc[2] > acc[1] * (len(arr) - lv[1])
+    THEN [{_PD_NUM}, len(arr) - lv[1], lv[1]]
+    ELSE acc END)"""
+
+
+@query(
+    "q_analytic_period",
+    f"""
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bk
+      FROM events WHERE user_id < 60),
+    c AS (SELECT user_id, bk, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY user_id, bk),
+    g AS (SELECT user_id, min(bk) AS mn, max(bk) AS mx,
+                 list([bk, n]) AS pairs
+          FROM c GROUP BY user_id),
+    s AS (SELECT user_id,
+                 list_transform(range(mn, mx + 1), k -> coalesce(
+                   list_transform(list_filter(pairs, p -> p[1] = k),
+                                  p -> p[2])[1], 0)) AS arr
+          FROM g)
+    SELECT user_id, CAST(len(arr) AS BIGINT) AS n_points,
+           CASE WHEN len(arr) < 2 OR least(24, len(arr) - 1) < 1
+                THEN NULL ELSE ({_PD_FOLD})[3] END AS period
+    FROM s ORDER BY user_id
+    """,
+)
+def q_analytic_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection per user: events bucketed into dense
+    6-hour count series (gaps zero-filled between each user's first
+    and last active bucket), then seriesPeriodDetect — integer-exact
+    autocorrelation argmax with per-lag length correction, lags
+    compared by cross-multiplication so no float ever enters (CH's
+    seriesPeriodDetectFFT is the float sibling; the raw-moment argmax
+    is the same argmax for non-negative count series). One groupBy to
+    the per-user series, then an O(maxlag·L) projection — per-entity
+    state only, no second shuffle."""
+    from nutdb_spark.functions.registry import SCALAR_FNS
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    per = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(21600000000)
+            ).cast(
+                "long"
+            ).alias("bk"),
+        )
+        .groupBy("user_id", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = per.groupBy("user_id").agg(
+        F.min("bk").alias("mn"),
+        F.max("bk").alias("mx"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bk"), F.col("n")))
+        ).alias("m"),
+    )
+    arr = F.transform(
+        F.sequence(F.col("mn"), F.col("mx")),
+        lambda k: F.coalesce(
+            F.element_at(F.col("m"), k), F.lit(0).cast("long")
+        ),
+    )
+    return g.select(
+        "user_id",
+        F.size(arr).cast("long").alias("n_points"),
+        SCALAR_FNS["seriesPeriodDetect"](arr, F.lit(24)).alias("period"),
+    ).orderBy("user_id")

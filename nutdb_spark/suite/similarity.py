@@ -1508,3 +1508,42 @@ def q_sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__nc"), F.col("old_cid")).alias("new_cid"),
         )
     )
+
+
+@query(
+    "q_geo_bucket_join",
+    """
+    WITH p AS (
+      SELECT event_id AS id,
+             (event_id * 2654435761) % 2000000 AS x,
+             (event_id * 40503) % 2000000 AS y
+      FROM events WHERE user_id < 40)
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 324000000
+    """,
+)
+def q_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join — all point pairs within an 18000-unit
+    radius over deterministic synthetic integer coordinates (hashed
+    from event ids; the fixture has no geo columns — the PATTERN is
+    the subject). The engine side is the 3×3 grid-cell equi-join
+    candidate generator (each pair found exactly once via the unique
+    home cell); the oracle is the brute-force quadratic join the grid
+    makes unnecessary — value-verifying that the bucketed plan loses
+    no pair. Squared distances stay integer: exact. At 100 TB the
+    equi-join on the cell key replaces an unfeasible cross join, the
+    same argument as the MinHash band join (hot urban cells = hot
+    buckets; AQE skew-split / frequency caps apply)."""
+    from nutdb_spark.operators.similarity import grid_neighbor_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 2654435761) % 2000000).alias("x"),
+        ((F.col("event_id") * 40503) % 2000000).alias("y"),
+    )
+    return grid_neighbor_join(
+        pts, "id", "x", "y", cell=20000, radius_sq=324000000
+    )

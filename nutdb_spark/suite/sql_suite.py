@@ -5612,3 +5612,87 @@ def sql_fn_tier13(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+# --- tier-14: sequenceMatchEvents / deterministic group-array forms ----------
+
+_T14_SME = """list_reduce(
+  [[CAST(NULL AS BIGINT), NULL, NULL]] ||
+  list_transform(list_sort(ev), e -> [e[1], e[2], e[3]]),
+  (acc, e) -> [
+    CASE WHEN acc[1] IS NULL AND e[2] = 1 THEN e[1] ELSE acc[1] END,
+    CASE WHEN acc[2] IS NULL AND e[3] = 1 AND acc[1] IS NOT NULL
+         THEN e[1] ELSE acc[2] END,
+    NULL])"""
+
+_T14_GAL = """list_transform(
+  list_sort(tv)[greatest(len(tv) - 2, 1):len(tv)], p -> p[2])"""
+
+
+@query(
+    "sql_fn_tier14",
+    f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_type,
+             CAST(floor(value) AS BIGINT) AS v
+      FROM events WHERE user_id < 40),
+    g AS (
+      SELECT user_id,
+        list([tu, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END]) AS ev,
+        list([md5(event_type), event_type]) AS ks,
+        list([tu, v]) AS tv
+      FROM t GROUP BY user_id),
+    r AS (
+      SELECT user_id,
+        CASE WHEN ({_T14_SME})[2] IS NULL THEN NULL
+             ELSE array_to_string(({_T14_SME})[1:2], ',') END AS sme,
+        array_to_string(list_transform(list_sort(ks)[1:3], p -> p[2]),
+                        ',') AS gas,
+        array_to_string(list_transform({_T14_GAL},
+                        x -> CAST(x AS VARCHAR)), ',') AS gal,
+        {_T14_GAL} AS lastv
+      FROM g)
+    SELECT user_id, sme, gas, gal,
+      CASE WHEN len(lastv) = 0 OR sqrt(CAST(list_sum(list_transform(lastv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)) = 0
+           THEN NULL
+           ELSE CAST(lastv[1] AS DOUBLE)
+                / sqrt(CAST(list_sum(list_transform(lastv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  AS DOUBLE)) END AS an1
+    FROM r ORDER BY user_id
+    """,
+)
+def sql_fn_tier14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-14 per user: sequenceMatchEvents (timestamps of the
+    earliest view→purchase chain — the greedy-earliest witness is
+    canonical for step-only patterns; time-constrained patterns are
+    rejected as ill-defined and stay with boolean sequenceMatch),
+    groupArraySample (md5-keyed deterministic sample — the
+    arrayShuffle convention), groupArrayLast (n most recent by the
+    explicit time key — the 2-arg deterministic form, the
+    groupArrayMovingSum honesty rationale), and arrayNormalize over
+    the last-values vector (exactly-rounded sqrt + one division per
+    element, so the double hash-oracles). ONE hash aggregate."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select user_id, toUnixMicros(ts) as tu, event_type,
+                 toInt64(floor(value)) as v
+          from events where user_id < 40)
+        select user_id,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 sequenceMatchEvents('(?1)(?2)')(tu,
+                   event_type = 'view', event_type = 'purchase')),
+                 ',') as sme,
+               arrayStringConcat(groupArraySample(3)(event_type),
+                 ',') as gas,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 groupArrayLast(3)(v, tu)), ',') as gal,
+               arrayNormalize(groupArrayLast(3)(v, tu))[1] as an1
+        from t group by user_id order by user_id
+        """,
+    )
