@@ -5585,3 +5585,108 @@ def _series_period_detect(a: Column, maxlag: Column) -> Column:
 
 
 SCALAR_FNS["seriesPeriodDetect"] = _series_period_detect
+
+
+def _window_funnel_modes(params: list, ts: Column, *conds: Column) -> Column:
+    """windowFunnel(window, 'mode')(ts, cond1..condN) — the strict
+    modes, same DP discipline as the base form (exact reachability,
+    one hash aggregate, all JVM):
+
+    * 'strict_order' — no interventions: a chain may only extend at
+      the IMMEDIATELY NEXT event in ts order; any event that does not
+      advance a chain kills it (CH keeps non-matching events as
+      breakers under strict_order — same contract). dp[k] holds the
+      start time of a chain reaching step k that ends exactly at the
+      previous event.
+    * 'strict_dedup' — a repeat of an already-used condition
+      interrupts the chain: after extension, any surviving chain at
+      depth k (conditions 1..k consumed) is killed if the current
+      event matches some condition j ≤ k, UNLESS the event itself
+      just created that chain (its own step is not a "repeat").
+
+    The deepest step ever reached counts even if the chain later
+    dies — the funnel metric is max depth, not liveness. Ties on ts
+    process in struct sort order (fixtures use unique timestamps)."""
+    win = int(params[0])
+    mode = str(params[1])
+    if mode not in ("strict_order", "strict_dedup"):
+        raise ValueError(f"unsupported windowFunnel mode {mode!r}")
+    n = len(conds)
+    if n < 1:
+        raise ValueError("windowFunnel requires at least one condition")
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts.cast("long").alias("t"),
+                *[
+                    c.cast("boolean").alias(f"c{k}")
+                    for k, c in enumerate(conds)
+                ],
+            )
+        )
+    )
+    # state array: [dp_1..dp_n, best]; dp_k = chain-start time
+    init = F.array(
+        *([F.lit(None).cast("long") for _ in range(n)] + [F.lit(0).cast("long")])
+    )
+
+    def step(acc, e):
+        if mode == "strict_order":
+            # extension only from the previous event's state; every
+            # non-extended chain dies
+            outs = [F.when(e["c0"], e["t"]).otherwise(F.lit(None).cast("long"))]
+            for k in range(1, n):
+                prev = F.element_at(acc, k)
+                ok = (
+                    e[f"c{k}"]
+                    & prev.isNotNull()
+                    & ((e["t"] - prev) <= F.lit(win))
+                )
+                outs.append(
+                    F.when(ok, prev).otherwise(F.lit(None).cast("long"))
+                )
+        else:  # strict_dedup
+            exts = [F.when(e["c0"], e["t"])]
+            for k in range(1, n):
+                prev = F.element_at(acc, k)
+                ok = (
+                    e[f"c{k}"]
+                    & prev.isNotNull()
+                    & ((e["t"] - prev) <= F.lit(win))
+                )
+                exts.append(F.when(ok, prev))
+            outs = []
+            for k in range(n):
+                ext = exts[k]
+                cur = F.element_at(acc, k + 1)
+                # kill a SURVIVING chain at depth k+1 if the event
+                # repeats one of its consumed conditions 1..k+1
+                repeat = F.lit(False)
+                for j in range(k + 1):
+                    repeat = repeat | e[f"c{j}"]
+                kept = F.when(repeat, F.lit(None).cast("long")).otherwise(cur)
+                outs.append(F.coalesce(ext, kept))
+        depth = F.lit(0).cast("long")
+        for k in range(n):
+            depth = F.when(outs[k].isNotNull(), F.lit(k + 1).cast("long")).otherwise(
+                depth
+            )
+        best = F.greatest(F.element_at(acc, n + 1), depth)
+        return F.array(*(outs + [best]))
+
+    fold = F.aggregate(ev, init, step)
+    return F.element_at(fold, n + 1)
+
+
+# CH spelling: windowFunnel(window, 'mode')(ts, conds...). The base
+# lowering predates the modes, so dispatch on the parameter count.
+_WINDOW_FUNNEL_BASE = PARAMETRIC_AGGS["windowFunnel"]
+
+
+def _window_funnel_dispatch(params: list, ts: Column, *conds: Column) -> Column:
+    if len(params) >= 2:
+        return _window_funnel_modes(params, ts, *conds)
+    return _WINDOW_FUNNEL_BASE(params, ts, *conds)
+
+
+PARAMETRIC_AGGS["windowFunnel"] = _window_funnel_dispatch

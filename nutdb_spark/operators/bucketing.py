@@ -94,3 +94,56 @@ def ensure_partitioned(
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         df.write.mode("overwrite").partitionBy(key).parquet(base)
     return base
+
+
+def plan_compaction(
+    manifest: DataFrame,
+    part_col: str,
+    file_col: str,
+    size_col: str,
+    *,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction PLANNER — the lakehouse maintenance step
+    behind OPTIMIZE (catalog.py's row-level sibling): given a file
+    manifest (partition, file id, size), assign every file to an
+    output group per partition by the deterministic sequential
+    first-fit rule group = floor((cumsum − size) / target) — a file
+    joins the group its START offset falls in, so each group holds
+    ≤ target bytes plus at most ONE straddling file (the classic
+    bounded-overshoot greedy; a single file larger than the target
+    gets its own group). File-id order makes the plan reproducible
+    across engines and runs.
+
+    Scale shape: one window cumsum per partition (manifests are
+    file-counts-sized, millions of rows at 100 TB, not data-sized) —
+    a single shuffle on the partition key, no collects."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sz = F.col(size_col).cast("long")
+    cum = F.sum(sz).over(w)
+    return manifest.select(
+        F.col(part_col).alias("part"),
+        F.col(file_col).alias("file_id"),
+        sz.alias("bytes"),
+        F.floor(((cum - sz) / F.lit(target_bytes))).cast("long").alias(
+            "grp"
+        ),
+    )
+
+
+def compaction_summary(plan: DataFrame) -> DataFrame:
+    """Roll a compaction plan up to its output groups: files per
+    group, bytes per group — what the rewrite jobs consume."""
+    from pyspark.sql import functions as F
+
+    return plan.groupBy("part", "grp").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("grp_bytes"),
+    )

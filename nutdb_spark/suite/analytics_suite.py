@@ -604,3 +604,48 @@ def q_analytic_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(arr).cast("long").alias("n_points"),
         SCALAR_FNS["seriesPeriodDetect"](arr, F.lit(24)).alias("period"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_layout_compaction",
+    """
+    WITH manifest AS (
+      SELECT event_type AS part, event_id AS file_id,
+             CAST(floor(value * 1000) + 1 AS BIGINT) AS bytes
+      FROM events),
+    planned AS (
+      SELECT part, file_id, bytes,
+             CAST(floor(CAST(SUM(bytes) OVER (PARTITION BY part
+                    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - bytes AS DOUBLE)
+                  / 5000000.0) AS BIGINT) AS grp
+      FROM manifest)
+    SELECT part, grp, COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS grp_bytes
+    FROM planned GROUP BY part, grp
+    """,
+)
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse OPTIMIZE
+    maintenance step at manifest level: a synthetic file manifest
+    (one "file" per event, sized from its value) is assigned to
+    output groups by the deterministic sequential first-fit rule
+    group = floor((cumsum − size) / target), so every group holds
+    ≤ 5 MB plus at most one straddling file and the plan is
+    reproducible across engines (file-id order). One window cumsum
+    per partition — manifests are file-count-sized even at 100 TB —
+    then the group rollup the rewrite jobs consume."""
+    from nutdb_spark.operators.bucketing import (
+        compaction_summary,
+        plan_compaction,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.col("event_id"),
+        (F.floor(F.col("value") * 1000) + 1).cast("long").alias("bytes"),
+    )
+    plan = plan_compaction(
+        ev, "event_type", "event_id", "bytes", target_bytes=5_000_000
+    )
+    return compaction_summary(plan)

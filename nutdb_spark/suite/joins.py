@@ -389,3 +389,45 @@ def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = li.hint("SHUFFLE_MERGE").join(o, li["k"] == o["o_orderkey"])
     salted = salted_join(li, o, "k", "o_orderkey", salt=8)
     return agg(plain, "plain").unionAll(agg(salted, "salted"))
+
+
+@query(
+    "q_join_bloom_filter",
+    """
+    SELECT o.o_orderpriority AS pri,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+             AS sum_price
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY pri
+    """,
+)
+def q_join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: a selective dimension predicate
+    (high-value orders) joined to the fact table through the shuffle
+    path. At production sizes Spark's InjectRuntimeFilter rule builds
+    a bloom_filter_agg over the FILTERED dim keys and plants
+    might_contain(...) on the fact scan — fact rows that cannot join
+    die before the shuffle, the row-level sibling of dynamic partition
+    pruning (which needs a partitioned layout; this works on any
+    layout). The default creation/application thresholds rightly
+    ignore test-SF data, so injection is plan-pinned with lowered
+    thresholds in tests/test_bloom_filter.py (the AQE-skew precedent);
+    the VALUE is threshold-independent, which is what the oracle
+    verifies. floor() bridges the double→long cast convention."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.floor("l_extendedprice").cast("long").alias("price")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        li.hint("SHUFFLE_MERGE")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").alias("sum_price"),
+        )
+    )

@@ -5696,3 +5696,101 @@ def sql_fn_tier14(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t group by user_id order by user_id
         """,
     )
+
+
+# --- windowFunnel strict modes ------------------------------------------------
+
+_WF_W = 86400000000
+_WF_EV = """list_transform(list_sort(ev), x -> [x[1], x[2], x[3], x[4]])"""
+
+_WF_SO_R1 = "CASE WHEN e[2] = 1 THEN e[1] END"
+_WF_SO_R2 = (
+    f"CASE WHEN e[3] = 1 AND a[1] IS NOT NULL AND e[1] - a[1] <= {_WF_W} "
+    "THEN a[1] END"
+)
+_WF_SO_R3 = (
+    f"CASE WHEN e[4] = 1 AND a[2] IS NOT NULL AND e[1] - a[2] <= {_WF_W} "
+    "THEN a[2] END"
+)
+_WF_SO = f"""list_reduce(
+  [[CAST(NULL AS BIGINT), NULL, NULL, 0]] || {_WF_EV},
+  (a, e) -> [
+    {_WF_SO_R1}, {_WF_SO_R2}, {_WF_SO_R3},
+    greatest(a[4],
+      CASE WHEN ({_WF_SO_R3}) IS NOT NULL THEN 3
+           WHEN ({_WF_SO_R2}) IS NOT NULL THEN 2
+           WHEN ({_WF_SO_R1}) IS NOT NULL THEN 1
+           ELSE 0 END)])"""
+
+_WF_SD_E1 = "CASE WHEN e[2] = 1 THEN e[1] END"
+_WF_SD_E2 = (
+    f"CASE WHEN e[3] = 1 AND a[1] IS NOT NULL AND e[1] - a[1] <= {_WF_W} "
+    "THEN a[1] END"
+)
+_WF_SD_E3 = (
+    f"CASE WHEN e[4] = 1 AND a[2] IS NOT NULL AND e[1] - a[2] <= {_WF_W} "
+    "THEN a[2] END"
+)
+_WF_SD_R1 = f"coalesce({_WF_SD_E1}, CASE WHEN e[2] = 1 THEN NULL ELSE a[1] END)"
+_WF_SD_R2 = (
+    f"coalesce({_WF_SD_E2}, "
+    "CASE WHEN e[2] = 1 OR e[3] = 1 THEN NULL ELSE a[2] END)"
+)
+_WF_SD_R3 = (
+    f"coalesce({_WF_SD_E3}, "
+    "CASE WHEN e[2] = 1 OR e[3] = 1 OR e[4] = 1 THEN NULL ELSE a[3] END)"
+)
+_WF_SD = f"""list_reduce(
+  [[CAST(NULL AS BIGINT), NULL, NULL, 0]] || {_WF_EV},
+  (a, e) -> [
+    {_WF_SD_R1}, {_WF_SD_R2}, {_WF_SD_R3},
+    greatest(a[4],
+      CASE WHEN ({_WF_SD_R3}) IS NOT NULL THEN 3
+           WHEN ({_WF_SD_R2}) IS NOT NULL THEN 2
+           WHEN ({_WF_SD_R1}) IS NOT NULL THEN 1
+           ELSE 0 END)])"""
+
+
+@query(
+    "sql_funnel_strict",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             list([epoch_us(ts),
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END])
+               AS ev
+      FROM events WHERE user_id < 120 GROUP BY user_id)
+    SELECT user_id,
+           ({_WF_SO})[4] AS lvl_order,
+           ({_WF_SD})[4] AS lvl_dedup
+    FROM e ORDER BY user_id
+    """,
+)
+def sql_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] windowFunnel strict modes per user (view→click→purchase,
+    24 h window): 'strict_order' (chains may only extend at the
+    immediately next event — any intervention kills them; CH keeps
+    non-matching events as breakers, same contract) and
+    'strict_dedup' (a repeat of an already-consumed condition
+    interrupts the chain unless the event itself just created it).
+    Both are history-dependent, so the oracle replays the IDENTICAL
+    DP fold via list_reduce rather than the EXISTS-chain self-join
+    the base mode enjoys. Deepest-step-ever-reached counts even if
+    the chain later dies. Integer state only — hash-exact."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select user_id,
+               windowFunnel(86400000000, 'strict_order')(toUnixMicros(ts),
+                 event_type = 'view', event_type = 'click',
+                 event_type = 'purchase') as lvl_order,
+               windowFunnel(86400000000, 'strict_dedup')(toUnixMicros(ts),
+                 event_type = 'view', event_type = 'click',
+                 event_type = 'purchase') as lvl_dedup
+        from events where user_id < 120
+        group by user_id order by user_id
+        """,
+    )
