@@ -984,3 +984,87 @@ def q_dedup_url_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out1 = surv1.select("doc_id", key.alias("dup_key"))
     out2 = surv2.select("doc_id", key.alias("dup_key"))
     return out1.unionByName(out2)
+
+
+_FZ_P = "((p_partkey % (length(p_name) - 2)) + 2)"
+_FZ_DNAME = f"""CASE
+  WHEN p_partkey % 3 = 0 THEN
+    substring(p_name, 1, {_FZ_P} - 1)
+    || substring(p_name, {_FZ_P} + 1, length(p_name))
+  WHEN p_partkey % 3 = 1 THEN
+    substring(p_name, 1, {_FZ_P} - 1)
+    || substring(p_name, {_FZ_P} + 1, 1)
+    || substring(p_name, {_FZ_P}, 1)
+    || substring(p_name, {_FZ_P} + 2, length(p_name))
+  ELSE p_name END"""
+
+
+@query(
+    "q_dedup_fuzzy_join",
+    f"""
+    WITH clean AS (SELECT p_partkey AS cid, p_name AS cname FROM part),
+    dirty AS (SELECT p_partkey AS did, {_FZ_DNAME} AS dname FROM part),
+    dk AS (SELECT did, dname, unnest([substring(dname, 1, 3),
+             substring(dname, length(dname) - 2, 3)]) AS bk FROM dirty),
+    ck AS (SELECT cname, unnest([substring(cname, 1, 3),
+             substring(cname, length(cname) - 2, 3)]) AS bk
+           FROM (SELECT DISTINCT cname FROM clean)),
+    cand AS (SELECT DISTINCT did, dname, cname
+             FROM dk JOIN ck USING (bk)
+             WHERE abs(length(dname) - length(cname)) <= 1),
+    v AS (SELECT did, dname, cname,
+                 jaro_winkler_similarity(dname, cname) AS jw
+          FROM cand),
+    f AS (SELECT * FROM v WHERE jw >= 0.9),
+    r AS (SELECT *, row_number() OVER (PARTITION BY did
+                      ORDER BY jw DESC, cname) AS rn FROM f),
+    rep AS (SELECT cname, min(cid) AS cid FROM clean GROUP BY cname)
+    SELECT did, dname, cid, r.cname AS cname, jw
+    FROM r JOIN rep ON r.cname = rep.cname WHERE rn = 1
+    """,
+)
+def q_dedup_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: part names corrupted with DETERMINISTIC
+    single-char noise (a third get an interior char dropped, a third
+    an adjacent swap, keyed off the part key — the synthetic-variant
+    discipline of q_dedup_url) fuzzy-joined back to the clean catalog
+    via prefix/suffix-trigram blocking (one edit keeps at least one
+    of the two keys intact for length ≥ 6 — exact recall with FIXED
+    2-key fan-out, no hot-shingle cap needed), jaroWinklerSimilarity
+    ≥ 0.9 verify on candidates only (bit-exact vs DuckDB's native),
+    and deterministic best-match argmax (sim desc, id asc). Two
+    shuffle equi-joins + one bounded window — never all-pairs."""
+    from nutdb_spark.operators.dedup import fuzzy_match_join
+
+    part = load_table(spark, sf_dir, "part")
+    p = (F.col("p_partkey") % (F.length("p_name") - 2)) + 2
+    ln = F.length("p_name")
+    name = F.col("p_name")
+    drop = F.concat(
+        F.substring(name, F.lit(1), p - 1),
+        F.substring(name, p + 1, ln),
+    )
+    swap = F.concat(
+        F.substring(name, F.lit(1), p - 1),
+        F.substring(name, p + 1, F.lit(1)),
+        F.substring(name, p, F.lit(1)),
+        F.substring(name, p + 2, ln),
+    )
+    dname = (
+        F.when(F.col("p_partkey") % 3 == 0, drop)
+        .when(F.col("p_partkey") % 3 == 1, swap)
+        .otherwise(name)
+    )
+    dirty = part.select(
+        F.col("p_partkey").alias("did"), dname.alias("dname")
+    )
+    clean = part.select("p_partkey", "p_name")
+    return fuzzy_match_join(
+        dirty,
+        clean,
+        dirty_id="did",
+        dirty_name="dname",
+        clean_id="p_partkey",
+        clean_name="p_name",
+        threshold=0.9,
+    )

@@ -204,3 +204,32 @@ def test_grid_neighbor_join_plan_is_equi(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_join_recovers_single_edits(spark):
+    from nutdb_spark.operators.dedup import fuzzy_match_join
+
+    clean = spark.createDataFrame(
+        [(1, "chocolate"), (2, "lavender"), (3, "goldenrod"),
+         (4, "turquoise")],
+        "cid long, cname string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "chocolte"),   # drop
+         (11, "lavendre"),   # swap
+         (12, "goldenrod"),  # exact
+         (13, "zzzzzz")],    # garbage: no match
+        "did long, dname string",
+    )
+    got = {
+        r["did"]: (r["cid"], r["jw"])
+        for r in fuzzy_match_join(
+            dirty, clean,
+            dirty_id="did", dirty_name="dname",
+            clean_id="cid", clean_name="cname",
+            threshold=0.9,
+        ).collect()
+    }
+    assert got[10][0] == 1 and got[11][0] == 2
+    assert got[12] == (3, 1.0)
+    assert 13 not in got  # below threshold -> unmatched, not junk
