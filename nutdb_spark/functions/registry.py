@@ -5690,3 +5690,73 @@ def _window_funnel_dispatch(params: list, ts: Column, *conds: Column) -> Column:
 
 
 PARAMETRIC_AGGS["windowFunnel"] = _window_funnel_dispatch
+
+
+# --- [EXT] tier-14: correlation / covariance matrices -----------------------
+# corrMatrix / covarSampMatrix(x1..xn) — CH's matrix aggregates, done
+# with the t-test family's exact-arithmetic discipline instead of
+# F.corr (whose Welford updates are block-order-dependent and sit in
+# PYTEST_ONLY): with integer inputs every sufficient statistic
+# (n, Σxi, Σxi², Σxi·xj) is an exact int64 sum inside ONE hash
+# aggregate, and each matrix cell is a fixed double expression over
+# them — so the DuckDB oracle replays the identical formula over
+# SUM/COUNT and the floats hash-match. Degenerate cells (n < 2, zero
+# variance) → NULL-instead-of-junk.
+
+
+def _pair_sums(cols):
+    xs = [c.cast("long") for c in cols]
+    n = F.count(F.lit(1)).cast("double")
+    s = [F.sum(x).cast("double") for x in xs]
+    q = [F.sum(x * x).cast("double") for x in xs]
+    p = {
+        (i, j): F.sum(xs[i] * xs[j]).cast("double")
+        for i in range(len(xs))
+        for j in range(len(xs))
+        if i < j
+    }
+    return n, s, q, p
+
+
+def _corr_matrix(*cols: Column) -> Column:
+    n, s, q, p = _pair_sums(cols)
+    m = len(cols)
+
+    def cell(i, j):
+        if i == j:
+            vi = n * q[i] - s[i] * s[i]
+            return F.when(
+                (n < 2) | (vi <= 0.0), F.lit(None).cast("double")
+            ).otherwise(F.lit(1.0))
+        a, b = min(i, j), max(i, j)
+        num = n * p[(a, b)] - s[a] * s[b]
+        den = F.sqrt(n * q[a] - s[a] * s[a]) * F.sqrt(
+            n * q[b] - s[b] * s[b]
+        )
+        return F.when(
+            (n < 2) | (den <= 0.0), F.lit(None).cast("double")
+        ).otherwise(F.try_divide(num, den))
+
+    return F.array(
+        *[F.array(*[cell(i, j) for j in range(m)]) for i in range(m)]
+    )
+
+
+def _covar_samp_matrix(*cols: Column) -> Column:
+    n, s, q, p = _pair_sums(cols)
+    m = len(cols)
+
+    def cell(i, j):
+        a, b = min(i, j), max(i, j)
+        sab = q[a] if a == b else p[(a, b)]
+        return F.when(n < 2, F.lit(None).cast("double")).otherwise(
+            F.try_divide(sab - F.try_divide(s[a] * s[b], n), n - 1)
+        )
+
+    return F.array(
+        *[F.array(*[cell(i, j) for j in range(m)]) for i in range(m)]
+    )
+
+
+AGGREGATE_FNS["corrMatrix"] = _corr_matrix
+AGGREGATE_FNS["covarSampMatrix"] = _covar_samp_matrix

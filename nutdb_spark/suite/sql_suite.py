@@ -5794,3 +5794,77 @@ def sql_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by user_id order by user_id
         """,
     )
+
+
+# --- tier-14: correlation / covariance matrices -------------------------------
+
+_CM_NUM = "(n * {pab} - {sa} * {sb})"
+_CM_DEN = "(sqrt(n * {qa} - {sa} * {sa}) * sqrt(n * {qb} - {sb} * {sb}))"
+_CM_CELL = (
+    "CASE WHEN n < 2 OR " + _CM_DEN + " <= 0 THEN NULL ELSE "
+    + _CM_NUM + " / " + _CM_DEN + " END"
+)
+_CV_CELL = (
+    "CASE WHEN n < 2 THEN NULL ELSE ({pab} - ({sa} * {sb}) / n) / (n - 1) "
+    "END"
+)
+
+
+@query(
+    "sql_agg_matrix",
+    f"""
+    WITH t AS (
+      SELECT o_custkey AS cust, CAST(floor(o_totalprice) AS BIGINT) AS x,
+             CAST(o_orderkey % 100 AS BIGINT) AS y,
+             CAST(year(o_orderdate) AS BIGINT) AS z
+      FROM orders WHERE o_custkey < 300),
+    agg AS (
+      SELECT cust,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+        CAST(CAST(SUM(z) AS BIGINT) AS DOUBLE) AS sz,
+        CAST(CAST(SUM(x*x) AS BIGINT) AS DOUBLE) AS qx,
+        CAST(CAST(SUM(y*y) AS BIGINT) AS DOUBLE) AS qy,
+        CAST(CAST(SUM(z*z) AS BIGINT) AS DOUBLE) AS qz,
+        CAST(CAST(SUM(x*y) AS BIGINT) AS DOUBLE) AS pxy,
+        CAST(CAST(SUM(x*z) AS BIGINT) AS DOUBLE) AS pxz,
+        CAST(CAST(SUM(y*z) AS BIGINT) AS DOUBLE) AS pyz
+      FROM t GROUP BY cust)
+    SELECT cust,
+      {_CM_CELL.format(pab='pxy', sa='sx', sb='sy', qa='qx', qb='qy')} AS cxy,
+      {_CM_CELL.format(pab='pxz', sa='sx', sb='sz', qa='qx', qb='qz')} AS cxz,
+      {_CM_CELL.format(pab='pyz', sa='sy', sb='sz', qa='qy', qb='qz')} AS cyz,
+      {_CV_CELL.format(pab='pxy', sa='sx', sb='sy')} AS vxy,
+      {_CV_CELL.format(pab='qx', sa='sx', sb='sx')} AS vxx
+    FROM agg ORDER BY cust
+    """,
+)
+def sql_agg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-14 matrix aggregates per customer: corrMatrix /
+    covarSampMatrix over (order total, key residue, order year) in
+    ONE hash aggregate — exact int64 sufficient statistics, each cell
+    a fixed double expression (the t-test discipline; F.corr's
+    Welford updates are block-order-dependent and stay PYTEST_ONLY).
+    Off-diagonal cells surfaced via chained index access; degenerate
+    cells (n < 2, zero variance — e.g. single-order customers) are
+    NULL-instead-of-junk."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select o_custkey as cust,
+                 toInt64(floor(o_totalprice)) as x,
+                 o_orderkey % 100 as y,
+                 toInt64(getYear(o_orderdate)) as z
+          from orders where o_custkey < 300)
+        select cust,
+               corrMatrix(x, y, z)[1][2] as cxy,
+               corrMatrix(x, y, z)[1][3] as cxz,
+               corrMatrix(x, y, z)[2][3] as cyz,
+               covarSampMatrix(x, y, z)[1][2] as vxy,
+               covarSampMatrix(x, y, z)[1][1] as vxx
+        from t group by cust order by cust
+        """,
+    )

@@ -380,3 +380,53 @@ def test_pvalue_aggregates_behave(spark):
     ).first()
     assert 0.1 < r["zp"] < 0.2  # z ≈ 1.48 → p ≈ 0.139
     assert r["zeq"] == pytest.approx(1.0, abs=1e-7)
+
+
+def test_matrix_aggregates_vs_python(spark):
+    """corrMatrix / covarSampMatrix against a from-scratch reference
+    (approx — the bit-identity pin is the sql_agg_matrix oracle)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(77)
+    rows = [
+        (1, rng.randrange(100), rng.randrange(50), rng.randrange(25))
+        for _ in range(60)
+    ]
+    r = (
+        spark.createDataFrame(rows, "g int, x long, y long, z long")
+        .groupBy("g")
+        .agg(
+            A["corrMatrix"](F.col("x"), F.col("y"), F.col("z")).alias("cm"),
+            A["covarSampMatrix"](F.col("x"), F.col("y"), F.col("z")).alias(
+                "vm"
+            ),
+        )
+        .first()
+    )
+    xs = [[v[i] for _, *v in [(0, a, b, c) for _, a, b, c in rows]]
+          for i in range(3)]
+    n = len(rows)
+
+    def cov(a, b):
+        ma, mb = sum(a) / n, sum(b) / n
+        return sum((u - ma) * (v - mb) for u, v in zip(a, b)) / (n - 1)
+
+    for i in range(3):
+        assert r["cm"][i][i] == 1.0
+        for j in range(3):
+            want_c = cov(xs[i], xs[j]) / (
+                cov(xs[i], xs[i]) ** 0.5 * cov(xs[j], xs[j]) ** 0.5
+            )
+            assert r["cm"][i][j] == pytest.approx(want_c, rel=1e-9)
+            assert r["cm"][i][j] == r["cm"][j][i]  # symmetric
+            assert r["vm"][i][j] == pytest.approx(cov(xs[i], xs[j]), rel=1e-9)
+    # degenerate: single row and zero variance -> NULL cells
+    d = (
+        spark.createDataFrame([(1, 5, 3)], "g int, x long, y long")
+        .groupBy("g")
+        .agg(A["corrMatrix"](F.col("x"), F.col("y")).alias("cm"))
+        .first()
+    )
+    assert d["cm"][0][1] is None and d["cm"][0][0] is None

@@ -177,6 +177,20 @@ ENTRIES = [
     "q_sample_quota",
     "q_dedup_url_incremental",
     "q_partition_pruning_dynamic",
+    # round-11 session-2 — tier-13/14, pipeline ops, funnel modes,
+    # matrix aggregates, fuzzy entity resolution
+    "sql_agg_anova",
+    "sql_fn_tier13",
+    "q_text_bigram_lm",
+    "q_split_kfold",
+    "sql_fn_tier14",
+    "q_analytic_period",
+    "q_geo_bucket_join",
+    "q_join_bloom_filter",
+    "q_layout_compaction",
+    "sql_funnel_strict",
+    "q_dedup_fuzzy_join",
+    "sql_agg_matrix",
 ]
 
 SF01 = "/root/testdata/sf0.1"
