@@ -5549,39 +5549,59 @@ def _series_period_detect(a: Column, maxlag: Column) -> Column:
 
     Per-entity series only (the LTTB convention): the array is one
     row's column, so state is O(series), and the lag scan is
-    O(maxlag·L) inside ONE projection — no shuffle at all."""
-    size = F.size(a).cast("long")
-    ml = F.least(maxlag.cast("long"), size - 1)
+    O(maxlag·L) inside ONE projection — no shuffle at all. The input
+    array is LET-BOUND through a one-element transform (the CDC
+    chunker idiom): each of the maxlag folds references the series,
+    and Catalyst does not CSE — an unbound derived series would be
+    rebuilt once per lag."""
 
-    def num(lag):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(a, 1, (size - lag).cast("int")),
-                F.slice(a, (lag + 1).cast("int"), (size - lag).cast("int")),
-                lambda x, y: x.cast("long") * y.cast("long"),
-            ),
+    def body(arr: Column, mlin: Column) -> Column:
+        size = F.size(arr).cast("long")
+        ml = F.least(mlin, size - 1)
+
+        def num(lag):
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(arr, 1, (size - lag).cast("int")),
+                    F.slice(
+                        arr, (lag + 1).cast("int"), (size - lag).cast("int")
+                    ),
+                    lambda x, y: x.cast("long") * y.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        init = F.array(
+            F.lit(-1).cast("long"),
+            F.lit(1).cast("long"),
             F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        )  # [bestN, bestD, bestLag]
+
+        def step(acc, lag):
+            n = num(lag)
+            d = size - lag
+            better = n * F.element_at(acc, 2) > F.element_at(acc, 1) * d
+            return F.when(better, F.array(n, d, lag)).otherwise(acc)
+
+        fold = F.aggregate(
+            F.sequence(
+                F.lit(1).cast("long"), F.greatest(ml, F.lit(1).cast("long"))
+            ),
+            init,
+            step,
         )
+        return F.when(
+            (size < 2) | (ml < 1), F.lit(None).cast("long")
+        ).otherwise(F.element_at(fold, 3))
 
-    init = F.array(
-        F.lit(-1).cast("long"), F.lit(1).cast("long"), F.lit(0).cast("long")
-    )  # [bestN, bestD, bestLag]
-
-    def step(acc, lag):
-        n = num(lag)
-        d = size - lag
-        better = n * F.element_at(acc, 2) > F.element_at(acc, 1) * d
-        return F.when(better, F.array(n, d, lag)).otherwise(acc)
-
-    fold = F.aggregate(
-        F.sequence(F.lit(1).cast("long"), F.greatest(ml, F.lit(1).cast("long"))),
-        init,
-        step,
+    bound = F.transform(
+        F.array(
+            F.struct(a.alias("a"), maxlag.cast("long").alias("m"))
+        ),
+        lambda t: body(t["a"], t["m"]),
     )
-    return F.when(
-        (size < 2) | (ml < 1), F.lit(None).cast("long")
-    ).otherwise(F.element_at(fold, 3))
+    return F.get(bound, 0)
 
 
 SCALAR_FNS["seriesPeriodDetect"] = _series_period_detect
