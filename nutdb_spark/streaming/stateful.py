@@ -184,3 +184,73 @@ def streaming_funnel(events: DataFrame, window: int, n_steps: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("seen", LongType()),
+        StructField("n_alerts", LongType()),
+        StructField("s", LongType()),
+    ]
+)
+_CUSUM_STATE = StructType(
+    [
+        StructField("s", LongType()),
+        StructField("n_alerts", LongType()),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def make_cusum_fn(target: int, h: int):
+    """Per-key one-sided CUSUM drift detector (integer form):
+    s' = max(0, s + (x − target)); crossing s' > h raises an alert
+    and resets s to 0. Events are processed in ts order WITHIN each
+    Arrow batch (sorted here) and across batches by the source's
+    time-split file order — CUSUM is order-dependent, so the stream
+    contract is time-ordered micro-batches (the replay fixture splits
+    by a ts cutoff), unlike the order-free dedup/totals ops."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s, n_alerts, seen = (state.get if state.exists else (0, 0, 0))
+        for pdf in pdfs:
+            for x in pdf.sort_values(["ts", "x"], kind="mergesort")["x"]:
+                s = max(0, s + int(x) - target)
+                if s > h:
+                    n_alerts += 1
+                    s = 0
+                seen += 1
+        state.update((s, n_alerts, seen))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "seen": [seen],
+                "n_alerts": [n_alerts],
+                "s": [s],
+            }
+        )
+
+    return fn
+
+
+def cusum_alerts(events: DataFrame, *, target: int, h: int) -> DataFrame:
+    """Streaming CUSUM per user over an integer measurement column
+    `x` ordered by `ts`. Emits the running (seen, n_alerts, s) per
+    key per micro-batch (append mode — file sinks accept no updates,
+    so every batch's snapshot lands as a new row); the row with the maximum
+    `seen` is the final answer — `seen` is monotone, so late sinks
+    can always reduce to it."""
+    return (
+        events.select("user_id", "ts", "x")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_cusum_fn(target, h),
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

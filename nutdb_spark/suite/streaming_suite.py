@@ -940,3 +940,92 @@ def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "session_start", "session_end", "n", "sv")
     )
+
+
+_CUSUM_T, _CUSUM_H = 6000, 40000
+
+_CUSUM_FOLD = f"""list_reduce(
+  [[CAST(0 AS BIGINT), 0, 0]] ||
+  list_transform(list_sort(ev), e -> [e[1], e[2], 0]),
+  (a, e) -> CASE
+    WHEN greatest(0, a[1] + e[2] - {_CUSUM_T}) > {_CUSUM_H}
+    THEN [CAST(0 AS BIGINT), a[2] + 1, a[3] + 1]
+    ELSE [greatest(0, a[1] + e[2] - {_CUSUM_T}), a[2], a[3] + 1] END)"""
+
+
+@query(
+    "q_stream_cusum",
+    f"""
+    WITH g AS (
+      SELECT user_id,
+             list([epoch_us(ts), CAST(floor(value * 100) AS BIGINT)]) AS ev
+      FROM events WHERE user_id < 40 GROUP BY user_id)
+    SELECT user_id,
+           ({_CUSUM_FOLD})[3] AS seen,
+           ({_CUSUM_FOLD})[2] AS n_alerts,
+           ({_CUSUM_FOLD})[1] AS s
+    FROM g ORDER BY user_id
+    """,
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM drift detection per user: integer one-sided
+    CUSUM (s' = max(0, s + x − target); s' > h → alert + reset) over
+    value measurements in ts order, run as a REAL two-micro-batch
+    stream (the source splits at a ts cutoff, so batch order is time
+    order — CUSUM is order-dependent, unlike the order-free stateful
+    dedup/totals ops; within a batch the operator sorts by (ts, x)).
+    State is three integers per user, carried across batches by
+    applyInPandasWithState; the final row per user is the one with
+    the maximum monotone `seen` counter. The oracle replays the
+    identical fold over the (ts, x)-sorted events — integer-exact."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from nutdb_spark.streaming.stateful import CUSUM_SCHEMA, cusum_alerts
+
+    base = tempfile.mkdtemp(prefix="q_stream_cusum_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    src = _STREAM_SRC_CACHE.get(("cusum", sf_dir))
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="q_stream_cusum_src_") + "/src"
+        cutoff = ev.select(
+            F.expr("percentile(unix_micros(ts), 0.5)").alias("c")
+        ).collect()[0]["c"]
+        early = ev.filter(F.unix_micros("ts") <= cutoff)
+        late = ev.filter(F.unix_micros("ts") > cutoff)
+        early.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        late.coalesce(1).write.mode("append").parquet(src)
+        _STREAM_SRC_CACHE[("cusum", sf_dir)] = src
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        cusum_alerts(stream, target=_CUSUM_T, h=_CUSUM_H)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.schema(CUSUM_SCHEMA).parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("seen").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "seen", "n_alerts", "s")
+    )

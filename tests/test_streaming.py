@@ -271,3 +271,49 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_cusum_alerts_hand_computed(spark, tmp_path):
+    """Two time-ordered micro-batches; CUSUM state must carry across
+    the batch boundary: drift accumulates in batch 1 and the alert
+    fires in batch 2."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from nutdb_spark.streaming.stateful import CUSUM_SCHEMA, cusum_alerts
+
+    rows1 = [(1, i, 15) for i in range(1, 5)]   # s: 5,10,15,20
+    rows2 = [(1, i, 15) for i in range(5, 9)]   # s: 25,30 -> alert at 30? h=28
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    df1 = spark.createDataFrame(rows1, "user_id long, ts long, x long").select(
+        "user_id", F.timestamp_micros(F.col("ts") * 1000000).alias("ts"), "x"
+    )
+    df2 = spark.createDataFrame(rows2, "user_id long, ts long, x long").select(
+        "user_id", F.timestamp_micros(F.col("ts") * 1000000).alias("ts"), "x"
+    )
+    df1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        cusum_alerts(stream, target=10, h=28)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.schema(CUSUM_SCHEMA).parquet(out).collect()
+    assert len(emitted) == 2  # one snapshot per batch
+    final = max(emitted, key=lambda r: r["seen"])
+    # s walks 5,10,15,20 | 25,30>28 -> alert+reset, then 5,10
+    assert (final["seen"], final["n_alerts"], final["s"]) == (8, 1, 10)
+    mid = min(emitted, key=lambda r: r["seen"])
+    assert (mid["seen"], mid["n_alerts"], mid["s"]) == (4, 0, 20)
