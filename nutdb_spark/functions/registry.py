@@ -5780,3 +5780,121 @@ def _covar_samp_matrix(*cols: Column) -> Column:
 
 AGGREGATE_FNS["corrMatrix"] = _corr_matrix
 AGGREGATE_FNS["covarSampMatrix"] = _covar_samp_matrix
+
+
+# --- [EXT] tier-15: exclusive/inclusive exact quantiles ----------------------
+# quantileExactExclusive / quantileExactInclusive(level)(x) — the two
+# standard interpolating exact-order-statistic conventions
+# (PERCENTILE.EXC / PERCENTILE.INC): rank h = (n+1)·level (exclusive)
+# or (n−1)·level + 1 (inclusive), result = v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1]
+# − v[⌊h⌋]) over the sorted values (1-based). The interpolation is a
+# fixed double expression over exact ints, so both hash-oracle (the
+# DuckDB replay sorts the same list and applies the same formula) —
+# unlike the sketch-backed quantileApprox family. Exclusive is NULL
+# when h falls outside [1, n] (n < 2 always, or extreme levels —
+# NULL-instead-of-junk; CH throws). Per-entity groups only.
+
+
+def _quantile_exact_interp(level: float, x: Column, exclusive: bool) -> Column:
+    cl = F.array_sort(F.collect_list(x.cast("long")))
+
+    def body(arr, _pad):
+        n = F.size(arr).cast("long")
+        if exclusive:
+            h = F.lit(level) * (n + 1).cast("double")
+        else:
+            h = F.lit(level) * (n - 1).cast("double") + 1.0
+        fl = F.floor(h).cast("long")
+        lo = F.get(arr, (fl - 1).cast("int"))
+        hi = F.coalesce(F.get(arr, fl.cast("int")), lo)
+        val = lo.cast("double") + (h - fl.cast("double")) * (
+            hi.cast("double") - lo.cast("double")
+        )
+        bad = (n == 0) | (fl < 1) | (fl > n)
+        return F.when(bad, F.lit(None).cast("double")).otherwise(val)
+
+    return F.get(
+        F.transform(
+            F.array(F.struct(cl.alias("a"), F.lit(0).alias("p"))),
+            lambda t: body(t["a"], t["p"]),
+        ),
+        0,
+    )
+
+
+PARAMETRIC_AGGS["quantileExactExclusive"] = (
+    lambda params, x: _quantile_exact_interp(float(params[0]), x, True)
+)
+PARAMETRIC_AGGS["quantileExactInclusive"] = (
+    lambda params, x: _quantile_exact_interp(float(params[0]), x, False)
+)
+
+
+# --- [EXT] tier-15: array scalar wave ----------------------------------------
+
+
+def _array_partial_sort(k: Column, a: Column, reverse: bool = False) -> Column:
+    """arrayPartialSort(k, arr) — the k smallest values sorted, then
+    the REMAINING elements in their original order (CH leaves the
+    tail unspecified; this engine pins it — the usual determinism
+    strengthening). Duplicate-safe: the tail keeps an occurrence of v
+    iff its occurrence index among equal values exceeds the count of
+    v in the sorted head. arrayPartialReverseSort is the mirrored
+    form. O(n²) per row in the occurrence counting — array-bounded."""
+
+    def body(arr, kk):
+        srt = F.array_sort(arr)
+        full = F.reverse(srt) if reverse else srt
+        head = F.slice(
+            full, 1, F.least(kk, F.size(arr)).cast("int")
+        )
+        idxs = F.sequence(F.lit(1), F.size(arr))
+
+        def keep(i):
+            v = F.get(arr, (i - 1).cast("int"))
+            in_head = F.size(F.filter(head, lambda h: h == v))
+            priors = F.size(
+                F.filter(
+                    F.slice(arr, 1, i.cast("int")), lambda e: e == v
+                )
+            )
+            return priors > in_head
+
+        tail = F.transform(
+            F.filter(idxs, keep), lambda i: F.get(arr, (i - 1).cast("int"))
+        )
+        return F.concat(head, tail)
+
+    return F.get(
+        F.transform(
+            F.array(F.struct(a.alias("a"), k.cast("long").alias("k"))),
+            lambda t: body(t["a"], t["k"]),
+        ),
+        0,
+    )
+
+
+SCALAR_FNS["arrayPartialSort"] = lambda k, a: _array_partial_sort(k, a, False)
+SCALAR_FNS["arrayPartialReverseSort"] = lambda k, a: _array_partial_sort(
+    k, a, True
+)
+
+
+def _array_zip_unaligned(a: Column, b: Column) -> Column:
+    """arrayZipUnaligned(a, b) — zip with NULL padding to the longer
+    length (arrayZip requires equal sizes)."""
+    n = F.greatest(F.size(a), F.size(b))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.get(a, (i - 1).cast("int")).alias("_1"),
+            F.get(b, (i - 1).cast("int")).alias("_2"),
+        ),
+    )
+
+
+SCALAR_FNS["arrayZipUnaligned"] = _array_zip_unaligned
+
+# initcapUTF8: engine strings are Unicode; whitespace-word initcap.
+SCALAR_FNS["initcapUTF8"] = F.initcap
+SCALAR_FNS["initcap"] = F.initcap

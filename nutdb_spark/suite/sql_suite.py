@@ -5868,3 +5868,149 @@ def sql_agg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t group by cust order by cust
         """,
     )
+
+
+# --- tier-15: interpolating exact quantiles + array wave ---------------------
+
+_QI_VAL = """(CAST(arr[CAST({fl} AS BIGINT)] AS DOUBLE)
+  + ({h} - CAST({fl} AS DOUBLE))
+    * (CAST(coalesce(arr[CAST({fl} AS BIGINT) + 1],
+                     arr[CAST({fl} AS BIGINT)]) AS DOUBLE)
+       - CAST(arr[CAST({fl} AS BIGINT)] AS DOUBLE)))"""
+
+
+def _qi_cell(level: str, exclusive: bool) -> str:
+    h = (
+        f"({level} * CAST(n + 1 AS DOUBLE))"
+        if exclusive
+        else f"({level} * CAST(n - 1 AS DOUBLE) + 1.0)"
+    )
+    fl = f"floor({h})"
+    val = _QI_VAL.format(h=h, fl=fl)
+    return (
+        f"CASE WHEN n = 0 OR {fl} < 1 OR {fl} > n THEN NULL "
+        f"ELSE {val} END"
+    )
+
+
+@query(
+    "sql_agg_quantile_interp",
+    f"""
+    WITH t AS (
+      SELECT o_custkey AS cust, CAST(floor(o_totalprice) AS BIGINT) AS x
+      FROM orders WHERE o_custkey < 300),
+    g AS (SELECT cust, list_sort(list(x)) AS arr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY cust)
+    SELECT cust,
+      {_qi_cell('0.25', True)} AS qe25,
+      {_qi_cell('0.25', False)} AS qi25,
+      {_qi_cell('0.9', True)} AS qe90,
+      {_qi_cell('0.9', False)} AS qi90
+    FROM g ORDER BY cust
+    """,
+)
+def sql_agg_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-15 interpolating exact quantiles per customer:
+    quantileExactExclusive / quantileExactInclusive (the
+    PERCENTILE.EXC / PERCENTILE.INC conventions — rank h = (n+1)·p
+    vs (n−1)·p + 1 over the sorted values, linear interpolation
+    between neighbors). The interpolation is ONE fixed double
+    expression over exact int64 order statistics, so both
+    hash-oracle — unlike the sketch-backed quantileApprox family.
+    Exclusive ranks outside [1, n] → NULL-instead-of-junk (CH
+    throws; single-order customers exercise the branch)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select o_custkey as cust,
+               quantileExactExclusive(0.25)(
+                 toInt64(floor(o_totalprice))) as qe25,
+               quantileExactInclusive(0.25)(
+                 toInt64(floor(o_totalprice))) as qi25,
+               quantileExactExclusive(0.9)(
+                 toInt64(floor(o_totalprice))) as qe90,
+               quantileExactInclusive(0.9)(
+                 toInt64(floor(o_totalprice))) as qi90
+        from orders where o_custkey < 300
+        group by cust order by cust
+        """,
+    )
+
+
+_T15_PS = """list_transform(list_filter(
+  list_transform(range(1, len({a}) + 1), i -> CASE
+    WHEN len(list_filter({a}[1:i], e -> e = {a}[i]))
+         > len(list_filter({h}, e2 -> e2 = {a}[i]))
+    THEN i ELSE NULL END),
+  i -> i IS NOT NULL), i -> {a}[i])"""
+
+
+@query(
+    "sql_fn_tier15",
+    f"""
+    WITH t AS (
+      SELECT event_id,
+             [CAST(event_id % 7 AS BIGINT), CAST(event_id % 5 AS BIGINT),
+              CAST(event_id % 3 AS BIGINT), CAST(event_id % 5 AS BIGINT),
+              CAST(9 AS BIGINT)] AS arr,
+             [CAST(event_id % 4 AS BIGINT)] AS arr2,
+             'hello ' || event_type || ' WORLD' AS txt
+      FROM events WHERE user_id < 15),
+    k AS (
+      SELECT event_id, arr, arr2, txt,
+             list_sort(arr)[1:3] AS head,
+             list_reverse_sort(arr)[1:3] AS rhead
+      FROM t)
+    SELECT event_id,
+      array_to_string(head || {_T15_PS.format(a='arr', h='head')},
+                      ',') AS ps,
+      array_to_string(rhead || {_T15_PS.format(a='arr', h='rhead')},
+                      ',') AS prs,
+      array_to_string(list_transform(range(1, greatest(len(arr2),
+          len(list_sort(arr)[1:2])) + 1), i ->
+        coalesce(CAST(arr2[i] AS VARCHAR), 'n') || '|'
+        || coalesce(CAST((list_sort(arr)[1:2])[i] AS VARCHAR), 'n')),
+        ',') AS zu,
+      array_to_string(list_transform(string_split(lower(txt), ' '),
+        w -> upper(w[1]) || w[2:]), ' ') AS ic
+    FROM k ORDER BY event_id
+    """,
+)
+def sql_fn_tier15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-15 array/string wave: arrayPartialSort /
+    arrayPartialReverseSort (k smallest/largest sorted, then the
+    REMAINING elements in original order — CH leaves the tail
+    unspecified, this engine pins it; duplicate-safe via occurrence
+    counting), arrayZipUnaligned (NULL-padded zip, surfaced as
+    'a|b' strings with 'n' for the padding), and initcapUTF8
+    (whitespace-word initcap; the oracle rebuilds it from
+    split/upper since DuckDB has no initcap). One Exchange for
+    ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id,
+                 [toInt64(event_id % 7), toInt64(event_id % 5),
+                  toInt64(event_id % 3), toInt64(event_id % 5),
+                  toInt64(9)] as arr,
+                 [toInt64(event_id % 4)] as arr2,
+                 'hello ' + event_type + ' WORLD' as txt
+          from events where user_id < 15)
+        select event_id,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayPartialSort(3, arr)), ',') as ps,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayPartialReverseSort(3, arr)), ',') as prs,
+               arrayStringConcat(arrayMap(t2 -> ifNull(toString(
+                   tupleElement(t2, 1)), 'n') + '|' + ifNull(toString(
+                   tupleElement(t2, 2)), 'n'),
+                 arrayZipUnaligned(arr2, arraySlice(arraySort(arr), 1, 2))),
+                 ',') as zu,
+               initcapUTF8(txt) as ic
+        from t order by event_id
+        """,
+    )

@@ -245,3 +245,77 @@ def test_position_case_insensitive_utf8(spark):
         .first()
     )
     assert r["p"] == 7 and r["z"] == 0
+
+
+def test_quantile_exact_interp_vs_statistics(spark):
+    """Inclusive matches numpy/statistics 'inclusive' exclusive
+    matches PERCENTILE.EXC on a hand-checked vector."""
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame([(1, v) for v in vals], "g int, x long")
+    r = (
+        df.groupBy("g")
+        .agg(
+            P["quantileExactExclusive"]([0.25], F.col("x")).alias("qe"),
+            P["quantileExactInclusive"]([0.25], F.col("x")).alias("qi"),
+            P["quantileExactExclusive"]([0.01], F.col("x")).alias("lo"),
+        )
+        .first()
+    )
+    import statistics
+
+    assert r["qi"] == statistics.quantiles(vals, n=4, method="inclusive")[0]
+    assert r["qe"] == statistics.quantiles(vals, n=4, method="exclusive")[0]
+    assert r["lo"] is None  # h = 0.09 < 1 -> out of support
+    single = (
+        spark.createDataFrame([(1, 7)], "g int, x long")
+        .groupBy("g")
+        .agg(
+            # n=1: h = 0.5*(n+1) = 1.0 is exactly in support -> 7.0;
+            # p=0.4 gives h = 0.8 < 1 -> out of support
+            P["quantileExactExclusive"]([0.5], F.col("x")).alias("qe"),
+            P["quantileExactExclusive"]([0.4], F.col("x")).alias("qe4"),
+            P["quantileExactInclusive"]([0.5], F.col("x")).alias("qi"),
+        )
+        .first()
+    )
+    assert single["qe"] == 7.0 and single["qe4"] is None
+    assert single["qi"] == 7.0
+
+
+def test_array_partial_sort_tail_order_and_dups(spark):
+    r = (
+        spark.range(1)
+        .select(
+            S["arrayPartialSort"](
+                F.lit(3), F.array(*[F.lit(v) for v in [5, 1, 3, 1, 4, 3]])
+            ).alias("ps"),
+            S["arrayPartialReverseSort"](
+                F.lit(2), F.array(*[F.lit(v) for v in [5, 1, 3, 1, 4, 3]])
+            ).alias("prs"),
+            S["arrayPartialSort"](
+                F.lit(99), F.array(F.lit(2), F.lit(1))
+            ).alias("big"),
+        )
+        .first()
+    )
+    # head = [1,1,3]; tail keeps 5, 4 and the SECOND 3 in原 order
+    assert list(r["ps"]) == [1, 1, 3, 5, 4, 3]
+    # reverse head = [5,4]; tail = 1,3,1,3 in original order
+    assert list(r["prs"]) == [5, 4, 1, 3, 1, 3]
+    assert list(r["big"]) == [1, 2]  # k > len -> fully sorted
+
+
+def test_array_zip_unaligned(spark):
+    r = (
+        spark.range(1)
+        .select(
+            S["arrayZipUnaligned"](
+                F.array(F.lit(1), F.lit(2), F.lit(3)),
+                F.array(F.lit(9)),
+            ).alias("z")
+        )
+        .first()
+    )
+    assert [(t["_1"], t["_2"]) for t in r["z"]] == [
+        (1, 9), (2, None), (3, None)
+    ]
