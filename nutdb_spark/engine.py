@@ -15,6 +15,7 @@ DataFrame for DESCRIBE/EXPLAIN, and None for DDL/effects.
 from __future__ import annotations
 
 import os
+from dataclasses import replace as _dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -85,6 +86,203 @@ class NutEngine:
             return load_table(self.spark, self.data_dir, name)
         raise LoweringError(f"unknown table {name!r}")
 
+    # --- [EXT] Summing-view auto-rewrite (ClickHouse projections) ---------
+
+    def _summing_views(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.catalog.root)):
+            if f.endswith(".json"):
+                m = self.catalog._load_meta(f[:-5])
+                if (
+                    m
+                    and m.get("type") == "view"
+                    and m.get("strategy") == "summing"
+                ):
+                    out.append(m)
+        return out
+
+    @staticmethod
+    def _view_column_map(vq) -> tuple[str, dict] | None:
+        """(base table, {base col → view col}) when the view's defining
+        query is a plain projection of one table — the only shape the
+        rewrite can soundly substitute."""
+        if not isinstance(vq, A.SelectCore):
+            return None
+        if (
+            vq.ctes or vq.expr_aliases or vq.distinct or vq.joins
+            or vq.where or vq.prewhere or vq.group_by or vq.having
+            or vq.qualify or vq.limit or vq.limit_by or vq.order_by
+        ):
+            return None
+        if vq.from_ is None or not isinstance(vq.from_.source, A.TableRef):
+            return None
+        mapping: dict[str, str] = {}
+        for expr, alias in vq.columns:
+            if not isinstance(expr, A.Ident) or expr.qualifier:
+                return None
+            base_col = expr.name
+            if base_col in mapping:
+                return None
+            mapping[base_col] = alias or base_col
+        return vq.from_.source.name, mapping
+
+    @staticmethod
+    def _where_idents(node, acc: set) -> bool:
+        """Collect unqualified Ident names; False on anything a key
+        predicate can't contain (subqueries, window calls)."""
+        import dataclasses as _dc
+
+        if isinstance(node, A.Ident):
+            if node.qualifier:
+                return False
+            acc.add(node.name)
+            return True
+        if isinstance(
+            node, (A.ScalarSubquery, A.InSubquery, A.Exists, A.WindowCall)
+        ):
+            return False
+        if _dc.is_dataclass(node):
+            return all(
+                NutEngine._where_idents(getattr(node, f.name), acc)
+                for f in _dc.fields(node)
+            )
+        if isinstance(node, (list, tuple)):
+            return all(NutEngine._where_idents(x, acc) for x in node)
+        return True
+
+    @staticmethod
+    def _rename_idents(node, ren: dict):
+        import dataclasses as _dc
+
+        if isinstance(node, A.Ident):
+            if node.name in ren:
+                node.name = ren[node.name]
+            return
+        if _dc.is_dataclass(node):
+            for f in _dc.fields(node):
+                NutEngine._rename_idents(getattr(node, f.name), ren)
+        elif isinstance(node, (list, tuple)):
+            for x in node:
+                NutEngine._rename_idents(x, ren)
+
+    def _try_summing_rewrite(self, q):
+        """Rewrite `SELECT k…, sum(v)… FROM base [WHERE on keys] GROUP
+        BY k…` onto a Summing view over `base` whose merge keys cover
+        the query keys — ClickHouse's projection/materialized-view
+        answer path. Sound because a Summing view partitions base rows
+        by its key tuple: any key-only predicate commutes with the
+        merge, and re-summing view rows rolls up to coarser keys
+        exactly. The view is exactly as fresh as the catalog keeps it
+        (every INSERT/mutation path maintains it), which is the CH
+        contract. Statement-scoped off-switch: SETTINGS
+        optimize_use_projections = 0. Returns the rewritten SelectCore
+        or None."""
+        if not isinstance(q, A.SelectCore):
+            return None
+        if (
+            q.ctes or q.expr_aliases or q.distinct or q.distinct_on
+            or q.joins or q.prewhere or q.group_all or q.group_modifier
+            or q.group_sets or q.having or q.qualify or q.windows
+            or q.interpolate or q.limit_by
+        ):
+            return None
+        if q.from_ is None or not isinstance(q.from_.source, A.TableRef):
+            return None
+        if q.from_.sample is not None:
+            return None
+        base = q.from_.source.name
+        keys = []
+        for g in q.group_by:
+            if not isinstance(g, A.Ident) or g.qualifier:
+                return None
+            keys.append(g.name)
+        if not keys:
+            return None
+        items = []  # (kind, base_col, alias)
+        for expr, alias in q.columns:
+            if isinstance(expr, A.Ident) and not expr.qualifier:
+                if expr.name not in keys:
+                    return None
+                items.append(("key", expr.name, alias))
+            elif (
+                isinstance(expr, A.FnCall)
+                and expr.name.lower() == "sum"
+                and not expr.params
+                and not expr.distinct
+                and len(expr.args) == 1
+                and isinstance(expr.args[0], A.Ident)
+                and not expr.args[0].qualifier
+            ):
+                items.append(("sum", expr.args[0].name, alias))
+            else:
+                return None
+        wcols: set[str] = set()
+        if q.where is not None:
+            if not self._where_idents(q.where, wcols):
+                return None
+            if not wcols <= set(keys):
+                return None
+        for o in q.order_by:
+            oc: set[str] = set()
+            if not self._where_idents(o.expr, oc):
+                return None
+            aliases = {a for _, _, a in items if a}
+            if not oc <= (set(keys) | aliases):
+                return None
+        for meta in self._summing_views():
+            from nutdb_spark.catalog import _unpickle_ast
+
+            parsed = self._view_column_map(_unpickle_ast(meta["query"]))
+            if parsed is None:
+                continue
+            vbase, colmap = parsed
+            if vbase != base:
+                continue
+            vkeys = set(meta["order_by"] or [])
+            # every query key must be a view merge key; every summed
+            # column must be a view VALUE column (merged by sum)
+            if not all(
+                k in colmap and colmap[k] in vkeys for k in keys
+            ):
+                continue
+            if not all(
+                c in colmap and colmap[c] not in vkeys
+                for kind, c, _ in items
+                if kind == "sum"
+            ):
+                continue
+            import copy as _copy
+
+            ren = {k: colmap[k] for k in set(keys) | wcols}
+            new_cols = []
+            for kind, c, alias in items:
+                if kind == "key":
+                    new_cols.append(
+                        (A.Ident(colmap[c]), alias or c)
+                    )
+                else:
+                    new_cols.append(
+                        (
+                            A.FnCall("sum", [A.Ident(colmap[c])]),
+                            alias or f"sum({c})",
+                        )
+                    )
+            new_where = _copy.deepcopy(q.where)
+            if new_where is not None:
+                self._rename_idents(new_where, ren)
+            new_order = _copy.deepcopy(q.order_by)
+            for o in new_order:
+                self._rename_idents(o.expr, ren)
+            return _dc_replace(
+                q,
+                columns=new_cols,
+                from_=A.FromClause(A.TableRef(meta["name"])),
+                where=new_where,
+                group_by=[A.Ident(colmap[k]) for k in keys],
+                order_by=new_order,
+            )
+        return None
+
     # --- entry ------------------------------------------------------------
 
     def sql(self, text: str, params: list | None = None):
@@ -110,7 +308,12 @@ class NutEngine:
                     saved.append((key, self.spark.conf.get(key, None)))
                     self.spark.conf.set(key, str(value))
             try:
-                df = low.lower_query(stmt.query)
+                query = stmt.query
+                if str(self.config.get("optimize_use_projections", 1)) not in (
+                    "0", "false", "False",
+                ):
+                    query = self._try_summing_rewrite(query) or query
+                df = low.lower_query(query)
                 if saved:
                     # the returned frame is lazy — force physical
                     # planning NOW, while the confs are in effect; the

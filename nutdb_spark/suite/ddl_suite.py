@@ -13,6 +13,7 @@ design (INSERT is an action); they are excluded there.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nutdb_spark.suite.registry import query
 
@@ -508,3 +509,70 @@ def q_ddl_view_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(floor(net * 100)) / 100.0 AS s "
         "FROM vp WHERE k % 2 = 0 GROUP BY rf ORDER BY rf"
     )
+
+
+@query(
+    "q_ddl_projection_rewrite",
+    """
+    WITH base AS (
+      SELECT * FROM (VALUES
+        ('e', 'a', 1, 10), ('e', 'b', 2, 20), ('w', 'a', 3, 30),
+        ('w', 'a', 4, 40), ('e', 'a', 5, 50), ('n', 'c', 6, 60)
+      ) t(region, item, qty, amount))
+    SELECT region, CAST(SUM(qty) AS BIGINT) AS q,
+           CAST(SUM(amount) AS BIGINT) AS a, 'keys' AS variant
+    FROM base GROUP BY region
+    UNION ALL
+    SELECT item AS region, CAST(SUM(qty) AS BIGINT) AS q,
+           CAST(SUM(amount) AS BIGINT) AS a, 'rollup' AS variant
+    FROM base WHERE item <> 'b' GROUP BY item
+    UNION ALL
+    SELECT region, CAST(SUM(qty) AS BIGINT) AS q,
+           CAST(SUM(amount) AS BIGINT) AS a, 'off' AS variant
+    FROM base GROUP BY region
+    """,
+)
+def q_ddl_projection_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Summing-view AUTO-REWRITE — ClickHouse's projection
+    answer path: `SELECT keys, sum(v) FROM base GROUP BY keys` is
+    rewritten onto a Summing view over base when the view's merge
+    keys cover the query keys (engine._try_summing_rewrite). Three
+    variants union-tagged: full-key grouping, a coarser rollup with a
+    key-only WHERE (both REWRITTEN — re-summing merged rows rolls up
+    exactly; the plan pin lives in tests/test_projection_rewrite.py),
+    and the SETTINGS optimize_use_projections = 0 off-switch reading
+    the base table. The oracle recomputes all three from the insert
+    payload — rewritten ≡ direct IS the correctness claim, including
+    freshness across the second INSERT (the view is maintained on
+    every write, the CH contract)."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP VIEW IF EXISTS proj_sum")
+    eng.sql("DROP TABLE IF EXISTS proj_sales")
+    eng.sql(
+        "CREATE TABLE proj_sales (region String, item String, "
+        "qty Int64, amount Int64)"
+    )
+    eng.sql(
+        "INSERT INTO proj_sales VALUES ('e','a',1,10), ('e','b',2,20), "
+        "('w','a',3,30), ('w','a',4,40)"
+    )
+    eng.sql(
+        "CREATE VIEW proj_sum UPDATE BY Summing ORDER BY (region, item) "
+        "AS SELECT region, item, qty, amount FROM proj_sales"
+    )
+    # freshness: the rewrite must see post-view inserts too
+    eng.sql("INSERT INTO proj_sales VALUES ('e','a',5,50), ('n','c',6,60)")
+    keys = eng.sql(
+        "SELECT region, sum(qty) AS q, sum(amount) AS a "
+        "FROM proj_sales GROUP BY region"
+    ).withColumn("variant", F.lit("keys"))
+    rollup = eng.sql(
+        "SELECT item AS region, sum(qty) AS q, sum(amount) AS a "
+        "FROM proj_sales WHERE item != 'b' GROUP BY item"
+    ).withColumn("variant", F.lit("rollup"))
+    off = eng.sql(
+        "SELECT region, sum(qty) AS q, sum(amount) AS a "
+        "FROM proj_sales GROUP BY region "
+        "SETTINGS optimize_use_projections = 0"
+    ).withColumn("variant", F.lit("off"))
+    return keys.unionAll(rollup).unionAll(off)

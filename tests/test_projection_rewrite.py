@@ -1,0 +1,105 @@
+"""Summing-view auto-rewrite pins (engine._try_summing_rewrite).
+
+The oracled entry (q_ddl_projection_rewrite) pins values; these pin
+the PLAN (the rewrite must actually read the view state, and the
+fallback cases must actually read the base) and the soundness fences
+(shapes the rewrite must refuse).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+
+@pytest.fixture()
+def eng(spark):
+    from nutdb_spark.engine import NutEngine
+
+    e = NutEngine(
+        spark,
+        data_dir="/root/testdata/sf0.001",
+        catalog_dir=tempfile.mkdtemp(),
+    )
+    e.sql(
+        "CREATE TABLE pr_sales (region String, item String, qty Int64, "
+        "amount Int64)"
+    )
+    e.sql(
+        "INSERT INTO pr_sales VALUES ('e','a',1,10), ('e','b',2,20), "
+        "('w','a',3,30), ('w','a',4,40)"
+    )
+    e.sql(
+        "CREATE VIEW pr_sum UPDATE BY Summing ORDER BY (region, item) "
+        "AS SELECT region, item, qty, amount FROM pr_sales"
+    )
+    return e
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _reads_view(plan: str) -> bool:
+    return "pr_sum" in plan
+
+
+def test_rewrite_reads_view_and_matches_base(eng):
+    df = eng.sql(
+        "SELECT region, sum(qty) AS q FROM pr_sales GROUP BY region"
+    )
+    assert _reads_view(_plan(df))
+    direct = eng.sql(
+        "SELECT region, sum(qty) AS q FROM pr_sales GROUP BY region "
+        "SETTINGS optimize_use_projections = 0"
+    )
+    assert not _reads_view(_plan(direct))
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_rewrite_rollup_and_key_filter(eng):
+    df = eng.sql(
+        "SELECT item, sum(amount) AS a FROM pr_sales "
+        "WHERE item = 'a' GROUP BY item"
+    )
+    assert _reads_view(_plan(df))
+    [r] = df.collect()
+    assert (r["item"], r["a"]) == ("a", 80)
+
+
+def test_no_rewrite_fences(eng):
+    """Shapes the rewrite must refuse: non-key predicate (qty is a
+    VALUE column — filtering it before vs after the merge differs),
+    non-sum aggregate, expression keys, and joins."""
+    for sql in (
+        "SELECT region, sum(qty) AS q FROM pr_sales WHERE qty > 2 "
+        "GROUP BY region",
+        "SELECT region, count(*) AS n FROM pr_sales GROUP BY region",
+        "SELECT upper(region) AS r, sum(qty) AS q FROM pr_sales "
+        "GROUP BY upper(region)",
+        "SELECT a.region, sum(a.qty) AS q FROM pr_sales a "
+        "JOIN pr_sales b ON a.region = b.region GROUP BY a.region",
+    ):
+        assert not _reads_view(_plan(eng.sql(sql))), sql
+    # and the refused shapes still compute correctly from base
+    rows = {
+        r["region"]: r["q"]
+        for r in eng.sql(
+            "SELECT region, sum(qty) AS q FROM pr_sales WHERE qty > 2 "
+            "GROUP BY region"
+        ).collect()
+    }
+    assert rows == {"w": 7}
+
+
+def test_rewrite_freshness_after_insert(eng):
+    eng.sql("INSERT INTO pr_sales VALUES ('n','z',100,1)")
+    df = eng.sql(
+        "SELECT region, sum(qty) AS q FROM pr_sales GROUP BY region"
+    )
+    assert _reads_view(_plan(df))
+    rows = {r["region"]: r["q"] for r in df.collect()}
+    assert rows == {"e": 3, "w": 7, "n": 100}
