@@ -88,7 +88,7 @@ class NutEngine:
 
     # --- [EXT] Summing-view auto-rewrite (ClickHouse projections) ---------
 
-    def _summing_views(self) -> list[dict]:
+    def _rewrite_views(self) -> list[dict]:
         out = []
         for f in sorted(os.listdir(self.catalog.root)):
             if f.endswith(".json"):
@@ -96,10 +96,24 @@ class NutEngine:
                 if (
                     m
                     and m.get("type") == "view"
-                    and m.get("strategy") == "summing"
+                    and m.get("strategy") in ("summing", "aggregating")
                 ):
                     out.append(m)
         return out
+
+    @staticmethod
+    def _canon_agg(expr):
+        """Canonical form for aggregate-call matching: count() ≡
+        count(*); params/distinct forms never match."""
+        if not isinstance(expr, A.FnCall) or expr.params or expr.distinct:
+            return None
+        name = expr.name.lower()
+        args = expr.args
+        if name == "count" and (
+            not args or (len(args) == 1 and isinstance(args[0], A.Wildcard))
+        ):
+            args = []
+        return (name, tuple(repr(a) for a in args))
 
     @staticmethod
     def _view_column_map(vq) -> tuple[str, dict] | None:
@@ -198,22 +212,16 @@ class NutEngine:
             keys.append(g.name)
         if not keys:
             return None
-        items = []  # (kind, base_col, alias)
+        items = []  # ("key", name, alias) | ("agg", FnCall, alias)
         for expr, alias in q.columns:
             if isinstance(expr, A.Ident) and not expr.qualifier:
                 if expr.name not in keys:
                     return None
                 items.append(("key", expr.name, alias))
-            elif (
-                isinstance(expr, A.FnCall)
-                and expr.name.lower() == "sum"
-                and not expr.params
-                and not expr.distinct
-                and len(expr.args) == 1
-                and isinstance(expr.args[0], A.Ident)
-                and not expr.args[0].qualifier
-            ):
-                items.append(("sum", expr.args[0].name, alias))
+            elif isinstance(expr, A.FnCall):
+                if self._canon_agg(expr) is None:
+                    return None
+                items.append(("agg", expr, alias))
             else:
                 return None
         wcols: set[str] = set()
@@ -222,66 +230,93 @@ class NutEngine:
                 return None
             if not wcols <= set(keys):
                 return None
+        out_aliases = {a for _, _, a in items if a}
         for o in q.order_by:
             oc: set[str] = set()
             if not self._where_idents(o.expr, oc):
                 return None
-            aliases = {a for _, _, a in items if a}
-            if not oc <= (set(keys) | aliases):
+            if not oc <= (set(keys) | out_aliases):
                 return None
-        for meta in self._summing_views():
-            from nutdb_spark.catalog import _unpickle_ast
-
-            parsed = self._view_column_map(_unpickle_ast(meta["query"]))
-            if parsed is None:
-                continue
-            vbase, colmap = parsed
-            if vbase != base:
-                continue
-            vkeys = set(meta["order_by"] or [])
-            # every query key must be a view merge key; every summed
-            # column must be a view VALUE column (merged by sum)
-            if not all(
-                k in colmap and colmap[k] in vkeys for k in keys
-            ):
-                continue
-            if not all(
-                c in colmap and colmap[c] not in vkeys
-                for kind, c, _ in items
-                if kind == "sum"
-            ):
-                continue
-            import copy as _copy
-
-            ren = {k: colmap[k] for k in set(keys) | wcols}
-            new_cols = []
-            for kind, c, alias in items:
-                if kind == "key":
-                    new_cols.append(
-                        (A.Ident(colmap[c]), alias or c)
-                    )
-                else:
-                    new_cols.append(
-                        (
-                            A.FnCall("sum", [A.Ident(colmap[c])]),
-                            alias or f"sum({c})",
-                        )
-                    )
-            new_where = _copy.deepcopy(q.where)
-            if new_where is not None:
-                self._rename_idents(new_where, ren)
-            new_order = _copy.deepcopy(q.order_by)
-            for o in new_order:
-                self._rename_idents(o.expr, ren)
-            return _dc_replace(
-                q,
-                columns=new_cols,
-                from_=A.FromClause(A.TableRef(meta["name"])),
-                where=new_where,
-                group_by=[A.Ident(colmap[k]) for k in keys],
-                order_by=new_order,
-            )
+        for meta in self._rewrite_views():
+            out = self._match_view(meta, base, keys, items, wcols, q)
+            if out is not None:
+                return out
         return None
+
+    def _match_view(self, meta, base, keys, items, wcols, q):
+        import copy as _copy
+
+        from nutdb_spark.catalog import _unpickle_ast
+
+        vq = _unpickle_ast(meta["query"])
+        # (agg canonical form → (view column, re-aggregation fn))
+        aggmap: dict = {}
+        if meta["strategy"] == "summing":
+            parsed = self._view_column_map(vq)
+            if parsed is None:
+                return None
+            vbase, colmap = parsed
+            vkeys = set(meta["order_by"] or [])
+            for bc, vc in colmap.items():
+                if vc not in vkeys:
+                    # value columns merge by SUM — only sum(bc) maps
+                    aggmap[("sum", (repr(A.Ident(bc)),))] = (vc, "sum")
+        else:  # aggregating: the defining query carries its own aggs
+            if not isinstance(vq, A.SelectCore) or vq.where is not None:
+                return None
+            if vq.from_ is None or not isinstance(vq.from_.source, A.TableRef):
+                return None
+            vbase = vq.from_.source.name
+            _REAGG = {"sum": "sum", "count": "sum", "min": "min",
+                      "max": "max"}
+            colmap = {}
+            for expr, alias in vq.columns:
+                if isinstance(expr, A.Ident) and not expr.qualifier:
+                    colmap[expr.name] = alias or expr.name
+                    continue
+                canon = self._canon_agg(expr)
+                if (
+                    canon is None
+                    or canon[0] not in _REAGG
+                    or not alias
+                ):
+                    return None
+                aggmap[canon] = (alias, _REAGG[canon[0]])
+            vkeys = set(meta["order_by"] or [])
+        if vbase != base:
+            return None
+        if not all(k in colmap and colmap[k] in vkeys for k in keys):
+            return None
+        new_cols = []
+        for kind, c, alias in items:
+            if kind == "key":
+                new_cols.append((A.Ident(colmap[c]), alias or c))
+            else:
+                hit = aggmap.get(self._canon_agg(c))
+                if hit is None:
+                    return None
+                vc, reagg = hit
+                # default name matches the lowerer's for the ORIGINAL
+                # call (Lowerer._expr_name: bare fn name), so an
+                # unaliased query keeps its schema under the rewrite
+                new_cols.append(
+                    (A.FnCall(reagg, [A.Ident(vc)]), alias or c.name)
+                )
+        ren = {k: colmap[k] for k in set(keys) | wcols}
+        new_where = _copy.deepcopy(q.where)
+        if new_where is not None:
+            self._rename_idents(new_where, ren)
+        new_order = _copy.deepcopy(q.order_by)
+        for o in new_order:
+            self._rename_idents(o.expr, ren)
+        return _dc_replace(
+            q,
+            columns=new_cols,
+            from_=A.FromClause(A.TableRef(meta["name"])),
+            where=new_where,
+            group_by=[A.Ident(colmap[k]) for k in keys],
+            order_by=new_order,
+        )
 
     # --- entry ------------------------------------------------------------
 

@@ -103,3 +103,50 @@ def test_rewrite_freshness_after_insert(eng):
     assert _reads_view(_plan(df))
     rows = {r["region"]: r["q"] for r in df.collect()}
     assert rows == {"e": 3, "w": 7, "n": 100}
+
+
+def test_aggregating_view_rewrite(eng):
+    """Aggregating views extend the answer path to count/min/max:
+    count re-aggregates as SUM of partial counts, min/max keep the
+    extreme — exact merges; avg is not re-aggregatable and must read
+    the base."""
+    eng.sql(
+        "CREATE VIEW pr_agg UPDATE BY Aggregating ORDER BY (region) AS "
+        "SELECT region, count(*) AS n, sum(qty) AS sq, min(qty) AS mn, "
+        "max(qty) AS mx FROM pr_sales GROUP BY region"
+    )
+    df = eng.sql(
+        "SELECT region, count(*) AS n, min(qty) AS mn, max(qty) AS mx "
+        "FROM pr_sales GROUP BY region ORDER BY region"
+    )
+    assert "pr_agg" in _plan(df)
+    assert [tuple(r) for r in df.collect()] == [
+        ("e", 2, 1, 2), ("w", 2, 3, 4)
+    ]
+    # freshness through the aggregating merge path
+    eng.sql("INSERT INTO pr_sales VALUES ('e','a',9,90)")
+    df2 = eng.sql(
+        "SELECT region, count(*) AS n, max(qty) AS mx FROM pr_sales "
+        "GROUP BY region ORDER BY region"
+    )
+    assert "pr_agg" in _plan(df2)
+    assert [tuple(r) for r in df2.collect()] == [("e", 3, 9), ("w", 2, 4)]
+    # avg fence
+    df3 = eng.sql("SELECT region, avg(qty) AS a FROM pr_sales GROUP BY region")
+    assert "pr_agg" not in _plan(df3)
+
+
+def test_unaliased_aggregate_keeps_schema(eng):
+    """The rewrite's default output name must match the lowerer's for
+    the ORIGINAL call (count→sum re-agg must still be named 'count')."""
+    eng.sql(
+        "CREATE VIEW pr_agg2 UPDATE BY Aggregating ORDER BY (region) AS "
+        "SELECT region, count(*) AS n FROM pr_sales GROUP BY region"
+    )
+    df = eng.sql("SELECT region, count(*) FROM pr_sales GROUP BY region")
+    assert "pr_agg2" in _plan(df)
+    base = eng.sql(
+        "SELECT region, count(*) FROM pr_sales GROUP BY region "
+        "SETTINGS optimize_use_projections = 0"
+    )
+    assert df.columns == base.columns

@@ -191,6 +191,10 @@ ENTRIES = [
     "sql_funnel_strict",
     "q_dedup_fuzzy_join",
     "sql_agg_matrix",
+    "q_stream_cusum",
+    "sql_agg_quantile_interp",
+    "sql_fn_tier15",
+    "q_ddl_projection_rewrite",
 ]
 
 SF01 = "/root/testdata/sf0.1"
