@@ -582,3 +582,95 @@ def bigram_lm_scores(
             ).alias("avg_bg_cnt"),
         )
     )
+
+
+# --- readability / lexical-diversity scoring -------------------------------
+
+
+def readability_metrics(text: Column) -> dict[str, Column]:
+    """Flesch-style readability + lexical diversity, exact enough to
+    hash-oracle: sentences = [.!?]+ runs, words = whitespace tokens,
+    syllables = vowel-group runs per word (the standard heuristic —
+    a real syllabifier is dictionary-bound; the FILTER SIGNAL is the
+    same), type-token ratio = distinct lowercased words / words.
+    Counts are exact ints; flesch is ONE fixed double expression
+    (206.835 − 1.015·W/S − 84.6·Syl/W) mirrored verbatim by the
+    oracle. Empty docs → NULL scores (try_divide)."""
+    toks = tokenize(normalize_text(text))
+    words = F.filter(toks, lambda t: F.length(t) > 0)
+    n_words = F.size(words).cast("long")
+    sentences = F.size(
+        F.filter(
+            F.split(text, r"[.!?]+"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    ).cast("long")
+    syllables = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.lower(w), r"[^aeiouy]+"),
+                    lambda g: F.length(g) > 0,
+                )
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ),
+    )
+    distinct_words = F.size(F.array_distinct(words)).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * F.try_divide(n_words.cast("double"), sentences.cast("double"))
+        - F.lit(84.6)
+        * F.try_divide(syllables.cast("double"), n_words.cast("double"))
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": sentences,
+        "n_syllables": syllables,
+        "flesch": flesch,
+        "ttr": F.try_divide(
+            distinct_words.cast("double"), n_words.cast("double")
+        ),
+    }
+
+
+def oracle_readability(expr: str) -> dict[str, str]:
+    norm = oracle_normalize(expr)
+    words = (
+        f"list_filter(string_split_regex(trim({norm}), '\\s+'), "
+        "t -> length(t) > 0)"
+    )
+    n_words = f"CAST(len({words}) AS BIGINT)"
+    sentences = (
+        f"CAST(len(list_filter(string_split_regex({expr}, '[.!?]+'), "
+        "s -> length(trim(s)) > 0)) AS BIGINT)"
+    )
+    syl = (
+        f"CAST(list_sum(list_transform({words}, w -> greatest(CAST(len("
+        "list_filter(string_split_regex(lower(w), '[^aeiouy]+'), "
+        "g -> length(g) > 0)) AS BIGINT), 1))) AS BIGINT)"
+    )
+    distinct_words = f"CAST(len(list_distinct({words})) AS BIGINT)"
+    flesch = (
+        f"(206.835 - 1.015 * (CAST({n_words} AS DOUBLE) "
+        f"/ CAST({sentences} AS DOUBLE)) "
+        f"- 84.6 * (CAST({syl} AS DOUBLE) / CAST({n_words} AS DOUBLE)))"
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": sentences,
+        "n_syllables": f"coalesce({syl}, 0)",
+        "flesch": (
+            f"CASE WHEN {sentences} = 0 OR {n_words} = 0 THEN NULL "
+            f"ELSE {flesch} END"
+        ),
+        "ttr": (
+            f"CASE WHEN {n_words} = 0 THEN NULL ELSE "
+            f"CAST({distinct_words} AS DOUBLE) "
+            f"/ CAST({n_words} AS DOUBLE) END"
+        ),
+    }

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from nutdb_spark.operators.text import (
     bpe_ish_tokens,
+    oracle_readability,
     fingerprint_md5,
     lang_id,
     ngrams,
@@ -1016,4 +1017,37 @@ def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "fold", "n_val", "chars_val",
         (total - F.col("n_val")).cast("long").alias("n_train"),
+    )
+
+
+@query(
+    "q_text_readability",
+    (lambda m: f"""
+    SELECT doc_id,
+           {m['n_words']} AS n_words,
+           {m['n_sentences']} AS n_sentences,
+           {m['n_syllables']} AS n_syllables,
+           {m['flesch']} AS flesch,
+           {m['ttr']} AS ttr
+    FROM documents WHERE doc_id < 500
+    """)(oracle_readability("text")),
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability + lexical-diversity quality scoring: Flesch reading
+    ease from exact word/sentence/vowel-group-syllable counts (the
+    dictionary-free heuristic — same filter signal) and type-token
+    ratio, each a fixed double expression over exact int64 counts so
+    the floats hash-oracle. Pure projection (whole-stage codegen, no
+    shuffle) — scales as the scan, the quality-filter contract."""
+    from nutdb_spark.operators.text import readability_metrics
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    m = readability_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["n_sentences"].alias("n_sentences"),
+        m["n_syllables"].alias("n_syllables"),
+        m["flesch"].alias("flesch"),
+        m["ttr"].alias("ttr"),
     )
