@@ -5898,3 +5898,102 @@ SCALAR_FNS["arrayZipUnaligned"] = _array_zip_unaligned
 # initcapUTF8: engine strings are Unicode; whitespace-word initcap.
 SCALAR_FNS["initcapUTF8"] = F.initcap
 SCALAR_FNS["initcap"] = F.initcap
+
+
+# --- [EXT] tier-16: bitmap family --------------------------------------------
+# CH models these over roaring bitmaps; the VALUE contract is pure set
+# algebra over integers, which this engine represents as SORTED
+# DISTINCT array<long> (canonical, printable, oracle-exact — roaring
+# is a compression choice, not a semantic one; groupBitmap above
+# already takes the same stance for cardinality). All pure JVM
+# higher-order functions.
+
+
+def _bm(a: Column) -> Column:
+    return F.array_sort(F.array_distinct(F.transform(a, lambda v: v.cast("long"))))
+
+
+SCALAR_FNS["bitmapBuild"] = _bm
+SCALAR_FNS["bitmapToArray"] = lambda a: _bm(a)
+SCALAR_FNS["bitmapCardinality"] = lambda a: F.size(_bm(a)).cast("long")
+SCALAR_FNS["bitmapAnd"] = lambda a, b: F.array_sort(
+    F.array_intersect(_bm(a), _bm(b))
+)
+SCALAR_FNS["bitmapOr"] = lambda a, b: F.array_sort(
+    F.array_union(_bm(a), _bm(b))
+)
+SCALAR_FNS["bitmapXor"] = lambda a, b: F.array_sort(
+    F.array_union(
+        F.array_except(_bm(a), _bm(b)), F.array_except(_bm(b), _bm(a))
+    )
+)
+SCALAR_FNS["bitmapAndnot"] = lambda a, b: F.array_sort(
+    F.array_except(_bm(a), _bm(b))
+)
+SCALAR_FNS["bitmapAndCardinality"] = lambda a, b: F.size(
+    F.array_intersect(_bm(a), _bm(b))
+).cast("long")
+SCALAR_FNS["bitmapOrCardinality"] = lambda a, b: F.size(
+    F.array_union(_bm(a), _bm(b))
+).cast("long")
+SCALAR_FNS["bitmapXorCardinality"] = lambda a, b: (
+    F.size(F.array_except(_bm(a), _bm(b)))
+    + F.size(F.array_except(_bm(b), _bm(a)))
+).cast("long")
+SCALAR_FNS["bitmapAndnotCardinality"] = lambda a, b: F.size(
+    F.array_except(_bm(a), _bm(b))
+).cast("long")
+SCALAR_FNS["bitmapContains"] = lambda a, v: F.array_contains(
+    _bm(a), v.cast("long")
+)
+SCALAR_FNS["bitmapHasAll"] = lambda a, b: F.size(
+    F.array_except(_bm(b), _bm(a))
+) == 0
+SCALAR_FNS["bitmapHasAny"] = lambda a, b: F.size(
+    F.array_intersect(_bm(a), _bm(b))
+) > 0
+SCALAR_FNS["bitmapMin"] = lambda a: F.array_min(_bm(a))
+SCALAR_FNS["bitmapMax"] = lambda a: F.array_max(_bm(a))
+SCALAR_FNS["bitmapSubsetInRange"] = lambda a, lo, hi: F.filter(
+    _bm(a),
+    lambda v: (v >= lo.cast("long")) & (v < hi.cast("long")),
+)
+SCALAR_FNS["bitmapSubsetLimit"] = lambda a, lo, n: F.slice(
+    F.filter(_bm(a), lambda v: v >= lo.cast("long")),
+    1,
+    n.cast("int"),
+)
+
+
+def _group_bitmap_fold(op: str):
+    """groupBitmapAnd/Or/Xor(arr) — set-algebra fold across the
+    group's bitmaps, returning the cardinality (CH contract). The
+    fold runs over the SORTED collected list so XOR's rounding-free
+    but order-sensitive-looking chain is deterministic (set XOR is
+    associative+commutative — the sort is for plan determinism, not
+    correctness). Per-entity groups (fold-backed convention)."""
+
+    def agg(a: Column) -> Column:
+        cl = F.array_sort(F.collect_list(_bm(a)))
+
+        def step(acc, x):
+            if op == "and":
+                return F.array_intersect(acc, x)
+            if op == "or":
+                return F.array_union(acc, x)
+            return F.array_union(
+                F.array_except(acc, x), F.array_except(x, acc)
+            )
+
+        first = F.get(cl, 0)
+        rest = F.slice(cl, 2, F.greatest(F.size(cl) - 1, F.lit(0)))
+        return F.when(F.size(cl) == 0, F.lit(None).cast("long")).otherwise(
+            F.size(F.aggregate(rest, first, step)).cast("long")
+        )
+
+    return agg
+
+
+AGGREGATE_FNS["groupBitmapAnd"] = _group_bitmap_fold("and")
+AGGREGATE_FNS["groupBitmapOr"] = _group_bitmap_fold("or")
+AGGREGATE_FNS["groupBitmapXor"] = _group_bitmap_fold("xor")

@@ -6014,3 +6014,142 @@ def sql_fn_tier15(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+# --- tier-16: bitmap family ---------------------------------------------------
+
+_BM_A = "list_sort(list_distinct(arr))"
+_BM_B = "list_sort(list_distinct(arr2))"
+
+
+@query(
+    "sql_fn_bitmap",
+    f"""
+    WITH t AS (
+      SELECT event_id,
+             [CAST(event_id % 7 AS BIGINT), CAST(event_id % 5 AS BIGINT),
+              CAST(event_id % 3 AS BIGINT), CAST(event_id % 5 AS BIGINT)]
+               AS arr,
+             [CAST(event_id % 4 AS BIGINT), CAST(event_id % 6 AS BIGINT),
+              CAST(2 AS BIGINT)] AS arr2,
+             CAST(event_id % 20 AS BIGINT) AS uid
+      FROM events WHERE user_id < 15),
+    r AS (
+      SELECT event_id, uid,
+        coalesce(array_to_string({_BM_A}, ','), '') AS bld,
+        CAST(len({_BM_A}) AS BIGINT) AS card,
+        coalesce(array_to_string(list_sort(list_intersect({_BM_A}, {_BM_B})),
+                        ','), '') AS band,
+        coalesce(array_to_string(list_sort(list_distinct({_BM_A} || {_BM_B})),
+                        ','), '') AS bor,
+        coalesce(array_to_string(list_sort(
+          list_filter({_BM_A}, v -> NOT list_contains({_BM_B}, v))
+          || list_filter({_BM_B}, v -> NOT list_contains({_BM_A}, v))),
+          ','), '') AS bxor,
+        CAST(len(list_filter({_BM_A},
+          v -> NOT list_contains({_BM_B}, v))) AS BIGINT) AS andnot_c,
+        list_contains({_BM_A}, 2) AS has2,
+        CAST(len(list_filter({_BM_B},
+          v -> NOT list_contains({_BM_A}, v))) AS BIGINT) = 0 AS hasall,
+        len(list_intersect({_BM_A}, {_BM_B})) > 0 AS hasany,
+        list_min({_BM_A}) AS mn, list_max({_BM_A}) AS mx,
+        coalesce(array_to_string(list_sort(list_filter({_BM_A},
+          v -> v >= 1 AND v < 4)), ','), '') AS sub,
+        coalesce(array_to_string(list_sort(list_filter({_BM_A},
+          v -> v >= 1))[1:2], ','), '') AS sublim,
+        arr
+      FROM t)
+    SELECT event_id, bld, card, band, bor, bxor, andnot_c, has2,
+           hasall, hasany, mn, mx, sub, sublim
+    FROM r ORDER BY event_id
+    """,
+)
+def sql_fn_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-16 bitmap family over canonical sorted-distinct
+    array<long> sets (roaring is CH's compression choice, not a
+    semantic one — the groupBitmap stance): build/toArray/cardinality,
+    and/or/xor/andnot (+cardinalities), contains/hasAll/hasAny,
+    min/max, subsetInRange (half-open), subsetLimit. Pure set algebra
+    in JVM higher-order functions; the oracle replays it with DuckDB
+    list ops."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id,
+                 [toInt64(event_id % 7), toInt64(event_id % 5),
+                  toInt64(event_id % 3), toInt64(event_id % 5)] as arr,
+                 [toInt64(event_id % 4), toInt64(event_id % 6),
+                  toInt64(2)] as arr2
+          from events where user_id < 15)
+        select event_id,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 bitmapBuild(arr)), ',') as bld,
+               bitmapCardinality(arr) as card,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 bitmapAnd(arr, arr2)), ',') as band,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 bitmapOr(arr, arr2)), ',') as bor,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 bitmapXor(arr, arr2)), ',') as bxor,
+               bitmapAndnotCardinality(arr, arr2) as andnot_c,
+               bitmapContains(arr, 2) as has2,
+               bitmapHasAll(arr, arr2) as hasall,
+               bitmapHasAny(arr, arr2) as hasany,
+               bitmapMin(arr) as mn,
+               bitmapMax(arr) as mx,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 bitmapSubsetInRange(arr, 1, 4)), ',') as sub,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 bitmapSubsetLimit(arr, 1, 2)), ',') as sublim
+        from t order by event_id
+        """,
+    )
+
+
+@query(
+    "sql_agg_bitmap",
+    """
+    WITH t AS (
+      SELECT CAST(event_id % 20 AS BIGINT) AS uid, event_id,
+             [CAST(event_id % 7 AS BIGINT), CAST(event_id % 5 AS BIGINT),
+              CAST(event_id % 3 AS BIGINT)] AS arr
+      FROM events WHERE user_id < 15),
+    s AS (SELECT uid, event_id, list_sort(list_distinct(arr)) AS bm FROM t),
+    ex AS (SELECT uid, unnest(bm) AS v FROM s),
+    nrows AS (SELECT uid, COUNT(*) AS n FROM s GROUP BY uid),
+    cnt AS (SELECT uid, v, COUNT(*) AS c FROM ex GROUP BY uid, v)
+    SELECT cnt.uid AS uid,
+      CAST(SUM(CASE WHEN c = n THEN 1 ELSE 0 END) AS BIGINT) AS band,
+      CAST(COUNT(*) AS BIGINT) AS bor,
+      CAST(SUM(CASE WHEN c % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bxor
+    FROM cnt JOIN nrows ON cnt.uid = nrows.uid
+    GROUP BY cnt.uid ORDER BY uid
+    """,
+)
+def sql_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-16 bitmap aggregates per key: groupBitmapAnd /
+    groupBitmapOr / groupBitmapXor — cardinality of the
+    intersection / union / odd-multiplicity set across the group's
+    bitmaps (set algebra is associative+commutative, so the engine's
+    sorted fold and the oracle's closed forms — c = n, any, c odd
+    over per-value row counts — are the same value by definition).
+    Per-entity groups; the oracle's unnest+count shape is also the
+    100 TB formulation (no per-group array state at all)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id % 20 as uid,
+                 [toInt64(event_id % 7), toInt64(event_id % 5),
+                  toInt64(event_id % 3)] as arr
+          from events where user_id < 15)
+        select uid,
+               groupBitmapAnd(arr) as band,
+               groupBitmapOr(arr) as bor,
+               groupBitmapXor(arr) as bxor
+        from t group by uid order by uid
+        """,
+    )

@@ -319,3 +319,51 @@ def test_array_zip_unaligned(spark):
     assert [(t["_1"], t["_2"]) for t in r["z"]] == [
         (1, 9), (2, None), (3, None)
     ]
+
+
+def test_bitmap_family_edges(spark):
+    r = (
+        spark.range(1)
+        .select(
+            S["bitmapXor"](
+                F.array(F.lit(1), F.lit(2), F.lit(2)),
+                F.array(F.lit(2), F.lit(3)),
+            ).alias("x"),
+            S["bitmapHasAll"](
+                F.array(F.lit(1), F.lit(2), F.lit(3)),
+                F.array(F.lit(2), F.lit(3)),
+            ).alias("all1"),
+            S["bitmapHasAll"](
+                F.array(F.lit(1)), F.array(F.lit(1), F.lit(9))
+            ).alias("all2"),
+            S["bitmapSubsetLimit"](
+                F.array(F.lit(5), F.lit(1), F.lit(9), F.lit(7)),
+                F.lit(5), F.lit(2),
+            ).alias("sl"),
+        )
+        .first()
+    )
+    assert list(r["x"]) == [1, 3]
+    assert r["all1"] is True and r["all2"] is False
+    assert list(r["sl"]) == [5, 7]
+
+
+def test_group_bitmap_aggregates(spark):
+    rows = [
+        (1, [1, 2, 3]), (1, [2, 3, 4]), (1, [3, 2]),
+        (2, [7]),
+    ]
+    r = {
+        row["g"]: row
+        for row in spark.createDataFrame(rows, "g int, a array<long>")
+        .groupBy("g")
+        .agg(
+            A["groupBitmapAnd"](F.col("a")).alias("band"),
+            A["groupBitmapOr"](F.col("a")).alias("bor"),
+            A["groupBitmapXor"](F.col("a")).alias("bxor"),
+        )
+        .collect()
+    }
+    # g1: and {2,3}=2; or {1,2,3,4}=4; xor: 1(x1),2(x3),3(x3),4(x1) all odd=4
+    assert (r[1]["band"], r[1]["bor"], r[1]["bxor"]) == (2, 4, 4)
+    assert (r[2]["band"], r[2]["bor"], r[2]["bxor"]) == (1, 1, 1)
