@@ -5997,3 +5997,58 @@ def _group_bitmap_fold(op: str):
 AGGREGATE_FNS["groupBitmapAnd"] = _group_bitmap_fold("and")
 AGGREGATE_FNS["groupBitmapOr"] = _group_bitmap_fold("or")
 AGGREGATE_FNS["groupBitmapXor"] = _group_bitmap_fold("xor")
+
+
+# --- [EXT] tier-17: web-text extraction ---------------------------------------
+# The CommonCrawl-ingest scalars. Regex subset restricted to syntax
+# Java regex and RE2 treat identically (inline (?is) flags, lazy
+# quantifiers, char classes — no lookaround), so the DuckDB oracle
+# replays the identical pipeline.
+
+
+def _extract_text_from_html(s: Column) -> Column:
+    """extractTextFromHTML(s) — strip comments, script/style blocks
+    (content dropped), then all tags (replaced by a space so adjacent
+    words don't fuse), decode the basic entities, collapse
+    whitespace. A real DOM parser is a library choice; this is CH's
+    contract (approximate but deterministic text extraction)."""
+    out = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    out = _decode_html_component(out)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: &amp;lt; must decode once, to &lt;
+)
+
+
+def _decode_html_component(s: Column) -> Column:
+    """decodeHTMLComponent(s) — the basic named/numeric entities,
+    single-pass semantics (&amp; replaced last so &amp;lt; → &lt;,
+    not <)."""
+    out = s
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def _encode_html_component(s: Column) -> Column:
+    """encodeHTMLComponent(s) — inverse of the basic set (& first)."""
+    out = F.replace(s, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit('"'), F.lit("&quot;"))
+    return F.replace(out, F.lit("'"), F.lit("&#39;"))
+
+
+SCALAR_FNS["extractTextFromHTML"] = _extract_text_from_html
+SCALAR_FNS["decodeHTMLComponent"] = _decode_html_component
+SCALAR_FNS["encodeHTMLComponent"] = _encode_html_component

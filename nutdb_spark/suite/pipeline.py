@@ -27,6 +27,7 @@ from nutdb_spark.operators.text import (
     ENGLISH_STOPWORDS,
     fingerprint_md5,
     oracle_fingerprint_md5,
+    oracle_readability,
     oracle_stopword_ratio,
     stopword_ratio,
     tokenize,
@@ -392,4 +393,87 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(tokenize(F.col("text"))).cast("long")).alias(
             "total_tokens"
         ),
+    )
+
+
+_WEB_DEC = """replace(replace(replace(replace(replace(replace({x},
+  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+  '&nbsp;', ' '), '&amp;', '&')"""
+
+_WEB_STRIP = """regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace({x},
+    '(?s)<!--.*?-->', ' ', 'g'),
+    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+    '<[^>]*>', ' ', 'g')"""
+
+_WEB_HTML = """'<html><head><script>x &lt; 1</script></head><body><h1>T'
+  || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+  || '</p><!-- c --></body></html>'"""
+
+
+@query(
+    "q_pipeline_web",
+    (lambda m: f"""
+    WITH raw AS (
+      SELECT doc_id, {_WEB_HTML} AS html
+      FROM documents WHERE doc_id < 600),
+    ext AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          {_WEB_DEC.format(x=_WEB_STRIP.format(x='html'))},
+          '\\s+', ' ', 'g')) AS text
+      FROM raw),
+    scored AS (
+      SELECT doc_id, text, {m['n_words']} AS n_words,
+             {m['flesch']} AS flesch
+      FROM ext),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_words >= 20 AND flesch IS NOT NULL),
+    reps AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS k, min(doc_id) AS doc_id
+      FROM kept GROUP BY 1)
+    SELECT kept.doc_id AS doc_id, n_words, flesch
+    FROM kept JOIN reps ON kept.doc_id = reps.doc_id
+    """)(oracle_readability("text")),
+)
+def q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-ingest pipeline — the CommonCrawl shape end to
+    end in ONE DataFrame plan: synthetic HTML (built identically on
+    both sides) → extractTextFromHTML → readability quality gate
+    (n_words ≥ 20, Flesch computable) → exact dedup by normalized-text
+    md5 fingerprint keeping the minimum doc id. Every stage is a
+    projection or hash-groupBy — no collects, no UDFs; at 100 TB the
+    only shuffle is the dedup key."""
+    from nutdb_spark.functions.registry import SCALAR_FNS
+    from nutdb_spark.operators.text import readability_metrics
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    html = F.concat(
+        F.lit("<html><head><script>x &lt; 1</script></head><body><h1>T"),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- c --></body></html>"),
+    )
+    ext = d.select(
+        "doc_id", SCALAR_FNS["extractTextFromHTML"](html).alias("text")
+    )
+    m = readability_metrics(F.col("text"))
+    scored = ext.select(
+        "doc_id", "text",
+        m["n_words"].alias("n_words"), m["flesch"].alias("flesch"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 20) & F.col("flesch").isNotNull()
+    )
+    reps = (
+        kept.groupBy(fingerprint_md5(F.col("text")).alias("__k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return kept.join(reps, "doc_id", "left_semi").select(
+        "doc_id", "n_words", "flesch"
     )

@@ -6153,3 +6153,70 @@ def sql_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t group by uid order by uid
         """,
     )
+
+
+# --- tier-17: web-text extraction ---------------------------------------------
+
+_T17_DEC = """replace(replace(replace(replace(replace(replace({x},
+  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+  '&nbsp;', ' '), '&amp;', '&')"""
+
+_T17_STRIP = """regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace({x},
+    '(?s)<!--.*?-->', ' ', 'g'),
+    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+    '<[^>]*>', ' ', 'g')"""
+
+
+@query(
+    "sql_fn_html",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        '<html><head><style>p{{{{color:red}}}}</style>'
+        || '<script type="x">var a = 1 &lt; 2;</script></head>'
+        || '<body><!-- hidden --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        || '</h1><p class="m">' || substring(text, 1, 120)
+        || ' &amp;amp; more &nbsp;&gt; here</p></body></html>' AS html
+      FROM documents WHERE doc_id < 400)
+    SELECT doc_id,
+      trim(regexp_replace({_T17_DEC.format(x=_T17_STRIP.format(x='html'))},
+           '\\s+', ' ', 'g')) AS txt,
+      {_T17_DEC.format(x="'&amp;lt; &quot;q&quot; &#39;a&#39;'")} AS dec,
+      replace(replace(replace(replace(replace(
+        'a<b & "c" ' || chr(39) || 'd', '&', '&amp;'), '<', '&lt;'),
+        '>', '&gt;'), '"', '&quot;'), chr(39), '&#39;') AS enc
+    FROM t ORDER BY doc_id
+    """,
+)
+def sql_fn_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-17 web-ingest scalars: extractTextFromHTML
+    (comments, script/style blocks with their CONTENT, then tags
+    stripped to spaces; entities decoded; whitespace collapsed — CH's
+    deterministic approximate extraction, a DOM parser is a library
+    choice), decodeHTMLComponent (basic entity set, &amp; last so
+    &amp;lt; decodes ONCE to &lt;), encodeHTMLComponent (inverse, &
+    first). Regex subset identical under Java regex and RE2
+    (inline (?is), lazy quantifiers, no lookaround). Synthetic HTML
+    is built from the documents fixture identically on both sides."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select doc_id,
+                 '<html><head><style>p{color:red}</style>'
+                 + '<script type="x">var a = 1 &lt; 2;</script></head>'
+                 + '<body><!-- hidden --><h1>Doc ' + toString(doc_id)
+                 + '</h1><p class="m">' + substring(text, 1, 120)
+                 + ' &amp;amp; more &nbsp;&gt; here</p></body></html>'
+                   as html
+          from documents where doc_id < 400)
+        select doc_id,
+               extractTextFromHTML(html) as txt,
+               decodeHTMLComponent('&amp;lt; "q" ''a''') as dec,
+               encodeHTMLComponent('a<b & "c" ''d') as enc
+        from t order by doc_id
+        """,
+    )
