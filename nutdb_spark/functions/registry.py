@@ -5629,11 +5629,13 @@ def _window_funnel_modes(params: list, ts: Column, *conds: Column) -> Column:
     process in struct sort order (fixtures use unique timestamps)."""
     win = int(params[0])
     mode = str(params[1])
-    if mode not in ("strict_order", "strict_dedup"):
+    if mode not in ("strict_order", "strict_dedup", "strict_increase"):
         raise ValueError(f"unsupported windowFunnel mode {mode!r}")
     n = len(conds)
     if n < 1:
         raise ValueError("windowFunnel requires at least one condition")
+    if mode == "strict_increase":
+        return _window_funnel_increase(win, n, ts, conds)
     ev = F.array_sort(
         F.collect_list(
             F.struct(
@@ -6052,3 +6054,109 @@ def _encode_html_component(s: Column) -> Column:
 SCALAR_FNS["extractTextFromHTML"] = _extract_text_from_html
 SCALAR_FNS["decodeHTMLComponent"] = _decode_html_component
 SCALAR_FNS["encodeHTMLComponent"] = _encode_html_component
+
+
+def _array_aucpr(scores: Column, labels: Column) -> Column:
+    """arrayAUCPR(scores, labels) — area under the precision-recall
+    curve by the sum-of-precision-at-each-positive rule:
+    (Σ_{i: label_i = 1} tp_i / i) / P over the (score DESC, label
+    ASC) order — ties resolved PESSIMISTICALLY (negatives first),
+    a documented deterministic choice where CH's is partition-order
+    dependent. Every term is a small rational; the accumulation
+    folds in the fixed sorted order, so the double hash-oracles
+    (the DuckDB replay is the identical fold). No positives → NULL."""
+    pairs = F.array_sort(
+        F.zip_with(
+            scores,
+            labels,
+            lambda s, l: F.struct(
+                (-s.cast("long")).alias("ns"),
+                l.cast("long").alias("l"),
+            ),
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0).cast("long").alias("tp"),
+        F.lit(0.0).alias("acc"),
+    )
+
+    def step(a, p):
+        i = a["i"] + 1
+        tp = a["tp"] + p["l"]
+        return F.struct(
+            i.alias("i"),
+            tp.alias("tp"),
+            (
+                a["acc"]
+                + F.when(
+                    p["l"] == 1,
+                    tp.cast("double") / i.cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("acc"),
+        )
+
+    fold = F.aggregate(pairs, init, step)
+    return F.when(
+        fold["tp"] == 0, F.lit(None).cast("double")
+    ).otherwise(fold["acc"] / fold["tp"].cast("double"))
+
+
+SCALAR_FNS["arrayAUCPR"] = _array_aucpr
+
+
+def _window_funnel_increase(win: int, n: int, ts: Column, conds) -> Column:
+    """windowFunnel(window, 'strict_increase') — chains must have
+    STRICTLY increasing timestamps (two events sharing a ts can't be
+    consecutive steps). State per depth is (latest chain-start, time
+    of the step that reached the depth); extension requires
+    e.t > last(k−1) — which only bites on tied timestamps, since the
+    fold runs in ts order. With ties the max-start discipline keeps
+    one candidate chain per depth (documented: exact for unique-ts
+    inputs, the same tie caveat as the base form)."""
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts.cast("long").alias("t"),
+                *[
+                    c.cast("boolean").alias(f"c{k}")
+                    for k, c in enumerate(conds)
+                ],
+            )
+        )
+    )
+    nil = F.lit(None).cast("long")
+    # state: [s1..sn, l1..ln, best]
+    init = F.array(*([nil] * (2 * n) + [F.lit(0).cast("long")]))
+
+    def step(acc, e):
+        starts, lasts = [], []
+        for k in range(n):
+            s_cur = F.element_at(acc, k + 1)
+            l_cur = F.element_at(acc, n + k + 1)
+            if k == 0:
+                take = e["c0"]
+                s_new, l_new = e["t"], e["t"]
+            else:
+                sp = F.element_at(acc, k)
+                lp = F.element_at(acc, n + k)
+                take = (
+                    e[f"c{k}"]
+                    & sp.isNotNull()
+                    & ((e["t"] - sp) <= F.lit(win))
+                    & (e["t"] > lp)
+                    & (s_cur.isNull() | (sp > s_cur))
+                )
+                s_new, l_new = sp, e["t"]
+            starts.append(F.when(take, s_new).otherwise(s_cur))
+            lasts.append(F.when(take, l_new).otherwise(l_cur))
+        depth = F.lit(0).cast("long")
+        for k in range(n):
+            depth = F.when(
+                starts[k].isNotNull(), F.lit(k + 1).cast("long")
+            ).otherwise(depth)
+        best = F.greatest(F.element_at(acc, 2 * n + 1), depth)
+        return F.array(*(starts + lasts + [best]))
+
+    fold = F.aggregate(ev, init, step)
+    return F.element_at(fold, 2 * n + 1)

@@ -4575,11 +4575,26 @@ def sql_agg_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
           (a, b) -> a + b) AS rs,
         CAST(len(list_filter(lb, l -> l = 1)) AS DOUBLE) AS p,
         CAST(len(list_filter(lb, l -> l <> 1)) AS DOUBLE) AS nn
-      FROM t)
-    SELECT event_id,
-           CASE WHEN p > 0 AND nn > 0
-                THEN (rs - p * (p + 1.0) / 2.0) / (p * nn) END AS auc
-    FROM r ORDER BY event_id
+      FROM t),
+    pr AS (
+      SELECT event_id, p,
+        list_reduce(
+          [[CAST(0 AS DOUBLE), 0, 0]] ||
+          list_transform(
+            list_sort(list_transform(range(1, len(sc) + 1),
+                      i -> [-sc[i], lb[i]])),
+            e -> [CAST(e[1] AS DOUBLE), CAST(e[2] AS DOUBLE), 0]),
+          (a, e) -> [
+            a[1] + CASE WHEN e[2] = 1
+                   THEN (a[3] + e[2]) / (a[2] + 1) ELSE 0 END,
+            a[2] + 1, a[3] + e[2]]) AS fold
+      FROM r)
+    SELECT r.event_id AS event_id,
+           CASE WHEN r.p > 0 AND nn > 0
+                THEN (rs - r.p * (r.p + 1.0) / 2.0) / (r.p * nn) END AS auc,
+           CASE WHEN pr.p = 0 THEN NULL
+                ELSE (pr.fold)[1] / pr.p END AS aucpr
+    FROM r JOIN pr ON r.event_id = pr.event_id ORDER BY event_id
     """,
 )
 def sql_fn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4587,8 +4602,12 @@ def sql_fn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays via the midrank rank-sum formula (ties count half):
     AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N). Exact cross-engine — counts
     are integers, midranks exact halves, one double division at the
-    end; degenerate single-class rows are NULL. Row-local O(n²) in
-    the ARRAY length only — the model-evaluation primitive for
+    end; degenerate single-class rows are NULL. arrayAUCPR joins it:
+    sum of precision at each positive over the (score desc, label
+    asc) order — ties resolved pessimistically, a documented
+    deterministic choice where CH's is partition-order-dependent; the
+    oracle replays the identical fold. Row-local O(n²) in the ARRAY
+    length only — the model-evaluation primitive for
     quality-classifier scoring at corpus scale."""
     return _run(
         spark,
@@ -4603,7 +4622,8 @@ def sql_fn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                   toInt64(1), toInt64(0),
                   toInt64(intDiv(event_id, 4) % 2)] as lb
           from events where user_id < 15)
-        select event_id, arrayAUC(sc, lb) as auc
+        select event_id, arrayAUC(sc, lb) as auc,
+               arrayAUCPR(sc, lb) as aucpr
         from t order by event_id
         """,
     )
@@ -5761,11 +5781,31 @@ _WF_SD = f"""list_reduce(
                    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END])
                AS ev
-      FROM events WHERE user_id < 120 GROUP BY user_id)
-    SELECT user_id,
+      FROM events WHERE user_id < 120 GROUP BY user_id),
+    r AS (SELECT user_id, unnest(ev) AS x FROM e),
+    f AS (SELECT user_id, x[1] AS t,
+                 x[2] AS c1, x[3] AS c2, x[4] AS c3 FROM r),
+    l1 AS (SELECT DISTINCT user_id FROM f WHERE c1 = 1),
+    l2 AS (SELECT DISTINCT a.user_id FROM f a JOIN f b
+           ON a.user_id = b.user_id
+           WHERE a.c1 = 1 AND b.c2 = 1 AND b.t > a.t
+             AND b.t - a.t <= {_WF_W}),
+    l3 AS (SELECT DISTINCT a.user_id FROM f a
+           JOIN f b ON a.user_id = b.user_id
+           JOIN f c ON a.user_id = c.user_id
+           WHERE a.c1 = 1 AND b.c2 = 1 AND c.c3 = 1
+             AND b.t > a.t AND c.t > b.t AND c.t - a.t <= {_WF_W})
+    SELECT e.user_id AS user_id,
            ({_WF_SO})[4] AS lvl_order,
-           ({_WF_SD})[4] AS lvl_dedup
-    FROM e ORDER BY user_id
+           ({_WF_SD})[4] AS lvl_dedup,
+           CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS BIGINT) AS lvl_inc
+    FROM e LEFT JOIN l1 ON e.user_id = l1.user_id
+           LEFT JOIN l2 ON e.user_id = l2.user_id
+           LEFT JOIN l3 ON e.user_id = l3.user_id
+    ORDER BY user_id
     """,
 )
 def sql_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5774,7 +5814,10 @@ def sql_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately next event — any intervention kills them; CH keeps
     non-matching events as breakers, same contract) and
     'strict_dedup' (a repeat of an already-consumed condition
-    interrupts the chain unless the event itself just created it).
+    interrupts the chain unless the event itself just created it),
+    and 'strict_increase' (strictly increasing timestamps — oracled
+    via the EXISTS-chain self-join with strict inequalities, valid
+    because fixture timestamps are unique).
     Both are history-dependent, so the oracle replays the IDENTICAL
     DP fold via list_reduce rather than the EXISTS-chain self-join
     the base mode enjoys. Deepest-step-ever-reached counts even if
@@ -5789,7 +5832,11 @@ def sql_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
                  event_type = 'purchase') as lvl_order,
                windowFunnel(86400000000, 'strict_dedup')(toUnixMicros(ts),
                  event_type = 'view', event_type = 'click',
-                 event_type = 'purchase') as lvl_dedup
+                 event_type = 'purchase') as lvl_dedup,
+               windowFunnel(86400000000, 'strict_increase')(
+                 toUnixMicros(ts),
+                 event_type = 'view', event_type = 'click',
+                 event_type = 'purchase') as lvl_inc
         from events where user_id < 120
         group by user_id order by user_id
         """,

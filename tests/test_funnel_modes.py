@@ -78,5 +78,45 @@ def test_strict_modes_window_still_applies(spark):
 def test_bad_mode_rejected(spark):
     with pytest.raises(ValueError, match="mode"):
         P["windowFunnel"](
-            [WIN, "strict_increase"], F.col("t"), F.lit(True)
+            [WIN, "strict_sideways"], F.col("t"), F.lit(True)
         )
+
+
+def test_strict_increase_tied_timestamps(spark):
+    rows = [
+        # g1: A/B share t=10 (struct tie-order processes B first, so
+        # neither mode chains there); B at 20 extends -> 2; C shares
+        # t=20 with B but sorts before it -> stays 2 in both modes
+        (1, 10, 1), (1, 10, 2), (1, 20, 2), (1, 20, 3),
+        # g2: strictly increasing A B C -> 3
+        (2, 10, 1), (2, 11, 2), (2, 12, 3),
+    ]
+    got = _funnel(spark, rows, "strict_increase")
+    assert got == {1: 2, 2: 3}
+
+
+def test_strict_increase_blocks_same_ts_chain(spark):
+    """The distinguishing case: an A-event at t=10 processed first
+    (struct tie order), then an A+B event at the SAME t=10 — base
+    mode chains step 2 onto the earlier event's state within the
+    tie; strict_increase requires t(step2) > t(step1) and blocks."""
+    from nutdb_spark.functions.registry import PARAMETRIC_AGGS as PA
+
+    df = spark.createDataFrame(
+        [(1, 10, True, False), (1, 10, True, True)],
+        "g int, t long, a boolean, b boolean",
+    )
+
+    def run(params):
+        return (
+            df.groupBy("g")
+            .agg(
+                PA["windowFunnel"](
+                    params, F.col("t"), F.col("a"), F.col("b")
+                ).alias("d")
+            )
+            .first()["d"]
+        )
+
+    assert run([WIN]) == 2                        # base chains in-tie
+    assert run([WIN, "strict_increase"]) == 1     # increase blocks

@@ -233,3 +233,21 @@ def test_fuzzy_match_join_recovers_single_edits(spark):
     assert got[10][0] == 1 and got[11][0] == 2
     assert got[12] == (3, 1.0)
     assert 13 not in got  # below threshold -> unmatched, not junk
+
+
+def test_array_aucpr_hand_computed(spark):
+    from nutdb_spark.functions.registry import SCALAR_FNS as SF
+
+    def aucpr(sc, lb):
+        return (
+            spark.createDataFrame([(sc, lb)], "s array<long>, l array<long>")
+            .select(SF["arrayAUCPR"](F.col("s"), F.col("l")).alias("a"))
+            .first()["a"]
+        )
+
+    # sorted desc: (3,+) 1/1, (2,-), (1,+) 2/3 -> (1 + 2/3) / 2
+    assert aucpr([3, 2, 1], [1, 0, 1]) == pytest.approx(5 / 6)
+    # tie: pessimistic order puts the negative first -> (1/2) / 1
+    assert aucpr([2, 2], [1, 0]) == 0.5
+    assert aucpr([1, 2], [0, 0]) is None  # no positives
+    assert aucpr([5], [1]) == 1.0
