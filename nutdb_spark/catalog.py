@@ -1121,6 +1121,61 @@ class Catalog:
             )
         return self.spark.read.parquet(self._data_path(name))
 
+    # --- [EXT] operational DDL: DETACH/ATTACH, BACKUP/RESTORE -------------
+
+    def detach(self, name: str, attach: bool) -> None:
+        """[EXT] DETACH/ATTACH TABLE — CH's visibility toggle. DETACH
+        renames the sidecar meta to <name>.json.detached (data
+        untouched, resolution stops finding the table); ATTACH renames
+        it back. Views that reference a detached table fail at read
+        time, exactly like CH."""
+        active = self._meta_path(name)
+        parked = active + ".detached"
+        if attach:
+            if os.path.exists(active):
+                raise CatalogError(f"table {name!r} is already attached")
+            if not os.path.exists(parked):
+                raise CatalogError(f"no detached table {name!r}")
+            os.rename(parked, active)
+            return
+        meta = self._load_meta(name)
+        if meta is None:
+            raise CatalogError(f"unknown table {name!r}")
+        if meta["type"] != "table":
+            raise CatalogError("DETACH supports tables")
+        os.rename(active, parked)
+
+    def backup(self, name: str, path: str, restore: bool) -> None:
+        """[EXT] BACKUP/RESTORE TABLE — copy meta + parquet data
+        to/from a directory. RESTORE refuses to clobber an existing
+        table (drop first); BACKUP overwrites its target directory
+        (it IS the backup)."""
+        import shutil
+
+        if restore:
+            if self._load_meta(name) is not None:
+                raise CatalogError(
+                    f"table {name!r} already exists — DROP it before "
+                    "RESTORE"
+                )
+            src_meta = os.path.join(path, "meta.json")
+            src_data = os.path.join(path, "data")
+            if not (os.path.exists(src_meta) and os.path.isdir(src_data)):
+                raise CatalogError(f"no backup at {path!r}")
+            shutil.copytree(src_data, self._data_path(name))
+            shutil.copyfile(src_meta, self._meta_path(name))
+            return
+        meta = self._load_meta(name)
+        if meta is None or meta["type"] != "table":
+            raise CatalogError(
+                f"unknown table {name!r} (BACKUP supports tables)"
+            )
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        shutil.copytree(self._data_path(name), os.path.join(path, "data"))
+        shutil.copyfile(self._meta_path(name), os.path.join(path, "meta.json"))
+
     # --- DESCRIBE / DROP / TRUNCATE / ALTER / OPTIMIZE --------------------
 
     def describe(self, stmt: A.DescribeStmt, engine) -> DataFrame:
@@ -1495,3 +1550,4 @@ def _unpickle_ast(s: str):
 
 def _parse_type(js: str) -> S.DataType:
     return S._parse_datatype_json_string(js)
+

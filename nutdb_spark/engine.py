@@ -465,6 +465,12 @@ class NutEngine:
         if isinstance(stmt, A.ExchangeStmt):
             self.catalog.exchange(stmt.a, stmt.b, low)
             return None
+        if isinstance(stmt, A.DetachStmt):
+            self.catalog.detach(stmt.name, stmt.attach)
+            return None
+        if isinstance(stmt, A.BackupStmt):
+            self.catalog.backup(stmt.name, stmt.path, stmt.restore)
+            return None
         if isinstance(stmt, A.RenameStmt):
             for old, new in stmt.pairs:
                 self.catalog.alter(A.AlterStmt(old, "rename_table", new), low)

@@ -536,3 +536,24 @@ class OptimizeStmt:
 class SetStmt:
     name: str
     value: object
+
+
+@dataclass
+class DetachStmt:
+    """[EXT] DETACH TABLE t / ATTACH TABLE t — ClickHouse's
+    visibility toggle: DETACH hides the table from resolution while
+    leaving its data untouched; ATTACH re-registers it."""
+
+    name: str
+    attach: bool = False
+
+
+@dataclass
+class BackupStmt:
+    """[EXT] BACKUP TABLE t TO '<dir>' / RESTORE TABLE t FROM
+    '<dir>' — copy the table's metadata + parquet data to (from) a
+    directory outside the catalog."""
+
+    name: str
+    path: str
+    restore: bool = False

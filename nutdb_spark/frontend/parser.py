@@ -184,6 +184,8 @@ class Parser:
             "exchange": self._exchange,
             "delete": self._delete,
             "update": self._update,
+            "detach": self._detach, "attach": self._detach,
+            "backup": self._backup, "restore": self._backup,
         }
         if kw not in dispatch:
             raise ParseError(f"unknown statement keyword {t.text!r}")
@@ -1625,6 +1627,26 @@ class Parser:
         a = self.ident()
         self.expect_kw("and")
         return A.ExchangeStmt(a, self.ident())
+
+    def _detach(self):
+        # [EXT] DETACH TABLE t / ATTACH TABLE t (CH visibility toggle)
+        kw = self.next().text.lower()
+        self.expect_kw("table")
+        return A.DetachStmt(self.ident(), attach=(kw == "attach"))
+
+    def _backup(self):
+        # [EXT] BACKUP TABLE t TO '<dir>' / RESTORE TABLE t FROM '<dir>'
+        kw = self.next().text.lower()
+        restore = kw == "restore"
+        self.expect_kw("table")
+        name = self.ident()
+        self.expect_kw("from" if restore else "to")
+        pe = self.parse_expr()
+        if not (isinstance(pe, A.Lit) and pe.kind == "string"):
+            raise ParseError(
+                f"{kw.upper()} requires a string literal directory"
+            )
+        return A.BackupStmt(name, pe.value, restore=restore)
 
     def _rename(self):
         # [EXT] RENAME TABLE a TO b[, c TO d ...]

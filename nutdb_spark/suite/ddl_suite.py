@@ -576,3 +576,42 @@ def q_ddl_projection_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SETTINGS optimize_use_projections = 0"
     ).withColumn("variant", F.lit("off"))
     return keys.unionAll(rollup).unionAll(off)
+
+
+@query(
+    "q_ddl_ops",
+    """
+    SELECT phase, n, total FROM (VALUES
+      ('attached', 3, CAST(60 AS BIGINT)),
+      ('restored', 3, CAST(60 AS BIGINT))
+    ) t(phase, n, total)
+    """,
+)
+def q_ddl_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Operational DDL roundtrip: DETACH hides the table from
+    resolution (data untouched), ATTACH restores it; BACKUP copies
+    meta + parquet out of the catalog, RESTORE recreates the table
+    from the copy (refusing to clobber). The entry proves both
+    roundtrips are LOSSLESS: the aggregate after detach→attach and
+    after backup→drop→restore (taken AFTER a post-backup insert was
+    dropped with the table) equals the known insert payload."""
+    import tempfile
+
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS ops_t")
+    eng.sql("CREATE TABLE ops_t (k Int32, v Int64)")
+    eng.sql("INSERT INTO ops_t VALUES (1, 10), (2, 20), (3, 30)")
+    eng.sql("DETACH TABLE ops_t")
+    eng.sql("ATTACH TABLE ops_t")
+    a = eng.sql(
+        "SELECT count() AS n, sum(v) AS total FROM ops_t"
+    ).select(F.lit("attached").alias("phase"), "n", "total")
+    bdir = tempfile.mkdtemp(prefix="q_ddl_ops_") + "/bk"
+    eng.sql(f"BACKUP TABLE ops_t TO '{bdir}'")
+    eng.sql("INSERT INTO ops_t VALUES (9, 900)")  # must NOT survive
+    eng.sql("DROP TABLE ops_t")
+    eng.sql(f"RESTORE TABLE ops_t FROM '{bdir}'")
+    b = eng.sql(
+        "SELECT count() AS n, sum(v) AS total FROM ops_t"
+    ).select(F.lit("restored").alias("phase"), "n", "total")
+    return a.unionAll(b)

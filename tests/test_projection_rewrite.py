@@ -150,3 +150,28 @@ def test_unaliased_aggregate_keeps_schema(eng):
         "SETTINGS optimize_use_projections = 0"
     )
     assert df.columns == base.columns
+
+
+def test_detach_attach_and_backup_errors(eng, tmp_path):
+    """Error fences for the operational DDL: DETACH on views/unknowns,
+    double ATTACH, RESTORE onto an existing table, RESTORE from a
+    non-backup directory."""
+    import pytest as _pytest
+
+    from nutdb_spark.catalog import CatalogError
+
+    with _pytest.raises(CatalogError, match="unknown table"):
+        eng.sql("DETACH TABLE nope")
+    with _pytest.raises(CatalogError, match="tables"):
+        eng.sql("DETACH TABLE pr_sum")  # a view
+    eng.sql("DETACH TABLE pr_sales")
+    with _pytest.raises(CatalogError, match="unknown table"):
+        eng.sql("DETACH TABLE pr_sales")  # already parked
+    eng.sql("ATTACH TABLE pr_sales")
+    with _pytest.raises(CatalogError, match="already attached"):
+        eng.sql("ATTACH TABLE pr_sales")
+    with _pytest.raises(CatalogError, match="no backup"):
+        eng.sql(f"RESTORE TABLE fresh FROM '{tmp_path}/empty'")
+    eng.sql(f"BACKUP TABLE pr_sales TO '{tmp_path}/bk'")
+    with _pytest.raises(CatalogError, match="DROP it"):
+        eng.sql(f"RESTORE TABLE pr_sales FROM '{tmp_path}/bk'")
