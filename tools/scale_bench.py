@@ -195,6 +195,14 @@ ENTRIES = [
     "sql_agg_quantile_interp",
     "sql_fn_tier15",
     "q_ddl_projection_rewrite",
+    "q_text_readability",
+    "sql_fn_bitmap",
+    "sql_agg_bitmap",
+    "sql_fn_html",
+    "q_pipeline_web",
+    "q_ddl_ops",
+    "sql_fn_auc",
+    "sql_funnel_strict",
 ]
 
 SF01 = "/root/testdata/sf0.1"
