@@ -6160,3 +6160,68 @@ def _window_funnel_increase(win: int, n: int, ts: Column, conds) -> Column:
 
     fold = F.aggregate(ev, init, step)
     return F.element_at(fold, 2 * n + 1)
+
+
+# --- [EXT] tier-18: -Resample combinators -------------------------------------
+# fnResample(start, end, step)(x, key) — CH's bucketed-aggregate
+# combinator: the group's rows are partitioned by which [start+i·step,
+# start+(i+1)·step) bucket their KEY falls in, the base aggregate runs
+# per bucket, and the result is the array of per-bucket values
+# (rows with keys outside [start, end) are ignored). With literal
+# bounds this lowers to ONE hash aggregate of ceil((end−start)/step)
+# conditional aggregates — no collect_list, no second shuffle, the
+# combinator discipline of the -If family.
+
+
+def _resample(agg: str):
+    def fn(params: list, x: Column, key: Column) -> Column:
+        start, end, step = (int(p) for p in params[:3])
+        if step <= 0 or end <= start:
+            raise ValueError("Resample needs start < end and step > 0")
+        nb = (end - start + step - 1) // step
+        if nb > 1024:
+            raise ValueError(
+                f"Resample would build {nb} buckets; cap is 1024 "
+                "(pre-bucket with GROUP BY instead)"
+            )
+        kl = key.cast("long")
+        cells = []
+        for i in range(nb):
+            lo = start + i * step
+            hi = min(lo + step, end)
+            inb = (kl >= lo) & (kl < hi)
+            if agg == "count":
+                cells.append(
+                    F.sum(F.when(inb, F.lit(1)).otherwise(F.lit(0))).cast(
+                        "long"
+                    )
+                )
+            elif agg == "sum":
+                cells.append(
+                    F.sum(
+                        F.when(inb, x.cast("long")).otherwise(
+                            F.lit(0).cast("long")
+                        )
+                    ).cast("long")
+                )
+            elif agg == "min":
+                cells.append(F.min(F.when(inb, x)))
+            elif agg == "max":
+                cells.append(F.max(F.when(inb, x)))
+            else:  # avg: exact sums, one division, NULL on empty
+                s = F.sum(
+                    F.when(inb, x.cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+                c = F.sum(F.when(inb, F.lit(1)).otherwise(F.lit(0)))
+                cells.append(
+                    F.try_divide(s.cast("double"), c.cast("double"))
+                )
+        return F.array(*cells)
+
+    return fn
+
+
+for _agg in ("sum", "count", "min", "max", "avg"):
+    PARAMETRIC_AGGS[f"{_agg}Resample"] = _resample(_agg)

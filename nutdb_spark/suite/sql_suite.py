@@ -6267,3 +6267,74 @@ def sql_fn_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by doc_id
         """,
     )
+
+
+# --- tier-18: -Resample combinators -------------------------------------------
+
+_RS_BKT = "CAST((yr - 1992) // 2 AS BIGINT)"
+
+
+@query(
+    "sql_agg_resample",
+    f"""
+    WITH t AS (
+      SELECT o_custkey AS cust, CAST(floor(o_totalprice) AS BIGINT) AS x,
+             CAST(year(o_orderdate) AS BIGINT) AS yr
+      FROM orders WHERE o_custkey < 300),
+    b AS (
+      SELECT cust, {_RS_BKT} AS bkt, x FROM t
+      WHERE yr >= 1992 AND yr < 1999),
+    per AS (
+      SELECT cust, bkt,
+             CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS c,
+             CAST(MAX(x) AS BIGINT) AS mx
+      FROM b GROUP BY cust, bkt),
+    cells AS (
+      SELECT u.cust AS cust, g.i AS i,
+             coalesce(s, 0) AS s, coalesce(c, 0) AS c, mx,
+             CASE WHEN coalesce(c, 0) > 0
+                  THEN CAST(coalesce(s, 0) AS DOUBLE)
+                       / CAST(c AS DOUBLE) END AS av
+      FROM (SELECT DISTINCT cust FROM t) u
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS i) g
+      LEFT JOIN per ON per.cust = u.cust AND per.bkt = g.i)
+    SELECT cust,
+      array_to_string(list(CAST(s AS VARCHAR) ORDER BY i), ',') AS sums,
+      array_to_string(list(CAST(c AS VARCHAR) ORDER BY i), ',') AS cnts,
+      array_to_string(list(coalesce(CAST(mx AS VARCHAR), 'n')
+                           ORDER BY i), ',') AS mxs,
+      max(CASE WHEN i = 0 THEN av END) AS av0,
+      max(CASE WHEN i = 3 THEN av END) AS av3
+    FROM cells GROUP BY cust ORDER BY cust
+    """,
+)
+def sql_agg_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-18 -Resample combinators per customer:
+    sumResample / countResample / maxResample / avgResample over
+    order totals bucketed by 2-year order-date windows [1992, 1999)
+    step 2 — ONE hash aggregate of per-bucket conditional aggregates
+    (the -If-family discipline: no collect_list, no second shuffle);
+    out-of-range keys ignored, empty buckets 0 for sum/count, NULL
+    for max/avg. The oracle rebuilds the bucket matrix with a
+    range-join and ordered list()s."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select o_custkey as cust,
+                 toInt64(floor(o_totalprice)) as x,
+                 toInt64(getYear(o_orderdate)) as yr
+          from orders where o_custkey < 300)
+        select cust,
+               arrayStringConcat(arrayMap(v -> toString(v),
+                 sumResample(1992, 1999, 2)(x, yr)), ',') as sums,
+               arrayStringConcat(arrayMap(v -> toString(v),
+                 countResample(1992, 1999, 2)(x, yr)), ',') as cnts,
+               arrayStringConcat(arrayMap(v -> ifNull(toString(v), 'n'),
+                 maxResample(1992, 1999, 2)(x, yr)), ',') as mxs,
+               avgResample(1992, 1999, 2)(x, yr)[1] as av0,
+               avgResample(1992, 1999, 2)(x, yr)[4] as av3
+        from t group by cust order by cust
+        """,
+    )

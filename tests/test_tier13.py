@@ -367,3 +367,46 @@ def test_group_bitmap_aggregates(spark):
     # g1: and {2,3}=2; or {1,2,3,4}=4; xor: 1(x1),2(x3),3(x3),4(x1) all odd=4
     assert (r[1]["band"], r[1]["bor"], r[1]["bxor"]) == (2, 4, 4)
     assert (r[2]["band"], r[2]["bor"], r[2]["bxor"]) == (1, 1, 1)
+
+
+def test_resample_combinators(spark):
+    rows = [
+        (1, 10, 0), (1, 20, 1), (1, 30, 2), (1, 40, 5),  # key 5 ignored
+        (1, 50, 3),
+    ]
+    df = spark.createDataFrame(rows, "g int, x long, k long")
+    r = (
+        df.groupBy("g")
+        .agg(
+            P["sumResample"]([0, 4, 2], F.col("x"), F.col("k")).alias("s"),
+            P["countResample"]([0, 4, 2], F.col("x"), F.col("k")).alias("c"),
+            P["maxResample"]([0, 4, 2], F.col("x"), F.col("k")).alias("m"),
+            P["avgResample"]([0, 4, 2], F.col("x"), F.col("k")).alias("a"),
+        )
+        .first()
+    )
+    # buckets [0,2) and [2,4): keys 0,1 -> b0; 2,3 -> b1; 5 ignored
+    assert list(r["s"]) == [30, 80]
+    assert list(r["c"]) == [2, 2]
+    assert list(r["m"]) == [20, 50]
+    assert list(r["a"]) == [15.0, 40.0]
+    # empty bucket: sum/count 0, max/avg NULL
+    r2 = (
+        spark.createDataFrame([(1, 7, 0)], "g int, x long, k long")
+        .groupBy("g")
+        .agg(
+            P["sumResample"]([0, 4, 2], F.col("x"), F.col("k")).alias("s"),
+            P["maxResample"]([0, 4, 2], F.col("x"), F.col("k")).alias("m"),
+            P["avgResample"]([0, 4, 2], F.col("x"), F.col("k")).alias("a"),
+        )
+        .first()
+    )
+    assert list(r2["s"]) == [7, 0]
+    assert list(r2["m"]) == [7, None]
+    assert list(r2["a"]) == [7.0, None]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap"):
+        P["sumResample"]([0, 10**9, 1], F.col("x"), F.col("k"))
+    with _pytest.raises(ValueError, match="step"):
+        P["sumResample"]([4, 0, 2], F.col("x"), F.col("k"))
