@@ -320,9 +320,21 @@ class NutEngine:
 
     # --- entry ------------------------------------------------------------
 
+    def _list_tables(self) -> list[str]:
+        names = set(TABLES)
+        for f in os.listdir(self.catalog.root):
+            if f.endswith(".json"):
+                m = self.catalog._load_meta(f[:-5])
+                if m and m.get("type") == "table":
+                    names.add(m["name"])
+        return sorted(names)
+
     def sql(self, text: str, params: list | None = None):
         stmt = parse(text)
-        low = Lowerer(self.spark, self.resolve_table, params, config=self.config)
+        low = Lowerer(
+            self.spark, self.resolve_table, params, config=self.config,
+            list_tables=self._list_tables,
+        )
         if isinstance(stmt, A.SelectStmt):
             # [EXT] SETTINGS apply before lowering (they can affect the
             # physical plan, e.g. spark_sql_shuffle_partitions) and are

@@ -133,11 +133,15 @@ class Lowerer:
         params: list | None = None,
         max_recursion: int = 100,
         config: dict | None = None,
+        list_tables=None,
     ):
         """`resolve_table(name) -> DataFrame`; `params` binds $n;
-        `config` binds @name identifiers (SET @x = v)."""
+        `config` binds @name identifiers (SET @x = v); `list_tables`
+        (optional, engine-provided) enumerates resolvable table names
+        for the merge() table function."""
         self.spark = spark
         self.resolve_table = resolve_table
+        self.list_tables = list_tables
         self.params = params or []
         self.config = config or {}
         self._ids = itertools.count()
@@ -216,6 +220,36 @@ class Lowerer:
 
     def _table_fn(self, fn: A.TableFn) -> DataFrame:
         name = fn.name.lower()
+        if name == "merge":
+            # [EXT] merge('regex') — CH's multi-table union source:
+            # every resolvable table whose name matches the regex
+            # (partial match, CH semantics), unioned BY NAME, with the
+            # `_table` virtual column carrying the source name (CH's
+            # virtual column of the same name). Needs the engine's
+            # catalog enumeration; schemas must align or the union
+            # fails loudly.
+            import re as _re_m
+
+            if self.list_tables is None:
+                raise LoweringError(
+                    "merge() needs an engine catalog (connect())"
+                )
+            if len(fn.args) != 1 or not isinstance(fn.args[0], A.Lit):
+                raise LoweringError("merge takes one regex string literal")
+            pat = _re_m.compile(str(fn.args[0].value))
+            names = sorted(n for n in self.list_tables() if pat.search(n))
+            if not names:
+                raise LoweringError(
+                    f"merge({fn.args[0].value!r}) matched no tables"
+                )
+            parts = [
+                self.resolve_table(n).withColumn("_table", F.lit(n))
+                for n in names
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         if name == "jaccardpairs":
             # [EXT] pipeline operator as a table function:
             # jaccardPairs('table', 'id_col', 'text_col', n, threshold

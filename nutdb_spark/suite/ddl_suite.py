@@ -615,3 +615,37 @@ def q_ddl_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT count() AS n, sum(v) AS total FROM ops_t"
     ).select(F.lit("restored").alias("phase"), "n", "total")
     return a.unionAll(b)
+
+
+@query(
+    "sql_table_fn_merge",
+    """
+    SELECT src, k, CAST(SUM(v) AS BIGINT) AS total FROM (
+      SELECT 'mrg_a' AS src, k, v
+      FROM (VALUES (1, 10), (2, 20)) a(k, v)
+      UNION ALL
+      SELECT 'mrg_b' AS src, k, v
+      FROM (VALUES (1, 5), (3, 30)) b(k, v)
+    ) u GROUP BY src, k
+    """,
+)
+def sql_table_fn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] merge('regex') table function — CH's multi-table union
+    source: every catalog table matching the regex (partial match),
+    unioned BY NAME with the `_table` virtual column naming the
+    source (CH's virtual column). The non-matching decoy table proves
+    the regex actually filters. Scale shape: a union of scans — each
+    source keeps its own pushdowns; no shuffle added."""
+    eng = _engine(spark, sf_dir)
+    for t in ("mrg_a", "mrg_b", "decoy"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+        eng.sql(f"CREATE TABLE {t} (k Int32, v Int64)")
+    eng.sql("INSERT INTO mrg_a VALUES (1, 10), (2, 20)")
+    eng.sql("INSERT INTO mrg_b VALUES (1, 5), (3, 30)")
+    eng.sql("INSERT INTO decoy VALUES (9, 999)")
+    return eng.sql(
+        """
+        select _table as src, k, sum(v) as total
+        from merge('^mrg_') group by _table, k
+        """
+    )
