@@ -1380,3 +1380,49 @@ def fuzzy_match_join(
         .join(rep, "cname")
         .select("did", "dname", "cid", "cname", "jw")
     )
+
+
+def incremental_exact_dedup_tombstone(
+    delta: DataFrame,
+    index: DataFrame | None,
+    id_col: str,
+    key: Column,
+    deletes: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Deletion-aware incremental exact dedup — the GDPR/right-to-be-
+    forgotten shape. The persisted index carries (__key, __keeper):
+    a delete batch PURGES every index entry whose keeper id is
+    deleted BEFORE the new delta applies, so a future arrival of that
+    key is insertable again. Dedup decisions are NOT retroactive
+    (previously dropped duplicates were never persisted — deleting a
+    keeper cannot resurrect them), which is the production contract:
+    the corpus after replay equals "keep-min-id per key among rows
+    that were never deleted and never blocked at their ingest time".
+
+    Returns ``(survivors, new_index_entries, purged_index)`` — callers
+    persist purged_index ∪ new_index_entries as the next index.
+
+    Scale shape: the purge is an id equi-join (delete sets are tiny —
+    broadcast); the rest is :func:`incremental_exact_dedup`'s one
+    key shuffle + index anti-join."""
+    if index is not None and deletes is not None:
+        index = index.join(
+            F.broadcast(
+                deletes.select(F.col(id_col).alias("__keeper"))
+            ),
+            "__keeper",
+            "left_anti",
+        )
+    keyed = delta.withColumn("__key", key)
+    if index is not None:
+        keyed = keyed.join(index.select("__key"), "__key", "left_anti")
+    w = Window.partitionBy("__key").orderBy(F.col(id_col))
+    survivors = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    new_entries = survivors.select(
+        "__key", F.col(id_col).alias("__keeper")
+    )
+    return survivors.drop("__key"), new_entries, index

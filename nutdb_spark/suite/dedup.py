@@ -1068,3 +1068,75 @@ def q_dedup_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean_name="p_name",
         threshold=0.9,
     )
+
+
+_TOMBSTONE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, {oracle_fingerprint_md5('text')} AS k
+  FROM documents),
+hi AS (SELECT (MAX(doc_id) + 1) // 2 AS split FROM keyed),
+b1 AS (SELECT keyed.* FROM keyed, hi WHERE doc_id < split),
+s1 AS (SELECT k, MIN(doc_id) AS doc_id FROM b1 GROUP BY k),
+live1 AS (SELECT k, doc_id FROM s1 WHERE doc_id % 7 <> 0),
+b2 AS (SELECT keyed.* FROM keyed, hi WHERE doc_id >= split),
+s2 AS (SELECT k, MIN(doc_id) AS doc_id FROM b2
+       WHERE k NOT IN (SELECT k FROM live1) GROUP BY k),
+final AS (SELECT doc_id FROM live1 UNION ALL SELECT doc_id FROM s2)
+SELECT f.doc_id, keyed.lang
+FROM final f JOIN keyed ON keyed.doc_id = f.doc_id
+"""
+
+
+@query("q_dedup_incremental_delete", _TOMBSTONE_ORACLE)
+def q_dedup_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-aware incremental dedup — the GDPR shape: after the
+    first ingest, every 7th surviving keeper is deleted; the purge
+    removes those entries from the persisted (key, keeper) index, so
+    a second-ingest duplicate of a deleted keeper's key is
+    INSERTABLE again, while dedup decisions are never retroactive
+    (dropped duplicates were never persisted and stay gone). Replay
+    through the stored index (spark-warehouse/exact_del_index/<sf>/
+    ingest=N, overwritten → idempotent) must equal the oracle's
+    explicit batch replay. Purge is a broadcast anti-join on the tiny
+    delete set; the rest is the one-key-shuffle exact-dedup shape."""
+    import os
+
+    from nutdb_spark.operators.dedup import (
+        incremental_exact_dedup_tombstone,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    hi = d.agg(F.max("doc_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "exact_del_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    key = fingerprint_md5(F.col("text"))
+    surv1, idx1, _ = incremental_exact_dedup_tombstone(
+        d.filter(F.col("doc_id") < split), None, "doc_id", key
+    )
+    idx1.write.mode("overwrite").parquet(os.path.join(base, "ingest=1"))
+    index = spark.read.parquet(os.path.join(base, "ingest=1"))
+    deletes = surv1.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    surv2, idx2, purged = incremental_exact_dedup_tombstone(
+        d.filter(F.col("doc_id") >= split),
+        index,
+        "doc_id",
+        key,
+        deletes=deletes,
+    )
+    purged.unionByName(idx2).write.mode("overwrite").parquet(
+        os.path.join(base, "ingest=2")
+    )
+    live1 = surv1.join(deletes, "doc_id", "left_anti")
+    return (
+        live1.select("doc_id", "lang")
+        .unionByName(surv2.select("doc_id", "lang"))
+    )

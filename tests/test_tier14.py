@@ -251,3 +251,32 @@ def test_array_aucpr_hand_computed(spark):
     assert aucpr([2, 2], [1, 0]) == 0.5
     assert aucpr([1, 2], [0, 0]) is None  # no positives
     assert aucpr([5], [1]) == 1.0
+
+
+def test_tombstone_dedup_readmission(spark):
+    """After a keeper is deleted, its key re-admits future arrivals;
+    a live keeper's key still blocks them; decisions are never
+    retroactive."""
+    from nutdb_spark.operators.dedup import (
+        incremental_exact_dedup_tombstone,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "id long, t string"
+    )
+    s1, idx1, _ = incremental_exact_dedup_tombstone(
+        b1, None, "id", F.md5("t")
+    )
+    assert sorted(r["id"] for r in s1.collect()) == [1, 3]  # 2 dropped
+    deletes = spark.createDataFrame([(1,)], "id long")  # delete keeper of aaa
+    b2 = spark.createDataFrame(
+        [(10, "aaa"), (11, "bbb"), (12, "aaa")], "id long, t string"
+    )
+    s2, idx2, purged = incremental_exact_dedup_tombstone(
+        b2, idx1, "id", F.md5("t"), deletes=deletes
+    )
+    got = sorted(r["id"] for r in s2.collect())
+    assert got == [10]  # aaa re-admitted (min id in delta); bbb blocked
+    # the next index carries bbb's old keeper and aaa's NEW keeper
+    nxt = {r["__keeper"] for r in purged.unionByName(idx2).collect()}
+    assert nxt == {3, 10}
