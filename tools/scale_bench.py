@@ -203,6 +203,9 @@ ENTRIES = [
     "q_ddl_ops",
     "sql_fn_auc",
     "sql_funnel_strict",
+    "sql_agg_resample",
+    "sql_table_fn_merge",
+    "q_dedup_incremental_delete",
 ]
 
 SF01 = "/root/testdata/sf0.1"
