@@ -89,6 +89,15 @@ class NutEngine:
     # --- [EXT] Summing-view auto-rewrite (ClickHouse projections) ---------
 
     def _rewrite_views(self) -> list[dict]:
+        # the scan fires on every GROUP BY statement — cache on the
+        # catalog directory's mtime (any CREATE/DROP touches it)
+        try:
+            stamp = os.stat(self.catalog.root).st_mtime_ns
+        except OSError:
+            return []
+        cached = getattr(self, "_rw_views_cache", None)
+        if cached is not None and cached[0] == stamp:
+            return cached[1]
         out = []
         for f in sorted(os.listdir(self.catalog.root)):
             if f.endswith(".json"):
@@ -99,6 +108,7 @@ class NutEngine:
                     and m.get("strategy") in ("summing", "aggregating")
                 ):
                     out.append(m)
+        self._rw_views_cache = (stamp, out)
         return out
 
     @staticmethod
