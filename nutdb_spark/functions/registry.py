@@ -6225,3 +6225,19 @@ def _resample(agg: str):
 
 for _agg in ("sum", "count", "min", "max", "avg"):
     PARAMETRIC_AGGS[f"{_agg}Resample"] = _resample(_agg)
+
+
+# --- [EXT] tier-18: MySQL-compat aliases (CH accepts these spellings) --------
+# Pure aliases over existing lowerings — no new semantics — except
+# locate(), whose MySQL ARGUMENT ORDER (needle, haystack) is the
+# whole point and is documented here and in the entry.
+SCALAR_FNS["locate"] = lambda sub, s: F.instr(s, sub)
+SCALAR_FNS["mid"] = SCALAR_FNS["substring"]
+SCALAR_FNS["substr"] = SCALAR_FNS["substring"]
+SCALAR_FNS["ucase"] = SCALAR_FNS["upper"]
+SCALAR_FNS["lcase"] = SCALAR_FNS["lower"]
+SCALAR_FNS["ceiling"] = SCALAR_FNS["ceil"]
+SCALAR_FNS["char_length"] = SCALAR_FNS["lengthUTF8"]
+SCALAR_FNS["character_length"] = SCALAR_FNS["lengthUTF8"]
+# octet_length counts BYTES (UTF-8), unlike the character lengths
+SCALAR_FNS["octet_length"] = F.octet_length

@@ -6338,3 +6338,48 @@ def sql_agg_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t group by cust order by cust
         """,
     )
+
+
+# --- tier-18: MySQL-compat aliases --------------------------------------------
+
+
+@query(
+    "sql_fn_aliases",
+    """
+    WITH t AS (
+      SELECT event_id, props || ' é±' AS s FROM events WHERE user_id < 15)
+    SELECT event_id,
+           strpos(s, 'k') AS loc,
+           substring(s, 3, 5) AS m,
+           upper(s) AS uc,
+           lower(s) AS lc,
+           CAST(ceiling(CAST(event_id AS DOUBLE) / 7) AS BIGINT) AS ce,
+           CAST(length(s) AS BIGINT) AS cl,
+           CAST(strlen(s) AS BIGINT) AS ol
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-18 MySQL-compat alias spellings (CH accepts all of
+    them): locate (MySQL ARGUMENT ORDER — needle first), mid/substr,
+    ucase/lcase, ceiling, char_length vs octet_length (the multibyte
+    suffix in the fixture makes them differ: characters vs UTF-8
+    bytes). Pure aliases over existing lowerings."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, props + ' é±' as s
+          from events where user_id < 15)
+        select event_id,
+               locate('k', s) as loc,
+               mid(s, 3, 5) as m,
+               ucase(s) as uc,
+               lcase(s) as lc,
+               toInt64(ceiling(toFloat64(event_id) / 7)) as ce,
+               char_length(s) as cl,
+               octet_length(s) as ol
+        from t order by event_id
+        """,
+    )
