@@ -92,6 +92,9 @@ def test_lowerings_are_lazy(spark):
                       "q_dedup_cdc_incremental",
                       "q_dedup_connected_incremental",
                       "q_dedup_url_incremental",
+                      "q_dedup_incremental_delete",
+                      # creates + inserts its source tables by design
+                      "sql_table_fn_merge",
                       # write bucketed/partitioned layouts once per
                       # session
                       "q_bucketed_join", "q_partition_pruning",
