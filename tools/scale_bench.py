@@ -206,6 +206,7 @@ ENTRIES = [
     "sql_agg_resample",
     "sql_table_fn_merge",
     "q_dedup_incremental_delete",
+    "sql_fn_aliases",
 ]
 
 SF01 = "/root/testdata/sf0.1"
