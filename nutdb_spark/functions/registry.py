@@ -6241,3 +6241,33 @@ SCALAR_FNS["char_length"] = SCALAR_FNS["lengthUTF8"]
 SCALAR_FNS["character_length"] = SCALAR_FNS["lengthUTF8"]
 # octet_length counts BYTES (UTF-8), unlike the character lengths
 SCALAR_FNS["octet_length"] = F.octet_length
+
+
+def _java_hash(s: Column) -> Column:
+    """javaHash(s) — Java String.hashCode(): h = 31·h + unit over the
+    UTF-16 code units with int32 wraparound, kept exact in int64 via
+    ((h·31 + c + 2³¹) mod 2³²) − 2³¹ per step (the CH Java-interop
+    hash; BMP-only fixture strings make code units = codepoints,
+    which is the documented scope — supplementary planes would need
+    surrogate-pair emulation)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substring(s, i, 1)).cast("long"),
+    )
+    two31 = F.lit(2147483648)
+    two32 = F.lit(4294967296)
+    return F.when(F.length(s) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda h, c: F.pmod(h * 31 + c + two31, two32) - two31,
+        )
+    )
+
+
+SCALAR_FNS["javaHash"] = _java_hash
+# hiveHash = javaHash with the SIGN BIT CLEARED (CH contract):
+# h & 0x7FFFFFFF over the int32 value
+SCALAR_FNS["hiveHash"] = lambda s: _java_hash(s).bitwiseAND(
+    F.lit(2147483647)
+)

@@ -6383,3 +6383,47 @@ def sql_fn_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+_JH_FOLD = """list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length({x}) + 1),
+                   i -> CAST(unicode(substring({x}, i, 1)) AS BIGINT))),
+  (h, c) -> ((((h * 31 + c + 2147483648) % 4294967296)
+              + 4294967296) % 4294967296) - 2147483648)"""
+
+
+@query(
+    "sql_fn_javahash",
+    f"""
+    WITH t AS (
+      SELECT event_id, props || '/' || event_type AS s
+      FROM events WHERE user_id < 15)
+    SELECT event_id,
+           CASE WHEN length(s) = 0 THEN 0
+                ELSE {_JH_FOLD.format(x='s')} END AS jh,
+           CASE WHEN length(s) = 0 THEN 0
+                ELSE ({_JH_FOLD.format(x='s')} & 2147483647) END AS hh
+    FROM t ORDER BY event_id
+    """,
+)
+def sql_fn_javahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] javaHash / hiveHash — Java String.hashCode() (31·h + c
+    with int32 wraparound, exact via the 2³¹-shifted mod-2³² fold)
+    and its sign-bit-cleared Hive variant; the CH Java-interop
+    hashes. The oracle replays the identical fold with the
+    double-pmod trick (DuckDB % keeps the operand's sign). BMP-only
+    fixture strings = code units are codepoints (documented scope)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, props + '/' + event_type as s
+          from events where user_id < 15)
+        select event_id,
+               javaHash(s) as jh,
+               hiveHash(s) as hh
+        from t order by event_id
+        """,
+    )

@@ -214,3 +214,21 @@ def test_resample_randomized(spark):
                 c[b] += 1
                 m[b] = x if m[b] is None else min(m[b], x)
         assert got[g] == (s, c, m), g
+
+
+def test_java_hash_anchors(spark):
+    """Known Java String.hashCode() values (the JLS anchors)."""
+    cases = {"": 0, "a": 97, "abc": 96354, "hello world": 1794106052,
+             "polygenelubricants": -2147483648}
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {
+        r["s"]: (r["jh"], r["hh"])
+        for r in df.select(
+            "s",
+            S["javaHash"](F.col("s")).alias("jh"),
+            S["hiveHash"](F.col("s")).alias("hh"),
+        ).collect()
+    }
+    for s, want in cases.items():
+        assert got[s][0] == want, s
+        assert got[s][1] == want & 0x7FFFFFFF, s
