@@ -649,3 +649,57 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "event_id", "bytes", target_bytes=5_000_000
     )
     return compaction_summary(plan)
+
+
+@query(
+    "q_pack_efficiency",
+    """
+    WITH manifest AS (
+      SELECT lang AS part, doc_id,
+             CAST(greatest(n_chars // 4, 1) AS BIGINT) AS toks
+      FROM documents),
+    planned AS (
+      SELECT part, doc_id, toks,
+             CAST(floor(CAST(SUM(toks) OVER (PARTITION BY part
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - toks AS DOUBLE)
+                  / 2048.0) AS BIGINT) AS grp
+      FROM manifest),
+    bins AS (
+      SELECT part, grp, CAST(SUM(toks) AS BIGINT) AS fill
+      FROM planned GROUP BY part, grp)
+    SELECT part, COUNT(*) AS n_bins,
+           CAST(SUM(fill) AS BIGINT) AS total_toks,
+           CAST(SUM(fill) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 2048.0) AS fill_rate
+    FROM bins GROUP BY part
+    """,
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing QA — the report that decides whether a corpus
+    needs repacking before training: documents (token counts ≈
+    chars/4, min 1) run through the deterministic sequential
+    first-fit planner (plan_compaction with a 2048-token context as
+    the bin target, per language) and roll up to bins / total tokens
+    / fill rate per language. Fill rate is ONE double division over
+    exact int64 sums — hash-oracled. Same scale shape as the
+    compaction planner: one window cumsum per partition."""
+    from nutdb_spark.operators.bucketing import plan_compaction
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("lang"),
+        F.col("doc_id"),
+        F.greatest(
+            F.floor(F.col("n_chars") / 4).cast("long"), F.lit(1)
+        ).alias("toks"),
+    )
+    plan = plan_compaction(d, "lang", "doc_id", "toks", target_bytes=2048)
+    bins = plan.groupBy("part", "grp").agg(F.sum("bytes").alias("fill"))
+    return bins.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("fill").cast("long").alias("total_toks"),
+        F.try_divide(
+            F.sum("fill").cast("double"),
+            (F.count(F.lit(1)) * 2048).cast("double"),
+        ).alias("fill_rate"),
+    )
