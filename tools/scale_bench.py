@@ -207,6 +207,8 @@ ENTRIES = [
     "sql_table_fn_merge",
     "q_dedup_incremental_delete",
     "sql_fn_aliases",
+    "sql_fn_javahash",
+    "q_pack_efficiency",
 ]
 
 SF01 = "/root/testdata/sf0.1"
