@@ -86,7 +86,7 @@ class NutEngine:
             return load_table(self.spark, self.data_dir, name)
         raise LoweringError(f"unknown table {name!r}")
 
-    # --- [EXT] Summing-view auto-rewrite (ClickHouse projections) ---------
+    # --- [EXT] Summing/Aggregating-view auto-rewrite (CH projections) -----
 
     def _rewrite_views(self) -> list[dict]:
         # the scan fires on every GROUP BY statement — cache on the
@@ -189,18 +189,20 @@ class NutEngine:
             for x in node:
                 NutEngine._rename_idents(x, ren)
 
-    def _try_summing_rewrite(self, q):
-        """Rewrite `SELECT k…, sum(v)… FROM base [WHERE on keys] GROUP
-        BY k…` onto a Summing view over `base` whose merge keys cover
-        the query keys — ClickHouse's projection/materialized-view
-        answer path. Sound because a Summing view partitions base rows
-        by its key tuple: any key-only predicate commutes with the
-        merge, and re-summing view rows rolls up to coarser keys
-        exactly. The view is exactly as fresh as the catalog keeps it
-        (every INSERT/mutation path maintains it), which is the CH
-        contract. Statement-scoped off-switch: SETTINGS
-        optimize_use_projections = 0. Returns the rewritten SelectCore
-        or None."""
+    def _try_projection_rewrite(self, q):
+        """Rewrite `SELECT k…, agg(v)… FROM base [WHERE on keys] GROUP
+        BY k…` onto a Summing view (sum only) or an Aggregating view
+        (sum/count/min/max) over `base` whose merge keys cover the
+        query keys — ClickHouse's projection/materialized-view answer
+        path. Sound because both view kinds partition base rows by
+        their key tuple: any key-only predicate commutes with the
+        merge, and re-aggregating merged rows (sum of sums / sum of
+        partial counts / min of mins / max of maxes) rolls up to
+        coarser keys exactly. The view is exactly as fresh as the
+        catalog keeps it (every INSERT/mutation path maintains it),
+        which is the CH contract. Statement-scoped off-switch:
+        SETTINGS optimize_use_projections = 0. Returns the rewritten
+        SelectCore or None."""
         if not isinstance(q, A.SelectCore):
             return None
         if (
@@ -369,7 +371,7 @@ class NutEngine:
                 if str(self.config.get("optimize_use_projections", 1)) not in (
                     "0", "false", "False",
                 ):
-                    query = self._try_summing_rewrite(query) or query
+                    query = self._try_projection_rewrite(query) or query
                 df = low.lower_query(query)
                 if saved:
                     # the returned frame is lazy — force physical

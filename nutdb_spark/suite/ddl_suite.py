@@ -536,7 +536,7 @@ def q_ddl_projection_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Summing-view AUTO-REWRITE — ClickHouse's projection
     answer path: `SELECT keys, sum(v) FROM base GROUP BY keys` is
     rewritten onto a Summing view over base when the view's merge
-    keys cover the query keys (engine._try_summing_rewrite). Three
+    keys cover the query keys (engine._try_projection_rewrite). Three
     variants union-tagged: full-key grouping, a coarser rollup with a
     key-only WHERE (both REWRITTEN — re-summing merged rows rolls up
     exactly; the plan pin lives in tests/test_projection_rewrite.py),

@@ -1,4 +1,4 @@
-"""Summing-view auto-rewrite pins (engine._try_summing_rewrite).
+"""Summing-view auto-rewrite pins (engine._try_projection_rewrite).
 
 The oracled entry (q_ddl_projection_rewrite) pins values; these pin
 the PLAN (the rewrite must actually read the view state, and the
