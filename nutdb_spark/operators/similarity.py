@@ -1226,3 +1226,86 @@ def grid_neighbor_join(
         )
         .filter(F.col("d2") <= radius_sq)
     )
+
+
+def _topk_mips_merge(k: int):
+    """cogroup body for MIPS: exact int64 GEMM, block-local top-k by
+    (raw inner product desc, id asc) — no normalization at all, so
+    every score is an EXACT integer."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"query_id": [], "neighbor_id": [], "dot": []}
+    ).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "dot": "int64"}
+    )
+
+    def merge(cpdf: "pd.DataFrame", qpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return empty
+        ids = cpdf["__id"].to_numpy()
+        V = np.array([np.asarray(x, dtype=np.int64) for x in cpdf["__v"]])
+        qids = qpdf["__qid"].to_numpy()
+        Q = np.array([np.asarray(x, dtype=np.int64) for x in qpdf["__qv"]])
+        g = Q @ V.T  # exact int64 inner products
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids)):
+            mask = ids != qids[qi]
+            cand_ids = ids[mask]
+            cand_dot = g[qi][mask]
+            if len(cand_ids) == 0:
+                continue
+            order = np.lexsort((cand_ids, -cand_dot))[:k]
+            out_q += [qids[qi]] * len(order)
+            out_n += list(cand_ids[order])
+            out_d += list(cand_dot[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "dot": out_d}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "dot": "int64"}
+        )
+
+    return merge
+
+
+def topk_mips(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    blocks: int = 32,
+) -> DataFrame:
+    """Maximum-inner-product top-k — the recommender-retrieval sibling
+    of :func:`topk_bruteforce` (cosine ranks direction; MIPS ranks
+    direction × magnitude, the trained-embedding dot-product score).
+    Same block-GEMM shape, but scores stay EXACT int64 end to end (no
+    sqrt, no division) — the strongest oracle contract in the ANN
+    family. Output (query_id, neighbor_id, dot, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("__id"), scaled(F.col(vec_col)).alias("__v")
+    ).withColumn("__blk", F.pmod(F.col("__id"), F.lit(blocks)).cast("long"))
+    q = queries.select(
+        F.col(id_col).alias("__qid"), scaled(F.col(vec_col)).alias("__qv")
+    ).withColumn(
+        "__blk",
+        F.explode(F.array(*[F.lit(b).cast("long") for b in range(blocks)])),
+    )
+    scored = (
+        c.groupby("__blk")
+        .cogroup(q.groupby("__blk"))
+        .applyInPandas(
+            _topk_mips_merge(k),
+            "query_id long, neighbor_id long, dot long",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )

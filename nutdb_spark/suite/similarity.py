@@ -1547,3 +1547,33 @@ def q_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_neighbor_join(
         pts, "id", "x", "y", cell=20000, radius_sq=324000000
     )
+
+
+@query(
+    "q_sim_topk_mips",
+    _SCALED_CTE
+    + f"""
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {oracle_dot_scaled('q.s', 'c.s')} AS dot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {oracle_dot_scaled('q.s', 'c.s')} DESC,
+                    c.vec_id) AS rank
+  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10) t
+WHERE rank <= 5
+""",
+)
+def q_sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k — the recommender-retrieval score
+    (direction × magnitude; cosine's q_sim_topk ranks direction only):
+    same block-GEMM cogroup shape, but every score is an EXACT int64
+    inner product of the 1e7-scaled vectors — no sqrt, no division,
+    the strongest oracle contract in the ANN family. Top-5 per query
+    by (dot desc, id), self-matches excluded."""
+    from nutdb_spark.operators.similarity import topk_mips
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return topk_mips(e, queries, "vec_id", "embedding", k=5)

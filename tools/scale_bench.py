@@ -209,6 +209,7 @@ ENTRIES = [
     "sql_fn_aliases",
     "sql_fn_javahash",
     "q_pack_efficiency",
+    "q_sim_topk_mips",
 ]
 
 SF01 = "/root/testdata/sf0.1"
