@@ -232,3 +232,70 @@ def test_java_hash_anchors(spark):
     for s, want in cases.items():
         assert got[s][0] == want, s
         assert got[s][1] == want & 0x7FFFFFFF, s
+
+
+def test_tombstone_dedup_three_batch_replay(spark):
+    """Randomized 3-batch replay with deletes after every batch,
+    compared against a Python simulator of the documented contract:
+    keep-min-id per key among rows never deleted and never blocked at
+    their ingest time; deleting a keeper re-admits its key."""
+    import random
+
+    from nutdb_spark.operators.dedup import (
+        incremental_exact_dedup_tombstone,
+    )
+
+    rnd = random.Random(99)
+    next_id = [0]
+
+    def batch(n):
+        rows = []
+        for _ in range(n):
+            rows.append((next_id[0], f"k{rnd.randint(0, 6)}"))
+            next_id[0] += 1
+        return rows
+
+    batches = [batch(12), batch(12), batch(12)]
+    # simulator state: key -> keeper id; survivors set; deletes chosen
+    # AFTER each batch from current keepers
+    keepers: dict[str, int] = {}
+    live: set[int] = set()
+    deletes_per_step: list[list[int]] = []
+    for b in batches:
+        seen_in_batch: set[str] = set()
+        for i, k in sorted(b):
+            if k in keepers or k in seen_in_batch:
+                continue
+            keepers[k] = i
+            seen_in_batch.add(k)
+            live.add(i)
+        dels = [i for i in sorted(live) if rnd.random() < 0.3]
+        deletes_per_step.append(dels)
+        for i in dels:
+            live.discard(i)
+            for k, kid in list(keepers.items()):
+                if kid == i:
+                    del keepers[k]
+    # engine replay
+    idx = None
+    surv_ids: set[int] = set()
+    for step, b in enumerate(batches):
+        df = spark.createDataFrame(b, "id long, t string")
+        dels = (
+            spark.createDataFrame(
+                [(i,) for i in deletes_per_step[step - 1]], "id long"
+            )
+            if step > 0 and deletes_per_step[step - 1]
+            else None
+        )
+        surv, entries, purged = incremental_exact_dedup_tombstone(
+            df, idx, "id", F.col("t"), deletes=dels
+        )
+        surv_ids |= {r["id"] for r in surv.collect()}
+        idx = (
+            entries if purged is None else purged.unionByName(entries)
+        ).localCheckpoint()
+    # apply every delete wave to the accumulated survivors
+    for dels in deletes_per_step:
+        surv_ids -= set(dels)
+    assert surv_ids == live
