@@ -1148,8 +1148,12 @@ class Catalog:
     def backup(self, name: str, path: str, restore: bool) -> None:
         """[EXT] BACKUP/RESTORE TABLE — copy meta + parquet data
         to/from a directory. RESTORE refuses to clobber an existing
-        table (drop first); BACKUP overwrites its target directory
-        (it IS the backup)."""
+        table (drop first); BACKUP replaces its target only when the
+        target is empty or is itself a prior backup (meta.json +
+        data/) — anything else at the path raises instead of being
+        deleted, so a typo'd or reused destination can never wipe
+        unrelated data (ClickHouse's BACKUP likewise refuses to
+        overwrite)."""
         import shutil
 
         if restore:
@@ -1170,7 +1174,20 @@ class Catalog:
             raise CatalogError(
                 f"unknown table {name!r} (BACKUP supports tables)"
             )
-        if os.path.isdir(path):
+        if os.path.exists(path) and not os.path.isdir(path):
+            raise CatalogError(
+                f"BACKUP target {path!r} exists and is not a directory"
+            )
+        if os.path.isdir(path) and os.listdir(path):
+            looks_like_backup = os.path.exists(
+                os.path.join(path, "meta.json")
+            ) and os.path.isdir(os.path.join(path, "data"))
+            if not looks_like_backup:
+                raise CatalogError(
+                    f"BACKUP target {path!r} is a non-empty directory "
+                    "that is not a prior backup — refusing to delete "
+                    "it; remove it explicitly first"
+                )
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
         shutil.copytree(self._data_path(name), os.path.join(path, "data"))

@@ -150,10 +150,26 @@ class NutEngine:
             mapping[base_col] = alias or base_col
         return vq.from_.source.name, mapping
 
+    # Nondeterministic functions can never appear in a rewritten
+    # predicate: the view holds MERGED rows, so `WHERE rand() < 0.5`
+    # would filter merged rows instead of base rows — a different
+    # result distribution, not just a different sample.
+    _NONDET_FNS = frozenset(
+        {
+            "rand", "random", "randcanonical", "randconstant",
+            "randuniform", "randnormal", "uuid", "generateuuidv4",
+            "now", "now64", "today", "yesterday",
+            "currenttimestamp", "current_timestamp",
+            "randomstring", "randomprintableascii",
+            "monotonically_increasing_id", "rownumberinallblocks",
+        }
+    )
+
     @staticmethod
     def _where_idents(node, acc: set) -> bool:
         """Collect unqualified Ident names; False on anything a key
-        predicate can't contain (subqueries, window calls)."""
+        predicate can't contain (subqueries, window calls,
+        nondeterministic function calls)."""
         import dataclasses as _dc
 
         if isinstance(node, A.Ident):
@@ -163,6 +179,11 @@ class NutEngine:
             return True
         if isinstance(
             node, (A.ScalarSubquery, A.InSubquery, A.Exists, A.WindowCall)
+        ):
+            return False
+        if (
+            isinstance(node, A.FnCall)
+            and node.name.lower() in NutEngine._NONDET_FNS
         ):
             return False
         if _dc.is_dataclass(node):
@@ -217,6 +238,15 @@ class NutEngine:
         if q.from_.sample is not None:
             return None
         base = q.from_.source.name
+        # the rewrite must not resurrect a DETACHed (or dropped) base:
+        # if the base no longer resolves, fail at lowering like any
+        # other query instead of silently answering from view state
+        if not (
+            self.catalog.has_table(base)
+            or self.catalog.has_view(base)
+            or base in TABLES
+        ):
+            return None
         keys = []
         for g in q.group_by:
             if not isinstance(g, A.Ident) or g.qualifier:
@@ -295,6 +325,21 @@ class NutEngine:
                     return None
                 aggmap[canon] = (alias, _REAGG[canon[0]])
             vkeys = set(meta["order_by"] or [])
+            # the view's OWN GROUP BY must be exactly its merge keys:
+            # when it groups finer (GROUP BY region, item with ORDER BY
+            # region), maintenance falls back to 'full' and
+            # refresh_view merges the stored rows Summing-style per
+            # merge key — SUMMING a min/max/count column across the
+            # extra grain, so the stored aggregates are no longer the
+            # functions the query names. Rewriting onto such a view
+            # returns silently wrong results; skip it.
+            vgroup: set[str] = set()
+            for gexpr in vq.group_by:
+                if not isinstance(gexpr, A.Ident) or gexpr.qualifier:
+                    return None
+                vgroup.add(colmap.get(gexpr.name, gexpr.name))
+            if vgroup != vkeys:
+                return None
         if vbase != base:
             return None
         if not all(k in colmap and colmap[k] in vkeys for k in keys):

@@ -5175,7 +5175,15 @@ PYTEST_ONLY["sumKahan"] = "float summation (value-ordered Kahan fold)"
 
 
 def _anova(x: Column, g: Column) -> Column:
-    """analysisOfVariance(x, group) → one-way ANOVA F statistic."""
+    """analysisOfVariance(x, group) → one-way ANOVA F statistic.
+
+    Group ids must lie in [0, 8): the state packs (x, g) as x·8 + g so
+    the exact sufficient statistics stay a single int64 fold. Any id
+    outside that range would silently corrupt BOTH the decoded x and
+    group (e.g. g=9 decodes as x+1, group 1), so the result is guarded
+    to NULL instead — validated on the RAW group column, before
+    packing."""
+    g_ok = (F.min(g.cast("long")) >= 0) & (F.max(g.cast("long")) <= 7)
     code = x.cast("long") * 8 + g.cast("long")
     cl = F.collect_list(code)
     xs = F.transform(cl, lambda c: ((c - F.pmod(c, 8)) / 8).cast("long"))
@@ -5209,7 +5217,8 @@ def _anova(x: Column, g: Column) -> Column:
         F.try_divide(ssw, (n - k).cast("double")),
     )
     return F.when(
-        (k < 2) | (n <= k) | (ssw <= 0.0), F.lit(None).cast("double")
+        ~g_ok | (k < 2) | (n <= k) | (ssw <= 0.0),
+        F.lit(None).cast("double"),
     ).otherwise(fstat)
 
 
@@ -5232,6 +5241,14 @@ _SPARKBAR_GLYPHS = "░▁▂▃▄▅▆▇█"
 
 def _sparkbar(params: list, x: Column, y: Column) -> Column:
     width = int(params[0])
+
+    def idiv(a: Column, b: Column) -> Column:
+        # exact non-negative integer floor division: strip the
+        # remainder first, so the decimal quotient is an exact integer
+        # and the scale rounding is a no-op — no double 2^53 hazard
+        exact = (a - F.pmod(a, b)).cast("decimal(38,0)")
+        return (exact / b.cast("decimal(38,0)")).cast("long")
+
     cl = F.collect_list(
         F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
     )
@@ -5245,10 +5262,7 @@ def _sparkbar(params: list, x: Column, y: Column) -> Column:
             F.lit(0).cast("long"),
             lambda a, t: a
             + F.when(
-                F.floor(
-                    ((t["x"] - mn) * width).cast("double") / span.cast("double")
-                ).cast("long")
-                == b.cast("long"),
+                idiv((t["x"] - mn) * width, span) == b.cast("long"),
                 t["y"],
             ).otherwise(F.lit(0).cast("long")),
         ),
@@ -5256,19 +5270,23 @@ def _sparkbar(params: list, x: Column, y: Column) -> Column:
     mw = F.array_max(weights)
     glyphs = F.transform(
         weights,
+        # level = ceil(8·w / max_w) via (8w + mw − 1) div mw — all
+        # operands non-negative on this branch (w > 0 ⇒ mw ≥ w > 0),
+        # so floor division ≡ truncation and idiv stays exact
         lambda w: F.substring(
             F.lit(_SPARKBAR_GLYPHS),
             F.when(w <= 0, F.lit(1)).otherwise(
-                (-F.floor((w * -8).cast("double") / mw.cast("double"))).cast(
-                    "int"
-                )
-                + 1
+                (idiv(w * 8 + mw - 1, mw) + 1).cast("int")
             ),
             1,
         ),
     )
     return F.when(F.size(cl) == 0, F.lit(None).cast("string")).otherwise(
-        F.array_join(glyphs, "")
+        # all-zero/negative weights: mw ≤ 0 must never reach a
+        # division — render the all-empty bar directly
+        F.when(mw <= 0, F.lit("░" * width)).otherwise(
+            F.array_join(glyphs, "")
+        )
     )
 
 

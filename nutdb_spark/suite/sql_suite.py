@@ -5475,9 +5475,9 @@ _ANOVA_T = f"""list_reduce(
   (a, b) -> a + b)"""
 
 _SB_W = """list_transform(range(0, 8), b -> list_sum(
-  list_transform(cl2, t -> CASE WHEN CAST(floor(
-    CAST((t[1] - mn) * 8 AS DOUBLE) / CAST(mx - mn + 1 AS DOUBLE))
-    AS BIGINT) = b THEN t[2] ELSE 0 END)))"""
+  list_transform(cl2, t -> CASE WHEN
+    ((t[1] - mn) * 8) // (mx - mn + 1)
+    = b THEN t[2] ELSE 0 END)))"""
 
 
 @query(
@@ -5523,9 +5523,9 @@ _SB_W = """list_transform(range(0, 8), b -> list_sum(
                 / ((CAST(q_ AS DOUBLE) - t_) / CAST(n - k AS DOUBLE)) END AS f,
       array_to_string(list_transform(weights, w2 -> substring(
         '░▁▂▃▄▅▆▇█',
-        CAST(CASE WHEN w2 <= 0 THEN 0 ELSE -floor(
-          CAST(w2 * -8 AS DOUBLE)
-          / CAST(list_max(weights) AS DOUBLE)) END AS INT) + 1,
+        CAST(CASE WHEN w2 <= 0 THEN 0 ELSE
+          (w2 * 8 + list_max(weights) - 1) // list_max(weights)
+        END AS INT) + 1,
         1)), '') AS sb,
       array_to_string(list_transform(range(0, 5), p -> CAST(coalesce(
         list_min(list_transform(list_filter(cl3, t2 -> t2[1] = p),

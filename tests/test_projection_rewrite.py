@@ -225,3 +225,84 @@ def test_rewrite_randomized_equivalence(eng):
         if any(not aggs[c] for c in chosen):
             assert "pr_rand" not in _plan(via), sql  # avg fence
     assert fired >= 4  # the rewrite actually exercised
+
+
+def test_no_rewrite_onto_finer_grained_aggregating_view(eng):
+    """An Aggregating view whose GROUP BY is FINER than its ORDER BY
+    merge keys falls back to full maintenance, and refresh_view then
+    merges the stored rows Summing-style per merge key — summing the
+    min column across the extra grain. The rewrite must refuse such a
+    view: min(qty) through it would be a min over summed minima."""
+    eng.sql(
+        "CREATE VIEW pr_finer UPDATE BY Aggregating ORDER BY (region) "
+        "AS SELECT region, item, min(qty) AS mn, sum(qty) AS sq "
+        "FROM pr_sales GROUP BY region, item"
+    )
+    df = eng.sql(
+        "SELECT region, min(qty) AS mn FROM pr_sales GROUP BY region "
+        "ORDER BY region"
+    )
+    assert "pr_finer" not in _plan(df)
+    assert [tuple(r) for r in df.collect()] == [("e", 1), ("w", 3)]
+
+
+def test_no_rewrite_after_detach(eng):
+    """DETACH's visibility contract: once the base is parked, a
+    GROUP BY over it must fail with unknown table — never be silently
+    answered from the (still-materialized) view state."""
+    from nutdb_spark.frontend.lower import LoweringError
+
+    eng.sql("DETACH TABLE pr_sales")
+    with pytest.raises(LoweringError, match="unknown table"):
+        eng.sql(
+            "SELECT region, sum(qty) AS q FROM pr_sales GROUP BY region"
+        ).collect()
+    eng.sql("ATTACH TABLE pr_sales")
+    df = eng.sql(
+        "SELECT region, sum(qty) AS q FROM pr_sales GROUP BY region"
+    )
+    assert _reads_view(_plan(df))
+
+
+def test_no_rewrite_on_nondeterministic_where(eng):
+    """WHERE rand() < x must filter BASE rows, not merged view rows —
+    a different result distribution. The rewrite must stand down on
+    any nondeterministic call in WHERE or ORDER BY."""
+    df = eng.sql(
+        "SELECT region, sum(qty) AS q FROM pr_sales "
+        "WHERE rand() <= 1.0 GROUP BY region"
+    )
+    assert not _reads_view(_plan(df))
+    # deterministic predicates keep firing
+    df2 = eng.sql(
+        "SELECT region, sum(qty) AS q FROM pr_sales "
+        "WHERE region != 'zz' GROUP BY region"
+    )
+    assert _reads_view(_plan(df2))
+
+
+def test_backup_refuses_non_backup_target(eng, tmp_path):
+    """BACKUP must never rmtree a destination it did not create: a
+    non-empty directory without the meta.json + data/ signature
+    raises; a prior backup is replaced; an empty dir is fine."""
+    from nutdb_spark.catalog import CatalogError
+
+    precious = tmp_path / "precious"
+    precious.mkdir()
+    (precious / "keep.txt").write_text("irreplaceable")
+    with pytest.raises(CatalogError, match="refusing"):
+        eng.sql(f"BACKUP TABLE pr_sales TO '{precious}'")
+    assert (precious / "keep.txt").read_text() == "irreplaceable"
+
+    asfile = tmp_path / "plainfile"
+    asfile.write_text("x")
+    with pytest.raises(CatalogError, match="not a directory"):
+        eng.sql(f"BACKUP TABLE pr_sales TO '{asfile}'")
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    eng.sql(f"BACKUP TABLE pr_sales TO '{empty}'")
+    eng.sql(f"BACKUP TABLE pr_sales TO '{empty}'")  # replace prior backup
+    eng.sql("DROP TABLE pr_sales")
+    eng.sql(f"RESTORE TABLE pr_sales FROM '{empty}'")
+    assert eng.sql("SELECT count(*) AS n FROM pr_sales").first()["n"] == 4

@@ -410,3 +410,73 @@ def test_resample_combinators(spark):
         P["sumResample"]([0, 10**9, 1], F.col("x"), F.col("k"))
     with _pytest.raises(ValueError, match="step"):
         P["sumResample"]([4, 0, 2], F.col("x"), F.col("k"))
+
+
+def test_anova_rejects_out_of_range_groups(spark):
+    """Group ids outside [0, 8) would corrupt the x·8+g packing (g=9
+    decodes as x+1, group 1) — the guard must return NULL, validated
+    on the RAW group column, never a plausible-looking wrong F."""
+    healthy = [(1, 1, 0), (1, 3, 0), (1, 10, 1), (1, 14, 1)]
+    bad_hi = [(2, 1, 0), (2, 3, 0), (2, 10, 9), (2, 14, 9)]
+    bad_neg = [(3, 1, -1), (3, 3, -1), (3, 10, 1), (3, 14, 1)]
+    got = {
+        r["g"]: (r["f"], r["fp"])
+        for r in spark.createDataFrame(
+            healthy + bad_hi + bad_neg, "g int, x long, grp long"
+        )
+        .groupBy("g")
+        .agg(
+            A["analysisOfVariance"](F.col("x"), F.col("grp")).alias("f"),
+            A["analysisOfVariancePValue"](F.col("x"), F.col("grp")).alias(
+                "fp"
+            ),
+        )
+        .collect()
+    }
+    assert got[1][0] == pytest.approx(
+        _anova_ref([(1, 0), (3, 0), (10, 1), (14, 1)])
+    )
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+
+
+def test_sparkbar_all_zero_weights_and_boundary_ids(spark):
+    """mw ≤ 0 short-circuits to the all-empty bar (no division), and
+    group ids at the packing boundary (0 and 7) stay exact."""
+    rows_zero = [(1, 0, 0), (1, 3, 0)]
+    rows_edge = [(2, x, 1) for x in range(4)]
+    got = {
+        r["g"]: r["sb"]
+        for r in spark.createDataFrame(
+            rows_zero + rows_edge, "g int, x long, y long"
+        )
+        .groupBy("g")
+        .agg(P["sparkbar"]([4], F.col("x"), F.col("y")).alias("sb"))
+        .collect()
+    }
+    assert got[1] == "░░░░"
+    assert got[2] == "████"
+
+
+def test_sparkbar_integer_exact_past_2_53(spark):
+    """The documented integer bucket math must hold where double
+    division breaks: (x−mn)·width near 2^60 with a huge span. The pin
+    is an independent Python integer-division replay."""
+    mn, span_mx = 0, (1 << 60) - 1
+    xs = [0, (1 << 60) // 3 + 1, (1 << 59) + 7, span_mx]
+    width = 8
+    span = span_mx - mn + 1
+    buckets = [((x - mn) * width) // span for x in xs]
+    weights = [sum(1 for b in buckets if b == i) for i in range(width)]
+    mw = max(weights)
+    glyphs = "░▁▂▃▄▅▆▇█"
+    expect = "".join(
+        glyphs[0 if w <= 0 else (w * 8 + mw - 1) // mw] for w in weights
+    )
+    r = (
+        spark.createDataFrame([(1, x, 1) for x in xs], "g int, x long, y long")
+        .groupBy("g")
+        .agg(P["sparkbar"]([width], F.col("x"), F.col("y")).alias("sb"))
+        .first()
+    )
+    assert r["sb"] == expect
