@@ -45,6 +45,23 @@ def _token_count(c: Column) -> Column:
 
 @scalar("bpeTokenCount")
 def _bpe_token_count(c: Column) -> Column:
+    # real greedy byte-pair merges over the committed fixture-trained
+    # vocab (operators/bpe.py) — supersedes the regex stand-in, which
+    # stays available as bpeIshTokenCount
+    from nutdb_spark.operators.bpe import bpe_token_count_text
+
+    return bpe_token_count_text(c)
+
+
+@scalar("bpeEncode")
+def _bpe_encode(c: Column) -> Column:
+    from nutdb_spark.operators.bpe import bpe_tokens_text
+
+    return bpe_tokens_text(c)
+
+
+@scalar("bpeIshTokenCount")
+def _bpe_ish_token_count(c: Column) -> Column:
     return F.size(X.bpe_ish_tokens(c))
 
 

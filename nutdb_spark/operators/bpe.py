@@ -1,0 +1,264 @@
+"""[EXT] Deterministic BPE tokenization — token-exact packing budgets.
+
+Real context windows are sized in BPE tokens, not whitespace words, so
+the packing/chunking operators need a tokenizer whose counts are exact
+and replayable in any engine. This module implements greedy byte-pair
+ENCODING (applying a trained merge table; training lives in
+``tools/train_bpe.py``) entirely JVM-side — nested higher-order-function
+folds, zero Python UDFs — with a DuckDB oracle that replays the
+identical fold.
+
+Algorithm (classic BPE, e.g. Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"):
+
+- pre-tokenize: lowercase, words are ``[a-z0-9]+`` runs; any other
+  non-space char is a standalone token that never merges,
+- per word: start from characters, then apply merges **in rank
+  order**, each pass replacing adjacent (a, b) pairs left-to-right.
+
+Rank-order application is equivalent to the textbook
+min-rank-present-pair iteration FOR TABLES PRODUCED BY BPE TRAINING:
+a rule can only mention a token after the rule that builds that token,
+so every rule involving the freshly merged token has a later rank and
+is still ahead of us. The committed ``BPE_MERGES`` table is exactly
+such a table (trained by tools/train_bpe.py on the sf0.01 documents
+corpus; re-running the script reproduces it byte-for-byte).
+
+Scale design (the 100 TB shape): ``encode_distinct_words`` runs the
+O(R·|word|) fold once per DISTINCT word — vocabulary-sized work, the
+same discipline as the bigram LM — and token counts reach documents
+through an explode + equi-join + re-aggregate, never a per-row re-fold
+of the whole corpus. The direct column fold (``bpe_tokens_text``) is
+for short strings / fixture-bounded use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Trained by: python tools/train_bpe.py 48
+# (sf0.01 documents corpus, deterministic count-desc/pair-asc ties).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("a", "s"),
+    ("as", "h"),
+    ("h", "ash"),
+    ("r", "ow"),
+    ("at", "c"),
+    ("atc", "h"),
+    ("b", "atch"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("c", "u"),
+    ("co", "lu"),
+    ("colu", "m"),
+    ("colum", "n"),
+    ("cu", "st"),
+    ("cust", "o"),
+    ("custo", "mer"),
+    ("f", "i"),
+    ("fi", "l"),
+    ("fil", "t"),
+    ("filt", "er"),
+    ("a", "l"),
+    ("al", "l"),
+    ("m", "all"),
+    ("s", "mall"),
+    ("g", "e"),
+    ("l", "ow"),
+    ("mer", "ge"),
+    ("s", "low"),
+    ("c", "t"),
+    ("ct", "or"),
+    ("d", "er"),
+    ("e", "ctor"),
+    ("or", "der"),
+    ("v", "ector"),
+)
+
+_WORD_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def _merges_lit(merges: tuple[tuple[str, str], ...]) -> Column:
+    return F.array(
+        *[F.array(F.lit(a), F.lit(b)) for a, b in merges]
+    )
+
+
+def bpe_word_tokens(
+    word: Column, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> Column:
+    """Token array for ONE pre-tokenized word: chars, then every merge
+    in rank order as a left-to-right greedy adjacent-pair fold.
+
+    Outer fold: over the merge table (acc = token array). Inner fold:
+    rebuild the token array, gluing the current token onto the
+    previous one when they spell the pair — greedy-left, so a run
+    'aaa' under ('a','a') gives ['aa','a'], matching the trainer's
+    simultaneous left-to-right replacement."""
+    chars = F.split(word, "")
+    return F.aggregate(
+        _merges_lit(merges),
+        chars,
+        lambda toks, pair: F.aggregate(
+            toks,
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.element_at(pair, 1))
+                & (t == F.element_at(pair, 2)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.concat(
+                            F.element_at(pair, 1), F.element_at(pair, 2)
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        ),
+    )
+
+
+def bpe_tokens_text(
+    text: Column, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> Column:
+    """Full-text encode: pre-tokenize, fold every word, flatten.
+    O(R·len) per ROW — fixture/short-string use; at corpus scale use
+    ``encode_distinct_words`` + join instead."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+    return F.flatten(
+        F.transform(words, lambda w: bpe_word_tokens(w, merges))
+    )
+
+
+def bpe_token_count_text(
+    text: Column, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> Column:
+    return F.size(bpe_tokens_text(text, merges)).cast("long")
+
+
+def encode_distinct_words(
+    df: DataFrame,
+    text: Column,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """(word, n_tokens) over the DISTINCT pre-tokenized words of
+    ``text`` — the vocabulary-sized table the scale path joins
+    against. One shuffle (the distinct)."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+    return (
+        df.select(F.explode(words).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.size(bpe_word_tokens(F.col("word"), merges)).cast(
+                "long"
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    key: Column,
+    text: Column,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """Per-row exact BPE token count at corpus scale: explode words,
+    equi-join the distinct-word encodings (vocabulary-sized — Spark
+    broadcasts it when small, and at 100 TB a shuffle join on the
+    word key is still vocabulary-bounded on one side), re-aggregate.
+    Rows with no words count 0. Returns (key, bpe_tokens)."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+    vocab = encode_distinct_words(df, text, merges)
+    exploded = df.select(
+        key.alias("__key"), F.explode_outer(words).alias("word")
+    )
+    return (
+        exploded.join(vocab, "word", "left")
+        .groupBy("__key")
+        .agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+                "bpe_tokens"
+            )
+        )
+        .withColumnRenamed("__key", "key")
+    )
+
+
+# --- DuckDB oracle replays -------------------------------------------------
+
+
+def _merges_sql(merges: tuple[tuple[str, str], ...]) -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return (
+        "["
+        + ", ".join(f"[{q(a)}, {q(b)}]" for a, b in merges)
+        + "]"
+    )
+
+
+def oracle_bpe_tokens_word(
+    word_expr: str, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> str:
+    """DuckDB replay of ``bpe_word_tokens``: the same nested fold.
+    list_reduce needs acc type == element type, so the outer fold
+    prepends the char list to the merge table (both LIST(VARCHAR))
+    and the inner fold runs over single-token lists."""
+    return f"""list_reduce(
+      [string_split({word_expr}, '')] || {_merges_sql(merges)},
+      (toks, pair) -> list_reduce(
+        [[]::VARCHAR[]] || list_transform(toks, t -> [t]),
+        (acc, tl) -> CASE
+          WHEN len(acc) > 0 AND acc[-1] = pair[1] AND tl[1] = pair[2]
+          THEN acc[:len(acc)-1] || [pair[1] || pair[2]]
+          ELSE acc || tl END))"""
+
+
+def oracle_bpe_tokens_text(
+    text_expr: str, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> str:
+    words = (
+        f"regexp_extract_all(lower({text_expr}), "
+        f"'[a-z0-9]+|[^a-z0-9\\s]')"
+    )
+    return (
+        "flatten(list_transform("
+        + words
+        + ", w -> "
+        + oracle_bpe_tokens_word("w", merges)
+        + "))"
+    )
+
+
+def oracle_bpe_token_count_text(
+    text_expr: str, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> str:
+    words = (
+        f"regexp_extract_all(lower({text_expr}), "
+        f"'[a-z0-9]+|[^a-z0-9\\s]')"
+    )
+    return (
+        "CAST(coalesce(list_sum(list_transform("
+        + words
+        + ", w -> len("
+        + oracle_bpe_tokens_word("w", merges)
+        + "))), 0) AS BIGINT)"
+    )

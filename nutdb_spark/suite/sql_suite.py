@@ -6427,3 +6427,48 @@ def sql_fn_javahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by event_id
         """,
     )
+
+
+# --- [EXT] BPE tokenization dialect surface ---------------------------------
+
+from nutdb_spark.operators.bpe import (  # noqa: E402
+    oracle_bpe_token_count_text as _ora_bpe_count,
+    oracle_bpe_tokens_text as _ora_bpe_toks,
+)
+
+
+@query(
+    "sql_fn_bpe",
+    f"""
+    WITH t AS (
+      SELECT doc_id, substring(text, 1, 64) AS s
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           array_to_string({_ora_bpe_toks("s")}, '|') AS toks,
+           {_ora_bpe_count("s")} AS n,
+           {_ora_bpe_count("concat('Order-', CAST(doc_id AS VARCHAR))")}
+             AS n2
+    FROM t ORDER BY doc_id
+    """,
+)
+def sql_fn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] bpeEncode / bpeTokenCount through the SQL frontend:
+    greedy byte-pair merges over the committed fixture-trained vocab
+    (operators/bpe.py), applied in rank order as nested JVM-side HOF
+    folds; the oracle replays the identical fold in DuckDB. The second
+    count exercises the mixed-case + punctuation pre-tokenization
+    path ('Order-…' → lowercase word, hyphen, digits)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select doc_id, substring(text, 1, 64) as s
+          from documents where doc_id < 200)
+        select doc_id,
+               arrayStringConcat(bpeEncode(s), '|') as toks,
+               bpeTokenCount(s) as n,
+               bpeTokenCount(concat('Order-', toString(doc_id))) as n2
+        from t order by doc_id
+        """,
+    )

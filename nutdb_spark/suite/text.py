@@ -1051,3 +1051,110 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["flesch"].alias("flesch"),
         m["ttr"].alias("ttr"),
     )
+
+
+# --- [EXT] deterministic BPE tokenization ----------------------------------
+
+from nutdb_spark.operators.bpe import (  # noqa: E402
+    bpe_token_counts,
+    bpe_tokens_text,
+    oracle_bpe_token_count_text,
+    oracle_bpe_tokens_text,
+)
+
+_BPE_CNT = oracle_bpe_token_count_text("text")
+
+
+@query(
+    "q_text_bpe",
+    f"""
+    WITH c AS (
+      SELECT doc_id, {_BPE_CNT} AS bpe_tokens,
+             len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+             {oracle_bpe_tokens_text("substring(text, 1, 48)")} AS pf
+      FROM documents)
+    SELECT doc_id, bpe_tokens, ws_tokens,
+           array_to_string(pf[1:8], ' ') AS sample
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic BPE encode (greedy byte-pair merges over the
+    committed fixture-trained vocab, operators/bpe.py) — the
+    token-exact budget the packing/chunking operators need. The COUNT
+    takes the 100 TB path: the O(R·|word|) fold runs once per DISTINCT
+    word (vocabulary-sized), counts reach documents through explode +
+    equi-join + re-aggregate. The visible token sample folds a 48-char
+    prefix directly. All higher-order-function folds — JVM-side, zero
+    Python, and the DuckDB oracle replays the identical nested fold."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(d, F.col("doc_id"), F.col("text")).select(
+        F.col("key").alias("doc_id"), "bpe_tokens"
+    )
+    per_doc = d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                bpe_tokens_text(F.substring(F.col("text"), 1, 48)), 1, 8
+            ),
+        ).alias("sample"),
+    )
+    return (
+        per_doc.join(counts, "doc_id")
+        .select("doc_id", "bpe_tokens", "ws_tokens", "sample")
+        .orderBy("doc_id")
+    )
+
+
+_PACKB_H = oracle_hash_bucket("doc_id", salt="packbpe", grain=_PACK_GRAIN)
+
+
+@query(
+    "q_pack_bpe",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_BPE_CNT} AS n_tokens,
+             {_PACKB_H} AS __h,
+             CAST(({_PACKB_H}) % {_PACK_SHARDS} AS INT) AS __shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, __shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY __shard
+                    ORDER BY __h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS __cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, __shard AS shard,
+           (__cum - n_tokens) // {_PACK_BUDGET} AS seq,
+           (__cum - n_tokens) % {_PACK_BUDGET} AS "offset",
+           CASE WHEN n_tokens > 0
+                THEN (__cum - 1) // {_PACK_BUDGET}
+                     - (__cum - n_tokens) // {_PACK_BUDGET} + 1
+                ELSE 0 END AS n_seqs
+    FROM c
+    """,
+)
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with BPE-token-exact budgets: q_pack_sequences'
+    layout (per-shard ROWS-window cumsum, one shuffle, no global sort)
+    re-based on real tokenizer counts instead of whitespace words —
+    context windows are sized in BPE tokens. Counts come from the
+    vocabulary-sized distinct-word join (operators/bpe.py), so the
+    token-counting stage stays scan-linear at 100 TB."""
+    from nutdb_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(d, F.col("doc_id"), F.col("text")).select(
+        F.col("key").alias("doc_id"),
+        F.col("bpe_tokens").alias("n_tokens"),
+    )
+    return pack_sequences(
+        counts,
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        budget=_PACK_BUDGET,
+        shards=_PACK_SHARDS,
+        salt="packbpe",
+    )
