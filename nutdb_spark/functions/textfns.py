@@ -65,6 +65,21 @@ def _bpe_ish_token_count(c: Column) -> Column:
     return F.size(X.bpe_ish_tokens(c))
 
 
+@scalar("qualityLogit")
+def _quality_logit(c: Column) -> Column:
+    # hashed-linear quality-classifier inference (operators/quality_clf)
+    from nutdb_spark.operators.quality_clf import classifier_logit
+
+    return classifier_logit(c)
+
+
+@scalar("qualityKeep")
+def _quality_keep(c: Column) -> Column:
+    from nutdb_spark.operators.quality_clf import classifier_keep
+
+    return classifier_keep(c)
+
+
 # n-gram width must be known at plan-construction time (the gram
 # expression is built per-n), so the registry exposes fixed-n
 # spellings rather than an ngrams(tokens, n) with a column n:

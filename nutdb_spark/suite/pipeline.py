@@ -45,13 +45,16 @@ _W = "string_split_regex(trim(text), '\\s+')"
 
 
 def _oracle() -> str:
+    from nutdb_spark.operators.quality_clf import oracle_classifier_keep
+
     sw = oracle_stopword_ratio("w", ENGLISH_STOPWORDS)
     return f"""
 WITH q AS (
   SELECT doc_id, lang, text, {_W} AS w FROM documents),
 kept AS (
   SELECT * FROM q
-  WHERE len(w) >= {_MIN_TOKENS} AND {sw} >= {_MIN_STOPWORD}),
+  WHERE len(w) >= {_MIN_TOKENS} AND {sw} >= {_MIN_STOPWORD}
+    AND {oracle_classifier_keep('text')}),
 reps AS (
   SELECT MIN(doc_id) AS doc_id FROM kept
   GROUP BY {oracle_fingerprint_md5('text')}),
@@ -82,13 +85,17 @@ FROM clean GROUP BY lang
 
 @query("q_pipeline_clean", _oracle())
 def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-filter → exact-dedup → near-dup-drop → per-lang stats,
-    as one composed DataFrame plan."""
+    """Quality-filter (heuristics + the hashed-linear classifier gate)
+    → exact-dedup → near-dup-drop → per-lang stats, as one composed
+    DataFrame plan."""
+    from nutdb_spark.operators.quality_clf import classifier_keep
+
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     kept = d.filter(
         (F.size(toks) >= _MIN_TOKENS)
         & (stopword_ratio(toks, ENGLISH_STOPWORDS) >= _MIN_STOPWORD)
+        & classifier_keep(F.col("text"))
     )
     reps = (
         kept.groupBy(fingerprint_md5(F.col("text")).alias("__k"))

@@ -1158,3 +1158,37 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards=_PACK_SHARDS,
         salt="packbpe",
     )
+
+
+# --- [EXT] hashed-linear quality-classifier inference ------------------------
+
+from nutdb_spark.operators.quality_clf import (  # noqa: E402
+    classifier_keep,
+    classifier_logit,
+    oracle_classifier_keep,
+    oracle_classifier_logit,
+)
+
+
+@query(
+    "q_text_classifier",
+    f"""
+    SELECT doc_id,
+           {oracle_classifier_logit('text')} AS logit,
+           {oracle_classifier_keep('text')} AS keep
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] fastText-style quality-classifier inference: exact int64
+    logit = bias + Σ_word W[md5bucket(word)] over the committed
+    offline-trained weight table (tools/train_quality_clf.py, 95.2%
+    on the fixture labels), keep = logit > 0. A pure per-row HOF fold
+    — the 64-int weight 'broadcast' folds into the expression, no
+    shuffle, no UDF; the model-swap path at 100 TB is one literal."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        classifier_logit(F.col("text")).alias("logit"),
+        classifier_keep(F.col("text")).alias("keep"),
+    ).orderBy("doc_id")
