@@ -1140,3 +1140,87 @@ def q_dedup_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         live1.select("doc_id", "lang")
         .unionByName(surv2.select("doc_id", "lang"))
     )
+
+
+# --- [EXT] SemDeDup: semantic dedup via cluster-then-within-cluster cosine --
+
+_SEM_THR = 0.35
+
+
+def _oracle_semantic() -> str:
+    """DuckDB twin of the SemDeDup composition: the replayed
+    deterministic k-means (same CTE chain as q_cluster_kmeans),
+    within-cluster exact cosine pairs, recursive-CTE transitive
+    closure, keep-FARTHEST-from-centroid (max dist², ties → min id)
+    per component."""
+    from nutdb_spark.operators.similarity import (
+        oracle_cosine,
+        oracle_dot_scaled,
+    )
+    from nutdb_spark.suite.similarity import _oracle_kmeans
+
+    cos = oracle_cosine(oracle_dot_scaled("a.s", "b.s"), "a.n2", "b.n2")
+    head = _oracle_kmeans().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{head},
+n AS (
+  SELECT v.vec_id, v.s, {oracle_dot_scaled('v.s', 'v.s')} AS n2,
+         f.cid, f.d2
+  FROM v JOIN fin f ON v.vec_id = f.vec_id),
+sp AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_SEM_THR}),
+se AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM sp
+      UNION ALL SELECT id_b, id_a FROM sp),
+reach(id, r) AS (
+  SELECT s, s FROM se
+  UNION
+  SELECT se.s, reach.r FROM se JOIN reach ON se.d = reach.id),
+comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+scored AS (
+  SELECT c.id, c.root,
+         ROW_NUMBER() OVER (PARTITION BY c.root
+                            ORDER BY n.d2 DESC, c.id) AS rk
+  FROM comp c JOIN n ON n.vec_id = c.id),
+drops AS (SELECT id FROM scored WHERE rk > 1)
+SELECT n.vec_id, e.label, n.cid FROM n
+JOIN embeddings e ON e.vec_id = n.vec_id
+LEFT JOIN drops x ON n.vec_id = x.id
+WHERE x.id IS NULL
+"""
+
+
+@query("q_dedup_semantic", _oracle_semantic())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    cluster the embeddings, compute exact cosine pairs ONLY within a
+    cluster, then per semantic-duplicate group keep the member
+    FARTHEST from its centroid (the paper's best-performing policy;
+    ties → min id). Pure composition of green pieces: the replayed
+    deterministic k-means (train-once persisted centroids, the
+    q_cluster_kmeans artifact), the blocked per-cluster GEMM (one
+    shuffle on cid, no crossJoin — clusters ARE the blocking, which is
+    what makes 100 TB feasible: k scales with corpus size so cluster
+    cardinality stays bounded), bounded min-label connected
+    components, and the keep-best anti-join."""
+    from nutdb_spark.operators.dedup import dedup_connected_keep_best
+    from nutdb_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        kmeans_assign,
+    )
+    from nutdb_spark.suite.similarity import _ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(
+        e, "vec_id", "embedding", centroids=_ivf_centroids(spark, sf_dir)
+    ).select(F.col("__id").alias("vec_id"), "cid", "dist2")
+    d = e.join(asg, "vec_id")
+    pairs = cosine_pairs_blocked(
+        d, "vec_id", "embedding", "cid", threshold=_SEM_THR
+    )
+    return dedup_connected_keep_best(
+        pairs,
+        d.select("vec_id", "label", "cid", F.col("dist2").alias("__d2")),
+        "vec_id",
+        "__d2",
+    ).select("vec_id", "label", "cid")

@@ -581,3 +581,73 @@ def test_r11_entries_plan_shapes(spark):
     p = skew._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in p
     assert "BroadcastHashJoin" not in p  # salting under broadcast is void
+
+
+def test_semantic_dedup_plan_and_semantics(spark):
+    """q_dedup_semantic: clusters must BLOCK the pair generation — no
+    cartesian/nested-loop anywhere — and the keep policy must retain,
+    per duplicate component, exactly the farthest-from-centroid member
+    (ties → min id), verified against a driver-side replay on the tiny
+    sf0.001 fixture."""
+    from nutdb_spark.suite import QUERIES
+    from nutdb_spark.suite.dedup import _SEM_THR
+
+    SF001 = "/root/testdata/sf0.001"
+    df = QUERIES["q_dedup_semantic"](spark, SF001)
+    plan = plan_of(df)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython"):
+        assert node not in plan
+    kept = {r["vec_id"] for r in df.collect()}
+
+    # independent replay: exact ints end-to-end, so plain Python agrees
+    from nutdb_spark.operators.similarity import kmeans_assign
+    from nutdb_spark.suite.similarity import _ivf_centroids
+    from nutdb_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF001, "embeddings")
+    asg = kmeans_assign(
+        e, "vec_id", "embedding", centroids=_ivf_centroids(spark, SF001)
+    ).select(F.col("__id").alias("vec_id"), "cid", "dist2")
+    rows = e.join(asg, "vec_id").collect()
+    import itertools
+    import math
+
+    from nutdb_spark.operators.similarity import SCALE
+
+    scaled = {
+        r["vec_id"]: [math.floor(x * SCALE) for x in r["embedding"]]
+        for r in rows
+    }
+    meta = {r["vec_id"]: (r["cid"], r["dist2"]) for r in rows}
+    adj: dict[int, set[int]] = {i: set() for i in scaled}
+    for a, b in itertools.combinations(sorted(scaled), 2):
+        if meta[a][0] != meta[b][0]:
+            continue
+        sa, sb = scaled[a], scaled[b]
+        dot = sum(x * y for x, y in zip(sa, sb))
+        na2 = sum(x * x for x in sa)
+        nb2 = sum(x * x for x in sb)
+        # the engine's exact op order: dot / sqrt(na²) / sqrt(nb²)
+        if na2 and nb2 and dot / math.sqrt(na2) / math.sqrt(nb2) >= _SEM_THR:
+            adj[a].add(b)
+            adj[b].add(a)
+    seen: set[int] = set()
+    expect: set[int] = set()
+    for start in sorted(scaled):
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj[u] - comp)
+        seen |= comp
+        if len(comp) == 1:
+            expect |= comp
+        else:
+            expect.add(min(comp, key=lambda i: (-meta[i][1], i)))
+    assert kept == expect
