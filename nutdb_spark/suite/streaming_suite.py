@@ -1029,3 +1029,101 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "seen", "n_alerts", "s")
     )
+
+
+# --- [EXT] streaming near-dup ingest (foreachBatch band-index growth) -------
+
+
+@query(
+    "q_stream_dedup_neardup",
+    # stream ≡ one-shot batch replay: the oracle is the same full-corpus
+    # LSH dedup that grades q_dedup_incremental
+    __import__(
+        "nutdb_spark.suite.dedup", fromlist=["_INCREMENTAL_ORACLE"]
+    )._INCREMENTAL_ORACLE,
+)
+def q_stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup dedup: documents arrive as a file
+    stream (one file per micro-batch, ascending doc_id), and a
+    foreachBatch sink runs `incremental_near_dedup` against the
+    PERSISTED MinHash band index — each micro-batch probes only the
+    index parquet (corpus text never re-shingled), appends its own
+    band rows (dropped docs' rows too, the replay contract), and
+    appends its survivors. The closing of the batch/streaming gap: the
+    nightly-ingest operator (q_dedup_incremental) and this entry share
+    the identical per-batch engine, and BOTH must equal the one-shot
+    full-corpus LSH oracle. State is the parquet index itself — no
+    driver-side accumulation; at 100 TB the index is a bucketed table
+    and each micro-batch's probe is a co-located equi-join."""
+    import tempfile
+    import time
+
+    from nutdb_spark.operators.dedup import incremental_near_dedup
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    hi = d.agg(F.max("doc_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    kw = dict(n=4, num_hashes=8, bands=4, est_threshold=0.75)
+
+    src = _STREAM_SRC_CACHE.get(("neardup", sf_dir))
+    if src is None or not os.path.isdir(src):
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="q_stream_neardup_src_")
+        src = root + "/src"
+        os.makedirs(src)
+        # FileStreamSource orders files by modification time (ties by
+        # path): write each batch separately, move its single part file
+        # under a controlled name, and stamp strictly increasing mtimes
+        # so batch 1 (low ids) always precedes batch 2 — the
+        # keep-first-by-id replay contract depends on it.
+        now = time.time()
+        for i, batch in enumerate(
+            (
+                d.filter(F.col("doc_id") < split),
+                d.filter(F.col("doc_id") >= split),
+            )
+        ):
+            stage = os.path.join(root, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            [part] = [
+                f
+                for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        _STREAM_SRC_CACHE[("neardup", sf_dir)] = src
+
+    base = tempfile.mkdtemp(prefix="q_stream_neardup_")
+    out, ck, idx = f"{base}/out", f"{base}/ck", f"{base}/index"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        index = None
+        if os.path.isdir(idx) and any(
+            f.endswith(".parquet") for f in os.listdir(idx)
+        ):
+            index = spark.read.parquet(idx)
+        surv, rows = incremental_near_dedup(
+            batch_df, index, "doc_id", "text", **kw
+        )
+        # persist FIRST (rows feed the next batch), then the survivors
+        rows.write.mode("append").parquet(idx)
+        surv.select("doc_id", "lang").write.mode("append").parquet(out)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

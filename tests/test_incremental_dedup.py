@@ -245,3 +245,35 @@ def test_incremental_connected_replay_matches_one_shot(spark, sf_dir):
         index = rows if index is None else index.unionByName(rows)
         index = index.localCheckpoint()
     assert _labels(labels) == _labels(one_shot)
+
+
+def test_streaming_neardup_equals_one_shot(spark):
+    """q_stream_dedup_neardup (foreachBatch band-index growth) must be
+    row-identical to the one-shot LSH dedup over the whole corpus —
+    the stream ≡ batch replay contract, here at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.dedup import (
+        dedup_near_keep_first,
+        minhash_lsh_pairs,
+    )
+    from nutdb_spark.sources import load_table
+    from nutdb_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r)
+        for r in QUERIES["q_stream_dedup_neardup"](spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=4, num_hashes=8, bands=4,
+        est_threshold=0.75,
+    )
+    oneshot = {
+        tuple(r)
+        for r in dedup_near_keep_first(
+            pairs, d.select("doc_id", "lang"), "doc_id"
+        ).collect()
+    }
+    assert streamed == oneshot and len(oneshot) > 0
