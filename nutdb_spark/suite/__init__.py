@@ -41,58 +41,40 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries.
-# Round-11 window: (1) 36 of the round's new entries (the three
-# thinnest — sql_fn_aliases, sql_fn_javahash, q_pack_efficiency —
-# sit just past the window with q_dedup_url_incremental; the full
-# local gate covers them), then
-# the STALEST re-grades: (2) the first 14 (name order) of the
-# 35-entry r5 pool declared in the r10 ledger (18 never windowed in
-# r10 + 17 displaced by r10's new entries; q_fn_random stays out —
-# rows-only by design, re-grading it adds no hash signal). 36 + 14 =
-# 50; q_dedup_url_incremental, also new this round, sits just past
-# the window — the judge's full local gate covers it. The ROUND-12
-# re-grade pool starts with the 21 displaced r5 tail names
-# (q_sim_cosine_blocked, q_sim_topk, q_sim_topk_ivf,
-# q_sim_topk_lsh, q_split_train_eval,
-# q_stream_enrich, q_text_fingerprint, q_text_quality,
-# q_union_distinct, q_window_session, q_window_tumbling, sql_asof,
-# sql_q1, sql_setops, sql_table_fn, tpch_q10, tpch_q16, tpch_q20,
-# tpch_q22, tpch_q8, tpch_q9), then
-# the FULL 50-entry r6 pool in name order, starting at q_cte/
-# q_dedup_connected_star/q_dedup_minhash_lsh/q_dedup_spans/
-# q_distinct_on/q_except/q_exists/q_expr_arith/q_expr_bitwise (the
-# displaced tail fillers); then the r7 pool.
+# Round-12 window (drains the driver-grade backlog to zero, per the
+# r11 verdict): (1) the 5 entries that have never had a driver row,
+# (2) the 21 displaced r5 tail names declared in the r11 ledger,
+# (3) the 6 entries NEW this round plus the 2 whose semantics/values
+# changed this round (q_pipeline_clean gained the classifier gate;
+# sql_agg_anova's sparkbar moved to integer-exact bucket math) — a
+# changed entry needs a fresh grade, its old green no longer covers
+# the shipped code, (4) the first 16 (name order) of the 50-entry r6
+# re-grade pool. 5 + 21 + 8 + 16 = 50. The ROUND-13 re-grade pool
+# continues the r6 pool in name order at q_expr_case /
+# q_expr_compare / q_expr_logic / q_fn_dates / q_fn_datetime /
+# q_fn_minmax(-tail after q_fn_quantile) — i.e. sorted(r6 names)
+# minus the 16 below — then the r7 pool.
 _PRIORITY = [
-    # --- (1) new in round 11 (the later additions displaced the
-    # tail r6 fillers q_expr_bitwise, q_expr_arith, q_exists,
-    # q_except, q_distinct_on, then q_dedup_spans,
-    # q_dedup_minhash_lsh, q_dedup_connected_star, q_cte, and
-    # finally the r5 tail q_sim_cosine_blocked, q_sim_topk,
-    # q_sim_topk_ivf, q_sim_topk_lsh, q_split_train_eval,
-    # q_stream_enrich,
-    # q_text_fingerprint, q_text_quality, q_union_distinct,
-    # q_window_session, q_window_tumbling, sql_asof, sql_q1,
-    # sql_setops, sql_table_fn + tpch_q10/q16/q20/q22/q8/q9 — next
-    # round's pool starts there) ---
-    "q_join_skew_aqe", "q_dedup_url", "q_dedup_connected_incremental",
-    "q_sim_ivf_rebalance", "sql_fn_strsim", "sql_fn_tier11",
-    "sql_agg_ttest", "sql_agg_ks", "q_sample_quota",
-    "sql_fn_tier12", "q_partition_pruning_dynamic",
-    "sql_agg_anova", "sql_fn_tier13", "q_text_bigram_lm",
-    "q_split_kfold", "sql_fn_tier14", "q_analytic_period",
-    "q_geo_bucket_join", "q_join_bloom_filter", "q_layout_compaction",
-    "sql_funnel_strict", "q_dedup_fuzzy_join", "sql_agg_matrix",
-    "q_stream_cusum", "sql_agg_quantile_interp", "sql_fn_tier15",
-    "q_ddl_projection_rewrite", "q_text_readability",
-    "sql_fn_bitmap", "sql_agg_bitmap", "sql_fn_html",
-    "q_pipeline_web", "q_ddl_ops", "sql_agg_resample",
-    "sql_table_fn_merge", "q_dedup_incremental_delete",
-    # --- (2) r5 re-grades (first 14 of the declared pool) ---
-    "q_distinct", "q_expr_concat", "q_fn_conditional_agg",
-    "q_fn_scalar_surface", "q_join_left", "q_join_left_anti",
-    "q_join_right_anti", "q_join_right_semi", "q_join_theta",
-    "q_multimodal_features", "q_not_exists", "q_not_in_list_null",
-    "q_not_in_subquery", "q_sample_hash",
+    # --- (1) never driver-graded ---
+    "sql_fn_aliases", "sql_fn_javahash", "q_pack_efficiency",
+    "q_sim_topk_mips", "q_dedup_url_incremental",
+    # --- (2) displaced r5 tail (stalest grades) ---
+    "q_sim_cosine_blocked", "q_sim_topk", "q_sim_topk_ivf",
+    "q_sim_topk_lsh", "q_split_train_eval", "q_stream_enrich",
+    "q_text_fingerprint", "q_text_quality", "q_union_distinct",
+    "q_window_session", "q_window_tumbling", "sql_asof", "sql_q1",
+    "sql_setops", "sql_table_fn", "tpch_q10", "tpch_q16", "tpch_q20",
+    "tpch_q22", "tpch_q8", "tpch_q9",
+    # --- (3) new or value-changed in round 12 ---
+    "sql_fn_bpe", "q_text_bpe", "q_pack_bpe", "q_text_classifier",
+    "q_dedup_semantic", "q_stream_dedup_neardup",
+    "q_pipeline_clean", "sql_agg_anova",
+    # --- (4) r6 re-grade pool, first 16 in name order ---
+    "q_cte", "q_dedup_connected_star", "q_dedup_minhash_lsh",
+    "q_dedup_spans", "q_distinct_on", "q_except", "q_exists",
+    "q_expr_arith", "q_expr_bitwise", "q_expr_case",
+    "q_expr_compare", "q_expr_logic", "q_fn_dates", "q_fn_datetime",
+    "q_fn_minmax", "q_fn_quantile",
 ]
 
 
