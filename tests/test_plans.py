@@ -100,7 +100,12 @@ def test_lowerings_are_lazy(spark):
                       "q_bucketed_join", "q_partition_pruning",
                       "q_partition_pruning_dynamic",
                       # recursive CTEs iterate to a fixpoint by design
-                      "sql_recursive", "sql_recursive_graph")
+                      "sql_recursive", "sql_recursive_graph",
+                      # train-once centroid artifact (q_cluster_kmeans
+                      # precedent) + bounded max-id collect
+                      "q_dedup_semantic",
+                      # runs the real availableNow stream by design
+                      "q_stream_dedup_neardup")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)

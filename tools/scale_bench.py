@@ -210,6 +210,18 @@ ENTRIES = [
     "sql_fn_javahash",
     "q_pack_efficiency",
     "q_sim_topk_mips",
+    # round-12 additions — BPE tokenization (distinct-word-join scale
+    # path + direct short-string fold), hashed-linear classifier
+    # (pure projection, expected scan-linear), SemDeDup composition
+    # (artifact-cached centroids: the slope measures assign + GEMM +
+    # closure), streaming near-dup ingest (two micro-batches of 5×
+    # the docs each; measures per-batch index probe + append)
+    "sql_fn_bpe",
+    "q_text_bpe",
+    "q_pack_bpe",
+    "q_text_classifier",
+    "q_dedup_semantic",
+    "q_stream_dedup_neardup",
 ]
 
 SF01 = "/root/testdata/sf0.1"
