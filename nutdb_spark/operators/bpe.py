@@ -201,6 +201,54 @@ def bpe_token_counts(
     )
 
 
+def bpe_tokens_by_join(
+    df: DataFrame,
+    key: Column,
+    text: Column,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """Per-row FULL token array at corpus scale: positional explode of
+    the pre-tokenized words, equi-join the distinct-word encodings,
+    reassemble in word order (ordered collect + flatten). Semantically
+    identical to ``bpe_tokens_text`` but the O(R·|word|) fold runs
+    once per DISTINCT word — the shape a packing writer uses to emit
+    actual token streams. Rows with no words get an empty array.
+    Returns (key, toks)."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+    vocab = encode_distinct_words(df, text, merges).select(
+        "word", bpe_word_tokens(F.col("word"), merges).alias("__wt")
+    )
+    keyed = df.select(key.alias("key"), words.alias("__words"))
+    joined = (
+        keyed.select(
+            "key", F.posexplode("__words").alias("__p", "word")
+        )
+        .join(vocab, "word")
+        .groupBy("key")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__p").alias("p"),
+                                F.col("__wt").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                )
+            ).alias("toks")
+        )
+    )
+    return keyed.select("key").join(joined, "key", "left").select(
+        "key",
+        F.coalesce(
+            F.col("toks"), F.array().cast("array<string>")
+        ).alias("toks"),
+    )
+
+
 # --- DuckDB oracle replays -------------------------------------------------
 
 

@@ -1202,6 +1202,136 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_emit",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {oracle_bpe_tokens_text('text')} AS toks,
+             {_PACKB_H} AS __h,
+             CAST(({_PACKB_H}) % {_PACK_SHARDS} AS INT) AS __shard
+      FROM documents
+    ), c AS (
+      SELECT __shard, toks, len(toks) AS n,
+             CAST(SUM(len(toks)) OVER (PARTITION BY __shard
+                    ORDER BY __h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - len(toks) AS s
+      FROM t
+    ), f AS (
+      SELECT __shard, toks, n, s,
+             unnest(generate_series(s // {_PACK_BUDGET},
+                                    (s + n - 1) // {_PACK_BUDGET})) AS q
+      FROM c WHERE n > 0
+    ), g AS (
+      SELECT __shard, q,
+             GREATEST(s - q * {_PACK_BUDGET}, 0) AS off,
+             list_slice(toks,
+                        GREATEST(q * {_PACK_BUDGET} - s, 0) + 1,
+                        LEAST(n, (q + 1) * {_PACK_BUDGET} - s)) AS frag
+      FROM f
+    ), h AS (
+      SELECT __shard AS shard, q AS seq,
+             flatten(list(frag ORDER BY off)) AS ts
+      FROM g GROUP BY 1, 2
+    )
+    SELECT shard, seq, CAST(len(ts) AS BIGINT) AS n_tokens,
+           array_to_string(ts, ' ') AS tokens
+    FROM h ORDER BY shard, seq
+    """,
+)
+def q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Materialize the packed token STREAM — the last step of
+    the packing story: q_pack_bpe computes where each document's
+    tokens land; this entry emits the actual fixed-budget sequences a
+    trainer reads. Per-doc token arrays come from the vocabulary-bound
+    join encoder (bpe_tokens_by_join — the O(R·|word|) fold runs once
+    per DISTINCT word); each doc then explodes into n_seqs array
+    SLICES (almost always 1-2 rows — never per-token explode), and a
+    groupBy (shard, seq) reassembles fragments by their in-sequence
+    offset (ordered collect + flatten). Work is O(total tokens) —
+    scan-linear, the cost of writing the output at all — with one
+    extra shuffle beyond the layout (the fragment regroup on
+    (shard, seq), which at 100 TB is also the writer's natural output
+    partitioning). Invariant pinned in tests: every sequence except
+    the last per shard carries exactly `budget` tokens."""
+    from nutdb_spark.operators.bpe import bpe_tokens_by_join
+    from nutdb_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = bpe_tokens_by_join(d, F.col("doc_id"), F.col("text")).select(
+        F.col("key").alias("doc_id"),
+        "toks",
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+    p = pack_sequences(
+        toks,
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        budget=_PACK_BUDGET,
+        shards=_PACK_SHARDS,
+        salt="packbpe",
+    )
+    b = F.lit(_PACK_BUDGET).cast("long")
+    start = F.col("seq") * b + F.col("offset")
+    frag = (
+        p.where(F.col("n_seqs") > 0)
+        .select(
+            "shard",
+            "toks",
+            "n_tokens",
+            start.alias("__s"),
+            F.explode(
+                F.sequence(F.col("seq"), F.col("seq") + F.col("n_seqs") - 1)
+            ).alias("seq"),
+        )
+        .select(
+            "shard",
+            "seq",
+            F.greatest(F.col("__s") - F.col("seq") * b, F.lit(0)).alias(
+                "__off"
+            ),
+            F.slice(
+                F.col("toks"),
+                F.greatest(
+                    F.col("seq") * b - F.col("__s"), F.lit(0)
+                ).cast("int")
+                + 1,
+                (
+                    F.least(
+                        F.col("n_tokens"),
+                        (F.col("seq") + 1) * b - F.col("__s"),
+                    )
+                    - F.greatest(F.col("seq") * b - F.col("__s"), F.lit(0))
+                ).cast("int"),
+            ).alias("__frag"),
+        )
+    )
+    return (
+        frag.groupBy("shard", "seq")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__off").alias("o"),
+                                F.col("__frag").alias("f"),
+                            )
+                        )
+                    ),
+                    lambda s: s["f"],
+                )
+            ).alias("ts")
+        )
+        .select(
+            "shard",
+            "seq",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "ts").alias("tokens"),
+        )
+        .orderBy("shard", "seq")
+    )
+
+
 # --- [EXT] hashed-linear quality-classifier inference ------------------------
 
 from nutdb_spark.operators.quality_clf import (  # noqa: E402

@@ -193,7 +193,7 @@ def test_trainer_is_deterministic_and_reproduces_prefix():
 def test_no_python_nodes_in_bpe_plans(spark):
     from nutdb_spark.suite import QUERIES
 
-    for name in ("q_text_bpe", "q_pack_bpe", "sql_fn_bpe"):
+    for name in ("q_text_bpe", "q_pack_bpe", "sql_fn_bpe", "q_pack_emit"):
         plan = (
             QUERIES[name](spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution()

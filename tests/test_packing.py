@@ -117,3 +117,37 @@ def test_redact_pii_matches_python_re(spark):
     got = {r["i"]: r["r"] for r in df.select("i", redact_pii(F.col("t")).alias("r")).collect()}
     for i, s in enumerate(samples):
         assert got[i] == py_redact(s), s
+
+
+def test_pack_emit_budget_invariant(spark):
+    """q_pack_emit materializes the stream the layout promises: every
+    sequence except the last per shard carries exactly `budget`
+    tokens, seqs are gapless from 0 per shard, and the total token
+    count equals the per-doc BPE counts (conservation — nothing
+    padded or dropped)."""
+    from nutdb_spark.operators.bpe import bpe_token_counts
+    from nutdb_spark.suite import QUERIES
+    from nutdb_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q_pack_emit"](spark, sf).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    total = 0
+    for shard, seqs in by_shard.items():
+        seqs.sort(key=lambda r: r["seq"])
+        assert [r["seq"] for r in seqs] == list(range(len(seqs)))
+        for r in seqs[:-1]:
+            assert r["n_tokens"] == 256, (shard, r["seq"])
+        assert 0 < seqs[-1]["n_tokens"] <= 256
+        for r in seqs:
+            assert len(r["tokens"].split(" ")) == r["n_tokens"]
+        total += sum(r["n_tokens"] for r in seqs)
+    d = load_table(spark, sf, "documents")
+    expect = (
+        bpe_token_counts(d, F.col("doc_id"), F.col("text"))
+        .agg(F.sum("bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert total == expect
