@@ -703,3 +703,54 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) * 2048).cast("double"),
         ).alias("fill_rate"),
     )
+
+
+# --- [EXT] link-graph centrality (PageRank) ----------------------------------
+
+from nutdb_spark.operators.graph import oracle_pagerank_sql  # noqa: E402
+
+_PR_EDGES = """
+    SELECT CAST(doc_id AS BIGINT) AS src,
+           CAST((doc_id * 31 + 97 * j.j)
+                % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+    FROM documents, (SELECT unnest([1, 2, 3]) AS j) j
+    WHERE (doc_id * 31 + 97 * j.j)
+          % (SELECT COUNT(*) FROM documents) != doc_id
+"""
+_PR_NODES = "SELECT CAST(doc_id AS BIGINT) AS id FROM documents"
+
+
+@query(
+    "q_graph_pagerank",
+    oracle_pagerank_sql(_PR_EDGES, _PR_NODES, iters=8)
+    + " ORDER BY id",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Link-graph centrality — exact integer-scaled PageRank
+    (operators/graph.py), the Common-Crawl-style quality signal (keep
+    pages that well-linked pages link to) and the centrality half of
+    the graph story next to connected components. Ranks are int64 in
+    units of 1e-12 and every step is div/sum/div integer arithmetic,
+    so 8 iterations hash-match DuckDB's unrolled replay exactly —
+    float PageRank cannot be value-oracled. The fixture has no
+    organic hyperlinks, so a deterministic 3-out-link graph is
+    synthesized over doc_ids (the q_text_pii precedent); the operator
+    is the real thing: per iteration one equi-join of the N-row rank
+    vector against the edge list + one groupBy on dst, a fixed-count
+    lazy unrolled plan. At 100 TB the edge list partitions on src
+    once and is reused by every iteration; the rank vector stays
+    node-sized."""
+    from nutdb_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    n = d.count()  # 1-row bounded action: N is a spec constant
+    dsts = [
+        ((F.col("id") * 31 + 97 * j) % n).cast("long") for j in (1, 2, 3)
+    ]
+    edges = (
+        d.select(F.col("id").alias("src"), F.explode(F.array(*dsts)).alias("dst"))
+        .where(F.col("dst") != F.col("src"))
+    )
+    return pagerank(edges, d, iters=8, n_nodes=n).orderBy("id")

@@ -1060,6 +1060,7 @@ from nutdb_spark.operators.bpe import (  # noqa: E402
     bpe_tokens_text,
     oracle_bpe_token_count_text,
     oracle_bpe_tokens_text,
+    oracle_bpe_tokens_word,
 )
 
 _BPE_CNT = oracle_bpe_token_count_text("text")
@@ -1329,6 +1330,110 @@ def q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "ts").alias("tokens"),
         )
         .orderBy("shard", "seq")
+    )
+
+
+@query(
+    "q_text_token_ids",
+    f"""
+    WITH w AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+               '[a-z0-9]+|[^a-z0-9\\s]')) AS word FROM documents
+    ), tk AS (
+      SELECT DISTINCT unnest({oracle_bpe_tokens_word('word')}) AS tok
+      FROM w
+    ), v AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT)
+               AS tid
+      FROM tk
+    ), docs AS (
+      SELECT doc_id, {oracle_bpe_tokens_text('text')} AS toks
+      FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS p
+      FROM docs
+    ), g AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             array_to_string(list(tid ORDER BY p), ' ') AS ids
+      FROM e JOIN v USING (tok) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(g.n_tokens, 0) AS n_tokens,
+           COALESCE(g.ids, '') AS ids
+    FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Trainer-ready token IDS: the BPE token stream mapped to
+    dense integer ids through the corpus vocabulary (distinct tokens,
+    lexicographic id order — deterministic and replayable without
+    shipping a dictionary). Completes the tokenizer story: q_text_bpe
+    counts, q_pack_emit streams strings, this emits what a trainer
+    embeds. The vocab-id table is vocabulary-sized (its row_number
+    window is one bounded sort); per-doc assembly is the same
+    positional explode + equi-join + ordered collect as the emit path
+    — scan-linear, zero Python nodes."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.bpe import (
+        bpe_tokens_by_join,
+        bpe_word_tokens,
+        encode_distinct_words,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = bpe_tokens_by_join(d, F.col("doc_id"), F.col("text")).select(
+        F.col("key").alias("doc_id"), "toks"
+    )
+    vocab = (
+        encode_distinct_words(d, F.col("text"))
+        .select(F.explode(bpe_word_tokens(F.col("word"))).alias("tok"))
+        .distinct()
+        .select(
+            "tok",
+            (
+                F.row_number().over(Window.orderBy("tok")) - 1
+            ).cast("long").alias("tid"),
+        )
+    )
+    ids = (
+        toks.select(
+            "doc_id", F.posexplode("toks").alias("__p", "tok")
+        )
+        .join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__p").alias("p"),
+                                F.col("tid").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"].cast("string"),
+                ),
+            ).alias("ids"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("ids"), F.lit("")).alias("ids"),
+        )
+        .orderBy("doc_id")
     )
 
 

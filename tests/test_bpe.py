@@ -193,7 +193,13 @@ def test_trainer_is_deterministic_and_reproduces_prefix():
 def test_no_python_nodes_in_bpe_plans(spark):
     from nutdb_spark.suite import QUERIES
 
-    for name in ("q_text_bpe", "q_pack_bpe", "sql_fn_bpe", "q_pack_emit"):
+    for name in (
+        "q_text_bpe",
+        "q_pack_bpe",
+        "sql_fn_bpe",
+        "q_pack_emit",
+        "q_text_token_ids",
+    ):
         plan = (
             QUERIES[name](spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution()
@@ -202,3 +208,36 @@ def test_no_python_nodes_in_bpe_plans(spark):
         )
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, name
+
+
+def test_token_ids_are_dense_vocabulary_ids(spark):
+    """q_text_token_ids assigns dense 0..V-1 ids (lexicographic token
+    order) and decoding every emitted id through the vocab reproduces
+    the string token stream of the join encoder."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.bpe import bpe_tokens_by_join
+    from nutdb_spark.sources import load_table
+    from nutdb_spark.suite import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    toks = {
+        r["key"]: r["toks"]
+        for r in bpe_tokens_by_join(
+            d, F.col("doc_id"), F.col("text")
+        ).collect()
+    }
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    ids = {t: i for i, t in enumerate(vocab)}
+    got = QUERIES["q_text_token_ids"](spark, sf).collect()
+    assert len(got) == len(toks)
+    for r in got:
+        want = toks[r["doc_id"]]
+        assert r["n_tokens"] == len(want)
+        emitted = [] if r["ids"] == "" else [
+            int(x) for x in r["ids"].split(" ")
+        ]
+        assert [vocab[i] for i in emitted] == want
+        assert all(0 <= i < len(vocab) for i in emitted)
+    assert ids == {t: i for i, t in enumerate(vocab)}

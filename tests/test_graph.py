@@ -1,0 +1,85 @@
+"""Exact integer PageRank (operators/graph.py).
+
+The contract: ranks are int64 in units of 1/SCALE and every step is
+the integer recurrence r' = (15·(SCALE div N) + 85·Σ_in (r div
+outdeg)) div 100 — bit-equal to a driver-side pure-Python replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.graph import SCALE, pagerank
+
+
+def _py_pagerank(edges, node_ids, iters, scale=SCALE):
+    n = len(node_ids)
+    base = scale // n
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: base for v in node_ids}
+    for _ in range(iters):
+        contrib = {v: 0 for v in node_ids}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        r = {v: (15 * base + 85 * contrib[v]) // 100 for v in node_ids}
+    return r
+
+
+@pytest.mark.parametrize("iters", [0, 1, 3, 8])
+def test_pagerank_matches_python_reference(spark, iters):
+    # a small directed graph with a hub, a dangling node (3), and a
+    # parallel edge (0->1 twice)
+    edges = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (4, 2), (4, 0)]
+    nodes = [0, 1, 2, 3, 4]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in nodes], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, v, iters=iters).collect()
+    }
+    assert got == _py_pagerank(edges, nodes, iters)
+
+
+def test_pagerank_properties(spark):
+    edges = [(i, (i * 7 + 3) % 20) for i in range(20)] + [
+        (i, (i * 11 + 5) % 20) for i in range(20)
+    ]
+    edges = [(s, d) for s, d in edges if s != d]
+    nodes = list(range(20))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in nodes], "id long")
+    r8 = {r["id"]: r["rank"] for r in pagerank(e, v, iters=8).collect()}
+    assert set(r8) == set(nodes)
+    assert all(x >= 0 for x in r8.values())
+    # total mass stays within the documented floor losses of SCALE:
+    # each iteration floors at most (|E| + N) units plus the damping
+    # div, so after 8 rounds the drift is tiny relative to SCALE
+    assert abs(sum(r8.values()) - SCALE) < SCALE // 10**6
+    # iterating 9 vs 8 moves every rank by < 1% of base (converged)
+    r9 = {r["id"]: r["rank"] for r in pagerank(e, v, iters=9).collect()}
+    base = SCALE // 20
+    assert all(abs(r9[k] - r8[k]) < base // 100 for k in nodes)
+
+
+def test_pagerank_rejects_bad_iters(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    v = spark.createDataFrame([(0,), (1,)], "id long")
+    with pytest.raises(ValueError):
+        pagerank(e, v, iters=-1)
+
+
+def test_pagerank_suite_plan_is_jvm_only(spark):
+    from nutdb_spark.suite import QUERIES
+
+    plan = (
+        QUERIES["q_graph_pagerank"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "CartesianProduct" not in plan

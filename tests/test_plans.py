@@ -105,7 +105,10 @@ def test_lowerings_are_lazy(spark):
                       # precedent) + bounded max-id collect
                       "q_dedup_semantic",
                       # runs the real availableNow stream by design
-                      "q_stream_dedup_neardup")
+                      "q_stream_dedup_neardup",
+                      # 1-row node count (N is a spec constant) by
+                      # design
+                      "q_graph_pagerank")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
