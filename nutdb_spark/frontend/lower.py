@@ -340,6 +340,35 @@ class Lowerer:
                 fractions={"train": float(ftr), "val": float(fva)},
                 salt=str(rest[0]) if rest else "split",
             )
+        if name == "pagerank":
+            # [EXT] pageRank('edges_tbl', 'src_col', 'dst_col', iters)
+            # → (id, rank): exact integer-scaled PageRank over the
+            # edge table (operators/graph.py — rank int64 in units of
+            # 1e-12, bit-replayable). Nodes are the distinct src ∪ dst
+            # endpoints; the node count is a bounded 1-row action at
+            # lowering time (the dictGet precedent).
+            from nutdb_spark.operators.graph import pagerank
+
+            if len(fn.args) != 4 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "pageRank takes ('edges_tbl', 'src_col', "
+                    "'dst_col', iters) literals"
+                )
+            tbl, sc, dc, it = [a.value for a in fn.args]
+            if int(it) < 0:
+                raise LoweringError("pageRank iters must be >= 0")
+            e = self.resolve_table(tbl).select(
+                F.col(sc).cast("long").alias("src"),
+                F.col(dc).cast("long").alias("dst"),
+            )
+            nodes = (
+                e.select(F.col("src").alias("id"))
+                .union(e.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            return pagerank(e, nodes, iters=int(it))
         if name == "anntopk":
             # [EXT] annTopK('table', 'id_col', 'vec_col', k, n_queries)
             # → (query_id, neighbor_id, rank): exact cosine top-k of

@@ -754,3 +754,52 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dst") != F.col("src"))
     )
     return pagerank(edges, d, iters=8, n_nodes=n).orderBy("id")
+
+
+_PR_FN_EDGES = """
+    SELECT CAST(doc_id AS BIGINT) AS src,
+           CAST((doc_id * 31 + 97 * (j.j + 1))
+                % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+    FROM documents, (SELECT unnest([0, 1, 2]) AS j) j
+    WHERE (doc_id * 31 + 97 * (j.j + 1))
+          % (SELECT COUNT(*) FROM documents) != doc_id
+"""
+_PR_FN_NODES = (
+    "SELECT DISTINCT src AS id FROM __edges "
+    "UNION SELECT DISTINCT dst FROM __edges"
+)
+
+
+@query(
+    "sql_table_fn_pagerank",
+    oracle_pagerank_sql(_PR_FN_EDGES, _PR_FN_NODES, iters=6)
+    + " ORDER BY id",
+)
+def sql_table_fn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] graph centrality at the SQL surface:
+    pageRank('pr_edges', 'src', 'dst', 6) runs the exact integer
+    PageRank as a TABLE FUNCTION (operators/graph.py under the hood —
+    q_graph_pagerank's plan, reachable from pure dialect text; nodes
+    are the distinct edge endpoints). The edge table is built by a
+    dialect CTAS from the same deterministic 3-out-link synthesis,
+    proving scalar-subquery N, CROSS JOIN numbers() and the fn
+    compose end-to-end."""
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS pr_edges")
+    eng.sql(
+        """
+        CREATE TABLE pr_edges AS
+        SELECT doc_id AS src,
+               (doc_id * 31 + 97 * (number + 1))
+                 % (SELECT count(*) FROM documents) AS dst
+        FROM documents CROSS JOIN numbers(3)
+        WHERE (doc_id * 31 + 97 * (number + 1))
+              % (SELECT count(*) FROM documents) != doc_id
+        """
+    )
+    return eng.sql(
+        "select id, rank from pageRank('pr_edges', 'src', 'dst', 6) "
+        "order by id"
+    )

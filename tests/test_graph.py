@@ -83,3 +83,32 @@ def test_pagerank_suite_plan_is_jvm_only(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_table_fn_errors_and_values(spark):
+    """pageRank(...) dialect surface: arity/iters validation raises
+    LoweringError; a uniform 3-regular graph yields the uniform rank
+    SCALE div N for every node."""
+    import pytest as _pytest
+
+    from nutdb_spark.engine import NutEngine
+    from nutdb_spark.frontend.lower import LoweringError
+
+    eng = NutEngine(spark, data_dir="/root/testdata/sf0.001")
+    with _pytest.raises(LoweringError, match="pageRank takes"):
+        eng.sql("select * from pageRank('t', 'src', 'dst')")
+    with _pytest.raises(LoweringError, match="iters must be >= 0"):
+        eng.sql("select * from pageRank('t', 'src', 'dst', -1)")
+    eng.sql("DROP TABLE IF EXISTS pr_ring")
+    eng.sql(
+        "CREATE TABLE pr_ring AS "
+        "SELECT number AS src, (number + 1) % 10 AS dst FROM numbers(10)"
+    )
+    got = eng.sql(
+        "select id, rank from pageRank('pr_ring', 'src', 'dst', 5) "
+        "order by id"
+    ).collect()
+    from nutdb_spark.operators.graph import SCALE
+
+    assert len(got) == 10
+    assert all(r["rank"] == SCALE // 10 for r in got)

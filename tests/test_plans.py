@@ -108,7 +108,10 @@ def test_lowerings_are_lazy(spark):
                       "q_stream_dedup_neardup",
                       # 1-row node count (N is a spec constant) by
                       # design
-                      "q_graph_pagerank")
+                      "q_graph_pagerank",
+                      # creates its edge table + lowering-time node
+                      # count by design
+                      "sql_table_fn_pagerank")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)

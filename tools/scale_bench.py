@@ -222,6 +222,13 @@ ENTRIES = [
     "q_text_classifier",
     "q_dedup_semantic",
     "q_stream_dedup_neardup",
+    # round-12 session-2 — packed-stream emission + token ids (both
+    # vocabulary-bound joins over the emit-shaped explode; expected
+    # ≤ scan-linear) and integer PageRank (8 fixed join+agg rounds
+    # over a persisted edge list; rank vector stays node-sized)
+    "q_pack_emit",
+    "q_text_token_ids",
+    "q_graph_pagerank",
 ]
 
 SF01 = "/root/testdata/sf0.1"
