@@ -369,6 +369,31 @@ class Lowerer:
                 .distinct()
             )
             return pagerank(e, nodes, iters=int(it))
+        if name == "triangles":
+            # [EXT] triangles('edges_tbl', 'src_col', 'dst_col') →
+            # (id, tri): exact per-node triangle counts over the
+            # undirected simple graph (degree-oriented wedge join,
+            # operators/graph.py). Nodes are the distinct endpoints.
+            from nutdb_spark.operators.graph import triangle_count
+
+            if len(fn.args) != 3 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "triangles takes ('edges_tbl', 'src_col', "
+                    "'dst_col') literals"
+                )
+            tbl, sc, dc = [a.value for a in fn.args]
+            e = self.resolve_table(tbl).select(
+                F.col(sc).cast("long").alias("src"),
+                F.col(dc).cast("long").alias("dst"),
+            )
+            nodes = (
+                e.select(F.col("src").alias("id"))
+                .union(e.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            return triangle_count(e, nodes)
         if name == "anntopk":
             # [EXT] annTopK('table', 'id_col', 'vec_col', k, n_queries)
             # → (query_id, neighbor_id, rank): exact cosine top-k of

@@ -674,3 +674,82 @@ def oracle_readability(expr: str) -> dict[str, str]:
             f"/ CAST({n_words} AS DOUBLE) END"
         ),
     }
+
+
+# --- [EXT] fill-in-the-middle transform --------------------------------------
+
+FIM_PRE = "<PRE>"
+FIM_SUF = "<SUF>"
+FIM_MID = "<MID>"
+
+
+def fim_transform(
+    key: Column,
+    text: Column,
+    *,
+    rate_ppm: int = 500_000,
+    salt: str = "fim",
+) -> dict[str, Column]:
+    """[EXT] Fill-in-the-middle training transform (the code-model
+    data-prep step, e.g. Bavarian et al. 2022): a deterministic
+    ``rate_ppm``/1e6 fraction of documents is rewritten PSM-style as
+    ``<PRE> prefix <SUF> suffix <MID> middle`` so the model learns to
+    infill; the rest pass through unchanged. Split points are two
+    independent salted md5 draws over [0, len] ordered by value —
+    append-stable, engine-portable (the sampling-family convention),
+    and a pure projection: no shuffle, no UDF, scales as the scan.
+
+    Returns columns: ``fim_applied`` (bool), ``out_text`` (string),
+    ``p1``/``p2`` (the chosen split, 0 when not applied)."""
+    from nutdb_spark.operators.sampling import hash_bucket
+
+    n = F.length(text)
+    applied = hash_bucket(key, salt) < F.lit(rate_ppm)
+    h1 = hash_bucket(key, salt + "1") % (n + 1)
+    h2 = hash_bucket(key, salt + "2") % (n + 1)
+    p1 = F.least(h1, h2)
+    p2 = F.greatest(h1, h2)
+    rewritten = F.concat(
+        F.lit(FIM_PRE),
+        text.substr(F.lit(1), p1.cast("int")),
+        F.lit(FIM_SUF),
+        text.substr((p2 + 1).cast("int"), n.cast("int")),
+        F.lit(FIM_MID),
+        text.substr((p1 + 1).cast("int"), (p2 - p1).cast("int")),
+    )
+    return {
+        "fim_applied": applied,
+        "out_text": F.when(applied, rewritten).otherwise(text),
+        "p1": F.when(applied, p1).otherwise(F.lit(0)).cast("long"),
+        "p2": F.when(applied, p2).otherwise(F.lit(0)).cast("long"),
+    }
+
+
+def oracle_fim(
+    key_expr: str,
+    text_expr: str,
+    *,
+    rate_ppm: int = 500_000,
+    salt: str = "fim",
+) -> dict[str, str]:
+    from nutdb_spark.operators.sampling import oracle_hash_bucket
+
+    n = f"length({text_expr})"
+    applied = f"({oracle_hash_bucket(key_expr, salt)} < {rate_ppm})"
+    h1 = f"({oracle_hash_bucket(key_expr, salt + '1')} % ({n} + 1))"
+    h2 = f"({oracle_hash_bucket(key_expr, salt + '2')} % ({n} + 1))"
+    p1 = f"LEAST({h1}, {h2})"
+    p2 = f"GREATEST({h1}, {h2})"
+    rewritten = (
+        f"'{FIM_PRE}' || substring({text_expr}, 1, CAST({p1} AS INT)) || "
+        f"'{FIM_SUF}' || substring({text_expr}, CAST({p2} AS INT) + 1) || "
+        f"'{FIM_MID}' || substring({text_expr}, CAST({p1} AS INT) + 1, "
+        f"CAST({p2} - {p1} AS INT))"
+    )
+    return {
+        "fim_applied": applied,
+        "out_text": f"CASE WHEN {applied} THEN {rewritten} "
+        f"ELSE {text_expr} END",
+        "p1": f"CAST(CASE WHEN {applied} THEN {p1} ELSE 0 END AS BIGINT)",
+        "p2": f"CAST(CASE WHEN {applied} THEN {p2} ELSE 0 END AS BIGINT)",
+    }

@@ -44,16 +44,17 @@ for _m in _MODULES:
 # Round-12 window (drains the driver-grade backlog to zero, per the
 # r11 verdict): (1) the 5 entries that have never had a driver row,
 # (2) the 21 displaced r5 tail names declared in the r11 ledger,
-# (3) the 10 entries NEW this round plus the 2 whose semantics/values
+# (3) the 13 entries NEW this round plus the 2 whose semantics/values
 # changed this round (q_pipeline_clean gained the classifier gate;
 # sql_agg_anova's sparkbar moved to integer-exact bucket math) — a
 # changed entry needs a fresh grade, its old green no longer covers
 # the shipped code; never-graded entries outrank re-grades, the r11
-# verdict's own priority, (4) the first 12 (name order) of the
-# 50-entry r6 re-grade pool. 5 + 21 + 12 + 12 = 50. The ROUND-13
-# re-grade pool continues the r6 pool in name order at q_fn_dates /
-# q_fn_datetime / q_fn_minmax / q_fn_quantile-tail — i.e. sorted(r6
-# names) minus the 12 below — then the r7 pool.
+# verdict's own priority, (4) the first 9 (name order) of the
+# 50-entry r6 re-grade pool. 5 + 21 + 15 + 9 = 50. The ROUND-13
+# re-grade pool continues the r6 pool in name order at q_expr_case /
+# q_expr_compare / q_expr_logic / q_fn_dates / q_fn_datetime /
+# q_fn_minmax / q_fn_quantile-tail — i.e. sorted(r6 names) minus the
+# 9 below — then the r7 pool.
 _PRIORITY = [
     # --- (1) never driver-graded ---
     "sql_fn_aliases", "sql_fn_javahash", "q_pack_efficiency",
@@ -68,13 +69,13 @@ _PRIORITY = [
     # --- (3) new or value-changed in round 12 ---
     "sql_fn_bpe", "q_text_bpe", "q_pack_bpe", "q_pack_emit",
     "q_text_token_ids", "q_graph_pagerank", "sql_table_fn_pagerank",
+    "q_graph_triangles", "sql_table_fn_triangles", "q_text_fim",
     "q_text_classifier", "q_dedup_semantic", "q_stream_dedup_neardup",
     "q_pipeline_clean", "sql_agg_anova",
-    # --- (4) r6 re-grade pool, first 12 in name order ---
+    # --- (4) r6 re-grade pool, first 9 in name order ---
     "q_cte", "q_dedup_connected_star", "q_dedup_minhash_lsh",
     "q_dedup_spans", "q_distinct_on", "q_except", "q_exists",
-    "q_expr_arith", "q_expr_bitwise", "q_expr_case",
-    "q_expr_compare", "q_expr_logic",
+    "q_expr_arith", "q_expr_bitwise",
 ]
 
 

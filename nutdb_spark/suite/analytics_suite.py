@@ -803,3 +803,68 @@ def sql_table_fn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select id, rank from pageRank('pr_edges', 'src', 'dst', 6) "
         "order by id"
     )
+
+
+from nutdb_spark.operators.graph import oracle_triangles_sql  # noqa: E402
+
+
+@query(
+    "q_graph_triangles",
+    oracle_triangles_sql(_PR_EDGES, _PR_NODES) + " ORDER BY id",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact per-node triangle counts — the clustering-signal
+    half of the graph story (spam/link-farm detection ranks pages by
+    local clustering; PageRank ranks by centrality). Degree
+    orientation bounds the wedge join's fan-out at O(sqrt(m)) per
+    node on power-law graphs — the classic trick that makes exact
+    triangle enumeration survive hubs at 100 TB; two equi-joins, no
+    cartesian (plan-pinned). Same synthesized 3-out-link graph as
+    q_graph_pagerank; counts are exact ints so the oracle is
+    bit-identical."""
+    from nutdb_spark.operators.graph import triangle_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    n = d.count()  # 1-row bounded action (graph-synthesis modulus)
+    dsts = [
+        ((F.col("id") * 31 + 97 * j) % n).cast("long") for j in (1, 2, 3)
+    ]
+    edges = (
+        d.select(
+            F.col("id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
+        )
+        .where(F.col("dst") != F.col("src"))
+    )
+    return triangle_count(edges, d).orderBy("id")
+
+
+@query(
+    "sql_table_fn_triangles",
+    oracle_triangles_sql(_PR_FN_EDGES, _PR_FN_NODES) + " ORDER BY id",
+)
+def sql_table_fn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] triangle counting at the SQL surface:
+    triangles('tri_edges', 'src', 'dst') runs the degree-oriented
+    exact enumeration as a TABLE FUNCTION (q_graph_triangles' plan
+    from pure dialect text; nodes = distinct endpoints)."""
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark, data_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS tri_edges")
+    eng.sql(
+        """
+        CREATE TABLE tri_edges AS
+        SELECT doc_id AS src,
+               (doc_id * 31 + 97 * (number + 1))
+                 % (SELECT count(*) FROM documents) AS dst
+        FROM documents CROSS JOIN numbers(3)
+        WHERE (doc_id * 31 + 97 * (number + 1))
+              % (SELECT count(*) FROM documents) != doc_id
+        """
+    )
+    return eng.sql(
+        "select id, tri from triangles('tri_edges', 'src', 'dst') "
+        "order by id"
+    )

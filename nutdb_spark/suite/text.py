@@ -1469,3 +1469,39 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         classifier_logit(F.col("text")).alias("logit"),
         classifier_keep(F.col("text")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- [EXT] fill-in-the-middle transform --------------------------------------
+
+from nutdb_spark.operators.text import fim_transform, oracle_fim  # noqa: E402
+
+_FIM_ORA = oracle_fim("doc_id", "text")
+
+
+@query(
+    "q_text_fim",
+    f"""
+    SELECT doc_id,
+           {_FIM_ORA['fim_applied']} AS fim_applied,
+           {_FIM_ORA['p1']} AS p1,
+           {_FIM_ORA['p2']} AS p2,
+           {_FIM_ORA['out_text']} AS out_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Fill-in-the-middle training transform (the code-model
+    data-prep step): a deterministic 50% of documents rewritten
+    PSM-style as <PRE> prefix <SUF> suffix <MID> middle with salted-
+    md5 split points, the rest untouched. Append-stable (a doc's
+    transform never changes as the corpus grows), engine-portable,
+    and a pure projection — no shuffle, no UDF, scales as the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = fim_transform(F.col("doc_id"), F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["fim_applied"].alias("fim_applied"),
+        cols["p1"].alias("p1"),
+        cols["p2"].alias("p2"),
+        cols["out_text"].alias("out_text"),
+    ).orderBy("doc_id")

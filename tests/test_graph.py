@@ -112,3 +112,96 @@ def test_pagerank_table_fn_errors_and_values(spark):
 
     assert len(got) == 10
     assert all(r["rank"] == SCALE // 10 for r in got)
+
+
+def _py_triangles(edges, nodes):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set] = {v: set() for v in nodes}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = {v: 0 for v in nodes}
+    count = 0
+    ns = sorted(nodes)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1:]:
+            if b not in adj[a]:
+                continue
+            for c in ns:
+                if c > b and c in adj[a] and c in adj[b]:
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+                    count += 1
+    return tri, count
+
+
+def test_triangle_count_k4_and_normalization(spark):
+    """K4 (with duplicate, reversed and self-loop noise) has 4
+    triangles; every node sits in 3."""
+    from nutdb_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(1, 0), (2, 2), (0, 1), (3, 1)]
+    e = spark.createDataFrame(noisy, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {r["id"]: r["tri"] for r in triangle_count(e, v).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import random
+
+    from nutdb_spark.operators.graph import triangle_count
+
+    rnd = random.Random(12)
+    nodes = list(range(30))
+    edges = [
+        (rnd.randrange(30), rnd.randrange(30)) for _ in range(120)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in nodes], "id long")
+    got = {r["id"]: r["tri"] for r in triangle_count(e, v).collect()}
+    want, _ = _py_triangles(edges, nodes)
+    assert got == want
+
+
+def test_triangles_suite_plan_has_no_cartesian(spark):
+    from nutdb_spark.suite import QUERIES
+
+    plan = (
+        QUERIES["q_graph_triangles"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_triangles_table_fn(spark):
+    """triangles(...) dialect surface: arity fence + K4 values through
+    pure SQL text."""
+    import pytest as _pytest
+
+    from nutdb_spark.engine import NutEngine
+    from nutdb_spark.frontend.lower import LoweringError
+
+    eng = NutEngine(spark, data_dir="/root/testdata/sf0.001")
+    with _pytest.raises(LoweringError, match="triangles takes"):
+        eng.sql("select * from triangles('t', 'src')")
+    eng.sql("DROP TABLE IF EXISTS tri_k4")
+    eng.sql(
+        "CREATE TABLE tri_k4 AS "
+        "SELECT a.number AS src, b.number AS dst "
+        "FROM numbers(4) a CROSS JOIN numbers(4) b "
+        "WHERE a.number < b.number"
+    )
+    got = eng.sql(
+        "select id, tri from triangles('tri_k4', 'src', 'dst') order by id"
+    ).collect()
+    assert [(r["id"], r["tri"]) for r in got] == [
+        (0, 3), (1, 3), (2, 3), (3, 3),
+    ]

@@ -151,3 +151,40 @@ def test_pack_emit_budget_invariant(spark):
         .collect()[0][0]
     )
     assert total == expect
+
+
+def test_fim_transform_reassembles(spark):
+    """For FIM-applied rows, stripping the markers and reordering
+    prefix+middle+suffix reproduces the original text exactly; for
+    unapplied rows the text passes through untouched; the applied
+    fraction tracks rate_ppm."""
+    from nutdb_spark.operators.text import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+    from nutdb_spark.sources import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cols = fim_transform(F.col("doc_id"), F.col("text"))
+    rows = d.select(
+        "text",
+        cols["fim_applied"].alias("ap"),
+        cols["out_text"].alias("out"),
+        cols["p1"].alias("p1"),
+        cols["p2"].alias("p2"),
+    ).collect()
+    n_applied = 0
+    for r in rows:
+        if not r["ap"]:
+            assert r["out"] == r["text"] and r["p1"] == 0 and r["p2"] == 0
+            continue
+        n_applied += 1
+        assert r["out"].startswith(FIM_PRE)
+        body = r["out"][len(FIM_PRE):]
+        pre, rest = body.split(FIM_SUF, 1)
+        suf, mid = rest.split(FIM_MID, 1)
+        assert pre + mid + suf == r["text"]
+        assert len(pre) == r["p1"] and len(pre) + len(mid) == r["p2"]
+    assert 0.35 < n_applied / len(rows) < 0.65

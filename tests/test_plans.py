@@ -106,12 +106,13 @@ def test_lowerings_are_lazy(spark):
                       "q_dedup_semantic",
                       # runs the real availableNow stream by design
                       "q_stream_dedup_neardup",
-                      # 1-row node count (N is a spec constant) by
-                      # design
-                      "q_graph_pagerank",
-                      # creates its edge table + lowering-time node
-                      # count by design
-                      "sql_table_fn_pagerank")
+                      # 1-row node count (N is a spec constant /
+                      # graph-synthesis modulus) by design
+                      "q_graph_pagerank", "q_graph_triangles",
+                      # create their edge tables (+ lowering-time node
+                      # count) by design
+                      "sql_table_fn_pagerank",
+                      "sql_table_fn_triangles")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)

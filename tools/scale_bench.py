@@ -229,6 +229,10 @@ ENTRIES = [
     "q_pack_emit",
     "q_text_token_ids",
     "q_graph_pagerank",
+    # degree-oriented triangle join (wedge fan-out O(sqrt m)) and the
+    # FIM rewrite (pure projection, expected scan-linear)
+    "q_graph_triangles",
+    "q_text_fim",
 ]
 
 SF01 = "/root/testdata/sf0.1"
