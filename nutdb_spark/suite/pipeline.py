@@ -484,3 +484,87 @@ def q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(reps, "doc_id", "left_semi").select(
         "doc_id", "n_words", "flesch"
     )
+
+
+# --- end-to-end TOKENIZE-and-PACK pipeline (the round-12 op families) -------
+
+_PT_BUDGET = 256
+_PT_SHARDS = 4
+
+
+def _tokenize_oracle() -> str:
+    from nutdb_spark.operators.bpe import oracle_bpe_token_count_text
+    from nutdb_spark.operators.packing import PACK_GRAIN
+    from nutdb_spark.operators.quality_clf import oracle_classifier_keep
+    from nutdb_spark.operators.sampling import oracle_hash_bucket
+    from nutdb_spark.operators.text import oracle_fim
+
+    fim = oracle_fim("doc_id", "text")
+    h = oracle_hash_bucket("doc_id", salt="ptok", grain=PACK_GRAIN)
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE {oracle_classifier_keep('text')}),
+f AS (
+  SELECT doc_id, {fim['fim_applied']} AS fim_applied,
+         {fim['out_text']} AS t
+  FROM kept),
+c AS (
+  SELECT doc_id, fim_applied,
+         {oracle_bpe_token_count_text('t')} AS n_tokens,
+         {h} AS __h,
+         CAST(({h}) % {_PT_SHARDS} AS INT) AS __shard
+  FROM f),
+w AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY __shard
+              ORDER BY __h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS __cum
+  FROM c)
+SELECT doc_id, fim_applied, n_tokens, __shard AS shard,
+       (__cum - n_tokens) // {_PT_BUDGET} AS seq,
+       (__cum - n_tokens) % {_PT_BUDGET} AS "offset",
+       CASE WHEN n_tokens > 0
+            THEN (__cum - 1) // {_PT_BUDGET}
+                 - (__cum - n_tokens) // {_PT_BUDGET} + 1
+            ELSE 0 END AS n_seqs
+FROM w ORDER BY doc_id
+"""
+
+
+@query("q_pipeline_tokenize", _tokenize_oracle())
+def q_pipeline_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The tokenize-and-pack job a training run actually
+    launches, as ONE composed plan from this round's operators:
+    hashed-linear classifier gate → fill-in-the-middle rewrite → exact
+    BPE token counts (vocabulary-bound distinct-word join over the
+    TRANSFORMED text) → deterministic sequence-packing layout. Scale
+    shape: gate and FIM are pure projections fused into the scan, the
+    BPE stage adds the one vocabulary join, and packing is the single
+    shard-partition window — three shuffles end to end for a job that
+    tokenizes and lays out a 100 TB corpus."""
+    from nutdb_spark.operators.bpe import bpe_token_counts
+    from nutdb_spark.operators.packing import pack_sequences
+    from nutdb_spark.operators.quality_clf import classifier_keep
+    from nutdb_spark.operators.text import fim_transform
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(classifier_keep(F.col("text")))
+    fim = fim_transform(F.col("doc_id"), F.col("text"))
+    f = kept.select(
+        "doc_id",
+        fim["fim_applied"].alias("fim_applied"),
+        fim["out_text"].alias("t"),
+    )
+    counts = bpe_token_counts(f, F.col("doc_id"), F.col("t")).select(
+        F.col("key").alias("doc_id"),
+        F.col("bpe_tokens").alias("n_tokens"),
+    )
+    base = f.select("doc_id", "fim_applied").join(counts, "doc_id")
+    return pack_sequences(
+        base,
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        budget=_PT_BUDGET,
+        shards=_PT_SHARDS,
+        salt="ptok",
+    ).orderBy("doc_id")

@@ -233,6 +233,9 @@ ENTRIES = [
     # FIM rewrite (pure projection, expected scan-linear)
     "q_graph_triangles",
     "q_text_fim",
+    # the composed gate->FIM->BPE->pack job (three shuffles; expected
+    # to track the BPE join stage)
+    "q_pipeline_tokenize",
 ]
 
 SF01 = "/root/testdata/sf0.1"
