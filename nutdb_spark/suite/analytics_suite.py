@@ -868,3 +868,79 @@ def sql_table_fn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select id, tri from triangles('tri_edges', 'src', 'dst') "
         "order by id"
     )
+
+
+# --- [EXT] interval-overlap join (the range-join class) ----------------------
+
+_IV_HR = 3_600_000_000  # 1 hour in µs
+_IV_W6 = 21_600_000_000  # 6 hours in µs
+
+
+@query(
+    "q_join_interval",
+    f"""
+    WITH u AS (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events),
+    a AS (SELECT user_id, us // {_IV_HR} AS hr,
+                 MIN(us) AS a_start, MAX(us) AS a_end
+          FROM u GROUP BY 1, 2),
+    b AS (SELECT event_type, us // {_IV_W6} AS w,
+                 MIN(us) AS b_start, MAX(us) AS b_end
+          FROM u GROUP BY 1, 2),
+    j AS (SELECT user_id, event_type,
+                 GREATEST(a_start, b_start) AS os,
+                 LEAST(a_end, b_end) AS oe
+          FROM a JOIN b ON a_start <= b_end AND b_start <= a_end)
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(oe - os) AS BIGINT) AS overlap_us
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Interval-overlap join (the range-join class Spark's
+    equi-join can't express directly): per-user hourly activity
+    intervals × per-type 6-hour activity windows, all overlapping
+    pairs, rolled up to overlap count + total overlapped µs per
+    (user, type). The operator buckets time and anchors each pair to
+    the unique bucket holding the later start (operators/interval.py)
+    — an equi-join over exploded buckets, never a theta-join; the
+    ORACLE is the brute-force quadratic join, so the values prove the
+    bucketing loses and duplicates nothing (the q_geo_bucket_join
+    precedent, in time). Plan-pinned no-cartesian."""
+    from nutdb_spark.operators.interval import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    a = (
+        ev.select(
+            "user_id", us.alias("us"), F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_IV_HR}"
+            ).alias("hr")
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.min("us").alias("a_start"), F.max("us").alias("a_end"))
+        .select("user_id", "a_start", "a_end")
+    )
+    b = (
+        ev.select(
+            "event_type", us.alias("us"), F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_IV_W6}"
+            ).alias("w")
+        )
+        .groupBy("event_type", "w")
+        .agg(F.min("us").alias("b_start"), F.max("us").alias("b_end"))
+        .select("event_type", "b_start", "b_end")
+    )
+    j = interval_overlap_join(a, b, bucket=_IV_HR)
+    return (
+        j.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_id", "event_type")
+    )

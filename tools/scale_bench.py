@@ -236,6 +236,9 @@ ENTRIES = [
     # the composed gate->FIM->BPE->pack job (three shuffles; expected
     # to track the BPE join stage)
     "q_pipeline_tokenize",
+    # bucketized interval-overlap join (explode+equi-join; expected
+    # to track the pair count)
+    "q_join_interval",
 ]
 
 SF01 = "/root/testdata/sf0.1"
