@@ -1505,3 +1505,68 @@ def q_text_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["p2"].alias("p2"),
         cols["out_text"].alias("out_text"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_sample_ccnet",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim({oracle_normalize('text')}),
+                                '\\s+') AS w
+      FROM documents WHERE doc_id < 400),
+    occ AS (
+      SELECT doc_id, unnest({oracle_ngrams('w', 2)}) AS bg FROM base),
+    cnt AS (SELECT bg, COUNT(*) AS c FROM occ GROUP BY bg),
+    per AS (
+      SELECT occ.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rare_cnt
+      FROM occ JOIN cnt USING (bg) GROUP BY occ.doc_id),
+    scored AS (
+      SELECT base.doc_id, base.lang,
+             CAST(rare_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+               AS rare_rate
+      FROM base JOIN per USING (doc_id) WHERE n_bigrams > 0),
+    tiled AS (
+      SELECT doc_id, lang, rare_rate,
+             CAST(ntile(3) OVER (PARTITION BY lang
+                    ORDER BY rare_rate ASC, doc_id) AS INT) AS bucket
+      FROM scored)
+    SELECT doc_id, lang, bucket, rare_rate
+    FROM tiled WHERE bucket <= 2 ORDER BY doc_id
+    """,
+)
+def q_sample_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CCNet-style perplexity-bucket selection, composed from
+    the exact bigram-LM rarity score: per LANGUAGE, documents rank
+    into terciles by rare-bigram rate (head = most fluent) via
+    ntile(3), and the head + middle buckets are kept — the actual
+    CCNet recipe with the engine's oracle-exact rarity standing in
+    for the float LM perplexity (same monotone signal). Docs too
+    short to score (no bigrams) are dropped before tiling, avoiding
+    cross-engine NULL-ordering divergence. Scale: the scoring joins
+    are q_text_bigram_lm's; the tiling is one per-language window —
+    at 100 TB the exact ntile becomes a two-pass histogram cut, the
+    documented trade for a global order within each language."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.text import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    scores = bigram_lm_scores(d, "doc_id", "text", rare_threshold=2)
+    scored = (
+        scores.filter(F.col("n_bigrams") > 0)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "rare_rate")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("rare_rate").asc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w))
+        .where(F.col("bucket") <= 2)
+        .select("doc_id", "lang", "bucket", "rare_rate")
+        .orderBy("doc_id")
+    )

@@ -239,6 +239,8 @@ ENTRIES = [
     # bucketized interval-overlap join (explode+equi-join; expected
     # to track the pair count)
     "q_join_interval",
+    # CCNet tercile selection (bigram-LM joins + per-language window)
+    "q_sample_ccnet",
 ]
 
 SF01 = "/root/testdata/sf0.1"
