@@ -98,19 +98,17 @@ def pagerank(
     return ranks
 
 
-def oracle_pagerank_sql(
+def oracle_pagerank_ctes(
     edges_cte: str,
     nodes_cte: str,
     *,
     iters: int = 8,
     scale: int = SCALE,
     n_expr: str = "(SELECT COUNT(*) FROM __nodes)",
-) -> str:
-    """DuckDB replay: the identical integer recurrence, unrolled as
-    ``iters`` chained CTEs (aggregates are not allowed in a recursive
-    CTE's recursive term, so unrolling is the portable spelling).
-    ``edges_cte``/``nodes_cte`` are full SELECTs producing
-    (src, dst) / (id)."""
+) -> tuple[str, str]:
+    """The unrolled-replay CTE parts, for embedding into a larger
+    WITH: returns (comma-joined parts, name of the final rank
+    relation — columns (id, rank))."""
     parts = [
         f"__edges AS ({edges_cte})",
         f"__nodes AS ({nodes_cte})",
@@ -133,9 +131,28 @@ def oracle_pagerank_sql(
             f" + {DAMP_NUM} * COALESCE(c.s, 0)) // {DAMP_DEN} AS rank"
             f" FROM __nodes n LEFT JOIN c{i} c USING (id))"
         )
+    return ",\n".join(parts), f"r{iters}"
+
+
+def oracle_pagerank_sql(
+    edges_cte: str,
+    nodes_cte: str,
+    *,
+    iters: int = 8,
+    scale: int = SCALE,
+    n_expr: str = "(SELECT COUNT(*) FROM __nodes)",
+) -> str:
+    """DuckDB replay: the identical integer recurrence, unrolled as
+    ``iters`` chained CTEs (aggregates are not allowed in a recursive
+    CTE's recursive term, so unrolling is the portable spelling).
+    ``edges_cte``/``nodes_cte`` are full SELECTs producing
+    (src, dst) / (id)."""
+    parts, final = oracle_pagerank_ctes(
+        edges_cte, nodes_cte, iters=iters, scale=scale, n_expr=n_expr
+    )
     return (
-        "WITH " + ",\n".join(parts)
-        + f"\nSELECT id, CAST(rank AS BIGINT) AS rank FROM r{iters}"
+        "WITH " + parts
+        + f"\nSELECT id, CAST(rank AS BIGINT) AS rank FROM {final}"
     )
 
 

@@ -1224,3 +1224,83 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "__d2",
     ).select("vec_id", "label", "cid")
+
+
+# --- keep-most-central representative (PageRank keeper policy) --------------
+
+from nutdb_spark.operators.graph import oracle_pagerank_ctes  # noqa: E402
+
+_PRC_PARTS, _PRC_FINAL = oracle_pagerank_ctes(
+    "SELECT s AS src, d AS dst FROM eb",
+    "SELECT DISTINCT s AS id FROM eb",
+    iters=4,
+)
+
+_RANK_CENTRAL_ORACLE = f"""
+WITH RECURSIVE p AS MATERIALIZED ({_JACCARD_ORACLE}),
+eb AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach(id, r) AS (
+  SELECT s, s FROM eb
+  UNION
+  SELECT eb.s, reach.r FROM eb JOIN reach ON eb.d = reach.id),
+comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+{_PRC_PARTS},
+pr AS (SELECT id, CAST(rank AS BIGINT) AS rank FROM {_PRC_FINAL}),
+scored AS (
+  SELECT c.id, c.root,
+         ROW_NUMBER() OVER (PARTITION BY c.root
+                            ORDER BY pr.rank DESC, c.id) AS rk
+  FROM comp c JOIN pr USING (id)),
+drops AS (SELECT id FROM scored WHERE rk > 1)
+SELECT d.doc_id, d.lang, COALESCE(pr2.rank, 0) AS pr_rank
+FROM documents d
+LEFT JOIN drops x ON d.doc_id = x.id
+LEFT JOIN pr pr2 ON d.doc_id = pr2.id
+WHERE x.id IS NULL
+"""
+
+
+@query("q_dedup_rank_central", _RANK_CENTRAL_ORACLE)
+def q_dedup_rank_central(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Transitive near-dup dedup keeping the MOST CENTRAL member
+    of each duplicate group: integer PageRank over the undirected
+    similarity graph scores every paired document (the doc similar to
+    the most well-connected docs is the best template representative),
+    and the keep-best anti-join retains the per-component argmax (ties
+    → min id). A third keeper policy beside keep-min
+    (q_dedup_connected) and keep-longest (q_dedup_connected_best),
+    composed entirely from green pieces: guarded jaccard candidate
+    pairs → 4-iteration exact PageRank (operators/graph.py) →
+    min-label components → argmax window. The oracle replays the
+    recursive-CTE closure AND the unrolled integer rank recurrence, so
+    survivor rows and their rank values are both bit-checked."""
+    from nutdb_spark.operators.dedup import dedup_connected_keep_best
+    from nutdb_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", n=4, threshold=0.6,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    # three consumers (rank graph, components, anti-join) — cut the
+    # shingle-join lineage once instead of recomputing it per consumer
+    ).localCheckpoint(eager=False)
+    eb = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = eb.select(F.col("src").alias("id")).distinct()
+    ranks = pagerank(eb, nodes, iters=4)
+    dd = (
+        d.select("doc_id", "lang")
+        .join(ranks.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias(
+                "pr_rank"
+            ),
+        )
+    )
+    return dedup_connected_keep_best(pairs, dd, "doc_id", "pr_rank")

@@ -109,6 +109,8 @@ def test_lowerings_are_lazy(spark):
                       # 1-row node count (N is a spec constant /
                       # graph-synthesis modulus) by design
                       "q_graph_pagerank", "q_graph_triangles",
+                      # CC fixpoint + rank-graph node count by design
+                      "q_dedup_rank_central",
                       # create their edge tables (+ lowering-time node
                       # count) by design
                       "sql_table_fn_pagerank",

@@ -241,6 +241,8 @@ ENTRIES = [
     "q_join_interval",
     # CCNet tercile selection (bigram-LM joins + per-language window)
     "q_sample_ccnet",
+    # jaccard pairs + 4-round integer PageRank + CC + argmax
+    "q_dedup_rank_central",
 ]
 
 SF01 = "/root/testdata/sf0.1"
