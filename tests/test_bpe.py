@@ -241,3 +241,39 @@ def test_token_ids_are_dense_vocabulary_ids(spark):
         assert [vocab[i] for i in emitted] == want
         assert all(0 <= i < len(vocab) for i in emitted)
     assert ids == {t: i for i, t in enumerate(vocab)}
+
+
+def test_join_encoder_agrees_with_direct_fold(spark):
+    """bpe_tokens_by_join (the 100 TB emit shape) must reproduce the
+    direct per-row fold's FULL token arrays — including empty docs,
+    repeated words, and punctuation-only rows — on randomized text."""
+    import random
+
+    from nutdb_spark.operators.bpe import bpe_tokens_by_join
+
+    rnd = random.Random(1213)
+    alphabet = "aberoswtcjlmn 0159-.!"
+    texts = [
+        (0, ""),
+        (1, "   "),
+        (2, "join join join"),
+        (3, "Order-77! vector"),
+    ] + [
+        (i, "".join(rnd.choices(alphabet, k=rnd.randint(0, 80))))
+        for i in range(4, 40)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    joined = {
+        r["key"]: r["toks"]
+        for r in bpe_tokens_by_join(
+            df, F.col("doc_id"), F.col("text")
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", bpe_tokens_text(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert joined == direct
+    assert joined[0] == [] and joined[1] == []
