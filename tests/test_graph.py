@@ -205,3 +205,25 @@ def test_triangles_table_fn(spark):
     assert [(r["id"], r["tri"]) for r in got] == [
         (0, 3), (1, 3), (2, 3), (3, 3),
     ]
+
+
+def test_pagerank_star_graph_skew(spark):
+    """Hub-skew armor: a star graph (every spoke -> one hub, hub -> one
+    spoke) concentrates the whole contribution sum on a single dst key
+    — the adversarial shuffle shape at scale. Values still match the
+    closed-form integer recurrence: after round 1 the hub holds
+    15%·base + 85%·(n-1)·(base div 1) style mass while spokes drop to
+    the damping floor (spoke 0 additionally receives the hub's entire
+    rank each round). Checked against the pure-Python replay."""
+    n = 2000
+    edges = [(i, 0) for i in range(1, n)] + [(0, 1)]
+    nodes = list(range(n))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in nodes], "id long")
+    got = {r["id"]: r["rank"] for r in pagerank(e, v, iters=3).collect()}
+    want = _py_pagerank(edges, nodes, 3)
+    assert got == want
+    # the hub dominates, spokes 2.. sit at the uniform damping floor
+    floor = want[2]
+    assert got[0] > 100 * floor
+    assert all(got[i] == floor for i in range(2, n, 97))
