@@ -492,6 +492,14 @@ class Catalog:
             if len(src.columns) != len(target_cols):
                 raise CatalogError("INSERT…FROM fn arity mismatch")
             src = src.toDF(*target_cols)
+        elif kind == "frame":
+            # internal: a pre-lowered DataFrame (the MERGE INTO
+            # not-matched path) rides the same defaults/serials/CHECK
+            # machinery as every other insert source
+            src = payload
+            if len(src.columns) != len(target_cols):
+                raise CatalogError("MERGE INSERT arity mismatch")
+            src = src.toDF(*target_cols)
         else:  # pragma: no cover
             raise CatalogError(f"bad insert source {kind}")
 
@@ -1407,6 +1415,211 @@ class Catalog:
             "update", "delete",
         ):
             self._repair_dependent_views(stmt.table, low)
+
+    def merge(self, stmt: "A.MergeStmt", low) -> None:
+        """[EXT] ANSI MERGE INTO — the warehouse upsert, executed over
+        the same primitives as the ClickHouse-style mutations: one
+        source⋈target decision join, an atomic full rewrite
+        (tmp+rename) for updates/deletes, and the standard INSERT path
+        (defaults, serials, CHECK enforcement) for the not-matched
+        rows. Semantics pinned by tests: WHEN clauses apply in order
+        (first matching clause per row wins); a target row matching
+        MULTIPLE source rows is an error (the ANSI cardinality rule —
+        a nondeterministic multi-update must never be silent); rows
+        matching no clause pass through untouched.
+
+        Scale shape: the decision join is a plain equi/theta join the
+        optimizer plans (broadcast for small sources, shuffle
+        otherwise); the cardinality check is ONE aggregate over the
+        join (max matches per target row id — a 1-row driver value);
+        inserts ride INSERT…SELECT. Nothing row-at-a-time."""
+        import copy as _copy
+
+        meta = self._load_meta(stmt.table)
+        if meta is None or meta["type"] != "table":
+            raise CatalogError(f"unknown table {stmt.table!r}")
+        by_name = {c["name"]: c for c in meta["columns"]}
+        # --- source frame, columns renamed to the __ms_ namespace ---
+        if isinstance(stmt.source, str):
+            src0 = low.resolve_table(stmt.source)
+            src_name = stmt.source
+        else:
+            src0 = low.lower_query(stmt.source)
+            src_name = None
+        pfx = "__ms_"
+        scols = list(src0.columns)
+        src = src0.select(
+            *[F.col(c).alias(pfx + c) for c in scols]
+        )
+        tcols = set(by_name)  # declared target column names
+        t_names = {stmt.table}
+        if stmt.target_alias:
+            t_names.add(stmt.target_alias)
+        s_names = set()
+        if stmt.source_alias:
+            s_names.add(stmt.source_alias)
+        if src_name is not None:
+            s_names.add(src_name)
+
+        def rw(node):
+            node = _copy.deepcopy(node)
+
+            def walk(e):
+                if isinstance(e, A.Ident):
+                    if e.qualifier in s_names:
+                        if e.name not in scols:
+                            raise CatalogError(
+                                f"unknown source column {e.name!r}"
+                            )
+                        return A.Ident(pfx + e.name, None)
+                    if e.qualifier in t_names:
+                        if e.name not in tcols:
+                            raise CatalogError(
+                                f"unknown target column {e.name!r}"
+                            )
+                        return A.Ident(e.name, None)
+                    if e.qualifier is None:
+                        if e.name in tcols and e.name in scols:
+                            raise CatalogError(
+                                f"ambiguous MERGE column {e.name!r}: "
+                                "qualify it with the target or source "
+                                "alias"
+                            )
+                        if e.name in scols:
+                            return A.Ident(pfx + e.name, None)
+                        return e
+                    return e
+                if not hasattr(e, "__dataclass_fields__"):
+                    return e
+                for f in e.__dataclass_fields__:
+                    v = getattr(e, f)
+                    if isinstance(v, list):
+                        setattr(
+                            e, f,
+                            [walk(x) if hasattr(
+                                x, "__dataclass_fields__"
+                            ) else x for x in v],
+                        )
+                    elif hasattr(v, "__dataclass_fields__"):
+                        setattr(e, f, walk(v))
+                return e
+
+            return walk(node)
+
+        def compile_(node) -> Column:
+            return low._expr(rw(node), None, {}, [])
+
+        # --- decision join (target row id is pinned by an eager
+        # checkpoint so the id survives across the jobs below) ---
+        tgt = (
+            self.read_table(stmt.table)
+            .withColumn("__mtid", F.monotonically_increasing_id())
+            .localCheckpoint()
+        )
+        on_col = compile_(stmt.on)
+        marked = src.withColumn("__ms__hit", F.lit(1))
+        joined = tgt.join(marked, on_col, "left")
+        mx = (
+            joined.groupBy("__mtid")
+            .agg(F.count("__ms__hit").alias("k"))
+            .agg(F.max("k"))
+            .collect()[0][0]
+        )
+        if mx is not None and mx > 1:
+            raise CatalogError(
+                "MERGE: a target row matched multiple source rows"
+            )
+        # --- matched clauses: first matching clause per row wins
+        # (a when-chain evaluates in clause order) ---
+        is_m = F.col("__ms__hit").isNotNull()
+        idx_col = None
+        for i, (cond, action) in enumerate(stmt.matched):
+            c = is_m if cond is None else is_m & F.coalesce(
+                compile_(cond).cast("boolean"), F.lit(False)
+            )
+            idx_col = (
+                F.when(c, F.lit(i + 1))
+                if idx_col is None
+                else idx_col.when(c, F.lit(i + 1))
+            )
+        idx = (
+            idx_col.otherwise(F.lit(0)) if idx_col is not None else F.lit(0)
+        )
+        decided = joined.withColumn("__midx", idx)
+        del_idx = [
+            i + 1
+            for i, (_, action) in enumerate(stmt.matched)
+            if action[0] == "delete"
+        ]
+        out_cols = []
+        for c in tgt.columns:
+            if c == "__mtid":
+                continue
+            col = F.col(c)
+            for i, (_, action) in enumerate(stmt.matched):
+                if action[0] != "update":
+                    continue
+                for cname, e in action[1]:
+                    if cname not in by_name:
+                        raise CatalogError(f"unknown column {cname!r}")
+                    if by_name[cname]["serial"]:
+                        raise CatalogError(
+                            f"cannot UPDATE serial column {cname!r}"
+                        )
+                    if cname != c:
+                        continue
+                    stype = _parse_type(by_name[cname]["spark_type"])
+                    col = F.when(
+                        F.col("__midx") == i + 1,
+                        compile_(e).cast(stype),
+                    ).otherwise(col)
+            out_cols.append(col.alias(c))
+        kept = decided
+        if del_idx:
+            kept = kept.where(~F.col("__midx").isin(del_idx))
+        out = kept.select(*out_cols)
+        # --- not-matched inserts: built from the PRE-rewrite source,
+        # materialized before the target files are swapped ---
+        ins_frames = []
+        if stmt.not_matched:
+            anti = src.join(tgt, on_col, "left_anti")
+            remaining = anti
+            for cond, cols, exprs in stmt.not_matched:
+                part = remaining
+                if cond is not None:
+                    hit = F.coalesce(
+                        compile_(cond).cast("boolean"), F.lit(False)
+                    )
+                    part = remaining.where(hit)
+                    remaining = remaining.where(~hit)
+                else:
+                    remaining = remaining.limit(0)
+                target_cols = cols or [
+                    c["name"] for c in meta["columns"] if not c["serial"]
+                ]
+                if len(exprs) != len(target_cols):
+                    raise CatalogError(
+                        "MERGE INSERT arity does not match the target "
+                        "column list"
+                    )
+                row = part.select(
+                    *[
+                        compile_(e).alias(n)
+                        for e, n in zip(exprs, target_cols)
+                    ]
+                ).localCheckpoint()  # pin before the target dir swap
+                ins_frames.append((target_cols, row))
+        # --- apply: atomic rewrite, then the standard insert path ---
+        self._enforce(out, meta, low)
+        self._overwrite(stmt.table, meta, out, low)
+        for target_cols, row in ins_frames:
+            if row.isEmpty():
+                continue
+            self.insert(
+                A.InsertStmt(stmt.table, list(target_cols), ("frame", row)),
+                low,
+            )
+        self._repair_dependent_views(stmt.table, low)
 
     def exchange(self, a: str, b: str, low) -> None:
         """[EXT] EXCHANGE TABLES a AND b: both tables (and their

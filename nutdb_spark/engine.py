@@ -528,6 +528,9 @@ class NutEngine:
         if isinstance(stmt, A.InsertStmt):
             self.catalog.insert(stmt, low)
             return None
+        if isinstance(stmt, A.MergeStmt):
+            self.catalog.merge(stmt, low)
+            return None
         if isinstance(stmt, A.CreateTableStmt):
             self.catalog.create_table(stmt.definition, low)
             return None

@@ -468,6 +468,20 @@ class InsertStmt:
 
 
 @dataclass
+class MergeStmt:
+    # [EXT] ANSI MERGE INTO (upsert DML over the mutation path)
+    table: str
+    target_alias: str | None
+    source: object  # table name str | Query (USING (subquery))
+    source_alias: str | None
+    on: object
+    # [(cond|None, ("update", [(col, expr), …]) | ("delete",)), …]
+    matched: list
+    # [(cond|None, cols|None, exprs), …]
+    not_matched: list
+
+
+@dataclass
 class CreateTableStmt:
     definition: TableDefinition
 

@@ -184,6 +184,7 @@ class Parser:
             "exchange": self._exchange,
             "delete": self._delete,
             "update": self._update,
+            "merge": self._merge,
             "detach": self._detach, "attach": self._detach,
             "backup": self._backup, "restore": self._backup,
         }
@@ -743,6 +744,7 @@ class Parser:
             "cross",  # CROSS JOIN
             "interpolate",  # WITH FILL INTERPOLATE (...)
             "global",  # GLOBAL <join> (broadcast hint)
+            "when",  # MERGE INTO … USING src WHEN MATCHED …
             "fetch",  # ANSI OFFSET/FETCH
         }:
             return self.ident()
@@ -1603,6 +1605,78 @@ class Parser:
         table = self.ident()
         self.expect_kw("where")
         return A.AlterStmt(table, "delete", self.parse_expr())
+
+    def _merge(self):
+        # [EXT] ANSI MERGE INTO — the warehouse upsert statement:
+        # MERGE INTO t [AS a] USING (subquery)|tbl [AS s] ON cond
+        #   WHEN MATCHED [AND c] THEN UPDATE SET col = e, … | DELETE
+        #   WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (…)
+        # Clauses apply in order (first matching WHEN per row wins);
+        # a target row matching multiple source rows is an error.
+        self.expect_kw("merge")
+        self.expect_kw("into")
+        table = self.ident()
+        talias = self._opt_alias()
+        self.expect_kw("using")
+        if self.at_sym("("):
+            self.next()
+            source: object = self.parse_query()
+            self.expect_sym(")")
+        else:
+            source = self.ident()
+        salias = self._opt_alias()
+        self.expect_kw("on")
+        on = self.parse_expr()
+        matched: list = []
+        not_matched: list = []
+        while self.eat_kw("when"):
+            if self.eat_kw("matched"):
+                cond = self.parse_expr() if self.eat_kw("and") else None
+                self.expect_kw("then")
+                if self.eat_kw("update"):
+                    self.expect_kw("set")
+                    assignments: list = []
+                    while True:
+                        col = self.ident()
+                        self.expect_sym("=")
+                        assignments.append((col, self.parse_expr()))
+                        if not self.eat_sym(","):
+                            break
+                    matched.append((cond, ("update", assignments)))
+                elif self.eat_kw("delete"):
+                    matched.append((cond, ("delete",)))
+                else:
+                    raise ParseError(
+                        "WHEN MATCHED THEN expects UPDATE SET or DELETE"
+                    )
+            elif self.eat_kw("not"):
+                self.expect_kw("matched")
+                cond = self.parse_expr() if self.eat_kw("and") else None
+                self.expect_kw("then")
+                self.expect_kw("insert")
+                cols = None
+                if self.at_sym("("):
+                    self.next()
+                    cols = [self.ident()]
+                    while self.eat_sym(","):
+                        cols.append(self.ident())
+                    self.expect_sym(")")
+                self.expect_kw("values")
+                self.expect_sym("(")
+                exprs = self._expr_list(")")
+                if cols is not None and len(cols) != len(exprs):
+                    raise ParseError(
+                        "MERGE INSERT column list arity does not match "
+                        "VALUES"
+                    )
+                not_matched.append((cond, cols, exprs))
+            else:
+                raise ParseError("WHEN expects MATCHED or NOT MATCHED")
+        if not matched and not not_matched:
+            raise ParseError("MERGE requires at least one WHEN clause")
+        return A.MergeStmt(
+            table, talias, source, salias, on, matched, not_matched
+        )
 
     def _update(self):
         # [EXT] UPDATE t SET c = e[, ...] WHERE cond — statement sugar

@@ -649,3 +649,63 @@ def sql_table_fn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         from merge('^mrg_') group by _table, k
         """
     )
+
+
+@query(
+    "q_ddl_merge_into",
+    """
+    WITH tgt AS (
+      SELECT * FROM (VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30),
+                            (5, 'b', 50)) t(id, tag, v)),
+    src AS (
+      SELECT * FROM (VALUES (2, 'b', 99), (3, 'x', 7), (4, 'c', 40),
+                            (6, 'skip', 6)) s(id, tag, v)),
+    upd AS (
+      SELECT t.id,
+             CASE WHEN s.id IS NOT NULL AND s.tag != 'x'
+                  THEN s.tag ELSE t.tag END AS tag,
+             CASE WHEN s.id IS NOT NULL AND s.tag != 'x'
+                  THEN s.v + t.v ELSE t.v END AS v,
+             CASE WHEN s.id IS NOT NULL AND s.tag = 'x'
+                  THEN 1 ELSE 0 END AS del
+      FROM tgt t LEFT JOIN src s USING (id)),
+    kept AS (SELECT id, tag, v FROM upd WHERE del = 0),
+    ins AS (
+      SELECT s.id, s.tag, s.v FROM src s LEFT JOIN tgt t USING (id)
+      WHERE t.id IS NULL AND s.tag != 'skip')
+    SELECT CAST(id AS BIGINT) AS id, tag, CAST(v AS BIGINT) AS v FROM (
+      SELECT * FROM kept UNION ALL SELECT * FROM ins) u
+    ORDER BY id
+    """,
+)
+def q_ddl_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ANSI MERGE INTO — the warehouse upsert: one statement
+    applies ordered WHEN MATCHED (first-match-wins: a DELETE guard
+    clause ahead of the UPDATE) and conditional WHEN NOT MATCHED
+    INSERT against a source table. Executed as one decision join +
+    atomic rewrite + the standard insert path (catalog.merge);
+    multiple source matches per target row raise (ANSI cardinality
+    rule, pytest-pinned with the clause-order / default / serial /
+    CHECK / view-repair semantics in tests/test_merge_into.py). The
+    oracle replays the matched CASEs and the anti-join insert."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS merge_t")
+    eng.sql("DROP TABLE IF EXISTS merge_s")
+    eng.sql("CREATE TABLE merge_t (id Int64, tag String, v Int64)")
+    eng.sql(
+        "INSERT INTO merge_t (id, tag, v) VALUES "
+        "(1, 'a', 10), (2, 'b', 20), (3, 'a', 30), (5, 'b', 50)"
+    )
+    eng.sql("CREATE TABLE merge_s (id Int64, tag String, v Int64)")
+    eng.sql(
+        "INSERT INTO merge_s (id, tag, v) VALUES "
+        "(2, 'b', 99), (3, 'x', 7), (4, 'c', 40), (6, 'skip', 6)"
+    )
+    eng.sql(
+        "MERGE INTO merge_t AS t USING merge_s AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.tag = 'x' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + t.v, tag = s.tag "
+        "WHEN NOT MATCHED AND s.tag != 'skip' THEN "
+        "INSERT (id, tag, v) VALUES (s.id, s.tag, s.v)"
+    )
+    return eng.sql("SELECT id, tag, v FROM merge_t ORDER BY id")
