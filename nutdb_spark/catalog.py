@@ -1506,8 +1506,33 @@ class Catalog:
 
             return walk(node)
 
-        def compile_(node) -> Column:
-            return low._expr(rw(node), None, {}, [])
+        def _refs_source(e) -> bool:
+            if isinstance(e, A.Ident):
+                return e.qualifier is None and e.name.startswith(pfx)
+            if not hasattr(e, "__dataclass_fields__"):
+                return False
+            for f in e.__dataclass_fields__:
+                v = getattr(e, f)
+                if isinstance(v, list):
+                    if any(
+                        _refs_source(x)
+                        for x in v
+                        if hasattr(x, "__dataclass_fields__")
+                    ):
+                        return True
+                elif hasattr(v, "__dataclass_fields__"):
+                    if _refs_source(v):
+                        return True
+            return False
+
+        def compile_(node, forbid_source: bool = False) -> Column:
+            r = rw(node)
+            if forbid_source and _refs_source(r):
+                raise CatalogError(
+                    "WHEN NOT MATCHED BY SOURCE expressions may reference "
+                    "target columns only"
+                )
+            return low._expr(r, None, {}, [])
 
         # --- decision join (target row id is pinned by an eager
         # checkpoint so the id survives across the jobs below) ---
@@ -1529,13 +1554,20 @@ class Catalog:
             raise CatalogError(
                 "MERGE: a target row matched multiple source rows"
             )
-        # --- matched clauses: first matching clause per row wins
-        # (a when-chain evaluates in clause order) ---
+        # --- matched clauses (then the [EXT] NOT MATCHED BY SOURCE
+        # clauses over stale target rows): first matching clause per
+        # row wins (a when-chain evaluates in clause order) ---
         is_m = F.col("__ms__hit").isNotNull()
+        by_src = getattr(stmt, "not_matched_by_source", []) or []
+        clauses = [
+            (cond, action, True) for cond, action in stmt.matched
+        ] + [(cond, action, False) for cond, action in by_src]
         idx_col = None
-        for i, (cond, action) in enumerate(stmt.matched):
-            c = is_m if cond is None else is_m & F.coalesce(
-                compile_(cond).cast("boolean"), F.lit(False)
+        for i, (cond, action, on_match) in enumerate(clauses):
+            gate = is_m if on_match else ~is_m
+            c = gate if cond is None else gate & F.coalesce(
+                compile_(cond, forbid_source=not on_match).cast("boolean"),
+                F.lit(False),
             )
             idx_col = (
                 F.when(c, F.lit(i + 1))
@@ -1548,7 +1580,7 @@ class Catalog:
         decided = joined.withColumn("__midx", idx)
         del_idx = [
             i + 1
-            for i, (_, action) in enumerate(stmt.matched)
+            for i, (_, action, _m) in enumerate(clauses)
             if action[0] == "delete"
         ]
         out_cols = []
@@ -1556,7 +1588,7 @@ class Catalog:
             if c == "__mtid":
                 continue
             col = F.col(c)
-            for i, (_, action) in enumerate(stmt.matched):
+            for i, (_, action, on_match) in enumerate(clauses):
                 if action[0] != "update":
                     continue
                 for cname, e in action[1]:
@@ -1571,7 +1603,9 @@ class Catalog:
                     stype = _parse_type(by_name[cname]["spark_type"])
                     col = F.when(
                         F.col("__midx") == i + 1,
-                        compile_(e).cast(stype),
+                        compile_(e, forbid_source=not on_match).cast(
+                            stype
+                        ),
                     ).otherwise(col)
             out_cols.append(col.alias(c))
         kept = decided

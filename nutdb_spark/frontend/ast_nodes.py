@@ -479,6 +479,10 @@ class MergeStmt:
     matched: list
     # [(cond|None, cols|None, exprs), …]
     not_matched: list
+    # [EXT] WHEN NOT MATCHED BY SOURCE (stale-target handling) —
+    # same shape as `matched`; expressions may reference TARGET
+    # columns only
+    not_matched_by_source: list = field(default_factory=list)
 
 
 @dataclass

@@ -1629,6 +1629,7 @@ class Parser:
         on = self.parse_expr()
         matched: list = []
         not_matched: list = []
+        by_source_clauses: list = []
         while self.eat_kw("when"):
             if self.eat_kw("matched"):
                 cond = self.parse_expr() if self.eat_kw("and") else None
@@ -1651,8 +1652,39 @@ class Parser:
                     )
             elif self.eat_kw("not"):
                 self.expect_kw("matched")
+                by_source = False
+                if self.eat_kw("by"):
+                    if self.eat_kw("source"):
+                        by_source = True
+                    elif not self.eat_kw("target"):
+                        raise ParseError(
+                            "NOT MATCHED BY expects SOURCE or TARGET"
+                        )
                 cond = self.parse_expr() if self.eat_kw("and") else None
                 self.expect_kw("then")
+                if by_source:
+                    # [EXT] Delta/T-SQL full-sync form: act on TARGET
+                    # rows no source row matched (stale rows)
+                    if self.eat_kw("update"):
+                        self.expect_kw("set")
+                        assignments = []
+                        while True:
+                            col = self.ident()
+                            self.expect_sym("=")
+                            assignments.append((col, self.parse_expr()))
+                            if not self.eat_sym(","):
+                                break
+                        by_source_clauses.append(
+                            (cond, ("update", assignments))
+                        )
+                    elif self.eat_kw("delete"):
+                        by_source_clauses.append((cond, ("delete",)))
+                    else:
+                        raise ParseError(
+                            "WHEN NOT MATCHED BY SOURCE THEN expects "
+                            "UPDATE SET or DELETE"
+                        )
+                    continue
                 self.expect_kw("insert")
                 cols = None
                 if self.at_sym("("):
@@ -1672,10 +1704,11 @@ class Parser:
                 not_matched.append((cond, cols, exprs))
             else:
                 raise ParseError("WHEN expects MATCHED or NOT MATCHED")
-        if not matched and not not_matched:
+        if not matched and not not_matched and not by_source_clauses:
             raise ParseError("MERGE requires at least one WHEN clause")
         return A.MergeStmt(
-            table, talias, source, salias, on, matched, not_matched
+            table, talias, source, salias, on, matched, not_matched,
+            by_source_clauses,
         )
 
     def _update(self):

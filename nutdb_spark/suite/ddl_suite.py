@@ -709,3 +709,58 @@ def q_ddl_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         "INSERT (id, tag, v) VALUES (s.id, s.tag, s.v)"
     )
     return eng.sql("SELECT id, tag, v FROM merge_t ORDER BY id")
+
+
+@query(
+    "q_ddl_merge_sync",
+    """
+    WITH tgt AS (
+      SELECT * FROM (VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30),
+                            (7, 'b', 70)) t(id, tag, v)),
+    src AS (
+      SELECT * FROM (VALUES (1, 'a', 11), (4, 'd', 40)) s(id, tag, v)),
+    upd AS (
+      SELECT t.id,
+             CASE WHEN s.id IS NULL AND NOT (t.tag = 'b')
+                  THEN 'stale' ELSE t.tag END AS tag,
+             CASE WHEN s.id IS NOT NULL THEN s.v ELSE t.v END AS v,
+             CASE WHEN s.id IS NULL AND t.tag = 'b'
+                  THEN 1 ELSE 0 END AS del
+      FROM tgt t LEFT JOIN src s USING (id)),
+    kept AS (SELECT id, tag, v FROM upd WHERE del = 0),
+    ins AS (
+      SELECT s.id, s.tag, s.v FROM src s LEFT JOIN tgt t USING (id)
+      WHERE t.id IS NULL)
+    SELECT CAST(id AS BIGINT) AS id, tag, CAST(v AS BIGINT) AS v FROM (
+      SELECT * FROM kept UNION ALL SELECT * FROM ins) u
+    ORDER BY id
+    """,
+)
+def q_ddl_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MERGE full-snapshot sync (the CDC apply pattern): one
+    statement updates matched rows, inserts new rows, and handles
+    STALE target rows via WHEN NOT MATCHED BY SOURCE — delete the 'b'
+    ones, flag the rest — the Delta/T-SQL extension over the ANSI
+    core. BY SOURCE expressions are fenced to target columns only
+    (source columns are definitionally absent on those rows)."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS msync_t")
+    eng.sql("DROP TABLE IF EXISTS msync_s")
+    eng.sql("CREATE TABLE msync_t (id Int64, tag String, v Int64)")
+    eng.sql(
+        "INSERT INTO msync_t (id, tag, v) VALUES "
+        "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (7, 'b', 70)"
+    )
+    eng.sql("CREATE TABLE msync_s (id Int64, tag String, v Int64)")
+    eng.sql(
+        "INSERT INTO msync_s (id, tag, v) VALUES (1, 'a', 11), (4, 'd', 40)"
+    )
+    eng.sql(
+        "MERGE INTO msync_t USING msync_s AS s ON msync_t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, tag, v) "
+        "VALUES (s.id, s.tag, s.v) "
+        "WHEN NOT MATCHED BY SOURCE AND msync_t.tag = 'b' THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'"
+    )
+    return eng.sql("SELECT id, tag, v FROM msync_t ORDER BY id")

@@ -182,3 +182,50 @@ def test_merge_parse_errors():
             "MERGE INTO t USING s ON t.id = s.id "
             "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (1)"
         )
+
+
+def test_merge_not_matched_by_source_full_sync(eng):
+    """The CDC full-snapshot sync: rows absent from the source delete
+    (or flag), matched rows update, new rows insert — one statement."""
+    _mk(eng, "(1,'a',10), (2,'b',20), (3,'c',30)",
+        "(1,'a',11), (4,'d',40)")
+    eng.sql(
+        "MERGE INTO mt USING ms AS s ON mt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, tag, v) "
+        "VALUES (s.id, s.tag, s.v) "
+        "WHEN NOT MATCHED BY SOURCE AND mt.tag = 'b' THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'"
+    )
+    assert _rows(eng) == [
+        (1, "a", 11), (3, "stale", 30), (4, "d", 40),
+    ]
+
+
+def test_merge_by_source_rejects_source_refs(eng):
+    _mk(eng, "(1,'a',10)", "(2,'b',2)")
+    with pytest.raises(CatalogError, match="target columns only"):
+        eng.sql(
+            "MERGE INTO mt USING ms AS s ON mt.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"
+        )
+
+
+def test_merge_by_source_parse_errors():
+    with pytest.raises(ParseError, match="SOURCE or TARGET"):
+        parse(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN NOT MATCHED BY nope THEN DELETE"
+        )
+    with pytest.raises(ParseError, match="UPDATE SET or DELETE"):
+        parse(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT (a) VALUES (1)"
+        )
+    # BY TARGET is the explicit spelling of the plain form
+    stmt = parse(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT (a) VALUES (1)"
+    )
+    assert len(stmt.not_matched) == 1
+    assert not stmt.not_matched_by_source
