@@ -1443,6 +1443,11 @@ class Catalog:
         if isinstance(stmt.source, str):
             src0 = low.resolve_table(stmt.source)
             src_name = stmt.source
+        elif isinstance(stmt.source, DataFrame):
+            # internal programmatic form (e.g. a streaming foreachBatch
+            # applying each micro-batch as a MERGE)
+            src0 = stmt.source
+            src_name = None
         else:
             src0 = low.lower_query(stmt.source)
             src_name = None

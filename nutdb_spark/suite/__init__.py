@@ -49,19 +49,20 @@ for _m in _MODULES:
 # sql_agg_anova's sparkbar moved to integer-exact bucket math) — a
 # changed entry needs a fresh grade, its old green no longer covers
 # the shipped code; never-graded entries outrank re-grades, the r11
-# verdict's own priority, (4) the first 3 (name order) of the
-# 50-entry r6 re-grade pool. 5 + 21 + 21 + 3 = 50. The ROUND-13
-# re-grade pool continues the r6 pool in name order at q_dedup_spans
-# / q_distinct_on / q_except / q_exists / q_expr_arith /
-# q_expr_bitwise / q_expr_case / q_expr_compare / q_expr_logic /
-# q_fn_dates / q_fn_datetime / q_fn_minmax / q_fn_quantile-tail —
-# i.e. sorted(r6 names) minus the 3 below — then the r7 pool.
-# (The "N entries NEW" count in (3) is now 19: the session-2
+# verdict's own priority, (4) the first 2 (name order) of the
+# 50-entry r6 re-grade pool. 5 + 21 + 22 + 2 = 50. The ROUND-13
+# re-grade pool continues the r6 pool in name order at
+# q_dedup_minhash_lsh / q_dedup_spans / q_distinct_on / q_except /
+# q_exists / q_expr_arith / q_expr_bitwise / q_expr_case /
+# q_expr_compare / q_expr_logic / q_fn_dates / q_fn_datetime /
+# q_fn_minmax / q_fn_quantile-tail — i.e. sorted(r6 names) minus the
+# 2 below — then the r7 pool.
+# (The "N entries NEW" count in (3) is now 20: the session-2
 # additions q_pack_emit, q_text_token_ids, q_graph_pagerank,
 # sql_table_fn_pagerank, q_graph_triangles, sql_table_fn_triangles,
 # q_text_fim, q_pipeline_tokenize, q_join_interval, q_sample_ccnet,
-# q_dedup_rank_central, q_ddl_merge_into, q_ddl_merge_sync joined
-# the six session-1 ones.)
+# q_dedup_rank_central, q_ddl_merge_into, q_ddl_merge_sync,
+# q_stream_merge_cdc joined the six session-1 ones.)
 _PRIORITY = [
     # --- (1) never driver-graded ---
     "sql_fn_aliases", "sql_fn_javahash", "q_pack_efficiency",
@@ -79,10 +80,11 @@ _PRIORITY = [
     "q_graph_triangles", "sql_table_fn_triangles", "q_text_fim",
     "q_pipeline_tokenize", "q_join_interval", "q_sample_ccnet",
     "q_dedup_rank_central", "q_ddl_merge_into", "q_ddl_merge_sync",
+    "q_stream_merge_cdc",
     "q_text_classifier", "q_dedup_semantic", "q_stream_dedup_neardup",
     "q_pipeline_clean", "sql_agg_anova",
-    # --- (4) r6 re-grade pool, first 3 in name order ---
-    "q_cte", "q_dedup_connected_star", "q_dedup_minhash_lsh",
+    # --- (4) r6 re-grade pool, first 2 in name order ---
+    "q_cte", "q_dedup_connected_star",
 ]
 
 

@@ -1127,3 +1127,154 @@ def q_stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@query(
+    "q_stream_merge_cdc",
+    # stream-of-merges ≡ last-writer-wins snapshot: applying each
+    # micro-batch's latest-per-key records through the ordered MERGE
+    # clauses must leave exactly the state of the newest event per key
+    # (absent when that event is a delete)
+    """
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del
+      FROM events),
+    l AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rk
+      FROM ev)
+    SELECT user_id, v, CAST(event_id AS BIGINT) AS last_event
+    FROM l WHERE rk = 1 AND del = 0
+    ORDER BY user_id
+    """,
+)
+def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Streaming CDC apply — the lakehouse upsert loop: change
+    records arrive as a file stream (two micro-batches, ascending
+    event_id), each batch compacts to its latest record per key (the
+    standard pre-MERGE rank step — MERGE's cardinality rule demands
+    it) and applies as ONE MERGE INTO: matched deletes retire rows,
+    matched updates overwrite, unmatched non-deletes insert, unmatched
+    deletes fall through. The oracle is the last-writer-wins snapshot
+    over ALL events — the statement of CDC-apply correctness: a stream
+    of batched merges must equal the one-shot latest-state view. State
+    is the catalog table itself (no driver accumulation); each batch
+    costs one decision join against the current target."""
+    import tempfile
+    import time
+
+    from nutdb_spark.engine import NutEngine
+    from nutdb_spark.frontend import ast_nodes as A
+
+    eng = NutEngine(spark, data_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS cdc_tgt")
+    eng.sql(
+        "CREATE TABLE cdc_tgt (user_id Int64, v Int64, last_event Int64)"
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    hi = ev.agg(F.max("event_id")).first()[0]  # bounded: one row
+    split = (hi + 1) // 2
+
+    src = _STREAM_SRC_CACHE.get(("merge_cdc", sf_dir))
+    if src is None or not os.path.isdir(src):
+        import shutil
+        import tempfile as _tf
+
+        root = _tf.mkdtemp(prefix="q_stream_cdc_src_")
+        src = root + "/src"
+        os.makedirs(src)
+        now = time.time()
+        for i, batch in enumerate(
+            (
+                ev.filter(F.col("event_id") < split),
+                ev.filter(F.col("event_id") >= split),
+            )
+        ):
+            stage = os.path.join(root, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            [part] = [
+                f
+                for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        _STREAM_SRC_CACHE[("merge_cdc", sf_dir)] = src
+
+    def sident(name):
+        return A.Ident(name, "s")
+
+    def tident(name):
+        return A.Ident(name, "cdc_tgt")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        latest = (
+            batch_df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        stmt = A.MergeStmt(
+            "cdc_tgt",
+            None,
+            latest,
+            "s",
+            A.BinOp("=", tident("user_id"), sident("user_id")),
+            [
+                (
+                    A.BinOp("=", sident("op"), A.Lit("d", "string")),
+                    ("delete",),
+                ),
+                (
+                    None,
+                    (
+                        "update",
+                        [("v", sident("v")), ("last_event", sident("event_id"))],
+                    ),
+                ),
+            ],
+            [
+                (
+                    A.BinOp("!=", sident("op"), A.Lit("d", "string")),
+                    ["user_id", "v", "last_event"],
+                    [sident("user_id"), sident("v"), sident("event_id")],
+                )
+            ],
+        )
+        from nutdb_spark.frontend.lower import Lowerer
+
+        low = Lowerer(
+            spark, eng.resolve_table, None, config=eng.config,
+            list_tables=eng._list_tables,
+        )
+        eng.catalog.merge(stmt, low)
+
+    base = tempfile.mkdtemp(prefix="q_stream_cdc_")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return eng.sql(
+        "SELECT user_id, v, last_event FROM cdc_tgt ORDER BY user_id"
+    )
