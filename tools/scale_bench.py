@@ -243,6 +243,11 @@ ENTRIES = [
     "q_sample_ccnet",
     # jaccard pairs + 4-round integer PageRank + CC + argmax
     "q_dedup_rank_central",
+    # MERGE wave: the DDL entries build fixed VALUES fixtures (flat —
+    # the slope measures statement machinery); the CDC stream applies
+    # two event-scaled micro-batch merges
+    "q_ddl_merge_into",
+    "q_stream_merge_cdc",
 ]
 
 SF01 = "/root/testdata/sf0.1"
