@@ -229,3 +229,57 @@ def test_merge_by_source_parse_errors():
     )
     assert len(stmt.not_matched) == 1
     assert not stmt.not_matched_by_source
+
+
+def test_merge_randomized_against_python_simulator(eng):
+    """Randomized scenario armor: random target/source tables run
+    through a fixed 3-clause MERGE and must equal a pure-Python
+    apply implementing the same semantics (ordered clauses,
+    first-match-wins, unmatched-delete fall-through, BY SOURCE
+    flagging)."""
+    import random
+
+    rnd = random.Random(1214)
+    for trial in range(6):
+        eng.sql("DROP TABLE IF EXISTS mt")
+        eng.sql("DROP TABLE IF EXISTS ms")
+        tgt = {
+            k: (rnd.choice("abc"), rnd.randrange(100))
+            for k in rnd.sample(range(12), rnd.randrange(1, 9))
+        }
+        src = {
+            k: (rnd.choice("abcx"), rnd.randrange(100))
+            for k in rnd.sample(range(12), rnd.randrange(1, 9))
+        }
+        _mk(
+            eng,
+            ", ".join(
+                f"({k},'{t}',{v})" for k, (t, v) in sorted(tgt.items())
+            ),
+            ", ".join(
+                f"({k},'{t}',{v})" for k, (t, v) in sorted(src.items())
+            ),
+        )
+        eng.sql(
+            "MERGE INTO mt USING ms AS s ON mt.id = s.id "
+            "WHEN MATCHED AND s.tag = 'x' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = s.v + mt.v "
+            "WHEN NOT MATCHED AND s.tag != 'x' THEN INSERT (id, tag, v) "
+            "VALUES (s.id, s.tag, s.v) "
+            "WHEN NOT MATCHED BY SOURCE AND mt.v < 50 THEN "
+            "UPDATE SET tag = 'old'"
+        )
+        want = {}
+        for k, (t, v) in tgt.items():
+            if k in src:
+                st, sv = src[k]
+                if st == "x":
+                    continue  # clause 1: delete
+                want[k] = (t, sv + v)  # clause 2 updates v, keeps tag
+            else:
+                want[k] = ("old" if v < 50 else t, v)  # BY SOURCE flag
+        for k, (t, v) in src.items():
+            if k not in tgt and t != "x":
+                want[k] = (t, v)
+        got = {r[0]: (r[1], r[2]) for r in _rows(eng)}
+        assert got == want, (trial, tgt, src)
