@@ -753,3 +753,189 @@ def oracle_fim(
         "p1": f"CAST(CASE WHEN {applied} THEN {p1} ELSE 0 END AS BIGINT)",
         "p2": f"CAST(CASE WHEN {applied} THEN {p2} ELSE 0 END AS BIGINT)",
     }
+
+
+# --- [EXT] Gopher quality rules ----------------------------------------------
+
+# The published rule-set constants (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A —
+# the MassiveWeb quality filter). Kept verbatim; the rule *decisions*
+# below are exact-integer cross-multiplications so the pass/fail bits
+# hash-oracle (no float ratio ever feeds a comparison).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rules(
+    text: Column,
+    *,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = GOPHER_MIN_STOPWORD_HITS,
+) -> dict[str, Column]:
+    """[EXT] The Gopher/MassiveWeb document-quality rule set as exact
+    counters + per-rule booleans + the composite gate:
+
+    - ``ok_words``: 50 ≤ word count ≤ 100 000,
+    - ``ok_mean_len``: mean word length in [3, 10] — decided as
+      ``3·n_words ≤ Σlen ≤ 10·n_words`` (integer, no division),
+    - ``ok_symbol``: symbol-to-word ratio ≤ 0.1 for ``#`` / ``...``
+      (``10·n_symbols ≤ n_words``),
+    - ``ok_bullet``: ≤ 10% of non-empty lines start with a bullet,
+    - ``ok_ellipsis``: ≤ 30% of non-empty lines end with ``...``,
+    - ``ok_alpha``: ≥ 80% of words contain an alphabetic character
+      (``5·n_alpha_words ≥ 4·n_words``),
+    - ``ok_stop``: ≥ ``min_stop_hits`` distinct hits from the stop
+      list (the published rule says "stop words appropriate to the
+      corpus"; the published English 8-word list is the default and
+      both knobs are parameters because the list is the one
+      corpus-dependent constant in the set),
+    - ``passes`` = AND of all seven.
+
+    One projection over the scan — no shuffle, no UDF; at 100 TB this
+    is the map-side gate in front of every downstream stage, which is
+    why every rule is a codegen'd expression."""
+    words = F.filter(tokenize(text), lambda t: F.length(t) > 0)
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_symbols = (
+        F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    ).cast("long")
+    lines = F.filter(
+        F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda t: t.rlike(r"[A-Za-z]"))
+    ).cast("long")
+    lowered = F.transform(words, F.lower)
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stopwords]),
+            lambda s: F.array_contains(lowered, s),
+        )
+    ).cast("long")
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mean_len = (
+        sum_len >= F.lit(GOPHER_MIN_MEAN_WORD_LEN) * n_words
+    ) & (sum_len <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * n_words)
+    ok_symbol = F.lit(10) * n_symbols <= n_words
+    ok_bullet = F.lit(10) * n_bullet <= n_lines
+    ok_ellipsis = F.lit(10) * n_ellipsis <= F.lit(3) * n_lines
+    ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    ok_stop = n_stop >= min_stop_hits
+    return {
+        "n_words": n_words,
+        "sum_word_len": sum_len,
+        "n_symbols": n_symbols,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ellipsis,
+        "n_alpha_words": n_alpha,
+        "n_stop_hits": n_stop,
+        "ok_words": ok_words,
+        "ok_mean_len": ok_mean_len,
+        "ok_symbol": ok_symbol,
+        "ok_bullet": ok_bullet,
+        "ok_ellipsis": ok_ellipsis,
+        "ok_alpha": ok_alpha,
+        "ok_stop": ok_stop,
+        "passes": ok_words
+        & ok_mean_len
+        & ok_symbol
+        & ok_bullet
+        & ok_ellipsis
+        & ok_alpha
+        & ok_stop,
+    }
+
+
+def oracle_gopher(
+    expr: str,
+    *,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = GOPHER_MIN_STOPWORD_HITS,
+) -> dict[str, str]:
+    words = (
+        f"list_filter(string_split_regex(trim({expr}), '\\s+'), "
+        "t -> length(t) > 0)"
+    )
+    n_words = f"CAST(len({words}) AS BIGINT)"
+    sum_len = (
+        f"CAST(coalesce(list_sum(list_transform({words}, "
+        "t -> CAST(length(t) AS BIGINT))), 0) AS BIGINT)"
+    )
+    n_symbols = (
+        f"CAST(len(regexp_extract_all({expr}, '#')) "
+        f"+ len(regexp_extract_all({expr}, '\\.\\.\\.')) AS BIGINT)"
+    )
+    lines = (
+        f"list_filter(string_split({expr}, chr(10)), "
+        "l -> length(trim(l)) > 0)"
+    )
+    n_lines = f"CAST(len({lines}) AS BIGINT)"
+    n_bullet = (
+        f"CAST(len(list_filter({lines}, "
+        "l -> regexp_matches(l, '^\\s*[-*]'))) AS BIGINT)"
+    )
+    n_ellipsis = (
+        f"CAST(len(list_filter({lines}, "
+        "l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS BIGINT)"
+    )
+    n_alpha = (
+        f"CAST(len(list_filter({words}, "
+        "t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)"
+    )
+    stop_lst = ", ".join(f"'{s}'" for s in stopwords)
+    lowered = f"list_transform({words}, t -> lower(t))"
+    n_stop = (
+        f"CAST(len(list_filter([{stop_lst}], "
+        f"s -> list_contains({lowered}, s))) AS BIGINT)"
+    )
+    ok_words = (
+        f"({n_words} >= {GOPHER_MIN_WORDS} "
+        f"AND {n_words} <= {GOPHER_MAX_WORDS})"
+    )
+    ok_mean_len = (
+        f"({sum_len} >= {GOPHER_MIN_MEAN_WORD_LEN} * {n_words} "
+        f"AND {sum_len} <= {GOPHER_MAX_MEAN_WORD_LEN} * {n_words})"
+    )
+    ok_symbol = f"(10 * {n_symbols} <= {n_words})"
+    ok_bullet = f"(10 * {n_bullet} <= {n_lines})"
+    ok_ellipsis = f"(10 * {n_ellipsis} <= 3 * {n_lines})"
+    ok_alpha = f"(5 * {n_alpha} >= 4 * {n_words})"
+    ok_stop = f"({n_stop} >= {min_stop_hits})"
+    return {
+        "n_words": n_words,
+        "sum_word_len": sum_len,
+        "n_symbols": n_symbols,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ellipsis,
+        "n_alpha_words": n_alpha,
+        "n_stop_hits": n_stop,
+        "ok_words": ok_words,
+        "ok_mean_len": ok_mean_len,
+        "ok_symbol": ok_symbol,
+        "ok_bullet": ok_bullet,
+        "ok_ellipsis": ok_ellipsis,
+        "ok_alpha": ok_alpha,
+        "ok_stop": ok_stop,
+        "passes": (
+            f"({ok_words} AND {ok_mean_len} AND {ok_symbol} AND "
+            f"{ok_bullet} AND {ok_ellipsis} AND {ok_alpha} AND {ok_stop})"
+        ),
+    }

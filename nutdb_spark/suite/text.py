@@ -1570,3 +1570,30 @@ def q_sample_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "bucket", "rare_rate")
         .orderBy("doc_id")
     )
+
+
+def _gopher_oracle_sql() -> str:
+    from nutdb_spark.operators.text import ENGLISH_STOPWORDS, oracle_gopher
+
+    g = oracle_gopher("text", stopwords=ENGLISH_STOPWORDS)
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in g.items())
+    return f"SELECT doc_id, {cols} FROM documents WHERE doc_id < 400"
+
+
+@query("q_text_gopher", _gopher_oracle_sql())
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The Gopher/MassiveWeb quality rule set (Rae et al. 2021,
+    App. A): seven published document-quality rules as exact integer
+    counters + boolean decisions + the composite ``passes`` gate, one
+    codegen'd projection over the scan. The fixture corpus splits on
+    the 50-word minimum and the distinct-stopword rule, so the gate
+    bit carries signal, not a constant. The stop list is the engine's
+    English list (the published 8-word list stays the operator
+    default; the rule is corpus-language-dependent by design and the
+    fixture vocabulary contains only 'the' from the published list,
+    which would pin ok_stop — and the gate — constant-false)."""
+    from nutdb_spark.operators.text import ENGLISH_STOPWORDS, gopher_rules
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    g = gopher_rules(F.col("text"), stopwords=ENGLISH_STOPWORDS)
+    return d.select("doc_id", *[c.alias(n) for n, c in g.items()])

@@ -1,0 +1,113 @@
+"""Gopher/MassiveWeb quality-rule armor (operators/text.py
+gopher_rules).
+
+The oracled entry (q_text_gopher) pins DuckDB bit-identity at sf0.01;
+these pin the rule VALUES against an independent Python replay on
+crafted documents hitting every rule, and that the fixture corpus
+gate carries signal (not a constant bit).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.text import (
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOPWORD_HITS,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+    gopher_rules,
+)
+
+
+def _py_rules(text: str) -> dict:
+    words = [w for w in re.split(r"\s+", text.strip()) if w]
+    n_words = len(words)
+    sum_len = sum(len(w) for w in words)
+    n_symbols = len(re.findall(r"#", text)) + len(re.findall(r"\.\.\.", text))
+    lines = [l for l in text.split("\n") if l.strip()]
+    n_lines = len(lines)
+    n_bullet = sum(1 for l in lines if re.search(r"^\s*[-*]", l))
+    n_ellipsis = sum(1 for l in lines if re.search(r"\.\.\.\s*$", l))
+    n_alpha = sum(1 for w in words if re.search(r"[A-Za-z]", w))
+    lowered = {w.lower() for w in words}
+    n_stop = sum(1 for s in GOPHER_STOPWORDS if s in lowered)
+    ok = {
+        "ok_words": GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS,
+        "ok_mean_len": (
+            GOPHER_MIN_MEAN_WORD_LEN * n_words
+            <= sum_len
+            <= GOPHER_MAX_MEAN_WORD_LEN * n_words
+        ),
+        "ok_symbol": 10 * n_symbols <= n_words,
+        "ok_bullet": 10 * n_bullet <= n_lines,
+        "ok_ellipsis": 10 * n_ellipsis <= 3 * n_lines,
+        "ok_alpha": 5 * n_alpha >= 4 * n_words,
+        "ok_stop": n_stop >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    return {
+        "n_words": n_words,
+        "sum_word_len": sum_len,
+        "n_symbols": n_symbols,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ellipsis,
+        "n_alpha_words": n_alpha,
+        "n_stop_hits": n_stop,
+        **ok,
+        "passes": all(ok.values()),
+    }
+
+
+CRAFTED = [
+    # passes everything: 60 words, stopwords, sane lengths
+    ("the quick brown fox jumps over " * 10).strip() + " of and that",
+    # too short
+    "the cat sat of",
+    # symbol-heavy (### per word)
+    ("the of " + "# " * 40).strip() + " " + "word " * 20,
+    # bullet lines dominate
+    "\n".join(["- item one the of"] * 9 + ["plain line"]),
+    # ellipsis lines dominate
+    "\n".join(["trailing off the of..."] * 5 + ["solid line"] * 5),
+    # numeric soup fails the alpha rule
+    ("12345 67890 " * 30).strip() + " the of",
+    # mean word length too long
+    (("pneumonoultramicroscopic " * 60).strip() + " the of"),
+    # no stopwords at all
+    ("alpha beta gamma delta epsilon " * 12).strip(),
+    # empty / whitespace
+    "",
+    "   \n  \n ",
+]
+
+
+def test_rules_match_python_replay(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CRAFTED)], "id long, text string"
+    )
+    g = gopher_rules(F.col("text"))
+    rows = (
+        df.select("id", *[c.alias(n) for n, c in g.items()])
+        .orderBy("id")
+        .collect()
+    )
+    for row in rows:
+        want = _py_rules(CRAFTED[row["id"]])
+        got = {k: row[k] for k in want}
+        assert got == want, f"doc {row['id']}: {got} != {want}"
+
+
+def test_fixture_gate_carries_signal(spark, sf_dir):
+    from nutdb_spark.operators.text import ENGLISH_STOPWORDS
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = gopher_rules(F.col("text"), stopwords=ENGLISH_STOPWORDS)
+    agg = d.select(g["passes"].cast("int").alias("p")).agg(
+        F.sum("p").alias("kept"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert 0 < agg["kept"] < agg["n"]
