@@ -1426,3 +1426,132 @@ def incremental_exact_dedup_tombstone(
         "__key", F.col(id_col).alias("__keeper")
     )
     return survivors.drop("__key"), new_entries, index
+
+
+def dedup_repeated_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    max_freq: int = 1,
+) -> DataFrame:
+    """Exact-substring span removal over SLIDING word ``k``-grams — the
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better") suffix-array dedup semantics, re-expressed
+    relationally: any word ``k``-gram occurring more than ``max_freq``
+    times across the corpus marks its ``k`` word positions for
+    removal IN EVERY occurrence; overlapping hits union into maximal
+    covered spans, and each document is rebuilt from its uncovered
+    words in order.
+
+    Contrast with ``dedup_spans``: that operator cuts DISJOINT fixed
+    chunks (the C4 line-dedup shape, alignment-sensitive), this one is
+    shift-invariant — a duplicated passage is caught at any offset,
+    the published exact-substring semantics (the suffix array is an
+    index choice, not a semantic one; at fixture scale the k-gram
+    inverted index computes the identical cover).
+
+    Output: (doc_id, n_words, n_removed, clean_text) for every input
+    document — fully-covered documents surface with empty clean_text
+    rather than vanishing, so the removal rate is auditable.
+
+    Scale shape: the k-gram occurrence list is an explode (k× the
+    corpus words — the published method pays the same suffix blow-up
+    on disk); the frequency table is one hash-groupBy on the gram;
+    coverage is an equi-join back plus a DISTINCT on (doc, position);
+    reassembly is one per-document sort — bounded by a single
+    document, the per-group contract shared with dedup_spans. No
+    Python anywhere; every stage is codegen'd.
+    """
+    from nutdb_spark.operators.text import ngrams, tokenize
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            tokenize(F.col(text_col)), lambda t: F.length(t) > 0
+        ).alias("__toks"),
+    )
+    occ = base.select(
+        "doc_id",
+        F.posexplode(ngrams(F.col("__toks"), k)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
+    rep = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_freq)
+        .select("gram")
+    )
+    covered = (
+        occ.join(rep, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    wordpos = base.select(
+        "doc_id", F.posexplode("__toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "w")
+    kept = wordpos.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("__toks").cast("long").alias("n_words"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def oracle_dedup_repeated_ngrams(
+    *, k: int = 8, max_freq: int = 1, where: str = "TRUE"
+) -> str:
+    """DuckDB replay of dedup_repeated_ngrams over `documents`
+    (returns a full SELECT; compose with an outer projection)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> length(t) > 0) AS t
+  FROM documents WHERE {where}),
+occ AS (
+  SELECT doc_id, unnest(range(1, greatest(len(t) - {k - 1}, 0) + 1)) AS s,
+         t FROM base),
+grams AS (
+  SELECT doc_id, s, array_to_string(t[s:s+{k - 1}], ' ') AS gram FROM occ),
+rep AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) > {max_freq}),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(s, s + {k})) AS p
+  FROM grams JOIN rep USING (gram)),
+wordpos AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, t FROM base),
+kept AS (
+  SELECT w.doc_id, w.p, w.t[w.p] AS w
+  FROM wordpos w ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.p = c.p),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_words,
+       CAST(len(b.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)"""

@@ -1304,3 +1304,27 @@ def q_dedup_rank_central(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup_connected_keep_best(pairs, dd, "doc_id", "pr_rank")
+
+
+def _repeated_ngrams_oracle() -> str:
+    from nutdb_spark.operators.dedup import oracle_dedup_repeated_ngrams
+
+    return (
+        oracle_dedup_repeated_ngrams(k=8, max_freq=1, where="doc_id < 400")
+        + "\nORDER BY doc_id"
+    )
+
+
+@query("q_dedup_substring", _repeated_ngrams_oracle())
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact-substring span removal over SLIDING word 8-grams
+    (Lee et al. 2021's suffix-array dedup semantics, relationally):
+    8-grams repeated anywhere in the corpus mark their positions in
+    every occurrence, overlapping hits union into maximal spans, and
+    documents are rebuilt from the uncovered words. Shift-invariant —
+    the semantics q_dedup_spans' aligned chunks can't express — and
+    the fixture's planted near-dups give it a real removal rate."""
+    from nutdb_spark.operators.dedup import dedup_repeated_ngrams
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return dedup_repeated_ngrams(d, "doc_id", "text", k=8, max_freq=1)

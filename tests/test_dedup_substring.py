@@ -1,0 +1,107 @@
+"""Sliding-k-gram exact-substring dedup armor
+(operators/dedup.py dedup_repeated_ngrams).
+
+The oracled entry (q_dedup_substring) pins DuckDB bit-identity; these
+pin the semantics against an independent Python replay — crafted
+shift-offset duplicates (the case the aligned-chunk dedup_spans
+cannot catch) plus a randomized small corpus — and the fixture
+removal rate being real.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.dedup import dedup_repeated_ngrams
+
+
+def _py_replay(texts: dict[int, str], k: int, max_freq: int) -> dict:
+    toks = {
+        i: [w for w in re.split(r"\s+", t.strip()) if w]
+        for i, t in texts.items()
+    }
+    freq: dict[str, int] = {}
+    for ws in toks.values():
+        for s in range(len(ws) - k + 1):
+            g = " ".join(ws[s : s + k])
+            freq[g] = freq.get(g, 0) + 1
+    out = {}
+    for i, ws in toks.items():
+        covered = set()
+        for s in range(len(ws) - k + 1):
+            if freq[" ".join(ws[s : s + k])] > max_freq:
+                covered.update(range(s, s + k))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        out[i] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def _run(spark, texts: dict[int, str], k: int = 4, max_freq: int = 1):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = dedup_repeated_ngrams(
+        df, "doc_id", "text", k=k, max_freq=max_freq
+    ).collect()
+    got = {r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_text"]) for r in rows}
+    assert got == _py_replay(texts, k, max_freq)
+    return got
+
+
+def test_shift_offset_duplicate_is_caught(spark):
+    # the same 6-word passage at offsets 0 and 3 — disjoint 10-token
+    # chunking would never align them; sliding 4-grams must.
+    passage = "alpha beta gamma delta epsilon zeta"
+    texts = {
+        0: passage + " tail one two",
+        1: "pre one two " + passage,
+        2: "totally unrelated words here nothing shared at all",
+    }
+    got = _run(spark, texts, k=4)
+    assert got[0][1] >= 6 and got[1][1] >= 6
+    assert got[2][1] == 0
+
+
+def test_fully_covered_doc_surfaces_empty(spark):
+    t = "one two three four"
+    got = _run(spark, {0: t, 1: t}, k=4)
+    assert got[0] == (4, 4, "") and got[1] == (4, 4, "")
+
+
+def test_short_and_empty_docs(spark):
+    got = _run(spark, {0: "a b", 1: "", 2: "   "}, k=4)
+    assert got[0] == (2, 0, "a b")
+    assert got[1] == (0, 0, "") and got[2] == (0, 0, "")
+
+
+def test_randomized_corpus_matches_replay(spark):
+    rng = random.Random(12012)
+    vocab = [f"w{j}" for j in range(12)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(40)
+    }
+    # plant a shared passage in a third of the docs at random offsets
+    passage = "p1 p2 p3 p4 p5 p6"
+    for i in range(0, 40, 3):
+        ws = texts[i].split()
+        at = rng.randint(0, len(ws))
+        texts[i] = " ".join(ws[:at] + passage.split() + ws[at:])
+    _run(spark, texts, k=4)
+    _run(spark, texts, k=5, max_freq=2)
+
+
+def test_fixture_removal_rate_is_real(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = (
+        dedup_repeated_ngrams(d, "doc_id", "text", k=8, max_freq=1)
+        .agg(
+            F.sum("n_removed").alias("rm"),
+            F.sum("n_words").alias("tot"),
+        )
+        .collect()[0]
+    )
+    assert 0 < agg["rm"] < agg["tot"]
