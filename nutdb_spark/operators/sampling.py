@@ -239,3 +239,139 @@ def kfold(
 
 def oracle_kfold(key_expr: str, k: int, salt: str = "kfold") -> str:
     return f"(({oracle_hash_bucket(key_expr, salt)}) % {k})"
+
+
+# --- [EXT] DSIR hashed importance resampling ---------------------------------
+
+DSIR_DIM = 4096  # hashed feature buckets
+DSIR_SCALE = 1_000_000  # fixed-point scale for the per-feature ratio
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    *,
+    dim: int = DSIR_DIM,
+    salt: str = "dsir",
+) -> DataFrame:
+    """[EXT] DSIR-style data selection via hashed n-gram importance
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): features are unigrams + bigrams hashed
+    into ``dim`` buckets; a document's importance is how much more its
+    features look like the ``target`` subset than the raw corpus.
+
+    Exact-arithmetic stand-in for the paper's log-likelihood-ratio sum
+    (the engine's oracle convention — a libm log never hash-oracles):
+    per feature, the add-one-smoothed target/raw count ratio in fixed
+    point, ``r_f = ((cnt_tgt_f + 1) · 10^6) div (cnt_raw_f + 1)``, and
+    the document score is the sum of ``r_f`` over its feature
+    OCCURRENCES (the same bag-of-words weighting; the ratio-sum is the
+    same keep-the-target-like-documents signal, and every comparison
+    downstream is on exact int64). ``r_f`` stays in int64 up to
+    ~9·10^12 target occurrences of one bucket.
+
+    Scale shape: explode → one hash-groupBy over ``dim``-bounded
+    feature buckets (the count table is dim-sized — broadcastable at
+    any corpus size, unlike a raw vocabulary) → equi-join back →
+    per-doc sum. The global totals never enter: constant factors
+    cancel in ranking, which is what keeps every term int64.
+
+    Returns (doc_id, n_feats, score); downstream selection ranks by
+    (score DESC, doc_id). Empty docs surface with score 0.
+    """
+    from nutdb_spark.operators.text import ngrams, normalize_text, tokenize
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.cast("int").alias("__tgt"),
+        F.filter(
+            tokenize(normalize_text(F.col(text_col))),
+            lambda t: F.length(t) > 0,
+        ).alias("__w"),
+    )
+    feats = base.select(
+        "doc_id",
+        "__tgt",
+        F.explode(
+            F.concat(F.col("__w"), ngrams(F.col("__w"), 2))
+        ).alias("__feat"),
+    ).select(
+        "doc_id",
+        "__tgt",
+        hash_bucket(F.col("__feat"), salt=salt, grain=dim).alias("f"),
+    )
+    cnt = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum("__tgt").alias("cnt_tgt"),
+    )
+    ratio = cnt.select(
+        "f",
+        F.expr(
+            f"((cnt_tgt + 1) * {DSIR_SCALE}) div (cnt_raw + 1)"
+        ).alias("r"),
+    )
+    per = (
+        feats.join(ratio, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("r").alias("score"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias(
+                "n_feats"
+            ),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+        )
+    )
+
+
+def oracle_dsir_scores(
+    target_expr: str,
+    *,
+    dim: int = DSIR_DIM,
+    salt: str = "dsir",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replay of dsir_scores over `documents` (full SELECT
+    yielding doc_id, n_feats, score; compose with an outer query)."""
+    from nutdb_spark.operators.text import (
+        oracle_ngrams,
+        oracle_normalize,
+        oracle_tokenize,
+    )
+
+    words = (
+        f"list_filter({oracle_tokenize(oracle_normalize('text'))}, "
+        "t -> length(t) > 0)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({target_expr} AS INT) AS tgt, {words} AS w
+  FROM documents WHERE {where}),
+feats AS (
+  SELECT doc_id, tgt,
+         {oracle_hash_bucket("feat", salt=salt, grain=dim)} AS f
+  FROM (SELECT doc_id, tgt,
+               unnest(list_concat(w, {oracle_ngrams('w', 2)})) AS feat
+        FROM base)),
+cnt AS (
+  SELECT f, count(*) AS cnt_raw, sum(tgt) AS cnt_tgt
+  FROM feats GROUP BY f),
+ratio AS (
+  SELECT f, ((cnt_tgt + 1) * {DSIR_SCALE}) // (cnt_raw + 1) AS r
+  FROM cnt),
+per AS (
+  SELECT doc_id, count(*) AS n_feats, sum(r) AS score
+  FROM feats JOIN ratio USING (f) GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(p.score, 0) AS BIGINT) AS score
+FROM base b LEFT JOIN per p USING (doc_id)"""

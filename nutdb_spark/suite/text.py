@@ -1597,3 +1597,43 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     g = gopher_rules(F.col("text"), stopwords=ENGLISH_STOPWORDS)
     return d.select("doc_id", *[c.alias(n) for n, c in g.items()])
+
+
+def _dsir_oracle_sql() -> str:
+    from nutdb_spark.operators.sampling import oracle_dsir_scores
+
+    inner = oracle_dsir_scores("lang = 'en'", where="doc_id < 400")
+    return f"""
+WITH scored AS ({inner})
+SELECT doc_id, n_feats, score, rk FROM (
+  SELECT doc_id, n_feats, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rk
+  FROM scored) t
+WHERE rk <= 150 ORDER BY doc_id"""
+
+
+@query("q_sample_dsir", _dsir_oracle_sql())
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR-style importance resampling (Xie et al. 2023):
+    hashed unigram+bigram features, add-one-smoothed target/raw count
+    ratios in fixed point (exact int64 — the engine's stand-in for
+    the paper's log-likelihood ratio, same selection signal), target
+    = the labeled-English subset, keep the top 150 of the 400-doc
+    slice by (score DESC, doc_id). The feature-count table is
+    dim-bounded (4096 buckets) so at 100 TB it broadcasts; the final
+    global rank is the ccnet-precedent trade — a two-pass histogram
+    cut at scale, an exact window here."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.sampling import dsir_scores
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    scored = dsir_scores(d, "doc_id", "text", F.col("lang") == "en")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 150)
+        .select("doc_id", "n_feats", "score", "rk")
+        .orderBy("doc_id")
+    )

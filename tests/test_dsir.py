@@ -1,0 +1,85 @@
+"""DSIR importance-resampling armor (operators/sampling.py
+dsir_scores).
+
+The oracled entry (q_sample_dsir) pins DuckDB bit-identity; these pin
+the VALUES against an independent Python replay and that the score
+actually separates target-like documents from the rest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from nutdb_spark.operators.sampling import DSIR_DIM, DSIR_SCALE, dsir_scores
+
+
+def _bucket(feat: str, salt: str = "dsir", dim: int = DSIR_DIM) -> int:
+    h = hashlib.md5((salt + feat).encode()).hexdigest()
+    return int(h[:15], 16) % dim
+
+
+def _py_scores(rows: list[tuple[int, str, bool]]) -> dict[int, tuple[int, int]]:
+    def feats(text: str) -> list[int]:
+        w = [
+            t
+            for t in re.split(r"\s+", re.sub(r"\s+", " ", text.lower()).strip())
+            if t
+        ]
+        grams = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        return [_bucket(f) for f in w + grams]
+
+    per = {i: feats(t) for i, t, _ in rows}
+    cnt_raw: dict[int, int] = {}
+    cnt_tgt: dict[int, int] = {}
+    for (i, _, tgt) in rows:
+        for f in per[i]:
+            cnt_raw[f] = cnt_raw.get(f, 0) + 1
+            if tgt:
+                cnt_tgt[f] = cnt_tgt.get(f, 0) + 1
+    out = {}
+    for (i, _, _) in rows:
+        r = sum(
+            ((cnt_tgt.get(f, 0) + 1) * DSIR_SCALE) // (cnt_raw[f] + 1)
+            for f in per[i]
+        )
+        out[i] = (len(per[i]), r)
+    return out
+
+
+def test_scores_match_python_replay(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", True),
+        (1, "der schnelle braune fuchs springt", False),
+        (2, "the dog sleeps under the tree", True),
+        (3, "el zorro marron salta sobre el perro", False),
+        (4, "", False),
+        (5, "   ", True),
+        (6, "quick brown fox", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score"])
+        for r in dsir_scores(df, "doc_id", "text", F.col("tgt")).collect()
+    }
+    assert got == _py_scores(rows)
+
+
+def test_target_like_docs_score_higher(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = dsir_scores(d, "doc_id", "text", F.col("lang") == "en").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    # mean per-feature ratio: en docs must beat the non-en mean
+    agg = (
+        s.filter(F.col("n_feats") > 0)
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(
+            (F.sum("score") / F.sum("n_feats")).alias("per_feat")
+        )
+        .collect()
+    )
+    per = {r["is_en"]: r["per_feat"] for r in agg}
+    assert per[True] > per[False]
