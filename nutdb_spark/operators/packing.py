@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nutdb_spark.operators.sampling import hash_bucket
+from nutdb_spark.operators.sampling import hash_bucket, oracle_hash_bucket
 
 # Finer grain than sampling's ppm buckets: the hash is the global
 # ORDER here, so 10^6 distinct values would (a) collide constantly at
@@ -99,3 +99,52 @@ def pack_sequences(
 
 
 __all__ = ["pack_sequences", "PACK_GRAIN"]
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: Column,
+    *,
+    epoch: int,
+    shards: int,
+    salt: str = "epoch",
+) -> DataFrame:
+    """[EXT] Deterministic per-epoch training-order shuffle: every row
+    (a packed sequence, or any keyed unit) gets an epoch-``epoch``
+    position — ``eshard`` (which reader's stream it lands in) and
+    ``pos`` (its 1-based rank inside that stream). Different epochs
+    salt the hash differently, so orders are independent across
+    epochs yet bit-reproducible given (salt, epoch, key) — the
+    property a resumable trainer needs: re-running epoch 3 after a
+    crash replays the identical order, with no RNG state to persist.
+
+    Scale shape: one hash partition on ``eshard`` plus a per-shard
+    sort (rank windows never cross shards — the same contract as
+    ``pack_sequences``; size ``shards`` so one shard's rows fit an
+    executor's sort budget, and readers consume shard-parallel).
+    """
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    h = hash_bucket(key, f"{salt}{epoch}", grain=PACK_GRAIN)
+    out = df.withColumn("__h", h).withColumn(
+        "eshard", (F.col("__h") % shards).cast("int")
+    )
+    w = Window.partitionBy("eshard").orderBy("__h", key)
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("__h")
+
+
+def oracle_epoch_shuffle(
+    key_expr: str, *, epoch: int, shards: int, salt: str = "epoch"
+) -> dict[str, str]:
+    """DuckDB expressions for epoch_shuffle's (eshard, pos) columns
+    (pos as a window over the enclosing SELECT's rows)."""
+    h = oracle_hash_bucket(key_expr, f"{salt}{epoch}", grain=PACK_GRAIN)
+    return {
+        "eshard": f"CAST(({h}) % {shards} AS INT)",
+        "pos": (
+            f"CAST(row_number() OVER (PARTITION BY CAST(({h}) % {shards} AS INT) "
+            f"ORDER BY {h}, {key_expr}) AS BIGINT)"
+        ),
+    }

@@ -1637,3 +1637,38 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_feats", "score", "rk")
         .orderBy("doc_id")
     )
+
+
+def _epoch_shuffle_oracle() -> str:
+    from nutdb_spark.operators.packing import oracle_epoch_shuffle
+
+    e1 = oracle_epoch_shuffle("doc_id", epoch=1, shards=8)
+    e2 = oracle_epoch_shuffle("doc_id", epoch=2, shards=8)
+    return f"""
+SELECT doc_id,
+       {e1['eshard']} AS eshard1, {e1['pos']} AS pos1,
+       {e2['eshard']} AS eshard2, {e2['pos']} AS pos2
+FROM documents WHERE doc_id < 400 ORDER BY doc_id"""
+
+
+@query("q_pack_shuffle", _epoch_shuffle_oracle())
+def q_pack_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic per-epoch training-order shuffle (the step
+    between packing and the trainer): epochs 1 and 2 of the same
+    corpus slice land each unit in an (eshard, pos) reading position;
+    different epochs are independently ordered (different salted
+    hashes), identical re-runs are bit-stable, and resuming epoch 2
+    replays its exact order with no RNG state. Keyed by doc_id here;
+    keying by the packed (shard, seq) ids is the same plan. One hash
+    partition + per-shard rank window per epoch — shards bound the
+    sort, readers consume shard-parallel."""
+    from nutdb_spark.operators.packing import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    e1 = epoch_shuffle(
+        d.select("doc_id"), F.col("doc_id"), epoch=1, shards=8
+    ).withColumnsRenamed({"eshard": "eshard1", "pos": "pos1"})
+    e2 = epoch_shuffle(
+        d.select("doc_id"), F.col("doc_id"), epoch=2, shards=8
+    ).withColumnsRenamed({"eshard": "eshard2", "pos": "pos2"})
+    return e1.join(e2, "doc_id").orderBy("doc_id")
