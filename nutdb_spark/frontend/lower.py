@@ -413,6 +413,99 @@ class Lowerer:
             corpus = self.resolve_table(tbl)
             queries = corpus.filter(F.col(idc) < int(nq))
             return topk_bruteforce(corpus, queries, idc, vc, k=int(k))
+        if name == "gopherquality":
+            # [EXT] gopherQuality('table', 'id_col', 'text_col'
+            # [, 'stoplist']) → id + the Gopher/MassiveWeb counters,
+            # per-rule booleans and composite gate (operators/text.py
+            # gopher_rules). stoplist: 'gopher' (published default) or
+            # 'english' (the engine's English list).
+            from nutdb_spark.operators.text import (
+                ENGLISH_STOPWORDS,
+                GOPHER_STOPWORDS,
+                gopher_rules,
+            )
+
+            if len(fn.args) not in (3, 4) or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "gopherQuality takes ('table', 'id_col', "
+                    "'text_col'[, 'stoplist']) literals"
+                )
+            tbl, idc, txc, *rest = [a.value for a in fn.args]
+            lists = {"gopher": GOPHER_STOPWORDS, "english": ENGLISH_STOPWORDS}
+            which = str(rest[0]) if rest else "gopher"
+            if which not in lists:
+                raise LoweringError(
+                    f"gopherQuality stoplist must be one of {sorted(lists)}"
+                )
+            g = gopher_rules(F.col(txc), stopwords=lists[which])
+            return self.resolve_table(tbl).select(
+                F.col(idc), *[c.alias(n2) for n2, c in g.items()]
+            )
+        if name == "dsirscores":
+            # [EXT] dsirScores('table', 'id_col', 'text_col',
+            # 'target_col', 'target_val') → (doc_id, n_feats, score):
+            # hashed-n-gram importance weights vs the target subset
+            # (operators/sampling.py dsir_scores, exact fixed-point)
+            from nutdb_spark.operators.sampling import dsir_scores
+
+            if len(fn.args) != 5 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "dsirScores takes ('table', 'id_col', 'text_col', "
+                    "'target_col', 'target_val') literals"
+                )
+            tbl, idc, txc, tc, tv = [a.value for a in fn.args]
+            return dsir_scores(
+                self.resolve_table(tbl), idc, txc, F.col(tc) == tv
+            )
+        if name == "bpetrain":
+            # [EXT] bpeTrain('table', 'text_col', n_merges) →
+            # (rk, a, b, cnt): learn a BPE merge table in-engine
+            # (operators/bpe.py bpe_train). Eager by design — each
+            # round collects its 1-row argmax (k-means precedent).
+            from nutdb_spark.operators.bpe import bpe_train
+
+            if len(fn.args) != 3 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "bpeTrain takes ('table', 'text_col', n_merges) "
+                    "literals"
+                )
+            tbl, txc, n = [a.value for a in fn.args]
+            if int(n) <= 0:
+                raise LoweringError("bpeTrain n_merges must be >= 1")
+            learned = bpe_train(
+                self.resolve_table(tbl), F.col(txc), int(n)
+            )
+            return self.spark.createDataFrame(
+                [(i + 1, a, b, c) for i, (a, b, c) in enumerate(learned)],
+                "rk long, a string, b string, cnt long",
+            )
+        if name == "dedupsubstrings":
+            # [EXT] dedupSubstrings('table', 'id_col', 'text_col', k)
+            # → (doc_id, n_words, n_removed, clean_text): sliding
+            # word-k-gram exact-substring span removal (operators/
+            # dedup.py dedup_repeated_ngrams — the Lee et al. 2021
+            # semantics, shift-invariant).
+            from nutdb_spark.operators.dedup import dedup_repeated_ngrams
+
+            if len(fn.args) != 4 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "dedupSubstrings takes ('table', 'id_col', "
+                    "'text_col', k) literals"
+                )
+            tbl, idc, txc, k = [a.value for a in fn.args]
+            if int(k) < 2:
+                raise LoweringError("dedupSubstrings k must be >= 2")
+            return dedup_repeated_ngrams(
+                self.resolve_table(tbl), idc, txc, k=int(k)
+            )
         if name == "numbers":
             # numbers(n) and the ClickHouse 2-arg numbers(offset, n)
             if len(fn.args) not in (1, 2) or not all(

@@ -111,6 +111,8 @@ def bpe_word_tokens(
     'aaa' under ('a','a') gives ['aa','a'], matching the trainer's
     simultaneous left-to-right replacement."""
     chars = F.split(word, "")
+    if not merges:  # empty table (training round 0): chars verbatim
+        return chars
     return F.aggregate(
         _merges_lit(merges),
         chars,
@@ -310,3 +312,121 @@ def oracle_bpe_token_count_text(
         + oracle_bpe_tokens_word("w", merges)
         + "))), 0) AS BIGINT)"
     )
+
+
+# --- [EXT] distributed BPE TRAINING ------------------------------------------
+
+
+def bpe_train(
+    df: DataFrame,
+    text: Column,
+    n_merges: int,
+    *,
+    merges_prefix: tuple[tuple[str, str], ...] = (),
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table IN-ENGINE (the distributed sibling of
+    tools/train_bpe.py, same algorithm bit-for-bit): per round, count
+    every adjacent token pair over the distinct-word frequency table
+    and take the (count DESC, pair ASC) extreme.
+
+    Returns ``[(a, b, count), ...]`` — ``n_merges`` rows in rank
+    order. ``merges_prefix`` warm-starts from an existing table
+    (continue training a committed vocab).
+
+    Scale shape per round: the corpus-sized work happened ONCE (the
+    word-frequency groupBy, cached); each round folds the CURRENT
+    merge table over the vocabulary-sized word table (O(R·|word|) per
+    distinct word — the encode discipline), one pair explode + one
+    hash-groupBy over the pair space, and ONE driver-side row (the
+    argmax — the k-means bounded-collect precedent). Rounds re-fold
+    from characters against the cached frequency table instead of
+    stacking DataFrame lineage, so the plan depth stays flat across
+    rounds.
+
+    Training/encode consistency: ``bpe_word_tokens`` applies merges in
+    rank order, which equals the trainer's min-rank iteration for any
+    prefix of a trained table — so round ``r`` can re-encode with the
+    ``r``-entry table and see exactly the token state the reference
+    trainer sees.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), 0)
+    wf = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist()
+    )
+    try:
+        learned: list[tuple[str, str]] = list(merges_prefix)
+        out: list[tuple[str, str, int]] = []
+        for _ in range(n_merges):
+            toks = bpe_word_tokens(F.col("w"), tuple(learned))
+            wt = wf.select(F.col("f"), toks.alias("t"))
+            idx = F.when(
+                F.size("t") >= 2,
+                F.sequence(F.lit(1), F.size("t") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+            pairs = wt.select("f", "t", F.explode(idx).alias("i")).select(
+                F.element_at("t", F.col("i")).alias("a"),
+                F.element_at("t", F.col("i") + 1).alias("b"),
+                "f",
+            )
+            best = (
+                pairs.groupBy("a", "b")
+                .agg(F.sum("f").cast("long").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # pair space exhausted (every word is one token)
+            row = best[0]
+            learned.append((row["a"], row["b"]))
+            out.append((row["a"], row["b"], row["cnt"]))
+        return out
+    finally:
+        wf.unpersist()
+
+
+def oracle_bpe_train(n_merges: int, *, where: str = "TRUE") -> str:
+    """DuckDB replay of ``bpe_train`` over `documents`: the training
+    loop unrolled into one CTE chain — round i counts pairs over the
+    token state t_{i-1}, picks the (count DESC, pair ASC) extreme
+    b_i, and applies it with the same greedy-left fold the encode
+    oracle uses. Returns rows (rk, a, b, cnt) in rank order."""
+    parts = [
+        f"""WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents WHERE {where}) GROUP BY word),
+t0 AS (SELECT string_split(word, '') AS t, f FROM w)"""
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(f) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     j -> [t[j], t[j+1]])) AS pr, f
+        FROM t{i - 1})
+  GROUP BY a, b),
+b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        if i < n_merges:
+            parts.append(
+                f"""t{i} AS (
+  SELECT list_reduce(
+    [[]::VARCHAR[]] || list_transform(t, x -> [x]),
+    (acc, tl) -> CASE
+      WHEN len(acc) > 0 AND acc[-1] = b{i}.a AND tl[1] = b{i}.b
+      THEN acc[:len(acc)-1] || [b{i}.a || b{i}.b]
+      ELSE acc || tl END) AS t, f
+  FROM t{i - 1}, b{i})"""
+            )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS rk, a, b, cnt FROM b{i}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY rk"

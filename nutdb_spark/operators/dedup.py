@@ -1521,16 +1521,21 @@ def dedup_repeated_ngrams(
 
 
 def oracle_dedup_repeated_ngrams(
-    *, k: int = 8, max_freq: int = 1, where: str = "TRUE"
+    *,
+    k: int = 8,
+    max_freq: int = 1,
+    where: str = "TRUE",
+    source: str = "documents",
+    text_expr: str = "text",
 ) -> str:
-    """DuckDB replay of dedup_repeated_ngrams over `documents`
+    """DuckDB replay of dedup_repeated_ngrams over ``source``
     (returns a full SELECT; compose with an outer projection)."""
     return f"""
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'),
+         list_filter(string_split_regex(trim({text_expr}), '\\s+'),
                      t -> length(t) > 0) AS t
-  FROM documents WHERE {where}),
+  FROM {source} WHERE {where}),
 occ AS (
   SELECT doc_id, unnest(range(1, greatest(len(t) - {k - 1}, 0) + 1)) AS s,
          t FROM base),

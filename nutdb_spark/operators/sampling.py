@@ -339,8 +339,10 @@ def oracle_dsir_scores(
     dim: int = DSIR_DIM,
     salt: str = "dsir",
     where: str = "TRUE",
+    source: str = "documents",
+    text_expr: str = "text",
 ) -> str:
-    """DuckDB replay of dsir_scores over `documents` (full SELECT
+    """DuckDB replay of dsir_scores over ``source`` (full SELECT
     yielding doc_id, n_feats, score; compose with an outer query)."""
     from nutdb_spark.operators.text import (
         oracle_ngrams,
@@ -349,13 +351,13 @@ def oracle_dsir_scores(
     )
 
     words = (
-        f"list_filter({oracle_tokenize(oracle_normalize('text'))}, "
+        f"list_filter({oracle_tokenize(oracle_normalize(text_expr))}, "
         "t -> length(t) > 0)"
     )
     return f"""
 WITH base AS (
   SELECT doc_id, CAST({target_expr} AS INT) AS tgt, {words} AS w
-  FROM documents WHERE {where}),
+  FROM {source} WHERE {where}),
 feats AS (
   SELECT doc_id, tgt,
          {oracle_hash_bucket("feat", salt=salt, grain=dim)} AS f

@@ -568,3 +568,93 @@ def q_pipeline_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards=_PT_SHARDS,
         salt="ptok",
     ).orderBy("doc_id")
+
+
+# --- [EXT] round-12 session-3: full curation pipeline ------------------------
+
+
+def _curate_oracle() -> str:
+    from nutdb_spark.operators.bpe import oracle_bpe_token_count_text
+    from nutdb_spark.operators.dedup import oracle_dedup_repeated_ngrams
+    from nutdb_spark.operators.packing import oracle_epoch_shuffle
+    from nutdb_spark.operators.sampling import oracle_dsir_scores
+    from nutdb_spark.operators.text import ENGLISH_STOPWORDS, oracle_gopher
+
+    gate = oracle_gopher("text", stopwords=ENGLISH_STOPWORDS)["passes"]
+    sub = oracle_dedup_repeated_ngrams(k=8, max_freq=1, source="gated")
+    dsir = oracle_dsir_scores(
+        "lang = 'en'", source="cleaned", text_expr="clean_text"
+    )
+    sh = oracle_epoch_shuffle("doc_id", epoch=1, shards=4)
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE doc_id < 400 AND {gate}),
+spans AS ({sub}),
+cleaned AS (
+  SELECT s.doc_id, g.lang, s.n_removed, s.clean_text
+  FROM spans s JOIN gated g USING (doc_id)),
+scored AS ({dsir}),
+selected AS (
+  SELECT c.doc_id, c.lang, c.n_removed, c.clean_text, s.score,
+         row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rk
+  FROM cleaned c JOIN scored s USING (doc_id))
+SELECT doc_id, lang, CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(score AS BIGINT) AS score,
+       CAST({oracle_bpe_token_count_text('clean_text')} AS BIGINT)
+         AS bpe_tokens,
+       {sh['eshard']} AS eshard, {sh['pos']} AS pos
+FROM selected WHERE rk <= 100 ORDER BY doc_id"""
+
+
+@query("q_pipeline_curate", _curate_oracle())
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The session's operators composed end-to-end — the shape a
+    100 TB curation job actually runs as ONE DataFrame plan: Gopher
+    rule gate → sliding-8-gram exact-substring span removal (corpus
+    frequencies computed over the GATED survivors) → DSIR importance
+    scoring of the cleaned text (target = labeled-English) → keep the
+    top 100 → exact BPE token counts of what survived → epoch-1
+    training-order shuffle. Every stage is the already-oracled
+    operator; this entry pins that they COMPOSE bit-exactly (the
+    oracle chains the same five builders over CTEs). No stage
+    materializes to the driver; the one global window (the top-100
+    cut) is the ccnet-precedent trade."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.bpe import bpe_token_count_text
+    from nutdb_spark.operators.dedup import dedup_repeated_ngrams
+    from nutdb_spark.operators.packing import epoch_shuffle
+    from nutdb_spark.operators.sampling import dsir_scores
+    from nutdb_spark.operators.text import ENGLISH_STOPWORDS, gopher_rules
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    gated = d.filter(
+        gopher_rules(F.col("text"), stopwords=ENGLISH_STOPWORDS)["passes"]
+    ).select("doc_id", "text", "lang")
+    spans = dedup_repeated_ngrams(gated, "doc_id", "text", k=8, max_freq=1)
+    cleaned = spans.join(gated.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_removed", "clean_text"
+    )
+    scored = dsir_scores(
+        cleaned, "doc_id", "clean_text", F.col("lang") == "en"
+    ).select("doc_id", "score")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    selected = (
+        cleaned.join(scored, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 100)
+    )
+    return (
+        epoch_shuffle(selected, F.col("doc_id"), epoch=1, shards=4)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.col("score").cast("long").alias("score"),
+            bpe_token_count_text(F.col("clean_text")).alias("bpe_tokens"),
+            "eshard",
+            F.col("pos").alias("pos"),
+        )
+        .orderBy("doc_id")
+    )

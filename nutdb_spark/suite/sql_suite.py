@@ -6472,3 +6472,97 @@ def sql_fn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         from t order by doc_id
         """,
     )
+
+
+# --- [EXT] round-12 session-3 pipeline table functions ----------------------
+
+
+def _sql_gopher_oracle() -> str:
+    from nutdb_spark.operators.text import ENGLISH_STOPWORDS, oracle_gopher
+
+    g = oracle_gopher("text", stopwords=ENGLISH_STOPWORDS)
+    return f"""
+    SELECT doc_id, {g['n_words']} AS n_words,
+           {g['n_stop_hits']} AS n_stop_hits,
+           {g['ok_words']} AS ok_words, {g['passes']} AS passes
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+
+
+@query("sql_table_fn_gopher", _sql_gopher_oracle())
+def sql_table_fn_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The Gopher rule gate as a dialect TABLE FUNCTION —
+    gopherQuality('table', 'id', 'text'[, 'stoplist']) through the
+    frontend, composed with an outer WHERE/ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        "select doc_id, n_words, n_stop_hits, ok_words, passes "
+        "from gopherQuality('documents', 'doc_id', 'text', 'english') "
+        "where doc_id < 200 order by doc_id",
+    )
+
+
+def _sql_dsir_oracle() -> str:
+    from nutdb_spark.operators.sampling import oracle_dsir_scores
+
+    inner = oracle_dsir_scores("lang = 'en'")
+    return f"""
+    WITH scored AS ({inner})
+    SELECT doc_id, n_feats, score FROM scored
+    WHERE doc_id < 200 ORDER BY doc_id"""
+
+
+@query("sql_table_fn_dsir", _sql_dsir_oracle())
+def sql_table_fn_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR importance scores as a dialect TABLE FUNCTION —
+    dsirScores('table', 'id', 'text', 'target_col', 'target_val');
+    the feature statistics run over the WHOLE source table, the outer
+    WHERE prunes only the output (selection semantics)."""
+    return _run(
+        spark,
+        sf_dir,
+        "select doc_id, n_feats, score "
+        "from dsirScores('documents', 'doc_id', 'text', 'lang', 'en') "
+        "where doc_id < 200 order by doc_id",
+    )
+
+
+def _sql_bpe_train_oracle() -> str:
+    from nutdb_spark.operators.bpe import oracle_bpe_train
+
+    return oracle_bpe_train(6)
+
+
+@query("sql_table_fn_bpe_train", _sql_bpe_train_oracle())
+def sql_table_fn_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] In-engine BPE vocabulary training as a dialect TABLE
+    FUNCTION — bpeTrain('table', 'text_col', n_merges). Eager by
+    design (one 1-row argmax per round, k-means precedent)."""
+    return _run(
+        spark,
+        sf_dir,
+        "select rk, a, b, cnt from bpeTrain('documents', 'text', 6) "
+        "order by rk",
+    )
+
+
+def _sql_substring_oracle() -> str:
+    from nutdb_spark.operators.dedup import oracle_dedup_repeated_ngrams
+
+    return (
+        oracle_dedup_repeated_ngrams(k=8, max_freq=1)
+        + "\nORDER BY doc_id"
+    )
+
+
+@query("sql_table_fn_substring", _sql_substring_oracle())
+def sql_table_fn_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sliding-k-gram exact-substring span dedup as a dialect
+    TABLE FUNCTION — dedupSubstrings('table', 'id', 'text', k)."""
+    return _run(
+        spark,
+        sf_dir,
+        "select doc_id, n_words, n_removed, clean_text "
+        "from dedupSubstrings('documents', 'doc_id', 'text', 8) "
+        "order by doc_id",
+    )

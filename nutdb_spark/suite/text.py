@@ -1672,3 +1672,31 @@ def q_pack_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id"), F.col("doc_id"), epoch=2, shards=8
     ).withColumnsRenamed({"eshard": "eshard2", "pos": "pos2"})
     return e1.join(e2, "doc_id").orderBy("doc_id")
+
+
+def _bpe_train_oracle() -> str:
+    from nutdb_spark.operators.bpe import oracle_bpe_train
+
+    return oracle_bpe_train(8)
+
+
+@query("q_bpe_train", _bpe_train_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed BPE vocabulary TRAINING (completes the
+    tokenizer story: q_text_bpe encodes with a trained table; this
+    entry learns one in-engine). Eight rounds of corpus-wide pair
+    counting with the (count DESC, pair ASC) argmax — each round is a
+    vocabulary-sized fold + pair groupBy with ONE driver-side row
+    (the k-means bounded-collect precedent) — and the DuckDB oracle
+    replays the whole training loop unrolled, argmax and merge-apply
+    included. At sf0.01 the learned table equals the committed
+    BPE_MERGES prefix (pinned in tests), which is the claim that the
+    committed fixture is reproducible in-engine."""
+    from nutdb_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    learned = bpe_train(d, F.col("text"), 8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(learned)],
+        "rk long, a string, b string, cnt long",
+    ).orderBy("rk")

@@ -277,3 +277,60 @@ def test_join_encoder_agrees_with_direct_fold(spark):
     }
     assert joined == direct
     assert joined[0] == [] and joined[1] == []
+
+
+# --- distributed TRAINING (bpe_train) ---------------------------------------
+
+
+def _script_train(texts, n):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from train_bpe import train
+
+    return train(texts, n)
+
+
+def test_train_reproduces_committed_prefix(spark):
+    from nutdb_spark.operators.bpe import BPE_MERGES, bpe_train
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    learned = bpe_train(d, F.col("text"), 6)
+    assert [(a, b) for a, b, _ in learned] == list(BPE_MERGES[:6])
+    assert all(c > 0 for _, _, c in learned)
+
+
+def test_train_matches_reference_trainer_on_random_corpus(spark):
+    import random
+
+    from nutdb_spark.operators.bpe import bpe_train
+
+    rng = random.Random(7)
+    vocab = ["spark", "sparse", "parse", "apse", "spa", "a1b2", "x#y"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(a, b) for a, b, _ in bpe_train(df, F.col("text"), 10)]
+    want = _script_train(texts, 10)
+    assert got == want
+
+
+def test_train_warm_start_continues_the_table(spark):
+    from nutdb_spark.operators.bpe import BPE_MERGES, bpe_train
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    cont = bpe_train(
+        d, F.col("text"), 3, merges_prefix=tuple(BPE_MERGES[:3])
+    )
+    assert [(a, b) for a, b, _ in cont] == list(BPE_MERGES[3:6])
+
+
+def test_train_exhausts_gracefully(spark):
+    from nutdb_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([("a a a",), ("a",)], "text string")
+    # single-char words only: zero pairs, training stops immediately
+    assert bpe_train(df, F.col("text"), 5) == []

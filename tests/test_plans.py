@@ -114,7 +114,10 @@ def test_lowerings_are_lazy(spark):
                       # create their edge tables (+ lowering-time node
                       # count) by design
                       "sql_table_fn_pagerank",
-                      "sql_table_fn_triangles")
+                      "sql_table_fn_triangles",
+                      # training rounds collect one argmax row each
+                      # by design (k-means precedent)
+                      "q_bpe_train", "sql_table_fn_bpe_train")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
