@@ -1560,3 +1560,132 @@ SELECT b.doc_id,
        CAST(len(b.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
        coalesce(r.clean_text, '') AS clean_text
 FROM base b LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+def incremental_repeated_ngrams(
+    delta: DataFrame,
+    index: "tuple[DataFrame, DataFrame, DataFrame] | None",
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    max_freq: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Corpus-delta form of :func:`dedup_repeated_ngrams` — the
+    nightly-ingest pattern for exact-substring span removal, where a
+    NEW batch can flip k-grams of ALREADY-CLEANED documents over the
+    frequency threshold (removal hits every occurrence, so the
+    operator must emit revisions for those old documents, unlike the
+    keep-first incremental family where history is immutable).
+
+    ``index`` is the persisted corpus state — ``(occ, docs, cnt)``:
+    the k-gram occurrence list (doc_id, s, gram), the tokenized
+    documents (doc_id, toks), and the gram frequency table
+    (gram, cnt). This is corpus-sized on disk by necessity (the
+    published method persists a suffix array of the corpus for the
+    same reason); what the delta batch SAVES is compute — only the
+    delta is re-shingled, and only TOUCHED old documents (those with
+    an occurrence of a gram whose count first crossed ``max_freq``
+    this batch) are re-cleaned.
+
+    Returns ``(cleaned, occ', docs', cnt')``: per-doc output rows
+    (the dedup_repeated_ngrams schema) for the delta ∪ touched set,
+    and the three updated state frames to persist. Merging each
+    batch's ``cleaned`` (later batches overriding earlier rows by
+    doc_id) replays the one-shot operator row-for-row.
+
+    Scale shape: count merge is a gram-key outer join (both sides
+    hash-partitioned on gram); the touched set is a semi-join of the
+    stored occurrence list against the flipped grams (flipped is
+    delta-bounded — at most one flip per distinct delta gram);
+    re-cleaning joins occurrences against the new frequency table for
+    the touched docs only. No stage is corpus-sized except the state
+    union writes, which is the cost of owning the index at all.
+    """
+    from nutdb_spark.operators.text import ngrams, tokenize
+
+    base = delta.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            tokenize(F.col(text_col)), lambda t: F.length(t) > 0
+        ).alias("toks"),
+    )
+    d_occ = base.select(
+        "doc_id",
+        F.posexplode(ngrams(F.col("toks"), k)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
+    d_cnt = d_occ.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    if index is None:
+        old_occ = None
+        new_occ, new_docs, new_cnt = d_occ, base, d_cnt
+        touched = base.select("doc_id")
+        occ_all, docs_all = d_occ, base
+    else:
+        old_occ, old_docs, old_cnt = index
+        merged = old_cnt.withColumnRenamed("cnt", "c_old").join(
+            d_cnt.withColumnRenamed("cnt", "c_new"), "gram", "full"
+        ).select(
+            "gram",
+            F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+            (
+                F.coalesce(F.col("c_old"), F.lit(0))
+                + F.coalesce(F.col("c_new"), F.lit(0))
+            ).alias("cnt"),
+        )
+        new_cnt = merged.select("gram", "cnt")
+        flipped = merged.filter(
+            (F.col("c_old") >= 1)
+            & (F.col("c_old") <= max_freq)
+            & (F.col("cnt") > max_freq)
+        ).select("gram")
+        touched_old = (
+            old_occ.join(flipped, "gram").select("doc_id").distinct()
+        )
+        touched = base.select("doc_id").union(touched_old).distinct()
+        new_occ = old_occ.unionByName(d_occ)
+        new_docs = old_docs.unionByName(base)
+        occ_all, docs_all = new_occ, new_docs
+
+    occ_t = occ_all.join(touched, "doc_id")
+    rep = new_cnt.filter(F.col("cnt") > max_freq).select("gram")
+    covered = (
+        occ_t.join(rep, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    docs_t = docs_all.join(touched, "doc_id")
+    wordpos = docs_t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "w")
+    kept = wordpos.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    cleaned = (
+        docs_t.select(
+            "doc_id", F.size("toks").cast("long").alias("n_words")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+    return cleaned, new_occ, new_docs, new_cnt

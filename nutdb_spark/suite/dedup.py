@@ -1328,3 +1328,75 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return dedup_repeated_ngrams(d, "doc_id", "text", k=8, max_freq=1)
+
+
+def _substring_incremental_oracle() -> str:
+    from nutdb_spark.operators.dedup import oracle_dedup_repeated_ngrams
+
+    return (
+        oracle_dedup_repeated_ngrams(k=8, max_freq=1, where="doc_id < 300")
+        + "\nORDER BY doc_id"
+    )
+
+
+@query("q_dedup_substring_incremental", _substring_incremental_oracle())
+def q_dedup_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] Incremental exact-substring span dedup — the nightly
+    ingest where a NEW batch can flip 8-grams of already-cleaned
+    documents over the frequency threshold: batch 1 (doc_id < 150)
+    persists its occurrence/docs/count index
+    (spark-warehouse/substr_index/<sf>/ingest=N), batch 2 re-shingles
+    only ITSELF, merges counts, and re-cleans the delta plus the
+    touched old documents (revision semantics — removal hits every
+    occurrence, so history is NOT immutable here, unlike the
+    keep-first incrementals). Batch-2 revisions override batch-1 rows
+    by doc_id; the merged view must equal the one-shot
+    q_dedup_substring oracle over the full 300-doc slice
+    row-for-row."""
+    import os
+
+    from nutdb_spark.operators.dedup import incremental_repeated_ngrams
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "substr_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+
+    def _persist(tag: str, occ, docs, cnt):
+        occ.write.mode("overwrite").parquet(
+            os.path.join(base, tag, "occ")
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(base, tag, "docs")
+        )
+        cnt.write.mode("overwrite").parquet(
+            os.path.join(base, tag, "cnt")
+        )
+        return tuple(
+            spark.read.parquet(os.path.join(base, tag, part))
+            for part in ("occ", "docs", "cnt")
+        )
+
+    c1, occ1, docs1, cnt1 = incremental_repeated_ngrams(
+        d.filter(F.col("doc_id") < 150), None, "doc_id", "text"
+    )
+    idx = _persist("ingest=1", occ1, docs1, cnt1)
+    c2, occ2, docs2, cnt2 = incremental_repeated_ngrams(
+        d.filter(F.col("doc_id") >= 150), idx, "doc_id", "text"
+    )
+    _persist("ingest=2", occ2, docs2, cnt2)
+    merged = c1.join(
+        c2.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(c2)
+    return merged.orderBy("doc_id")

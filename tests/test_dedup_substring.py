@@ -105,3 +105,72 @@ def test_fixture_removal_rate_is_real(spark, sf_dir):
         .collect()[0]
     )
     assert 0 < agg["rm"] < agg["tot"]
+
+
+# --- incremental (corpus-delta) form ----------------------------------------
+
+
+def _one_shot(spark, texts: dict[int, str], k: int = 4):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_text"])
+        for r in dedup_repeated_ngrams(df, "doc_id", "text", k=k).collect()
+    }
+
+
+def _replay(spark, batches: list[dict[int, str]], k: int = 4):
+    from nutdb_spark.operators.dedup import incremental_repeated_ngrams
+
+    idx = None
+    merged: dict[int, tuple] = {}
+    for b in batches:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in b.items()], "doc_id long, text string"
+        )
+        cleaned, occ, docs, cnt = incremental_repeated_ngrams(
+            df, idx, "doc_id", "text", k=k
+        )
+        rows = {
+            r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_text"])
+            for r in cleaned.collect()
+        }
+        merged.update(rows)  # later batches override (revisions)
+        # materialize state like the persisted-parquet entry does
+        occ, docs, cnt = occ.localCheckpoint(), docs.localCheckpoint(), cnt.localCheckpoint()
+        idx = (occ, docs, cnt)
+    return merged
+
+
+def test_incremental_revises_old_doc_on_flip(spark):
+    passage = "alpha beta gamma delta"
+    b1 = {0: passage + " solo tail", 1: "unrelated words entirely here"}
+    b2 = {2: "prefix bit " + passage}
+    got = _replay(spark, [b1, b2], k=4)
+    want = _one_shot(spark, {**b1, **b2}, k=4)
+    assert got == want
+    assert want[0][1] >= 4  # the batch-1 doc WAS revised (flip)
+
+
+def test_incremental_randomized_three_batch_replay(spark):
+    import random
+
+    rng = random.Random(20260816)
+    vocab = [f"t{j}" for j in range(10)]
+    docs = {}
+    for i in range(36):
+        docs[i] = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(0, 24))
+        )
+    passage = "s1 s2 s3 s4 s5"
+    for i in (2, 14, 25, 33):  # straddles every batch boundary
+        ws = docs[i].split()
+        at = rng.randint(0, len(ws))
+        docs[i] = " ".join(ws[:at] + passage.split() + ws[at:])
+    batches = [
+        {i: t for i, t in docs.items() if i < 12},
+        {i: t for i, t in docs.items() if 12 <= i < 24},
+        {i: t for i, t in docs.items() if i >= 24},
+    ]
+    assert _replay(spark, batches, k=4) == _one_shot(spark, docs, k=4)
