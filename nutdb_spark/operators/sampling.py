@@ -377,3 +377,69 @@ SELECT b.doc_id,
        CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
        CAST(coalesce(p.score, 0) AS BIGINT) AS score
 FROM base b LEFT JOIN per p USING (doc_id)"""
+
+
+def global_topk(
+    df: DataFrame,
+    score: Column,
+    key: Column,
+    k: int,
+    *,
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """[EXT] Exact global top-``k`` by (score DESC, key ASC) WITHOUT a
+    corpus-sized single-partition sort — the two-pass histogram cut
+    the selection entries' docstrings promise at 100 TB, implemented:
+
+    1. histogram: rows bucket by ``score div bucket_width`` and one
+       hash-groupBy counts each bucket (distributed, map-side
+       partial),
+    2. a cumulative count over the DESC-ordered bucket table finds
+       the boundary bucket — the one global window in the plan runs
+       over the bucket table (≤ score-range/width rows, a knob), and
+       at most ``k`` buckets survive it (each kept bucket has < k
+       rows above it, and every bucket holds ≥ 1 row),
+    3. candidate rows semi-join the ≤ k kept buckets (broadcast —
+       provably bounded) and ONLY they take the exact
+       (score DESC, key) rank; candidates number at most k plus one
+       bucket's population, so the final ranking window is k-bounded,
+       never corpus-bounded.
+
+    The output ``rk`` is bit-identical to ``row_number() OVER (ORDER
+    BY score DESC, key) ≤ k`` — which is what lets the DuckDB oracle
+    stay the naive window while the Spark plan never funnels the
+    corpus through one partition. Ties across bucket edges are safe:
+    bucketing is monotone in score, and the exact rank re-orders
+    within the candidate set.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    from pyspark.sql import Window
+
+    tagged = df.withColumn("__score", score).withColumn("__key", key)
+    # floor-div via `div` keeps negatives exact (Spark div truncates
+    # toward zero, so shift scores non-negative per-plan is avoided by
+    # bucketing on the raw integral quotient — monotone either way for
+    # a fixed sign regime; cumulative order uses the bucket value)
+    tagged = tagged.withColumn(
+        "__b", F.expr(f"__score div {bucket_width}")
+    )
+    hist = tagged.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_cum = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_buckets = (
+        hist.withColumn("__cum", F.sum("__n").over(w_cum))
+        .withColumn("__above", F.col("__cum") - F.col("__n"))
+        .filter(F.col("__above") < k)
+        .select("__b")
+    )
+    cand = tagged.join(F.broadcast(kept_buckets), "__b")
+    w_exact = Window.orderBy(F.col("__score").desc(), F.col("__key").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w_exact).cast("long"))
+        .filter(F.col("rk") <= k)
+        .drop("__score", "__key", "__b")
+    )

@@ -618,14 +618,13 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-order shuffle. Every stage is the already-oracled
     operator; this entry pins that they COMPOSE bit-exactly (the
     oracle chains the same five builders over CTEs). No stage
-    materializes to the driver; the one global window (the top-100
-    cut) is the ccnet-precedent trade."""
-    from pyspark.sql import Window
-
+    materializes to the driver; the top-100 cut is the two-pass
+    histogram top-k (global_topk — no corpus-sized single-partition
+    sort anywhere in the plan)."""
     from nutdb_spark.operators.bpe import bpe_token_count_text
     from nutdb_spark.operators.dedup import dedup_repeated_ngrams
     from nutdb_spark.operators.packing import epoch_shuffle
-    from nutdb_spark.operators.sampling import dsir_scores
+    from nutdb_spark.operators.sampling import dsir_scores, global_topk
     from nutdb_spark.operators.text import ENGLISH_STOPWORDS, gopher_rules
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
@@ -639,11 +638,11 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = dsir_scores(
         cleaned, "doc_id", "clean_text", F.col("lang") == "en"
     ).select("doc_id", "score")
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    selected = (
-        cleaned.join(scored, "doc_id")
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 100)
+    selected = global_topk(
+        cleaned.join(scored, "doc_id"),
+        F.col("score"),
+        F.col("doc_id"),
+        100,
     )
     return (
         epoch_shuffle(selected, F.col("doc_id"), epoch=1, shards=4)

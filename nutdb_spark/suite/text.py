@@ -1622,18 +1622,17 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     = the labeled-English subset, keep the top 150 of the 400-doc
     slice by (score DESC, doc_id). The feature-count table is
     dim-bounded (4096 buckets) so at 100 TB it broadcasts; the final
-    global rank is the ccnet-precedent trade — a two-pass histogram
-    cut at scale, an exact window here."""
-    from pyspark.sql import Window
-
-    from nutdb_spark.operators.sampling import dsir_scores
+    cut is the TWO-PASS HISTOGRAM top-k (operators/sampling.py
+    global_topk) — bucket histogram + ≤k-bucket candidate join +
+    k-bounded exact rank, never a corpus-sized single-partition sort;
+    the oracle stays the naive window because the ranks are
+    bit-identical."""
+    from nutdb_spark.operators.sampling import dsir_scores, global_topk
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     scored = dsir_scores(d, "doc_id", "text", F.col("lang") == "en")
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 150)
+        global_topk(scored, F.col("score"), F.col("doc_id"), 150)
         .select("doc_id", "n_feats", "score", "rk")
         .orderBy("doc_id")
     )

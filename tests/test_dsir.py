@@ -83,3 +83,45 @@ def test_target_like_docs_score_higher(spark, sf_dir):
     )
     per = {r["is_en"]: r["per_feat"] for r in agg}
     assert per[True] > per[False]
+
+
+# --- global_topk (two-pass histogram cut) ------------------------------------
+
+
+def _naive_topk(rows, k):
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    return {r[0]: i + 1 for i, r in enumerate(ordered[:k])}
+
+
+def test_global_topk_matches_naive_window(spark):
+    import random
+
+    from nutdb_spark.operators.sampling import global_topk
+
+    rng = random.Random(99)
+    # heavy ties, negatives, and both sides of a bucket edge
+    rows = [
+        (i, rng.choice([-5, -1, 0, 7, 7, 7, 1 << 20, (1 << 20) + 1, 10**9]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, score long")
+    for k in (1, 7, 100, 499, 500, 600):
+        got = {
+            r["k"]: r["rk"]
+            for r in global_topk(
+                df, F.col("score"), F.col("k"), k
+            ).collect()
+        }
+        assert got == _naive_topk(rows, k), f"k={k}"
+
+
+def test_global_topk_validates_args(spark):
+    import pytest as _pytest
+
+    from nutdb_spark.operators.sampling import global_topk
+
+    df = spark.createDataFrame([(1, 1)], "k long, score long")
+    with _pytest.raises(ValueError, match="k must be positive"):
+        global_topk(df, F.col("score"), F.col("k"), 0)
+    with _pytest.raises(ValueError, match="bucket_width"):
+        global_topk(df, F.col("score"), F.col("k"), 1, bucket_width=0)
