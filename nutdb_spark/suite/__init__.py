@@ -44,19 +44,22 @@ for _m in _MODULES:
 # Round-12 window (drains the driver-grade backlog to zero, per the
 # r11 verdict): (1) the 5 entries that have never had a driver row,
 # (2) the 21 displaced r5 tail names declared in the r11 ledger,
-# (3) the 13 entries NEW this round plus the 2 whose semantics/values
+# (3) the entries NEW this round plus the 2 whose semantics/values
 # changed this round (q_pipeline_clean gained the classifier gate;
 # sql_agg_anova's sparkbar moved to integer-exact bucket math) — a
 # changed entry needs a fresh grade, its old green no longer covers
 # the shipped code; never-graded entries outrank re-grades, the r11
-# verdict's own priority, (4) the first 2 (name order) of the
-# 50-entry r6 re-grade pool. 5 + 21 + 22 + 2 = 50. The ROUND-13
-# re-grade pool continues the r6 pool in name order at
-# q_dedup_minhash_lsh / q_dedup_spans / q_distinct_on / q_except /
-# q_exists / q_expr_arith / q_expr_bitwise / q_expr_case /
-# q_expr_compare / q_expr_logic / q_fn_dates / q_fn_datetime /
-# q_fn_minmax / q_fn_quantile-tail — i.e. sorted(r6 names) minus the
-# 2 below — then the r7 pool.
+# verdict's own priority. 5 + 21 + 24 = 50: session 3 added 11 more
+# never-graded entries (q_text_gopher, q_dedup_substring,
+# q_dedup_substring_incremental, q_sample_dsir, q_pack_shuffle,
+# q_bpe_train, q_pipeline_curate, sql_table_fn_gopher/_dsir/
+# _bpe_train/_substring), so the two flagship compositions
+# (q_bpe_train, q_pipeline_curate) take the final two slots the r6
+# re-grade pool held before — never-graded outranks re-grades. The
+# ROUND-13 window should lead with the 9 session-3 entries that
+# missed this window, then resume the r6 re-grade pool in name order
+# (q_cte, q_dedup_connected_star, q_dedup_minhash_lsh, q_dedup_spans,
+# q_distinct_on, q_except, ...), then the r7 pool.
 # (The "N entries NEW" count in (3) is now 20: the session-2
 # additions q_pack_emit, q_text_token_ids, q_graph_pagerank,
 # sql_table_fn_pagerank, q_graph_triangles, sql_table_fn_triangles,
@@ -83,8 +86,8 @@ _PRIORITY = [
     "q_stream_merge_cdc",
     "q_text_classifier", "q_dedup_semantic", "q_stream_dedup_neardup",
     "q_pipeline_clean", "sql_agg_anova",
-    # --- (4) r6 re-grade pool, first 2 in name order ---
-    "q_cte", "q_dedup_connected_star",
+    # --- session-3 flagships (never-graded, outrank re-grades) ---
+    "q_bpe_train", "q_pipeline_curate",
 ]
 
 
