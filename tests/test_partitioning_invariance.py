@@ -27,6 +27,12 @@ ENTRIES = [
     "q_analytic_period",        # autocorrelation argmax
     "sql_agg_resample",         # conditional-cell aggregate
     "q_pack_efficiency",        # window cumsum planner
+    # round-12 session-3 wave
+    "q_text_gopher",            # rule-gate projection
+    "q_dedup_substring",        # corpus gram counts + span rebuild
+    "q_sample_dsir",            # hashed ratios + histogram top-k cut
+    "q_pack_shuffle",           # per-epoch salted rank
+    "q_pipeline_curate",        # five-stage composition
 ]
 
 
