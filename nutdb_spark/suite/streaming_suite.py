@@ -1278,3 +1278,127 @@ def q_stream_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT user_id, v, last_event FROM cdc_tgt ORDER BY user_id"
     )
+
+
+# --- [EXT] round-12 session-3: streaming curation ingest ---------------------
+
+
+def _stream_curate_oracle() -> str:
+    from nutdb_spark.operators.dedup import oracle_dedup_repeated_ngrams
+    from nutdb_spark.operators.text import ENGLISH_STOPWORDS, oracle_gopher
+
+    gate = oracle_gopher("text", stopwords=ENGLISH_STOPWORDS)["passes"]
+    sub = oracle_dedup_repeated_ngrams(k=8, max_freq=1, source="gated")
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 300 AND {gate}),
+cleaned AS ({sub})
+SELECT doc_id, n_words, n_removed, clean_text FROM cleaned
+ORDER BY doc_id"""
+
+
+@query("q_stream_curate", _stream_curate_oracle())
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Continuous-ingest CURATION: documents arrive as a file
+    stream (one file per micro-batch, ascending doc_id); each batch
+    passes the Gopher gate (stateless map-side) and then runs the
+    incremental exact-substring span dedup against the PERSISTED gram
+    index — including REVISIONS of already-emitted documents when a
+    new batch flips one of their 8-grams over the corpus threshold
+    (the property no keep-first streaming dedup has). State is
+    versioned parquet per micro-batch (state/v=N read by batch N+1 —
+    never read-and-overwrite the same path); emitted rows carry their
+    batch id and the result view is latest-batch-per-doc. The merged
+    stream output must equal the ONE-SHOT gate → span-dedup oracle
+    over the full slice row-for-row — the same first two stages as
+    q_pipeline_curate, proving the batch pipeline and the streaming
+    ingest are the same computation."""
+    import shutil
+    import tempfile
+    import time
+
+    from nutdb_spark.operators.dedup import incremental_repeated_ngrams
+    from nutdb_spark.operators.text import ENGLISH_STOPWORDS, gopher_rules
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    split = 150
+
+    src = _STREAM_SRC_CACHE.get(("curate", sf_dir))
+    if src is None or not os.path.isdir(src):
+        root = tempfile.mkdtemp(prefix="q_stream_curate_src_")
+        src = root + "/src"
+        os.makedirs(src)
+        now = time.time()
+        for i, batch in enumerate(
+            (
+                d.filter(F.col("doc_id") < split),
+                d.filter(F.col("doc_id") >= split),
+            )
+        ):
+            stage = os.path.join(root, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            [part] = [
+                f
+                for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        _STREAM_SRC_CACHE[("curate", sf_dir)] = src
+
+    base = tempfile.mkdtemp(prefix="q_stream_curate_")
+    out, ck, state = f"{base}/out", f"{base}/ck", f"{base}/state"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        gated = batch_df.filter(
+            gopher_rules(F.col("text"), stopwords=ENGLISH_STOPWORDS)[
+                "passes"
+            ]
+        ).select("doc_id", "text")
+        prev = os.path.join(state, f"v={batch_id - 1}")
+        index = None
+        if os.path.isdir(os.path.join(prev, "occ")):
+            index = tuple(
+                spark.read.parquet(os.path.join(prev, part))
+                for part in ("occ", "docs", "cnt")
+            )
+        cleaned, occ, docs, cnt = incremental_repeated_ngrams(
+            gated, index, "doc_id", "text", k=8, max_freq=1
+        )
+        cur = os.path.join(state, f"v={batch_id}")
+        for part, df_part in (("occ", occ), ("docs", docs), ("cnt", cnt)):
+            df_part.write.mode("overwrite").parquet(
+                os.path.join(cur, part)
+            )
+        cleaned.withColumn("__batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("__batch").desc())
+    return (
+        spark.read.parquet(out)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "n_words", "n_removed", "clean_text")
+        .orderBy("doc_id")
+    )
