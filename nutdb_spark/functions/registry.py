@@ -6289,3 +6289,169 @@ SCALAR_FNS["javaHash"] = _java_hash
 SCALAR_FNS["hiveHash"] = lambda s: _java_hash(s).bitwiseAND(
     F.lit(2147483647)
 )
+
+
+# --- [EXT] tier-18: interop scalars ------------------------------------------
+# Bit probes, the CH demographic rounding ladders, IPv4/MAC codecs,
+# halfMD5, URL-safe base64 and firstLine — each a pure integer/string
+# expression with an exact DuckDB replay (no float, no locale, no ICU).
+
+
+def _bit_test_fold(x: Column, ns: tuple[Column, ...], *, want_all: bool) -> Column:
+    bits = [
+        (
+            F.call_function("shiftright", x.cast("long"), n.cast("int")) % 2
+        ).cast("boolean")
+        for n in ns
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = (out & b) if want_all else (out | b)
+    return out
+
+
+SCALAR_FNS["bitTestAll"] = lambda x, *ns: _bit_test_fold(
+    x, ns, want_all=True
+)
+SCALAR_FNS["bitTestAny"] = lambda x, *ns: _bit_test_fold(
+    x, ns, want_all=False
+)
+
+
+def _byte_swap32(x: Column) -> Column:
+    """byteSwap(x) — reverse the byte order of x's low 32 bits (the
+    UInt32 contract; the engine keeps the value in int64 so every
+    intermediate is non-negative and exact in any engine)."""
+    v = x.cast("long").bitwiseAND(F.lit(4294967295))
+    b0 = v.bitwiseAND(F.lit(255))
+    b1 = F.call_function("shiftright", v, F.lit(8)).bitwiseAND(F.lit(255))
+    b2 = F.call_function("shiftright", v, F.lit(16)).bitwiseAND(F.lit(255))
+    b3 = F.call_function("shiftright", v, F.lit(24)).bitwiseAND(F.lit(255))
+    return (
+        b0 * F.lit(16777216) + b1 * F.lit(65536) + b2 * F.lit(256) + b3
+    ).cast("long")
+
+
+SCALAR_FNS["byteSwap"] = _byte_swap32
+
+# CH's fixed demographic rounding ladders (roundAge / roundDuration):
+# the largest ladder step <= x, 0 below the first step.
+_AGE_STEPS = (1, 18, 25, 35, 45, 55)
+_AGE_VALS = (17, 18, 25, 35, 45, 55)
+_DUR_STEPS = (
+    1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200,
+    18000, 36000,
+)
+
+
+def _ladder(x: Column, steps, vals) -> Column:
+    v = x.cast("long")
+    out = F.lit(0).cast("long")
+    for s, r in zip(steps, vals):
+        out = F.when(v >= s, F.lit(r).cast("long")).otherwise(out)
+    return out
+
+
+SCALAR_FNS["roundAge"] = lambda x: _ladder(x, _AGE_STEPS, _AGE_VALS)
+SCALAR_FNS["roundDuration"] = lambda x: _ladder(x, _DUR_STEPS, _DUR_STEPS)
+
+
+def _ipv4_num_to_string(n: Column) -> Column:
+    v = n.cast("long").bitwiseAND(F.lit(4294967295))
+    return F.concat_ws(
+        ".",
+        F.call_function("shiftright", v, F.lit(24)).bitwiseAND(F.lit(255)).cast("string"),
+        F.call_function("shiftright", v, F.lit(16)).bitwiseAND(F.lit(255)).cast("string"),
+        F.call_function("shiftright", v, F.lit(8)).bitwiseAND(F.lit(255)).cast("string"),
+        v.bitwiseAND(F.lit(255)).cast("string"),
+    )
+
+
+_IPV4_RE = (
+    r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"
+)
+
+
+def _is_ipv4_string(s: Column) -> Column:
+    return s.rlike(_IPV4_RE)
+
+
+def _ipv4_string_to_num(s: Column) -> Column:
+    """IPv4StringToNum(s) — dotted quad → UInt32; NULL on malformed
+    input (the engine's lenient to<T>OrNull convention where CH
+    throws — a NULL survives a 100 TB scan, an exception kills it)."""
+    parts = F.split(s, r"\.")
+    num = (
+        F.element_at(parts, 1).cast("long") * F.lit(16777216)
+        + F.element_at(parts, 2).cast("long") * F.lit(65536)
+        + F.element_at(parts, 3).cast("long") * F.lit(256)
+        + F.element_at(parts, 4).cast("long")
+    )
+    return F.when(_is_ipv4_string(s), num).otherwise(
+        F.lit(None).cast("long")
+    )
+
+
+SCALAR_FNS["IPv4NumToString"] = _ipv4_num_to_string
+SCALAR_FNS["IPv4StringToNum"] = _ipv4_string_to_num
+SCALAR_FNS["isIPv4String"] = _is_ipv4_string
+SCALAR_FNS["toIPv4"] = _ipv4_string_to_num
+
+
+def _mac_num_to_string(n: Column) -> Column:
+    """MACNumToString(n) — low 48 bits as colon-separated lowercase
+    hex pairs (lowercase on both engines by construction)."""
+    v = n.cast("long").bitwiseAND(F.lit((1 << 48) - 1))
+    parts = [
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.call_function(
+                        "shiftright", v, F.lit(8 * i)
+                    ).bitwiseAND(F.lit(255))
+                )
+            ),
+            2,
+            "0",
+        )
+        for i in range(5, -1, -1)
+    ]
+    return F.concat_ws(":", *parts)
+
+
+SCALAR_FNS["MACNumToString"] = _mac_num_to_string
+
+
+def _half_md5(s: Column) -> Column:
+    """halfMD5(s) — the first 8 md5 bytes as a big-endian UInt64,
+    carried as DECIMAL(20,0) (the engine's unsigned-64 widening)."""
+    return F.conv(F.substring(F.md5(s), 1, 16), 16, 10).cast(
+        "decimal(20,0)"
+    )
+
+
+SCALAR_FNS["halfMD5"] = _half_md5
+
+SCALAR_FNS["firstLine"] = lambda s: F.split(s, "\n", 2).getItem(0)
+
+
+def _base64_url_encode(s: Column) -> Column:
+    """base64URLEncode(s) — RFC 4648 §5 alphabet, padding stripped."""
+    return F.call_function(
+        "rtrim",
+        F.lit("="),
+        F.translate(F.base64(s.cast("binary")), "+/", "-_"),
+    )
+
+
+def _base64_url_decode(u: Column) -> Column:
+    pad = (4 - F.length(u) % 4) % 4
+    std = F.concat(
+        F.translate(u, "-_", "+/"), F.repeat(F.lit("="), pad.cast("int"))
+    )
+    return F.unbase64(std).cast("string")
+
+
+SCALAR_FNS["base64URLEncode"] = _base64_url_encode
+SCALAR_FNS["base64URLDecode"] = _base64_url_decode

@@ -6566,3 +6566,113 @@ def sql_table_fn_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from dedupSubstrings('documents', 'doc_id', 'text', 8) "
         "order by doc_id",
     )
+
+
+def _tier18_oracle() -> str:
+    v = "((event_id * 2654435761) % 4294967296)"
+    ip = (
+        f"(CAST(({v} >> 24) & 255 AS VARCHAR) || '.' || "
+        f"CAST(({v} >> 16) & 255 AS VARCHAR) || '.' || "
+        f"CAST(({v} >> 8) & 255 AS VARCHAR) || '.' || "
+        f"CAST({v} & 255 AS VARCHAR))"
+    )
+    ip2 = f"(CASE WHEN event_id % 3 = 0 THEN '999.9.9.9' ELSE {ip} END)"
+    ipv4_re = (
+        "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}"
+        "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"
+    )
+    sp = f"string_split({ip2}, '.')"
+    ip_num = (
+        f"CASE WHEN regexp_matches({ip2}, '{ipv4_re}') THEN "
+        f"CAST({sp}[1] AS BIGINT) * 16777216 + CAST({sp}[2] AS BIGINT) "
+        f"* 65536 + CAST({sp}[3] AS BIGINT) * 256 + CAST({sp}[4] AS BIGINT) "
+        "ELSE NULL END"
+    )
+    age_ladder = (
+        "CASE WHEN user_id >= 55 THEN 55 WHEN user_id >= 45 THEN 45 "
+        "WHEN user_id >= 35 THEN 35 WHEN user_id >= 25 THEN 25 "
+        "WHEN user_id >= 18 THEN 18 WHEN user_id >= 1 THEN 17 "
+        "ELSE 0 END"
+    )
+    dur = "((event_id * 37) % 40000)"
+    dur_steps = [1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800,
+                 3600, 7200, 18000, 36000]
+    dur_ladder = "CASE " + " ".join(
+        f"WHEN {dur} >= {s} THEN {s}" for s in reversed(dur_steps)
+    ) + " ELSE 0 END"
+    bs_v = "(event_id & 4294967295)"
+    byteswap = (
+        f"(({bs_v} & 255) * 16777216 + (({bs_v} >> 8) & 255) * 65536 "
+        f"+ (({bs_v} >> 16) & 255) * 256 + (({bs_v} >> 24) & 255))"
+    )
+    mac_v = "(event_id * 131071 & 281474976710655)"
+    mac = " || ':' || ".join(
+        f"lpad(lower(to_hex(({mac_v} >> {8 * i}) & 255)), 2, '0')"
+        for i in range(5, -1, -1)
+    )
+    b64 = "rtrim(translate(to_base64(encode(props)), '+/', '-_'), '=')"
+    b64rt = (
+        f"decode(from_base64(translate({b64}, '-_', '+/') || "
+        f"repeat('=', CAST((4 - length({b64}) % 4) % 4 AS INT))))"
+    )
+    return f"""
+    SELECT event_id,
+           ((user_id >> 0) & 1 = 1) AND ((user_id >> 2) & 1 = 1) AS bta,
+           ((user_id >> 0) & 1 = 1) OR ((user_id >> 2) & 1 = 1) AS bty,
+           CAST({byteswap} AS BIGINT) AS bswap,
+           CAST({age_ladder} AS BIGINT) AS rage,
+           CAST({dur_ladder} AS BIGINT) AS rdur,
+           {ip} AS ip_s,
+           CAST({ip_num} AS BIGINT) AS ip_n,
+           regexp_matches({ip2}, '{ipv4_re}') AS is_ip,
+           {mac} AS mac,
+           CAST(CAST('0x' || substring(md5(props || event_type), 1, 16)
+                AS UBIGINT) AS DECIMAL(20,0)) AS hmd5,
+           split_part(props || chr(10) || event_type, chr(10), 1)
+             AS fline,
+           {b64} AS b64u,
+           {b64rt} AS b64rt
+    FROM events WHERE user_id < 15 ORDER BY event_id
+    """
+
+
+@query("sql_fn_tier18", _tier18_oracle())
+def sql_fn_tier18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-18 interop scalars: bitTestAll/bitTestAny, the CH
+    demographic rounding ladders (roundAge/roundDuration), IPv4 and
+    MAC codecs (NULL-on-malformed where CH throws — the engine's
+    lenient convention), big-endian halfMD5 carried as DECIMAL(20,0)
+    (the unsigned-64 widening), firstLine, and URL-safe base64
+    round-tripping. All pure integer/string expressions replayed
+    verbatim by the oracle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, user_id, props, event_type,
+                 (event_id * 2654435761) % 4294967296 as v4
+          from events where user_id < 15),
+        u as (
+          select *,
+                 IPv4NumToString(v4) as ip_s,
+                 if(event_id % 3 = 0, '999.9.9.9', IPv4NumToString(v4))
+                   as ip2
+          from t)
+        select event_id,
+               bitTestAll(user_id, 0, 2) as bta,
+               bitTestAny(user_id, 0, 2) as bty,
+               byteSwap(event_id) as bswap,
+               roundAge(user_id) as rage,
+               roundDuration((event_id * 37) % 40000) as rdur,
+               ip_s,
+               IPv4StringToNum(ip2) as ip_n,
+               isIPv4String(ip2) as is_ip,
+               MACNumToString(event_id * 131071) as mac,
+               halfMD5(props + event_type) as hmd5,
+               firstLine(props + '\\n' + event_type) as fline,
+               base64URLEncode(props) as b64u,
+               base64URLDecode(base64URLEncode(props)) as b64rt
+        from u order by event_id
+        """,
+    )
