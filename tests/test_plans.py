@@ -669,3 +669,51 @@ def test_semantic_dedup_plan_and_semantics(spark):
         else:
             expect.add(min(comp, key=lambda i: (-meta[i][1], i)))
     assert kept == expect
+
+
+def test_session3_wave_plan_hygiene(spark):
+    """Round-12 session-3 entries: candidate generation must never be
+    a cartesian/nested-loop product, and every relational path stays
+    inside whole-stage codegen (zero Python nodes)."""
+    from nutdb_spark.suite import QUERIES
+
+    for name in (
+        "q_text_gopher",
+        "q_dedup_substring",
+        "q_sample_dsir",
+        "q_pack_shuffle",
+        "q_pipeline_curate",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF01))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_gopher_filter_reaches_the_scan(spark):
+    """q_text_gopher's doc_id slice must push to the parquet scan."""
+    from nutdb_spark.suite import QUERIES
+
+    plan = (
+        QUERIES["q_text_gopher"](spark, SF01)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "LessThan(doc_id,400)" in plan
+
+
+def test_global_topk_candidate_join_broadcasts(spark):
+    """The two-pass top-k's kept-bucket frame (provably ≤ k rows) must
+    reach the candidate join as a broadcast, and the corpus must not
+    sort-merge for it."""
+    from pyspark.sql import functions as F
+
+    from nutdb_spark.operators.sampling import global_topk
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 1000).alias("score")
+    )
+    plan = plan_of(global_topk(df, F.col("score"), F.col("k"), 50))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
