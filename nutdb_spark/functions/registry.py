@@ -6455,3 +6455,82 @@ def _base64_url_decode(u: Column) -> Column:
 
 SCALAR_FNS["base64URLEncode"] = _base64_url_encode
 SCALAR_FNS["base64URLDecode"] = _base64_url_decode
+
+
+# --- [EXT] tier-19: vector/date/string interop + CRC32 ------------------------
+
+
+SCALAR_FNS["L2SquaredDistance"] = lambda a, b: _VSUM(
+    F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+)
+
+SCALAR_FNS["notLike"] = lambda s, p: ~F.call_function("like", s, p)
+SCALAR_FNS["notILike"] = lambda s, p: ~F.call_function("ilike", s, p)
+
+SCALAR_FNS["toStartOfSecond"] = lambda t: F.date_trunc(
+    "second", t.cast("timestamp")
+)
+# mode-0 contract: round the date UP to the nearest Saturday
+# (Spark dayofweek: Sun=1..Sat=7)
+SCALAR_FNS["toLastDayOfWeek"] = lambda d: F.date_add(
+    d.cast("date"), (F.lit(7) - F.dayofweek(d.cast("date"))).cast("int")
+)
+SCALAR_FNS["toMillisecond"] = lambda t: (
+    F.date_format(t.cast("timestamp"), "SSS").cast("long")
+)
+SCALAR_FNS["addMilliseconds"] = lambda t, n: F.timestamp_add(
+    "MILLISECOND", n.cast("long"), t.cast("timestamp")
+)
+SCALAR_FNS["subtractMilliseconds"] = lambda t, n: F.timestamp_add(
+    "MILLISECOND", -n.cast("long"), t.cast("timestamp")
+)
+
+SCALAR_FNS["overlay"] = lambda s, repl, pos, *l: F.overlay(
+    s, repl, pos.cast("int"), *([l[0].cast("int")] if l else [])
+)
+SCALAR_FNS["overlayUTF8"] = SCALAR_FNS["overlay"]
+
+
+def _crc_let(val: Column, body) -> Column:
+    """Bind `val` once (linear expression size: without this each of
+    the 8 CRC bit steps would textually duplicate its accumulator,
+    blowing the tree up 2^8-fold)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def _crc32(s: Column) -> Column:
+    """CRC32(s) — the zlib/IEEE-802.3 reflected CRC
+    (poly 0xEDB88320, init/final xor 0xFFFFFFFF), as a character fold
+    with 8 nested single-binding bit steps, every intermediate a
+    non-negative int64 (exact in any engine). ASCII fixture scope:
+    bytes = code points (the javaHash precedent)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substring(s, i, 1)).cast("long"),
+    )
+
+    def bit_step(a: Column) -> Column:
+        half = F.call_function("shiftright", a, F.lit(1))
+        return F.when(
+            a.bitwiseAND(F.lit(1)) == 1,
+            half.bitwiseXOR(F.lit(0xEDB88320)),
+        ).otherwise(half)
+
+    def byte_step(acc: Column, c: Column) -> Column:
+        out = acc.bitwiseXOR(c)
+        for _ in range(8):
+            out = _crc_let(out, bit_step)
+        return out
+
+    folded = F.aggregate(
+        codes, F.lit(0xFFFFFFFF).cast("long"), byte_step
+    )
+    return F.when(F.length(s) == 0, F.lit(0).cast("long")).otherwise(
+        folded.bitwiseXOR(F.lit(0xFFFFFFFF)).cast("long")
+    )
+
+
+SCALAR_FNS["CRC32"] = _crc32

@@ -6676,3 +6676,83 @@ def sql_fn_tier18(spark: SparkSession, sf_dir: str) -> DataFrame:
         from u order by event_id
         """,
     )
+
+
+def _crc32_oracle(expr: str) -> str:
+    bit = (
+        "list_transform([{a}], a -> CASE WHEN a & 1 = 1 "
+        "THEN xor(a >> 1, 3988292384) ELSE a >> 1 END)[1]"
+    )
+    step = "xor(acc, c)"
+    for _ in range(8):
+        step = bit.format(a=step)
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        f"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(unicode(substring({expr}, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> {step}), 4294967295) END"
+    )
+
+
+def _tier19_oracle() -> str:
+    crc = _crc32_oracle("(props || event_type)")
+    d = "CAST(ts AS DATE)"
+    return f"""
+    SELECT event_id,
+           CAST(list_sum(list_transform(
+                 [CAST(user_id AS DOUBLE), CAST(event_id % 97 AS DOUBLE)],
+                 x -> x)) AS DOUBLE) * 0 +
+           CAST((CAST(user_id AS DOUBLE) - CAST(event_id % 97 AS DOUBLE))
+                * (CAST(user_id AS DOUBLE) - CAST(event_id % 97 AS DOUBLE))
+                + (CAST(user_id + 1 AS DOUBLE) - CAST(event_id % 89 AS DOUBLE))
+                * (CAST(user_id + 1 AS DOUBLE) - CAST(event_id % 89 AS DOUBLE))
+                AS DOUBLE) AS l2sq,
+           props NOT LIKE '%7%' AS nl,
+           props NOT ILIKE '%K%' AS nil,
+           date_trunc('second', ts) AS sec,
+           {d} + CAST(6 - dayofweek({d}) AS INT) AS ldw,
+           CAST(millisecond(ts + to_milliseconds(event_id % 1000)) % 1000
+                AS BIGINT) AS ms,
+           ts + to_milliseconds(event_id % 1000) AS addms,
+           ts - to_milliseconds(user_id % 500) AS subms,
+           substr(props, 1, 2) || 'XY' || substr(props, 5) AS ov,
+           CAST({crc} AS BIGINT) AS crc
+    FROM events WHERE user_id < 15 ORDER BY event_id
+    """
+
+
+@query("sql_fn_tier19", _tier19_oracle())
+def sql_fn_tier19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-19 scalars: L2SquaredDistance, NOT (I)LIKE function
+    spellings, sub-second datetime surface (toStartOfSecond,
+    toLastDayOfWeek, toMillisecond, add/subtractMilliseconds over the
+    microsecond fixture timestamps), OVERLAY, and CRC32 — the
+    zlib/IEEE fold with 8 single-binding bit steps per byte (linear
+    expression size via the let trick), bit-equal to the DuckDB
+    replay and pinned against Python zlib in tests."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        select event_id,
+               L2SquaredDistance(
+                 array(toFloat64(user_id), toFloat64(event_id % 97)),
+                 array(toFloat64(event_id % 97), toFloat64(event_id % 89))
+               ) * 0 +
+               L2SquaredDistance(
+                 array(toFloat64(user_id), toFloat64(user_id + 1)),
+                 array(toFloat64(event_id % 97), toFloat64(event_id % 89))
+               ) as l2sq,
+               notLike(props, '%7%') as nl,
+               notILike(props, '%K%') as nil,
+               toStartOfSecond(ts) as sec,
+               toLastDayOfWeek(ts) as ldw,
+               toMillisecond(addMilliseconds(ts, event_id % 1000)) as ms,
+               addMilliseconds(ts, event_id % 1000) as addms,
+               subtractMilliseconds(ts, user_id % 500) as subms,
+               overlay(props, 'XY', 3) as ov,
+               CRC32(props + event_type) as crc
+        from events where user_id < 15 order by event_id
+        """,
+    )

@@ -87,3 +87,52 @@ def test_bit_test_variadic(spark):
         spark, bany(F.lit(0b1000), F.lit(0), F.lit(3))
     ) is True
     assert _one(spark, bany(F.lit(0), F.lit(0), F.lit(5))) is False
+
+
+# --- tier-19 ----------------------------------------------------------------
+
+
+def test_crc32_matches_zlib(spark):
+    import zlib
+
+    f = SCALAR_FNS["CRC32"]
+    vals = ["", "a", "abc", "hello world", "The quick brown fox!",
+            '{"k": 69}/click', "0" * 64]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["c"]
+        for r in df.select("s", f(F.col("s")).alias("c")).collect()
+    }
+    assert got == {v: zlib.crc32(v.encode()) for v in vals}
+
+
+def test_tier19_scalars(spark):
+    import datetime
+
+    def one(col):
+        return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+    assert one(
+        SCALAR_FNS["L2SquaredDistance"](
+            F.array(F.lit(1.0), F.lit(2.0)),
+            F.array(F.lit(4.0), F.lit(6.0)),
+        )
+    ) == 25.0
+    assert one(
+        SCALAR_FNS["toLastDayOfWeek"](F.lit("2026-08-16"))
+    ) == datetime.date(2026, 8, 22)  # Sunday -> Saturday
+    assert one(
+        SCALAR_FNS["toLastDayOfWeek"](F.lit("2026-08-22"))
+    ) == datetime.date(2026, 8, 22)  # Saturday fixed point
+    assert one(
+        SCALAR_FNS["toMillisecond"](F.lit("2026-08-16 10:00:00.123"))
+    ) == 123
+    assert one(
+        SCALAR_FNS["overlay"](F.lit("SparkSQL"), F.lit("XY"), F.lit(6))
+    ) == "SparkXYL"
+    assert one(
+        SCALAR_FNS["notLike"](F.lit("abc"), F.lit("a%"))
+    ) is False
+    assert one(
+        SCALAR_FNS["notILike"](F.lit("ABC"), F.lit("a%"))
+    ) is False
