@@ -5243,11 +5243,13 @@ def _sparkbar(params: list, x: Column, y: Column) -> Column:
     width = int(params[0])
 
     def idiv(a: Column, b: Column) -> Column:
-        # exact non-negative integer floor division: strip the
-        # remainder first, so the decimal quotient is an exact integer
-        # and the scale rounding is a no-op — no double 2^53 hazard
-        exact = (a - F.pmod(a, b)).cast("decimal(38,0)")
-        return (exact / b.cast("decimal(38,0)")).cast("long")
+        # exact non-negative integer floor division on int64 via the
+        # JVM's integral `div` (floor ≡ truncation for non-negative
+        # operands — every call site here is) — no double 2^53 hazard
+        # and no per-element decimal arithmetic (the decimal variant
+        # measured ~4x slower across the whole aggregate: it sat
+        # inside the O(width·n) bucket fold)
+        return F.call_function("div", a.cast("long"), b.cast("long"))
 
     cl = F.collect_list(
         F.struct(x.cast("long").alias("x"), y.cast("long").alias("y"))
