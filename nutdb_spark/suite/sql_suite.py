@@ -6700,9 +6700,6 @@ def _tier19_oracle() -> str:
     d = "CAST(ts AS DATE)"
     return f"""
     SELECT event_id,
-           CAST(list_sum(list_transform(
-                 [CAST(user_id AS DOUBLE), CAST(event_id % 97 AS DOUBLE)],
-                 x -> x)) AS DOUBLE) * 0 +
            CAST((CAST(user_id AS DOUBLE) - CAST(event_id % 97 AS DOUBLE))
                 * (CAST(user_id AS DOUBLE) - CAST(event_id % 97 AS DOUBLE))
                 + (CAST(user_id + 1 AS DOUBLE) - CAST(event_id % 89 AS DOUBLE))
@@ -6736,10 +6733,6 @@ def sql_fn_tier19(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
         select event_id,
-               L2SquaredDistance(
-                 array(toFloat64(user_id), toFloat64(event_id % 97)),
-                 array(toFloat64(event_id % 97), toFloat64(event_id % 89))
-               ) * 0 +
                L2SquaredDistance(
                  array(toFloat64(user_id), toFloat64(user_id + 1)),
                  array(toFloat64(event_id % 97), toFloat64(event_id % 89))
