@@ -1689,3 +1689,98 @@ def incremental_repeated_ngrams(
         )
     )
     return cleaned, new_occ, new_docs, new_cnt
+
+
+def delete_repeated_ngrams(
+    deletes: DataFrame,
+    index: "tuple[DataFrame, DataFrame, DataFrame]",
+    *,
+    k: int = 8,
+    max_freq: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Deletion (GDPR/right-to-be-forgotten) pass for the incremental
+    exact-substring index — revision semantics in the OTHER direction:
+    removing documents can drop a k-gram's corpus count back to
+    ``max_freq``, which UNCOVERS that span in every surviving
+    occurrence, so those documents regain words and must re-emit.
+
+    ``deletes`` is a frame of doc_id to forget; ``index`` is the
+    persisted (occ, docs, cnt) state from
+    :func:`incremental_repeated_ngrams`. Returns ``(cleaned, occ',
+    docs', cnt')`` — revision rows for the surviving documents whose
+    coverage changed, and the updated state with the deleted
+    documents fully purged (their text, occurrences and count
+    contributions all gone — the forget is real, not a tombstone
+    that still leaks the content).
+
+    Scale shape: the delete set is tiny next to the corpus —
+    broadcast anti-joins purge occ/docs; the count decrement is one
+    gram-keyed aggregate of the DELETED docs' occurrences only;
+    uncovered grams are delete-bounded, and only documents touching
+    one re-clean.
+    """
+    old_occ, old_docs, old_cnt = index
+    ids = deletes.select(F.col(deletes.columns[0]).alias("doc_id")).distinct()
+    del_occ = old_occ.join(F.broadcast(ids), "doc_id")
+    dec = del_occ.groupBy("gram").agg(F.count(F.lit(1)).alias("c_del"))
+    new_cnt = (
+        old_cnt.join(dec, "gram", "left")
+        .select(
+            "gram",
+            (
+                F.col("cnt") - F.coalesce(F.col("c_del"), F.lit(0))
+            ).alias("cnt"),
+            F.col("cnt").alias("c_old"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    uncovered = new_cnt.filter(
+        (F.col("c_old") > max_freq) & (F.col("cnt") <= max_freq)
+    ).select("gram")
+    new_cnt = new_cnt.select("gram", "cnt")
+    new_occ = old_occ.join(F.broadcast(ids), "doc_id", "left_anti")
+    new_docs = old_docs.join(F.broadcast(ids), "doc_id", "left_anti")
+    touched = new_occ.join(uncovered, "gram").select("doc_id").distinct()
+
+    occ_t = new_occ.join(touched, "doc_id")
+    rep = new_cnt.filter(F.col("cnt") > max_freq).select("gram")
+    covered = (
+        occ_t.join(rep, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    docs_t = new_docs.join(touched, "doc_id")
+    wordpos = docs_t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "w")
+    kept = wordpos.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    cleaned = (
+        docs_t.select(
+            "doc_id", F.size("toks").cast("long").alias("n_words")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+    return cleaned, new_occ, new_docs, new_cnt

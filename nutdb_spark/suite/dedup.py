@@ -1400,3 +1400,80 @@ def q_dedup_substring_incremental(
         c2.select("doc_id"), "doc_id", "left_anti"
     ).unionByName(c2)
     return merged.orderBy("doc_id")
+
+
+_SUBSTR_DELETE_IDS = (87, 98, 61, 152)
+
+
+def _substring_delete_oracle() -> str:
+    from nutdb_spark.operators.dedup import oracle_dedup_repeated_ngrams
+
+    ids = ", ".join(str(i) for i in _SUBSTR_DELETE_IDS)
+    return (
+        oracle_dedup_repeated_ngrams(
+            k=8,
+            max_freq=1,
+            where=f"doc_id < 300 AND doc_id NOT IN ({ids})",
+        )
+        + "\nORDER BY doc_id"
+    )
+
+
+@query("q_dedup_substring_delete", _substring_delete_oracle())
+def q_dedup_substring_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deletion-aware exact-substring dedup — the GDPR pass with
+    UNCOVERING revision semantics: forgetting a document can drop a
+    shared 8-gram back under the frequency threshold, so its partner
+    documents REGAIN the words that span had covered (the inverse of
+    the ingest flip). The delete set here removes one member of four
+    fixture near-dup pairs; the index purges the deleted docs
+    entirely (occurrences, text, count contributions — a real
+    forget), the surviving partners re-emit, and the merged view must
+    equal the one-shot operator over the surviving corpus
+    row-for-row."""
+    import os
+
+    from nutdb_spark.operators.dedup import (
+        delete_repeated_ngrams,
+        incremental_repeated_ngrams,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "substr_del_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+
+    def _persist(tag: str, occ, docs, cnt):
+        for part, df_part in (("occ", occ), ("docs", docs), ("cnt", cnt)):
+            df_part.write.mode("overwrite").parquet(
+                os.path.join(base, tag, part)
+            )
+        return tuple(
+            spark.read.parquet(os.path.join(base, tag, part))
+            for part in ("occ", "docs", "cnt")
+        )
+
+    c1, occ1, docs1, cnt1 = incremental_repeated_ngrams(
+        d, None, "doc_id", "text"
+    )
+    idx = _persist("ingest=1", occ1, docs1, cnt1)
+    dels = spark.createDataFrame(
+        [(i,) for i in _SUBSTR_DELETE_IDS], "doc_id long"
+    )
+    c2, occ2, docs2, cnt2 = delete_repeated_ngrams(dels, idx, k=8, max_freq=1)
+    _persist("delete=1", occ2, docs2, cnt2)
+    merged = (
+        c1.join(dels, "doc_id", "left_anti")
+        .join(c2.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(c2)
+    )
+    return merged.orderBy("doc_id")

@@ -174,3 +174,68 @@ def test_incremental_randomized_three_batch_replay(spark):
         {i: t for i, t in docs.items() if i >= 24},
     ]
     assert _replay(spark, batches, k=4) == _one_shot(spark, docs, k=4)
+
+
+def test_delete_pass_uncovers_partner(spark):
+    from nutdb_spark.operators.dedup import delete_repeated_ngrams
+
+    passage = "alpha beta gamma delta"
+    texts = {0: passage + " tail one", 1: "pre " + passage, 2: "other words"}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    from nutdb_spark.operators.dedup import incremental_repeated_ngrams
+
+    c1, occ, docs, cnt = incremental_repeated_ngrams(
+        df, None, "doc_id", "text", k=4
+    )
+    occ, docs, cnt = (
+        occ.localCheckpoint(), docs.localCheckpoint(), cnt.localCheckpoint()
+    )
+    before = {r["doc_id"]: r for r in c1.collect()}
+    assert before[1]["n_removed"] >= 4  # covered while doc 0 lives
+    dels = spark.createDataFrame([(0,)], "doc_id long")
+    c2, occ2, docs2, cnt2 = delete_repeated_ngrams(
+        dels, (occ, docs, cnt), k=4, max_freq=1
+    )
+    got = {r["doc_id"]: r for r in c2.collect()}
+    # the surviving partner re-emits, fully restored
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_text"] == texts[1]
+    # and the state is purged for real
+    assert occ2.filter("doc_id = 0").count() == 0
+    assert docs2.filter("doc_id = 0").count() == 0
+    # deleted contributions left the counts (the shared gram is gone
+    # or decremented below the threshold everywhere)
+    assert cnt2.filter("cnt > 1").count() == 0
+
+
+def test_delete_then_reingest_round_trip(spark):
+    """Forget one member of a pair, then re-ingest it: the flip and
+    the uncover must be exact inverses through the persisted state."""
+    from nutdb_spark.operators.dedup import (
+        delete_repeated_ngrams,
+        incremental_repeated_ngrams,
+    )
+
+    passage = "p1 p2 p3 p4 p5"
+    texts = {0: passage + " x y", 1: "a b " + passage}
+
+    def ck(t3):
+        return tuple(x.localCheckpoint() for x in t3)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    c1, *st = incremental_repeated_ngrams(df, None, "doc_id", "text", k=4)
+    st = ck(st)
+    dels = spark.createDataFrame([(0,)], "doc_id long")
+    c2, *st = delete_repeated_ngrams(dels, tuple(st), k=4, max_freq=1)
+    st = ck(st)
+    re0 = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    c3, *st = incremental_repeated_ngrams(
+        re0, tuple(st), "doc_id", "text", k=4
+    )
+    final = {r["doc_id"]: (r["n_removed"], r["clean_text"]) for r in c3.collect()}
+    orig = {r["doc_id"]: (r["n_removed"], r["clean_text"]) for r in c1.collect()}
+    assert final == orig  # both docs re-covered exactly as at first
