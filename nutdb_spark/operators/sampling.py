@@ -443,3 +443,104 @@ def global_topk(
         .filter(F.col("rk") <= k)
         .drop("__score", "__key", "__b")
     )
+
+
+def dsir_ratio_table(
+    df: DataFrame,
+    text_col: str,
+    target: Column,
+    *,
+    dim: int = DSIR_DIM,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The trainable half of DSIR split out: the per-bucket
+    fixed-point importance ratios (f, r) over a REFERENCE corpus —
+    freeze it once, then score any stream against it (the train/apply
+    split a production selection stage actually runs; re-deriving
+    ratios per batch would make every document's score drift as the
+    corpus grows). dim-bounded: always broadcastable."""
+    from nutdb_spark.operators.text import ngrams, normalize_text, tokenize
+
+    base = df.select(
+        target.cast("int").alias("__tgt"),
+        F.filter(
+            tokenize(normalize_text(F.col(text_col))),
+            lambda t: F.length(t) > 0,
+        ).alias("__w"),
+    )
+    feats = base.select(
+        "__tgt",
+        F.explode(
+            F.concat(F.col("__w"), ngrams(F.col("__w"), 2))
+        ).alias("__feat"),
+    ).select(
+        "__tgt", hash_bucket(F.col("__feat"), salt=salt, grain=dim).alias("f")
+    )
+    return (
+        feats.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_raw"),
+            F.sum("__tgt").alias("cnt_tgt"),
+        )
+        .select(
+            "f",
+            F.expr(
+                f"((cnt_tgt + 1) * {DSIR_SCALE}) div (cnt_raw + 1)"
+            ).alias("r"),
+        )
+    )
+
+
+def dsir_score_against(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ratios: DataFrame,
+    *,
+    dim: int = DSIR_DIM,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Score documents against a FROZEN ratio table: per feature
+    occurrence, the stored ratio — or the add-one-smoothed
+    unseen-bucket value ``(0+1)·SCALE div (0+1) = SCALE`` for buckets
+    the reference corpus never produced (so unseen vocabulary reads
+    as neutral, not as an error). The ratio frame broadcasts
+    (dim-bounded); the plan is explode → broadcast join → per-doc
+    sum — stateless per batch, which is what makes it a streaming
+    scorer."""
+    from nutdb_spark.operators.text import ngrams, normalize_text, tokenize
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            tokenize(normalize_text(F.col(text_col))),
+            lambda t: F.length(t) > 0,
+        ).alias("__w"),
+    )
+    feats = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.col("__w"), ngrams(F.col("__w"), 2))
+        ).alias("__feat"),
+    ).select(
+        "doc_id", hash_bucket(F.col("__feat"), salt=salt, grain=dim).alias("f")
+    )
+    per = (
+        feats.join(F.broadcast(ratios), "f", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce(F.col("r"), F.lit(DSIR_SCALE))).alias("score"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias(
+                "n_feats"
+            ),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+        )
+    )

@@ -1402,3 +1402,122 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words", "n_removed", "clean_text")
         .orderBy("doc_id")
     )
+
+
+def _stream_dsir_oracle() -> str:
+    from nutdb_spark.operators.sampling import DSIR_DIM, DSIR_SCALE
+    from nutdb_spark.operators.sampling import oracle_hash_bucket
+    from nutdb_spark.operators.text import (
+        oracle_ngrams,
+        oracle_normalize,
+        oracle_tokenize,
+    )
+
+    words = (
+        f"list_filter({oracle_tokenize(oracle_normalize('text'))}, "
+        "t -> length(t) > 0)"
+    )
+    f_of = oracle_hash_bucket("feat", "dsir", grain=DSIR_DIM)
+    return f"""
+WITH tb AS (
+  SELECT CAST(lang = 'en' AS INT) AS tgt, {words} AS w
+  FROM documents WHERE doc_id < 200),
+tf AS (
+  SELECT tgt, {f_of} AS f
+  FROM (SELECT tgt, unnest(list_concat(w, {oracle_ngrams('w', 2)})) AS feat
+        FROM tb)),
+ratio AS (
+  SELECT f, ((sum(tgt) + 1) * {DSIR_SCALE}) // (count(*) + 1) AS r
+  FROM tf GROUP BY f),
+sb AS (
+  SELECT doc_id, {words} AS w
+  FROM documents WHERE doc_id >= 200 AND doc_id < 400),
+sf AS (
+  SELECT doc_id, {f_of} AS f
+  FROM (SELECT doc_id, unnest(list_concat(w, {oracle_ngrams('w', 2)}))
+          AS feat FROM sb)),
+per AS (
+  SELECT doc_id, count(*) AS n_feats,
+         sum(coalesce(r, {DSIR_SCALE})) AS score
+  FROM sf LEFT JOIN ratio USING (f) GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(p.score, 0) AS BIGINT) AS score
+FROM sb b LEFT JOIN per p USING (doc_id)
+ORDER BY b.doc_id"""
+
+
+@query("q_stream_dsir", _stream_dsir_oracle())
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Streaming DSIR scoring with FROZEN weights — the
+    train/apply split a production selection stage runs: the
+    importance-ratio table is fit ONCE on the reference corpus
+    (docs < 200, target = labeled-English) and persisted; the
+    document stream (docs 200–399, two micro-batches) scores against
+    that frozen broadcast table per batch, with unseen buckets read
+    as the add-one-smoothed neutral value. Scores are
+    corpus-position-independent — a document gets the same score in
+    any batch order, the property per-batch re-derived ratios would
+    destroy — so stream output ≡ the one-shot frozen-table oracle."""
+    import shutil
+    import tempfile
+    import time
+
+    from nutdb_spark.operators.sampling import (
+        dsir_ratio_table,
+        dsir_score_against,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") < 200)
+    stream_docs = d.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 400)
+    ).select("doc_id", "text")
+
+    base = tempfile.mkdtemp(prefix="q_stream_dsir_")
+    model, out, ck = f"{base}/model", f"{base}/out", f"{base}/ck"
+    dsir_ratio_table(ref, "text", F.col("lang") == "en").write.mode(
+        "overwrite"
+    ).parquet(model)
+    frozen = spark.read.parquet(model)
+
+    src = _STREAM_SRC_CACHE.get(("dsir", sf_dir))
+    if src is None or not os.path.isdir(src):
+        root = tempfile.mkdtemp(prefix="q_stream_dsir_src_")
+        src = root + "/src"
+        os.makedirs(src)
+        now = time.time()
+        for i, batch in enumerate(
+            (
+                stream_docs.filter(F.col("doc_id") < 300),
+                stream_docs.filter(F.col("doc_id") >= 300),
+            )
+        ):
+            stage = os.path.join(root, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            [part] = [
+                f
+                for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        _STREAM_SRC_CACHE[("dsir", sf_dir)] = src
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        dsir_score_against(
+            batch_df, "doc_id", "text", frozen
+        ).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(stream_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(score)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("doc_id")

@@ -125,3 +125,38 @@ def test_global_topk_validates_args(spark):
         global_topk(df, F.col("score"), F.col("k"), 0)
     with _pytest.raises(ValueError, match="bucket_width"):
         global_topk(df, F.col("score"), F.col("k"), 1, bucket_width=0)
+
+
+def test_frozen_scores_are_batch_order_independent(spark):
+    from nutdb_spark.operators.sampling import (
+        dsir_ratio_table,
+        dsir_score_against,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox", True), (1, "der braune fuchs", False),
+         (2, "the lazy dog", True)],
+        "doc_id long, text string, tgt boolean",
+    )
+    frozen = dsir_ratio_table(ref, "text", F.col("tgt")).localCheckpoint()
+    new = spark.createDataFrame(
+        [(10, "the quick dog"), (11, "unseen tokens entirely"),
+         (12, "")],
+        "doc_id long, text string",
+    )
+    whole = {
+        r["doc_id"]: (r["n_feats"], r["score"])
+        for r in dsir_score_against(new, "doc_id", "text", frozen).collect()
+    }
+    # scoring one-by-one (any batch split) gives identical values
+    for i in (10, 11, 12):
+        one = dsir_score_against(
+            new.filter(F.col("doc_id") == i), "doc_id", "text", frozen
+        ).collect()[0]
+        assert (one["n_feats"], one["score"]) == whole[i], i
+    # unseen vocabulary reads neutral: every feature scores SCALE
+    from nutdb_spark.operators.sampling import DSIR_SCALE
+
+    n, s = whole[11]
+    assert s == n * DSIR_SCALE and n > 0
+    assert whole[12] == (0, 0)
