@@ -1577,3 +1577,75 @@ def q_sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return topk_mips(e, queries, "vec_id", "embedding", k=5)
+
+
+# --- [EXT] trajectory similarity search (the REPOSE problem class) -----------
+
+_DTW_W = 2000  # envelope-bucket width
+_DTW_K = 3
+_DTW_NQ = 6
+
+
+def _dtw_oracle() -> str:
+    from nutdb_spark.operators.trajectory import oracle_dtw
+
+    dtw = oracle_dtw("q.v", "c.v")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events),
+s AS (
+  SELECT user_id,
+         list_sort(list({{'o': event_id, 'v': v}}))[1:30] AS ps
+  FROM pts GROUP BY user_id),
+e AS (
+  SELECT user_id, list_transform(ps, p -> p.v) AS v FROM s
+  WHERE len(ps) > 0),
+env AS (
+  SELECT user_id, v,
+         ((list_aggregate(v, 'min') + list_aggregate(v, 'max')) // 2)
+           // {_DTW_W} AS b
+  FROM e),
+qs AS (
+  SELECT user_id AS qid, v, unnest([b - 1, b, b + 1]) AS b
+  FROM env WHERE user_id < {_DTW_NQ}),
+scored AS (
+  SELECT q.qid, c.user_id AS neighbor_id, {dtw} AS dtw
+  FROM qs q JOIN env c USING (b) WHERE c.user_id <> q.qid)
+SELECT query_id, neighbor_id, dtw, rank FROM (
+  SELECT qid AS query_id, neighbor_id, dtw,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY dtw ASC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored) t
+WHERE rank <= {_DTW_K} ORDER BY query_id, rank"""
+
+
+@query("q_traj_dtw_topk", _dtw_oracle())
+def q_traj_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Trajectory/time-series top-k similarity search — the
+    REPOSE problem class (ICDE 2021) on the engine's fixtures: each
+    user's event-value series (first 30 points, floor-scaled int64)
+    is a trajectory; candidates come from an EQUI-join on
+    value-envelope buckets (±1 probe — the prune), survivors verify
+    with EXACT integer dynamic time warping (the |Δ|-cost DP as a
+    rolling-row JVM fold), and each query keeps its 3 nearest by
+    (dtw ASC, neighbor ASC). REPOSE blocks by trie-indexed reference
+    points; envelope buckets are the same prune-then-verify plan on
+    1-D series, and the exact-integer DTW is what lets the WHOLE
+    search hash-oracle — the DuckDB replay runs the identical DP.
+    Pruning is the documented recall/cost knob (a neighbor outside
+    the probed band is cut by design, as in every blocked similarity
+    entry)."""
+    from nutdb_spark.operators.trajectory import dtw_topk, user_value_series
+
+    ev = load_table(spark, sf_dir, "events")
+    series = user_value_series(
+        ev, "user_id", "event_id", "value", scale=100, max_len=30
+    )
+    return dtw_topk(
+        series,
+        n_queries=_DTW_NQ,
+        k=_DTW_K,
+        bucket_width=_DTW_W,
+        probes=1,
+    ).orderBy("query_id", "rank")
