@@ -939,3 +939,83 @@ def oracle_gopher(
             f"{ok_bullet} AND {ok_ellipsis} AND {ok_alpha} AND {ok_stop})"
         ),
     }
+
+
+# --- [EXT] lexicon sentiment scoring -----------------------------------------
+
+# AFINN-style integer valence lexicon over the fixture vocabulary
+# (the published lexicons are word→[-5, 5] integer maps; this one is
+# committed, engine-portable, and covers the corpus so the score
+# carries signal). Unknown words are neutral.
+SENTIMENT_LEXICON: tuple[tuple[str, int], ...] = (
+    ("fast", 2),
+    ("big", 1),
+    ("merge", 1),
+    ("value", 1),
+    ("slow", -2),
+    ("small", -1),
+    ("dup", -2),
+    ("error", -3),
+)
+
+
+def sentiment_scores(text: Column) -> dict[str, Column]:
+    """[EXT] Lexicon-based sentiment (the classic Spark-at-scale text
+    analytics job, e.g. the large-scale Twitter sentiment line of
+    work): per document, the exact integer sum of per-token valences
+    from the committed lexicon, the matched-token count, and the
+    sign label (pos/neg/neu with the ≥/≤ 0 boundary at neu). One
+    codegen'd projection — a map-side gate/feature at any corpus
+    size; no float anywhere, so it hash-oracles."""
+    toks = F.filter(
+        tokenize(normalize_text(text)), lambda t: F.length(t) > 0
+    )
+
+    def hits(word: str) -> Column:
+        # a dedicated closure: a `lambda t, w=w:` default would make
+        # pyspark read the lambda as the two-arg (element, index) form
+        return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast(
+            "long"
+        )
+
+    val = None
+    for w, v in SENTIMENT_LEXICON:
+        term = hits(w) * F.lit(v)
+        val = term if val is None else val + term
+    n_hits = None
+    for w, _ in SENTIMENT_LEXICON:
+        h = hits(w)
+        n_hits = h if n_hits is None else n_hits + h
+    label = (
+        F.when(val > 0, F.lit("pos"))
+        .when(val < 0, F.lit("neg"))
+        .otherwise(F.lit("neu"))
+    )
+    return {
+        "sentiment": val,
+        "n_hits": n_hits,
+        "label": label,
+    }
+
+
+def oracle_sentiment(expr: str) -> dict[str, str]:
+    words = (
+        f"list_filter({oracle_tokenize(oracle_normalize(expr))}, "
+        "t -> length(t) > 0)"
+    )
+    val = " + ".join(
+        f"CAST(len(list_filter({words}, t -> t = '{w}')) AS BIGINT) * ({v})"
+        for w, v in SENTIMENT_LEXICON
+    )
+    hits = " + ".join(
+        f"CAST(len(list_filter({words}, t -> t = '{w}')) AS BIGINT)"
+        for w, _ in SENTIMENT_LEXICON
+    )
+    return {
+        "sentiment": f"({val})",
+        "n_hits": f"({hits})",
+        "label": (
+            f"CASE WHEN ({val}) > 0 THEN 'pos' "
+            f"WHEN ({val}) < 0 THEN 'neg' ELSE 'neu' END"
+        ),
+    }

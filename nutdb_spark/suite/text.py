@@ -1699,3 +1699,28 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(learned)],
         "rk long, a string, b string, cnt long",
     ).orderBy("rk")
+
+
+def _sentiment_oracle() -> str:
+    from nutdb_spark.operators.text import oracle_sentiment
+
+    g = oracle_sentiment("text")
+    cols = ", ".join(f"{sql} AS {n}" for n, sql in g.items())
+    return f"SELECT doc_id, {cols} FROM documents WHERE doc_id < 400 ORDER BY doc_id"
+
+
+@query("q_text_sentiment", _sentiment_oracle())
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Lexicon-based sentiment scoring (the classic
+    Spark-at-scale text-analytics job — the retrieved-corpus Twitter
+    sentiment line of work): exact integer valence sums from the
+    committed AFINN-style lexicon, matched-token counts, and the sign
+    label. Pure projection; the fixture vocabulary splits across
+    pos/neg/neu so every output column carries signal."""
+    from nutdb_spark.operators.text import sentiment_scores
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    g = sentiment_scores(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in g.items()]
+    ).orderBy("doc_id")

@@ -111,3 +111,59 @@ def test_fixture_gate_carries_signal(spark, sf_dir):
         F.sum("p").alias("kept"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     assert 0 < agg["kept"] < agg["n"]
+
+
+# --- sentiment (shares this file's crafted-replay style) ---------------------
+
+
+def test_sentiment_matches_python_replay(spark):
+    import re as _re
+
+    from nutdb_spark.operators.text import (
+        SENTIMENT_LEXICON,
+        sentiment_scores,
+    )
+
+    lex = dict(SENTIMENT_LEXICON)
+    texts = [
+        "fast fast big merge",          # pos
+        "slow error dup small",          # neg
+        "the table row scan",            # neu (no hits)
+        "fast slow",                     # 0 with hits -> neu
+        "",
+    ]
+
+    def replay(t):
+        ws = [w for w in _re.split(r"\s+", _re.sub(r"\s+", " ", t.lower()).strip()) if w]
+        s = sum(lex.get(w, 0) for w in ws)
+        n = sum(1 for w in ws if w in lex)
+        return (s, n, "pos" if s > 0 else "neg" if s < 0 else "neu")
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    g = sentiment_scores(F.col("text"))
+    rows = (
+        df.select("id", *[c.alias(n) for n, c in g.items()])
+        .orderBy("id")
+        .collect()
+    )
+    for r in rows:
+        assert (r["sentiment"], r["n_hits"], r["label"]) == replay(
+            texts[r["id"]]
+        ), r["id"]
+
+
+def test_sentiment_fixture_labels_split(spark, sf_dir):
+    from nutdb_spark.operators.text import sentiment_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = sentiment_scores(F.col("text"))
+    counts = {
+        r["label"]: r["n"]
+        for r in d.select(g["label"].alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts.get("pos", 0) > 0 and counts.get("neg", 0) > 0
