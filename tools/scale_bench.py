@@ -248,6 +248,13 @@ ENTRIES = [
     # two event-scaled micro-batch merges
     "q_ddl_merge_into",
     "q_stream_merge_cdc",
+    # session-3 additions — the unsliced corpus-scaling entries (the
+    # doc_id-sliced siblings are flat by the slice convention)
+    "sql_table_fn_substring",
+    "sql_table_fn_dsir",
+    "q_bpe_train",
+    "q_traj_dtw_topk",
+    "q_text_sentiment",
 ]
 
 SF01 = "/root/testdata/sf0.1"
