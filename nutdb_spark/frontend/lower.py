@@ -506,6 +506,46 @@ class Lowerer:
             return dedup_repeated_ngrams(
                 self.resolve_table(tbl), idc, txc, k=int(k)
             )
+        if name == "sentiment":
+            # [EXT] sentiment('table', 'id_col', 'text_col') →
+            # id + (sentiment, n_hits, label): the committed-lexicon
+            # valence scorer (operators/text.py sentiment_scores).
+            from nutdb_spark.operators.text import sentiment_scores
+
+            if len(fn.args) != 3 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "sentiment takes ('table', 'id_col', 'text_col') "
+                    "literals"
+                )
+            tbl, idc, txc = [a.value for a in fn.args]
+            g = sentiment_scores(F.col(txc))
+            return self.resolve_table(tbl).select(
+                F.col(idc), *[c.alias(n2) for n2, c in g.items()]
+            )
+        if name == "epochshuffle":
+            # [EXT] epochShuffle('table', 'key_col', epoch, shards) →
+            # the source rows + (eshard, pos): the deterministic
+            # per-epoch training order (operators/packing.py).
+            from nutdb_spark.operators.packing import epoch_shuffle
+
+            if len(fn.args) != 4 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "epochShuffle takes ('table', 'key_col', epoch, "
+                    "shards) literals"
+                )
+            tbl, keyc, ep, sh = [a.value for a in fn.args]
+            if int(sh) <= 0:
+                raise LoweringError("epochShuffle shards must be >= 1")
+            return epoch_shuffle(
+                self.resolve_table(tbl),
+                F.col(keyc),
+                epoch=int(ep),
+                shards=int(sh),
+            )
         if name == "numbers":
             # numbers(n) and the ClickHouse 2-arg numbers(offset, n)
             if len(fn.args) not in (1, 2) or not all(

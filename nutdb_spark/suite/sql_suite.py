@@ -6749,3 +6749,38 @@ def sql_fn_tier19(spark: SparkSession, sf_dir: str) -> DataFrame:
         from events where user_id < 15 order by event_id
         """,
     )
+
+
+def _sql_sentiment_oracle() -> str:
+    from nutdb_spark.operators.packing import oracle_epoch_shuffle
+    from nutdb_spark.operators.text import oracle_sentiment
+
+    g = oracle_sentiment("text")
+    e = oracle_epoch_shuffle("doc_id", epoch=2, shards=4)
+    # positions rank over the WHOLE table (the table function's
+    # frame), so they live in a CTE ahead of the slice
+    return f"""
+    WITH ep AS (
+      SELECT doc_id, {e['eshard']} AS eshard, {e['pos']} AS pos
+      FROM documents)
+    SELECT d.doc_id, {g['sentiment']} AS sentiment, {g['label']} AS label,
+           ep.eshard, ep.pos
+    FROM documents d JOIN ep USING (doc_id)
+    WHERE d.doc_id < 200 ORDER BY d.doc_id"""
+
+
+@query("sql_table_fn_sentiment", _sql_sentiment_oracle())
+def sql_table_fn_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sentiment() and epochShuffle() as dialect TABLE
+    FUNCTIONS, composed in one statement: the lexicon scorer feeds a
+    join against the epoch-2 training order — both reachable from
+    pure SQL text."""
+    return _run(
+        spark,
+        sf_dir,
+        "select s.doc_id, s.sentiment, s.label, e.eshard, e.pos "
+        "from sentiment('documents', 'doc_id', 'text') as s "
+        "join epochShuffle('documents', 'doc_id', 2, 4) as e "
+        "on s.doc_id = e.doc_id "
+        "where s.doc_id < 200 order by s.doc_id",
+    )

@@ -109,3 +109,44 @@ def test_dedup_substrings_fn(eng, spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sentiment_fn(eng, spark):
+    with pytest.raises(LoweringError, match="sentiment takes"):
+        eng.sql("select * from sentiment('documents', 'doc_id')")
+    got = eng.sql(
+        "select doc_id, sentiment from "
+        "sentiment('documents', 'doc_id', 'text') "
+        "where doc_id < 20 order by doc_id"
+    ).collect()
+    from nutdb_spark.operators.text import sentiment_scores
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = (
+        d.filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            sentiment_scores(F.col("text"))["sentiment"].alias("sentiment"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_epoch_shuffle_fn(eng):
+    with pytest.raises(LoweringError, match="epochShuffle takes"):
+        eng.sql("select * from epochShuffle('documents', 'doc_id', 1)")
+    with pytest.raises(LoweringError, match="shards must be >= 1"):
+        eng.sql(
+            "select * from epochShuffle('documents', 'doc_id', 1, 0)"
+        )
+    rows = eng.sql(
+        "select doc_id, eshard, pos from "
+        "epochShuffle('documents', 'doc_id', 1, 4) order by eshard, pos"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["eshard"], []).append(r["pos"])
+    for ps in per.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
