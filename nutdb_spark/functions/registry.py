@@ -6536,3 +6536,72 @@ def _crc32(s: Column) -> Column:
 
 
 SCALAR_FNS["CRC32"] = _crc32
+
+
+# --- [EXT] tier-20: network-range scalars -------------------------------------
+
+_MAC_RE = r"^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$"
+
+
+def _mac_string_to_num(s: Column) -> Column:
+    """MACStringToNum — colon-separated hex pairs → UInt48 (NULL on
+    malformed input, the lenient convention)."""
+    parts = F.split(s, ":")
+    num = F.aggregate(
+        parts,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * 256 + F.conv(p, 16, 10).cast("long"),
+    )
+    return F.when(s.rlike(_MAC_RE), num).otherwise(
+        F.lit(None).cast("long")
+    )
+
+
+SCALAR_FNS["MACStringToNum"] = _mac_string_to_num
+
+
+def _cidr_bounds(ip: Column, prefix: Column) -> tuple[Column, Column]:
+    v = ip.cast("long").bitwiseAND(F.lit(4294967295))
+    p = prefix.cast("int")
+    # mask = 2^32 − 2^(32−p); p = 0 → 0, p = 32 → 0xFFFFFFFF
+    mask = F.lit(4294967296) - F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.lit(32) - p)
+    )
+    lo = v.bitwiseAND(mask)
+    hi = lo + (F.lit(4294967296) - mask) - F.lit(1)
+    return lo, hi
+
+
+def _ipv4_cidr_to_range(ip: Column, prefix: Column) -> Column:
+    """IPv4CIDRToRange(ip_u32, prefix) → tuple(lo, hi) as dotted
+    strings (the CH tuple convention: struct fields _1/_2)."""
+    lo, hi = _cidr_bounds(ip, prefix)
+    return F.struct(
+        _ipv4_num_to_string(lo).alias("_1"),
+        _ipv4_num_to_string(hi).alias("_2"),
+    )
+
+
+SCALAR_FNS["IPv4CIDRToRange"] = _ipv4_cidr_to_range
+
+
+def _is_ip_in_range(ip_s: Column, cidr: Column) -> Column:
+    """isIPAddressInRange('1.2.3.4', '1.2.0.0/16') — IPv4 only (the
+    fixture scope; v6 would need 128-bit lanes). Malformed ip or cidr
+    → false (CH throws; a boolean gate must survive a scan)."""
+    base = F.split(cidr, "/")
+    ip_n = _ipv4_string_to_num(ip_s)
+    net_n = _ipv4_string_to_num(F.element_at(base, 1))
+    p = F.element_at(base, 2).cast("int")
+    lo, hi = _cidr_bounds(net_n, p)
+    ok = (
+        ip_n.isNotNull()
+        & net_n.isNotNull()
+        & p.isNotNull()
+        & (p >= 0)
+        & (p <= 32)
+    )
+    return F.when(ok, (ip_n >= lo) & (ip_n <= hi)).otherwise(F.lit(False))
+
+
+SCALAR_FNS["isIPAddressInRange"] = _is_ip_in_range

@@ -60,7 +60,7 @@ for _m in _MODULES:
 # missed this window (the 9 above plus q_stream_curate,
 # sql_fn_tier18, sql_fn_tier19, q_dedup_substring_delete,
 # q_stream_dsir, q_traj_dtw_topk, q_text_sentiment,
-# sql_table_fn_sentiment), then resume the r6 re-grade pool in name order
+# sql_table_fn_sentiment, sql_fn_tier20), then resume the r6 re-grade pool in name order
 # (q_cte, q_dedup_connected_star, q_dedup_minhash_lsh, q_dedup_spans,
 # q_distinct_on, q_except, ...), then the r7 pool.
 # (The "N entries NEW" count in (3) is now 20: the session-2

@@ -6784,3 +6784,80 @@ def sql_table_fn_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on s.doc_id = e.doc_id "
         "where s.doc_id < 200 order by s.doc_id",
     )
+
+
+def _tier20_oracle() -> str:
+    v = "((event_id * 2654435761) % 4294967296)"
+    p = "(event_id % 33)"
+    mask = f"(4294967296 - (1 << (32 - {p})))"
+    lo = f"({v} & {mask})"
+    hi = f"({lo} + (4294967296 - {mask}) - 1)"
+
+    def dotted(x: str) -> str:
+        return (
+            f"(CAST(({x} >> 24) & 255 AS VARCHAR) || '.' || "
+            f"CAST(({x} >> 16) & 255 AS VARCHAR) || '.' || "
+            f"CAST(({x} >> 8) & 255 AS VARCHAR) || '.' || "
+            f"CAST({x} & 255 AS VARCHAR))"
+        )
+
+    ip2 = f"(CASE WHEN event_id % 3 = 0 THEN '999.9.9.9' ELSE {dotted(v)} END)"
+    ipv4_re = (
+        "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}"
+        "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"
+    )
+    sp = f"string_split({ip2}, '.')"
+    ip2_n = (
+        f"CASE WHEN regexp_matches({ip2}, '{ipv4_re}') THEN "
+        f"CAST({sp}[1] AS BIGINT) * 16777216 + CAST({sp}[2] AS BIGINT) "
+        f"* 65536 + CAST({sp}[3] AS BIGINT) * 256 + CAST({sp}[4] AS BIGINT) "
+        "ELSE NULL END"
+    )
+    inr = (
+        f"(CASE WHEN {ip2_n} IS NOT NULL THEN "
+        f"{ip2_n} >= {lo} AND {ip2_n} <= {hi} ELSE FALSE END)"
+    )
+    return f"""
+    SELECT event_id,
+           CAST(event_id * 131071 & 281474976710655 AS BIGINT) AS mac_rt,
+           {dotted(lo)} AS cidr_lo,
+           {dotted(hi)} AS cidr_hi,
+           {inr} AS inr
+    FROM events WHERE user_id < 15 ORDER BY event_id
+    """
+
+
+@query("sql_fn_tier20", _tier20_oracle())
+def sql_fn_tier20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tier-20 network-range scalars: MACStringToNum (the
+    tier-18 codec round-tripped through the parser — the oracle is
+    the raw 48-bit value), IPv4CIDRToRange as the CH tuple (struct
+    _1/_2, projected through tupleElement), and isIPAddressInRange
+    over a mixed-validity ip column (malformed input reads false —
+    the gate convention). Prefix sweeps 0..32 via event_id % 33, so
+    both mask edge cases (whole space, single host) are in the graded
+    rows."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        with t as (
+          select event_id, user_id,
+                 (event_id * 2654435761) % 4294967296 as v4,
+                 event_id % 33 as p
+          from events where user_id < 15),
+        u as (
+          select *,
+                 IPv4CIDRToRange(v4, p) as rng,
+                 if(event_id % 3 = 0, '999.9.9.9', IPv4NumToString(v4))
+                   as ip2
+          from t)
+        select event_id,
+               MACStringToNum(MACNumToString(event_id * 131071)) as mac_rt,
+               tupleElement(rng, 1) as cidr_lo,
+               tupleElement(rng, 2) as cidr_hi,
+               isIPAddressInRange(ip2,
+                 IPv4NumToString(v4) + '/' + toString(p)) as inr
+        from u order by event_id
+        """,
+    )

@@ -136,3 +136,41 @@ def test_tier19_scalars(spark):
     assert one(
         SCALAR_FNS["notILike"](F.lit("ABC"), F.lit("a%"))
     ) is False
+
+
+# --- tier-20 ----------------------------------------------------------------
+
+
+def test_tier20_network_scalars(spark):
+    import ipaddress
+
+    def one(col):
+        return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+    m = SCALAR_FNS["MACStringToNum"]
+    assert one(m(F.lit("ac:de:48:00:11:22"))) == 0xACDE48001122
+    assert one(m(F.lit("AC:DE:48:00:11:22"))) == 0xACDE48001122
+    for bad in ("zz:de:48:00:11:22", "ac:de:48:00:11", "", "acde48001122"):
+        assert one(m(F.lit(bad))) is None, bad
+
+    r = SCALAR_FNS["IPv4CIDRToRange"]
+    for ip, p in ((3232235777, 24), (3232235777, 0), (3232235777, 32),
+                  (0, 1), (4294967295, 31)):
+        got = one(r(F.lit(ip), F.lit(p)))
+        net = ipaddress.ip_network((ip, p), strict=False)
+        assert got["_1"] == str(net.network_address), (ip, p)
+        assert got["_2"] == str(net.broadcast_address), (ip, p)
+
+    inr = SCALAR_FNS["isIPAddressInRange"]
+    cases = [
+        ("192.168.1.7", "192.168.1.0/24", True),
+        ("192.168.2.7", "192.168.1.0/24", False),
+        ("192.168.1.7", "192.168.1.7/32", True),
+        ("192.168.1.8", "192.168.1.7/32", False),
+        ("1.2.3.4", "0.0.0.0/0", True),
+        ("bad", "1.2.3.0/24", False),
+        ("1.2.3.4", "bad/24", False),
+        ("1.2.3.4", "1.2.3.0/99", False),
+    ]
+    for ip, cidr, want in cases:
+        assert one(inr(F.lit(ip), F.lit(cidr))) is want, (ip, cidr)
