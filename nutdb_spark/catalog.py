@@ -521,6 +521,11 @@ class Catalog:
             # monotonically_increasing_id's low 33 bits, which ARE the
             # dense within-partition index). No global window, no RDD
             # round-trip — scales to arbitrarily large INSERT…SELECT.
+            # Contract: ids are DENSE and UNIQUE; which row draws
+            # which id follows the partition layout (the distributed-
+            # sequence semantics every parallel engine has) — a
+            # content-correlated order would force a global sort the
+            # statement never asked for.
             pid = F.spark_partition_id()
             counts = {
                 r["p"]: r["n"]
