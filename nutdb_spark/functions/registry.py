@@ -6300,6 +6300,12 @@ SCALAR_FNS["hiveHash"] = lambda s: _java_hash(s).bitwiseAND(
 
 
 def _bit_test_fold(x: Column, ns: tuple[Column, ...], *, want_all: bool) -> Column:
+    if len(ns) < 1:
+        name = "bitTestAll" if want_all else "bitTestAny"
+        raise ValueError(
+            f"{name} requires at least one bit position: "
+            f"{name}(x, pos1 [, pos2, ...])"
+        )
     bits = [
         (
             F.call_function("shiftright", x.cast("long"), n.cast("int")) % 2

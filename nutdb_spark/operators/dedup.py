@@ -1588,6 +1588,14 @@ def incremental_repeated_ngrams(
     an occurrence of a gram whose count first crossed ``max_freq``
     this batch) are re-cleaned.
 
+    Re-ingesting an EXISTING doc_id is an in-place revision: the
+    stored version is purged (occurrences, text, and count
+    contributions) before the new text is indexed, and grams whose
+    rep-status drops back below ``max_freq`` uncover their spans in
+    surviving documents, which re-emit — equivalent to
+    :func:`delete_repeated_ngrams` followed by a fresh ingest, in one
+    pass.
+
     Returns ``(cleaned, occ', docs', cnt')``: per-doc output rows
     (the dedup_repeated_ngrams schema) for the delta ∪ touched set,
     and the three updated state frames to persist. Merging each
@@ -1623,28 +1631,61 @@ def incremental_repeated_ngrams(
         occ_all, docs_all = d_occ, base
     else:
         old_occ, old_docs, old_cnt = index
-        merged = old_cnt.withColumnRenamed("cnt", "c_old").join(
-            d_cnt.withColumnRenamed("cnt", "c_new"), "gram", "full"
-        ).select(
-            "gram",
-            F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
-            (
-                F.coalesce(F.col("c_old"), F.lit(0))
-                + F.coalesce(F.col("c_new"), F.lit(0))
-            ).alias("cnt"),
+        delta_ids = base.select("doc_id").distinct()
+        # Revision semantics: a re-ingested doc_id REPLACES its stored
+        # version. Purge its old occurrences/text and decrement its
+        # gram-count contribution BEFORE merging the delta in —
+        # otherwise an in-place revision double-counts its grams and
+        # leaves duplicate doc rows in state, corrupting every later
+        # batch. Delta-bounded broadcast joins, so the guard costs
+        # nothing at corpus scale.
+        surv_occ = old_occ.join(
+            F.broadcast(delta_ids), "doc_id", "left_anti"
         )
-        new_cnt = merged.select("gram", "cnt")
-        flipped = merged.filter(
-            (F.col("c_old") >= 1)
-            & (F.col("c_old") <= max_freq)
-            & (F.col("cnt") > max_freq)
+        surv_docs = old_docs.join(
+            F.broadcast(delta_ids), "doc_id", "left_anti"
+        )
+        dec = (
+            old_occ.join(F.broadcast(delta_ids), "doc_id")
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("c_del"))
+        )
+        merged = (
+            old_cnt.withColumnRenamed("cnt", "c_stored")
+            .join(dec, "gram", "left")
+            .select(
+                "gram",
+                F.col("c_stored"),
+                (
+                    F.col("c_stored")
+                    - F.coalesce(F.col("c_del"), F.lit(0))
+                ).alias("c_surv"),
+            )
+            .join(d_cnt.withColumnRenamed("cnt", "c_new"), "gram", "full")
+            .select(
+                "gram",
+                F.coalesce(F.col("c_stored"), F.lit(0)).alias("c_old"),
+                (
+                    F.coalesce(F.col("c_surv"), F.lit(0))
+                    + F.coalesce(F.col("c_new"), F.lit(0))
+                ).alias("cnt"),
+            )
+        )
+        new_cnt = merged.filter(F.col("cnt") > 0).select("gram", "cnt")
+        # A gram whose rep-status changed in EITHER direction touches
+        # every surviving old document holding it: crossing UP covers
+        # their spans; dropping back DOWN (a revision removed
+        # occurrences) UNCOVERS them — delete_repeated_ngrams's
+        # uncovering rule, inherited by the revision path.
+        changed = merged.filter(
+            (F.col("c_old") > max_freq) != (F.col("cnt") > max_freq)
         ).select("gram")
         touched_old = (
-            old_occ.join(flipped, "gram").select("doc_id").distinct()
+            surv_occ.join(changed, "gram").select("doc_id").distinct()
         )
         touched = base.select("doc_id").union(touched_old).distinct()
-        new_occ = old_occ.unionByName(d_occ)
-        new_docs = old_docs.unionByName(base)
+        new_occ = surv_occ.unionByName(d_occ)
+        new_docs = surv_docs.unionByName(base)
         occ_all, docs_all = new_occ, new_docs
 
     occ_t = occ_all.join(touched, "doc_id")

@@ -400,10 +400,18 @@ def global_topk(
        at most ``k`` buckets survive it (each kept bucket has < k
        rows above it, and every bucket holds ≥ 1 row),
     3. candidate rows semi-join the ≤ k kept buckets (broadcast —
-       provably bounded) and ONLY they take the exact
-       (score DESC, key) rank; candidates number at most k plus one
-       bucket's population, so the final ranking window is k-bounded,
-       never corpus-bounded.
+       provably bounded); candidates number at most k plus the
+       boundary bucket's population,
+    4. the exact (score DESC, key ASC) rank over the candidates is
+       itself DISTRIBUTED: range-partition on the composite order,
+       local ``row_number`` per range partition, plus per-partition
+       row-count offsets (a ≤ shuffle-partitions-row frame, so its
+       cumulative window is trivially bounded). Because ``key``
+       participates in the range partitioning, even the degenerate
+       case where every score lands in ONE histogram bucket
+       (constant or narrow-range scores — where the candidate set is
+       the whole corpus) spreads across partitions instead of
+       funnelling through a single-partition sort.
 
     The output ``rk`` is bit-identical to ``row_number() OVER (ORDER
     BY score DESC, key) ≤ k`` — which is what lets the DuckDB oracle
@@ -437,11 +445,33 @@ def global_topk(
         .select("__b")
     )
     cand = tagged.join(F.broadcast(kept_buckets), "__b")
-    w_exact = Window.orderBy(F.col("__score").desc(), F.col("__key").asc())
+    # Distributed exact rank (stage 4 of the docstring). The two
+    # consumers of `srt` (local ranks and per-partition counts) share
+    # the one range-shuffle via Spark's exchange reuse, so both see
+    # the same sampled partition boundaries; the rank VALUES are
+    # boundary-independent either way (contiguous ranges + local
+    # offsets reconstruct the total order for any boundary choice).
+    srt = cand.repartitionByRange(
+        F.col("__score").desc(), F.col("__key").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("__pid").orderBy(
+        F.col("__score").desc(), F.col("__key").asc()
+    )
+    loc = srt.withColumn("__lrk", F.row_number().over(w_loc))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        srt.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__pn"))
+        .withColumn("__off", F.sum("__pn").over(w_off) - F.col("__pn"))
+        .select("__pid", "__off")
+    )
     return (
-        cand.withColumn("rk", F.row_number().over(w_exact).cast("long"))
+        loc.join(F.broadcast(offsets), "__pid")
+        .withColumn("rk", (F.col("__off") + F.col("__lrk")).cast("long"))
         .filter(F.col("rk") <= k)
-        .drop("__score", "__key", "__b")
+        .drop("__score", "__key", "__b", "__pid", "__lrk", "__off")
     )
 
 

@@ -784,9 +784,14 @@ def gopher_rules(
     - ``ok_words``: 50 ≤ word count ≤ 100 000,
     - ``ok_mean_len``: mean word length in [3, 10] — decided as
       ``3·n_words ≤ Σlen ≤ 10·n_words`` (integer, no division),
-    - ``ok_symbol``: symbol-to-word ratio ≤ 0.1 for ``#`` / ``...``
-      (``10·n_symbols ≤ n_words``),
-    - ``ok_bullet``: ≤ 10% of non-empty lines start with a bullet,
+    - ``ok_symbol``: symbol-to-word ratio ≤ 0.1 for EACH of ``#``
+      and ``...`` separately (``10·n_hash ≤ n_words`` AND
+      ``10·n_ellipsis ≤ n_words`` — the paper applies the 0.1
+      threshold per symbol, not to the combined count; the
+      ``n_symbols`` output column stays the combined counter),
+    - ``ok_bullet``: ≤ 90% of non-empty lines start with a bullet
+      (``10·n_bullet ≤ 9·n_lines`` — Rae et al. 2021 App. A rejects
+      only bullet-DOMINATED documents),
     - ``ok_ellipsis``: ≤ 30% of non-empty lines end with ``...``,
     - ``ok_alpha``: ≥ 80% of words contain an alphabetic character
       (``5·n_alpha_words ≥ 4·n_words``),
@@ -805,9 +810,9 @@ def gopher_rules(
     sum_len = F.aggregate(
         words, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
     )
-    n_symbols = (
-        F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
-    ).cast("long")
+    n_hash_syms = F.regexp_count(text, F.lit(r"#")).cast("long")
+    n_ellipsis_syms = F.regexp_count(text, F.lit(r"\.\.\.")).cast("long")
+    n_symbols = n_hash_syms + n_ellipsis_syms
     lines = F.filter(
         F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0
     )
@@ -832,8 +837,10 @@ def gopher_rules(
     ok_mean_len = (
         sum_len >= F.lit(GOPHER_MIN_MEAN_WORD_LEN) * n_words
     ) & (sum_len <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * n_words)
-    ok_symbol = F.lit(10) * n_symbols <= n_words
-    ok_bullet = F.lit(10) * n_bullet <= n_lines
+    ok_symbol = (F.lit(10) * n_hash_syms <= n_words) & (
+        F.lit(10) * n_ellipsis_syms <= n_words
+    )
+    ok_bullet = F.lit(10) * n_bullet <= F.lit(9) * n_lines
     ok_ellipsis = F.lit(10) * n_ellipsis <= F.lit(3) * n_lines
     ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
     ok_stop = n_stop >= min_stop_hits
@@ -878,10 +885,11 @@ def oracle_gopher(
         f"CAST(coalesce(list_sum(list_transform({words}, "
         "t -> CAST(length(t) AS BIGINT))), 0) AS BIGINT)"
     )
-    n_symbols = (
-        f"CAST(len(regexp_extract_all({expr}, '#')) "
-        f"+ len(regexp_extract_all({expr}, '\\.\\.\\.')) AS BIGINT)"
+    n_hash_syms = f"CAST(len(regexp_extract_all({expr}, '#')) AS BIGINT)"
+    n_ellipsis_syms = (
+        f"CAST(len(regexp_extract_all({expr}, '\\.\\.\\.')) AS BIGINT)"
     )
+    n_symbols = f"({n_hash_syms} + {n_ellipsis_syms})"
     lines = (
         f"list_filter(string_split({expr}, chr(10)), "
         "l -> length(trim(l)) > 0)"
@@ -913,8 +921,11 @@ def oracle_gopher(
         f"({sum_len} >= {GOPHER_MIN_MEAN_WORD_LEN} * {n_words} "
         f"AND {sum_len} <= {GOPHER_MAX_MEAN_WORD_LEN} * {n_words})"
     )
-    ok_symbol = f"(10 * {n_symbols} <= {n_words})"
-    ok_bullet = f"(10 * {n_bullet} <= {n_lines})"
+    ok_symbol = (
+        f"(10 * {n_hash_syms} <= {n_words} "
+        f"AND 10 * {n_ellipsis_syms} <= {n_words})"
+    )
+    ok_bullet = f"(10 * {n_bullet} <= 9 * {n_lines})"
     ok_ellipsis = f"(10 * {n_ellipsis} <= 3 * {n_lines})"
     ok_alpha = f"(5 * {n_alpha} >= 4 * {n_words})"
     ok_stop = f"({n_stop} >= {min_stop_hits})"

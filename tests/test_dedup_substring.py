@@ -176,6 +176,69 @@ def test_incremental_randomized_three_batch_replay(spark):
     assert _replay(spark, batches, k=4) == _one_shot(spark, docs, k=4)
 
 
+def test_inplace_revision_replaces_stored_doc(spark):
+    """Re-ingesting an existing doc_id (no delete first) must act as
+    an in-place revision: old state purged, counts decremented, and a
+    revision that removes the shared passage UNCOVERS the partner."""
+    passage = "p1 p2 p3 p4 p5"
+    b1 = {0: passage + " x y", 1: "a b " + passage}
+    rev = {0: "totally different words now z"}
+    got = _replay(spark, [b1, rev], k=4)
+    want = _one_shot(spark, {**b1, **rev}, k=4)
+    assert got == want
+    # the partner regained its words (the shared gram dropped to 1)
+    assert got[1][1] == 0 and got[1][2] == b1[1]
+
+
+def test_inplace_revision_state_has_no_duplicates(spark):
+    passage = "p1 p2 p3 p4 p5"
+    texts = {0: passage + " x y", 1: "a b " + passage}
+    from nutdb_spark.operators.dedup import incremental_repeated_ngrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    _, occ, docs, cnt = incremental_repeated_ngrams(
+        df, None, "doc_id", "text", k=4
+    )
+    st = (occ.localCheckpoint(), docs.localCheckpoint(), cnt.localCheckpoint())
+    # re-ingest doc 0 with IDENTICAL text — state must be unchanged,
+    # not double-counted
+    re0 = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    _, occ2, docs2, cnt2 = incremental_repeated_ngrams(
+        re0, st, "doc_id", "text", k=4
+    )
+    assert docs2.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert occ2.count() == st[0].count()
+    before = {r["gram"]: r["cnt"] for r in st[2].collect()}
+    after = {r["gram"]: r["cnt"] for r in cnt2.collect()}
+    assert before == after
+
+
+def test_incremental_randomized_with_revisions_replay(spark):
+    """Randomized multi-batch ingest where later batches REVISE doc_ids
+    from earlier batches — replay must equal the one-shot run on the
+    final (post-revision) corpus."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"t{j}" for j in range(10)]
+    passage = "s1 s2 s3 s4 s5"
+
+    def mk():
+        ws = [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        if rng.random() < 0.4:
+            at = rng.randint(0, len(ws))
+            ws = ws[:at] + passage.split() + ws[at:]
+        return " ".join(ws)
+
+    b1 = {i: mk() for i in range(12)}
+    b2 = {i: mk() for i in range(8, 20)}   # 8-11 revise batch-1 docs
+    b3 = {i: mk() for i in range(2, 6)}    # revise batch-1 docs again
+    final = {**b1, **b2, **b3}
+    assert _replay(spark, [b1, b2, b3], k=4) == _one_shot(spark, final, k=4)
+
+
 def test_delete_pass_uncovers_partner(spark):
     from nutdb_spark.operators.dedup import delete_repeated_ngrams
 

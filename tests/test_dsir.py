@@ -115,6 +115,40 @@ def test_global_topk_matches_naive_window(spark):
         assert got == _naive_topk(rows, k), f"k={k}"
 
 
+def test_global_topk_constant_scores_stay_exact(spark):
+    """The degenerate case the r12 advice flagged: every score in one
+    histogram bucket (here: constant), so the candidate set is the
+    whole corpus — the distributed rank must still be exact and
+    key-ordered."""
+    from nutdb_spark.operators.sampling import global_topk
+
+    rows = [(i * 13 % 2000, 42) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, score long")
+    got = {
+        r["k"]: r["rk"]
+        for r in global_topk(df, F.col("score"), F.col("k"), 25).collect()
+    }
+    assert got == _naive_topk(rows, 25)
+
+
+def test_global_topk_rank_window_is_partitioned(spark):
+    """The exact-rank row_number must run per range-partition (pid),
+    never as one unpartitioned global window over the candidates."""
+    from nutdb_spark.operators.sampling import global_topk
+
+    df = spark.range(0, 1000).selectExpr("id AS k", "42 AS score")
+    plan = (
+        global_topk(df, F.col("score"), F.col("k"), 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    for m in _re.finditer(r"row_number\(\)[^\n]*", plan):
+        assert "__pid" in m.group(0), m.group(0)
+
+
 def test_global_topk_validates_args(spark):
     import pytest as _pytest
 

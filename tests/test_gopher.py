@@ -28,7 +28,9 @@ def _py_rules(text: str) -> dict:
     words = [w for w in re.split(r"\s+", text.strip()) if w]
     n_words = len(words)
     sum_len = sum(len(w) for w in words)
-    n_symbols = len(re.findall(r"#", text)) + len(re.findall(r"\.\.\.", text))
+    n_hash = len(re.findall(r"#", text))
+    n_ellipsis_sym = len(re.findall(r"\.\.\.", text))
+    n_symbols = n_hash + n_ellipsis_sym
     lines = [l for l in text.split("\n") if l.strip()]
     n_lines = len(lines)
     n_bullet = sum(1 for l in lines if re.search(r"^\s*[-*]", l))
@@ -43,8 +45,10 @@ def _py_rules(text: str) -> dict:
             <= sum_len
             <= GOPHER_MAX_MEAN_WORD_LEN * n_words
         ),
-        "ok_symbol": 10 * n_symbols <= n_words,
-        "ok_bullet": 10 * n_bullet <= n_lines,
+        "ok_symbol": (
+            10 * n_hash <= n_words and 10 * n_ellipsis_sym <= n_words
+        ),
+        "ok_bullet": 10 * n_bullet <= 9 * n_lines,
         "ok_ellipsis": 10 * n_ellipsis <= 3 * n_lines,
         "ok_alpha": 5 * n_alpha >= 4 * n_words,
         "ok_stop": n_stop >= GOPHER_MIN_STOPWORD_HITS,
@@ -70,8 +74,14 @@ CRAFTED = [
     "the cat sat of",
     # symbol-heavy (### per word)
     ("the of " + "# " * 40).strip() + " " + "word " * 20,
-    # bullet lines dominate
+    # bullet lines dominate (>90%: 19/20 lines bulleted)
+    "\n".join(["- item one the of"] * 19 + ["plain line"]),
+    # bullet boundary: exactly 90% bulleted now PASSES the rule
     "\n".join(["- item one the of"] * 9 + ["plain line"]),
+    # per-symbol split: 0.06+0.06 combined would fail a combined-ratio
+    # rule but passes the published per-symbol rule (6 '#', 6 '...'
+    # over 100 words)
+    ("word " * 88).strip() + " the of " + "# " * 6 + "... " * 6,
     # ellipsis lines dominate
     "\n".join(["trailing off the of..."] * 5 + ["solid line"] * 5),
     # numeric soup fails the alpha rule
@@ -100,6 +110,32 @@ def test_rules_match_python_replay(spark):
         want = _py_rules(CRAFTED[row["id"]])
         got = {k: row[k] for k in want}
         assert got == want, f"doc {row['id']}: {got} != {want}"
+
+
+def test_published_thresholds_pinned(spark):
+    """Pins the Rae et al. 2021 App. A constants directly (not via the
+    replay): bullet rejection is >90% of lines, and the 0.1
+    symbol-to-word threshold applies to each symbol separately."""
+    docs = [
+        (0, "\n".join(["- b"] * 19 + ["p"])),   # 95% bullets -> reject
+        (1, "\n".join(["- b"] * 9 + ["p"])),    # 90% bullets -> keep
+        # 6 '#' + 6 '...' over 102 words: each ratio <= 0.1 -> keep,
+        # though the combined 12/102 > 0.1 would fail a combined rule
+        (2, ("w " * 88).strip() + " the of " + "# " * 6 + "... " * 6),
+        (3, ("w " * 88).strip() + " the of " + "# " * 12),  # 12/102 > 0.1
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    g = gopher_rules(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", g["ok_bullet"].alias("b"), g["ok_symbol"].alias("s")
+        ).collect()
+    }
+    assert rows[0]["b"] is False
+    assert rows[1]["b"] is True
+    assert rows[2]["s"] is True
+    assert rows[3]["s"] is False
 
 
 def test_fixture_gate_carries_signal(spark, sf_dir):

@@ -89,6 +89,17 @@ def test_bit_test_variadic(spark):
     assert _one(spark, bany(F.lit(0), F.lit(0), F.lit(5))) is False
 
 
+def test_bit_test_zero_args_is_arity_error(spark):
+    import pytest
+
+    from nutdb_spark.engine import NutEngine
+
+    eng = NutEngine(spark)
+    for fn in ("bitTestAll", "bitTestAny"):
+        with pytest.raises(ValueError, match=fn):
+            eng.sql(f"SELECT {fn}(5) AS v")
+
+
 # --- tier-19 ----------------------------------------------------------------
 
 
