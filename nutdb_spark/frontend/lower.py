@@ -443,6 +443,23 @@ class Lowerer:
             return self.resolve_table(tbl).select(
                 F.col(idc), *[c.alias(n2) for n2, c in g.items()]
             )
+        if name == "languageidclf":
+            # [EXT] languageIdClf('table', 'id_col', 'text_col') →
+            # (doc_id, lang_pred, score): the committed hashed-linear
+            # multi-class language classifier (operators/langid_clf.py
+            # langid_scores — broadcast weight-table join + integer
+            # argmax, trained offline by tools/train_langid_clf.py)
+            from nutdb_spark.operators.langid_clf import langid_scores
+
+            if len(fn.args) != 3 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "languageIdClf takes ('table', 'id_col', "
+                    "'text_col') literals"
+                )
+            tbl, idc, txc = [a.value for a in fn.args]
+            return langid_scores(self.resolve_table(tbl), idc, txc)
         if name == "dsirscores":
             # [EXT] dsirScores('table', 'id_col', 'text_col',
             # 'target_col', 'target_val') → (doc_id, n_feats, score):

@@ -6861,3 +6861,30 @@ def sql_fn_tier20(spark: SparkSession, sf_dir: str) -> DataFrame:
         from u order by event_id
         """,
     )
+
+
+# --- [EXT] round-13 table functions ------------------------------------------
+
+
+def _sql_langid_oracle() -> str:
+    from nutdb_spark.operators.langid_clf import oracle_langid_scores
+
+    inner = oracle_langid_scores()
+    return f"""
+    WITH scored AS ({inner})
+    SELECT doc_id, lang_pred, score FROM scored
+    WHERE doc_id < 200 ORDER BY doc_id"""
+
+
+@query("sql_table_fn_langid", _sql_langid_oracle())
+def sql_table_fn_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The hashed-linear language classifier as a dialect TABLE
+    FUNCTION — languageIdClf('table', 'id', 'text') through the
+    frontend, composed with an outer WHERE/ORDER BY."""
+    return _run(
+        spark,
+        sf_dir,
+        "select doc_id, lang_pred, score "
+        "from languageIdClf('documents', 'doc_id', 'text') "
+        "where doc_id < 200 order by doc_id",
+    )

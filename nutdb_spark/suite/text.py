@@ -1724,3 +1724,114 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", *[c.alias(n) for n, c in g.items()]
     ).orderBy("doc_id")
+
+
+# --- [EXT] round-13: hashed-linear language ID -------------------------------
+
+
+def _langid_clf_oracle() -> str:
+    from nutdb_spark.operators.langid_clf import oracle_langid_scores
+
+    inner = oracle_langid_scores()
+    return f"""
+    WITH scored AS ({inner})
+    SELECT s.doc_id, s.lang_pred, s.score, d.lang AS label,
+           (s.lang_pred = d.lang) AS correct
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY s.doc_id"""
+
+
+@query("q_text_langid_clf", _langid_clf_oracle())
+def q_text_langid_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] fastText-style language ID as a hashed-linear multi-class
+    model (operators/langid_clf.py — committed offline-trained integer
+    weights, 96.6% on the fixture's five languages): per document the
+    predicted language, its exact integer logit, the fixture label and
+    the hit bit. Replaces the r2 stopword-profile heuristic as the
+    pre-per-language-sampling stage. Scale: sparse dim-bounded weight
+    table broadcast + one per-doc aggregation — the DSIR shape."""
+    from nutdb_spark.operators.langid_clf import langid_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        langid_scores(d, "doc_id", "text")
+        .join(d.select("doc_id", F.col("lang").alias("label")), "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "score",
+            "label",
+            (F.col("lang_pred") == F.col("label")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ccnet_langid_oracle() -> str:
+    from nutdb_spark.operators.langid_clf import oracle_langid_scores
+    from nutdb_spark.operators.text import oracle_ngrams, oracle_normalize
+
+    langid = oracle_langid_scores()
+    return f"""
+    WITH lid AS ({langid}),
+    base AS (
+      SELECT doc_id,
+             string_split_regex(trim({oracle_normalize('text')}),
+                                '\\s+') AS w
+      FROM documents WHERE doc_id < 400),
+    occ AS (
+      SELECT doc_id, unnest({oracle_ngrams('w', 2)}) AS bg FROM base),
+    cnt AS (SELECT bg, COUNT(*) AS c FROM occ GROUP BY bg),
+    per AS (
+      SELECT occ.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rare_cnt
+      FROM occ JOIN cnt USING (bg) GROUP BY occ.doc_id),
+    scored AS (
+      SELECT base.doc_id, lid.lang_pred,
+             CAST(rare_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+               AS rare_rate
+      FROM base JOIN per USING (doc_id) JOIN lid USING (doc_id)
+      WHERE n_bigrams > 0),
+    tiled AS (
+      SELECT doc_id, lang_pred, rare_rate,
+             CAST(ntile(3) OVER (PARTITION BY lang_pred
+                    ORDER BY rare_rate ASC, doc_id) AS INT) AS bucket
+      FROM scored)
+    SELECT doc_id, lang_pred, bucket, rare_rate
+    FROM tiled WHERE bucket <= 2 ORDER BY doc_id
+    """
+
+
+@query("q_sample_ccnet_langid", _ccnet_langid_oracle())
+def q_sample_ccnet_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The CCNet bucket selection keyed on the PREDICTED
+    language (q_sample_ccnet uses the fixture label): langid_clf's
+    argmax feeds the per-language tercile windows — the actual
+    production composition, where no label column exists and the
+    classifier's output IS the partition key for every per-language
+    stage downstream."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.langid_clf import langid_scores
+    from nutdb_spark.operators.text import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    lid = langid_scores(d, "doc_id", "text").select("doc_id", "lang_pred")
+    dd = d.filter(F.col("doc_id") < 400)
+    scores = bigram_lm_scores(dd, "doc_id", "text", rare_threshold=2)
+    scored = (
+        scores.filter(F.col("n_bigrams") > 0)
+        .join(lid, "doc_id")
+        .select("doc_id", "lang_pred", "rare_rate")
+    )
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("rare_rate").asc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w))
+        .where(F.col("bucket") <= 2)
+        .select("doc_id", "lang_pred", "bucket", "rare_rate")
+        .orderBy("doc_id")
+    )
