@@ -1,0 +1,216 @@
+"""[EXT] Perceptual-hash image deduplication.
+
+Crosses the dedup ladder into the multimodal family: a 64-bit integer
+average-hash (aHash) over each payload's pixel stream, band-bucketed
+pairing (the SimHash k+1-table precedent from operators/dedup.py),
+and an exact ``bit_count(xor)`` Hamming verify.
+
+The hash is packed as FOUR 16-bit band integers (h0..h3) rather than
+one int64 — the bands are exactly the LSH bucket keys the pairing
+stage needs, and staying ≤ 2^16 keeps every value positive and
+sign-free in any engine. With 4 bands, any pair within Hamming
+distance ≤ 3 shares at least one untouched band (pigeonhole), so the
+band join is COMPLETE for the default threshold — no candidate is
+ever lost, the property the brute-force oracle proves.
+
+Codec seam (operators/multimodal.py decode_media): the deterministic
+fake codec treats the payload bytes as the pixel stream and samples
+64 evenly-spaced "pixels" (byte at position ``i·n div 64``); the real
+branch (Pillow, when installed) decodes, grayscales and resamples to
+the same 8×8 = 64 pixels, feeding the identical packing — swapping
+codecs changes which bytes become pixels, never the dedup plan.
+
+Scale design: hashing is one Arrow-batched mapInPandas projection
+(payloads never leave the stage — downstream shuffles carry 4 small
+ints per image); pairing is an equi-join on (band_idx, band_value)
+buckets with a < b — never a cross join (plan-pinned); the verify is
+a pure integer expression. At 100 TB of images the band tables are
+the only shuffle, exactly the MinHash-LSH shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AHASH_PIXELS = 64
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 16
+# 4 bands tolerate ≤ 3 differing bits with a guaranteed shared band
+AHASH_MAX_HAMMING = AHASH_BANDS - 1
+
+AHASH_SCHEMA = "doc_id long, h0 long, h1 long, h2 long, h3 long"
+
+
+def ahash_pack(pixels: list[int]) -> tuple[int, int, int, int]:
+    """Pack 64 integer pixels into the 4 band ints: bit i of the hash
+    is 1 iff pixel_i > floor(mean); band j holds bits [16j, 16j+16)."""
+    assert len(pixels) == AHASH_PIXELS
+    avg = sum(pixels) // AHASH_PIXELS
+    bands = [0] * AHASH_BANDS
+    for i, p in enumerate(pixels):
+        if p > avg:
+            bands[i // AHASH_BAND_BITS] |= 1 << (i % AHASH_BAND_BITS)
+    return tuple(bands)
+
+
+def fake_pixels(data: bytes) -> list[int]:
+    """The deterministic fake codec's pixel stream: 64 evenly-spaced
+    byte samples (position ``i·n div 64``), zeros for an empty blob."""
+    n = len(data)
+    if n == 0:
+        return [0] * AHASH_PIXELS
+    return [data[(i * n) // AHASH_PIXELS] for i in range(AHASH_PIXELS)]
+
+
+def real_pixels(img) -> list[int]:
+    """The real-codec branch: grayscale + nearest-neighbour resample
+    to 8×8 via the same evenly-spaced sampling rule applied to the 2-D
+    grid (row ``(r·H) div 8``, col ``(c·W) div 8``) — deterministic,
+    no float filtering, so the committed packing stays exact."""
+    g = img.convert("L")
+    w, h = g.size
+    px = g.load()
+    out = []
+    for r in range(8):
+        for c in range(8):
+            out.append(int(px[(c * w) // 8, (r * h) // 8]))
+    return out
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", *, fake: bool = True
+) -> DataFrame:
+    """Per-payload perceptual hash: (doc_id, h0..h3). ``fake=True``
+    samples pixels straight from the payload bytes (the deterministic
+    codec — what the oracle replays); ``fake=False`` decodes through
+    the real-codec seam (Pillow) and raises the documented
+    ``NotImplementedError`` when no codec is installed."""
+    from nutdb_spark.operators.multimodal import decode_media
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, b, t in zip(
+                pdf[id_col], pdf["payload"], pdf["media_type"]
+            ):
+                if fake:
+                    pixels = fake_pixels(decode_media(bytes(b), t, fake=True))
+                else:
+                    pixels = real_pixels(decode_media(bytes(b), t))
+                rows.append((int(i), *ahash_pack(pixels)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "h0", "h1", "h2", "h3"]
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(
+        batches, AHASH_SCHEMA
+    )
+
+
+def dedup_image_pairs(
+    hashes: DataFrame, *, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate image pairs from the (doc_id, h0..h3) hash frame:
+    band-bucket candidate join + exact Hamming verify.
+
+    Returns (a, b, dist) with a < b, dist = popcount of the 64-bit
+    xor, dist ≤ max_hamming. For ``max_hamming ≤ 3`` the 4-band join
+    is provably complete (some band matches exactly); larger
+    thresholds keep the same plan but trade completeness — the
+    documented LSH knob, same as the SimHash tables."""
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("bi"), F.col(f"h{j}").alias("bv")
+                )
+                for j in range(AHASH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    pairs = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{j}").alias(f"la{j}") for j in range(AHASH_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{j}").alias(f"lb{j}") for j in range(AHASH_BANDS)],
+    )
+    dist = None
+    for j in range(AHASH_BANDS):
+        d = F.bit_count(
+            F.col(f"la{j}").bitwiseXOR(F.col(f"lb{j}"))
+        ).cast("long")
+        dist = d if dist is None else dist + d
+    return (
+        pairs.join(ha, "a")
+        .join(hb, "b")
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_hamming)
+    )
+
+
+def oracle_image_ahash(
+    *,
+    source: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replay of the fake-codec aHash over ``source``'s ASCII
+    text (byte i == codepoint i on the fixture): a full SELECT
+    yielding (doc_id, h0..h3)."""
+    px = (
+        f"list_transform(range(0, {AHASH_PIXELS}), i -> CASE "
+        f"WHEN length({text_expr}) = 0 THEN 0 ELSE "
+        f"unicode(substring({text_expr}, "
+        f"1 + (i * length({text_expr})) // {AHASH_PIXELS}, 1)) END)"
+    )
+    band_cols = ", ".join(
+        "CAST(coalesce(list_sum(list_transform("
+        f"range({j * AHASH_BAND_BITS}, {(j + 1) * AHASH_BAND_BITS}), "
+        f"i -> CASE WHEN px[i + 1] > avg THEN 1 << (i % {AHASH_BAND_BITS}) "
+        "ELSE 0 END)), 0) AS BIGINT) AS h" + str(j)
+        for j in range(AHASH_BANDS)
+    )
+    return f"""
+SELECT {id_expr} AS doc_id, {band_cols}
+FROM (SELECT {id_expr}, px, list_sum(px) // {AHASH_PIXELS} AS avg
+      FROM (SELECT {id_expr}, {px} AS px
+            FROM {source} WHERE {where}))"""
+
+
+def oracle_dedup_image_pairs(
+    hashes_sql: str, *, max_hamming: int = AHASH_MAX_HAMMING
+) -> str:
+    """DuckDB replay of dedup_image_pairs over a hash subquery — the
+    BRUTE-FORCE all-pairs form (the oracle proves the band join loses
+    nothing: for dist ≤ 3 the two must agree bit-for-bit on some
+    band, so every brute-force survivor is a band-join candidate)."""
+    dist = " + ".join(
+        f"bit_count(xor(l.h{j}, r.h{j}))" for j in range(AHASH_BANDS)
+    )
+    return f"""
+WITH h AS ({hashes_sql})
+SELECT l.doc_id AS a, r.doc_id AS b, CAST({dist} AS BIGINT) AS dist
+FROM h l JOIN h r ON l.doc_id < r.doc_id
+WHERE {dist} <= {max_hamming}"""

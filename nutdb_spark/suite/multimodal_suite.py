@@ -121,3 +121,63 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") < 200) & (F.length("text") >= 2))
     )
     return audio_stats(with_binary_payload(d))
+
+
+# --- [EXT] round-13: perceptual-hash image dedup ------------------------------
+
+# Clone corpus: each doc < 150 gets a "re-encoded" twin — a 10-char
+# same-length splice, i.e. the same image with a small pixel patch
+# changed. Same construction on both engines.
+_IMG_CLONE_EDIT = "substr(text,1,20) || 'zzzzzzzzzz' || substr(text,31)"
+_IMG_CORPUS = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, {_IMG_CLONE_EDIT} AS text
+FROM documents WHERE doc_id < 150 AND length(text) >= 64
+"""
+
+
+def _image_dedup_oracle() -> str:
+    from nutdb_spark.operators.image_dedup import (
+        oracle_dedup_image_pairs,
+        oracle_image_ahash,
+    )
+
+    h = oracle_image_ahash(source=f"({_IMG_CORPUS})")
+    return (
+        oracle_dedup_image_pairs(h)
+        + "\nORDER BY a, b"
+    )
+
+
+@query("q_dedup_image", _image_dedup_oracle())
+def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Perceptual-hash image dedup — the dedup ladder crossed
+    into the multimodal family (operators/image_dedup.py): 64-bit
+    integer average-hash per payload via the Arrow-batched fake-codec
+    seam, 4×16-bit band-bucket candidate join, exact bit_count(xor)
+    Hamming verify at ≤ 3 bits. The oracle is the BRUTE-FORCE
+    all-pairs scan, which proves the band join complete at this
+    threshold (pigeonhole: ≤ 3 flipped bits leave a band exact). The
+    corpus injects same-length 10-char splices as re-encoded twins —
+    found at Hamming 0-3; heavier edits correctly fall outside the
+    radius."""
+    from nutdb_spark.operators.image_dedup import (
+        dedup_image_pairs,
+        image_ahash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    clones = d.filter(
+        (F.col("doc_id") < 150) & (F.length("text") >= 64)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit("zzzzzzzzzz"),
+            F.expr("substring(text, 31)"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(clones)
+    h = image_ahash(with_binary_payload(corpus))
+    return dedup_image_pairs(h).orderBy("a", "b")
