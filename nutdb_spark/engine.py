@@ -442,7 +442,7 @@ class NutEngine:
             return self._show(stmt)
         if isinstance(stmt, A.ExplainStmt):
             if getattr(stmt, "mode", "simple") == "syntax":
-                from nutdb_spark.frontend.printer import query as _print
+                from nutdb_spark.frontend.printer import statement as _print
 
                 return self.spark.createDataFrame(
                     [(_print(stmt.query),)], "syntax: string"

@@ -443,6 +443,39 @@ class Lowerer:
             return self.resolve_table(tbl).select(
                 F.col(idc), *[c.alias(n2) for n2, c in g.items()]
             )
+        if name == "dtwtopk":
+            # [EXT] dtwTopK('table', 'user_col', 'order_col',
+            # 'value_col', n_queries, k, bucket_width, probes) →
+            # (query_id, neighbor_id, dtw, rank): UNSLICED trajectory
+            # top-k over every series in the table — envelope-bucket
+            # prune + exact integer DTW verify (operators/
+            # trajectory.py). bucket_width/probes are the recall/cost
+            # knobs; unlike q_traj_dtw_topk there is no corpus cap, so
+            # this is the measurable full-cost form.
+            from nutdb_spark.operators.trajectory import (
+                dtw_topk,
+                user_value_series,
+            )
+
+            if len(fn.args) != 8 or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "dtwTopK takes ('table', 'user_col', 'order_col', "
+                    "'value_col', n_queries, k, bucket_width, probes) "
+                    "literals"
+                )
+            tbl, uc, oc, vc, nq, k, w, p = [a.value for a in fn.args]
+            series = user_value_series(
+                self.resolve_table(tbl), uc, oc, vc, scale=100, max_len=30
+            )
+            return dtw_topk(
+                series,
+                n_queries=int(nq),
+                k=int(k),
+                bucket_width=int(w),
+                probes=int(p),
+            )
         if name == "languageidclf":
             # [EXT] languageIdClf('table', 'id_col', 'text_col') →
             # (doc_id, lang_pred, score): the committed hashed-linear

@@ -1530,6 +1530,15 @@ class Parser:
             mode = "pipeline"
         else:
             self.eat_kw("plan")  # EXPLAIN PLAN = the default mode
+        if self.at_kw("merge"):
+            # [EXT] EXPLAIN SYNTAX/AST over MERGE INTO — the mutation
+            # statement prints/walks like a query; the executing modes
+            # stay query-only (a MERGE has no result plan to show)
+            if mode not in ("syntax", "ast"):
+                raise ParseError(
+                    "EXPLAIN over MERGE supports SYNTAX and AST only"
+                )
+            return A.ExplainStmt(self._merge(), mode)
         return A.ExplainStmt(self.parse_query(), mode)
 
     def _insert(self):

@@ -394,3 +394,63 @@ def query(q) -> str:  # noqa: C901
             s += " WITH TIES"
         parts.append(s)
     return " ".join(parts)
+
+
+def _merge_assignments(assignments) -> str:
+    return ", ".join(f"{col} = {expr(e)}" for col, e in assignments)
+
+
+def _merge_action(action) -> str:
+    if action[0] == "update":
+        return "UPDATE SET " + _merge_assignments(action[1])
+    if action[0] == "delete":
+        return "DELETE"
+    raise Unprintable(f"merge action {action[0]!r}")
+
+
+def merge(m: "A.MergeStmt") -> str:
+    """Re-parseable text of a MERGE INTO statement — the flagship
+    mutation statement joins the SELECT family in EXPLAIN SYNTAX /
+    SHOW CREATE-style tooling (every clause the parser accepts prints
+    back: aliases, subquery sources, guard conditions, ordered WHEN
+    clauses, NOT MATCHED BY SOURCE)."""
+    parts = [f"MERGE INTO {m.table}"]
+    if m.target_alias:
+        parts.append(f"AS {m.target_alias}")
+    if isinstance(m.source, str):
+        parts.append(f"USING {m.source}")
+    else:
+        parts.append(f"USING ({query(m.source)})")
+    if m.source_alias:
+        parts.append(f"AS {m.source_alias}")
+    parts.append(f"ON {expr(m.on)}")
+    for cond, action in m.matched:
+        s = "WHEN MATCHED"
+        if cond is not None:
+            s += f" AND {expr(cond)}"
+        parts.append(s + " THEN " + _merge_action(action))
+    for cond, cols, exprs in m.not_matched:
+        s = "WHEN NOT MATCHED"
+        if cond is not None:
+            s += f" AND {expr(cond)}"
+        s += " THEN INSERT"
+        if cols is not None:
+            s += " (" + ", ".join(cols) + ")"
+        s += " VALUES (" + ", ".join(expr(e) for e in exprs) + ")"
+        parts.append(s)
+    for cond, action in getattr(m, "not_matched_by_source", []) or []:
+        s = "WHEN NOT MATCHED BY SOURCE"
+        if cond is not None:
+            s += f" AND {expr(cond)}"
+        parts.append(s + " THEN " + _merge_action(action))
+    return " ".join(parts)
+
+
+def statement(s) -> str:
+    """Statement-level dispatch: queries through ``query``, MERGE
+    through ``merge``; everything else stays loudly Unprintable."""
+    if isinstance(s, A.MergeStmt):
+        return merge(s)
+    if isinstance(s, (A.SelectCore, A.SetOp)):
+        return query(s)
+    raise Unprintable(f"statement {type(s).__name__}")

@@ -6888,3 +6888,58 @@ def sql_table_fn_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from languageIdClf('documents', 'doc_id', 'text') "
         "where doc_id < 200 order by doc_id",
     )
+
+
+def _sql_dtw_oracle() -> str:
+    from nutdb_spark.operators.trajectory import oracle_dtw
+
+    dtw = oracle_dtw("q.v", "c.v")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events),
+s AS (
+  SELECT user_id,
+         list_sort(list({{'o': event_id, 'v': v}}))[1:30] AS ps
+  FROM pts GROUP BY user_id),
+e AS (
+  SELECT user_id, list_transform(ps, p -> p.v) AS v FROM s
+  WHERE len(ps) > 0),
+env AS (
+  SELECT user_id, v,
+         ((list_aggregate(v, 'min') + list_aggregate(v, 'max')) // 2)
+           // 2000 AS b
+  FROM e),
+qs AS (
+  SELECT user_id AS qid, v, unnest([b - 1, b, b + 1]) AS b
+  FROM env WHERE user_id < 6),
+scored AS (
+  SELECT q.qid, c.user_id AS neighbor_id, {dtw} AS dtw
+  FROM qs q JOIN env c USING (b) WHERE c.user_id <> q.qid)
+SELECT query_id, neighbor_id, dtw, rank FROM (
+  SELECT qid AS query_id, neighbor_id, dtw,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY dtw ASC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored) t
+WHERE rank <= 3 ORDER BY query_id, rank"""
+
+
+@query("sql_table_fn_dtw", _sql_dtw_oracle())
+def sql_table_fn_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Trajectory DTW top-k as a dialect TABLE FUNCTION —
+    dtwTopK('events', 'user_id', 'event_id', 'value', 6, 3, 2000, 1)
+    — the UNSLICED twin of q_traj_dtw_topk: no corpus cap, every
+    user's series enters the envelope index, so the entry's bench
+    reading IS the full prune+verify cost and the bucket/probe knobs'
+    effect is a recorded number (BASELINE.md slope row), not a commit
+    message. At sf0.01 the corpora coincide (150 users), so the two
+    entries cross-check each other; at sf0.1 this one is the 10×
+    slope point."""
+    return _run(
+        spark,
+        sf_dir,
+        "select query_id, neighbor_id, dtw, rank "
+        "from dtwTopK('events', 'user_id', 'event_id', 'value', "
+        "6, 3, 2000, 1) "
+        "order by query_id, rank",
+    )

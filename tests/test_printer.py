@@ -171,3 +171,101 @@ def test_show_create_view_reexecutable(eng):
     a = sorted(tuple(r) for r in eng.sql(inner).collect())
     b = sorted(tuple(r) for r in eng.sql("select * from pvq").collect())
     assert a == b
+
+
+# --- round-13: MERGE INTO through the printer --------------------------------
+
+MERGE_STATEMENTS = [
+    # the q_ddl_merge_into flagship statement verbatim
+    "MERGE INTO merge_t AS t USING merge_s AS s ON t.id = s.id "
+    "WHEN MATCHED AND s.tag = 'x' THEN DELETE "
+    "WHEN MATCHED THEN UPDATE SET v = s.v + t.v, tag = s.tag "
+    "WHEN NOT MATCHED AND s.tag != 'skip' THEN "
+    "INSERT (id, tag, v) VALUES (s.id, s.tag, s.v)",
+    # the q_ddl_merge_sync full-sync form (NOT MATCHED BY SOURCE)
+    "MERGE INTO merge_t AS t USING merge_s AS s ON t.id = s.id "
+    "WHEN MATCHED THEN UPDATE SET v = s.v "
+    "WHEN NOT MATCHED THEN INSERT (id, tag, v) "
+    "VALUES (s.id, s.tag, s.v) "
+    "WHEN NOT MATCHED BY SOURCE AND t.tag = 'b' THEN DELETE "
+    "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'",
+    # subquery source, bare INSERT VALUES (no column list)
+    "MERGE INTO merge_t USING "
+    "(SELECT id, tag, v FROM merge_s WHERE v > 5) AS s "
+    "ON merge_t.id = s.id "
+    "WHEN MATCHED THEN DELETE "
+    "WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.tag, s.v)",
+]
+
+
+@pytest.mark.parametrize("sql", MERGE_STATEMENTS)
+def test_merge_print_is_fixed_point(sql):
+    """print(parse(m)) must re-parse to a tree that prints to the
+    IDENTICAL string (a fixed point ⇒ nothing is lost or reordered),
+    with zero Unprintable across every MERGE clause shape."""
+    from nutdb_spark.frontend.printer import statement
+
+    printed = statement(parse(sql))
+    again = statement(parse(printed))
+    assert printed == again
+    assert printed.startswith("MERGE INTO")
+
+
+def test_merge_printed_text_executes_identically(eng):
+    """The printed MERGE applies the same mutation as the original."""
+    from nutdb_spark.frontend.printer import statement
+
+    def setup():
+        eng.sql("DROP TABLE IF EXISTS merge_t")
+        eng.sql("DROP TABLE IF EXISTS merge_s")
+        eng.sql("CREATE TABLE merge_t (id Int64, tag String, v Int64)")
+        eng.sql(
+            "INSERT INTO merge_t (id, tag, v) VALUES "
+            "(1, 'a', 10), (2, 'b', 20), (3, 'a', 30), (5, 'b', 50)"
+        )
+        eng.sql("CREATE TABLE merge_s (id Int64, tag String, v Int64)")
+        eng.sql(
+            "INSERT INTO merge_s (id, tag, v) VALUES "
+            "(2, 'b', 99), (3, 'x', 7), (4, 'c', 40), (6, 'skip', 6)"
+        )
+
+    stmt = MERGE_STATEMENTS[0]
+    setup()
+    eng.sql(stmt)
+    a = sorted(tuple(r) for r in eng.sql("SELECT * FROM merge_t").collect())
+    setup()
+    eng.sql(statement(parse(stmt)))
+    b = sorted(tuple(r) for r in eng.sql("SELECT * FROM merge_t").collect())
+    assert a == b
+
+
+def test_explain_syntax_merge(eng):
+    eng.sql("DROP TABLE IF EXISTS merge_t")
+    eng.sql("DROP TABLE IF EXISTS merge_s")
+    eng.sql("CREATE TABLE merge_t (id Int64, v Int64)")
+    eng.sql("CREATE TABLE merge_s (id Int64, v Int64)")
+    out = eng.sql(
+        "explain syntax merge into merge_t using merge_s "
+        "on merge_t.id = merge_s.id "
+        "when matched then update set v = merge_s.v "
+        "when not matched then insert (id, v) "
+        "values (merge_s.id, merge_s.v)"
+    ).first()["syntax"]
+    assert out.startswith("MERGE INTO merge_t USING merge_s")
+    assert "<stored query>" not in out
+    # executing modes stay query-only — loud, not silent
+    from nutdb_spark.frontend.parser import ParseError
+
+    with pytest.raises(ParseError, match="SYNTAX and AST"):
+        parse("explain formatted merge into t using s on t.id = s.id "
+              "when matched then delete")
+
+
+def test_explain_ast_merge(eng):
+    rows = eng.sql(
+        "explain ast merge into merge_t using merge_s "
+        "on merge_t.id = merge_s.id "
+        "when matched then delete"
+    ).collect()
+    text = "\n".join(r[0] for r in rows)
+    assert "MergeStmt" in text

@@ -255,6 +255,14 @@ ENTRIES = [
     "q_bpe_train",
     "q_traj_dtw_topk",
     "q_text_sentiment",
+    # round-13 additions: the unsliced DTW twin (the recorded
+    # pruning-knob cost), the langid classifier + its CCNet
+    # composition, and the perceptual-hash image dedup
+    "sql_table_fn_dtw",
+    "q_text_langid_clf",
+    "sql_table_fn_langid",
+    "q_sample_ccnet_langid",
+    "q_dedup_image",
 ]
 
 SF01 = "/root/testdata/sf0.1"
