@@ -149,6 +149,156 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SRC_CACHE: dict[tuple[str, str], str] = {}
 
 
+def _stream_join_matrix_src(spark: SparkSession, sf_dir: str) -> str:
+    """ONE shared micro-batch source for the whole stream-stream join
+    matrix (inner/left/right/full — r12 verdict task 2b: the trio
+    re-built identical two-sentinel availableNow harnesses three
+    times, ~13 s of duplicated build per bench pass): two
+    event-parity batches, then the two far-future sentinel batches
+    that advance the watermark past every real window and force the
+    flushing micro-batch. File-feed order is pinned with explicit
+    ``os.utime`` mtime stamps instead of the old ``sleep(1.1)``
+    spacing — deterministic AND free. The inner join doesn't need the
+    sentinels but tolerates them (the sentinel match carries
+    user_id = −1 and every entry filters ≥ 0 on read-back), so all
+    four entries share this one cached build per (process, sf)."""
+    import datetime as _dt
+    import tempfile
+    import time as _time
+
+    src = _STREAM_SRC_CACHE.get(("join_matrix", sf_dir))
+    if src is not None and os.path.isdir(src):
+        return src
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = tempfile.mkdtemp(prefix="q_stream_join_matrix_src_") + "/src"
+    seen: set[str] = set()
+    t0 = _time.time() - 3600
+    step = 0
+
+    def write(df) -> None:
+        nonlocal step
+        df.coalesce(1).write.mode("append").parquet(src)
+        stamp = t0 + 10 * step
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.startswith("part-") and p not in seen:
+                os.utime(p, (stamp, stamp))
+                seen.add(p)
+        step += 1
+
+    for parity in (0, 1):
+        write(ev.filter(F.col("event_id") % 2 == parity))
+    far = F.expr("max(ts) + INTERVAL 30 DAY")
+    bounds = ev.select(far.alias("fts")).collect()[0]
+    for i in (0, 1):
+        fts = bounds["fts"] + _dt.timedelta(days=30 * i)
+        write(
+            spark.createDataFrame(
+                [
+                    (-1 - 10 * i, -1, "view", fts, 0.0),
+                    (-2 - 10 * i, -1, "purchase", fts, 0.0),
+                ],
+                schema=ev.schema,
+            )
+        )
+    _STREAM_SRC_CACHE[("join_matrix", sf_dir)] = src
+    return src
+
+
+def _stream_join_run(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared runner for the stream-stream join matrix: read both
+    sides of the shared source as watermarked streams, join with
+    ``how``, run append-mode availableNow into a fresh sink, read
+    back with the sentinel rows dropped. NOTE: no sentinel filter
+    inside the streaming plan — Catalyst pushes a deterministic row
+    filter BELOW the eventTimeWatermark node into the file scan,
+    which would drop the sentinels before they can advance the
+    watermark (observed: batches read 0 rows, no flush)."""
+    import tempfile
+
+    src = _stream_join_matrix_src(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix=f"q_stream_join_{how}_")
+    out, ck = f"{base}/out", f"{base}/ck"
+    ev_schema = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).schema
+
+    def read(kind: str, ts_alias: str, id_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                # fixture ts is TIMESTAMP_NTZ; watermarks require LTZ.
+                # Only the join window uses it (not the output), so
+                # the session-zone reinterpretation is side-effect-free
+                F.col("ts").cast("timestamp").alias(ts_alias),
+                "value",
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    window = (
+        (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    if how == "right_outer":
+        # the preserved side is the RIGHT stream: purchases keep
+        # user_id (the oracle emits p.user_id), views rename
+        views = read("view", "v_ts", "view_id").drop("value")
+        views = views.withColumnRenamed("user_id", "v_user")
+        purchases = read("purchase", "p_ts", "purchase_id")
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("user_id")) & window,
+            how,
+        ).select("view_id", "purchase_id", "user_id", "value")
+    else:
+        views = read("view", "v_ts", "view_id").drop("value")
+        purchases = read("purchase", "p_ts", "purchase_id")
+        purchases = purchases.withColumnRenamed("user_id", "p_user")
+        uid = (
+            F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id")
+            if how == "full_outer"
+            else F.col("user_id")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & window,
+            how,
+        ).select("view_id", "purchase_id", uid, "value")
+    # Stream-stream join state partitioning is FIXED per checkpoint at
+    # the session's shuffle-partition count; 32 state-store instances
+    # per side is pure micro-batch overhead at fixture scale (at real
+    # scale you'd size this UP, and it's a fresh-checkpoint decision,
+    # not a code change). Scope the setting to this query.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.schema(
+            "view_id long, purchase_id long, user_id long, value double"
+        )
+        .parquet(out)
+        .filter(F.col("user_id") >= 0)
+    )
+
+
 @query(
     "q_stream_dedup",
     f"SELECT user_id, event_id, value FROM {_EV}",
@@ -339,75 +489,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle per side on user_id into the symmetric
     hash-join state; watermark-bounded state; no driver collection.
+    Shares the matrix source + runner (_stream_join_matrix_src /
+    _stream_join_run) with the left/right/full entries.
     """
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="q_stream_join_")
-    out, ck = f"{base}/out", f"{base}/ck"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", "value"
-    )
-    src = _STREAM_SRC_CACHE.get(("join", sf_dir))
-    if src is None or not os.path.isdir(src):
-        import tempfile as _tf
-
-        src = _tf.mkdtemp(prefix="q_stream_join_src_") + "/src"
-        for parity in (0, 1):
-            ev.filter(F.col("event_id") % 2 == parity).coalesce(
-                1
-            ).write.mode("append").parquet(src)
-        _STREAM_SRC_CACHE[("join", sf_dir)] = src
-
-    def read(kind: str, ts_alias: str, id_alias: str) -> DataFrame:
-        return (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .filter(F.col("event_type") == kind)
-            .select(
-                F.col("event_id").alias(id_alias),
-                "user_id",
-                # fixture ts is TIMESTAMP_NTZ; watermarks require LTZ.
-                # Only the join window uses it (not the output), so the
-                # session-zone reinterpretation is side-effect-free.
-                F.col("ts").cast("timestamp").alias(ts_alias),
-                "value",
-            )
-            .withWatermark(ts_alias, "1 hour")
-        )
-
-    views = read("view", "v_ts", "view_id").drop("value")
-    purchases = read("purchase", "p_ts", "purchase_id").withColumnRenamed(
-        "user_id", "p_user"
-    )
-    joined = views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "inner",
-    ).select("view_id", "purchase_id", "user_id", "value")
-    # Stream-stream join state partitioning is FIXED per checkpoint at
-    # the session's shuffle-partition count; 32 state-store instances
-    # per side is pure micro-batch overhead at fixture scale (at real
-    # scale you'd size this UP, and it's a fresh-checkpoint decision,
-    # not a code change). Scope the setting to this query.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.schema(
-        "view_id long, purchase_id long, user_id long, value double"
-    ).parquet(out)
+    return _stream_join_run(spark, sf_dir, "inner")
 
 
 @query(
@@ -437,98 +522,9 @@ def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_stream_join (one shuffle per side into
     watermark-bounded symmetric hash state); the sentinel trick is a
     bounded-replay artifact, not a production need (live streams
-    advance watermarks forever).
+    advance watermarks forever). Shares the matrix source + runner.
     """
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="q_stream_join_left_")
-    out, ck = f"{base}/out", f"{base}/ck"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", "value"
-    )
-    src = _STREAM_SRC_CACHE.get(("join_left", sf_dir))
-    if src is None or not os.path.isdir(src):
-        import time as _time
-
-        src = tempfile.mkdtemp(prefix="q_stream_join_left_src_") + "/src"
-        for parity in (0, 1):
-            ev.filter(F.col("event_id") % 2 == parity).coalesce(
-                1
-            ).write.mode("append").parquet(src)
-            _time.sleep(1.1)  # distinct mtimes: files feed in this order
-        # TWO sentinel batches: the first advances the watermark past
-        # every real window (applied at its batch END), the second
-        # forces one more micro-batch so that watermark actually
-        # evicts-and-emits the remaining unmatched state.
-        far = F.expr("max(ts) + INTERVAL 30 DAY")
-        bounds = ev.select(far.alias("fts")).collect()[0]
-        import datetime as _dt
-
-        for i in (0, 1):
-            fts = bounds["fts"] + _dt.timedelta(days=30 * i)
-            sent = spark.createDataFrame(
-                [
-                    (-1 - 10 * i, -1, "view", fts, 0.0),
-                    (-2 - 10 * i, -1, "purchase", fts, 0.0),
-                ],
-                schema=ev.schema,
-            )
-            sent.coalesce(1).write.mode("append").parquet(src)
-            _time.sleep(1.1)
-        _STREAM_SRC_CACHE[("join_left", sf_dir)] = src
-
-    def read(kind: str, ts_alias: str, id_alias: str) -> DataFrame:
-        return (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .filter(F.col("event_type") == kind)
-            .select(
-                F.col("event_id").alias(id_alias),
-                "user_id",
-                F.col("ts").cast("timestamp").alias(ts_alias),
-                "value",
-            )
-            .withWatermark(ts_alias, "1 hour")
-        )
-
-    views = read("view", "v_ts", "view_id").drop("value")
-    purchases = read("purchase", "p_ts", "purchase_id").withColumnRenamed(
-        "user_id", "p_user"
-    )
-    # NOTE: no sentinel filter inside the streaming plan — Catalyst
-    # pushes a deterministic row filter BELOW the eventTimeWatermark
-    # node into the file scan, which would drop the sentinel rows
-    # before they can advance the watermark (observed: batches read 0
-    # rows, no flush). Sentinels flow through join and sink; the batch
-    # read-back below removes them.
-    joined = views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "left_outer",
-    ).select("view_id", "purchase_id", "user_id", "value")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        spark.read.schema(
-            "view_id long, purchase_id long, user_id long, value double"
-        )
-        .parquet(out)
-        .filter(F.col("user_id") >= 0)
-    )
+    return _stream_join_run(spark, sf_dir, "left_outer")
 
 
 @query(
@@ -648,90 +644,8 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. Same two-sentinel bounded-replay technique as the left
     entry (watermark past all real data, then one more batch to
     flush); append-mode availableNow equals the batch FULL JOIN
-    oracle exactly once per row."""
-    import datetime as _dt
-    import tempfile
-    import time as _time
-
-    base = tempfile.mkdtemp(prefix="q_stream_join_full_")
-    out, ck = f"{base}/out", f"{base}/ck"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", "value"
-    )
-    src = _STREAM_SRC_CACHE.get(("join_full", sf_dir))
-    if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="q_stream_join_full_src_") + "/src"
-        for parity in (0, 1):
-            ev.filter(F.col("event_id") % 2 == parity).coalesce(
-                1
-            ).write.mode("append").parquet(src)
-            _time.sleep(1.1)
-        far = F.expr("max(ts) + INTERVAL 30 DAY")
-        bounds = ev.select(far.alias("fts")).collect()[0]
-        for i in (0, 1):
-            fts = bounds["fts"] + _dt.timedelta(days=30 * i)
-            sent = spark.createDataFrame(
-                [
-                    (-1 - 10 * i, -1, "view", fts, 0.0),
-                    (-2 - 10 * i, -1, "purchase", fts, 0.0),
-                ],
-                schema=ev.schema,
-            )
-            sent.coalesce(1).write.mode("append").parquet(src)
-            _time.sleep(1.1)
-        _STREAM_SRC_CACHE[("join_full", sf_dir)] = src
-
-    def read(kind: str, ts_alias: str, id_alias: str) -> DataFrame:
-        return (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .filter(F.col("event_type") == kind)
-            .select(
-                F.col("event_id").alias(id_alias),
-                "user_id",
-                F.col("ts").cast("timestamp").alias(ts_alias),
-                "value",
-            )
-            .withWatermark(ts_alias, "1 hour")
-        )
-
-    views = read("view", "v_ts", "view_id").drop("value")
-    purchases = read("purchase", "p_ts", "purchase_id").withColumnRenamed(
-        "user_id", "p_user"
-    )
-    joined = views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "full_outer",
-    ).select(
-        "view_id",
-        "purchase_id",
-        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id"),
-        "value",
-    )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        spark.read.schema(
-            "view_id long, purchase_id long, user_id long, value double"
-        )
-        .parquet(out)
-        .filter(F.col("user_id") >= 0)
-    )
+    oracle exactly once per row. Shares the matrix source + runner."""
+    return _stream_join_run(spark, sf_dir, "full_outer")
 
 
 @query(
@@ -753,85 +667,9 @@ def q_stream_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left/full entries (the watermark must pass the join window
     before unmatched state evicts-and-emits); the preserved side is
     the RIGHT stream, so the eviction happens from the views' state
-    store. Oracle = batch RIGHT JOIN."""
-    import datetime as _dt
-    import tempfile
-    import time as _time
-
-    base = tempfile.mkdtemp(prefix="q_stream_join_right_")
-    out, ck = f"{base}/out", f"{base}/ck"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", "value"
-    )
-    src = _STREAM_SRC_CACHE.get(("join_right", sf_dir))
-    if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="q_stream_join_right_src_") + "/src"
-        for parity in (0, 1):
-            ev.filter(F.col("event_id") % 2 == parity).coalesce(
-                1
-            ).write.mode("append").parquet(src)
-            _time.sleep(1.1)
-        far = F.expr("max(ts) + INTERVAL 30 DAY")
-        bounds = ev.select(far.alias("fts")).collect()[0]
-        for i in (0, 1):
-            fts = bounds["fts"] + _dt.timedelta(days=30 * i)
-            sent = spark.createDataFrame(
-                [
-                    (-1 - 10 * i, -1, "view", fts, 0.0),
-                    (-2 - 10 * i, -1, "purchase", fts, 0.0),
-                ],
-                schema=ev.schema,
-            )
-            sent.coalesce(1).write.mode("append").parquet(src)
-            _time.sleep(1.1)
-        _STREAM_SRC_CACHE[("join_right", sf_dir)] = src
-
-    def read(kind: str, ts_alias: str, id_alias: str) -> DataFrame:
-        return (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .filter(F.col("event_type") == kind)
-            .select(
-                F.col("event_id").alias(id_alias),
-                "user_id",
-                F.col("ts").cast("timestamp").alias(ts_alias),
-                "value",
-            )
-            .withWatermark(ts_alias, "1 hour")
-        )
-
-    views = read("view", "v_ts", "view_id").drop("value").withColumnRenamed(
-        "user_id", "v_user"
-    )
-    purchases = read("purchase", "p_ts", "purchase_id")
-    joined = views.join(
-        purchases,
-        (F.col("v_user") == F.col("user_id"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "right_outer",
-    ).select("view_id", "purchase_id", "user_id", "value")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        spark.read.schema(
-            "view_id long, purchase_id long, user_id long, value double"
-        )
-        .parquet(out)
-        .filter(F.col("user_id") >= 0)
-    )
+    store. Oracle = batch RIGHT JOIN. Shares the matrix source +
+    runner."""
+    return _stream_join_run(spark, sf_dir, "right_outer")
 
 
 @query(
