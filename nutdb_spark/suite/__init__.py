@@ -41,56 +41,44 @@ for _m in _MODULES:
             raise
 
 # The driver grades the first 50 registry entries.
-# Round-12 window (drains the driver-grade backlog to zero, per the
-# r11 verdict): (1) the 5 entries that have never had a driver row,
-# (2) the 21 displaced r5 tail names declared in the r11 ledger,
-# (3) the entries NEW this round plus the 2 whose semantics/values
-# changed this round (q_pipeline_clean gained the classifier gate;
-# sql_agg_anova's sparkbar moved to integer-exact bucket math) — a
-# changed entry needs a fresh grade, its old green no longer covers
-# the shipped code; never-graded entries outrank re-grades, the r11
-# verdict's own priority. 5 + 21 + 24 = 50: session 3 added 11 more
-# never-graded entries (q_text_gopher, q_dedup_substring,
-# q_dedup_substring_incremental, q_sample_dsir, q_pack_shuffle,
-# q_bpe_train, q_pipeline_curate, sql_table_fn_gopher/_dsir/
-# _bpe_train/_substring), so the two flagship compositions
-# (q_bpe_train, q_pipeline_curate) take the final two slots the r6
-# re-grade pool held before — never-graded outranks re-grades. The
-# ROUND-13 window should lead with the 12 session-3 entries that
-# missed this window (the 9 above plus q_stream_curate,
-# sql_fn_tier18, sql_fn_tier19, q_dedup_substring_delete,
-# q_stream_dsir, q_traj_dtw_topk, q_text_sentiment,
-# sql_table_fn_sentiment, sql_fn_tier20), then resume the r6 re-grade pool in name order
-# (q_cte, q_dedup_connected_star, q_dedup_minhash_lsh, q_dedup_spans,
-# q_distinct_on, q_except, ...), then the r7 pool.
-# (The "N entries NEW" count in (3) is now 20: the session-2
-# additions q_pack_emit, q_text_token_ids, q_graph_pagerank,
-# sql_table_fn_pagerank, q_graph_triangles, sql_table_fn_triangles,
-# q_text_fim, q_pipeline_tokenize, q_join_interval, q_sample_ccnet,
-# q_dedup_rank_central, q_ddl_merge_into, q_ddl_merge_sync,
-# q_stream_merge_cdc joined the six session-1 ones.)
+# Round-13 window, exactly as the r12 verdict ordered: (1) the 18
+# entries that have NEVER had a driver row (the r12 session-3/wave
+# additions), (2) the 5 entries new THIS round (hashed-linear langid
+# + its CCNet composition + table fn, perceptual-hash image dedup,
+# the unsliced DTW table fn), (3) the 5 entries whose values or
+# machinery changed this round — q_pipeline_curate's Gopher gate now
+# uses the published thresholds (>90% bullet-line rejection,
+# per-symbol 0.1 ratios), and the stream-stream join matrix was
+# rewritten onto one shared source+runner (values identical by
+# oracle, but a changed entry needs a fresh grade; q_stream_join's
+# last grade was also the stalest, r6) — then (4) the r6 re-grade
+# pool in name order (q_stream_join excluded: already in (3)).
+# 18 + 5 + 5 + 22 = 50. The ROUND-14 window should resume the r6
+# pool at q_join_inner (q_join_inner, q_join_left_semi,
+# q_join_right, q_join_using, q_limit_offset, q_limit_with_ties,
+# q_multimodal_audio, q_not_in_list, ...), then the r7 pool.
 _PRIORITY = [
-    # --- (1) never driver-graded ---
-    "sql_fn_aliases", "sql_fn_javahash", "q_pack_efficiency",
-    "q_sim_topk_mips", "q_dedup_url_incremental",
-    # --- (2) displaced r5 tail (stalest grades) ---
-    "q_sim_cosine_blocked", "q_sim_topk", "q_sim_topk_ivf",
-    "q_sim_topk_lsh", "q_split_train_eval", "q_stream_enrich",
-    "q_text_fingerprint", "q_text_quality", "q_union_distinct",
-    "q_window_session", "q_window_tumbling", "sql_asof", "sql_q1",
-    "sql_setops", "sql_table_fn", "tpch_q10", "tpch_q16", "tpch_q20",
-    "tpch_q22", "tpch_q8", "tpch_q9",
-    # --- (3) new or value-changed in round 12 ---
-    "sql_fn_bpe", "q_text_bpe", "q_pack_bpe", "q_pack_emit",
-    "q_text_token_ids", "q_graph_pagerank", "sql_table_fn_pagerank",
-    "q_graph_triangles", "sql_table_fn_triangles", "q_text_fim",
-    "q_pipeline_tokenize", "q_join_interval", "q_sample_ccnet",
-    "q_dedup_rank_central", "q_ddl_merge_into", "q_ddl_merge_sync",
-    "q_stream_merge_cdc",
-    "q_text_classifier", "q_dedup_semantic", "q_stream_dedup_neardup",
-    "q_pipeline_clean", "sql_agg_anova",
-    # --- session-3 flagships (never-graded, outrank re-grades) ---
-    "q_bpe_train", "q_pipeline_curate",
+    # --- (1) never driver-graded (r12 backlog, named in the verdict) ---
+    "q_text_gopher", "q_dedup_substring", "q_dedup_substring_incremental",
+    "q_dedup_substring_delete", "q_sample_dsir", "q_pack_shuffle",
+    "q_text_sentiment", "q_stream_curate", "q_stream_dsir",
+    "q_traj_dtw_topk", "sql_table_fn_gopher", "sql_table_fn_dsir",
+    "sql_table_fn_bpe_train", "sql_table_fn_substring",
+    "sql_table_fn_sentiment", "sql_fn_tier18", "sql_fn_tier19",
+    "sql_fn_tier20",
+    # --- (2) new in round 13 ---
+    "q_text_langid_clf", "q_sample_ccnet_langid", "sql_table_fn_langid",
+    "q_dedup_image", "sql_table_fn_dtw",
+    # --- (3) value/machinery changed in round 13 ---
+    "q_pipeline_curate", "q_stream_join", "q_stream_join_left",
+    "q_stream_join_right", "q_stream_join_full",
+    # --- (4) r6 re-grade pool, name order ---
+    "q_cte", "q_dedup_connected_star", "q_dedup_minhash_lsh",
+    "q_dedup_spans", "q_distinct_on", "q_except", "q_exists",
+    "q_expr_arith", "q_expr_bitwise", "q_expr_case", "q_expr_compare",
+    "q_expr_logic", "q_fn_dates", "q_fn_datetime", "q_fn_minmax",
+    "q_fn_quantile", "q_fn_quantile_approx", "q_having", "q_in_list",
+    "q_in_subquery", "q_intersect", "q_join_full",
 ]
 
 
