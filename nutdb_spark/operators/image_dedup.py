@@ -214,3 +214,82 @@ WITH h AS ({hashes_sql})
 SELECT l.doc_id AS a, r.doc_id AS b, CAST({dist} AS BIGINT) AS dist
 FROM h l JOIN h r ON l.doc_id < r.doc_id
 WHERE {dist} <= {max_hamming}"""
+
+
+# --- [EXT] audio crossing: the same band machinery over PCM samples ----------
+
+
+def fake_pcm_pixels(data: bytes) -> list[int]:
+    """The audio fake codec's sample stream (the audio_stats
+    convention: consecutive byte PAIRS as little-endian unsigned
+    16-bit PCM), resampled to 64 evenly-spaced samples — the same
+    evenly-spaced rule as :func:`fake_pixels`, over samples instead
+    of bytes. ahash_pack is value-scale-agnostic (it compares against
+    the integer mean), so the identical packing and band join apply."""
+    n = len(data) // 2
+    if n == 0:
+        return [0] * AHASH_PIXELS
+    smp = [
+        data[2 * k] + 256 * data[2 * k + 1] for k in range(n)
+    ]
+    return [smp[(i * n) // AHASH_PIXELS] for i in range(AHASH_PIXELS)]
+
+
+def audio_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload acoustic fingerprint: (doc_id, h0..h3) — the
+    average-hash of the fake-PCM energy profile. A real audio codec
+    (soundfile) slots into the decode seam and feeds the same
+    packing; the dedup plan (band join + Hamming verify,
+    :func:`dedup_image_pairs`) is shared unchanged — the fingerprint
+    family is one machine with per-modality extractors."""
+    from nutdb_spark.operators.multimodal import decode_media
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                raw = decode_media(bytes(b), "audio/pcm16", fake=True)
+                rows.append((int(i), *ahash_pack(fake_pcm_pixels(raw))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "h0", "h1", "h2", "h3"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, AHASH_SCHEMA)
+
+
+def oracle_audio_ahash(
+    *,
+    source: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replay of the fake-PCM aHash over ASCII text (byte 2k ==
+    codepoint 2k+1 in 1-indexed SQL): a full SELECT yielding
+    (doc_id, h0..h3)."""
+    smp = (
+        f"list_transform(range(1, length({text_expr}) // 2 + 1), "
+        f"k -> CAST(unicode(substring({text_expr}, 2*k - 1, 1)) "
+        f"+ 256 * unicode(substring({text_expr}, 2*k, 1)) AS BIGINT))"
+    )
+    px = (
+        f"CASE WHEN len(smp) = 0 THEN "
+        f"list_transform(range(0, {AHASH_PIXELS}), i -> CAST(0 AS BIGINT)) "
+        f"ELSE list_transform(range(0, {AHASH_PIXELS}), "
+        f"i -> smp[1 + (i * len(smp)) // {AHASH_PIXELS}]) END"
+    )
+    band_cols = ", ".join(
+        "CAST(coalesce(list_sum(list_transform("
+        f"range({j * AHASH_BAND_BITS}, {(j + 1) * AHASH_BAND_BITS}), "
+        f"i -> CASE WHEN px[i + 1] > avg THEN 1 << (i % {AHASH_BAND_BITS}) "
+        "ELSE 0 END)), 0) AS BIGINT) AS h" + str(j)
+        for j in range(AHASH_BANDS)
+    )
+    return f"""
+SELECT {id_expr} AS doc_id, {band_cols}
+FROM (SELECT {id_expr}, px, list_sum(px) // {AHASH_PIXELS} AS avg
+      FROM (SELECT {id_expr}, {px} AS px
+            FROM (SELECT {id_expr}, {smp} AS smp
+                  FROM {source} WHERE {where})))"""

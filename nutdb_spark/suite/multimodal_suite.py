@@ -181,3 +181,52 @@ def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.select("doc_id", "text").unionByName(clones)
     h = image_ahash(with_binary_payload(corpus))
     return dedup_image_pairs(h).orderBy("a", "b")
+
+
+def _audio_dedup_oracle() -> str:
+    from nutdb_spark.operators.image_dedup import (
+        oracle_audio_ahash,
+        oracle_dedup_image_pairs,
+    )
+
+    corpus = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 200000 AS doc_id,
+       substr(text,1,60) || 'qqqqqqqqqq' || substr(text,71) AS text
+FROM documents WHERE doc_id < 150 AND length(text) >= 128
+"""
+    h = oracle_audio_ahash(source=f"({corpus})")
+    return oracle_dedup_image_pairs(h) + "\nORDER BY a, b"
+
+
+@query("q_dedup_audio", _audio_dedup_oracle())
+def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Acoustic-fingerprint dedup — the second modality through
+    the shared fingerprint machine (operators/image_dedup.py): the
+    fake PCM16 decode (q_multimodal_audio's byte-pair convention)
+    resamples each clip's sample stream to the 64-slot average-hash,
+    and the SAME 4×16-bit band join + exact Hamming ≤ 3 verify finds
+    re-encoded twins (same-length 10-char splices ≈ a short patched
+    region of audio). Brute-force all-pairs oracle proves band
+    completeness at the radius; one extractor per modality, one dedup
+    plan."""
+    from nutdb_spark.operators.image_dedup import (
+        audio_ahash,
+        dedup_image_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    clones = d.filter(
+        (F.col("doc_id") < 150) & (F.length("text") >= 128)
+    ).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit("qqqqqqqqqq"),
+            F.expr("substring(text, 71)"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(clones)
+    h = audio_ahash(with_binary_payload(corpus))
+    return dedup_image_pairs(h).orderBy("a", "b")

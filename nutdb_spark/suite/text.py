@@ -1835,3 +1835,49 @@ def q_sample_ccnet_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred", "bucket", "rare_rate")
         .orderBy("doc_id")
     )
+
+
+def _temp_langid_oracle() -> str:
+    from nutdb_spark.operators.langid_clf import oracle_langid_scores
+    from nutdb_spark.operators.sampling import oracle_hash_bucket
+
+    langid = oracle_langid_scores()
+    return f"""
+    WITH lid AS ({langid}),
+    c AS (SELECT lang_pred, COUNT(*) AS cnt FROM lid GROUP BY lang_pred),
+    m AS (SELECT MIN(cnt) AS cmin FROM c),
+    r AS (SELECT lang_pred,
+                 CAST(FLOOR(1000000 * SQRT(CAST(cmin AS DOUBLE)
+                                           / CAST(cnt AS DOUBLE)))
+                      AS BIGINT) AS thr
+          FROM c, m)
+    SELECT l.doc_id, l.lang_pred
+    FROM lid l JOIN r USING (lang_pred)
+    WHERE {oracle_hash_bucket('l.doc_id', salt='templang')} < r.thr
+    ORDER BY l.doc_id
+    """
+
+
+@query("q_sample_temperature_langid", _temp_langid_oracle())
+def q_sample_temperature_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Temperature-based LANGUAGE rebalancing on the PREDICTED
+    language (q_sample_temperature mixes by the source column; the
+    multilingual pipeline mixes by language, and at ingest no label
+    exists — the classifier's argmax is the domain key). α = 0.5
+    per-language keep rates sqrt(c_min/c_lang) over langid_clf's
+    predictions; the per-language count table broadcasts, membership
+    stays the pure hash-threshold projection. The langid → mixing
+    composition is the second half of the verdict's task-3 'composed
+    into temperature/ccnet language keys'."""
+    from nutdb_spark.operators.langid_clf import langid_scores
+    from nutdb_spark.operators.sampling import sample_temperature
+
+    d = load_table(spark, sf_dir, "documents")
+    lid = langid_scores(d, "doc_id", "text").select("doc_id", "lang_pred")
+    return (
+        sample_temperature(
+            lid, F.col("doc_id"), F.col("lang_pred"), salt="templang"
+        )
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")
+    )

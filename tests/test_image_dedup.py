@@ -131,3 +131,44 @@ def test_real_codec_branch():
     assert px[0] == g.getpixel((0, 0))
     bands = ahash_pack(px)
     assert all(0 <= b < (1 << 16) for b in bands)
+
+
+# --- audio crossing (shared band machinery) -----------------------------------
+
+
+def test_audio_pcm_pixels_replay():
+    from nutdb_spark.operators.image_dedup import fake_pcm_pixels
+
+    assert fake_pcm_pixels(b"") == [0] * AHASH_PIXELS
+    assert fake_pcm_pixels(b"\x01") == [0] * AHASH_PIXELS  # odd byte trunc
+    data = bytes(range(200))
+    px = fake_pcm_pixels(data)
+    smp = [data[2 * k] + 256 * data[2 * k + 1] for k in range(100)]
+    assert px == [smp[(i * 100) // 64] for i in range(64)]
+    assert all(0 <= p <= 65535 for p in px)
+
+
+def test_audio_pairs_match_bruteforce(spark):
+    from nutdb_spark.operators.image_dedup import audio_ahash
+
+    rng = random.Random(99)
+    base = "".join(rng.choice("abcdef gh") for _ in range(160))
+    texts = {0: base, 1: base[:80] + "z" + base[81:], 2: base[::-1]}
+    df = with_binary_payload(
+        spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+    )
+    h = audio_ahash(df)
+    rows = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+            for r in h.collect()}
+    want = set()
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = sum(bin(x ^ y).count("1") for x, y in zip(rows[a], rows[b]))
+            if d <= AHASH_MAX_HAMMING:
+                want.add((a, b, d))
+    got = {(r["a"], r["b"], r["dist"])
+           for r in dedup_image_pairs(h).collect()}
+    assert got == want
