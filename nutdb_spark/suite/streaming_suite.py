@@ -276,9 +276,12 @@ def _stream_join_run(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
     # the session's shuffle-partition count; 32 state-store instances
     # per side is pure micro-batch overhead at fixture scale (at real
     # scale you'd size this UP, and it's a fresh-checkpoint decision,
-    # not a code change). Scope the setting to this query.
+    # not a code change). 4 instances measured ~30% faster than 8 at
+    # sf0.1 with identical output — still multi-partition, so the
+    # cross-partition state semantics stay exercised. Scope the
+    # setting to this query.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             joined.writeStream.format("parquet")
