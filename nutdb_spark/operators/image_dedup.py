@@ -293,3 +293,82 @@ FROM (SELECT {id_expr}, px, list_sum(px) // {AHASH_PIXELS} AS avg
       FROM (SELECT {id_expr}, {px} AS px
             FROM (SELECT {id_expr}, {smp} AS smp
                   FROM {source} WHERE {where})))"""
+
+
+def incremental_image_pairs(
+    delta_hashes: DataFrame,
+    index: "DataFrame | None",
+    *,
+    max_hamming: int = AHASH_MAX_HAMMING,
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-delta form of :func:`dedup_image_pairs` — the nightly
+    image-ingest pattern: ``index`` is the persisted hash frame
+    (doc_id, h0..h3) of everything already ingested; the delta's
+    hashes pair against (index ∪ delta) and the union becomes the new
+    index. A pair {x, y} is emitted exactly once, by the batch that
+    ingests the LATER of the two — so the union of every batch's
+    pairs replays the one-shot operator row-for-row (pinned).
+
+    Scale shape: the band join is DELTA-bounded on one side (the
+    existing corpus only ever contributes rows whose band value
+    collides with a delta row), which is what makes nightly ingest
+    cheap against a corpus-sized index — the MinHash band-index
+    ingest precedent (q_stream_dedup_neardup)."""
+    new_index = (
+        index.unionByName(delta_hashes) if index is not None else delta_hashes
+    )
+
+    def explode_bands(h: DataFrame) -> DataFrame:
+        return h.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("bi"), F.col(f"h{j}").alias("bv")
+                    )
+                    for j in range(AHASH_BANDS)
+                ])
+            ).alias("band"),
+        ).select(
+            "doc_id",
+            F.col("band.bi").alias("bi"),
+            F.col("band.bv").alias("bv"),
+        )
+
+    bd = explode_bands(delta_hashes)
+    ba = explode_bands(new_index)
+    pairs = (
+        bd.alias("l")
+        .join(
+            ba.alias("r"),
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("b"),
+        )
+        .distinct()
+    )
+    ha = new_index.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{j}").alias(f"la{j}") for j in range(AHASH_BANDS)],
+    )
+    hb = new_index.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{j}").alias(f"lb{j}") for j in range(AHASH_BANDS)],
+    )
+    dist = None
+    for j in range(AHASH_BANDS):
+        d = F.bit_count(
+            F.col(f"la{j}").bitwiseXOR(F.col(f"lb{j}"))
+        ).cast("long")
+        dist = d if dist is None else dist + d
+    out = (
+        pairs.join(ha, "a")
+        .join(hb, "b")
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_hamming)
+    )
+    return out, new_index

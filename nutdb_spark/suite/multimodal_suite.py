@@ -230,3 +230,48 @@ def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.select("doc_id", "text").unionByName(clones)
     h = audio_ahash(with_binary_payload(corpus))
     return dedup_image_pairs(h).orderBy("a", "b")
+
+
+@query("q_dedup_image_incremental", _image_dedup_oracle())
+def q_dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Nightly-ingest form of the perceptual-hash dedup: batch 1
+    indexes the first 300 documents' hashes; batch 2 ingests the rest
+    plus the re-encoded twins against the PERSISTED index
+    (localCheckpoint — the persisted-state convention). A pair is
+    emitted exactly once, by the batch ingesting its later member, so
+    the union of the batches' pairs must equal q_dedup_image's
+    one-shot output — the oracle IS the one-shot brute force. The
+    band join is delta-bounded on one side: the existing corpus only
+    contributes colliding rows, the property that keeps nightly image
+    ingest cheap against a corpus-sized index."""
+    from nutdb_spark.operators.image_dedup import (
+        image_ahash,
+        incremental_image_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    clones = d.filter(
+        (F.col("doc_id") < 150) & (F.length("text") >= 64)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit("zzzzzzzzzz"),
+            F.expr("substring(text, 31)"),
+        ).alias("text"),
+    )
+    b1 = d.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    b2 = (
+        d.filter(F.col("doc_id") >= 300)
+        .select("doc_id", "text")
+        .unionByName(clones)
+    )
+    p1, idx = incremental_image_pairs(
+        image_ahash(with_binary_payload(b1)), None
+    )
+    p1 = p1.localCheckpoint()
+    idx = idx.localCheckpoint()
+    p2, _ = incremental_image_pairs(
+        image_ahash(with_binary_payload(b2)), idx
+    )
+    return p1.unionByName(p2).orderBy("a", "b")

@@ -172,3 +172,41 @@ def test_audio_pairs_match_bruteforce(spark):
     got = {(r["a"], r["b"], r["dist"])
            for r in dedup_image_pairs(h).collect()}
     assert got == want
+
+
+def test_incremental_replay_equals_one_shot(spark):
+    from nutdb_spark.operators.image_dedup import (
+        audio_ahash,  # noqa: F401 — keep import surface warm
+        image_ahash,
+        incremental_image_pairs,
+    )
+
+    rng = random.Random(5)
+    texts = {}
+    base = "".join(rng.choice("abcdefg ") for _ in range(128))
+    for i in range(20):
+        if i % 4 == 0:
+            t = base[: 6 * i % 90] + "q" + base[6 * i % 90 + 1 :]
+        else:
+            t = "".join(rng.choice("xyzw ") for _ in range(100))
+        texts[i] = t
+
+    def hashes(ids):
+        df = with_binary_payload(
+            spark.createDataFrame(
+                [(i, texts[i]) for i in ids], "doc_id long, text string"
+            )
+        )
+        return image_ahash(df)
+
+    one_shot, _ = incremental_image_pairs(hashes(range(20)), None)
+    want = sorted(tuple(r) for r in one_shot.collect())
+    got = []
+    idx = None
+    for batch in (range(0, 7), range(7, 15), range(15, 20)):
+        p, idx = incremental_image_pairs(hashes(batch), idx)
+        got.extend(tuple(r) for r in p.collect())
+        idx = idx.localCheckpoint()
+    assert sorted(got) == want
+    # no pair emitted twice across batches
+    assert len(got) == len({(a, b) for a, b, _ in got})
