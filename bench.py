@@ -57,6 +57,22 @@ def run_one(spark, fn, sf_dir: str, prev: float | None = None) -> float:
     return min(runs)
 
 
+def _entry_hygiene(spark) -> None:
+    """Unload runtime debris between entries so each number measures
+    the QUERY, not the 370 entries that ran before it in the same JVM:
+    terminated streaming queries stay tracked by the session, every
+    past streaming entry's state-store providers keep maintenance
+    threads alive, and cached relations pin old temp-dir file indexes.
+    All three rebuild on demand, so this changes no entry's plan —
+    only what the next entry's wall-clock accidentally includes."""
+    try:
+        spark.streams.resetTerminated()
+        spark.catalog.clearCache()
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:  # noqa: BLE001 — hygiene must never fail a bench
+        pass
+
+
 def _queries_from_tail(tail: str) -> dict[str, float]:
     """Recover the per-query map from a driver artifact's truncated
     stdout ``tail``. The driver records {n, rc, cpus, sf, tail,
@@ -179,6 +195,7 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             print(f"bench error {name}: {ex}", file=sys.stderr)
             results[name] = -1.0
+        _entry_hygiene(spark)
     total = round(sum(v for v in results.values() if v >= 0), 4)
     if prev:
         _write_delta_table(results, prev)

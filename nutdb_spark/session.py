@@ -46,8 +46,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # local[] has no separate executors; keep driver roomy for tests
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[] has no separate executors — the driver heap IS the
+        # cluster. 20g (box has 128 GiB) keeps a full-suite bench pass
+        # out of GC pressure; at r13 close the 375-entry run showed
+        # late-suite stateful-stream entries 3-5x their isolated cost
+        # under the old 8g heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions is not None:
