@@ -25,6 +25,7 @@ _MODULES = (
     "nutdb_spark.suite.streaming_suite",
     "nutdb_spark.suite.multimodal_suite",
     "nutdb_spark.suite.analytics_suite",
+    "nutdb_spark.suite.sketch_suite",
     "nutdb_spark.suite.sql_suite",
     "nutdb_spark.suite.ddl_suite",
     "nutdb_spark.suite.pipeline",
