@@ -1881,3 +1881,98 @@ def q_sample_temperature_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred")
         .orderBy("doc_id")
     )
+
+
+# --- [EXT] round-13: Group-DRO / DoReMi domain-mixture reweighting -----------
+
+
+def _doremi_oracle() -> str:
+    from nutdb_spark.operators.mixing import oracle_dro
+    from nutdb_spark.operators.sampling import oracle_hash_bucket
+
+    dro = oracle_dro("lang", "text")
+    return f"""
+    WITH o AS ({dro}),
+    tot AS (SELECT SUM(w_final) AS tw, SUM(n_docs) AS nd FROM o),
+    mix AS (
+      SELECT domain, n_docs, loss, w_final,
+             CAST(FLOOR(CAST(1000000 * w_final AS DOUBLE) / tot.tw)
+                  AS BIGINT) AS mix_ppm
+      FROM o, tot),
+    q AS (
+      SELECT mix.*,
+             LEAST(1000000,
+               CAST(FLOOR(CAST(1000000 *
+                 CAST(FLOOR(CAST(tot.nd * mix_ppm AS DOUBLE) / 1000000)
+                      AS BIGINT) AS DOUBLE) / n_docs) AS BIGINT)) AS thr
+      FROM mix, tot),
+    k AS (
+      SELECT d.lang AS domain, CAST(COUNT(*) AS BIGINT) AS kept
+      FROM documents d JOIN q ON d.lang = q.domain
+      WHERE {oracle_hash_bucket('d.doc_id', salt='doremi')} < q.thr
+      GROUP BY d.lang)
+    SELECT q.domain, q.n_docs, q.loss, q.w_final, q.mix_ppm, q.thr,
+           COALESCE(k.kept, 0) AS kept
+    FROM q LEFT JOIN k USING (domain)
+    ORDER BY q.domain"""
+
+
+@query("q_mix_doremi", _doremi_oracle())
+def q_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DoReMi / Group-DRO domain-mixture reweighting
+    (operators/mixing.py): per-language losses from the quality
+    classifier, eight quantized multiplicative-weights rounds pushing
+    weight toward the hardest languages, then the mixture applied as
+    deterministic hash-threshold sampling (the temperature-mixing
+    shape). Emits the whole decision per domain: loss, final weight,
+    mixture ppm, keep threshold, and the docs actually kept. The
+    corpus-sized work is ONE per-domain aggregation; the MW loop runs
+    on the k collected domain rows (bounded collect — the
+    bpe_train/k-means precedent) and the oracle replays it unrolled.
+    """
+    from nutdb_spark.operators.mixing import (
+        DRO_W0,
+        _floordiv,
+        domain_losses,
+        dro_mixture,
+    )
+    from nutdb_spark.operators.sampling import GRAIN, hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        (r["domain"], r["n_docs"], r["loss"])
+        for r in domain_losses(d, F.col("lang"), F.col("text")).collect()
+    )
+    w = dict(dro_mixture(rows))
+    tw = sum(w.values())
+    nd = sum(n for _, n, _ in rows)
+    summary = []
+    for domain, n_docs, loss in rows:
+        mix_ppm = _floordiv(1_000_000 * w[domain], tw)
+        quota = _floordiv(nd * mix_ppm, 1_000_000)
+        thr = min(GRAIN, _floordiv(GRAIN * quota, n_docs))
+        summary.append(
+            (domain, n_docs, loss, w[domain], mix_ppm, thr)
+        )
+    sdf = spark.createDataFrame(
+        summary,
+        "domain string, n_docs long, loss long, w_final long, "
+        "mix_ppm long, thr long",
+    )
+    kept = (
+        d.join(
+            F.broadcast(sdf.select("domain", "thr")),
+            d["lang"] == sdf["domain"],
+        )
+        .filter(hash_bucket(F.col("doc_id"), salt="doremi") < F.col("thr"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return (
+        sdf.join(kept, "domain", "left")
+        .select(
+            "domain", "n_docs", "loss", "w_final", "mix_ppm", "thr",
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("domain")
+    )

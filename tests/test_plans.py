@@ -119,7 +119,11 @@ def test_lowerings_are_lazy(spark):
                       "sql_table_fn_triangles",
                       # training rounds collect one argmax row each
                       # by design (k-means precedent)
-                      "q_bpe_train", "sql_table_fn_bpe_train")
+                      "q_bpe_train", "sql_table_fn_bpe_train",
+                      # MW loop runs on the k collected domain rows
+                      # by design (bounded collect, bpe_train
+                      # precedent)
+                      "q_mix_doremi")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
