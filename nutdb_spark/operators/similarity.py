@@ -1309,3 +1309,147 @@ def topk_mips(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot", "rank")
     )
+
+
+# --- [EXT] round-13: int8 scalar quantization (SQ8) --------------------------
+#
+# The remaining rung of the compression ladder (PQ/ADC above, exact
+# GEMM below): per-dimension affine quantization to one byte. Codes
+# are 64 ints per vector (4x smaller than float32, 16x smaller than
+# the scaled-int64 form), the candidate scan is a pure integer dot —
+# at cluster scale a byte-GEMM at memory bandwidth — and the exact
+# scaled-integer rescore touches only the survivors. Quantization is
+# integer-exact end to end: stats and codes are derived from the
+# SCALED vectors, so both engines floor identical rationals
+# (numerator <= 4.7e11 < 2^53, quotient <= 255, boundary gap >= 1/range
+# >> 255*2^-53 — the floor cannot be crossed).
+
+
+def sq8_stats(base: DataFrame, *, dim: int = 64) -> DataFrame:
+    """Per-dimension min/max over the SCALED corpus, as ONE row of two
+    aligned arrays (mins, maxs) — broadcast-joinable onto any frame.
+    Distributed: posexplode + groupBy(pos) is a map-side-partial
+    min/max (dim rows out), the array rebuild is a dim-row sort."""
+    per = (
+        base.select(F.posexplode("__v").alias("__i", "__x"))
+        .groupBy("__i")
+        .agg(F.min("__x").alias("__mn"), F.max("__x").alias("__mx"))
+    )
+    return per.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("__i", F.col("__mn").alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("__mins"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("__i", F.col("__mx").alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("__maxs"),
+    )
+
+
+def sq8_codes(v: Column, mins: Column, maxs: Column) -> Column:
+    """Centered int8 codes: ⌊(s_i − min_i)·255 / max(1, max_i − min_i)⌋
+    − 128, elementwise. Degenerate dimensions (range 0) code to −128
+    everywhere."""
+    rng = F.zip_with(
+        maxs, mins, lambda a, b: F.greatest(F.lit(1).cast("long"), a - b)
+    )
+    shifted = F.zip_with(v, mins, lambda x, m: (x - m) * 255)
+    return F.zip_with(
+        shifted,
+        rng,
+        lambda n, r: F.floor(n.cast("double") / r).cast("long") - 128,
+    )
+
+
+def adc_dot(a: Column, b: Column) -> Column:
+    """Integer dot of two code arrays — the SQ8 candidate score."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    candidates: int = 32,
+) -> DataFrame:
+    """SQ8 two-stage top-k: rank the corpus per query by the integer
+    code dot (the compressed scan), keep ``candidates`` survivors,
+    exact-rescore those with the full scaled cosine, emit top ``k``.
+    Everything is JVM-side expression work (zip_with folds) — zero
+    Python nodes; at cluster scale the code scan is the byte-GEMM
+    analogue of `_block_gemm_pairs`. Output (query_id, neighbor_id,
+    rank), self-matches excluded."""
+    c = _with_vec(corpus, id_col, vec_col)
+    stats = sq8_stats(c)
+    cc = c.crossJoin(F.broadcast(stats)).select(
+        "__id",
+        "__v",
+        "__n2",
+        sq8_codes(F.col("__v"), F.col("__mins"), F.col("__maxs")).alias(
+            "__c"
+        ),
+    )
+    q = cc.join(
+        queries.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+    ).select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("__n2").alias("__qn2"),
+        F.col("__c").alias("__qc"),
+    )
+    pairs = cc.crossJoin(F.broadcast(q)).filter(
+        F.col("__id") != F.col("__qid")
+    )
+    wc = Window.partitionBy("__qid").orderBy(
+        adc_dot(F.col("__qc"), F.col("__c")).desc(), F.col("__id")
+    )
+    surv = pairs.withColumn("__adc_rk", F.row_number().over(wc)).filter(
+        F.col("__adc_rk") <= candidates
+    )
+    cos = cosine_from_scaled(
+        dot_scaled(F.col("__qv"), F.col("__v")),
+        F.col("__qn2"),
+        F.col("__n2"),
+    )
+    wr = Window.partitionBy("__qid").orderBy(cos.desc(), F.col("__id"))
+    return (
+        surv.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            "rank",
+        )
+    )
+
+
+def oracle_sq8_codes(s: str, *, dim: int = 64) -> str:
+    """DuckDB twin of sq8_codes over a scaled list column ``s``; needs
+    a 1-row CTE ``st(mins, maxs)`` in scope (oracle_sq8_stats)."""
+    return (
+        f"list_transform(range(1, {dim} + 1), i -> "
+        f"CAST(FLOOR(CAST(({s}[i] - st.mins[i]) * 255 AS DOUBLE) "
+        f"/ GREATEST(1, st.maxs[i] - st.mins[i])) AS BIGINT) - 128)"
+    )
+
+
+def oracle_sq8_stats(scaled_table: str, *, dim: int = 64) -> str:
+    """1-row (mins, maxs) aligned arrays over scaled CTE
+    ``{scaled_table}(vec_id, s, ...)``."""
+    return f"""
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+  FROM (SELECT i, MIN(s[i]) AS mn, MAX(s[i]) AS mx
+        FROM {scaled_table}, generate_series(1, {dim}) t(i)
+        GROUP BY i)"""

@@ -1652,3 +1652,64 @@ def q_traj_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=_DTW_W,
         probes=1,
     ).orderBy("query_id", "rank")
+
+
+# --- [EXT] round-13: SQ8 scalar-quantized ANN ---------------------------------
+
+
+def _sq8_oracle() -> str:
+    from nutdb_spark.operators.similarity import (
+        oracle_sq8_codes,
+        oracle_sq8_stats,
+    )
+
+    adc = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> q.code[i] * c2.code[i])) AS BIGINT)"
+    )
+    return (
+        _SCALED_CTE
+        + f""",
+st AS MATERIALIZED ({oracle_sq8_stats('n')}),
+c AS MATERIALIZED (
+  SELECT vec_id, s, n2, {oracle_sq8_codes('s')} AS code FROM n, st),
+surv AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+           q.s AS qs, q.n2 AS qn2, c2.s AS cs, c2.n2 AS cn2,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {adc} DESC, c2.vec_id) AS adc_rk
+    FROM c q JOIN c c2 ON q.vec_id <> c2.vec_id
+    WHERE q.vec_id < 10)
+  WHERE adc_rk <= 32)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {oracle_cosine(oracle_dot_scaled('qs', 'cs'), 'qn2', 'cn2')} DESC,
+                    neighbor_id) AS rank
+  FROM surv) t
+WHERE rank <= 5
+"""
+    )
+
+
+@query("q_sim_topk_sq8", _sq8_oracle())
+def q_sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SQ8 scalar-quantized ANN — the missing rung of the
+    compression ladder (exact GEMM / sign-LSH / IVF / PQ-ADC / SQ8):
+    per-dimension affine int8 codes (64 bytes per vector, 16x smaller
+    than the scaled-int64 form), candidate scan by pure integer code
+    dot, exact scaled-cosine rescore of the 32 survivors. Quantization
+    derives from the SCALED integers so both engines floor identical
+    rationals — the oracle is bit-exact, no tolerance. All JVM-side
+    zip_with folds, zero Python nodes; at cluster scale the code scan
+    is a byte-GEMM and the stats frame is one broadcast row. Recall vs
+    the exact baseline is pinned in tests."""
+    from nutdb_spark.operators.similarity import topk_sq8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_sq8(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding"
+    ).orderBy("query_id", "rank")
