@@ -944,3 +944,135 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --- [EXT] round-13: Z-order layout clustering --------------------------------
+
+_Z_BITS = 8  # per-dimension bucket width
+_Z_FILES = 64
+# boxes in BUCKET space [0, 256): each linear layout should win only
+# its own dimension; z-order prunes on both
+_Z_BOXES = (
+    ("cust_narrow", (0, 31), (0, 255)),
+    ("date_narrow", (0, 255), (0, 31)),
+    ("both_narrow", (0, 63), (0, 63)),
+)
+
+
+def _zorder_oracle() -> str:
+    from nutdb_spark.operators.layout import (
+        oracle_dim_bucket,
+        oracle_layout_prune,
+        oracle_zorder_key,
+    )
+
+    xb = oracle_dim_bucket("o_custkey", "st.minx", "st.maxx", bits=_Z_BITS)
+    yb = oracle_dim_bucket("dy", "st.miny", "st.maxy", bits=_Z_BITS)
+    rows = f"""
+    SELECT {xb} AS xb, {yb} AS yb
+    FROM (SELECT o_custkey,
+                 date_diff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE)) AS dy
+          FROM orders) o, st"""
+    selects = []
+    for box_name, bx, by in _Z_BOXES:
+        for layout, key, kb in (
+            ("linear_cust", "xb", _Z_BITS),
+            ("linear_date", "yb", _Z_BITS),
+            ("zorder", oracle_zorder_key("xb", "yb", bits=_Z_BITS),
+             2 * _Z_BITS),
+        ):
+            selects.append(
+                oracle_layout_prune(
+                    "SELECT * FROM rows_m",
+                    key,
+                    layout=layout,
+                    key_bits=kb,
+                    n_files=_Z_FILES,
+                    box_x=bx,
+                    box_y=by,
+                    box_name=box_name,
+                )
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+    WITH st AS MATERIALIZED (
+      SELECT MIN(o_custkey) AS minx, MAX(o_custkey) AS maxx,
+             MIN(date_diff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE))) AS miny,
+             MAX(date_diff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE))) AS maxy
+      FROM orders),
+    rows_m AS MATERIALIZED ({rows})
+    SELECT * FROM ({union})
+    ORDER BY layout, box"""
+
+
+@query("q_layout_zorder", _zorder_oracle())
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Z-order layout clustering, measured (operators/layout.py):
+    bucketize orders on (customer, order day), assign rows to 64
+    equal-key-range 'files' under three sort layouts — customer-sorted,
+    date-sorted, Morton-interleaved — and count the files (and rows) a
+    min/max-stats-pruned scan must read for three box predicates. Each
+    linear layout prunes only its own dimension (its cross dimension
+    reads ~all files); z-order prunes on BOTH — the lakehouse
+    OPTIMIZE ZORDER BY claim as a replayable integer computation. At
+    scale the file assignment is exactly a repartitionByRange(zkey) +
+    sorted write, and the per-file min/max table IS the skipping
+    index."""
+    from nutdb_spark.operators.layout import (
+        dim_bucket,
+        layout_prune_stats,
+        zorder_key,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    dy = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("minx"),
+        F.max("o_custkey").alias("maxx"),
+        F.min(dy).alias("miny"),
+        F.max(dy).alias("maxy"),
+    )
+    rows = (
+        o.select(F.col("o_custkey").alias("__x"), dy.alias("__y"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            dim_bucket(
+                F.col("__x"), F.col("minx"), F.col("maxx"), bits=_Z_BITS
+            ).alias("xb"),
+            dim_bucket(
+                F.col("__y"), F.col("miny"), F.col("maxy"), bits=_Z_BITS
+            ).alias("yb"),
+        )
+    )
+    parts = []
+    for box_name, bx, by in _Z_BOXES:
+        for layout, key, kb in (
+            ("linear_cust", F.col("xb"), _Z_BITS),
+            ("linear_date", F.col("yb"), _Z_BITS),
+            (
+                "zorder",
+                zorder_key(F.col("xb"), F.col("yb"), bits=_Z_BITS),
+                2 * _Z_BITS,
+            ),
+        ):
+            parts.append(
+                layout_prune_stats(
+                    rows,
+                    key,
+                    layout=layout,
+                    key_bits=kb,
+                    n_files=_Z_FILES,
+                    box_x=bx,
+                    box_y=by,
+                    box_name=box_name,
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout", "box")
