@@ -1976,3 +1976,121 @@ def q_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# --- [EXT] round-13: BPE decode (id round-trip) -------------------------------
+
+
+@query(
+    "q_text_bpe_decode",
+    f"""
+    WITH w AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+               '[a-z0-9]+|[^a-z0-9\\s]')) AS word FROM documents
+    ), tk AS (
+      SELECT DISTINCT unnest({oracle_bpe_tokens_word('word')}) AS tok
+      FROM w
+    ), v AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT)
+               AS tid
+      FROM tk
+    ), docs AS (
+      SELECT doc_id, {oracle_bpe_tokens_text('text')} AS toks
+      FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS p
+      FROM docs
+    ), ids AS (
+      SELECT doc_id, p, tid FROM e JOIN v USING (tok)
+    ), dec AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             string_agg(v.tok, '' ORDER BY p) AS decoded
+      FROM ids JOIN v USING (tid) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(dec.n_tokens, 0) AS n_tokens,
+           CAST(length(COALESCE(dec.decoded, '')) AS BIGINT)
+             AS decoded_len,
+           COALESCE(dec.decoded, '') =
+             array_to_string(regexp_extract_all(lower(d.text),
+                             '[a-z0-9]+|[^a-z0-9\\s]'), '') AS ok
+    FROM documents d LEFT JOIN dec ON d.doc_id = dec.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BPE DECODE — the tokenizer round trip, through the id
+    space: encode to dense ids (q_text_token_ids' vocabulary), map ids
+    back through the REVERSED vocabulary, reassemble in position
+    order, and compare with the normalized source text. ``ok`` is true
+    on every row iff the id map is bijective (no vocab collisions) and
+    the assembly is order-preserving — the two properties a trainer's
+    detokenizer relies on. Same vocabulary-bound scale shape as the
+    encode path: distinct-word fold + positional explode + equi-joins,
+    zero Python nodes."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.bpe import (
+        bpe_tokens_by_join,
+        bpe_word_tokens,
+        encode_distinct_words,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = bpe_tokens_by_join(d, F.col("doc_id"), F.col("text")).select(
+        F.col("key").alias("doc_id"), "toks"
+    )
+    vocab = (
+        encode_distinct_words(d, F.col("text"))
+        .select(F.explode(bpe_word_tokens(F.col("word"))).alias("tok"))
+        .distinct()
+        .select(
+            "tok",
+            (F.row_number().over(Window.orderBy("tok")) - 1)
+            .cast("long")
+            .alias("tid"),
+        )
+    )
+    ids = (
+        toks.select("doc_id", F.posexplode("toks").alias("p", "tok"))
+        .join(vocab, "tok")
+        .select("doc_id", "p", "tid")
+    )
+    dec = (
+        ids.join(vocab, "tid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("p"), F.col("tok").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            ).alias("decoded"),
+        )
+    )
+    ref = F.array_join(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+        ),
+        "",
+    )
+    return (
+        d.join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.length(F.coalesce(F.col("decoded"), F.lit("")))
+            .cast("long")
+            .alias("decoded_len"),
+            (F.coalesce(F.col("decoded"), F.lit("")) == ref).alias("ok"),
+        )
+        .orderBy("doc_id")
+    )

@@ -334,3 +334,15 @@ def test_train_exhausts_gracefully(spark):
     df = spark.createDataFrame([("a a a",), ("a",)], "text string")
     # single-char words only: zero pairs, training stops immediately
     assert bpe_train(df, F.col("text"), 5) == []
+
+
+def test_bpe_decode_round_trip_holds(spark):
+    """q_text_bpe_decode's oracle pins cross-engine agreement; the
+    round-trip CLAIM (ok on every row — bijective id map,
+    order-preserving assembly) is pinned here."""
+    from nutdb_spark.suite import QUERIES
+
+    rows = QUERIES["q_text_bpe_decode"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(r["ok"] for r in rows)
+    assert any(r["n_tokens"] > 0 for r in rows)
