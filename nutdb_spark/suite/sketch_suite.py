@@ -214,3 +214,50 @@ def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_under"),
     ).orderBy(F.col("exact_cnt").desc(), "word")
+
+
+def _hll_incremental_oracle() -> str:
+    # identical to the direct whole-corpus sketch: the persisted-state
+    # merge is exact by the register-max algebra (q_sketch_hll_merge),
+    # and the parquet round-trip must not perturb a single register
+    regs = oracle_hll_registers("events", ["event_type"], _UDAY_SQL, p=_P)
+    est = oracle_hll_estimate(regs, ["event_type"], p=_P)
+    return f"SELECT * FROM ({est}) ORDER BY event_type"
+
+
+@query("q_sketch_hll_incremental", _hll_incremental_oracle())
+def q_sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Nightly-ingest HLL: batch 1's register table persists to
+    parquet (the sketch IS the stored index — ≤256 rows per group,
+    however large the ingested batch); batch 2 sketches only its DELTA
+    and merges register-max into the stored state. The entry's output
+    is the estimate FROM THE PERSISTED MERGED STATE, and the oracle is
+    the direct whole-corpus sketch — equality is the claim: ingest
+    order, state persistence, and the parquet round-trip change
+    nothing. This is the 100 TB operating mode (yesterday's sketch +
+    today's delta; the raw corpus is never re-scanned)."""
+    import os
+
+    e = load_table(spark, sf_dir, "events")
+    hi = e.agg(F.max("event_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "hll_index",
+        os.path.basename(sf_dir.rstrip("/")) or "dir",
+    )
+    regs1 = hll_registers(
+        e.filter(F.col("event_id") < split), ["event_type"], _uday(), p=_P
+    )
+    regs1.write.mode("overwrite").parquet(os.path.join(base, "ingest=1"))
+    stored = spark.read.parquet(os.path.join(base, "ingest=1"))
+    regs2 = hll_registers(
+        e.filter(F.col("event_id") >= split), ["event_type"], _uday(), p=_P
+    )
+    merged = hll_merge(stored.unionByName(regs2), ["event_type"])
+    merged.write.mode("overwrite").parquet(os.path.join(base, "ingest=2"))
+    state = spark.read.parquet(os.path.join(base, "ingest=2"))
+    return hll_estimate(state, ["event_type"], p=_P).orderBy("event_type")

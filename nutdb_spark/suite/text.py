@@ -2028,23 +2028,39 @@ def q_text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every row iff the id map is bijective (no vocab collisions) and
     the assembly is order-preserving — the two properties a trainer's
     detokenizer relies on. Same vocabulary-bound scale shape as the
-    encode path: distinct-word fold + positional explode + equi-joins,
-    zero Python nodes."""
+    encode path — distinct-word fold + positional explodes +
+    equi-joins — with ONE ordered collect at the end: the token
+    stream keeps a composite (word-pos, token-pos) position through
+    the encode/decode joins instead of round-tripping through a
+    second per-doc array assembly (which measured 16x at 10x data;
+    this shape is in family with q_text_token_ids). Zero Python
+    nodes."""
     from pyspark.sql import Window
 
     from nutdb_spark.operators.bpe import (
-        bpe_tokens_by_join,
+        _WORD_RE,
         bpe_word_tokens,
         encode_distinct_words,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    toks = bpe_tokens_by_join(d, F.col("doc_id"), F.col("text")).select(
-        F.col("key").alias("doc_id"), "toks"
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), 0)
+        ).alias("pw", "word"),
     )
+    # posexplode the per-word token arrays on the VOCABULARY-sized
+    # side, before the corpus join: exploding the computed array after
+    # the join lets Catalyst's constraint inference inline the whole
+    # merge fold into corpus-side Filters (measured 15x slower)
+    wtoks = encode_distinct_words(d, F.col("text")).select(
+        "word",
+        F.posexplode(bpe_word_tokens(F.col("word"))).alias("pt", "tok"),
+    )
+    toks = words.join(wtoks, "word").select("doc_id", "pw", "pt", "tok")
     vocab = (
-        encode_distinct_words(d, F.col("text"))
-        .select(F.explode(bpe_word_tokens(F.col("word"))).alias("tok"))
+        wtoks.select("tok")
         .distinct()
         .select(
             "tok",
@@ -2053,11 +2069,7 @@ def q_text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tid"),
         )
     )
-    ids = (
-        toks.select("doc_id", F.posexplode("toks").alias("p", "tok"))
-        .join(vocab, "tok")
-        .select("doc_id", "p", "tid")
-    )
+    ids = toks.join(vocab, "tok").select("doc_id", "pw", "pt", "tid")
     dec = (
         ids.join(vocab, "tid")
         .groupBy("doc_id")
@@ -2068,7 +2080,11 @@ def q_text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.struct(F.col("p"), F.col("tok").alias("t"))
+                            F.struct(
+                                F.col("pw"),
+                                F.col("pt"),
+                                F.col("tok").alias("t"),
+                            )
                         )
                     ),
                     lambda s: s["t"],

@@ -95,6 +95,7 @@ def test_lowerings_are_lazy(spark):
                       "q_dedup_incremental_delete",
                       "q_dedup_substring_incremental",
                       "q_dedup_substring_delete",
+                      "q_sketch_hll_incremental",
                       # creates + inserts its source tables by design
                       "sql_table_fn_merge",
                       # write bucketed/partitioned layouts once per
