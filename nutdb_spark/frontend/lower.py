@@ -476,6 +476,72 @@ class Lowerer:
                 bucket_width=int(w),
                 probes=int(p),
             )
+        if name == "hlldistinct":
+            # [EXT] hllDistinct('table', 'group_col', 'value_col'
+            # [, p]) → (group_col, n_zero, est): the mergeable
+            # engine-neutral HyperLogLog (operators/sketch.py) — raw
+            # estimator + linear-counting inputs, register build is
+            # one map-side-partial groupBy.
+            from nutdb_spark.operators.sketch import (
+                hll_estimate,
+                hll_registers,
+            )
+
+            if len(fn.args) not in (3, 4) or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "hllDistinct takes ('table', 'group_col', "
+                    "'value_col'[, p]) literals"
+                )
+            tbl, gc, vc = [a.value for a in fn.args[:3]]
+            p = int(fn.args[3].value) if len(fn.args) == 4 else 8
+            if not 4 <= p <= 12:
+                raise LoweringError(
+                    "hllDistinct p must be in [4, 12] (16..4096 "
+                    "registers)"
+                )
+            regs = hll_registers(
+                self.resolve_table(tbl), [gc], F.col(vc), p=p
+            )
+            return hll_estimate(regs, [gc], p=p)
+        if name == "domainmixture":
+            # [EXT] domainMixture('table', 'domain_col', 'text_col'
+            # [, rounds]) → (domain, n_docs, loss, w_final): the
+            # Group-DRO/DoReMi quantized multiplicative-weights
+            # mixture (operators/mixing.py). Eager by design — the MW
+            # loop runs on the k collected domain rows (bpe_train's
+            # bounded-collect precedent).
+            from nutdb_spark.operators.mixing import (
+                DRO_ROUNDS,
+                domain_losses,
+                dro_mixture,
+            )
+
+            if len(fn.args) not in (3, 4) or not all(
+                isinstance(a, A.Lit) for a in fn.args
+            ):
+                raise LoweringError(
+                    "domainMixture takes ('table', 'domain_col', "
+                    "'text_col'[, rounds]) literals"
+                )
+            tbl, dc, txc = [a.value for a in fn.args[:3]]
+            rounds = (
+                int(fn.args[3].value) if len(fn.args) == 4 else DRO_ROUNDS
+            )
+            if rounds < 1:
+                raise LoweringError("domainMixture rounds must be >= 1")
+            losses = sorted(
+                (r["domain"], r["n_docs"], r["loss"])
+                for r in domain_losses(
+                    self.resolve_table(tbl), F.col(dc), F.col(txc)
+                ).collect()
+            )
+            w = dict(dro_mixture(losses, rounds=rounds))
+            return self.spark.createDataFrame(
+                [(d, n, ls, w[d]) for d, n, ls in losses],
+                "domain string, n_docs long, loss long, w_final long",
+            )
         if name == "languageidclf":
             # [EXT] languageIdClf('table', 'id_col', 'text_col') →
             # (doc_id, lang_pred, score): the committed hashed-linear

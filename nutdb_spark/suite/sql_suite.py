@@ -6943,3 +6943,58 @@ def sql_table_fn_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "6, 3, 2000, 1) "
         "order by query_id, rank",
     )
+
+
+def _sql_hll_oracle() -> str:
+    from nutdb_spark.operators.sketch import (
+        oracle_hll_estimate,
+        oracle_hll_registers,
+    )
+
+    regs = oracle_hll_registers("events", ["event_type"], "user_id", p=8)
+    est = oracle_hll_estimate(regs, ["event_type"], p=8)
+    return f"SELECT * FROM ({est}) ORDER BY event_type"
+
+
+@query("sql_table_fn_hll", _sql_hll_oracle())
+def sql_table_fn_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The mergeable HLL as a dialect TABLE FUNCTION —
+    hllDistinct('events', 'event_type', 'user_id') — the
+    engine-neutral sketch reachable from pure SQL text. The fixture's
+    per-type user count (150) sits in the small-range regime where
+    the RAW estimator reads high by design (the ln() linear-counting
+    branch is deliberately out of oracle scope — operators/sketch.py);
+    the entry pins hash/register/estimator determinism, q_sketch_hll
+    pins accuracy in the raw regime."""
+    return _run(
+        spark,
+        sf_dir,
+        "select event_type, n_zero, est "
+        "from hllDistinct('events', 'event_type', 'user_id') "
+        "order by event_type",
+    )
+
+
+def _sql_doremi_oracle() -> str:
+    from nutdb_spark.operators.mixing import oracle_dro
+
+    return (
+        f"SELECT * FROM ({oracle_dro('lang', 'text')}) ORDER BY domain"
+    )
+
+
+@query("sql_table_fn_doremi", _sql_doremi_oracle())
+def sql_table_fn_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Group-DRO/DoReMi domain mixing as a dialect TABLE
+    FUNCTION — domainMixture('documents', 'lang', 'text', 8) — the
+    quantized multiplicative-weights loop reachable from pure SQL
+    text, eager on the k collected domain rows (bpeTrain's
+    bounded-collect precedent); the DuckDB oracle replays the loop
+    unrolled."""
+    return _run(
+        spark,
+        sf_dir,
+        "select domain, n_docs, loss, w_final "
+        "from domainMixture('documents', 'lang', 'text', 8) "
+        "order by domain",
+    )

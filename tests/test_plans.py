@@ -124,7 +124,7 @@ def test_lowerings_are_lazy(spark):
                       # MW loop runs on the k collected domain rows
                       # by design (bounded collect, bpe_train
                       # precedent)
-                      "q_mix_doremi")
+                      "q_mix_doremi", "sql_table_fn_doremi")
     }
     for fn in lazy.values():  # warm the footer/schema cache
         fn(spark, SF01)
