@@ -261,3 +261,115 @@ def q_sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged.write.mode("overwrite").parquet(os.path.join(base, "ingest=2"))
     state = spark.read.parquet(os.path.join(base, "ingest=2"))
     return hll_estimate(state, ["event_type"], p=_P).orderBy("event_type")
+
+
+def _hll_setops_oracle() -> str:
+    # the generic helper wants group columns; the ungrouped A/B/union
+    # sides are clearer built explicitly
+    def regs(where: str) -> str:
+        base = (
+            f"CAST('0x' || substring(md5({_UDAY_SQL}), 1, 15) AS BIGINT)"
+        )
+        wbits = 60 - _P
+        return f"""
+      SELECT base % {2**_P} AS idx,
+             CAST(MAX(CASE WHEN base // {2**_P} = 0 THEN {wbits + 1}
+                  ELSE {wbits} - length(bin(base // {2**_P})) + 1 END)
+                  AS BIGINT) AS m
+      FROM (SELECT {base} AS base FROM events WHERE {where})
+      GROUP BY idx"""
+
+    maxrank = 60 - _P + 1
+    m = 2**_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(2**maxrank)
+
+    def est(regs_sql: str) -> str:
+        return f"""(
+      SELECT CAST({num!r} AS DOUBLE)
+             / CAST(SUM(CAST(1 AS BIGINT) << ({maxrank} - m))
+                    + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {maxrank})
+                    AS DOUBLE)
+      FROM ({regs_sql}))"""
+
+    ra = regs("event_type = 'click'")
+    rb = regs("event_type = 'view'")
+    ru = f"""
+      SELECT idx, CAST(MAX(m) AS BIGINT) AS m
+      FROM ({ra} UNION ALL {rb}) GROUP BY idx"""
+    exact = f"""
+      SELECT CAST(COUNT(*) AS BIGINT) FROM (
+        SELECT DISTINCT {_UDAY_SQL} AS uday FROM events
+        WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT {_UDAY_SQL} AS uday FROM events
+        WHERE event_type = 'view')"""
+    return f"""
+    SELECT {est(ra)} AS est_a, {est(rb)} AS est_b,
+           {est(ru)} AS est_union,
+           {est(ra)} + {est(rb)} - {est(ru)} AS est_inter,
+           ({exact}) AS exact_inter"""
+
+
+@query("q_sketch_hll_setops", _hll_setops_oracle())
+def q_sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sketch SET OPERATIONS — the audience-overlap question
+    ("user-days with BOTH a click and a view") answered from two
+    already-built sketches: union is register-max (exact sketch
+    algebra), intersection is inclusion-exclusion est_a + est_b −
+    est_union — no raw-data pass, no value-domain shuffle, the
+    standard HLL workaround for intersection (a Theta sketch would
+    answer it natively; I-E is what HLL affords). The exact
+    intersection rides along to expose the error (I-E error grows
+    with the union size — the documented caveat). One output row; all
+    arithmetic engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    ra = hll_registers(
+        e.filter(F.col("event_type") == "click").withColumn(
+            "g", F.lit(1)
+        ),
+        ["g"], _uday(), p=_P,
+    )
+    rb = hll_registers(
+        e.filter(F.col("event_type") == "view").withColumn(
+            "g", F.lit(1)
+        ),
+        ["g"], _uday(), p=_P,
+    )
+    ru = hll_merge(ra.unionByName(rb), ["g"])
+    ea = hll_estimate(ra, ["g"], p=_P).select(
+        "g", F.col("est").alias("est_a")
+    )
+    eb = hll_estimate(rb, ["g"], p=_P).select(
+        "g", F.col("est").alias("est_b")
+    )
+    eu = hll_estimate(ru, ["g"], p=_P).select(
+        "g", F.col("est").alias("est_union")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(_uday().alias("uday"))
+        .distinct()
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(_uday().alias("uday"))
+        .distinct()
+    )
+    exact = clicks.intersect(views).agg(
+        F.lit(1).alias("g"), F.count(F.lit(1)).alias("exact_inter")
+    )
+    return (
+        ea.join(eb, "g")
+        .join(eu, "g")
+        .join(exact, "g")
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_inter"
+            ),
+            "exact_inter",
+        )
+    )

@@ -129,3 +129,17 @@ def test_sketch_entries_have_no_python_nodes(spark):
         plan = QUERIES[name](spark, SF01)._jdf.queryExecution().toString()
         assert "BatchEvalPython" not in plan, name
         assert "mapInPandas" not in plan, name
+
+
+def test_hll_setops_bounds_on_fixture(spark):
+    from nutdb_spark.suite import QUERIES
+
+    r = QUERIES["q_sketch_hll_setops"](spark, SF01).collect()[0]
+    # register-max dominance is exact algebra: the union sketch's
+    # registers are >= each side's, so its estimate is too
+    assert r["est_union"] >= r["est_a"]
+    assert r["est_union"] >= r["est_b"]
+    assert r["est_union"] <= r["est_a"] + r["est_b"]
+    # inclusion-exclusion intersection: loose by design (the
+    # documented caveat) but must be in the right ballpark
+    assert abs(r["est_inter"] / r["exact_inter"] - 1) < 0.5
