@@ -1030,3 +1030,129 @@ def oracle_sentiment(expr: str) -> dict[str, str]:
             f"WHEN ({val}) < 0 THEN 'neg' ELSE 'neu' END"
         ),
     }
+
+
+# --- [EXT] round-13: deterministic span corruption (T5 denoising) ------------
+#
+# The T5 pretraining objective (Raffel et al. 2020): drop ~15% of the
+# tokens in short contiguous spans, replace each span with a sentinel
+# in the input, and emit "<sentinel> dropped tokens ..." as the
+# target. The published recipe samples spans randomly; an engine
+# transform must be REPRODUCIBLE across engines, re-runs and appends,
+# so this variant derives the span layout deterministically per
+# document: a salted hash of the doc id picks a phase offset, and a
+# length-`span` masked window recurs every `stride` positions from
+# that offset (span/stride = 3/20 -> the canonical 15% corruption
+# rate, mean span 3). Same document -> same corruption, any engine.
+
+SPANC_STRIDE = 20
+SPANC_SPAN = 3
+
+
+def span_corrupt_cols(
+    words: Column,
+    doc_key: Column,
+    *,
+    stride: int = SPANC_STRIDE,
+    span: int = SPANC_SPAN,
+    salt: str = "spanc",
+) -> dict[str, Column]:
+    """(n_tokens, n_masked, input_text, target_text) over a word
+    array. Pure row-local array expressions — no shuffle, no UDF."""
+    from nutdb_spark.operators.sampling import hash_bucket
+
+    off = hash_bucket(doc_key, salt=salt, grain=stride)
+    rel = lambda i: i - off  # noqa: E731
+    started = lambda i: (i >= off) & (F.pmod(rel(i), stride) == 0)  # noqa: E731
+    inside = lambda i: (  # noqa: E731
+        (i >= off)
+        & (F.pmod(rel(i), stride) > 0)
+        & (F.pmod(rel(i), stride) < span)
+    )
+    k = lambda i: (  # noqa: E731
+        (rel(i) - F.pmod(rel(i), stride)) / stride
+    ).cast("long")
+    sentinel = lambda i: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), k(i).cast("string"), F.lit(">")
+    )
+    inp = F.array_join(
+        F.filter(
+            F.transform(
+                words,
+                lambda w, i: F.when(started(i), sentinel(i))
+                .when(inside(i), F.lit(""))
+                .otherwise(w),
+            ),
+            lambda x: x != "",
+        ),
+        " ",
+    )
+    tgt = F.array_join(
+        F.filter(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    started(i), F.concat(sentinel(i), F.lit(" "), w)
+                )
+                .when(inside(i), w)
+                .otherwise(F.lit("")),
+            ),
+            lambda x: x != "",
+        ),
+        " ",
+    )
+    n_masked = F.size(
+        F.filter(
+            F.transform(words, lambda w, i: started(i) | inside(i)),
+            lambda x: x,
+        )
+    ).cast("long")
+    return {
+        "n_tokens": F.size(words).cast("long"),
+        "n_masked": n_masked,
+        "input_text": inp,
+        "target_text": tgt,
+    }
+
+
+def oracle_span_corrupt(
+    words_expr: str,
+    key_expr: str,
+    *,
+    stride: int = SPANC_STRIDE,
+    span: int = SPANC_SPAN,
+    salt: str = "spanc",
+) -> dict[str, str]:
+    """DuckDB twin of ``span_corrupt_cols`` (1-based list indexing)."""
+    from nutdb_spark.operators.sampling import oracle_hash_bucket
+
+    off = oracle_hash_bucket(key_expr, salt=salt, grain=stride)
+    p = "(i - 1)"
+    rel = f"({p} - ({off}))"
+    started = f"({p} >= ({off}) AND ({rel}) % {stride} = 0)"
+    inside = (
+        f"({p} >= ({off}) AND ({rel}) % {stride} > 0 "
+        f"AND ({rel}) % {stride} < {span})"
+    )
+    k = f"(({rel}) // {stride})"
+    sentinel = f"('<extra_id_' || CAST({k} AS VARCHAR) || '>')"
+    w = f"{words_expr}[i]"
+    rng = f"range(1, len({words_expr}) + 1)"
+    # COALESCE: DuckDB's array_to_string over an empty list is NULL,
+    # Spark's array_join is ''
+    inp = f"""COALESCE(array_to_string(list_filter(list_transform({rng},
+      i -> CASE WHEN {started} THEN {sentinel}
+                WHEN {inside} THEN ''
+                ELSE {w} END), x -> x != ''), ' '), '')"""
+    tgt = f"""COALESCE(array_to_string(list_filter(list_transform({rng},
+      i -> CASE WHEN {started} THEN {sentinel} || ' ' || {w}
+                WHEN {inside} THEN {w}
+                ELSE '' END), x -> x != ''), ' '), '')"""
+    n_masked = f"""CAST(len(list_filter({rng},
+      i -> {started} OR {inside})) AS BIGINT)"""
+    return {
+        "n_tokens": f"CAST(len({words_expr}) AS BIGINT)",
+        "n_masked": n_masked,
+        "input_text": inp,
+        "target_text": tgt,
+    }

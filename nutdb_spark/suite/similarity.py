@@ -1713,3 +1713,75 @@ def q_sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_sq8(
         e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding"
     ).orderBy("query_id", "rank")
+
+
+# --- [EXT] round-13: hard-negative mining ------------------------------------
+
+
+@query(
+    "q_sim_hard_negatives",
+    _SCALED_CTE
+    + f"""
+SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         {oracle_cosine(oracle_dot_scaled('q.s', 'c.s'), 'q.n2', 'c.n2')}
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {oracle_cosine(oracle_dot_scaled('q.s', 'c.s'), 'q.n2', 'c.n2')} DESC,
+                    c.vec_id) AS rank
+  FROM n q JOIN n c ON q.label <> c.label
+  WHERE q.vec_id < 10) t
+WHERE rank <= 5
+""",
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] HARD-NEGATIVE mining — the contrastive-training data
+    stage (SimCSE/DPR-style): for each anchor, the most-similar
+    vectors with a DIFFERENT label — near the anchor in embedding
+    space yet semantically wrong, exactly the negatives a contrastive
+    fine-tune learns most from. The label-mismatch theta join is the
+    only change from the exact top-k baseline; cosine stays the exact
+    scaled-integer arithmetic so even the distances hash-check. At
+    corpus scale the anchor set broadcasts and the scan is the same
+    byte/int GEMM family as the rest of the ladder."""
+    from pyspark.sql import Window
+
+    from nutdb_spark.operators.similarity import (
+        _with_vec,
+        cosine_from_scaled,
+        dot_scaled,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = _with_vec(e, "vec_id", "embedding").join(
+        e.select(F.col("vec_id").alias("__id"), "label"), "__id"
+    )
+    q = base.filter(F.col("__id") < 10).select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("__n2").alias("__qn2"),
+        F.col("label").alias("__qlabel"),
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(
+        F.col("label") != F.col("__qlabel")
+    )
+    cos = cosine_from_scaled(
+        dot_scaled(F.col("__qv"), F.col("__v")),
+        F.col("__qn2"),
+        F.col("__n2"),
+    )
+    w = Window.partitionBy("__qid").orderBy(cos.desc(), F.col("__id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "cosine",
+            "rank",
+        )
+    )

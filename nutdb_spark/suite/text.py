@@ -2110,3 +2110,43 @@ def q_text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- [EXT] round-13: T5 span corruption ---------------------------------------
+
+
+def _span_corrupt_oracle() -> str:
+    from nutdb_spark.operators.text import oracle_span_corrupt
+
+    g = oracle_span_corrupt(
+        "regexp_extract_all(lower(text), '[a-z0-9]+')", "doc_id"
+    )
+    cols = ", ".join(f"{sql} AS {n}" for n, sql in g.items())
+    return (
+        f"SELECT doc_id, {cols} FROM documents "
+        f"WHERE doc_id < 400 ORDER BY doc_id"
+    )
+
+
+@query("q_text_span_corrupt", _span_corrupt_oracle())
+def q_text_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] T5-style SPAN CORRUPTION (Raffel et al. 2020) as a
+    deterministic engine transform — the denoising sibling of
+    q_text_fim: ~15% of tokens drop in length-3 spans recurring every
+    20 positions from a hash-derived per-document phase, input gets
+    <extra_id_k> sentinels, target gets '<sentinel> dropped tokens'.
+    Determinism is the engine contract the published random sampler
+    can't give: same doc → same corruption on any engine, re-run or
+    append (the hash-assignment discipline of operators/sampling.py).
+    Pure row-local array expressions — no shuffle, no UDF, scales as
+    the scan."""
+    from nutdb_spark.operators.text import span_corrupt_cols
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+    )
+    g = span_corrupt_cols(words, F.col("doc_id"))
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in g.items()]
+    ).orderBy("doc_id")
