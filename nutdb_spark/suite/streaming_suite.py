@@ -1362,3 +1362,92 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out).orderBy("doc_id")
+
+
+# --- [EXT] streaming HLL ingest (foreachBatch register growth) ---------------
+
+
+@query(
+    "q_stream_sketch_hll",
+    # stream ≡ one-shot batch replay: the oracle is the direct
+    # whole-corpus sketch (shared with q_sketch_hll_incremental)
+    __import__(
+        "nutdb_spark.suite.sketch_suite",
+        fromlist=["_hll_incremental_oracle"],
+    )._hll_incremental_oracle(),
+)
+def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest HLL: events arrive as a file stream (one file
+    per micro-batch, ascending event_id) and a foreachBatch sink
+    APPENDS each micro-batch's register table to the sketch store —
+    no read-modify-write cycle at all, because register-max is
+    associative: the final state is one groupBy-max over the appended
+    rows, and the result must equal the direct whole-corpus sketch
+    (the q_sketch_hll_incremental oracle, shared). The streaming
+    sibling of the nightly-ingest entry: at 100 TB each micro-batch
+    contributes ≤256 rows per group whatever its size, the store is
+    append-only (object-store friendly), and compaction is the same
+    groupBy-max whenever convenient."""
+    import tempfile
+    import time
+
+    from nutdb_spark.operators.sketch import hll_estimate, hll_registers
+    from nutdb_spark.suite.sketch_suite import _P, _uday
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+    hi = e.agg(F.max("event_id")).first()[0]  # bounded collect: one row
+    split = (hi + 1) // 2
+
+    src = _STREAM_SRC_CACHE.get(("sketch_hll", sf_dir))
+    if src is None or not os.path.isdir(src):
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="q_stream_hll_src_")
+        src = root + "/src"
+        os.makedirs(src)
+        now = time.time()
+        for i, batch in enumerate(
+            (
+                e.filter(F.col("event_id") < split),
+                e.filter(F.col("event_id") >= split),
+            )
+        ):
+            stage = os.path.join(root, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            [part] = [
+                f
+                for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        _STREAM_SRC_CACHE[("sketch_hll", sf_dir)] = src
+
+    base = tempfile.mkdtemp(prefix="q_stream_hll_")
+    ck, idx = f"{base}/ck", f"{base}/index"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, ["event_type"], _uday(), p=_P)
+        regs.write.mode("append").parquet(idx)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = (
+        spark.read.parquet(idx)
+        .groupBy("event_type", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    return hll_estimate(state, ["event_type"], p=_P).orderBy("event_type")

@@ -263,6 +263,22 @@ ENTRIES = [
     "sql_table_fn_langid",
     "q_sample_ccnet_langid",
     "q_dedup_image",
+    # round-13 session-3 — sketches (HLL/CMS + ingest forms), DRO
+    # mixing, SQ8 ANN, z-order layout, BPE decode, hard negatives,
+    # span corruption
+    "q_sketch_hll",
+    "q_sketch_hll_merge",
+    "q_sketch_hll_incremental",
+    "q_sketch_hll_setops",
+    "q_sketch_cms_heavy",
+    "q_mix_doremi",
+    "sql_table_fn_hll",
+    "sql_table_fn_doremi",
+    "q_sim_topk_sq8",
+    "q_layout_zorder",
+    "q_text_bpe_decode",
+    "q_sim_hard_negatives",
+    "q_text_span_corrupt",
 ]
 
 SF01 = "/root/testdata/sf0.1"
