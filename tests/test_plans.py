@@ -96,6 +96,7 @@ def test_lowerings_are_lazy(spark):
                       "q_dedup_substring_incremental",
                       "q_dedup_substring_delete",
                       "q_sketch_hll_incremental",
+                      "q_dedup_image_incremental",
                       # creates + inserts its source tables by design
                       "sql_table_fn_merge",
                       # write bucketed/partitioned layouts once per
