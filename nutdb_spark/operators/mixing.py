@@ -67,9 +67,12 @@ def domain_losses(
 ) -> DataFrame:
     """(domain, n_docs, loss): loss = ⌊−1000·Σlogit / n⌋ — negated
     mean classifier logit per domain, floored to an exact integer.
-    One map-side-partial groupBy over the corpus; k rows out."""
+    One map-side-partial groupBy over the corpus; k rows out. The
+    domain key is cast to string so any grouping column (int bucket,
+    date, enum) feeds the same downstream weight table."""
     per = df.select(
-        domain.alias("domain"), classifier_logit(text).alias("__l")
+        domain.cast("string").alias("domain"),
+        classifier_logit(text).alias("__l"),
     )
     return per.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -125,7 +128,7 @@ def oracle_dro(
     # times.
     parts = [
         f"""lt AS MATERIALIZED (
-  SELECT {domain_expr} AS domain,
+  SELECT CAST({domain_expr} AS VARCHAR) AS domain,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(FLOOR(CAST(-1000 * SUM({logit}) AS DOUBLE) / COUNT(*))
               AS BIGINT) AS loss
