@@ -312,3 +312,56 @@ def oracle_cms(
     SELECT p.k, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
     FROM probes p LEFT JOIN cms c USING (row, bucket)
     GROUP BY p.k"""
+
+
+def cms_inner_product(
+    cms_a: DataFrame, cms_b: DataFrame, *, depth: int = 4
+) -> DataFrame:
+    """Join-size estimate from two count-min sketches built with the
+    SAME hash family/width: est = min_i Σ_b A[i][b]·B[i][b]
+    (Cormode & Muthukrishnan §4.2 — the CMS inner-product estimator).
+    Each row's sum equals the true Σ_v cA(v)·cB(v) plus nonnegative
+    collision mass, so the min over rows NEVER underestimates — the
+    planner-friendly direction (an optimistic join-size estimate is
+    what breaks plans at 100 TB). One ≤depth·width-row join; neither
+    raw table is touched. Returns one row: (est_size)."""
+    a = cms_a.select("row", "bucket", F.col("cnt").alias("__ca"))
+    b = cms_b.select("row", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(
+        F.min("__ip").cast("long").alias("est_size")
+    )
+
+
+def oracle_cms_inner_product(
+    values_a_sql: str,
+    values_b_sql: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+) -> str:
+    """DuckDB twin: both value streams (one column ``v`` each) →
+    sketches → min-over-rows inner product, as one scalar subquery."""
+    base = oracle_base_hash60("v")
+    def cms(src: str, tag: str) -> str:
+        unions = "\nUNION ALL\n".join(
+            f"SELECT {i} AS row, {_cms_bucket_expr(base, i, width)} AS bucket "
+            f"FROM {tag}v"
+            for i in range(depth)
+        )
+        return f"""{tag}v AS ({src}),
+    {tag}c AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({unions}) GROUP BY row, bucket)"""
+
+    return f"""
+    WITH {cms(values_a_sql, 'a')},
+    {cms(values_b_sql, 'b')}
+    SELECT CAST(MIN(ip) AS BIGINT) AS est_size FROM (
+      SELECT ac.row AS r, SUM(ac.cnt * bc.cnt) AS ip
+      FROM ac JOIN bc ON ac.row = bc.row AND ac.bucket = bc.bucket
+      GROUP BY ac.row)"""

@@ -373,3 +373,66 @@ def q_sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+def _join_size_oracle() -> str:
+    from nutdb_spark.operators.sketch import oracle_cms_inner_product
+
+    est = oracle_cms_inner_product(
+        "SELECT o_custkey AS v FROM orders",
+        "SELECT user_id AS v FROM events",
+        width=4096,
+    )
+    return f"""
+    WITH exact AS (
+      SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS exact_size
+      FROM (SELECT o_custkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) a
+      JOIN (SELECT user_id AS k, COUNT(*) AS cb FROM events GROUP BY 1) b
+      USING (k)),
+    est AS ({est})
+    SELECT exact.exact_size, est.est_size,
+           est.est_size - exact.exact_size AS overcount,
+           (est.est_size >= exact.exact_size) AS never_under
+    FROM exact, est"""
+
+
+@query("q_sketch_join_size", _join_size_oracle())
+def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] JOIN-SIZE estimation from two count-min sketches — the
+    planner-cardinality question ("how big is orders ⋈ events on the
+    customer key?") answered without touching either table again:
+    est = min_i Σ_b A[i][b]·B[i][b], the CMS inner-product estimator
+    (Cormode & Muthukrishnan §4.2). Each row's sum is the true join
+    size plus nonnegative collision mass, so the estimate NEVER reads
+    low — the safe direction for a planner choosing between broadcast
+    and shuffle at 100 TB (an optimistic estimate is how a 10 TB
+    build side ends up broadcast). Exact size rides along to expose
+    the error. Width is 4096 here (vs the heavy-hitter entry's 512)
+    because inner-product collision mass scales with ‖a‖₁·‖b‖₁/w —
+    the sketch is still 128 KiB however large the tables, and merges
+    by counter-sum as data arrives."""
+    from nutdb_spark.operators.sketch import cms_inner_product, cms_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("v")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("v")
+    )
+    est = cms_inner_product(
+        cms_table(o, F.col("v"), width=4096),
+        cms_table(e, F.col("v"), width=4096),
+    )
+    ca = o.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    cb = e.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
+    exact = ca.join(cb, "v").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_size")
+    )
+    return exact.crossJoin(est).select(
+        "exact_size",
+        "est_size",
+        (F.col("est_size") - F.col("exact_size")).alias("overcount"),
+        (F.col("est_size") >= F.col("exact_size")).alias("never_under"),
+    )

@@ -143,3 +143,16 @@ def test_hll_setops_bounds_on_fixture(spark):
     # inclusion-exclusion intersection: loose by design (the
     # documented caveat) but must be in the right ballpark
     assert abs(r["est_inter"] / r["exact_inter"] - 1) < 0.5
+
+
+def test_cms_join_size_estimate_on_fixture(spark):
+    from nutdb_spark.suite import QUERIES
+
+    r = QUERIES["q_sketch_join_size"](spark, SF01).collect()[0]
+    assert r["never_under"]
+    assert r["exact_size"] > 0
+    # collision mass ~ |a|1*|b|1/w: at width 4096 over the fixture's
+    # 15k x 10k value streams that is ~36k on a ~96k true size — pin
+    # the estimate inside 2x (the heavy-hitter width 512 would sit at
+    # ~4x, which is WHY the entry widens the sketch)
+    assert r["est_size"] < 2.0 * r["exact_size"], r
