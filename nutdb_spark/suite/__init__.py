@@ -54,7 +54,7 @@ for _m in _MODULES:
 # oracle, but a changed entry needs a fresh grade; q_stream_join's
 # last grade was also the stalest, r6) — then (4) the r6 re-grade
 # pool in name order (q_stream_join excluded: already in (3)).
-# 18 + 23 + 5 + 4 = 50 (the late sessions added eighteen more new
+# 18 + 24 + 5 + 3 = 50 (the late sessions added nineteen more new
 # entries — q_sample_temperature_langid, q_dedup_audio,
 # q_dedup_image_incremental, the sketch quartet (incl. incremental
 # ingest, set-ops) + its table fn, q_mix_doremi + its table fn,
@@ -62,11 +62,10 @@ for _m in _MODULES:
 # q_text_bpe_decode, T5 span corruption — which take
 # the last r6 slots: never-graded outranks re-grades, the standing
 # priority).
-# The ROUND-14 window should resume the r6 pool at q_distinct_on
-# (q_distinct_on, q_except, q_exists, q_expr_arith, q_expr_bitwise,
-# q_expr_case, q_expr_compare, q_expr_logic, q_fn_dates,
-# q_fn_datetime, q_fn_minmax, q_fn_quantile, ...), then the r7
-# pool.
+# The ROUND-14 window should resume the r6 pool at q_dedup_spans
+# (q_dedup_spans, q_distinct_on, q_except, q_exists, q_expr_arith,
+# q_expr_bitwise, q_expr_case, q_expr_compare, q_expr_logic,
+# q_fn_dates, q_fn_datetime, q_fn_minmax, ...), then the r7 pool.
 _PRIORITY = [
     # --- (1) never driver-graded (r12 backlog, named in the verdict) ---
     "q_text_gopher", "q_dedup_substring", "q_dedup_substring_incremental",
@@ -86,12 +85,12 @@ _PRIORITY = [
     "sql_table_fn_hll", "sql_table_fn_doremi", "q_sketch_hll_setops",
     "q_sim_hard_negatives", "q_text_span_corrupt",
     "q_stream_sketch_hll", "q_sketch_join_size",
+    "q_pipeline_denoise",
     # --- (3) value/machinery changed in round 13 ---
     "q_pipeline_curate", "q_stream_join", "q_stream_join_left",
     "q_stream_join_right", "q_stream_join_full",
     # --- (4) r6 re-grade pool, name order ---
     "q_cte", "q_dedup_connected_star", "q_dedup_minhash_lsh",
-    "q_dedup_spans",
 ]
 
 

@@ -657,3 +657,110 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- [EXT] round-13 session-3: DENOISING pretraining pipeline ----------------
+
+
+def _denoise_oracle() -> str:
+    from nutdb_spark.operators.bpe import oracle_bpe_token_count_text
+    from nutdb_spark.operators.packing import PACK_GRAIN
+    from nutdb_spark.operators.sampling import oracle_hash_bucket
+    from nutdb_spark.operators.text import (
+        ENGLISH_STOPWORDS,
+        oracle_gopher,
+        oracle_span_corrupt,
+    )
+
+    g = oracle_gopher("text", stopwords=ENGLISH_STOPWORDS)
+    sc = oracle_span_corrupt(
+        "regexp_extract_all(lower(text), '[a-z0-9]+')", "doc_id"
+    )
+    h = oracle_hash_bucket("doc_id", salt="denoise", grain=PACK_GRAIN)
+    stream = "(input_text || ' ' || target_text)"
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 400 AND ({g['passes']})),
+f AS (
+  SELECT doc_id, {sc['n_masked']} AS n_masked,
+         {sc['input_text']} AS input_text,
+         {sc['target_text']} AS target_text
+  FROM kept),
+c AS (
+  SELECT doc_id, n_masked,
+         {oracle_bpe_token_count_text(stream)} AS n_tokens,
+         {h} AS __h,
+         CAST(({h}) % {_PT_SHARDS} AS INT) AS __shard
+  FROM f),
+w AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY __shard
+              ORDER BY __h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS __cum
+  FROM c)
+SELECT doc_id, n_masked, n_tokens, __shard AS shard,
+       (__cum - n_tokens) // {_PT_BUDGET} AS seq,
+       (__cum - n_tokens) % {_PT_BUDGET} AS "offset",
+       CASE WHEN n_tokens > 0
+            THEN (__cum - 1) // {_PT_BUDGET}
+                 - (__cum - n_tokens) // {_PT_BUDGET} + 1
+            ELSE 0 END AS n_seqs
+FROM w ORDER BY doc_id
+"""
+
+
+@query("q_pipeline_denoise", _denoise_oracle())
+def q_pipeline_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The DENOISING-objective data job (the T5 counterpart of
+    q_pipeline_tokenize's causal-LM job) as ONE composed plan: Gopher
+    quality gate → deterministic span corruption → exact BPE token
+    count of the FULL trainable stream (corrupted input + sentinel
+    targets — what actually fills the context window) → deterministic
+    sequence-packing layout. Gate and corruption are pure projections
+    fused into the scan, the BPE stage adds the one vocabulary-bound
+    distinct-word join, packing is the single shard-partition window
+    — the same three-shuffle shape as the tokenize pipeline, now for
+    an encoder-decoder / denoising corpus. Corpus is doc_id-slice
+    bounded (the composed-pipeline suite convention — q_pipeline_curate
+    precedent): the stages' corpus-scaling costs are recorded
+    UNSLICED by their own entries (q_text_span_corrupt, q_text_bpe),
+    so the slice keeps the composition's bench reading a composition
+    reading."""
+    from nutdb_spark.operators.bpe import bpe_token_counts
+    from nutdb_spark.operators.packing import pack_sequences
+    from nutdb_spark.operators.text import (
+        ENGLISH_STOPWORDS,
+        gopher_rules,
+        span_corrupt_cols,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    )
+    kept = d.filter(
+        gopher_rules(F.col("text"), stopwords=ENGLISH_STOPWORDS)["passes"]
+    )
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+    )
+    sc = span_corrupt_cols(words, F.col("doc_id"))
+    f = kept.select(
+        "doc_id",
+        sc["n_masked"].alias("n_masked"),
+        F.concat(
+            sc["input_text"], F.lit(" "), sc["target_text"]
+        ).alias("__stream"),
+    )
+    counts = bpe_token_counts(f, F.col("doc_id"), F.col("__stream")).select(
+        F.col("key").alias("doc_id"),
+        F.col("bpe_tokens").alias("n_tokens"),
+    )
+    base = f.select("doc_id", "n_masked").join(counts, "doc_id")
+    return pack_sequences(
+        base,
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        budget=_PT_BUDGET,
+        shards=_PT_SHARDS,
+        salt="denoise",
+    ).orderBy("doc_id")
