@@ -1058,29 +1058,48 @@ def span_corrupt_cols(
     salt: str = "spanc",
 ) -> dict[str, Column]:
     """(n_tokens, n_masked, input_text, target_text) over a word
-    array. Pure row-local array expressions — no shuffle, no UDF."""
+    array. Pure row-local array expressions — no shuffle, no UDF.
+
+    HOF discipline (the operators/dedup.py cliff): the hash-derived
+    phase must NOT appear inside element lambdas — a captured
+    expression re-evaluates per ELEMENT, so the md5 phase would be
+    recomputed for every word in every output column (measured 5x on
+    the composed pipeline). Instead the span layout is built ONCE per
+    row as a mask array — ``array_repeat``/``sequence`` arguments are
+    row-level — encoding keep as −1, span-interior as −2, and a span
+    START as its sentinel index k; the lambdas then only read the
+    mask element."""
     from nutdb_spark.operators.sampling import hash_bucket
 
-    off = hash_bucket(doc_key, salt=salt, grain=stride)
-    rel = lambda i: i - off  # noqa: E731
-    started = lambda i: (i >= off) & (F.pmod(rel(i), stride) == 0)  # noqa: E731
-    inside = lambda i: (  # noqa: E731
-        (i >= off)
-        & (F.pmod(rel(i), stride) > 0)
-        & (F.pmod(rel(i), stride) < span)
+    n = F.size(words)
+    off = hash_bucket(doc_key, salt=salt, grain=stride).cast("int")
+    # blocks of `stride` slots: [k, -2 x (span-1), -1 x (stride-span)]
+    nblk = F.greatest(
+        F.ceil((n.cast("double") - off) / stride).cast("int"), F.lit(0)
     )
-    k = lambda i: (  # noqa: E731
-        (rel(i) - F.pmod(rel(i), stride)) / stride
-    ).cast("long")
-    sentinel = lambda i: F.concat(  # noqa: E731
-        F.lit("<extra_id_"), k(i).cast("string"), F.lit(">")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblk),
+        lambda b: F.concat(
+            F.array(b),
+            F.array_repeat(F.lit(-2), span - 1),
+            F.array_repeat(F.lit(-1), stride - span),
+        ),
+    )
+    mask = F.slice(
+        F.concat(F.array_repeat(F.lit(-1), off), F.flatten(blocks)),
+        1,
+        F.greatest(n, F.lit(0)),
+    )
+    sentinel = lambda m: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), m.cast("string"), F.lit(">")
     )
     inp = F.array_join(
         F.filter(
-            F.transform(
+            F.zip_with(
                 words,
-                lambda w, i: F.when(started(i), sentinel(i))
-                .when(inside(i), F.lit(""))
+                mask,
+                lambda w, m: F.when(m >= 0, sentinel(m))
+                .when(m == -2, F.lit(""))
                 .otherwise(w),
             ),
             lambda x: x != "",
@@ -1089,24 +1108,20 @@ def span_corrupt_cols(
     )
     tgt = F.array_join(
         F.filter(
-            F.transform(
+            F.zip_with(
                 words,
-                lambda w, i: F.when(
-                    started(i), F.concat(sentinel(i), F.lit(" "), w)
+                mask,
+                lambda w, m: F.when(
+                    m >= 0, F.concat(sentinel(m), F.lit(" "), w)
                 )
-                .when(inside(i), w)
+                .when(m == -2, w)
                 .otherwise(F.lit("")),
             ),
             lambda x: x != "",
         ),
         " ",
     )
-    n_masked = F.size(
-        F.filter(
-            F.transform(words, lambda w, i: started(i) | inside(i)),
-            lambda x: x,
-        )
-    ).cast("long")
+    n_masked = F.size(F.filter(mask, lambda m: m != -1)).cast("long")
     return {
         "n_tokens": F.size(words).cast("long"),
         "n_masked": n_masked,
