@@ -99,6 +99,72 @@ def dtw_distance(a: Column, b: Column) -> Column:
     ).otherwise(F.element_at(final, n + 1))
 
 
+def _dtw_batch_rows(batches):
+    """mapInPandas body for the DTW verify: the identical integer DP,
+    batched across pairs with NumPy int64 vector rows.
+
+    Same recurrence as :func:`dtw_distance`, vectorized over the pair
+    axis via the prefix-min reformulation of the inner row scan:
+    ``new[j] = c_j + min(prev[j+1], prev[j], new[j-1])`` unrolls to
+    ``new[j] = C_j + prefmin_j(min(prev[t], prev[t+1]) - C_{t-1})``
+    with ``C`` the prefix sum of the per-row costs — every operation
+    is exact int64 add/abs/min, so values are BIT-IDENTICAL to the
+    JVM fold and the DuckDB oracle (pinned against the reference
+    Python DP in tests/test_trajectory.py). Pairs are right-padded to
+    the batch max length; the DP is causal in both axes, so padding
+    cells never influence the ``(m_p, n_p)`` readout. Overflow-safe:
+    path cost <= 60·max|Δ| and the 2^62 boundary sentinel enters at
+    most one addition before a finite min, far under 2^63."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        P = len(pdf)
+        if P == 0:
+            continue
+        qv, cv = pdf["qv"].tolist(), pdf["v"].tolist()
+        m = np.fromiter((len(x) for x in qv), dtype=np.int64, count=P)
+        n = np.fromiter((len(x) for x in cv), dtype=np.int64, count=P)
+        res = np.zeros(P, dtype=np.int64)
+        alive = (m > 0) & (n > 0)
+        M = int(m.max(initial=0))
+        N = int(n.max(initial=0))
+        if M > 0 and N > 0:
+            A = np.zeros((P, M), dtype=np.int64)
+            B = np.zeros((P, N), dtype=np.int64)
+            for i, x in enumerate(qv):
+                A[i, : len(x)] = x
+            for i, y in enumerate(cv):
+                B[i, : len(y)] = y
+            inf = np.int64(DTW_INF)
+            prev = np.full((P, N + 1), inf, dtype=np.int64)
+            prev[:, 0] = 0
+            zeros = np.zeros((P, 1), dtype=np.int64)
+            for i in range(M):
+                c = np.abs(A[:, i : i + 1] - B)
+                csum = np.cumsum(c, axis=1)
+                cm1 = np.concatenate([zeros, csum[:, :-1]], axis=1)
+                d = np.minimum(prev[:, :-1], prev[:, 1:]) - cm1
+                pm = np.minimum.accumulate(d, axis=1)
+                new = np.empty((P, N + 1), dtype=np.int64)
+                new[:, 0] = inf
+                new[:, 1:] = csum + pm
+                prev = new
+                done = m == i + 1
+                if done.any():
+                    idx = np.nonzero(done)[0]
+                    res[idx] = prev[idx, n[idx]]
+        out = pd.DataFrame(
+            {
+                "qid": pdf["qid"],
+                "neighbor_id": pdf["neighbor_id"],
+                "dtw": pd.array(res, dtype="Int64"),
+            }
+        )
+        out.loc[~alive, "dtw"] = None
+        yield out
+
+
 def dtw_topk(
     series: DataFrame,
     *,
@@ -115,7 +181,18 @@ def dtw_topk(
     Returns (query_id, neighbor_id, dtw, rank) with the deterministic
     (dtw ASC, neighbor ASC) order. A neighbor outside the probed
     band is pruned by design — the recall/cost knob every blocked
-    similarity search in this engine exposes."""
+    similarity search in this engine exposes.
+
+    The O(m·n)-per-pair DP verify runs as ONE Arrow stage
+    (mapInPandas → :func:`_dtw_batch_rows`, the Jaccard/MinHash
+    one-Arrow-stage precedent): the Catalyst HOF fold evaluated the
+    ~900 inner lambdas per pair interpreted (~3.5 ms/pair — 20 s for
+    the 5.7k sf0.1 candidate pairs), while the batched NumPy DP runs
+    the identical int64 recurrence vectorized across the whole pair
+    axis (~30 vector ops per DP row). Only the four needed columns
+    cross the boundary (~0.5 KB/pair). Values are bit-identical —
+    integer arithmetic both sides, equivalence pinned in
+    tests/test_trajectory.py."""
     env = series.select(
         "user",
         "v",
@@ -132,9 +209,9 @@ def dtw_topk(
     )
     cand = queries.join(env, "b").filter(F.col("user") != F.col("qid"))
     scored = cand.select(
-        "qid",
-        F.col("user").alias("neighbor_id"),
-        dtw_distance(F.col("qv"), F.col("v")).alias("dtw"),
+        "qid", F.col("user").alias("neighbor_id"), "qv", "v"
+    ).mapInPandas(
+        _dtw_batch_rows, "qid long, neighbor_id long, dtw long"
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("dtw").asc(), F.col("neighbor_id").asc()

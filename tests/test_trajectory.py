@@ -65,6 +65,65 @@ def test_dtw_properties(spark):
     assert rows[2]["ab"] is None and rows[2]["ba"] is None
 
 
+def test_dtw_batch_matches_python_dp():
+    """The vectorized Arrow-stage DP (r13 optimization) must be
+    bit-identical to the reference Python DP on random ragged
+    batches, including empty-side NULLs."""
+    import pandas as pd
+
+    from nutdb_spark.operators.trajectory import _dtw_batch_rows
+
+    rng = random.Random(1313)
+    rows = []
+    for i in range(200):
+        a = [rng.randint(-1000, 1000) for _ in range(rng.randint(0, 12))]
+        b = [rng.randint(-1000, 1000) for _ in range(rng.randint(0, 12))]
+        rows.append((i, 1000 + i, a, b))
+    pdf = pd.DataFrame(rows, columns=["qid", "neighbor_id", "qv", "v"])
+    out = pd.concat(list(_dtw_batch_rows(iter([pdf]))))
+    got = [None if pd.isna(v) else int(v) for v in out["dtw"]]
+    want = [_py_dtw(a, b) for _, _, a, b in rows]
+    assert got == want
+
+
+def test_dtw_topk_matches_column_fold(spark):
+    """dtw_topk's Arrow verify must reproduce the original
+    dtw_distance column-fold plan row-for-row on a real fixture."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    series = user_value_series(
+        ev, "user_id", "event_id", "value", scale=100, max_len=30
+    )
+    got = dtw_topk(
+        series, n_queries=6, k=3, bucket_width=2000, probes=1
+    ).orderBy("query_id", "rank").collect()
+    env = series.select(
+        "user", "v",
+        F.expr("((array_min(v) + array_max(v)) div 2) div 2000").alias("b"),
+    )
+    qs = env.filter(F.col("user") < 6).select(
+        F.col("user").alias("qid"), F.col("v").alias("qv"),
+        F.explode(F.sequence(F.col("b") - 1, F.col("b") + 1)).alias("b"),
+    )
+    cand = qs.join(env, "b").filter(F.col("user") != F.col("qid"))
+    scored = cand.select(
+        "qid", F.col("user").alias("neighbor_id"),
+        dtw_distance(F.col("qv"), F.col("v")).alias("dtw"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dtw").asc(), F.col("neighbor_id").asc()
+    )
+    want = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "dtw", "rank")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert got == want
+
+
 def test_topk_plan_and_shape(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     series = user_value_series(
