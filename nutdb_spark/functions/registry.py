@@ -2016,7 +2016,20 @@ def _rank_corr(x: Column, y: Column) -> Column:
     exactly-rounded sqrt/division — bit-identical to a SQL-window
     oracle (2·rank() + tie_count − 1). collect_list per group: use
     per-entity groups (the bounded-state convention); the rank scan
-    is O(n²) per group, fine for entity-sized n."""
+    is O(n²) per group, fine for entity-sized n.
+
+    HOFs are CodegenFallback (interpreted), so the O(n²) rank arrays
+    are the whole cost. Three exactness-preserving reductions:
+    (1) each element's doubled rank is ONE fold (+2 below / +1 tie)
+    instead of two allocating filter()+size() passes; (2) Σu = Σv =
+    n(n+1) exactly (average ranks sum to n(n+1)/2 — ties included),
+    so the su/sv passes are a closed form, exact in double up to
+    n < 2²⁶; (3) u and v are LET-BOUND via a 1-element array
+    transform, so each O(n²) array is materialized once — referencing
+    the lambda variable re-reads data, never re-evaluates the tree
+    (expression references would: HOF subtrees get no CSE). Every
+    surviving sum folds the same integers in the same order as the
+    original lowering ⇒ bit-identical."""
     both = x.isNotNull() & y.isNotNull()
     pairs = F.collect_list(
         F.when(
@@ -2030,33 +2043,44 @@ def _rank_corr(x: Column, y: Column) -> Column:
     def ranks(arr, field):
         return F.transform(
             arr,
-            lambda p: (
-                F.lit(2)
-                * F.size(F.filter(arr, lambda q: q[field] < p[field]))
-                + F.size(F.filter(arr, lambda q: q[field] == p[field]))
-                + 1
+            lambda p: F.aggregate(
+                arr,
+                F.lit(1),
+                lambda acc, q: acc
+                + F.when(q[field] < p[field], F.lit(2))
+                .when(q[field] == p[field], F.lit(1))
+                .otherwise(F.lit(0)),
             ).cast("double"),
         )
 
-    u = ranks(pairs, "x")
-    v = ranks(pairs, "y")
     n = F.size(pairs).cast("double")
-    su = F.aggregate(u, F.lit(0.0), lambda a, t: a + t)
-    sv = F.aggregate(v, F.lit(0.0), lambda a, t: a + t)
-    suv = F.aggregate(
-        F.zip_with(u, v, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda a, t: a + t,
-    )
-    suu = F.aggregate(
-        F.transform(u, lambda t: t * t), F.lit(0.0), lambda a, t: a + t
-    )
-    svv = F.aggregate(
-        F.transform(v, lambda t: t * t), F.lit(0.0), lambda a, t: a + t
-    )
-    num = n * suv - su * sv
-    den = F.sqrt(n * suu - su * su) * F.sqrt(n * svv - sv * sv)
-    return F.try_divide(num, den)
+    s = n * (n + F.lit(1.0))  # Σ doubled ranks, exactly
+
+    def corr(b):
+        u, v = b["u"], b["v"]
+        suv = F.aggregate(
+            F.zip_with(u, v, lambda a, t: a * t),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        suu = F.aggregate(
+            F.transform(u, lambda t: t * t), F.lit(0.0), lambda a, t: a + t
+        )
+        svv = F.aggregate(
+            F.transform(v, lambda t: t * t), F.lit(0.0), lambda a, t: a + t
+        )
+        num = n * suv - s * s
+        den = F.sqrt(n * suu - s * s) * F.sqrt(n * svv - s * s)
+        return F.try_divide(num, den)
+
+    return F.transform(
+        F.array(
+            F.struct(
+                ranks(pairs, "x").alias("u"), ranks(pairs, "y").alias("v")
+            )
+        ),
+        corr,
+    )[0]
 
 
 AGGREGATE_FNS["rankCorr"] = _rank_corr

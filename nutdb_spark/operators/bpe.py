@@ -317,6 +317,26 @@ def oracle_bpe_token_count_text(
 # --- [EXT] distributed BPE TRAINING ------------------------------------------
 
 
+def _apply_one_merge(toks: Column, a: str, b: str) -> Column:
+    """One greedy-left glue pass of merge (a, b) over a token array —
+    the inner fold of ``bpe_word_tokens`` with the pair bound to
+    literals. Applying rounds' merges sequentially through this is
+    exactly ``bpe_word_tokens``'s rank-order outer fold unrolled."""
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (t == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text: Column,
@@ -334,20 +354,22 @@ def bpe_train(
     (continue training a committed vocab).
 
     Scale shape per round: the corpus-sized work happened ONCE (the
-    word-frequency groupBy, cached); each round folds the CURRENT
-    merge table over the vocabulary-sized word table (O(R·|word|) per
-    distinct word — the encode discipline), one pair explode + one
+    word-frequency groupBy); each round applies ONLY ITS OWN new merge
+    to the carried vocabulary-sized token state (one O(|t|) glue fold
+    per distinct word — sequential application of glue passes is
+    definitionally equal to re-folding the whole prefix from
+    characters, which the original implementation did at O(R·|word|)
+    PER ROUND, Σr = R²/2 total passes), one pair explode + one
     hash-groupBy over the pair space, and ONE driver-side row (the
-    argmax — the k-means bounded-collect precedent). Rounds re-fold
-    from characters against the cached frequency table instead of
-    stacking DataFrame lineage, so the plan depth stays flat across
-    rounds.
+    argmax — the k-means bounded-collect precedent). The state is
+    ``localCheckpoint(eager=False)``-ed per round, so lineage stays
+    one-merge deep and each round's pairs job materializes the new
+    state as a side effect.
 
     Training/encode consistency: ``bpe_word_tokens`` applies merges in
     rank order, which equals the trainer's min-rank iteration for any
-    prefix of a trained table — so round ``r`` can re-encode with the
-    ``r``-entry table and see exactly the token state the reference
-    trainer sees.
+    prefix of a trained table — so round ``r``'s carried state is
+    exactly the token state the reference trainer sees.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
@@ -356,38 +378,41 @@ def bpe_train(
         df.select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
-        .persist()
     )
-    try:
-        learned: list[tuple[str, str]] = list(merges_prefix)
-        out: list[tuple[str, str, int]] = []
-        for _ in range(n_merges):
-            toks = bpe_word_tokens(F.col("w"), tuple(learned))
-            wt = wf.select(F.col("f"), toks.alias("t"))
-            idx = F.when(
-                F.size("t") >= 2,
-                F.sequence(F.lit(1), F.size("t") - 1),
-            ).otherwise(F.array().cast("array<int>"))
-            pairs = wt.select("f", "t", F.explode(idx).alias("i")).select(
-                F.element_at("t", F.col("i")).alias("a"),
-                F.element_at("t", F.col("i") + 1).alias("b"),
-                "f",
-            )
-            best = (
-                pairs.groupBy("a", "b")
-                .agg(F.sum("f").cast("long").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break  # pair space exhausted (every word is one token)
-            row = best[0]
-            learned.append((row["a"], row["b"]))
-            out.append((row["a"], row["b"], row["cnt"]))
-        return out
-    finally:
-        wf.unpersist()
+    state = wf.select(
+        "f", bpe_word_tokens(F.col("w"), tuple(merges_prefix)).alias("t")
+    ).localCheckpoint(eager=False)
+    learned: list[tuple[str, str]] = list(merges_prefix)
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        idx = F.when(
+            F.size("t") >= 2,
+            F.sequence(F.lit(1), F.size("t") - 1),
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = state.select("f", "t", F.explode(idx).alias("i")).select(
+            F.element_at("t", F.col("i")).alias("a"),
+            F.element_at("t", F.col("i") + 1).alias("b"),
+            "f",
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # pair space exhausted (every word is one token)
+        row = best[0]
+        learned.append((row["a"], row["b"]))
+        out.append((row["a"], row["b"], row["cnt"]))
+        state = state.select(
+            "f",
+            _apply_one_merge(
+                F.col("t"), row["a"], row["b"]
+            ).alias("t"),
+        ).localCheckpoint(eager=False)
+    return out
 
 
 def oracle_bpe_train(n_merges: int, *, where: str = "TRUE") -> str:
