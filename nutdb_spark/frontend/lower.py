@@ -421,8 +421,9 @@ class Lowerer:
             # 'english' (the engine's English list).
             from nutdb_spark.operators.text import (
                 ENGLISH_STOPWORDS,
+                GOPHER_FIELDS,
                 GOPHER_STOPWORDS,
-                gopher_rules,
+                gopher_struct,
             )
 
             if len(fn.args) not in (3, 4) or not all(
@@ -439,9 +440,18 @@ class Lowerer:
                 raise LoweringError(
                     f"gopherQuality stoplist must be one of {sorted(lists)}"
                 )
-            g = gopher_rules(F.col(txc), stopwords=lists[which])
-            return self.resolve_table(tbl).select(
-                F.col(idc), *[c.alias(n2) for n2, c in g.items()]
+            # bind the struct once, then project fields (one
+            # tokenization per row — see operators/text.gopher_struct)
+            return (
+                self.resolve_table(tbl)
+                .withColumn(
+                    "__g",
+                    gopher_struct(F.col(txc), stopwords=lists[which]),
+                )
+                .select(
+                    F.col(idc),
+                    *[F.col("__g")[n2].alias(n2) for n2 in GOPHER_FIELDS],
+                )
             )
         if name == "dtwtopk":
             # [EXT] dtwTopK('table', 'user_col', 'order_col',

@@ -804,70 +804,141 @@ def gopher_rules(
 
     One projection over the scan — no shuffle, no UDF; at 100 TB this
     is the map-side gate in front of every downstream stage, which is
-    why every rule is a codegen'd expression."""
-    words = F.filter(tokenize(text), lambda t: F.length(t) > 0)
-    n_words = F.size(words).cast("long")
-    sum_len = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    why every rule is a codegen'd expression.
+
+    The dict values are all field reads of ONE let-bound struct
+    (``gopher_struct``): selecting a single field (the common
+    ``["passes"]`` gate) evaluates the tokenization exactly once.
+    Callers that project MANY fields should bind the struct to a
+    column first (``q_text_gopher``) — each dict value carries its
+    own copy of the struct tree."""
+    st = gopher_struct(
+        text, stopwords=stopwords, min_stop_hits=min_stop_hits
     )
-    n_hash_syms = F.regexp_count(text, F.lit(r"#")).cast("long")
-    n_ellipsis_syms = F.regexp_count(text, F.lit(r"\.\.\.")).cast("long")
-    n_symbols = n_hash_syms + n_ellipsis_syms
+    return {name: st[name] for name in GOPHER_FIELDS}
+
+
+GOPHER_FIELDS: tuple[str, ...] = (
+    "n_words",
+    "sum_word_len",
+    "n_symbols",
+    "n_lines",
+    "n_bullet_lines",
+    "n_ellipsis_lines",
+    "n_alpha_words",
+    "n_stop_hits",
+    "ok_words",
+    "ok_mean_len",
+    "ok_symbol",
+    "ok_bullet",
+    "ok_ellipsis",
+    "ok_alpha",
+    "ok_stop",
+    "passes",
+)
+
+
+def gopher_struct(
+    text: Column,
+    *,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = GOPHER_MIN_STOPWORD_HITS,
+) -> Column:
+    """All of ``gopher_rules``'s counters + rule booleans + gate as
+    ONE struct column, with the word/line arrays LET-BOUND through a
+    1-element-array transform (the rankCorr binder idiom): the
+    original flat expressions referenced the tokenize subtree ~6× —
+    HOF subtrees are CodegenFallback and get no CSE, so every
+    reference re-split the document. Now each array and each counter
+    is evaluated once per row; the counters are bound by a second
+    nested transform so the rule comparisons read struct fields.
+    Identical arithmetic in identical order ⇒ bit-identical."""
+    words = F.filter(tokenize(text), lambda t: F.length(t) > 0)
     lines = F.filter(
         F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0
     )
-    n_lines = F.size(lines).cast("long")
-    n_bullet = F.size(
-        F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))
-    ).cast("long")
-    n_ellipsis = F.size(
-        F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))
-    ).cast("long")
-    n_alpha = F.size(
-        F.filter(words, lambda t: t.rlike(r"[A-Za-z]"))
-    ).cast("long")
-    lowered = F.transform(words, F.lower)
-    n_stop = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in stopwords]),
-            lambda s: F.array_contains(lowered, s),
+    # regexp_count scalars are cheap leaf expressions — no binding
+    n_hash_syms = F.regexp_count(text, F.lit(r"#")).cast("long")
+    n_ellipsis_syms = F.regexp_count(text, F.lit(r"\.\.\.")).cast("long")
+
+    def counters(b):
+        w, l = b["w"], b["l"]
+        lowered = F.transform(w, F.lower)
+        return F.struct(
+            F.size(w).cast("long").alias("n_words"),
+            F.aggregate(
+                w, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ).alias("sum_len"),
+            n_hash_syms.alias("n_hash"),
+            n_ellipsis_syms.alias("n_ell_syms"),
+            F.size(l).cast("long").alias("n_lines"),
+            F.size(F.filter(l, lambda x: x.rlike(r"^\s*[-*]")))
+            .cast("long")
+            .alias("n_bullet"),
+            F.size(F.filter(l, lambda x: x.rlike(r"\.\.\.\s*$")))
+            .cast("long")
+            .alias("n_ellipsis"),
+            F.size(F.filter(w, lambda t: t.rlike(r"[A-Za-z]")))
+            .cast("long")
+            .alias("n_alpha"),
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(s) for s in stopwords]),
+                    lambda s: F.array_contains(lowered, s),
+                )
+            )
+            .cast("long")
+            .alias("n_stop"),
         )
-    ).cast("long")
-    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-    ok_mean_len = (
-        sum_len >= F.lit(GOPHER_MIN_MEAN_WORD_LEN) * n_words
-    ) & (sum_len <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * n_words)
-    ok_symbol = (F.lit(10) * n_hash_syms <= n_words) & (
-        F.lit(10) * n_ellipsis_syms <= n_words
-    )
-    ok_bullet = F.lit(10) * n_bullet <= F.lit(9) * n_lines
-    ok_ellipsis = F.lit(10) * n_ellipsis <= F.lit(3) * n_lines
-    ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
-    ok_stop = n_stop >= min_stop_hits
-    return {
-        "n_words": n_words,
-        "sum_word_len": sum_len,
-        "n_symbols": n_symbols,
-        "n_lines": n_lines,
-        "n_bullet_lines": n_bullet,
-        "n_ellipsis_lines": n_ellipsis,
-        "n_alpha_words": n_alpha,
-        "n_stop_hits": n_stop,
-        "ok_words": ok_words,
-        "ok_mean_len": ok_mean_len,
-        "ok_symbol": ok_symbol,
-        "ok_bullet": ok_bullet,
-        "ok_ellipsis": ok_ellipsis,
-        "ok_alpha": ok_alpha,
-        "ok_stop": ok_stop,
-        "passes": ok_words
-        & ok_mean_len
-        & ok_symbol
-        & ok_bullet
-        & ok_ellipsis
-        & ok_alpha
-        & ok_stop,
-    }
+
+    def finish(c):
+        n_words = c["n_words"]
+        ok_words = (n_words >= GOPHER_MIN_WORDS) & (
+            n_words <= GOPHER_MAX_WORDS
+        )
+        ok_mean_len = (
+            c["sum_len"] >= F.lit(GOPHER_MIN_MEAN_WORD_LEN) * n_words
+        ) & (c["sum_len"] <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * n_words)
+        ok_symbol = (F.lit(10) * c["n_hash"] <= n_words) & (
+            F.lit(10) * c["n_ell_syms"] <= n_words
+        )
+        ok_bullet = F.lit(10) * c["n_bullet"] <= F.lit(9) * c["n_lines"]
+        ok_ellipsis = (
+            F.lit(10) * c["n_ellipsis"] <= F.lit(3) * c["n_lines"]
+        )
+        ok_alpha = F.lit(5) * c["n_alpha"] >= F.lit(4) * n_words
+        ok_stop = c["n_stop"] >= min_stop_hits
+        return F.struct(
+            n_words.alias("n_words"),
+            c["sum_len"].alias("sum_word_len"),
+            (c["n_hash"] + c["n_ell_syms"]).alias("n_symbols"),
+            c["n_lines"].alias("n_lines"),
+            c["n_bullet"].alias("n_bullet_lines"),
+            c["n_ellipsis"].alias("n_ellipsis_lines"),
+            c["n_alpha"].alias("n_alpha_words"),
+            c["n_stop"].alias("n_stop_hits"),
+            ok_words.alias("ok_words"),
+            ok_mean_len.alias("ok_mean_len"),
+            ok_symbol.alias("ok_symbol"),
+            ok_bullet.alias("ok_bullet"),
+            ok_ellipsis.alias("ok_ellipsis"),
+            ok_alpha.alias("ok_alpha"),
+            ok_stop.alias("ok_stop"),
+            (
+                ok_words
+                & ok_mean_len
+                & ok_symbol
+                & ok_bullet
+                & ok_ellipsis
+                & ok_alpha
+                & ok_stop
+            ).alias("passes"),
+        )
+
+    return F.transform(
+        F.array(F.struct(words.alias("w"), lines.alias("l"))),
+        lambda b: F.transform(F.array(counters(b)), finish)[0],
+    )[0]
 
 
 def oracle_gopher(

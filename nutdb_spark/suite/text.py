@@ -1592,11 +1592,21 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     default; the rule is corpus-language-dependent by design and the
     fixture vocabulary contains only 'the' from the published list,
     which would pin ok_stop — and the gate — constant-false)."""
-    from nutdb_spark.operators.text import ENGLISH_STOPWORDS, gopher_rules
+    from nutdb_spark.operators.text import (
+        ENGLISH_STOPWORDS,
+        GOPHER_FIELDS,
+        gopher_struct,
+    )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    g = gopher_rules(F.col("text"), stopwords=ENGLISH_STOPWORDS)
-    return d.select("doc_id", *[c.alias(n) for n, c in g.items()])
+    # bind the struct to a column FIRST: 16 projected fields over one
+    # evaluation (CollapseProject keeps the two projections apart for
+    # non-cheap producers, so the struct is materialized once per row)
+    return d.withColumn(
+        "__g", gopher_struct(F.col("text"), stopwords=ENGLISH_STOPWORDS)
+    ).select(
+        "doc_id", *[F.col("__g")[n].alias(n) for n in GOPHER_FIELDS]
+    )
 
 
 def _dsir_oracle_sql() -> str:
