@@ -1428,6 +1428,56 @@ def incremental_exact_dedup_tombstone(
     return survivors.drop("__key"), new_entries, index
 
 
+def _rebuild_uncovered(
+    docs: DataFrame, occ: DataFrame, rep: DataFrame, k: int
+) -> DataFrame:
+    """Shared span rebuild for the repeated-ngrams family: given the
+    tokenized documents ``(doc_id, toks)``, the k-gram occurrence
+    list ``(doc_id, s, gram)`` and the over-threshold grams
+    ``rep(gram)``, emit (doc_id, n_words, n_removed, clean_text).
+
+    Duplicated-gram START positions are collected per document (one
+    gram equi-join + one doc-keyed groupBy) and the kept words are an
+    index-aware ``filter`` over the token array: position p survives
+    iff no duplicated gram starts in (p-k, p]. This replaces the
+    original explode([s, s+k-1]) → DISTINCT → per-word anti-join →
+    re-sorting groupBy pipeline: three exchanges fewer, and the
+    per-WORD exchange (every corpus word shuffled as its own row)
+    disappears — only start-position ints and each document's token
+    array (once) cross the wire. Per-document compute is
+    O(n_toks · n_dup_starts) interpreted lambda steps, bounded by the
+    module's single-document contract. The coverage set (union of
+    [s, s+k-1] membership) and the rebuild order (original word
+    order) are definitionally the old ones, so output is identical.
+    """
+    starts = (
+        occ.join(rep, "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("__ss"))
+    )
+    ss = F.coalesce(F.col("__ss"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda w, i: ~F.exists(
+            ss, lambda s: (s <= i + 1) & (i + 1 <= s + (k - 1))
+        ),
+    )
+    n_words = F.size("toks").cast("long")
+    # two projections: __kept is referenced twice downstream and the
+    # filter HOF gets no CSE, so bind it once (CollapseProject keeps
+    # non-cheap multi-referenced producers apart)
+    return (
+        docs.join(starts, "doc_id", "left")
+        .select("doc_id", "toks", kept.alias("__kept"))
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            (n_words - F.size("__kept")).cast("long").alias("n_removed"),
+            F.array_join("__kept", " ").alias("clean_text"),
+        )
+    )
+
+
 def dedup_repeated_ngrams(
     df: DataFrame,
     id_col: str,
@@ -1459,10 +1509,11 @@ def dedup_repeated_ngrams(
     Scale shape: the k-gram occurrence list is an explode (k× the
     corpus words — the published method pays the same suffix blow-up
     on disk); the frequency table is one hash-groupBy on the gram;
-    coverage is an equi-join back plus a DISTINCT on (doc, position);
-    reassembly is one per-document sort — bounded by a single
-    document, the per-group contract shared with dedup_spans. No
-    Python anywhere; every stage is codegen'd.
+    coverage is an equi-join back whose duplicated START positions
+    are collected per document; reassembly is an index-aware filter
+    over the token array — bounded by a single document, the
+    per-group contract shared with dedup_spans. No Python anywhere;
+    every stage is codegen'd or a catalyst HOF.
     """
     from nutdb_spark.operators.text import ngrams, tokenize
 
@@ -1470,11 +1521,11 @@ def dedup_repeated_ngrams(
         F.col(id_col).alias("doc_id"),
         F.filter(
             tokenize(F.col(text_col)), lambda t: F.length(t) > 0
-        ).alias("__toks"),
+        ).alias("toks"),
     )
     occ = base.select(
         "doc_id",
-        F.posexplode(ngrams(F.col("__toks"), k)).alias("pos0", "gram"),
+        F.posexplode(ngrams(F.col("toks"), k)).alias("pos0", "gram"),
     ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
     rep = (
         occ.groupBy("gram")
@@ -1482,42 +1533,7 @@ def dedup_repeated_ngrams(
         .filter(F.col("__n") > max_freq)
         .select("gram")
     )
-    covered = (
-        occ.join(rep, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
-            ).alias("p"),
-        )
-        .distinct()
-    )
-    wordpos = base.select(
-        "doc_id", F.posexplode("__toks").alias("pos0", "w")
-    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "w")
-    kept = wordpos.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    return (
-        base.select("doc_id", F.size("__toks").cast("long").alias("n_words"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            (
-                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
-            ).cast("long").alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
-    )
+    return _rebuild_uncovered(base, occ, rep, k)
 
 
 def oracle_dedup_repeated_ngrams(
@@ -1690,45 +1706,8 @@ def incremental_repeated_ngrams(
 
     occ_t = occ_all.join(touched, "doc_id")
     rep = new_cnt.filter(F.col("cnt") > max_freq).select("gram")
-    covered = (
-        occ_t.join(rep, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
-            ).alias("p"),
-        )
-        .distinct()
-    )
     docs_t = docs_all.join(touched, "doc_id")
-    wordpos = docs_t.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "w")
-    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "w")
-    kept = wordpos.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    cleaned = (
-        docs_t.select(
-            "doc_id", F.size("toks").cast("long").alias("n_words")
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            (
-                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
-            ).cast("long").alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
-    )
+    cleaned = _rebuild_uncovered(docs_t, occ_t, rep, k)
     return cleaned, new_occ, new_docs, new_cnt
 
 
@@ -1785,43 +1764,6 @@ def delete_repeated_ngrams(
 
     occ_t = new_occ.join(touched, "doc_id")
     rep = new_cnt.filter(F.col("cnt") > max_freq).select("gram")
-    covered = (
-        occ_t.join(rep, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
-            ).alias("p"),
-        )
-        .distinct()
-    )
     docs_t = new_docs.join(touched, "doc_id")
-    wordpos = docs_t.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "w")
-    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "w")
-    kept = wordpos.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    cleaned = (
-        docs_t.select(
-            "doc_id", F.size("toks").cast("long").alias("n_words")
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            (
-                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
-            ).cast("long").alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
-    )
+    cleaned = _rebuild_uncovered(docs_t, occ_t, rep, k)
     return cleaned, new_occ, new_docs, new_cnt

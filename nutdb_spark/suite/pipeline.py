@@ -632,8 +632,16 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_rules(F.col("text"), stopwords=ENGLISH_STOPWORDS)["passes"]
     ).select("doc_id", "text", "lang")
     spans = dedup_repeated_ngrams(gated, "doc_id", "text", k=8, max_freq=1)
-    cleaned = spans.join(gated.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "lang", "n_removed", "clean_text"
+    # cleaned fans out to THREE consumers (dsir_scores reads it 3x,
+    # the score join once, global_topk's histogram+candidate passes
+    # twice) — without a lineage cut the gate + 8-gram span stage
+    # re-executes per consumer (guide §5: localCheckpoint when an
+    # intermediate is reused and recomputing beats memory pressure).
+    # Runs inside the timed region; results are the same rows.
+    cleaned = (
+        spans.join(gated.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_removed", "clean_text")
+        .localCheckpoint()
     )
     scored = dsir_scores(
         cleaned, "doc_id", "clean_text", F.col("lang") == "en"
