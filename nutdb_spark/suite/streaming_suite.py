@@ -725,11 +725,28 @@ def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _STREAM_SRC_CACHE.get(("session", sf_dir))
     if src is None or not os.path.isdir(src):
         src = tempfile.mkdtemp(prefix="q_stream_session_src_") + "/src"
+        # feed order pinned with explicit mtime stamps (the
+        # _stream_join_matrix_src idiom) instead of sleep(1.1)
+        # spacing — deterministic AND free (4.4 s of build sleep gone)
+        seen: set[str] = set()
+        t0 = _time.time() - 3600
+        step = 0
+
+        def _stamp() -> None:
+            nonlocal step
+            stamp = t0 + 10 * step
+            for f in os.listdir(src):
+                p = os.path.join(src, f)
+                if f.startswith("part-") and p not in seen:
+                    os.utime(p, (stamp, stamp))
+                    seen.add(p)
+            step += 1
+
         for parity in (0, 1):
             ev.filter(F.col("user_id") % 2 == parity).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
-            _time.sleep(1.1)
+            _stamp()
         import datetime as _dt
 
         far = ev.select(
@@ -741,7 +758,7 @@ def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 schema=ev.schema,
             )
             sent.coalesce(1).write.mode("append").parquet(src)
-            _time.sleep(1.1)
+            _stamp()
         _STREAM_SRC_CACHE[("session", sf_dir)] = src
     stream = (
         spark.readStream.schema(ev.schema)
@@ -845,8 +862,12 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["c"]
         early = ev.filter(F.unix_micros("ts") <= cutoff)
         late = ev.filter(F.unix_micros("ts") > cutoff)
+        # feed order pinned with mtime stamps, not sleep(1.1) spacing
         early.coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(1.1)
+        t0 = _time.time() - 3600
+        for f in os.listdir(src):
+            if f.startswith("part-"):
+                os.utime(os.path.join(src, f), (t0, t0))
         late.coalesce(1).write.mode("append").parquet(src)
         _STREAM_SRC_CACHE[("cusum", sf_dir)] = src
     stream = (
