@@ -99,17 +99,45 @@ def _merges_lit(merges: tuple[tuple[str, str], ...]) -> Column:
     )
 
 
-def bpe_word_tokens(
-    word: Column, merges: tuple[tuple[str, str], ...] = BPE_MERGES
-) -> Column:
-    """Token array for ONE pre-tokenized word: chars, then every merge
-    in rank order as a left-to-right greedy adjacent-pair fold.
+# --- separator-string encode (the fast path) ---------------------------------
+#
+# A token array [t1, t2, ...] is represented as the NUL-separated
+# string "\0t1\0t2\0"; applying one greedy-left merge (a, b) is then a
+# single native regexp_replace of "\0a\0b" (with a LOOKAHEAD "(?=\0)"
+# boundary check, so the shared trailing separator is not consumed and
+# a run like [a,a,a,a] still merges pairwise left-to-right exactly as
+# the fold does). The whole R-merge encode becomes R nested
+# regexp_replace nodes — codegen'd, zero interpreted lambda steps —
+# instead of the O(R·len²) CodegenFallback double-fold. Guards keep
+# general correctness: a token that CONTAINS the separator (a literal
+# NUL in the input, only reachable via single-char non-alnum words) or
+# a merge table carrying one falls back to the fold per row.
 
-    Outer fold: over the merge table (acc = token array). Inner fold:
-    rebuild the token array, gluing the current token onto the
-    previous one when they spell the pair — greedy-left, so a run
-    'aaa' under ('a','a') gives ['aa','a'], matching the trainer's
-    simultaneous left-to-right replacement."""
+_SEP = "\x00"
+
+
+def _merge_patterns(
+    merges: tuple[tuple[str, str], ...],
+) -> list[tuple[str, str]]:
+    import re as _re
+
+    return [
+        (
+            _re.escape(_SEP + a + _SEP + b) + "(?=" + _re.escape(_SEP) + ")",
+            _SEP + a + b,
+        )
+        for a, b in merges
+    ]
+
+
+def _sep_ok(merges: tuple[tuple[str, str], ...]) -> bool:
+    return all(_SEP not in a and _SEP not in b for a, b in merges)
+
+
+def _fold_word_tokens(
+    word: Column, merges: tuple[tuple[str, str], ...]
+) -> Column:
+    """The original general-path nested fold (see bpe_word_tokens)."""
     chars = F.split(word, "")
     if not merges:  # empty table (training round 0): chars verbatim
         return chars
@@ -136,16 +164,47 @@ def bpe_word_tokens(
     )
 
 
+def bpe_word_tokens(
+    word: Column, merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> Column:
+    """Token array for ONE pre-tokenized word: chars, then every merge
+    in rank order as a left-to-right greedy adjacent-pair fold —
+    greedy-left, so a run 'aaa' under ('a','a') gives ['aa','a'],
+    matching the trainer's simultaneous left-to-right replacement.
+
+    Stays on the fold: for single-WORD inputs (≤ ~10 chars) the
+    per-call overhead of R regexp passes exceeds the fold — measured
+    both ways (q_text_token_ids 3.7 → 6.6 s under the regex path);
+    the separator-string chain wins only at text granularity
+    (``bpe_tokens_text``)."""
+    return _fold_word_tokens(word, merges)
+
+
 def bpe_tokens_text(
     text: Column, merges: tuple[tuple[str, str], ...] = BPE_MERGES
 ) -> Column:
-    """Full-text encode: pre-tokenize, fold every word, flatten.
-    O(R·len) per ROW — fixture/short-string use; at corpus scale use
-    ``encode_distinct_words`` + join instead."""
+    """Full-text encode: pre-tokenize, merge every word, flatten.
+    The separator-string fast path runs ONE regexp chain over the
+    whole row (words joined by a DOUBLE separator, which no merge
+    pattern can bridge), so per-row cost is R native string passes;
+    rows containing NUL take the per-word fold path. At corpus scale
+    still prefer ``encode_distinct_words`` + join."""
     words = F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
-    return F.flatten(
-        F.transform(words, lambda w: bpe_word_tokens(w, merges))
+    fold_all = F.flatten(
+        F.transform(words, lambda w: _fold_word_tokens(w, merges))
     )
+    if not merges or not _sep_ok(merges):
+        return fold_all
+    per_word = F.transform(
+        words, lambda w: F.concat_ws(_SEP, F.split(w, ""))
+    )
+    s = F.concat(
+        F.lit(_SEP), F.array_join(per_word, _SEP + _SEP), F.lit(_SEP)
+    )
+    for pat, rep in _merge_patterns(merges):
+        s = F.regexp_replace(s, F.lit(pat), F.lit(rep))
+    fast = F.filter(F.split(s, _SEP), lambda t: t != F.lit(""))
+    return F.when(text.contains(_SEP), fold_all).otherwise(fast)
 
 
 def bpe_token_count_text(
@@ -321,7 +380,11 @@ def _apply_one_merge(toks: Column, a: str, b: str) -> Column:
     """One greedy-left glue pass of merge (a, b) over a token array —
     the inner fold of ``bpe_word_tokens`` with the pair bound to
     literals. Applying rounds' merges sequentially through this is
-    exactly ``bpe_word_tokens``'s rank-order outer fold unrolled."""
+    exactly ``bpe_word_tokens``'s rank-order outer fold unrolled.
+
+    Stays on the fold: the trainer's token arrays are single-word
+    (short), where the separator-string regexp pass measured slower
+    than the glue (q_bpe_train 5.4 → 6.4 s under it)."""
     return F.aggregate(
         toks,
         F.array().cast("array<string>"),

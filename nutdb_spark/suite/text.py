@@ -1057,7 +1057,7 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from nutdb_spark.operators.bpe import (  # noqa: E402
     bpe_token_counts,
-    bpe_tokens_text,
+    bpe_word_tokens,
     oracle_bpe_token_count_text,
     oracle_bpe_tokens_text,
     oracle_bpe_tokens_word,
@@ -1106,7 +1106,10 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)
     vocab = encode_distinct_words(d, F.col("text")).select(
         "word",
-        bpe_tokens_text(F.col("word")).alias("__toks"),
+        # word-level fold, not the text-level regex chain: vocab rows
+        # ARE single _WORD_RE matches, for which pre-tokenization is
+        # the identity — bit-identical and cheaper on short strings
+        bpe_word_tokens(F.col("word")).alias("__toks"),
     )
     sample = (
         d.select(
