@@ -1127,21 +1127,33 @@ def _map_reduce_agg(reducer: Callable[[Column], Column]) -> ScalarFn:
     def f(keys: Column, vals: Column) -> Column:
         pair = F.arrays_zip(keys.alias("k"), vals.alias("v"))
         flat = F.flatten(F.collect_list(pair))
-        dk = F.array_sort(
-            F.array_distinct(F.transform(flat, lambda s: s["k"]))
-        )
-        return F.map_from_arrays(
-            dk,
-            F.transform(
-                dk,
-                lambda key: reducer(
-                    F.transform(
-                        F.filter(flat, lambda s: s["k"] == key),
-                        lambda s: s["v"],
+        # let-bind flat THEN dk (the binder idiom): flat was referenced
+        # once per distinct key and dk twice — HOF subtrees get no CSE,
+        # so each reference re-flattened the whole group's pair list
+        return F.transform(
+            F.array(flat),
+            lambda fl: F.transform(
+                F.array(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.transform(fl, lambda s: s["k"])
+                        )
                     )
                 ),
-            ),
-        )
+                lambda dk: F.map_from_arrays(
+                    dk,
+                    F.transform(
+                        dk,
+                        lambda key: reducer(
+                            F.transform(
+                                F.filter(fl, lambda s: s["k"] == key),
+                                lambda s: s["v"],
+                            )
+                        ),
+                    ),
+                ),
+            )[0],
+        )[0]
 
     return f
 
