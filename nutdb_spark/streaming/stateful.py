@@ -63,7 +63,29 @@ def _dedup_fn(
 
 
 def streaming_dedup(events: DataFrame) -> DataFrame:
-    """Stateful exact dedup by (user_id, event_id) over a stream."""
+    """Stateful exact dedup by (user_id, event_id) over a stream —
+    first occurrence wins, state lives for the stream's lifetime.
+
+    Implemented on the NATIVE streaming ``dropDuplicates`` (JVM state
+    store): the original ``applyInPandasWithState`` form
+    (``_dedup_fn``, kept for the family's tests) computed the same
+    first-seen set but paid one Arrow-boundary pandas frame per user
+    per micro-batch — pure per-group Python overhead for an exact
+    equality dedup the engine has a keyed-state primitive for. Same
+    rows out (first occurrence, batch order), same unbounded-state
+    semantics as GroupStateTimeout.NoTimeout; at 100 TB the JVM path
+    also drops the per-user Python state ser/deser from the critical
+    path. The Python-state showcase family stays exercised by
+    running_totals / streaming_funnel / cusum_alerts."""
+    return events.select("user_id", "event_id", "value").dropDuplicates(
+        ["user_id", "event_id"]
+    )
+
+
+def streaming_dedup_python(events: DataFrame) -> DataFrame:
+    """The original applyInPandasWithState form of
+    :func:`streaming_dedup` (identical output), kept as the equivalence
+    pin for the native rewrite."""
     return (
         events.select("user_id", "event_id", "value")
         .groupBy("user_id")

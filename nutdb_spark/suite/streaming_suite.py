@@ -309,7 +309,8 @@ def _stream_join_run(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch stateful dedup: the events fixture is written TWICE
     as two files and streamed one file per micro-batch through
-    `streaming_dedup` (applyInPandasWithState) — batch 2 is 100%
+    `streaming_dedup` (native streaming dropDuplicates — JVM keyed
+    state) — batch 2 is 100%
     duplicates and must be dropped by per-key state, so the output
     equals the distinct original (event ids are unique in the fixture;
     the oracle is a plain projection). This is the one operator family

@@ -317,3 +317,47 @@ def test_cusum_alerts_hand_computed(spark, tmp_path):
     assert (final["seen"], final["n_alerts"], final["s"]) == (8, 1, 10)
     mid = min(emitted, key=lambda r: r["seen"])
     assert (mid["seen"], mid["n_alerts"], mid["s"]) == (4, 0, 20)
+
+
+def test_streaming_dedup_native_matches_python_state(spark, sf_dir):
+    """The native dropDuplicates rewrite of streaming_dedup must emit
+    exactly the rows of the original applyInPandasWithState form on a
+    duplicate-heavy two-batch replay (the equivalence pin for the r13
+    rewrite)."""
+    import tempfile
+
+    from nutdb_spark.sources import load_table
+    from nutdb_spark.streaming.stateful import (
+        streaming_dedup,
+        streaming_dedup_python,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    src = tempfile.mkdtemp(prefix="dedup_eq_src_") + "/src"
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # 100% dup batch
+
+    def run(build, name):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    native = run(streaming_dedup, "dedup_eq_native")
+    python = run(streaming_dedup_python, "dedup_eq_python")
+    assert native.count() == python.count()
+    assert native.exceptAll(python).count() == 0
+    assert python.exceptAll(native).count() == 0
