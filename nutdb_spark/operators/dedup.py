@@ -760,26 +760,32 @@ def connected_components(
                 F.col("__id").alias("__d"), F.col("__root").alias("__nr")
             ),
             "__d",
-        ).select(F.col("__s").alias("__id"), F.col("__nr").alias("__root"))
+        ).select(
+            F.col("__s").alias("__id"),
+            F.col("__nr").alias("__root"),
+            F.lit(False).alias("__self"),
+        )
+        # the self-contribution row is flagged, so the PREVIOUS label
+        # (max over the when ⇒ the one self row's root, typed like the
+        # ids) and min(new) fall out of the SAME aggregate — no
+        # per-round join of new-vs-old labels for the convergence
+        # test; min includes self ⇒ __root ≤ __old, strict < = changed
         new = (
-            labels.unionByName(via)
+            labels.withColumn("__self", F.lit(True))
+            .unionByName(via)
             .groupBy("__id")
-            .agg(F.min("__root").alias("__root"))
+            .agg(
+                F.min("__root").alias("__root"),
+                F.max(
+                    F.when(F.col("__self"), F.col("__root"))
+                ).alias("__old"),
+            )
             # lazy: the `improved` count below materializes it, one
             # Spark job per round instead of two.
             .localCheckpoint(eager=False)
         )
-        improved = (
-            new.join(
-                labels.select(
-                    F.col("__id"), F.col("__root").alias("__old")
-                ),
-                "__id",
-            )
-            .filter(F.col("__root") < F.col("__old"))
-            .count()
-        )
-        labels = new
+        improved = new.filter(F.col("__root") < F.col("__old")).count()
+        labels = new.select("__id", "__root")
         rounds += 1
         if improved == 0:
             break

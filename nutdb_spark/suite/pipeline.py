@@ -394,6 +394,10 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for p in band_dirs
             ],
         )
+        # cut the batch's lineage once: the state writes above already
+        # executed the quality/shingle work; without this the final
+        # groupBy re-runs BOTH batches' full dedup pipelines (guide §5)
+        s2 = s2.localCheckpoint()
         out = s2 if out is None else out.unionByName(s2)
     return out.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
