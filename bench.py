@@ -69,6 +69,15 @@ def _entry_hygiene(spark) -> None:
         spark.streams.resetTerminated()
         spark.catalog.clearCache()
         spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        # drop the PREVIOUS entries' py4j handles so the JVM
+        # ContextCleaner can release their localCheckpoint/persist
+        # blocks and broadcasts — without this a 391-entry pass ages
+        # the JVM (late entries read 2-4x their fresh-JVM cost; the
+        # round-13 "measurement notes" reproduction). Runs BETWEEN
+        # entries, outside every timed region.
+        import gc
+
+        gc.collect()
     except Exception:  # noqa: BLE001 — hygiene must never fail a bench
         pass
 

@@ -821,6 +821,167 @@ class Lowerer:
             if getattr(j, "on", None) is not None:
                 j.on = self._subst_expr(j.on, bound)
 
+    # scalar generators whose per-row value must not be shared between
+    # occurrences (and must never be collapsed): never CSE a subtree
+    # containing one
+    _CSE_NONDET = frozenset(
+        {
+            "rand",
+            "rand64",
+            "randcanonical",
+            "randuniform",
+            "randnormal",
+            "random",
+            "uuid",
+            "generateuuidv4",
+            "now",
+            "today",
+            "yesterday",
+        }
+    )
+
+    @staticmethod
+    def _ast_children(node):
+        for f in node.__dataclass_fields__:
+            v = getattr(node, f)
+            if hasattr(v, "__dataclass_fields__"):
+                yield v
+            elif isinstance(v, list):
+                for x in v:
+                    if isinstance(x, tuple):
+                        for y in x:
+                            if hasattr(y, "__dataclass_fields__"):
+                                yield y
+                    elif hasattr(x, "__dataclass_fields__"):
+                        yield x
+
+    def _bind_common_subexprs(self, sel_items, base, scope):
+        """[OPT r13] Common-subexpression binding for plain
+        (non-aggregate, non-window) projections: a deterministic
+        FnCall subtree that appears ≥2 times across the select list
+        lowers ONCE into a temp column and every occurrence becomes a
+        column reference. Catalyst's own subexpression elimination
+        covers codegen'd expressions but NOT CodegenFallback trees
+        (higher-order folds — exactly the engine's expensive scalars),
+        so e.g. ``geohashDecode(1, geohashEncode(...))`` alongside
+        ``geohashEncode(...)`` re-ran the 30-step bisection fold per
+        reference (guide §4.1/§7.2: duplicated subtrees).
+
+        Operates on DEEPCOPIES (the AST may be re-lowered by
+        recursive-CTE rounds) keyed by the dialect printer's text;
+        skips the pass entirely when the select list carries
+        wildcards/COLUMNS() (a bound temp column would leak into
+        ``*``) or window calls (separate lowering machinery), and
+        never keys subtrees inside lambda bodies, containing
+        subqueries, or containing nondeterministic generators."""
+        import copy as _copy
+
+        from nutdb_spark.frontend import printer as _P
+
+        for e, _a in sel_items:
+            blockers = [e]
+            while blockers:
+                n = blockers.pop()
+                if isinstance(n, (A.Wildcard, A.WindowCall)):
+                    return sel_items, base
+                if (
+                    isinstance(n, A.FnCall)
+                    and n.name.lower() == "columns"
+                ):
+                    return sel_items, base
+                blockers.extend(self._ast_children(n))
+
+        _SUBQ = (A.ScalarSubquery, A.Exists, A.InSubquery, A.QuantCompare)
+
+        def collect(n, counts, reps, in_lambda):
+            """Post-order walk; returns False if the subtree must not
+            be keyed (subquery / nondet inside)."""
+            if isinstance(n, _SUBQ):
+                return False
+            if isinstance(n, A.Lambda):
+                for c in self._ast_children(n):
+                    collect(c, counts, reps, True)
+                return True  # self-contained: doesn't poison parents
+            clean = True
+            for c in self._ast_children(n):
+                if not collect(c, counts, reps, in_lambda):
+                    clean = False
+            if isinstance(n, A.FnCall):
+                if n.name.lower() in self._CSE_NONDET:
+                    return False
+                if clean and not in_lambda:
+                    try:
+                        k = _P.expr(n)
+                    except Exception:  # noqa: BLE001 — unprintable: skip
+                        return clean
+                    counts[k] = counts.get(k, 0) + 1
+                    reps.setdefault(k, n)
+            return clean
+
+        def subst(n, key, name):
+            if isinstance(n, (A.Lambda, *_SUBQ)):
+                return n
+            if isinstance(n, A.FnCall):
+                try:
+                    if _P.expr(n) == key:
+                        return A.Ident(name=name)
+                except Exception:  # noqa: BLE001
+                    pass
+            if not hasattr(n, "__dataclass_fields__"):
+                return n
+            for f in n.__dataclass_fields__:
+                v = getattr(n, f)
+                if hasattr(v, "__dataclass_fields__"):
+                    setattr(n, f, subst(v, key, name))
+                elif isinstance(v, list):
+                    setattr(
+                        n,
+                        f,
+                        [
+                            tuple(
+                                subst(y, key, name)
+                                if hasattr(y, "__dataclass_fields__")
+                                else y
+                                for y in x
+                            )
+                            if isinstance(x, tuple)
+                            else (
+                                subst(x, key, name)
+                                if hasattr(x, "__dataclass_fields__")
+                                else x
+                            )
+                            for x in v
+                        ],
+                    )
+            return n
+
+        items = None
+        for _ in range(8):  # largest-first, re-counted per round
+            probe = items if items is not None else sel_items
+            counts: dict = {}
+            reps: dict = {}
+            for e, _a in probe:
+                collect(e, counts, reps, False)
+            cands = [
+                k
+                for k, c in counts.items()
+                if c >= 2 and len(k) >= 20
+            ]
+            if not cands:
+                break
+            key = max(cands, key=len)
+            if items is None:
+                items = [
+                    (_copy.deepcopy(e), a) for e, a in sel_items
+                ]
+            tmp = f"__cse{len(base.columns)}_{abs(hash(key)) % 10**6}"
+            col, base = self._expr_with_scalars(
+                reps[key], base, scope, {}, []
+            )
+            base = base.withColumn(tmp, col)
+            items = [(subst(e, key, tmp), a) for e, a in items]
+        return (items if items is not None else sel_items), base
+
     def _subst_expr(self, node, bound: dict):
         import copy as _copy
 
@@ -914,7 +1075,10 @@ class Lowerer:
                 step = step.toDF(*acc.columns)
                 if distinct:
                     step = step.distinct().subtract(acc)
-                delta = step.localCheckpoint(eager=True)
+                # lazy: the isEmpty() below materializes+caches it —
+                # one Spark job per round instead of two (the
+                # bpe_train checkpoint discipline)
+                delta = step.localCheckpoint(eager=False)
                 if delta.isEmpty():
                     return acc
                 # deltas are checkpointed, so the accumulator's
@@ -1119,10 +1283,15 @@ class Lowerer:
             group_map = {}
 
         # projection
+        sel_items = list(q.columns)
+        if not is_agg and getattr(q, "qualify", None) is None:
+            sel_items, base = self._bind_common_subexprs(
+                sel_items, base, scope
+            )
         proj: list[Column] = []
         out_names: list[str] = []
         out_cols: list[Column | None] = []  # unaliased, for LIMIT BY refs
-        for e, alias in q.columns:
+        for e, alias in sel_items:
             if isinstance(e, A.Wildcard):
                 if e.except_cols or e.replaces:
                     # [EXT] `* EXCEPT (...)` / `* REPLACE (expr AS c)`:

@@ -641,7 +641,16 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice) — without a lineage cut the gate + 8-gram span stage
     # re-executes per consumer (guide §5: localCheckpoint when an
     # intermediate is reused and recomputing beats memory pressure).
-    # Runs inside the timed region; results are the same rows.
+    # localCheckpoint, not persist: persist would let the session's
+    # CacheManager match the identical plan across a bench's
+    # best-of-2 runs (cross-run result reuse — exactly what the
+    # methodology forbids), while the checkpoint's blocks die with
+    # this DataFrame. Eager by necessity: under AQE even a lazy
+    # checkpoint finalizes the adaptive plan and runs the shuffle
+    # stages, so the entry is a documented exception in the
+    # test_plans laziness pin (the q_dedup_semantic precedent); the
+    # construction jobs run inside bench.py's timed region either
+    # way. Results are the same rows.
     cleaned = (
         spans.join(gated.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "n_removed", "clean_text")

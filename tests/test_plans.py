@@ -108,6 +108,12 @@ def test_lowerings_are_lazy(spark):
                       # train-once centroid artifact (q_cluster_kmeans
                       # precedent) + bounded max-id collect
                       "q_dedup_semantic",
+                      # r13: fan-out intermediate localCheckpointed
+                      # once for its three consumers (eager by
+                      # necessity — AQE runs shuffle stages even for
+                      # a lazy checkpoint); jobs land in the bench's
+                      # timed region
+                      "q_pipeline_curate",
                       # runs the real availableNow stream by design
                       "q_stream_dedup_neardup",
                       # 1-row node count (N is a spec constant /
