@@ -460,6 +460,7 @@ def incremental_near_dedup(
     bands: int = 4,
     est_threshold: float = 0.75,
     max_bucket: int = 1000,
+    band_rows: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against the EXISTING corpus without rescanning
     the corpus text — the nightly-ingest pattern at 100 TB. Returns
@@ -503,6 +504,7 @@ def incremental_near_dedup(
         delta, index, id_col, text_col,
         n=n, num_hashes=num_hashes, bands=bands,
         est_threshold=est_threshold, max_bucket=max_bucket,
+        band_rows=band_rows,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = delta.join(dropped, id_col, "left_anti")

@@ -965,13 +965,23 @@ def q_stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, ck, idx = f"{base}/out", f"{base}/ck", f"{base}/index"
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from nutdb_spark.operators.dedup import minhash_band_rows
+
         index = None
         if os.path.isdir(idx) and any(
             f.endswith(".parquet") for f in os.listdir(idx)
         ):
             index = spark.read.parquet(idx)
+        # shingle+sign the delta EXACTLY ONCE (the band_rows
+        # passthrough the connected-incremental ingest already uses):
+        # without the checkpoint, the index write and the survivors
+        # write each re-ran the batch's full minhash pass
+        d_rows = minhash_band_rows(
+            batch_df, "doc_id", "text",
+            n=kw["n"], num_hashes=kw["num_hashes"], bands=kw["bands"],
+        ).localCheckpoint()
         surv, rows = incremental_near_dedup(
-            batch_df, index, "doc_id", "text", **kw
+            batch_df, index, "doc_id", "text", band_rows=d_rows, **kw
         )
         # persist FIRST (rows feed the next batch), then the survivors
         rows.write.mode("append").parquet(idx)
