@@ -1278,6 +1278,11 @@ def incremental_cdc_dedup(
         ).withColumn("__seen", F.coalesce(F.col("__seen"), F.lit(False)))
     else:
         rows = rows.withColumn("__seen", F.lit(False))
+    # chunk the delta EXACTLY ONCE: rows fans out to the firsts
+    # groupBy, the accounting join AND new_digests — without the cut
+    # the CDC chunking re-ran per consumer (and again when the caller
+    # writes the digests then unions the stats)
+    rows = rows.localCheckpoint()
     firsts = rows.groupBy("h").agg(
         F.min(F.struct("doc_id", "idx")).alias("first")
     )

@@ -475,10 +475,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(sf_dir.rstrip("/")) or "dir",
     )
     kw = dict(n=4, num_hashes=8, bands=4, est_threshold=0.75)
-    surv1, rows1 = incremental_near_dedup(b1, None, "doc_id", "text", **kw)
+    from nutdb_spark.operators.dedup import minhash_band_rows
+
+    def _band_rows(batch):
+        # shingle+sign each batch EXACTLY ONCE (the band_rows
+        # passthrough): without the checkpoint the index write and the
+        # survivors union each re-ran the batch's full minhash pass
+        return minhash_band_rows(
+            batch, "doc_id", "text",
+            n=kw["n"], num_hashes=kw["num_hashes"], bands=kw["bands"],
+        ).localCheckpoint()
+
+    surv1, rows1 = incremental_near_dedup(
+        b1, None, "doc_id", "text", band_rows=_band_rows(b1), **kw
+    )
     rows1.write.mode("overwrite").parquet(os.path.join(base, "ingest=1"))
     index = spark.read.parquet(os.path.join(base, "ingest=1"))
-    surv2, rows2 = incremental_near_dedup(b2, index, "doc_id", "text", **kw)
+    surv2, rows2 = incremental_near_dedup(
+        b2, index, "doc_id", "text", band_rows=_band_rows(b2), **kw
+    )
     rows2.write.mode("overwrite").parquet(os.path.join(base, "ingest=2"))
     return (
         surv1.select("doc_id", "lang")
