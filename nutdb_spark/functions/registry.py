@@ -1103,9 +1103,16 @@ AGGREGATE_FNS["boundingRatio"] = _bounding_ratio
 
 def _single_value_or_null(c: Column) -> Column:
     """singleValueOrNull(x) — the group's value when it has exactly
-    one distinct non-NULL value, else NULL. count_distinct gate +
-    min as the witness, both map-side-partial JVM aggregates."""
-    return F.when(F.count_distinct(c) == 1, F.min(c))
+    one distinct non-NULL value, else NULL. min==max gate + min as
+    the witness: exactly-one-distinct-non-NULL ⇔ min(x) = max(x)
+    (both ignore NULLs; all-NULL groups give NULL = NULL → NULL →
+    no match, and Spark's NaN = NaN is true so all-NaN groups still
+    match — the same value count_distinct saw as one). Chosen over
+    the count_distinct gate because a distinct aggregate forces the
+    Expand rewrite (every input row duplicated per distinct agg),
+    which taxes EVERY sibling aggregate in the same GROUP BY; min
+    and max are plain map-side-partial declarative aggregates."""
+    return F.when(F.min(c) == F.max(c), F.min(c))
 
 
 AGGREGATE_FNS["singleValueOrNull"] = _single_value_or_null
@@ -1176,19 +1183,31 @@ def _delta_sum_timestamp(v: Column, ts: Column) -> Column:
             F.struct(ts.cast("long").alias("t"), v.cast("double").alias("v"))
         )
     )
-    init = F.struct(
-        F.lit(None).cast("double").alias("prev"),
-        F.lit(0.0).alias("s"),
-    )
-
-    def step(acc, e):
-        d = e["v"] - acc["prev"]
-        s2 = F.when(
-            acc["prev"].isNotNull() & (d > 0), acc["s"] + d
-        ).otherwise(acc["s"])
-        return F.struct(e["v"].alias("prev"), s2.alias("s"))
-
-    return F.aggregate(ev, init, step)["s"]
+    # One primitive-double fold over consecutive index pairs: per
+    # element two element_at reads + greatest, NO per-step struct
+    # allocation (the previous acc carried struct(prev, s) and copied
+    # it every step). greatest(d, 0) reproduces the guarded branch
+    # exactly: a NULL delta (either neighbor NULL) contributes 0, a
+    # non-positive delta contributes 0, and NaN still propagates (NaN
+    # compares greatest, as NaN > 0 was true in the branch form). ev
+    # is let-bound through the 1-element-array transform binder so the
+    # collect+sort subtree is materialized once, not once per lambda
+    # reference (HOF subtrees get no CSE).
+    return F.transform(
+        F.array(ev),
+        lambda e: F.aggregate(
+            # sequence(2, 1) would count DOWN, so single-event groups
+            # get an explicit empty index list
+            F.when(F.size(e) >= 2, F.sequence(F.lit(2), F.size(e)))
+            .otherwise(F.array().cast("array<int>")),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.greatest(
+                F.element_at(e, i)["v"] - F.element_at(e, i - 1)["v"],
+                F.lit(0.0),
+            ),
+        ),
+    )[0]
 
 
 AGGREGATE_FNS["deltaSumTimestamp"] = _delta_sum_timestamp
