@@ -462,7 +462,20 @@ class Catalog:
                 raise CatalogError(f"unknown column {c!r}")
 
         if kind == "values":
-            rows = []
+            # One inline(array(struct(row)…)) over range(1): a single
+            # one-task relation and ONE codegen segment however many
+            # rows the statement lists. (The previous shape — one
+            # range(1).select per row chained through unionByName —
+            # made every downstream job (validation aggregate, write)
+            # plan and run N branches.) Cells are cast to the DECLARED
+            # column type here so every struct is same-typed (the
+            # array() requirement); the staged-output projection below
+            # applies the identical cast, so this is the same coercion
+            # one step earlier, not a new one.
+            types_by_name = {
+                c["name"]: _parse_type(c["spark_type"]) for c in col_meta
+            }
+            row_structs = []
             for i, row in enumerate(payload):
                 if len(row) != len(target_cols):
                     # reference: ragged INSERT rows are a Conflicts error
@@ -471,17 +484,16 @@ class Catalog:
                         f"INSERT row {i + 1} has {len(row)} values but "
                         f"{len(target_cols)} target columns"
                     )
-                vals = []
-                for cell in row:
-                    c = low._expr(cell, None, {}, [])
-                    vals.append(c)
-                rows.append(vals)
-            src = None
-            for vals in rows:
-                r = self.spark.range(1).select(
-                    *[v.alias(n) for v, n in zip(vals, target_cols)]
-                )
-                src = r if src is None else src.unionByName(r)
+                vals = [
+                    low._expr(cell, None, {}, [])
+                    .cast(types_by_name[n])
+                    .alias(n)
+                    for cell, n in zip(row, target_cols)
+                ]
+                row_structs.append(F.struct(*vals))
+            src = self.spark.range(1).select(
+                F.inline(F.array(*row_structs))
+            )
         elif kind == "query":
             src = low.lower_query(payload)
             if len(src.columns) != len(target_cols):
@@ -569,33 +581,71 @@ class Catalog:
             out_cols.append(col.alias(name))
         staged = src.select(*out_cols)
 
-        # One try/finally spans validation AND write: if the validation
-        # aggregate itself throws (analysis/runtime error inside a CHECK
-        # expression), the persisted serial source must not leak.
-        try:
-            self._enforce(staged, meta, low)
+        # Validation rides the WRITE job itself (observe() metrics
+        # evaluated while the rows stream to parquet) instead of a
+        # separate aggregate pass: the source plan is computed ONCE,
+        # not twice — at 100 TB an INSERT…SELECT's source is the whole
+        # statement cost. Atomicity is preserved by staging into a tmp
+        # dir next to the table and moving the files in only after the
+        # flags come back clean; a violation (or a failed write) leaves
+        # the live table directory untouched, exactly as before.
+        violations = self._violation_conds(meta, low)
+        obs = None
+        if violations:
+            from pyspark.sql import Observation
 
-            writer = staged.write.mode("append")
-            part_cols: list[str] = []
-            if meta["partition_by"]:
-                part_expr = _unpickle_ast(meta["partition_by"])
-                if isinstance(part_expr, A.Ident):
-                    part_cols = [part_expr.name]
-                else:
-                    staged = staged.withColumn(
-                        "__part", low._expr(part_expr, None, {}, [])
-                    )
-                    part_cols = ["__part"]
-                    writer = staged.write.mode("append")
-            if meta["order_by"]:
-                staged = staged.sortWithinPartitions(*meta["order_by"])
-                writer = staged.write.mode("append")
-            if part_cols:
-                writer = writer.partitionBy(*part_cols)
-            data_path = self._data_path(stmt.table)
-            files_before = _parquet_files(data_path)
-            writer.parquet(data_path)
+            obs = Observation()
+            staged = staged.observe(
+                obs,
+                *[
+                    F.max(F.coalesce(cond, F.lit(False))).alias(f"v{i}")
+                    for i, (cond, _) in enumerate(violations)
+                ],
+            )
+        part_cols: list[str] = []
+        if meta["partition_by"]:
+            part_expr = _unpickle_ast(meta["partition_by"])
+            if isinstance(part_expr, A.Ident):
+                part_cols = [part_expr.name]
+            else:
+                staged = staged.withColumn(
+                    "__part", low._expr(part_expr, None, {}, [])
+                )
+                part_cols = ["__part"]
+        if meta["order_by"]:
+            staged = staged.sortWithinPartitions(*meta["order_by"])
+        writer = staged.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        data_path = self._data_path(stmt.table)
+        tmp = data_path + ".__insert_tmp"
+        new_files: list[str] = []
+        try:
+            writer.parquet(tmp)
+            if obs is not None:
+                flags = obs.get
+                for i, (_, msg) in enumerate(violations):
+                    if flags.get(f"v{i}"):
+                        raise CatalogError(msg)
+            # clean: move the written files into the live dir
+            # (partition subdirs preserved; part-file names carry
+            # write-unique UUIDs so appends never collide)
+            for root, _dirs, files in os.walk(tmp):
+                rel = os.path.relpath(root, tmp)
+                dst_dir = (
+                    data_path
+                    if rel == "."
+                    else os.path.join(data_path, rel)
+                )
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    os.makedirs(dst_dir, exist_ok=True)
+                    dst = os.path.join(dst_dir, f)
+                    os.rename(os.path.join(root, f), dst)
+                    new_files.append(dst)
         finally:
+            shutil.rmtree(tmp, ignore_errors=True)
             if need_serial:
                 src.unpersist()
         meta["serial_next"] = serial_bases
@@ -604,7 +654,7 @@ class Catalog:
         # insert wrote (re-planning `staged` after unpersist could
         # regenerate serial ids differently; the written bytes can't).
         # Built lazily — only if an incremental view actually consumes it.
-        new_files = sorted(set(_parquet_files(data_path)) - set(files_before))
+        new_files = sorted(new_files)
         cols = [c["name"] for c in col_meta]
 
         def delta() -> DataFrame | None:
@@ -618,11 +668,9 @@ class Catalog:
 
         self._refresh_dependent_views(stmt.table, low, delta)
 
-    def _enforce(self, df: DataFrame, meta: dict, low) -> None:
-        """Validation: ONE aggregate job computes every violation flag
-        (map-side partial aggregation; no per-constraint scans), then
-        the first violated constraint raises with its own message.
-        Shared by INSERT and the UPDATE mutation."""
+    def _violation_conds(self, meta: dict, low) -> list[tuple[object, str]]:
+        """The (flag expression, message) list behind constraint
+        enforcement: NOT-NULL, enum membership, max length, CHECKs."""
         violations: list[tuple[object, str]] = []
         for c in meta["columns"]:
             if not c["nullable"] and not c["serial"]:
@@ -657,6 +705,16 @@ class Catalog:
                     f"CHECK constraint {con['name']!r} violated",
                 )
             )
+        return violations
+
+    def _enforce(self, df: DataFrame, meta: dict, low) -> None:
+        """Validation: ONE aggregate job computes every violation flag
+        (map-side partial aggregation; no per-constraint scans), then
+        the first violated constraint raises with its own message.
+        Used where validation cannot ride the write job itself; the
+        INSERT path instead fuses these flags into the write via
+        observe() so the source is computed ONCE, not twice."""
+        violations = self._violation_conds(meta, low)
         if violations:
             flags = df.agg(
                 *[
@@ -1386,9 +1444,9 @@ class Catalog:
                     hit, low._expr(e, None, {}, []).cast(stype)
                 ).otherwise(F.col(cname))
             out = df.withColumns(upd)
-            # a mutation must not sneak past the table's invariants
-            self._enforce(out, meta, low)
-            self._overwrite(stmt.table, meta, out, low)
+            # a mutation must not sneak past the table's invariants —
+            # validated on the rewrite job itself (one pass)
+            self._overwrite(stmt.table, meta, out, low, validate=True)
         elif act == "delete":
             # [EXT] ClickHouse mutation: DELETE WHERE cond — rows whose
             # predicate is TRUE go; NULL/UNKNOWN rows stay (standard
@@ -1653,9 +1711,9 @@ class Catalog:
                     ]
                 ).localCheckpoint()  # pin before the target dir swap
                 ins_frames.append((target_cols, row))
-        # --- apply: atomic rewrite, then the standard insert path ---
-        self._enforce(out, meta, low)
-        self._overwrite(stmt.table, meta, out, low)
+        # --- apply: atomic rewrite (constraints validated on the
+        # rewrite job itself), then the standard insert path ---
+        self._overwrite(stmt.table, meta, out, low, validate=True)
         for target_cols, row in ins_frames:
             if row.isEmpty():
                 continue
@@ -1679,11 +1737,36 @@ class Catalog:
         for old_name, new_name in ((a, tmp), (b, a), (tmp, b)):
             self.alter(A.AlterStmt(old_name, "rename_table", new_name), low)
 
-    def _overwrite(self, name: str, meta: dict, df: DataFrame, low) -> None:
+    def _overwrite(
+        self,
+        name: str,
+        meta: dict,
+        df: DataFrame,
+        low,
+        *,
+        validate: bool = False,
+    ) -> None:
         """Atomic full-table rewrite preserving the declared partition
         layout and ORDER BY clustering (tmp write + dir swap, same as
-        _rewrite/optimize)."""
+        _rewrite/optimize). With ``validate=True`` the constraint
+        flags ride the tmp write itself via observe() — one pass over
+        the rewritten rows instead of a validation aggregate plus the
+        write — and a violation aborts BEFORE the dir swap, so the
+        live table is untouched either way."""
         path = self._data_path(name)
+        violations = self._violation_conds(meta, low) if validate else []
+        obs = None
+        if violations:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                *[
+                    F.max(F.coalesce(cond, F.lit(False))).alias(f"v{i}")
+                    for i, (cond, _) in enumerate(violations)
+                ],
+            )
         part_cols: list[str] = []
         if meta["partition_by"]:
             pe = _unpickle_ast(meta["partition_by"])
@@ -1695,10 +1778,19 @@ class Catalog:
         if meta["order_by"]:
             df = df.sortWithinPartitions(*meta["order_by"])
         tmp = path + ".tmp"
-        w = df.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(tmp)
+        try:
+            w = df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(tmp)
+            if obs is not None:
+                flags = obs.get
+                for i, (_, msg) in enumerate(violations):
+                    if flags.get(f"v{i}"):
+                        raise CatalogError(msg)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         shutil.rmtree(path, ignore_errors=True)
         os.rename(tmp, path)
 
