@@ -336,6 +336,7 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nutdb_spark.operators.dedup import (
         incremental_exact_dedup,
         incremental_near_dedup,
+        minhash_band_rows,
     )
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -371,7 +372,16 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(toks) >= _MIN_TOKENS)
             & (stopword_ratio(toks, ENGLISH_STOPWORDS) >= _MIN_STOPWORD)
         )
-        s1, keys = incremental_exact_dedup(q, key_index, "doc_id", key)
+        s1, _keys = incremental_exact_dedup(q, key_index, "doc_id", key)
+        # materialize the quality+exact pass ONCE: the key-index
+        # write, the shingle pass, and the survivors union all read
+        # the checkpointed batch instead of re-running its lineage
+        # (the b754d16 band_rows idiom, applied to both stages)
+        s1 = s1.localCheckpoint()
+        # the survivors' keys, recomputed over the MATERIALIZED rows
+        # (md5 is deterministic, so this is the operator's new_keys
+        # output without re-running quality+exact for the write)
+        keys = s1.select(key.alias("__key")).distinct()
         keys.write.mode("overwrite").parquet(
             os.path.join(base, "keys", f"ingest={i}")
         )
@@ -380,7 +390,13 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a.unionByName(b),
             [spark.read.parquet(p) for p in key_dirs],
         )
-        s2, rows = incremental_near_dedup(s1, band_index, "doc_id", "text", **kw)
+        rows = minhash_band_rows(
+            s1, "doc_id", "text",
+            n=kw["n"], num_hashes=kw["num_hashes"], bands=kw["bands"],
+        ).localCheckpoint()
+        s2, _ = incremental_near_dedup(
+            s1, band_index, "doc_id", "text", band_rows=rows, **kw
+        )
         rows.write.mode("overwrite").parquet(
             os.path.join(base, "bands", f"ingest={i}")
         )
@@ -394,9 +410,8 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for p in band_dirs
             ],
         )
-        # cut the batch's lineage once: the state writes above already
-        # executed the quality/shingle work; without this the final
-        # groupBy re-runs BOTH batches' full dedup pipelines (guide §5)
+        # cut the batch's lineage once: the pair join still re-runs
+        # otherwise when the final groupBy unions both batches
         s2 = s2.localCheckpoint()
         out = s2 if out is None else out.unionByName(s2)
     return out.groupBy("lang").agg(
