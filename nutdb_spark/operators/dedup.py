@@ -1647,10 +1647,20 @@ def incremental_repeated_ngrams(
             tokenize(F.col(text_col)), lambda t: F.length(t) > 0
         ).alias("toks"),
     )
+    # The four returned frames (cleaned, occ', docs', cnt') all hang
+    # off the delta's tokenize/shingle pass, and every caller writes
+    # several of them — lazily checkpoint the two no-exchange
+    # subtrees so the batch is tokenized and shingled ONCE per ingest
+    # however many outputs get materialized (lazy: .rdd on a
+    # scan+project plan runs no job, so lazily-pinned callers stay
+    # job-free at build).
+    base = base.localCheckpoint(eager=False)
     d_occ = base.select(
         "doc_id",
         F.posexplode(ngrams(F.col("toks"), k)).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gram")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("s"), "gram"
+    ).localCheckpoint(eager=False)
     d_cnt = d_occ.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
 
     if index is None:

@@ -97,6 +97,13 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (stopword_ratio(toks, ENGLISH_STOPWORDS) >= _MIN_STOPWORD)
         & classifier_keep(F.col("text"))
     )
+    # the quality+classifier gate (an md5 fold per word) feeds four
+    # plan branches (fingerprint agg, semi-join, shingles, final
+    # stats); a LAZY localCheckpoint shares ONE materialization across
+    # them inside the action. Lazy keeps the build job-free (the
+    # lazy-plan pin): `kept` is scan+filter with no exchange, so
+    # .rdd materializes no shuffle stage at build time.
+    kept = kept.localCheckpoint(eager=False)
     reps = (
         kept.groupBy(fingerprint_md5(F.col("text")).alias("__k"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -220,6 +227,11 @@ def q_pipeline_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _T_MIN_DISTINCT
         )
     )
+    # the PII-redaction projection (a regex chain per row) feeds the
+    # fingerprint agg, the semi-join, the split, and both shingle
+    # branches; share ONE materialization (lazy: no exchange below, so
+    # the build stays job-free — q_pipeline_clean precedent)
+    qual = qual.localCheckpoint(eager=False)
     reps = (
         qual.groupBy(fingerprint_md5(F.col("rt")).alias("__k"))
         .agg(F.min("doc_id").alias("doc_id"))
