@@ -6627,7 +6627,7 @@ def _tier18_oracle() -> str:
            regexp_matches({ip2}, '{ipv4_re}') AS is_ip,
            {mac} AS mac,
            CAST(CAST('0x' || substring(md5(props || event_type), 1, 16)
-                AS UBIGINT) AS DECIMAL(20,0)) AS hmd5,
+                AS UBIGINT) AS VARCHAR) AS hmd5,
            split_part(props || chr(10) || event_type, chr(10), 1)
              AS fline,
            {b64} AS b64u,
@@ -6641,8 +6641,11 @@ def sql_fn_tier18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] tier-18 interop scalars: bitTestAll/bitTestAny, the CH
     demographic rounding ladders (roundAge/roundDuration), IPv4 and
     MAC codecs (NULL-on-malformed where CH throws — the engine's
-    lenient convention), big-endian halfMD5 carried as DECIMAL(20,0)
-    (the unsigned-64 widening), firstLine, and URL-safe base64
+    lenient convention), big-endian halfMD5 carried as its exact
+    decimal-digit string (DECIMAL(20,0) degrades to float64 in the
+    oracle's pandas conversion and hash-mismatches the driver's
+    canonicalizer; the digit string is exact on both engines),
+    firstLine, and URL-safe base64
     round-tripping. All pure integer/string expressions replayed
     verbatim by the oracle."""
     return _run(
@@ -6669,7 +6672,7 @@ def sql_fn_tier18(spark: SparkSession, sf_dir: str) -> DataFrame:
                IPv4StringToNum(ip2) as ip_n,
                isIPv4String(ip2) as is_ip,
                MACNumToString(event_id * 131071) as mac,
-               halfMD5(props + event_type) as hmd5,
+               toString(halfMD5(props + event_type)) as hmd5,
                firstLine(props + '\\n' + event_type) as fline,
                base64URLEncode(props) as b64u,
                base64URLDecode(base64URLEncode(props)) as b64rt

@@ -154,6 +154,20 @@ def main(names: list[str]) -> int:
                 f"result columns {nested} are array/struct/map — the "
                 "driver canonicalizer cannot sort them; emit scalars"
             )
+        # Spark DECIMAL survives toPandas() as object decimal.Decimal
+        # while the oracle's DECIMAL degrades to float64 in duckdb's
+        # .df() — the driver canonicalizes through pandas, so every
+        # decimal cell hash-mismatches even when the values are exactly
+        # equal (r13: sql_fn_tier18's hmd5 failed the driver on exactly
+        # this, 49/50). Carry the value as a digit string or a DOUBLE.
+        decs = [c for c, t in sdf.dtypes if _num_class(t) == "decimal"]
+        if decs:
+            problems.append(
+                f"result columns {decs} are DECIMAL — spark's pandas "
+                "keeps Decimal objects, duckdb's .df() degrades to "
+                "float64, and the driver hash mismatches; carry as a "
+                "digit string or a double"
+            )
         # The driver compares through Arrow, where DuckDB HUGEINT (the
         # result type of SUM over any integer) becomes decimal128(38,0)
         # and hash-mismatches Spark's BIGINT even when values are equal.
