@@ -180,6 +180,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # The ANN sidecars (IVF centroids / PQ codebooks / rebalance split)
+    # are train-once model artifacts keyed on the fixture dir. A bench
+    # pass must never inherit training from a previous run's disk state
+    # (cross-run precomputation); wipe them so the cost is paid inside
+    # this pass — q_sim_ivf_train retrains and re-persists them as a
+    # timed maintenance entry on every execution.
+    import shutil
+
+    here0 = os.path.dirname(os.path.abspath(__file__))
+    shutil.rmtree(
+        os.path.join(here0, "spark-warehouse", "ivf"), ignore_errors=True
+    )
+
     from nutdb_spark.session import get_spark
     from nutdb_spark.suite import QUERIES
 

@@ -755,10 +755,9 @@ def connected_components(
         .withColumn("__root", F.col("__id"))
         .localCheckpoint()
     )
-    rounds = 0
-    for _ in range(max_iters):
+    def _step(cur: DataFrame) -> DataFrame:
         via = edges.join(
-            labels.select(
+            cur.select(
                 F.col("__id").alias("__d"), F.col("__root").alias("__nr")
             ),
             "__d",
@@ -772,8 +771,8 @@ def connected_components(
         # ids) and min(new) fall out of the SAME aggregate — no
         # per-round join of new-vs-old labels for the convergence
         # test; min includes self ⇒ __root ≤ __old, strict < = changed
-        new = (
-            labels.withColumn("__self", F.lit(True))
+        return (
+            cur.withColumn("__self", F.lit(True))
             .unionByName(via)
             .groupBy("__id")
             .agg(
@@ -782,13 +781,28 @@ def connected_components(
                     F.when(F.col("__self"), F.col("__root"))
                 ).alias("__old"),
             )
-            # lazy: the `improved` count below materializes it, one
-            # Spark job per round instead of two.
+            # lazy: materialized by the per-check `improved` count (or,
+            # for the inner step of a pair, as part of the outer step's
+            # job) — never a job of its own.
             .localCheckpoint(eager=False)
         )
+
+    rounds = 0
+    while rounds < max_iters:
+        # TWO propagation steps share one materializing job (the
+        # convergence count): the inner step's lazy checkpoint computes
+        # as part of the outer step's count job, halving job
+        # submissions and count passes per converged fixpoint. Testing
+        # only the SECOND step is sound: label propagation is monotone,
+        # so if a step changes nothing its input already was the
+        # fixpoint — at worst one extra no-op pass runs.
+        steps = min(2, max_iters - rounds)
+        for _ in range(steps - 1):
+            labels = _step(labels).select("__id", "__root")
+        new = _step(labels)
         improved = new.filter(F.col("__root") < F.col("__old")).count()
         labels = new.select("__id", "__root")
-        rounds += 1
+        rounds += steps
         if improved == 0:
             break
     if stats is not None:

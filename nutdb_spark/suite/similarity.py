@@ -1510,6 +1510,53 @@ def q_sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_TRAIN_ORACLE = (
+    _oracle_kmeans()
+    + """
+SELECT cid, CAST(i AS BIGINT) AS i, x
+FROM (SELECT cid, unnest(s) AS x, unnest(range(1, 65)) AS i FROM c2)
+"""
+)
+
+
+@query("q_sim_ivf_train", _ANN_TRAIN_ORACLE)
+def q_sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed ANN index maintenance — the OPTIMIZE-style training job
+    the probe entries' persisted artifacts come from. Every execution
+    retires the sidecars and RETRAINS all three from the parquet
+    embeddings (IVF centroids, PQ codebooks, the hot-cluster rebalance
+    split), then re-persists them: the training cost the probe-only
+    entries legitimately skip is paid here, inside a timed entry, once
+    per bench pass — never inherited from a previous run's disk state
+    (bench.py additionally wipes spark-warehouse/ivf at start). Output
+    = the trained centroid matrix as (cid, dim, value) rows, replayed
+    exactly by the oracle's Lloyd recurrence; the codebooks and the
+    split stay value-verified by the probe entries' own oracles."""
+    import os
+
+    for p in (
+        _ivf_artifact_path(sf_dir, 8, 2),
+        _pq_artifact_path(sf_dir, 4, 16, 2),
+        _ivf_rebalance_artifact_path(sf_dir),
+    ):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    _CENTROID_CACHE.pop((sf_dir, 8, 2), None)
+    _PQ_CACHE.pop((sf_dir, 4, 16, 2), None)
+    _REBALANCE_CACHE.pop(sf_dir, None)
+    cents = _ivf_centroids(spark, sf_dir)
+    _pq_books(spark, sf_dir)
+    _ivf_rebalanced(spark, sf_dir)
+    rows = [
+        (cid, i + 1, int(x))
+        for cid, vec in enumerate(cents)
+        for i, x in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "cid long, i long, x long")
+
+
 @query(
     "q_geo_bucket_join",
     """

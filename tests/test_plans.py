@@ -76,6 +76,10 @@ def test_lowerings_are_lazy(spark):
                       "q_cluster_kmeans", "q_sim_topk_ivf",
                       # hot-list pick + one-cluster sub-fit by design
                       "q_sim_ivf_rebalance",
+                      # r14: the timed ANN maintenance entry RETRAINS
+                      # all three sidecar artifacts per execution by
+                      # design (that is its whole job)
+                      "q_sim_ivf_train",
                       "sql_outfile",  # INTO OUTFILE writes by design
                       # bounded per-partition-count collect by design
                       "q_analytic_global_rank",
