@@ -2682,6 +2682,38 @@ class Lowerer:
                 base, q, agg_calls, topk_calls, scope, group_map,
                 group_cols, resolved_groups,
             )
+        # [EXT] mixed DISTINCT + heavyweight regular aggregates:
+        # Catalyst's RewriteDistinctAggregates plans every distinct
+        # group through an Expand and drags every SIBLING aggregate's
+        # buffer through the extra aggregate level it inserts — a
+        # TypedImperative sibling (percentile, max_by, collect_set)
+        # then pays serialize/merge per level, which measured 3-5x the
+        # cost of the two pieces computed apart (sql_agg_if: 2.9s one
+        # aggregate vs 0.6s + 0.4s split at sf0.1). Lower the two
+        # families as separate aggregations over the same child and
+        # join them back on null-safe key equality (the topk-side
+        # precedent): each plan is then the optimal one — the regular
+        # aggregates keep one map-side-partial hash aggregate, the
+        # distinct ones keep the Expand over cheap states only.
+        if modifier is None and group_sets is None:
+            dist_calls = [
+                (c, n) for c, n in agg_calls if self._is_distinct_agg(c)
+            ]
+            reg_calls = [
+                (c, n) for c, n in agg_calls if not self._is_distinct_agg(c)
+            ]
+            if (
+                dist_calls
+                and reg_calls
+                and any(self._is_heavy_agg(c) for c, _ in reg_calls)
+                and not any(
+                    c.name.lower() == "grouping" for c, _ in agg_calls
+                )
+            ):
+                return self._lower_aggregate_split(
+                    base, q, dist_calls, reg_calls, scope, group_map,
+                    group_cols, resolved_groups,
+                )
         aggs: list[Column] = []
         for call, name in agg_calls:
             aggs.append(self._agg_expr(call, scope, q, group_map).alias(name))
@@ -2744,6 +2776,87 @@ class Lowerer:
         else:
             base = base.agg(*aggs)
         return base, {"groups": resolved_groups, "names": group_map}
+
+    @staticmethod
+    def _is_distinct_agg(call) -> bool:
+        """True when the call lowers to a Spark DISTINCT aggregate
+        (count_distinct / sum_distinct — the forms that trigger
+        RewriteDistinctAggregates). Name-based: the combinator
+        generator composes wrappers around the same bases, so the base
+        name survives as the prefix. -Array forms are collect_set
+        reductions, never distinct aggregates."""
+        low = call.name.lower()
+        if getattr(call, "distinct", False):
+            return low in ("count", "sum")
+        if "array" in low:
+            return False
+        return low.startswith(
+            (
+                "uniqexact", "countunique", "countdistinct",
+                "sumdistinct", "avgdistinct", "uniqupto",
+            )
+        ) and not low.startswith("countuniqueapprox")
+
+    @staticmethod
+    def _is_heavy_agg(call) -> bool:
+        """True for TypedImperative-buffer aggregates whose state is
+        expensive to re-serialize through the distinct rewrite's extra
+        aggregate level (percentile maps, max_by/min_by structs,
+        collect_list/collect_set arrays)."""
+        low = call.name.lower()
+        return any(
+            m in low
+            for m in (
+                "median", "quantile", "argmax", "argmin",
+                "grouparray", "groupuniqarray", "histogram",
+            )
+        )
+
+    def _lower_aggregate_split(
+        self, base, q, dist_calls, reg_calls, scope, group_map,
+        group_cols, resolved_groups,
+    ):
+        """Two aggregations over the same child — regular aggregates in
+        one map-side-partial hash aggregate, distinct aggregates in
+        their own Expand-bearing aggregate — joined back on null-safe
+        key equality (see the dispatch comment in _lower_aggregate)."""
+        from functools import reduce
+
+        names = [group_map[i] for i in range(len(group_cols))]
+        pre = base.select(F.col("*"), *group_cols) if group_cols else base
+
+        def agg_frame(calls):
+            aggs = [
+                self._agg_expr(call, scope, q, group_map).alias(name)
+                for call, name in calls
+            ]
+            if names:
+                return pre.groupBy(*[F.col(n) for n in names]).agg(*aggs)
+            return pre.agg(*aggs)
+
+        main = agg_frame(reg_calls)
+        side = agg_frame(dist_calls)
+        if names:
+            renamed = side.select(
+                *[F.col(n).alias(f"__ds_{n}") for n in names],
+                *[F.col(nm) for _, nm in dist_calls],
+            )
+            cond = reduce(
+                Column.__and__,
+                [
+                    main[n].eqNullSafe(renamed[f"__ds_{n}"])
+                    for n in names
+                ],
+            )
+            # inner join: both sides aggregate the identical child over
+            # the identical keys, so the key sets are equal by
+            # construction.
+            out = main.join(renamed, cond).drop(
+                *[f"__ds_{n}" for n in names]
+            )
+        else:
+            out = main.crossJoin(side)  # two global 1-row frames
+        return out, {"groups": resolved_groups, "names": group_map}
 
     def _lower_aggregate_with_topk(
         self, base, q, agg_calls, topk_calls, scope, group_map,
