@@ -209,6 +209,32 @@ def main() -> None:
 
     prev = _prev_queries(sf)
     results: dict[str, float] = {}
+    # Rotating-spike forensics (r13 verdict item 7): per entry, record
+    # the JVM heap level and cumulative GC time AFTER the entry ran —
+    # all sampled OUTSIDE the timed region, so the bench numbers are
+    # untouched. A spiked entry whose row shows a GC-time jump or a
+    # high pre-entry heap identifies the cause class for the next
+    # round instead of another "unexplained noise" note.
+    trace_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".benchmarks",
+        "heap_trace.jsonl",
+    )
+    os.makedirs(os.path.dirname(trace_path), exist_ok=True)
+    trace_f = open(trace_path, "w")
+
+    def _jvm_stats() -> dict:
+        try:
+            mf = spark._jvm.java.lang.management.ManagementFactory
+            heap = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed()
+            gc_ms = sum(
+                b.getCollectionTime()
+                for b in mf.getGarbageCollectorMXBeans()
+            )
+            return {"heap_mb": int(heap) // (1 << 20), "gc_ms": int(gc_ms)}
+        except Exception:  # noqa: BLE001 — forensics must never fail a bench
+            return {}
+
     for name in sorted(QUERIES):
         try:
             results[name] = round(
@@ -217,7 +243,18 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             print(f"bench error {name}: {ex}", file=sys.stderr)
             results[name] = -1.0
+        try:
+            trace_f.write(
+                json.dumps(
+                    {"q": name, "sec": results[name], **_jvm_stats()}
+                )
+                + "\n"
+            )
+            trace_f.flush()
+        except Exception:  # noqa: BLE001
+            pass
         _entry_hygiene(spark)
+    trace_f.close()
     total = round(sum(v for v in results.values() if v >= 0), 4)
     if prev:
         _write_delta_table(results, prev)
