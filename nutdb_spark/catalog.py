@@ -618,7 +618,13 @@ class Catalog:
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         data_path = self._data_path(stmt.table)
-        tmp = data_path + ".__insert_tmp"
+        # per-statement staging dir: concurrent inserts into the same
+        # table must not clobber each other's staging output, and a
+        # crashed statement's leftover dir must never be swept into a
+        # later statement's move loop
+        import uuid
+
+        tmp = data_path + f".__insert_tmp_{uuid.uuid4().hex}"
         new_files: list[str] = []
         try:
             writer.parquet(tmp)
@@ -706,25 +712,6 @@ class Catalog:
                 )
             )
         return violations
-
-    def _enforce(self, df: DataFrame, meta: dict, low) -> None:
-        """Validation: ONE aggregate job computes every violation flag
-        (map-side partial aggregation; no per-constraint scans), then
-        the first violated constraint raises with its own message.
-        Used where validation cannot ride the write job itself; the
-        INSERT path instead fuses these flags into the write via
-        observe() so the source is computed ONCE, not twice."""
-        violations = self._violation_conds(meta, low)
-        if violations:
-            flags = df.agg(
-                *[
-                    F.max(F.coalesce(cond, F.lit(False))).alias(f"v{i}")
-                    for i, (cond, _) in enumerate(violations)
-                ]
-            ).first()
-            for i, (_, msg) in enumerate(violations):
-                if flags[f"v{i}"]:
-                    raise CatalogError(msg)
 
     def _referenced_tables(self, node, out: set[str]) -> None:
         if isinstance(node, A.TableRef):
