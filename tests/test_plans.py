@@ -491,15 +491,23 @@ def test_session6_scalar_entries_are_pure_projections(spark):
 
 
 def test_agg_combinators_bounded_exchanges(spark):
-    """sql_agg_combinators mixes DISTINCT aggregates with plain ones,
-    so Catalyst plans the standard two-level distinct rewrite: ONE
-    expand aggregate + ONE final aggregate + the ORDER BY range
-    Exchange — exactly three shuffles total regardless of how many
-    combinator families the query uses, and never Python."""
+    """sql_agg_combinators mixes DISTINCT aggregates with
+    TypedImperative plain ones, so the r14 split lowering plans TWO
+    aggregations over the same scan — the regular aggregates in one
+    map-side-partial hash aggregate with NO Expand, the distinct ones
+    in their own Expand-bearing branch — joined back by BROADCAST on
+    the group key (3 grouping values), plus the ORDER BY range
+    Exchange: five shuffles total regardless of how many combinator
+    families the query uses, no SortAggregate (the pre-r14 shape
+    dragged every sibling's buffer through the distinct rewrite's
+    extra SortAggregate levels), and never Python."""
     from nutdb_spark.suite import QUERIES
 
     plan = plan_of(QUERIES["sql_agg_combinators"](spark, SF01))
-    assert plan.count("Exchange") == 3
+    assert plan.count("Exchange") == 5
+    assert plan.count("Expand") == 1
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
 
 
